@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's incremental window-repair semantics
+  * (`gold_aggr.py:98` re-read before the watermark to warm trailing
+  * frames; `:219` trim to rows past the watermark), generalized to
+  * row-count frames.
+  *
+  * The reference can use a fixed 4-minute time lookback only because its
+  * feed has exact 1-minute cadence. For a ROWS-based frame over an
+  * irregular series the correct warm-up set is "the last 4 rows at or
+  * before the watermark", fetched with a per-partition top-k
+  * (TakeOrdered — no global sort) rather than a time predicate.
+  *
+  * Incremental-equivalence invariant (property-tested in
+  * IncrementalWindowSpec): output == full-recompute-then-filter.
+  *
+  * Scale: the pre-watermark side reduces to 4 rows before the window;
+  * the post-watermark side is the only data windowed. The window itself
+  * is unpartitioned (matches the reference's global ORDER BY frame) —
+  * for 100 TB the same operator is applied per day-bucket with this
+  * exact lookback+trim repairing bucket edges (see Gold.scala).
+  */
+object IncrementalWindow {
+  def trailingAvgPastWatermark(events: DataFrame, watermark: Timestamp): DataFrame = {
+    val warmup = events
+      .filter(col("ts") <= lit(watermark))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(4)
+      .select(col("event_id"), col("ts"), col("value"))
+    val fresh = events
+      .filter(col("ts") > lit(watermark))
+      .select(col("event_id"), col("ts"), col("value"))
+    val w = Window.orderBy("ts", "event_id").rowsBetween(-4, 0)
+    warmup.union(fresh)
+      .withColumn("avg_value", round(avg(col("value")).over(w), 6))
+      .filter(col("ts") > lit(watermark))
+      .select(col("event_id"), col("ts"), col("avg_value"))
+      .orderBy("ts", "event_id")
+  }
+}

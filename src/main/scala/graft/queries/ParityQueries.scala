@@ -1,0 +1,271 @@
+package graft.queries
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{IdempotentSink, Tables, TimeFeatures}
+import graft.operators.IncrementalWindow
+
+/** Parity queries: every operator family of the reference
+  * (SURVEY.md §2) realized over the harness testdata, each with an
+  * equivalent DuckDB oracle.
+  *
+  * Conventions shared with the oracles:
+  *  - every output is deterministically ordered by its key columns;
+  *  - aggregates/window results over doubles are `round(_, 6)` on BOTH
+  *    sides so last-ulp accumulation-order differences between engines
+  *    can't flip the hash;
+  *  - integer-valued double sums (e.g. `l_quantity`) are exact and left
+  *    unrounded;
+  *  - day-of-week uses DuckDB's 0=Sunday convention (TimeFeatures).
+  */
+object ParityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S4 scan + P4-style range predicate + column pruning.
+    * Catalyst pushes both the filter and the 4-column projection into
+    * the parquet scan (PushedFilters + ReadSchema — see PlanSpec).
+    */
+  private val scanFilter: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00"))
+        && col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P1 rename projection + P2 arithmetic derived columns
+    * (silver_transform.py:88-101 analog). Per-row IEEE arithmetic in
+    * identical order on both engines — bit-exact, no rounding needed.
+    */
+  private val projectArith: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("gross_price"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("charged_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P3 guarded ratios with the reference's asymmetric defaults
+    * (gold_aggr.py:73-78 → ELSE 0; gold_aggr.py:180-184 → ELSE 1).
+    */
+  private val ratioGuard: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_extendedprice") > 0, col("l_quantity") / col("l_extendedprice"))
+          .otherwise(lit(0.0)).as("qty_price_ratio"),
+        when(col("l_discount") > 0, col("l_tax") / col("l_discount"))
+          .otherwise(lit(1.0)).as("tax_discount_ratio"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F1-F7 + P5 + P7: the silver dim_time derivation
+    * (silver_transform.py:61-82) over `events.ts`.
+    */
+  private val dimTime: Q = (s, dir) =>
+    TimeFeatures.dimTime(Tables.events(s, dir), "ts").orderBy("time_id")
+
+  /** J1 star join (gold_aggr.py:96-97 analog): fact ⋈ two dims.
+    * customer/orders are small relative to lineitem; Catalyst
+    * broadcast-joins them (verified in PlanSpec), so the fact table
+    * never shuffles. `sum(l_quantity)` is integer-valued → exact.
+    */
+  private val starJoin: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+
+  /** J2/S7 anti-join: the ON-CONFLICT-DO-NOTHING key filter
+    * (silver_transform.py:105) as a first-class operator: customers with
+    * no pending ('P') orders — non-empty at every scale factor.
+    */
+  private val antiJoin: Q = (s, dir) =>
+    IdempotentSink.newRows(
+      Tables.customer(s, dir),
+      Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+        .withColumnRenamed("o_custkey", "c_custkey"),
+      Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** W1-W18: trailing 5-ROW moving average + sample stddev over one
+    * shared frame (gold_aggr.py:104-177). Row frame, not range frame;
+    * stddev == stddev_samp (NULL on the first row) — both match DuckDB.
+    * Tie-broken by event_id so the frame contents are deterministic.
+    */
+  private val movingAvg: Q = (s, dir) => {
+    val w = Window.orderBy("ts", "event_id").rowsBetween(-4, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("value"))
+      .withColumn("avg_value", round(avg(col("value")).over(w), 6))
+      .withColumn("stddev_value", round(stddev(col("value")).over(w), 6))
+      .orderBy("ts", "event_id")
+  }
+
+  /** A1: ungrouped MAX + COALESCE watermark probe
+    * (silver_transform.py:54-58).
+    */
+  private val watermarkProbe: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .agg(coalesce(max(col("ts")), lit(Timestamp.valueOf("1970-01-01 00:00:00")))
+        .as("watermark"))
+
+  /** A2: ungrouped COUNT/MIN/MAX summary (silver_transform.py:109-118). */
+  private val summaryStats: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+
+  /** The gold incremental pattern (gold_aggr.py:98,219): warm the
+    * trailing frame with rows before the watermark, compute, trim to
+    * rows past the watermark. Result must equal full-recompute-then-
+    * filter (the oracle; equivalence also property-tested).
+    */
+  private val incrementalWindow: Q = (s, dir) =>
+    IncrementalWindow.trailingAvgPastWatermark(
+      Tables.events(s, dir), Timestamp.valueOf("2024-01-15 00:00:00"))
+
+  /** Set op: EXCEPT (distinct semantics), union'd surface in unionOp. */
+  private val exceptOp: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** Set op: UNION (distinct semantics). */
+  private val unionOp: Q = (s, dir) =>
+    Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+      .union(Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey")))
+      .distinct()
+      .orderBy("custkey")
+
+  /** Global sort + LIMIT → TakeOrderedAndProject (no full sort at scale:
+    * per-partition top-k then merge at the driver).
+    */
+  private val topK: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** ROLLUP grouping sets — beyond the reference's flat GROUP BY-less
+    * aggregates; exercises Expand + hash aggregate. NULL ordering pinned
+    * NULLS FIRST on both sides (engines default differently).
+    */
+  private val rollupAgg: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val queries: Map[String, Q] = Map(
+    "q01_scan_filter" -> scanFilter,
+    "q02_project_arith" -> projectArith,
+    "q03_ratio_guard" -> ratioGuard,
+    "q04_dim_time" -> dimTime,
+    "q05_star_join" -> starJoin,
+    "q06_anti_join" -> antiJoin,
+    "q07_moving_avg" -> movingAvg,
+    "q08_watermark_probe" -> watermarkProbe,
+    "q09_summary_stats" -> summaryStats,
+    "q10_incremental_window" -> incrementalWindow,
+    "q11_except" -> exceptOp,
+    "q12_union" -> unionOp,
+    "q13_topk" -> topK,
+    "q14_rollup" -> rollupAgg)
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_project_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice AS gross_price,
+        |  l_extendedprice * (1 - l_discount) AS net_price,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_ratio_guard" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_extendedprice > 0 THEN l_quantity / l_extendedprice ELSE 0 END
+        |    AS qty_price_ratio,
+        |  CASE WHEN l_discount > 0 THEN l_tax / l_discount ELSE 1 END
+        |    AS tax_discount_ratio
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q04_dim_time" ->
+      """SELECT DISTINCT ts AS time_id,
+        |  CAST(ts AS DATE) AS date,
+        |  CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hour,
+        |  CAST(EXTRACT(MINUTE FROM ts) AS INTEGER) AS minute,
+        |  CAST(EXTRACT(DOW FROM ts) AS INTEGER) AS day_of_week,
+        |  EXTRACT(DOW FROM ts) IN (0, 6) AS is_weekend,
+        |  CAST(CASE WHEN EXTRACT(MONTH FROM ts) IN (12,1,2) THEN 0
+        |       WHEN EXTRACT(MONTH FROM ts) IN (3,4,5) THEN 1
+        |       WHEN EXTRACT(MONTH FROM ts) IN (6,7,8) THEN 2
+        |       ELSE 3 END AS INTEGER) AS season
+        |FROM events WHERE ts IS NOT NULL
+        |ORDER BY time_id""".stripMargin,
+    "q05_star_join" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_moving_avg" ->
+      """SELECT event_id, ts, value,
+        |  ROUND(AVG(value) OVER w, 6) AS avg_value,
+        |  ROUND(STDDEV(value) OVER w, 6) AS stddev_value
+        |FROM events
+        |WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY ts, event_id""".stripMargin,
+    "q08_watermark_probe" ->
+      "SELECT COALESCE(MAX(ts), TIMESTAMP '1970-01-01') AS watermark FROM events",
+    "q09_summary_stats" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+        |  MIN(ts) AS min_ts, MAX(ts) AS max_ts FROM events""".stripMargin,
+    "q10_incremental_window" ->
+      """SELECT event_id, ts, avg_value FROM (
+        |  SELECT event_id, ts,
+        |    ROUND(AVG(value) OVER (ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg_value
+        |  FROM events)
+        |WHERE ts > TIMESTAMP '2024-01-15'
+        |ORDER BY ts, event_id""".stripMargin,
+    "q11_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+    "q12_union" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin,
+    "q13_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q14_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+}

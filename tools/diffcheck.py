@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/diffcheck.py <sfDir> <verifyOutDir>
+
+Registers each testdata parquet as a DuckDB view, runs every query in
+oracle_sql.json, loads the corresponding Spark parquet dump, and
+compares: row count, column names (sorted), and values (rows sorted by
+all columns; exact for non-floats, both exact-hash and 1e-9-tolerance
+reported for floats). This is a developer tool only — the engine itself
+is pure Scala/Spark.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fail = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}")
+        fail += 1
+        continue
+    try:
+        got = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+    except Exception as e:
+        print(f"FAIL {name}: spark output missing: {e}")
+        fail += 1
+        continue
+    problems = []
+    if sorted(exp.columns) != sorted(got.columns):
+        problems.append(f"cols exp={sorted(exp.columns)} got={sorted(got.columns)}")
+    elif len(exp) != len(got):
+        problems.append(f"rows exp={len(exp)} got={len(got)}")
+    else:
+        cols = sorted(exp.columns)
+        e = exp[cols].sort_values(cols).reset_index(drop=True)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        for c in cols:
+            ev, gv = e[c], g[c]
+            if ev.dtype.kind == "f" or gv.dtype.kind == "f":
+                ev = ev.astype(float); gv = gv.astype(float)
+                both_nan = ev.isna() & gv.isna()
+                diff = (ev - gv).abs()
+                bad = ~both_nan & ~(diff <= 1e-9)
+                exact = ((ev == gv) | both_nan).all()
+                if bad.any():
+                    problems.append(f"col {c}: {bad.sum()} values differ >1e-9 (max {diff[~both_nan].max()})")
+                elif not exact:
+                    problems.append(f"col {c}: tolerance-only match (max diff {diff[~both_nan].max():.2e}) [WARN]")
+            else:
+                if not ev.equals(gv):
+                    neq = (ev.astype(str) != gv.astype(str))
+                    problems.append(f"col {c}: {neq.sum()} mismatches, e.g. exp={ev[neq].head(2).tolist()} got={gv[neq].head(2).tolist()}")
+        # dtype report (schema check approximation)
+        dt_e = {c: str(exp[c].dtype) for c in cols}
+        dt_g = {c: str(got[c].dtype) for c in cols}
+        if dt_e != dt_g:
+            dd = {c: (dt_e[c], dt_g[c]) for c in cols if dt_e[c] != dt_g[c]}
+            problems.append(f"dtypes differ: {dd} [WARN]")
+    hard = [p for p in problems if "[WARN]" not in p]
+    if hard:
+        fail += 1
+        print(f"FAIL {name}: " + "; ".join(problems))
+    elif problems:
+        print(f"WARN {name}: " + "; ".join(problems))
+    else:
+        print(f"OK   {name} ({len(exp)} rows)")
+print(f"\n{len(oracle) - fail}/{len(oracle)} queries match")
+sys.exit(1 if fail else 0)
