@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.ParityQueries
+import graft.queries.{ExtensionQueries, ParityQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,8 @@ object SparkEntry {
     ParityQueries.queries("q07_moving_avg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries
+    ParityQueries.queries ++ ExtensionQueries.queries
 
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql
+    ParityQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

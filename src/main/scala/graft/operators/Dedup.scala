@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, in increasing
+  * fuzziness: exact → MinHash/LSH → SimHash → exact n-gram Jaccard.
+  *
+  * All are expressed with built-in codegen'd functions (split / slice /
+  * transform / xxhash64 / aggregate); none collect to the driver.
+  */
+object Dedup {
+  /** Exact dedup: one surviving row (min id) per key, with the
+    * duplicate count — the hash-groupBy form of `dropDuplicates` that
+    * also reports cluster sizes. Map-side partial aggregation collapses
+    * duplicates before the shuffle, so the shuffle carries one row per
+    * distinct key per partition.
+    */
+  def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** k-word shingles; documents shorter than k tokens contribute one
+    * whole-text shingle so they can still collide with exact copies.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k), i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** MinHash signature: for each of `numPerm` seeded hash functions,
+    * the minimum `xxhash64` over the document's shingles. One array
+    * column per document — O(|shingles| × numPerm) work, all codegen.
+    */
+  def minhashSignature(text: Column, k: Int, numPerm: Int): Column = {
+    val sh = shingles(text, k)
+    array((0 until numPerm).map { p =>
+      array_min(transform(sh, g => xxhash64(g, lit(p))))
+    }: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * Banding: `numPerm` minhashes split into `bands` bands of
+    * `numPerm/bands` rows; a pair is a candidate iff some band hashes
+    * equal. Candidates are then kept when the estimated Jaccard
+    * (fraction of agreeing minhashes) ≥ `threshold`.
+    *
+    * Scale: the band join is an equi-shuffle on (band, bandHash) — the
+    * classic LSH inverted index. Candidate volume is tunable via
+    * bands/rows (s-curve). A hot bucket (many docs sharing a band hash)
+    * is the skew risk; AQE skew-join handles moderate cases, and the
+    * bucket-size cap `maxBucket` drops degenerate buckets (boilerplate
+    * text) the way production dedup pipelines do.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val rows = numPerm / bands
+    require(bands * rows == numPerm, "bands must divide numPerm")
+    val sig = docs.select(col(idCol).as("doc"),
+      minhashSignature(col(textCol), shingleK, numPerm).as("sig"))
+
+    val banded = sig.select(col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows))), b)))
+        .as(Seq("band", "band_hash")))
+
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+
+    val a = capped.select(col("band"), col("band_hash"),
+      col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("band_hash"),
+      col("doc").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / numPerm).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash over the document's token bag (term-frequency
+    * weighted). Computed as 64 per-bit weighted sums via a single hash
+    * aggregate — no UDF, no driver loop.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"b$bit")
+    }
+    val sums = tok.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { bit =>
+      when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc"), hash.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs within `maxHamming` bits.
+    *
+    * Banded by pigeonhole: split the 64-bit hash into `maxHamming + 1`
+    * segments — any pair within the distance agrees exactly on ≥1
+    * segment, so the candidate join is an equi-join on (segment id,
+    * segment value), never O(n²). Candidates are verified with
+    * `bit_count(xor)`.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val segments = maxHamming + 1
+    val segBits = 64 / segments
+    val sh = simhash(docs, idCol, textCol)
+    val seg = sh.select(col("doc"), col("simhash"),
+      posexplode(array((0 until segments).map { s =>
+        shiftrightunsigned(col("simhash"), s * segBits)
+          .bitwiseAND(lit((1L << segBits) - 1))
+      }: _*)).as(Seq("seg", "seg_val")))
+    val a = seg.select(col("seg"), col("seg_val"), col("doc").as("doc_a"), col("simhash").as("sh_a"))
+    val b = seg.select(col("seg"), col("seg_val"), col("doc").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("seg", "seg_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted shingle index:
+    * explode distinct shingles, self-join on shingle, count common,
+    * then |A∩B| / (|A| + |B| − |A∩B|). Exact (unlike MinHash) and
+    * SQL-expressible, so it carries a DuckDB oracle.
+    *
+    * Scale: identical shape to a term-index join; ultra-frequent
+    * shingles are the skew (mitigate with a document-frequency cap in
+    * a production config — kept exact here for oracle parity).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol), k))).as("g"))
+    val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n"))
+    val common = grams.select(col("doc").as("doc_a"), col("g"))
+      .join(grams.select(col("doc").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") / (col("n_a") + col("n_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata extracted by a partition-wise decoder.
+  *
+  * The Spark-side shape is the real deliverable: binary payload column,
+  * `mapPartitions` batch decode (one decoder instantiation per
+  * partition, not per row — the same shape a JNI image/audio codec
+  * needs), typed `Dataset` output with an explicit schema. The decode
+  * itself is a clearly-marked deterministic STUB (no media codecs in
+  * this environment); swapping in a real decoder changes only the body
+  * of `decodeStub`.
+  *
+  * Scale: decode is embarrassingly parallel; partition sizing is
+  * governed by `spark.sql.files.maxPartitionBytes` on the payload scan,
+  * and the output is a narrow metadata table (bytes → ~24B/row), so the
+  * heavy binary column is dropped before any shuffle.
+  */
+object Multimodal {
+  /** Typed metadata row produced by the decoder. */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, channels: Int)
+
+  /** STUB decoder ??? — stands in for a real image/audio decode.
+    * Deterministic pure arithmetic on the payload bytes so the whole
+    * pipeline (schema, batching, partitioning) is testable and carries
+    * a DuckDB oracle. A real implementation would parse the container
+    * header here (and this is the ONLY place that changes).
+    */
+  private def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val nBytes = payload.length
+    val firstByte = if (nBytes > 0) payload(0) & 0xff else 0
+    MediaMeta(docId, nBytes, 64 + nBytes % 512, 64 + firstByte % 512, 3)
+  }
+
+  /** Attach a binary payload column (here: the UTF-8 text bytes as the
+    * stand-in media blob; real data would read e.g. image files).
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Partition-wise batch decode: binary payloads → typed metadata. */
+  def decodeFeatures(docs: DataFrame): Dataset[MediaMeta] = {
+    val payloads = withPayload(docs)
+    import payloads.sparkSession.implicits._
+    payloads.as[(Long, Array[Byte])].mapPartitions { batch =>
+      // Real decoders init per-partition state here (codec handles etc.)
+      batch.map { case (id, bytes) => decodeStub(id, bytes) }
+    }
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators: gap-based sessionization and tumbling-window
+  * aggregation — the batch forms; the Structured Streaming forms
+  * (session_window / window + watermark) live in graft.streaming.
+  */
+object Sessions {
+  /** Gap-based sessions per user: a new session starts when the gap to
+    * the previous event exceeds `gapMinutes`. Classic lag → flag →
+    * running-sum session index → aggregate.
+    *
+    * Scale: both windows are PARTITIONED by user_id — one shuffle on
+    * user_id, then all window work is within-partition; no global sort.
+    * (Contrast the reference's unpartitioned gold window, SURVEY §2.5.)
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapNs = gapMinutes * 60L * 1000000L // µs
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapNs, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("user_id", "session_idx")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Tumbling-window aggregate (window() → one hash aggregate on the
+    * truncated timestamp; partial aggregation keeps the shuffle at one
+    * row per (window, partition)).
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("n_events"), col("total_value"))
+      .orderBy("hour_start")
+}

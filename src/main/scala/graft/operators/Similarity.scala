@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the scale design in SURVEY.md:
+  *  - `bruteForceTopK`: exact top-k for a small probe set. The probes
+  *    are broadcast (`broadcast()` hint) so the corpus never shuffles
+  *    for the join; the per-query ranking shuffles only nProbes × N
+  *    scored rows, partitioned by query — at 100 TB with a bounded
+  *    probe set this is a single map-side pass over the corpus plus a
+  *    top-k per query (AQE coalesces the tiny ranking shuffle).
+  *  - `lshNeighborPairs`: the all-pairs scale path. Random-hyperplane
+  *    LSH (deterministic seed) buckets vectors by sign bits; only
+  *    within-bucket candidate pairs are scored exactly. O(n²) becomes
+  *    O(Σ bucket²) and the bucket join is a shuffle on the signature —
+  *    the classic SimHash/LSH trade: recall < 1 for pairs straddling a
+  *    hyperplane (tested against the exact path in SimilaritySpec).
+  */
+object Similarity {
+  /** Exact cosine top-k: for each probe vector, the k nearest corpus
+    * vectors (self excluded).
+    * Output: query_id, rank, neighbor_id, cosine (rounded 6dp).
+    */
+  def bruteForceTopK(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val corpus = embeddings.select(
+      col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("c_emb"))
+    val q = probes.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Exact all-pairs above a cosine threshold (the embedding-cosine
+    * near-duplicate primitive). Quadratic — intended for small corpora
+    * or as the verifier for the LSH path below.
+    */
+  def thresholdPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH.
+    * Seeded so plans are reproducible across runs/sessions.
+    */
+  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-LSH signature column: one bit per hyperplane. */
+  private def signature(emb: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(emb, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed near-neighbor pairs: `tables` independent sign-LSH
+    * hash tables of `bits` hyperplanes each; a pair is a candidate iff
+    * it collides in ≥1 table, and candidates are scored exactly.
+    *
+    * Recall for a pair at angle θ is 1-(1-(1-θ/π)^bits)^tables — tuned
+    * here for the 0.4-cosine regime; raise bits / lower tables for
+    * higher thresholds. The candidate join is an equi-shuffle on
+    * (table, bucket); candidate volume ≈ Σ_buckets n² per table, the
+    * knob that replaces the brute-force O(n²).
+    */
+  def lshNeighborPairs(embeddings: DataFrame, threshold: Double, bits: Int = 6,
+      tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(dim, bits * tables, seed)
+    val sig = embeddings.select(
+      col("vec_id"), asDouble(col("embedding")).as("emb"),
+      posexplode(array((0 until tables).map { t =>
+        signature(asDouble(col("embedding")), planes.slice(t * bits, (t + 1) * bits))
+      }: _*)).as(Seq("table", "bucket")))
+    val a = sig.select(col("table"), col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val b = sig.select(col("table"), col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-label centroid, exploded form: (label, dim, centroid value).
+    * `posexplode` + hash-aggregate — fully parallel, no collect, and
+    * SQL-expressible for the oracle. The typed-Aggregator form (whole
+    * vector per row) is `CentroidAggregator`.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("v")), 6).as("centroid_v"))
+      .orderBy("label", "dim")
+}

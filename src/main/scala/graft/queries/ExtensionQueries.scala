@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators._
+
+/** North-star extension queries (BASELINE.json): the LLM-training-data
+  * pipeline operators — dedup, similarity search, text analysis,
+  * sessionization, JSON extraction, multimodal plumbing — over the
+  * documents/embeddings/events tables. DuckDB oracles wherever the
+  * semantics are SQL-expressible; hash-based operators (xxhash64) are
+  * engine-specific and carry golden specs instead.
+  */
+object ExtensionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dedupExact: Q = (s, dir) =>
+    Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("dup_count"))
+      .orderBy("doc_id")
+
+  private val minhashLsh: Q = (s, dir) =>
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  private val simhashPairs: Q = (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  private val ngramJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  private val annTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  private val cosinePairs: Q = (s, dir) =>
+    Similarity.thresholdPairs(Tables.embeddings(s, dir), threshold = 0.4)
+
+  private val annLsh: Q = (s, dir) =>
+    Similarity.lshNeighborPairs(Tables.embeddings(s, dir), threshold = 0.4)
+
+  private val centroids: Q = (s, dir) =>
+    Similarity.labelCentroids(Tables.embeddings(s, dir))
+
+  private val textStats: Q = (s, dir) =>
+    TextAnalysis.textStats(Tables.documents(s, dir))
+
+  private val tokenCounts: Q = (s, dir) =>
+    TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private val quality: Q = (s, dir) =>
+    TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private val langId: Q = (s, dir) =>
+    TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private val fingerprint: Q = (s, dir) =>
+    TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private val jsonExtract: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  private val sessionizeQ: Q = (s, dir) =>
+    Sessions.sessionize(Tables.events(s, dir), gapMinutes = 30)
+
+  private val tumbling: Q = (s, dir) =>
+    Sessions.tumblingHourly(Tables.events(s, dir))
+
+  private val multimodal: Q = (s, dir) =>
+    Multimodal.decodeFeatures(Tables.documents(s, dir)).toDF().orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "q20_dedup_exact" -> dedupExact,
+    "q21_minhash_lsh" -> minhashLsh,
+    "q22_simhash_pairs" -> simhashPairs,
+    "q23_ngram_jaccard" -> ngramJaccard,
+    "q24_ann_topk" -> annTopK,
+    "q25_cosine_pairs" -> cosinePairs,
+    "q26_ann_lsh" -> annLsh,
+    "q27_centroids" -> centroids,
+    "q28_text_stats" -> textStats,
+    "q29_token_counts" -> tokenCounts,
+    "q30_quality_score" -> quality,
+    "q31_langid" -> langId,
+    "q32_fingerprint" -> fingerprint,
+    "q33_json_extract" -> jsonExtract,
+    "q34_sessionize" -> sessionizeQ,
+    "q35_tumbling_hourly" -> tumbling,
+    "q36_multimodal_decode" -> multimodal)
+
+  /** DuckDB equivalents. Omitted (rows-only check) for the xxhash64 /
+    * LSH operators whose exact output is engine-defined:
+    * q21_minhash_lsh, q22_simhash_pairs, q26_ann_lsh, q32_fingerprint.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q23_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q24_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cos
+        |      FROM q, c WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |             AS INTEGER) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q25_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q27_centroids" ->
+      """SELECT label, CAST(gs.dim - 1 AS INTEGER) AS dim,
+        |  ROUND(AVG(CAST(embedding[gs.dim] AS DOUBLE)), 6) AS centroid_v
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim) gs
+        |GROUP BY label, gs.dim ORDER BY label, dim""".stripMargin,
+    "q28_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  ROUND(avg(n_chars), 6) AS avg_chars,
+        |  ROUND(avg(len(regexp_split_to_array(text, '\s+'))), 6) AS avg_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q29_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS INTEGER) AS n_distinct,
+        |  ROUND(CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+        |        / len(regexp_split_to_array(text, '\s+')), 6) AS ttr,
+        |  ROUND(CAST(list_aggregate(list_transform(regexp_split_to_array(text, '\s+'),
+        |          x -> length(x)), 'sum') AS DOUBLE)
+        |        / len(regexp_split_to_array(text, '\s+')), 6) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_quality_score" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |    / len(toks) AS stop_ratio,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |  LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score
+        |FROM t)
+        |SELECT doc_id, ROUND(stop_ratio, 6) AS stopword_ratio, ROUND(ttr, 6) AS ttr,
+        |  ROUND(len_score, 6) AS length_score,
+        |  ROUND(0.4 * len_score + 0.3 * stop_ratio + 0.3 * ttr, 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q31_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |    / len(toks) AS r
+        |FROM t)
+        |SELECT doc_id, ROUND(r, 6) AS en_stopword_ratio,
+        |  CASE WHEN r >= 0.05 THEN 'en' ELSE 'unk' END AS predicted_lang
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q33_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q34_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q35_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 6) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        |  CAST(64 + ascii(substr(text, 1, 1)) % 512 AS INTEGER) AS height,
+        |  3 AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
