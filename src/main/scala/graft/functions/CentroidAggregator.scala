@@ -37,8 +37,7 @@ class CentroidAggregator(dim: Int)
     if (n == 0L) s else s.map(_ / n)
   }
 
-  def bufferEncoder: Encoder[(Array[Double], Long)] =
-    Encoders.tuple(Encoders.javaSerialization(classOf[Array[Double]]), Encoders.scalaLong)
+  def bufferEncoder: Encoder[(Array[Double], Long)] = ExpressionEncoderHelper.buf
 
   def outputEncoder: Encoder[Array[Double]] = ExpressionEncoderHelper.doubleArray
 }
@@ -46,4 +45,5 @@ class CentroidAggregator(dim: Int)
 private[functions] object ExpressionEncoderHelper {
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   val doubleArray: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  val buf: Encoder[(Array[Double], Long)] = ExpressionEncoder[(Array[Double], Long)]()
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.functions.CentroidAggregator
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Cross-checks among the dedup/similarity family: probabilistic paths
+  * against their exact counterparts, and the typed Aggregator against
+  * the explode-based centroid.
+  */
+class DedupSimilaritySpec extends SparkSpecBase {
+  private lazy val docs = Tables.documents(spark, sf("sf0.001")).cache()
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001")).cache()
+
+  test("minhash-LSH pairs recover the exact high-jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // every true near-dup must be found; estimated-jaccard threshold may
+    // keep a few borderline extras, all with real overlap
+    assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
+  }
+
+  test("simhash discriminates: near-dup pairs are far closer in hamming than random pairs") {
+    // SimHash is a similarity PROXY — on a small shared vocabulary some
+    // unrelated bags land close, so the property to hold is
+    // discrimination, not zero false positives.
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(planted.nonEmpty)
+    val plantedMean = planted.map { case (a, b) => ham(a, b) }.sum.toDouble / planted.length
+    val rng = new scala.util.Random(7)
+    val ids = sh.keys.toArray
+    val randomMean = (0 until 500).map { _ =>
+      ham(ids(rng.nextInt(ids.length)), ids(rng.nextInt(ids.length)))
+    }.sum / 500.0
+    assert(plantedMean < randomMean / 3,
+      s"no discrimination: planted=$plantedMean random=$randomMean")
+    // and the banded pair join finds planted pairs at a generous radius
+    val found = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.nonEmpty)
+  }
+
+  test("LSH ANN pairs are a subset of exact threshold pairs (no false positives)") {
+    val exact = Similarity.thresholdPairs(emb, 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNeighborPairs(emb, 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty && exact.nonEmpty)
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= exact.size / 5, s"recall collapsed: ${lsh.size}/${exact.size}")
+  }
+
+  test("typed CentroidAggregator == posexplode centroid") {
+    import spark.implicits._
+    val agg = new CentroidAggregator(64).toColumn
+    val typed = emb
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .as[(Int, Array[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("centroid"))
+      .collect().toMap
+    val exploded = Similarity.labelCentroids(emb).collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    exploded.foreach { case (label, expected) =>
+      val got = typed(label)
+      expected.zip(got).foreach { case (e, g) =>
+        assert(math.abs(e - math.rint(g * 1e6) / 1e6) < 1e-6, s"label $label")
+      }
+    }
+  }
+
+  test("fingerprints are deterministic and collision-free on distinct texts") {
+    val fp1 = TextAnalysis.fingerprint(docs, "doc_id", "text").collect()
+    val fp2 = TextAnalysis.fingerprint(docs, "doc_id", "text").collect()
+    assert(fp1.sameElements(fp2))
+    assert(fp1.map(_.getLong(1)).distinct.length == fp1.length)
+  }
+
+  test("exact dedup keeps min id and counts duplicates") {
+    import spark.implicits._
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df, "text", "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3L), (2L, 1L)))
+  }
+}

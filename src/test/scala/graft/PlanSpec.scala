@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Tables, Watermark}
+import graft.medallion.{Gold, Silver}
+import graft.queries.ParityQueries
+
+/** Physical-plan assertions — the scale contract, not just results:
+  * filters/projections reach the parquet scan, small dims broadcast,
+  * and the 18 same-frame gold aggregates collapse into ONE Window node
+  * (one sort), as SURVEY §4 requires.
+  */
+class PlanSpec extends SparkSpecBase {
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan+filter pushes predicate and prunes columns into parquet scan") {
+    val plan = planOf(ParityQueries.queries("q01_scan_filter")(spark, sf("sf0.001")))
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), s"no shipdate pushdown:\n$plan")
+    assert(plan.contains("GreaterThan(l_quantity"), s"no quantity pushdown:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice"), "column pruning failed")
+  }
+
+  test("star join broadcasts the small dimension tables") {
+    val plan = planOf(ParityQueries.queries("q05_star_join")(spark, sf("sf0.001")))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact table should not shuffle:\n$plan")
+  }
+
+  test("gold's 18 same-frame window aggregates collapse to one Window node") {
+    // non-empty input: Catalyst folds empty relations away entirely
+    val rows = (0 until 3).map { i =>
+      org.apache.spark.sql.Row.fromSeq(
+        java.sql.Timestamp.valueOf(s"2024-01-01 00:0$i:00") +:
+          Seq.fill(15)(1.0 * i))
+    }
+    val bronze = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), graft.medallion.PowerSchemas.raw)
+    val gold = Gold.features(
+      Silver.fact(bronze, Watermark.Epoch),
+      Silver.dimTime(bronze, Watermark.Epoch), Watermark.Epoch)
+    // AdaptiveSparkPlanExec keeps its input plan as a field, not a
+    // child, so TreeNode.collect can't see it — count nodes textually.
+    val plan = planOf(gold)
+    val windows = "Window \\[".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
+  }
+
+  test("anti-join keys are column-pruned from the existing side") {
+    val plan = planOf(ParityQueries.queries("q06_anti_join")(spark, sf("sf0.001")))
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
+  }
+
+  test("events filter pushes down through the nanos-conversion projection") {
+    // The ts DIV 1000 conversion must not block pushdown of other cols.
+    val plan = planOf(Tables.events(spark, sf("sf0.001"))
+      .filter(col("user_id") === 7).select("event_id", "user_id"))
+    assert(plan.contains("EqualTo(user_id,7)"), s"user_id pushdown lost:\n$plan")
+  }
+}

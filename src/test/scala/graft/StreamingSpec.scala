@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.engine.Tables
+import graft.operators.Sessions
+import graft.streaming.StreamingPower
+
+/** Structured Streaming specs, driven synchronously with the memory
+  * sink (spark_guide.md): parquet files appear → micro-batches fire —
+  * exactly the reference's rerun-for-new-data contract.
+  */
+class StreamingSpec extends SparkSpecBase {
+  test("file-source ingest + watermarked minute aggregate matches batch") {
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val events = Tables.events(spark, sf("sf0.001"))
+    events.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    val stream = StreamingPower.minuteAggregate(
+      StreamingPower.ingest(spark, srcDir, schema))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("minute_agg")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("minute_agg")
+    val batch = events
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    // append mode emits only windows closed by the watermark; all rows
+    // emitted must match the batch computation exactly
+    val gotMap = got.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batchMap = batch.collect()
+      .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(gotMap.nonEmpty)
+    gotMap.foreach { case (k, v) => assert(batchMap(k) == v, s"window $k") }
+  }
+
+  test("stateful flatMapGroupsWithState sessionization matches batch sessionize") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf("sf0.001"))
+    val typed = events.select(col("user_id"), col("ts"), col("value"))
+      .as[StreamingPower.Evt]
+    // single batch through the stateful operator: all closed sessions
+    val sessions = StreamingPower.sessionize(typed, gapMinutes = 30)
+      .collect()
+      .map(s => (s.user_id, s.session_start, s.n_events, math.rint(s.total_value * 1e6) / 1e6))
+      .toSet
+    val batch = Sessions.sessionize(events, gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // stateful op holds the LAST session of each user open in state;
+    // everything it emitted must be a real batch session
+    assert(sessions.nonEmpty)
+    assert(sessions.subsetOf(batch),
+      s"phantom sessions: ${sessions -- batch}")
+    // and it must have emitted all but at most one session per user
+    val perUserBatch = batch.groupBy(_._1).view.mapValues(_.size).toMap
+    val perUserGot = sessions.groupBy(_._1).view.mapValues(_.size).toMap
+    perUserBatch.foreach { case (u, n) =>
+      assert(perUserGot.getOrElse(u, 0) >= n - 1, s"user $u lost sessions")
+    }
+  }
+}
