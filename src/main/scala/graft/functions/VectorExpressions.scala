@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over
+  * `array<double>` — the bench-driven upgrade from the higher-order
+  * `zip_with`/`aggregate` form (SURVEY §7.4): one fused loop, no
+  * intermediate array allocations, full whole-stage codegen. On the
+  * all-pairs workload this is ~50× the HOF form (BENCH r1: 109 s → see
+  * Similarity.thresholdPairs).
+  *
+  * Semantics match `VectorFunctions.cosine` exactly, including the
+  * divide-by-zero guard and the `sqrt(na)*sqrt(nb)` denominator (NOT
+  * `sqrt(na*nb)` — last-ulp parity with the DuckDB oracle formula).
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  // note: AbstractDataType is private[sql]; Seq[ArrayType] conforms
+  // covariantly to the inherited Seq[AbstractDataType] signature.
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) dot / denom else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = $a.getDouble($i);
+         |  final double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = $denom > 0.0 ? $dot / $denom : 0.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  private val FuncName = "graft_cosine"
+
+  /** Register (idempotent) and return the codegen'd cosine Column.
+    * Registration goes through the session FunctionRegistry because
+    * Spark 4's Column API no longer exposes a public
+    * Expression→Column constructor.
+    */
+  def cosineFast(spark: SparkSession)(a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FuncName, exprs => CosineSimilarityExpr(exprs.head, exprs(1)), "built-in")
+    call_function(FuncName, a, b)
+  }
+}

@@ -24,24 +24,42 @@ object Dedup {
 
   /** k-word shingles; documents shorter than k tokens contribute one
     * whole-text shingle so they can still collide with exact copies.
+    *
+    * Implementation note: built as a zip_with chain over k shifted
+    * slices, NOT as `transform(sequence(...), i => slice(t, ...))`.
+    * A lambda body re-evaluates any non-lambda subexpression PER
+    * ELEMENT, so the transform form re-runs the tokenizing split once
+    * per shingle — O(tokens²) per document (measured: 25 s for 5 000
+    * docs at sf0.1). The slices here are top-level expressions, shared
+    * via codegen subexpression elimination, and the zip_with lambdas
+    * touch only their lambda variables.
     */
   def shingles(text: Column, k: Int): Column = {
     val t = tokens(text)
-    when(size(t) >= k,
-      transform(sequence(lit(0), size(t) - k), i => concat_ws(" ", slice(t, i + 1, lit(k)))))
-      .otherwise(array(concat_ws(" ", t)))
+    val m = size(t) - (k - 1) // shingle count when size >= k
+    val parts = (0 until k).map(i => slice(t, lit(i + 1), m))
+    val chained = parts.reduce((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+    when(size(t) >= k, chained).otherwise(array(concat_ws(" ", t)))
   }
 
-  /** MinHash signature: for each of `numPerm` seeded hash functions,
-    * the minimum `xxhash64` over the document's shingles. One array
-    * column per document — O(|shingles| × numPerm) work, all codegen.
+  /** MinHash signature: the string shingles are xxhash64'd ONCE, then
+    * each of the `numPerm` permutations re-hashes the base LONG (8
+    * bytes, far cheaper than re-hashing the string) with a distinct
+    * seed column. String hashing dominates, so this is ~numPerm×
+    * cheaper than per-permutation string hashing. All codegen'd
+    * builtins, ANSI-safe (no raw long multiply).
     */
-  def minhashSignature(text: Column, k: Int, numPerm: Int): Column = {
-    val sh = shingles(text, k)
+  def minhashSignature(text: Column, k: Int, numPerm: Int): Column =
+    minhashFromHashes(transform(shingles(text, k), g => xxhash64(g)), numPerm)
+
+  /** Permutation minima over an already-bound base-hash array column.
+    * Callers should bind the base hashes through their own projection
+    * so the string hashing runs once, not once per permutation.
+    */
+  def minhashFromHashes(baseHashes: Column, numPerm: Int): Column =
     array((0 until numPerm).map { p =>
-      array_min(transform(sh, g => xxhash64(g, lit(p))))
+      array_min(transform(baseHashes, h => xxhash64(h, lit(p))))
     }: _*)
-  }
 
   /** MinHash-LSH near-duplicate pairs.
     *
@@ -62,8 +80,14 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rows = numPerm / bands
     require(bands * rows == numPerm, "bands must divide numPerm")
-    val sig = docs.select(col(idCol).as("doc"),
-      minhashSignature(col(textCol), shingleK, numPerm).as("sig"))
+    // Two-stage projection binds the shingle hashes to a column so the
+    // 16 permutations re-hash longs, not strings; localCheckpoint
+    // because the signatures feed both sides of the band self-join.
+    val hashed = docs.select(col(idCol).as("doc"),
+      transform(shingles(col(textCol), shingleK), g => xxhash64(g)).as("hs"))
+    val sig = hashed.select(col("doc"),
+      minhashFromHashes(col("hs"), numPerm).as("sig"))
+      .localCheckpoint()
 
     val banded = sig.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -122,7 +146,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val segments = maxHamming + 1
     val segBits = 64 / segments
-    val sh = simhash(docs, idCol, textCol)
+    val sh = simhash(docs, idCol, textCol).localCheckpoint()
     val seg = sh.select(col("doc"), col("simhash"),
       posexplode(array((0 until segments).map { s =>
         shiftrightunsigned(col("simhash"), s * segBits)
@@ -150,8 +174,12 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // localCheckpoint: the exploded shingle index feeds three plans
+    // (both join sides + the size table) — without it the shingling
+    // runs three times.
     val grams = docs
       .select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol), k))).as("g"))
+      .localCheckpoint()
     val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n"))
     val common = grams.select(col("doc").as("doc_a"), col("g"))
       .join(grams.select(col("doc").as("doc_b"), col("g")), Seq("g"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+import graft.functions.VectorExpressions.cosineFast
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -32,7 +33,7 @@ object Similarity {
     val q = probes.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
     val scored = corpus.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine", cosineFast(embeddings.sparkSession)(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -50,7 +51,7 @@ object Similarity {
     val b = embeddings.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("emb_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cosine", cosineFast(embeddings.sparkSession)(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
@@ -87,17 +88,20 @@ object Similarity {
       tables: Int = 8, seed: Long = 42L): DataFrame = {
     val dim = 64
     val planes = hyperplanes(dim, bits * tables, seed)
+    // localCheckpoint: the signature projection feeds BOTH sides of the
+    // self-join; without it the hyperplane dots are computed twice.
     val sig = embeddings.select(
       col("vec_id"), asDouble(col("embedding")).as("emb"),
       posexplode(array((0 until tables).map { t =>
         signature(asDouble(col("embedding")), planes.slice(t * bits, (t + 1) * bits))
       }: _*)).as(Seq("table", "bucket")))
+      .localCheckpoint()
     val a = sig.select(col("table"), col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
     val b = sig.select(col("table"), col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 6).as("cosine"))
+        round(cosineFast(embeddings.sparkSession)(col("emb_a"), col("emb_b")), 6).as("cosine"))
       .distinct()
       .filter(col("cosine") >= threshold)
       .orderBy("id_a", "id_b")
