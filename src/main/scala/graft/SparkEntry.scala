@@ -12,10 +12,11 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The gold-layer heart: trailing 5-row window aggregates (SURVEY §2.5).
+    * The full gold composite: dim join + guarded ratios + 5-row trailing
+    * window aggregates + watermark trim in one plan (SURVEY §3.3).
     */
   def entry(spark: SparkSession): DataFrame =
-    ParityQueries.queries("q07_moving_avg")(spark, "/root/testdata/sf0.001")
+    ParityQueries.queries("q16_gold_composite")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ ExtensionQueries.queries

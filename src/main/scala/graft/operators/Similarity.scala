@@ -107,6 +107,57 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF-style ANN: a coarse codebook (here: the per-label centroids)
+    * partitions the corpus into inverted lists; each probe searches
+    * only the `nprobe` nearest lists.
+    *
+    * Scale shape: the codebook is tiny and broadcast twice (assignment
+    * + probe routing); the corpus is scanned once to attach a list id
+    * (map-side, no shuffle), and the candidate join is an equi-join on
+    * the list id — the classic IVF trade of recall for a 1/nlists
+    * candidate fraction. Recall vs the exact path is spec-tested.
+    */
+  def ivfTopK(embeddings: DataFrame, probes: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    // codebook: per-label mean vector, re-assembled into array form
+    val centroids = embeddings
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg(col("v")).as("cv"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        s => s.getField("cv")).as("centroid"))
+      .select(col("label").as("list_id"), col("centroid"))
+      .localCheckpoint()
+
+    def nearestLists(vecs: DataFrame, idCol: String, n: Int): DataFrame = {
+      val scored = vecs.crossJoin(broadcast(centroids))
+        .withColumn("cdist", -cosineFast(spark)(col("emb"), col("centroid")))
+      val w = Window.partitionBy(idCol).orderBy(col("cdist"), col("list_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("centroid", "cdist", "crank")
+    }
+
+    val corpus = nearestLists(
+      embeddings.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("emb")),
+      "neighbor_id", 1)
+      .select(col("list_id"), col("neighbor_id"), col("emb").as("c_emb"))
+    val routed = nearestLists(
+      probes.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("emb")),
+      "query_id", nprobe)
+      .select(col("list_id"), col("query_id"), col("emb").as("q_emb"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    routed.join(corpus, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineFast(spark)(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label centroid, exploded form: (label, dim, centroid value).
     * `posexplode` + hash-aggregate — fully parallel, no collect, and
     * SQL-expressible for the oracle. The typed-Aggregator form (whole

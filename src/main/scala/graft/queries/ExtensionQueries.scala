@@ -73,7 +73,39 @@ object ExtensionQueries {
   private val multimodal: Q = (s, dir) =>
     Multimodal.decodeFeatures(Tables.documents(s, dir)).toDF().orderBy("doc_id")
 
+  /** Corpus vocabulary: token frequencies, top-100 — explode + hash
+    * aggregate + TakeOrdered (per-partition top-k, no global sort).
+    */
+  private val vocab: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  /** Schema-on-read JSON parsing (from_json with an explicit schema —
+    * the structured sibling of q33's get_json_object path).
+    */
+  private val fromJson: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"),
+        round(avg(col("p.k")), 6).as("avg_k"))
+      .orderBy("event_type")
+
+  private val annIvf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 3, nprobe = 4)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q37_vocab" -> vocab,
+    "q38_from_json" -> fromJson,
+    "q40_ann_ivf" -> annIvf,
     "q20_dedup_exact" -> dedupExact,
     "q21_minhash_lsh" -> minhashLsh,
     "q22_simhash_pairs" -> simhashPairs,
@@ -97,6 +129,16 @@ object ExtensionQueries {
     * q21_minhash_lsh, q22_simhash_pairs, q26_ann_lsh, q32_fingerprint.
     */
   val oracleSql: Map[String, String] = Map(
+    "q37_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q38_from_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(min(json_extract_string(props, '$.k') :: INTEGER) AS INTEGER) AS min_k,
+        |  CAST(max(json_extract_string(props, '$.k') :: INTEGER) AS INTEGER) AS max_k,
+        |  ROUND(avg(json_extract_string(props, '$.k') :: INTEGER), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{IdempotentSink, Tables, TimeFeatures}
+import graft.engine.{IdempotentSink, Tables, TimeFeatures, Watermark}
 import graft.operators.IncrementalWindow
 
 /** Parity queries: every operator family of the reference
@@ -168,7 +168,66 @@ object ParityQueries {
       .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** S8/O1/F9: the ordered flat export projection with the reference's
+    * cursor string format (bronze_ingest.py:25-30 strftime).
+    */
+  private val orderedExport: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(
+        col("event_id"), col("ts"),
+        Watermark.cursorString(col("ts")).as("cursor_str"),
+        col("value"),
+        hour(col("ts")).as("hour"),
+        TimeFeatures.dayOfWeek0Sun(col("ts")).as("day_of_week"),
+        TimeFeatures.isWeekend(col("ts")).as("is_weekend"),
+        TimeFeatures.season(col("ts")).as("season"))
+      .orderBy("ts", "event_id")
+
+  /** The gold composite in one query (gold_aggr.py:66-221 shape on
+    * events): dim join + guarded ratio + same-frame window aggregates +
+    * watermark trim. The full reference pipeline's analytical heart as
+    * a single plan.
+    */
+  private val goldComposite: Q = (s, dir) => {
+    val events = Tables.events(s, dir)
+    val dim = TimeFeatures.dimTime(events, "ts")
+    val w = Window.orderBy("time_id", "event_id").rowsBetween(-4, 0)
+    events.select(col("event_id"), col("ts").as("time_id"), col("value"))
+      .join(broadcast(dim), Seq("time_id"))
+      .withColumn("value_ratio",
+        when(col("value") > 0, col("value") / (col("value") + 1)).otherwise(lit(0.0)))
+      .withColumn("avg_value", round(avg(col("value")).over(w), 6))
+      .withColumn("avg_ratio", round(avg(col("value_ratio")).over(w), 6))
+      .withColumn("value_volatility", round(stddev(col("value")).over(w), 6))
+      .filter(col("time_id") > lit(Timestamp.valueOf("2024-01-10 00:00:00")))
+      .select(col("event_id"), col("time_id"), col("avg_value"), col("avg_ratio"),
+        col("value_volatility"), col("day_of_week"), col("hour"),
+        col("is_weekend"), col("season"))
+      .orderBy("time_id", "event_id")
+  }
+
+  /** The SQL entry point (spark.sql over a registered view) — TPC-H
+    * Q1-shaped pricing summary; proves the engine's surface includes
+    * ANSI SQL, not just the DataFrame API.
+    */
+  private val sqlPricingSummary: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem_v
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q15_ordered_export" -> orderedExport,
+    "q16_gold_composite" -> goldComposite,
+    "q17_sql_pricing" -> sqlPricingSummary,
     "q01_scan_filter" -> scanFilter,
     "q02_project_arith" -> projectArith,
     "q03_ratio_guard" -> ratioGuard,
@@ -185,6 +244,52 @@ object ParityQueries {
     "q14_rollup" -> rollupAgg)
 
   val oracleSql: Map[String, String] = Map(
+    "q15_ordered_export" ->
+      """SELECT event_id, ts, strftime(ts, '%Y-%m-%dT%H:%M') AS cursor_str, value,
+        |  CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hour,
+        |  CAST(EXTRACT(DOW FROM ts) AS INTEGER) AS day_of_week,
+        |  EXTRACT(DOW FROM ts) IN (0, 6) AS is_weekend,
+        |  CAST(CASE WHEN EXTRACT(MONTH FROM ts) IN (12,1,2) THEN 0
+        |       WHEN EXTRACT(MONTH FROM ts) IN (3,4,5) THEN 1
+        |       WHEN EXTRACT(MONTH FROM ts) IN (6,7,8) THEN 2
+        |       ELSE 3 END AS INTEGER) AS season
+        |FROM events ORDER BY ts, event_id""".stripMargin,
+    "q16_gold_composite" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT ts AS time_id,
+        |    CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hour,
+        |    CAST(EXTRACT(DOW FROM ts) AS INTEGER) AS day_of_week,
+        |    EXTRACT(DOW FROM ts) IN (0, 6) AS is_weekend,
+        |    CAST(CASE WHEN EXTRACT(MONTH FROM ts) IN (12,1,2) THEN 0
+        |         WHEN EXTRACT(MONTH FROM ts) IN (3,4,5) THEN 1
+        |         WHEN EXTRACT(MONTH FROM ts) IN (6,7,8) THEN 2
+        |         ELSE 3 END AS INTEGER) AS season
+        |  FROM events WHERE ts IS NOT NULL),
+        |ts_feats AS (
+        |  SELECT e.event_id, e.ts AS time_id, e.value,
+        |    CASE WHEN e.value > 0 THEN e.value / (e.value + 1) ELSE 0 END AS value_ratio,
+        |    d.day_of_week, d.hour, d.is_weekend, d.season
+        |  FROM events e JOIN dim d ON e.ts = d.time_id),
+        |aggregated AS (
+        |  SELECT event_id, time_id,
+        |    ROUND(AVG(value) OVER w, 6) AS avg_value,
+        |    ROUND(AVG(value_ratio) OVER w, 6) AS avg_ratio,
+        |    ROUND(STDDEV(value) OVER w, 6) AS value_volatility,
+        |    day_of_week, hour, is_weekend, season
+        |  FROM ts_feats
+        |  WINDOW w AS (ORDER BY time_id, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT * FROM aggregated WHERE time_id > TIMESTAMP '2024-01-10'
+        |ORDER BY time_id, event_id""".stripMargin,
+    "q17_sql_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem

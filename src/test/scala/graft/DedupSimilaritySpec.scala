@@ -58,6 +58,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(lsh.size >= exact.size / 5, s"recall collapsed: ${lsh.size}/${exact.size}")
   }
 
+  test("IVF top-k: correct scores, no self-matches, decent recall vs exact") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(emb, probes, k = 3, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case ((q, n), _) => assert(q != n) }
+    // every IVF hit that's also an exact hit must carry the same score
+    ivf.foreach { case (k, c) => exact.get(k).foreach(e => assert(e == c)) }
+    // these embeddings are near-random (max pairwise cosine ~0.5), so
+    // IVF recall ~ probed corpus fraction (4/10 lists); on genuinely
+    // clustered data recall would approach 1. Guard the floor.
+    val recall = ivf.count(p => exact.contains(p._1)).toDouble / exact.size
+    assert(recall >= 0.35, s"IVF recall@3 collapsed: $recall")
+  }
+
   test("typed CentroidAggregator == posexplode centroid") {
     import spark.implicits._
     val agg = new CentroidAggregator(64).toColumn
