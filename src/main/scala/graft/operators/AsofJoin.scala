@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — an operator Spark lacks natively,
+  * composed from built-ins per the preference order (SURVEY §7.4a):
+  * no custom SparkPlan needed because union + partitioned window
+  * expresses the semantics exactly, scalably.
+  *
+  * For each left row, attach the latest right row with
+  * `right.ts <= left.ts` within the same key — the classic
+  * attribution/"most recent reading" join.
+  *
+  * Shape: tag both sides, union, ONE shuffle on the key, per-key sort
+  * by (ts, side) with the right side ordered first on ties (so an
+  * equal-timestamp right row is visible to the left row, matching
+  * DuckDB ASOF's `>=`), then `last_value(..., ignoreNulls)` over an
+  * unbounded-preceding frame. No range-join explosion, no per-row
+  * probes; skewed keys cost one partition's sort, the same bound as
+  * any windowed operator.
+  */
+object AsofJoin {
+  /** @param left  rows to enrich; must carry `keyCol`, `tsCol`
+    * @param right rows to look up; must carry `keyCol`, `tsCol`
+    * @param rightValueCols right columns to attach (emitted as
+    *        `asof_<name>`, NULL when no prior right row exists)
+    */
+  def asofLookup(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, rightValueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val taggedLeft = rightValueCols.foldLeft(left.withColumn("_side", lit(1))) {
+      (df, c) => df.withColumn(s"_rv_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val taggedRight = leftCols.filterNot(c => c == keyCol || c == tsCol)
+      .foldLeft(right.withColumn("_side", lit(0))) { (df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+      .withColumns(rightValueCols.map(c => s"_rv_$c" -> col(c)).toMap)
+      .select((leftCols :+ "_side") ++ rightValueCols.map("_rv_" + _) map col: _*)
+
+    val unioned = taggedLeft
+      .select((leftCols :+ "_side") ++ rightValueCols.map("_rv_" + _) map col: _*)
+      .unionByName(taggedRight)
+
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val enriched = rightValueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"_rv_$c"), ignoreNulls = true).over(w))
+    }
+    enriched.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ rightValueCols.map(c => col(s"asof_$c")): _*)
+  }
+}

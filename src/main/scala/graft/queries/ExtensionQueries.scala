@@ -102,7 +102,39 @@ object ExtensionQueries {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 3, nprobe = 4)
   }
 
+  /** As-of attribution: each purchase joined to the user's most recent
+    * prior (or simultaneous) click — oracled against DuckDB's native
+    * ASOF JOIN, implemented here with the union+window form (one
+    * shuffle on user_id, no range-join explosion).
+    */
+  private val asofAttribution: Q = (s, dir) => {
+    val events = Tables.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    AsofJoin.asofLookup(purchases, clicks, "user_id", "ts", Seq("click_id", "click_ts"))
+      .select(col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("asof_click_id").as("click_id"), col("asof_click_ts").as("click_ts"))
+      .orderBy("purchase_id")
+  }
+
+  /** Interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont` semantics — verified by the oracle).
+    */
+  private val percentiles: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 6).as("med"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
+    "q41_asof_attribution" -> asofAttribution,
+    "q42_percentiles" -> percentiles,
     "q37_vocab" -> vocab,
     "q38_from_json" -> fromJson,
     "q40_ann_ivf" -> annIvf,
@@ -129,6 +161,18 @@ object ExtensionQueries {
     * q21_minhash_lsh, q22_simhash_pairs, q26_ann_lsh, q32_fingerprint.
     */
   val oracleSql: Map[String, String] = Map(
+    "q41_asof_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q42_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS med,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q37_vocab" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

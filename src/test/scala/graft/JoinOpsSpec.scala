@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators.{AsofJoin, SkewJoin}
+
+/** As-of join and salted-join operator specs. */
+class JoinOpsSpec extends SparkSpecBase {
+  test("asof lookup: left-join semantics, monotone prior timestamps") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val out = AsofJoin.asofLookup(purchases, clicks, "user_id", "ts",
+      Seq("click_id", "click_ts")).cache()
+
+    // left-join cardinality: one output row per purchase
+    assert(out.count() == purchases.count())
+    // every attached click is the user's click and is not in the future
+    val bad = out.filter(col("asof_click_ts") > col("ts")).count()
+    assert(bad == 0, "attached click after the purchase")
+    // spot-check against a direct subquery evaluation for 5 users
+    val byUser = clicks.collect().groupBy(_.getLong(0))
+    out.filter(col("asof_click_id").isNotNull).limit(50).collect().foreach { r =>
+      val user = r.getLong(1); val pts = r.getTimestamp(2)
+      val expected = byUser(user).filter(!_.getTimestamp(1).after(pts))
+        .maxBy(_.getTimestamp(1).getTime)
+      assert(r.getLong(3) == expected.getLong(2), s"user $user at $pts")
+    }
+    out.unpersist()
+  }
+
+  test("salted inner join == plain inner join") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val customer = Tables.customer(spark, sf("sf0.001"))
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+      .select("o_orderkey", "c_name").orderBy("o_orderkey").collect()
+    val salted = SkewJoin.saltedInnerJoin(orders, customer, "o_custkey",
+        idCol = "o_orderkey", numSalts = 7)
+      .select("o_orderkey", "c_name").orderBy("o_orderkey").collect()
+    assert(plain.length == salted.length)
+    assert(plain.sameElements(salted))
+  }
+}
