@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.operators.IncrementalWindow
+
+/** ScalaCheck properties for the two invariants at the heart of the
+  * reference's incremental design (SURVEY §5.3):
+  *  1. incremental lookback+trim == full recompute, for ANY watermark;
+  *  2. window results are invariant under input row order/partitioning.
+  */
+class PropertySpec extends SparkSpecBase {
+  private def mkEvents(rows: Seq[(Long, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "off_s", "value")
+      .select(col("event_id"),
+        expr("timestamp_micros(cast(1704067200000000 + off_s * 1000000 as long))").as("ts"),
+        col("value"))
+  }
+
+  private val seriesGen: Gen[Seq[(Long, Long, Double)]] = for {
+    n <- Gen.choose(1, 50)
+    offs <- Gen.listOfN(n, Gen.choose(0L, 3600L))
+    vals <- Gen.listOfN(n, Gen.choose(-100, 100).map(_ / 7.0))
+  } yield offs.zip(vals).zipWithIndex.map { case ((o, v), i) => (i.toLong, o, v) }
+
+  private def runProp(p: Prop, trials: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(trials).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: incremental window == full recompute for any watermark") {
+    val p = Prop.forAll(seriesGen, Gen.choose(-10L, 3700L)) { (rows, wmOff) =>
+      val events = mkEvents(rows)
+      val wm = Timestamp.from(
+        java.time.Instant.ofEpochSecond(1704067200L + wmOff))
+      val w = Window.orderBy("ts", "event_id").rowsBetween(-4, 0)
+      val full = events
+        .withColumn("avg_value", round(avg(col("value")).over(w), 6))
+        .filter(col("ts") > lit(wm))
+        .select("event_id", "ts", "avg_value")
+        .orderBy("ts", "event_id").collect().toSeq
+      val inc = IncrementalWindow.trailingAvgPastWatermark(events, wm)
+        .collect().toSeq
+      full == inc
+    }
+    runProp(p, 15)
+  }
+
+  test("property: window output invariant under input shuffling/partitioning") {
+    val p = Prop.forAll(seriesGen, Gen.choose(1, 8)) { (rows, parts) =>
+      val base = mkEvents(rows)
+      val shuffled = mkEvents(scala.util.Random.shuffle(rows)).repartition(parts)
+      def result(df: DataFrame) = {
+        val w = Window.orderBy("ts", "event_id").rowsBetween(-4, 0)
+        df.withColumn("avg_value", round(avg(col("value")).over(w), 6))
+          .orderBy("ts", "event_id").collect().toSeq
+      }
+      result(base) == result(shuffled)
+    }
+    runProp(p, 10)
+  }
+}
