@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.operators._
@@ -132,7 +133,38 @@ object ExtensionQueries {
         round(percentile(col("value"), lit(0.9)), 6).as("p90"))
       .orderBy("event_type")
 
+  /** Pivot (cross-tab): linestatus columns per returnflag — Spark's
+    * pivot == manual CASE aggregation (the oracle's portable form).
+    */
+  private val pivotQ: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy("l_returnflag")
+
+  /** Ranking-window family (absent from the reference, SURVEY §2.5
+    * notes — added as extension coverage): row_number / rank /
+    * dense_rank / lag / lead / ntile over a user-partitioned ordering.
+    */
+  private val rankWindows: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("value"),
+        row_number().over(byUser).as("rn"),
+        rank().over(byUser).as("rnk"),
+        dense_rank().over(byUser).as("drnk"),
+        lag(col("value"), 1).over(byUser).as("prev_value"),
+        lead(col("value"), 1).over(byUser).as("next_value"),
+        ntile(4).over(byUser).as("quartile"))
+      .orderBy("user_id", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q43_pivot" -> pivotQ,
+    "q44_rank_windows" -> rankWindows,
     "q41_asof_attribution" -> asofAttribution,
     "q42_percentiles" -> percentiles,
     "q37_vocab" -> vocab,
@@ -161,6 +193,22 @@ object ExtensionQueries {
     * q21_minhash_lsh, q22_simhash_pairs, q26_ann_lsh, q32_fingerprint.
     */
   val oracleSql: Map[String, String] = Map(
+    "q43_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q44_rank_windows" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
     "q41_asof_attribution" ->
       """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
         |  c.event_id AS click_id, c.ts AS click_ts
