@@ -224,7 +224,16 @@ object ParityQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** The scale form of q07: day-partitioned trailing window with
+    * cross-bucket repair — verified against the SAME oracle as the
+    * global window, so the 100 TB plan shape is itself hash-checked.
+    */
+  private val movingAvgScaled: Q = (s, dir) =>
+    IncrementalWindow.partitionedTrailingStats(
+      Tables.events(s, dir).select(col("event_id"), col("ts"), col("value")))
+
   val queries: Map[String, Q] = Map(
+    "q45_moving_avg_scaled" -> movingAvgScaled,
     "q15_ordered_export" -> orderedExport,
     "q16_gold_composite" -> goldComposite,
     "q17_sql_pricing" -> sqlPricingSummary,
@@ -244,6 +253,13 @@ object ParityQueries {
     "q14_rollup" -> rollupAgg)
 
   val oracleSql: Map[String, String] = Map(
+    "q45_moving_avg_scaled" ->
+      """SELECT event_id, ts, value,
+        |  ROUND(AVG(value) OVER w, 6) AS avg_value,
+        |  ROUND(STDDEV(value) OVER w, 6) AS stddev_value
+        |FROM events
+        |WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY ts, event_id""".stripMargin,
     "q15_ordered_export" ->
       """SELECT event_id, ts, strftime(ts, '%Y-%m-%dT%H:%M') AS cursor_str, value,
         |  CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hour,

@@ -48,6 +48,16 @@ class PlanSpec extends SparkSpecBase {
     assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
   }
 
+  test("scaled moving-average window is partitioned by bucket (no global sort)") {
+    val plan = planOf(ParityQueries.queries("q45_moving_avg_scaled")(spark, sf("sf0.001")))
+    // the main window must be keyed by the day bucket...
+    assert("Window \\[.*bucket".r.findFirstIn(plan).isDefined,
+      s"window not partitioned by bucket:\n$plan")
+    // ...and the final output sort is the ONLY unpartitioned exchange
+    val singleParts = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singleParts <= 1, s"unexpected single-partition exchanges:\n$plan")
+  }
+
   test("anti-join keys are column-pruned from the existing side") {
     val plan = planOf(ParityQueries.queries("q06_anti_join")(spark, sf("sf0.001")))
     assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")

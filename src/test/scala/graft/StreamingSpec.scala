@@ -40,6 +40,32 @@ class StreamingSpec extends SparkSpecBase {
     gotMap.foreach { case (k, v) => assert(batchMap(k) == v, s"window $k") }
   }
 
+  test("checkpointed ingest resumes: second batch of files processed incrementally") {
+    val srcDir = Files.createTempDirectory("graft_inc_src").toString
+    val ckpt = Files.createTempDirectory("graft_inc_ckpt").toString
+    val events = Tables.events(spark, sf("sf0.001")).cache()
+    val (b1, b2) = (events.filter(col("event_id") < 500), events.filter(col("event_id") >= 500))
+    b1.write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    def runOnce(name: String): Long = {
+      val q = StreamingPower.ingest(spark, srcDir, schema)
+        .groupBy().count()
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(name).head.getLong(0)
+    }
+    assert(runOnce("inc_run1") == 500)
+    b2.write.mode("append").parquet(srcDir)
+    // restart from the same checkpoint: picks up ONLY the new files,
+    // complete-mode count reflects the full accumulated state
+    assert(runOnce("inc_run2") == 1000)
+    events.unpersist()
+  }
+
   test("stateful flatMapGroupsWithState sessionization matches batch sessionize") {
     import spark.implicits._
     val events = Tables.events(spark, sf("sf0.001"))
