@@ -79,6 +79,31 @@ object TextAnalysis {
       when(stopRatio >= 0.05, lit("en")).otherwise(lit("unk")).as("predicted_lang"))
   }
 
+  /** TF-IDF scoring: explode tokens → per-(doc, token) TF hash
+    * aggregate → document-frequency join → score. The top-`k` terms
+    * per document are ranked on the ROUNDED score (6dp) with a token
+    * tie-break, so cross-engine ranking is deterministic.
+    *
+    * Scale: two hash aggregates + one join on token (the DF table is
+    * vocabulary-sized → broadcast); per-doc ranking shuffles (doc)
+    * partitions. No collect, no per-doc loops.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(countDistinct(col("doc")).as("df"))
+    val scored = tf.join(broadcast(df), Seq("token"))
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("doc").as(idCol), col("term_rank"), col("token"), col("tfidf"))
+      .orderBy(idCol, "term_rank")
+  }
+
   /** Content-defined fingerprints: full-text hash (exact-dup key) and
     * the minimum rolling 3-shingle hash (a 1-perm MinHash — stable
     * under small appends). xxhash64 is engine-specific, so this carries

@@ -162,7 +162,11 @@ object ExtensionQueries {
       .orderBy("user_id", "rn")
   }
 
+  private val tfidf: Q = (s, dir) =>
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+
   val queries: Map[String, Q] = Map(
+    "q46_tfidf_top_terms" -> tfidf,
     "q43_pivot" -> pivotQ,
     "q44_rank_windows" -> rankWindows,
     "q41_asof_attribution" -> asofAttribution,
@@ -193,6 +197,24 @@ object ExtensionQueries {
     * q21_minhash_lsh, q22_simhash_pairs, q26_ann_lsh, q32_fingerprint.
     */
   val oracleSql: Map[String, String] = Map(
+    "q46_tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc, token, count(*) AS tf FROM tf GROUP BY doc, token),
+        |dfc AS (SELECT token, count(DISTINCT doc) AS df FROM tfc GROUP BY token),
+        |scored AS (
+        |  SELECT doc, tfc.token,
+        |    ROUND(tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 6)
+        |      AS tfidf
+        |  FROM tfc JOIN dfc ON tfc.token = dfc.token),
+        |ranked AS (
+        |  SELECT doc, token, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, token)
+        |         AS INTEGER) AS term_rank
+        |  FROM scored)
+        |SELECT doc AS doc_id, term_rank, token, tfidf
+        |FROM ranked WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
     "q43_pivot" ->
       """SELECT l_returnflag,
         |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
