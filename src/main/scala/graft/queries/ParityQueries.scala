@@ -232,7 +232,44 @@ object ParityQueries {
     IncrementalWindow.partitionedTrailingStats(
       Tables.events(s, dir).select(col("event_id"), col("ts"), col("value")))
 
+  /** Time-RANGE frame (the reference is rows-only, SURVEY §2.5): per
+    * user, trailing-1-hour sum — ordered on epoch micros because Spark
+    * range frames need a numeric ordering; DuckDB's INTERVAL frame is
+    * the oracle. Inclusive bounds both engines.
+    */
+  private val rangeWindow: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("hour_sum", round(sum(col("value")).over(w), 6))
+      .withColumn("hour_n", count(lit(1)).over(w))
+      .select("user_id", "ts", "event_id", "hour_sum", "hour_n")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** CUBE grouping sets (rollup's sibling, q14). */
+  private val cubeAgg: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Approximate distinct (HLL++) vs exact — no SQL oracle (sketch
+    * internals are engine-defined); the spec bounds relative error.
+    */
+  private val approxDistinct: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+
   val queries: Map[String, Q] = Map(
+    "q18_range_window" -> rangeWindow,
+    "q19_cube" -> cubeAgg,
+    "q47_approx_distinct" -> approxDistinct,
     "q45_moving_avg_scaled" -> movingAvgScaled,
     "q15_ordered_export" -> orderedExport,
     "q16_gold_composite" -> goldComposite,
@@ -253,6 +290,20 @@ object ParityQueries {
     "q14_rollup" -> rollupAgg)
 
   val oracleSql: Map[String, String] = Map(
+    "q18_range_window" ->
+      """SELECT user_id, ts, event_id,
+        |  ROUND(SUM(value) OVER w, 6) AS hour_sum,
+        |  COUNT(*) OVER w AS hour_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q19_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q45_moving_avg_scaled" ->
       """SELECT event_id, ts, value,
         |  ROUND(AVG(value) OVER w, 6) AS avg_value,

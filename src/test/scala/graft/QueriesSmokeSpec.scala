@@ -16,6 +16,13 @@ class QueriesSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("approx_count_distinct stays within HLL++ error bounds") {
+    val r = SparkEntry.queries("q47_approx_distinct")(spark, sf("sf0.01")).head
+    def relErr(exact: Long, approx: Long) = math.abs(approx - exact).toDouble / exact
+    assert(relErr(r.getLong(0), r.getLong(1)) < 0.1, "parts estimate off")
+    assert(relErr(r.getLong(2), r.getLong(3)) < 0.1, "orders estimate off")
+  }
+
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
