@@ -266,7 +266,35 @@ object ParityQueries {
         countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
 
+  /** Semi join (EXISTS) — the positive sibling of q06's anti join. */
+  private val semiJoin: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P")
+        .withColumnRenamed("o_custkey", "c_custkey"), Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Scalar subquery in a predicate (orders above the average price). */
+  private val scalarSubquery: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders_sq
+        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders_sq)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** HAVING — post-aggregation filter (absent from the reference). */
+  private val havingAgg: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("n_items") > 620)
+      .orderBy("l_suppkey")
+
   val queries: Map[String, Q] = Map(
+    "q48_semi_join" -> semiJoin,
+    "q49_scalar_subquery" -> scalarSubquery,
+    "q50_having" -> havingAgg,
     "q18_range_window" -> rangeWindow,
     "q19_cube" -> cubeAgg,
     "q47_approx_distinct" -> approxDistinct,
@@ -290,6 +318,19 @@ object ParityQueries {
     "q14_rollup" -> rollupAgg)
 
   val oracleSql: Map[String, String] = Map(
+    "q48_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q49_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q50_having" ->
+      """SELECT l_suppkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING count(*) > 620 ORDER BY l_suppkey""".stripMargin,
     "q18_range_window" ->
       """SELECT user_id, ts, event_id,
         |  ROUND(SUM(value) OVER w, 6) AS hour_sum,
