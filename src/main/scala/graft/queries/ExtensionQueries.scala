@@ -165,7 +165,27 @@ object ExtensionQueries {
   private val tfidf: Q = (s, dir) =>
     TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
 
+  /** Spark's NATIVE session_window, verified against the same oracle
+    * as the lag/cumsum formulation (q34) — the two sessionization
+    * idioms are proven equivalent on this data. (Boundary note: the
+    * built-in merges on gap < 30min strictly, the lag form on <=; no
+    * exact-30-minute gaps exist at any sf, checked.) Session bounds are
+    * re-derived as min/max event time because session_window.end is
+    * last_event + gap, not the last event itself.
+    */
+  private val sessionWindowBuiltin: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, Q] = Map(
+    "q51_session_window_builtin" -> sessionWindowBuiltin,
     "q46_tfidf_top_terms" -> tfidf,
     "q43_pivot" -> pivotQ,
     "q44_rank_windows" -> rankWindows,
@@ -197,6 +217,16 @@ object ExtensionQueries {
     * q21_minhash_lsh, q22_simhash_pairs, q26_ann_lsh, q32_fingerprint.
     */
   val oracleSql: Map[String, String] = Map(
+    "q51_session_window_builtin" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "q46_tfidf_top_terms" ->
       """WITH tf AS (
         |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS token
