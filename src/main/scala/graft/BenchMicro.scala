@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorExpressions, VectorFunctions}
+
+/** Micro-benchmark: higher-order-function cosine (zip_with/aggregate)
+  * vs the codegen'd CosineSimilarityExpr, on the all-pairs workload
+  * that motivated the custom expression (SURVEY §7.4: "promote to a
+  * codegen Expression only on bench evidence" — this is the evidence).
+  *
+  *   sbt "runMain graft.BenchMicro"
+  */
+object BenchMicro {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .cache()
+    emb.count()
+    val pairs = emb.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+      .crossJoin(emb.select(col("vec_id").as("id_b"), col("emb").as("emb_b")))
+      .filter(col("id_a") < col("id_b"))
+
+    def time(label: String)(c: org.apache.spark.sql.Column): Unit = {
+      val t0 = System.nanoTime()
+      val n = pairs.withColumn("cos", c).filter(col("cos") >= 0.4).count()
+      println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n pairs)")
+    }
+    // warm-up
+    pairs.limit(1000).withColumn("c", VectorFunctions.cosine(col("emb_a"), col("emb_b"))).count()
+
+    time("codegen expression")(VectorExpressions.cosineFast(spark)(col("emb_a"), col("emb_b")))
+    time("higher-order fns")(VectorFunctions.cosine(col("emb_a"), col("emb_b")))
+    time("codegen expression")(VectorExpressions.cosineFast(spark)(col("emb_a"), col("emb_b")))
+    emb.unpersist()
+    spark.stop()
+  }
+}
