@@ -50,4 +50,31 @@ object Multimodal {
       batch.map { case (id, bytes) => decodeStub(id, bytes) }
     }
   }
+
+  /** One sampled frame of a media payload. */
+  case class FrameMeta(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_hash: Int)
+
+  /** Frame sampling: each payload fans out to `nFrames` evenly-spaced
+    * frames — the video/audio sampling shape (one row per frame, typed,
+    * exploded inside the partition; the binary column never survives
+    * past the mapPartitions).
+    *
+    * STUB ??? — frame_hash is the byte at the frame offset, standing in
+    * for a decoded-frame content hash; pure arithmetic so the fan-out
+    * plumbing carries a DuckDB oracle.
+    */
+  def frameSample(docs: DataFrame, nFrames: Int): Dataset[FrameMeta] = {
+    val payloads = withPayload(docs)
+    import payloads.sparkSession.implicits._
+    payloads.as[(Long, Array[Byte])].mapPartitions { batch =>
+      batch.flatMap { case (id, bytes) =>
+        val nb = bytes.length
+        (0 until nFrames).iterator.map { i =>
+          val offset = if (nb == 0) 0 else ((i.toLong * nb) / nFrames).toInt
+          val hash = if (nb == 0) 0 else bytes(offset) & 0xff
+          FrameMeta(id, i, offset, hash)
+        }
+      }
+    }
+  }
 }

@@ -184,7 +184,12 @@ object ExtensionQueries {
       .select("user_id", "session_start", "session_end", "n_events", "total_value")
       .orderBy("user_id", "session_start")
 
+  private val multimodalFrames: Q = (s, dir) =>
+    Multimodal.frameSample(Tables.documents(s, dir), nFrames = 4)
+      .toDF().orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, Q] = Map(
+    "q52_multimodal_frames" -> multimodalFrames,
     "q51_session_window_builtin" -> sessionWindowBuiltin,
     "q46_tfidf_top_terms" -> tfidf,
     "q43_pivot" -> pivotQ,
@@ -217,6 +222,14 @@ object ExtensionQueries {
     * q21_minhash_lsh, q22_simhash_pairs, q26_ann_lsh, q32_fingerprint.
     */
   val oracleSql: Map[String, String] = Map(
+    "q52_multimodal_frames" ->
+      """SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
+        |  CAST((f.i * octet_length(encode(text))) // 4 AS INTEGER) AS frame_offset,
+        |  ascii(substr(text,
+        |    CAST((f.i * octet_length(encode(text))) // 4 AS INTEGER) + 1, 1))
+        |    AS frame_hash
+        |FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "q51_session_window_builtin" ->
       """WITH g AS (SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
