@@ -65,11 +65,16 @@ object Similarity {
     Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Sign-LSH signature column: one bit per hyperplane. */
-  private def signature(emb: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
+  /** Sign-LSH signature column: one bit per hyperplane. Uses the
+    * codegen cosine expression for the plane projections — sign(cosine)
+    * == sign(dot) since norms are positive, and the fused-loop
+    * expression is ~100× the higher-order dot (BenchMicro).
+    */
+  private def signature(spark: org.apache.spark.sql.SparkSession,
+      emb: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(dot(emb, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(cosineFast(spark)(emb, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -93,7 +98,8 @@ object Similarity {
     val sig = embeddings.select(
       col("vec_id"), asDouble(col("embedding")).as("emb"),
       posexplode(array((0 until tables).map { t =>
-        signature(asDouble(col("embedding")), planes.slice(t * bits, (t + 1) * bits))
+        signature(embeddings.sparkSession, asDouble(col("embedding")),
+          planes.slice(t * bits, (t + 1) * bits))
       }: _*)).as(Seq("table", "bucket")))
       .localCheckpoint()
     val a = sig.select(col("table"), col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
