@@ -39,7 +39,10 @@ object IdempotentSink {
     toWrite.write.mode(SaveMode.Append).parquet(path)
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
+  /** Shared path-existence probe (single definition — swapping in e.g.
+    * a _SUCCESS-marker check must happen in exactly one place).
+    */
+  private[graft] def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p)

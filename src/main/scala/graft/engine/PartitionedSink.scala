@@ -25,18 +25,30 @@ object PartitionedSink {
     spark.read.parquet(path)
 
   /** Compact a parquet directory to ~`targetMB` files: the streaming /
-    * incremental-append small-file remedy. Rewrites via coalesce sized
-    * from the current on-disk footprint, atomically swapped in by a
-    * rename through a sibling temp dir.
+    * incremental-append small-file remedy. Hive-style partition
+    * directories (`col=value`) are detected and PRESERVED — the rewrite
+    * re-partitions by the same columns, so partition pruning survives
+    * compaction (spec-asserted).
+    *
+    * The swap is delete-then-rename through a sibling temp dir: NOT
+    * atomic — a crash between the two steps leaves the table absent,
+    * and concurrent readers can observe the gap. Same single-writer /
+    * no-concurrent-reader invariant as the rest of the parquet sinks
+    * (a transactional table format is the managed answer).
     */
   def compact(spark: SparkSession, path: String, targetMB: Int = 128): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitionCols = fs.listStatus(p).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.contains("=")).map(_.split("=")(0)).distinct
     val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
-    spark.read.parquet(path).coalesce(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val writer = spark.read.parquet(path).coalesce(parts)
+      .write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp.toString)
     fs.delete(p, true)
     fs.rename(tmp, p)
   }

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * all-pairs workload this is ~50× the HOF form (BENCH r1: 109 s → see
   * Similarity.thresholdPairs).
   *
-  * Semantics match `VectorFunctions.cosine` exactly, including the
+  * On well-formed input (equal lengths, no null elements) semantics
+  * match `VectorFunctions.cosine` bit-for-bit, including the
   * divide-by-zero guard and the `sqrt(na)*sqrt(nb)` denominator (NOT
   * `sqrt(na*nb)` — last-ulp parity with the DuckDB oracle formula).
+  * Malformed input yields NULL (see contract note below).
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -28,13 +30,23 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  // Malformed input contract (pinned, spec-tested): result is NULL when
+  // the arrays differ in length or either contains a null element —
+  // fail-visible rather than computing over a silently truncated or
+  // zero-filled vector. (The HOF form's behavior on such input is an
+  // accident of null propagation through when(); well-formed inputs are
+  // bit-identical between the two forms.)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -50,15 +62,22 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = $a.getDouble($i);
-         |  final double $y = $b.getDouble($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $x = $a.getDouble($i);
+         |    final double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    ${ev.value} = $denom > 0.0 ? $dot / $denom : 0.0;
+         |  }
          |}
-         |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = $denom > 0.0 ? $dot / $denom : 0.0;
        """.stripMargin
     })
 

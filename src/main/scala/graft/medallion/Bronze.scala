@@ -23,10 +23,14 @@ object Bronze {
       .dropDuplicates("minutes1_utc")
 
   /** The cursor the next run resumes from (dlt state analog), as the
-    * reference formats it (bronze_ingest.py:25-30 strftime "%Y-%m-%dT%H:%M").
+    * reference formats it (bronze_ingest.py:25-30 strftime
+    * "%Y-%m-%dT%H:%M"). Pinned to UTC explicitly — the Spark session
+    * timezone conf does not reach java.time formatting.
     */
   def nextCursorString(sink: DataFrame): String = {
     val w = Watermark.maxOrEpoch(sink, "minutes1_utc")
-    new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm").format(w)
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(w.toInstant)
   }
 }

@@ -20,12 +20,9 @@ object PowerPipeline {
   }
 
   private def readOrEmpty(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (IdempotentSink.exists(spark, path)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
 
   /** One incremental run: ingest `batch` into bronze, propagate through
     * silver and gold. Safe to call repeatedly / with overlapping
@@ -51,7 +48,7 @@ object PowerPipeline {
     val fact = spark.read.schema(PowerSchemas.fact).parquet(paths.fact)
     val dim = spark.read.schema(PowerSchemas.dimTime).parquet(paths.dim)
     val goldSink =
-      if (exists(spark, paths.gold)) spark.read.parquet(paths.gold)
+      if (IdempotentSink.exists(spark, paths.gold)) spark.read.parquet(paths.gold)
       else null
     val goldWm =
       if (goldSink == null) Watermark.Epoch
@@ -65,9 +62,4 @@ object PowerPipeline {
 
   def exportCsv(spark: SparkSession, paths: Paths): Unit =
     Gold.exportMlFeatures(spark.read.parquet(paths.gold), paths.mlCsv)
-
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
 }

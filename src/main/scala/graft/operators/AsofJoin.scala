@@ -25,7 +25,11 @@ object AsofJoin {
   /** @param left  rows to enrich; must carry `keyCol`, `tsCol`
     * @param right rows to look up; must carry `keyCol`, `tsCol`
     * @param rightValueCols right columns to attach (emitted as
-    *        `asof_<name>`, NULL when no prior right row exists)
+    *        `asof_<name>`, NULL when no prior right row exists).
+    *        The FIRST one must be a unique id of the right row: it is
+    *        the deterministic tie-break when several right rows share a
+    *        timestamp (without it the attached row would depend on
+    *        partition sort order).
     */
   def asofLookup(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, rightValueCols: Seq[String]): DataFrame = {
@@ -45,7 +49,8 @@ object AsofJoin {
       .unionByName(taggedRight)
 
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("_side"))
+      .orderBy(col(tsCol), col("_side"),
+        col(s"_rv_${rightValueCols.head}").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
     val enriched = rightValueCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"_rv_$c"), ignoreNulls = true).over(w))

@@ -40,8 +40,11 @@ object IncrementalWindow {
     * sort — vs the global form's single-partition sort of everything.
     */
   def partitionedTrailingStats(events: DataFrame): DataFrame = {
+    // localCheckpoint: tagged feeds three plan branches (own rows,
+    // tails, distinct buckets) — avoid recomputing the scan per branch.
     val tagged = events
       .select(col("event_id"), col("ts"), col("value"), to_date(col("ts")).as("bucket"))
+      .localCheckpoint()
     val nextBucket = tagged.select(col("bucket")).distinct()
       .withColumn("next_bucket", lead(col("bucket"), 1)
         .over(Window.orderBy("bucket")))

@@ -279,7 +279,7 @@ object ParityQueries {
     Tables.orders(s, dir).createOrReplaceTempView("orders_sq")
     s.sql(
       """SELECT o_orderkey, o_totalprice FROM orders_sq
-        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders_sq)
+        |WHERE o_totalprice > round(1.8 * (SELECT avg(o_totalprice) FROM orders_sq), 2)
         |ORDER BY o_orderkey""".stripMargin)
   }
 
@@ -325,7 +325,7 @@ object ParityQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q49_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > round(1.8 * (SELECT avg(o_totalprice) FROM orders), 2)
         |ORDER BY o_orderkey""".stripMargin,
     "q50_having" ->
       """SELECT l_suppkey, count(*) AS n_items, sum(l_quantity) AS sum_qty

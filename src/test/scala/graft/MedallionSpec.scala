@@ -140,6 +140,34 @@ class MedallionSpec extends SparkSpecBase {
     global.zip(parted).foreach { case (g, p) => assert(g == p) }
   }
 
+  test("gold partitioned == global across a MISSING day (gap-safe warm-up routing)") {
+    // Dec 31 rows + Jan 2 rows, nothing on Jan 1: warm-up tails must
+    // reach the next POPULATED bucket, not calendar-day+1.
+    val gapMinutes = (55 to 59).map(m => f"2023-12-31 23:$m%02d:00") ++
+      (0 to 6).map(m => f"2024-01-02 00:0$m%01d:00")
+    val rows = gapMinutes.zipWithIndex.map { case (t, i) => rawRow(i, t) }
+    val gapped = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), PowerSchemas.raw)
+    val fact = Silver.fact(gapped, Watermark.Epoch)
+    val dim = Silver.dimTime(gapped, Watermark.Epoch)
+    val global = Gold.features(fact, dim, Watermark.Epoch).orderBy("time_id").collect()
+    val parted = Gold.featuresPartitioned(fact, dim, Watermark.Epoch)
+      .orderBy("time_id").collect()
+    assert(global.length == 12 && parted.length == 12)
+    global.zip(parted).foreach { case (g, p) => assert(g == p) }
+  }
+
+  test("bronze cursor string is UTC regardless of JVM default timezone") {
+    val sink = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(rawRow(0, "2024-06-15 21:30:00"))),
+      PowerSchemas.raw)
+    val prev = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+      assert(Bronze.nextCursorString(sink) == "2024-06-15T21:30")
+    } finally java.util.TimeZone.setDefault(prev)
+  }
+
   test("pipeline end-to-end: incremental == full, rerun is a no-op") {
     val dirFull = Files.createTempDirectory("graft_full").toString
     val dirInc = Files.createTempDirectory("graft_inc").toString

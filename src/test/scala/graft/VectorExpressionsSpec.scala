@@ -30,6 +30,18 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(df.getDouble(2) == 0.0 && df.getDouble(3) == 0.0)
   }
 
+  test("malformed input yields NULL: length mismatch and null elements") {
+    val mismatch = cosPairs(Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))))
+      .withColumn("c", VectorExpressions.cosineFast(spark)(col("a"), col("b")))
+    assert(mismatch.head.isNullAt(2))
+    val withNullElem = Seq((Seq[Any](1.0, null), Seq[Any](1.0, 2.0)))
+      .map { case (a, b) => (a.map(Option(_).map(_.asInstanceOf[Double])),
+        b.map(Option(_).map(_.asInstanceOf[Double]))) }
+      .toDF("a", "b")
+      .withColumn("c", VectorExpressions.cosineFast(spark)(col("a"), col("b")))
+    assert(withNullElem.head.isNullAt(2))
+  }
+
   test("null input propagates null") {
     val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
       .toDF("a", "b")

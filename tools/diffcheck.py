@@ -62,12 +62,13 @@ for name in sorted(oracle):
                 if not ev.equals(gv):
                     neq = (ev.astype(str) != gv.astype(str))
                     problems.append(f"col {c}: {neq.sum()} mismatches, e.g. exp={ev[neq].head(2).tolist()} got={gv[neq].head(2).tolist()}")
-        # dtype report (schema check approximation)
+        # dtype check — HARD failure: CLAUDE.md requires oracle dtypes
+        # identical to the Spark output (the driver compares schemas)
         dt_e = {c: str(exp[c].dtype) for c in cols}
         dt_g = {c: str(got[c].dtype) for c in cols}
         if dt_e != dt_g:
             dd = {c: (dt_e[c], dt_g[c]) for c in cols if dt_e[c] != dt_g[c]}
-            problems.append(f"dtypes differ: {dd} [WARN]")
+            problems.append(f"dtypes differ: {dd}")
     hard = [p for p in problems if "[WARN]" not in p]
     if hard:
         fail += 1
