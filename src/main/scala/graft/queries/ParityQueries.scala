@@ -291,7 +291,58 @@ object ParityQueries {
       .filter(col("n_items") > 620)
       .orderBy("l_suppkey")
 
+  /** LEFT OUTER join with real null-producing rows (customers without
+    * pending orders), null ordering pinned on both sides.
+    */
+  private val outerJoin: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+
+  /** String function family: substr/upper/lower/concat/LIKE/regexp. */
+  private val stringFuncs: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head_upper"),
+        concat(col("lang"), lit(":"), col("source")).as("lang_source"),
+        col("text").like("%table%").as("mentions_table"),
+        regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+        length(col("text")).as("len"))
+      .orderBy("doc_id")
+
+  /** Math function family over numeric columns. */
+  private val mathFuncs: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        ceil(col("l_tax") * 100).as("tax_pct_ceil"),
+        floor(col("l_extendedprice") / 1000).as("price_k"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Date arithmetic family: add/diff/trunc/year/quarter. */
+  private val dateFuncs: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        date_add(to_date(col("o_orderdate")), 90).as("due_date"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")), to_date(col("o_orderdate")))
+          .as("age_days"),
+        year(col("o_orderdate")).as("order_year"),
+        quarter(col("o_orderdate")).as("order_quarter"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "q53_outer_join" -> outerJoin,
+    "q54_string_funcs" -> stringFuncs,
+    "q55_math_funcs" -> mathFuncs,
+    "q56_date_funcs" -> dateFuncs,
     "q48_semi_join" -> semiJoin,
     "q49_scalar_subquery" -> scalarSubquery,
     "q50_having" -> havingAgg,
@@ -318,6 +369,36 @@ object ParityQueries {
     "q14_rollup" -> rollupAgg)
 
   val oracleSql: Map[String, String] = Map(
+    "q53_outer_join" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q54_string_funcs" ->
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 10)) AS head_upper,
+        |  concat(lang, ':', source) AS lang_source,
+        |  text LIKE '%table%' AS mentions_table,
+        |  regexp_extract(text, '^(\w+)', 1) AS first_word,
+        |  CAST(length(text) AS INTEGER) AS len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |  ROUND(pow(l_discount, 2), 6) AS disc_sq,
+        |  abs(l_quantity - 25) AS qty_dev,
+        |  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q56_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(o_orderdate AS DATE) + 90 AS due_date,
+        |  CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE) AS INTEGER) AS age_days,
+        |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS order_quarter
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q48_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
