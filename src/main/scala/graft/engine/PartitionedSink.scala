@@ -39,14 +39,36 @@ object PartitionedSink {
   def compact(spark: SparkSession, path: String, targetMB: Int = 128): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partitionCols = fs.listStatus(p).toSeq
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.contains("=")).map(_.split("=")(0)).distinct
+    // discover the FULL hive partition chain (col1=.../col2=.../...),
+    // walking one branch per level — a single level would silently
+    // flatten deeper partitioning on rewrite
+    val partitionCols = {
+      val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+      var cur = p
+      var descending = true
+      while (descending) {
+        val partDirs = fs.listStatus(cur).filter(s =>
+          s.isDirectory && s.getPath.getName.contains("="))
+        if (partDirs.isEmpty) descending = false
+        else {
+          cols += partDirs.head.getPath.getName.split("=")(0)
+          cur = partDirs.head.getPath
+        }
+      }
+      cols.toSeq
+    }
     val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
-    val writer = spark.read.parquet(path).coalesce(parts)
-      .write.mode(SaveMode.Overwrite)
+    val df = spark.read.parquet(path)
+    // partitioned tables: cluster rows by partition key so each output
+    // partition is written by few tasks (coalesce would spray every
+    // partition's rows across all tasks -> parts x n_partitions files)
+    val sized =
+      if (partitionCols.nonEmpty)
+        df.repartition(parts, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.coalesce(parts)
+    val writer = sized.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
     fs.delete(p, true)

@@ -97,39 +97,24 @@ object Gold {
       .select(outputCols.map(col): _*)
   }
 
-  /** 100 TB form: windows partitioned by day bucket with edge repair.
-    * Each row belongs to its own bucket; additionally the last 4 rows
-    * of each bucket are replicated into the NEXT POPULATED bucket as
-    * warm-up (marked, then trimmed after the window) — routed via a
-    * lead over the distinct-bucket table, not calendar-day+1, so a
-    * missing day cannot orphan the warm-up rows and break equality
-    * with the global form (tested with a gap day in MedallionSpec).
-    * All buckets compute in parallel; the only shuffle is on the
-    * bucket key.
+  /** 100 TB form: windows partitioned by day bucket with edge repair
+    * via `WindowRepair.withWarmup` — each bucket is warmed with the
+    * last 4 rows GLOBALLY before its first row (spanning multiple
+    * prior buckets when days are missing or hold fewer than 4 rows),
+    * so equality with the global form holds for arbitrary sparsity
+    * (gap-day and sparse-bucket cases in MedallionSpec). All buckets
+    * compute in parallel; the only shuffle is on the bucket key.
     */
   def featuresPartitioned(fact: DataFrame, dim: DataFrame, watermark: Timestamp): DataFrame = {
     val warm = fact.filter(col("time_id") <= lit(watermark))
       .orderBy(col("time_id").desc).limit(4)
     val fresh = fact.filter(col("time_id") > lit(watermark))
-    // localCheckpoint: ts feeds three plan branches (own rows, tails,
-    // distinct buckets) — without it the dim join + projections rerun.
     val ts = timeSeries(warm.union(fresh), dim)
       .withColumn("bucket", to_date(col("time_id")))
-      .localCheckpoint()
-
-    val nextBucket = ts.select(col("bucket")).distinct()
-      .withColumn("next_bucket", lead(col("bucket"), 1).over(Window.orderBy("bucket")))
-    val own = ts.withColumn("warmup", lit(false))
-    val tailRank = Window.partitionBy("bucket").orderBy(col("time_id").desc)
-    val tails = ts.withColumn("rn", row_number().over(tailRank))
-      .filter(col("rn") <= 4).drop("rn")
-      .join(broadcast(nextBucket), Seq("bucket"))
-      .filter(col("next_bucket").isNotNull)
-      .withColumn("bucket", col("next_bucket")).drop("next_bucket")
-      .withColumn("warmup", lit(true))
-
+    val repaired = graft.operators.WindowRepair
+      .withWarmup(ts, "bucket", Seq("time_id"), 4)
     val w = frame(Window.partitionBy("bucket").orderBy("time_id"))
-    aggregated(own.unionByName(tails), w)
+    aggregated(repaired, w)
       .filter(!col("warmup") && col("time_id") > lit(watermark))
       .select(outputCols.map(col): _*)
   }

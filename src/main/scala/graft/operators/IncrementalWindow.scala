@@ -27,39 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalWindow {
   /** The 100 TB form of the global trailing window (q07): day-bucketed,
-    * parallel, with cross-bucket frame repair — each bucket additionally
-    * receives the PREVIOUS populated bucket's last 4 rows as warm-up
-    * (trimmed after the window), so results equal the unpartitioned
-    * global window EXACTLY (same DuckDB oracle as q07 verifies it).
-    *
-    * Gap-safe: warm-up rows are routed to the next bucket THAT EXISTS
-    * (lead over the distinct-bucket table — one row per day, broadcast
-    * size even at petabyte scale), not to calendar-day+1.
+    * parallel, with cross-bucket frame repair via
+    * `WindowRepair.withWarmup` — each bucket is warmed with the last 4
+    * rows GLOBALLY before its first row (correct across missing days
+    * AND buckets holding fewer than 4 rows), so results equal the
+    * unpartitioned global window EXACTLY (same DuckDB oracle as q07
+    * verifies it).
     *
     * Shuffles: one hash partition on the bucket key + a per-bucket
     * sort — vs the global form's single-partition sort of everything.
     */
   def partitionedTrailingStats(events: DataFrame): DataFrame = {
-    // localCheckpoint: tagged feeds three plan branches (own rows,
-    // tails, distinct buckets) — avoid recomputing the scan per branch.
     val tagged = events
       .select(col("event_id"), col("ts"), col("value"), to_date(col("ts")).as("bucket"))
-      .localCheckpoint()
-    val nextBucket = tagged.select(col("bucket")).distinct()
-      .withColumn("next_bucket", lead(col("bucket"), 1)
-        .over(Window.orderBy("bucket")))
-    val tails = tagged
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("bucket").orderBy(col("ts").desc, col("event_id").desc)))
-      .filter(col("rn") <= 4).drop("rn")
-      .join(broadcast(nextBucket), Seq("bucket"))
-      .filter(col("next_bucket").isNotNull)
-      .withColumn("bucket", col("next_bucket")).drop("next_bucket")
-      .withColumn("warmup", lit(true))
-    val own = tagged.withColumn("warmup", lit(false))
-
+    val repaired = WindowRepair.withWarmup(tagged, "bucket", Seq("ts", "event_id"), 4)
     val w = Window.partitionBy("bucket").orderBy("ts", "event_id").rowsBetween(-4, 0)
-    own.unionByName(tails)
+    repaired
       .withColumn("avg_value", round(avg(col("value")).over(w), 6))
       .withColumn("stddev_value", round(stddev(col("value")).over(w), 6))
       .filter(!col("warmup"))

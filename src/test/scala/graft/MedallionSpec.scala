@@ -158,14 +158,37 @@ class MedallionSpec extends SparkSpecBase {
   }
 
   test("bronze cursor string is UTC regardless of JVM default timezone") {
+    // fixture built from an Instant, NOT Timestamp.valueOf, so the test
+    // is independent of the default TZ on the parse side too
+    val instant = java.sql.Timestamp.from(java.time.Instant.parse("2024-06-15T21:30:00Z"))
     val sink = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(rawRow(0, "2024-06-15 21:30:00"))),
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row.fromSeq(instant +: Seq.fill(15)(1.0)))),
       PowerSchemas.raw)
     val prev = java.util.TimeZone.getDefault
     try {
       java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Tokyo"))
       assert(Bronze.nextCursorString(sink) == "2024-06-15T21:30")
     } finally java.util.TimeZone.setDefault(prev)
+  }
+
+  test("gold partitioned == global with SPARSE buckets (fewer than 4 rows in a day)") {
+    // Dec 30: 5 rows, Dec 31: 2 rows, Jan 2: 5 rows (Jan 1 missing) —
+    // Jan 2's warm-up must span BOTH Dec 31 and Dec 30.
+    val minutesSparse =
+      (0 to 4).map(m => f"2023-12-30 10:0$m%d:00") ++
+        Seq("2023-12-31 09:00:00", "2023-12-31 09:01:00") ++
+        (0 to 4).map(m => f"2024-01-02 08:0$m%d:00")
+    val rows = minutesSparse.zipWithIndex.map { case (t, i) => rawRow(i, t) }
+    val sparse = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), PowerSchemas.raw)
+    val fact = Silver.fact(sparse, Watermark.Epoch)
+    val dim = Silver.dimTime(sparse, Watermark.Epoch)
+    val global = Gold.features(fact, dim, Watermark.Epoch).orderBy("time_id").collect()
+    val parted = Gold.featuresPartitioned(fact, dim, Watermark.Epoch)
+      .orderBy("time_id").collect()
+    assert(global.length == 12 && parted.length == 12)
+    global.zip(parted).foreach { case (g, p) => assert(g == p) }
   }
 
   test("pipeline end-to-end: incremental == full, rerun is a no-op") {

@@ -48,14 +48,15 @@ class PlanSpec extends SparkSpecBase {
     assert(windows == 1, s"expected 1 Window node, got $windows:\n$plan")
   }
 
-  test("scaled moving-average window is partitioned by bucket (no global sort)") {
+  test("scaled moving-average window is partitioned by bucket (no global sort of events)") {
     val plan = planOf(ParityQueries.queries("q45_moving_avg_scaled")(spark, sf("sf0.001")))
-    // the main window must be keyed by the day bucket...
-    assert("Window \\[.*bucket".r.findFirstIn(plan).isDefined,
-      s"window not partitioned by bucket:\n$plan")
-    // ...and the final output sort is the ONLY unpartitioned exchange
-    val singleParts = "Exchange SinglePartition".r.findAllIn(plan).length
-    assert(singleParts <= 1, s"unexpected single-partition exchanges:\n$plan")
+    // the avg/stddev window over the EVENT data must be keyed by the
+    // day bucket (WindowRepair's bucket-table bookkeeping windows are
+    // one-row-per-day and may legitimately be single-partition)
+    assert("Window \\[avg\\(value.*bucket".r.findFirstIn(plan).isDefined,
+      s"event window not partitioned by bucket:\n$plan")
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"event data not hash-partitioned on bucket:\n$plan")
   }
 
   test("anti-join keys are column-pruned from the existing side") {

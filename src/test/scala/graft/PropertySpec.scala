@@ -51,6 +51,32 @@ class PropertySpec extends SparkSpecBase {
     runProp(p, 15)
   }
 
+  test("property: partitioned trailing window == global, arbitrary bucket sparsity") {
+    // offsets span 5 days with clustering, so generated series contain
+    // empty days and days with <4 rows — the cases that break naive
+    // tail-forwarding repair
+    val sparseGen: Gen[Seq[(Long, Long, Double)]] = for {
+      n <- Gen.choose(1, 40)
+      offs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(0L, 3600L), // day 1 cluster
+        Gen.choose(2L * 86400L, 2L * 86400L + 600L), // sparse day 3
+        Gen.choose(4L * 86400L, 5L * 86400L - 1))) // day 5
+      vals <- Gen.listOfN(n, Gen.choose(-50, 50).map(_ / 3.0))
+    } yield offs.zip(vals).zipWithIndex.map { case ((o, v), i) => (i.toLong, o, v) }
+    val p = Prop.forAll(sparseGen) { rows =>
+      val events = mkEvents(rows)
+      val w = Window.orderBy("ts", "event_id").rowsBetween(-4, 0)
+      val global = events
+        .withColumn("avg_value", round(avg(col("value")).over(w), 6))
+        .withColumn("stddev_value", round(stddev(col("value")).over(w), 6))
+        .select("event_id", "ts", "value", "avg_value", "stddev_value")
+        .orderBy("ts", "event_id").collect().toSeq
+      val parted = IncrementalWindow.partitionedTrailingStats(events).collect().toSeq
+      global == parted
+    }
+    runProp(p, 10)
+  }
+
   test("property: window output invariant under input shuffling/partitioning") {
     val p = Prop.forAll(seriesGen, Gen.choose(1, 8)) { (rows, parts) =>
       val base = mkEvents(rows)
