@@ -163,6 +163,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over a near-duplicate pair graph — the
+    * clustering step that turns pairwise matches into dedup groups
+    * (pick one canonical doc per component).
+    *
+    * Iterative min-label propagation (Pregel-lite): each round every
+    * vertex takes the min label among itself and its neighbors; rounds
+    * until fixpoint (≤ graph diameter) or `maxIter`. Each round is one
+    * shuffle join; labels are localCheckpointed so lineage stays flat.
+    * The driver only sees the per-round change COUNT — no vertex data
+    * leaves the cluster.
+    *
+    * Output: (doc_id, cluster_id = component min, cluster_size), only
+    * for vertices that appear in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("nlabel")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.filter(col("label") =!= col("old_label")).isEmpty
+      labels = updated.drop("old_label")
+      i += 1
+    }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Exact n-gram Jaccard pairs via an inverted shingle index:
     * explode distinct shingles, self-join on shingle, count common,
     * then |A∩B| / (|A| + |B| − |A∩B|). Exact (unlike MinHash) and

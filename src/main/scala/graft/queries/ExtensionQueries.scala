@@ -188,7 +188,17 @@ object ExtensionQueries {
     Multimodal.frameSample(Tables.documents(s, dir), nFrames = 4)
       .toDF().orderBy("doc_id", "frame_idx")
 
+  /** Dedup clustering: exact near-dup pairs → connected components →
+    * (doc, cluster, size). Oracled via DuckDB's WITH RECURSIVE
+    * transitive closure over the identical pair set.
+    */
+  private val dedupClusters: Q = (s, dir) => {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q57_dedup_clusters" -> dedupClusters,
     "q52_multimodal_frames" -> multimodalFrames,
     "q51_session_window_builtin" -> sessionWindowBuiltin,
     "q46_tfidf_top_terms" -> tfidf,
@@ -222,6 +232,26 @@ object ExtensionQueries {
     * q21_minhash_lsh, q22_simhash_pairs, q26_ann_lsh, q32_fingerprint.
     */
   val oracleSql: Map[String, String] = Map(
+    "q57_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, min(v) AS cluster_id,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS cluster_size
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "q52_multimodal_frames" ->
       """SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
         |  CAST((f.i * octet_length(encode(text))) // 4 AS INTEGER) AS frame_offset,
