@@ -38,6 +38,26 @@ object StreamingPower {
       .select(col("w.start").as("minute_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** The medallion pipeline driven BY Structured Streaming: new feed
+    * files arriving under `feedDir` become micro-batches, and each
+    * micro-batch runs the full incremental bronze→silver→gold pass via
+    * `foreachBatch` — the reference's rerun-for-new-data loop
+    * (bronze_ingest.py:86-89) with checkpointed offsets instead of a
+    * manual cursor. Watermark + lookback+trim semantics are exactly
+    * the batch pipeline's (SURVEY §2.9 "same lookback+trim in
+    * foreachBatch").
+    */
+  def medallionStream(spark: SparkSession, feedDir: String, checkpoint: String,
+      paths: graft.medallion.PowerPipeline.Paths): org.apache.spark.sql.streaming.StreamingQuery =
+    ingest(spark, feedDir, graft.medallion.PowerSchemas.raw)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.medallion.PowerPipeline.runIncrement(batch.sparkSession, batch, paths)
+      }
+      .start()
+
   // --- stateful sessionization (flatMapGroupsWithState) ---
 
   case class Evt(user_id: Long, ts: Timestamp, value: Double)

@@ -66,6 +66,41 @@ class StreamingSpec extends SparkSpecBase {
     events.unpersist()
   }
 
+  test("streaming-driven medallion == batch-driven medallion") {
+    import graft.medallion._
+    val feedDir = Files.createTempDirectory("graft_feed").toString
+    val ckpt = Files.createTempDirectory("graft_feed_ckpt").toString
+    val streamBase = Files.createTempDirectory("graft_ms").toString
+    val batchBase = Files.createTempDirectory("graft_mb").toString
+    def feed(fromMin: Int, toMin: Int) = {
+      val rows = (fromMin until toMin).map { i =>
+        org.apache.spark.sql.Row.fromSeq(
+          java.sql.Timestamp.valueOf(f"2024-01-01 00:$i%02d:00") +:
+            Seq.tabulate(15)(c => 10.0 + i + c))
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), PowerSchemas.raw)
+    }
+    // two feed file batches arriving over time, one stream run each
+    feed(0, 12).write.mode("append").parquet(feedDir)
+    val q1 = StreamingPower.medallionStream(spark, feedDir, ckpt,
+      PowerPipeline.Paths(streamBase))
+    q1.awaitTermination(120000)
+    feed(12, 25).write.mode("append").parquet(feedDir)
+    val q2 = StreamingPower.medallionStream(spark, feedDir, ckpt,
+      PowerPipeline.Paths(streamBase))
+    q2.awaitTermination(120000)
+    // batch reference: both increments through the batch pipeline
+    PowerPipeline.runIncrement(spark, feed(0, 12), PowerPipeline.Paths(batchBase))
+    PowerPipeline.runIncrement(spark, feed(12, 25), PowerPipeline.Paths(batchBase))
+
+    val streamGold = spark.read.parquet(s"$streamBase/gold/power_system_5min_avg")
+      .orderBy("time_id").collect().toSeq
+    val batchGold = spark.read.parquet(s"$batchBase/gold/power_system_5min_avg")
+      .orderBy("time_id").collect().toSeq
+    assert(streamGold.size == 25)
+    assert(streamGold == batchGold)
+  }
+
   test("stateful flatMapGroupsWithState sessionization matches batch sessionize") {
     import spark.implicits._
     val events = Tables.events(spark, sf("sf0.001"))
