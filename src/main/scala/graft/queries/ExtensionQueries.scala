@@ -197,7 +197,21 @@ object ExtensionQueries {
     Dedup.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
 
+  /** Cross-table composite: document metadata ⋈ embeddings (doc_id ==
+    * vec_id in the testdata) → per-language embedding centroids — the
+    * metadata-conditioned-centroid shape of real corpus analytics.
+    */
+  private val langCentroids: Q = (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .select(col("lang"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .groupBy("lang", "dim")
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("v")), 6).as("centroid_v"))
+      .orderBy("lang", "dim")
+
   val queries: Map[String, Q] = Map(
+    "q58_lang_centroids" -> langCentroids,
     "q57_dedup_clusters" -> dedupClusters,
     "q52_multimodal_frames" -> multimodalFrames,
     "q51_session_window_builtin" -> sessionWindowBuiltin,
@@ -232,6 +246,13 @@ object ExtensionQueries {
     * q21_minhash_lsh, q22_simhash_pairs, q26_ann_lsh, q32_fingerprint.
     */
   val oracleSql: Map[String, String] = Map(
+    "q58_lang_centroids" ->
+      """SELECT d.lang, CAST(gs.dim - 1 AS INTEGER) AS dim,
+        |  count(*) AS n_docs,
+        |  ROUND(AVG(CAST(e.embedding[gs.dim] AS DOUBLE)), 6) AS centroid_v
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id,
+        |  LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS dim) gs
+        |GROUP BY d.lang, gs.dim ORDER BY d.lang, dim""".stripMargin,
     "q57_dedup_clusters" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
