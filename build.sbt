@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNDECORATED: the driver
+// machine-parses graft.Bench's single JSON line, and sbt's default
+// logger-backed strategy would wrap it in "[info] ..." (BENCH_r01 had
+// parsed:null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,14 +34,25 @@ object Bench {
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try run(name)
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { run(name); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures are first-class in the JSON (a broken query must not
+    // masquerade as a fast one) and excluded from the headline total
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // stdout (undecorated via run/outputStrategy := StdoutOutput) AND a
+    // known file, so the driver's parse can never miss it again
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
     spark.stop()
   }
 }

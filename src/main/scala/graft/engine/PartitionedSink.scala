@@ -21,8 +21,39 @@ object PartitionedSink {
     df.withColumn("p_date", to_date(col(tsCol)))
       .write.mode(mode).partitionBy("p_date").parquet(path)
 
-  def readByDate(spark: SparkSession, path: String): DataFrame =
+  def readByDate(spark: SparkSession, path: String): DataFrame = {
+    heal(spark, path)
     spark.read.parquet(path)
+  }
+
+  /** Self-heal a table around an interrupted `compact` swap, so the
+    * table is readable no matter where the writer died:
+    *  - staging complete (_SUCCESS) but table dir missing → finish the
+    *    swap (rename staging into place);
+    *  - table dir missing but the pre-swap backup present → roll back;
+    *  - table present → drop any leftover staging/backup (staging
+    *    without the table having moved means the compact never
+    *    committed; the backup with the table present means it did).
+    * Rename is the only mutation between complete states, and each
+    * rename is atomic on HDFS-like filesystems — readers resolve to
+    * either the old or the new COMPLETE table, never a partial one.
+    */
+  def heal(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path + "._compacting")
+    val backup = new org.apache.hadoop.fs.Path(path + "._old")
+    val stagingCommitted = fs.exists(
+      new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+    if (!fs.exists(p)) {
+      if (stagingCommitted) fs.rename(staging, p) // crash between renames
+      else if (fs.exists(backup)) fs.rename(backup, p) // crash pre-commit
+    }
+    if (fs.exists(p)) { // tidy whichever leftover lost the race
+      if (fs.exists(backup)) fs.delete(backup, true)
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
 
   /** Compact a parquet directory to ~`targetMB` files: the streaming /
     * incremental-append small-file remedy. Hive-style partition
@@ -30,13 +61,22 @@ object PartitionedSink {
     * re-partitions by the same columns, so partition pruning survives
     * compaction (spec-asserted).
     *
-    * The swap is delete-then-rename through a sibling temp dir: NOT
-    * atomic — a crash between the two steps leaves the table absent,
-    * and concurrent readers can observe the gap. Same single-writer /
-    * no-concurrent-reader invariant as the rest of the parquet sinks
-    * (a transactional table format is the managed answer).
+    * Crash-safe publish: the rewrite lands in a staging dir (parquet's
+    * `_SUCCESS` marks it complete), then the swap is two atomic renames
+    * (table → backup, staging → table) and a backup delete. A writer
+    * killed at ANY step leaves the table recoverable by `heal` — which
+    * `readByDate` and `compact` both run first — so readers always see
+    * a complete table (spec kills the swap mid-way and reads back the
+    * full row count).
+    *
+    * Sizing is per-partition BEST EFFORT for hive tables: rows are
+    * spread over (partition cols, salt), with the salt modulus sized
+    * from the average partition's bytes — an oversized partition gets
+    * ~saltMod files instead of one giant file; per-partition-exact
+    * sizing would need a per-partition modulus map.
     */
   def compact(spark: SparkSession, path: String, targetMB: Int = 128): Unit = {
+    heal(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // discover the FULL hive partition chain (col1=.../col2=.../...),
@@ -60,18 +100,37 @@ object PartitionedSink {
     val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
+    val backup = new org.apache.hadoop.fs.Path(path + "._old")
     val df = spark.read.parquet(path)
-    // partitioned tables: cluster rows by partition key so each output
-    // partition is written by few tasks (coalesce would spray every
-    // partition's rows across all tasks -> parts x n_partitions files)
+    // partitioned tables: cluster rows by (partition key, salt) so each
+    // output partition is written by few tasks (coalesce would spray
+    // every partition's rows across all tasks -> parts x n_partitions
+    // files), while the salt keeps one oversized partition from
+    // collapsing into a single giant file
     val sized =
-      if (partitionCols.nonEmpty)
-        df.repartition(parts, partitionCols.map(org.apache.spark.sql.functions.col): _*)
-      else df.coalesce(parts)
+      if (partitionCols.nonEmpty) {
+        val nLeaf = math.max(1L, countLeafPartitions(fs, p, partitionCols.length))
+        val saltMod = math.max(1L,
+          bytes / nLeaf / (targetMB.toLong * 1024 * 1024) + 1)
+        df.withColumn("_salt",
+            pmod(xxhash64(monotonically_increasing_id()), lit(saltMod)))
+          .repartition(parts,
+            (partitionCols.map(col) :+ col("_salt")): _*)
+          .drop("_salt")
+      } else df.coalesce(parts)
     val writer = sized.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
-    fs.delete(p, true)
+    // commit: two atomic renames; heal() recovers any crash in between
+    fs.rename(p, backup)
     fs.rename(tmp, p)
+    fs.delete(backup, true)
   }
+
+  private def countLeafPartitions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, depth: Int): Long =
+    if (depth == 0) 1L
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(d => countLeafPartitions(fs, d.getPath, depth - 1)).sum
 }

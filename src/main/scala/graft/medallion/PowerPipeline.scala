@@ -47,17 +47,16 @@ object PowerPipeline {
     // gold (J1, W1-W18, lookback+trim): watermark from gold sink
     val fact = spark.read.schema(PowerSchemas.fact).parquet(paths.fact)
     val dim = spark.read.schema(PowerSchemas.dimTime).parquet(paths.dim)
-    val goldSink =
-      if (IdempotentSink.exists(spark, paths.gold)) spark.read.parquet(paths.gold)
-      else null
-    val goldWm =
-      if (goldSink == null) Watermark.Epoch
-      else Watermark.maxOrEpoch(goldSink, "time_id")
+    val goldSink: Option[DataFrame] =
+      if (IdempotentSink.exists(spark, paths.gold)) Some(spark.read.parquet(paths.gold))
+      else None
+    val goldWm = goldSink.map(Watermark.maxOrEpoch(_, "time_id")).getOrElse(Watermark.Epoch)
     val goldRows = Gold.features(fact, dim, goldWm)
-    if (goldSink == null)
-      goldRows.write.parquet(paths.gold)
-    else
-      IdempotentSink.appendIfAbsent(spark, goldRows, paths.gold, Seq("time_id"))
+    goldSink match {
+      case None => goldRows.write.parquet(paths.gold)
+      case Some(_) =>
+        IdempotentSink.appendIfAbsent(spark, goldRows, paths.gold, Seq("time_id"))
+    }
   }
 
   def exportCsv(spark: SparkSession, paths: Paths): Unit =

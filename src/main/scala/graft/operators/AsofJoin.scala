@@ -37,11 +37,16 @@ object AsofJoin {
     val taggedLeft = rightValueCols.foldLeft(left.withColumn("_side", lit(1))) {
       (df, c) => df.withColumn(s"_rv_$c", lit(null).cast(right.schema(c).dataType))
     }
+    // Extract the _rv_ value columns BEFORE padding the right side with
+    // null left-schema columns: padding overwrites any right column that
+    // shares a name with a non-key left column, and extracting after it
+    // would silently null the asof values for colliding names.
     val taggedRight = leftCols.filterNot(c => c == keyCol || c == tsCol)
-      .foldLeft(right.withColumn("_side", lit(0))) { (df, c) =>
-        df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      .foldLeft(
+        right.withColumn("_side", lit(0))
+          .withColumns(rightValueCols.map(c => s"_rv_$c" -> col(c)).toMap)) {
+        (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
-      .withColumns(rightValueCols.map(c => s"_rv_$c" -> col(c)).toMap)
       .select((leftCols :+ "_side") ++ rightValueCols.map("_rv_" + _) map col: _*)
 
     val unioned = taggedLeft

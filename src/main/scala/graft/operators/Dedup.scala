@@ -2,12 +2,15 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.{HashFamily, XxHash64Family}
 
 /** Deduplication operators for a training-data pipeline, in increasing
   * fuzziness: exact → MinHash/LSH → SimHash → exact n-gram Jaccard.
   *
   * All are expressed with built-in codegen'd functions (split / slice /
-  * transform / xxhash64 / aggregate); none collect to the driver.
+  * transform / hash / aggregate); none collect to the driver. The hash
+  * family is pluggable (`HashFamily`): xxhash64 by default, md5-derived
+  * when cross-engine (DuckDB-oracle) verifiability matters.
   */
 object Dedup {
   /** Exact dedup: one surviving row (min id) per key, with the
@@ -42,23 +45,25 @@ object Dedup {
     when(size(t) >= k, chained).otherwise(array(concat_ws(" ", t)))
   }
 
-  /** MinHash signature: the string shingles are xxhash64'd ONCE, then
-    * each of the `numPerm` permutations re-hashes the base LONG (8
-    * bytes, far cheaper than re-hashing the string) with a distinct
-    * seed column. String hashing dominates, so this is ~numPerm×
-    * cheaper than per-permutation string hashing. All codegen'd
-    * builtins, ANSI-safe (no raw long multiply).
+  /** MinHash signature: the string shingles are hashed ONCE, then each
+    * of the `numPerm` permutations re-hashes the base LONG (8 bytes /
+    * a short decimal string, far cheaper than re-hashing the document
+    * text) with a distinct seed. String hashing dominates, so this is
+    * ~numPerm× cheaper than per-permutation string hashing. All
+    * codegen'd builtins, ANSI-safe (no raw long multiply).
     */
-  def minhashSignature(text: Column, k: Int, numPerm: Int): Column =
-    minhashFromHashes(transform(shingles(text, k), g => xxhash64(g)), numPerm)
+  def minhashSignature(text: Column, k: Int, numPerm: Int,
+      hashes: HashFamily = XxHash64Family): Column =
+    minhashFromHashes(transform(shingles(text, k), g => hashes.hash(g)), numPerm, hashes)
 
   /** Permutation minima over an already-bound base-hash array column.
     * Callers should bind the base hashes through their own projection
     * so the string hashing runs once, not once per permutation.
     */
-  def minhashFromHashes(baseHashes: Column, numPerm: Int): Column =
+  def minhashFromHashes(baseHashes: Column, numPerm: Int,
+      hashes: HashFamily = XxHash64Family): Column =
     array((0 until numPerm).map { p =>
-      array_min(transform(baseHashes, h => xxhash64(h, lit(p))))
+      array_min(transform(baseHashes, h => hashes.rehash(h, p)))
     }: _*)
 
   /** MinHash-LSH near-duplicate pairs.
@@ -77,21 +82,22 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
     val rows = numPerm / bands
     require(bands * rows == numPerm, "bands must divide numPerm")
     // Two-stage projection binds the shingle hashes to a column so the
     // 16 permutations re-hash longs, not strings; localCheckpoint
     // because the signatures feed both sides of the band self-join.
     val hashed = docs.select(col(idCol).as("doc"),
-      transform(shingles(col(textCol), shingleK), g => xxhash64(g)).as("hs"))
+      transform(shingles(col(textCol), shingleK), g => hashes.hash(g)).as("hs"))
     val sig = hashed.select(col("doc"),
-      minhashFromHashes(col("hs"), numPerm).as("sig"))
+      minhashFromHashes(col("hs"), numPerm, hashes).as("sig"))
       .localCheckpoint()
 
     val banded = sig.select(col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows))), b)))
+        hashes.hashWithSalt(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows))), b)))
         .as(Seq("band", "band_hash")))
 
     val capped = banded
@@ -106,9 +112,9 @@ object Dedup {
     a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / numPerm).as("est_jaccard"))
+          .cast("double") / numPerm, 6).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
@@ -118,11 +124,12 @@ object Dedup {
     * weighted). Computed as 64 per-bit weighted sums via a single hash
     * aggregate — no UDF, no driver loop.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("token")))
+      .withColumn("h", hashes.hash(col("token")))
     val bitSums = (0 until 64).map { bit =>
       sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, col("tf"))
         .otherwise(-col("tf"))).as(s"b$bit")
@@ -143,10 +150,10 @@ object Dedup {
     * `bit_count(xor)`.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, hashes: HashFamily = XxHash64Family): DataFrame = {
     val segments = maxHamming + 1
     val segBits = 64 / segments
-    val sh = simhash(docs, idCol, textCol).localCheckpoint()
+    val sh = simhash(docs, idCol, textCol, hashes).localCheckpoint()
     val seg = sh.select(col("doc"), col("simhash"),
       posexplode(array((0 until segments).map { s =>
         shiftrightunsigned(col("simhash"), s * segBits)
@@ -178,7 +185,7 @@ object Dedup {
     * for vertices that appear in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
@@ -198,6 +205,12 @@ object Dedup {
       labels = updated.drop("old_label")
       i += 1
     }
+    // Min-label propagation needs O(component diameter) rounds; running
+    // out of iterations means the labels are WRONG (partially merged
+    // clusters), not merely slow — fail loudly rather than return them.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise maxIter")
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -211,17 +224,32 @@ object Dedup {
     * SQL-expressible, so it carries a DuckDB oracle.
     *
     * Scale: identical shape to a term-index join; ultra-frequent
-    * shingles are the skew (mitigate with a document-frequency cap in
-    * a production config — kept exact here for oracle parity).
+    * shingles are the skew. `maxDf` is the production remedy: shingles
+    * appearing in more than `maxDf` documents (boilerplate) are dropped
+    * from the index BEFORE the self-join, bounding per-shingle candidate
+    * fan-out at maxDf². The hot-shingle list is tiny by construction
+    * (it's the junk), so it is removed via a broadcast anti-join —
+    * map-side, no skewed shuffle ever materializes. Default = no cap
+    * (exact semantics, the q23 oracle form); the capped form is its own
+    * query (q62) with its own oracle.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5, maxDf: Int = Int.MaxValue): DataFrame = {
     // localCheckpoint: the exploded shingle index feeds three plans
     // (both join sides + the size table) — without it the shingling
     // runs three times.
-    val grams = docs
+    val grams0 = docs
       .select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol), k))).as("g"))
       .localCheckpoint()
+    val grams =
+      if (maxDf == Int.MaxValue) grams0
+      else {
+        // map-side partial agg bounds the groupBy's skew; the > maxDf
+        // survivors are few, so the anti-join broadcasts
+        val hot = grams0.groupBy("g").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDf).select("g")
+        grams0.join(broadcast(hot), Seq("g"), "left_anti").localCheckpoint()
+      }
     val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n"))
     val common = grams.select(col("doc").as("doc_a"), col("g"))
       .join(grams.select(col("doc").as("doc_b"), col("g")), Seq("g"))
@@ -235,5 +263,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Canonical (deduplicated) corpus — the end product an LLM-data
+    * pipeline actually ships: cluster the near-duplicate pair graph,
+    * keep the min-id document of every cluster, drop the rest.
+    * Documents in no pair pass through untouched (cluster_size = 1).
+    *
+    * Output: every surviving `docs` row plus `cluster_size` (how many
+    * docs the survivor represents) and `removed_dups` (= size − 1).
+    *
+    * Scale: `connectedComponents` over pairs (near-dup graphs are tiny
+    * relative to the corpus), then ONE equi-join of docs against the
+    * cluster table — survivor selection is a filter on the joined row
+    * (id == cluster min), no second pass over the corpus.
+    */
+  def canonicalCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val clusters = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("doc_id", idCol)
+    docs.join(clusters, Seq(idCol), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("removed_dups", col("cluster_size") - 1)
+      .drop("cluster_id")
   }
 }

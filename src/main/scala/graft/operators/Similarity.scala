@@ -58,9 +58,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes for sign-LSH.
-    * Seeded so plans are reproducible across runs/sessions.
+    * Seeded so plans are reproducible across runs/sessions — and so the
+    * DuckDB oracle for q26 can inline the SAME planes as literals.
     */
-  private def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
   }
@@ -113,27 +114,75 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** IVF-style ANN: a coarse codebook (here: the per-label centroids)
-    * partitions the corpus into inverted lists; each probe searches
-    * only the `nprobe` nearest lists.
+  /** Sampled-k-means coarse quantizer for IVF: a deterministic,
+    * bounded sample (ordered by a hash of the id — pseudo-random but
+    * reproducible) is collected to the driver (sampleN × dim doubles ≈
+    * 256 KB at the defaults — NOT the corpus) and Lloyd-iterated there;
+    * the k centroids come back as plain arrays to broadcast.
+    *
+    * This is the standard IVF training shape at any scale: train the
+    * codebook on a sample, quantize the full corpus map-side. Cosine
+    * assignment + mean update (spherical k-means; the mean is left
+    * unnormalized — cosine is scale-invariant in the centroid, so
+    * ranking is unaffected). Empty lists keep their previous centroid.
+    */
+  def kmeansCodebook(embeddings: DataFrame, k: Int, iters: Int = 5,
+      sampleN: Int = 512): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(sampleN)
+      .select(col("emb"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"sample (${sample.length}) smaller than k=$k")
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    var centroids = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val dim = centroids(0).length
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val cos = cosine(v, centroids(c))
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: a LEARNED coarse codebook (sampled k-means, no
+    * labels required) partitions the corpus into `nlists` inverted
+    * lists; each probe searches only the `nprobe` nearest lists.
     *
     * Scale shape: the codebook is tiny and broadcast twice (assignment
     * + probe routing); the corpus is scanned once to attach a list id
     * (map-side, no shuffle), and the candidate join is an equi-join on
     * the list id — the classic IVF trade of recall for a 1/nlists
-    * candidate fraction. Recall vs the exact path is spec-tested.
+    * candidate fraction. Recall vs the exact path is spec-tested,
+    * including on unlabeled input.
     */
-  def ivfTopK(embeddings: DataFrame, probes: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, probes: DataFrame, k: Int, nprobe: Int = 2,
+      nlists: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
-    // codebook: per-label mean vector, re-assembled into array form
-    val centroids = embeddings
-      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
-      .groupBy("label", "dim").agg(avg(col("v")).as("cv"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
-        s => s.getField("cv")).as("centroid"))
-      .select(col("label").as("list_id"), col("centroid"))
-      .localCheckpoint()
+    import spark.implicits._
+    val centroids = kmeansCodebook(embeddings, nlists).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
 
     def nearestLists(vecs: DataFrame, idCol: String, n: Int): DataFrame = {
       val scored = vecs.crossJoin(broadcast(centroids))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.{HashFamily, XxHash64Family}
 
 /** Text-analysis operators for a training-data pipeline: token
   * counting, per-corpus stats, quality scoring, language-ID heuristic,
@@ -89,13 +90,19 @@ object TextAnalysis {
     * partitions. No collect, no per-doc loops.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val n = docs.count()
+    // Corpus size N folded INTO the plan as a broadcast 1-row aggregate
+    // (an eager docs.count() here would run a full extra job at query
+    // CONSTRUCTION time, before the real plan executes). The count(*)
+    // scan reads no columns — parquet footer metadata only.
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("_n_docs"))
     val tf = docs
       .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(countDistinct(col("doc")).as("df"))
     val scored = tf.join(broadcast(df), Seq("token"))
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("_n_docs") / col("df")), 6))
+      .drop("_n_docs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy(col("tfidf").desc, col("token"))
     scored.withColumn("term_rank", row_number().over(w))
@@ -106,13 +113,14 @@ object TextAnalysis {
 
   /** Content-defined fingerprints: full-text hash (exact-dup key) and
     * the minimum rolling 3-shingle hash (a 1-perm MinHash — stable
-    * under small appends). xxhash64 is engine-specific, so this carries
-    * no SQL oracle; determinism is spec-tested instead.
+    * under small appends). With `Md5Family` the values are DuckDB-
+    * expressible, so the registered query carries a full SQL oracle.
     */
-  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String,
+      hashes: HashFamily = XxHash64Family): DataFrame =
     docs.select(
       col(idCol),
-      xxhash64(col(textCol)).as("text_hash"),
-      array_min(transform(Dedup.shingles(col(textCol), 3), g => xxhash64(g)))
+      hashes.hash(col(textCol)).as("text_hash"),
+      array_min(transform(Dedup.shingles(col(textCol), 3), g => hashes.hash(g)))
         .as("min_shingle_hash"))
 }

@@ -4,14 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
+import graft.functions.Md5Family
 import graft.operators._
 
 /** North-star extension queries (BASELINE.json): the LLM-training-data
   * pipeline operators — dedup, similarity search, text analysis,
   * sessionization, JSON extraction, multimodal plumbing — over the
   * documents/embeddings/events tables. DuckDB oracles wherever the
-  * semantics are SQL-expressible; hash-based operators (xxhash64) are
-  * engine-specific and carry golden specs instead.
+  * semantics are SQL-expressible — including the hash-based operators,
+  * registered with the md5-derived `Md5Family` so both engines compute
+  * identical hashes (golden specs additionally cover the xxhash64
+  * production default).
   */
 object ExtensionQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -21,11 +24,14 @@ object ExtensionQueries {
       .select(col("doc_id"), col("dup_count"))
       .orderBy("doc_id")
 
+  // The registered hash-based queries use Md5Family (not the xxhash64
+  // production default) so the driver's DuckDB oracle can hash-verify
+  // them end-to-end — md5 exists identically in both engines.
   private val minhashLsh: Q = (s, dir) =>
-    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", hashes = Md5Family)
 
   private val simhashPairs: Q = (s, dir) =>
-    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", hashes = Md5Family)
 
   private val ngramJaccard: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
@@ -57,7 +63,8 @@ object ExtensionQueries {
     TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
 
   private val fingerprint: Q = (s, dir) =>
-    TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text", hashes = Md5Family)
+      .orderBy("doc_id")
 
   private val jsonExtract: Q = (s, dir) =>
     Tables.events(s, dir)
@@ -197,6 +204,27 @@ object ExtensionQueries {
     Dedup.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
 
+  /** The end product of the dedup family: the deduplicated corpus
+    * itself — min-id survivor per near-dup cluster, with how many
+    * duplicates each survivor absorbed. Oracled via the q57 recursive
+    * transitive closure joined back to documents.
+    */
+  private val canonicalCorpusQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    Dedup.canonicalCorpus(docs, pairs, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("cluster_size"), col("removed_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** The production (skew-capped) form of q23: shingles present in more
+    * than maxDf documents are dropped from the inverted index before
+    * the self-join. Its own DuckDB oracle — the cap is SQL-expressible.
+    */
+  private val ngramJaccardCapped: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", maxDf = 50)
+
   /** Cross-table composite: document metadata ⋈ embeddings (doc_id ==
     * vec_id in the testdata) → per-language embedding centroids — the
     * metadata-conditioned-centroid shape of real corpus analytics.
@@ -211,6 +239,8 @@ object ExtensionQueries {
       .orderBy("lang", "dim")
 
   val queries: Map[String, Q] = Map(
+    "q59_canonical_corpus" -> canonicalCorpusQ,
+    "q62_ngram_jaccard_capped" -> ngramJaccardCapped,
     "q58_lang_centroids" -> langCentroids,
     "q57_dedup_clusters" -> dedupClusters,
     "q52_multimodal_frames" -> multimodalFrames,
@@ -241,11 +271,143 @@ object ExtensionQueries {
     "q35_tumbling_hourly" -> tumbling,
     "q36_multimodal_decode" -> multimodal)
 
-  /** DuckDB equivalents. Omitted (rows-only check) for the xxhash64 /
-    * LSH operators whose exact output is engine-defined:
-    * q21_minhash_lsh, q22_simhash_pairs, q26_ann_lsh, q32_fingerprint.
+  /** DuckDB rendering of `Md5Family.hash` — must stay in lockstep with
+    * graft.functions.Md5Family (top 15 hex chars of md5 as a bigint).
+    */
+  private def md5l(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** q26's oracle inlines the SAME seeded hyperplanes the Spark plan
+    * uses (`Similarity.hyperplanes` is deterministic on (dim, n, seed))
+    * as literal DOUBLE[] rows, so the sign-LSH bucket routing is
+    * reproduced exactly in DuckDB via list_dot_product (sign(cosine) ==
+    * sign(dot): norms are positive).
+    */
+  private def annLshOracle: String = {
+    val bits = 6; val tables = 8
+    val planes = Similarity.hyperplanes(64, bits * tables, 42L)
+    val rows = (0 until tables).flatMap { t =>
+      (0 until bits).map { b =>
+        s"($t, $b, [${planes(t * bits + b).mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(", ")
+    s"""WITH planes(tbl, bit, pl) AS (VALUES $rows),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sig AS (SELECT vec_id, tbl,
+       |    CAST(SUM(CASE WHEN list_dot_product(e, pl) >= 0
+       |             THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM emb CROSS JOIN planes GROUP BY vec_id, tbl),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sig a JOIN sig b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, ROUND(list_cosine_similarity(ea.e, eb.e), 6) AS cosine
+       |FROM cand JOIN emb ea ON ea.vec_id = id_a JOIN emb eb ON eb.vec_id = id_b
+       |WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB equivalents. Omitted (rows-only check) only where the
+    * semantics are genuinely not SQL-expressible: q40_ann_ivf (learned
+    * codebook) and q47_approx_distinct (HLL sketch internals differ).
     */
   val oracleSql: Map[String, String] = Map(
+    "q59_canonical_corpus" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (SELECT u AS doc_id, min(v) AS cluster_id,
+        |         count(DISTINCT v) AS cluster_size FROM reach GROUP BY u)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        |  CAST(coalesce(cc.cluster_size, 1) AS BIGINT) AS cluster_size,
+        |  CAST(coalesce(cc.cluster_size, 1) - 1 AS BIGINT) AS removed_dups
+        |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q62_ngram_jaccard_capped" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g0 AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |hot AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+        |g AS (SELECT doc_id, g FROM g0 WHERE g NOT IN (SELECT g FROM hot)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q26_ann_lsh" -> annLshOracle,
+    "q21_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |h AS (SELECT doc_id, ${md5l("g")} AS h FROM g),
+        |mh AS (SELECT doc_id, p,
+        |    min(${md5l("concat(CAST(h AS VARCHAR), '_', p)")}) AS mh
+        |  FROM h, generate_series(0, 15) AS gs(p) GROUP BY doc_id, p),
+        |bands AS (SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_str
+        |  FROM mh GROUP BY doc_id, p // 2),
+        |bh AS (SELECT doc_id, band,
+        |    ${md5l("concat(band_str, '_', band)")} AS band_hash FROM bands),
+        |capped AS (SELECT * FROM bh
+        |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |est AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+        |  FROM mh a JOIN mh b ON a.p = b.p
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q22_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |th AS (SELECT doc_id, tf, ${md5l("token")} AS h FROM tf),
+        |bits AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS bsum
+        |  FROM th, generate_series(0, 63) AS gs(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bsum > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)
+        |         AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |seg AS (SELECT doc_id, simhash, s, (simhash >> CAST(s * 16 AS INTEGER)) & 65535 AS seg_val
+        |  FROM sh, generate_series(0, 3) AS gs(s)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |  FROM seg a JOIN seg b
+        |    ON a.s = b.s AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q32_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, text, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT doc_id, text, unnest(grams) AS g FROM sh)
+        |SELECT doc_id, ${md5l("text")} AS text_hash,
+        |  min(${md5l("g")}) AS min_shingle_hash
+        |FROM g GROUP BY doc_id, text ORDER BY doc_id""".stripMargin,
     "q58_lang_centroids" ->
       """SELECT d.lang, CAST(gs.dim - 1 AS INTEGER) AS dim,
         |  count(*) AS n_docs,

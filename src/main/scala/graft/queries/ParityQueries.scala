@@ -149,6 +149,33 @@ object ParityQueries {
       .distinct()
       .orderBy("custkey")
 
+  /** Set op: INTERSECT (distinct semantics) — customers with both open
+    * and finished orders. Completes the distinct set-op family with
+    * q11/q12.
+    */
+  private val intersectOp: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** Set op: UNION ALL (bag semantics — Spark's `union`). */
+  private val unionAllOp: Q = (s, dir) =>
+    Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+      .union(Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** Set op: EXCEPT ALL (bag semantics — multiplicity-aware removal). */
+  private val exceptAllOp: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
   /** Global sort + LIMIT → TakeOrderedAndProject (no full sort at scale:
     * per-partition top-k then merge at the driver).
     */
@@ -366,7 +393,10 @@ object ParityQueries {
     "q11_except" -> exceptOp,
     "q12_union" -> unionOp,
     "q13_topk" -> topK,
-    "q14_rollup" -> rollupAgg)
+    "q14_rollup" -> rollupAgg,
+    "q39_intersect" -> intersectOp,
+    "q60_union_all" -> unionAllOp,
+    "q61_except_all" -> exceptAllOp)
 
   val oracleSql: Map[String, String] = Map(
     "q53_outer_join" ->
@@ -561,5 +591,20 @@ object ParityQueries {
         |  count(*) AS n_items, sum(l_quantity) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q39_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+    "q60_union_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin,
+    "q61_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT ALL
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin)
 }

@@ -58,23 +58,52 @@ object StreamingPower {
       }
       .start()
 
-  // --- stateful sessionization (flatMapGroupsWithState) ---
+  // --- stateful sessionization ---
 
   case class Evt(user_id: Long, ts: Timestamp, value: Double)
   case class SessionBuf(start: Long, end: Long, n: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, total_value: Double)
 
-  /** Per-user gap sessionization with explicit state — the custom-state
-    * form (`flatMapGroupsWithState`) of `Sessions.sessionize`. Emits a
-    * session when a gap > `gapMinutes` is observed; the still-open
-    * session stays in state (flushed by timeout in production; tests
-    * read emitted-closed sessions).
-    *
-    * State per key is one fixed-size buffer — safe at any key
-    * cardinality; skewed users cost sort time within their group only.
+  /** The PRODUCTION streaming sessionization: built-in `session_window`
+    * + event-time watermark. State-store backed — no per-group
+    * buffering, sessions close (and emit, in append mode) once the
+    * watermark passes their gap horizon. Column surface matches
+    * `Sessions.sessionize` / q51 (bounds re-derived as min/max event
+    * time because session_window.end is last_event + gap).
     */
-  def sessionize(events: Dataset[Evt], gapMinutes: Int): Dataset[SessionOut] = {
+  def sessionWindows(events: DataFrame, gapMinutes: Int,
+      horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Per-user gap sessionization with explicit state — the custom-state
+    * form (`flatMapGroupsWithState`) of `Sessions.sessionize`, for
+    * session logic the built-in can't express. Emits a session when a
+    * gap > `gapMinutes` is observed; with `EventTimeTimeout` the open
+    * session is flushed once the watermark passes its gap horizon
+    * (with `NoTimeout` — e.g. batch mode, where timeouts don't fire —
+    * it stays in state and tests read emitted-closed sessions).
+    *
+    * Robustness (persistent state meets out-of-order input):
+    *  - a late event landing INSIDE the stored session extends it with
+    *    min/max guards — it can never drag `end` backwards (which would
+    *    corrupt subsequent gap decisions);
+    *  - per-micro-batch buffering is bounded by `maxBatchEvents` per
+    *    user — a pathological hot key fails loudly instead of OOMing
+    *    the executor (the unbounded-cardinality path is
+    *    `sessionWindows`, which never buffers).
+    */
+  def sessionize(events: Dataset[Evt], gapMinutes: Int,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      maxBatchEvents: Int = 1000000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     // µs precision throughout: Timestamp.getTime is ms-truncated, which
@@ -83,24 +112,41 @@ object StreamingPower {
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     def fromMicros(us: Long): Timestamp =
       Timestamp.from(java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+    def emit(user: Long, b: SessionBuf): SessionOut =
+      SessionOut(user, fromMicros(b.start), fromMicros(b.end), b.n, b.total)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuf, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (user: Long, it: Iterator[Evt], state: GroupState[SessionBuf]) =>
-          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.value))
-          var buf = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val us = micros(e.ts)
-            if (buf == null) buf = SessionBuf(us, us, 1, e.value)
-            else if (us - buf.end > gapUs) {
-              out += SessionOut(user, fromMicros(buf.start), fromMicros(buf.end),
-                buf.n, buf.total)
-              buf = SessionBuf(us, us, 1, e.value)
-            } else buf = SessionBuf(buf.start, us, buf.n + 1, buf.total + e.value)
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: no event can extend this
+            // session any more — flush and clear
+            val flushed = state.getOption.map(emit(user, _))
+            state.remove()
+            flushed.iterator
+          } else {
+            val sorted = it.take(maxBatchEvents + 1).toSeq
+            require(sorted.size <= maxBatchEvents,
+              s"user $user exceeded $maxBatchEvents events in one micro-batch")
+            val ordered = sorted.sortBy(e => (micros(e.ts), e.value))
+            var buf = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            ordered.foreach { e =>
+              val us = micros(e.ts)
+              if (buf == null) buf = SessionBuf(us, us, 1, e.value)
+              else if (us - buf.end > gapUs) {
+                out += emit(user, buf)
+                buf = SessionBuf(us, us, 1, e.value)
+              } else buf = SessionBuf(math.min(buf.start, us),
+                math.max(buf.end, us), buf.n + 1, buf.total + e.value)
+            }
+            if (buf != null) {
+              state.update(buf)
+              if (timeout == GroupStateTimeout.EventTimeTimeout)
+                state.setTimeoutTimestamp(buf.end / 1000L + gapMinutes * 60L * 1000L)
+            }
+            out.iterator
           }
-          if (buf != null) state.update(buf)
-          out.iterator
       }
   }
 }

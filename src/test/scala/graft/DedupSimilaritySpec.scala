@@ -69,10 +69,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // every IVF hit that's also an exact hit must carry the same score
     ivf.foreach { case (k, c) => exact.get(k).foreach(e => assert(e == c)) }
     // these embeddings are near-random (max pairwise cosine ~0.5), so
-    // IVF recall ~ probed corpus fraction (4/10 lists); on genuinely
+    // IVF recall ~ probed corpus fraction (4/8 lists); on genuinely
     // clustered data recall would approach 1. Guard the floor.
     val recall = ivf.count(p => exact.contains(p._1)).toDouble / exact.size
     assert(recall >= 0.35, s"IVF recall@3 collapsed: $recall")
+  }
+
+  test("IVF works on UNLABELED input (learned codebook, no label column)") {
+    val unlabeled = emb.select("vec_id", "embedding")
+    val probes = unlabeled.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(unlabeled, probes, k = 3, nprobe = 4).collect()
+    assert(ivf.nonEmpty)
+    // deterministic across invocations (seeded sample + fixed iterations)
+    val again = Similarity.ivfTopK(unlabeled, probes, k = 3, nprobe = 4).collect()
+    assert(ivf.sameElements(again))
   }
 
   test("typed CentroidAggregator == posexplode centroid") {
@@ -101,6 +111,40 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val fp2 = TextAnalysis.fingerprint(docs, "doc_id", "text").collect()
     assert(fp1.sameElements(fp2))
     assert(fp1.map(_.getLong(1)).distinct.length == fp1.length)
+  }
+
+  test("Md5Family matches the DuckDB rendering (pinned cross-engine value)") {
+    import spark.implicits._
+    // DuckDB: SELECT CAST(concat('0x', substr(md5('hello'),1,15)) AS BIGINT)
+    val v = Seq("hello").toDF("s")
+      .select(graft.functions.Md5Family.hash(col("s"))).head.getLong(0)
+    assert(v == 419982666956583591L)
+  }
+
+  test("canonical corpus keeps the min-id doc per cluster and counts removals") {
+    import spark.implicits._
+    val d = Seq((1L, "x x x x"), (2L, "x x x x"), (3L, "y y y y"), (4L, "z w q r"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.9)
+    val out = Dedup.canonicalCorpus(d, pairs, "doc_id").orderBy("doc_id")
+      .select("doc_id", "cluster_size", "removed_dups").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1L), (3L, 1L, 0L), (4L, 1L, 0L)))
+  }
+
+  test("maxDf cap drops boilerplate shingles; clean pairs survive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"), (2L, "a a a a"), (3L, "a a a a"), // identical boilerplate, df=3
+      (4L, "p q r s t u"), (5L, "p q r s t v")           // genuine near-dups, shingle df<=2
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(d, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text", maxDf = 2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((4L, 5L)))
+    assert(!capped.exists(p => Set(1L, 2L, 3L).contains(p._1)), "boilerplate pair survived cap")
+    assert(capped.contains((4L, 5L)), "clean near-dup pair lost to cap")
   }
 
   test("exact dedup keeps min id and counts duplicates") {

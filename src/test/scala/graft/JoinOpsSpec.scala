@@ -32,6 +32,22 @@ class JoinOpsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("asof lookup survives a value column sharing a name with a left column") {
+    import spark.implicits._
+    // right's "amount" collides with left's non-key "amount" — the padding
+    // step must not null the extracted asof values (ADVICE regression)
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val left = Seq((1L, t("10:00:00"), 99.0), (1L, t("11:00:00"), 98.0))
+      .toDF("k", "ts", "amount")
+    val right = Seq((1L, t("09:30:00"), 7.0), (1L, t("10:30:00"), 8.0))
+      .toDF("k", "ts", "amount")
+    val out = AsofJoin.asofLookup(left, right, "k", "ts", Seq("amount"))
+      .orderBy("ts").collect()
+    assert(out.map(_.getDouble(2)).toSeq == Seq(99.0, 98.0), "left values clobbered")
+    assert(out.map(_.getDouble(3)).toSeq == Seq(7.0, 8.0),
+      s"asof values nulled/wrong: ${out.toSeq}")
+  }
+
   test("salted inner join == plain inner join") {
     val orders = Tables.orders(spark, sf("sf0.001"))
     val customer = Tables.customer(spark, sf("sf0.001"))

@@ -32,4 +32,50 @@ class PartitionedSinkSpec extends SparkSpecBase {
     val after = spark.read.parquet(dir).agg(sum(col("event_id")), count(lit(1))).head
     assert(checksum == after)
   }
+
+  test("a writer killed at ANY point of the compact swap leaves the table readable") {
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_atomic").toString
+    val events = Tables.events(spark, sf("sf0.001")).select("event_id", "ts", "value")
+    val n = events.count()
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // each scenario = a filesystem state the swap can die in
+    def freshTable(name: String): String = {
+      val dir = s"$base/$name"
+      events.repartition(9).write.parquet(dir)
+      dir
+    }
+    def readable(dir: String): Unit =
+      assert(PartitionedSink.readByDate(spark, dir).count() == n, dir)
+
+    // 1. crash AFTER staging written, BEFORE any rename: table intact
+    val t1 = freshTable("t1")
+    events.coalesce(1).write.parquet(t1 + "._compacting")
+    readable(t1)
+    assert(!fs.exists(new Path(t1 + "._compacting")), "staging not tidied")
+
+    // 2. crash BETWEEN the renames (table moved to backup, staging
+    //    complete): heal must finish the swap forward
+    val t2 = freshTable("t2")
+    events.coalesce(1).write.parquet(t2 + "._compacting")
+    fs.rename(new Path(t2), new Path(t2 + "._old"))
+    readable(t2)
+    assert(!fs.exists(new Path(t2 + "._old")), "backup not tidied")
+
+    // 3. crash between renames with INCOMPLETE staging (no _SUCCESS):
+    //    heal must roll back to the backup
+    val t3 = freshTable("t3")
+    events.coalesce(1).write.parquet(t3 + "._compacting")
+    fs.delete(new Path(t3 + "._compacting/_SUCCESS"), false)
+    fs.rename(new Path(t3), new Path(t3 + "._old"))
+    readable(t3)
+
+    // 4. crash AFTER second rename, BEFORE backup delete
+    val t4 = freshTable("t4")
+    fs.rename(new Path(t4), new Path(t4 + "._old"))
+    events.coalesce(1).write.parquet(t4)
+    readable(t4)
+    assert(!fs.exists(new Path(t4 + "._old")), "backup not tidied")
+  }
 }

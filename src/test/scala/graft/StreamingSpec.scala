@@ -101,6 +101,87 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamGold == batchGold)
   }
 
+  test("streaming session_window (state-store) matches batch sessionize") {
+    val srcDir = Files.createTempDirectory("graft_sw_src").toString
+    val events = Tables.events(spark, sf("sf0.001"))
+    events.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    val stream = StreamingPower.sessionWindows(
+      StreamingPower.ingest(spark, srcDir, schema), gapMinutes = 30)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sw_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("sw_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = Sessions.sessionize(Tables.events(spark, sf("sf0.001")), gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // append mode emits only watermark-closed sessions; each must be a
+    // real batch session, and most sessions are old enough to close
+    assert(got.nonEmpty)
+    assert(got.subsetOf(batch), s"phantom sessions: ${(got -- batch).take(3)}")
+    assert(got.size >= batch.size / 2, s"too few closed: ${got.size}/${batch.size}")
+  }
+
+  test("fMGWS survives a late cross-batch event (end never dragged backwards)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ms = MemoryStream[StreamingPower.Evt]
+    val q = StreamingPower.sessionize(ms.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sess").start()
+    ms.addData(StreamingPower.Evt(1L, t("10:00:00"), 1.0),
+      StreamingPower.Evt(1L, t("10:10:00"), 1.0))
+    q.processAllAvailable()
+    // a late event INSIDE the stored session: must not rewrite end to
+    // the earlier timestamp (the pre-fix behavior)
+    ms.addData(StreamingPower.Evt(1L, t("10:05:00"), 1.0))
+    q.processAllAvailable()
+    // far-future event closes the session
+    ms.addData(StreamingPower.Evt(1L, t("13:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_sess").collect()
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(out.contains((t("10:00:00"), t("10:10:00"), 3L)),
+      s"corrupted session bounds: ${out.toSeq}")
+  }
+
+  test("fMGWS event-time timeout flushes the open session at the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ms = MemoryStream[StreamingPower.Evt]
+    val sessions = StreamingPower.sessionize(
+      ms.toDS().withWatermark("ts", "0 seconds").as[StreamingPower.Evt],
+      gapMinutes = 30, timeout = GroupStateTimeout.EventTimeTimeout)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("timeout_sess").start()
+    ms.addData(StreamingPower.Evt(7L, t("10:00:00"), 2.0),
+      StreamingPower.Evt(7L, t("10:10:00"), 3.0))
+    q.processAllAvailable()
+    // another key's far-future event advances the watermark past
+    // user 7's end + gap -> its open session must flush via timeout
+    ms.addData(StreamingPower.Evt(8L, t("12:00:00"), 1.0))
+    q.processAllAvailable()
+    ms.addData(StreamingPower.Evt(8L, t("14:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("timeout_sess").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(out.contains((7L, t("10:00:00"), t("10:10:00"), 2L)),
+      s"open session never flushed: ${out.toSeq}")
+  }
+
   test("stateful flatMapGroupsWithState sessionization matches batch sessionize") {
     import spark.implicits._
     val events = Tables.events(spark, sf("sf0.001"))
