@@ -22,6 +22,9 @@ sealed trait HashFamily {
   /** Hash a string column to a long. */
   def hash(c: Column): Column
 
+  /** A second, independent hash of the string (for double hashing). */
+  def hash2(c: Column): Column
+
   /** Re-hash an already-hashed long with a compile-time seed — the
     * minhash permutation step (hashes 8 bytes / a short decimal string,
     * not the original document text).
@@ -32,11 +35,27 @@ sealed trait HashFamily {
     * so equal band contents in different bands don't collide).
     */
   def hashWithSalt(c: Column, salt: Column): Column
+
+  /** Minhash permutation `p` from TWO bound base hashes —
+    * Kirsch-Mitzenmacher double hashing, g_p(x) = h1(x) + p·h2(x):
+    * after the two base hashes are bound once, every extra permutation
+    * is plain arithmetic, not another string hash. Default delegates to
+    * `rehash` for families whose seeded rehash is already cheap.
+    */
+  def permute(h1: Column, h2: Column, p: Int): Column = rehash(h1, p)
+
+  /** Whether `permute` actually reads h2 — callers skip binding the
+    * second base-hash array when it doesn't.
+    */
+  def needsSecondHash: Boolean = false
 }
 
-/** Production default: xxhash64 (codegen'd, seeds natively). */
+/** Production default: xxhash64 (codegen'd, seeds natively — `permute`
+  * keeps the native seeded rehash and ignores h2).
+  */
 case object XxHash64Family extends HashFamily {
   def hash(c: Column): Column = xxhash64(c)
+  def hash2(c: Column): Column = xxhash64(c, lit(0x9e3779b9L))
   def rehash(h: Column, seed: Int): Column = xxhash64(h, lit(seed))
   def hashWithSalt(c: Column, salt: Column): Column = xxhash64(c, salt)
 }
@@ -44,12 +63,21 @@ case object XxHash64Family extends HashFamily {
 /** Cross-engine md5-derived hash; values in [0, 2^60). The decimal
   * renderings used for rehash/salt (`CAST(x AS VARCHAR)`) are identical
   * in Spark and DuckDB, so derived hashes match too.
+  *
+  * `permute` works in a 2^50 ring so `h1 + p·h2` stays far from signed
+  * overflow (ANSI mode throws on wrap): max is 2^50 + 15·2^50 < 2^55.
+  * DuckDB rendering: `((h1 % B) + p * (h2 % B)) % B`, B = 2^50.
   */
 case object Md5Family extends HashFamily {
+  private val Ring = 1L << 50
   def hash(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  def hash2(c: Column): Column = hash(concat(lit("2_"), c))
   def rehash(h: Column, seed: Int): Column =
     hash(concat(h.cast("string"), lit("_" + seed)))
   def hashWithSalt(c: Column, salt: Column): Column =
     hash(concat(c, lit("_"), salt.cast("string")))
+  override def permute(h1: Column, h2: Column, p: Int): Column =
+    pmod(pmod(h1, lit(Ring)) + lit(p.toLong) * pmod(h2, lit(Ring)), lit(Ring))
+  override def needsSecondHash: Boolean = true
 }

@@ -45,25 +45,39 @@ object Dedup {
     when(size(t) >= k, chained).otherwise(array(concat_ws(" ", t)))
   }
 
-  /** MinHash signature: the string shingles are hashed ONCE, then each
-    * of the `numPerm` permutations re-hashes the base LONG (8 bytes /
-    * a short decimal string, far cheaper than re-hashing the document
-    * text) with a distinct seed. String hashing dominates, so this is
-    * ~numPerm× cheaper than per-permutation string hashing. All
-    * codegen'd builtins, ANSI-safe (no raw long multiply).
+  /** MinHash signature: the string shingles are hashed TWICE (two
+    * independent base hashes), then each of the `numPerm` permutations
+    * is `HashFamily.permute` over the bound base longs —
+    * Kirsch-Mitzenmacher double hashing, so string hashing cost is
+    * constant in `numPerm`. All codegen'd builtins, ANSI-safe (no raw
+    * long multiply; md5 permutes in a 2^50 ring).
     */
   def minhashSignature(text: Column, k: Int, numPerm: Int,
-      hashes: HashFamily = XxHash64Family): Column =
-    minhashFromHashes(transform(shingles(text, k), g => hashes.hash(g)), numPerm, hashes)
+      hashes: HashFamily = XxHash64Family): Column = {
+    val sh = shingles(text, k)
+    if (hashes.needsSecondHash)
+      minhashFromHashes(transform(sh, g => hashes.hash(g)),
+        transform(sh, g => hashes.hash2(g)), numPerm, hashes)
+    else
+      minhashFromHashes1(transform(sh, g => hashes.hash(g)), numPerm, hashes)
+  }
 
-  /** Permutation minima over an already-bound base-hash array column.
-    * Callers should bind the base hashes through their own projection
-    * so the string hashing runs once, not once per permutation.
+  /** Permutation minima over already-bound base-hash array columns
+    * (double-hashing form). Callers should bind both base-hash arrays
+    * through their own projection so the string hashing runs once, not
+    * once per permutation.
     */
-  def minhashFromHashes(baseHashes: Column, numPerm: Int,
+  def minhashFromHashes(h1: Column, h2: Column, numPerm: Int,
       hashes: HashFamily = XxHash64Family): Column =
     array((0 until numPerm).map { p =>
-      array_min(transform(baseHashes, h => hashes.rehash(h, p)))
+      array_min(zip_with(h1, h2, (a, b) => hashes.permute(a, b, p)))
+    }: _*)
+
+  /** Single-base form for families whose seeded rehash is native. */
+  def minhashFromHashes1(h1: Column, numPerm: Int,
+      hashes: HashFamily = XxHash64Family): Column =
+    array((0 until numPerm).map { p =>
+      array_min(transform(h1, h => hashes.rehash(h, p)))
     }: _*)
 
   /** MinHash-LSH near-duplicate pairs.
@@ -86,13 +100,22 @@ object Dedup {
       hashes: HashFamily = XxHash64Family): DataFrame = {
     val rows = numPerm / bands
     require(bands * rows == numPerm, "bands must divide numPerm")
-    // Two-stage projection binds the shingle hashes to a column so the
-    // 16 permutations re-hash longs, not strings; localCheckpoint
-    // because the signatures feed both sides of the band self-join.
-    val hashed = docs.select(col(idCol).as("doc"),
-      transform(shingles(col(textCol), shingleK), g => hashes.hash(g)).as("hs"))
-    val sig = hashed.select(col("doc"),
-      minhashFromHashes(col("hs"), numPerm, hashes).as("sig"))
+    // Two-stage projection binds the shingle base hashes to columns so
+    // the 16 permutations are cheap (long arithmetic / seeded rehash),
+    // not per-permutation string hashes; localCheckpoint because the
+    // signatures feed both sides of the band self-join.
+    val sh = shingles(col(textCol), shingleK)
+    val sig = (if (hashes.needsSecondHash)
+      docs.select(col(idCol).as("doc"),
+          transform(sh, g => hashes.hash(g)).as("hs1"),
+          transform(sh, g => hashes.hash2(g)).as("hs2"))
+        .select(col("doc"),
+          minhashFromHashes(col("hs1"), col("hs2"), numPerm, hashes).as("sig"))
+    else
+      docs.select(col(idCol).as("doc"),
+          transform(sh, g => hashes.hash(g)).as("hs1"))
+        .select(col("doc"),
+          minhashFromHashes1(col("hs1"), numPerm, hashes).as("sig")))
       .localCheckpoint()
 
     val banded = sig.select(col("doc"), col("sig"),

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFamily, XxHash64Family}
+
+/** Deterministic hash-bucket sampling and dataset splitting — the
+  * reproducible way to carve train/val/test (or take an N% sample) at
+  * any scale: no `rand()` (whose value depends on partitioning and
+  * retry), no global sort, no state. A document's bucket is a pure
+  * function of its id, so its split NEVER changes as the corpus grows
+  * or is re-partitioned — the property training pipelines rely on to
+  * keep eval sets stable across snapshots.
+  *
+  * Pure map-side projection/filter: zero shuffles, filter pushes to
+  * the scan.
+  */
+object Sampling {
+  /** Stable bucket in [0, buckets) from the string rendering of a key
+    * column.
+    */
+  def hashBucket(c: Column, buckets: Int,
+      hashes: HashFamily = XxHash64Family): Column =
+    pmod(hashes.hash(c.cast("string")), lit(buckets.toLong))
+
+  /** Attach `bucket` (0-99) and `split` ∈ {train, val, test} columns. */
+  def split(docs: DataFrame, idCol: String, trainPct: Int = 80,
+      valPct: Int = 10, hashes: HashFamily = XxHash64Family): DataFrame = {
+    require(trainPct + valPct <= 100, "train+val must be <= 100")
+    docs.withColumn("bucket", hashBucket(col(idCol), 100, hashes))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Keep a deterministic ~pct% sample. */
+  def sample(docs: DataFrame, idCol: String, pct: Int,
+      hashes: HashFamily = XxHash64Family): DataFrame =
+    docs.filter(hashBucket(col(idCol), 100, hashes) < pct)
+}

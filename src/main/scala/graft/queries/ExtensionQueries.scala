@@ -225,6 +225,41 @@ object ExtensionQueries {
   private val ngramJaccardCapped: Q = (s, dir) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", maxDf = 50)
 
+  /** Deterministic hash-bucket train/val/test split (Md5Family so the
+    * bucket function is engine-portable and the oracle exact).
+    */
+  private val hashSplit: Q = (s, dir) =>
+    Sampling.split(Tables.documents(s, dir), "doc_id", hashes = Md5Family)
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination: treat source 'src0' as the eval set,
+    * everything else as training; flag train docs sharing any 5-gram.
+    */
+  private val decontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Decontamination.contaminated(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", k = 5)
+  }
+
+  /** Corpus token-length histogram (fixed 50-token buckets, top capped
+    * at bucket 9) — the length-distribution profile every data run
+    * reports.
+    */
+  private val tokenHistogram: Q = (s, dir) => {
+    val n = size(TextAnalysis.wsTokens(col("text")))
+    Tables.documents(s, dir)
+      .select(least(floor(n / lit(50.0)), lit(9.0)).cast("int").as("bucket"),
+        n.as("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("bucket")
+  }
+
   /** Cross-table composite: document metadata ⋈ embeddings (doc_id ==
     * vec_id in the testdata) → per-language embedding centroids — the
     * metadata-conditioned-centroid shape of real corpus analytics.
@@ -241,6 +276,9 @@ object ExtensionQueries {
   val queries: Map[String, Q] = Map(
     "q59_canonical_corpus" -> canonicalCorpusQ,
     "q62_ngram_jaccard_capped" -> ngramJaccardCapped,
+    "q63_hash_split" -> hashSplit,
+    "q64_decontaminate" -> decontaminate,
+    "q65_token_histogram" -> tokenHistogram,
     "q58_lang_centroids" -> langCentroids,
     "q57_dedup_clusters" -> dedupClusters,
     "q52_multimodal_frames" -> multimodalFrames,
@@ -352,6 +390,31 @@ object ExtensionQueries {
         |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q63_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+        |    ${md5l("CAST(doc_id AS VARCHAR)")} % 100 AS bucket FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q64_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source, CASE WHEN len(t) >= 5
+        |  THEN [array_to_string(t[i:i+4], ' ') FOR i IN generate_series(1, len(t)-4)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, source, unnest(grams) AS g FROM sh),
+        |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+        |SELECT g.doc_id, count(*) AS shared_grams
+        |FROM g JOIN bench USING (g) WHERE g.source <> 'src0'
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q65_token_histogram" ->
+      """WITH n AS (SELECT len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        |           FROM documents)
+        |SELECT CAST(LEAST(FLOOR(n_tokens / 50.0), 9) AS INTEGER) AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(min(n_tokens) AS INTEGER) AS min_tokens,
+        |  CAST(max(n_tokens) AS INTEGER) AS max_tokens
+        |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q26_ann_lsh" -> annLshOracle,
     "q21_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -359,9 +422,9 @@ object ExtensionQueries {
         |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
         |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
         |g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
-        |h AS (SELECT doc_id, ${md5l("g")} AS h FROM g),
-        |mh AS (SELECT doc_id, p,
-        |    min(${md5l("concat(CAST(h AS VARCHAR), '_', p)")}) AS mh
+        |h AS (SELECT doc_id, ${md5l("g")} % 1125899906842624 AS h1,
+        |    ${md5l("concat('2_', g)")} % 1125899906842624 AS h2 FROM g),
+        |mh AS (SELECT doc_id, p, min((h1 + p * h2) % 1125899906842624) AS mh
         |  FROM h, generate_series(0, 15) AS gs(p) GROUP BY doc_id, p),
         |bands AS (SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_str
