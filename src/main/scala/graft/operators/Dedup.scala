@@ -197,12 +197,14 @@ object Dedup {
     * clustering step that turns pairwise matches into dedup groups
     * (pick one canonical doc per component).
     *
-    * Iterative min-label propagation (Pregel-lite): each round every
-    * vertex takes the min label among itself and its neighbors; rounds
-    * until fixpoint (≤ graph diameter) or `maxIter`. Each round is one
-    * shuffle join; labels are localCheckpointed so lineage stays flat.
-    * The driver only sees the per-round change COUNT — no vertex data
-    * leaves the cluster.
+    * Each round combines min-label propagation (every vertex takes the
+    * min label among itself and its neighbors — one shuffle join) with
+    * POINTER JUMPING (label := label(label) — path doubling, a second
+    * join): propagation alone needs O(component diameter) rounds, the
+    * doubling collapses that to O(log diameter), so even chain-shaped
+    * components converge in a handful of rounds. Labels are
+    * localCheckpointed so lineage stays flat; the driver only sees the
+    * per-round change COUNT — no vertex data leaves the cluster.
     *
     * Output: (doc_id, cluster_id = component min, cluster_size), only
     * for vertices that appear in `pairs`.
@@ -220,9 +222,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("nlabel")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("nlabel")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jumping: follow the label one hop (labels are vertex
+      // ids, so they are themselves labeled) and keep the min — path
+      // doubling that turns O(diameter) convergence into O(log)
+      val updated = propagated
+        .join(labels.select(col("id").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
         .localCheckpoint()
       converged = updated.filter(col("label") =!= col("old_label")).isEmpty
       labels = updated.drop("old_label")
@@ -256,23 +266,32 @@ object Dedup {
     * (exact semantics, the q23 oracle form); the capped form is its own
     * query (q62) with its own oracle.
     */
+  /** Inverted shingle index (doc, g), optionally DF-capped: shingles in
+    * more than `maxDf` docs (boilerplate) are removed via a BROADCAST
+    * anti-join — the hot list is tiny by construction, and dropping the
+    * rows map-side means the skewed shuffle never materializes
+    * (plan-asserted in PlanSpec). The groupBy that finds hot shingles
+    * is itself skew-safe: map-side partial aggregation collapses each
+    * shingle to one row per partition before its shuffle.
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDf: Int = Int.MaxValue): DataFrame = {
+    val grams0 = docs
+      .select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol), k))).as("g"))
+    if (maxDf == Int.MaxValue) grams0
+    else {
+      val hot = grams0.groupBy("g").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > maxDf).select("g")
+      grams0.join(broadcast(hot), Seq("g"), "left_anti")
+    }
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5, maxDf: Int = Int.MaxValue): DataFrame = {
     // localCheckpoint: the exploded shingle index feeds three plans
     // (both join sides + the size table) — without it the shingling
-    // runs three times.
-    val grams0 = docs
-      .select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol), k))).as("g"))
-      .localCheckpoint()
-    val grams =
-      if (maxDf == Int.MaxValue) grams0
-      else {
-        // map-side partial agg bounds the groupBy's skew; the > maxDf
-        // survivors are few, so the anti-join broadcasts
-        val hot = grams0.groupBy("g").agg(count(lit(1)).as("_df"))
-          .filter(col("_df") > maxDf).select("g")
-        grams0.join(broadcast(hot), Seq("g"), "left_anti").localCheckpoint()
-      }
+    // (and the DF-cap anti-join) runs three times.
+    val grams = shingleIndex(docs, idCol, textCol, k, maxDf).localCheckpoint()
     val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n"))
     val common = grams.select(col("doc").as("doc_a"), col("g"))
       .join(grams.select(col("doc").as("doc_b"), col("g")), Seq("g"))

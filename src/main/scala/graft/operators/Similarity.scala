@@ -213,6 +213,32 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-vector norm / quantization profile — the storage-planning
+    * numbers an embedding pipeline reports before switching to int8:
+    * l2 norm, max |component| (the symmetric-quantization scale), and
+    * the int8 round-trip reconstruction MSE.
+    *
+    * Pure map-side projection (one pass, no shuffle). `max_abs` is
+    * bound as a COLUMN before the quantization lambda references it —
+    * a lambda body re-evaluates outer non-column subexpressions per
+    * element (the O(n²) HOF trap), a bound attribute is free.
+    */
+  def embeddingStats(embeddings: DataFrame): DataFrame = {
+    val scale = 127
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("max_abs", array_max(transform(col("e"), x => abs(x))))
+      .select(
+        col("vec_id"),
+        round(sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)), 6).as("l2_norm"),
+        round(col("max_abs"), 6).as("max_abs"),
+        round(aggregate(
+          transform(col("e"), x =>
+            pow(x - round(x * scale / col("max_abs")) * col("max_abs") / scale, 2)),
+          lit(0.0), (a, x) => a + x) / size(col("e")), 6).as("int8_mse"))
+      .orderBy("vec_id")
+  }
+
   /** Per-label centroid, exploded form: (label, dim, centroid value).
     * `posexplode` + hash-aggregate — fully parallel, no collect, and
     * SQL-expressible for the oracle. The typed-Aggregator form (whole

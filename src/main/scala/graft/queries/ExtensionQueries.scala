@@ -260,6 +260,10 @@ object ExtensionQueries {
       .orderBy("bucket")
   }
 
+  /** Per-vector norm/quantization profile (storage planning for int8). */
+  private val embeddingNorms: Q = (s, dir) =>
+    Similarity.embeddingStats(Tables.embeddings(s, dir))
+
   /** Cross-table composite: document metadata ⋈ embeddings (doc_id ==
     * vec_id in the testdata) → per-language embedding centroids — the
     * metadata-conditioned-centroid shape of real corpus analytics.
@@ -279,6 +283,7 @@ object ExtensionQueries {
     "q63_hash_split" -> hashSplit,
     "q64_decontaminate" -> decontaminate,
     "q65_token_histogram" -> tokenHistogram,
+    "q66_embedding_norms" -> embeddingNorms,
     "q58_lang_centroids" -> langCentroids,
     "q57_dedup_clusters" -> dedupClusters,
     "q52_multimodal_frames" -> multimodalFrames,
@@ -415,6 +420,18 @@ object ExtensionQueries {
         |  CAST(min(n_tokens) AS INTEGER) AS min_tokens,
         |  CAST(max(n_tokens) AS INTEGER) AS max_tokens
         |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q66_embedding_norms" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e)
+        |SELECT vec_id,
+        |  ROUND(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6)
+        |    AS l2_norm,
+        |  ROUND(max_abs, 6) AS max_abs,
+        |  ROUND(list_aggregate(list_transform(v,
+        |      x -> pow(x - ROUND(x * 127 / max_abs) * max_abs / 127, 2)), 'sum')
+        |    / len(v), 6) AS int8_mse
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q26_ann_lsh" -> annLshOracle,
     "q21_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

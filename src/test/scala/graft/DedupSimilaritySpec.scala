@@ -147,6 +147,17 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(capped.contains((4L, 5L)), "clean near-dup pair lost to cap")
   }
 
+  test("connected components converge on a 64-node chain within maxIter (pointer jumping)") {
+    import spark.implicits._
+    // diameter 63 > maxIter 50: plain min-label propagation would throw
+    // non-convergence; path doubling must finish in ~log2(63) rounds
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b").collect()
+    assert(cc.length == 64)
+    assert(cc.forall(_.getLong(1) == 0L), "wrong cluster id")
+    assert(cc.forall(_.getLong(2) == 64L), "wrong cluster size")
+  }
+
   test("exact dedup keeps min id and counts duplicates") {
     import spark.implicits._
     val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"))

@@ -70,4 +70,29 @@ class PlanSpec extends SparkSpecBase {
       .filter(col("user_id") === 7).select("event_id", "user_id"))
     assert(plan.contains("EqualTo(user_id,7)"), s"user_id pushdown lost:\n$plan")
   }
+
+  test("decontamination joins the benchmark shingles via broadcast (train side never shuffles)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.Decontamination.contaminated(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "doc_id", "text"))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"train shingles shuffled:\n$plan")
+  }
+
+  test("hash-split is a pure map-side projection (no exchange)") {
+    val plan = planOf(graft.operators.Sampling.split(
+      Tables.documents(spark, sf("sf0.001")), "doc_id"))
+    assert(!plan.contains("Exchange"), s"split should not shuffle:\n$plan")
+  }
+
+  test("ngram DF cap drops hot shingles via broadcast ANTI join (no skewed shuffle)") {
+    // the index step pre-checkpoint — ngramJaccardPairs localCheckpoints
+    // it, which would hide the join from the final plan
+    val plan = planOf(graft.operators.Dedup.shingleIndex(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text", k = 3, maxDf = 50))
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"hot-shingle removal is not a broadcast anti join:\n$plan")
+  }
 }

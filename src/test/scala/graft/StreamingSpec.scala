@@ -101,6 +101,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamGold == batchGold)
   }
 
+  test("batch text operators run unchanged as streaming transforms") {
+    // operators are pure DataFrame => DataFrame, so map-side ones plug
+    // straight into readStream — the library's batch/stream reuse story
+    val srcDir = Files.createTempDirectory("graft_txt_src").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    docs.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = graft.operators.TextAnalysis.qualityScore(
+        spark.readStream.schema(schema).parquet(srcDir), "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_quality")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_quality").orderBy("doc_id").collect()
+    val batch = graft.operators.TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.nonEmpty && got.sameElements(batch))
+  }
+
   test("streaming session_window (state-store) matches batch sessionize") {
     val srcDir = Files.createTempDirectory("graft_sw_src").toString
     val events = Tables.events(spark, sf("sf0.001"))
