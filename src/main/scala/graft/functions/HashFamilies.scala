@@ -69,7 +69,10 @@ case object XxHash64Family extends HashFamily {
   * DuckDB rendering: `((h1 % B) + p * (h2 % B)) % B`, B = 2^50.
   */
 case object Md5Family extends HashFamily {
-  private val Ring = 1L << 50
+  /** Modulus of the permutation arithmetic (public: the fused
+    * MinhashSignatureExpr is parameterized on it).
+    */
+  val Ring: Long = 1L << 50
   def hash(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
   def hash2(c: Column): Column = hash(concat(lit("2_"), c))

@@ -66,12 +66,23 @@ object Dedup {
     * (double-hashing form). Callers should bind both base-hash arrays
     * through their own projection so the string hashing runs once, not
     * once per permutation.
+    *
+    * For Md5Family (arithmetic permutations) this compiles to the FUSED
+    * codegen expression — one pass over the arrays, all minima in
+    * registers — instead of numPerm × (zip_with + array_min); the two
+    * forms are spec'd bit-identical.
     */
   def minhashFromHashes(h1: Column, h2: Column, numPerm: Int,
-      hashes: HashFamily = XxHash64Family): Column =
-    array((0 until numPerm).map { p =>
-      array_min(zip_with(h1, h2, (a, b) => hashes.permute(a, b, p)))
-    }: _*)
+      hashes: HashFamily = XxHash64Family): Column = hashes match {
+    case graft.functions.Md5Family =>
+      graft.functions.MinhashExpressions.minhashFast(
+        org.apache.spark.sql.SparkSession.active)(
+        h1, h2, numPerm, graft.functions.Md5Family.Ring)
+    case _ =>
+      array((0 until numPerm).map { p =>
+        array_min(zip_with(h1, h2, (a, b) => hashes.permute(a, b, p)))
+      }: _*)
+  }
 
   /** Single-base form for families whose seeded rehash is native. */
   def minhashFromHashes1(h1: Column, numPerm: Int,
@@ -123,10 +134,15 @@ object Dedup {
         hashes.hashWithSalt(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows))), b)))
         .as(Seq("band", "band_hash")))
 
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
+    // hot-bucket cap as a broadcast anti-join (same pattern as the
+    // n-gram maxDf cap): the > maxBucket buckets are few by
+    // construction, so dropping their rows is map-side — unlike a
+    // count-over-window cap, which would shuffle the banded rows once
+    // per join side just to count them
+    val hotBuckets = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select("band", "band_hash")
+    val capped = banded.join(broadcast(hotBuckets), Seq("band", "band_hash"), "left_anti")
 
     val a = capped.select(col("band"), col("band_hash"),
       col("doc").as("doc_a"), col("sig").as("sig_a"))

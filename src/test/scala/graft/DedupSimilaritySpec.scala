@@ -113,6 +113,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(fp1.map(_.getLong(1)).distinct.length == fp1.length)
   }
 
+  test("fused minhash Expression == HOF double-hashing form bit-for-bit") {
+    import graft.functions.{Md5Family, MinhashExpressions}
+    val sh = Dedup.shingles(col("text"), 3)
+    val bound = docs.select(col("doc_id"),
+      transform(sh, g => Md5Family.hash(g)).as("h1"),
+      transform(sh, g => Md5Family.hash2(g)).as("h2"))
+    val hof = array((0 until 16).map { p =>
+      array_min(zip_with(col("h1"), col("h2"), (a, b) => Md5Family.permute(a, b, p)))
+    }: _*)
+    val rows = bound.select(
+      MinhashExpressions.minhashFast(spark)(col("h1"), col("h2"), 16, Md5Family.Ring)
+        .as("fused"),
+      hof.as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("Md5Family matches the DuckDB rendering (pinned cross-engine value)") {
     import spark.implicits._
     // DuckDB: SELECT CAST(concat('0x', substr(md5('hello'),1,15)) AS BIGINT)
