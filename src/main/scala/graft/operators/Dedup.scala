@@ -148,13 +148,15 @@ object Dedup {
       col("doc").as("doc_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("band_hash"),
       col("doc").as("doc_b"), col("sig").as("sig_b"))
+    // dedupe candidate pairs BEFORE scoring: a pair colliding in k
+    // bands would otherwise be scored k times and deduped after
     a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / numPerm, 6).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -200,11 +202,13 @@ object Dedup {
       }: _*)).as(Seq("seg", "seg_val")))
     val a = seg.select(col("seg"), col("seg_val"), col("doc").as("doc_a"), col("simhash").as("sh_a"))
     val b = seg.select(col("seg"), col("seg_val"), col("doc").as("doc_b"), col("simhash").as("sh_b"))
+    // dedupe candidates before the hamming verify (a pair can agree on
+    // several segments)
     a.join(b, Seq("seg", "seg_val"))
       .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }

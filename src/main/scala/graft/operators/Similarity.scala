@@ -105,11 +105,13 @@ object Similarity {
       .localCheckpoint()
     val a = sig.select(col("table"), col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
     val b = sig.select(col("table"), col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    // dedupe candidates before the exact scoring: a pair colliding in
+    // k of the 8 tables would otherwise pay k cosine evaluations
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosineFast(embeddings.sparkSession)(col("emb_a"), col("emb_b")), 6).as("cosine"))
-      .distinct()
       .filter(col("cosine") >= threshold)
       .orderBy("id_a", "id_b")
   }

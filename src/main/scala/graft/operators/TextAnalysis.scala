@@ -111,6 +111,22 @@ object TextAnalysis {
       .orderBy(idCol, "term_rank")
   }
 
+  /** Within-document repetition (a Gopher-style quality signal): the
+    * fraction of k-word shingles that repeat an earlier shingle — high
+    * values flag boilerplate / looping generations, one of the standard
+    * pre-training filters. Pure projection, no shuffle.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(col(textCol), k)
+    docs.select(
+      col(idCol),
+      size(sh).as("n_shingles"),
+      size(array_distinct(sh)).as("n_distinct"),
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6)
+        .as("repetition_ratio"))
+  }
+
   /** Content-defined fingerprints: full-text hash (exact-dup key) and
     * the minimum rolling 3-shingle hash (a 1-perm MinHash — stable
     * under small appends). With `Md5Family` the values are DuckDB-

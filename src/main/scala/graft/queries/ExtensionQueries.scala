@@ -264,6 +264,11 @@ object ExtensionQueries {
   private val embeddingNorms: Q = (s, dir) =>
     Similarity.embeddingStats(Tables.embeddings(s, dir))
 
+  /** Within-document shingle repetition (Gopher-style quality filter). */
+  private val repetitionQ: Q = (s, dir) =>
+    TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Cross-table composite: document metadata ⋈ embeddings (doc_id ==
     * vec_id in the testdata) → per-language embedding centroids — the
     * metadata-conditioned-centroid shape of real corpus analytics.
@@ -284,6 +289,7 @@ object ExtensionQueries {
     "q64_decontaminate" -> decontaminate,
     "q65_token_histogram" -> tokenHistogram,
     "q66_embedding_norms" -> embeddingNorms,
+    "q67_repetition" -> repetitionQ,
     "q58_lang_centroids" -> langCentroids,
     "q57_dedup_clusters" -> dedupClusters,
     "q52_multimodal_frames" -> multimodalFrames,
@@ -432,6 +438,17 @@ object ExtensionQueries {
         |      x -> pow(x - ROUND(x * 127 / max_abs) * max_abs / 127, 2)), 'sum')
         |    / len(v), 6) AS int8_mse
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q67_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS INTEGER) AS n_shingles,
+        |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+        |  ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        |    AS repetition_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
     "q26_ann_lsh" -> annLshOracle,
     "q21_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
