@@ -69,11 +69,11 @@ object PartitionedSink {
     * a complete table (spec kills the swap mid-way and reads back the
     * full row count).
     *
-    * Sizing is per-partition BEST EFFORT for hive tables: rows are
-    * spread over (partition cols, salt), with the salt modulus sized
-    * from the average partition's bytes — an oversized partition gets
-    * ~saltMod files instead of one giant file; per-partition-exact
-    * sizing would need a per-partition modulus map.
+    * Sizing is PER-PARTITION for hive tables: each leaf partition's
+    * byte size (one dir listing) determines its own salt modulus —
+    * an oversized partition is split into ~bytes/target files while
+    * small partitions keep one, so skewed layouts compact to the
+    * requested file size everywhere (spec-asserted on a skewed table).
     */
   def compact(spark: SparkSession, path: String, targetMB: Int = 128): Unit = {
     heal(spark, path)
@@ -98,26 +98,37 @@ object PartitionedSink {
       cols.toSeq
     }
     val bytes = fs.getContentSummary(p).getLength
-    val parts = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
+    val targetBytes = targetMB.toLong * 1024 * 1024
     val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
     val backup = new org.apache.hadoop.fs.Path(path + "._old")
     val df = spark.read.parquet(path)
     // partitioned tables: cluster rows by (partition key, salt) so each
     // output partition is written by few tasks (coalesce would spray
     // every partition's rows across all tasks -> parts x n_partitions
-    // files), while the salt keeps one oversized partition from
-    // collapsing into a single giant file
+    // files). The salt modulus is sized PER PARTITION from that
+    // partition's actual bytes (a tiny dir-listing map broadcast and
+    // joined on the hive path), so an oversized partition is split
+    // into ~bytes/target files while small partitions stay at one —
+    // per-partition-exact, not average-based.
     val sized =
       if (partitionCols.nonEmpty) {
-        val nLeaf = math.max(1L, countLeafPartitions(fs, p, partitionCols.length))
-        val saltMod = math.max(1L,
-          bytes / nLeaf / (targetMB.toLong * 1024 * 1024) + 1)
-        df.withColumn("_salt",
-            pmod(xxhash64(monotonically_increasing_id()), lit(saltMod)))
-          .repartition(parts,
-            (partitionCols.map(col) :+ col("_salt")): _*)
-          .drop("_salt")
-      } else df.coalesce(parts)
+        import spark.implicits._
+        val moduli = leafPartitionSizes(fs, p, partitionCols.length)
+          .map { case (rel, b) => (rel, math.max(1L, (b + targetBytes - 1) / targetBytes)) }
+        val parts = math.max(1, moduli.map(_._2).sum.toInt)
+        val modDf = broadcast(moduli.toDF("_pkey", "_mod"))
+        // rebuild each row's hive path (col=value/...) as the join key;
+        // partition values here are dates/strings whose cast-to-string
+        // matches the directory rendering
+        val pkey = concat_ws("/",
+          partitionCols.map(c => concat_ws("=", lit(c), col(c).cast("string"))): _*)
+        df.withColumn("_pkey", pkey)
+          .join(modDf, Seq("_pkey"), "left")
+          .withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()),
+            coalesce(col("_mod"), lit(1L))))
+          .repartition(parts, (partitionCols.map(col) :+ col("_salt")): _*)
+          .drop("_pkey", "_mod", "_salt")
+      } else df.coalesce(math.max(1, (bytes / targetBytes).toInt))
     val writer = sized.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
@@ -127,10 +138,17 @@ object PartitionedSink {
     fs.delete(backup, true)
   }
 
-  private def countLeafPartitions(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, depth: Int): Long =
-    if (depth == 0) 1L
-    else fs.listStatus(root)
+  /** (relative hive path like "p_date=2024-01-01", bytes) per leaf
+    * partition directory.
+    */
+  private def leafPartitionSizes(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, depth: Int): Seq[(String, Long)] =
+    if (depth == 0) Seq(("", fs.getContentSummary(root).getLength))
+    else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map(d => countLeafPartitions(fs, d.getPath, depth - 1)).sum
+      .flatMap { d =>
+        leafPartitionSizes(fs, d.getPath, depth - 1).map { case (rel, b) =>
+          (if (rel.isEmpty) d.getPath.getName else d.getPath.getName + "/" + rel, b)
+        }
+      }
 }

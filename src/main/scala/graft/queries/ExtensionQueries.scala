@@ -269,6 +269,12 @@ object ExtensionQueries {
     TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Portable approximate distinct (linear counting over md5 buckets) —
+    * the oracle-checkable sibling of q47's HLL.
+    */
+  private val linearCount: Q = (s, dir) =>
+    Sketches.linearCountDistinct(Tables.events(s, dir), col("user_id"))
+
   /** Cross-table composite: document metadata ⋈ embeddings (doc_id ==
     * vec_id in the testdata) → per-language embedding centroids — the
     * metadata-conditioned-centroid shape of real corpus analytics.
@@ -290,6 +296,7 @@ object ExtensionQueries {
     "q65_token_histogram" -> tokenHistogram,
     "q66_embedding_norms" -> embeddingNorms,
     "q67_repetition" -> repetitionQ,
+    "q68_linear_count_distinct" -> linearCount,
     "q58_lang_centroids" -> langCentroids,
     "q57_dedup_clusters" -> dedupClusters,
     "q52_multimodal_frames" -> multimodalFrames,
@@ -449,6 +456,12 @@ object ExtensionQueries {
         |  ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
         |    AS repetition_ratio
         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q68_linear_count_distinct" ->
+      s"""WITH b AS (SELECT DISTINCT ${md5l("CAST(user_id AS VARCHAR)")} % 4096 AS b
+        |           FROM events)
+        |SELECT count(*) AS occupied_buckets,
+        |  ROUND(-4096 * ln((4096 - count(*)) / 4096.0), 6) AS estimated_distinct
+        |FROM b""".stripMargin,
     "q26_ann_lsh" -> annLshOracle,
     "q21_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -175,6 +175,15 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(cc.forall(_.getLong(2) == 64L), "wrong cluster size")
   }
 
+  test("linear counting estimates distinct within 5% at one-third occupancy") {
+    import graft.operators.Sketches
+    val events = Tables.events(spark, sf("sf0.001"))
+    val exact = events.select(countDistinct(col("user_id"))).head.getLong(0)
+    val est = Sketches.linearCountDistinct(events, col("user_id"))
+      .head.getDouble(1)
+    assert(math.abs(est - exact) / exact < 0.05, s"estimate $est vs exact $exact")
+  }
+
   test("exact dedup keeps min id and counts duplicates") {
     import spark.implicits._
     val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"))

@@ -33,6 +33,25 @@ class PartitionedSinkSpec extends SparkSpecBase {
     assert(checksum == after)
   }
 
+  test("compaction sizes files per partition: a skewed partition splits, small ones stay single") {
+    val dir = Files.createTempDirectory("graft_skewc").toString + "/t"
+    // one ~5 MB partition (incompressible md5 payload) + one tiny one
+    val big = spark.range(150000).selectExpr(
+      "md5(cast(id as string)) AS payload", "DATE '2024-01-01' AS p_date")
+    val small = spark.range(100).selectExpr(
+      "md5(cast(id as string)) AS payload", "DATE '2024-01-02' AS p_date")
+    big.union(small).repartition(8).write.partitionBy("p_date").parquet(dir)
+    val total = spark.read.parquet(dir).count()
+    PartitionedSink.compact(spark, dir, targetMB = 1)
+    def files(sub: String) = new java.io.File(s"$dir/$sub")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files("p_date=2024-01-01") > 1,
+      "oversized partition collapsed into a single file")
+    assert(files("p_date=2024-01-02") == 1,
+      "small partition fragmented")
+    assert(spark.read.parquet(dir).count() == total)
+  }
+
   test("a writer killed at ANY point of the compact swap leaves the table readable") {
     import org.apache.hadoop.fs.Path
     val base = Files.createTempDirectory("graft_atomic").toString
