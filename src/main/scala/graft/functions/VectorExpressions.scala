@@ -86,8 +86,62 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Plain dot product, same fused-loop/codegen/NULL contract as
+  * CosineSimilarityExpr. For SIGN tests (LSH hyperplane routing)
+  * sign(dot) == sign(cosine) since norms are positive — so this does
+  * the same routing at a third of the arithmetic (no norm loops, no
+  * sqrts).
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   private val FuncName = "graft_cosine"
+  private val DotName = "graft_dot"
 
   /** Register (idempotent) and return the codegen'd cosine Column.
     * Registration goes through the session FunctionRegistry because
@@ -98,5 +152,12 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FuncName, exprs => CosineSimilarityExpr(exprs.head, exprs(1)), "built-in")
     call_function(FuncName, a, b)
+  }
+
+  /** Register (idempotent) and return the codegen'd dot-product Column. */
+  def dotFast(spark: SparkSession)(a: Column, b: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName, exprs => DotProductExpr(exprs.head, exprs(1)), "built-in")
+    call_function(DotName, a, b)
   }
 }

@@ -67,15 +67,17 @@ object Similarity {
   }
 
   /** Sign-LSH signature column: one bit per hyperplane. Uses the
-    * codegen cosine expression for the plane projections — sign(cosine)
-    * == sign(dot) since norms are positive, and the fused-loop
-    * expression is ~100× the higher-order dot (BenchMicro).
+    * codegen DOT expression for the plane projections — sign(dot) ==
+    * sign(cosine) since norms are positive, so the routing is identical
+    * to the cosine form (and to the DuckDB oracle's list_dot_product)
+    * at a third of the arithmetic: no norm loops, no sqrts, per plane.
     */
   private def signature(spark: org.apache.spark.sql.SparkSession,
       emb: org.apache.spark.sql.Column, planes: Array[Array[Double]]) = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(cosineFast(spark)(emb, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(graft.functions.VectorExpressions.dotFast(spark)(emb, planeCol) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -42,6 +42,19 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(withNullElem.head.isNullAt(2))
   }
 
+  test("codegen dot == HOF dot, and sign agrees with cosine (LSH routing contract)") {
+    val rng = new scala.util.Random(13)
+    val rows = Seq.fill(200)(
+      (Array.fill(64)(rng.nextGaussian()), Array.fill(64)(rng.nextGaussian())))
+    val df = cosPairs(rows)
+      .withColumn("dot", VectorExpressions.dotFast(spark)(col("a"), col("b")))
+      .withColumn("hof", aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("cos", VectorExpressions.cosineFast(spark)(col("a"), col("b")))
+    assert(df.filter(col("dot") =!= col("hof")).count() == 0)
+    assert(df.filter((col("dot") >= 0) =!= (col("cos") >= 0)).count() == 0)
+  }
+
   test("null input propagates null") {
     val df = Seq((Some(Array(1.0, 2.0)), Option.empty[Array[Double]]))
       .toDF("a", "b")
