@@ -77,6 +77,49 @@ class PropertySpec extends SparkSpecBase {
     runProp(p, 10)
   }
 
+  test("property: canonical corpus keeps exactly one doc per duplicate-text group") {
+    import graft.operators.Dedup
+    // random corpora with planted exact duplicates: survivors must be
+    // the min id of every text group, and removed counts must add up
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      nGroups <- Gen.choose(1, 8)
+      texts <- Gen.listOfN(nGroups, Gen.choose(0, 4).map(i =>
+        s"alpha beta gamma delta word$i epsilon zeta"))
+      copies <- Gen.listOfN(nGroups, Gen.choose(1, 4))
+    } yield texts.zip(copies).flatMap { case (t, c) => Seq.fill(c)(t) }
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val p = Prop.forAll(corpusGen) { rows =>
+      import spark.implicits._
+      val docs = rows.toDF("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.99)
+      val out = Dedup.canonicalCorpus(docs, pairs, "doc_id").collect()
+      val byText = rows.groupBy(_._2)
+      val expectSurvivors = byText.values.map(_.map(_._1).min).toSet
+      val gotSurvivors = out.map(_.getLong(0)).toSet
+      val removedSum = out.map(r => r.getAs[Long]("removed_dups")).sum
+      gotSurvivors == expectSurvivors &&
+        removedSum == (rows.size - byText.size)
+    }
+    runProp(p, 10)
+  }
+
+  test("property: hash split is invariant under row order and partitioning") {
+    import graft.operators.Sampling
+    val idsGen: Gen[Seq[Long]] = Gen.choose(1, 60)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0L, 100000L))).map(_.distinct)
+    val p = Prop.forAll(idsGen, Gen.choose(1, 8)) { (ids, parts) =>
+      import spark.implicits._
+      def splitOf(df: DataFrame) =
+        Sampling.split(df, "doc_id").select("doc_id", "split")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val base = splitOf(ids.toDF("doc_id"))
+      val shuffled = splitOf(
+        scala.util.Random.shuffle(ids).toDF("doc_id").repartition(parts))
+      base == shuffled
+    }
+    runProp(p, 10)
+  }
+
   test("property: window output invariant under input shuffling/partitioning") {
     val p = Prop.forAll(seriesGen, Gen.choose(1, 8)) { (rows, parts) =>
       val base = mkEvents(rows)
