@@ -275,6 +275,19 @@ object ExtensionQueries {
   private val linearCount: Q = (s, dir) =>
     Sketches.linearCountDistinct(Tables.events(s, dir), col("user_id"))
 
+  /** Salted skew join, oracle-checked against the PLAIN inner join —
+    * the salt is pure execution strategy, invisible in the result.
+    */
+  private val saltedJoin: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val customer = Tables.customer(s, dir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    SkewJoin.saltedInnerJoin(orders, customer, "o_custkey",
+        idCol = "o_orderkey", numSalts = 7)
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Cross-table composite: document metadata ⋈ embeddings (doc_id ==
     * vec_id in the testdata) → per-language embedding centroids — the
     * metadata-conditioned-centroid shape of real corpus analytics.
@@ -297,6 +310,7 @@ object ExtensionQueries {
     "q66_embedding_norms" -> embeddingNorms,
     "q67_repetition" -> repetitionQ,
     "q68_linear_count_distinct" -> linearCount,
+    "q69_salted_join" -> saltedJoin,
     "q58_lang_centroids" -> langCentroids,
     "q57_dedup_clusters" -> dedupClusters,
     "q52_multimodal_frames" -> multimodalFrames,
@@ -462,6 +476,10 @@ object ExtensionQueries {
         |SELECT count(*) AS occupied_buckets,
         |  ROUND(-4096 * ln((4096 - count(*)) / 4096.0), 6) AS estimated_distinct
         |FROM b""".stripMargin,
+    "q69_salted_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q26_ann_lsh" -> annLshOracle,
     "q21_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

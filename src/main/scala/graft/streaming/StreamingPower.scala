@@ -28,6 +28,21 @@ object StreamingPower {
       horizon: String): DataFrame =
     events.withWatermark(tsCol, horizon).dropDuplicates(keyCol, tsCol)
 
+  /** Streaming exact-dedup of a DOCUMENT stream by content fingerprint:
+    * the LLM-ingest shape — as documents arrive, drop any whose text
+    * hash was already seen (state bounded by the watermark horizon).
+    * Composition of the batch fingerprint operator (which, being a
+    * pure projection, runs unchanged on a stream) with Structured
+    * Streaming's stateful dropDuplicates.
+    */
+  def dedupDocumentsByContent(docs: DataFrame, tsCol: String, textCol: String,
+      horizon: String): DataFrame =
+    docs.withColumn("_text_hash",
+        graft.functions.XxHash64Family.hash(org.apache.spark.sql.functions.col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicates("_text_hash")
+      .drop("_text_hash")
+
   /** Tumbling per-minute aggregate with event-time watermark — the
     * streaming analog of the gold per-minute feature row.
     */

@@ -101,6 +101,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamGold == batchGold)
   }
 
+  test("streaming content dedup drops exact-duplicate documents across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingPower.dedupDocumentsByContent(
+        ms.toDF().toDF("ts", "text"), "ts", "text", horizon = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("content_dedup").start()
+    ms.addData((t("10:00:00"), "doc alpha"), (t("10:01:00"), "doc beta"))
+    q.processAllAvailable()
+    // same TEXT arriving later (different ts) must be dropped
+    ms.addData((t("10:05:00"), "doc alpha"), (t("10:06:00"), "doc gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("content_dedup").collect().map(_.getString(1)).sorted
+    assert(texts.toSeq == Seq("doc alpha", "doc beta", "doc gamma"),
+      s"got ${texts.toSeq}")
+  }
+
   test("batch text operators run unchanged as streaming transforms") {
     // operators are pure DataFrame => DataFrame, so map-side ones plug
     // straight into readStream — the library's batch/stream reuse story
