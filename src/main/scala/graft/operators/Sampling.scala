@@ -38,4 +38,20 @@ object Sampling {
   def sample(docs: DataFrame, idCol: String, pct: Int,
       hashes: HashFamily = XxHash64Family): DataFrame =
     docs.filter(hashBucket(col(idCol), 100, hashes) < pct)
+
+  /** Stratified deterministic sampling: a different keep-percentage per
+    * group value (the corpus-REBALANCING op — downsample the dominant
+    * language/source, keep the rest). Same stability guarantee as
+    * `split`: membership is a pure function of the id, so the sample
+    * for a group never churns as other groups grow. Map-side filter,
+    * no shuffle, pushdown-friendly.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, groupCol: String,
+      pctByGroup: Map[String, Int], defaultPct: Int,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val pct = pctByGroup.foldLeft(lit(defaultPct)) {
+      case (acc, (g, p)) => when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    docs.filter(hashBucket(col(idCol), 100, hashes) < pct)
+  }
 }

@@ -275,6 +275,16 @@ object ExtensionQueries {
   private val linearCount: Q = (s, dir) =>
     Sketches.linearCountDistinct(Tables.events(s, dir), col("user_id"))
 
+  /** Corpus rebalancing: downsample the dominant language (en keeps
+    * 30%), keep the rest at 80% — per-group deterministic hash
+    * sampling.
+    */
+  private val stratified: Q = (s, dir) =>
+    Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 30), defaultPct = 80, hashes = Md5Family)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Salted skew join, oracle-checked against the PLAIN inner join —
     * the salt is pure execution strategy, invisible in the result.
     */
@@ -311,6 +321,7 @@ object ExtensionQueries {
     "q67_repetition" -> repetitionQ,
     "q68_linear_count_distinct" -> linearCount,
     "q69_salted_join" -> saltedJoin,
+    "q70_stratified_sample" -> stratified,
     "q58_lang_centroids" -> langCentroids,
     "q57_dedup_clusters" -> dedupClusters,
     "q52_multimodal_frames" -> multimodalFrames,
@@ -480,6 +491,11 @@ object ExtensionQueries {
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q70_stratified_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE ${md5l("CAST(doc_id AS VARCHAR)")} % 100 <
+        |  CASE WHEN lang = 'en' THEN 30 ELSE 80 END
+        |ORDER BY doc_id""".stripMargin,
     "q26_ann_lsh" -> annLshOracle,
     "q21_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
