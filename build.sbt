@@ -16,6 +16,11 @@ run / fork := true
 // logger-backed strategy would wrap it in "[info] ..." (BENCH_r01 had
 // parsed:null for exactly this reason).
 run / outputStrategy := Some(StdoutOutput)
+// ...and keep the JSON line the LAST thing on stdout: sbt's trailing
+// "[success] Total time: ..." line otherwise follows it and defeats a
+// last-line parse (BENCH_r02 had parsed:null for exactly this reason).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
