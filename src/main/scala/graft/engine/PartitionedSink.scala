@@ -46,8 +46,8 @@ object PartitionedSink {
     val stagingCommitted = fs.exists(
       new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
     if (!fs.exists(p)) {
-      if (stagingCommitted) fs.rename(staging, p) // crash between renames
-      else if (fs.exists(backup)) fs.rename(backup, p) // crash pre-commit
+      if (stagingCommitted) renameOrThrow(fs, staging, p) // crash between renames
+      else if (fs.exists(backup)) renameOrThrow(fs, backup, p) // crash pre-commit
     }
     if (fs.exists(p)) { // tidy whichever leftover lost the race
       if (fs.exists(backup)) fs.delete(backup, true)
@@ -122,9 +122,15 @@ object PartitionedSink {
         // matches the directory rendering
         val pkey = concat_ws("/",
           partitionCols.map(c => concat_ws("=", lit(c), col(c).cast("string"))): _*)
+        // Salt must be DETERMINISTIC per row: it feeds repartition, and
+        // a task retried after a shuffle-fetch failure must route every
+        // recomputed row to the same reducer as the committed attempt
+        // (monotonically_increasing_id here could silently lose or
+        // duplicate rows on retry). Hash the data columns themselves —
+        // identical rows co-locating is harmless for file sizing.
         df.withColumn("_pkey", pkey)
           .join(modDf, Seq("_pkey"), "left")
-          .withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()),
+          .withColumn("_salt", pmod(xxhash64(df.columns.map(col): _*),
             coalesce(col("_mod"), lit(1L))))
           .repartition(parts, (partitionCols.map(col) :+ col("_salt")): _*)
           .drop("_pkey", "_mod", "_salt")
@@ -132,11 +138,23 @@ object PartitionedSink {
     val writer = sized.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
-    // commit: two atomic renames; heal() recovers any crash in between
-    fs.rename(p, backup)
-    fs.rename(tmp, p)
+    // commit: two atomic renames; heal() recovers any crash in between.
+    // Each rename's boolean is checked — a silently-failed rename(tmp, p)
+    // followed by the backup delete would leave the table absent AND
+    // unrecoverable, masking the failure until the next read.
+    renameOrThrow(fs, p, backup)
+    renameOrThrow(fs, tmp, p)
     fs.delete(backup, true)
   }
+
+  /** HDFS `rename` reports failure via its return value, not an
+    * exception — surface it, so a failed swap step never cascades into
+    * deleting the only remaining copy.
+    */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
 
   /** (relative hive path like "p_date=2024-01-01", bytes) per leaf
     * partition directory.

@@ -236,10 +236,14 @@ object Similarity {
         col("vec_id"),
         round(sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)), 6).as("l2_norm"),
         round(col("max_abs"), 6).as("max_abs"),
-        round(aggregate(
-          transform(col("e"), x =>
-            pow(x - round(x * scale / col("max_abs")) * col("max_abs") / scale, 2)),
-          lit(0.0), (a, x) => a + x) / size(col("e")), 6).as("int8_mse"))
+        // all-zero vector: max_abs = 0 and the quantization divide would
+        // throw DIVIDE_BY_ZERO under ANSI mode; the round-trip of the
+        // zero vector is exact, so its MSE is 0 by definition
+        when(col("max_abs") === 0, lit(0.0)).otherwise(
+          round(aggregate(
+            transform(col("e"), x =>
+              pow(x - round(x * scale / col("max_abs")) * col("max_abs") / scale, 2)),
+            lit(0.0), (a, x) => a + x) / size(col("e")), 6)).as("int8_mse"))
       .orderBy("vec_id")
   }
 

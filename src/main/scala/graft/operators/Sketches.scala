@@ -19,7 +19,12 @@ import graft.functions.{HashFamily, Md5Family}
 object Sketches {
   def linearCountDistinct(df: DataFrame, c: Column, k: Int = 4096,
       hashes: HashFamily = Md5Family): DataFrame =
-    df.select(pmod(hashes.hash(c.cast("string")), lit(k.toLong)).as("b"))
+    // NULLs are excluded EXPLICITLY: Spark's countDistinct skips the
+    // NULL bucket that md5(NULL) produces, but a SQL oracle's
+    // DISTINCT+count(*) counts it — filter on both sides so the parity
+    // doesn't hinge on engine NULL-aggregation defaults.
+    df.filter(c.isNotNull)
+      .select(pmod(hashes.hash(c.cast("string")), lit(k.toLong)).as("b"))
       .agg(countDistinct(col("b")).as("occupied_buckets"))
       .select(col("occupied_buckets"),
         round(lit(-k.toDouble) *

@@ -466,9 +466,10 @@ object ExtensionQueries {
         |  ROUND(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6)
         |    AS l2_norm,
         |  ROUND(max_abs, 6) AS max_abs,
-        |  ROUND(list_aggregate(list_transform(v,
-        |      x -> pow(x - ROUND(x * 127 / max_abs) * max_abs / 127, 2)), 'sum')
-        |    / len(v), 6) AS int8_mse
+        |  CASE WHEN max_abs = 0 THEN 0.0 ELSE
+        |    ROUND(list_aggregate(list_transform(v,
+        |        x -> pow(x - ROUND(x * 127 / max_abs) * max_abs / 127, 2)), 'sum')
+        |      / len(v), 6) END AS int8_mse
         |FROM m ORDER BY vec_id""".stripMargin,
     "q67_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
@@ -483,7 +484,7 @@ object ExtensionQueries {
         |FROM sh ORDER BY doc_id""".stripMargin,
     "q68_linear_count_distinct" ->
       s"""WITH b AS (SELECT DISTINCT ${md5l("CAST(user_id AS VARCHAR)")} % 4096 AS b
-        |           FROM events)
+        |           FROM events WHERE user_id IS NOT NULL)
         |SELECT count(*) AS occupied_buckets,
         |  ROUND(-4096 * ln((4096 - count(*)) / 4096.0), 6) AS estimated_distinct
         |FROM b""".stripMargin,

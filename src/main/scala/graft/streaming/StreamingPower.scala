@@ -33,14 +33,18 @@ object StreamingPower {
     * hash was already seen (state bounded by the watermark horizon).
     * Composition of the batch fingerprint operator (which, being a
     * pure projection, runs unchanged on a stream) with Structured
-    * Streaming's stateful dropDuplicates.
+    * Streaming's stateful dedup. Plain `dropDuplicates("_text_hash")`
+    * would keep state FOREVER here — eviction only happens when the
+    * event-time column is among the dedup keys — so the
+    * within-watermark variant is required for the bounded-state claim
+    * to hold.
     */
   def dedupDocumentsByContent(docs: DataFrame, tsCol: String, textCol: String,
       horizon: String): DataFrame =
     docs.withColumn("_text_hash",
         graft.functions.XxHash64Family.hash(org.apache.spark.sql.functions.col(textCol)))
       .withWatermark(tsCol, horizon)
-      .dropDuplicates("_text_hash")
+      .dropDuplicatesWithinWatermark("_text_hash")
       .drop("_text_hash")
 
   /** Tumbling per-minute aggregate with event-time watermark — the
