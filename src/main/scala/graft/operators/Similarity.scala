@@ -181,10 +181,38 @@ object Similarity {
     * including on unlabeled input.
     */
   def ivfTopK(embeddings: DataFrame, probes: DataFrame, k: Int, nprobe: Int = 2,
-      nlists: Int = 8): DataFrame = {
+      nlists: Int = 8): DataFrame =
+    ivfTopKWithCodebook(embeddings, probes, k, nprobe,
+      kmeansCodebook(embeddings, nlists))
+
+  /** Hash-seeded codebook: the `nlists` corpus vectors with the
+    * smallest [[Md5Family]] hash of their id — i.e. a reproducible
+    * uniform random sample used directly as the coarse quantizer
+    * (k-means's own init step, skipping Lloyd refinement). Slightly
+    * worse list balance than the learned codebook, but every step is
+    * plain relational algebra, so the WHOLE IVF pipeline — seeding,
+    * assignment, probe routing, candidate ranking — is expressible in
+    * a SQL oracle and hash-checkable cross-engine.
+    */
+  def seededCodebook(embeddings: DataFrame, nlists: Int,
+      hashes: graft.functions.HashFamily = graft.functions.Md5Family): Array[Array[Double]] =
+    embeddings
+      .select(asDouble(col("embedding")).as("emb"), col("vec_id"),
+        hashes.hash(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(nlists)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+
+  /** IVF over the hash-seeded codebook — the oracle-checkable variant. */
+  def ivfTopKSeeded(embeddings: DataFrame, probes: DataFrame, k: Int,
+      nprobe: Int = 2, nlists: Int = 8): DataFrame =
+    ivfTopKWithCodebook(embeddings, probes, k, nprobe,
+      seededCodebook(embeddings, nlists))
+
+  private def ivfTopKWithCodebook(embeddings: DataFrame, probes: DataFrame,
+      k: Int, nprobe: Int, codebook: Array[Array[Double]]): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroids = kmeansCodebook(embeddings, nlists).zipWithIndex
+    val centroids = codebook.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
 

@@ -105,9 +105,15 @@ object ExtensionQueries {
         round(avg(col("p.k")), 6).as("avg_k"))
       .orderBy("event_type")
 
+  /** IVF over the hash-seeded codebook, so the full pipeline (seed
+    * selection → list assignment → probe routing → candidate ranking)
+    * is SQL-expressible and hash-checked; the learned-k-means codebook
+    * (`Similarity.ivfTopK`) is the production default and keeps its
+    * recall spec.
+    */
   private val annIvf: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 3, nprobe = 4)
+    Similarity.ivfTopKSeeded(emb, emb.filter(col("vec_id") < 10), k = 3, nprobe = 4)
   }
 
   /** As-of attribution: each purchase joined to the user's most recent
@@ -387,11 +393,35 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** DuckDB equivalents. Omitted (rows-only check) only where the
-    * semantics are genuinely not SQL-expressible: q40_ann_ivf (learned
-    * codebook) and q47_approx_distinct (HLL sketch internals differ).
+  /** DuckDB equivalents — every registered query has one: q40 routes
+    * through the hash-seeded IVF codebook and q47 through the
+    * deterministic portable HLL precisely so that the last two
+    * formerly rows-only checks became hash-checkable.
     */
   val oracleSql: Map[String, String] = Map(
+    "q40_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS c
+        |       FROM (SELECT vec_id, v,
+        |               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |             FROM e ORDER BY h, vec_id LIMIT 8)),
+        |ca AS (SELECT e.vec_id, e.v, cb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_cosine_similarity(e.v, cb.c) DESC, cb.list_id) AS crank
+        |       FROM e CROSS JOIN cb),
+        |corpus AS (SELECT vec_id AS neighbor_id, v, list_id FROM ca WHERE crank = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS q, list_id
+        |           FROM ca WHERE crank <= 4 AND vec_id < 10),
+        |cand AS (SELECT p.query_id, c.neighbor_id,
+        |           list_cosine_similarity(p.q, c.v) AS cos
+        |         FROM probes p JOIN corpus c USING (list_id)
+        |         WHERE c.neighbor_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |             AS INTEGER) AS rank
+        |      FROM cand)
+        |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q59_canonical_corpus" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3

@@ -282,16 +282,26 @@ object ParityQueries {
       .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
-  /** Approximate distinct (HLL++) vs exact — no SQL oracle (sketch
-    * internals are engine-defined); the spec bounds relative error.
+  /** Approximate distinct vs exact — the deterministic portable HLL
+    * (`Sketches.hllDistinct`), so the whole sketch is hash-checkable
+    * against a SQL oracle. The two key columns deliberately sit on
+    * either side of the small-range threshold at the gate's scale:
+    * parts exercises the linear-counting correction, orders the raw
+    * HLL estimator. (`approx_count_distinct` stays the prod shortcut
+    * when no cross-engine check is needed; its HLL++ registers are
+    * engine-private.)
     */
-  private val approxDistinct: Q = (s, dir) =>
-    Tables.lineitem(s, dir)
-      .agg(
+  private val approxDistinct: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val parts = graft.operators.Sketches.hllDistinct(li, col("l_partkey"))
+      .select(col("hll_estimate").as("hll_parts"))
+    val orders = graft.operators.Sketches.hllDistinct(li, col("l_orderkey"))
+      .select(col("hll_estimate").as("hll_orders"))
+    li.agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .crossJoin(parts).crossJoin(orders)
+  }
 
   /** Semi join (EXISTS) — the positive sibling of q06's anti join. */
   private val semiJoin: Q = (s, dir) =>
@@ -399,6 +409,51 @@ object ParityQueries {
     "q61_except_all" -> exceptAllOp)
 
   val oracleSql: Map[String, String] = Map(
+    // q47: the same deterministic HLL as Sketches.hllDistinct — md5-derived
+    // 60-bit hash, low 12 bits route to 4096 registers, rank from the exact
+    // bit length of the remainder, register sum as an exact integer
+    // Σ 2^(49-rho), constants in e-notation (DuckDB would otherwise parse
+    // 0.7213 as DECIMAL and diverge), small-range linear-counting branch.
+    "q47_approx_distinct" ->
+      """WITH hp AS (SELECT CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |            FROM lineitem WHERE l_partkey IS NOT NULL),
+        |rp AS (SELECT h % 4096 AS bucket,
+        |         max(CASE WHEN h // 4096 = 0 THEN 49
+        |             ELSE 49 - length(bin(h // 4096)) END) AS rho
+        |       FROM hp GROUP BY 1),
+        |zp AS (SELECT count(*) AS occ,
+        |         CAST(coalesce(sum(1::BIGINT << (49 - rho)), 0) AS BIGINT)
+        |           + (4096 - count(*)) * (1::BIGINT << 49) AS z_int
+        |       FROM rp),
+        |ep AS (SELECT CASE WHEN (0.7213e0 / (1e0 + 1.079e0 / 4096e0) * 4096e0 * 4096e0)
+        |                  * 562949953421312e0 / CAST(z_int AS DOUBLE)
+        |                  <= 2.5e0 * 4096e0 AND (4096 - occ) > 0
+        |              THEN 4096e0 * ln(4096e0 / (4096 - occ))
+        |              ELSE (0.7213e0 / (1e0 + 1.079e0 / 4096e0) * 4096e0 * 4096e0)
+        |                  * 562949953421312e0 / CAST(z_int AS DOUBLE) END AS e
+        |       FROM zp),
+        |ho AS (SELECT CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |            FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |ro AS (SELECT h % 4096 AS bucket,
+        |         max(CASE WHEN h // 4096 = 0 THEN 49
+        |             ELSE 49 - length(bin(h // 4096)) END) AS rho
+        |       FROM ho GROUP BY 1),
+        |zo AS (SELECT count(*) AS occ,
+        |         CAST(coalesce(sum(1::BIGINT << (49 - rho)), 0) AS BIGINT)
+        |           + (4096 - count(*)) * (1::BIGINT << 49) AS z_int
+        |       FROM ro),
+        |eo AS (SELECT CASE WHEN (0.7213e0 / (1e0 + 1.079e0 / 4096e0) * 4096e0 * 4096e0)
+        |                  * 562949953421312e0 / CAST(z_int AS DOUBLE)
+        |                  <= 2.5e0 * 4096e0 AND (4096 - occ) > 0
+        |              THEN 4096e0 * ln(4096e0 / (4096 - occ))
+        |              ELSE (0.7213e0 / (1e0 + 1.079e0 / 4096e0) * 4096e0 * 4096e0)
+        |                  * 562949953421312e0 / CAST(z_int AS DOUBLE) END AS e
+        |       FROM zo)
+        |SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  (SELECT ROUND(e, 6) FROM ep) AS hll_parts,
+        |  (SELECT ROUND(e, 6) FROM eo) AS hll_orders
+        |FROM lineitem""".stripMargin,
     "q53_outer_join" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
         |FROM customer LEFT JOIN

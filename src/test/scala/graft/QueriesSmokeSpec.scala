@@ -16,11 +16,14 @@ class QueriesSmokeSpec extends SparkSpecBase {
     }
   }
 
-  test("approx_count_distinct stays within HLL++ error bounds") {
+  test("portable HLL estimates stay within error bounds on both branches") {
+    // columns: exact_parts, exact_orders, hll_parts, hll_orders
     val r = SparkEntry.queries("q47_approx_distinct")(spark, sf("sf0.01")).head
-    def relErr(exact: Long, approx: Long) = math.abs(approx - exact).toDouble / exact
-    assert(relErr(r.getLong(0), r.getLong(1)) < 0.1, "parts estimate off")
-    assert(relErr(r.getLong(2), r.getLong(3)) < 0.1, "orders estimate off")
+    def relErr(exact: Long, approx: Double) = math.abs(approx - exact) / exact
+    // 4096 registers → ~1.04/sqrt(4096) ≈ 1.6% typical error; 10% is a
+    // loose determinism-independent sanity bound
+    assert(relErr(r.getLong(0), r.getDouble(2)) < 0.1, "parts estimate off")
+    assert(relErr(r.getLong(1), r.getDouble(3)) < 0.1, "orders estimate off")
   }
 
   test("every oracle key has a query") {
