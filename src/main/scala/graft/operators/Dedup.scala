@@ -129,7 +129,7 @@ object Dedup {
           minhashFromHashes1(col("hs1"), numPerm, hashes).as("sig")))
       .localCheckpoint()
 
-    val banded = sig.select(col("doc"), col("sig"),
+    val banded = sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         hashes.hashWithSalt(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows))), b)))
         .as(Seq("band", "band_hash")))
@@ -144,15 +144,22 @@ object Dedup {
       .select("band", "band_hash")
     val capped = banded.join(broadcast(hotBuckets), Seq("band", "band_hash"), "left_anti")
 
-    val a = capped.select(col("band"), col("band_hash"),
-      col("doc").as("doc_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("band_hash"),
-      col("doc").as("doc_b"), col("sig").as("sig_b"))
+    // The candidate join carries ONLY (band, band_hash, doc): shuffling
+    // the numPerm-long signature with every candidate row would multiply
+    // the exchange and pair-dedup volume by the signature width. The
+    // signatures are re-attached AFTER dedup from the checkpointed sig
+    // frame, so each surviving pair reads its two signatures once.
+    val a = capped.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
+    val b = capped.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
     // dedupe candidate pairs BEFORE scoring: a pair colliding in k
     // bands would otherwise be scored k times and deduped after
-    a.join(b, Seq("band", "band_hash"))
+    val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sig.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)

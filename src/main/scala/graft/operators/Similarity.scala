@@ -96,22 +96,33 @@ object Similarity {
       tables: Int = 8, seed: Long = 42L): DataFrame = {
     val dim = 64
     val planes = hyperplanes(dim, bits * tables, seed)
-    // localCheckpoint: the signature projection feeds BOTH sides of the
-    // self-join; without it the hyperplane dots are computed twice.
+    // The candidate self-join deliberately carries ONLY (table, bucket,
+    // id): shuffling the vectors with every candidate row would move
+    // |candidates| × 2 × dim doubles through the exchange and the pair
+    // dedup — the dominant cost of the old shape. Vectors are
+    // re-attached AFTER dedup by two equi-joins against the (narrow)
+    // corpus projection, so each surviving pair reads its two vectors
+    // once. localCheckpoint: the signature projection feeds both sides
+    // of the self-join.
     val sig = embeddings.select(
-      col("vec_id"), asDouble(col("embedding")).as("emb"),
+      col("vec_id"),
       posexplode(array((0 until tables).map { t =>
         signature(embeddings.sparkSession, asDouble(col("embedding")),
           planes.slice(t * bits, (t + 1) * bits))
       }: _*)).as(Seq("table", "bucket")))
       .localCheckpoint()
-    val a = sig.select(col("table"), col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
-    val b = sig.select(col("table"), col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    val a = sig.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+    val b = sig.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
     // dedupe candidates before the exact scoring: a pair colliding in
     // k of the 8 tables would otherwise pay k cosine evaluations
-    a.join(b, Seq("table", "bucket"))
+    val cand = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val emb = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosineFast(embeddings.sparkSession)(col("emb_a"), col("emb_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
