@@ -31,4 +31,43 @@ object Decontamination {
       .agg(count(lit(1)).as("shared_grams"))
       .orderBy(idCol)
   }
+
+  /** The next scale tier of `contaminated`: when the benchmark shingle
+    * set is too large for a broadcast-join hash table (~GBs at 10^8
+    * shingles) but fits a Bloom filter (~100 MB at 1% fpp), prefilter
+    * the training shingles MAP-SIDE through a broadcast Bloom filter,
+    * then exact-verify only the survivors with an equi-join. False
+    * positives are removed by the verify join and false negatives are
+    * impossible, so the result is EXACTLY `contaminated`'s — the Bloom
+    * stage is pure shuffle-volume reduction (only ~fpp of the clean
+    * training shingles reach the exchange), which is why the same SQL
+    * oracle checks this operator.
+    *
+    * The filter itself is built distributed (`stat.bloomFilter` merges
+    * per-partition sketches); the one eager job it needs — sizing off
+    * the SMALL side's count — is the standard price of sketch
+    * construction, never paid on the training corpus. The per-row
+    * membership probe is a Scala function over the broadcast sketch
+    * (cold path: it only gates the exchange; correctness never depends
+    * on it).
+    */
+  def contaminatedBloom(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val benchGrams = bench
+      .select(explode(array_distinct(Dedup.shingles(col(textCol), k))).as("g"))
+      .distinct().localCheckpoint()
+    val expected = math.max(1L, benchGrams.count())
+    val bloom = benchGrams.stat.bloomFilter("g", expected, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomB.value.mightContainString(g))
+    val candidates = train
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(Dedup.shingles(col(textCol), k))).as("g"))
+      .filter(mightContain(col("g")))
+    candidates.join(benchGrams, Seq("g"))
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("shared_grams"))
+      .orderBy(idCol)
+  }
 }

@@ -111,6 +111,34 @@ object TextAnalysis {
       .orderBy(idCol, "term_rank")
   }
 
+  /** Corpus-conditional unigram log-probability — the cheapest
+    * language-model quality proxy: score(doc) = mean over its tokens of
+    * ln P(token), with P estimated from the corpus itself (tf / total
+    * tokens). Low scores flag documents full of tokens the corpus has
+    * never seen (noise, wrong language, mojibake); it is the 1-gram end
+    * of the perplexity-filter family every pre-training pipeline runs.
+    *
+    * Scale shape: vocabulary counts are a hash aggregate (bounded by
+    * vocab size, not corpus size) and broadcast back over the token
+    * stream; the corpus total folds in as a 1-row broadcast aggregate —
+    * in-plan, no eager job. Per-document mean is one map-side-partial
+    * aggregate. Nothing corpus-sized shuffles.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(wsTokens(col(textCol))).as("token"))
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum(col("tf")).as("_total"))
+    tok.join(broadcast(counts), Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tf").cast("double") / col("_total").cast("double"))), 6)
+          .as("avg_logprob"))
+      .orderBy(idCol)
+  }
+
   /** Within-document repetition (a Gopher-style quality signal): the
     * fraction of k-word shingles that repeat an earlier shingle — high
     * values flag boilerplate / looping generations, one of the standard

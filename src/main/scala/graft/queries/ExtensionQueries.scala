@@ -207,7 +207,7 @@ object ExtensionQueries {
     */
   private val dedupClusters: Q = (s, dir) => {
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
-    Dedup.connectedComponents(pairs, "doc_a", "doc_b").orderBy("doc_id")
+    Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
 
   /** The end product of the dedup family: the deduplicated corpus
@@ -249,6 +249,29 @@ object ExtensionQueries {
       docs.filter(col("source") === "src0"),
       "doc_id", "text", k = 5)
   }
+
+  /** Bloom-prefiltered decontamination — exact same result as q64 (the
+    * Bloom stage only gates the exchange; the verify join removes its
+    * false positives), so it shares q64's oracle semantics verbatim.
+    */
+  private val decontaminateBloom: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Decontamination.contaminatedBloom(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", k = 5)
+  }
+
+  /** Token-budget shard packing over the hash order — oracled against
+    * the global-window cumulative-sum rendering.
+    */
+  private val shardPack: Q = (s, dir) =>
+    Packing.packByTokenBudget(Tables.documents(s, dir), "doc_id", "text",
+      budgetTokens = 10000L)
+
+  /** Unigram log-probability quality proxy. */
+  private val unigramLp: Q = (s, dir) =>
+    TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
 
   /** Corpus token-length histogram (fixed 50-token buckets, top capped
     * at bucket 9) — the length-distribution profile every data run
@@ -319,6 +342,9 @@ object ExtensionQueries {
 
   val queries: Map[String, Q] = Map(
     "q59_canonical_corpus" -> canonicalCorpusQ,
+    "q71_decontaminate_bloom" -> decontaminateBloom,
+    "q72_shard_pack" -> shardPack,
+    "q73_unigram_logprob" -> unigramLp,
     "q62_ngram_jaccard_capped" -> ngramJaccardCapped,
     "q63_hash_split" -> hashSplit,
     "q64_decontaminate" -> decontaminate,
@@ -480,6 +506,42 @@ object ExtensionQueries {
         |SELECT g.doc_id, count(*) AS shared_grams
         |FROM g JOIN bench USING (g) WHERE g.source <> 'src0'
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // q71: the Bloom prefilter is performance-only (exact verify join
+    // removes false positives), so the oracle is q64's, verbatim.
+    "q71_decontaminate_bloom" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source, CASE WHEN len(t) >= 5
+        |  THEN [array_to_string(t[i:i+4], ' ') FOR i IN generate_series(1, len(t)-4)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, source, unnest(grams) AS g FROM sh),
+        |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+        |SELECT g.doc_id, count(*) AS shared_grams
+        |FROM g JOIN bench USING (g) WHERE g.source <> 'src0'
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // q72: global-window rendering of the distributed prefix sum —
+    // identical running totals, shards cut where a doc's START offset
+    // crosses a budget boundary.
+    "q72_shard_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+        |         ${md5l("CAST(doc_id AS VARCHAR)")} AS h
+        |       FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 10000 AS INTEGER) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q73_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |             FROM documents),
+        |c AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM c)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  ROUND(avg(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS avg_logprob
+        |FROM tok JOIN c USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q65_token_histogram" ->
       """WITH n AS (SELECT len(regexp_split_to_array(text, '\s+')) AS n_tokens
         |           FROM documents)

@@ -175,6 +175,31 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(cc.forall(_.getLong(2) == 64L), "wrong cluster size")
   }
 
+  test("large-star/small-star components match min-label on chain, star, and random graphs") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]): (Set[(Long, Long, Long)], Set[(Long, Long, Long)]) = {
+      val df = edges.toDF("doc_a", "doc_b")
+      def toSet(r: org.apache.spark.sql.DataFrame) =
+        r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      (toSet(Dedup.connectedComponentsStars(df, "doc_a", "doc_b")),
+        toSet(Dedup.connectedComponents(df, "doc_a", "doc_b")))
+    }
+    // chain (worst diameter), star, two components + a triangle
+    val cases = Seq(
+      (0L until 40L).map(i => (i, i + 1)),
+      (1L to 20L).map(i => (0L, i)),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L)),
+      // deterministic pseudo-random graph
+      (0 until 120).map { i =>
+        val a = (i * 2654435761L) % 97; val b = (i * 40503L + 7) % 97
+        (math.min(a, b), math.max(a, b) + 1)
+      })
+    cases.foreach { es =>
+      val (stars, minLabel) = run(es)
+      assert(stars == minLabel, s"algorithms disagree on ${es.take(5)}...")
+    }
+  }
+
   test("linear counting estimates distinct within 5% at one-third occupancy") {
     import graft.operators.Sketches
     val events = Tables.events(spark, sf("sf0.001"))

@@ -120,6 +120,40 @@ class PropertySpec extends SparkSpecBase {
     runProp(p, 10)
   }
 
+  test("bloom-prefiltered decontamination == broadcast-exact decontamination") {
+    import graft.operators.Decontamination
+    val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
+    val train = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    def toMap(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = toMap(Decontamination.contaminated(train, bench, "doc_id", "text"))
+    val bloom = toMap(Decontamination.contaminatedBloom(train, bench, "doc_id", "text"))
+    assert(exact.nonEmpty, "degenerate fixture: no contamination found")
+    assert(bloom == exact, "bloom prefilter changed the exact result")
+  }
+
+  test("shard packing: deterministic, dense shards that meet the token budget") {
+    import graft.operators.Packing
+    val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
+    val budget = 5000L
+    def run() = Packing.packByTokenBudget(docs, "doc_id", "text", budget, numParts = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val a = run(); val b = run()
+    // deterministic across runs despite sampled range boundaries
+    assert(a.sameElements(b), "packing not reproducible across runs")
+    // shards are dense 0..max and every shard except the last reaches
+    // the budget (a doc is assigned to the shard its start offset is in)
+    val perShard = a.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxShard = perShard.keys.max
+    assert(perShard.keySet == (0 to maxShard).toSet, "shard ids not dense")
+    (0 until maxShard).foreach { s =>
+      val withNext = perShard(s)
+      assert(withNext >= budget - a.map(_._2).max && perShard(s) > 0,
+        s"shard $s underfilled: ${perShard(s)}")
+    }
+  }
+
   test("property: window output invariant under input shuffling/partitioning") {
     val p = Prop.forAll(seriesGen, Gen.choose(1, 8)) { (rows, parts) =>
       val base = mkEvents(rows)
