@@ -273,6 +273,42 @@ object ExtensionQueries {
   private val unigramLp: Q = (s, dir) =>
     TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Embedding-space canonical dedup: LSH near-neighbor pairs (q26's
+    * params) → star-contraction clustering → min-id survivor per
+    * cluster. The full embedding-dedup pipeline an LLM-data run ships,
+    * end-to-end in one plan, oracled through the recursive-closure SQL
+    * rendering.
+    */
+  private val embeddingDedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = Similarity.lshNeighborPairs(emb, threshold = 0.4)
+    Dedup.canonicalCorpus(emb.select(col("vec_id"), col("label")), pairs,
+      "vec_id", "id_a", "id_b")
+      .select(col("vec_id"), col("label"), col("cluster_size"), col("removed_dups"))
+      .orderBy("vec_id")
+  }
+
+  /** Ordered conversion funnel over the event stream: users who
+    * viewed, then clicked at/after their first view, then purchased
+    * at/after that click. Each step is a pushdown-filtered scan +
+    * per-user min aggregate; steps join on user_id (one shuffle key
+    * throughout) and only per-user step times cross stages.
+    */
+  private val funnel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
   /** Corpus token-length histogram (fixed 50-token buckets, top capped
     * at bucket 9) — the length-distribution profile every data run
     * reports.
@@ -345,6 +381,8 @@ object ExtensionQueries {
     "q71_decontaminate_bloom" -> decontaminateBloom,
     "q72_shard_pack" -> shardPack,
     "q73_unigram_logprob" -> unigramLp,
+    "q74_embedding_dedup" -> embeddingDedup,
+    "q75_funnel" -> funnel,
     "q62_ngram_jaccard_capped" -> ngramJaccardCapped,
     "q63_hash_split" -> hashSplit,
     "q64_decontaminate" -> decontaminate,
@@ -396,7 +434,11 @@ object ExtensionQueries {
     * reproduced exactly in DuckDB via list_dot_product (sign(cosine) ==
     * sign(dot): norms are positive).
     */
-  private def annLshOracle: String = {
+  /** Shared CTE block rendering the sign-LSH candidate generation
+    * (planes → signatures → bucket-collision candidates) — used by the
+    * q26 oracle and, composed with a recursive closure, by q74's.
+    */
+  private def lshCandCtes: String = {
     val bits = 6; val tables = 8
     val planes = Similarity.hyperplanes(64, bits * tables, 42L)
     val rows = (0 until tables).flatMap { t =>
@@ -404,20 +446,47 @@ object ExtensionQueries {
         s"($t, $b, [${planes(t * bits + b).mkString(",")}]::DOUBLE[])"
       }
     }.mkString(", ")
-    s"""WITH planes(tbl, bit, pl) AS (VALUES $rows),
-       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""planes(tbl, bit, pl) AS (VALUES $rows),
+       |emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |sig AS (SELECT vec_id, tbl,
        |    CAST(SUM(CASE WHEN list_dot_product(e, pl) >= 0
        |             THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM emb CROSS JOIN planes GROUP BY vec_id, tbl),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM sig a JOIN sig b
-       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
+  private def annLshOracle: String =
+    s"""WITH $lshCandCtes
        |SELECT id_a, id_b, ROUND(list_cosine_similarity(ea.e, eb.e), 6) AS cosine
        |FROM cand JOIN emb ea ON ea.vec_id = id_a JOIN emb eb ON eb.vec_id = id_b
        |WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** q74: LSH pairs (same params as q26) → transitive closure →
+    * min-id survivor per cluster — the embedding-space rendering of
+    * the canonical-corpus pipeline.
+    */
+  private def embeddingDedupOracle: String =
+    s"""WITH RECURSIVE $lshCandCtes,
+       |jp AS (SELECT id_a, id_b
+       |  FROM cand JOIN emb ea ON ea.vec_id = id_a JOIN emb eb ON eb.vec_id = id_b
+       |  WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= 0.4),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM jp
+       |          UNION SELECT id_b, id_a FROM jp
+       |          UNION SELECT id_a, id_a FROM jp UNION SELECT id_b, id_b FROM jp),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+       |clusters AS (SELECT u AS vec_id, min(v) AS cluster_id,
+       |               CAST(count(DISTINCT v) AS BIGINT) AS cluster_size
+       |             FROM reach GROUP BY u)
+       |SELECT em.vec_id, em.label,
+       |  coalesce(c.cluster_size, 1::BIGINT) AS cluster_size,
+       |  coalesce(c.cluster_size, 1::BIGINT) - 1 AS removed_dups
+       |FROM embeddings em LEFT JOIN clusters c ON em.vec_id = c.vec_id
+       |WHERE c.cluster_id IS NULL OR c.cluster_id = em.vec_id
+       |ORDER BY em.vec_id""".stripMargin
 
   /** DuckDB equivalents — every registered query has one: q40 routes
     * through the hash-seeded IVF codebook and q47 through the
@@ -590,6 +659,21 @@ object ExtensionQueries {
         |  CASE WHEN lang = 'en' THEN 30 ELSE 80 END
         |ORDER BY doc_id""".stripMargin,
     "q26_ann_lsh" -> annLshOracle,
+    "q74_embedding_dedup" -> embeddingDedupOracle,
+    "q75_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_view_click,
+        |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
     "q21_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
