@@ -309,6 +309,28 @@ object ExtensionQueries {
       .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
   }
 
+  /** Point-in-interval range join done as a bucketed equi-join:
+    * purchases attributed to the click-session interval containing
+    * them. The naive `ts BETWEEN start AND end` join has no equi-key
+    * and falls back to a nested loop — `RangeJoin.pointInInterval`
+    * restores a hash shuffle (spec-asserted: no BNLJ/cartesian in the
+    * plan).
+    */
+  private val intervalJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    // 4h-gap sessions over the user's non-purchase activity; purchases
+    // are then attributed to the activity interval containing them
+    val sessions = Sessions
+      .sessionize(ev.filter(col("event_type") =!= "purchase"), gapMinutes = 240)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    RangeJoin.pointInInterval(purchases, sessions, Seq("user_id"),
+      "ts", "session_start", "session_end")
+      .select(col("event_id"), col("user_id"), col("ts"), col("session_start"))
+      .orderBy("event_id")
+  }
+
   /** Corpus token-length histogram (fixed 50-token buckets, top capped
     * at bucket 9) — the length-distribution profile every data run
     * reports.
@@ -383,6 +405,7 @@ object ExtensionQueries {
     "q73_unigram_logprob" -> unigramLp,
     "q74_embedding_dedup" -> embeddingDedup,
     "q75_funnel" -> funnel,
+    "q76_interval_join" -> intervalJoin,
     "q62_ngram_jaccard_capped" -> ngramJaccardCapped,
     "q63_hash_split" -> hashSplit,
     "q64_decontaminate" -> decontaminate,
@@ -660,6 +683,21 @@ object ExtensionQueries {
         |ORDER BY doc_id""".stripMargin,
     "q26_ann_lsh" -> annLshOracle,
     "q74_embedding_dedup" -> embeddingDedupOracle,
+    "q76_interval_join" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 240 MINUTE THEN 1 ELSE 0 END AS ns
+        |  FROM events WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |iv AS (SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        |       FROM s GROUP BY user_id, sid)
+        |SELECT p.event_id, p.user_id, p.ts, iv.session_start
+        |FROM events p JOIN iv ON p.user_id = iv.user_id
+        |  AND p.ts >= iv.session_start AND p.ts <= iv.session_end
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
     "q75_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),

@@ -86,6 +86,32 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"split should not shuffle:\n$plan")
   }
 
+  test("bucketed range join plans as a hash equi-join, not a nested loop") {
+    import org.apache.spark.sql.functions.expr
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val sessions = graft.operators.Sessions
+      .sessionize(ev.filter(col("event_type") =!= "purchase"), gapMinutes = 240)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val plan = planOf(graft.operators.RangeJoin.pointInInterval(
+      purchases, sessions, Seq("user_id"), "ts", "session_start", "session_end"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join:\n$plan")
+    // and the bucketed form == the naive range-condition join
+    val naive = purchases.join(sessions, Seq("user_id"))
+      .filter(expr("ts >= session_start AND ts <= session_end"))
+      .select("event_id", "user_id", "ts", "session_start")
+      .collect().map(_.toSeq).toSet
+    val bucketed = graft.operators.RangeJoin.pointInInterval(
+      purchases, sessions, Seq("user_id"), "ts", "session_start", "session_end")
+      .select("event_id", "user_id", "ts", "session_start")
+      .collect().map(_.toSeq).toSet
+    assert(naive.nonEmpty && bucketed == naive, "bucketed result != naive range join")
+  }
+
   test("ngram DF cap drops hot shingles via broadcast ANTI join (no skewed shuffle)") {
     // the index step pre-checkpoint — ngramJaccardPairs localCheckpoints
     // it, which would hide the join from the final plan
