@@ -105,18 +105,17 @@ object Dedup {
     * bucket-size cap `maxBucket` drops degenerate buckets (boilerplate
     * text) the way production dedup pipelines do.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5, maxBucket: Int = 1000,
-      hashes: HashFamily = XxHash64Family): DataFrame = {
-    val rows = numPerm / bands
-    require(bands * rows == numPerm, "bands must divide numPerm")
-    // Two-stage projection binds the shingle base hashes to columns so
-    // the 16 permutations are cheap (long arithmetic / seeded rehash),
-    // not per-permutation string hashes; localCheckpoint because the
-    // signatures feed both sides of the band self-join.
+  /** (doc, sig) minhash signatures, checkpointed (they feed both a band
+    * projection and the post-dedup scoring joins). Two-stage projection
+    * binds the shingle base hashes to columns so the permutations are
+    * cheap (long arithmetic / seeded rehash), not per-permutation
+    * string hashes.
+    */
+  private def minhashSignatures(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, numPerm: Int,
+      hashes: HashFamily): DataFrame = {
     val sh = shingles(col(textCol), shingleK)
-    val sig = (if (hashes.needsSecondHash)
+    (if (hashes.needsSecondHash)
       docs.select(col(idCol).as("doc"),
           transform(sh, g => hashes.hash(g)).as("hs1"),
           transform(sh, g => hashes.hash2(g)).as("hs2"))
@@ -128,11 +127,41 @@ object Dedup {
         .select(col("doc"),
           minhashFromHashes1(col("hs1"), numPerm, hashes).as("sig")))
       .localCheckpoint()
+  }
 
-    val banded = sig.select(col("doc"),
+  /** (doc, band, band_hash) LSH band keys from a signature frame. */
+  private def bandKeys(sig: DataFrame, bands: Int, rows: Int,
+      hashes: HashFamily): DataFrame =
+    sig.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         hashes.hashWithSalt(concat_ws(",", slice(col("sig"), b * lit(rows) + 1, lit(rows))), b)))
         .as(Seq("band", "band_hash")))
+
+  /** Estimated Jaccard of deduped candidate pairs, scored by
+    * re-attaching the two signatures (see minhashLshPairs on why the
+    * candidate join itself stays narrow).
+    */
+  private def scorePairs(cand: DataFrame, sigA: DataFrame, sigB: DataFrame,
+      aCol: String, bCol: String, numPerm: Int,
+      threshold: Double): DataFrame =
+    cand
+      .join(sigA.select(col("doc").as(aCol), col("sig").as("sig_a")), Seq(aCol))
+      .join(sigB.select(col("doc").as(bCol), col("sig").as("sig_b")), Seq(bCol))
+      .select(col(aCol), col(bCol),
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / numPerm, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy(aCol, bCol)
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val rows = numPerm / bands
+    require(bands * rows == numPerm, "bands must divide numPerm")
+    val sig = minhashSignatures(docs, idCol, textCol, shingleK, numPerm, hashes)
+    val banded = bandKeys(sig, bands, rows, hashes)
 
     // hot-bucket cap as a broadcast anti-join (same pattern as the
     // n-gram maxDf cap): the > maxBucket buckets are few by
@@ -157,15 +186,37 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(sig.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sig.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-          .cast("double") / numPerm, 6).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
+    scorePairs(cand, sig, sig, "doc_a", "doc_b", numPerm, threshold)
+  }
+
+  /** Incremental (cross-corpus) MinHash-LSH join: near-duplicate pairs
+    * BETWEEN a new batch and an existing corpus — the daily-ingest
+    * shape: "which incoming documents duplicate something we already
+    * have". Signatures are a pure function of the text (no coupling
+    * between the sides), so the existing corpus's signatures/band keys
+    * are computed once and, in production, persisted as the dedup
+    * INDEX — each new batch only hashes itself and equi-joins the
+    * index. Same narrow candidate join + post-dedup scoring as the
+    * self-join form.
+    *
+    * Output: (doc_new, doc_old, est_jaccard ≥ threshold).
+    */
+  def minhashLshJoin(newDocs: DataFrame, existing: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val rows = numPerm / bands
+    require(bands * rows == numPerm, "bands must divide numPerm")
+    val sigNew = minhashSignatures(newDocs, idCol, textCol, shingleK, numPerm, hashes)
+    val sigOld = minhashSignatures(existing, idCol, textCol, shingleK, numPerm, hashes)
+    val cand = bandKeys(sigNew, bands, rows, hashes)
+      .select(col("band"), col("band_hash"), col("doc").as("doc_new"))
+      .join(bandKeys(sigOld, bands, rows, hashes)
+        .select(col("band"), col("band_hash"), col("doc").as("doc_old")),
+        Seq("band", "band_hash"))
+      .select("doc_new", "doc_old")
+      .dropDuplicates("doc_new", "doc_old")
+    scorePairs(cand, sigNew, sigOld, "doc_new", "doc_old", numPerm, threshold)
   }
 
   /** 64-bit SimHash over the document's token bag (term-frequency

@@ -111,6 +111,23 @@ object TextAnalysis {
       .orderBy(idCol, "term_rank")
   }
 
+  /** Canonical text normalization — the cleanup pass that runs before
+    * any hash-based dedup so that trivially-different copies (case,
+    * punctuation, whitespace) collide: lowercase, strip
+    * non-alphanumerics to spaces, collapse whitespace runs, trim.
+    * Pure codegen projection, no shuffle; `changed` flags rows whose
+    * bytes moved (the usual monitoring metric for a cleanup pass).
+    */
+  def normalize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(
+      col(idCol),
+      norm.as("norm_text"),
+      length(norm).as("n_chars_norm"),
+      (norm =!= col(textCol)).as("changed"))
+  }
+
   /** Corpus-conditional unigram log-probability — the cheapest
     * language-model quality proxy: score(doc) = mean over its tokens of
     * ln P(token), with P estimated from the corpus itself (tf / total

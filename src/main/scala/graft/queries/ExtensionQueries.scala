@@ -331,6 +331,26 @@ object ExtensionQueries {
       .orderBy("event_id")
   }
 
+  /** Canonical text normalization (lowercase / strip punctuation /
+    * collapse whitespace) — pure projection.
+    */
+  private val normalizeQ: Q = (s, dir) =>
+    TextAnalysis.normalize(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Incremental dedup: the corpus hash-split 50/50 into "existing"
+    * and "incoming" halves; incoming docs near-duplicating an existing
+    * doc via the cross-corpus MinHash-LSH join — the daily-ingest
+    * dedup-against-index shape.
+    */
+  private val incrementalDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bucket = Sampling.hashBucket(col("doc_id"), 100, Md5Family)
+    Dedup.minhashLshJoin(
+      docs.filter(bucket >= 50), docs.filter(bucket < 50),
+      "doc_id", "text", hashes = Md5Family)
+  }
+
   /** Corpus token-length histogram (fixed 50-token buckets, top capped
     * at bucket 9) — the length-distribution profile every data run
     * reports.
@@ -406,6 +426,8 @@ object ExtensionQueries {
     "q74_embedding_dedup" -> embeddingDedup,
     "q75_funnel" -> funnel,
     "q76_interval_join" -> intervalJoin,
+    "q77_normalize" -> normalizeQ,
+    "q78_incremental_dedup" -> incrementalDedup,
     "q62_ngram_jaccard_capped" -> ngramJaccardCapped,
     "q63_hash_split" -> hashSplit,
     "q64_decontaminate" -> decontaminate,
@@ -712,6 +734,46 @@ object ExtensionQueries {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_view_click,
         |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q77_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS n_chars_norm,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q78: q21's minhash machinery, restricted to (incoming >= bucket 50)
+    // × (existing < bucket 50) candidate pairs; no hot-bucket cap in the
+    // cross form (mirrors Dedup.minhashLshJoin exactly).
+    "q78_incremental_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    ${md5l("CAST(doc_id AS VARCHAR)")} % 100 AS bucket FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |h AS (SELECT doc_id, ${md5l("g")} % 1125899906842624 AS h1,
+        |    ${md5l("concat('2_', g)")} % 1125899906842624 AS h2 FROM g),
+        |mh AS (SELECT doc_id, p, min((h1 + p * h2) % 1125899906842624) AS mh
+        |  FROM h, generate_series(0, 15) AS gs(p) GROUP BY doc_id, p),
+        |bands AS (SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_str
+        |  FROM mh GROUP BY doc_id, p // 2),
+        |bh AS (SELECT doc_id, band,
+        |    ${md5l("concat(band_str, '_', band)")} AS band_hash FROM bands),
+        |bk AS (SELECT doc_id, bucket FROM toks),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+        |  FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
+        |  JOIN bk ba ON ba.doc_id = a.doc_id JOIN bk bb ON bb.doc_id = b.doc_id
+        |  WHERE ba.bucket >= 50 AND bb.bucket < 50),
+        |est AS (SELECT c.doc_new, c.doc_old,
+        |    ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+        |  FROM cand c JOIN mh a ON a.doc_id = c.doc_new
+        |    JOIN mh b ON b.doc_id = c.doc_old AND a.p = b.p
+        |  GROUP BY c.doc_new, c.doc_old)
+        |SELECT doc_new, doc_old, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5 ORDER BY doc_new, doc_old""".stripMargin,
     "q21_minhash_lsh" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
