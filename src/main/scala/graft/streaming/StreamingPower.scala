@@ -47,6 +47,48 @@ object StreamingPower {
       .dropDuplicatesWithinWatermark("_text_hash")
       .drop("_text_hash")
 
+  /** One incremental-dedup step: drop from `batch` every document that
+    * near-duplicates (MinHash-LSH, est jaccard ≥ threshold) something
+    * already in the parquet index at `indexPath`, then append the
+    * survivors to the index. This is the body of the production
+    * daily/streaming dedup loop — the batch cross-corpus operator
+    * (`Dedup.minhashLshJoin`) runs unchanged; only the survivors are
+    * written, so the index stays canonical. First call bootstraps the
+    * index from the batch itself.
+    */
+  def dedupStepAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      indexPath: String, threshold: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
+    val indexExists = {
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val keep =
+      if (!indexExists) batch
+      else {
+        val existing = spark.read.parquet(indexPath)
+        val dupIds = graft.operators.Dedup
+          .minhashLshJoin(batch, existing, idCol, textCol, threshold = threshold)
+          .select(org.apache.spark.sql.functions.col("doc_new").as(idCol))
+          .distinct()
+        batch.join(dupIds, Seq(idCol), "left_anti")
+      }
+    keep.write.mode("append").parquet(indexPath)
+  }
+
+  /** The loop as a streaming query: each micro-batch dedups against —
+    * and grows — the index via `foreachBatch`.
+    */
+  def dedupStreamAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, checkpoint: String,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dedupStepAgainstIndex(batch, idCol, textCol, indexPath, threshold)
+      }
+      .start()
+
   /** Tumbling per-minute aggregate with event-time watermark — the
     * streaming analog of the gold per-minute feature row.
     */

@@ -112,6 +112,30 @@ class PlanSpec extends SparkSpecBase {
     assert(naive.nonEmpty && bucketed == naive, "bucketed result != naive range join")
   }
 
+  test("shard packing never single-partitions the data (only the offsets table)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val packed = graft.operators.Packing.packByTokenBudget(
+      docs, "doc_id", "text", budgetTokens = 5000L, numParts = 7)
+    val plan = packed.queryExecution.executedPlan.toString
+    // the doc-level running sum must be a Window PARTITIONED by _pid —
+    // an unpartitioned window (empty partition spec) would sort the
+    // whole corpus in one task. The per-partition-totals window is the
+    // only allowed unpartitioned one and it aggregates _ptok, never
+    // n_tokens.
+    val docWindows = plan.linesIterator.filter(l =>
+      l.contains("Window [sum(n_tokens")).toSeq
+    assert(docWindows.nonEmpty, s"doc-level window missing:\n${plan.take(2000)}")
+    assert(docWindows.forall(_.contains("[_pid#")),
+      s"doc-level window not partitioned by _pid:\n${docWindows.mkString("\n")}")
+  }
+
+  test("unigram log-prob broadcasts the vocabulary (token stream never shuffles for the join)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.TextAnalysis.unigramLogProb(docs, "doc_id", "text"))
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"token stream shuffled for the join:\n$plan")
+  }
+
   test("ngram DF cap drops hot shingles via broadcast ANTI join (no skewed shuffle)") {
     // the index step pre-checkpoint — ngramJaccardPairs localCheckpoints
     // it, which would hide the join from the final plan

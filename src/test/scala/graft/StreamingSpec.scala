@@ -122,6 +122,30 @@ class StreamingSpec extends SparkSpecBase {
       s"got ${texts.toSeq}")
   }
 
+  test("streaming incremental dedup: micro-batches dedup against and grow the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexPath = Files.createTempDirectory("graft_dedup_index").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingPower.dedupStreamAgainstIndex(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", indexPath, ckpt)
+    ms.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+    q.processAllAvailable()
+    // batch 2: doc 3 duplicates doc 1's text exactly (new id), doc 4 is new
+    ms.addData(
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "sphinx of black quartz judge my vow tonight"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(indexPath).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"index holds $ids — near-dup 3 should be dropped")
+  }
+
   test("batch text operators run unchanged as streaming transforms") {
     // operators are pure DataFrame => DataFrame, so map-side ones plug
     // straight into readStream — the library's batch/stream reuse story
