@@ -427,9 +427,20 @@ object Dedup {
     * shingle to one row per partition before its shuffle.
     */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, maxDf: Int = Int.MaxValue): DataFrame = {
-    val grams0 = docs
-      .select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol), k))).as("g"))
+      k: Int, maxDf: Int = Int.MaxValue,
+      gramHash: Option[HashFamily] = None): DataFrame = {
+    // gramHash: key the index by a 64-bit hash of each shingle instead
+    // of the string itself — the production choice: the self-join then
+    // shuffles 8-byte longs, not ~k-word strings, and the distinct/agg
+    // compares longs. Trades an astronomically small collision
+    // probability for shuffle width; the exact-parity form (q23) keeps
+    // string keys.
+    val shA = shingles(col(textCol), k)
+    val gramsArr = gramHash match {
+      case Some(h) => array_distinct(transform(shA, g => h.hash(g)))
+      case None => array_distinct(shA)
+    }
+    val grams0 = docs.select(col(idCol).as("doc"), explode(gramsArr).as("g"))
     if (maxDf == Int.MaxValue) grams0
     else {
       val hot = grams0.groupBy("g").agg(count(lit(1)).as("_df"))
@@ -439,11 +450,12 @@ object Dedup {
   }
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.5, maxDf: Int = Int.MaxValue): DataFrame = {
+      k: Int = 3, threshold: Double = 0.5, maxDf: Int = Int.MaxValue,
+      gramHash: Option[HashFamily] = None): DataFrame = {
     // localCheckpoint: the exploded shingle index feeds three plans
     // (both join sides + the size table) — without it the shingling
     // (and the DF-cap anti-join) runs three times.
-    val grams = shingleIndex(docs, idCol, textCol, k, maxDf).localCheckpoint()
+    val grams = shingleIndex(docs, idCol, textCol, k, maxDf, gramHash).localCheckpoint()
     val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n"))
     val common = grams.select(col("doc").as("doc_a"), col("g"))
       .join(grams.select(col("doc").as("doc_b"), col("g")), Seq("g"))

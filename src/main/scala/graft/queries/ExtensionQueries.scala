@@ -229,7 +229,8 @@ object ExtensionQueries {
     * the self-join. Its own DuckDB oracle — the cap is SQL-expressible.
     */
   private val ngramJaccardCapped: Q = (s, dir) =>
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", maxDf = 50)
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxDf = 50, gramHash = Some(Md5Family))
 
   /** Deterministic hash-bucket train/val/test split (Md5Family so the
     * bucket function is engine-portable and the oracle exact).
@@ -588,11 +589,12 @@ object ExtensionQueries {
         |WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q62_ngram_jaccard_capped" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
         |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
         |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
-        |g0 AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |gs AS (SELECT doc_id, unnest(grams) AS gstr FROM sh),
+        |g0 AS (SELECT DISTINCT doc_id, ${md5l("gstr")} AS g FROM gs),
         |hot AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
         |g AS (SELECT doc_id, g FROM g0 WHERE g NOT IN (SELECT g FROM hot)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
