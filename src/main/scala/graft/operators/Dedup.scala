@@ -403,21 +403,6 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
-  /** Exact n-gram Jaccard pairs via an inverted shingle index:
-    * explode distinct shingles, self-join on shingle, count common,
-    * then |A∩B| / (|A| + |B| − |A∩B|). Exact (unlike MinHash) and
-    * SQL-expressible, so it carries a DuckDB oracle.
-    *
-    * Scale: identical shape to a term-index join; ultra-frequent
-    * shingles are the skew. `maxDf` is the production remedy: shingles
-    * appearing in more than `maxDf` documents (boilerplate) are dropped
-    * from the index BEFORE the self-join, bounding per-shingle candidate
-    * fan-out at maxDf². The hot-shingle list is tiny by construction
-    * (it's the junk), so it is removed via a broadcast anti-join —
-    * map-side, no skewed shuffle ever materializes. Default = no cap
-    * (exact semantics, the q23 oracle form); the capped form is its own
-    * query (q62) with its own oracle.
-    */
   /** Inverted shingle index (doc, g), optionally DF-capped: shingles in
     * more than `maxDf` docs (boilerplate) are removed via a BROADCAST
     * anti-join — the hot list is tiny by construction, and dropping the
@@ -449,6 +434,22 @@ object Dedup {
     }
   }
 
+  /** Exact n-gram Jaccard pairs via an inverted shingle index:
+    * explode distinct shingles, self-join on shingle, count common,
+    * then |A∩B| / (|A| + |B| − |A∩B|). Exact (unlike MinHash) and
+    * SQL-expressible, so it carries a DuckDB oracle.
+    *
+    * Scale: identical shape to a term-index join; ultra-frequent
+    * shingles are the skew. `maxDf` is the production remedy: shingles
+    * appearing in more than `maxDf` documents (boilerplate) are dropped
+    * from the index BEFORE the self-join, bounding per-shingle candidate
+    * fan-out at maxDf². The hot-shingle list is tiny by construction
+    * (it's the junk), so it is removed via a broadcast anti-join —
+    * map-side, no skewed shuffle ever materializes. Default = no cap
+    * (exact semantics, the q23 oracle form); the capped form is its own
+    * query (q62) with its own oracle, additionally keyed by hashed
+    * shingles (`gramHash`) so the index shuffle moves longs.
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5, maxDf: Int = Int.MaxValue,
       gramHash: Option[HashFamily] = None): DataFrame = {

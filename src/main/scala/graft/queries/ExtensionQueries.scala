@@ -352,6 +352,12 @@ object ExtensionQueries {
       "doc_id", "text", hashes = Md5Family)
   }
 
+  /** Join-key skew profile over events.user_id — the pre-salting
+    * diagnostic.
+    */
+  private val skewProfile: Q = (s, dir) =>
+    SkewJoin.keySkewProfile(Tables.events(s, dir), "user_id", topN = 10)
+
   /** Corpus token-length histogram (fixed 50-token buckets, top capped
     * at bucket 9) — the length-distribution profile every data run
     * reports.
@@ -429,6 +435,7 @@ object ExtensionQueries {
     "q76_interval_join" -> intervalJoin,
     "q77_normalize" -> normalizeQ,
     "q78_incremental_dedup" -> incrementalDedup,
+    "q79_skew_profile" -> skewProfile,
     "q62_ngram_jaccard_capped" -> ngramJaccardCapped,
     "q63_hash_split" -> hashSplit,
     "q64_decontaminate" -> decontaminate,
@@ -736,6 +743,16 @@ object ExtensionQueries {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_view_click,
         |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q79_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c),
+        |r AS (SELECT user_id, n_rows, total,
+        |        CAST(row_number() OVER (ORDER BY n_rows DESC, user_id) AS INTEGER) AS rank
+        |      FROM c CROSS JOIN t)
+        |SELECT user_id, rank, n_rows,
+        |  ROUND(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q77_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
