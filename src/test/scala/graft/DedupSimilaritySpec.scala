@@ -200,6 +200,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("cross-corpus LSH join == self-join pairs restricted across the split") {
+    import graft.functions.Md5Family
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val bucket = graft.operators.Sampling.hashBucket(col("doc_id"), 100, Md5Family)
+    val newSide = docs.filter(bucket >= 50)
+    val oldSide = docs.filter(bucket < 50)
+    val newIds = newSide.select("doc_id").collect().map(_.getLong(0)).toSet
+    val oldIds = oldSide.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cross = Dedup.minhashLshJoin(newSide, oldSide, "doc_id", "text",
+        hashes = Md5Family)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // self-join over the whole corpus (uncapped, same params), keeping
+    // only pairs that straddle the split, normalized to (new, old)
+    val self = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        maxBucket = Int.MaxValue, hashes = Md5Family)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect {
+        case (a, b, j) if newIds(a) && oldIds(b) => (a, b, j)
+        case (a, b, j) if newIds(b) && oldIds(a) => (b, a, j)
+      }.toSet
+    assert(cross.nonEmpty, "degenerate fixture: no cross pairs")
+    assert(cross == self, s"cross=${cross.size} self=${self.size}")
+  }
+
   test("linear counting estimates distinct within 5% at one-third occupancy") {
     import graft.operators.Sketches
     val events = Tables.events(spark, sf("sf0.001"))
