@@ -286,6 +286,28 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the actual
+    * storage-reduction projection (`embeddingStats` is its planning
+    * profile): q = round(x · 127 / max|x|), per-vector scale. Exploded
+    * (vec_id, dim, q) output so every value is scalar-comparable
+    * cross-engine. Pure map-side projection; `max_abs` is bound as a
+    * column before the lambdas reference it (HOF re-eval trap), and
+    * the all-zero vector quantizes to zeros rather than dividing by
+    * zero under ANSI.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("max_abs", array_max(transform(col("e"), x => abs(x))))
+      .select(col("vec_id"), col("max_abs"),
+        posexplode(when(col("max_abs") === 0, transform(col("e"), _ => lit(0)))
+          .otherwise(transform(col("e"),
+            x => round(x * 127 / col("max_abs")).cast("int"))))
+          .as(Seq("dim", "q")))
+      .select(col("vec_id"), col("dim"), col("q"),
+        round(col("max_abs"), 6).as("max_abs"))
+      .orderBy("vec_id", "dim")
+
   /** Per-label centroid, exploded form: (label, dim, centroid value).
     * `posexplode` + hash-aggregate — fully parallel, no collect, and
     * SQL-expressible for the oracle. The typed-Aggregator form (whole

@@ -352,6 +352,10 @@ object ExtensionQueries {
       "doc_id", "text", hashes = Md5Family)
   }
 
+  /** Int8 quantization of the embedding table (q66 is its profile). */
+  private val quantizeQ: Q = (s, dir) =>
+    Similarity.quantizeInt8(Tables.embeddings(s, dir))
+
   /** Join-key skew profile over events.user_id — the pre-salting
     * diagnostic.
     */
@@ -436,6 +440,7 @@ object ExtensionQueries {
     "q77_normalize" -> normalizeQ,
     "q78_incremental_dedup" -> incrementalDedup,
     "q79_skew_profile" -> skewProfile,
+    "q80_quantize_int8" -> quantizeQ,
     "q62_ngram_jaccard_capped" -> ngramJaccardCapped,
     "q63_hash_split" -> hashSplit,
     "q64_decontaminate" -> decontaminate,
@@ -743,6 +748,16 @@ object ExtensionQueries {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_view_click,
         |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q80_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e)
+        |SELECT vec_id, CAST(gs.i - 1 AS INTEGER) AS dim,
+        |  CAST(CASE WHEN max_abs = 0 THEN 0
+        |       ELSE round(v[gs.i] * 127 / max_abs) END AS INTEGER) AS q,
+        |  ROUND(max_abs, 6) AS max_abs
+        |FROM m, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) gs
+        |ORDER BY vec_id, dim""".stripMargin,
     "q79_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events
         |           WHERE user_id IS NOT NULL GROUP BY user_id),
