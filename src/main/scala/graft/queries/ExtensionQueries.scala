@@ -206,7 +206,11 @@ object ExtensionQueries {
     * transitive closure over the identical pair set.
     */
   private val dedupClusters: Q = (s, dir) => {
-    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+    // hashed gram keys: same pair set as the string-keyed exact form
+    // (the oracle's), narrower index shuffle — q23 keeps string keys as
+    // the byte-exact reference
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
     Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
 
@@ -217,7 +221,8 @@ object ExtensionQueries {
     */
   private val canonicalCorpusQ: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
     Dedup.canonicalCorpus(docs, pairs, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("cluster_size"), col("removed_dups"))
@@ -229,8 +234,12 @@ object ExtensionQueries {
     * the self-join. Its own DuckDB oracle — the cap is SQL-expressible.
     */
   private val ngramJaccardCapped: Q = (s, dir) =>
+    // xxhash64 gram keys: the hash never reaches the output (pair
+    // jaccards are counts over distinct grams, invariant under any
+    // collision-free keying), so the cheaper codegen hash is safe even
+    // though the oracle derives the same counts from md5'd grams
     Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      maxDf = 50, gramHash = Some(Md5Family))
+      maxDf = 50, gramHash = Some(graft.functions.XxHash64Family))
 
   /** Deterministic hash-bucket train/val/test split (Md5Family so the
     * bucket function is engine-portable and the oracle exact).
