@@ -89,6 +89,31 @@ object StreamingPower {
       }
       .start()
 
+  /** STREAM-STREAM interval join: purchases attributed to the same
+    * user's clicks within a lookback window, both sides live streams.
+    * The event-time range condition plus watermarks on BOTH sides is
+    * what lets Spark bound the join state: a buffered click can be
+    * evicted once the purchase-side watermark passes
+    * `click_ts + lookback` — without the range condition the state
+    * grows forever. The batch analog is `RangeJoin.pointInInterval` /
+    * `AsofJoin`; spec-checked equal to the batch join on the same data.
+    */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      lookback: String = "1 hour", horizon: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", horizon)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = clicks.withWatermark("ts", horizon)
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    p.join(c, expr(
+      s"""user_id = c_user_id AND
+         |click_ts >= purchase_ts - INTERVAL $lookback AND
+         |click_ts <= purchase_ts""".stripMargin))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Tumbling per-minute aggregate with event-time watermark — the
     * streaming analog of the gold per-minute feature row.
     */

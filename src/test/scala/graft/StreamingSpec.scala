@@ -146,6 +146,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids == Seq(1L, 2L, 4L), s"index holds $ids — near-dup 3 should be dropped")
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def named(ms: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      ms.toDF().toDF("event_id", "user_id", "ts")
+    val q = StreamingPower.attributionJoin(named(purchases), named(clicks))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_attr").start()
+    clicks.addData((101L, 1L, t("10:00:00")), (102L, 2L, t("10:05:00")))
+    purchases.addData(
+      (201L, 1L, t("10:30:00")),  // within 1h of click 101 → match
+      (202L, 1L, t("12:30:00")))  // 2.5h after click 101 → no match
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ss_attr")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((201L, 101L)), s"got $got")
+  }
+
   test("batch text operators run unchanged as streaming transforms") {
     // operators are pure DataFrame => DataFrame, so map-side ones plug
     // straight into readStream — the library's batch/stream reuse story
