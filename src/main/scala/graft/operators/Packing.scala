@@ -30,6 +30,7 @@ object Packing {
   def packByTokenBudget(docs: DataFrame, idCol: String, textCol: String,
       budgetTokens: Long, numParts: Int = 0,
       hashes: HashFamily = Md5Family): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val spark = docs.sparkSession
     val parts =
       if (numParts > 0) numParts

@@ -29,6 +29,11 @@ object RangeJoin {
     val pb = points
       .withColumn("_b", floor(unix_micros(col(tsCol)) / (bucketSeconds * 1000000L)))
     val ib = intervals
+      // malformed (end < start) intervals match nothing by definition;
+      // dropping them up front also keeps sequence() ascending (Spark
+      // auto-steps -1 for inverted bounds, which would fabricate
+      // buckets instead of failing)
+      .filter(col(endCol) >= col(startCol))
       .withColumn("_b", explode(sequence(
         floor(unix_micros(col(startCol)) / (bucketSeconds * 1000000L)),
         floor(unix_micros(col(endCol)) / (bucketSeconds * 1000000L)))))
