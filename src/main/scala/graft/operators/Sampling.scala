@@ -54,4 +54,31 @@ object Sampling {
     }
     docs.filter(hashBucket(col(idCol), 100, hashes) < pct)
   }
+
+  /** Mixture balancing with COMPUTED rates: downsample every group to
+    * ~`cap` rows, keeping smaller groups whole — the "no source may
+    * dominate the mixture" pass, with the rate derived from the
+    * observed group counts instead of hand-tuned percentages
+    * (`stratifiedSample` is the fixed-rate form).
+    *
+    * Keep-decision: hash(id) % 1e6 < floor(cap·1e6 / group_count) —
+    * all-integer thresholds, so the sample is deterministic,
+    * engine-portable, and stable per id as OTHER groups grow. The
+    * group-count table is one hash aggregate (a row per group)
+    * broadcast back over the corpus; the filter itself is map-side.
+    * Expected kept size per capped group is cap ± binomial noise —
+    * rate-based, not exact-k (exact-k needs a per-group top-k by hash;
+    * rate is the scale-friendly default).
+    */
+  def capGroups(docs: DataFrame, idCol: String, groupCol: String, cap: Long,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val counts = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_group_n"))
+      .withColumn("_keep_ppm",
+        least(lit(1000000L), expr(s"${cap * 1000000L}L div _group_n")))
+    docs.join(broadcast(counts), Seq(groupCol))
+      .filter(pmod(hashes.hash(col(idCol).cast("string")), lit(1000000L))
+        < col("_keep_ppm"))
+      .drop("_group_n", "_keep_ppm")
+  }
 }

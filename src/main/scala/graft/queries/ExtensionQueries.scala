@@ -361,6 +361,15 @@ object ExtensionQueries {
       "doc_id", "text", hashes = Md5Family)
   }
 
+  /** Mixture balancing with computed rates: cap every language at ~100
+    * docs, keep smaller languages whole (q70 is the fixed-rate form).
+    */
+  private val capGroupsQ: Q = (s, dir) =>
+    Sampling.capGroups(Tables.documents(s, dir), "doc_id", "lang",
+      cap = 100L, hashes = Md5Family)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Int8 quantization of the embedding table (q66 is its profile). */
   private val quantizeQ: Q = (s, dir) =>
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
@@ -450,6 +459,7 @@ object ExtensionQueries {
     "q78_incremental_dedup" -> incrementalDedup,
     "q79_skew_profile" -> skewProfile,
     "q80_quantize_int8" -> quantizeQ,
+    "q81_cap_groups" -> capGroupsQ,
     "q62_ngram_jaccard_capped" -> ngramJaccardCapped,
     "q63_hash_split" -> hashSplit,
     "q64_decontaminate" -> decontaminate,
@@ -757,6 +767,13 @@ object ExtensionQueries {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_view_click,
         |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q81_cap_groups" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |k AS (SELECT lang, LEAST(1000000, 100000000 // n) AS ppm FROM c)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN k USING (lang)
+        |WHERE ${md5l("CAST(d.doc_id AS VARCHAR)")} % 1000000 < k.ppm
+        |ORDER BY d.doc_id""".stripMargin,
     "q80_quantize_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v,
