@@ -81,4 +81,23 @@ object Sampling {
         < col("_keep_ppm"))
       .drop("_group_n", "_keep_ppm")
   }
+
+  /** EXACT-k group capping: keep exactly min(cap, |group|) rows per
+    * group — the k smallest by hash of id, i.e. a deterministic uniform
+    * choice. One shuffle on the group key, then a per-group window
+    * rank; no global sort, no count pre-pass (contrast `capGroups`,
+    * whose rate-based keep is one broadcast cheaper but only
+    * approximately k). Membership can change as the group grows (rank
+    * is relative), which is the price of exactness — use `capGroups`
+    * when per-id stability matters more than the exact count.
+    */
+  def capGroupsExact(docs: DataFrame, idCol: String, groupCol: String,
+      cap: Int, hashes: HashFamily = XxHash64Family): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashes.hash(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .drop("_rk")
+  }
 }

@@ -370,6 +370,15 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Exact-k complement of q81: exactly min(100, |lang|) docs kept per
+    * language, chosen by hash order.
+    */
+  private val capGroupsExactQ: Q = (s, dir) =>
+    Sampling.capGroupsExact(Tables.documents(s, dir), "doc_id", "lang",
+      cap = 100, hashes = Md5Family)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Int8 quantization of the embedding table (q66 is its profile). */
   private val quantizeQ: Q = (s, dir) =>
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
@@ -460,6 +469,7 @@ object ExtensionQueries {
     "q79_skew_profile" -> skewProfile,
     "q80_quantize_int8" -> quantizeQ,
     "q81_cap_groups" -> capGroupsQ,
+    "q82_cap_groups_exact" -> capGroupsExactQ,
     "q62_ngram_jaccard_capped" -> ngramJaccardCapped,
     "q63_hash_split" -> hashSplit,
     "q64_decontaminate" -> decontaminate,
@@ -767,6 +777,11 @@ object ExtensionQueries {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_view_click,
         |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q82_cap_groups_exact" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY ${md5l("CAST(doc_id AS VARCHAR)")}, doc_id) <= 100
+        |ORDER BY doc_id""".stripMargin,
     "q81_cap_groups" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |k AS (SELECT lang, LEAST(1000000, 100000000 // n) AS ppm FROM c)
