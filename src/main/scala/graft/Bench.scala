@@ -45,31 +45,51 @@ object Bench {
     // recorded a pure projection at 13 s that reruns at <1 s). Queries
     // far above the suite median get ONE rerun and keep the min — the
     // plan didn't change, so min is the honest cost; everything else
-    // stays single-shot to bound total wall clock.
+    // stays single-shot to bound total wall clock. BOTH timings are
+    // recorded under "reruns" so cross-round totals stay auditable.
     val okTimes = results.collect { case (_, v, true) => v }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
     val threshold = math.max(2.5, 4 * median)
+    val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val finalResults = results.map {
       case (name, v, true) if v > threshold =>
         val t0 = System.nanoTime()
         val ok2 = try { run(name); true } catch { case _: Throwable => false }
         val v2 = (System.nanoTime() - t0) / 1e9
+        if (ok2) reruns(name) = (v, v2)
         (name, if (ok2) math.min(v, v2) else v, true)
       case r => r
     }
-    val qs = finalResults.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def num(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Short ids ("q74" for "q74_embedding_dedup") keep the stdout line
+    // under the driver's 2000-char tail capture — the full-name line
+    // grew past it at 82 queries and the driver recorded parsed:null
+    // for three rounds (BENCH_r01..r03). Full names + full precision
+    // live in BENCH.json.
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    def qsJson(short: Boolean, full: Boolean): String =
+      finalResults.map { case (k, v, _) =>
+        "\"" + (if (short) shortId(k) else k) + "\":" + (if (full) v.toString else num(v))
+      }.mkString("{", ",", "}")
+    def rerunsJson(short: Boolean): String =
+      reruns.map { case (k, (a, b)) =>
+        "\"" + (if (short) shortId(k) else k) + "\":[" + num(a) + "," + num(b) + "]"
+      }.mkString("{", ",", "}")
     // failures are first-class in the JSON (a broken query must not
     // masquerade as a fast one) and excluded from the headline total
-    val failed = finalResults.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    def failedJson(short: Boolean): String =
+      finalResults.collect { case (k, _, false) =>
+        "\"" + (if (short) shortId(k) else k) + "\""
+      }.mkString("[", ",", "]")
     val total = finalResults.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qsJson(short = true, full = false)},"failed":${failedJson(short = true)},"reruns":${rerunsJson(short = true)},"sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(short = false, full = true)},"failed":${failedJson(short = false)},"reruns":${rerunsJson(short = false)},"rerun_protocol":"queries above max(2.5s, 4*median) rerun once, min kept; both timings recorded","sf":"$sfDir"}"""
     // stdout (undecorated via run/outputStrategy := StdoutOutput) AND a
     // known file, so the driver's parse can never miss it again
     println(line)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullLine + "\n")
     spark.stop()
   }
 }

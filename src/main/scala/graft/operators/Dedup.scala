@@ -203,15 +203,32 @@ object Dedup {
     */
   def minhashLshJoin(newDocs: DataFrame, existing: DataFrame, idCol: String,
       textCol: String, shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8,
-      threshold: Double = 0.5,
+      threshold: Double = 0.5, maxBucket: Int = Int.MaxValue,
       hashes: HashFamily = XxHash64Family): DataFrame = {
     val rows = numPerm / bands
     require(bands * rows == numPerm, "bands must divide numPerm")
     val sigNew = minhashSignatures(newDocs, idCol, textCol, shingleK, numPerm, hashes)
     val sigOld = minhashSignatures(existing, idCol, textCol, shingleK, numPerm, hashes)
-    val cand = bandKeys(sigNew, bands, rows, hashes)
+    var bandNew = bandKeys(sigNew, bands, rows, hashes)
+    var bandOld = bandKeys(sigOld, bands, rows, hashes)
+    // hot-bucket cap, mirroring minhashLshPairs: the candidate join is
+    // quadratic in a degenerate bucket's membership (|new ∩ bucket| ×
+    // |old ∩ bucket| — boilerplate/empty docs sharing a band hash), so
+    // buckets whose COMBINED membership exceeds maxBucket are dropped
+    // from both sides via a broadcast anti-join. Default = uncapped
+    // (the q78 exact-oracle form).
+    if (maxBucket != Int.MaxValue) {
+      val hot = bandNew.select("band", "band_hash")
+        .unionAll(bandOld.select("band", "band_hash"))
+        .groupBy("band", "band_hash").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxBucket).select("band", "band_hash")
+        .localCheckpoint()
+      bandNew = bandNew.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+      bandOld = bandOld.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    }
+    val cand = bandNew
       .select(col("band"), col("band_hash"), col("doc").as("doc_new"))
-      .join(bandKeys(sigOld, bands, rows, hashes)
+      .join(bandOld
         .select(col("band"), col("band_hash"), col("doc").as("doc_old")),
         Seq("band", "band_hash"))
       .select("doc_new", "doc_old")

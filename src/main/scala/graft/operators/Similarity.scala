@@ -26,6 +26,10 @@ object Similarity {
   /** Exact cosine top-k: for each probe vector, the k nearest corpus
     * vectors (self excluded).
     * Output: query_id, rank, neighbor_id, cosine (rounded 6dp).
+    *
+    * Ranking orders on the ROUNDED cosine (6dp, neighbor_id tie-break):
+    * two candidates whose cosines differ below cross-engine float noise
+    * would otherwise swap ranks between Spark and the oracle engine.
     */
   def bruteForceTopK(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val corpus = embeddings.select(
@@ -33,12 +37,13 @@ object Similarity {
     val q = probes.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
     val scored = corpus.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosineFast(embeddings.sparkSession)(col("q_emb"), col("c_emb")))
+      .withColumn("cosine",
+        round(cosineFast(embeddings.sparkSession)(col("q_emb"), col("c_emb")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rank")
   }
 
@@ -51,9 +56,12 @@ object Similarity {
     val b = embeddings.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("emb_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineFast(embeddings.sparkSession)(col("emb_a"), col("emb_b")))
+      // threshold on the ROUNDED cosine so a pair sitting within float
+      // noise of the cut is included/excluded identically cross-engine
+      .withColumn("cosine",
+        round(cosineFast(embeddings.sparkSession)(col("emb_a"), col("emb_b")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
       .orderBy("id_a", "id_b")
   }
 
@@ -227,13 +235,17 @@ object Similarity {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "centroid")
 
+    // List routing and candidate ranking both order on the ROUNDED
+    // cosine (6dp, id tie-break): ordering on raw doubles relies on
+    // Spark and the oracle engine producing bit-identical floats for
+    // every comparison — sub-noise differences would swap assignments.
     def nearestLists(vecs: DataFrame, idCol: String, n: Int): DataFrame = {
       val scored = vecs.crossJoin(broadcast(centroids))
-        .withColumn("cdist", -cosineFast(spark)(col("emb"), col("centroid")))
-      val w = Window.partitionBy(idCol).orderBy(col("cdist"), col("list_id"))
+        .withColumn("ccos", round(cosineFast(spark)(col("emb"), col("centroid")), 6))
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("list_id"))
       scored.withColumn("crank", row_number().over(w))
         .filter(col("crank") <= n)
-        .drop("centroid", "cdist", "crank")
+        .drop("centroid", "ccos", "crank")
     }
 
     val corpus = nearestLists(
@@ -248,11 +260,10 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     routed.join(corpus, Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosineFast(spark)(col("q_emb"), col("c_emb")))
+      .withColumn("cosine", round(cosineFast(spark)(col("q_emb"), col("c_emb")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rank")
   }
 

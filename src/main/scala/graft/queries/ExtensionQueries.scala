@@ -589,20 +589,21 @@ object ExtensionQueries {
         |             FROM e ORDER BY h, vec_id LIMIT 8)),
         |ca AS (SELECT e.vec_id, e.v, cb.list_id,
         |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY list_cosine_similarity(e.v, cb.c) DESC, cb.list_id) AS crank
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC, cb.list_id)
+        |           AS crank
         |       FROM e CROSS JOIN cb),
         |corpus AS (SELECT vec_id AS neighbor_id, v, list_id FROM ca WHERE crank = 1),
         |probes AS (SELECT vec_id AS query_id, v AS q, list_id
         |           FROM ca WHERE crank <= 4 AND vec_id < 10),
         |cand AS (SELECT p.query_id, c.neighbor_id,
-        |           list_cosine_similarity(p.q, c.v) AS cos
+        |           ROUND(list_cosine_similarity(p.q, c.v), 6) AS cos
         |         FROM probes p JOIN corpus c USING (list_id)
         |         WHERE c.neighbor_id <> p.query_id),
         |r AS (SELECT query_id, neighbor_id, cos,
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
         |             AS INTEGER) AS rank
         |      FROM cand)
-        |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+        |SELECT query_id, rank, neighbor_id, cos AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q59_canonical_corpus" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
@@ -1026,21 +1027,21 @@ object ExtensionQueries {
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
-        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cos
+        |s AS (SELECT query_id, neighbor_id, ROUND(list_cosine_similarity(qe, ce), 6) AS cos
         |      FROM q, c WHERE neighbor_id <> query_id),
         |r AS (SELECT query_id, neighbor_id, cos,
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
         |             AS INTEGER) AS rank
         |      FROM s)
-        |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine
+        |SELECT query_id, rank, neighbor_id, cos AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q25_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "q27_centroids" ->
       """SELECT label, CAST(gs.dim - 1 AS INTEGER) AS dim,

@@ -49,43 +49,64 @@ object StreamingPower {
 
   /** One incremental-dedup step: drop from `batch` every document that
     * near-duplicates (MinHash-LSH, est jaccard ≥ threshold) something
-    * already in the parquet index at `indexPath`, then append the
-    * survivors to the index. This is the body of the production
-    * daily/streaming dedup loop — the batch cross-corpus operator
-    * (`Dedup.minhashLshJoin`) runs unchanged; only the survivors are
-    * written, so the index stays canonical. First call bootstraps the
-    * index from the batch itself.
+    * already in the parquet index at `indexPath`, canonicalize the batch
+    * against ITSELF (two near-dups arriving in the same batch would both
+    * pass the index check — only the cluster-min doc enters), then write
+    * the survivors to the index under a `batch_id=<id>` partition
+    * directory. This is the body of the production daily/streaming dedup
+    * loop — the batch cross-corpus operator (`Dedup.minhashLshJoin`)
+    * runs unchanged. First call bootstraps the index from the batch.
+    *
+    * Idempotency under foreachBatch retries: each batch owns its
+    * partition directory. A retry after a fully-committed write
+    * (`_SUCCESS` present) is a no-op; a retry after a PARTIAL write
+    * overwrites only that directory, and the partial files are excluded
+    * from `existing` (partition filter on batch_id) so a half-written
+    * attempt can never make the batch's own docs look like duplicates.
     */
   def dedupStepAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
-      indexPath: String, threshold: Double = 0.5): Unit = {
+      indexPath: String, threshold: Double = 0.5, batchId: Long = 0L): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
     val spark = batch.sparkSession
-    val indexExists = {
-      val p = new org.apache.hadoop.fs.Path(indexPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    val keep =
-      if (!indexExists) batch
-      else {
-        val existing = spark.read.parquet(indexPath)
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    val existing: Option[DataFrame] =
+      if (!fs.exists(root)) None
+      else if (!fs.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id="))) None
+      else Some(spark.read.parquet(indexPath)
+        .filter(col("batch_id") =!= batchId).drop("batch_id"))
+    val vsIndex = existing match {
+      case None => batch
+      case Some(idx) =>
         val dupIds = graft.operators.Dedup
-          .minhashLshJoin(batch, existing, idCol, textCol, threshold = threshold)
-          .select(org.apache.spark.sql.functions.col("doc_new").as(idCol))
+          .minhashLshJoin(batch, idx, idCol, textCol, threshold = threshold)
+          .select(col("doc_new").as(idCol))
           .distinct()
         batch.join(dupIds, Seq(idCol), "left_anti")
-      }
-    keep.write.mode("append").parquet(indexPath)
+    }
+    val selfPairs = graft.operators.Dedup
+      .minhashLshPairs(vsIndex, idCol, textCol, threshold = threshold)
+    val keep = graft.operators.Dedup
+      .canonicalCorpus(vsIndex, selfPairs, idCol)
+      .drop("cluster_size", "removed_dups")
+    keep.write.mode("overwrite").parquet(batchDir.toString)
   }
 
   /** The loop as a streaming query: each micro-batch dedups against —
-    * and grows — the index via `foreachBatch`.
+    * and grows — the index via `foreachBatch`, keyed by the engine's
+    * batch id so retried micro-batches stay idempotent.
     */
   def dedupStreamAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, checkpoint: String,
       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dedupStepAgainstIndex(batch, idCol, textCol, indexPath, threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupStepAgainstIndex(batch, idCol, textCol, indexPath, threshold, batchId)
       }
       .start()
 

@@ -146,6 +146,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids == Seq(1L, 2L, 4L), s"index holds $ids — near-dup 3 should be dropped")
   }
 
+  test("dedup-against-index step: idempotent under retry, canonical within a batch") {
+    import spark.implicits._
+    val indexPath = Files.createTempDirectory("graft_dedup_step").toString + "/index"
+    def readIds() = spark.read.parquet(indexPath).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // batch 0 carries an INTRA-batch near-dup pair (10, 11): only the
+    // min-id doc may enter the index even though neither matches the
+    // (empty) index
+    val b0 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    StreamingPower.dedupStepAgainstIndex(b0, "doc_id", "text", indexPath, batchId = 0L)
+    assert(readIds() == Seq(10L, 12L), s"got ${readIds()} — intra-batch dup 11 should drop")
+    // a RETRIED micro-batch (same batchId, committed write) is a no-op
+    StreamingPower.dedupStepAgainstIndex(b0, "doc_id", "text", indexPath, batchId = 0L)
+    assert(readIds() == Seq(10L, 12L), s"got ${readIds()} — retry must not duplicate index rows")
+    // next batch still dedups against the committed index
+    val b1 = Seq(
+      (20L, "pack my box with five dozen liquor jugs"),
+      (21L, "sphinx of black quartz judge my vow tonight")).toDF("doc_id", "text")
+    StreamingPower.dedupStepAgainstIndex(b1, "doc_id", "text", indexPath, batchId = 1L)
+    assert(readIds() == Seq(10L, 12L, 21L), s"got ${readIds()}")
+  }
+
   test("stream-stream interval join matches the batch range join") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
