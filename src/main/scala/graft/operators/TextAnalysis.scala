@@ -156,6 +156,68 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Conditional bigram log-probability — the 2-gram member of the
+    * perplexity-filter family (`unigramLogProb` is the 1-gram end):
+    * score(doc) = mean over its bigrams (w1 w2) of ln P(w2 | w1), with
+    * P(w2|w1) = count(w1 w2) / count(w1 ·) estimated from the corpus
+    * itself. Sharper than the unigram score at flagging scrambled or
+    * machine-mangled text, whose words are individually common but
+    * whose transitions are not. Documents with fewer than two tokens
+    * have no bigrams and drop out (same contract as pair-based dedup).
+    *
+    * Scale shape: bigram counts are a hash aggregate; unlike the
+    * unigram vocabulary they are NOT bounded by a dictionary, so the
+    * count and prefix tables join back by plain equi-join (AQE may
+    * still broadcast them at small scale) rather than a forced
+    * broadcast. Everything else is map-side + one per-doc aggregate.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc"), explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
+      // shingles() emits a whole-text sentinel for docs shorter than k;
+      // a 1-token doc has no bigram, so drop the 1-word sentinel
+      .filter(size(split(col("bigram"), " ")) === 2)
+    val counts = bg.groupBy("bigram").agg(count(lit(1)).as("bf"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+    val prefix = counts.groupBy("w1").agg(sum(col("bf")).as("pf"))
+    bg.join(counts, Seq("bigram"))
+      .join(prefix, Seq("w1"))
+      .groupBy(col("doc").as(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("bf").cast("double") / col("pf").cast("double"))), 6)
+          .as("avg_logprob"))
+      .orderBy(idCol)
+  }
+
+  /** BPE-style regex pre-tokenization profile: the `\w+ | digits |
+    * single punctuation` split every subword tokenizer applies before
+    * merges, with per-class counts and the subtoken-to-word ratio
+    * (fertility) — the number a tokenizer-budget planner actually
+    * wants per corpus slice. Pure projection, no shuffle; the regex
+    * avoids lookarounds so the same pattern runs identically on Java
+    * and RE2-family engines.
+    */
+  def regexTokenProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    val bound = docs.select(
+      col(idCol),
+      regexp_extract_all(col(textCol), lit(pattern), lit(0)).as("_sub"),
+      size(wsTokens(col(textCol))).as("n_ws_tokens"))
+    bound.select(
+      col(idCol),
+      col("n_ws_tokens"),
+      size(col("_sub")).as("n_subtokens"),
+      size(filter(col("_sub"), x => x.rlike("^[A-Za-z]+$"))).as("n_word"),
+      size(filter(col("_sub"), x => x.rlike("^[0-9]+$"))).as("n_number"),
+      (size(col("_sub"))
+        - size(filter(col("_sub"), x => x.rlike("^[A-Za-z]+$")))
+        - size(filter(col("_sub"), x => x.rlike("^[0-9]+$")))).as("n_punct"),
+      round(size(col("_sub")).cast("double") / col("n_ws_tokens"), 6)
+        .as("fertility"))
+      .orderBy(idCol)
+  }
+
   /** Within-document repetition (a Gopher-style quality signal): the
     * fraction of k-word shingles that repeat an earlier shingle — high
     * values flag boilerplate / looping generations, one of the standard

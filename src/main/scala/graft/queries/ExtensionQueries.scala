@@ -456,7 +456,46 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"), round(avg(col("v")), 6).as("centroid_v"))
       .orderBy("lang", "dim")
 
+  /** Context-window chunking: 64-token windows every 48 tokens. */
+  private val chunkQ: Q = (s, dir) =>
+    Chunking.chunkByTokens(Tables.documents(s, dir), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+
+  /** BPE-style regex pre-tokenization profile (fertility etc.). */
+  private val regexTokensQ: Q = (s, dir) =>
+    TextAnalysis.regexTokenProfile(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Morton z-value of (l_partkey, l_suppkey) — the sort key behind the
+    * z-order layout (the layout write itself is spec'd in ZOrderSpec;
+    * partition/file boundaries depend on range sampling, so only the
+    * deterministic key computation is oracle-checked).
+    */
+  private val zorderQ: Q = (s, dir) =>
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      ZOrder.interleave(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Hopping (sliding) 60-minute windows every 15 minutes — each event
+    * lands in size/slide = 4 windows; the built-in `window()` generator
+    * handles the multi-assignment (and runs unchanged on a stream).
+    */
+  private val hoppingQ: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "60 minutes", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("total_value"))
+      .orderBy("window_start")
+
+  private val bigramLp: Q = (s, dir) =>
+    TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
+    "q83_chunk" -> chunkQ,
+    "q84_regex_tokens" -> regexTokensQ,
+    "q85_zorder" -> zorderQ,
+    "q86_hopping_window" -> hoppingQ,
+    "q87_bigram_logprob" -> bigramLp,
     "q59_canonical_corpus" -> canonicalCorpusQ,
     "q71_decontaminate_bloom" -> decontaminateBloom,
     "q72_shard_pack" -> shardPack,
@@ -580,7 +619,73 @@ object ExtensionQueries {
     * deterministic portable HLL precisely so that the last two
     * formerly rows-only checks became hash-checkable.
     */
+  /** DuckDB rendering of `ZOrder.interleave` — bit-for-bit the same
+    * shift/mask terms the Spark expression builds.
+    */
+  private def zTermsSql(x: String, y: String, bits: Int = 16): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
   val oracleSql: Map[String, String] = Map(
+    "q83_chunk" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |        CASE WHEN len(toks) <= 64 THEN 1
+        |             ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+        |      FROM t)
+        |SELECT doc_id, CAST(gs.i AS INTEGER) AS chunk_id,
+        |  CAST(LEAST(64, n - gs.i * 48) AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(toks[gs.i * 48 + 1 : gs.i * 48 + 64], ' ') AS chunk_text
+        |FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) gs
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q84_regex_tokens" ->
+      """WITH r AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS sub,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_ws AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(sub) AS INTEGER) AS n_subtokens,
+        |  CAST(len(list_filter(sub, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS INTEGER)
+        |    AS n_word,
+        |  CAST(len(list_filter(sub, x -> regexp_matches(x, '^[0-9]+$'))) AS INTEGER)
+        |    AS n_number,
+        |  CAST(len(sub) - len(list_filter(sub, x -> regexp_matches(x, '^[A-Za-z]+$')))
+        |       - len(list_filter(sub, x -> regexp_matches(x, '^[0-9]+$'))) AS INTEGER)
+        |    AS n_punct,
+        |  ROUND(CAST(len(sub) AS DOUBLE) / n_ws, 6) AS fertility
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q85_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(${zTermsSql("l_partkey", "l_suppkey")} AS BIGINT) AS z
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q86_hopping_window" ->
+      """WITH b AS (SELECT ts, value,
+        |    date_trunc('hour', ts)
+        |      + (CAST(minute(ts) AS BIGINT) // 15) * INTERVAL 15 MINUTE AS bucket
+        |  FROM events),
+        |w AS (SELECT ts, value, bucket - o.o * INTERVAL 15 MINUTE AS window_start
+        |      FROM b, (SELECT unnest(generate_series(0, 3)) AS o) o
+        |      WHERE ts < bucket - o.o * INTERVAL 15 MINUTE + INTERVAL 60 MINUTE)
+        |SELECT window_start, count(*) AS n_events,
+        |  ROUND(sum(value), 6) AS total_value
+        |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin,
+    "q87_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bgs AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |    THEN [array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t)-1)]
+        |    ELSE [array_to_string(t, ' ')] END) AS bigram FROM toks),
+        |bg AS (SELECT doc_id, bigram FROM bgs
+        |       WHERE len(string_split(bigram, ' ')) = 2),
+        |c AS (SELECT bigram, count(*) AS bf, string_split(bigram, ' ')[1] AS w1
+        |      FROM bg GROUP BY bigram),
+        |p AS (SELECT w1, CAST(sum(bf) AS BIGINT) AS pf FROM c GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  ROUND(avg(ln(CAST(bf AS DOUBLE) / CAST(pf AS DOUBLE))), 6) AS avg_logprob
+        |FROM bg JOIN c USING (bigram) JOIN p USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q40_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS c
