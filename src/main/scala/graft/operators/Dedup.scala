@@ -385,21 +385,24 @@ object Dedup {
         .union(m)
         .distinct()
     }
-    // one job per round computes the convergence fingerprint alongside
-    // the materialization: (edge count, order-free hash xor — xor, not
+    // ONE job per round: the checkpoint is LAZY, so the fingerprint
+    // aggregate both materializes the round's edge set into block
+    // storage and computes the convergence check in the same action —
+    // an eager checkpoint would run a separate materialization job
+    // first. Fingerprint = (edge count, order-free hash xor — xor, not
     // sum, because ANSI mode throws on long-sum overflow, and the edge
-    // set is distinct so no two rows cancel)
+    // set is distinct so no two rows cancel).
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(eager = false)
     var fp = fingerprint(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val fp2 = fingerprint(edges)
       converged = fp2 == fp
       fp = fp2

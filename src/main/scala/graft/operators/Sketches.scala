@@ -83,4 +83,76 @@ object Sketches {
         round(lit(-k.toDouble) *
           log((lit(k.toDouble) - col("occupied_buckets")) / lit(k.toDouble)), 6)
           .as("estimated_distinct"))
+
+  /** Mergeable fixed-bin histogram quantiles — the sketch alternative
+    * to the exact percentiles (q42): exact `percentile` needs all
+    * values of a group in one place (a sort-based aggregate), while a
+    * fixed-bin histogram is one hash aggregate whose state is ≤ `bins`
+    * counters — mergeable across partitions/days, constant memory, and
+    * the quantile is then read off the cumulative histogram. Error is
+    * bounded by the bin width (range/bins).
+    *
+    * Everything is deterministic arithmetic (no library quantile
+    * sketch), so the SAME formula runs in a SQL oracle. Min/max/count
+    * fold in as a broadcast 1-row aggregate — in-plan, no eager job.
+    * The cumulative window is global but runs over ≤ `bins` rows.
+    * Output: (percentile, bin, value_est = bin's lower edge).
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: String, bins: Int = 1000,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val stats = df.agg(min(v).as("_lo"), max(v).as("_hi"), count(v).as("_n"))
+    val binned = df.select(v.as("_v")).crossJoin(broadcast(stats))
+      .select(
+        when(col("_hi") === col("_lo"), lit(0L))
+          .otherwise(least(lit((bins - 1).toLong),
+            floor((col("_v") - col("_lo")) / (col("_hi") - col("_lo")) * bins)))
+          .cast("int").as("bin"))
+    val hist = binned.groupBy("bin").agg(count(lit(1)).as("bcnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("bcnt")).over(org.apache.spark.sql.expressions.Window.orderBy("bin")))
+    val targets = stats.select(
+      explode(array(qs.map(lit): _*)).as("percentile"),
+      col("_n"), col("_lo"), col("_hi"))
+      .withColumn("target", ceil(col("percentile") * col("_n")))
+    targets.join(cum, col("cum") >= col("target"))
+      .groupBy("percentile", "_lo", "_hi")
+      .agg(min(col("bin")).as("bin"))
+      .select(col("percentile"), col("bin"),
+        round(col("_lo") + col("bin") * (col("_hi") - col("_lo")) / lit(bins.toDouble), 6)
+          .as("value_est"))
+      .orderBy("percentile")
+  }
+
+  /** Count-min sketch heavy hitters: `depth` salted hash rows of
+    * `width` counters; a token's estimate is the MIN over its `depth`
+    * counters — always ≥ the true count, within εN with probability
+    * 1−δ for width = e/ε, depth = ln(1/δ). The sketch is `depth×width`
+    * counters regardless of vocabulary size — the point at 100 TB,
+    * where the exact vocabulary aggregate is itself huge. Both the
+    * sketch build and the readout are hash aggregates on the tiny
+    * (r, c) key space; the sketch table broadcasts to the readout join.
+    * Output: top `k` tokens by estimated count (token tie-break), with
+    * the exact count alongside (the overestimate witness; the exact
+    * aggregate exists here only for verification).
+    */
+  def countMinTopK(tokens: DataFrame, tokenCol: String, depth: Int = 4,
+      width: Int = 1024, k: Int = 20,
+      hashes: HashFamily = Md5Family): DataFrame = {
+    val tok = tokens.select(col(tokenCol).as("token"))
+    // localCheckpoint: the hashed stream feeds both the sketch build
+    // and the readout — without it the token hashing runs twice
+    val hashed = tok.select(col("token"),
+      posexplode(array((0 until depth).map(r =>
+        hashes.hashWithSalt(col("token"), lit(r)) % width): _*)).as(Seq("r", "c")))
+      .localCheckpoint()
+    val cm = hashed.groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    val est = hashed.dropDuplicates("token", "r")
+      .join(broadcast(cm), Seq("r", "c"))
+      .groupBy("token").agg(min(col("cnt")).as("est_count"))
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("token"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(k)
+  }
 }

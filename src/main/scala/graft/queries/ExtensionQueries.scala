@@ -490,7 +490,22 @@ object ExtensionQueries {
   private val bigramLp: Q = (s, dir) =>
     TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Histogram-sketch quantiles over lineitem prices — the mergeable
+    * constant-memory alternative to the exact sort-based q42.
+    */
+  private val histQuantiles: Q = (s, dir) =>
+    Sketches.histogramQuantiles(Tables.lineitem(s, dir), "l_extendedprice")
+
+  /** Count-min heavy hitters over the document token stream. */
+  private val countMin: Q = (s, dir) =>
+    Sketches.countMinTopK(
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token")),
+      "token")
+
   val queries: Map[String, Q] = Map(
+    "q88_histogram_quantiles" -> histQuantiles,
+    "q89_count_min" -> countMin,
     "q83_chunk" -> chunkQ,
     "q84_regex_tokens" -> regexTokensQ,
     "q85_zorder" -> zorderQ,
@@ -628,6 +643,36 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q88_histogram_quantiles" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+        |                  count(*) AS n FROM lineitem),
+        |b AS (SELECT CASE WHEN hi = lo THEN 0
+        |        ELSE CAST(LEAST(999, floor((l_extendedprice - lo) / (hi - lo) * 1000))
+        |             AS INTEGER) END AS bin
+        |      FROM lineitem, s),
+        |h AS (SELECT bin, count(*) AS bcnt FROM b GROUP BY bin),
+        |c AS (SELECT bin, sum(bcnt) OVER (ORDER BY bin
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |q AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS percentile),
+        |t AS (SELECT percentile, ceil(percentile * n) AS target, lo, hi FROM q, s),
+        |r AS (SELECT percentile, lo, hi, min(bin) AS bin
+        |      FROM t JOIN c ON c.cum >= t.target GROUP BY percentile, lo, hi)
+        |SELECT percentile, bin,
+        |  ROUND(lo + bin * (hi - lo) / 1000.0e0, 6) AS value_est
+        |FROM r ORDER BY percentile""".stripMargin,
+    "q89_count_min" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |hx AS (SELECT token, r,
+        |    ${md5l("concat(token, '_', CAST(r AS VARCHAR))")} % 1024 AS c
+        |  FROM tok, generate_series(0, 3) AS gs(r)),
+        |cm AS (SELECT r, c, count(*) AS cnt FROM hx GROUP BY r, c),
+        |est AS (SELECT token, min(cnt) AS est_count
+        |        FROM (SELECT DISTINCT token, r, c FROM hx) d JOIN cm USING (r, c)
+        |        GROUP BY token),
+        |ex AS (SELECT token, count(*) AS exact_count FROM tok GROUP BY token)
+        |SELECT token, est_count, exact_count
+        |FROM est JOIN ex USING (token)
+        |ORDER BY est_count DESC, token LIMIT 20""".stripMargin,
     "q83_chunk" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
         |           FROM documents),

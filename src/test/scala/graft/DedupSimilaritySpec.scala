@@ -233,6 +233,40 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(math.abs(est - exact) / exact < 0.05, s"estimate $est vs exact $exact")
   }
 
+  test("count-min estimates never undercount and nail the heavy hitters") {
+    import graft.operators.Sketches
+    val tok = Tables.documents(spark, sf("sf0.001"))
+      .select(explode(split(col("text"), " ")).as("token"))
+    val top = Sketches.countMinTopK(tok, "token", k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.length == 20)
+    // CM property: estimate >= exact, always
+    top.foreach { case (t, est, exact) =>
+      assert(est >= exact, s"token $t: est $est < exact $exact") }
+    // the sketch's top-20 should be the exact top-20 at this skew
+    // (estimates may reorder within, so compare as sets)
+    val exactTop = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+      .collect().map(_.getString(0)).toSet
+    val overlap = top.map(_._1).toSet.intersect(exactTop).size
+    assert(overlap >= 16, s"only $overlap/20 sketch heavy hitters are true heavy hitters")
+  }
+
+  test("histogram quantiles land within one bin width of exact percentiles") {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val got = Sketches.histogramQuantiles(li, "l_extendedprice")
+      .collect().map(r => (r.getDouble(0), r.getDouble(2))).toMap
+    val Seq(lo, hi) = li.agg(min(col("l_extendedprice")), max(col("l_extendedprice")))
+      .head.toSeq.map(_.asInstanceOf[Double])
+    val binWidth = (hi - lo) / 1000.0
+    for (q <- Seq(0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val exact = li.stat.approxQuantile("l_extendedprice", Array(q), 0.0).head
+      assert(math.abs(got(q) - exact) <= 2 * binWidth,
+        s"q$q: sketch ${got(q)} vs exact $exact (bin width $binWidth)")
+    }
+  }
+
   test("exact dedup keeps min id and counts duplicates") {
     import spark.implicits._
     val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"))
