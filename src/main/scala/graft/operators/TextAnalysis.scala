@@ -234,6 +234,28 @@ object TextAnalysis {
         .as("repetition_ratio"))
   }
 
+  /** Pattern scrubbing — the PII/policy redaction pass of a training
+    * pipeline: each (name, regex, replacement) rule is applied in order
+    * (order matters: URLs before digit runs, or the run inside a URL is
+    * masked first), with per-rule match counts taken on the ORIGINAL
+    * text and a `changed` flag. Pure codegen projection, no shuffle;
+    * patterns avoid lookarounds so the same regex runs identically on
+    * Java and RE2-family engines.
+    */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String, String)]): DataFrame = {
+    val scrubbed = rules.foldLeft(col(textCol)) {
+      case (c, (_, p, r)) => regexp_replace(c, p, r)
+    }
+    val counts = rules.map { case (name, p, _) =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0))).as(s"n_$name")
+    }
+    docs.select(
+      (col(idCol) +: scrubbed.as("scrubbed_text") +: counts)
+        :+ (scrubbed =!= col(textCol)).as("changed"): _*)
+      .orderBy(idCol)
+  }
+
   /** Content-defined fingerprints: full-text hash (exact-dup key) and
     * the minimum rolling 3-shingle hash (a 1-perm MinHash — stable
     * under small appends). With `Md5Family` the values are DuckDB-

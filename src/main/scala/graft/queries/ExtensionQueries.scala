@@ -503,7 +503,19 @@ object ExtensionQueries {
         .select(explode(split(col("text"), " ")).as("token")),
       "token")
 
+  /** PII/policy scrub: standard URL/email/number patterns (exercised as
+    * exact-string no-ops on this corpus) plus an entity denylist term
+    * that does fire.
+    */
+  private val scrubQ: Q = (s, dir) =>
+    TextAnalysis.scrub(Tables.documents(s, dir), "doc_id", "text", Seq(
+      ("urls", "https?://[^ ]+", "<URL>"),
+      ("emails", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      ("numbers", "[0-9]{4,}", "<NUM>"),
+      ("entities", "\\bcustomer\\b", "<ENTITY>")))
+
   val queries: Map[String, Q] = Map(
+    "q90_scrub" -> scrubQ,
     "q88_histogram_quantiles" -> histQuantiles,
     "q89_count_min" -> countMin,
     "q83_chunk" -> chunkQ,
@@ -643,6 +655,22 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q90_scrub" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{4,}', '<NUM>', 'g'),
+        |      '\bcustomer\b', '<ENTITY>', 'g') AS scrubbed_text
+        |  FROM documents)
+        |SELECT doc_id, scrubbed_text,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INTEGER) AS n_numbers,
+        |  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS INTEGER) AS n_entities,
+        |  scrubbed_text <> text AS changed
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q88_histogram_quantiles" ->
       """WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
         |                  count(*) AS n FROM lineitem),
