@@ -145,4 +145,41 @@ class PlanSpec extends SparkSpecBase {
     assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
       s"hot-shingle removal is not a broadcast anti join:\n$plan")
   }
+
+  test("chunking is map-side up to its output sort (one exchange, the range sort)") {
+    val plan = planOf(graft.operators.Chunking.chunkByTokens(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text"))
+    // scan → project → generate → project → final orderBy: the ONLY
+    // exchange allowed is the rangepartitioning for the output sort
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"chunking shuffled before its output sort:\n${exchanges.mkString("\n")}")
+    assert(plan.contains("Generate"), s"expected generator:\n$plan")
+  }
+
+  test("scrub is a pure projection (no exchange except the output sort)") {
+    val plan = planOf(graft.operators.TextAnalysis.scrub(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text",
+      Seq(("numbers", "[0-9]{4,}", "<NUM>"))))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"scrub shuffled:\n${exchanges.mkString("\n")}")
+  }
+
+  test("count-min readout joins the sketch via broadcast (token stream never shuffles for it)") {
+    val tok = Tables.documents(spark, sf("sf0.001"))
+      .select(explode(split(col("text"), " ")).as("token"))
+    val plan = planOf(graft.operators.Sketches.countMinTopK(tok, "token"))
+    assert(plan.contains("BroadcastHashJoin"), s"sketch join not broadcast:\n$plan")
+    // top-k must be TakeOrdered (scale-safe), not a global-window sort
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+  }
+
+  test("z-value is computed without any exchange before the range layout") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val plan = planOf(li.withColumn("z",
+      graft.operators.ZOrder.interleave(col("l_partkey"), col("l_suppkey"))))
+    assert(!plan.contains("Exchange"), s"z projection should not shuffle:\n$plan")
+  }
 }

@@ -40,6 +40,32 @@ class StreamingSpec extends SparkSpecBase {
     gotMap.foreach { case (k, v) => assert(batchMap(k) == v, s"window $k") }
   }
 
+  test("hopping-window aggregate runs unchanged on a stream and matches batch") {
+    val srcDir = Files.createTempDirectory("graft_hop_src").toString
+    val events = Tables.events(spark, sf("sf0.001"))
+    events.write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    // the q86 aggregation verbatim, with a watermark for append mode
+    val stream = StreamingPower.ingest(spark, srcDir, schema)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "60 minutes", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("total_value"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("hop_agg")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val gotMap = spark.table("hop_agg").collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batchMap = graft.queries.ExtensionQueries
+      .queries("q86_hopping_window")(spark, sf("sf0.001")).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(gotMap.nonEmpty)
+    // append mode emits only watermark-closed windows; every emitted
+    // window must match the batch result exactly
+    gotMap.foreach { case (k, v) => assert(batchMap(k) == v, s"window $k") }
+  }
+
   test("checkpointed ingest resumes: second batch of files processed incrementally") {
     val srcDir = Files.createTempDirectory("graft_inc_src").toString
     val ckpt = Files.createTempDirectory("graft_inc_ckpt").toString
