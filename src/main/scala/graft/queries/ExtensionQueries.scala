@@ -514,7 +514,58 @@ object ExtensionQueries {
       ("numbers", "[0-9]{4,}", "<NUM>"),
       ("entities", "\\bcustomer\\b", "<ENTITY>")))
 
+  /** Split-leakage report: near-duplicate pairs (MinHash-LSH, the q21
+    * operator) that STRADDLE a train/test hash split — the
+    * contamination a benchmark-honest pipeline must count before
+    * training. 50/50 md5 split (an 80/20 split yields zero cross pairs
+    * on the small fixtures; the rule matches q78's).
+    */
+  private val splitLeakage: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", hashes = Md5Family)
+    val splits = docs.select(col("doc_id"),
+      when(Md5Family.hash(col("doc_id").cast("string")) % 100 < 50, lit("train"))
+        .otherwise(lit("test")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)).as("n_cross_pairs"))
+      .select(col("n_pairs"), col("n_cross_pairs"),
+        round(col("n_cross_pairs").cast("double") / col("n_pairs"), 6).as("leakage_ratio"))
+  }
+
+  /** Cross-source n-gram overlap matrix — per source pair, how many
+    * distinct (DF-capped, hashed) shingles they share and the shingle
+    * Jaccard: the corpus-governance number behind "these two crawls are
+    * mostly the same site". Same capped hashed index as q62; the
+    * per-source distinct index is tiny relative to the corpus, so the
+    * pair join is source-cardinality-bounded.
+    */
+  private val sourceOverlap: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val grams = Dedup.shingleIndex(docs, "doc_id", "text", k = 3, maxDf = 50,
+      gramHash = Some(Md5Family))
+    val gs = grams
+      .join(docs.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
+      .select("source", "g").distinct().localCheckpoint()
+    val sizes = gs.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = gs.select(col("g"), col("source").as("source_a"))
+      .join(gs.select(col("g"), col("source").as("source_b")), Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")), 6)
+          .as("gram_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q91_split_leakage" -> splitLeakage,
+    "q92_source_overlap" -> sourceOverlap,
     "q90_scrub" -> scrubQ,
     "q88_histogram_quantiles" -> histQuantiles,
     "q89_count_min" -> countMin,
@@ -655,6 +706,62 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q91_split_leakage" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |h AS (SELECT doc_id, ${md5l("g")} % 1125899906842624 AS h1,
+        |    ${md5l("concat('2_', g)")} % 1125899906842624 AS h2 FROM g),
+        |mh AS (SELECT doc_id, p, min((h1 + p * h2) % 1125899906842624) AS mh
+        |  FROM h, generate_series(0, 15) AS gs(p) GROUP BY doc_id, p),
+        |bands AS (SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_str
+        |  FROM mh GROUP BY doc_id, p // 2),
+        |bh AS (SELECT doc_id, band,
+        |    ${md5l("concat(band_str, '_', band)")} AS band_hash FROM bands),
+        |capped AS (SELECT * FROM bh
+        |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |est AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+        |  FROM mh a JOIN mh b ON a.p = b.p
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN ${md5l("CAST(doc_id AS VARCHAR)")} % 100 < 50
+        |         THEN 'train' ELSE 'test' END AS split FROM documents)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cross_pairs,
+        |  ROUND(CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS leakage_ratio
+        |FROM pairs JOIN sp sa ON sa.doc_id = doc_a
+        |  JOIN sp sb ON sb.doc_id = doc_b""".stripMargin,
+    "q92_source_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |gstrs AS (SELECT doc_id, unnest(grams) AS gstr FROM sh),
+        |g0 AS (SELECT DISTINCT doc_id, ${md5l("gstr")} AS g FROM gstrs),
+        |hot AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+        |gi AS (SELECT doc_id, g FROM g0 WHERE g NOT IN (SELECT g FROM hot)),
+        |gsr AS (SELECT DISTINCT d.source, gi.g
+        |        FROM gi JOIN documents d USING (doc_id)),
+        |sizes AS (SELECT source, count(*) AS n FROM gsr GROUP BY source),
+        |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM gsr a JOIN gsr b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS gram_jaccard
+        |FROM shared JOIN sizes sa ON sa.source = source_a
+        |  JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "q90_scrub" ->
       """WITH s AS (SELECT doc_id, text,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
