@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Hand-computed golden fixtures for the round-4 text operators —
+  * independent of the DuckDB oracle, so a cross-engine-agreed-but-wrong
+  * formula can't hide.
+  */
+class TextOpsGoldenSpec extends SparkSpecBase {
+
+  test("regex token profile: counts and fertility on a known sentence") {
+    import spark.implicits._
+    // subtokens of "ab 12345 c-d!": [ab, 12345, c, -, d, !] → 6
+    // ws tokens: [ab, 12345, c-d!] → 3; words: ab, c, d → 3; numbers: 1
+    val df = Seq((1L, "ab 12345 c-d!")).toDF("doc_id", "text")
+    val r = TextAnalysis.regexTokenProfile(df, "doc_id", "text").head
+    assert(r.getInt(1) == 3, "n_ws_tokens")
+    assert(r.getInt(2) == 6, "n_subtokens")
+    assert(r.getInt(3) == 3, "n_word")
+    assert(r.getInt(4) == 1, "n_number")
+    assert(r.getInt(5) == 2, "n_punct")
+    assert(r.getDouble(6) == 2.0, "fertility")
+  }
+
+  test("scrub applies rules in order with per-rule counts on the original text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "visit https://x.io/1234 or mail a@b.co code 99887766"),
+      (2L, "nothing to redact here")).toDF("doc_id", "text")
+    val rules = Seq(
+      ("urls", "https?://[^ ]+", "<URL>"),
+      ("emails", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      ("numbers", "[0-9]{4,}", "<NUM>"))
+    val out = TextAnalysis.scrub(df, "doc_id", "text", rules)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // URL rule runs FIRST, so the 1234 inside the URL is already gone
+    // when the number rule runs — only 99887766 is counted/redacted
+    // by position in the scrubbed text, but counts are on the ORIGINAL
+    // text, so n_numbers sees both digit runs
+    assert(out(1L).getString(1) == "visit <URL> or mail <EMAIL> code <NUM>")
+    assert(out(1L).getInt(2) == 1, "n_urls")
+    assert(out(1L).getInt(3) == 1, "n_emails")
+    assert(out(1L).getInt(4) == 2, "n_numbers (both runs, counted on original)")
+    assert(out(1L).getBoolean(5), "changed")
+    assert(out(2L).getString(1) == "nothing to redact here")
+    assert(!out(2L).getBoolean(5), "unchanged doc flagged")
+  }
+
+  test("bigram log-prob: hand-computed conditional probabilities") {
+    import spark.implicits._
+    // corpus bigrams: doc1 "a b a b" → (a b), (b a), (a b)
+    //                 doc2 "a c"     → (a c)
+    // counts: (a b)=2, (b a)=1, (a c)=1; prefix a·=3, b·=1
+    // doc1 score = mean(ln(2/3), ln(1/1), ln(2/3)) = (2·ln(2/3))/3
+    // doc2 score = ln(1/3)
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 3, "doc1 bigram count")
+    assert(out(2L)._1 == 1, "doc2 bigram count")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 == r6((2 * math.log(2.0 / 3.0)) / 3.0), "doc1 score")
+    assert(out(2L)._2 == r6(math.log(1.0 / 3.0)), "doc2 score")
+    // a single-token doc has no bigram and must drop out entirely
+    val single = TextAnalysis.bigramLogProb(
+      Seq((1L, "only"), (2L, "a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSeq
+    assert(single == Seq(2L), "1-token doc leaked into bigram scoring")
+  }
+}
