@@ -51,6 +51,31 @@ object Multimodal {
     }
   }
 
+  /** Resize planning row: source dims → fitted dims + scale factor. */
+  case class ResizeMeta(doc_id: Long, src_w: Int, src_h: Int,
+      dst_w: Int, dst_h: Int, scale: Double)
+
+  /** Resize-to-fit planning: aspect-preserving scale into a
+    * (maxW, maxH) box, never upscaling — the dimension arithmetic every
+    * image-normalization stage runs before the actual pixel resample.
+    * Composes the partition-wise decode (dims come from `decodeStub`;
+    * a real pipeline resamples pixels in the same mapPartitions pass —
+    * STUB ??? only the metadata math runs here, deterministically, so
+    * the plumbing carries a DuckDB oracle). All arithmetic is plain
+    * IEEE double + floor, bit-identical cross-engine.
+    */
+  def resizePlan(docs: DataFrame, maxW: Int = 256, maxH: Int = 256): Dataset[ResizeMeta] = {
+    val metas = decodeFeatures(docs)
+    import metas.sparkSession.implicits._
+    metas.map { m =>
+      val scale = math.min(math.min(maxW.toDouble / m.width, maxH.toDouble / m.height), 1.0)
+      ResizeMeta(m.doc_id, m.width, m.height,
+        math.max(1, math.floor(m.width * scale).toInt),
+        math.max(1, math.floor(m.height * scale).toInt),
+        BigDecimal(scale).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   /** One sampled frame of a media payload. */
   case class FrameMeta(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_hash: Int)
 

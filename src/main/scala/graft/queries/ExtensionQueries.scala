@@ -563,7 +563,24 @@ object ExtensionQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** Aspect-preserving resize planning over the decoded stub dims. */
+  private val resizePlanQ: Q = (s, dir) =>
+    Multimodal.resizePlan(Tables.documents(s, dir)).toDF().orderBy("doc_id")
+
+  /** JSONL rendering — the standard training-data interchange format:
+    * one compact JSON object per row via `to_json(struct(...))`
+    * (numeric/string fields only; engines agree on compact rendering).
+    * Writing `.text` files of this column IS the JSONL export sink.
+    */
+  private val jsonlExport: Q = (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      to_json(struct(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+        .as("jsonl"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q94_jsonl_export" -> jsonlExport,
+    "q93_multimodal_resize" -> resizePlanQ,
     "q91_split_leakage" -> splitLeakage,
     "q92_source_overlap" -> sourceOverlap,
     "q90_scrub" -> scrubQ,
@@ -706,6 +723,23 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q94_jsonl_export" ->
+      """SELECT doc_id,
+        |  CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
+        |    source := source, n_chars := n_chars)) AS VARCHAR) AS jsonl
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q93_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS src_w,
+        |    CAST(64 + ascii(substr(text, 1, 1)) % 512 AS INTEGER) AS src_h
+        |  FROM documents),
+        |s AS (SELECT doc_id, src_w, src_h,
+        |    LEAST(256.0e0 / src_w, 256.0e0 / src_h, 1.0e0) AS sc FROM m)
+        |SELECT doc_id, src_w, src_h,
+        |  CAST(GREATEST(1, floor(src_w * sc)) AS INTEGER) AS dst_w,
+        |  CAST(GREATEST(1, floor(src_h * sc)) AS INTEGER) AS dst_h,
+        |  ROUND(sc, 6) AS scale
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q91_split_leakage" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
