@@ -136,16 +136,44 @@ object Sketches {
     * the exact count alongside (the overestimate witness; the exact
     * aggregate exists here only for verification).
     */
+  /** (token, r, c) counter coordinates for every token occurrence. */
+  private def cmKeys(tokens: DataFrame, tokenCol: String, depth: Int,
+      width: Int, hashes: HashFamily): DataFrame =
+    tokens.select(col(tokenCol).as("token"))
+      .select(col("token"),
+        posexplode(array((0 until depth).map(r =>
+          hashes.hashWithSalt(col("token"), lit(r)) % width): _*)).as(Seq("r", "c")))
+
+  /** The raw sketch table (r, c, cnt) — at most depth×width rows. Two
+    * sketches with the same (depth, width, hashes) MERGE by summing
+    * counts per (r, c); that mergeability is what makes the sketch a
+    * streaming/partitioned-aggregation primitive (see
+    * `StreamingPower.countMinStream`).
+    */
+  def countMinSketch(tokens: DataFrame, tokenCol: String, depth: Int = 4,
+      width: Int = 1024, hashes: HashFamily = Md5Family): DataFrame =
+    cmKeys(tokens, tokenCol, depth, width, hashes)
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+
+  /** Point estimate per distinct token against a (possibly merged)
+    * sketch table: min over the token's depth counters. Always ≥ the
+    * true count.
+    */
+  def countMinEstimates(tokens: DataFrame, tokenCol: String, sketch: DataFrame,
+      depth: Int = 4, width: Int = 1024,
+      hashes: HashFamily = Md5Family): DataFrame =
+    cmKeys(tokens, tokenCol, depth, width, hashes)
+      .dropDuplicates("token", "r")
+      .join(broadcast(sketch), Seq("r", "c"))
+      .groupBy("token").agg(min(col("cnt")).as("est_count"))
+
   def countMinTopK(tokens: DataFrame, tokenCol: String, depth: Int = 4,
       width: Int = 1024, k: Int = 20,
       hashes: HashFamily = Md5Family): DataFrame = {
     val tok = tokens.select(col(tokenCol).as("token"))
     // localCheckpoint: the hashed stream feeds both the sketch build
     // and the readout — without it the token hashing runs twice
-    val hashed = tok.select(col("token"),
-      posexplode(array((0 until depth).map(r =>
-        hashes.hashWithSalt(col("token"), lit(r)) % width): _*)).as(Seq("r", "c")))
-      .localCheckpoint()
+    val hashed = cmKeys(tok, "token", depth, width, hashes).localCheckpoint()
     val cm = hashed.groupBy("r", "c").agg(count(lit(1)).as("cnt"))
     val est = hashed.dropDuplicates("token", "r")
       .join(broadcast(cm), Seq("r", "c"))

@@ -110,6 +110,43 @@ object StreamingPower {
       }
       .start()
 
+  /** One micro-batch of the streaming count-min pipeline: sketch the
+    * batch's token stream and write it under `batch_id=<id>` —
+    * idempotent under retries exactly like `dedupStepAgainstIndex`
+    * (committed dirs are skipped, partial dirs overwritten). The
+    * store IS the merged sketch: count-min merges by summing counters
+    * per (r, c), so `mergedCountMin` is one bounded hash aggregate
+    * over ≤ batches×depth×width tiny rows — no raw tokens are ever
+    * retained, which is the sketch's point: heavy-hitter state stays
+    * constant-size no matter how much stream has passed.
+    */
+  def countMinStep(batch: DataFrame, textCol: String, storePath: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.Sketches
+      .countMinSketch(batch.select(explode(split(col(textCol), " ")).as("token")), "token")
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** The loop as a streaming query over a document stream. */
+  def countMinStream(docs: DataFrame, textCol: String, storePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        countMinStep(batch, textCol, storePath, batchId)
+      }
+      .start()
+
+  /** The merged sketch across every committed batch: sum per (r, c). */
+  def mergedCountMin(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
+
   /** STREAM-STREAM interval join: purchases attributed to the same
     * user's clicks within a lookback window, both sides live streams.
     * The event-time range condition plus watermarks on BOTH sides is

@@ -197,6 +197,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(readIds() == Seq(10L, 12L, 21L), s"got ${readIds()}")
   }
 
+  test("streaming count-min store merges to the batch sketch of the whole stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_cm_store").toString + "/sketch"
+    val ckpt = Files.createTempDirectory("graft_cm_ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingPower.countMinStream(
+      ms.toDF().toDF("doc_id", "text"), "text", storePath, ckpt)
+    ms.addData((1L, "a b a c"), (2L, "b b d"))
+    q.processAllAvailable()
+    ms.addData((3L, "a d d e"))
+    q.processAllAvailable()
+    q.stop()
+    val merged = StreamingPower.mergedCountMin(spark, storePath)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val allTokens = Seq("a b a c", "b b d", "a d d e")
+      .flatMap(_.split(" ")).toDF("token")
+    val batch = graft.operators.Sketches.countMinSketch(allTokens, "token")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == batch, "merged streaming sketch != whole-stream batch sketch")
+    // and a retried step (same batchId) must not double counters
+    StreamingPower.countMinStep(
+      Seq((9L, "a d d e")).toDF("doc_id", "text"), "text", storePath, batchId = 1L)
+    val again = StreamingPower.mergedCountMin(spark, storePath)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(again == batch, "retried batch mutated the committed sketch store")
+    // estimates off the merged sketch never undercount
+    val est = graft.operators.Sketches.countMinEstimates(
+      allTokens, "token", StreamingPower.mergedCountMin(spark, storePath))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = allTokens.groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) => assert(est(t) >= n, s"token $t undercounted") }
+  }
+
   test("stream-stream interval join matches the batch range join") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
