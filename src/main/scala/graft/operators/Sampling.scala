@@ -82,6 +82,42 @@ object Sampling {
       .drop("_group_n", "_keep_ppm")
   }
 
+  /** Temperature-based mixture rebalancing — the multilingual-corpus
+    * sampling rule (XLM-R style): group i is drawn with probability
+    * ∝ n_i^α, α ∈ (0, 1], flattening the head without discarding the
+    * tail (α=1 is natural proportions, α→0 uniform). Realized as a
+    * deterministic per-row acceptance: group quota = T·w_i/Σw with
+    * w_i = n_i^α and T = `targetFrac`·N, so the per-row keep rate is
+    * quota/n_i, floored to integer ppm and hash-tested — the same
+    * stable, engine-portable keep-decision as `capGroups`.
+    *
+    * Cross-engine float discipline: the order-varying Σw is NOT summed
+    * as raw doubles (parallel float addition order is unpinnable);
+    * each weight is floored to an integer (·1e6) first, so the sum is
+    * exact and the remaining per-group arithmetic is a fixed chain of
+    * double ops on identical integers. α=0.5 uses sqrt (bit-exact in
+    * IEEE, unlike pow whose libm last-ulp varies across engines).
+    *
+    * One tiny aggregate + broadcast join + map-side filter, like its
+    * siblings.
+    */
+  def temperatureSample(docs: DataFrame, idCol: String, groupCol: String,
+      targetFrac: Double = 0.5,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", floor(sqrt(col("_n").cast("double")) * lit(1000000.0)))
+    val totals = counts.agg(sum(col("_n")).as("_tot"), sum(col("_w")).as("_sumw"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(groupCol),
+        least(lit(1000000L),
+          floor(lit(targetFrac) * col("_tot") * col("_w") / col("_sumw") / col("_n")
+            * lit(1000000.0))).as("_ppm"))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .filter(pmod(hashes.hash(col(idCol).cast("string")), lit(1000000L))
+        < col("_ppm"))
+      .drop("_ppm")
+  }
+
   /** EXACT-k group capping: keep exactly min(cap, |group|) rows per
     * group — the k smallest by hash of id, i.e. a deterministic uniform
     * choice. One shuffle on the group key, then a per-group window

@@ -578,7 +578,15 @@ object ExtensionQueries {
         .as("jsonl"))
       .orderBy("doc_id")
 
+  /** α=0.5 temperature rebalancing by language, half-corpus target. */
+  private val temperatureQ: Q = (s, dir) =>
+    Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", "lang",
+      targetFrac = 0.5, hashes = Md5Family)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q95_temperature_sample" -> temperatureQ,
     "q94_jsonl_export" -> jsonlExport,
     "q93_multimodal_resize" -> resizePlanQ,
     "q91_split_leakage" -> splitLeakage,
@@ -723,6 +731,20 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q95_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000e0) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(sum(w) AS BIGINT) AS sumw
+        |       FROM w),
+        |r AS (SELECT lang,
+        |    LEAST(1000000, CAST(floor(0.5e0 * tot * w / sumw / n * 1000000e0) AS BIGINT))
+        |      AS ppm
+        |  FROM w, t)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ${md5l("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.ppm
+        |ORDER BY d.doc_id""".stripMargin,
     "q94_jsonl_export" ->
       """SELECT doc_id,
         |  CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,

@@ -120,6 +120,43 @@ class PropertySpec extends SparkSpecBase {
     runProp(p, 10)
   }
 
+  test("temperature sampling flattens the mixture toward sqrt weights") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // 3 groups with strongly skewed sizes: 4000 / 900 / 100.
+    val rows = (0 until 4000).map(i => (i.toLong, "big")) ++
+      (0 until 900).map(i => (10000L + i, "mid")) ++
+      (0 until 100).map(i => (20000L + i, "small"))
+    val docs = rows.toDF("doc_id", "grp").repartition(7)
+    val kept = Sampling.temperatureSample(docs, "doc_id", "grp",
+      targetFrac = 0.5)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = Map("big" -> 4000.0, "mid" -> 900.0, "small" -> 100.0)
+    // Expected per-group quota: T * sqrt(n_i) / sum(sqrt) with T = 2500.
+    val sumw = n.values.map(math.sqrt).sum
+    n.foreach { case (g, ni) =>
+      val quota = 0.5 * 5000.0 * math.sqrt(ni) / sumw
+      val expected = math.min(ni, quota)
+      val got = byGrp.getOrElse(g, 0L).toDouble
+      // Binomial noise: 5 sigma around the quota.
+      val sigma = math.sqrt(expected) * 5 + 5
+      assert(math.abs(got - expected) <= sigma,
+        s"$g: got $got expected ~$expected (±$sigma)")
+    }
+    // α=0.5 flattens: small group's keep RATE must exceed big group's.
+    val rateSmall = byGrp("small").toDouble / 100.0
+    val rateBig = byGrp("big").toDouble / 4000.0
+    assert(rateSmall > rateBig * 2,
+      s"flattening failed: small=$rateSmall big=$rateBig")
+    // Stability: membership is a pure function of the id.
+    val again = Sampling.temperatureSample(
+      docs.repartition(3).orderBy(col("doc_id").desc), "doc_id", "grp")
+      .select("doc_id").as[Long].collect().toSet
+    val first = kept.select("doc_id").as[Long].collect().toSet
+    assert(first == again, "membership changed under repartition/reorder")
+  }
+
   test("bloom-prefiltered decontamination == broadcast-exact decontamination") {
     import graft.operators.Decontamination
     val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
