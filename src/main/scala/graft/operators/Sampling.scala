@@ -118,6 +118,31 @@ object Sampling {
       .drop("_ppm")
   }
 
+  /** Deterministic epoch shuffle — the reproducible training-order
+    * primitive: every document gets a shard and an in-shard position
+    * that are pure functions of (id, epoch), so the order for epoch e
+    * is (a) pseudo-random, (b) different every epoch, and (c) exactly
+    * reconstructible for resume-from-step or data-order ablations —
+    * no `rand()`, no driver-held permutation.
+    *
+    * Shard = hash(id:epoch) mod numShards (map-side); position =
+    * rank of that hash within the shard. One shuffle on the shard key
+    * and a per-shard sort — each shard sorts independently, so the
+    * cost at 100 TB is a single exchange with numShards-way
+    * parallelism, never a global sort. Consumers read shards in id
+    * order and rows by position.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epoch: Int,
+      numShards: Int, hashes: HashFamily = XxHash64Family): DataFrame = {
+    val h = hashes.hash(concat(col(idCol).cast("string"), lit(":" + epoch)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    docs.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w))
+      .drop("_h")
+  }
+
   /** EXACT-k group capping: keep exactly min(cap, |group|) rows per
     * group — the k smallest by hash of id, i.e. a deterministic uniform
     * choice. One shuffle on the group key, then a per-group window

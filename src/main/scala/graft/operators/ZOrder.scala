@@ -46,4 +46,36 @@ object ZOrder {
     df.withColumn("z", interleave(col(xCol), col(yCol), bits))
       .repartitionByRange(numFiles, col("z"))
       .sortWithinPartitions("z")
+
+  /** The SKIPPING-side evidence for the layout: tile the z-curve into
+    * fixed-width z-ranges (`file` = z >> cellBits — each file is an
+    * axis-aligned rectangle of 2^cellBits curve cells) and report, per
+    * file, the row count and BOTH columns' min/max — exactly the
+    * parquet footer stats a reader consults — plus whether a range
+    * predicate on x alone, and on y alone, would have to read the
+    * file (stats-overlap test, the pruning rule readers apply).
+    *
+    * On a z-ordered table EVERY file's box is narrow on both axes, so
+    * both `read_x` and `read_y` are false for most files; a 1-D sort
+    * gives that only for its leading column. One map-side projection +
+    * one hash aggregate over row data here (the demo form); production
+    * readers get the identical table for free from footer metadata —
+    * one row per FILE, so the report stays tiny at 100 TB.
+    */
+  def pruningStats(df: DataFrame, xCol: String, yCol: String,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+      bits: Int = 16, cellBits: Int = 14): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    df.select(shiftright(interleave(x, y, bits), cellBits).as("file"),
+        x.as("_x"), y.as("_y"))
+      .groupBy("file")
+      .agg(count(lit(1)).as("n_rows"),
+        min("_x").as("x_min"), max("_x").as("x_max"),
+        min("_y").as("y_min"), max("_y").as("y_max"))
+      .withColumn("read_x",
+        col("x_min") <= lit(xHi) && col("x_max") >= lit(xLo))
+      .withColumn("read_y",
+        col("y_min") <= lit(yHi) && col("y_max") >= lit(yLo))
+  }
 }

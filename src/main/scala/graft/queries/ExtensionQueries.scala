@@ -578,6 +578,22 @@ object ExtensionQueries {
         .as("jsonl"))
       .orderBy("doc_id")
 
+  /** Per-file footer-stats report for the z-order layout: each z-range
+    * cell's (partkey, suppkey) bounding box plus the would-read flags
+    * for one range predicate per axis — the file-skipping evidence.
+    */
+  private val zorderStatsQ: Q = (s, dir) =>
+    ZOrder.pruningStats(Tables.lineitem(s, dir), "l_partkey", "l_suppkey",
+      xLo = 100L, xHi = 300L, yLo = 10L, yHi = 20L)
+      .orderBy("file")
+
+  /** Epoch-1 deterministic training shuffle into 8 shards. */
+  private val epochShuffleQ: Q = (s, dir) =>
+    Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", epoch = 1,
+      numShards = 8, hashes = Md5Family)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
   /** α=0.5 temperature rebalancing by language, half-corpus target. */
   private val temperatureQ: Q = (s, dir) =>
     Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", "lang",
@@ -586,6 +602,8 @@ object ExtensionQueries {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "q96_zorder_stats" -> zorderStatsQ,
+    "q97_epoch_shuffle" -> epochShuffleQ,
     "q95_temperature_sample" -> temperatureQ,
     "q94_jsonl_export" -> jsonlExport,
     "q93_multimodal_resize" -> resizePlanQ,
@@ -731,6 +749,23 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q96_zorder_stats" ->
+      s"""WITH z AS (SELECT CAST(${zTermsSql("l_partkey", "l_suppkey")} AS BIGINT) >> 14
+        |    AS file, l_partkey AS x, l_suppkey AS y FROM lineitem),
+        |s AS (SELECT file, count(*) AS n_rows,
+        |    min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+        |  FROM z GROUP BY file)
+        |SELECT file, n_rows, x_min, x_max, y_min, y_max,
+        |  (x_min <= 300 AND x_max >= 100) AS read_x,
+        |  (y_min <= 20 AND y_max >= 10) AS read_y
+        |FROM s ORDER BY file""".stripMargin,
+    "q97_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+        |    ${md5l("concat(CAST(doc_id AS VARCHAR), ':1')")} AS h FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INTEGER)
+        |    AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     "q95_temperature_sample" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |w AS (SELECT lang, n,

@@ -81,4 +81,26 @@ class ChunkingZOrderSpec extends SparkSpecBase {
     assert(avgRange(oneD, "y") > 0.8 * 127,
       "1-D layout unexpectedly narrowed the secondary column")
   }
+
+  test("pruningStats: z-cell files skip on both axes for range predicates") {
+    // 128×128 grid, cellBits=10 → 16 files, each a 32×32 rectangle.
+    // A 32-wide predicate on either axis overlaps exactly one row/
+    // column of rectangles: 4 of 16 files read, 12 skipped.
+    val grid = spark.range(128L * 128L).select(
+      (col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"))
+    val stats = ZOrder.pruningStats(grid, "x", "y",
+      xLo = 0, xHi = 31, yLo = 0, yHi = 31, bits = 7, cellBits = 10)
+      .collect()
+    assert(stats.length == 16, s"${stats.length} files, want 16")
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == 1024L)
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") == 31L)
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") == 31L)
+    }
+    assert(stats.count(_.getAs[Boolean]("read_x")) == 4)
+    assert(stats.count(_.getAs[Boolean]("read_y")) == 4)
+    // the predicate on both axes together touches exactly ONE file
+    assert(stats.count(r =>
+      r.getAs[Boolean]("read_x") && r.getAs[Boolean]("read_y")) == 1)
+  }
 }

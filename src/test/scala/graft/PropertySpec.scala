@@ -157,6 +157,30 @@ class PropertySpec extends SparkSpecBase {
     assert(first == again, "membership changed under repartition/reorder")
   }
 
+  test("epoch shuffle: dense per-shard positions, epoch-dependent, stable") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val docs = (0L until 500L).toDF("doc_id")
+    def orderOf(epoch: Int, parts: Int) =
+      Sampling.epochShuffle(docs.repartition(parts), "doc_id", epoch, 8)
+        .select("doc_id", "shard", "pos")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+        .toMap
+    val e1 = orderOf(1, 4)
+    // positions are dense 1..n within each shard
+    e1.values.groupBy(_._1).foreach { case (shard, members) =>
+      val ps = members.map(_._2).toSeq.sorted
+      assert(ps == (1 to ps.size), s"shard $shard positions not dense: $ps")
+    }
+    // pure function of (id, epoch): partitioning does not matter
+    assert(e1 == orderOf(1, 11), "order changed under repartition")
+    // a different epoch yields a different permutation
+    val e2 = orderOf(2, 4)
+    assert(e1 != e2, "epoch 2 produced the same order as epoch 1")
+    // and every doc still appears exactly once
+    assert(e2.keySet == (0L until 500L).toSet)
+  }
+
   test("bloom-prefiltered decontamination == broadcast-exact decontamination") {
     import graft.operators.Decontamination
     val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
