@@ -256,6 +256,42 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Linear (fastText-style) quality scoring — the model-based filter
+    * stage: a broadcast bag-of-words weight table is joined onto the
+    * token stream, summed per document, and squashed through a
+    * sigmoid; `keep` is the threshold decision. The weights here are
+    * whatever a trained classifier exported — the engine only supplies
+    * the plumbing (OOV tokens score 0 via the left join's coalesce).
+    *
+    * Determinism discipline: a raw double sum over tokens would vary
+    * with partitioning/retry order, making the keep decision
+    * non-idempotent across reruns — so weights are floored once to
+    * integer ppm on the (tiny) weight table and summed exactly; the
+    * sigmoid runs once per document on the exact sum. `keep` is
+    * decided on the exact integer sum (sigmoid is monotone, so
+    * p ≥ 0.5 ⟺ sum ≥ 0 when bias = 0), never on the rounded float.
+    *
+    * Scale shape: weight table broadcast (vocab-bounded), token stream
+    * never shuffles for the join, one map-side-partial aggregate per
+    * document.
+    */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame /* (token, weight: Double) */): DataFrame = {
+    val wPpm = weights.select(col("token"),
+      floor(col("weight") * lit(1000000.0)).as("_w_ppm"))
+    val toks = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("token"))
+    toks.join(broadcast(wPpm), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_w_ppm"), lit(0L))).as("_sw"))
+      .select(col(idCol), col("n_tokens"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(col("_sw").cast("double") / lit(1000000.0)
+            / col("n_tokens").cast("double")))), 6).as("p_keep"),
+        (col("_sw") >= 0L).as("keep"))
+  }
+
   /** Content-defined fingerprints: full-text hash (exact-dup key) and
     * the minimum rolling 3-shingle hash (a 1-perm MinHash — stable
     * under small appends). With `Md5Family` the values are DuckDB-

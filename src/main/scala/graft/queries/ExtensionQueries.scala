@@ -578,6 +578,22 @@ object ExtensionQueries {
         .as("jsonl"))
       .orderBy("doc_id")
 
+  /** Model-based quality filter over stub weights: the weight table a
+    * trained classifier would export is faked deterministically
+    * (hash-derived, uniform in [-1, 1]) so both engines reproduce it —
+    * the join/OOV/exact-sum/threshold plumbing is the real thing.
+    */
+  private val linearQualityQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val weights = docs
+      .select(explode(split(col("text"), " ")).as("token")).distinct()
+      .select(col("token"),
+        ((Md5Family.hash(col("token")) % 2001L - 1000L).cast("double")
+          / 1000.0).as("weight"))
+    TextAnalysis.linearQualityScore(docs, "doc_id", "text", weights)
+      .orderBy("doc_id")
+  }
+
   /** Per-file footer-stats report for the z-order layout: each z-range
     * cell's (partkey, suppkey) bounding box plus the would-read flags
     * for one range predicate per axis — the file-skipping evidence.
@@ -602,6 +618,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "q98_linear_quality" -> linearQualityQ,
     "q96_zorder_stats" -> zorderStatsQ,
     "q97_epoch_shuffle" -> epochShuffleQ,
     "q95_temperature_sample" -> temperatureQ,
@@ -749,6 +766,21 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q98_linear_quality" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents),
+        |v AS (SELECT DISTINCT token FROM toks),
+        |w AS (SELECT token,
+        |    CAST(floor(CAST(${md5l("token")} % 2001 - 1000 AS DOUBLE)
+        |               / 1000.0e0 * 1000000e0) AS BIGINT) AS w_ppm FROM v),
+        |s AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(coalesce(w_ppm, 0)) AS BIGINT) AS sw
+        |  FROM toks LEFT JOIN w USING (token) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(1.0e0 / (1.0e0 + exp(-(CAST(sw AS DOUBLE) / 1000000e0
+        |    / CAST(n_tokens AS DOUBLE)))), 6) AS p_keep,
+        |  sw >= 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q96_zorder_stats" ->
       s"""WITH z AS (SELECT CAST(${zTermsSql("l_partkey", "l_suppkey")} AS BIGINT) >> 14
         |    AS file, l_partkey AS x, l_suppkey AS y FROM lineitem),

@@ -182,4 +182,37 @@ class PlanSpec extends SparkSpecBase {
       graft.operators.ZOrder.interleave(col("l_partkey"), col("l_suppkey"))))
     assert(!plan.contains("Exchange"), s"z projection should not shuffle:\n$plan")
   }
+
+  test("pruning stats is one hash aggregate (map-side partials, no join)") {
+    val plan = planOf(graft.operators.ZOrder.pruningStats(
+      Tables.lineitem(spark, sf("sf0.001")), "l_partkey", "l_suppkey",
+      100, 300, 10, 20))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1, s"expected 1 exchange:\n${exchanges.mkString("\n")}")
+    assert(exchanges.head.contains("hashpartitioning(file"),
+      s"exchange not on the file key:\n${exchanges.head}")
+    assert(!plan.contains("Join"), s"stats report should not join:\n$plan")
+  }
+
+  test("temperature sample joins its rate table via broadcast (corpus never shuffles)") {
+    val plan = planOf(graft.operators.Sampling.temperatureSample(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "lang"))
+    assert(plan.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the rates:\n$plan")
+    // the only hash exchanges are the per-group count aggregate (tiny)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(doc_id")),
+      s"corpus rows shuffled:\n$plan")
+  }
+
+  test("epoch shuffle is one exchange on the shard key (no global sort)") {
+    val plan = planOf(graft.operators.Sampling.epochShuffle(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", epoch = 1, numShards = 8))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1, s"expected 1 exchange:\n${exchanges.mkString("\n")}")
+    assert(exchanges.head.contains("hashpartitioning(shard"),
+      s"exchange not on shard:\n${exchanges.head}")
+    assert(!plan.contains("rangepartitioning"),
+      s"epoch shuffle must not global-sort:\n$plan")
+  }
 }

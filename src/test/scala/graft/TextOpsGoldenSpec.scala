@@ -68,4 +68,27 @@ class TextOpsGoldenSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq
     assert(single == Seq(2L), "1-token doc leaked into bigram scoring")
   }
+
+  test("linear quality score: hand-computed sigmoid, OOV = 0, exact keep") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // binary-exact weights so floor(w * 1e6) is the obvious integer
+    val weights = Seq(("a", 0.5), ("b", -0.25), ("c", -0.125))
+      .toDF("token", "weight")
+    val docs = Seq(
+      (1L, "a b"),     // (500000 - 250000)/2 → mean 0.125, keep
+      (2L, "c"),       // -0.125, drop
+      (3L, "a oov"),   // OOV contributes 0 → mean 0.25, keep
+      (4L, "b c a a")  // (-250000 - 125000 + 1000000)/4 → 0.15625, keep
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.linearQualityScore(docs, "doc_id", "text", weights)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((2L, r6(sig(0.125)), true)))
+    assert(got(2L) == ((1L, r6(sig(-0.125)), false)))
+    assert(got(3L) == ((2L, r6(sig(0.25)), true)))
+    assert(got(4L) == ((4L, r6(sig(0.15625)), true)))
+  }
 }
