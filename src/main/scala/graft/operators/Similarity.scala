@@ -267,6 +267,81 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization (PQ) top-k — the COMPRESSED-index ANN tier:
+    * each vector is cut into `numSub` subvectors and every subvector
+    * replaced by the id of its nearest entry in a per-subspace
+    * codebook, so a dim-D float vector becomes `numSub` small codes
+    * (64 doubles → 8 bytes here). Queries never touch the original
+    * vectors: a probe precomputes its distance to every codebook entry
+    * (an numSub×numCodes table) and a candidate's approximate distance
+    * is just `numSub` table lookups summed — asymmetric distance
+    * computation (ADC), after Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search" (TPAMI 2011).
+    *
+    * Scale shape: the encoded corpus (the only thing scored per query)
+    * is ~1% the bytes of the raw vectors — THAT is what makes 100 TB
+    * of embeddings scannable. Codebooks and probe tables broadcast;
+    * the corpus encode is one groupBy argmin (map-side partials via
+    * `min(struct(...))`); ADC is a broadcast join + one partial-agg
+    * sum keyed by (query, neighbor). In production PQ re-ranks IVF
+    * list candidates; this exhaustive form is the verifiable core.
+    *
+    * Oracle discipline (same rules as the IVF/cosine family): sub-
+    * codebooks are hash-seeded corpus subvectors (reproducible sample,
+    * k-means init without Lloyd steps — swap in learned codebooks for
+    * recall); per-subspace distances are floored once to integer ppm
+    * so the cross-subspace sums and all argmin/rank orderings compare
+    * exact integers, never order-varying doubles.
+    *
+    * Output: query_id, rank, neighbor_id, approx_d2 (squared L2, 6dp).
+    */
+  def pqTopKSeeded(embeddings: DataFrame, probes: DataFrame, k: Int,
+      dim: Int, numSub: Int = 8, numCodes: Int = 16): DataFrame = {
+    require(dim % numSub == 0, "numSub must divide dim")
+    val d = dim / numSub
+    def subvecs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as("emb"))
+        .withColumn("m", explode(sequence(lit(0), lit(numSub - 1))))
+        .select(col(idAs), col("m"),
+          slice(col("emb"), col("m") * d + 1, lit(d)).as("sub"))
+
+    // per-subspace codebook: the numCodes corpus subvectors with the
+    // smallest hash(vec_id:m) — checkpointed, it feeds three joins
+    val hash = graft.functions.Md5Family.hash(
+      concat(col("vec_id").cast("string"), lit(":"), col("m").cast("string")))
+    val cbRank = Window.partitionBy("m").orderBy(hash, col("vec_id"))
+    val cb = subvecs(embeddings, "vec_id")
+      .withColumn("code_id", row_number().over(cbRank) - 1)
+      .filter(col("code_id") < numCodes)
+      .select(col("m"), col("code_id"), col("sub").as("c"))
+      .localCheckpoint()
+
+    // exact-integer squared L2 (ppm) between a subvector and a codeword
+    val d2ppm = floor(aggregate(
+      zip_with(col("sub"), col("c"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v) * lit(1000000.0) + lit(0.5)).cast("long")
+
+    val enc = subvecs(embeddings, "neighbor_id")
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2", d2ppm)
+      .groupBy("neighbor_id", "m")
+      .agg(min(struct(col("d2"), col("code_id"))).getField("code_id").as("code_id"))
+
+    val probeTable = subvecs(probes, "query_id")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("query_id"), col("m"), col("code_id"), d2ppm.as("d2"))
+
+    val rank = Window.partitionBy("query_id").orderBy(col("sd"), col("neighbor_id"))
+    enc.join(broadcast(probeTable), Seq("m", "code_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id").agg(sum(col("d2")).as("sd"))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sd").cast("double") / lit(1000000.0), 6).as("approx_d2"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-vector norm / quantization profile — the storage-planning
     * numbers an embedding pipeline reports before switching to int8:
     * l2 norm, max |component| (the symmetric-quantization scale), and

@@ -578,6 +578,15 @@ object ExtensionQueries {
         .as("jsonl"))
       .orderBy("doc_id")
 
+  /** PQ-compressed ANN: same probe set as q24, distances via 8×16
+    * hash-seeded sub-codebooks and exact-integer ADC sums.
+    */
+  private val annPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTopKSeeded(emb, emb.filter(col("vec_id") < 10), k = 5,
+      dim = 64)
+  }
+
   /** Model-based quality filter over stub weights: the weight table a
     * trained classifier would export is faked deterministically
     * (hash-derived, uniform in [-1, 1]) so both engines reproduce it —
@@ -618,6 +627,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "q99_ann_pq" -> annPq,
     "q98_linear_quality" -> linearQualityQ,
     "q96_zorder_stats" -> zorderStatsQ,
     "q97_epoch_shuffle" -> epochShuffleQ,
@@ -766,6 +776,40 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q99_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
+        |cb AS (SELECT m, code_id, s AS c FROM (
+        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+        |        vec_id) - 1 AS code_id
+        |    FROM sub) WHERE code_id < 16),
+        |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
+        |    SELECT sub.vec_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m))
+        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+        |      ORDER BY d2, code_id) = 1),
+        |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10),
+        |adc AS (SELECT query_id, neighbor_id, CAST(sum(d2) AS BIGINT) AS sd
+        |    FROM enc JOIN pt USING (m, code_id)
+        |    WHERE neighbor_id <> query_id GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id,
+        |  ROUND(CAST(sd AS DOUBLE) / 1000000e0, 6) AS approx_d2
+        |FROM (SELECT query_id, neighbor_id, sd,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sd, neighbor_id) AS INTEGER) AS rank
+        |      FROM adc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q98_linear_quality" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |    FROM documents),
