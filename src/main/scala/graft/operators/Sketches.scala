@@ -124,6 +124,43 @@ object Sketches {
       .orderBy("percentile")
   }
 
+  /** Fixed-edge histogram — the MERGEABLE form of `histogramQuantiles`:
+    * bin edges are declared up front instead of derived from the
+    * data's min/max, so two histograms over different data slices
+    * (micro-batches, days, partitions) merge by plain bin-count
+    * addition — the property the streaming store needs. Out-of-range
+    * values clamp into the edge bins (they stay counted; their value
+    * estimate saturates at the declared range). Output: (bin, bcnt).
+    */
+  def fixedHistogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int = 1000): DataFrame = {
+    require(hi > lo, "hi must exceed lo")
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull)
+      .select(least(lit((bins - 1).toLong), greatest(lit(0L),
+        floor((v - lit(lo)) / lit(hi - lo) * bins))).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("bcnt"))
+  }
+
+  /** Quantile readout off a fixed-edge (bin, bcnt) histogram — the
+    * same cumulative walk as `histogramQuantiles`, over ≤ `bins` rows.
+    * Output: (percentile, bin, value_est = bin lower edge).
+    */
+  def quantilesFromHistogram(hist: DataFrame, lo: Double, hi: Double,
+      bins: Int, qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    val cum = hist.withColumn("cum",
+      sum(col("bcnt")).over(org.apache.spark.sql.expressions.Window.orderBy("bin")))
+    val targets = hist.agg(sum(col("bcnt")).as("_n"))
+      .select(explode(array(qs.map(lit): _*)).as("percentile"), col("_n"))
+      .withColumn("target", ceil(col("percentile") * col("_n")))
+    targets.join(cum, col("cum") >= col("target"))
+      .groupBy("percentile").agg(min(col("bin")).as("bin"))
+      .select(col("percentile"), col("bin"),
+        round(lit(lo) + col("bin") * lit(hi - lo) / lit(bins.toDouble), 6)
+          .as("value_est"))
+      .orderBy("percentile")
+  }
+
   /** Count-min sketch heavy hitters: `depth` salted hash rows of
     * `width` counters; a token's estimate is the MIN over its `depth`
     * counters — always ≥ the true count, within εN with probability

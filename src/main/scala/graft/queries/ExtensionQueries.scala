@@ -578,6 +578,22 @@ object ExtensionQueries {
         .as("jsonl"))
       .orderBy("doc_id")
 
+  /** The composed data-mixing stage — what a training-data pipeline
+    * actually ships: temperature-rebalance the corpus (q95's rule),
+    * then lay the kept docs into a reproducible epoch-1 training
+    * order (q97's rule). Operators compose as plain DataFrame
+    * transforms; the corpus is touched by one broadcast-join filter
+    * and one shard exchange end to end.
+    */
+  private val mixturePipeline: Q = (s, dir) => {
+    val sampled = Sampling.temperatureSample(Tables.documents(s, dir),
+      "doc_id", "lang", targetFrac = 0.5, hashes = Md5Family)
+    Sampling.epochShuffle(sampled, "doc_id", epoch = 1, numShards = 8,
+      hashes = Md5Family)
+      .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   /** PQ-compressed ANN: same probe set as q24, distances via 8×16
     * hash-seeded sub-codebooks and exact-integer ADC sums.
     */
@@ -627,6 +643,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "q100_mixture_pipeline" -> mixturePipeline,
     "q99_ann_pq" -> annPq,
     "q98_linear_quality" -> linearQualityQ,
     "q96_zorder_stats" -> zorderStatsQ,
@@ -776,6 +793,25 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q100_mixture_pipeline" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000e0) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(sum(w) AS BIGINT) AS sumw
+        |       FROM w),
+        |r AS (SELECT lang,
+        |    LEAST(1000000, CAST(floor(0.5e0 * tot * w / sumw / n * 1000000e0) AS BIGINT))
+        |      AS ppm
+        |  FROM w, t),
+        |kept AS (SELECT d.doc_id, d.lang
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE ${md5l("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.ppm),
+        |h AS (SELECT doc_id, lang,
+        |    ${md5l("concat(CAST(doc_id AS VARCHAR), ':1')")} AS h FROM kept)
+        |SELECT doc_id, lang, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INTEGER)
+        |    AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     "q99_ann_pq" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ms AS (SELECT unnest(generate_series(0, 7)) AS m),

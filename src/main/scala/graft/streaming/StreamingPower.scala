@@ -147,6 +147,41 @@ object StreamingPower {
     spark.read.parquet(storePath)
       .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
 
+  /** One micro-batch of the streaming HISTOGRAM store: the batch's
+    * fixed-edge histogram written to a per-batch-id dir with the same
+    * committed-skip guard as `countMinStep` — retries are no-ops, and
+    * the store holds ≤ batches×bins tiny rows however much stream has
+    * passed (the mergeable-sketch point, applied to quantiles).
+    */
+  def histogramStep(batch: DataFrame, valueCol: String, lo: Double,
+      hi: Double, bins: Int, storePath: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.Sketches.fixedHistogram(batch, valueCol, lo, hi, bins)
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** The loop as a streaming query over a value stream. */
+  def histogramStream(rows: DataFrame, valueCol: String, lo: Double,
+      hi: Double, bins: Int, storePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        histogramStep(batch, valueCol, lo, hi, bins, storePath, batchId)
+      }
+      .start()
+
+  /** Merged histogram across every committed batch: sum per bin —
+    * feed to `Sketches.quantilesFromHistogram` for the readout.
+    */
+  def mergedHistogram(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy("bin").agg(sum(col("bcnt")).as("bcnt"))
+
   /** STREAM-STREAM interval join: purchases attributed to the same
     * user's clicks within a lookback window, both sides live streams.
     * The event-time range condition plus watermarks on BOTH sides is

@@ -233,6 +233,44 @@ class StreamingSpec extends SparkSpecBase {
     exact.foreach { case (t, n) => assert(est(t) >= n, s"token $t undercounted") }
   }
 
+  test("streaming histogram store merges to the batch histogram of the whole stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_hist_store").toString + "/hist"
+    val ckpt = Files.createTempDirectory("graft_hist_ckpt").toString
+    val (lo, hi, bins) = (0.0, 100.0, 50)
+    val ms = MemoryStream[(Long, Double)]
+    val q = StreamingPower.histogramStream(
+      ms.toDF().toDF("id", "value"), "value", lo, hi, bins, storePath, ckpt)
+    val b1 = Seq(1L -> 3.0, 2L -> 55.5, 3L -> 55.9, 4L -> -7.0) // -7 clamps to bin 0
+    val b2 = Seq(5L -> 99.9, 6L -> 150.0, 7L -> 3.9)            // 150 clamps to last
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val merged = toMap(StreamingPower.mergedHistogram(spark, storePath))
+    val whole = toMap(graft.operators.Sketches.fixedHistogram(
+      (b1 ++ b2).toDF("id", "value"), "value", lo, hi, bins))
+    assert(merged == whole, s"merged $merged != whole-stream $whole")
+    // a retried batch id must not double any bin
+    StreamingPower.histogramStep(
+      b2.toDF("id", "value"), "value", lo, hi, bins, storePath, batchId = 1L)
+    assert(toMap(StreamingPower.mergedHistogram(spark, storePath)) == whole,
+      "retried batch mutated the committed histogram store")
+    // quantile readout: 7 values, median target = 4th smallest = 55.5,
+    // which lands in bin floor(55.5/2) = 27 → lower edge 54.0 (exact
+    // median within one 2.0 bin width)
+    val med = graft.operators.Sketches.quantilesFromHistogram(
+      StreamingPower.mergedHistogram(spark, storePath), lo, hi, bins,
+      qs = Seq(0.5)).collect().head
+    assert(med.getInt(1) == 27 && med.getDouble(2) == 54.0,
+      s"median readout ${med.mkString(",")}")
+  }
+
   test("stream-stream interval join matches the batch range join") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
