@@ -161,6 +161,46 @@ object Sketches {
       .orderBy("percentile")
   }
 
+  /** Per-GROUP fixed-edge histogram quantiles — the grouped form of
+    * `fixedHistogram` + `quantilesFromHistogram` in one pass: state is
+    * ≤ groups×bins counters (one hash aggregate with map-side
+    * partials), the cumulative walk is a window over ≤ bins rows per
+    * group, and the same declared edges make per-slice histograms
+    * mergeable. The exact per-group percentile would instead sort
+    * every group's values; at 100 TB the histogram is the difference
+    * between a counter table and a corpus-wide sort.
+    * Output: (group, percentile, bin, value_est).
+    */
+  def groupedHistogramQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, lo: Double, hi: Double, bins: Int = 1000,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    require(hi > lo, "hi must exceed lo")
+    val v = col(valueCol).cast("double")
+    val hist = df.filter(v.isNotNull)
+      .select(col(groupCol),
+        least(lit((bins - 1).toLong), greatest(lit(0L),
+          floor((v - lit(lo)) / lit(hi - lo) * bins))).cast("int").as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("bcnt"))
+      .localCheckpoint(false) // feeds both the cum window and the totals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("bin")
+    val cum = hist.withColumn("cum", sum(col("bcnt")).over(w))
+    // target is computed in a SEPARATE projection: a select that both
+    // generates `percentile` and reads it would resolve the lateral
+    // alias and die (see CLAUDE.md generator-alias invariant)
+    val targets = hist.groupBy(col(groupCol)).agg(sum(col("bcnt")).as("_n"))
+      .select(col(groupCol), explode(array(qs.map(lit): _*)).as("percentile"),
+        col("_n"))
+      .withColumn("target", ceil(col("percentile") * col("_n")))
+    targets.join(cum, Seq(groupCol))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col(groupCol), col("percentile")).agg(min(col("bin")).as("bin"))
+      .select(col(groupCol), col("percentile"), col("bin"),
+        round(lit(lo) + col("bin") * lit(hi - lo) / lit(bins.toDouble), 6)
+          .as("value_est"))
+      .orderBy(groupCol, "percentile")
+  }
+
   /** Count-min sketch heavy hitters: `depth` salted hash rows of
     * `width` counters; a token's estimate is the MIN over its `depth`
     * counters — always ≥ the true count, within εN with probability

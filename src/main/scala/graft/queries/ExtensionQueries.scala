@@ -578,6 +578,14 @@ object ExtensionQueries {
         .as("jsonl"))
       .orderBy("doc_id")
 
+  /** Per-language document-length quantiles off the mergeable
+    * fixed-edge histogram (declared [0, 5000)×500 bins) — the grouped,
+    * constant-memory alternative to exact percentiles.
+    */
+  private val groupedQuantilesQ: Q = (s, dir) =>
+    Sketches.groupedHistogramQuantiles(Tables.documents(s, dir), "lang",
+      "n_chars", lo = 0.0, hi = 5000.0, bins = 500)
+
   /** The composed data-mixing stage — what a training-data pipeline
     * actually ships: temperature-rebalance the corpus (q95's rule),
     * then lay the kept docs into a reproducible epoch-1 training
@@ -643,6 +651,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "q101_grouped_quantiles" -> groupedQuantilesQ,
     "q100_mixture_pipeline" -> mixturePipeline,
     "q99_ann_pq" -> annPq,
     "q98_linear_quality" -> linearQualityQ,
@@ -793,6 +802,25 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q101_grouped_quantiles" ->
+      """WITH b AS (SELECT lang,
+        |    CAST(LEAST(499, GREATEST(0,
+        |      floor((CAST(n_chars AS DOUBLE) - 0e0) / 5000e0 * 500)))
+        |      AS INTEGER) AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |h AS (SELECT lang, bin, count(*) AS bcnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT lang, bin, sum(bcnt) OVER (PARTITION BY lang ORDER BY bin)
+        |        AS cum FROM h),
+        |n AS (SELECT lang, CAST(sum(bcnt) AS BIGINT) AS n FROM h GROUP BY lang),
+        |t AS (SELECT lang, p.percentile, ceil(p.percentile * n) AS target
+        |      FROM n, (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0])
+        |                 AS percentile) p),
+        |r AS (SELECT t.lang, t.percentile, min(c.bin) AS bin
+        |      FROM t JOIN c ON t.lang = c.lang AND c.cum >= t.target
+        |      GROUP BY 1, 2)
+        |SELECT lang, percentile, bin,
+        |  ROUND(0e0 + bin * 5000e0 / 500e0, 6) AS value_est
+        |FROM r ORDER BY lang, percentile""".stripMargin,
     "q100_mixture_pipeline" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |w AS (SELECT lang, n,

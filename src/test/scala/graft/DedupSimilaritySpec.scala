@@ -306,6 +306,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("grouped histogram quantiles land within one bin width per group") {
+    import graft.operators.Sketches
+    val (lo, hi, bins) = (0.0, 5000.0, 500)
+    val got = Sketches.groupedHistogramQuantiles(docs, "lang", "n_chars",
+        lo, hi, bins)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    val binWidth = (hi - lo) / bins
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    for (lang <- langs; q <- Seq(0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val exact = docs.filter(col("lang") === lang)
+        .select(col("n_chars").cast("double"))
+        .stat.approxQuantile("n_chars", Array(q), 0.0).head
+      assert(math.abs(got((lang, q)) - exact) <= 2 * binWidth,
+        s"$lang q$q: sketch ${got((lang, q))} vs exact $exact")
+    }
+  }
+
   test("exact dedup keeps min id and counts duplicates") {
     import spark.implicits._
     val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"))
