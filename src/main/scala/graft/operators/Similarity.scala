@@ -227,34 +227,42 @@ object Similarity {
     ivfTopKWithCodebook(embeddings, probes, k, nprobe,
       seededCodebook(embeddings, nlists))
 
+  /** The coarse codebook as a (list_id, centroid) frame. */
+  private def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      codebook: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    codebook.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+  }
+
+  /** The `n` nearest coarse lists per vector. Routing orders on the
+    * ROUNDED cosine (6dp, list_id tie-break): ordering on raw doubles
+    * relies on Spark and the oracle engine producing bit-identical
+    * floats for every comparison — sub-noise differences would swap
+    * assignments.
+    */
+  private def nearestLists(vecs: DataFrame, idCol: String, n: Int,
+      centroids: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .withColumn("ccos", round(cosineFast(spark)(col("emb"), col("centroid")), 6))
+    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("list_id"))
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= n)
+      .drop("centroid", "ccos", "crank")
+  }
+
   private def ivfTopKWithCodebook(embeddings: DataFrame, probes: DataFrame,
       k: Int, nprobe: Int, codebook: Array[Array[Double]]): DataFrame = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
-    val centroids = codebook.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list_id", "centroid")
-
-    // List routing and candidate ranking both order on the ROUNDED
-    // cosine (6dp, id tie-break): ordering on raw doubles relies on
-    // Spark and the oracle engine producing bit-identical floats for
-    // every comparison — sub-noise differences would swap assignments.
-    def nearestLists(vecs: DataFrame, idCol: String, n: Int): DataFrame = {
-      val scored = vecs.crossJoin(broadcast(centroids))
-        .withColumn("ccos", round(cosineFast(spark)(col("emb"), col("centroid")), 6))
-      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("list_id"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("centroid", "ccos", "crank")
-    }
-
+    val centroids = centroidsDf(spark, codebook)
     val corpus = nearestLists(
       embeddings.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("emb")),
-      "neighbor_id", 1)
+      "neighbor_id", 1, centroids)
       .select(col("list_id"), col("neighbor_id"), col("emb").as("c_emb"))
     val routed = nearestLists(
       probes.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("emb")),
-      "query_id", nprobe)
+      "query_id", nprobe, centroids)
       .select(col("list_id"), col("query_id"), col("emb").as("q_emb"))
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
@@ -297,6 +305,24 @@ object Similarity {
     */
   def pqTopKSeeded(embeddings: DataFrame, probes: DataFrame, k: Int,
       dim: Int, numSub: Int = 8, numCodes: Int = 16): DataFrame = {
+    val (enc, probeTable) = pqArtifacts(embeddings, probes, dim, numSub, numCodes)
+    val rank = Window.partitionBy("query_id").orderBy(col("sd"), col("neighbor_id"))
+    enc.join(broadcast(probeTable), Seq("m", "code_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id").agg(sum(col("d2")).as("sd"))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sd").cast("double") / lit(1000000.0), 6).as("approx_d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The encoded corpus (`neighbor_id, m, code_id` — the compressed
+    * index) and the probes' ADC lookup tables (`query_id, m, code_id,
+    * d2` in integer ppm) over hash-seeded sub-codebooks.
+    */
+  private def pqArtifacts(embeddings: DataFrame, probes: DataFrame,
+      dim: Int, numSub: Int, numCodes: Int): (DataFrame, DataFrame) = {
     require(dim % numSub == 0, "numSub must divide dim")
     val d = dim / numSub
     def subvecs(df: DataFrame, idAs: String): DataFrame =
@@ -330,10 +356,44 @@ object Similarity {
     val probeTable = subvecs(probes, "query_id")
       .join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("m"), col("code_id"), d2ppm.as("d2"))
+    (enc, probeTable)
+  }
 
-    val rank = Window.partitionBy("query_id").orderBy(col("sd"), col("neighbor_id"))
-    enc.join(broadcast(probeTable), Seq("m", "code_id"))
+  /** IVF + PQ — the production ANN composition: the coarse quantizer
+    * routes each corpus vector to one inverted list and each probe to
+    * its `nprobe` nearest lists (exactly `ivfTopKSeeded`'s routing),
+    * and the candidates inside those lists are scored with PQ's
+    * compressed-code ADC instead of their raw vectors. At 100 TB this
+    * is the whole point of both halves combined: IVF bounds WHICH
+    * candidates are touched (nprobe/nlists of the corpus), PQ bounds
+    * WHAT is read per candidate (bytes of codes, not float vectors) —
+    * the raw embeddings are needed only at index-build time.
+    *
+    * Candidate pruning is a list_id equi-join; the candidate set and
+    * probe tables broadcast, so the encoded corpus is read map-side
+    * and only (query, neighbor, partial-sum) rows shuffle to the final
+    * per-query ranking.
+    */
+  def ivfPqTopKSeeded(embeddings: DataFrame, probes: DataFrame, k: Int,
+      dim: Int, nprobe: Int = 4, nlists: Int = 8, numSub: Int = 8,
+      numCodes: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = centroidsDf(spark, seededCodebook(embeddings, nlists))
+    val corpusLists = nearestLists(
+      embeddings.select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("emb")), "neighbor_id", 1, cents)
+      .select("list_id", "neighbor_id")
+    val probeLists = nearestLists(
+      probes.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("emb")), "query_id", nprobe, cents)
+      .select("list_id", "query_id")
+    val cand = probeLists.join(corpusLists, Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val (enc, probeTable) = pqArtifacts(embeddings, probes, dim, numSub, numCodes)
+    val rank = Window.partitionBy("query_id").orderBy(col("sd"), col("neighbor_id"))
+    enc.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(probeTable), Seq("query_id", "m", "code_id"))
       .groupBy("query_id", "neighbor_id").agg(sum(col("d2")).as("sd"))
       .withColumn("rank", row_number().over(rank))
       .filter(col("rank") <= k)

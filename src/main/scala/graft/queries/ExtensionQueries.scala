@@ -578,6 +578,15 @@ object ExtensionQueries {
         .as("jsonl"))
       .orderBy("doc_id")
 
+  /** IVF routing (q40's coarse quantizer, nprobe=4/nlists=8) with PQ
+    * ADC scoring (q99's codes) — the composed production ANN path.
+    */
+  private val annIvfPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopKSeeded(emb, emb.filter(col("vec_id") < 10), k = 3,
+      dim = 64)
+  }
+
   /** Per-language document-length quantiles off the mergeable
     * fixed-edge histogram (declared [0, 5000)×500 bins) — the grouped,
     * constant-memory alternative to exact percentiles.
@@ -651,6 +660,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "q102_ann_ivf_pq" -> annIvfPq,
     "q101_grouped_quantiles" -> groupedQuantilesQ,
     "q100_mixture_pipeline" -> mixturePipeline,
     "q99_ann_pq" -> annPq,
@@ -802,6 +812,57 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q102_ann_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id LIMIT 8)),
+        |ca AS (SELECT e.vec_id, e.v, ccb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, ccb.cc), 6) DESC,
+        |             ccb.list_id) AS crank
+        |       FROM e CROSS JOIN ccb),
+        |corpus AS (SELECT vec_id AS neighbor_id, list_id FROM ca WHERE crank = 1),
+        |pl AS (SELECT vec_id AS query_id, list_id
+        |       FROM ca WHERE crank <= 4 AND vec_id < 10),
+        |cand AS (SELECT p.query_id, c.neighbor_id
+        |         FROM pl p JOIN corpus c USING (list_id)
+        |         WHERE c.neighbor_id <> p.query_id),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
+        |cb AS (SELECT m, code_id, s AS c FROM (
+        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+        |        vec_id) - 1 AS code_id
+        |    FROM sub) WHERE code_id < 16),
+        |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
+        |    SELECT sub.vec_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m))
+        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+        |      ORDER BY d2, code_id) = 1),
+        |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10),
+        |adc AS (SELECT cd.query_id, cd.neighbor_id, CAST(sum(pt.d2) AS BIGINT) AS sd
+        |    FROM cand cd
+        |    JOIN enc ON enc.neighbor_id = cd.neighbor_id
+        |    JOIN pt ON pt.query_id = cd.query_id AND pt.m = enc.m
+        |           AND pt.code_id = enc.code_id
+        |    GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id,
+        |  ROUND(CAST(sd AS DOUBLE) / 1000000e0, 6) AS approx_d2
+        |FROM (SELECT query_id, neighbor_id, sd,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sd, neighbor_id) AS INTEGER) AS rank
+        |      FROM adc)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q101_grouped_quantiles" ->
       """WITH b AS (SELECT lang,
         |    CAST(LEAST(499, GREATEST(0,

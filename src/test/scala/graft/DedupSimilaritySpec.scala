@@ -114,6 +114,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"full-codebook PQ != exact: missing ${exact -- full}, extra ${full -- exact}")
   }
 
+  test("IVF-PQ: same codes as exhaustive PQ, routing only prunes candidates") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val ivfPq = Similarity.ivfPqTopKSeeded(emb, probes, k = 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(ivfPq.nonEmpty)
+    ivfPq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.size),
+        s"query $q ranks not dense")
+    }
+    // every (query, neighbor) distance must equal the exhaustive PQ
+    // ADC distance for that pair — routing changes WHICH pairs are
+    // scored, never the score
+    val n = emb.count().toInt
+    val fullPq = Similarity.pqTopKSeeded(emb, probes, k = n, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivfPq.foreach { case (q, _, nb, d) =>
+      assert(fullPq((q, nb)) == d, s"($q,$nb): ivf-pq $d != pq ${fullPq((q, nb))}")
+    }
+    // deterministic
+    val again = Similarity.ivfPqTopKSeeded(emb, probes, k = 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(ivfPq.sameElements(again))
+  }
+
   test("IVF works on UNLABELED input (learned codebook, no label column)") {
     val unlabeled = emb.select("vec_id", "embedding")
     val probes = unlabeled.filter(col("vec_id") < 10)
