@@ -578,6 +578,29 @@ object ExtensionQueries {
         .as("jsonl"))
       .orderBy("doc_id")
 
+  /** Mixture-governance report for the temperature rebalance: per
+    * language, corpus share before vs after — the number a data-mixing
+    * review actually signs off on. Two tiny hash aggregates; fractions
+    * divide exact integer counts so both engines agree bit-for-bit.
+    */
+  private val mixReport: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val kept = Sampling.temperatureSample(docs, "doc_id", "lang",
+      targetFrac = 0.5, hashes = Md5Family)
+    val before = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+    val after = kept.groupBy("lang").agg(count(lit(1)).as("n_after"))
+    val joined = before.join(after, Seq("lang"), "left")
+      .select(col("lang"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+    val totals = joined.agg(sum(col("n_before")).as("_tb"),
+      sum(col("n_after")).as("_ta"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_before"), col("n_after"),
+        round(col("n_before") / col("_tb"), 6).as("frac_before"),
+        round(col("n_after") / col("_ta"), 6).as("frac_after"))
+      .orderBy("lang")
+  }
+
   /** IVF routing (q40's coarse quantizer, nprobe=4/nlists=8) with PQ
     * ADC scoring (q99's codes) — the composed production ANN path.
     */
@@ -660,6 +683,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "q103_mix_report" -> mixReport,
     "q102_ann_ivf_pq" -> annIvfPq,
     "q101_grouped_quantiles" -> groupedQuantilesQ,
     "q100_mixture_pipeline" -> mixturePipeline,
@@ -812,6 +836,29 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q103_mix_report" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000e0) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(sum(w) AS BIGINT) AS sumw
+        |       FROM w),
+        |r AS (SELECT lang,
+        |    LEAST(1000000, CAST(floor(0.5e0 * tot * w / sumw / n * 1000000e0) AS BIGINT))
+        |      AS ppm
+        |  FROM w, t),
+        |kept AS (SELECT d.lang, count(*) AS n_after
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE ${md5l("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.ppm
+        |  GROUP BY d.lang),
+        |j AS (SELECT c.lang, CAST(c.n AS BIGINT) AS n_before,
+        |        CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_after
+        |      FROM c LEFT JOIN kept k USING (lang)),
+        |tt AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+        |         CAST(sum(n_after) AS BIGINT) AS ta FROM j)
+        |SELECT lang, n_before, n_after,
+        |  ROUND(n_before / tb, 6) AS frac_before,
+        |  ROUND(n_after / ta, 6) AS frac_after
+        |FROM j, tt ORDER BY lang""".stripMargin,
     "q102_ann_ivf_pq" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
