@@ -292,6 +292,35 @@ object TextAnalysis {
         (col("_sw") >= 0L).as("keep"))
   }
 
+  /** Deterministic token masking — the MLM/span-corruption prep step:
+    * each token position is masked iff hash(doc_id:position) lands
+    * under the rate, so the mask pattern is a pure function of the
+    * document (reproducible across reruns/partitionings, stable as the
+    * corpus grows — the same discipline as `Sampling.split`, applied
+    * per position). Pure map-side projection, no shuffle; the mask
+    * count is derived from the same hash test, never by matching the
+    * mask token text (a document containing the literal mask string
+    * can't skew it).
+    */
+  def maskTokens(docs: DataFrame, idCol: String, textCol: String,
+      ratePct: Int = 15, maskTok: String = "<MASK>",
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, "ratePct in [0,100]")
+    def hit(i: Column): Column =
+      pmod(hashes.hash(concat(col(idCol).cast("string"), lit(":"),
+        i.cast("string"))), lit(100L)) < ratePct
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol), toks.as("_t"))
+      .select(col(idCol),
+        size(col("_t")).as("n_tokens"),
+        size(filter(sequence(lit(0), size(col("_t")) - 1), i => hit(i)))
+          .as("n_masked"),
+        array_join(transform(col("_t"),
+          (t, i) => when(hit(i), lit(maskTok)).otherwise(t)), " ")
+          .as("masked_text"))
+      .orderBy(idCol)
+  }
+
   /** Content-defined fingerprints: full-text hash (exact-dup key) and
     * the minimum rolling 3-shingle hash (a 1-perm MinHash — stable
     * under small appends). With `Md5Family` the values are DuckDB-

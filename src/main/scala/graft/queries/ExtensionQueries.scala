@@ -578,6 +578,11 @@ object ExtensionQueries {
         .as("jsonl"))
       .orderBy("doc_id")
 
+  /** 15% deterministic MLM masking over the documents table. */
+  private val maskQ: Q = (s, dir) =>
+    TextAnalysis.maskTokens(Tables.documents(s, dir), "doc_id", "text",
+      hashes = Md5Family)
+
   /** Mixture-governance report for the temperature rebalance: per
     * language, corpus share before vs after — the number a data-mixing
     * review actually signs off on. Two tiny hash aggregates; fractions
@@ -683,6 +688,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "q104_mask_tokens" -> maskQ,
     "q103_mix_report" -> mixReport,
     "q102_ann_ivf_pq" -> annIvfPq,
     "q101_grouped_quantiles" -> groupedQuantilesQ,
@@ -836,6 +842,21 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q104_mask_tokens" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, toks,
+        |    [CASE WHEN ${md5l("concat(CAST(doc_id AS VARCHAR), ':', CAST(i - 1 AS VARCHAR))")}
+        |            % 100 < 15
+        |          THEN '<MASK>' ELSE toks[i] END
+        |     FOR i IN generate_series(1, len(toks))] AS mt,
+        |    [i FOR i IN generate_series(1, len(toks))
+        |     IF ${md5l("concat(CAST(doc_id AS VARCHAR), ':', CAST(i - 1 AS VARCHAR))")}
+        |        % 100 < 15] AS hits
+        |  FROM t)
+        |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(hits) AS INTEGER) AS n_masked,
+        |  array_to_string(mt, ' ') AS masked_text
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q103_mix_report" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |w AS (SELECT lang, n,

@@ -91,4 +91,33 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     assert(got(3L) == ((2L, r6(sig(0.25)), true)))
     assert(got(4L) == ((4L, r6(sig(0.15625)), true)))
   }
+
+  test("token masking: rate edges, count consistency, repartition-stable") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = (1L to 40L)
+      .map(id => (id, (0 until 25).map(i => s"w${id}_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(rate: Int, df: org.apache.spark.sql.DataFrame = docs) =
+      TextAnalysis.maskTokens(df, "doc_id", "text", ratePct = rate)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // rate 0: nothing masked, text unchanged
+    run(0).zip(docs.orderBy("doc_id").collect()).foreach { case ((_, n, m, t), orig) =>
+      assert(m == 0 && n == 25 && t == orig.getString(1))
+    }
+    // rate 100: everything masked
+    run(100).foreach { case (_, n, m, t) =>
+      assert(m == n && t.split(" ").forall(_ == "<MASK>"))
+    }
+    // default rate: n_masked matches the mask tokens in the output
+    // (inputs contain no literal <MASK>), and the global rate is ~15%
+    val at15 = run(15)
+    at15.foreach { case (_, _, m, t) =>
+      assert(t.split(" ").count(_ == "<MASK>") == m)
+    }
+    val frac = at15.map(_._3).sum.toDouble / at15.map(_._2).sum
+    assert(frac > 0.08 && frac < 0.25, s"mask rate $frac far from 0.15")
+    // pure function of (doc, position): partitioning is irrelevant
+    assert(run(15, docs.repartition(7)).sameElements(at15))
+  }
 }
