@@ -205,6 +205,25 @@ class PlanSpec extends SparkSpecBase {
       s"corpus rows shuffled:\n$plan")
   }
 
+  test("token masking is a pure projection (no exchange except the output sort)") {
+    val plan = planOf(graft.operators.TextAnalysis.maskTokens(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text"))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"masking shuffled:\n${exchanges.mkString("\n")}")
+  }
+
+  test("PQ ADC path: codebook and probe tables join via broadcast, no cartesian scoring") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.Similarity.pqTopKSeeded(
+      emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64))
+    assert(!plan.contains("CartesianProduct"),
+      s"PQ scored a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"ADC join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"encoded corpus shuffled for the ADC join:\n$plan")
+  }
+
   test("epoch shuffle is one exchange on the shard key (no global sort)") {
     val plan = planOf(graft.operators.Sampling.epochShuffle(
       Tables.documents(spark, sf("sf0.001")), "doc_id", epoch = 1, numShards = 8))
