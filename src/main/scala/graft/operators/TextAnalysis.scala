@@ -321,6 +321,45 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Deterministic SPAN corruption — the T5-style variant of
+    * `maskTokens`: a span STARTS at position i iff hash(doc:i:s) lands
+    * under the rate, and covers the next `spanLen` tokens; every
+    * covered token is replaced. Same purity guarantee (the corruption
+    * pattern is a function of the document alone), same map-side
+    * shape. Emitted per doc: token/span/masked counts and the
+    * corrupted text (one mask token per covered position; collapsing
+    * each span to a single numbered sentinel is a trivial post-pass).
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      ratePct: Int = 5, spanLen: Int = 3, maskTok: String = "<X>",
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, "ratePct in [0,100]")
+    require(spanLen >= 1, "spanLen >= 1")
+    def start(i: Column): Column =
+      pmod(hashes.hash(concat(col(idCol).cast("string"), lit(":"),
+        i.cast("string"), lit(":s"))), lit(100L)) < ratePct
+    // the start bitmap is hashed ONCE and bound as an array column;
+    // coverage is then spanLen array lookups, not spanLen re-hashes
+    // (the hash is the expensive part — md5 for the oracle family)
+    def covered(i: Column): Column =
+      (0 until spanLen).map(o =>
+        when(i - o >= 0, element_at(col("_s"), i - o + 1)).otherwise(lit(false)))
+        .reduce(_ || _)
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol), toks.as("_t"))
+      .withColumn("_s",
+        transform(sequence(lit(0), size(col("_t")) - 1), i => start(i)))
+      .select(col(idCol),
+        size(col("_t")).as("n_tokens"),
+        size(filter(col("_s"), b => b)).as("n_spans"),
+        size(filter(sequence(lit(0), size(col("_t")) - 1), i => covered(i)))
+          .as("n_masked"),
+        array_join(transform(col("_t"),
+          (t, i) => when(covered(i), lit(maskTok)).otherwise(t)), " ")
+          .as("corrupted_text"))
+      .orderBy(idCol)
+  }
+
   /** Content-defined fingerprints: full-text hash (exact-dup key) and
     * the minimum rolling 3-shingle hash (a 1-perm MinHash — stable
     * under small appends). With `Md5Family` the values are DuckDB-

@@ -578,6 +578,11 @@ object ExtensionQueries {
         .as("jsonl"))
       .orderBy("doc_id")
 
+  /** 5%-start, length-3 deterministic span corruption. */
+  private val spanQ: Q = (s, dir) =>
+    TextAnalysis.spanCorrupt(Tables.documents(s, dir), "doc_id", "text",
+      hashes = Md5Family)
+
   /** 15% deterministic MLM masking over the documents table. */
   private val maskQ: Q = (s, dir) =>
     TextAnalysis.maskTokens(Tables.documents(s, dir), "doc_id", "text",
@@ -688,6 +693,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "q105_span_corrupt" -> spanQ,
     "q104_mask_tokens" -> maskQ,
     "q103_mix_report" -> mixReport,
     "q102_ann_ivf_pq" -> annIvfPq,
@@ -842,6 +848,24 @@ object ExtensionQueries {
       .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
+    "q105_span_corrupt" -> {
+      def st(j: String) =
+        s"${md5l(s"concat(CAST(doc_id AS VARCHAR), ':', CAST($j AS VARCHAR), ':s')")} % 100 < 5"
+      val cov = s"(${st("i - 1")} OR (i >= 2 AND ${st("i - 2")})" +
+        s" OR (i >= 3 AND ${st("i - 3")}))"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, toks,
+        |    [CASE WHEN $cov THEN '<X>' ELSE toks[i] END
+        |     FOR i IN generate_series(1, len(toks))] AS ct,
+        |    [i FOR i IN generate_series(1, len(toks)) IF ${st("i - 1")}] AS starts,
+        |    [i FOR i IN generate_series(1, len(toks)) IF $cov] AS cov
+        |  FROM t)
+        |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(starts) AS INTEGER) AS n_spans,
+        |  CAST(len(cov) AS INTEGER) AS n_masked,
+        |  array_to_string(ct, ' ') AS corrupted_text
+        |FROM m ORDER BY doc_id""".stripMargin
+    },
     "q104_mask_tokens" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT doc_id, toks,

@@ -120,4 +120,37 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     // pure function of (doc, position): partitioning is irrelevant
     assert(run(15, docs.repartition(7)).sameElements(at15))
   }
+
+  test("span corruption: contiguous spans, counts bounded by span starts") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = (1L to 40L)
+      .map(id => (id, (0 until 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.spanCorrupt(docs, "doc_id", "text",
+      ratePct = 10, spanLen = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(got.exists(_._3 > 0), "no spans started at 10% over 1200 positions")
+    got.foreach { case (id, n, spans, masked, text) =>
+      assert(n == 30)
+      val toks = text.split(" ")
+      val maskedIdx = toks.zipWithIndex.collect { case ("<X>", i) => i }
+      assert(maskedIdx.length == masked, s"doc $id: count != rendered masks")
+      // overlapping spans merge, so: spans ≤ masked ≤ spans * spanLen
+      assert(masked >= spans && masked <= spans * 3, s"doc $id: $spans/$masked")
+      // every masked RUN is at least... a run can be clipped only at
+      // the text end; interior runs are >= spanLen long is not true
+      // under overlap, but every masked position must be within 2 of
+      // some run that extends 3 back — check runs end-aligned: any
+      // maximal run not touching the end has length >= spanLen
+      val runs = maskedIdx.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, i) if i == e + 1 => (s, i) :: rest
+        case (acc, i) => (i, i) :: acc
+      }
+      runs.foreach { case (s, e) =>
+        if (e != 29) assert(e - s + 1 >= 3, s"doc $id: interior run ($s,$e) < spanLen")
+      }
+    }
+  }
 }
