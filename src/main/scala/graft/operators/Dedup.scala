@@ -515,4 +515,58 @@ object Dedup {
       .withColumn("removed_dups", col("cluster_size") - 1)
       .drop("cluster_id")
   }
+
+  /** CCNet-style segment-level boilerplate removal: split every doc
+    * into non-overlapping `segLen`-token segments, count the number of
+    * DISTINCT documents each segment occurs in across the corpus, drop
+    * segments whose document frequency exceeds `maxDf` (navigation
+    * chrome, license footers, templated spam), and reassemble the
+    * surviving text in original order.
+    *
+    * Scale shape: segments are built MAP-SIDE from one bound token
+    * array (`sequence` of start offsets + `slice` over the projected
+    * `_toks` attribute — lambda bodies only touch attributes, so no
+    * O(tokens²) re-evaluation). Document frequency is a hash aggregate
+    * over (segment hash, doc) pairs with map-side partial collapse; the
+    * hot-segment table is tiny by construction (only segments above
+    * `maxDf`) and removed via a BROADCAST anti-join, so the corpus-side
+    * segment stream shuffles once, for the reassembly aggregate, keyed
+    * by doc id. Reassembly sorts each doc's surviving segments by
+    * position inside `array_sort` (per-group, bounded by doc length),
+    * never a global sort.
+    *
+    * Output: (id, n_segments, kept_segments, text_clean), one row per
+    * input doc (docs losing every segment keep an empty string).
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segLen: Int = 8, maxDf: Long = 2,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val segArr = transform(
+      sequence(lit(1), greatest(size(col("_toks")), lit(1)), lit(segLen)),
+      s => concat_ws(" ", slice(col("_toks"), s, lit(segLen))))
+    val segs = withToks
+      .select(col(idCol), posexplode(segArr).as(Seq("seg_idx", "segment")))
+      .withColumn("seg_hash", hashes.hash(col("segment")))
+    // document frequency per segment hash; only the hot tail survives
+    // the filter, so it broadcasts
+    val hot = segs.select(col("seg_hash"), col(idCol)).distinct()
+      .groupBy("seg_hash").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select("seg_hash")
+      .localCheckpoint()
+    val kept = segs.join(broadcast(hot), Seq("seg_hash"), "left_anti")
+    segs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segments"))
+      .join(
+        kept.groupBy(col(idCol))
+          .agg(count(lit(1)).as("kept_segments"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("seg_idx"), col("segment")))),
+              s => s.getField("segment"))).as("text_clean")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_segments"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -692,7 +692,64 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** q106: CCNet-style segment-level boilerplate removal — 8-token
+    * segments, dropped when shared by more than 2 distinct docs,
+    * reassembled in order. Registered on Md5Family so the full
+    * hash → DF-count → anti-join → reassembly pipeline is DuckDB-
+    * verifiable; xxhash64 stays the production default.
+    */
+  private val segmentDedupQ: Q = (s, dir) =>
+    Dedup.segmentDedup(Tables.documents(s, dir), "doc_id", "text",
+      segLen = 8, maxDf = 2, hashes = Md5Family)
+      .orderBy("doc_id")
+
+  /** q107: dataset-versioning diff — two simulated snapshots of
+    * `documents` (drops + edits derived deterministically from doc_id)
+    * compared by md5 row digest; output is the change set only.
+    */
+  private val snapshotDiffQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val prev = docs.filter(col("doc_id") % 10 =!= 3)
+    val next = docs.filter(col("doc_id") % 7 =!= 2)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    SnapshotDiff.diff(prev, next, Seq("doc_id")).orderBy("doc_id")
+  }
+
+  /** q108: SCD2 merge — the customer dimension at version 1 merged
+    * with an update batch touching every 7th key (acctbal shift);
+    * changed keys close their v1 row and open a v2 row.
+    */
+  private val scd2Q: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val dim = cust
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("version", lit(1))
+      .withColumn("is_current", lit(true))
+    val updates = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"))
+    Scd2.merge(dim, updates, "c_custkey", Seq("c_mktsegment", "c_acctbal"))
+      .orderBy("c_custkey", "version")
+  }
+
+  /** q109: cohort retention matrix over events. */
+  private val retentionQ: Q = (s, dir) =>
+    Retention.cohortMatrix(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("cohort_d", "offset_days")
+
+  /** q110: trailing-7-day distinct active users per day. */
+  private val rollingActiveQ: Q = (s, dir) =>
+    Retention.rollingActiveUsers(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("target_d")
+
   val queries: Map[String, Q] = Map(
+    "q110_rolling_active" -> rollingActiveQ,
+    "q109_retention" -> retentionQ,
+    "q108_scd2_merge" -> scd2Q,
+    "q107_snapshot_diff" -> snapshotDiffQ,
+    "q106_segment_dedup" -> segmentDedupQ,
     "q105_span_corrupt" -> spanQ,
     "q104_mask_tokens" -> maskQ,
     "q103_mix_report" -> mixReport,
@@ -847,7 +904,76 @@ object ExtensionQueries {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" | ")
 
+  /** DuckDB rendering of `SnapshotDiff.rowDigest` over the documents
+    * table: non-key columns in sorted name order (lang, n_chars,
+    * source, text), unit-separator joined, NULL → record separator.
+    */
+  private def docDigest(textExpr: String): String =
+    s"""md5(concat_ws(chr(31),
+       |    coalesce(CAST(lang AS VARCHAR), chr(30)),
+       |    coalesce(CAST(n_chars AS VARCHAR), chr(30)),
+       |    coalesce(CAST(source AS VARCHAR), chr(30)),
+       |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q106_segment_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |segarr AS (SELECT doc_id,
+        |    [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, GREATEST(len(t), 1), 8)]
+        |      AS segs FROM toks),
+        |seg AS (SELECT doc_id, i AS seg_idx, segs[i] AS segment
+        |  FROM segarr, LATERAL (SELECT unnest(generate_series(1, len(segs))) AS i) gs),
+        |h AS (SELECT doc_id, seg_idx, segment, ${md5l("segment")} AS seg_hash FROM seg),
+        |hot AS (SELECT seg_hash FROM (SELECT seg_hash, count(DISTINCT doc_id) AS df
+        |    FROM h GROUP BY seg_hash) WHERE df > 2),
+        |kept AS (SELECT * FROM h WHERE seg_hash NOT IN (SELECT seg_hash FROM hot)),
+        |n AS (SELECT doc_id, count(*) AS n_segments FROM h GROUP BY doc_id),
+        |k AS (SELECT doc_id, count(*) AS kept_segments,
+        |    string_agg(segment, ' ' ORDER BY seg_idx) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT doc_id, n_segments,
+        |  coalesce(kept_segments, 0) AS kept_segments,
+        |  coalesce(text_clean, '') AS text_clean
+        |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q107_snapshot_diff" ->
+      s"""WITH prev AS (SELECT doc_id, ${docDigest("text")} AS h1
+        |  FROM documents WHERE doc_id % 10 != 3),
+        |nxt AS (SELECT doc_id,
+        |    ${docDigest("CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2') ELSE text END")} AS h2
+        |  FROM documents WHERE doc_id % 7 != 2),
+        |j AS (SELECT coalesce(prev.doc_id, nxt.doc_id) AS doc_id, h1, h2
+        |  FROM prev FULL OUTER JOIN nxt ON prev.doc_id = nxt.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM j WHERE h1 IS NULL OR h2 IS NULL OR h1 != h2
+        |ORDER BY doc_id""".stripMargin,
+    "q108_scd2_merge" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(1 AS INTEGER) AS version,
+        |  (c_custkey % 7 != 0) AS is_current
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal + 100.0e0,
+        |  CAST(2 AS INTEGER), true
+        |FROM customer WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey, version""".stripMargin,
+    "q109_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |f AS (SELECT u, min(d) AS cohort_d FROM act GROUP BY u)
+        |SELECT cohort_d, CAST(d - cohort_d AS INTEGER) AS offset_days,
+        |  count(*) AS n_users
+        |FROM act JOIN f USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q110_rolling_active" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d AS target_d FROM act)
+        |SELECT target_d, count(DISTINCT u) AS active_users
+        |FROM days JOIN act ON act.d BETWEEN target_d - 6 AND target_d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q105_span_corrupt" -> {
       def st(j: String) =
         s"${md5l(s"concat(CAST(doc_id AS VARCHAR), ':', CAST($j AS VARCHAR), ':s')")} % 100 < 5"
