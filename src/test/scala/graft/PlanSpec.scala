@@ -234,4 +234,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("rangepartitioning"),
       s"epoch shuffle must not global-sort:\n$plan")
   }
+
+  test("segment dedup drops hot segments via broadcast anti-join (no skewed shuffle)") {
+    val plan = planOf(graft.operators.Dedup.segmentDedup(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text"))
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"hot-segment filter not a broadcast anti-join:\n$plan")
+  }
+
+  test("rolling active users trims the fan-out via broadcast semi-join, no range join") {
+    val plan = planOf(graft.operators.Retention.rollingActiveUsers(
+      Tables.events(spark, sf("sf0.001")), "user_id", "ts"))
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"day trim not a broadcast semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"rolling window fell back to a range join:\n$plan")
+  }
 }

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import graft.operators.{Dedup, Retention, Scd2, SnapshotDiff}
+
+/** Behavior specs for the versioning / retention / segment-dedup
+  * operators: hand-computed goldens plus the plan-shape claims their
+  * Scaladocs make.
+  */
+class VersioningRetentionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // --- SnapshotDiff -------------------------------------------------
+
+  private def snap(rows: Seq[(Long, String, String)]) =
+    rows.toDF("id", "a", "b")
+
+  test("snapshot diff classifies added / removed / changed and drops same") {
+    val prev = snap(Seq((1L, "x", "y"), (2L, "x", "y"), (3L, "x", "y")))
+    val next = snap(Seq((2L, "x", "y"), (3L, "x", "CHANGED"), (4L, "n", "n")))
+    val got = SnapshotDiff.diff(prev, next, Seq("id"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("digest separates NULL from empty string and field boundaries") {
+    val withNull = Seq((1L, null.asInstanceOf[String], "y")).toDF("id", "a", "b")
+    val withEmpty = snap(Seq((1L, "", "y")))
+    assert(SnapshotDiff.diff(withNull, withEmpty, Seq("id")).count() == 1,
+      "NULL vs '' must hash differently")
+    val ab_c = snap(Seq((1L, "ab", "c")))
+    val a_bc = snap(Seq((1L, "a", "bc")))
+    assert(SnapshotDiff.diff(ab_c, a_bc, Seq("id")).count() == 1,
+      "boundary shift must hash differently")
+  }
+
+  test("digest ignores column order (sorted by name)") {
+    val prev = snap(Seq((1L, "x", "y")))
+    val reordered = Seq((1L, "y", "x")).toDF("id", "b", "a")
+      .select("id", "a", "b")
+    assert(SnapshotDiff.diff(prev, reordered, Seq("id")).count() == 0)
+  }
+
+  test("snapshot diff shuffles digests, not rows (join inputs are key+hash only)") {
+    val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
+    val d = SnapshotDiff.diff(docs, docs.limit(10), Seq("doc_id"))
+    val joins = d.queryExecution.sparkPlan.collect { case j: SortMergeJoinExec => j }
+    assert(joins.nonEmpty, "expected a sort-merge full outer join")
+    joins.foreach { j =>
+      assert(j.left.output.size == 2 && j.right.output.size == 2,
+        s"join sides must carry (key, digest) only: ${j.left.output} / ${j.right.output}")
+    }
+  }
+
+  // --- Scd2 ---------------------------------------------------------
+
+  private def dim(rows: Seq[(Long, String, Int, Boolean)]) =
+    rows.toDF("k", "attr", "version", "is_current")
+
+  test("scd2 merge: new key opens v1, changed key closes and reopens, history untouched") {
+    val d = dim(Seq(
+      (1L, "keep", 1, true),          // untouched
+      (2L, "old", 1, true),           // will change
+      (2L, "ancient", 0, false),      // history row passes through
+      (3L, "same", 1, true)))         // no-op update
+    val u = Seq((2L, "new"), (3L, "same"), (4L, "fresh")).toDF("k", "attr")
+    val out = Scd2.merge(d, u, "k", Seq("attr"))
+      .orderBy("k", "version")
+      .as[(Long, String, Int, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "keep", 1, true),
+      (2L, "ancient", 0, false),
+      (2L, "old", 1, false),
+      (2L, "new", 2, true),
+      (3L, "same", 1, true),
+      (4L, "fresh", 1, true)))
+  }
+
+  test("scd2 merge is idempotent: re-applying the same updates is a no-op") {
+    val d = dim(Seq((1L, "a", 1, true), (2L, "b", 1, true)))
+    val u = Seq((1L, "a2"), (3L, "c")).toDF("k", "attr")
+    val once = Scd2.merge(d, u, "k", Seq("attr"))
+    val twice = Scd2.merge(once, u, "k", Seq("attr"))
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty,
+      "second application of identical updates must change nothing")
+  }
+
+  // --- Retention ----------------------------------------------------
+
+  private val ev = Seq(
+    (10L, "2024-01-01 10:00:00"), (10L, "2024-01-01 11:00:00"), // same day dedups
+    (10L, "2024-01-03 09:00:00"),
+    (20L, "2024-01-01 09:00:00"),
+    (30L, "2024-01-02 09:00:00"), (30L, "2024-01-09 09:00:00"))
+    .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+
+  test("cohort matrix counts distinct users per (cohort day, offset)") {
+    val got = Retention.cohortMatrix(ev, "user_id", "ts")
+      .orderBy("cohort_d", "offset_days")
+      .select(col("cohort_d").cast("string"), col("offset_days"), col("n_users"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 2L),  // users 10, 20
+      ("2024-01-01", 2, 1L),  // user 10 back on day 3
+      ("2024-01-02", 0, 1L),  // user 30
+      ("2024-01-02", 7, 1L))) // user 30 back on day 9
+  }
+
+  test("rolling active users equals the naive day-range join") {
+    val got = Retention.rollingActiveUsers(ev, "user_id", "ts")
+      .orderBy("target_d")
+      .select(col("target_d").cast("string"), col("active_users"))
+      .as[(String, Long)].collect().toSeq
+    // days present: 01-01 {10,20}, 01-02 {30}, 01-03 {10}, 01-09 {30};
+    // the 01-09 window [01-03 .. 01-09] sees users {10, 30}
+    assert(got == Seq(
+      ("2024-01-01", 2L),
+      ("2024-01-02", 3L),
+      ("2024-01-03", 3L),
+      ("2024-01-09", 2L)))
+  }
+
+  // --- segmentDedup -------------------------------------------------
+
+  test("segment dedup drops corpus-frequent segments and reassembles in order") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    def uniq(d: Int) = (1 to 8).map(i => s"u${d}_$i").mkString(" ")
+    // boilerplate segment appears in 4 docs (> maxDf=2) → dropped
+    val docs = (1 to 4).map(d => (d.toLong, s"$boiler ${uniq(d)}"))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", segLen = 8, maxDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == (1 to 4).map(d => (d.toLong, 2L, 1L, uniq(d))))
+  }
+
+  test("segment dedup keeps segments at or below the DF cap and empties fully-hot docs") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = ((1 to 3).map(d => (d.toLong, boiler)) :+ (9L, "short tail"))
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "doc_id", "text", segLen = 8, maxDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // boilerplate df=3 > 2 → those docs lose everything; the short doc
+    // (one sub-length segment, df=1) survives whole
+    assert(got == Seq(
+      (1L, 1L, 0L, ""), (2L, 1L, 0L, ""), (3L, 1L, 0L, ""),
+      (9L, 1L, 1L, "short tail")))
+  }
+}
