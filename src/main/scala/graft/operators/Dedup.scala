@@ -423,6 +423,101 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Adaptive connected components: probe the edge count (one scalar
+    * job over the pair table, which LSH banding has already shrunk to
+    * a sliver of the corpus) and pick the execution shape — a
+    * single-task union-find pass when the edge list fits in one
+    * executor's memory, the alternating-star distributed rounds
+    * otherwise. This is the AQE philosophy applied to the iteration
+    * count: the common near-dup graph finishes in ONE job instead of
+    * O(log n) join rounds, while a genuinely huge graph still routes
+    * to the provably-scaling algorithm. Both paths produce identical
+    * labels (union is by MIN root, so cluster_id is the component min
+    * either way) — the spec cross-checks them.
+    */
+  def connectedComponentsAuto(pairs: DataFrame, aCol: String, bCol: String,
+      smallEdges: Long = 5L * 1000 * 1000): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    if (edges.count() > smallEdges)
+      return connectedComponentsStars(edges, "u", "v")
+    val s = pairs.sparkSession
+    import s.implicits._
+    val labeled = edges.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      it.foreach { case (u, v) =>
+        if (!parent.contains(u)) parent(u) = u
+        if (!parent.contains(v)) parent(v) = v
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      parent.keys.toArray.iterator.map(x => (x, find(x)))
+    }.toDF("doc_id", "cluster_id")
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Duplicated-span removal (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22 — the exact-substring pass):
+    * every `spanLen`-token sliding window that occurs in ≥ `minDf`
+    * DISTINCT documents marks its positions, and marked tokens are cut
+    * from the text. Unlike `segmentDedup` (non-overlapping segments,
+    * boilerplate cap) this catches duplicated passages at ANY offset.
+    *
+    * Scale shape: windows are built map-side from one bound token
+    * array (zip_with chain — no O(tokens²) lambda trap); the
+    * duplicated-window set is found by a hash aggregate and joined
+    * back by window hash as a plain shuffle EQUI-join (it is not
+    * assumed broadcast-small: a boilerplate-ridden corpus can have
+    * many duplicated spans). Per-doc coverage is evaluated against the
+    * collected start-offset array (|starts| is per-doc-bounded), never
+    * a corpus-wide structure.
+    *
+    * Output: (id, n_tokens, n_dup_spans, n_removed, text_clean).
+    */
+  def dupSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 8, minDf: Long = 2,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .localCheckpoint(eager = false)
+    val m = size(col("_toks")) - (spanLen - 1)
+    val parts = (0 until spanLen)
+      .map(i => slice(col("_toks"), lit(i + 1), m))
+    val windows = when(size(col("_toks")) >= spanLen,
+      parts.reduce((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b))))
+      .otherwise(array())
+    val sh = withToks
+      .select(col(idCol), posexplode(windows).as(Seq("pos", "g")))
+      .withColumn("gh", hashes.hash(col("g"))).drop("g")
+      .localCheckpoint(eager = false)
+    val dup = sh.select(col("gh"), col(idCol)).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf).select("gh")
+    val starts = sh.join(dup, Seq("gh"))
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_starts"))
+    withToks.join(starts, Seq(idCol), "left")
+      .withColumn("_starts", coalesce(col("_starts"), array()))
+      .select(col(idCol),
+        size(col("_toks")).as("n_tokens"),
+        size(col("_starts")).as("n_dup_spans"),
+        size(filter(sequence(lit(0), size(col("_toks")) - 1),
+          i => exists(col("_starts"), st => st <= i && i < st + spanLen)))
+          .as("n_removed"),
+        array_join(filter(col("_toks"),
+          (t, i) => !exists(col("_starts"), st => st <= i && i < st + spanLen)), " ")
+          .as("text_clean"))
+  }
+
   /** Inverted shingle index (doc, g), optionally DF-capped: shingles in
     * more than `maxDf` docs (boilerplate) are removed via a BROADCAST
     * anti-join — the hot list is tiny by construction, and dropping the
@@ -507,7 +602,7 @@ object Dedup {
     */
   def canonicalCorpus(docs: DataFrame, pairs: DataFrame, idCol: String,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val clusters = connectedComponentsStars(pairs, aCol, bCol)
+    val clusters = connectedComponentsAuto(pairs, aCol, bCol)
       .withColumnRenamed("doc_id", idCol)
     docs.join(clusters, Seq(idCol), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))

@@ -372,4 +372,29 @@ object TextAnalysis {
       hashes.hash(col(textCol)).as("text_hash"),
       array_min(transform(Dedup.shingles(col(textCol), 3), g => hashes.hash(g)))
         .as("min_shingle_hash"))
+
+  /** One BPE training round at the word level: count every ADJACENT
+    * token pair across the corpus and return the top-`k` merge
+    * candidates — the statistic a distributed tokenizer trainer
+    * recomputes each merge iteration (at the byte level the loop is
+    * identical, only the initial alphabet differs).
+    *
+    * Scale shape: pairs are built map-side by zipping the token array
+    * with its own 1-shifted slice (bound once — no lambda-trap
+    * re-tokenization), counted by a hash aggregate with map-side
+    * partial collapse, and the top-k is TakeOrdered (per-partition
+    * heads), never a global sort of the pair vocabulary.
+    */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String,
+      k: Int = 50): DataFrame = {
+    val t = Dedup.tokens(col(textCol))
+    val pairs = when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array())
+    docs.select(explode(pairs).as("merge_pair"))
+      .groupBy("merge_pair").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("merge_pair"))
+      .limit(k)
+  }
 }

@@ -211,7 +211,7 @@ object ExtensionQueries {
     // the byte-exact reference
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
       gramHash = Some(graft.functions.XxHash64Family))
-    Dedup.connectedComponentsStars(pairs, "doc_a", "doc_b").orderBy("doc_id")
+    Dedup.connectedComponentsAuto(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
 
   /** The end product of the dedup family: the deduplicated corpus
@@ -744,7 +744,24 @@ object ExtensionQueries {
     Retention.rollingActiveUsers(Tables.events(s, dir), "user_id", "ts")
       .orderBy("target_d")
 
+  /** q111: duplicated-span removal — tokens covered by any 8-token
+    * window occurring in ≥2 distinct docs are cut (the exact-substring
+    * dedup pass, at any offset). Md5Family for the DuckDB oracle.
+    */
+  private val dupSpanQ: Q = (s, dir) =>
+    Dedup.dupSpanRemoval(Tables.documents(s, dir), "doc_id", "text",
+      spanLen = 8, minDf = 2, hashes = Md5Family)
+      .orderBy("doc_id")
+
+  /** q112: one word-level BPE training round — corpus-wide adjacent
+    * token-pair counts, top 50 merge candidates.
+    */
+  private val bpeQ: Q = (s, dir) =>
+    TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir), "text", k = 50)
+
   val queries: Map[String, Q] = Map(
+    "q112_bpe_merges" -> bpeQ,
+    "q111_dup_span_removal" -> dupSpanQ,
     "q110_rolling_active" -> rollingActiveQ,
     "q109_retention" -> retentionQ,
     "q108_scd2_merge" -> scd2Q,
@@ -916,6 +933,40 @@ object ExtensionQueries {
        |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q111_dup_span_removal" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS pos, ${md5l("array_to_string(t[i:i+7], ' ')")} AS gh
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) gs
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df
+        |    FROM w GROUP BY gh) WHERE df >= 2),
+        |st AS (SELECT doc_id, pos FROM w WHERE gh IN (SELECT gh FROM dup)),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS p FROM st,
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS o) go),
+        |tp AS (SELECT doc_id, i - 1 AS p, t[i] AS tok FROM toks,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) gs),
+        |keptp AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+        |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |nds AS (SELECT doc_id, count(*) AS n_dup_spans FROM st GROUP BY doc_id),
+        |ncv AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+        |tc AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |  FROM keptp GROUP BY doc_id)
+        |SELECT toks.doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+        |  CAST(coalesce(n_dup_spans, 0) AS INTEGER) AS n_dup_spans,
+        |  CAST(coalesce(n_removed, 0) AS INTEGER) AS n_removed,
+        |  coalesce(text_clean, '') AS text_clean
+        |FROM toks LEFT JOIN nds USING (doc_id) LEFT JOIN ncv USING (doc_id)
+        |  LEFT JOIN tc USING (doc_id)
+        |ORDER BY toks.doc_id""".stripMargin,
+    "q112_bpe_merges" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT array_to_string(t[i:i+1], ' ') AS merge_pair
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gs
+        |  WHERE len(t) >= 2)
+        |SELECT merge_pair, count(*) AS n_occurrences
+        |FROM p GROUP BY merge_pair
+        |ORDER BY n_occurrences DESC, merge_pair LIMIT 50""".stripMargin,
     "q106_segment_dedup" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |segarr AS (SELECT doc_id,

@@ -263,6 +263,66 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("adaptive components: union-find path == stars path on every graph shape") {
+    import spark.implicits._
+    def toSet(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val cases = Seq(
+      (0L until 40L).map(i => (i, i + 1)),                       // chain
+      (1L to 20L).map(i => (0L, i)),                             // star
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L)), // 2 comps
+      Seq((5L, 5L), (1L, 2L)))                                   // self-loop dropped
+    cases.foreach { es =>
+      val df = es.toDF("doc_a", "doc_b")
+      val auto = toSet(Dedup.connectedComponentsAuto(df, "doc_a", "doc_b"))
+      val viaStars = toSet(Dedup.connectedComponentsAuto(df, "doc_a", "doc_b",
+        smallEdges = 0L)) // force the distributed path
+      assert(auto == viaStars, s"paths disagree on ${es.take(5)}...")
+      assert(auto == toSet(Dedup.connectedComponentsStars(df, "doc_a", "doc_b")))
+    }
+  }
+
+  test("duplicated-span removal cuts the shared passage at any offset and spares the rest") {
+    import spark.implicits._
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $passage a3"),         // passage at offset 2
+      (2L, s"$passage b1 b2 b3"),         // passage at offset 0
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"), // no dup spans
+      (4L, "tiny doc"))                   // shorter than the span
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanRemoval(docs, "doc_id", "text", spanLen = 8, minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 11, 1, 8, "a1 a2 a3"),
+      (2L, 11, 1, 8, "b1 b2 b3"),
+      (3L, 9, 0, 0, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+      (4L, 2, 0, 0, "tiny doc")))
+  }
+
+  test("duplicated-span removal merges overlapping duplicate windows") {
+    import spark.implicits._
+    // docs share a 9-token passage → two overlapping 8-windows in each;
+    // coverage is their union (9 tokens), not 16
+    val passage = (1 to 9).map(i => s"p$i").mkString(" ")
+    val docs = Seq((1L, s"x1 $passage"), (2L, s"$passage y1"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanRemoval(docs, "doc_id", "text", spanLen = 8, minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got == Seq((1L, 10, 2, 9, "x1"), (2L, 10, 2, 9, "y1")))
+  }
+
+  test("bpe merge candidates count adjacent pairs with deterministic tie order") {
+    import spark.implicits._
+    val docs = Seq("a b a b c", "a b", "z").toDF("text")
+    val got = graft.operators.TextAnalysis.bpeMergeCandidates(docs, "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    // pairs: doc1 → (a b),(b a),(a b),(b c); doc2 → (a b); doc3 → none
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
   test("cross-corpus LSH join == self-join pairs restricted across the split") {
     import graft.functions.Md5Family
     val docs = Tables.documents(spark, sf("sf0.001"))
