@@ -759,7 +759,42 @@ object ExtensionQueries {
   private val bpeQ: Q = (s, dir) =>
     TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir), "text", k = 50)
 
+  /** q113: CDC changelog compaction — base snapshot (seq 0) + updates
+    * (seq 1, every 7th key) + deletes (seq 2, every 11th key) folded
+    * to current state by one max_by hash aggregate.
+    */
+  private val cdcQ: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    def slice(extra: DataFrame => DataFrame, seq: Long, op: String) =
+      extra(cust)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("seq", lit(seq)).withColumn("op", lit(op))
+    val base = slice(identity, 0L, "I")
+    val upd = slice(_.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0), 1L, "U")
+    val del = slice(_.filter(col("c_custkey") % 11 === 0), 2L, "D")
+    Cdc.applyChangelog(base.unionByName(upd).unionByName(del),
+      "c_custkey", "seq", "op", Seq("c_mktsegment", "c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** q114: one-row dataset card — corpus size, token volume, exact-dup
+    * and diversity counters in a single aggregate pass.
+    */
+  private val corpusStatsQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).as("total_tokens"),
+      count_distinct(col("text")).as("distinct_texts"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"),
+      round(avg(size(split(col("text"), " "))), 6).as("avg_doc_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q114_corpus_stats" -> corpusStatsQ,
+    "q113_cdc_apply" -> cdcQ,
     "q112_bpe_merges" -> bpeQ,
     "q111_dup_span_removal" -> dupSpanQ,
     "q110_rolling_active" -> rollingActiveQ,
@@ -933,6 +968,22 @@ object ExtensionQueries {
        |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q113_cdc_apply" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0e0
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CAST(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS last_seq
+        |FROM customer WHERE c_custkey % 11 != 0
+        |ORDER BY c_custkey""".stripMargin,
+    "q114_corpus_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  ROUND(avg(len(string_split(text, ' '))), 6) AS avg_doc_tokens
+        |FROM documents""".stripMargin,
     "q111_dup_span_removal" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |w AS (SELECT doc_id, i - 1 AS pos, ${md5l("array_to_string(t[i:i+7], ' ')")} AS gh

@@ -121,6 +121,50 @@ class VersioningRetentionSpec extends SparkSpecBase {
       ("2024-01-09", 2L)))
   }
 
+  // --- Cdc ----------------------------------------------------------
+
+  test("cdc apply keeps the highest-seq row per key and drops deleted keys") {
+    val log = Seq(
+      (1L, "a", 0L, "I"), (1L, "a2", 5L, "U"), (1L, "a1", 3L, "U"), // out-of-order ops
+      (2L, "b", 0L, "I"), (2L, "b", 1L, "D"),                       // deleted
+      (3L, "c", 0L, "I"), (3L, "c", 1L, "D"), (3L, "c2", 2L, "I"))  // reinserted
+      .toDF("k", "attr", "seq", "op")
+    val got = graft.operators.Cdc.applyChangelog(log, "k", "seq", "op", Seq("attr"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a2", 5L), (3L, "c2", 2L)))
+  }
+
+  test("cdc apply shuffles one candidate per key, not the changelog (partial max_by, no Window)") {
+    val log = Seq((1L, "a", 0L, "I")).toDF("k", "attr", "seq", "op")
+    val plan = graft.operators.Cdc.applyChangelog(log, "k", "seq", "op", Seq("attr"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"),
+      s"expected a map-side partial max_by before the exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"changelog compaction must not use a window (full-row shuffle):\n$plan")
+  }
+
+  // --- identity properties ------------------------------------------
+
+  test("segment dedup with an uncapped DF threshold is the identity on real docs") {
+    val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
+    val out = Dedup.segmentDedup(docs, "doc_id", "text",
+      segLen = 8, maxDf = Long.MaxValue)
+    assert(out.join(docs, "doc_id")
+      .filter(col("text_clean") =!= col("text") ||
+        col("kept_segments") =!= col("n_segments")).isEmpty,
+      "uncapped segment dedup must reconstruct every doc exactly")
+  }
+
+  test("dup-span removal with an unreachable DF threshold is the identity on real docs") {
+    val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
+    val out = Dedup.dupSpanRemoval(docs, "doc_id", "text",
+      spanLen = 8, minDf = Long.MaxValue)
+    assert(out.join(docs, "doc_id")
+      .filter(col("text_clean") =!= col("text") || col("n_removed") =!= 0).isEmpty,
+      "unreachable DF threshold must remove nothing")
+  }
+
   // --- segmentDedup -------------------------------------------------
 
   test("segment dedup drops corpus-frequent segments and reassembles in order") {
