@@ -465,4 +465,47 @@ object Similarity {
       .groupBy("label", "dim")
       .agg(round(avg(col("v")), 6).as("centroid_v"))
       .orderBy("label", "dim")
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): cluster-then-prune
+    * semantic dedup — assign every vector to its nearest coarse
+    * centroid, score cosine pairs ONLY within a cluster, connect the
+    * above-threshold pairs, keep the min-id survivor per component.
+    *
+    * Scale shape: the codebook broadcasts (tiny), list assignment is
+    * map-side, and the all-pairs work is confined to an equi-join on
+    * `list_id` — per-cluster quadratic, corpus-wide linear in the sum
+    * of |list|², tuned by `nlists` (the paper's k). The survivor pass
+    * is the adaptive connected-components join. Near-dup pairs that
+    * straddle a cluster boundary are missed — that is SemDeDup's
+    * stated recall trade, priced against the LSH-pair path (q74).
+    *
+    * Uses the hash-seeded codebook so every step is SQL-expressible
+    * (the q115 oracle); pass `kmeansCodebook(...)` to
+    * [[semanticDedupWithCodebook]] for the learned production variant.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+      nlists: Int = 8): DataFrame =
+    semanticDedupWithCodebook(embeddings, threshold,
+      seededCodebook(embeddings, nlists))
+
+  def semanticDedupWithCodebook(embeddings: DataFrame, threshold: Double,
+      codebook: Array[Array[Double]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids = centroidsDf(spark, codebook)
+    val assigned = nearestLists(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      "vec_id", 1, centroids)
+      .select(col("list_id"), col("vec_id"), col("emb"))
+      .localCheckpoint() // feeds both sides of the within-list self-join
+    val a = assigned.select(col("list_id"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    val pairs = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineFast(spark)(col("emb_a"), col("emb_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    Dedup.canonicalCorpus(
+      embeddings.select(col("vec_id"), col("label")), pairs,
+      "vec_id", "id_a", "id_b")
+  }
 }

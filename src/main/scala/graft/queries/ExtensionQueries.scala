@@ -792,7 +792,17 @@ object ExtensionQueries {
       round(avg(size(split(col("text"), " "))), 6).as("avg_doc_tokens"))
   }
 
+  /** q115: SemDeDup — within-cluster cosine pruning over the
+    * hash-seeded coarse codebook, min-id survivors. The learned-
+    * codebook variant stays spec-verified via
+    * `semanticDedupWithCodebook(kmeansCodebook(...))`.
+    */
+  private val semdedupQ: Q = (s, dir) =>
+    Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.4, nlists = 8)
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
+    "q115_semdedup" -> semdedupQ,
     "q114_corpus_stats" -> corpusStatsQ,
     "q113_cdc_apply" -> cdcQ,
     "q112_bpe_merges" -> bpeQ,
@@ -968,6 +978,35 @@ object ExtensionQueries {
        |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q115_semdedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS c
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id LIMIT 8)),
+        |ca AS (SELECT e.vec_id, e.v, cb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC, cb.list_id)
+        |           AS crank
+        |       FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
+        |jp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM jp
+        |          UNION SELECT id_b, id_a FROM jp
+        |          UNION SELECT id_a, id_a FROM jp UNION SELECT id_b, id_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+        |clusters AS (SELECT u AS vec_id, min(v) AS cluster_id,
+        |               CAST(count(DISTINCT v) AS BIGINT) AS cluster_size
+        |             FROM reach GROUP BY u)
+        |SELECT em.vec_id, em.label,
+        |  coalesce(c.cluster_size, 1::BIGINT) AS cluster_size,
+        |  coalesce(c.cluster_size, 1::BIGINT) - 1 AS removed_dups
+        |FROM embeddings em LEFT JOIN clusters c ON em.vec_id = c.vec_id
+        |WHERE c.cluster_id IS NULL OR c.cluster_id = em.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
     "q113_cdc_apply" ->
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0e0

@@ -314,6 +314,32 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got == Seq((1L, 10, 2, 9, "x1"), (2L, 10, 2, 9, "y1")))
   }
 
+  test("semdedup with one coarse list equals exact-pair canonical dedup") {
+    // a single centroid puts every vector in one cluster, so the
+    // within-cluster pairs ARE the exact threshold pairs — the whole
+    // composition (assign → pair → connect → survive) must then match
+    // canonicalCorpus over thresholdPairs
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val sem = graft.operators.Similarity.semanticDedupWithCodebook(
+      emb, 0.4, graft.operators.Similarity.seededCodebook(emb, 1))
+    val exact = Dedup.canonicalCorpus(
+      emb.select(col("vec_id"), col("label")),
+      graft.operators.Similarity.thresholdPairs(emb, 0.4),
+      "vec_id", "id_a", "id_b")
+    assert(sem.exceptAll(exact).isEmpty && exact.exceptAll(sem).isEmpty,
+      "one-list semdedup must equal the exact-pair dedup")
+  }
+
+  test("semdedup survivors never exceed the corpus and removals are accounted") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val out = graft.operators.Similarity.semanticDedup(emb, threshold = 0.4)
+    val n = emb.count()
+    val survivors = out.count()
+    val removed = out.agg(sum(col("removed_dups"))).head.getLong(0)
+    assert(survivors + removed == n,
+      s"$survivors survivors + $removed removed != $n vectors")
+  }
+
   test("bpe merge candidates count adjacent pairs with deterministic tie order") {
     import spark.implicits._
     val docs = Seq("a b a b c", "a b", "z").toDF("text")
