@@ -801,7 +801,28 @@ object ExtensionQueries {
     Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.4, nlists = 8)
       .orderBy("vec_id")
 
+  /** q116: trailing z-score anomaly flags — each event scored against
+    * its user's previous-5-event mean/stddev (the gold-layer
+    * volatility machinery turned into a detector). Window is
+    * partitioned by user — no global sort; sample stddev is NULL on
+    * short frames in both engines, and those rows are excluded.
+    */
+  private val anomalyQ: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-5, -1)
+    Tables.events(s, dir)
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev(col("value")).over(w))
+      .filter(col("sd").isNotNull && col("sd") > 0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round((col("value") - col("mu")) / col("sd"), 6).as("z"),
+        (abs(round((col("value") - col("mu")) / col("sd"), 6)) > 3)
+          .as("is_anomaly"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q116_anomaly_flags" -> anomalyQ,
     "q115_semdedup" -> semdedupQ,
     "q114_corpus_stats" -> corpusStatsQ,
     "q113_cdc_apply" -> cdcQ,
@@ -978,6 +999,17 @@ object ExtensionQueries {
        |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q116_anomaly_flags" ->
+      """WITH x AS (SELECT event_id, user_id, value,
+        |    avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, value,
+        |  ROUND((value - mu) / sd, 6) AS z,
+        |  abs(ROUND((value - mu) / sd, 6)) > 3 AS is_anomaly
+        |FROM x WHERE sd IS NOT NULL AND sd > 0
+        |ORDER BY event_id""".stripMargin,
     "q115_semdedup" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
