@@ -182,6 +182,41 @@ object StreamingPower {
     spark.read.parquet(storePath)
       .groupBy("bin").agg(sum(col("bcnt")).as("bcnt"))
 
+  /** One micro-batch of the streaming CDC ingest: the batch's raw
+    * changelog rows land under `batch_id=<id>` with the same
+    * committed-skip guard as the sketch stores — a retried micro-batch
+    * is a no-op, so no op is ever applied twice. Unlike the sketches
+    * this store keeps ROWS (CDC has no lossy summary), but the
+    * current-state readout stays cheap: `Cdc.applyChangelog`'s
+    * map-side partial max_by means the compaction shuffle carries one
+    * candidate per KEY, not the accumulated changelog.
+    */
+  def cdcStep(batch: DataFrame, storePath: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    batch.write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** The loop as a streaming query over a changelog stream. */
+  def cdcStream(changelog: DataFrame, storePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changelog.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cdcStep(batch, storePath, batchId)
+      }
+      .start()
+
+  /** Current table state across every committed changelog batch. */
+  def cdcCurrentState(spark: SparkSession, storePath: String, keyCol: String,
+      seqCol: String, opCol: String, attrCols: Seq[String]): DataFrame =
+    graft.operators.Cdc.applyChangelog(
+      spark.read.parquet(storePath).drop("batch_id"),
+      keyCol, seqCol, opCol, attrCols)
+
   /** STREAM-STREAM interval join: purchases attributed to the same
     * user's clicks within a lookback window, both sides live streams.
     * The event-time range condition plus watermarks on BOTH sides is

@@ -233,6 +233,33 @@ class StreamingSpec extends SparkSpecBase {
     exact.foreach { case (t, n) => assert(est(t) >= n, s"token $t undercounted") }
   }
 
+  test("streaming CDC store compacts to the batch apply of the whole changelog") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_cdc_store").toString + "/log"
+    val ckpt = Files.createTempDirectory("graft_cdc_ckpt").toString
+    val ms = MemoryStream[(Long, String, Long, String)]
+    val q = StreamingPower.cdcStream(
+      ms.toDF().toDF("k", "attr", "seq", "op"), storePath, ckpt)
+    ms.addData((1L, "a", 0L, "I"), (2L, "b", 1L, "I"))
+    q.processAllAvailable()
+    ms.addData((1L, "a2", 2L, "U"), (2L, "b", 3L, "D"), (3L, "c", 4L, "I"))
+    q.processAllAvailable()
+    q.stop()
+    def state() = StreamingPower
+      .cdcCurrentState(spark, storePath, "k", "seq", "op", Seq("attr"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(state() == Seq((1L, "a2", 2L), (3L, "c", 4L)),
+      "streamed state != expected current state (update applied, delete dropped)")
+    // a retried micro-batch (same batchId) must not re-apply its ops
+    StreamingPower.cdcStep(
+      Seq((9L, "ghost", 99L, "I")).toDF("k", "attr", "seq", "op"),
+      storePath, batchId = 1L)
+    assert(state() == Seq((1L, "a2", 2L), (3L, "c", 4L)),
+      "retried batch mutated the committed changelog store")
+  }
+
   test("streaming histogram store merges to the batch histogram of the whole stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
