@@ -821,7 +821,30 @@ object ExtensionQueries {
       .orderBy("event_id")
   }
 
+  /** q117: data-quality expectations — four named constraints over
+    * lineitem folded in one aggregate scan (one has real violations,
+    * so pass AND fail paths are exercised).
+    */
+  private val expectationsQ: Q = (s, dir) =>
+    Expectations.validate(Tables.lineitem(s, dir), Seq(
+      "qty_positive" -> (col("l_quantity") > 0),
+      "price_nonneg" -> (col("l_extendedprice") >= 0),
+      "discount_le_5pct" -> (col("l_discount") <= 0.05),
+      "shipdate_in_range" -> col("l_shipdate").between(
+        lit("1992-01-01").cast("date"), lit("1998-12-31").cast("date"))))
+
+  /** q118: referential-integrity count — lineitem rows orphaned by a
+    * parent snapshot missing every 5th order key.
+    */
+  private val refIntegrityQ: Q = (s, dir) =>
+    Expectations.referentialViolations(
+      Tables.lineitem(s, dir),
+      Tables.orders(s, dir).filter(col("o_orderkey") % 5 =!= 0),
+      "l_orderkey", "o_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "q118_ref_integrity" -> refIntegrityQ,
+    "q117_expectations" -> expectationsQ,
     "q116_anomaly_flags" -> anomalyQ,
     "q115_semdedup" -> semdedupQ,
     "q114_corpus_stats" -> corpusStatsQ,
@@ -999,6 +1022,24 @@ object ExtensionQueries {
        |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q117_expectations" ->
+      """WITH s AS (SELECT
+        |  CAST(sum(CASE WHEN coalesce(l_quantity > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS c0,
+        |  CAST(sum(CASE WHEN coalesce(l_extendedprice >= 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN coalesce(l_discount <= 0.05e0, false) THEN 0 ELSE 1 END) AS BIGINT) AS c2,
+        |  CAST(sum(CASE WHEN coalesce(l_shipdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31', false) THEN 0 ELSE 1 END) AS BIGINT) AS c3
+        |  FROM lineitem)
+        |SELECT 'discount_le_5pct' AS check_name, c2 AS n_violations, c2 = 0 AS passed FROM s
+        |UNION ALL SELECT 'price_nonneg', c1, c1 = 0 FROM s
+        |UNION ALL SELECT 'qty_positive', c0, c0 = 0 FROM s
+        |UNION ALL SELECT 'shipdate_in_range', c3, c3 = 0 FROM s
+        |ORDER BY check_name""".stripMargin,
+    "q118_ref_integrity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orphans
+        |FROM lineitem l LEFT JOIN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 != 0) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL""".stripMargin,
     "q116_anomaly_flags" ->
       """WITH x AS (SELECT event_id, user_id, value,
         |    avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd

@@ -144,6 +144,40 @@ class VersioningRetentionSpec extends SparkSpecBase {
       s"changelog compaction must not use a window (full-row shuffle):\n$plan")
   }
 
+  // --- Expectations -------------------------------------------------
+
+  test("expectations count NULL predicate results as violations") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, null), (3L, -5L)).toDF("id", "v")
+    val got = graft.operators.Expectations.validate(df, Seq(
+      "v_positive" -> (col("v") > 0),
+      "id_positive" -> (col("id") > 0)))
+      .as[(String, Long, Boolean)].collect().toSeq
+    // v > 0: row 2 is NULL (violation), row 3 negative → 2 violations
+    assert(got == Seq(("id_positive", 0L, true), ("v_positive", 2L, false)))
+  }
+
+  test("expectations fold every check into one scan of the table") {
+    val plan = graft.operators.Expectations.validate(
+      graft.engine.Tables.lineitem(spark, sf("sf0.001")), Seq(
+        "a" -> (col("l_quantity") > 0),
+        "b" -> (col("l_discount") <= 0.05),
+        "c" -> (col("l_extendedprice") >= 0)))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 table scan for 3 checks, got $scans:\n$plan")
+  }
+
+  test("referential violations count unmatched and NULL foreign keys") {
+    val child = Seq[(java.lang.Long, String)]((1L, "a"), (7L, "b"), (null, "c"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val got = graft.operators.Expectations
+      .referentialViolations(child, parent, "fk", "pk")
+      .head.getLong(0)
+    assert(got == 2L, "expected the unmatched key and the NULL key as orphans")
+  }
+
   // --- identity properties ------------------------------------------
 
   test("segment dedup with an uncapped DF threshold is the identity on real docs") {
