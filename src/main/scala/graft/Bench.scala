@@ -1,6 +1,12 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
@@ -29,16 +35,54 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Measured shuffle volume per query ("minimize shuffles" as a
+    // recorded number, not a claim): a QueryExecutionListener sums the
+    // shuffleBytesWritten SQLMetric over every execution a query runs
+    // (including its localCheckpoint materializations — they are part
+    // of the query's cost). ReusedExchange shares its metric object
+    // with the original exchange, so reuse nodes are skipped to avoid
+    // double counting. The listener bus is async: a short drain pause
+    // sits OUTSIDE the timed window, and the numbers land only in
+    // BENCH.json ("shuffle_mb"), not the stdout line.
+    val shuffleAcc = new AtomicLong(0)
+    def sumShuffle(p: SparkPlan): Long = {
+      val self = p.metrics.collect {
+        case (k, m) if k == "shuffleBytesWritten" => m.value
+      }.sum
+      val kids = p match {
+        case _: ReusedExchangeExec => Seq.empty
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(sumShuffle).sum
+    }
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        shuffleAcc.addAndGet(sumShuffle(qe.executedPlan))
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    })
+    val shuffleMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def drainAndReadShuffleMb(): Double = {
+      Thread.sleep(100) // let the async listener bus drain
+      shuffleAcc.getAndSet(0) / 1e6
+    }
+
     // warm-up: JVM/codegen/file-index, untimed
     try run("q01_scan_filter") catch { case _: Throwable => () }
 
+    shuffleAcc.set(0)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { run(name); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      shuffleMb(name) = drainAndReadShuffleMb()
+      (name, dt, ok)
     }
     // Outlier re-measure: a single-shot timing on a shared host can
     // catch a GC pause / CPU steal spike on an arbitrary query (r02
@@ -56,6 +100,7 @@ object Bench {
         val t0 = System.nanoTime()
         val ok2 = try { run(name); true } catch { case _: Throwable => false }
         val v2 = (System.nanoTime() - t0) / 1e9
+        drainAndReadShuffleMb() // discard: keep the first measurement
         if (ok2) reruns(name) = (v, v2)
         (name, if (ok2) math.min(v, v2) else v, true)
       case r => r
@@ -84,8 +129,12 @@ object Bench {
     val total = finalResults.collect { case (_, v, true) => v }.sum
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qsJson(short = true, full = false)},"failed":${failedJson(short = true)},"reruns":${rerunsJson(short = true)},"sf":"$sfDir"}"""
+    def shuffleJson: String =
+      shuffleMb.map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(short = false, full = true)},"failed":${failedJson(short = false)},"reruns":${rerunsJson(short = false)},"rerun_protocol":"queries above max(2.5s, 4*median) rerun once, min kept; both timings recorded","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(short = false, full = true)},"failed":${failedJson(short = false)},"reruns":${rerunsJson(short = false)},"rerun_protocol":"queries above max(2.5s, 4*median) rerun once, min kept; both timings recorded","shuffle_mb":$shuffleJson,"sf":"$sfDir"}"""
     // stdout (undecorated via run/outputStrategy := StdoutOutput) AND a
     // known file, so the driver's parse can never miss it again
     println(line)
