@@ -228,4 +228,67 @@ class PropertySpec extends SparkSpecBase {
     }
     runProp(p, 10)
   }
+
+  // small-vocab corpora so duplicate windows/segments actually occur
+  private val corpusGen: Gen[Seq[(Long, String)]] = for {
+    nDocs <- Gen.choose(2, 6)
+    vocab <- Gen.choose(2, 4)
+    docs <- Gen.listOfN(nDocs, Gen.choose(0, 18).flatMap(len =>
+      Gen.listOfN(len, Gen.choose(97, 96 + vocab).map(_.toChar.toString))))
+  } yield docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+
+  test("property: duplicated-span removal matches a brute-force reference") {
+    import spark.implicits._
+    val L = 3
+    val p = Prop.forAll(corpusGen) { docs =>
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val wins = toks.toSeq.flatMap { case (id, ts) =>
+        if (ts.size >= L)
+          (0 to ts.size - L).map(s => (id, s, ts.slice(s, s + L).mkString(" ")))
+        else Seq.empty
+      }
+      val df = wins.groupBy(_._3).map { case (g, o) => g -> o.map(_._1).distinct.size }
+      val dup = df.filter(_._2 >= 2).keySet
+      val expected = docs.map { case (id, _) =>
+        val ts = toks(id)
+        val starts = wins.filter(w => w._1 == id && dup(w._3)).map(_._2)
+        val covered = starts.flatMap(s => s until s + L).toSet
+        val clean = ts.zipWithIndex
+          .filterNot { case (_, i) => covered(i) }.map(_._1).mkString(" ")
+        (id, ts.size, starts.size, covered.size, clean)
+      }.sortBy(_._1)
+      val got = graft.operators.Dedup
+        .dupSpanRemoval(docs.toDF("doc_id", "text"), "doc_id", "text",
+          spanLen = L, minDf = 2)
+        .orderBy("doc_id").as[(Long, Int, Int, Int, String)].collect().toSeq
+      got == expected
+    }
+    runProp(p, 12)
+  }
+
+  test("property: segment dedup matches a brute-force reference") {
+    import spark.implicits._
+    val L = 3
+    val p = Prop.forAll(corpusGen) { docs =>
+      val segsByDoc = docs.map { case (id, t) =>
+        val ts = t.split(" ", -1).toSeq
+        id -> (1 to math.max(ts.size, 1) by L)
+          .map(s => ts.slice(s - 1, s - 1 + L).mkString(" "))
+      }.toMap
+      val df = segsByDoc.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (g, o) => g -> o.size }
+      val hot = df.filter(_._2 > 1).keySet
+      val expected = docs.map { case (id, _) =>
+        val ss = segsByDoc(id)
+        val kept = ss.filterNot(hot)
+        (id, ss.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }.sortBy(_._1)
+      val got = graft.operators.Dedup
+        .segmentDedup(docs.toDF("doc_id", "text"), "doc_id", "text",
+          segLen = L, maxDf = 1)
+        .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+      got == expected
+    }
+    runProp(p, 12)
+  }
 }
