@@ -124,6 +124,26 @@ object Sketches {
       .orderBy("percentile")
   }
 
+  /** Winsorization: clamp a value column to its [pLo, pHi] percentile
+    * band, with the band edges estimated from the SAME mergeable
+    * fixed-bin histogram `histogramQuantiles` uses — so the thresholds
+    * are deterministic, cross-engine reproducible, and computable in
+    * one extra pass however large the table. The two-edge table is a
+    * broadcast (2 rows); clamping itself is map-side.
+    */
+  def winsorize(df: DataFrame, idCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95, bins: Int = 1000): DataFrame = {
+    val edges = histogramQuantiles(df, valueCol, bins, Seq(pLo, pHi))
+      .groupBy()
+      .agg(
+        min(when(col("percentile") === pLo, col("value_est"))).as("_ql"),
+        min(when(col("percentile") === pHi, col("value_est"))).as("_qh"))
+    df.crossJoin(broadcast(edges))
+      .select(col(idCol), col(valueCol),
+        round(least(greatest(col(valueCol).cast("double"), col("_ql")), col("_qh")), 6)
+          .as(s"${valueCol}_w"))
+  }
+
   /** Fixed-edge histogram — the MERGEABLE form of `histogramQuantiles`:
     * bin edges are declared up front instead of derived from the
     * data's min/max, so two histograms over different data slices

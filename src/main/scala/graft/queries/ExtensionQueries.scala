@@ -842,7 +842,35 @@ object ExtensionQueries {
       Tables.orders(s, dir).filter(col("o_orderkey") % 5 =!= 0),
       "l_orderkey", "o_orderkey")
 
+  /** q119: winsorization — event values clamped to the [p05, p95]
+    * band estimated from the mergeable fixed-bin histogram (q88's
+    * machinery reused as thresholds; clamp is map-side).
+    */
+  private val winsorizeQ: Q = (s, dir) =>
+    Sketches.winsorize(Tables.events(s, dir), "event_id", "value")
+      .orderBy("event_id")
+
+  /** q120: per-source dedup governance report — doc counts, canonical
+    * survivors, removed duplicates, and retention share per source
+    * (the q59 canonical corpus re-aggregated by provenance).
+    */
+  private val sourceDedupReportQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
+    val canon = Dedup.canonicalCorpus(docs, pairs, "doc_id")
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(canon.groupBy("source")
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("removed_dups")).as("n_removed")), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_survivors"), col("n_removed"),
+        round(col("n_survivors").cast("double") / col("n_docs"), 6).as("retention"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q120_source_dedup_report" -> sourceDedupReportQ,
+    "q119_winsorize" -> winsorizeQ,
     "q118_ref_integrity" -> refIntegrityQ,
     "q117_expectations" -> expectationsQ,
     "q116_anomaly_flags" -> anomalyQ,
@@ -1022,6 +1050,53 @@ object ExtensionQueries {
        |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q119_winsorize" ->
+      """WITH s AS (SELECT min(value) AS lo, max(value) AS hi,
+        |                  count(value) AS n FROM events),
+        |b AS (SELECT CASE WHEN hi = lo THEN 0
+        |        ELSE CAST(LEAST(999, floor((value - lo) / (hi - lo) * 1000))
+        |             AS INTEGER) END AS bin
+        |      FROM events, s),
+        |h AS (SELECT bin, count(*) AS bcnt FROM b GROUP BY bin),
+        |c AS (SELECT bin, sum(bcnt) OVER (ORDER BY bin) AS cum FROM h),
+        |t AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS target
+        |      FROM s, (VALUES (0.05e0), (0.95e0)) pp(p)),
+        |q AS (SELECT p, min(bin) AS bin FROM t JOIN c ON cum >= target GROUP BY p),
+        |qv AS (SELECT p, ROUND(lo + bin * (hi - lo) / 1000e0, 6) AS v FROM q, s),
+        |th AS (SELECT min(CASE WHEN p = 0.05e0 THEN v END) AS ql,
+        |              min(CASE WHEN p = 0.95e0 THEN v END) AS qh FROM qv)
+        |SELECT event_id, value,
+        |  ROUND(LEAST(GREATEST(value, ql), qh), 6) AS value_w
+        |FROM events, th ORDER BY event_id""".stripMargin,
+    "q120_source_dedup_report" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (SELECT u AS doc_id, min(v) AS cluster_id,
+        |         count(DISTINCT v) AS cluster_size FROM reach GROUP BY u),
+        |surv AS (SELECT d.doc_id, d.source,
+        |           CAST(coalesce(cc.cluster_size, 1) AS BIGINT) AS cluster_size
+        |         FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |         WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id),
+        |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT t.source, t.n_docs, count(*) AS n_survivors,
+        |  CAST(sum(s.cluster_size - 1) AS BIGINT) AS n_removed,
+        |  ROUND(CAST(count(*) AS DOUBLE) / t.n_docs, 6) AS retention
+        |FROM surv s JOIN tot t ON s.source = t.source
+        |GROUP BY t.source, t.n_docs ORDER BY t.source""".stripMargin,
     "q117_expectations" ->
       """WITH s AS (SELECT
         |  CAST(sum(CASE WHEN coalesce(l_quantity > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS c0,
