@@ -868,7 +868,25 @@ object ExtensionQueries {
       .orderBy("source")
   }
 
+  /** q121: the documents → training-sequences layout path, composed
+    * end-to-end: context-window chunking (q83's 64/48 windows) feeding
+    * token-budget shard packing (q72's distributed prefix sum) keyed
+    * by a per-chunk id. Plain DataFrame composition — no new
+    * machinery, which is the point.
+    */
+  private val chunkPackQ: Q = (s, dir) => {
+    val chunks = Chunking.chunkByTokens(Tables.documents(s, dir), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+      .select(concat(col("doc_id").cast("string"), lit(":"),
+        col("chunk_id").cast("string")).as("chunk_key"),
+        col("chunk_text"))
+    Packing.packByTokenBudget(chunks, "chunk_key", "chunk_text",
+      budgetTokens = 2000L)
+      .orderBy("chunk_key")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q121_chunk_pack" -> chunkPackQ,
     "q120_source_dedup_report" -> sourceDedupReportQ,
     "q119_winsorize" -> winsorizeQ,
     "q118_ref_integrity" -> refIntegrityQ,
@@ -1050,6 +1068,25 @@ object ExtensionQueries {
        |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q121_chunk_pack" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |        CASE WHEN len(toks) <= 64 THEN 1
+        |             ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+        |      FROM t),
+        |ch AS (SELECT concat(CAST(doc_id AS VARCHAR), ':', CAST(gs.i AS VARCHAR)) AS chunk_key,
+        |         array_to_string(toks[gs.i * 48 + 1 : gs.i * 48 + 64], ' ') AS chunk_text
+        |       FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) gs),
+        |t2 AS (SELECT chunk_key,
+        |         CAST(len(regexp_split_to_array(chunk_text, '\\s+')) AS BIGINT) AS n_tokens,
+        |         ${md5l("chunk_key")} AS h FROM ch),
+        |c2 AS (SELECT chunk_key, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY h, chunk_key
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t2)
+        |SELECT chunk_key, n_tokens,
+        |  CAST((cum - n_tokens) // 2000 AS INTEGER) AS shard_id
+        |FROM c2 ORDER BY chunk_key""".stripMargin,
     "q119_winsorize" ->
       """WITH s AS (SELECT min(value) AS lo, max(value) AS hi,
         |                  count(value) AS n FROM events),
