@@ -30,4 +30,11 @@ class QueriesSmokeSpec extends SparkSpecBase {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("every query has an oracle (no silent rows-only fallbacks)") {
+    // the full surface is hash-verified today; a new query landing
+    // without an oracle would silently weaken the correctness gate
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+  }
 }
