@@ -466,6 +466,54 @@ object Similarity {
       .agg(round(avg(col("v")), 6).as("centroid_v"))
       .orderBy("label", "dim")
 
+  /** Per-label embedding diversity WITHOUT pairwise work: the mean
+    * squared distance over all ordered pairs in a group satisfies
+    * E||x−y||² = 2·(E||x||² − ||E x||²), so a statistic that is
+    * naively O(n²) per group folds into two linear aggregates (mean
+    * squared norm + dim-wise mean vector) and a tiny per-label join —
+    * the algebraic identity IS the scale plan. Low values flag
+    * near-duplicate-saturated or collapsed label groups.
+    */
+  def labelDiversity(embeddings: DataFrame): DataFrame = {
+    val d = embeddings.select(col("label"), asDouble(col("embedding")).as("e"))
+    val norms = d
+      .select(col("label"),
+        aggregate(col("e"), lit(0.0), (a, x) => a + x * x).as("sq"))
+      .groupBy("label").agg(count(lit(1)).as("n"), avg(col("sq")).as("s"))
+    val means = d
+      .select(col("label"), posexplode(col("e")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg(col("v")).as("m"))
+      .groupBy("label").agg(sum(col("m") * col("m")).as("m2"))
+    norms.join(means, Seq("label"))
+      .select(col("label"), col("n"),
+        round(lit(2.0) * (col("s") - col("m2")), 6).as("mean_sq_dist"))
+      .orderBy("label")
+  }
+
+  /** Label-centroid affinity matrix: cosine between every pair of
+    * label centroids — the k×k view that drives mixture design
+    * (which sources/labels are semantically redundant). Centroids are
+    * dim-wise means ROUNDED to 6dp before the cosine so the matrix is
+    * cross-engine exact; the pairing is a self-join of the k-row
+    * centroid table (k tiny — this is a report, not a corpus op).
+    */
+  def centroidAffinity(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = embeddings
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(round(avg(col("v")), 6).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("c"))
+      .localCheckpoint()
+    cents.select(col("label").as("label_a"), col("c").as("ca"))
+      .crossJoin(cents.select(col("label").as("label_b"), col("c").as("cb")))
+      .filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(cosineFast(spark)(col("ca"), col("cb")), 6).as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540): cluster-then-prune
     * semantic dedup — assign every vector to its nearest coarse
     * centroid, score cosine pairs ONLY within a cluster, connect the

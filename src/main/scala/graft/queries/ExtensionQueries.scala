@@ -885,7 +885,21 @@ object ExtensionQueries {
       .orderBy("chunk_key")
   }
 
+  /** q122: per-label embedding diversity via the linear-time
+    * E||x−y||² identity (no pairwise join).
+    */
+  private val diversityQ: Q = (s, dir) =>
+    Similarity.labelDiversity(Tables.embeddings(s, dir))
+
+  /** q123: label-centroid cosine affinity matrix (mixture-design
+    * redundancy report).
+    */
+  private val affinityQ: Q = (s, dir) =>
+    Similarity.centroidAffinity(Tables.embeddings(s, dir))
+
   val queries: Map[String, Q] = Map(
+    "q123_centroid_affinity" -> affinityQ,
+    "q122_embedding_diversity" -> diversityQ,
     "q121_chunk_pack" -> chunkPackQ,
     "q120_source_dedup_report" -> sourceDedupReportQ,
     "q119_winsorize" -> winsorizeQ,
@@ -1068,6 +1082,26 @@ object ExtensionQueries {
        |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q122_embedding_diversity" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT label, count(*) AS n,
+        |        avg(list_dot_product(v, v)) AS s FROM e GROUP BY label),
+        |dm AS (SELECT label, gs.d AS dim, avg(v[gs.d]) AS m
+        |       FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d) gs
+        |       GROUP BY label, gs.d),
+        |m2 AS (SELECT label, sum(m * m) AS m2 FROM dm GROUP BY label)
+        |SELECT label, n, ROUND(2.0e0 * (s - m2), 6) AS mean_sq_dist
+        |FROM n JOIN m2 USING (label) ORDER BY label""".stripMargin,
+    "q123_centroid_affinity" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dm AS (SELECT label, gs.d AS dim, ROUND(avg(v[gs.d]), 6) AS m
+        |       FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d) gs
+        |       GROUP BY label, gs.d),
+        |c AS (SELECT label, list(m ORDER BY dim) AS c FROM dm GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  ROUND(list_cosine_similarity(a.c, b.c), 6) AS cosine
+        |FROM c a JOIN c b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
     "q121_chunk_pack" ->
       s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
         |           FROM documents),

@@ -314,6 +314,27 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got == Seq((1L, 10, 2, 9, "x1"), (2L, 10, 2, 9, "y1")))
   }
 
+  test("label diversity identity equals brute-force mean pairwise distance") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, 0, Seq(1.0, 0.0, 2.0)), (1L, 0, Seq(0.0, 1.0, -1.0)),
+      (2L, 0, Seq(2.0, 2.0, 0.5)), (3L, 1, Seq(3.0, -1.0, 0.0)),
+      (4L, 1, Seq(1.0, 1.0, 1.0)))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val got = graft.operators.Similarity.labelDiversity(df)
+      .as[(Int, Long, Double)].collect()
+      .map { case (l, n, d) => l -> ((n, d)) }.toMap
+    vecs.groupBy(_._2).foreach { case (label, vs) =>
+      val xs = vs.map(_._3)
+      val brute = (for (a <- xs; b <- xs)
+        yield a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+        .sum / (xs.size.toDouble * xs.size)
+      val (n, d) = got(label)
+      assert(n == xs.size && math.abs(d - brute) < 1e-6,
+        s"label $label: identity $d != brute $brute")
+    }
+  }
+
   test("semdedup with one coarse list equals exact-pair canonical dedup") {
     // a single centroid puts every vector in one cluster, so the
     // within-cluster pairs ARE the exact threshold pairs — the whole
