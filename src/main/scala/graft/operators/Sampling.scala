@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{HashFamily, XxHash64Family}
+import graft.functions.{HashFamily, Md5Family, XxHash64Family}
 
 /** Deterministic hash-bucket sampling and dataset splitting — the
   * reproducible way to carve train/val/test (or take an N% sample) at
@@ -160,5 +160,35 @@ object Sampling {
     docs.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= cap)
       .drop("_rk")
+  }
+
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor draws `k` pseudo-random partners by hashing (anchor, i)
+    * into the DENSE id space [0, N) — the contract is contiguous ids,
+    * the layout `epochShuffle`/`zipWithIndex`-style reindexing
+    * produces. A draw that hits the anchor itself steps to the next id
+    * (mod N), so no anchor pairs with itself.
+    *
+    * Scale shape: N is folded into the plan (broadcast 1-row count —
+    * no eager driver count), the k-fan-out is map-side, and partner
+    * attributes attach via ONE equi-join on the sampled id. Hash-
+    * deterministic: the same corpus gives the same negatives on every
+    * run and engine (Md5Family), so training is reproducible.
+    */
+  def negativeSamples(ids: DataFrame, idCol: String, k: Int = 4,
+      hashes: HashFamily = Md5Family): DataFrame = {
+    val n = ids.agg(count(lit(1)).as("_n"))
+    val drawn = ids.select(col(idCol))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("_n"),
+        posexplode(transform(sequence(lit(0), lit(k - 1)), i =>
+          pmod(hashes.hash(concat(col(idCol).cast("string"), lit(":"),
+            i.cast("string"), lit(":neg"))), col("_n"))))
+          .as(Seq("sample_idx", "_draw")))
+      .select(col(idCol).as("anchor_id"), col("sample_idx"),
+        when(col("_draw") === col(idCol), pmod(col("_draw") + 1, col("_n")))
+          .otherwise(col("_draw")).as("neg_id"))
+    drawn.join(ids.select(col(idCol).as("neg_id")), Seq("neg_id"))
+      .select(col("anchor_id"), col("sample_idx"), col("neg_id"))
   }
 }

@@ -897,7 +897,21 @@ object ExtensionQueries {
   private val affinityQ: Q = (s, dir) =>
     Similarity.centroidAffinity(Tables.embeddings(s, dir))
 
+  /** q124: deterministic negative sampling — 4 hash-drawn negatives
+    * per anchor over the dense vec_id space, labels attached via one
+    * equi-join.
+    */
+  private val negSamplesQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Sampling.negativeSamples(emb.select(col("vec_id")), "vec_id", k = 4)
+      .join(emb.select(col("vec_id").as("neg_id"), col("label").as("neg_label")),
+        Seq("neg_id"))
+      .select(col("anchor_id"), col("sample_idx"), col("neg_id"), col("neg_label"))
+      .orderBy("anchor_id", "sample_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q124_negative_samples" -> negSamplesQ,
     "q123_centroid_affinity" -> affinityQ,
     "q122_embedding_diversity" -> diversityQ,
     "q121_chunk_pack" -> chunkPackQ,
@@ -1082,6 +1096,20 @@ object ExtensionQueries {
        |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q124_negative_samples" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |d AS (SELECT e.vec_id AS anchor_id, gs.i AS sample_idx,
+        |        ${md5l("concat(CAST(e.vec_id AS VARCHAR), ':', CAST(gs.i AS VARCHAR), ':neg')")} % nn.n AS draw
+        |      FROM embeddings e, nn,
+        |        LATERAL (SELECT unnest(generate_series(0, 3)) AS i) gs),
+        |s AS (SELECT anchor_id, sample_idx,
+        |        CASE WHEN draw = anchor_id
+        |             THEN (draw + 1) % (SELECT n FROM nn) ELSE draw END AS neg_id
+        |      FROM d)
+        |SELECT anchor_id, CAST(sample_idx AS INTEGER) AS sample_idx, neg_id,
+        |  e2.label AS neg_label
+        |FROM s JOIN embeddings e2 ON e2.vec_id = s.neg_id
+        |ORDER BY anchor_id, sample_idx""".stripMargin,
     "q122_embedding_diversity" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT label, count(*) AS n,
