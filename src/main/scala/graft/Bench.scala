@@ -69,9 +69,21 @@ object Bench {
       Thread.sleep(100) // let the async listener bus drain
       shuffleAcc.getAndSet(0) / 1e6
     }
+    // Memory hygiene between queries: ~15 operators `localCheckpoint()`
+    // intermediate frames, and those blocks stay pinned in storage
+    // memory until the driver GCs the RDD reference — across a
+    // 124-query suite the pressure compounds and bled into later
+    // queries' timings (r4: end-of-suite reruns WORSE than first runs).
+    // Released here, OUTSIDE the timed window: a query pays for its own
+    // checkpoints (they're inside its timing) but never for a previous
+    // query's leftovers.
+    def releaseCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
 
     // warm-up: JVM/codegen/file-index, untimed
     try run("q01_scan_filter") catch { case _: Throwable => () }
+    releaseCheckpoints()
 
     shuffleAcc.set(0)
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
@@ -82,6 +94,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       shuffleMb(name) = drainAndReadShuffleMb()
+      releaseCheckpoints()
       (name, dt, ok)
     }
     // Outlier re-measure: a single-shot timing on a shared host can
@@ -101,24 +114,28 @@ object Bench {
         val ok2 = try { run(name); true } catch { case _: Throwable => false }
         val v2 = (System.nanoTime() - t0) / 1e9
         drainAndReadShuffleMb() // discard: keep the first measurement
+        releaseCheckpoints()
         if (ok2) reruns(name) = (v, v2)
         (name, if (ok2) math.min(v, v2) else v, true)
       case r => r
     }
-    def num(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // Short ids ("q74" for "q74_embedding_dedup") keep the stdout line
-    // under the driver's 2000-char tail capture — the full-name line
-    // grew past it at 82 queries and the driver recorded parsed:null
-    // for three rounds (BENCH_r01..r03). Full names + full precision
-    // live in BENCH.json.
+    def num(v: Double, dp: Int = 3): String =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+    // The stdout line must fit the driver's 2000-char tail capture or
+    // the machine-readable gate records parsed:null (it did for rounds
+    // 1–4: full names overflowed it at 82 queries, and at 124 the
+    // appended reruns map overflowed it again). So stdout carries ONLY
+    // the contract fields — short ids ("q74"), 2dp, no reruns/shuffle
+    // (~1.8 KB worst case at 124 queries); full names, full precision,
+    // reruns and shuffle_mb all live in BENCH.json.
     def shortId(name: String): String = name.takeWhile(_ != '_')
     def qsJson(short: Boolean, full: Boolean): String =
       finalResults.map { case (k, v, _) =>
-        "\"" + (if (short) shortId(k) else k) + "\":" + (if (full) v.toString else num(v))
+        "\"" + (if (short) shortId(k) else k) + "\":" + (if (full) v.toString else num(v, 2))
       }.mkString("{", ",", "}")
-    def rerunsJson(short: Boolean): String =
+    def rerunsJson: String =
       reruns.map { case (k, (a, b)) =>
-        "\"" + (if (short) shortId(k) else k) + "\":[" + num(a) + "," + num(b) + "]"
+        "\"" + k + "\":[" + num(a) + "," + num(b) + "]"
       }.mkString("{", ",", "}")
     // failures are first-class in the JSON (a broken query must not
     // masquerade as a fast one) and excluded from the headline total
@@ -128,13 +145,13 @@ object Bench {
       }.mkString("[", ",", "]")
     val total = finalResults.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${qsJson(short = true, full = false)},"failed":${failedJson(short = true)},"reruns":${rerunsJson(short = true)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${qsJson(short = true, full = false)},"failed":${failedJson(short = true)},"sf":"$sfDir"}"""
     def shuffleJson: String =
       shuffleMb.map { case (k, v) =>
         "\"" + k + "\":" + BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
       }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(short = false, full = true)},"failed":${failedJson(short = false)},"reruns":${rerunsJson(short = false)},"rerun_protocol":"queries above max(2.5s, 4*median) rerun once, min kept; both timings recorded","shuffle_mb":$shuffleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(short = false, full = true)},"failed":${failedJson(short = false)},"reruns":$rerunsJson,"rerun_protocol":"queries above max(2.5s, 4*median) rerun once, min kept; both timings recorded","shuffle_mb":$shuffleJson,"sf":"$sfDir"}"""
     // stdout (undecorated via run/outputStrategy := StdoutOutput) AND a
     // known file, so the driver's parse can never miss it again
     println(line)

@@ -39,8 +39,8 @@ object PowerPipelineDemo {
     PowerPipeline.runIncrement(spark, feed(15, 35), paths)
     PowerPipeline.exportCsv(spark, paths)
 
-    val fact = spark.read.parquet(paths.fact)
-    val gold = spark.read.parquet(paths.gold)
+    val fact = graft.engine.IdempotentSink.read(spark, paths.fact)
+    val gold = graft.engine.IdempotentSink.read(spark, paths.gold)
     println(s"fact rows: ${fact.count()} (expect 35, unique minutes)")
     println(s"gold rows: ${gold.count()} (expect 35)")
     gold.orderBy("time_id")

@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Insert-if-absent sink semantics on plain parquet directories.
@@ -10,6 +11,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * format the equivalent is: left-anti join the new batch against the
   * existing sink keys, then append.
   *
+  * ATOMIC PUBLISH: a plain `mode(Append)` moves the batch's part files
+  * into the table one rename at a time — a writer killed mid-publish
+  * leaves a half-appended table. Here every append is staged as a
+  * complete parquet directory first (parquet's `_SUCCESS` is the
+  * durability marker) and COMMITTED by ONE directory rename into the
+  * table as a `batch=<n>` hive partition. Readers list the table either
+  * before or after that single atomic rename — never a partial file
+  * set — and staging dirs are invisible to them (leading-dot names are
+  * filtered by the file index). `heal` resolves a crashed writer:
+  * staging without `_SUCCESS` rolls back (delete), staging with it
+  * rolls forward (finish the rename). Same recipe as the streaming
+  * index (`StreamingPower.dedupStepAgainstIndex`) and
+  * `PartitionedSink.compact`'s swap.
+  *
   * Scale notes:
   *  - The anti-join's right side is only the sink's KEY COLUMNS
   *    (column-pruned parquet scan); with a selective watermark filter on
@@ -17,10 +32,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    batch is small — no full-sink shuffle.
   *  - `dropDuplicates(keys)` guards intra-batch duplicates, mirroring
   *    the reference's advisory primary key (`bronze_ingest.py:7-11`).
-  *  - Append of parquet files is atomic per task commit but the
-  *    read-keys/append pair is not transactional across concurrent
-  *    writers — single-writer-per-table is the documented invariant
-  *    (the reference has the same single-process assumption).
+  *  - The read-keys/append pair is still not transactional across
+  *    CONCURRENT writers — single-writer-per-table is the documented
+  *    invariant (the reference has the same single-process assumption);
+  *    atomicity here is about crash consistency for readers.
   */
 object IdempotentSink {
   /** Pure form used by queries/tests: `batch` minus rows whose key tuple
@@ -31,20 +46,71 @@ object IdempotentSink {
     batch.dropDuplicates(keys).join(existingKeys, keys, "left_anti")
   }
 
-  /** I/O form: append only-new rows to a parquet directory sink. */
-  def appendIfAbsent(spark: SparkSession, batch: DataFrame, path: String, keys: Seq[String]): Unit = {
+  /** I/O form: atomically append only-new rows to a batch-partitioned
+    * parquet table (see object doc). Read it back with [[read]].
+    */
+  def appendIfAbsent(spark: SparkSession, batch: DataFrame, path: String,
+      keys: Seq[String]): Unit = {
+    heal(spark, path)
     val toWrite =
-      if (exists(spark, path)) newRows(batch, spark.read.parquet(path), keys)
+      if (exists(spark, path)) newRows(batch, read(spark, path), keys)
       else batch.dropDuplicates(keys)
-    toWrite.write.mode(SaveMode.Append).parquet(path)
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    val next = nextBatchId(fs, p)
+    val staging = new Path(p, s"._staging_batch=$next")
+    toWrite.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // an all-duplicates batch can stage zero part files — nothing to
+    // publish (committing a fileless dir would poison schema inference
+    // on a table whose only batch is empty)
+    if (fs.listStatus(staging).exists(_.getPath.getName.startsWith("part-")))
+      renameOrThrow(fs, staging, new Path(p, s"batch=$next"))
+    else fs.delete(staging, true)
   }
 
-  /** Shared path-existence probe (single definition — swapping in e.g.
-    * a _SUCCESS-marker check must happen in exactly one place).
+  /** The table's rows (batch bookkeeping column dropped), healed first. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    heal(spark, path)
+    spark.read.parquet(path).drop("batch")
+  }
+
+  /** Resolve a crashed writer: durable staging (has `_SUCCESS`) rolls
+    * FORWARD — its single commit rename is completed; partial staging
+    * rolls BACK (deleted). Either way readers see a complete table.
+    */
+  def heal(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).filter(_.getPath.getName.startsWith("._staging_batch="))
+      .foreach { s =>
+        val target = new Path(p, s.getPath.getName.stripPrefix("._staging_"))
+        if (fs.exists(new Path(s.getPath, "_SUCCESS")) && !fs.exists(target))
+          renameOrThrow(fs, s.getPath, target)
+        else fs.delete(s.getPath, true)
+      }
+  }
+
+  /** A table exists once it has ≥1 COMMITTED batch — a bare directory
+    * left by a crashed first append is not a table.
     */
   private[graft] def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p)
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
   }
+
+  private def nextBatchId(fs: FileSystem, p: Path): Long =
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+      .foldLeft(-1L)(math.max) + 1L
+
+  private def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"commit rename failed: $src -> $dst")
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 }

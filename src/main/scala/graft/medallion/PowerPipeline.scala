@@ -21,7 +21,7 @@ object PowerPipeline {
 
   private def readOrEmpty(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    if (IdempotentSink.exists(spark, path)) spark.read.schema(schema).parquet(path)
+    if (IdempotentSink.exists(spark, path)) IdempotentSink.read(spark, path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** One incremental run: ingest `batch` into bronze, propagate through
@@ -36,7 +36,7 @@ object PowerPipeline {
       Bronze.newRows(batch, cursor), paths.bronze, Seq("minutes1_utc"))
 
     // silver (S4-S7): watermark from fact sink, dim + fact upserts
-    val bronze = spark.read.schema(PowerSchemas.raw).parquet(paths.bronze)
+    val bronze = IdempotentSink.read(spark, paths.bronze)
     val factSink = readOrEmpty(spark, paths.fact, PowerSchemas.fact)
     val silverWm = Watermark.maxOrEpoch(factSink, "time_id")
     IdempotentSink.appendIfAbsent(spark,
@@ -45,20 +45,16 @@ object PowerPipeline {
       Silver.fact(bronze, silverWm), paths.fact, Seq("time_id"))
 
     // gold (J1, W1-W18, lookback+trim): watermark from gold sink
-    val fact = spark.read.schema(PowerSchemas.fact).parquet(paths.fact)
-    val dim = spark.read.schema(PowerSchemas.dimTime).parquet(paths.dim)
-    val goldSink: Option[DataFrame] =
-      if (IdempotentSink.exists(spark, paths.gold)) Some(spark.read.parquet(paths.gold))
-      else None
-    val goldWm = goldSink.map(Watermark.maxOrEpoch(_, "time_id")).getOrElse(Watermark.Epoch)
-    val goldRows = Gold.features(fact, dim, goldWm)
-    goldSink match {
-      case None => goldRows.write.parquet(paths.gold)
-      case Some(_) =>
-        IdempotentSink.appendIfAbsent(spark, goldRows, paths.gold, Seq("time_id"))
-    }
+    val fact = IdempotentSink.read(spark, paths.fact)
+    val dim = IdempotentSink.read(spark, paths.dim)
+    val goldWm =
+      if (IdempotentSink.exists(spark, paths.gold))
+        Watermark.maxOrEpoch(IdempotentSink.read(spark, paths.gold), "time_id")
+      else Watermark.Epoch
+    IdempotentSink.appendIfAbsent(spark,
+      Gold.features(fact, dim, goldWm), paths.gold, Seq("time_id"))
   }
 
   def exportCsv(spark: SparkSession, paths: Paths): Unit =
-    Gold.exportMlFeatures(spark.read.parquet(paths.gold), paths.mlCsv)
+    Gold.exportMlFeatures(IdempotentSink.read(spark, paths.gold), paths.mlCsv)
 }

@@ -479,15 +479,22 @@ object Dedup {
     * duplicated-window set is found by a hash aggregate and joined
     * back by window hash as a plain shuffle EQUI-join (it is not
     * assumed broadcast-small: a boilerplate-ridden corpus can have
-    * many duplicated spans). Per-doc coverage is evaluated against the
-    * collected start-offset array (|starts| is per-doc-bounded), never
-    * a corpus-wide structure.
+    * many duplicated spans). Coverage is LINEAR in tokens+spans: a
+    * token at position i is covered iff some span starts in
+    * (i−spanLen, i], i.e. iff the RUNNING MAX of start positions at i
+    * is ≥ i−spanLen+1 — one doc-partitioned window over the exploded
+    * token stream, no per-token scan of a start list. (The naive
+    * `exists(starts, …)` per token is O(tokens×spans) per doc and went
+    * quadratic on boilerplate-heavy docs; an expression-level prefix
+    * sum can't fix it — Spark's `aggregate` copies its accumulator
+    * array per element, so only the relational window form is linear.)
     *
     * Output: (id, n_tokens, n_dup_spans, n_removed, text_clean).
     */
   def dupSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
       spanLen: Int = 8, minDf: Long = 2,
       hashes: HashFamily = XxHash64Family): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val withToks = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
       .localCheckpoint(eager = false)
     val m = size(col("_toks")) - (spanLen - 1)
@@ -503,19 +510,36 @@ object Dedup {
     val dup = sh.select(col("gh"), col(idCol)).distinct()
       .groupBy("gh").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDf).select("gh")
+    // (doc, start-position) marks for duplicated spans — unique per doc
     val starts = sh.join(dup, Seq("gh"))
-      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("_starts"))
-    withToks.join(starts, Seq(idCol), "left")
-      .withColumn("_starts", coalesce(col("_starts"), array()))
+      .select(col(idCol), col("pos").as("i"), lit(1).as("_is_start"))
+    val tok = withToks
+      .select(col(idCol), posexplode(col("_toks")).as(Seq("i", "_tok")))
+    val runMax = Window.partitionBy(idCol).orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val covered = tok.join(starts, Seq(idCol, "i"), "left")
+      .withColumn("_last_start",
+        max(when(col("_is_start") === 1, col("i"))).over(runMax))
+      .withColumn("_covered",
+        col("_last_start").isNotNull &&
+          col("_last_start") >= col("i") - (spanLen - 1))
+    val agg = covered.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("int").as("n_tokens"),
+      sum(coalesce(col("_is_start"), lit(0))).cast("int").as("n_dup_spans"),
+      sum(when(col("_covered"), 1).otherwise(0)).cast("int").as("n_removed"),
+      // collect_list drops NULL elements, so covered tokens vanish
+      // before the sort; struct sorts on its first field (position)
+      array_join(transform(
+        array_sort(collect_list(
+          when(!col("_covered"), struct(col("i"), col("_tok"))))),
+        s => s.getField("_tok")), " ").as("text_clean"))
+    // a doc whose token array is empty never explodes — keep its row
+    withToks.join(agg, Seq(idCol), "left")
       .select(col(idCol),
-        size(col("_toks")).as("n_tokens"),
-        size(col("_starts")).as("n_dup_spans"),
-        size(filter(sequence(lit(0), size(col("_toks")) - 1),
-          i => exists(col("_starts"), st => st <= i && i < st + spanLen)))
-          .as("n_removed"),
-        array_join(filter(col("_toks"),
-          (t, i) => !exists(col("_starts"), st => st <= i && i < st + spanLen)), " ")
-          .as("text_clean"))
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0)).as("n_dup_spans"),
+        coalesce(col("n_removed"), lit(0)).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** Inverted shingle index (doc, g), optionally DF-capped: shingles in

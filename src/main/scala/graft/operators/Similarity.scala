@@ -306,6 +306,31 @@ object Similarity {
   def pqTopKSeeded(embeddings: DataFrame, probes: DataFrame, k: Int,
       dim: Int, numSub: Int = 8, numCodes: Int = 16): DataFrame = {
     val (enc, probeTable) = pqArtifacts(embeddings, probes, dim, numSub, numCodes)
+    pqAdcRank(enc, probeTable, k)
+  }
+
+  /** PQ top-k over LEARNED sub-codebooks: the production variant of
+    * [[pqTopKSeeded]], with each subspace's codebook Lloyd-iterated on
+    * a bounded driver sample instead of being raw hash-sampled
+    * subvectors (k-means init without refinement). Lower quantization
+    * error → better ADC ranking; recall vs the exact path is
+    * spec-tested. Not SQL-oracle-expressible (iterative float
+    * training), exactly like `kmeansCodebook` vs `seededCodebook`.
+    */
+  def pqTopKLearned(embeddings: DataFrame, probes: DataFrame, k: Int,
+      dim: Int, numSub: Int = 8, numCodes: Int = 16, iters: Int = 5,
+      sampleN: Int = 512): DataFrame = {
+    val cb = pqCodebooksDf(embeddings.sparkSession,
+      pqLearnedCodebooks(embeddings, dim, numSub, numCodes, iters, sampleN))
+    val (enc, probeTable) = pqArtifactsWithCodebook(embeddings, probes, dim, numSub, cb)
+    pqAdcRank(enc, probeTable, k)
+  }
+
+  /** Shared ADC scorer: exhaustive scan of the encoded corpus against
+    * the broadcast probe tables, per-query top-k on the exact-integer
+    * distance sums.
+    */
+  private def pqAdcRank(enc: DataFrame, probeTable: DataFrame, k: Int): DataFrame = {
     val rank = Window.partitionBy("query_id").orderBy(col("sd"), col("neighbor_id"))
     enc.join(broadcast(probeTable), Seq("m", "code_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -317,6 +342,59 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-subspace Lloyd-refined codebooks (numSub × numCodes × dim/
+    * numSub), trained on the same bounded hash-ordered driver sample
+    * as [[kmeansCodebook]] — sampleN × dim doubles, never the corpus.
+    * Metric is squared L2 (what PQ's ADC sums), not cosine. Empty
+    * cells keep their previous centroid.
+    */
+  def pqLearnedCodebooks(embeddings: DataFrame, dim: Int, numSub: Int = 8,
+      numCodes: Int = 16, iters: Int = 5, sampleN: Int = 512)
+      : Array[Array[Array[Double]]] = {
+    require(dim % numSub == 0, "numSub must divide dim")
+    val d = dim / numSub
+    val sample: Array[Array[Double]] = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .orderBy(xxhash64(col("vec_id"))).limit(sampleN)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= numCodes,
+      s"sample (${sample.length}) smaller than numCodes=$numCodes")
+    Array.tabulate(numSub) { m =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, m * d, (m + 1) * d))
+      var cents = pts.take(numCodes).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(numCodes)(new Array[Double](d))
+        val counts = new Array[Int](numCodes)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+          while (c < numCodes) {
+            var s = 0.0; var i = 0
+            while (i < d) { val t = p(i) - cents(c)(i); s += t * t; i += 1 }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < d) { sums(best)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(numCodes)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+  }
+
+  /** Driver-trained sub-codebooks as a (m, code_id, c) frame — a local
+    * relation, so downstream broadcasts carry no corpus scan.
+    */
+  private def pqCodebooksDf(spark: org.apache.spark.sql.SparkSession,
+      cbs: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (codes, m) =>
+      codes.zipWithIndex.map { case (c, id) => (m, id, c.toSeq) }
+    }.toSeq.toDF("m", "code_id", "c")
+  }
+
   /** The encoded corpus (`neighbor_id, m, code_id` — the compressed
     * index) and the probes' ADC lookup tables (`query_id, m, code_id,
     * d2` in integer ppm) over hash-seeded sub-codebooks.
@@ -325,37 +403,53 @@ object Similarity {
       dim: Int, numSub: Int, numCodes: Int): (DataFrame, DataFrame) = {
     require(dim % numSub == 0, "numSub must divide dim")
     val d = dim / numSub
-    def subvecs(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as("emb"))
-        .withColumn("m", explode(sequence(lit(0), lit(numSub - 1))))
-        .select(col(idAs), col("m"),
-          slice(col("emb"), col("m") * d + 1, lit(d)).as("sub"))
-
     // per-subspace codebook: the numCodes corpus subvectors with the
     // smallest hash(vec_id:m) — checkpointed, it feeds three joins
     val hash = graft.functions.Md5Family.hash(
       concat(col("vec_id").cast("string"), lit(":"), col("m").cast("string")))
     val cbRank = Window.partitionBy("m").orderBy(hash, col("vec_id"))
-    val cb = subvecs(embeddings, "vec_id")
+    val cb = subvecs(embeddings, "vec_id", numSub, d)
       .withColumn("code_id", row_number().over(cbRank) - 1)
       .filter(col("code_id") < numCodes)
       .select(col("m"), col("code_id"), col("sub").as("c"))
       .localCheckpoint()
+    pqArtifactsWithCodebook(embeddings, probes, dim, numSub, cb)
+  }
 
+  /** (id, m, sub): the numSub d-dim subvector slices of each vector. */
+  private def subvecs(df: DataFrame, idAs: String, numSub: Int, d: Int): DataFrame =
+    df.select(col("vec_id").as(idAs), asDouble(col("embedding")).as("emb"))
+      .withColumn("m", explode(sequence(lit(0), lit(numSub - 1))))
+      .select(col(idAs), col("m"),
+        slice(col("emb"), col("m") * d + 1, lit(d)).as("sub"))
+
+  /** Encode corpus + probe ADC tables against ANY (m, code_id, c)
+    * sub-codebook frame — hash-seeded or learned. The codebook must be
+    * a bounded local/checkpointed artifact: it feeds two broadcast
+    * joins.
+    */
+  private def pqArtifactsWithCodebook(embeddings: DataFrame, probes: DataFrame,
+      dim: Int, numSub: Int, cb: DataFrame): (DataFrame, DataFrame) = {
+    require(dim % numSub == 0, "numSub must divide dim")
+    val d = dim / numSub
     // exact-integer squared L2 (ppm) between a subvector and a codeword
     val d2ppm = floor(aggregate(
       zip_with(col("sub"), col("c"), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v) * lit(1000000.0) + lit(0.5)).cast("long")
 
-    val enc = subvecs(embeddings, "neighbor_id")
+    val enc = subvecs(embeddings, "neighbor_id", numSub, d)
       .join(broadcast(cb), Seq("m"))
       .withColumn("d2", d2ppm)
       .groupBy("neighbor_id", "m")
       .agg(min(struct(col("d2"), col("code_id"))).getField("code_id").as("code_id"))
 
-    val probeTable = subvecs(probes, "query_id")
+    // probe-bounded (|probes|·numSub·numCodes rows) and consumed via
+    // broadcast by both ADC scorers — materialized once so the
+    // broadcast carries a bounded artifact, not a replayed file scan
+    val probeTable = subvecs(probes, "query_id", numSub, d)
       .join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("m"), col("code_id"), d2ppm.as("d2"))
+      .localCheckpoint()
     (enc, probeTable)
   }
 
@@ -369,10 +463,19 @@ object Similarity {
     * WHAT is read per candidate (bytes of codes, not float vectors) —
     * the raw embeddings are needed only at index-build time.
     *
-    * Candidate pruning is a list_id equi-join; the candidate set and
-    * probe tables broadcast, so the encoded corpus is read map-side
-    * and only (query, neighbor, partial-sum) rows shuffle to the final
-    * per-query ranking.
+    * EVERY broadcast here is bounded by the PROBE set (or the fixed
+    * codebooks), never by the corpus: the probe routing (|probes|·
+    * nprobe rows) and the probes' ADC tables (|probes|·numSub·numCodes
+    * rows) broadcast; the corpus side — encoded codes and list
+    * assignment, both O(N) — meets them through one shuffle equi-join
+    * on `neighbor_id` (hinted shuffle-hash: at scale neither side is
+    * broadcastable, and the hint keeps AQE from "helpfully" inlining
+    * the corpus list map at test scale). Earlier form materialized the
+    * candidate set (probeLists ⋈ corpusLists ≈ |probes|·nprobe·N/
+    * nlists rows — linear in the corpus) and broadcast THAT; at 100×
+    * it OOMs driver and executors alike. The broadcast frames are
+    * `localCheckpoint`ed bounded artifacts, which PlanSpec asserts
+    * structurally: no file scan appears under any BroadcastExchange.
     */
   def ivfPqTopKSeeded(embeddings: DataFrame, probes: DataFrame, k: Int,
       dim: Int, nprobe: Int = 4, nlists: Int = 8, numSub: Int = 8,
@@ -387,18 +490,53 @@ object Similarity {
       probes.select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("emb")), "query_id", nprobe, cents)
       .select("list_id", "query_id")
-    val cand = probeLists.join(corpusLists, Seq("list_id"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id")
+      .localCheckpoint()
     val (enc, probeTable) = pqArtifacts(embeddings, probes, dim, numSub, numCodes)
     val rank = Window.partitionBy("query_id").orderBy(col("sd"), col("neighbor_id"))
-    enc.join(broadcast(cand), Seq("neighbor_id"))
+    enc.join(corpusLists.hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
       .join(broadcast(probeTable), Seq("query_id", "m", "code_id"))
       .groupBy("query_id", "neighbor_id").agg(sum(col("d2")).as("sd"))
       .withColumn("rank", row_number().over(rank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sd").cast("double") / lit(1000000.0), 6).as("approx_d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF+PQ with EXACT re-ranking — the last tier of the production
+    * ANN stack: PQ's ADC shortlist (top k·candMult per query) is
+    * re-scored with exact cosines against the raw vectors and re-cut
+    * to k, recovering most of the recall the compressed codes lose
+    * (spec-tested against `bruteForceTopK`).
+    *
+    * Scale shape: the shortlist is PROBE-bounded (|probes|·k·candMult
+    * id pairs), so fetching the raw vectors is one broadcast join the
+    * corpus scan flows through map-side — the corpus never shuffles
+    * and only shortlisted rows carry a vector; probe vectors broadcast
+    * the same way. Output: (query_id, rank, neighbor_id, cosine).
+    */
+  def ivfPqTopKReranked(embeddings: DataFrame, probes: DataFrame, k: Int,
+      dim: Int, nprobe: Int = 4, nlists: Int = 8, numSub: Int = 8,
+      numCodes: Int = 16, candMult: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val shortlist = ivfPqTopKSeeded(embeddings, probes, k * candMult, dim,
+      nprobe, nlists, numSub, numCodes)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val corpus = embeddings.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("c_emb"))
+    val probeVecs = probes.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb")).localCheckpoint()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(probeVecs), Seq("query_id"))
+      .withColumn("cosine", round(cosineFast(spark)(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rank")
   }
 
@@ -506,8 +644,11 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m")).as("c"))
       .localCheckpoint()
+    // broadcast the (tiny, k-row) right side explicitly: a checkpointed
+    // frame has unknown size stats, and an unhinted cross join of two
+    // unknown-size sides plans a CartesianProduct
     cents.select(col("label").as("label_a"), col("c").as("ca"))
-      .crossJoin(cents.select(col("label").as("label_b"), col("c").as("cb")))
+      .crossJoin(broadcast(cents.select(col("label").as("label_b"), col("c").as("cb"))))
       .filter(col("label_a") < col("label_b"))
       .select(col("label_a"), col("label_b"),
         round(cosineFast(spark)(col("ca"), col("cb")), 6).as("cosine"))
@@ -530,11 +671,26 @@ object Similarity {
     * Uses the hash-seeded codebook so every step is SQL-expressible
     * (the q115 oracle); pass `kmeansCodebook(...)` to
     * [[semanticDedupWithCodebook]] for the learned production variant.
+    *
+    * The k-vs-N rule: per-list pair work is (N/nlists)² per list,
+    * N²/nlists corpus-wide — a FIXED nlists is quadratic in the corpus
+    * and only looks fine at fixture scale. When `nlists` is not
+    * supplied it is derived from the corpus count as ⌈√N⌉, which keeps
+    * per-list membership at √N (bounded task memory) and total pair
+    * work at N^1.5; for strictly-linear total work supply
+    * nlists = N/targetClusterSize instead — the price is an O(nlists)
+    * codebook, which must stay driver-collectable. (SemDeDup's paper
+    * tunes k in this same regime: cluster count grows with N.)
     */
   def semanticDedup(embeddings: DataFrame, threshold: Double,
-      nlists: Int = 8): DataFrame =
+      nlists: Int = 0): DataFrame =
     semanticDedupWithCodebook(embeddings, threshold,
-      seededCodebook(embeddings, nlists))
+      seededCodebook(embeddings,
+        if (nlists > 0) nlists else autoNlists(embeddings)))
+
+  /** ⌈√N⌉ — the default SemDeDup cluster count (one count() action). */
+  def autoNlists(embeddings: DataFrame): Int =
+    math.max(1, math.ceil(math.sqrt(embeddings.count().toDouble)).toInt)
 
   def semanticDedupWithCodebook(embeddings: DataFrame, threshold: Double,
       codebook: Array[Array[Double]]): DataFrame = {

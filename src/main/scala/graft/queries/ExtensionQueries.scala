@@ -41,8 +41,12 @@ object ExtensionQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
-  private val cosinePairs: Q = (s, dir) =>
-    Similarity.thresholdPairs(Tables.embeddings(s, dir), threshold = 0.4)
+  // `Similarity.thresholdPairs` (the exact O(n²) all-pairs scorer) is
+  // deliberately NOT registered: its plan is a cartesian product by
+  // construction, a scale-killer no suite query may contain
+  // (QueriesSmokeSpec asserts CartesianProduct-free plans suite-wide).
+  // It remains the spec-only verifier for the LSH path, exactly like
+  // the single-task union-find verifies connectedComponentsStars.
 
   private val annLsh: Q = (s, dir) =>
     Similarity.lshNeighborPairs(Tables.embeddings(s, dir), threshold = 0.4)
@@ -910,7 +914,28 @@ object ExtensionQueries {
       .orderBy("anchor_id", "sample_idx")
   }
 
+  /** q125: SemDeDup with the AUTO cluster count — nlists = ⌈√N⌉
+    * derived from the corpus (the k-vs-N rule; a fixed nlists is
+    * quadratic in the corpus). Same threshold and codebook rule as
+    * q115, so the two differ only in cluster granularity.
+    */
+  private val semdedupAutoQ: Q = (s, dir) =>
+    Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.4)
+      .orderBy("vec_id")
+
+  /** q126: IVF+PQ with exact re-ranking — q102's shortlist widened to
+    * k·candMult, re-scored with exact cosines from the raw vectors,
+    * re-cut to k.
+    */
+  private val annIvfPqRerank: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopKReranked(emb, emb.filter(col("vec_id") < 10), k = 3,
+      dim = 64)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q126_ann_ivfpq_rerank" -> annIvfPqRerank,
+    "q125_semdedup_auto" -> semdedupAutoQ,
     "q124_negative_samples" -> negSamplesQ,
     "q123_centroid_affinity" -> affinityQ,
     "q122_embedding_diversity" -> diversityQ,
@@ -992,7 +1017,6 @@ object ExtensionQueries {
     "q22_simhash_pairs" -> simhashPairs,
     "q23_ngram_jaccard" -> ngramJaccard,
     "q24_ann_topk" -> annTopK,
-    "q25_cosine_pairs" -> cosinePairs,
     "q26_ann_lsh" -> annLsh,
     "q27_centroids" -> centroids,
     "q28_text_stats" -> textStats,
@@ -1254,6 +1278,36 @@ object ExtensionQueries {
         |FROM embeddings em LEFT JOIN clusters c ON em.vec_id = c.vec_id
         |WHERE c.cluster_id IS NULL OR c.cluster_id = em.vec_id
         |ORDER BY em.vec_id""".stripMargin,
+    "q125_semdedup_auto" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS c
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id
+        |             LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e))),
+        |ca AS (SELECT e.vec_id, e.v, cb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC, cb.list_id)
+        |           AS crank
+        |       FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
+        |jp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM jp
+        |          UNION SELECT id_b, id_a FROM jp
+        |          UNION SELECT id_a, id_a FROM jp UNION SELECT id_b, id_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+        |clusters AS (SELECT u AS vec_id, min(v) AS cluster_id,
+        |               CAST(count(DISTINCT v) AS BIGINT) AS cluster_size
+        |             FROM reach GROUP BY u)
+        |SELECT em.vec_id, em.label,
+        |  coalesce(c.cluster_size, 1::BIGINT) AS cluster_size,
+        |  coalesce(c.cluster_size, 1::BIGINT) - 1 AS removed_dups
+        |FROM embeddings em LEFT JOIN clusters c ON em.vec_id = c.vec_id
+        |WHERE c.cluster_id IS NULL OR c.cluster_id = em.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
     "q113_cdc_apply" ->
       """SELECT c_custkey, c_mktsegment,
         |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0e0
@@ -1468,6 +1522,64 @@ object ExtensionQueries {
         |        CAST(row_number() OVER (PARTITION BY query_id
         |            ORDER BY sd, neighbor_id) AS INTEGER) AS rank
         |      FROM adc)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q126_ann_ivfpq_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id LIMIT 8)),
+        |ca AS (SELECT e.vec_id, e.v, ccb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, ccb.cc), 6) DESC,
+        |             ccb.list_id) AS crank
+        |       FROM e CROSS JOIN ccb),
+        |corpus AS (SELECT vec_id AS neighbor_id, list_id FROM ca WHERE crank = 1),
+        |pl AS (SELECT vec_id AS query_id, list_id
+        |       FROM ca WHERE crank <= 4 AND vec_id < 10),
+        |cand AS (SELECT p.query_id, c.neighbor_id
+        |         FROM pl p JOIN corpus c USING (list_id)
+        |         WHERE c.neighbor_id <> p.query_id),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
+        |cb AS (SELECT m, code_id, s AS c FROM (
+        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+        |        vec_id) - 1 AS code_id
+        |    FROM sub) WHERE code_id < 16),
+        |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
+        |    SELECT sub.vec_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m))
+        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+        |      ORDER BY d2, code_id) = 1),
+        |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10),
+        |adc AS (SELECT cd.query_id, cd.neighbor_id, CAST(sum(pt.d2) AS BIGINT) AS sd
+        |    FROM cand cd
+        |    JOIN enc ON enc.neighbor_id = cd.neighbor_id
+        |    JOIN pt ON pt.query_id = cd.query_id AND pt.m = enc.m
+        |           AND pt.code_id = enc.code_id
+        |    GROUP BY 1, 2),
+        |sl AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sd, neighbor_id) AS prank
+        |    FROM adc) WHERE prank <= 12)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT sl.query_id, sl.neighbor_id,
+        |    ROUND(list_cosine_similarity(eq.v, en.v), 6) AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY sl.query_id
+        |        ORDER BY ROUND(list_cosine_similarity(eq.v, en.v), 6) DESC,
+        |          sl.neighbor_id) AS INTEGER) AS rank
+        |  FROM sl JOIN e eq ON eq.vec_id = sl.query_id
+        |          JOIN e en ON en.vec_id = sl.neighbor_id)
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q101_grouped_quantiles" ->
       """WITH b AS (SELECT lang,
@@ -2218,14 +2330,6 @@ object ExtensionQueries {
         |      FROM s)
         |SELECT query_id, rank, neighbor_id, cos AS cosine
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "q25_cosine_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
     "q27_centroids" ->
       """SELECT label, CAST(gs.dim - 1 AS INTEGER) AS dim,
         |  ROUND(AVG(CAST(embedding[gs.dim] AS DOUBLE)), 6) AS centroid_v

@@ -114,6 +114,96 @@ class DedupSimilaritySpec extends SparkSpecBase {
       s"full-codebook PQ != exact: missing ${exact -- full}, extra ${full -- exact}")
   }
 
+  test("learned PQ sub-codebooks: deterministic, dense ranks, recall floor vs exact L2") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val pq = Similarity.pqTopKLearned(emb, probes, k = 5, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.nonEmpty)
+    pq.foreach { case (q, _, n, d) => assert(q != n); assert(d >= 0.0) }
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.size),
+        s"query $q ranks not dense")
+    }
+    // deterministic: the sample is hash-ordered and Lloyd is seeded by it
+    val again = Similarity.pqTopKLearned(emb, probes, k = 5, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.sameElements(again))
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val exact = vecs.keys.filter(_ < 10).flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (n, v) => (n, d2(vecs(q), v)) }
+        .sortBy { case (n, dd) => (dd, n) }.take(5).map(p => (q, p._1))
+    }.toSet
+    val recall = pq.count(p => exact.contains((p._1, p._3))).toDouble / exact.size
+    assert(recall >= 0.1, s"learned-PQ recall@5 collapsed: $recall")
+    // Lloyd refinement must not LOSE quantization quality vs the raw
+    // hash-sampled init: compare total sample quantization error
+    val seededErr = quantError(Similarity.pqLearnedCodebooks(
+      emb, dim = 64, iters = 0), vecs.values.toSeq)
+    val learnedErr = quantError(Similarity.pqLearnedCodebooks(
+      emb, dim = 64, iters = 5), vecs.values.toSeq)
+    assert(learnedErr <= seededErr,
+      s"Lloyd increased quantization error: $learnedErr > $seededErr")
+  }
+
+  /** Total squared quantization error of `vecs` under per-subspace
+    * codebooks (nearest codeword per subvector).
+    */
+  private def quantError(cbs: Array[Array[Array[Double]]],
+      vecs: Seq[Array[Double]]): Double = {
+    val numSub = cbs.length
+    val d = cbs(0)(0).length
+    vecs.map { v =>
+      (0 until numSub).map { m =>
+        val sub = v.slice(m * d, (m + 1) * d)
+        cbs(m).map(c => sub.indices.map(i => (sub(i) - c(i)) * (sub(i) - c(i))).sum).min
+      }.sum
+    }.sum
+  }
+
+  test("IVF+PQ re-rank: exact cosines on the shortlist, recall never below the un-reranked path") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val plain = Similarity.ivfPqTopKSeeded(emb, probes, k = 3, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val rer = Similarity.ivfPqTopKReranked(emb, probes, k = 3, dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+    assert(rer.nonEmpty)
+    // re-ranked scores are EXACT cosines: any (query, neighbor) also in
+    // the exact top-k carries the identical rounded cosine
+    rer.foreach { case (key, c) => exact.get(key).foreach(e => assert(e == c)) }
+    // an exact-top-k hit surviving in the PQ shortlist is by definition
+    // re-ranked into the top k, so re-ranking can only add recall
+    val recallPlain = plain.count(exact.contains).toDouble / exact.size
+    val recallRer = rer.count(p => exact.contains(p._1)).toDouble / exact.size
+    assert(recallRer >= recallPlain,
+      s"re-rank lost recall: $recallRer < $recallPlain")
+    assert(recallRer >= 0.2, s"re-ranked recall@3 collapsed: $recallRer")
+  }
+
+  test("semdedup auto nlists follows the k-vs-N rule (⌈√N⌉) and matches the explicit form") {
+    import spark.implicits._
+    def mk(n: Int) = (0 until n).map { i =>
+      (i.toLong, i % 4, Seq.tabulate(8)(dd => ((i * 31 + dd * 7) % 17 - 8).toDouble))
+    }.toDF("vec_id", "label", "embedding")
+    assert(Similarity.autoNlists(mk(100)) == 10)
+    assert(Similarity.autoNlists(mk(401)) == 21)
+    // per-list membership stays ≈ √N as the corpus grows — the whole
+    // point of deriving nlists instead of fixing it
+    Seq(100, 400).foreach { n =>
+      assert(n.toDouble / Similarity.autoNlists(mk(n)) <= math.sqrt(n) + 1)
+    }
+    val df = mk(120)
+    val auto = Similarity.semanticDedup(df, 0.99).orderBy("vec_id").collect().toSeq
+    val explicit = Similarity.semanticDedup(df, 0.99, nlists = 11)
+      .orderBy("vec_id").collect().toSeq
+    assert(auto == explicit, "auto nlists != explicit ceil(sqrt N)")
+  }
+
   test("IVF-PQ: same codes as exhaustive PQ, routing only prunes candidates") {
     val probes = emb.filter(col("vec_id") < 10)
     val ivfPq = Similarity.ivfPqTopKSeeded(emb, probes, k = 3, dim = 64)
@@ -312,6 +402,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .orderBy("doc_id")
       .as[(Long, Int, Int, Int, String)].collect().toSeq
     assert(got == Seq((1L, 10, 2, 9, "x1"), (2L, 10, 2, 9, "y1")))
+  }
+
+  test("duplicated-span removal: a 1-token gap between spans stays, same-doc repeats both cut") {
+    import spark.implicits._
+    val pA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val pB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      // two shared passages with a unique 1-token gap: the windows
+      // straddling the gap differ between docs, so the gap token must
+      // survive even though spans end at 7 and restart at 9
+      (1L, s"$pA g1 $pB"),
+      (2L, s"$pA h1 $pB"),
+      // the same passage twice in ONE doc (df counts DISTINCT docs, so
+      // both occurrences are duplicated spans and the doc empties)
+      (3L, s"$pA $pA"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanRemoval(docs, "doc_id", "text", spanLen = 8, minDf = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 17, 2, 16, "g1"),
+      (2L, 17, 2, 16, "h1"),
+      (3L, 16, 2, 16, "")))
   }
 
   test("label diversity identity equals brute-force mean pairwise distance") {

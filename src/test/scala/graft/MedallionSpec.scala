@@ -206,7 +206,8 @@ class MedallionSpec extends SparkSpecBase {
     // rerun with already-seen data: must change nothing
     PowerPipeline.runIncrement(spark, b2, PowerPipeline.Paths(dirInc))
 
-    def goldOf(dir: String) = spark.read.parquet(s"$dir/gold/power_system_5min_avg")
+    def goldOf(dir: String) = graft.engine.IdempotentSink
+      .read(spark, s"$dir/gold/power_system_5min_avg")
       .orderBy("time_id").collect().toSeq
     val full = goldOf(dirFull)
     val inc = goldOf(dirInc)

@@ -20,6 +20,35 @@ class PartitionedSinkSpec extends SparkSpecBase {
     assert(filtered.count() == expected)
   }
 
+  test("idempotent append commits atomically: a writer killed mid-publish leaves the old version") {
+    import graft.engine.IdempotentSink
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_atomic").toString + "/t"
+    IdempotentSink.appendIfAbsent(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, Seq("k"))
+    assert(IdempotentSink.read(spark, dir).count() == 2)
+    // writer A: staged batch 1 durably (_SUCCESS on disk) but was
+    // killed BEFORE its single commit rename
+    Seq((3L, "c")).toDF("k", "v").write.parquet(s"$dir/._staging_batch=1")
+    // writer B: killed MID-stage (no _SUCCESS)
+    Seq((4L, "d")).toDF("k", "v").write.parquet(s"$dir/._staging_batch=2")
+    assert(new java.io.File(s"$dir/._staging_batch=2/_SUCCESS").delete())
+    // a reader that does NOT heal sees exactly the old committed rows —
+    // both staging dirs are invisible (leading-dot paths)
+    assert(spark.read.parquet(dir).count() == 2)
+    // heal (run by every read/append): durable staging rolls FORWARD,
+    // partial staging rolls back — either way the table is complete
+    val healed = IdempotentSink.read(spark, dir)
+    assert(healed.select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(!new java.io.File(dir).listFiles.exists(_.getName.startsWith("._staging")),
+      "staging leftovers survived heal")
+    // and the next append keeps key-idempotency over the healed state
+    IdempotentSink.appendIfAbsent(spark,
+      Seq((3L, "dup"), (5L, "e")).toDF("k", "v"), dir, Seq("k"))
+    assert(IdempotentSink.read(spark, dir).select("k").as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 5L))
+  }
+
   test("compaction preserves data and reduces file count") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     val events = Tables.events(spark, sf("sf0.001"))

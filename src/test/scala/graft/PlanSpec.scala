@@ -14,6 +14,23 @@ class PlanSpec extends SparkSpecBase {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Flatten a physical plan, descending through AQE wrappers the way
+    * TreeNode.collect can't (AdaptiveSparkPlanExec holds its input plan
+    * as a field, not a child).
+    */
+  private def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _: ReusedExchangeExec => Seq.empty
+      case other => other.children
+    }
+    p +: kids.flatMap(flattenPlan)
+  }
+
   test("scan+filter pushes predicate and prunes columns into parquet scan") {
     val plan = planOf(ParityQueries.queries("q01_scan_filter")(spark, sf("sf0.001")))
     assert(plan.contains("PushedFilters"))
@@ -78,6 +95,16 @@ class PlanSpec extends SparkSpecBase {
       docs.filter(col("source") === "src0"), "doc_id", "text"))
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"train shingles shuffled:\n$plan")
+  }
+
+  test("bloom decontamination probes via codegen might_contain — no UDF node in the hot path") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.Decontamination.contaminatedBloom(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "doc_id", "text"))
+    assert(plan.contains("might_contain"),
+      s"builtin bloom probe missing (fell back to the UDF?):\n$plan")
+    assert(!plan.contains("UDF"), s"UDF node in the hot path:\n$plan")
   }
 
   test("hash-split is a pure map-side projection (no exchange)") {
@@ -222,6 +249,30 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"ADC join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"encoded corpus shuffled for the ADC join:\n$plan")
+  }
+
+  test("IVF+PQ broadcasts only probe-bounded artifacts; corpus meets its codes via shuffle equi-join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val df = graft.operators.Similarity.ivfPqTopKSeeded(
+      emb, emb.filter(col("vec_id") < 10), k = 3, dim = 64)
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    val broadcasts = nodes.collect { case b: BroadcastExchangeExec => b }
+    assert(broadcasts.nonEmpty, "expected broadcast exchanges in the IVF+PQ plan")
+    // every broadcast input must be a bounded pre-materialized artifact
+    // (probe routing, probe ADC tables, codebooks) — a file scan under
+    // a BroadcastExchange means corpus-scale data is being broadcast,
+    // the O(corpus) candidate-set regression this plan shape forbids
+    broadcasts.foreach { b =>
+      assert(!flattenPlan(b.child).exists(_.isInstanceOf[FileSourceScanExec]),
+        s"corpus-scale file scan under a broadcast:\n$b")
+    }
+    // and the O(N)-vs-O(N) meet (codes ⋈ list assignment) stays a
+    // shuffle equi-join — never a broadcast at either side
+    assert(nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      s"codes/list-assignment join is not a shuffle hash join:\n${df.queryExecution.executedPlan}")
   }
 
   test("epoch shuffle is one exchange on the shard key (no global sort)") {

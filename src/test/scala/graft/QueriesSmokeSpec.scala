@@ -16,6 +16,20 @@ class QueriesSmokeSpec extends SparkSpecBase {
     }
   }
 
+  test("no registered query plans a CartesianProduct") {
+    // a cartesian is O(n²) by construction — a scale-killer no suite
+    // query may contain. (BroadcastNestedLoopJoin over an explicitly
+    // bounded broadcast side — probe sets, centroid tables — is the
+    // intentional cross-join form and stays legal.) The exact all-pairs
+    // verifiers (thresholdPairs, single-task union-find) live in specs,
+    // not the registry, precisely because of this rule.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(3000)}")
+    }
+  }
+
   test("portable HLL estimates stay within error bounds on both branches") {
     // columns: exact_parts, exact_orders, hll_parts, hll_orders
     val r = SparkEntry.queries("q47_approx_distinct")(spark, sf("sf0.01")).head
