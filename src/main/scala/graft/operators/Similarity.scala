@@ -228,7 +228,7 @@ object Similarity {
       seededCodebook(embeddings, nlists))
 
   /** The coarse codebook as a (list_id, centroid) frame. */
-  private def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def centroidsDf(spark: org.apache.spark.sql.SparkSession,
       codebook: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
     codebook.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -241,7 +241,7 @@ object Similarity {
     * floats for every comparison — sub-noise differences would swap
     * assignments.
     */
-  private def nearestLists(vecs: DataFrame, idCol: String, n: Int,
+  private[operators] def nearestLists(vecs: DataFrame, idCol: String, n: Int,
       centroids: DataFrame): DataFrame = {
     val spark = vecs.sparkSession
     val scored = vecs.crossJoin(broadcast(centroids))
@@ -400,20 +400,27 @@ object Similarity {
     * d2` in integer ppm) over hash-seeded sub-codebooks.
     */
   private def pqArtifacts(embeddings: DataFrame, probes: DataFrame,
-      dim: Int, numSub: Int, numCodes: Int): (DataFrame, DataFrame) = {
+      dim: Int, numSub: Int, numCodes: Int): (DataFrame, DataFrame) =
+    pqArtifactsWithCodebook(embeddings, probes, dim, numSub,
+      seededSubCodebook(embeddings, dim, numSub, numCodes))
+
+  /** The hash-seeded per-subspace codebook as a checkpointed
+    * (m, code_id, c) frame: the numCodes corpus subvectors with the
+    * smallest hash(vec_id:m) per subspace — a reproducible sample,
+    * SQL-expressible for the oracles.
+    */
+  private[operators] def seededSubCodebook(embeddings: DataFrame, dim: Int,
+      numSub: Int, numCodes: Int): DataFrame = {
     require(dim % numSub == 0, "numSub must divide dim")
     val d = dim / numSub
-    // per-subspace codebook: the numCodes corpus subvectors with the
-    // smallest hash(vec_id:m) — checkpointed, it feeds three joins
     val hash = graft.functions.Md5Family.hash(
       concat(col("vec_id").cast("string"), lit(":"), col("m").cast("string")))
     val cbRank = Window.partitionBy("m").orderBy(hash, col("vec_id"))
-    val cb = subvecs(embeddings, "vec_id", numSub, d)
+    subvecs(embeddings, "vec_id", numSub, d)
       .withColumn("code_id", row_number().over(cbRank) - 1)
       .filter(col("code_id") < numCodes)
       .select(col("m"), col("code_id"), col("sub").as("c"))
       .localCheckpoint()
-    pqArtifactsWithCodebook(embeddings, probes, dim, numSub, cb)
   }
 
   /** (id, m, sub): the numSub d-dim subvector slices of each vector. */
@@ -429,28 +436,41 @@ object Similarity {
     * joins.
     */
   private def pqArtifactsWithCodebook(embeddings: DataFrame, probes: DataFrame,
-      dim: Int, numSub: Int, cb: DataFrame): (DataFrame, DataFrame) = {
-    require(dim % numSub == 0, "numSub must divide dim")
-    val d = dim / numSub
-    // exact-integer squared L2 (ppm) between a subvector and a codeword
-    val d2ppm = floor(aggregate(
-      zip_with(col("sub"), col("c"), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v) * lit(1000000.0) + lit(0.5)).cast("long")
+      dim: Int, numSub: Int, cb: DataFrame): (DataFrame, DataFrame) =
+    (pqEncodeWithCodebook(embeddings, dim, numSub, cb),
+      pqProbeTable(probes, dim, numSub, cb))
 
-    val enc = subvecs(embeddings, "neighbor_id", numSub, d)
+  /** Exact-integer squared L2 (ppm) between `sub` and codeword `c`. */
+  private def d2ppm = floor(aggregate(
+    zip_with(col("sub"), col("c"), (x, y) => (x - y) * (x - y)),
+    lit(0.0), (acc, v) => acc + v) * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** The compressed index: (neighbor_id, m, code_id) — one groupBy
+    * argmin over the broadcast codebook (map-side partials via
+    * `min(struct(...))`).
+    */
+  private[operators] def pqEncodeWithCodebook(embeddings: DataFrame,
+      dim: Int, numSub: Int, cb: DataFrame): DataFrame = {
+    require(dim % numSub == 0, "numSub must divide dim")
+    subvecs(embeddings, "neighbor_id", numSub, dim / numSub)
       .join(broadcast(cb), Seq("m"))
       .withColumn("d2", d2ppm)
       .groupBy("neighbor_id", "m")
       .agg(min(struct(col("d2"), col("code_id"))).getField("code_id").as("code_id"))
+  }
 
-    // probe-bounded (|probes|·numSub·numCodes rows) and consumed via
-    // broadcast by both ADC scorers — materialized once so the
-    // broadcast carries a bounded artifact, not a replayed file scan
-    val probeTable = subvecs(probes, "query_id", numSub, d)
+  /** The probes' ADC lookup tables (query_id, m, code_id, d2) —
+    * probe-bounded (|probes|·numSub·numCodes rows) and consumed via
+    * broadcast by the ADC scorers, so it is materialized once and the
+    * broadcast carries a bounded artifact, not a replayed file scan.
+    */
+  private[operators] def pqProbeTable(probes: DataFrame, dim: Int,
+      numSub: Int, cb: DataFrame): DataFrame = {
+    require(dim % numSub == 0, "numSub must divide dim")
+    subvecs(probes, "query_id", numSub, dim / numSub)
       .join(broadcast(cb), Seq("m"))
       .select(col("query_id"), col("m"), col("code_id"), d2ppm.as("d2"))
       .localCheckpoint()
-    (enc, probeTable)
   }
 
   /** IVF + PQ — the production ANN composition: the coarse quantizer
@@ -480,8 +500,38 @@ object Similarity {
   def ivfPqTopKSeeded(embeddings: DataFrame, probes: DataFrame, k: Int,
       dim: Int, nprobe: Int = 4, nlists: Int = 8, numSub: Int = 8,
       numCodes: Int = 16): DataFrame = {
+    val (enc, probeTable) = pqArtifacts(embeddings, probes, dim, numSub, numCodes)
+    ivfPqAdcRank(embeddings, probes, k, nprobe,
+      seededCodebook(embeddings, nlists), enc, probeTable)
+  }
+
+  /** IVF+PQ with BOTH tiers learned — the full production index build:
+    * Lloyd-refined coarse codebook (`kmeansCodebook`, cosine metric)
+    * for the routing and Lloyd-refined per-subspace codebooks
+    * (`pqLearnedCodebooks`, L2 metric) for the ADC scoring. Identical
+    * join shape to the seeded form (probe-bounded broadcasts, shuffle
+    * equi-join for the corpus meet); spec-tested for recall vs the
+    * exact path, like every learned variant.
+    */
+  def ivfPqTopKLearned(embeddings: DataFrame, probes: DataFrame, k: Int,
+      dim: Int, nprobe: Int = 4, nlists: Int = 8, numSub: Int = 8,
+      numCodes: Int = 16, iters: Int = 5, sampleN: Int = 512): DataFrame = {
+    val sub = pqCodebooksDf(embeddings.sparkSession,
+      pqLearnedCodebooks(embeddings, dim, numSub, numCodes, iters, sampleN))
+    val (enc, probeTable) = pqArtifactsWithCodebook(embeddings, probes, dim, numSub, sub)
+    ivfPqAdcRank(embeddings, probes, k, nprobe,
+      kmeansCodebook(embeddings, nlists, iters, sampleN), enc, probeTable)
+  }
+
+  /** The shared IVF+PQ join shape over any coarse codebook + encoded
+    * corpus/probe-table pair (see `ivfPqTopKSeeded` for the scale
+    * contract on each join).
+    */
+  private def ivfPqAdcRank(embeddings: DataFrame, probes: DataFrame, k: Int,
+      nprobe: Int, coarse: Array[Array[Double]], enc: DataFrame,
+      probeTable: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
-    val cents = centroidsDf(spark, seededCodebook(embeddings, nlists))
+    val cents = centroidsDf(spark, coarse)
     val corpusLists = nearestLists(
       embeddings.select(col("vec_id").as("neighbor_id"),
         asDouble(col("embedding")).as("emb")), "neighbor_id", 1, cents)
@@ -491,7 +541,6 @@ object Similarity {
         asDouble(col("embedding")).as("emb")), "query_id", nprobe, cents)
       .select("list_id", "query_id")
       .localCheckpoint()
-    val (enc, probeTable) = pqArtifacts(embeddings, probes, dim, numSub, numCodes)
     val rank = Window.partitionBy("query_id").orderBy(col("sd"), col("neighbor_id"))
     enc.join(corpusLists.hint("shuffle_hash"), Seq("neighbor_id"))
       .join(broadcast(probeLists), Seq("list_id"))
