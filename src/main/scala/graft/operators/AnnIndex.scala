@@ -27,8 +27,13 @@ import graft.functions.VectorFunctions._
   *
   * `appendBatch` encodes NEW vectors against the PERSISTED codebooks
   * (quantizing a batch never retrains — the standard IVF maintenance
-  * contract; rebuild when drift warrants it) and appends per-list
-  * files. Single-writer-per-index, like every batch sink here.
+  * contract; rebuild when drift warrants it). Each batch owns an
+  * `enc/batch=<id>/` directory whose parquet `_SUCCESS` gates it: a
+  * retried batch id is a NO-OP once committed and an overwrite of only
+  * its own directory otherwise — duplicate enc rows would double ADC
+  * distance sums, so append idempotency is a correctness property
+  * here, not just hygiene (same recipe as the streaming dedup index).
+  * Single-writer-per-index, like every batch sink here.
   */
 object AnnIndex {
   private def coarsePath(path: String) = s"$path/coarse"
@@ -39,29 +44,79 @@ object AnnIndex {
     * the three index tables.
     */
   def build(embeddings: DataFrame, path: String, dim: Int, nlists: Int = 8,
-      numSub: Int = 8, numCodes: Int = 16): Unit = {
+      numSub: Int = 8, numCodes: Int = 16, batchId: Long = 0L): Unit = {
     val spark = embeddings.sparkSession
     val cents = Similarity.centroidsDf(spark,
       Similarity.seededCodebook(embeddings, nlists))
     cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(coarsePath(path))
     val sub = Similarity.seededSubCodebook(embeddings, dim, numSub, numCodes)
     sub.coalesce(1).write.mode(SaveMode.Overwrite).parquet(subPath(path))
-    writeEnc(embeddings, cents, sub, path, dim, numSub, SaveMode.Overwrite)
+    writeEnc(embeddings, cents, sub, path, dim, numSub, batchId)
   }
 
   /** Encode a new batch with the index's PERSISTED codebooks and
-    * append its per-list files.
+    * publish it under its own `batch=<id>` directory (idempotent per
+    * batch id; see object doc). Default id: one past the highest
+    * committed batch.
     */
   def appendBatch(batch: DataFrame, path: String, dim: Int,
-      numSub: Int = 8): Unit = {
+      numSub: Int = 8, batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     val cents = spark.read.parquet(coarsePath(path)).localCheckpoint()
     val sub = spark.read.parquet(subPath(path)).localCheckpoint()
-    writeEnc(batch, cents, sub, path, dim, numSub, SaveMode.Append)
+    val id = if (batchId >= 0) batchId else nextBatchId(spark, path)
+    writeEnc(batch, cents, sub, path, dim, numSub, id)
+  }
+
+  /** True once the index has its codebooks published. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(coarsePath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Continuous ingestion: first micro-batch builds the index (trains
+    * codebooks on it), every later one quantizes-and-appends, keyed by
+    * the engine's batch id so retried micro-batches stay idempotent.
+    */
+  def indexStream(vectors: DataFrame, path: String, checkpoint: String,
+      dim: Int, nlists: Int = 8, numSub: Int = 8, numCodes: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!exists(batch.sparkSession, path))
+          build(batch, path, dim, nlists, numSub, numCodes, batchId = id)
+        else appendBatch(batch, path, dim, numSub, batchId = id)
+      }
+      .start()
+
+  private def committedBatches(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(encPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.getPath.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+  }
+
+  private def nextBatchId(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(encPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+      .foldLeft(-1L)(math.max) + 1L
   }
 
   private def writeEnc(vectors: DataFrame, cents: DataFrame, sub: DataFrame,
-      path: String, dim: Int, numSub: Int, mode: SaveMode): Unit = {
+      path: String, dim: Int, numSub: Int, batchId: Long): Unit = {
+    val spark = vectors.sparkSession
+    val batchDir = new org.apache.hadoop.fs.Path(
+      encPath(path), s"batch=$batchId")
+    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS")))
+      return // committed retry: no-op
     val enc = Similarity.pqEncodeWithCodebook(vectors, dim, numSub, sub)
     val lists = Similarity.nearestLists(
       vectors.select(col("vec_id").as("neighbor_id"),
@@ -71,7 +126,8 @@ object AnnIndex {
     // codes ⋈ list assignment: both O(N) — shuffle equi-join, same
     // contract as the inline IVF+PQ path
     enc.join(lists.hint("shuffle_hash"), Seq("neighbor_id"))
-      .write.mode(mode).partitionBy("list_id").parquet(encPath(path))
+      .write.mode(SaveMode.Overwrite).partitionBy("list_id")
+      .parquet(batchDir.toString)
   }
 
   /** Top-k ADC search against the stored index. Probe routing and ADC
@@ -90,11 +146,15 @@ object AnnIndex {
       .select("list_id", "query_id")
       .localCheckpoint()
     // |probes|·nprobe ids — driver-collected to a literal IN so the
-    // filter lands as a static PartitionFilter on the scan
+    // filter lands as a static PartitionFilter on the scan; batches
+    // are filtered to COMMITTED ones (parquet _SUCCESS), so a writer
+    // killed mid-append is invisible to readers
     val probed = probeLists.select("list_id").distinct()
       .collect().map(_.get(0))
     val enc = spark.read.parquet(encPath(path))
+      .filter(col("batch").isin(committedBatches(spark, path): _*))
       .filter(col("list_id").isin(probed: _*))
+      .drop("batch")
     val probeTable = Similarity.pqProbeTable(probes, dim, numSub, sub)
     val rank = Window.partitionBy("query_id").orderBy(col("sd"), col("neighbor_id"))
     enc.join(broadcast(probeLists), Seq("list_id"))

@@ -397,4 +397,51 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("merge_pair"))
       .limit(k)
   }
+
+  /** Apply a learned merge table (`bpeMergeCandidates` output order =
+    * rank order) to the corpus — the other half of word-level BPE:
+    * each rule `(a, b)` rewrites every adjacent occurrence of tokens
+    * a,b to the single token "a_b", rules applied strictly in rank
+    * order (the standard BPE apply loop), left-to-right and
+    * non-overlapping within a rule. Later rules may reference merged
+    * forms, so multi-word units build up across ranks.
+    *
+    * Scale shape: the merge table is driver-small by construction
+    * (top-k ranked rules) and broadcasts; application is a pure
+    * mapPartitions projection — one pass per rule over each doc's
+    * token array, O(rules × tokens), no shuffle. This is per-doc
+    * imperative token surgery with data-dependent loop structure —
+    * the documented `mapPartitions` exception, not expressible as
+    * relational ops.
+    *
+    * Output: (id, text_bpe, n_tokens, n_tokens_bpe).
+    */
+  def applyBpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergesB = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rules = mergesB.value
+        it.map { case (id, text) =>
+          var toks = text.split(" ")
+          rules.foreach { case (a, b) =>
+            if (toks.length >= 2) {
+              val out = Array.newBuilder[String]
+              var i = 0
+              while (i < toks.length) {
+                if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+                  out += a + "_" + b; i += 2
+                } else { out += toks(i); i += 1 }
+              }
+              toks = out.result()
+            }
+          }
+          (id, toks.mkString(" "), text.split(" ").length, toks.length)
+        }
+      }
+      .toDF(idCol, "text_bpe", "n_tokens", "n_tokens_bpe")
+  }
 }

@@ -40,6 +40,48 @@ class AnnIndexSpec extends SparkSpecBase {
       s"enc scan carries no list_id partition filter:\n$plan")
   }
 
+  test("retried batch append is a no-op once committed — no duplicate codes corrupt ADC sums") {
+    val dir = Files.createTempDirectory("graft_annretry").toString + "/idx"
+    AnnIndex.build(emb, dir, dim = 64)
+    val probes = emb.filter(col("vec_id") < 10)
+    val extra = probes.withColumn("vec_id", col("vec_id") + 10000L)
+    AnnIndex.appendBatch(extra, dir, dim = 64, batchId = 1L)
+    val first = AnnIndex.query(spark, dir, probes, k = 3, dim = 64)
+      .collect().map(key)
+    // a foreachBatch retry re-delivers the SAME batch id
+    AnnIndex.appendBatch(extra, dir, dim = 64, batchId = 1L)
+    val second = AnnIndex.query(spark, dir, probes, k = 3, dim = 64)
+      .collect().map(key)
+    assert(first.nonEmpty && first.sameElements(second),
+      "retried append changed query results")
+  }
+
+  test("streaming ingestion: first micro-batch builds the index, later ones append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft_annstream").toString
+    val dir = s"$base/idx"
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIndex.indexStream(ms.toDF().toDF("vec_id", "embedding"),
+      dir, s"$base/ckpt", dim = 64)
+    try {
+      ms.addData(rows.filter(_._1 % 2 == 0).toSeq)
+      q.processAllAvailable()
+      assert(AnnIndex.exists(spark, dir), "first micro-batch did not build")
+      ms.addData(rows.filter(_._1 % 2 == 1).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val probes = emb.filter(col("vec_id") < 10)
+    val got = AnnIndex.query(spark, dir, probes, k = 5, dim = 64).collect()
+    assert(got.nonEmpty)
+    val neighbors = got.map(_.getLong(2)).toSet
+    assert(neighbors.exists(_ % 2 == 1),
+      s"appended (odd-id) vectors never surface in results: $neighbors")
+  }
+
   test("appended exact-duplicate vectors become searchable without retraining") {
     val dir = Files.createTempDirectory("graft_annapp").toString + "/idx"
     AnnIndex.build(emb, dir, dim = 64)

@@ -9,6 +9,36 @@ import graft.operators.TextAnalysis
   */
 class TextOpsGoldenSpec extends SparkSpecBase {
 
+  test("BPE apply: rank order, left-to-right non-overlap, merged forms compose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york city new york"),
+      (2L, "a a a"),
+      (3L, "solo")).toDF("doc_id", "text")
+    // rule 2 references rule 1's merged form — multi-word unit builds up
+    val out = TextAnalysis.applyBpeMerges(docs, "doc_id", "text",
+        Seq(("new", "york"), ("new_york", "city")))
+      .orderBy("doc_id").as[(Long, String, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "new_york_city new_york", 5, 2),
+      (2L, "a a a", 3, 3),
+      (3L, "solo", 1, 1)))
+    // self-pair merges left-to-right without overlap: "a a a" -> "a_a a"
+    val aa = TextAnalysis.applyBpeMerges(docs.filter(col("doc_id") === 2),
+        "doc_id", "text", Seq(("a", "a")))
+      .select("text_bpe").as[String].head()
+    assert(aa == "a_a a")
+    // composition with the learner: applying the top candidate shrinks
+    // the corpus by exactly its occurrence count
+    val corpus = Seq((1L, "x y x y"), (2L, "x y z")).toDF("doc_id", "text")
+    val top = TextAnalysis.bpeMergeCandidates(corpus, "text", k = 1).head()
+    assert(top.getString(0) == "x y" && top.getLong(1) == 3L)
+    val applied = TextAnalysis.applyBpeMerges(corpus, "doc_id", "text",
+        Seq(("x", "y")))
+      .agg(sum(col("n_tokens")), sum(col("n_tokens_bpe"))).head()
+    assert(applied.getLong(0) - applied.getLong(1) == 3L)
+  }
+
   test("regex token profile: counts and fertility on a known sentence") {
     import spark.implicits._
     // subtokens of "ab 12345 c-d!": [ab, 12345, c, -, d, !] → 6
