@@ -90,6 +90,22 @@ object AnnIndex {
       }
       .start()
 
+  /** `query` + exact-cosine re-ranking: the PQ shortlist (k·candMult
+    * per query) is re-scored against the RAW vectors of `corpus` (the
+    * index stores only codes — the source table supplies vectors, as
+    * in production where raw embeddings live beside, not inside, the
+    * index) and re-cut to k. Same probe-bounded broadcast shape as
+    * `Similarity.ivfPqTopKReranked`.
+    */
+  def queryReranked(spark: SparkSession, path: String, probes: DataFrame,
+      corpus: DataFrame, k: Int, dim: Int, nprobe: Int = 4,
+      numSub: Int = 8, candMult: Int = 4): DataFrame = {
+    val shortlist = query(spark, path, probes, k * candMult, dim, nprobe, numSub)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    Similarity.rerankExact(corpus, probes, shortlist, k)
+  }
+
   private def committedBatches(spark: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(encPath(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -569,18 +569,30 @@ object Similarity {
   def ivfPqTopKReranked(embeddings: DataFrame, probes: DataFrame, k: Int,
       dim: Int, nprobe: Int = 4, nlists: Int = 8, numSub: Int = 8,
       numCodes: Int = 16, candMult: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
     val shortlist = ivfPqTopKSeeded(embeddings, probes, k * candMult, dim,
       nprobe, nlists, numSub, numCodes)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
-    val corpus = embeddings.select(col("vec_id").as("neighbor_id"),
+    rerankExact(embeddings, probes, shortlist, k)
+  }
+
+  /** Exact-cosine re-rank of a probe-bounded (query, neighbor)
+    * shortlist: the corpus scan flows through a broadcast join against
+    * the shortlist to fetch raw vectors map-side (the corpus never
+    * shuffles; only shortlisted rows carry a vector), probe vectors
+    * broadcast the same way. Shared by the inline and persisted-index
+    * ANN paths.
+    */
+  private[operators] def rerankExact(corpus: DataFrame, probes: DataFrame,
+      shortlist: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_emb"))
     val probeVecs = probes.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_emb")).localCheckpoint()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    corpus.join(broadcast(shortlist), Seq("neighbor_id"))
+    vecs.join(broadcast(shortlist), Seq("neighbor_id"))
       .join(broadcast(probeVecs), Seq("query_id"))
       .withColumn("cosine", round(cosineFast(spark)(col("q_emb"), col("c_emb")), 6))
       .withColumn("rank", row_number().over(w))

@@ -40,6 +40,18 @@ class AnnIndexSpec extends SparkSpecBase {
       s"enc scan carries no list_id partition filter:\n$plan")
   }
 
+  test("stored-index re-ranked query == inline re-ranked operator") {
+    val dir = Files.createTempDirectory("graft_annrr").toString + "/idx"
+    AnnIndex.build(emb, dir, dim = 64)
+    val probes = emb.filter(col("vec_id") < 10)
+    val fromIndex = AnnIndex.queryReranked(spark, dir, probes, emb, k = 3,
+      dim = 64).collect().map(key)
+    val inline = Similarity.ivfPqTopKReranked(emb, probes, k = 3, dim = 64)
+      .collect().map(key)
+    assert(fromIndex.nonEmpty && fromIndex.sameElements(inline),
+      "re-ranked index round-trip diverged from the inline operator")
+  }
+
   test("retried batch append is a no-op once committed — no duplicate codes corrupt ADC sums") {
     val dir = Files.createTempDirectory("graft_annretry").toString + "/idx"
     AnnIndex.build(emb, dir, dim = 64)
