@@ -80,6 +80,38 @@ object TextAnalysis {
       when(stopRatio >= 0.05, lit("en")).otherwise(lit("unk")).as("predicted_lang"))
   }
 
+  /** C4-style corpus cleaning report — the composed keep/drop decision
+    * a pre-training pipeline runs over every document: length floor,
+    * stopword-density floor (the langID rule), type-token-ratio floor,
+    * applied in FIXED precedence so each dropped doc carries exactly
+    * one reason (the standard way cleaning pipelines report attrition
+    * per rule). Thresholds are parameters; the shape is the point:
+    * one pure codegen projection over the corpus, no shuffle — at
+    * 100 TB this runs at scan speed. Rules compare the ROUNDED (6dp)
+    * ratios so the keep/drop cut is cross-engine exact.
+    *
+    * Output: (id, n_tokens, stopword_ratio, ttr, drop_reason, keep).
+    */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 10, minStopRatio: Double = 0.05,
+      minTtr: Double = 0.2): DataFrame = {
+    val t = wsTokens(col(textCol))
+    val nTok = size(t)
+    docs.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      round(size(filter_function_alias(t)).cast("double") / nTok, 6)
+        .as("stopword_ratio"),
+      round(size(array_distinct(t)).cast("double") / nTok, 6).as("ttr"))
+      .withColumn("drop_reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("stopword_ratio") < minStopRatio, "low_stopword")
+          .when(col("ttr") < minTtr, "low_ttr")
+          .otherwise("kept"))
+      .withColumn("keep",
+        when(col("drop_reason") === "kept", 1).otherwise(0))
+  }
+
   /** TF-IDF scoring: explode tokens → per-(doc, token) TF hash
     * aggregate → document-frequency join → score. The top-`k` terms
     * per document are ranked on the ROUNDED score (6dp) with a token

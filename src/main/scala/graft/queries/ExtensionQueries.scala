@@ -933,7 +933,15 @@ object ExtensionQueries {
       dim = 64)
   }
 
+  /** q127: C4-style corpus cleaning — the composed keep/drop report
+    * (length, stopword density, type-token ratio, fixed precedence).
+    */
+  private val cleanCorpusQ: Q = (s, dir) =>
+    TextAnalysis.cleanCorpus(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "q127_clean_corpus" -> cleanCorpusQ,
     "q126_ann_ivfpq_rerank" -> annIvfPqRerank,
     "q125_semdedup_auto" -> semdedupAutoQ,
     "q124_negative_samples" -> negSamplesQ,
@@ -2365,6 +2373,22 @@ object ExtensionQueries {
         |  ROUND(len_score, 6) AS length_score,
         |  ROUND(0.4 * len_score + 0.3 * stop_ratio + 0.3 * ttr, 6) AS quality_score
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q127_clean_corpus" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  ROUND(CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |    / len(toks), 6) AS stopword_ratio,
+        |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+        |FROM t),
+        |r AS (SELECT doc_id, n_tokens, stopword_ratio, ttr,
+        |  CASE WHEN n_tokens < 10 THEN 'too_short'
+        |       WHEN stopword_ratio < 0.05e0 THEN 'low_stopword'
+        |       WHEN ttr < 0.2e0 THEN 'low_ttr' ELSE 'kept' END AS drop_reason
+        |FROM m)
+        |SELECT doc_id, n_tokens, stopword_ratio, ttr, drop_reason,
+        |  CAST(CASE WHEN drop_reason = 'kept' THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q31_langid" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |m AS (SELECT doc_id,

@@ -39,6 +39,24 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     assert(applied.getLong(0) - applied.getLong(1) == 3L)
   }
 
+  test("clean corpus: drop-reason precedence and threshold edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short text"), // 2 tokens
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // no stopwords
+      (3L, "the the the the the the the the the the"), // stopword rule passes (ratio 1.0); ttr 0.1 fails
+      (4L, "the quick brown fox jumps over a lazy dog today")) // 2/10 stopwords, ttr 1.0
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cleanCorpus(docs, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id", "drop_reason", "keep")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, "too_short", 0),
+      (2L, "low_stopword", 0),
+      (3L, "low_ttr", 0),
+      (4L, "kept", 1)))
+  }
+
   test("regex token profile: counts and fertility on a known sentence") {
     import spark.implicits._
     // subtokens of "ab 12345 c-d!": [ab, 12345, c, -, d, !] → 6
