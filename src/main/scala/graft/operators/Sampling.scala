@@ -162,6 +162,29 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Token-BUDGET group capping — the UniMax-style mixture trim: each
+    * group keeps documents in deterministic hash-priority order until
+    * the group's cumulative token count would pass `budgetTokens`.
+    * Training mixtures are budgeted in tokens, not documents —
+    * `capGroupsExact` bounds row counts, this bounds what the model
+    * actually consumes, and a long-document-heavy source stops earlier.
+    *
+    * Scale shape: one group-key shuffle + a per-group running sum
+    * (partitioned window, no global sort), exactly `capGroupsExact`'s
+    * cost. The hash order makes the kept set reproducible across runs
+    * and engines. Output adds `cum_tokens` (the group's running total
+    * through each kept doc).
+    */
+  def capGroupsByTokens(docs: DataFrame, idCol: String, groupCol: String,
+      tokenCol: String, budgetTokens: Long,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashes.hash(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor draws `k` pseudo-random partners by hashing (anchor, i)
     * into the DENSE id space [0, N) — the contract is contiguous ids,

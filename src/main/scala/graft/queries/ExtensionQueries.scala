@@ -383,6 +383,18 @@ object ExtensionQueries {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** q128: token-budget mixture trim — each lang keeps hash-priority
+    * docs until 5000 cumulative tokens (UniMax-style: budgets are in
+    * tokens, not documents).
+    */
+  private val capTokensQ: Q = (s, dir) =>
+    Sampling.capGroupsByTokens(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens")),
+      "doc_id", "lang", "n_tokens", budgetTokens = 5000L, hashes = Md5Family)
+      .orderBy("doc_id")
+
   /** Int8 quantization of the embedding table (q66 is its profile). */
   private val quantizeQ: Q = (s, dir) =>
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
@@ -941,6 +953,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "q128_cap_groups_tokens" -> capTokensQ,
     "q127_clean_corpus" -> cleanCorpusQ,
     "q126_ann_ivfpq_rerank" -> annIvfPqRerank,
     "q125_semdedup_auto" -> semdedupAutoQ,
@@ -2086,6 +2099,17 @@ object ExtensionQueries {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY ${md5l("CAST(doc_id AS VARCHAR)")}, doc_id) <= 100
         |ORDER BY doc_id""".stripMargin,
+    "q128_cap_groups_tokens" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    ${md5l("CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin,
     "q81_cap_groups" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |k AS (SELECT lang, LEAST(1000000, 100000000 // n) AS ppm FROM c)
