@@ -275,6 +275,20 @@ class PlanSpec extends SparkSpecBase {
       s"codes/list-assignment join is not a shuffle hash join:\n${df.queryExecution.executedPlan}")
   }
 
+  test("token-budget cap is one exchange on the group key (partitioned running sum, no global sort)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    val plan = planOf(graft.operators.Sampling.capGroupsByTokens(
+      docs, "doc_id", "lang", "n_tokens", 500L))
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1, s"expected 1 exchange:\n${exchanges.mkString("\n")}")
+    assert(exchanges.head.contains("hashpartitioning(lang"),
+      s"exchange not on the group key:\n${exchanges.head}")
+    assert(!plan.contains("rangepartitioning"),
+      s"token cap must not global-sort:\n$plan")
+  }
+
   test("epoch shuffle is one exchange on the shard key (no global sort)") {
     val plan = planOf(graft.operators.Sampling.epochShuffle(
       Tables.documents(spark, sf("sf0.001")), "doc_id", epoch = 1, numShards = 8))

@@ -215,6 +215,34 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("property: token-budget cap is maximal — kept set fits, next hash-priority doc would not") {
+    import spark.implicits._
+    import graft.functions.Md5Family
+    val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    val budget = 500L
+    val kept = graft.operators.Sampling
+      .capGroupsByTokens(docs, "doc_id", "lang", "n_tokens", budget,
+        hashes = Md5Family)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(kept.nonEmpty)
+    // full hash-priority order per group, computed independently
+    val all = docs.withColumn("_h", Md5Family.hash(col("doc_id").cast("string")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    all.groupBy(_._2).foreach { case (lang, rows) =>
+      val order = rows.sortBy(r => (r._4, r._1))
+      val keptIds = kept.filter(_._2 == lang).map(_._1).toSet
+      // kept = the maximal hash-order prefix whose token sum fits
+      var cum = 0L
+      order.foreach { case (id, _, n, _) =>
+        cum += n
+        assert(keptIds.contains(id) == (cum <= budget),
+          s"$lang/$id: cum=$cum budget=$budget kept=${keptIds.contains(id)}")
+      }
+    }
+  }
+
   test("property: window output invariant under input shuffling/partitioning") {
     val p = Prop.forAll(seriesGen, Gen.choose(1, 8)) { (rows, parts) =>
       val base = mkEvents(rows)
