@@ -99,25 +99,67 @@ object Bench {
     }
     // Outlier re-measure: a single-shot timing on a shared host can
     // catch a GC pause / CPU steal spike on an arbitrary query (r02
-    // recorded a pure projection at 13 s that reruns at <1 s). Queries
-    // far above the suite median get ONE rerun and keep the min — the
-    // plan didn't change, so min is the honest cost; everything else
-    // stays single-shot to bound total wall clock. BOTH timings are
-    // recorded under "reruns" so cross-round totals stay auditable.
+    // recorded a pure projection at 13 s that reruns at <1 s).
+    // Contention-robust protocol (r5 lesson: a sustained host-
+    // contention window poisoned BOTH passes of three adjacent
+    // queries, because reruns replayed in first-run order right after
+    // the window that caught them):
+    //  - rerun criterion is the per-query STANDING entry from
+    //    BASELINE.md where one exists (>3x standing ⇒ suspected
+    //    noise), falling back to max(2.5s, 4x suite median) for
+    //    queries the table doesn't know yet — targeted at genuine
+    //    suspects instead of ~20 median-relative outliers;
+    //  - the rerun pass walks in REVERSE first-run order, so a
+    //    contention window can't sit over the same neighborhood twice;
+    //  - when the two timings still disagree >3x, ONE extra rerun
+    //    breaks the tie. Min kept (the plan didn't change, so min is
+    //    the honest cost); ALL timings recorded under "reruns".
+    val standing: Map[String, Double] = {
+      val f = java.nio.file.Paths.get("BASELINE.md")
+      if (!java.nio.file.Files.exists(f)) Map.empty
+      else {
+        val row = """\|\s*(q\d+[a-z0-9_]*)\s*\|\s*([0-9.]+)\s*\|""".r
+        scala.io.Source.fromFile(f.toFile, "UTF-8").getLines()
+          .flatMap(l => row.findFirstMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble))
+          .toMap
+      }
+    }
     val okTimes = results.collect { case (_, v, true) => v }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
-    val threshold = math.max(2.5, 4 * median)
-    val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
-    val finalResults = results.map {
-      case (name, v, true) if v > threshold =>
-        val t0 = System.nanoTime()
-        val ok2 = try { run(name); true } catch { case _: Throwable => false }
-        val v2 = (System.nanoTime() - t0) / 1e9
-        drainAndReadShuffleMb() // discard: keep the first measurement
-        releaseCheckpoints()
-        if (ok2) reruns(name) = (v, v2)
-        (name, if (ok2) math.min(v, v2) else v, true)
-      case r => r
+    val fallback = math.max(2.5, 4 * median)
+    def suspect(name: String, v: Double): Boolean =
+      standing.get(name) match {
+        case Some(s) => v > math.max(2.5, 3 * s)
+        case None => v > fallback
+      }
+    val reruns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val best = scala.collection.mutable.LinkedHashMap(
+      results.map { case (n, v, ok) => n -> (v, ok) }: _*)
+    results.reverse.foreach {
+      case (name, v, true) if suspect(name, v) =>
+        var timings = Vector(v)
+        var extra = true
+        while (extra && timings.size < 3) {
+          val t0 = System.nanoTime()
+          val ok2 = try { run(name); true } catch { case _: Throwable => false }
+          val v2 = (System.nanoTime() - t0) / 1e9
+          drainAndReadShuffleMb() // discard: keep the first measurement
+          releaseCheckpoints()
+          if (!ok2) extra = false
+          else {
+            timings = timings :+ v2
+            val (a, b) = (timings(timings.size - 2), timings.last)
+            extra = math.max(a, b) > 3 * math.max(1e-9, math.min(a, b))
+          }
+        }
+        if (timings.size > 1) {
+          reruns(name) = timings
+          best(name) = (timings.min, true)
+        }
+      case _ => ()
+    }
+    val finalResults = results.map { case (n, _, _) =>
+      val (v, ok) = best(n); (n, v, ok)
     }
     def num(v: Double, dp: Int = 3): String =
       BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
@@ -134,8 +176,8 @@ object Bench {
         "\"" + (if (short) shortId(k) else k) + "\":" + (if (full) v.toString else num(v, 2))
       }.mkString("{", ",", "}")
     def rerunsJson: String =
-      reruns.map { case (k, (a, b)) =>
-        "\"" + k + "\":[" + num(a) + "," + num(b) + "]"
+      reruns.map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(num(_)).mkString(",") + "]"
       }.mkString("{", ",", "}")
     // failures are first-class in the JSON (a broken query must not
     // masquerade as a fast one) and excluded from the headline total
@@ -151,7 +193,7 @@ object Bench {
         "\"" + k + "\":" + BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
       }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(short = false, full = true)},"failed":${failedJson(short = false)},"reruns":$rerunsJson,"rerun_protocol":"queries above max(2.5s, 4*median) rerun once, min kept; both timings recorded","shuffle_mb":$shuffleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(short = false, full = true)},"failed":${failedJson(short = false)},"reruns":$rerunsJson,"rerun_protocol":"queries above 3x their BASELINE.md standing entry (max(2.5s,4*median) fallback) rerun in reverse suite order, min kept; a >3x disagreement earns one extra rerun; all timings recorded","shuffle_mb":$shuffleJson,"sf":"$sfDir"}"""
     // stdout (undecorated via run/outputStrategy := StdoutOutput) AND a
     // known file, so the driver's parse can never miss it again
     println(line)

@@ -77,6 +77,16 @@ object IdempotentSink {
   /** Resolve a crashed writer: durable staging (has `_SUCCESS`) rolls
     * FORWARD — its single commit rename is completed; partial staging
     * rolls BACK (deleted). Either way readers see a complete table.
+    *
+    * Also MIGRATES a legacy flat-append table (loose `part-*` files at
+    * the root, from the pre-batch layout) into a `batch=<n>` dir:
+    * under the batch contract a flat table reads as "not a table", so
+    * without migration the next `appendIfAbsent` would skip key-dedup
+    * against its rows and then mix hive and non-hive layouts — which
+    * parquet partition discovery rejects. The move is per-file renames
+    * into one new batch dir; a crash mid-migration just leaves the
+    * remaining loose files for the next heal (they land in a further
+    * batch dir — readers union all batches, so placement is free).
     */
   def heal(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)
@@ -89,6 +99,14 @@ object IdempotentSink {
           renameOrThrow(fs, s.getPath, target)
         else fs.delete(s.getPath, true)
       }
+    val loose = fs.listStatus(p).filter(s => s.isFile &&
+      (s.getPath.getName.startsWith("part-") || s.getPath.getName == "_SUCCESS"))
+    if (loose.exists(_.getPath.getName.startsWith("part-"))) {
+      val dst = new Path(p, s"batch=${nextBatchId(fs, p)}")
+      fs.mkdirs(dst)
+      loose.foreach(s =>
+        renameOrThrow(fs, s.getPath, new Path(dst, s.getPath.getName)))
+    } else loose.foreach(s => fs.delete(s.getPath, false))
   }
 
   /** A table exists once it has ≥1 COMMITTED batch — a bare directory

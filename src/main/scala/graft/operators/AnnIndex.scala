@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,7 +17,8 @@ import graft.functions.VectorFunctions._
   * Layout under `path/`:
   *  - `coarse/` — (list_id, centroid), nlists rows;
   *  - `sub/`    — (m, code_id, c), numSub·numCodes rows;
-  *  - `enc/`    — (neighbor_id, m, code_id) PARTITIONED BY list_id.
+  *  - `enc/`    — (neighbor_id, m, code_id) PARTITIONED BY
+  *    (batch, list_id); `enc/_manifest` caches the committed batch ids.
   *
   * The `list_id` partitioning is what makes the IVF promise PHYSICAL:
   * a query filters the enc scan to its probes' nprobe lists, so
@@ -27,13 +29,24 @@ import graft.functions.VectorFunctions._
   *
   * `appendBatch` encodes NEW vectors against the PERSISTED codebooks
   * (quantizing a batch never retrains — the standard IVF maintenance
-  * contract; rebuild when drift warrants it). Each batch owns an
-  * `enc/batch=<id>/` directory whose parquet `_SUCCESS` gates it: a
-  * retried batch id is a NO-OP once committed and an overwrite of only
-  * its own directory otherwise — duplicate enc rows would double ADC
-  * distance sums, so append idempotency is a correctness property
-  * here, not just hygiene (same recipe as the streaming dedup index).
-  * Single-writer-per-index, like every batch sink here.
+  * contract; [[build]]/[[buildLearned]] retrain from scratch). Each
+  * batch owns an `enc/batch=<id>/` directory whose parquet `_SUCCESS`
+  * gates it: a retried batch id is a NO-OP once committed and an
+  * overwrite of only its own directory otherwise — duplicate enc rows
+  * would double ADC distance sums, so append idempotency is a
+  * correctness property here, not just hygiene (same recipe as the
+  * streaming dedup index). Single-writer-per-index, like every batch
+  * sink here.
+  *
+  * CRASH DISCIPLINE (all three mutations leave only complete states):
+  *  - build: enc is deleted FIRST, then codebooks republished — old
+  *    codes can never be decoded against new codebooks, and a build
+  *    killed mid-codebook-write leaves [[exists]] false (codebooks are
+  *    committed only once BOTH `coarse/` and `sub/` carry parquet's
+  *    `_SUCCESS`), so a retrying `indexStream` rebuilds instead of
+  *    wedging on partial codebooks;
+  *  - append: gated by the batch dir's own `_SUCCESS` (above);
+  *  - compact: whole-`enc/` staged swap, recovered by [[healEnc]].
   */
 object AnnIndex {
   private def coarsePath(path: String) = s"$path/coarse"
@@ -41,17 +54,58 @@ object AnnIndex {
   private def encPath(path: String) = s"$path/enc"
 
   /** Derive seeded codebooks from the corpus, encode it, and publish
-    * the three index tables.
+    * the three index tables. Re-running on an existing index is a full
+    * REBUILD: the encoded generations are dropped before the new
+    * codebooks land (stale codes decoded against retrained codebooks
+    * would silently corrupt every ADC sum).
     */
   def build(embeddings: DataFrame, path: String, dim: Int, nlists: Int = 8,
       numSub: Int = 8, numCodes: Int = 16, batchId: Long = 0L): Unit = {
     val spark = embeddings.sparkSession
     val cents = Similarity.centroidsDf(spark,
       Similarity.seededCodebook(embeddings, nlists))
-    cents.coalesce(1).write.mode(SaveMode.Overwrite).parquet(coarsePath(path))
     val sub = Similarity.seededSubCodebook(embeddings, dim, numSub, numCodes)
-    sub.coalesce(1).write.mode(SaveMode.Overwrite).parquet(subPath(path))
-    writeEnc(embeddings, cents, sub, path, dim, numSub, batchId)
+    publish(embeddings, cents, sub, path, dim, numSub, batchId)
+  }
+
+  /** [[build]] with BOTH codebook tiers LEARNED — Lloyd-refined coarse
+    * centroids (`kmeansCodebook`, cosine) and per-subspace
+    * sub-codebooks (`pqLearnedCodebooks`, L2), persisted like the
+    * seeded ones so `appendBatch`/`query` work unchanged against them.
+    * Training cost is the same bounded driver sample as the inline
+    * learned paths — never the corpus.
+    */
+  def buildLearned(embeddings: DataFrame, path: String, dim: Int,
+      nlists: Int = 8, numSub: Int = 8, numCodes: Int = 16, iters: Int = 5,
+      sampleN: Int = 512, batchId: Long = 0L): Unit = {
+    val spark = embeddings.sparkSession
+    val cents = Similarity.centroidsDf(spark,
+      Similarity.kmeansCodebook(embeddings, nlists, iters, sampleN))
+    val sub = Similarity.pqCodebooksDf(spark,
+      Similarity.pqLearnedCodebooks(embeddings, dim, numSub, numCodes, iters,
+        sampleN))
+    publish(embeddings, cents, sub, path, dim, numSub, batchId)
+  }
+
+  /** Shared publish step: drop anything encoded against the OLD
+    * codebooks, then land the new codebooks and the first encoded
+    * generation. Deletion order (enc, then sub, then coarse) means a
+    * crash at any point leaves either no committed codebooks
+    * ([[exists]] false → retry rebuilds) or new codebooks with only
+    * new codes — never a mixed-generation index.
+    */
+  private def publish(embeddings: DataFrame, cents: DataFrame, sub: DataFrame,
+      path: String, dim: Int, numSub: Int, batchId: Long): Unit = {
+    val spark = embeddings.sparkSession
+    val fs = fsOf(spark, new Path(path))
+    Seq(encPath(path), encPath(path) + "._compacting", encPath(path) + "._old",
+      subPath(path), coarsePath(path))
+      .foreach(d => fs.delete(new Path(d), true))
+    val centsC = cents.localCheckpoint()
+    val subC = sub.localCheckpoint()
+    centsC.coalesce(1).write.mode(SaveMode.Overwrite).parquet(coarsePath(path))
+    subC.coalesce(1).write.mode(SaveMode.Overwrite).parquet(subPath(path))
+    writeEnc(embeddings, centsC, subC, path, dim, numSub, batchId)
   }
 
   /** Encode a new batch with the index's PERSISTED codebooks and
@@ -62,33 +116,127 @@ object AnnIndex {
   def appendBatch(batch: DataFrame, path: String, dim: Int,
       numSub: Int = 8, batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
+    require(exists(spark, path),
+      s"no committed codebooks at $path — build the index first")
+    healEnc(spark, path)
     val cents = spark.read.parquet(coarsePath(path)).localCheckpoint()
     val sub = spark.read.parquet(subPath(path)).localCheckpoint()
     val id = if (batchId >= 0) batchId else nextBatchId(spark, path)
     writeEnc(batch, cents, sub, path, dim, numSub, id)
   }
 
-  /** True once the index has its codebooks published. */
+  /** True once the index's codebooks are COMMITTED — parquet's
+    * `_SUCCESS` under both `coarse/` and `sub/`. A build killed
+    * mid-codebook-write therefore reads as "no index", so a retrying
+    * `indexStream` routes back to `build` (which overwrites the
+    * partial dirs) instead of appending against half-written codebooks.
+    */
   def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(coarsePath(path))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = fsOf(spark, new Path(path))
+    fs.exists(new Path(coarsePath(path), "_SUCCESS")) &&
+      fs.exists(new Path(subPath(path), "_SUCCESS"))
   }
 
   /** Continuous ingestion: first micro-batch builds the index (trains
     * codebooks on it), every later one quantizes-and-appends, keyed by
     * the engine's batch id so retried micro-batches stay idempotent.
+    *
+    * `compactEvery = n` folds the generations back to ONE whenever ≥ n
+    * committed batches accrete — without it a long-running stream
+    * grows a parquet directory per micro-batch forever (thousands of
+    * tiny files per list; O(batches) planning listings). Safe inside
+    * the same foreachBatch because the stream IS the single writer,
+    * and a kill mid-compaction heals on the next touch. 0 = never.
     */
   def indexStream(vectors: DataFrame, path: String, checkpoint: String,
-      dim: Int, nlists: Int = 8, numSub: Int = 8, numCodes: Int = 16)
+      dim: Int, nlists: Int = 8, numSub: Int = 8, numCodes: Int = 16,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!exists(batch.sparkSession, path))
+        val spark = batch.sparkSession
+        if (!exists(spark, path))
           build(batch, path, dim, nlists, numSub, numCodes, batchId = id)
         else appendBatch(batch, path, dim, numSub, batchId = id)
+        if (compactEvery > 0 &&
+            committedBatches(spark, path).size >= compactEvery)
+          compact(spark, path)
       }
       .start()
+
+  /** Merge every committed `enc/batch=N` generation into ONE —
+    * the small-file remedy for a long-running `indexStream`, which
+    * otherwise accretes a parquet directory per micro-batch forever
+    * (thousands of tiny files per list; O(batches) listings at query
+    * planning). Results are IDENTICAL before and after (spec-asserted):
+    * compaction rewrites committed rows only, into the same
+    * (batch=0, list_id) layout, so partition pruning survives.
+    *
+    * Crash-safe publish, same recipe as `PartitionedSink.compact`: the
+    * merged generation is staged beside `enc/`, marked committed by a
+    * batch-level `_SUCCESS` (the READER gate — parquet's root marker
+    * alone doesn't make batch dirs readable), then swapped in by two
+    * atomic renames. A writer killed at ANY step is recovered by
+    * [[healEnc]], which every entry point runs first: staging committed
+    * → roll forward; otherwise → roll back to the intact old `enc/`.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    healEnc(spark, path)
+    val enc = new Path(encPath(path))
+    val fs = fsOf(spark, enc)
+    if (!fs.exists(enc)) return
+    val batches = committedBatches(spark, path)
+    if (batches.size <= 1) return
+    // the merged generation takes the MAX folded id, NOT 0: a
+    // streaming writer killed between its append commit and the
+    // engine's checkpoint commit will RE-DELIVER that last batch id,
+    // and only its dir still existing (as the compacted generation)
+    // keeps the retry a no-op — folding to 0 would re-append the
+    // retried rows beside their compacted copies and double ADC sums
+    val genId = batches.max
+    val staging = new Path(encPath(path) + "._compacting")
+    val backup = new Path(encPath(path) + "._old")
+    fs.delete(staging, true)
+    fs.delete(backup, true)
+    spark.read.parquet(encPath(path))
+      .filter(col("batch").isin(batches: _*))
+      .withColumn("batch", lit(genId))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch", "list_id")
+      .parquet(staging.toString)
+    // reader gate: batch-level _SUCCESS (parquet only marks the root)
+    fs.create(new Path(staging, s"batch=$genId/_SUCCESS")).close()
+    renameOrThrow(fs, enc, backup)
+    renameOrThrow(fs, staging, enc)
+    fs.delete(backup, true)
+  }
+
+  /** Recover `enc/` around an interrupted [[compact]] swap: staging
+    * complete (its merged batch dir carries the reader-gate
+    * `_SUCCESS`) but `enc/` missing → finish the swap; `enc/` missing
+    * with the pre-swap backup present → roll back; `enc/` present →
+    * drop leftovers. Each state transition is one atomic rename, so
+    * readers resolve to the old or new COMPLETE generation set, never
+    * a partial one.
+    */
+  private[graft] def healEnc(spark: SparkSession, path: String): Unit = {
+    val enc = new Path(encPath(path))
+    val fs = fsOf(spark, enc)
+    val staging = new Path(encPath(path) + "._compacting")
+    val backup = new Path(encPath(path) + "._old")
+    if (!fs.exists(enc)) {
+      val stagingCommitted = fs.exists(staging) &&
+        fs.listStatus(staging).exists(s =>
+          s.getPath.getName.startsWith("batch=") &&
+            fs.exists(new Path(s.getPath, "_SUCCESS")))
+      if (stagingCommitted) renameOrThrow(fs, staging, enc)
+      else if (fs.exists(backup)) renameOrThrow(fs, backup, enc)
+    }
+    if (fs.exists(enc)) {
+      if (fs.exists(backup)) fs.delete(backup, true)
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
 
   /** `query` + exact-cosine re-ranking: the PQ shortlist (k·candMult
     * per query) is re-scored against the RAW vectors of `corpus` (the
@@ -106,19 +254,60 @@ object AnnIndex {
     Similarity.rerankExact(corpus, probes, shortlist, k)
   }
 
-  private def committedBatches(spark: SparkSession, path: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(encPath(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.getPath.getName.startsWith("batch=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+  private def manifestFile(path: String) = new Path(encPath(path), "_manifest")
+
+  /** Committed batch ids, answered from the `enc/_manifest` CACHE plus
+    * ONE directory listing — without the manifest every query planning
+    * pays a per-batch `_SUCCESS` existence probe (O(batches) round
+    * trips on an object store). The manifest is advisory and
+    * SELF-HEALING: ids it lists but whose dirs are gone (compacted)
+    * are dropped, dirs it doesn't know are probed for `_SUCCESS` and
+    * adopted, and any drift rewrites the cache via tmp-file + atomic
+    * rename — a stale, missing, or corrupt manifest can only cost the
+    * probes it was saving, never correctness (spec-asserted).
+    */
+  private[graft] def committedBatches(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new Path(encPath(path))
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Seq.empty
+    val dirs = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    val cached = readManifest(fs, path)
+    val live = cached.intersect(dirs.toSet)
+    val adopted = dirs.filterNot(live)
+      .filter(b => fs.exists(new Path(p, s"batch=$b/_SUCCESS")))
+    val all = (live ++ adopted).toSeq.sorted
+    if (all.toSet != cached) writeManifest(fs, path, all)
+    all
   }
 
+  private def readManifest(fs: FileSystem, path: String): Set[Long] =
+    try {
+      val f = manifestFile(path)
+      if (!fs.exists(f)) Set.empty
+      else {
+        val in = fs.open(f)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+          .map(_.toLong).toSet
+      }
+    } catch { case _: Exception => Set.empty } // cache only — fall back to probing
+
+  private def writeManifest(fs: FileSystem, path: String, ids: Seq[Long]): Unit =
+    try {
+      val tmp = new Path(encPath(path),
+        s"._manifest.${java.util.UUID.randomUUID}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(ids.mkString(",").getBytes("UTF-8")) finally out.close()
+      val dst = manifestFile(path)
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+    } catch { case _: Exception => () } // best-effort cache refresh
+
   private def nextBatchId(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(encPath(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(encPath(path))
+    val fs = fsOf(spark, p)
     if (!fs.exists(p)) 0L
     else fs.listStatus(p).map(_.getPath.getName)
       .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
@@ -128,10 +317,9 @@ object AnnIndex {
   private def writeEnc(vectors: DataFrame, cents: DataFrame, sub: DataFrame,
       path: String, dim: Int, numSub: Int, batchId: Long): Unit = {
     val spark = vectors.sparkSession
-    val batchDir = new org.apache.hadoop.fs.Path(
-      encPath(path), s"batch=$batchId")
-    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS")))
+    val batchDir = new Path(encPath(path), s"batch=$batchId")
+    val fs = fsOf(spark, batchDir)
+    if (fs.exists(new Path(batchDir, "_SUCCESS")))
       return // committed retry: no-op
     val enc = Similarity.pqEncodeWithCodebook(vectors, dim, numSub, sub)
     val lists = Similarity.nearestLists(
@@ -153,6 +341,7 @@ object AnnIndex {
     */
   def query(spark: SparkSession, path: String, probes: DataFrame, k: Int,
       dim: Int, nprobe: Int = 4, numSub: Int = 8): DataFrame = {
+    healEnc(spark, path)
     val cents = spark.read.parquet(coarsePath(path)).localCheckpoint()
     val sub = spark.read.parquet(subPath(path)).localCheckpoint()
     val probeLists = Similarity.nearestLists(
@@ -183,4 +372,11 @@ object AnnIndex {
         round(col("sd").cast("double") / lit(1000000.0), 6).as("approx_d2"))
       .orderBy("query_id", "rank")
   }
+
+  private def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"commit rename failed: $src -> $dst")
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 }

@@ -467,6 +467,69 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** INCREMENTAL canonicalization: fold a NEW batch's near-dup pairs
+    * into an EXISTING label table without replaying global connected
+    * components. At 100 TB the standing corpus's pair history is long
+    * gone — the only affordable shape is "new docs join existing
+    * components", which this implements exactly:
+    *
+    *  1. each new-pair endpoint is CONTRACTED to its existing label if
+    *     it has one (one join of the new pairs — bounded by the batch
+    *     — against the label table) and left as itself otherwise;
+    *  2. connected components run on that contracted graph ONLY — its
+    *     vertex set is the new docs plus the touched old components,
+    *     O(new edges), never the corpus;
+    *  3. the resulting relabel map (old label → merged label, new doc
+    *     → label) is BROADCAST back over the label table, so the
+    *     standing labels are rewritten by one map-side join — the
+    *     label table itself never shuffles.
+    *
+    * Because existing labels follow the component-min convention
+    * (`cluster_id` = min member id) and contraction preserves minima,
+    * the output is IDENTICAL to rerunning full CC over the union of
+    * old and new pairs — bridges between two old components included —
+    * which the q130 oracle hash-verifies and the spec proves on random
+    * append workloads. Output contract matches the CC operators:
+    * (doc_id, cluster_id, cluster_size) over old ∪ new vertices.
+    */
+  def assignToExistingClusters(labels: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val lbl = labels.select(col("doc_id"), col("cluster_id")).localCheckpoint()
+    val edges = newPairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // contract endpoints to their existing labels (new docs map to
+    // themselves); both joins key on the BATCH-side edge set, so the
+    // label table is probe-joined — at scale the batch, never the
+    // corpus, drives the shuffle
+    val contracted =
+      edges.join(lbl.select(col("doc_id").as("u"), col("cluster_id").as("cu")),
+          Seq("u"), "left")
+        .join(lbl.select(col("doc_id").as("v"), col("cluster_id").as("cv")),
+          Seq("v"), "left")
+        .select(coalesce(col("cu"), col("u")).as("u"),
+          coalesce(col("cv"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+    // CC on the contracted new-edge subgraph only — O(new edges)
+    val merged = connectedComponentsAuto(contracted, "u", "v")
+      .select(col("doc_id").as("node"), col("cluster_id").as("new_cid"))
+      .localCheckpoint()
+    // relabel map is bounded by the contracted vertex set (≤ 2·|new
+    // pairs|) — a checkpointed broadcast, so the standing label table
+    // rewrites map-side
+    val relabel = broadcast(merged.withColumnRenamed("node", "cluster_id"))
+    val updatedOld = lbl.join(relabel, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
+    val newDocs = merged
+      .join(lbl.select(col("doc_id").as("node")), Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("new_cid").as("cluster_id"))
+    val all = updatedOld.union(newDocs)
+    val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Duplicated-span removal (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better", ACL'22 — the exact-substring pass):
     * every `spanLen`-token sliding window that occurs in ≥ `minDf`

@@ -387,7 +387,7 @@ object Similarity {
   /** Driver-trained sub-codebooks as a (m, code_id, c) frame — a local
     * relation, so downstream broadcasts carry no corpus scan.
     */
-  private def pqCodebooksDf(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def pqCodebooksDf(spark: org.apache.spark.sql.SparkSession,
       cbs: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
     cbs.zipWithIndex.flatMap { case (codes, m) =>

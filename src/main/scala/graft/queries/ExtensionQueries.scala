@@ -952,7 +952,77 @@ object ExtensionQueries {
     TextAnalysis.cleanCorpus(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** q129: registered ANN accuracy report — recall@k of the compressed
+    * IVF+PQ tier (q102's path) and its exact-reranked tier (q126's)
+    * against the brute-force exact top-k, so the accuracy claim is
+    * hash-verified cross-engine like the speed paths themselves.
+    * Counts are exact integers; the one division happens last.
+    */
+  private val annRecallQ: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val k = 3
+    val exact = Similarity.bruteForceTopK(emb, probes, k)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val approx =
+      Similarity.ivfPqTopKSeeded(emb, probes, k, dim = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          lit("ivfpq_adc").as("method"))
+        .union(Similarity.ivfPqTopKReranked(emb, probes, k, dim = 64)
+          .select(col("query_id"), col("neighbor_id"),
+            lit("ivfpq_rerank").as("method")))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("method").agg(count(lit(1)).as("hits"))
+    val total = exact.agg(count(lit(1)).as("total"))
+    Seq("ivfpq_adc", "ivfpq_rerank").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("method"), coalesce(col("hits"), lit(0L)).as("hits"),
+        col("total"),
+        round(coalesce(col("hits"), lit(0L)) / col("total"), 6).as("recall"))
+      .orderBy("method")
+  }
+
+  /** q130: INCREMENTAL canonicalization — the corpus's near-dup pairs
+    * are split into a standing half (pairs among even doc ids, labeled
+    * by full CC) and an arriving half (any pair touching an odd id),
+    * and the arriving pairs fold into the standing labels via
+    * `Dedup.assignToExistingClusters` — no global CC replay. The
+    * oracle is q57's FULL recursive-CC over the whole pair set:
+    * hash-equality proves incremental == full recompute, including
+    * bridges that merge two standing components.
+    */
+  private val incrementalCanonQ: Q = (s, dir) => {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
+      "text", gramHash = Some(graft.functions.XxHash64Family))
+      .localCheckpoint()
+    val oldPairs = pairs.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+    val newPairs = pairs.filter(col("doc_a") % 2 =!= 0 || col("doc_b") % 2 =!= 0)
+    val labels = Dedup.connectedComponentsAuto(oldPairs, "doc_a", "doc_b")
+      .select("doc_id", "cluster_id")
+    Dedup.assignToExistingClusters(labels, newPairs, "doc_a", "doc_b")
+      .orderBy("doc_id")
+  }
+
+  /** q131: the PERSISTED ANN index end-to-end — build the stored
+    * index at a scratch path, then answer through its on-disk tables
+    * (partition-pruned enc scan, manifest-gated batches). Same seeded
+    * codebooks and routing as q102, whose oracle it shares verbatim:
+    * a hash match certifies the store/encode/prune/read path itself.
+    */
+  private val annIndexQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_q131_idx")
+      .toString + "/idx"
+    AnnIndex.build(emb, idx, dim = 64)
+    AnnIndex.query(s, idx, emb.filter(col("vec_id") < 10), k = 3, dim = 64)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q131_ann_index" -> annIndexQ,
+    "q130_incremental_canon" -> incrementalCanonQ,
+    "q129_ann_recall" -> annRecallQ,
     "q128_cap_groups_tokens" -> capTokensQ,
     "q127_clean_corpus" -> cleanCorpusQ,
     "q126_ann_ivfpq_rerank" -> annIvfPqRerank,
@@ -1140,7 +1210,167 @@ object ExtensionQueries {
        |    coalesce(CAST(source AS VARCHAR), chr(30)),
        |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
 
+  /** q102's full IVF+PQ chain in DuckDB — shared verbatim by q131 (the
+    * persisted index must reproduce the inline operator exactly).
+    */
+  private lazy val ivfPqSeededOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
+      |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+      |             FROM e ORDER BY h, vec_id LIMIT 8)),
+      |ca AS (SELECT e.vec_id, e.v, ccb.list_id,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY ROUND(list_cosine_similarity(e.v, ccb.cc), 6) DESC,
+      |             ccb.list_id) AS crank
+      |       FROM e CROSS JOIN ccb),
+      |corpus AS (SELECT vec_id AS neighbor_id, list_id FROM ca WHERE crank = 1),
+      |pl AS (SELECT vec_id AS query_id, list_id
+      |       FROM ca WHERE crank <= 4 AND vec_id < 10),
+      |cand AS (SELECT p.query_id, c.neighbor_id
+      |         FROM pl p JOIN corpus c USING (list_id)
+      |         WHERE c.neighbor_id <> p.query_id),
+      |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+      |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
+      |cb AS (SELECT m, code_id, s AS c FROM (
+      |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+      |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+      |        vec_id) - 1 AS code_id
+      |    FROM sub) WHERE code_id < 16),
+      |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
+      |    SELECT sub.vec_id, sub.m, cb.code_id,
+      |      CAST(floor(list_aggregate(
+      |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+      |           FOR i IN generate_series(1, 8)], 'sum')
+      |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+      |    FROM sub JOIN cb USING (m))
+      |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+      |      ORDER BY d2, code_id) = 1),
+      |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
+      |      CAST(floor(list_aggregate(
+      |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+      |           FOR i IN generate_series(1, 8)], 'sum')
+      |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+      |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10),
+      |adc AS (SELECT cd.query_id, cd.neighbor_id, CAST(sum(pt.d2) AS BIGINT) AS sd
+      |    FROM cand cd
+      |    JOIN enc ON enc.neighbor_id = cd.neighbor_id
+      |    JOIN pt ON pt.query_id = cd.query_id AND pt.m = enc.m
+      |           AND pt.code_id = enc.code_id
+      |    GROUP BY 1, 2)
+      |SELECT query_id, rank, neighbor_id,
+      |  ROUND(CAST(sd AS DOUBLE) / 1000000e0, 6) AS approx_d2
+      |FROM (SELECT query_id, neighbor_id, sd,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |            ORDER BY sd, neighbor_id) AS INTEGER) AS rank
+      |      FROM adc)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // q129: q102's ADC chain + q126's rerank + q24's exact top-k,
+    // composed into one recall report — every tier's result set is the
+    // SAME CTE shape its own oracle uses, so a hash match here means
+    // the recall numbers, not just the rankings, agree cross-engine.
+    "q129_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id LIMIT 8)),
+        |ca AS (SELECT e.vec_id, e.v, ccb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, ccb.cc), 6) DESC,
+        |             ccb.list_id) AS crank
+        |       FROM e CROSS JOIN ccb),
+        |corpus AS (SELECT vec_id AS neighbor_id, list_id FROM ca WHERE crank = 1),
+        |pl AS (SELECT vec_id AS query_id, list_id
+        |       FROM ca WHERE crank <= 4 AND vec_id < 10),
+        |cand AS (SELECT p.query_id, c.neighbor_id
+        |         FROM pl p JOIN corpus c USING (list_id)
+        |         WHERE c.neighbor_id <> p.query_id),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
+        |cb AS (SELECT m, code_id, s AS c FROM (
+        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+        |        vec_id) - 1 AS code_id
+        |    FROM sub) WHERE code_id < 16),
+        |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
+        |    SELECT sub.vec_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m))
+        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+        |      ORDER BY d2, code_id) = 1),
+        |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10),
+        |adc AS (SELECT cd.query_id, cd.neighbor_id, CAST(sum(pt.d2) AS BIGINT) AS sd
+        |    FROM cand cd
+        |    JOIN enc ON enc.neighbor_id = cd.neighbor_id
+        |    JOIN pt ON pt.query_id = cd.query_id AND pt.m = enc.m
+        |           AND pt.code_id = enc.code_id
+        |    GROUP BY 1, 2),
+        |pq AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sd, neighbor_id) AS rank
+        |      FROM adc),
+        |sl AS (SELECT query_id, neighbor_id FROM pq WHERE rank <= 12),
+        |rr AS (SELECT sl.query_id, sl.neighbor_id,
+        |        row_number() OVER (PARTITION BY sl.query_id
+        |          ORDER BY ROUND(list_cosine_similarity(eq.v, en.v), 6) DESC,
+        |            sl.neighbor_id) AS rank
+        |      FROM sl JOIN e eq ON eq.vec_id = sl.query_id
+        |              JOIN e en ON en.vec_id = sl.neighbor_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+        |          c.vec_id) AS rank
+        |    FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rank <= 3),
+        |mm AS (SELECT 'ivfpq_adc' AS method, query_id, neighbor_id
+        |         FROM pq WHERE rank <= 3
+        |       UNION ALL
+        |       SELECT 'ivfpq_rerank', query_id, neighbor_id
+        |         FROM rr WHERE rank <= 3),
+        |h AS (SELECT method, count(*) AS hits FROM mm
+        |      JOIN ex USING (query_id, neighbor_id) GROUP BY method),
+        |tot AS (SELECT count(*) AS total FROM ex)
+        |SELECT names.method, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |  tot.total,
+        |  ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / tot.total, 6) AS recall
+        |FROM (SELECT unnest(['ivfpq_adc', 'ivfpq_rerank']) AS method) names
+        |LEFT JOIN h ON h.method = names.method
+        |CROSS JOIN tot
+        |ORDER BY names.method""".stripMargin,
+    // q130's oracle is q57's full-recompute CC over the ENTIRE pair
+    // set — the Spark side computes it incrementally (standing labels
+    // + arriving batch), so the hash match IS the incremental==full
+    // equivalence proof.
+    "q130_incremental_canon" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, min(v) AS cluster_id,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS cluster_size
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "q124_negative_samples" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
         |d AS (SELECT e.vec_id AS anchor_id, gs.i AS sample_idx,
@@ -1493,57 +1723,11 @@ object ExtensionQueries {
         |  ROUND(n_before / tb, 6) AS frac_before,
         |  ROUND(n_after / ta, 6) AS frac_after
         |FROM j, tt ORDER BY lang""".stripMargin,
-    "q102_ann_ivf_pq" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
-        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
-        |             FROM e ORDER BY h, vec_id LIMIT 8)),
-        |ca AS (SELECT e.vec_id, e.v, ccb.list_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY ROUND(list_cosine_similarity(e.v, ccb.cc), 6) DESC,
-        |             ccb.list_id) AS crank
-        |       FROM e CROSS JOIN ccb),
-        |corpus AS (SELECT vec_id AS neighbor_id, list_id FROM ca WHERE crank = 1),
-        |pl AS (SELECT vec_id AS query_id, list_id
-        |       FROM ca WHERE crank <= 4 AND vec_id < 10),
-        |cand AS (SELECT p.query_id, c.neighbor_id
-        |         FROM pl p JOIN corpus c USING (list_id)
-        |         WHERE c.neighbor_id <> p.query_id),
-        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
-        |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
-        |cb AS (SELECT m, code_id, s AS c FROM (
-        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
-        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
-        |        vec_id) - 1 AS code_id
-        |    FROM sub) WHERE code_id < 16),
-        |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
-        |    SELECT sub.vec_id, sub.m, cb.code_id,
-        |      CAST(floor(list_aggregate(
-        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
-        |           FOR i IN generate_series(1, 8)], 'sum')
-        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
-        |    FROM sub JOIN cb USING (m))
-        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
-        |      ORDER BY d2, code_id) = 1),
-        |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
-        |      CAST(floor(list_aggregate(
-        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
-        |           FOR i IN generate_series(1, 8)], 'sum')
-        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
-        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10),
-        |adc AS (SELECT cd.query_id, cd.neighbor_id, CAST(sum(pt.d2) AS BIGINT) AS sd
-        |    FROM cand cd
-        |    JOIN enc ON enc.neighbor_id = cd.neighbor_id
-        |    JOIN pt ON pt.query_id = cd.query_id AND pt.m = enc.m
-        |           AND pt.code_id = enc.code_id
-        |    GROUP BY 1, 2)
-        |SELECT query_id, rank, neighbor_id,
-        |  ROUND(CAST(sd AS DOUBLE) / 1000000e0, 6) AS approx_d2
-        |FROM (SELECT query_id, neighbor_id, sd,
-        |        CAST(row_number() OVER (PARTITION BY query_id
-        |            ORDER BY sd, neighbor_id) AS INTEGER) AS rank
-        |      FROM adc)
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q102_ann_ivf_pq" -> ivfPqSeededOracle,
+    // q131 shares q102's oracle VERBATIM: the persisted index must
+    // return exactly what the inline operator returns — the hash match
+    // proves the store/encode/prune/read path, not just the algebra.
+    "q131_ann_index" -> ivfPqSeededOracle,
     "q126_ann_ivfpq_rerank" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc

@@ -94,6 +94,225 @@ class AnnIndexSpec extends SparkSpecBase {
       s"appended (odd-id) vectors never surface in results: $neighbors")
   }
 
+  test("streaming ingest with compactEvery bounds generations without changing results") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft_annstreamc").toString
+    val dir = s"$base/idx"
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIndex.indexStream(ms.toDF().toDF("vec_id", "embedding"),
+      dir, s"$base/ckpt", dim = 64, compactEvery = 2)
+    try {
+      Seq(0, 1, 2).foreach { third =>
+        ms.addData(rows.filter(_._1 % 3 == third).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/enc"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    assert(batchDirs.length == 1,
+      s"auto-compaction left ${batchDirs.toSeq} generations")
+    // completeness is exact at the index level: every ingested vector
+    // has its codes in the single surviving generation, exactly once
+    val encIds = spark.read.parquet(s"$dir/enc")
+      .select("neighbor_id").distinct().count()
+    val encRows = spark.read.parquet(s"$dir/enc")
+      .groupBy("neighbor_id").count().filter(col("count") =!= 8).count()
+    assert(encIds == rows.length,
+      s"compacted index holds $encIds of ${rows.length} vectors")
+    assert(encRows == 0, "a vector's codes were duplicated or truncated")
+    val probes = emb.filter(col("vec_id") < 10)
+    assert(AnnIndex.query(spark, dir, probes, k = 5, dim = 64).collect().nonEmpty)
+  }
+
+  test("rebuild on an existing path drops every stale encoded generation") {
+    val dir = Files.createTempDirectory("graft_annrebuild").toString + "/idx"
+    AnnIndex.build(emb, dir, dim = 64)
+    val probes = emb.filter(col("vec_id") < 10)
+    // grow the index, then REBUILD (retrain codebooks) — old codes
+    // decoded against new codebooks would silently corrupt ADC sums,
+    // so rebuild must drop the appended generation too
+    AnnIndex.appendBatch(probes.withColumn("vec_id", col("vec_id") + 10000L),
+      dir, dim = 64)
+    AnnIndex.build(emb, dir, dim = 64)
+    val rebuilt = AnnIndex.query(spark, dir, probes, k = 3, dim = 64)
+      .collect().map(key)
+    val fresh = Similarity.ivfPqTopKSeeded(emb, probes, k = 3, dim = 64)
+      .collect().map(key)
+    assert(rebuilt.nonEmpty && rebuilt.sameElements(fresh),
+      "rebuild left stale codes in the index")
+    assert(!rebuilt.exists(_._3 >= 10000L),
+      "pre-rebuild appended vectors survived the rebuild")
+  }
+
+  test("exists() is false until BOTH codebooks are committed (crashed build self-heals via rebuild)") {
+    val dir = Files.createTempDirectory("graft_annpartial").toString + "/idx"
+    assert(!AnnIndex.exists(spark, dir))
+    AnnIndex.build(emb, dir, dim = 64)
+    assert(AnnIndex.exists(spark, dir))
+    // simulate a build killed mid-codebook-write: sub/ lost its commit
+    // marker — the index must read as "absent" so a retrying stream
+    // rebuilds instead of appending against partial codebooks
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sub/_SUCCESS"), false)
+    assert(!AnnIndex.exists(spark, dir),
+      "partial codebooks still read as a committed index")
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendBatch(emb.limit(1), dir, dim = 64)
+    }
+    AnnIndex.build(emb, dir, dim = 64) // the retry path
+    assert(AnnIndex.exists(spark, dir))
+  }
+
+  test("compaction merges batch generations without changing query results") {
+    val dir = Files.createTempDirectory("graft_anncompact").toString + "/idx"
+    AnnIndex.build(emb, dir, dim = 64)
+    val probes = emb.filter(col("vec_id") < 10)
+    AnnIndex.appendBatch(probes.withColumn("vec_id", col("vec_id") + 10000L),
+      dir, dim = 64)
+    AnnIndex.appendBatch(probes.withColumn("vec_id", col("vec_id") + 20000L),
+      dir, dim = 64)
+    val before = AnnIndex.query(spark, dir, probes, k = 5, dim = 64)
+      .collect().map(key)
+    AnnIndex.compact(spark, dir)
+    val after = AnnIndex.query(spark, dir, probes, k = 5, dim = 64)
+      .collect().map(key)
+    assert(before.nonEmpty && before.sameElements(after),
+      "compaction changed query results")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // merged generation keeps the MAX folded id (2), so a streaming
+    // retry of the last engine batch still reads as committed
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/enc"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    assert(batchDirs.toSeq == Seq("batch=2"),
+      s"compaction left multiple generations: ${batchDirs.toSeq}")
+    // the last-batch retry is a no-op against the compacted generation
+    AnnIndex.appendBatch(probes.withColumn("vec_id", col("vec_id") + 20000L),
+      dir, dim = 64, batchId = 2L)
+    val retried = AnnIndex.query(spark, dir, probes, k = 5, dim = 64)
+      .collect().map(key)
+    assert(retried.sameElements(after),
+      "post-compaction retry of the folded last batch re-appended rows")
+    // still appendable and prunable afterwards
+    AnnIndex.appendBatch(probes.withColumn("vec_id", col("vec_id") + 30000L),
+      dir, dim = 64)
+    val plan = AnnIndex.query(spark, dir, probes, k = 3, dim = 64, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")),
+      "partition pruning lost after compaction")
+  }
+
+  test("a compaction killed at any swap step heals to a complete index") {
+    import org.apache.hadoop.fs.Path
+    val probes = emb.filter(col("vec_id") < 10)
+    def freshIndex(tag: String): (String, Array[(Long, Int, Long, Double)]) = {
+      val dir = Files.createTempDirectory(s"graft_anncrash$tag").toString + "/idx"
+      AnnIndex.build(emb, dir, dim = 64)
+      AnnIndex.appendBatch(probes.withColumn("vec_id", col("vec_id") + 10000L),
+        dir, dim = 64)
+      (dir, AnnIndex.query(spark, dir, probes, k = 5, dim = 64).collect().map(key))
+    }
+    val fs = new Path("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stageCompacted(dir: String): Path = {
+      // reproduce compact()'s staging step without its swap (indexes
+      // here hold batches 0 and 1, so the merged generation is 1)
+      val staging = new Path(s"$dir/enc._compacting")
+      spark.read.parquet(s"$dir/enc")
+        .withColumn("batch", lit(1L))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("batch", "list_id").parquet(staging.toString)
+      fs.create(new Path(staging, "batch=1/_SUCCESS")).close()
+      staging
+    }
+    // state 1: killed BEFORE the first rename (staging complete, enc
+    // intact) → heal rolls back the staging; old index serves
+    val (d1, r1) = freshIndex("a")
+    stageCompacted(d1)
+    val h1 = AnnIndex.query(spark, d1, probes, k = 5, dim = 64).collect().map(key)
+    assert(h1.sameElements(r1) && !fs.exists(new Path(s"$d1/enc._compacting")))
+    // state 2: killed BETWEEN the renames (enc moved to backup, staging
+    // complete) → heal rolls FORWARD to the compacted generation
+    val (d2, r2) = freshIndex("b")
+    stageCompacted(d2)
+    assert(fs.rename(new Path(s"$d2/enc"), new Path(s"$d2/enc._old")))
+    val h2 = AnnIndex.query(spark, d2, probes, k = 5, dim = 64).collect().map(key)
+    assert(h2.sameElements(r2) && !fs.exists(new Path(s"$d2/enc._old")))
+    // state 3: killed mid-STAGING-write (no reader gate) after enc was
+    // never touched; an uncommitted staging must roll back, and a
+    // backup-only state (staging lost) must roll back to the backup
+    val (d3, r3) = freshIndex("c")
+    val st3 = stageCompacted(d3)
+    fs.delete(new Path(st3, "batch=1/_SUCCESS"), false)
+    assert(fs.rename(new Path(s"$d3/enc"), new Path(s"$d3/enc._old")))
+    val h3 = AnnIndex.query(spark, d3, probes, k = 5, dim = 64).collect().map(key)
+    assert(h3.sameElements(r3), "uncommitted staging did not roll back to backup")
+  }
+
+  test("learned-codebook build: stored query == inline learned operator; recall not below seeded") {
+    val dir = Files.createTempDirectory("graft_annlearned").toString + "/idx"
+    AnnIndex.buildLearned(emb, dir, dim = 64)
+    val probes = emb.filter(col("vec_id") < 10)
+    val fromIndex = AnnIndex.query(spark, dir, probes, k = 3, dim = 64)
+      .collect().map(key)
+    val inline = Similarity.ivfPqTopKLearned(emb, probes, k = 3, dim = 64)
+      .collect().map(key)
+    assert(fromIndex.nonEmpty && fromIndex.sameElements(inline),
+      "learned-index round-trip diverged from the inline learned operator")
+    // recall@3 vs exact: the Lloyd-refined codebooks must not rank
+    // WORSE than the seeded sample they started from
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(rows: Array[(Long, Int, Long, Double)]): Double =
+      rows.count(r => exact.contains((r._1, r._3))).toDouble / exact.size
+    val seededDir = Files.createTempDirectory("graft_annseed").toString + "/idx"
+    AnnIndex.build(emb, seededDir, dim = 64)
+    val seeded = AnnIndex.query(spark, seededDir, probes, k = 3, dim = 64)
+      .collect().map(key)
+    assert(recall(fromIndex) >= recall(seeded),
+      s"learned recall ${recall(fromIndex)} below seeded ${recall(seeded)}")
+  }
+
+  test("a stale or corrupt enc/_manifest self-heals and never changes results") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_annmanifest").toString + "/idx"
+    AnnIndex.build(emb, dir, dim = 64)
+    val probes = emb.filter(col("vec_id") < 10)
+    AnnIndex.appendBatch(probes.withColumn("vec_id", col("vec_id") + 10000L),
+      dir, dim = 64)
+    val want = AnnIndex.query(spark, dir, probes, k = 5, dim = 64)
+      .collect().map(key)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new Path(s"$dir/enc/_manifest")
+    def overwrite(txt: String): Unit = {
+      val out = fs.create(mf, true)
+      out.write(txt.getBytes("UTF-8")); out.close()
+    }
+    def readMf(): String = {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    // stale: claims a batch that was never written, misses batch 1
+    overwrite("0,999")
+    val got1 = AnnIndex.query(spark, dir, probes, k = 5, dim = 64)
+      .collect().map(key)
+    assert(got1.sameElements(want), "stale manifest changed results")
+    assert(readMf() == "0,1", s"manifest not healed: ${readMf()}")
+    // corrupt: unparseable → ignored, rebuilt from _SUCCESS probes
+    overwrite("not-a-manifest")
+    val got2 = AnnIndex.query(spark, dir, probes, k = 5, dim = 64)
+      .collect().map(key)
+    assert(got2.sameElements(want) && readMf() == "0,1",
+      "corrupt manifest not healed")
+  }
+
   test("appended exact-duplicate vectors become searchable without retraining") {
     val dir = Files.createTempDirectory("graft_annapp").toString + "/idx"
     AnnIndex.build(emb, dir, dim = 64)

@@ -405,6 +405,47 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("incremental canonicalization == full CC recompute on append workloads") {
+    import spark.implicits._
+    def toSet(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val all = (0 until 150).map { i =>
+      val a = (i * 2654435761L) % 61; val b = (i * 40503L + 7) % 61
+      (math.min(a, b), math.max(a, b) + 1)
+    }
+    // split rules: which pairs were already in the standing corpus
+    val splits: Seq[((Long, Long)) => Boolean] = Seq(
+      { case (a, b) => a % 2 == 0 && b % 2 == 0 }, // arriving = odd-touching
+      { case (a, b) => a < 30 && b < 30 },         // arriving = high ids
+      _ => false,                                  // everything arrives at once
+      _ => true)                                   // nothing arrives
+    splits.foreach { isOld =>
+      val oldPairs = all.filter(isOld).toDF("doc_a", "doc_b")
+      val newPairs = all.filterNot(isOld).toDF("doc_a", "doc_b")
+      val labels = Dedup.connectedComponentsAuto(oldPairs, "doc_a", "doc_b")
+        .select("doc_id", "cluster_id")
+      val inc = toSet(Dedup.assignToExistingClusters(labels, newPairs,
+        "doc_a", "doc_b"))
+      val full = toSet(Dedup.connectedComponentsAuto(
+        all.toDF("doc_a", "doc_b"), "doc_a", "doc_b"))
+      assert(inc == full, s"incremental diverged from full recompute")
+    }
+  }
+
+  test("incremental canonicalization merges two standing components bridged by one arriving doc") {
+    import spark.implicits._
+    // standing: {0,2} labeled 0 and {4,6} labeled 4; doc 1 arrives
+    // pairing with both — union-find would merge them, so must we
+    val labels = Dedup.connectedComponentsAuto(
+      Seq((0L, 2L), (4L, 6L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .select("doc_id", "cluster_id")
+    val got = Dedup.assignToExistingClusters(labels,
+      Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(0L, 1L, 2L, 4L, 6L).map(d => (d, 0L, 5L)),
+      s"bridge merge wrong: $got")
+  }
+
   test("duplicated-span removal cuts the shared passage at any offset and spares the rest") {
     import spark.implicits._
     val passage = (1 to 8).map(i => s"p$i").mkString(" ")

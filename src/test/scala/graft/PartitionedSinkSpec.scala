@@ -49,6 +49,25 @@ class PartitionedSinkSpec extends SparkSpecBase {
       == Set(1L, 2L, 3L, 5L))
   }
 
+  test("a legacy flat-append table migrates into the batch layout on heal") {
+    import graft.engine.IdempotentSink
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_legacy").toString + "/t"
+    // pre-batch layout: loose part files at the table root — under the
+    // batch contract this reads as "not a table", so an un-migrated
+    // append would skip key-dedup and then mix hive/non-hive layouts
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(dir)
+    IdempotentSink.appendIfAbsent(spark,
+      Seq((2L, "dup"), (3L, "c")).toDF("k", "v"), dir, Seq("k"))
+    assert(IdempotentSink.read(spark, dir).select("k").as[Long].collect().toSet
+      == Set(1L, 2L, 3L), "legacy rows lost or duplicate key admitted")
+    val root = new java.io.File(dir)
+    assert(!root.listFiles.exists(f => f.isFile && f.getName.startsWith("part-")),
+      "loose legacy part files survived migration")
+    assert(root.listFiles.count(f => f.isDirectory && f.getName.startsWith("batch=")) == 2,
+      "expected the migrated batch plus the appended one")
+  }
+
   test("compaction preserves data and reduces file count") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     val events = Tables.events(spark, sf("sf0.001"))
