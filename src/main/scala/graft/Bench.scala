@@ -85,8 +85,17 @@ object Bench {
     try run("q01_scan_filter") catch { case _: Throwable => () }
     releaseCheckpoints()
 
+    // SPARK_GRAFT_ONLY=q129_ann_recall,q130_... restricts the suite —
+    // for standing-table maintenance (measure a few new queries on a
+    // quiet host) and targeted noise checks, not driver runs (the
+    // driver sets no filter and always benches everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
     shuffleAcc.set(0)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val results = selected.map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { run(name); true }
