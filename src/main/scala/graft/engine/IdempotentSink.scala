@@ -74,6 +74,60 @@ object IdempotentSink {
     spark.read.parquet(path).drop("batch")
   }
 
+  /** TIME-TRAVEL read: the table as it stood after batch `maxBatchId`
+    * committed — the same partition-pruned scan as [[read]], filtered
+    * on the `batch` partition column (no data file outside the asked
+    * range is opened). Granularity is the RETAINED generations:
+    * [[compact]] folds history into its max id, so after compaction an
+    * as-of below that id resolves to the pre-compaction batches that
+    * still exist — the usual retention trade (fold small files, lose
+    * per-append history), made explicit here instead of silent.
+    */
+  def readAsOf(spark: SparkSession, path: String, maxBatchId: Long): DataFrame = {
+    heal(spark, path)
+    spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("batch") <= maxBatchId)
+      .drop("batch")
+  }
+
+  /** Fold every committed `batch=N` generation into ONE — the
+    * small-file remedy for a long-appending table, which otherwise
+    * accretes a directory per append forever (same flaw, and same
+    * staged-swap cure, as `AnnIndex.compact`). Rows are IDENTICAL
+    * before and after; only the file layout changes.
+    *
+    * The merged generation keeps the MAX folded id, not 0: the next
+    * append's id is max+1, so folded ids are never reissued and
+    * [[readAsOf]] stays monotone. Publish is crash-safe: the merged
+    * table is staged as a complete sibling directory (parquet's root
+    * `_SUCCESS` marks it durable), then swapped in by two atomic
+    * renames; [[heal]] — which every entry point runs first — rolls a
+    * writer killed at any step forward (staging durable) or back (old
+    * table intact in the backup). Single-writer-per-table, as for
+    * every mutation here.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    heal(spark, path)
+    if (!exists(spark, path)) return
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    val batches = fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+    if (batches.length <= 1) return
+    val genId = batches.max
+    val staging = new Path(path + "._compacting")
+    val backup = new Path(path + "._old")
+    fs.delete(staging, true)
+    fs.delete(backup, true)
+    spark.read.parquet(path)
+      .withColumn("batch", org.apache.spark.sql.functions.lit(genId))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch")
+      .parquet(staging.toString)
+    renameOrThrow(fs, p, backup)
+    renameOrThrow(fs, staging, p)
+    fs.delete(backup, true)
+  }
+
   /** Resolve a crashed writer: durable staging (has `_SUCCESS`) rolls
     * FORWARD — its single commit rename is completed; partial staging
     * rolls BACK (deleted). Either way readers see a complete table.
@@ -91,6 +145,22 @@ object IdempotentSink {
   def heal(spark: SparkSession, path: String): Unit = {
     val p = new Path(path)
     val fs = fsOf(spark, p)
+    // recover an interrupted [[compact]] swap first (the swap briefly
+    // removes the table dir itself): durable staging (root `_SUCCESS`)
+    // rolls FORWARD — checked before the backup, because a kill
+    // between the two swap renames leaves BOTH and the staging is the
+    // committed truth; otherwise the backup rolls BACK. With the
+    // table present, leftovers are abandoned attempts — dropped.
+    val staging = new Path(path + "._compacting")
+    val backup = new Path(path + "._old")
+    if (!fs.exists(p)) {
+      if (fs.exists(new Path(staging, "_SUCCESS"))) renameOrThrow(fs, staging, p)
+      else if (fs.exists(backup)) renameOrThrow(fs, backup, p)
+    }
+    if (fs.exists(p)) {
+      if (fs.exists(backup)) fs.delete(backup, true)
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
     if (!fs.exists(p)) return
     fs.listStatus(p).filter(_.getPath.getName.startsWith("._staging_batch="))
       .foreach { s =>

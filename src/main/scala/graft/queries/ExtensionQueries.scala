@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.Tables
+import graft.engine.{IdempotentSink, Tables}
 import graft.functions.Md5Family
 import graft.operators._
 
@@ -1019,7 +1019,85 @@ object ExtensionQueries {
     AnnIndex.query(s, idx, emb.filter(col("vec_id") < 10), k = 3, dim = 64)
   }
 
+  /** q132: the training-data pipeline FUNNEL, end-to-end per source —
+    * raw docs → C4-style clean (q127's operator) → exact dedup among
+    * the keepers (q20's operator, keyed on md5(text) so the dedup
+    * shuffle moves 32-char digests, not document bodies) → canonical
+    * token totals → mixture share. One registered DAG composing the
+    * real operators, not re-implementations: the hash match certifies
+    * that the STAGES compose, which is what a pipeline user actually
+    * runs. Counts stay exact integers; the single share division is
+    * last. Scale: two doc-partitioned projections, one digest-keyed
+    * dedup shuffle, a 20-group aggregate, and a broadcast 1-row total.
+    */
+  private val pipelineFunnelQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val clean = TextAnalysis.cleanCorpus(docs, "doc_id", "text")
+    // kept feeds BOTH sides of the dedup self-join below — checkpoint
+    // it once (project invariant) instead of cleaning the corpus twice
+    val kept = docs.select("doc_id", "source", "text").join(
+      clean.filter(col("keep") === 1).select("doc_id", "n_tokens"), Seq("doc_id"))
+      .localCheckpoint()
+    val canonIds = Dedup.exactDedup(
+      kept.withColumn("text_key", md5(col("text"))), "text_key", "doc_id")
+      .select("doc_id")
+    val canonDocs = kept.join(canonIds, Seq("doc_id"))
+    val base = docs.groupBy("source").agg(count(lit(1)).as("docs_in"))
+    val keptAgg = kept.groupBy("source").agg(count(lit(1)).as("docs_kept"))
+    val canonAgg = canonDocs.groupBy("source").agg(
+      count(lit(1)).as("docs_canonical"),
+      sum(col("n_tokens").cast("long")).as("tokens_canonical"))
+    val total = canonDocs.agg(
+      sum(col("n_tokens").cast("long")).as("total_tokens"))
+    base.join(keptAgg, Seq("source"), "left")
+      .join(canonAgg, Seq("source"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("docs_in"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("docs_canonical"), lit(0L)).as("docs_canonical"),
+        coalesce(col("tokens_canonical"), lit(0L)).as("tokens_canonical"),
+        round(coalesce(col("tokens_canonical"), lit(0L)).cast("double")
+          / col("total_tokens"), 6).as("token_share"))
+      .orderBy("source")
+  }
+
+  /** q133: the batch STORE end-to-end — documents flow into an
+    * `IdempotentSink` table in three key-overlapping appends (each
+    * re-delivers a slice of the previous batch, as a retrying loader
+    * would), the generations are compacted, and the table is read
+    * back through the healed reader into a per-source summary. The
+    * oracle is a plain aggregate over `documents`: a hash match
+    * certifies the stage/commit/key-dedup/compact/read path preserved
+    * exactly one copy of every row — the store's whole contract.
+    */
+  private val sinkRoundtripQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "source", "text").localCheckpoint()
+    val store = java.nio.file.Files.createTempDirectory("graft_q133_sink")
+      .toString + "/t"
+    // three appends with overlapping key ranges: [0,45%), [40%,75%),
+    // [70%,100%) of the id space — every boundary slice re-delivers
+    val ids = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    def slice(a: Double, b: Double) = docs.filter(
+      col("doc_id") >= lo + (span * a).toLong &&
+        col("doc_id") < lo + (span * b).toLong + (if (b >= 1.0) 1 else 0))
+    IdempotentSink.appendIfAbsent(s, slice(0.0, 0.45), store, Seq("doc_id"))
+    IdempotentSink.appendIfAbsent(s, slice(0.40, 0.75), store, Seq("doc_id"))
+    IdempotentSink.appendIfAbsent(s, slice(0.70, 1.0), store, Seq("doc_id"))
+    IdempotentSink.compact(s, store)
+    IdempotentSink.read(s, store)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(length(col("text")).cast("long")).as("chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_sink_roundtrip" -> sinkRoundtripQ,
+    "q132_pipeline_funnel" -> pipelineFunnelQ,
     "q131_ann_index" -> annIndexQ,
     "q130_incremental_canon" -> incrementalCanonQ,
     "q129_ann_recall" -> annRecallQ,
@@ -1266,6 +1344,51 @@ object ExtensionQueries {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q133: the store round-trip must reproduce the source table
+    // exactly — the oracle aggregates `documents` directly, so the
+    // hash match is over WHAT SURVIVED the staged appends, key dedup,
+    // compaction, and healed read.
+    "q133_sink_roundtrip" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q132: q127's clean rules + q20's dedup (keyed on md5(text)) +
+    // token totals, per source — the funnel every stage's own oracle
+    // already verifies in isolation, composed. Counts CAST to BIGINT
+    // (DuckDB sums INTEGER into HUGEINT); the share division is last.
+    "q132_pipeline_funnel" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id, source, text,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  ROUND(CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |    / len(toks), 6) AS stopword_ratio,
+        |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+        |FROM t),
+        |kept AS (SELECT doc_id, source, text, n_tokens FROM m
+        |  WHERE n_tokens >= 10 AND stopword_ratio >= 0.05e0 AND ttr >= 0.2e0),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        |canon_docs AS (SELECT k.source, k.n_tokens
+        |  FROM kept k JOIN canon c USING (doc_id)),
+        |base AS (SELECT source, count(*) AS docs_in FROM documents GROUP BY source),
+        |keptagg AS (SELECT source, count(*) AS docs_kept FROM kept GROUP BY source),
+        |canonagg AS (SELECT source, count(*) AS docs_canonical,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_canonical
+        |  FROM canon_docs GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM canon_docs)
+        |SELECT b.source, b.docs_in,
+        |  coalesce(k.docs_kept, 0) AS docs_kept,
+        |  coalesce(c.docs_canonical, 0) AS docs_canonical,
+        |  coalesce(c.tokens_canonical, 0) AS tokens_canonical,
+        |  ROUND(CAST(coalesce(c.tokens_canonical, 0) AS DOUBLE)
+        |    / t.total_tokens, 6) AS token_share
+        |FROM base b
+        |LEFT JOIN keptagg k USING (source)
+        |LEFT JOIN canonagg c USING (source)
+        |CROSS JOIN tot t
+        |ORDER BY b.source""".stripMargin,
     // q129: q102's ADC chain + q126's rerank + q24's exact top-k,
     // composed into one recall report — every tier's result set is the
     // SAME CTE shape its own oracle uses, so a hash match here means

@@ -69,6 +69,7 @@ object StreamingPower {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions.col
     val spark = batch.sparkSession
+    graft.engine.BatchStore.heal(spark, indexPath)
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchDir = new Path(root, s"batch_id=$batchId")
@@ -98,15 +99,21 @@ object StreamingPower {
 
   /** The loop as a streaming query: each micro-batch dedups against —
     * and grows — the index via `foreachBatch`, keyed by the engine's
-    * batch id so retried micro-batches stay idempotent.
+    * batch id so retried micro-batches stay idempotent. `compactEvery
+    * = n` folds the accreted batch dirs back to ONE whenever ≥ n
+    * commit (`BatchStore.compact` — safe inside the same foreachBatch
+    * because the stream IS the single writer); 0 = never.
     */
   def dedupStreamAgainstIndex(docs: DataFrame, idCol: String, textCol: String,
-      indexPath: String, checkpoint: String,
-      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+      indexPath: String, checkpoint: String, threshold: Double = 0.5,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dedupStepAgainstIndex(batch, idCol, textCol, indexPath, threshold, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, indexPath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, indexPath)
       }
       .start()
 
@@ -123,6 +130,7 @@ object StreamingPower {
   def countMinStep(batch: DataFrame, textCol: String, storePath: String,
       batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
     val root = new Path(storePath)
     val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     val batchDir = new Path(root, s"batch_id=$batchId")
@@ -132,20 +140,38 @@ object StreamingPower {
       .write.mode("overwrite").parquet(batchDir.toString)
   }
 
-  /** The loop as a streaming query over a document stream. */
+  /** The count-min MERGE as a compaction hook: counters sum per
+    * (r, c) — the folded generation is ≤ depth×width rows however
+    * many batches it absorbed, and `mergedCountMin`'s read-side sum
+    * over it is unchanged (sum is associative).
+    */
+  val countMinMerge: DataFrame => DataFrame =
+    _.groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
+
+  /** The loop as a streaming query over a document stream.
+    * `compactEvery = n` folds the store to one MERGED generation
+    * (constant-size: [[countMinMerge]]) whenever ≥ n batches commit.
+    */
   def countMinStream(docs: DataFrame, textCol: String, storePath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         countMinStep(batch, textCol, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            countMinMerge)
       }
       .start()
 
   /** The merged sketch across every committed batch: sum per (r, c). */
-  def mergedCountMin(spark: SparkSession, storePath: String): DataFrame =
+  def mergedCountMin(spark: SparkSession, storePath: String): DataFrame = {
+    graft.engine.BatchStore.heal(spark, storePath)
     spark.read.parquet(storePath)
       .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** One micro-batch of the streaming HISTOGRAM store: the batch's
     * fixed-edge histogram written to a per-batch-id dir with the same
@@ -156,6 +182,7 @@ object StreamingPower {
   def histogramStep(batch: DataFrame, valueCol: String, lo: Double,
       hi: Double, bins: Int, storePath: String, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
     val root = new Path(storePath)
     val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     val batchDir = new Path(root, s"batch_id=$batchId")
@@ -164,23 +191,38 @@ object StreamingPower {
       .write.mode("overwrite").parquet(batchDir.toString)
   }
 
-  /** The loop as a streaming query over a value stream. */
+  /** Histogram MERGE as a compaction hook: bin counters sum — the
+    * folded generation is ≤ `bins` rows (see [[countMinMerge]]).
+    */
+  val histogramMerge: DataFrame => DataFrame =
+    _.groupBy("bin").agg(sum(col("bcnt")).as("bcnt"))
+
+  /** The loop as a streaming query over a value stream. `compactEvery
+    * = n` folds the store to one MERGED generation whenever ≥ n
+    * batches commit.
+    */
   def histogramStream(rows: DataFrame, valueCol: String, lo: Double,
-      hi: Double, bins: Int, storePath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      hi: Double, bins: Int, storePath: String, checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         histogramStep(batch, valueCol, lo, hi, bins, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            histogramMerge)
       }
       .start()
 
   /** Merged histogram across every committed batch: sum per bin —
     * feed to `Sketches.quantilesFromHistogram` for the readout.
     */
-  def mergedHistogram(spark: SparkSession, storePath: String): DataFrame =
+  def mergedHistogram(spark: SparkSession, storePath: String): DataFrame = {
+    graft.engine.BatchStore.heal(spark, storePath)
     spark.read.parquet(storePath)
       .groupBy("bin").agg(sum(col("bcnt")).as("bcnt"))
+  }
 
   /** One micro-batch of the streaming CDC ingest: the batch's raw
     * changelog rows land under `batch_id=<id>` with the same
@@ -193,6 +235,7 @@ object StreamingPower {
     */
   def cdcStep(batch: DataFrame, storePath: String, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
     val root = new Path(storePath)
     val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     val batchDir = new Path(root, s"batch_id=$batchId")
@@ -200,22 +243,32 @@ object StreamingPower {
     batch.write.mode("overwrite").parquet(batchDir.toString)
   }
 
-  /** The loop as a streaming query over a changelog stream. */
-  def cdcStream(changelog: DataFrame, storePath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+  /** The loop as a streaming query over a changelog stream.
+    * `compactEvery = n` folds the accreted batch dirs to one whenever
+    * ≥ n commit — an IDENTITY fold (CDC keeps rows: `applyChangelog`
+    * needs the full op history, so there is no lossy merge to apply;
+    * the win is file count and listing cost only).
+    */
+  def cdcStream(changelog: DataFrame, storePath: String, checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     changelog.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cdcStep(batch, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath)
       }
       .start()
 
   /** Current table state across every committed changelog batch. */
   def cdcCurrentState(spark: SparkSession, storePath: String, keyCol: String,
-      seqCol: String, opCol: String, attrCols: Seq[String]): DataFrame =
+      seqCol: String, opCol: String, attrCols: Seq[String]): DataFrame = {
+    graft.engine.BatchStore.heal(spark, storePath)
     graft.operators.Cdc.applyChangelog(
       spark.read.parquet(storePath).drop("batch_id"),
       keyCol, seqCol, opCol, attrCols)
+  }
 
   /** STREAM-STREAM interval join: purchases attributed to the same
     * user's clicks within a lookback window, both sides live streams.

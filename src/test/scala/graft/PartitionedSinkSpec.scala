@@ -145,4 +145,116 @@ class PartitionedSinkSpec extends SparkSpecBase {
     readable(t4)
     assert(!fs.exists(new Path(t4 + "._old")), "backup not tidied")
   }
+
+  test("idempotent-sink compaction folds generations; appends and key-dedup continue above the folded id") {
+    import graft.engine.IdempotentSink
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sinkc").toString + "/t"
+    (0 until 5).foreach { i =>
+      IdempotentSink.appendIfAbsent(spark,
+        Seq((i.toLong, s"v$i"), (i + 100L, s"w$i")).toDF("k", "v"), dir, Seq("k"))
+    }
+    val before = IdempotentSink.read(spark, dir)
+      .as[(Long, String)].collect().toSet
+    def batchDirs() = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(batchDirs().length == 5)
+    IdempotentSink.compact(spark, dir)
+    assert(batchDirs().toSeq == Seq("batch=4"),
+      s"expected one generation at the MAX folded id, got ${batchDirs().toSeq}")
+    assert(IdempotentSink.read(spark, dir).as[(Long, String)].collect().toSet
+      == before, "compaction changed rows")
+    // next append ids continue ABOVE the folded id (never reissued) and
+    // key-dedup still sees the folded rows
+    IdempotentSink.appendIfAbsent(spark,
+      Seq((2L, "dup"), (200L, "new")).toDF("k", "v"), dir, Seq("k"))
+    assert(batchDirs().sorted.toSeq == Seq("batch=4", "batch=5"))
+    assert(IdempotentSink.read(spark, dir).as[(Long, String)].collect().toSet
+      == before + ((200L, "new")), "folded key re-admitted or append lost")
+    // a second compact on a single generation is a no-op
+    IdempotentSink.compact(spark, dir)
+    IdempotentSink.compact(spark, dir)
+    assert(batchDirs().toSeq == Seq("batch=5"))
+  }
+
+  test("a writer killed at ANY point of the idempotent-sink compact swap heals to a complete table") {
+    import graft.engine.IdempotentSink
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sinkck").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def freshTable(name: String): (String, Set[Long]) = {
+      val dir = s"$base/$name"
+      (0 until 3).foreach { i =>
+        IdempotentSink.appendIfAbsent(spark,
+          Seq((i.toLong, "x")).toDF("k", "v"), dir, Seq("k"))
+      }
+      (dir, Set(0L, 1L, 2L))
+    }
+    def stage(dir: String): Unit =
+      spark.read.parquet(dir).withColumn("batch", lit(2L))
+        .write.partitionBy("batch").parquet(dir + "._compacting")
+    def keys(dir: String): Set[Long] =
+      IdempotentSink.read(spark, dir).select("k").as[Long].collect().toSet
+
+    // 1. staging durable, table intact (killed before first rename):
+    //    heal drops the abandoned staging
+    val (t1, k1) = freshTable("t1")
+    stage(t1)
+    assert(keys(t1) == k1)
+    assert(!fs.exists(new Path(t1 + "._compacting")), "staging not tidied")
+
+    // 2. killed between the renames (table at backup, staging durable):
+    //    staging is the committed truth — heal rolls FORWARD
+    val (t2, k2) = freshTable("t2")
+    stage(t2)
+    fs.rename(new Path(t2), new Path(t2 + "._old"))
+    assert(keys(t2) == k2)
+    assert(!fs.exists(new Path(t2 + "._old")), "backup not tidied")
+
+    // 3. same position but staging NOT durable (no _SUCCESS): heal
+    //    rolls BACK to the intact old table
+    val (t3, k3) = freshTable("t3")
+    stage(t3)
+    fs.delete(new Path(t3 + "._compacting/_SUCCESS"), false)
+    fs.rename(new Path(t3), new Path(t3 + "._old"))
+    assert(keys(t3) == k3)
+    assert(!fs.exists(new Path(t3 + "._compacting")), "partial staging kept")
+
+    // 4. killed after the swap, before backup delete
+    val (t4, k4) = freshTable("t4")
+    stage(t4)
+    fs.rename(new Path(t4), new Path(t4 + "._bak_tmp"))
+    fs.rename(new Path(t4 + "._compacting"), new Path(t4))
+    fs.rename(new Path(t4 + "._bak_tmp"), new Path(t4 + "._old"))
+    assert(keys(t4) == k4)
+    assert(!fs.exists(new Path(t4 + "._old")), "backup not tidied")
+  }
+
+  test("readAsOf time-travels to each committed batch with partition-pruned scans") {
+    import graft.engine.IdempotentSink
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_asof").toString + "/t"
+    (0 until 4).foreach { i =>
+      IdempotentSink.appendIfAbsent(spark,
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), dir, Seq("k"))
+    }
+    (0 until 4).foreach { i =>
+      assert(IdempotentSink.readAsOf(spark, dir, i).select("k")
+        .as[Long].collect().toSet == (0 to i).map(_.toLong).toSet,
+        s"as-of $i wrong")
+    }
+    // the as-of filter reaches the scan as a partition filter — files
+    // outside the asked range are never opened
+    val plan = IdempotentSink.readAsOf(spark, dir, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("batch"),
+      s"as-of not partition-pruned:\n$plan")
+    // after compaction, history granularity is the retained generation:
+    // everything folded into batch=3, so as-of 3 is the full table and
+    // as-of below it is empty (documented retention trade)
+    IdempotentSink.compact(spark, dir)
+    assert(IdempotentSink.readAsOf(spark, dir, 3).count() == 4)
+    assert(IdempotentSink.readAsOf(spark, dir, 2).count() == 0)
+  }
 }

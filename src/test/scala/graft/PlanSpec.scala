@@ -315,4 +315,36 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"rolling window fell back to a range join:\n$plan")
   }
+
+  test("incremental canonicalization broadcasts only the bounded relabel map (label table never shuffles corpus-scale)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val pairs = Seq((2L, 11L), (11L, 10L)).toDF("a", "b")
+    val df = graft.operators.Dedup.assignToExistingClusters(labels, pairs, "a", "b")
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    val broadcasts = nodes.collect { case b: BroadcastExchangeExec => b }
+    assert(broadcasts.nonEmpty, "expected the relabel map to broadcast")
+    // the relabel map is a checkpointed bounded artifact — a file scan
+    // under a broadcast would mean corpus-scale data in the broadcast
+    // (same regression class the IVF+PQ assertion guards)
+    broadcasts.foreach { b =>
+      assert(!flattenPlan(b.child).exists(_.isInstanceOf[FileSourceScanExec]),
+        s"file scan under the relabel broadcast:\n$b")
+    }
+  }
+
+  test("pipeline funnel dedups on digests and broadcasts only the 1-row total") {
+    val df = graft.queries.ExtensionQueries.queries("q132_pipeline_funnel")(
+      spark, sf("sf0.001"))
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"funnel planned a cartesian:\n$plan")
+    // the exact-dedup aggregate keys on the md5 digest, never the raw
+    // document body — the body must not appear as a grouping key
+    assert("HashAggregate.*keys=\\[text#".r.findFirstIn(plan).isEmpty,
+      s"dedup grouped by raw text (body-sized shuffle):\n$plan")
+    assert(plan.contains("text_key"), s"digest key missing from the plan:\n$plan")
+  }
 }

@@ -447,4 +447,135 @@ class StreamingSpec extends SparkSpecBase {
       assert(perUserGot.getOrElse(u, 0) >= n - 1, s"user $u lost sessions")
     }
   }
+
+  test("dedup-index stream with compactEvery folds generations without changing the index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexPath = Files.createTempDirectory("graft_dedup_cx").toString + "/index"
+    val ckpt = Files.createTempDirectory("graft_dedup_cx_ck").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingPower.dedupStreamAgainstIndex(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", indexPath, ckpt,
+      compactEvery = 2)
+    ms.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+    q.processAllAvailable()
+    ms.addData(
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "sphinx of black quartz judge my vow tonight"))
+    q.processAllAvailable()
+    ms.addData(
+      (5L, "pack my box with five dozen liquor jugs"),
+      (6L, "how vexingly quick daft zebras jump today"))
+    q.processAllAvailable()
+    q.stop()
+    // same survivors as the uncompacted run would keep
+    val ids = spark.read.parquet(indexPath).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L, 6L), s"index holds $ids after compaction")
+    // generations actually folded: at most the folded one + one live
+    def dirs() = new java.io.File(indexPath).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName)
+    assert(dirs().length <= 2, s"store did not fold: ${dirs().toSeq}")
+    // a retry of the FOLDED last engine batch is still a no-op (its
+    // dir exists, committed, as the folded generation)
+    val last = graft.engine.BatchStore.committedBatches(spark, indexPath).max
+    StreamingPower.dedupStepAgainstIndex(
+      Seq((6L, "how vexingly quick daft zebras jump today")).toDF("doc_id", "text"),
+      "doc_id", "text", indexPath, batchId = last)
+    assert(spark.read.parquet(indexPath).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == ids,
+      "retry of the folded batch id mutated the store")
+  }
+
+  test("count-min store compaction merges to a constant-size generation with identical estimates") {
+    import spark.implicits._
+    val storePath = Files.createTempDirectory("graft_cm_cx").toString + "/sketch"
+    val texts = Seq("a b a c", "b b d", "a d d e", "e e a b")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      StreamingPower.countMinStep(
+        Seq((i.toLong, t)).toDF("doc_id", "text"), "text", storePath, i.toLong)
+    }
+    val before = StreamingPower.mergedCountMin(spark, storePath)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.engine.BatchStore.compact(spark, storePath, StreamingPower.countMinMerge)
+    val after = StreamingPower.mergedCountMin(spark, storePath)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after == before, "compaction changed the merged sketch")
+    def dirs() = new java.io.File(storePath).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName)
+    assert(dirs().toSeq == Seq("batch_id=3"), s"expected one folded generation, got ${dirs().toSeq}")
+    // the folded generation is the MERGED sketch: one row per touched
+    // (r, c), not per-batch copies
+    val rows = spark.read.parquet(storePath)
+    assert(rows.groupBy("r", "c").count().filter(col("count") > 1).count() == 0,
+      "folded generation still holds per-batch duplicate counters")
+    // append after compaction continues above the folded id
+    StreamingPower.countMinStep(
+      Seq((9L, "z z z")).toDF("doc_id", "text"), "text", storePath, 4L)
+    val est = graft.operators.Sketches.countMinEstimates(
+      Seq("z").toDF("token"), "token",
+      StreamingPower.mergedCountMin(spark, storePath))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("z") >= 3L, "post-compaction append lost counts")
+  }
+
+  test("a writer killed at ANY point of the batch-store compact swap heals to a complete store") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bs_kill").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def freshStore(name: String): String = {
+      val p = s"$base/$name"
+      (0 until 3).foreach { i =>
+        StreamingPower.countMinStep(
+          Seq((i.toLong, s"tok$i tok$i common")).toDF("doc_id", "text"),
+          "text", p, i.toLong)
+      }
+      p
+    }
+    def merged(p: String) = StreamingPower.mergedCountMin(spark, p)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expect = merged(freshStore("ref"))
+    def stage(p: String): Unit = {
+      StreamingPower.countMinMerge(spark.read.parquet(p).drop("batch_id"))
+        .withColumn("batch_id", lit(2L))
+        .write.partitionBy("batch_id").parquet(p + "._compacting")
+      fs.create(new Path(p + "._compacting/batch_id=2/_SUCCESS")).close()
+    }
+
+    // 1. staging durable, store intact: heal drops the leftover
+    val t1 = freshStore("t1")
+    stage(t1)
+    assert(merged(t1) == expect)
+    assert(!fs.exists(new Path(t1 + "._compacting")), "staging not tidied")
+
+    // 2. killed between the renames (store at backup, staging committed
+    //    via its per-dir marker): heal rolls FORWARD
+    val t2 = freshStore("t2")
+    stage(t2)
+    fs.rename(new Path(t2), new Path(t2 + "._old"))
+    assert(merged(t2) == expect)
+    assert(!fs.exists(new Path(t2 + "._old")), "backup not tidied")
+
+    // 3. same position but the per-dir marker missing (killed before
+    //    the staging commit point): heal rolls BACK
+    val t3 = freshStore("t3")
+    stage(t3)
+    fs.delete(new Path(t3 + "._compacting/batch_id=2/_SUCCESS"), false)
+    fs.rename(new Path(t3), new Path(t3 + "._old"))
+    assert(merged(t3) == expect)
+    assert(!fs.exists(new Path(t3 + "._compacting")), "partial staging kept")
+
+    // 4. killed after the swap, before the backup delete
+    val t4 = freshStore("t4")
+    stage(t4)
+    fs.rename(new Path(t4), new Path(t4 + "._bak_tmp"))
+    fs.rename(new Path(t4 + "._compacting"), new Path(t4))
+    fs.rename(new Path(t4 + "._bak_tmp"), new Path(t4 + "._old"))
+    assert(merged(t4) == expect)
+    assert(!fs.exists(new Path(t4 + "._old")), "backup not tidied")
+  }
 }
