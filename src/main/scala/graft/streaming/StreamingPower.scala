@@ -117,6 +117,161 @@ object StreamingPower {
       }
       .start()
 
+  /** One micro-batch of STREAMING CANONICALIZATION: maintain a
+    * persisted (doc_id, cluster_id, cluster_size) label table over an
+    * ever-growing corpus without ever replaying global connected
+    * components — the streaming tier of `assignToExistingClusters`.
+    * Layout under `storePath/`: `docs/` (the corpus text, one
+    * `batch_id=N` generation per micro-batch, `_SUCCESS`-gated like
+    * every batch store) and `labels/` (the label table, republished by
+    * a staged whole-dir swap each step).
+    *
+    * Per step: (1) append the batch's docs; (2) near-dup pairs
+    * batch-vs-standing (`minhashLshJoin` — standing side EXCLUDES the
+    * batch's own generation, so a retry after a partial docs write can
+    * never pair the batch with itself) and within-batch
+    * (`minhashLshPairs`); (3) fold the pairs into the standing labels
+    * — O(new edges); (4) publish the updated labels, committed by an
+    * `_applied` marker (content: the batch id) created LAST inside the
+    * staged dir — named like `_SUCCESS`, with no `=`, so Spark's file
+    * index filters it and partition inference never reads it:
+    * a retried micro-batch whose marker already matches is a no-op
+    * BEFORE any compute, and a kill at any swap step heals forward
+    * (marker present) or back (old labels intact). Docs not in the
+    * label table are canonical-and-unique, matching the batch
+    * operators' vertices-from-edges contract.
+    */
+  def canonicalStep(batch: DataFrame, idCol: String, textCol: String,
+      storePath: String, threshold: Double = 0.5, batchId: Long = 0L,
+      shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val docsPath = s"$storePath/docs"
+    val labelsPath = s"$storePath/labels"
+    graft.engine.BatchStore.heal(spark, docsPath)
+    healLabels(spark, labelsPath)
+    val fs = new Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (appliedBatch(fs, labelsPath).contains(batchId)) return // committed retry
+    // 1. corpus append (idempotent by the generation dir's _SUCCESS).
+    //    An EMPTY micro-batch is a full no-op — publishing a zero-part
+    //    generation (or labels dir) would poison schema inference, and
+    //    skipping the marker is retry-neutral (empty redelivers empty)
+    val batchDocs = batch.select(col(idCol), col(textCol)).localCheckpoint()
+    if (batchDocs.isEmpty) return
+    val docsDir = new Path(docsPath, s"batch_id=$batchId")
+    if (!fs.exists(new Path(docsDir, "_SUCCESS")))
+      batchDocs.write.mode("overwrite").parquet(docsDir.toString)
+    // 2. new pairs — within the batch, and batch vs the standing corpus
+    val within = graft.operators.Dedup
+      .minhashLshPairs(batchDocs, idCol, textCol, shingleK = shingleK,
+        numPerm = numPerm, bands = bands, threshold = threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val standing = spark.read.parquet(docsPath)
+      .filter(col("batch_id") =!= batchId).drop("batch_id")
+    val cross = graft.operators.Dedup
+      .minhashLshJoin(batchDocs, standing, idCol, textCol, shingleK = shingleK,
+        numPerm = numPerm, bands = bands, threshold = threshold)
+      .select(col("doc_new").as("a"), col("doc_old").as("b"))
+    val pairs = within.unionAll(cross)
+    // 3. fold into the standing labels — the label table never
+    //    shuffles corpus-scale (see assignToExistingClusters)
+    val oldLabels =
+      if (fs.exists(new Path(labelsPath, "_SUCCESS")))
+        spark.read.parquet(labelsPath).select("doc_id", "cluster_id")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType))))
+    val updated = graft.operators.Dedup
+      .assignToExistingClusters(oldLabels, pairs, "a", "b")
+      .localCheckpoint() // freeze before the swap invalidates the old read
+    // 4. staged swap, marker created last = the commit point
+    val staging = new Path(labelsPath + "._staging")
+    val backup = new Path(labelsPath + "._old")
+    fs.delete(staging, true)
+    fs.delete(backup, true)
+    updated.write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(new Path(staging, "_applied"))
+    out.write(batchId.toString.getBytes("UTF-8")); out.close()
+    if (fs.exists(new Path(labelsPath)))
+      renameOrThrow(fs, new Path(labelsPath), backup)
+    renameOrThrow(fs, staging, new Path(labelsPath))
+    fs.delete(backup, true)
+  }
+
+  /** The current label table (healed first): every doc that belongs to
+    * a near-dup cluster, its canonical id, and the cluster size.
+    */
+  def canonicalLabels(spark: SparkSession, storePath: String): DataFrame = {
+    healLabels(spark, s"$storePath/labels")
+    spark.read.parquet(s"$storePath/labels")
+  }
+
+  /** The loop as a streaming query. `compactEvery = n` folds the
+    * corpus DOC store's generations whenever ≥ n commit (the label
+    * table is republished whole each step and never accretes).
+    */
+  def canonicalStream(docs: DataFrame, idCol: String, textCol: String,
+      storePath: String, checkpoint: String, threshold: Double = 0.5,
+      compactEvery: Int = 0, shingleK: Int = 3, numPerm: Int = 16,
+      bands: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        canonicalStep(batch, idCol, textCol, storePath, threshold, batchId,
+          shingleK, numPerm, bands)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, s"$storePath/docs").size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, s"$storePath/docs")
+      }
+      .start()
+
+  /** Recover the label table around an interrupted [[canonicalStep]]
+    * swap: labels missing + staged dir carrying an `_applied` marker
+    * (created last → the staging is complete) → roll forward;
+    * labels missing + backup present → roll back; labels present →
+    * drop leftovers.
+    */
+  private def healLabels(spark: SparkSession, labelsPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(labelsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(labelsPath + "._staging")
+    val backup = new Path(labelsPath + "._old")
+    if (!fs.exists(p)) {
+      val stagingCommitted = fs.exists(staging) &&
+        fs.exists(new org.apache.hadoop.fs.Path(staging, "_applied"))
+      if (stagingCommitted) renameOrThrow(fs, staging, p)
+      else if (fs.exists(backup)) renameOrThrow(fs, backup, p)
+    }
+    if (fs.exists(p)) {
+      if (fs.exists(backup)) fs.delete(backup, true)
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
+
+  /** The batch id the committed label table was last updated by. */
+  private def appliedBatch(fs: org.apache.hadoop.fs.FileSystem,
+      labelsPath: String): Option[Long] = {
+    val f = new org.apache.hadoop.fs.Path(labelsPath, "_applied")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      txt.toLongOption
+    }
+  }
+
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"commit rename failed: $src -> $dst")
+
   /** One micro-batch of the streaming count-min pipeline: sketch the
     * batch's token stream and write it under `batch_id=<id>` —
     * idempotent under retries exactly like `dedupStepAgainstIndex`

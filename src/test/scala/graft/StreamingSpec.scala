@@ -522,6 +522,98 @@ class StreamingSpec extends SparkSpecBase {
     assert(est("z") >= 3L, "post-compaction append lost counts")
   }
 
+  test("streaming canonicalization: labels equal the full-recompute CC after every micro-batch, bridges included") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val store = Files.createTempDirectory("graft_canon_stream").toString + "/canon"
+    val thr = 0.2
+    val a = "alpha beta gamma delta epsilon zeta"
+    val c = "omega psi chi phi upsilon tau"
+    val bridge = s"$a $c" // shares every shingle of BOTH sides
+    val batches = Seq(
+      Seq((1L, a), (2L, "totally unrelated words here entirely"), (3L, c)),
+      Seq((4L, a), (5L, c)), // joins 4 to {1}, 5 to {3}
+      Seq((6L, bridge)))     // near-dups BOTH a and c — must merge the two clusters
+    def labels(): Set[(Long, Long, Long)] =
+      StreamingPower.canonicalLabels(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def fullRecompute(upTo: Int): Set[(Long, Long, Long)] = {
+      val union = batches.take(upTo + 1).flatten.toDF("doc_id", "text")
+      Dedup.connectedComponentsAuto(
+        Dedup.minhashLshPairs(union, "doc_id", "text", numPerm = 64,
+          bands = 32, threshold = thr),
+        "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      StreamingPower.canonicalStep(rows.toDF("doc_id", "text"),
+        "doc_id", "text", store, threshold = thr, batchId = i.toLong,
+        numPerm = 64, bands = 32)
+      assert(labels() == fullRecompute(i),
+        s"after batch $i: incremental ${labels()} != full ${fullRecompute(i)}")
+    }
+    // the bridge actually merged: docs 1 (a-cluster) and 3 (c-cluster)
+    // now share a component of size 5 — this guards the TEXTS, so the
+    // equality above isn't vacuously passing on an unmerged graph
+    val byDoc = labels().map(l => l._1 -> l).toMap
+    assert(byDoc(1L)._2 == byDoc(3L)._2 && byDoc(1L)._3 == 5L,
+      s"bridge did not merge the clusters: ${labels()}")
+    // a retried micro-batch (same engine batch id) is a no-op
+    val before = labels()
+    StreamingPower.canonicalStep(batches(2).toDF("doc_id", "text"),
+      "doc_id", "text", store, threshold = thr, batchId = 2L,
+      numPerm = 64, bands = 32)
+    assert(labels() == before, "retry of a committed batch mutated the labels")
+  }
+
+  test("a writer killed at ANY point of the canonical label swap heals to a complete table") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_canon_kill").toString
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t = "the quick brown fox jumps over the lazy dog"
+    def freshStore(name: String): String = {
+      val p = s"$base/$name/canon"
+      StreamingPower.canonicalStep(
+        Seq((1L, t), (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text"),
+        "doc_id", "text", p, batchId = 0L)
+      StreamingPower.canonicalStep(
+        Seq((3L, t)).toDF("doc_id", "text"), "doc_id", "text", p, batchId = 1L)
+      p
+    }
+    def lbls(p: String): Set[(Long, Long)] =
+      StreamingPower.canonicalLabels(spark, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = Set((1L, 1L), (3L, 1L))
+
+    // 1. staged labels durable (marker present), table intact: a kill
+    //    before the first rename — heal drops the abandoned staging
+    val t1 = freshStore("t1")
+    fs.mkdirs(new Path(s"$t1/labels._staging"))
+    fs.create(new Path(s"$t1/labels._staging/_applied")).close()
+    assert(lbls(t1) == expect)
+    assert(!fs.exists(new Path(s"$t1/labels._staging")), "staging not tidied")
+
+    // 2. killed between the renames: labels at backup, staging committed
+    //    (marker created last) — heal rolls FORWARD to the staged table
+    val t2 = freshStore("t2")
+    spark.read.parquet(s"$t2/labels").write.parquet(s"$t2/labels._staging")
+    val out = fs.create(new Path(s"$t2/labels._staging/_applied"))
+    out.write("1".getBytes("UTF-8")); out.close()
+    fs.rename(new Path(s"$t2/labels"), new Path(s"$t2/labels._old"))
+    assert(lbls(t2) == expect)
+    assert(!fs.exists(new Path(s"$t2/labels._old")), "backup not tidied")
+
+    // 3. same position but NO marker (killed before the commit point):
+    //    heal rolls BACK to the intact old table
+    val t3 = freshStore("t3")
+    spark.read.parquet(s"$t3/labels").limit(0)
+      .write.parquet(s"$t3/labels._staging") // incomplete staged content
+    fs.rename(new Path(s"$t3/labels"), new Path(s"$t3/labels._old"))
+    assert(lbls(t3) == expect)
+    assert(!fs.exists(new Path(s"$t3/labels._staging")), "partial staging kept")
+  }
+
   test("a writer killed at ANY point of the batch-store compact swap heals to a complete store") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
