@@ -75,6 +75,16 @@ object BatchStore {
     // partitioned staging write only marks its root — add the per-dir
     // marker, LAST, as the staging commit point
     fs.create(new Path(staging, s"batch_id=$genId/_SUCCESS")).close()
+    // a CONCURRENT reader's heal may have deleted the live staging
+    // between the write and the marker create (fs.create silently
+    // recreates parent dirs): if parquet's root marker is gone, the
+    // staged rows are gone — swapping would publish an EMPTY committed
+    // generation and silently lose the store. Abort; a race landing
+    // after this check makes a rename throw, which heal rolls back.
+    if (!fs.exists(new Path(staging, "_SUCCESS"))) {
+      fs.delete(staging, true)
+      return
+    }
     renameOrThrow(fs, p, backup)
     renameOrThrow(fs, staging, p)
     fs.delete(backup, true)

@@ -78,13 +78,24 @@ object IdempotentSink {
     * committed — the same partition-pruned scan as [[read]], filtered
     * on the `batch` partition column (no data file outside the asked
     * range is opened). Granularity is the RETAINED generations:
-    * [[compact]] folds history into its max id, so after compaction an
-    * as-of below that id resolves to the pre-compaction batches that
-    * still exist — the usual retention trade (fold small files, lose
-    * per-append history), made explicit here instead of silent.
+    * [[compact]] folds history into its max id — the usual retention
+    * trade (fold small files, lose per-append history). Asking for a
+    * state OLDER than the oldest retained generation THROWS instead of
+    * returning an empty frame: rows existed as of that batch, and an
+    * empty result would silently misreport them as "table was empty".
     */
   def readAsOf(spark: SparkSession, path: String, maxBatchId: Long): DataFrame = {
     heal(spark, path)
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    val batches =
+      if (!fs.exists(p)) Seq.empty[Long]
+      else fs.listStatus(p).map(_.getPath.getName).toSeq
+        .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+    require(batches.nonEmpty && maxBatchId >= batches.min,
+      s"as-of $maxBatchId predates the oldest retained generation " +
+        s"(${batches.sorted.mkString(",")}) at $path — that history was " +
+        "folded away by compaction; the state cannot be reconstructed")
     spark.read.parquet(path)
       .filter(org.apache.spark.sql.functions.col("batch") <= maxBatchId)
       .drop("batch")

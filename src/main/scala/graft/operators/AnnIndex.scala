@@ -98,8 +98,15 @@ object AnnIndex {
       path: String, dim: Int, numSub: Int, batchId: Long): Unit = {
     val spark = embeddings.sparkSession
     val fs = fsOf(spark, new Path(path))
-    Seq(encPath(path), encPath(path) + "._compacting", encPath(path) + "._old",
-      subPath(path), coarsePath(path))
+    // DECOMMIT the codebooks first (coarse, then sub): the instant
+    // coarse/_SUCCESS is gone, exists() is false, so a crash anywhere
+    // in the remaining deletes routes a retrying indexStream to a full
+    // rebuild. Deleting enc/ first instead would leave a window where
+    // exists() is still true over an emptied enc — a retry would
+    // APPEND to the old codebooks and silently drop the pre-crash
+    // corpus from every future query.
+    Seq(coarsePath(path), subPath(path),
+      encPath(path) + "._compacting", encPath(path) + "._old", encPath(path))
       .foreach(d => fs.delete(new Path(d), true))
     val centsC = cents.localCheckpoint()
     val subC = sub.localCheckpoint()
@@ -206,6 +213,17 @@ object AnnIndex {
       .parquet(staging.toString)
     // reader gate: batch-level _SUCCESS (parquet only marks the root)
     fs.create(new Path(staging, s"batch=$genId/_SUCCESS")).close()
+    // guard against a CONCURRENT reader's healEnc having deleted the
+    // live staging between the write and the marker create (fs.create
+    // silently recreates the parent dirs): if parquet's root marker is
+    // gone, the staged data is gone — publishing would swap in an
+    // EMPTY generation and silently lose the store. Abort instead;
+    // a race landing after this check makes a rename throw, which
+    // healEnc rolls back — never an empty publish.
+    if (!fs.exists(new Path(staging, "_SUCCESS"))) {
+      fs.delete(staging, true)
+      return
+    }
     renameOrThrow(fs, enc, backup)
     renameOrThrow(fs, staging, enc)
     fs.delete(backup, true)

@@ -491,10 +491,23 @@ object Dedup {
     * which the q130 oracle hash-verifies and the spec proves on random
     * append workloads. Output contract matches the CC operators:
     * (doc_id, cluster_id, cluster_size) over old ∪ new vertices.
+    *
+    * SIZES: when `labels` CARRIES a `cluster_size` column (as the
+    * streaming label store does), only the TOUCHED clusters — those in
+    * the bounded relabel map — are re-counted; untouched rows pass
+    * their carried size through map-side, so the corpus-scale label
+    * table is never shuffled, not even for the size aggregate. Without
+    * the column the whole output is re-counted (one corpus-keyed
+    * aggregate — fine for one-shot calls like q130, wrong for a
+    * per-batch loop).
     */
   def assignToExistingClusters(labels: DataFrame, newPairs: DataFrame,
       aCol: String, bCol: String): DataFrame = {
-    val lbl = labels.select(col("doc_id"), col("cluster_id")).localCheckpoint()
+    val hasSizes = labels.columns.contains("cluster_size")
+    val lblAll = labels.select(
+      (Seq("doc_id", "cluster_id") ++ (if (hasSizes) Seq("cluster_size") else Nil))
+        .map(col): _*).localCheckpoint()
+    val lbl = lblAll.select(col("doc_id"), col("cluster_id"))
     val edges = newPairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
@@ -518,16 +531,36 @@ object Dedup {
     // pairs|) — a checkpointed broadcast, so the standing label table
     // rewrites map-side
     val relabel = broadcast(merged.withColumnRenamed("node", "cluster_id"))
-    val updatedOld = lbl.join(relabel, Seq("cluster_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
     val newDocs = merged
       .join(lbl.select(col("doc_id").as("node")), Seq("node"), "left_anti")
       .select(col("node").as("doc_id"), col("new_cid").as("cluster_id"))
-    val all = updatedOld.union(newDocs)
-    val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    all.join(sizes, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    if (!hasSizes) {
+      val updatedOld = lbl.join(relabel, Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
+      val all = updatedOld.union(newDocs)
+      val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      all.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    } else {
+      // carried-size fast path: split the standing table map-side on
+      // the broadcast relabel hit. Untouched rows keep their carried
+      // size verbatim — no shuffle touches them. Touched rows (old
+      // members of remapped clusters, plus the new docs) are bounded
+      // by the affected clusters' membership; only THEY are re-counted,
+      // and the resulting size table is relabel-bounded → broadcast.
+      val joined = lblAll.join(relabel, Seq("cluster_id"), "left")
+      val untouched = joined.filter(col("new_cid").isNull)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      val touched = joined.filter(col("new_cid").isNotNull)
+        .select(col("doc_id"), col("new_cid").as("cluster_id"))
+        .union(newDocs)
+      val sizesT = touched.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      untouched.union(
+        touched.join(broadcast(sizesT), Seq("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"), col("cluster_size")))
+    }
   }
 
   /** Duplicated-span removal (Lee et al., "Deduplicating Training Data

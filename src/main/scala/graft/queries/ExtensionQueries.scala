@@ -1013,10 +1013,21 @@ object ExtensionQueries {
     */
   private val annIndexQ: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val idx = java.nio.file.Files.createTempDirectory("graft_q131_idx")
-      .toString + "/idx"
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q131_idx")
+    val idx = scratch.toString + "/idx"
     AnnIndex.build(emb, idx, dim = 64)
-    AnnIndex.query(s, idx, emb.filter(col("vec_id") < 10), k = 3, dim = 64)
+    // materialize BEFORE deleting the scratch index (the frame is
+    // lazy), so repeated bench/verify invocations don't accrete
+    // sf-scale index copies under /tmp
+    val out = AnnIndex.query(s, idx, emb.filter(col("vec_id") < 10),
+      k = 3, dim = 64).localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+  private def deleteRecursively(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   /** q132: the training-data pipeline FUNNEL, end-to-end per source —
@@ -1073,8 +1084,8 @@ object ExtensionQueries {
   private val sinkRoundtripQ: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select("doc_id", "source", "text").localCheckpoint()
-    val store = java.nio.file.Files.createTempDirectory("graft_q133_sink")
-      .toString + "/t"
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q133_sink")
+    val store = scratch.toString + "/t"
     // three appends with overlapping key ranges: [0,45%), [40%,75%),
     // [70%,100%) of the id space — every boundary slice re-delivers
     val ids = docs.agg(min("doc_id"), max("doc_id")).head()
@@ -1087,12 +1098,17 @@ object ExtensionQueries {
     IdempotentSink.appendIfAbsent(s, slice(0.40, 0.75), store, Seq("doc_id"))
     IdempotentSink.appendIfAbsent(s, slice(0.70, 1.0), store, Seq("doc_id"))
     IdempotentSink.compact(s, store)
-    IdempotentSink.read(s, store)
+    // materialize the 20-row summary, then drop the scratch store
+    // (same hygiene as q131)
+    val out = IdempotentSink.read(s, store)
       .groupBy("source")
       .agg(count(lit(1)).as("docs"),
         sum(length(col("text")).cast("long")).as("chars"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("source")
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
   }
 
   val queries: Map[String, Q] = Map(

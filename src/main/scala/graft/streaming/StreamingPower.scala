@@ -175,16 +175,21 @@ object StreamingPower {
       .select(col("doc_new").as("a"), col("doc_old").as("b"))
     val pairs = within.unionAll(cross)
     // 3. fold into the standing labels — the label table never
-    //    shuffles corpus-scale (see assignToExistingClusters)
+    //    shuffles corpus-scale (see assignToExistingClusters). The
+    //    stored cluster_size is CARRIED so the fold re-counts only the
+    //    touched clusters, not the whole table.
     val oldLabels =
       if (fs.exists(new Path(labelsPath, "_SUCCESS")))
-        spark.read.parquet(labelsPath).select("doc_id", "cluster_id")
+        spark.read.parquet(labelsPath)
+          .select("doc_id", "cluster_id", "cluster_size")
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cluster_size",
             org.apache.spark.sql.types.LongType))))
     val updated = graft.operators.Dedup
       .assignToExistingClusters(oldLabels, pairs, "a", "b")
@@ -197,6 +202,22 @@ object StreamingPower {
     updated.write.mode("overwrite").parquet(staging.toString)
     val out = fs.create(new Path(staging, "_applied"))
     out.write(batchId.toString.getBytes("UTF-8")); out.close()
+    // a CONCURRENT canonicalLabels() heal may have deleted the live
+    // staging between the write and the marker create (fs.create
+    // silently recreates parent dirs): if parquet's root marker is
+    // gone, the staged labels are gone — swapping would publish an
+    // empty label table and silently reset every standing cluster.
+    // THROW (not return): a silent return would let foreachBatch
+    // commit the micro-batch with its label fold lost forever; failing
+    // makes the engine retry the batch (docs append is already a
+    // committed no-op). A race landing after this check makes a rename
+    // throw, which healLabels rolls back — same retry path.
+    if (!fs.exists(new Path(staging, "_SUCCESS"))) {
+      fs.delete(staging, true)
+      throw new java.io.IOException(
+        s"canonical label staging for batch $batchId was healed away " +
+          "by a concurrent reader; retry the micro-batch")
+    }
     if (fs.exists(new Path(labelsPath)))
       renameOrThrow(fs, new Path(labelsPath), backup)
     renameOrThrow(fs, staging, new Path(labelsPath))

@@ -432,6 +432,49 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("carried-size fast path == recount path for incremental canonicalization") {
+    import spark.implicits._
+    def toSet(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val all = (0 until 150).map { i =>
+      val a = (i * 2654435761L) % 61; val b = (i * 40503L + 7) % 61
+      (math.min(a, b), math.max(a, b) + 1)
+    }
+    val isOld: ((Long, Long)) => Boolean = { case (a, b) => a % 2 == 0 && b % 2 == 0 }
+    val oldPairs = all.filter(isOld).toDF("doc_a", "doc_b")
+    val newPairs = all.filterNot(isOld).toDF("doc_a", "doc_b")
+    // full labels WITH sizes (as the streaming store persists them)
+    val sized = Dedup.connectedComponentsAuto(oldPairs, "doc_a", "doc_b")
+    val sizeless = sized.select("doc_id", "cluster_id")
+    val fast = toSet(Dedup.assignToExistingClusters(sized, newPairs,
+      "doc_a", "doc_b"))
+    val slow = toSet(Dedup.assignToExistingClusters(sizeless, newPairs,
+      "doc_a", "doc_b"))
+    assert(fast == slow, "carried-size fast path diverged from the recount path")
+    // untouched clusters' sizes pass through VERBATIM — corrupt one
+    // carried size for a cluster no new pair touches, and the fast
+    // path must preserve the corruption (proof it never re-counted it)
+    val touchedIds = Dedup.connectedComponentsAuto(newPairs
+        .join(sized.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")),
+          Seq("doc_a"), "left")
+        .join(sized.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")),
+          Seq("doc_b"), "left")
+        .select(coalesce(col("ca"), col("doc_a")).as("u"),
+          coalesce(col("cb"), col("doc_b")).as("v")), "u", "v")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val untouchedCluster = sized.select("cluster_id").distinct()
+      .collect().map(_.getLong(0)).find(!touchedIds.contains(_))
+    untouchedCluster.foreach { cid =>
+      val poisoned = sized.withColumn("cluster_size",
+        when(col("cluster_id") === cid, lit(999L)).otherwise(col("cluster_size")))
+      val out = Dedup.assignToExistingClusters(poisoned, newPairs, "doc_a", "doc_b")
+        .filter(col("cluster_id") === cid).select("cluster_size")
+        .distinct().collect().map(_.getLong(0)).toSeq
+      assert(out == Seq(999L),
+        s"fast path re-counted an untouched cluster (got $out)")
+    }
+  }
+
   test("incremental canonicalization merges two standing components bridged by one arriving doc") {
     import spark.implicits._
     // standing: {0,2} labeled 0 and {4,6} labeled 4; doc 1 arrives

@@ -252,9 +252,13 @@ class PartitionedSinkSpec extends SparkSpecBase {
       s"as-of not partition-pruned:\n$plan")
     // after compaction, history granularity is the retained generation:
     // everything folded into batch=3, so as-of 3 is the full table and
-    // as-of below it is empty (documented retention trade)
+    // as-of below the oldest retained generation THROWS — rows existed
+    // then, and an empty frame would misreport them as absent
     IdempotentSink.compact(spark, dir)
     assert(IdempotentSink.readAsOf(spark, dir, 3).count() == 4)
-    assert(IdempotentSink.readAsOf(spark, dir, 2).count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      IdempotentSink.readAsOf(spark, dir, 2)
+    }
+    assert(e.getMessage.contains("folded away"), e.getMessage)
   }
 }
