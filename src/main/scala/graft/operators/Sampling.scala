@@ -185,6 +185,48 @@ object Sampling {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): each row
+    * draws key = u^(1/w) with u uniform in (0, 1] and the top-k keys
+    * are the sample — inclusion probability proportional to weight,
+    * no replacement, one pass. Here u is DETERMINISTIC
+    * (hash(id)/2^60, Md5Family by default so DuckDB reproduces it
+    * bit-for-bit), which makes the "random" sample stable across
+    * runs, retries, and engines — the property a training mixture
+    * actually needs. Ranking uses ln(u)/w (monotone in u^(1/w),
+    * no pow underflow); keys are continuous so cross-engine ties
+    * are impossible, and the OUTPUT carries only rank + row columns,
+    * never the float key.
+    *
+    * `groupCol` nonempty = top-k PER GROUP (a per-source quality-
+    * weighted mixture draw): one group-key shuffle + partitioned
+    * window — `capGroupsExact`'s exact cost shape, no global sort.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int, groupCol: String = "",
+      hashes: HashFamily = Md5Family): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // (hash + 1) / 2^60: Md5Family yields [0, 2^60), so u ∈ (0, 1]
+    val u = (hashes.hash(col(idCol).cast("string")) + lit(1L)).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val key = log(u) / col(weightCol).cast("double") // maximize: closest to 0
+    val positive = docs.filter(col(weightCol) > 0)
+    if (groupCol.isEmpty) {
+      // global top-k: sort-limit plans as TakeOrderedAndProject —
+      // per-partition heaps + a k-row driver merge, never the
+      // single-partition shuffle a global row_number window costs.
+      // The rank window then runs over k rows only.
+      val top = positive.orderBy(key.desc, col(idCol)).limit(k)
+      top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(key.desc, col(idCol))))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(key.desc, col(idCol))
+      positive.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor draws `k` pseudo-random partners by hashing (anchor, i)
     * into the DENSE id space [0, N) — the contract is contiguous ids,

@@ -1111,7 +1111,24 @@ object ExtensionQueries {
     out
   }
 
+  /** q134: quality-weighted mixture draw — Efraimidis–Spirakis
+    * weighted sampling without replacement, 3 docs per source with
+    * inclusion probability ∝ n_chars. The u draws are Md5Family-
+    * deterministic, so DuckDB reproduces the "random" sample
+    * bit-for-bit: the hash match certifies the weighting math, not
+    * just the plumbing. Output carries only integers (rank + row
+    * columns) — the continuous float key never leaves the plan, so
+    * there is no cross-engine float-rounding surface at all.
+    */
+  private val weightedSampleQ: Q = (s, dir) =>
+    Sampling.weightedSample(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", k = 3, groupCol = "source")
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "rank")
+
   val queries: Map[String, Q] = Map(
+    "q134_weighted_sample" -> weightedSampleQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
     "q132_pipeline_funnel" -> pipelineFunnelQ,
     "q131_ann_index" -> annIndexQ,
@@ -1360,6 +1377,20 @@ object ExtensionQueries {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q134: same E-S keys from the same md5-derived uniforms; the
+    // float key exists only inside the ORDER BY (continuous → no
+    // cross-engine ties), the output is integers.
+    "q134_weighted_sample" ->
+      s"""WITH keyed AS (SELECT source, doc_id, n_chars,
+        |  ln((${md5l("CAST(doc_id AS VARCHAR)")} + 1) / 1152921504606846976e0)
+        |    / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT source, rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY k DESC, doc_id) AS INTEGER) AS rank
+        |  FROM keyed)
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     // q133: the store round-trip must reproduce the source table
     // exactly — the oracle aggregates `documents` directly, so the
     // hash match is over WHAT SURVIVED the staged appends, key dedup,

@@ -336,6 +336,15 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("global weighted sample plans a distributed top-k, not a single-partition window") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("n_chars"))
+    val plan = planOf(graft.operators.Sampling.weightedSample(
+      docs, "doc_id", "n_chars", k = 5))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k not a per-partition heap merge:\n$plan")
+  }
+
   test("pipeline funnel dedups on digests and broadcasts only the 1-row total") {
     val df = graft.queries.ExtensionQueries.queries("q132_pipeline_funnel")(
       spark, sf("sf0.001"))

@@ -243,6 +243,40 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("property: weighted sampling matches a brute-force E-S draw; infinite weight forces inclusion") {
+    import spark.implicits._
+    import graft.functions.Md5Family
+    val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val got = graft.operators.Sampling
+      .weightedSample(docs, "doc_id", "n_chars", k = 2, groupCol = "source")
+      .collect().map(r => (r.getString(1), r.getInt(3), r.getLong(0))).toSet
+    // brute-force reference: same deterministic u, same E-S key, local
+    val rows = docs.withColumn("_h", Md5Family.hash(col("doc_id").cast("string")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = rows.groupBy(_._2).toSeq.flatMap { case (src, rs) =>
+      rs.map { case (id, _, w, h) =>
+        (id, math.log((h + 1).toDouble / math.pow(2, 60)) / w)
+      }.sortBy { case (id, k) => (-k, id) }.take(2).zipWithIndex
+        .map { case ((id, _), i) => (src, i + 1, id) }
+    }.toSet
+    assert(got == expect, s"E-S draw diverged:\n got=$got\n exp=$expect")
+    // weight → ∞ forces inclusion: key ln(u)/w → 0 beats every finite key
+    val boosted = docs.withColumn("n_chars",
+      when(col("doc_id") === 7L, lit(1000000000L)).otherwise(col("n_chars")))
+    val top = graft.operators.Sampling
+      .weightedSample(boosted, "doc_id", "n_chars", k = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(7L), s"boosted doc not forced into the sample: $top")
+    // non-positive weights are excluded, never sampled
+    val zeroed = docs.withColumn("n_chars",
+      when(col("doc_id") < 100L, lit(0L)).otherwise(col("n_chars")))
+    val ids = graft.operators.Sampling
+      .weightedSample(zeroed, "doc_id", "n_chars", k = 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(ids.forall(_ >= 100L), "zero-weight doc sampled")
+  }
+
   test("property: window output invariant under input shuffling/partitioning") {
     val p = Prop.forAll(seriesGen, Gen.choose(1, 8)) { (rows, parts) =>
       val base = mkEvents(rows)
