@@ -1127,7 +1127,41 @@ object ExtensionQueries {
       .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
       .orderBy("source", "rank")
 
+  /** q135: bucketed co-located join — orders ⋈ customer on the
+    * customer key with BOTH sides pre-bucketed, so the join itself
+    * plans zero ShuffleExchange (BucketingSpec asserts the plan
+    * shape; this query hash-verifies that the exchange-free layout
+    * computes the same answer as the oracle's plain join). The
+    * layout write is part of the query on purpose: at scale it is
+    * the one-off cost a pipeline amortizes across every downstream
+    * join, same as q85's z-order range shuffle.
+    */
+  private val bucketedJoinQ: Q = (s, dir) => {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q135_bkt")
+    val tag = math.abs(scratch.toString.hashCode).toString
+    val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
+    Bucketing.writeBucketed(s,
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      ot, scratch.toString + "/orders", 8, Seq("o_custkey"))
+    Bucketing.writeBucketed(s,
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+      ct, scratch.toString + "/customer", 8, Seq("c_custkey"))
+    val out = Bucketing.colocatedJoin(s, ot, ct, "o_custkey", "c_custkey")
+      .groupBy("c_mktsegment")
+      // revenue in exact integer cents: double sums over a shuffled
+      // join visit rows in engine-dependent order (CLAUDE.md: exact
+      // integer accumulation for order-varying cross-engine sums)
+      .agg(count(lit(1)).as("orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+      .orderBy("c_mktsegment")
+      .localCheckpoint()
+    Bucketing.dropTables(s, ot, ct)
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q135_bucketed_join" -> bucketedJoinQ,
     "q134_weighted_sample" -> weightedSampleQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
     "q132_pipeline_funnel" -> pipelineFunnelQ,
@@ -1377,6 +1411,14 @@ object ExtensionQueries {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q135: the oracle is the PLAIN join — the bucketed layout must
+    // change the plan, never the answer.
+    "q135_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // q134: same E-S keys from the same md5-derived uniforms; the
     // float key exists only inside the ORDER BY (continuous → no
     // cross-engine ties), the output is integers.

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
+import graft.operators.Bucketing
 
 /** Bucketing evidence for the 100 TB design: two tables bucketed on
   * the join key join WITHOUT a shuffle (no Exchange above either scan)
@@ -37,6 +38,42 @@ class BucketedJoinSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("Bucketing.colocatedJoin: exchange-free SMJ, one file per bucket, answer == plain join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bktspec")
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, sf("sf0.001"))
+      .select("c_custkey", "c_mktsegment")
+    val (ot, ct) = ("bkt_spec_orders", "bkt_spec_customer")
+    try {
+      Bucketing.writeBucketed(spark, orders, ot, s"$tmp/o", 8, Seq("o_custkey"))
+      Bucketing.writeBucketed(spark, cust, ct, s"$tmp/c", 8, Seq("c_custkey"))
+
+      // layout: the pre-write repartition lands each bucket in ONE file
+      val partFiles = new java.io.File(s"$tmp/o").listFiles()
+        .count(_.getName.startsWith("part-"))
+      assert(partFiles <= 8, s"expected <=8 bucket files, got $partFiles")
+
+      val j = Bucketing.colocatedJoin(spark, ot, ct, "o_custkey", "c_custkey")
+      j.collect() // force the final AQE plan
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"merge hint ignored:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-located join still shuffles:\n$plan")
+
+      // the layout changes the plan, never the answer
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 6).as("rev"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val plain = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      assert(agg(j) == agg(plain))
+    } finally {
+      Bucketing.dropTables(spark, ot, ct)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }
 }
