@@ -71,6 +71,30 @@ class BucketedJoinSpec extends SparkSpecBase {
           .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       val plain = orders.join(cust, col("o_custkey") === col("c_custkey"))
       assert(agg(j) == agg(plain))
+      // bucket pruning: an equality filter on the bucket key reads 1/8
+      // of the buckets — file skipping without any sort or stats.
+      // autoBucketedScan drops bucket info when no exchange benefits,
+      // so pin it off for the pruning read (a real pipeline does the
+      // same for point-lookup-heavy tables).
+      val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prevAuto = spark.conf.get(autoKey)
+      val prunedPlan =
+        try {
+          spark.conf.set(autoKey, "false")
+          spark.table(ot).filter(col("o_custkey") === 42L)
+            .queryExecution.executedPlan.toString
+        } finally spark.conf.set(autoKey, prevAuto)
+      assert(prunedPlan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing:\n$prunedPlan")
+
+      // aggregation on the bucket key also needs no exchange: the
+      // scan's hash distribution already satisfies the group-by
+      val aggOnKey = spark.table(ot).groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("rev"))
+      aggOnKey.collect()
+      val aggPlan = aggOnKey.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"bucketed group-by still shuffles:\n$aggPlan")
     } finally {
       Bucketing.dropTables(spark, ot, ct)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
