@@ -784,4 +784,50 @@ object Dedup {
         coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** Content-defined chunking (LBFS/rsync-style CDC, Muthitacharoen et
+    * al. SOSP'01), at token granularity: a chunk boundary falls AFTER
+    * token i whenever the hash of the (token_i, token_i+1) bigram is
+    * ≡ 0 (mod `divisor`) — boundaries are decided by LOCAL content
+    * only, never by position. Insert or delete a token and every
+    * boundary outside its immediate neighborhood is unchanged, so
+    * shifted copies still share almost all their chunks — the
+    * property fixed-length segmentation (`segmentDedup`) lacks: there
+    * one leading insertion shifts every later segment and nothing
+    * matches. Expected chunk length ≈ `divisor` tokens.
+    *
+    * Output: (id, chunk_id, chunk_hash, n_tokens) — one row per chunk.
+    * Scale shape: all per-doc work runs under doc-partitioned windows
+    * (parallel, no global sort); the chunk assembly groups on
+    * (id, chunk_id), which the window's doc-hash partitioning already
+    * satisfies, so the token stream shuffles ONCE, and nothing
+    * broadcasts or collects.
+    */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val flagged = toks
+      .withColumn("_next", lead(col("tok"), 1).over(w))
+      .withColumn("_boundary",
+        when(col("_next").isNotNull &&
+            hashes.hash(concat(col("tok"), lit(" "), col("_next")))
+              % divisor === 0,
+          lit(1)).otherwise(lit(0)))
+    // chunk id of token i = boundaries among tokens 0..i-1 (the sort
+    // from the lead() window is reused; no second exchange)
+    val chunked = flagged.withColumn("chunk_id",
+      coalesce(
+        sum(col("_boundary")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    chunked.groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        hashes.hash(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")))).as("chunk_hash"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

@@ -1160,7 +1160,25 @@ object ExtensionQueries {
     out
   }
 
+  /** q136: cross-document duplicated-chunk report over content-defined
+    * chunks — the shift-robust complement to q106's fixed segments
+    * (see `Dedup.contentDefinedChunks`). Md5Family so DuckDB replays
+    * the boundary decisions and chunk fingerprints bit-for-bit.
+    */
+  private val cdcChunksQ: Q = (s, dir) => {
+    val chunks = Dedup.contentDefinedChunks(
+      Tables.documents(s, dir).select("doc_id", "text"),
+      "doc_id", "text", divisor = 16, hashes = Md5Family)
+    chunks.groupBy("chunk_hash")
+      .agg(max("n_tokens").as("n_tokens"),
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+      .orderBy(desc("n_docs"), desc("n_occurrences"), col("chunk_hash"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_cdc_chunks" -> cdcChunksQ,
     "q135_bucketed_join" -> bucketedJoinQ,
     "q134_weighted_sample" -> weightedSampleQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
@@ -1411,6 +1429,30 @@ object ExtensionQueries {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q136: DuckDB replays the CDC boundary rule (bigram md5 % 16)
+    // and chunk fingerprints with the same window algebra.
+    "q136_cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) gs),
+        |b AS (SELECT doc_id, pos, tok,
+        |  CASE WHEN lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+        |        AND (${md5l("tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)")} % 16) = 0
+        |       THEN 1 ELSE 0 END AS f
+        |  FROM toks),
+        |c AS (SELECT doc_id, pos, tok,
+        |  coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM b),
+        |ch AS (SELECT doc_id, chunk_id,
+        |  ${md5l("string_agg(tok, ' ' ORDER BY pos)")} AS chunk_hash,
+        |  count(*) AS n_tokens
+        |  FROM c GROUP BY doc_id, chunk_id)
+        |SELECT chunk_hash, max(n_tokens) AS n_tokens,
+        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM ch GROUP BY chunk_hash
+        |HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash""".stripMargin,
     // q135: the oracle is the PLAIN join — the bucketed layout must
     // change the plan, never the answer.
     "q135_bucketed_join" ->

@@ -692,4 +692,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((1L, 3L), (2L, 1L)))
   }
+
+  test("content-defined chunks survive a leading insertion; fixed segments do not") {
+    import spark.implicits._
+    // 200 deterministic pseudo-tokens; doc 2 is doc 1 with three
+    // tokens prepended — a pure shift of the shared content
+    val body = (0 until 200).map(i => s"w${i * 7 % 103}").mkString(" ")
+    val df = Seq((1L, body), (2L, s"pre alpha beta $body")).toDF("doc_id", "text")
+
+    val chunks = Dedup.contentDefinedChunks(df, "doc_id", "text", divisor = 16)
+      .select("doc_id", "chunk_hash").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val shared = chunks(1L) intersect chunks(2L)
+    assert(chunks(1L).size >= 4, s"expected several chunks, got ${chunks(1L).size}")
+    // boundaries are local content decisions: only the head chunk of
+    // the shifted copy can differ
+    assert(shared.size >= chunks(1L).size - 1,
+      s"CDC lost alignment: ${shared.size} of ${chunks(1L).size} chunks shared")
+
+    // the contrast: position-based 8-token segments of the same pair
+    // share NOTHING — a 3-token shift misaligns every window
+    def fixedSegs(text: String): Set[String] =
+      text.split(" ").grouped(8).map(_.mkString(" ")).toSet
+    val fixedShared = fixedSegs(body) intersect fixedSegs(s"pre alpha beta $body")
+    assert(fixedShared.isEmpty,
+      s"fixed windows unexpectedly aligned: $fixedShared")
+  }
 }
