@@ -830,4 +830,44 @@ object Dedup {
           s => s.getField("tok")))).as("chunk_hash"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Near-duplicate pairs by shared content-defined chunks: documents
+    * that share ≥ `minShared` (DF-capped, per-doc-distinct) CDC chunk
+    * fingerprints, with the overlap fraction against the smaller
+    * side's chunk count. Catches shifted/partially-edited copies that
+    * fixed segmentation misaligns, at chunk granularity (~n/divisor
+    * index rows per doc vs ~n shingles for `ngramJaccardPairs`).
+    *
+    * Same scale shape as the shingle index: ids-only candidate
+    * shuffles, a broadcast anti-join against the small hot-chunk list
+    * (df > `maxDf` — boilerplate never explodes the pair join), and
+    * the index is checkpointed before feeding the self-join
+    * (CLAUDE.md: self-join-fed frames compute once).
+    */
+  def cdcNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16, minShared: Int = 2, maxDf: Long = 50L,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val index = contentDefinedChunks(docs, idCol, textCol, divisor, hashes)
+      .select(col(idCol), col("chunk_hash")).distinct()
+      .localCheckpoint()
+    val hot = index.groupBy("chunk_hash").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select("chunk_hash")
+      .localCheckpoint()
+    val kept = index.join(broadcast(hot), Seq("chunk_hash"), "left_anti")
+      .localCheckpoint()
+    val n = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .localCheckpoint()
+    val pairs = kept.select(col(idCol).as("doc_a"), col("chunk_hash"))
+      .join(kept.select(col(idCol).as("doc_b"), col("chunk_hash")), Seq("chunk_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+    pairs
+      .join(n.select(col(idCol).as("doc_a"), col("n_chunks").as("n_a")), Seq("doc_a"))
+      .join(n.select(col(idCol).as("doc_b"), col("n_chunks").as("n_b")), Seq("doc_b"))
+      .withColumn("overlap",
+        round(col("shared_chunks").cast("double") / least(col("n_a"), col("n_b")), 6))
+      .select(col("doc_a"), col("doc_b"), col("shared_chunks"),
+        col("n_a"), col("n_b"), col("overlap"))
+  }
 }

@@ -1177,7 +1177,19 @@ object ExtensionQueries {
       .orderBy(desc("n_docs"), desc("n_occurrences"), col("chunk_hash"))
   }
 
+  /** q137: shift-robust near-dup pairs by shared CDC chunks — the
+    * chunk index is ~16× smaller than q23's shingle index for the
+    * same corpus, and alignment survives edits/insertions.
+    */
+  private val cdcPairsQ: Q = (s, dir) =>
+    Dedup.cdcNearDupPairs(
+      Tables.documents(s, dir).select("doc_id", "text"),
+      "doc_id", "text", divisor = 16, minShared = 2, maxDf = 50L,
+      hashes = Md5Family)
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, Q] = Map(
+    "q137_cdc_pairs" -> cdcPairsQ,
     "q136_cdc_chunks" -> cdcChunksQ,
     "q135_bucketed_join" -> bucketedJoinQ,
     "q134_weighted_sample" -> weightedSampleQ,
@@ -1429,6 +1441,44 @@ object ExtensionQueries {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q137: q136's chunk CTEs + a per-doc-distinct, DF-capped
+    // inverted-index pair join. One double division at the very end.
+    "q137_cdc_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) gs),
+        |b AS (SELECT doc_id, pos, tok,
+        |  CASE WHEN lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+        |        AND (${md5l("tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)")} % 16) = 0
+        |       THEN 1 ELSE 0 END AS f
+        |  FROM toks),
+        |c AS (SELECT doc_id, pos, tok,
+        |  coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM b),
+        |ch AS (SELECT doc_id, chunk_id,
+        |  ${md5l("string_agg(tok, ' ' ORDER BY pos)")} AS chunk_hash
+        |  FROM c GROUP BY doc_id, chunk_id),
+        |idx AS (SELECT DISTINCT doc_id, chunk_hash FROM ch),
+        |hot AS (SELECT chunk_hash FROM
+        |  (SELECT chunk_hash, count(*) AS df FROM idx GROUP BY chunk_hash)
+        |  WHERE df > 50),
+        |kept AS (SELECT * FROM idx
+        |  WHERE chunk_hash NOT IN (SELECT chunk_hash FROM hot)),
+        |n AS (SELECT doc_id, count(*) AS n_chunks FROM kept GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS shared_chunks
+        |  FROM kept a JOIN kept b
+        |    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, shared_chunks,
+        |  na.n_chunks AS n_a, nb.n_chunks AS n_b,
+        |  round(CAST(shared_chunks AS DOUBLE)
+        |    / LEAST(na.n_chunks, nb.n_chunks), 6) AS overlap
+        |FROM p
+        |JOIN n na ON doc_a = na.doc_id
+        |JOIN n nb ON doc_b = nb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q136: DuckDB replays the CDC boundary rule (bigram md5 % 16)
     // and chunk fingerprints with the same window algebra.
     "q136_cdc_chunks" ->

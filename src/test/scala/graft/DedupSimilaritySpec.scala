@@ -718,4 +718,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(fixedShared.isEmpty,
       s"fixed windows unexpectedly aligned: $fixedShared")
   }
+
+  test("CDC pairs link every planted shifted copy to its original") {
+    // plant shifted copies of 10 real fixture docs: same text, three
+    // alien tokens prepended, ids offset by 100000
+    val originals = docs.filter(col("n_chars") >= 800)
+      .orderBy("doc_id").limit(10).select("doc_id", "text").localCheckpoint()
+    val copies = originals.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(lit("alien insert tokens "), col("text")).as("text"))
+    val corpus = originals.unionByName(copies)
+    val got = Dedup.cdcNearDupPairs(corpus, "doc_id", "text",
+      divisor = 8, minShared = 1)
+      .select("doc_a", "doc_b", "overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ids = originals.select("doc_id").collect().map(_.getLong(0))
+    for (id <- ids) {
+      val pair = (id, id + 100000L)
+      assert(got.contains(pair), s"shifted copy of $id not linked")
+      // only the head chunk of the copy can differ: overlap (c-1)/c
+      assert(got(pair) >= 0.5, s"overlap for $pair too low: ${got(pair)}")
+    }
+  }
 }
