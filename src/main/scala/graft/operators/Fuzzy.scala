@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact edit-distance self-join — fuzzy key matching for entity
+  * resolution (near-identical customer/part/vendor keys that differ by
+  * a typo), the one dedup family the shingle/MinHash tier can't serve:
+  * those bound set overlap, not string edits.
+  *
+  * Algorithm: q-gram prefix filtering in the ED-Join family (Xiao,
+  * Wang, Lin — "Ed-Join: an efficient algorithm for similarity joins
+  * with edit distance constraints", VLDB 2008; count bound from
+  * Gravano et al., VLDB 2001). One edit operation destroys at most `q`
+  * of a string's positional q-gram tokens, so two strings within
+  * distance `d` share ≥ n_max − d·q gram tokens (n = len − q + 1).
+  * Encoding each token as (gram, occurrence#) makes the set
+  * intersection of the encodings equal the multiset intersection of
+  * the grams, so the All-Pairs prefix lemma applies with a per-side
+  * prefix of just **d·q + 1 globally-rarest elements** — any
+  * qualifying pair must collide on one of them. Candidates are then
+  * verified with the codegen `levenshtein` built-in, so the result is
+  * EXACT: provably no false negatives, verified no false positives.
+  *
+  * Scale shape: the inverted index carries only prefix elements
+  * (d·q + 1 rows per doc regardless of string length), each with its
+  * doc's string, so verification runs INSIDE the candidate join's map
+  * stage — over-generated candidates (low-entropy keys can produce
+  * 40× more collisions than matches) die before they ever shuffle;
+  * only verified pairs reach the dedup exchange. Carrying the string
+  * costs (d·q + 1)× its bytes in the index — linear, the right trade
+  * for the short keys this operator targets. Rarest-first prefixes
+  * mean hot grams (shared boilerplate like a common key prefix) never
+  * enter the pair join — the skew cap other dedup paths need via
+  * `maxDf` is built into the algorithm, without costing exactness.
+  * Strings too short for the count bound to bite (n ≤ d·q, where a
+  * pair can share zero grams yet match) pair among themselves through
+  * a length-band equi-join — for entity keys that set is tiny; its
+  * quadratic worst-case is confined to same-length-band short strings.
+  */
+object Fuzzy {
+
+  /** All pairs (id_a < id_b) whose strings are within `maxDist`
+    * Levenshtein edits, with the exact distance. Output columns:
+    * (id_a, id_b, dist: int), unordered — callers sort.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, q: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 2, "q must be >= 2")
+    val pfx = maxDist * q + 1
+    val base = df
+      .select(col(idCol).as("_fid"), col(strCol).as("_fs"))
+      .filter(col("_fs").isNotNull)
+      .withColumn("_len", length(col("_fs")))
+
+    // Positional-multiset q-gram elements for every doc with >= 1 gram.
+    // occ = occurrence index of the gram within the doc (by position),
+    // so element-set intersection == gram-multiset intersection.
+    val elements = base.filter(col("_len") >= q)
+      .select(col("_fid"), col("_fs"), col("_len"),
+        explode(sequence(lit(1), col("_len") - (q - 1))).as("_p"))
+      .select(col("_fid"), col("_fs"), col("_len"), col("_p"),
+        expr(s"substring(_fs, _p, $q)").as("_g"))
+      .withColumn("_occ", row_number().over(
+        Window.partitionBy("_fid", "_g").orderBy("_p")))
+    // Global element frequency defines the total order; rarest-first
+    // prefixes keep hot elements out of the pair join entirely.
+    val freq = elements.groupBy("_g", "_occ").agg(count(lit(1)).as("_df"))
+    val prefix = elements
+      .join(freq, Seq("_g", "_occ"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("_fid").orderBy(col("_df"), col("_g"), col("_occ"))))
+      .filter(col("_rk") <= pfx)
+      .select(col("_fid"), col("_fs"), col("_len"), col("_g"), col("_occ"))
+      .localCheckpoint() // feeds both sides of the candidate self-join
+    // The candidate join's INPUT is small (d·q+1 rows per doc) but its
+    // OUTPUT is the over-generated candidate stream — AQE sizes the
+    // join by input bytes and would coalesce the verification map
+    // stage onto one partition. Pin the join's parallelism instead,
+    // and verify with the banded threshold levenshtein (O(d·len),
+    // early-exit, -1 past the bound) rather than the full O(len²) DP.
+    val shuffleN = df.sparkSession.sparkContext.defaultParallelism
+    val pfxKeyed = prefix.repartition(shuffleN, col("_g"), col("_occ"))
+    val pairsLong = pfxKeyed.select(col("_fid").as("id_a"), col("_fs").as("_stra"),
+        col("_len").as("_la"), col("_g"), col("_occ"))
+      .join(pfxKeyed.select(col("_fid").as("id_b"), col("_fs").as("_strb"),
+        col("_len").as("_lb"), col("_g"), col("_occ")), Seq("_g", "_occ"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("_la") - col("_lb")) <= maxDist)
+      .withColumn("dist", levenshtein(col("_stra"), col("_strb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b", "dist")
+
+    // Short strings (n_grams <= d·q): the count bound is vacuous only
+    // when BOTH sides are short, so shorts pair among themselves via a
+    // length-band equi-join (a short x long pair still collides in the
+    // prefix index above — the short side's prefix is its full set).
+    val shorts = base.filter(col("_len") - (q - 1) <= maxDist * q)
+    val pairsShort = shorts
+      .select(col("_fid").as("_sa"), col("_fs").as("_ssa"),
+        explode(sequence(col("_len"), col("_len") + maxDist)).as("_band"))
+      .join(shorts.select(col("_fid").as("_sb"), col("_fs").as("_ssb"),
+        col("_len").as("_band")), Seq("_band"))
+      .filter(col("_sa") =!= col("_sb"))
+      .withColumn("dist", levenshtein(col("_ssa"), col("_ssb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(least(col("_sa"), col("_sb")).as("id_a"),
+        greatest(col("_sa"), col("_sb")).as("id_b"), col("dist"))
+
+    // A pair can surface through several shared elements (and a short
+    // pair through both paths); only these verified survivors — not
+    // the raw candidates — pay the dedup shuffle.
+    pairsLong.unionByName(pairsShort).distinct()
+  }
+}

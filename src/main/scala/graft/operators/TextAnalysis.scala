@@ -476,4 +476,59 @@ object TextAnalysis {
       }
       .toDF(idCol, "text_bpe", "n_tokens", "n_tokens_bpe")
   }
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones / Okapi): top-`k`
+    * corpus documents per probe query, scored
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the non-negative
+    * Lucene variant. Scores round(_, 6) BEFORE ranking with a doc-id
+    * tie-break, so cross-engine ranking is deterministic.
+    *
+    * Scale shape: corpus term frequencies and doc lengths are two hash
+    * aggregates off one tokenize pass; `queries` is a probe set, so
+    * everything query-sized is broadcast — query terms join the
+    * vocabulary-sized DF table FIRST (shuffle), and only the surviving
+    * probe-term DF rows (≤ |query terms|) broadcast into the inverted-
+    * index join. Per-(query, doc) partials then take one grouped
+    * aggregate and a per-query top-k window. The corpus never
+    * broadcasts and is shuffled only by its own aggregate keys.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n_docs"),
+      avg(size(wsTokens(col(textCol)))).as("_avgdl"))
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol).as("doc"),
+      size(split(col(textCol), " ")).as("dl"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(split(col(queryTextCol), " ")).as("token"))
+      .distinct()
+    val qdf = qterms.join(df, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("_n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+    // Probe-term filter FIRST (map-side broadcast semi-filter on the
+    // big tf table), so the doc-length join's left side is already
+    // query-bounded — AQE turns it into a broadcast join at runtime.
+    val partials = tf
+      .join(broadcast(qdf), Seq("token"))
+      .join(dl, Seq("doc"))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))))
+    val scored = partials.groupBy("query_id", "doc")
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc").as(idCol), col("score"))
+      .orderBy("query_id", "rank")
+  }
 }

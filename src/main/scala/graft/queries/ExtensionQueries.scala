@@ -1188,7 +1188,35 @@ object ExtensionQueries {
       hashes = Md5Family)
       .orderBy("doc_a", "doc_b")
 
+  /** q138: exact edit-distance fuzzy key join (entity resolution) —
+    * ED-Join prefix filtering makes it index-driven; the levenshtein
+    * verify makes it exact, so the DuckDB oracle is the plain
+    * quadratic join and must match bit-for-bit.
+    */
+  private val fuzzyJoinQ: Q = (s, dir) =>
+    Fuzzy.editDistancePairs(
+      Tables.customer(s, dir).select("c_custkey", "c_name"),
+      "c_custkey", "c_name", maxDist = 1, q = 3)
+      .orderBy("id_a", "id_b")
+
+  /** q139: BM25 ranked retrieval — probe queries are the first 6
+    * tokens of every 50th src0 (eval) doc; the corpus is everything
+    * else, so no probe retrieves itself.
+    */
+  private val bm25Q: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      probes, "query_id", "qtext", k = 10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q139_bm25" -> bm25Q,
+    "q138_fuzzy_join" -> fuzzyJoinQ,
     "q137_cdc_pairs" -> cdcPairsQ,
     "q136_cdc_chunks" -> cdcChunksQ,
     "q135_bucketed_join" -> bucketedJoinQ,
@@ -1441,6 +1469,50 @@ object ExtensionQueries {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q139: full BM25 replay — same tokenizer, Lucene idf, float
+    // constants in e0 notation so DuckDB keeps them DOUBLE, scores
+    // rounded BEFORE ranking with the doc-id tie-break.
+    "q139_bm25" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |probes AS (SELECT doc_id AS query_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE source = 'src0' AND doc_id % 50 = 0),
+        |qt AS (SELECT DISTINCT query_id, t[i] AS token FROM probes,
+        |  LATERAL (SELECT unnest(generate_series(1, least(6, len(t)))) AS i) gs),
+        |tfc AS (SELECT doc, token, count(*) AS tf FROM
+        |  (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS token
+        |   FROM corpus) GROUP BY 1, 2),
+        |dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+        |dl AS (SELECT doc_id AS doc, len(string_split(text, ' ')) AS dl
+        |  FROM corpus),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  avg(len(string_split(text, ' '))) AS avgdl FROM corpus),
+        |sc AS (SELECT query_id, tfc.doc,
+        |    round(sum(ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+        |      * tf * (1.2e0 + 1e0)
+        |      / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))), 6)
+        |      AS score
+        |  FROM tfc
+        |  JOIN qt USING (token)
+        |  JOIN dfc USING (token)
+        |  JOIN dl ON tfc.doc = dl.doc
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, doc AS doc_id, score FROM
+        |  (SELECT query_id, doc, score,
+        |     CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY score DESC, doc) AS INTEGER) AS rank
+        |   FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q138: the oracle is the definitionally-exact quadratic join;
+    // Spark's index-driven plan must reproduce it bit-for-bit.
+    "q138_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     // q137: q136's chunk CTEs + a per-doc-distinct, DF-capped
     // inverted-index pair join. One double division at the very end.
     "q137_cdc_pairs" ->
