@@ -51,7 +51,8 @@ object BatchStore {
     * dirs are garbage pending their retry's overwrite — dropped.
     */
   def compact(spark: SparkSession, path: String,
-      merge: DataFrame => DataFrame = identity): Unit = {
+      merge: DataFrame => DataFrame = identity,
+      subPartitionCols: Seq[String] = Nil): Unit = {
     heal(spark, path)
     val p = new Path(path)
     val fs = fsOf(spark, p)
@@ -68,7 +69,11 @@ object BatchStore {
         .filter(col("batch_id").isin(batches: _*))
         .drop("batch_id"))
       .withColumn("batch_id", lit(genId))
-    folded.write.mode(SaveMode.Overwrite).partitionBy("batch_id")
+    // stores with a pruning sub-layout under each generation (e.g.
+    // TextIndex's tok_bucket) keep it through the fold, so partition
+    // pruning survives compaction
+    folded.write.mode(SaveMode.Overwrite)
+      .partitionBy("batch_id" +: subPartitionCols: _*)
       .parquet(staging.toString)
     // the steps gate retries on the BATCH DIR's _SUCCESS (they write
     // their dirs directly, so parquet puts the marker inside); the

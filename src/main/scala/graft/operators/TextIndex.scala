@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.BatchStore
+
+/** Persisted inverted text index with BM25 queries — the text-retrieval
+  * sibling of `AnnIndex`: build/append once, query many times, without
+  * re-tokenizing the corpus per query.
+  *
+  * Layout (all parquet):
+  * {{{
+  *   path/postings/batch_id=N/tok_bucket=B/   (token, doc, tf, dl)
+  *   path/stats/batch_id=N/                   (n_docs, sum_dl)
+  * }}}
+  * Postings are partitioned by a hash bucket of the token, so a query
+  * prunes its scan to the probed terms' buckets (PartitionFilters, the
+  * same discipline as `AnnIndex`'s list_id pruning); each posting row
+  * carries its document's length, so scoring needs NO doc-length join
+  * — the only other input is the constant-size `stats` table (corpus
+  * size and summed length per generation, folded by exact integer
+  * addition, so avgdl is bit-stable under any append/compact order).
+  *
+  * Commit discipline (CLAUDE.md store shape): a batch is visible only
+  * when BOTH its pieces carry parquet's `_SUCCESS` — stats is written
+  * LAST, and a retry of a batch whose stats marker is missing rewrites
+  * both pieces (overwrite), so a writer killed mid-append is invisible
+  * and the retry heals it. Batches must carry DISJOINT document sets
+  * (the streaming/idempotent-append contract everywhere else in the
+  * engine); compaction folds every committed generation into one at
+  * the MAX folded id via `BatchStore.compact`, preserving the
+  * tok_bucket pruning sub-layout and summing stats to one row.
+  */
+object TextIndex {
+  private def postingsPath(path: String) = path + "/postings"
+  private def statsPath(path: String) = path + "/stats"
+
+  /** Committed generations: batches whose postings AND stats both
+    * carry their `_SUCCESS` marker.
+    */
+  def committedBatches(spark: SparkSession, path: String): Seq[Long] =
+    BatchStore.committedBatches(spark, postingsPath(path))
+      .intersect(BatchStore.committedBatches(spark, statsPath(path)))
+
+  /** Idempotently add one batch of documents to the index. Gated on
+    * the stats marker (written last): a committed batch id is a no-op,
+    * a half-written one is rewritten.
+    */
+  def appendBatch(docs: DataFrame, idCol: String, textCol: String,
+      path: String, batchId: Long, buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statsDir = new Path(statsPath(path) + s"/batch_id=$batchId")
+    if (fs.exists(new Path(statsDir, "_SUCCESS"))) return
+    val toks = docs.select(col(idCol).as("doc"),
+      size(split(col(textCol), " ")).as("dl"),
+      explode(split(col(textCol), " ")).as("token"))
+    toks.groupBy("doc", "dl", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(buckets)))
+      .write.mode(SaveMode.Overwrite).partitionBy("tok_bucket")
+      .parquet(postingsPath(path) + s"/batch_id=$batchId")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " "))).as("sum_dl"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(statsDir.toString)
+  }
+
+  /** BM25 top-`k` over the committed index — same formula, rounding,
+    * and tie-break as `TextAnalysis.bm25TopK`, so an index built from
+    * a corpus answers exactly like the inline operator on that corpus.
+    * The probed terms and their buckets are driver-collected literals
+    * (probe-bounded artifacts), so the bucket filter lands as a static
+    * PartitionFilter on the postings scan.
+    */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, buckets: Int = 64,
+      docIdOut: String = "doc_id"): DataFrame = {
+    val committed = committedBatches(spark, path)
+    require(committed.nonEmpty, s"no committed batches at $path")
+    val statsRow = spark.read.parquet(statsPath(path))
+      .filter(col("batch_id").isin(committed: _*))
+      .agg(sum("n_docs").cast("double"), sum("sum_dl").cast("double"))
+      .collect()(0)
+    val nDocs = statsRow.getDouble(0)
+    val avgdl = statsRow.getDouble(1) / nDocs
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(split(col(queryTextCol), " ")).as("token"))
+      .distinct()
+      .localCheckpoint() // feeds the probe collect AND the score join
+    val probed = qterms
+      .withColumn("b", pmod(xxhash64(col("token")), lit(buckets)))
+      .select("token", "b").distinct().collect()
+    val probeTokens = probed.map(_.getString(0)).toSeq
+    val probeBuckets = probed.map(_.getLong(1)).distinct.toSeq
+    // NOT checkpointed although two consumers read it (the df
+    // aggregate and the score join): materializing would hide the
+    // scan's PartitionFilters behind an RDD scan — both consumers
+    // re-run the pruned parquet read instead, which is the cheap,
+    // scale-honest trade (probed buckets only).
+    val postings = spark.read.parquet(postingsPath(path))
+      .filter(col("batch_id").isin(committed: _*))
+      .filter(col("tok_bucket").isin(probeBuckets: _*))
+      .filter(col("token").isin(probeTokens: _*))
+    val qdf = qterms
+      .join(postings.groupBy("token").agg(count(lit(1)).as("df")), Seq("token"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+    val scored = postings
+      .join(broadcast(qdf), Seq("token"))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy("query_id", "doc")
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc").as(docIdOut), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Fold all committed generations into one (max folded id; see
+    * `BatchStore`): postings keep their tok_bucket pruning layout,
+    * stats sum to a single row — constant size no matter how many
+    * batches have passed.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    BatchStore.compact(spark, postingsPath(path),
+      subPartitionCols = Seq("tok_bucket"))
+    BatchStore.compact(spark, statsPath(path),
+      merge = df => df.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))
+  }
+
+  /** Streaming ingestion: each micro-batch appends under its engine
+    * batch id (idempotent on retry), optionally compacting once the
+    * committed-generation count reaches `compactEvery`.
+    */
+  def indexStream(docs: DataFrame, idCol: String, textCol: String,
+      path: String, checkpoint: String, buckets: Int = 64,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(batch, idCol, textCol, path, id, buckets)
+        if (compactEvery > 0 &&
+            committedBatches(batch.sparkSession, path).size >= compactEvery)
+          compact(batch.sparkSession, path)
+      }
+      .start()
+}

@@ -1214,7 +1214,35 @@ object ExtensionQueries {
       probes, "query_id", "qtext", k = 10)
   }
 
+  /** q140: the PERSISTED inverted text index end-to-end — two
+    * idempotent batch appends, then a BM25 query over the committed
+    * store. Must answer exactly like the inline operator (q139's
+    * oracle verbatim), with the scan pruned to the probed token
+    * buckets.
+    */
+  private val textIndexQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q140_idx")
+    val idx = scratch.toString + "/idx"
+    TextIndex.appendBatch(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, batchId = 0L)
+    TextIndex.appendBatch(corpus.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", idx, batchId = 1L)
+    // materialize BEFORE deleting the scratch index (same hygiene as
+    // q131 — the frame is lazy)
+    val out = TextIndex.query(s, idx, probes, "query_id", "qtext", k = 10)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q140_text_index" -> textIndexQ,
     "q139_bm25" -> bm25Q,
     "q138_fuzzy_join" -> fuzzyJoinQ,
     "q137_cdc_pairs" -> cdcPairsQ,
@@ -1468,11 +1496,12 @@ object ExtensionQueries {
       |      FROM adc)
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    // q139: full BM25 replay — same tokenizer, Lucene idf, float
-    // constants in e0 notation so DuckDB keeps them DOUBLE, scores
-    // rounded BEFORE ranking with the doc-id tie-break.
-    "q139_bm25" ->
+  // q139/q140: full BM25 replay — same tokenizer, Lucene idf, float
+  // constants in e0 notation so DuckDB keeps them DOUBLE, scores
+  // rounded BEFORE ranking with the doc-id tie-break. q140 (the
+  // persisted index) must answer exactly like the inline operator,
+  // so it shares this oracle verbatim.
+  private lazy val bm25Oracle: String =
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
         |probes AS (SELECT doc_id AS query_id, string_split(text, ' ') AS t
         |  FROM documents WHERE source = 'src0' AND doc_id % 50 = 0),
@@ -1502,7 +1531,11 @@ object ExtensionQueries {
         |     CAST(row_number() OVER (PARTITION BY query_id
         |       ORDER BY score DESC, doc) AS INTEGER) AS rank
         |   FROM sc)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q140_text_index" -> bm25Oracle,
+    "q139_bm25" -> bm25Oracle,
     // q138: the oracle is the definitionally-exact quadratic join;
     // Spark's index-driven plan must reproduce it bit-for-bit.
     "q138_fuzzy_join" ->

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators.{TextAnalysis, TextIndex}
+
+/** The persisted inverted text index: I/O-equality with the inline
+  * BM25 operator, idempotent batch appends, crash-heal of half-written
+  * batches, compaction invariance, partition pruning, and streaming
+  * ingestion — the same contract surface as AnnIndexSpec.
+  */
+class TextIndexSpec extends SparkSpecBase {
+  private lazy val docs = Tables.documents(spark, sf("sf0.001")).cache()
+  private lazy val corpus = docs.filter(col("source") =!= "src0")
+    .select("doc_id", "text").localCheckpoint()
+  private lazy val probes = docs
+    .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+    .select(col("doc_id").as("query_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    .localCheckpoint()
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+
+  private lazy val inline = TextAnalysis.bm25TopK(
+    corpus, "doc_id", "text", probes, "query_id", "qtext", k = 10)
+    .collect().map(key)
+
+  private def buildTwoBatches(tag: String): String = {
+    val path = Files.createTempDirectory(s"graft_tidx$tag").toString + "/idx"
+    TextIndex.appendBatch(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", path, batchId = 0L)
+    TextIndex.appendBatch(corpus.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", path, batchId = 1L)
+    path
+  }
+
+  test("two-batch index query == inline BM25 on the full corpus") {
+    val path = buildTwoBatches("eq")
+    val got = TextIndex.query(spark, path, probes, "query_id", "qtext", k = 10)
+      .collect().map(key)
+    assert(inline.nonEmpty && got.toSeq == inline.toSeq)
+  }
+
+  test("a retried append is a no-op; a half-written batch heals on retry") {
+    val path = buildTwoBatches("retry")
+    // retry of a committed batch: no change
+    TextIndex.appendBatch(corpus.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", path, batchId = 1L)
+    assert(TextIndex.committedBatches(spark, path) == Seq(0L, 1L))
+    // writer killed between postings and stats: batch invisible...
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path + "/stats/batch_id=1"), true)
+    assert(TextIndex.committedBatches(spark, path) == Seq(0L))
+    // ...and the retry rewrites BOTH pieces
+    TextIndex.appendBatch(corpus.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", path, batchId = 1L)
+    val got = TextIndex.query(spark, path, probes, "query_id", "qtext", k = 10)
+      .collect().map(key)
+    assert(got.toSeq == inline.toSeq)
+  }
+
+  test("compaction folds to one generation with identical query results") {
+    val path = buildTwoBatches("cmp")
+    TextIndex.compact(spark, path)
+    assert(TextIndex.committedBatches(spark, path) == Seq(1L),
+      "all generations should fold to the max committed id")
+    val got = TextIndex.query(spark, path, probes, "query_id", "qtext", k = 10)
+      .collect().map(key)
+    assert(got.toSeq == inline.toSeq)
+    // stats folded to a single row (constant size regardless of history)
+    assert(spark.read.parquet(path + "/stats").count() == 1)
+  }
+
+  test("query scans only the probed token buckets (PartitionFilters on tok_bucket)") {
+    val path = buildTwoBatches("prune")
+    val plan = TextIndex.query(spark, path, probes, "query_id", "qtext", k = 10)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("tok_bucket"))
+    assert(scanLine.isDefined,
+      s"postings scan carries no tok_bucket partition filter:\n$plan")
+  }
+
+  test("streaming ingestion builds the same index as batch appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = Files.createTempDirectory("graft_tidx_stream").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_tidx_ckpt").toString
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = TextIndex.indexStream(ms.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", path, ckpt, compactEvery = 2)
+    val (front, back) = rows.splitAt(rows.length / 2)
+    ms.addData(front.toIndexedSeq)
+    q.processAllAvailable()
+    ms.addData(back.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = TextIndex.query(spark, path, probes, "query_id", "qtext", k = 10)
+      .collect().map(key)
+    assert(got.toSeq == inline.toSeq)
+    assert(TextIndex.committedBatches(spark, path).size == 1,
+      "compactEvery=2 should have folded the stream's generations")
+  }
+}
