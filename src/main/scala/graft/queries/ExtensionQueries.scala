@@ -1241,7 +1241,36 @@ object ExtensionQueries {
     out
   }
 
+  /** q141: hybrid retrieval — q139's BM25 ranking and an exact cosine
+    * ranking over the same probe/corpus split, fused by reciprocal
+    * rank (`Retrieval.rrfFuse`). The dense tier here is the exact
+    * top-k so the oracle can replay it; at scale it swaps for
+    * `ivfPqTopKReranked` without touching the fusion.
+    */
+  private val hybridRrfQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    val sparse = TextAnalysis.bm25TopK(
+        corpus, "doc_id", "text", probes, "query_id", "qtext", k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    // doc_id ↔ vec_id are aligned ids; the dense tier retrieves over
+    // the same corpus split, probing with the query docs' vectors
+    val corpusEmb = emb.join(
+      corpus.select(col("doc_id").as("vec_id")), "vec_id")
+    val probeEmb = emb.join(
+      probes.select(col("query_id").as("vec_id")), "vec_id")
+    val dense = Similarity.bruteForceTopK(corpusEmb, probeEmb, k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q141_hybrid_rrf" -> hybridRrfQ,
     "q140_text_index" -> textIndexQ,
     "q139_bm25" -> bm25Q,
     "q138_fuzzy_join" -> fuzzyJoinQ,
@@ -1501,8 +1530,10 @@ object ExtensionQueries {
   // rounded BEFORE ranking with the doc-id tie-break. q140 (the
   // persisted index) must answer exactly like the inline operator,
   // so it shares this oracle verbatim.
-  private lazy val bm25Oracle: String =
-      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+  // CTE chain through the per-(query, doc) BM25 score `sc`, shared by
+  // the q139/q140 oracle and q141's sparse tier.
+  private lazy val bm25Ctes: String =
+      """corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
         |probes AS (SELECT doc_id AS query_id, string_split(text, ' ') AS t
         |  FROM documents WHERE source = 'src0' AND doc_id % 50 = 0),
         |qt AS (SELECT DISTINCT query_id, t[i] AS token FROM probes,
@@ -1525,15 +1556,53 @@ object ExtensionQueries {
         |  JOIN dfc USING (token)
         |  JOIN dl ON tfc.doc = dl.doc
         |  CROSS JOIN stats
-        |  GROUP BY 1, 2)
-        |SELECT query_id, rank, doc AS doc_id, score FROM
-        |  (SELECT query_id, doc, score,
-        |     CAST(row_number() OVER (PARTITION BY query_id
-        |       ORDER BY score DESC, doc) AS INTEGER) AS rank
-        |   FROM sc)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |  GROUP BY 1, 2)""".stripMargin
+
+  private lazy val bm25Oracle: String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, rank, doc AS doc_id, score FROM
+       |  (SELECT query_id, doc, score,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc) AS INTEGER) AS rank
+       |   FROM sc)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // q141: RRF fusion of the BM25 ranking above and the exact cosine
+  // ranking over the same corpus split. Ranks are integers (exact
+  // cross-engine given q139/q24 green), each (query, doc) sums at most
+  // TWO double contributions — a single IEEE addition, order-free —
+  // and the fused score rounds to 6dp before ranking, doc tie-break.
+  private lazy val hybridRrfOracle: String =
+    s"""WITH $bm25Ctes,
+       |bm AS (SELECT query_id, doc, rank FROM
+       |  (SELECT query_id, doc,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc) AS INTEGER) AS rank
+       |   FROM sc) WHERE rank <= 10),
+       |qv AS (SELECT query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings JOIN probes ON vec_id = query_id),
+       |cv AS (SELECT vec_id AS doc, CAST(embedding AS DOUBLE[]) AS ce
+       |  FROM embeddings JOIN corpus ON vec_id = doc_id),
+       |ds AS (SELECT query_id, doc,
+       |    ROUND(list_cosine_similarity(qe, ce), 6) AS cos FROM qv, cv),
+       |dn AS (SELECT query_id, doc, rank FROM
+       |  (SELECT query_id, doc,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY cos DESC, doc) AS INTEGER) AS rank
+       |   FROM ds) WHERE rank <= 10),
+       |u AS (SELECT query_id, doc, rank FROM bm
+       |      UNION ALL SELECT query_id, doc, rank FROM dn),
+       |f AS (SELECT query_id, doc, ROUND(SUM(1e0 / (60 + rank)), 6) AS rrf
+       |      FROM u GROUP BY 1, 2)
+       |SELECT query_id, rank, doc AS doc_id, rrf FROM
+       |  (SELECT query_id, doc, rrf,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY rrf DESC, doc) AS INTEGER) AS rank
+       |   FROM f)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q141_hybrid_rrf" -> hybridRrfOracle,
     "q140_text_index" -> bm25Oracle,
     "q139_bm25" -> bm25Oracle,
     // q138: the oracle is the definitionally-exact quadratic join;

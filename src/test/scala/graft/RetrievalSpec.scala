@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators.{Retrieval, Similarity, TextAnalysis}
+
+/** Reciprocal-rank fusion: algebraic contract on small hand-built
+  * lists, brute-force equality on the q141 composition, and the
+  * plan-shape guarantee that fusion never touches corpus-scale data.
+  */
+class RetrievalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("fusing a list with itself preserves its ranking") {
+    val l = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(l, l), k = 3).collect()
+    assert(fused.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)))
+    // doubled contribution: 2/(60+rank), rounded like the operator
+    assert(fused.map(_.getDouble(3)).toSeq ==
+      Seq(1, 2, 3).map(r => math.rint(2.0 / (60 + r) * 1e6) / 1e6))
+  }
+
+  test("a doc ranked by only one list contributes exactly 1/(c+rank)") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 10L, 1), (1L, 99L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    val r1 = 1.0 / 61
+    assert(got(10L) == math.rint(2 * r1 * 1e6) / 1e6) // both lists, rank 1
+    assert(got(11L) == math.rint(1.0 / 62 * 1e6) / 1e6)
+    assert(got(99L) == math.rint(1.0 / 62 * 1e6) / 1e6)
+    // consensus at rank 1 beats either singleton
+    assert(got(10L) > got(11L))
+  }
+
+  test("rank ties on fused score break by doc id") {
+    // 11 and 99 tie at 1/62; 11 must take the lower rank
+    val a = Seq((1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 99L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 11L), (2, 99L)))
+  }
+
+  test("q141 composition equals a driver-side fusion of its two tiers") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    val sparse = TextAnalysis.bm25TopK(
+        corpus, "doc_id", "text", probes, "query_id", "qtext", k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = Similarity.bruteForceTopK(
+        emb.join(corpus.select(col("doc_id").as("vec_id")), "vec_id"),
+        emb.join(probes.select(col("query_id").as("vec_id")), "vec_id"),
+        k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val got = Retrieval.rrfFuse(Seq(sparse, dense), k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val (sr, dr) = (ranks(sparse), ranks(dense))
+    val expected = (sr.keySet ++ dr.keySet).toSeq
+      .map { case k @ (q, d) =>
+        val s = sr.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          dr.get(k).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (q, d, math.rint(s * 1e6) / 1e6)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (_, d, s) => (-s, d) }.take(10).zipWithIndex
+          .map { case ((q, d, s), i) => (q, i + 1, d, s) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty && got.toSeq == expected)
+  }
+
+  test("fusion shuffles only top-k-bounded rows (inputs aggregated pre-union)") {
+    // the fused aggregate sits above the per-list rank<=k filters, so
+    // every row entering the union is already top-k-bounded; assert the
+    // plan has no join at all above the input frames (pure union+agg)
+    val a = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 99L, 1)).toDF("query_id", "doc_id", "rank")
+    val plan = Retrieval.rrfFuse(Seq(a, b), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fusion should not join:\n$plan")
+    assert(plan.contains("Union"), s"fusion should union its lists:\n$plan")
+  }
+}
