@@ -34,6 +34,36 @@ object Sampling {
           .otherwise(lit("test")))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate CLUSTERS are
+    * the unit of assignment, so no pair of near-dups ever straddles a
+    * split boundary (the q91 leakage number is zero by construction —
+    * the fix to the naive per-doc split it measures). `pairs` is any
+    * near-dup edge set (MinHash-LSH, n-gram Jaccard, SemDeDup, CDC);
+    * docs in no pair form singleton clusters keyed by their own id,
+    * so for them this degrades to exactly `split`.
+    *
+    * Scale: one CC over the pair set (O(log n) star rounds via
+    * `Dedup.connectedComponentsAuto`), one equi-join of the bounded
+    * label table onto the corpus, then a map-side hash of the cluster
+    * id. Assignment is a pure function of the cluster id — stable as
+    * the corpus grows, same guarantee as `split`.
+    */
+  def clusterAwareSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, trainPct: Int = 80, valPct: Int = 10,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    require(trainPct + valPct <= 100, "train+val must be <= 100")
+    val labels = Dedup.connectedComponentsAuto(pairs, aCol, bCol)
+      .select(col("doc_id").as("_cc_id"), col("cluster_id"))
+    docs.join(labels, docs(idCol) === col("_cc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .drop("_cc_id")
+      .withColumn("bucket", hashBucket(col("cluster_id"), 100, hashes))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Keep a deterministic ~pct% sample. */
   def sample(docs: DataFrame, idCol: String, pct: Int,
       hashes: HashFamily = XxHash64Family): DataFrame =

@@ -1269,7 +1269,23 @@ object ExtensionQueries {
     Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
   }
 
+  /** q142: the FIX for the leakage q91 measures — split assignment by
+    * near-dup cluster (q57's edge set and CC), so cross-split near-dup
+    * pairs are zero by construction. Singletons degrade to the plain
+    * per-doc hash split.
+    */
+  private val clusterSplitQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
+    Sampling.clusterAwareSplit(docs, "doc_id", pairs, "doc_a", "doc_b",
+        hashes = Md5Family)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q142_cluster_split" -> clusterSplitQ,
     "q141_hybrid_rrf" -> hybridRrfQ,
     "q140_text_index" -> textIndexQ,
     "q139_bm25" -> bm25Q,
@@ -1602,6 +1618,34 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q142: q57's recursive-CC cluster assignment, then the split is a
+    // pure md5 of the CLUSTER id; docs outside every pair fall back to
+    // their own id (singleton clusters).
+    "q142_cluster_split" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+        |alld AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        |         FROM documents d LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN ${md5l("CAST(cluster_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+        |       WHEN ${md5l("CAST(cluster_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM alld ORDER BY doc_id""".stripMargin,
     "q141_hybrid_rrf" -> hybridRrfOracle,
     "q140_text_index" -> bm25Oracle,
     "q139_bm25" -> bm25Oracle,

@@ -120,6 +120,30 @@ class PropertySpec extends SparkSpecBase {
     runProp(p, 10)
   }
 
+  test("cluster-aware split: zero cross-split near-dup pairs; singletons == plain split") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // edges chain 0-1-2 into one cluster, {10,11} another; 20, 21 are
+    // singletons (present in docs, absent from pairs)
+    val docs = Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Sampling.clusterAwareSplit(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .select("doc_id", "cluster_id", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every member of a cluster shares the min-id label AND the split
+    assert(Seq(0L, 1L, 2L).map(got(_)._1).distinct == Seq(0L))
+    assert(Seq(0L, 1L, 2L).map(got(_)._2).distinct.size == 1)
+    assert(Seq(10L, 11L).map(got(_)._1).distinct == Seq(10L))
+    assert(Seq(10L, 11L).map(got(_)._2).distinct.size == 1)
+    // therefore no pair straddles a split boundary
+    assert(Seq((0L, 1L), (1L, 2L), (10L, 11L)).forall { case (a, b) =>
+      got(a)._2 == got(b)._2 })
+    // singletons cluster to their own id and get the plain hash split
+    val plain = Sampling.split(docs, "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(20L) == ((20L, plain(20L))) && got(21L) == ((21L, plain(21L))))
+  }
+
   test("temperature sampling flattens the mixture toward sqrt weights") {
     import graft.operators.Sampling
     import spark.implicits._
