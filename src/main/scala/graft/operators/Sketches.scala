@@ -264,6 +264,62 @@ object Sketches {
       .join(broadcast(sketch), Seq("r", "c"))
       .groupBy("token").agg(min(col("cnt")).as("est_count"))
 
+  /** EXACT heavy hitters (all items with count · k > N) in two scans
+    * and zero vocabulary-scale shuffles — the frequent-items
+    * complement of the count-min estimates above.
+    *
+    * Scan 1 runs Misra–Gries with k counters per partition and emits
+    * each partition's surviving candidates. Pigeonhole guarantee: an
+    * item with global count > N/k must exceed n_p/k in at least one
+    * partition, and per-partition MG retains every such item — so the
+    * union of candidates is a SUPERSET of the true heavy hitters
+    * (≤ k·partitions ids, a bounded artifact, broadcast-safe). Scan 2
+    * left-joins the broadcast candidate set and folds everything else
+    * into one _OTHER_ row, so the exact-count shuffle carries
+    * |candidates|+1 groups per partition instead of the vocabulary —
+    * N comes from the same pass (sum over the groups), no third scan.
+    * False candidates are dropped by the exact threshold; the output
+    * is bit-identical to a full groupBy-count filter.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, "heavy hitters need k >= 2")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val toks = items.select(col(itemCol).cast("string").as("item"))
+    val cands = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { x =>
+        if (counters.contains(x)) counters(x) += 1L
+        else if (counters.size < k - 1) counters(x) = 1L
+        else {
+          // decrement-all step; drop zeroed counters
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { key =>
+            val c = counters(key) - 1L
+            if (c == 0L) dead += key else counters(key) = c
+          }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("item").distinct().localCheckpoint()
+    // non-candidates fold into the NULL-item group (keyed by the flag,
+    // not a sentinel string, so no real token can collide with it)
+    val counts = toks
+      .join(broadcast(cands.withColumn("_cand", lit(1))), Seq("item"), "left")
+      .groupBy(col("_cand").isNotNull.as("is_cand"),
+        when(col("_cand").isNotNull, col("item")).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds both the total and the filtered output
+    val total = counts.agg(sum("cnt")).collect()(0).getLong(0)
+    counts
+      .filter(col("is_cand"))
+      .filter(col("cnt") * k > total)
+      .withColumn("share", round(col("cnt").cast("double") / total, 6))
+      .select("item", "cnt", "share")
+      .orderBy("item")
+  }
+
   def countMinTopK(tokens: DataFrame, tokenCol: String, depth: Int = 4,
       width: Int = 1024, k: Int = 20,
       hashes: HashFamily = Md5Family): DataFrame = {

@@ -1284,7 +1284,19 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** q143: exact corpus heavy hitters (tokens above 1/k of all token
+    * occurrences) via the two-scan Misra–Gries + verify design — the
+    * answer is exact, so the oracle is the plain count/filter.
+    */
+  private val heavyHittersQ: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    Sketches.heavyHitters(toks, "token", k = 200)
+      .select(col("item").as("token"), col("cnt"), col("share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q143_heavy_hitters" -> heavyHittersQ,
     "q142_cluster_split" -> clusterSplitQ,
     "q141_hybrid_rrf" -> hybridRrfQ,
     "q140_text_index" -> textIndexQ,
@@ -1618,6 +1630,15 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q143: the Spark side is exact by construction (MG candidates are
+    // a superset, the verify pass re-counts exactly), so the oracle is
+    // the definitional count/threshold.
+    "q143_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT count(*) AS n FROM t),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1)
+        |SELECT token, cnt, ROUND(CAST(cnt AS DOUBLE) / n.n, 6) AS share
+        |FROM c, n WHERE cnt * 200 > n.n ORDER BY token""".stripMargin,
     // q142: q57's recursive-CC cluster assignment, then the split is a
     // pure md5 of the CLUSTER id; docs outside every pair fall back to
     // their own id (singleton clusters).

@@ -633,6 +633,39 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(math.abs(est - exact) / exact < 0.05, s"estimate $est vs exact $exact")
   }
 
+  test("MG heavy hitters == brute-force count/filter under any partitioning") {
+    import graft.operators.Sketches
+    val tok = Tables.documents(spark, sf("sf0.001"))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .localCheckpoint()
+    val n = tok.count()
+    def brute(k: Int) = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+      .withColumn("share", round(col("cnt").cast("double") / n, 6))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def got(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Sketches.heavyHitters(df, "token", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    for (k <- Seq(50, 200)) {
+      val expected = brute(k)
+      assert(expected.nonEmpty, s"degenerate fixture at k=$k")
+      // default layout, adversarial few-partition, and sorted layout
+      // (sorted packs each token into one partition — the MG stress)
+      assert(got(tok, k) == expected)
+      assert(got(tok.repartition(3), k) == expected)
+      assert(got(tok.orderBy("token"), k) == expected)
+    }
+  }
+
+  test("heavy hitters: no sentinel collision — a literal _OTHER_ token is reported") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val rows = Seq.fill(50)("_OTHER_") ++ (1 to 50).map(i => s"t$i")
+    val got = Sketches.heavyHitters(rows.toDF("token"), "token", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("_OTHER_", 50L)))
+  }
+
   test("count-min estimates never undercount and nail the heavy hitters") {
     import graft.operators.Sketches
     val tok = Tables.documents(spark, sf("sf0.001"))
