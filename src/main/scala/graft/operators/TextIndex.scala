@@ -12,7 +12,7 @@ import graft.engine.BatchStore
   *
   * Layout (all parquet):
   * {{{
-  *   path/postings/batch_id=N/tok_bucket=B/   (token, doc, tf, dl)
+  *   path/postings/batch_id=N/tok_bucket=B/   (token, doc, tf, dl, positions)
   *   path/stats/batch_id=N/                   (n_docs, sum_dl)
   * }}}
   * Postings are partitioned by a hash bucket of the token, so a query
@@ -47,18 +47,35 @@ object TextIndex {
   /** Idempotently add one batch of documents to the index. Gated on
     * the stats marker (written last): a committed batch id is a no-op,
     * a half-written one is rewritten.
+    *
+    * `withPositions=false` builds the lean BM25-only store (~2× cheaper
+    * append, smaller postings); `phraseSearch` then refuses the index.
+    * All batches of one index must agree on the setting.
     */
   def appendBatch(docs: DataFrame, idCol: String, textCol: String,
-      path: String, batchId: Long, buckets: Int = 64): Unit = {
+      path: String, batchId: Long, buckets: Int = 64,
+      withPositions: Boolean = true): Unit = {
     val spark = docs.sparkSession
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statsDir = new Path(statsPath(path) + s"/batch_id=$batchId")
     if (fs.exists(new Path(statsDir, "_SUCCESS"))) return
-    val toks = docs.select(col(idCol).as("doc"),
-      size(split(col(textCol), " ")).as("dl"),
-      explode(split(col(textCol), " ")).as("token"))
-    toks.groupBy("doc", "dl", "token").agg(count(lit(1)).as("tf"))
+    val toks =
+      if (withPositions)
+        docs.select(col(idCol).as("doc"),
+          size(split(col(textCol), " ")).as("dl"),
+          posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      else
+        docs.select(col(idCol).as("doc"),
+          size(split(col(textCol), " ")).as("dl"),
+          explode(split(col(textCol), " ")).as("token"))
+    val aggs =
+      if (withPositions)
+        Seq(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+      else Seq(count(lit(1)).as("tf"))
+    toks.groupBy("doc", "dl", "token")
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(buckets)))
       .write.mode(SaveMode.Overwrite).partitionBy("tok_bucket")
       .parquet(postingsPath(path) + s"/batch_id=$batchId")
@@ -122,6 +139,54 @@ object TextIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc").as(docIdOut), col("score"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Exact phrase search over the positional postings: a document
+    * matches when the phrase's tokens occur at CONSECUTIVE positions.
+    * Alignment trick: a posting hit for phrase token j at document
+    * position p belongs to the candidate start `base = p - j`; a base
+    * covered by all |phrase| token indexes is a match, and the number
+    * of such bases is the (overlap-counting) occurrence count.
+    *
+    * Same pruning discipline as `query`: the phrase's terms and their
+    * buckets are driver-collected literals, so the postings scan
+    * prunes to the probed tok_buckets; everything after is narrow
+    * (query, doc, base) aggregation — the corpus only contributes the
+    * probed terms' postings.
+    */
+  def phraseSearch(spark: SparkSession, path: String, queries: DataFrame,
+      queryIdCol: String, phraseCol: String, buckets: Int = 64,
+      docIdOut: String = "doc_id"): DataFrame = {
+    val committed = committedBatches(spark, path)
+    require(committed.nonEmpty, s"no committed batches at $path")
+    val qt = queries
+      .select(col(queryIdCol).as("query_id"),
+        posexplode(split(col(phraseCol), " ")).as(Seq("tok_idx", "token")))
+      .localCheckpoint() // feeds the probe collect, plen, and the hit join
+    val plen = qt.groupBy("query_id").agg(count(lit(1)).as("plen"))
+    val probed = qt
+      .withColumn("b", pmod(xxhash64(col("token")), lit(buckets)))
+      .select("token", "b").distinct().collect()
+    val probeTokens = probed.map(_.getString(0)).toSeq
+    val probeBuckets = probed.map(_.getLong(1)).distinct.toSeq
+    val postings = spark.read.parquet(postingsPath(path))
+    require(postings.columns.contains("positions"),
+      s"index at $path was built withPositions=false — phrase search needs a positional index")
+    postings
+      .filter(col("batch_id").isin(committed: _*))
+      .filter(col("tok_bucket").isin(probeBuckets: _*))
+      .filter(col("token").isin(probeTokens: _*))
+      .select(col("doc"), col("token"), explode(col("positions")).as("pos"))
+      .join(broadcast(qt), Seq("token"))
+      .groupBy(col("query_id"), col("doc"),
+        (col("pos") - col("tok_idx")).as("base"))
+      .agg(countDistinct(col("tok_idx")).as("cov"))
+      .join(broadcast(plen), Seq("query_id"))
+      .filter(col("cov") === col("plen"))
+      .groupBy("query_id", "doc")
+      .agg(count(lit(1)).as("n_matches"))
+      .select(col("query_id"), col("doc").as(docIdOut), col("n_matches"))
+      .orderBy("query_id", docIdOut)
   }
 
   /** Fold all committed generations into one (max folded id; see

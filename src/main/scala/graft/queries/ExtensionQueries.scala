@@ -1295,7 +1295,29 @@ object ExtensionQueries {
       .select(col("item").as("token"), col("cnt"), col("share"))
   }
 
+  /** q144: exact phrase search over the persisted positional index —
+    * each probe doc's 2nd..4th tokens form the phrase; a corpus doc
+    * matches when those tokens occur consecutively, n_matches counts
+    * occurrences (overlaps included).
+    */
+  private val phraseSearchQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 2, 3)).as("phrase"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q144_idx")
+    val idx = scratch.toString + "/idx"
+    TextIndex.appendBatch(corpus, "doc_id", "text", idx, batchId = 0L)
+    val out = TextIndex.phraseSearch(s, idx, probes, "query_id", "phrase")
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q144_phrase_search" -> phraseSearchQ,
     "q143_heavy_hitters" -> heavyHittersQ,
     "q142_cluster_split" -> clusterSplitQ,
     "q141_hybrid_rrf" -> hybridRrfQ,
@@ -1630,6 +1652,29 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q144: the same base = pos - tok_idx alignment the index query
+    // runs, replayed definitionally over raw token positions: a base
+    // covered by every phrase token index is one (overlap-counting)
+    // occurrence.
+    "q144_phrase_search" ->
+      """WITH probes AS (SELECT doc_id AS query_id,
+        |    array_to_string(string_split(text, ' ')[2:4], ' ') AS phrase
+        |  FROM documents WHERE source = 'src0' AND doc_id % 50 = 0),
+        |qt AS (SELECT query_id, gs.i - 1 AS tok_idx, string_split(phrase, ' ')[gs.i] AS token
+        |  FROM probes, LATERAL (SELECT unnest(generate_series(1,
+        |    len(string_split(phrase, ' ')))) AS i) gs),
+        |plen AS (SELECT query_id, count(*) AS plen FROM qt GROUP BY 1),
+        |dt AS (SELECT doc_id, gs.i - 1 AS pos, string_split(text, ' ')[gs.i] AS tok
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    len(string_split(text, ' ')))) AS i) gs
+        |  WHERE source <> 'src0'),
+        |cov AS (SELECT query_id, doc_id, dt.pos - qt.tok_idx AS base,
+        |    count(DISTINCT qt.tok_idx) AS cov
+        |  FROM qt JOIN dt ON qt.token = dt.tok GROUP BY 1, 2, 3)
+        |SELECT query_id, doc_id, count(*) AS n_matches
+        |FROM cov JOIN plen USING (query_id)
+        |WHERE cov = plen
+        |GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin,
     // q143: the Spark side is exact by construction (MG candidates are
     // a superset, the verify pass re-counts exactly), so the oracle is
     // the definitional count/threshold.

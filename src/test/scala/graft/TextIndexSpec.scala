@@ -84,6 +84,51 @@ class TextIndexSpec extends SparkSpecBase {
       s"postings scan carries no tok_bucket partition filter:\n$plan")
   }
 
+  test("phrase search: overlaps counted, duplicate-token phrases, compaction-safe") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_tidx_phrase").toString + "/idx"
+    val corpus2 = Seq(
+      (1L, "a a a a"),        // "a a" occurs at bases 0,1,2 (overlaps)
+      (2L, "x a b a b a y"),  // "a b a" at bases 1 and 3
+      (3L, "a b c d"),        // no match for either probe
+      (4L, "b a a b")         // "a a" once
+    ).toDF("doc_id", "text")
+    TextIndex.appendBatch(corpus2.filter(col("doc_id") <= 2),
+      "doc_id", "text", path, batchId = 0L)
+    TextIndex.appendBatch(corpus2.filter(col("doc_id") > 2),
+      "doc_id", "text", path, batchId = 1L)
+    val qs = Seq((100L, "a a"), (200L, "a b a")).toDF("query_id", "phrase")
+    def run() = TextIndex.phraseSearch(spark, path, qs, "query_id", "phrase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Seq((100L, 1L, 3L), (100L, 4L, 1L), (200L, 2L, 2L))
+    assert(run() == expected)
+    // positions (and the phrase answers) survive the generation fold
+    TextIndex.compact(spark, path)
+    assert(run() == expected)
+  }
+
+  test("phrase search over the real corpus matches a brute-force scan") {
+    val path = buildTwoBatches("ph2")
+    val qs = docs.filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 2, 3)).as("phrase"))
+      .localCheckpoint()
+    val got = TextIndex.phraseSearch(spark, path, qs, "query_id", "phrase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute force: slide each phrase over each corpus doc's tokens
+    val corpusRows = corpus.collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val probeRows = qs.collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val expected = (for {
+      (qid, ph) <- probeRows
+      (did, toks) <- corpusRows
+      n = (0 to toks.length - ph.length)
+        .count(b => ph.indices.forall(j => toks(b + j) == ph(j)))
+      if n > 0
+    } yield (qid, did, n.toLong)).sortBy(t => (t._1, t._2)).toSeq
+    assert(expected.nonEmpty, "degenerate fixture: no phrase matches at sf0.001")
+    assert(got == expected)
+  }
+
   test("streaming ingestion builds the same index as batch appends") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
