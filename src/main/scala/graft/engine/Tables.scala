@@ -12,8 +12,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pushdown (verified in `PlanSpec`).
   */
 object Tables {
+  /** The generated parquet has carried its timestamps as nanos
+    * (pre-2026-08-13 regeneration) and as µs with isAdjustedToUTC=false
+    * — which Spark 4 surfaces as TIMESTAMP_NTZ (`inferTimestampNTZ`).
+    * Every operator and oracle here treats wall-clock == UTC instant
+    * (session tz is UTC), so NTZ columns are cast to the session-zoned
+    * TimestampType at the source: value-preserving under UTC, and it
+    * keeps `unix_micros`/watermarks/windows working identically across
+    * regenerations of the testdata.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * µs-precision TimestampType rejects outright. Read it as raw nanos
@@ -40,7 +57,7 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      case _ => raw
+      case _ => normalizeNtz(raw)
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+import graft.functions.GramAggregator
+
+/** Distributed PCA over an embedding column — the classic big-data
+  * split: moments are accumulated in ONE distributed pass (a typed
+  * gram Aggregator with map-side combine, ~2 KB per partition through
+  * the shuffle), the dim×dim eigendecomposition runs on the driver
+  * (bounded: dim ≤ a few hundred — 64×64 here), and the rotation is
+  * broadcast back as a LITERAL expression so the projection is a pure
+  * codegen map over the corpus (no UDF, no shuffle).
+  *
+  * Uses: dimensionality reduction ahead of ANN (project-then-index),
+  * decorrelation before product quantization (the rotation is the
+  * "O" of OPQ), and embedding-drift diagnostics (covariance deltas).
+  */
+object Pca {
+
+  /** Population covariance as rows (dim_i, dim_j, cov), upper triangle
+    * j >= i, round(_, 6) — the oracle-checkable face of the moment
+    * pass: cov = (Σxy - Σx·Σy/n) / n with a fixed association so the
+    * oracle's float path is bit-compatible under the rounding.
+    */
+  def covariance(embeddings: DataFrame, embCol: String, dim: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (sums, prods, n) = moments(embeddings, embCol, dim)
+    val rows = for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield Row(i, j,
+      BigDecimal((prods(GramAggregator.triIndex(i, j, dim)) - sums(i) * sums(j) / n) / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(StructField("dim_i", IntegerType, nullable = false),
+        StructField("dim_j", IntegerType, nullable = false),
+        StructField("cov", DoubleType, nullable = false))))
+      .orderBy("dim_i", "dim_j")
+  }
+
+  /** One distributed pass: (Σx per dim, Σxy upper triangle, n). */
+  private[graft] def moments(embeddings: DataFrame, embCol: String,
+      dim: Int): (Array[Double], Array[Double], Long) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val agg = new GramAggregator(dim).toColumn
+    embeddings
+      .select(col(embCol).cast("array<double>").as("_e"))
+      .as[Array[Double]]
+      .select(agg.as[(Array[Double], Array[Double], Long)])
+      .head()
+  }
+
+  /** Principal components from the moment pass: eigendecomposition of
+    * the covariance matrix on the driver (breeze `eigSym`, shipped
+    * with Spark). Returns (eigenvalues desc, eigenvectors row-major —
+    * `vectors(c)` is the c-th component), sign-fixed so each
+    * component's largest-|coefficient| entry is positive
+    * (eigenvectors are only defined up to sign).
+    */
+  def principalComponents(embeddings: DataFrame, embCol: String,
+      dim: Int): (Array[Double], Array[Array[Double]]) = {
+    val (sums, prods, n) = moments(embeddings, embCol, dim)
+    val cov = breeze.linalg.DenseMatrix.tabulate(dim, dim) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      (prods(GramAggregator.triIndex(a, b, dim)) - sums(a) * sums(b) / n) / n
+    }
+    val es = breeze.linalg.eigSym(cov)
+    val order = (0 until dim).sortBy(c => -es.eigenvalues(c))
+    val values = order.map(es.eigenvalues(_)).toArray
+    val vectors = order.map { c =>
+      val v = Array.tabulate(dim)(r => es.eigenvectors(r, c))
+      val m = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(m) < 0) v.map(-_) else v
+    }.toArray
+    (values, vectors)
+  }
+
+  /** Project the embedding column onto the top-k components — a pure
+    * literal-expression map (aggregate over zip_with), fully codegen,
+    * no UDF: each output coordinate is Σ_d e[d]·rot[c][d] with the
+    * rotation inlined as array literals.
+    */
+  def project(embeddings: DataFrame, embCol: String,
+      components: Array[Array[Double]], k: Int, outCol: String = "proj"): DataFrame = {
+    val comps = components.take(k)
+    val e = col(embCol).cast("array<double>")
+    val coords = comps.map { rot =>
+      val rotLit = array(rot.map(lit): _*)
+      aggregate(zip_with(e, rotLit, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    }
+    embeddings.withColumn(outCol, array(coords: _*))
+  }
+}

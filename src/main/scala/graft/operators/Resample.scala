@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series resampling: bucket an irregular event
+  * stream to a fixed step, materialize every bucket between each key's
+  * first and last observation, and fill the empty ones (forward-fill
+  * and linear interpolation).
+  *
+  * This is the missing-minute repair a cadence feed needs before
+  * window features are trustworthy: the reference's source is a 1-row-
+  * per-minute feed (`/root/reference/pipelines/bronze_ingest.py:25-30`)
+  * whose gold moving averages silently span gaps when rows are missing
+  * (`gold_aggr.py:104-177`); resampling to the declared cadence makes
+  * the gap explicit (`ffill_age_sec`) and fillable.
+  *
+  * Scale shape (100 TB honest):
+  *   - per-bucket aggregation: ONE shuffle on (key, bucket), map-side
+  *     partial aggregation;
+  *   - grid generation: per-key bounds (tiny groupBy) exploded in
+  *     CHUNK-bounded `sequence()` slices — no single array ever
+  *     exceeds CHUNK elements no matter how long the span, so a
+  *     key spanning years at 1 s cadence cannot blow a task;
+  *   - fill: grid ∪ observations, ONE window shuffle on the key —
+  *     forward and backward neighbors both read from the same sort
+  *     (two frames over one ordering), the same cost bound as any
+  *     partitioned window.
+  * No joins, no cartesian grid×obs product, nothing driver-side.
+  */
+object Resample {
+
+  /** Bound on any one generated `sequence()` array. */
+  private val Chunk = 1024L
+
+  /** Epoch-second bucket floor of `tsCol` at `stepSeconds`. */
+  private def bucketCol(tsCol: String, stepSeconds: Long) =
+    expr(s"unix_timestamp($tsCol) DIV $stepSeconds * $stepSeconds")
+
+  /** Resample `df` to a `stepSeconds` grid per `keyCol`.
+    *
+    * Output, one row per (key, bucket) from each key's min to max
+    * observed bucket, ordered by (key, bucket_sec):
+    *   - `bucket_sec`   LONG epoch seconds (grid point)
+    *   - `n_obs`        rows observed in the bucket (0 on gap rows)
+    *   - `obs_value`    round(avg(value), 6) of the bucket, NULL on gaps
+    *   - `ffill_value`  latest non-gap `obs_value` at or before the bucket
+    *   - `ffill_age_sec` seconds since that observation (0 when present)
+    *   - `interp_value` linear interpolation between the previous and
+    *     next observed buckets; the observed value on non-gap rows; the
+    *     forward-fill after the last observation (nothing precedes the
+    *     first: the grid starts at an observed bucket by construction)
+    *
+    * The bucket value is the bucket MEAN — deterministic under
+    * `round(_, 6)` without needing a tie-break row id, and the same
+    * convention a pandas `resample().mean()` user expects.
+    */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val obs = df
+      .select(col(keyCol), bucketCol(tsCol, stepSeconds).as("bucket_sec"),
+        col(valueCol).as("_v"))
+      .groupBy(keyCol, "bucket_sec")
+      .agg(count(lit(1)).as("_n_obs"), round(avg(col("_v")), 6).as("_val"))
+
+    val bounds = obs.groupBy(keyCol)
+      .agg(min("bucket_sec").as("_bmin"), max("bucket_sec").as("_bmax"))
+      .withColumn("_n_steps", (col("_bmax") - col("_bmin")) / lit(stepSeconds)
+        cast "long")
+    // Two bounded explodes: chunks of the step index range, then the
+    // offsets inside each chunk — every sequence() array ≤ Chunk long.
+    val grid = bounds
+      .select(col(keyCol), col("_bmin"), col("_n_steps"),
+        explode(sequence(lit(0L), col("_n_steps") / lit(Chunk) cast "long"))
+          .as("_chunk"))
+      .select(col(keyCol), col("_bmin"), col("_chunk"), col("_n_steps"),
+        explode(sequence(lit(0L),
+          least(lit(Chunk - 1L), col("_n_steps") - col("_chunk") * lit(Chunk))))
+          .as("_i"))
+      .select(col(keyCol),
+        (col("_bmin") + (col("_chunk") * lit(Chunk) + col("_i")) * lit(stepSeconds))
+          .as("bucket_sec"))
+
+    val unioned = obs.withColumn("_side", lit(0))
+      .unionByName(grid
+        .withColumn("_n_obs", lit(null) cast "long")
+        .withColumn("_val", lit(null) cast "double")
+        .withColumn("_side", lit(1)))
+
+    val ord = Window.partitionBy(keyCol).orderBy(col("bucket_sec"), col("_side"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    val obsBucket = when(col("_val").isNotNull, col("bucket_sec"))
+    val filled = unioned
+      .withColumn("_fv", last(col("_val"), ignoreNulls = true).over(back))
+      .withColumn("_fb", last(obsBucket, ignoreNulls = true).over(back))
+      .withColumn("_fn", last(col("_n_obs"), ignoreNulls = true).over(back))
+      .withColumn("_nv", first(col("_val"), ignoreNulls = true).over(fwd))
+      .withColumn("_nb", first(obsBucket, ignoreNulls = true).over(fwd))
+      .filter(col("_side") === 1)
+    val present = col("_fb") === col("bucket_sec")
+    filled.select(
+      col(keyCol),
+      col("bucket_sec"),
+      when(present, col("_fn")).otherwise(lit(0L)).as("n_obs"),
+      when(present, col("_fv")).as("obs_value"),
+      col("_fv").as("ffill_value"),
+      (col("bucket_sec") - col("_fb")).as("ffill_age_sec"),
+      round(
+        when(present, col("_fv"))
+          .when(col("_fv").isNotNull && col("_nv").isNotNull,
+            col("_fv") + (col("_nv") - col("_fv")) *
+              (col("bucket_sec") - col("_fb")) / (col("_nb") - col("_fb")))
+          .otherwise(col("_fv")),
+        6).as("interp_value"))
+      .orderBy(keyCol, "bucket_sec")
+  }
+
+  /** Per-key cadence report WITHOUT materializing the grid: expected
+    * vs present bucket counts and the longest gap, from the observed
+    * buckets alone (distinct + one lead window + one aggregate —
+    * strictly cheaper than `resample` when only the report is needed).
+    *
+    *   - `n_expected`  grid size from min to max observed bucket
+    *   - `n_present`   buckets with ≥1 row
+    *   - `n_missing`   n_expected - n_present
+    *   - `max_gap_sec` longest run of missing grid time (0 = gap-free)
+    */
+  def gapReport(df: DataFrame, keyCol: String, tsCol: String,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val obs = df
+      .select(col(keyCol), bucketCol(tsCol, stepSeconds).as("bucket_sec"))
+      .distinct()
+    val w = Window.partitionBy(keyCol).orderBy("bucket_sec")
+    obs.withColumn("_nb", lead(col("bucket_sec"), 1).over(w))
+      .groupBy(keyCol)
+      .agg(
+        ((max("bucket_sec") - min("bucket_sec")) / lit(stepSeconds) cast "long")
+          .plus(lit(1L)).as("n_expected"),
+        count(lit(1)).as("n_present"),
+        (((max("bucket_sec") - min("bucket_sec")) / lit(stepSeconds) cast "long")
+          .plus(lit(1L)) - count(lit(1))).as("n_missing"),
+        coalesce(max(col("_nb") - col("bucket_sec") - lit(stepSeconds)), lit(0L))
+          .as("max_gap_sec"))
+      .orderBy(keyCol)
+  }
+}

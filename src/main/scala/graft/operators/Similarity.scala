@@ -47,6 +47,43 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** kNN label-noise detection (Wilson's editing, 1972): each probe's
+    * k nearest corpus neighbors (exact cosine, self excluded) vote on
+    * its label; a majority disagreeing with the stored label flags a
+    * probable mislabel — the embedding-space consistency check a
+    * labeled training set gets before the labels are trusted.
+    *
+    * Vote tie-break is deterministic: highest count, then SMALLEST
+    * label. Scale shape: the scored candidate set is |probes|·k rows —
+    * that probe-bounded frame broadcasts into the label join, the
+    * corpus-wide label table never shuffles and is never broadcast.
+    *
+    * Output per probe, ordered by vec_id: (vec_id, label, knn_label,
+    * n_votes, agree 0/1).
+    */
+  def knnLabelNoise(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    // localCheckpoint before broadcast: the broadcast side must be the
+    // materialized probe-bounded artifact, never a plan that re-scans
+    // the corpus under a BroadcastExchange (q102 regression class).
+    val top = bruteForceTopK(embeddings, probes, k).localCheckpoint()
+    val labels = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"))
+    val votes = labels.join(broadcast(top), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("n_label"))
+    val winner = votes.withColumn("_r", row_number().over(wv))
+      .filter(col("_r") === 1)
+      .select(col("query_id"), col("n_label").as("knn_label"), col("n_votes"))
+      .localCheckpoint()
+    probes.select(col("vec_id"), col("label"))
+      .join(broadcast(winner), col("vec_id") === col("query_id"))
+      .select(col("vec_id"), col("label"), col("knn_label"), col("n_votes"),
+        when(col("label") === col("knn_label"), 1).otherwise(0).as("agree"))
+      .orderBy("vec_id")
+  }
+
   /** Exact all-pairs above a cosine threshold (the embedding-cosine
     * near-duplicate primitive). Quadratic — intended for small corpora
     * or as the verifier for the LSH path below.

@@ -1316,7 +1316,47 @@ object ExtensionQueries {
     out
   }
 
+  /** q145: regular-grid hourly resample of the event stream per user —
+    * every hour from each user's first to last event, bucket mean,
+    * forward-fill with staleness, and linear interpolation across gaps
+    * (`Resample.resample`). The cadence-repair pass a 1-row-per-minute
+    * feed needs before window features are trustworthy.
+    */
+  private val resampleQ: Q = (s, dir) =>
+    Resample.resample(
+      Tables.events(s, dir).filter(col("user_id") % 10 === 0),
+      "user_id", "ts", "value", stepSeconds = 3600L)
+
+  /** q146: per-user cadence/gap report from observed buckets alone —
+    * expected vs present hourly buckets and the longest missing run
+    * (`Resample.gapReport`; no grid materialized).
+    */
+  private val gapReportQ: Q = (s, dir) =>
+    Resample.gapReport(Tables.events(s, dir), "user_id", "ts",
+      stepSeconds = 3600L)
+
+  /** q147: kNN label-noise detection (Wilson editing) — each probe's 5
+    * nearest corpus neighbors by exact cosine vote on its label;
+    * disagreement flags probable mislabels (`Similarity.knnLabelNoise`).
+    */
+  private val knnLabelNoiseQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnLabelNoise(emb, emb.filter(col("vec_id") % 20 === 0), k = 5)
+  }
+
+  /** q148: embedding covariance matrix (upper triangle) from ONE
+    * distributed moment pass (`Pca.covariance` / `GramAggregator`) —
+    * the oracle-checkable face of the distributed-PCA split whose
+    * eigendecomposition/projection half is spec-verified (`PcaSpec`).
+    */
+  private val embeddingCovQ: Q = (s, dir) =>
+    Pca.covariance(Tables.embeddings(s, dir), "embedding", dim = 64)
+
   val queries: Map[String, Q] = Map(
+    "q148_embedding_cov" -> embeddingCovQ,
+    "q147_knn_label_noise" -> knnLabelNoiseQ,
+    "q146_gap_report" -> gapReportQ,
+    "q145_resample" -> resampleQ,
     "q144_phrase_search" -> phraseSearchQ,
     "q143_heavy_hitters" -> heavyHittersQ,
     "q142_cluster_split" -> clusterSplitQ,
@@ -1652,6 +1692,94 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q148: definitional covariance — explode once to (row, dim, x),
+    // self-join on the row id for the j >= i pairs, and apply the SAME
+    // (Σxy - Σx·Σy/n)/n association the Spark side uses so both float
+    // paths agree under round(_, 6).
+    "q148_embedding_cov" ->
+      """WITH e AS (SELECT row_number() OVER () AS rid,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT rid, gs.i AS d, v[gs.i] AS x FROM e,
+        |  LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) gs)
+        |SELECT CAST(a.d - 1 AS INTEGER) AS dim_i,
+        |  CAST(b.d - 1 AS INTEGER) AS dim_j,
+        |  round((sum(a.x*b.x) - sum(a.x)*sum(b.x)/count(*)) / count(*), 6) AS cov
+        |FROM u a JOIN u b ON a.rid = b.rid AND b.d >= a.d
+        |GROUP BY 1, 2 ORDER BY dim_i, dim_j""".stripMargin,
+    // q147: definitional quadratic kNN + vote — rank on the ROUNDED
+    // cosine (q24's convention), majority with (count DESC, label)
+    // tie-break, both deterministic cross-engine.
+    "q147_knn_label_noise" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+        |    CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, label AS n_label,
+        |    CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT query_id, q_label, neighbor_id, n_label,
+        |    ROUND(list_cosine_similarity(qe, ce), 6) AS cos
+        |  FROM q, c WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, q_label, n_label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank FROM s),
+        |v AS (SELECT query_id, q_label, n_label, count(*) AS n_votes
+        |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |w AS (SELECT query_id, q_label, n_label, n_votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n_votes DESC, n_label) AS vr FROM v)
+        |SELECT query_id AS vec_id, q_label AS label, n_label AS knn_label,
+        |  n_votes, CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS agree
+        |FROM w WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    // q145: same grid ∪ observations + one window definitionally —
+    // buckets are epoch-second floors, the grid is generate_series
+    // over each user's bucket span, fills read off the same
+    // (bucket, side) ordering with obs rows sorted first.
+    "q145_resample" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts)//1000000//3600*3600 AS b,
+        |         count(*) AS n, round(avg(value), 6) AS v
+        |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(b) AS bmin, max(b) AS bmax
+        |  FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, gs.b FROM bounds,
+        |  LATERAL (SELECT unnest(generate_series(bmin, bmax, 3600)) AS b) gs),
+        |u AS (SELECT user_id, b, 0 AS side, n, v FROM obs
+        |  UNION ALL SELECT user_id, b, 1, NULL, NULL FROM grid),
+        |w AS (SELECT user_id, b, side,
+        |    last_value(v IGNORE NULLS) OVER back AS fv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER back AS fb,
+        |    last_value(n IGNORE NULLS) OVER back AS fn,
+        |    first_value(v IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER fwd AS nb
+        |  FROM u WINDOW
+        |    back AS (PARTITION BY user_id ORDER BY b, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fwd AS (PARTITION BY user_id ORDER BY b, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, b AS bucket_sec,
+        |  CASE WHEN fb = b THEN fn ELSE 0 END AS n_obs,
+        |  CASE WHEN fb = b THEN fv END AS obs_value,
+        |  fv AS ffill_value,
+        |  b - fb AS ffill_age_sec,
+        |  round(CASE WHEN fb = b THEN fv
+        |    WHEN fv IS NOT NULL AND nv IS NOT NULL
+        |      THEN fv + (nv - fv) * (b - fb) / (nb - fb)
+        |    ELSE fv END, 6) AS interp_value
+        |FROM w WHERE side = 1
+        |ORDER BY user_id, bucket_sec""".stripMargin,
+    // q146: cadence report from observed buckets alone — expected =
+    // span/step + 1, longest gap from the lead() delta between
+    // successive present buckets.
+    "q146_gap_report" ->
+      """WITH obs AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts)//1000000//3600*3600 AS b FROM events),
+        |d AS (SELECT user_id, b,
+        |    lead(b) OVER (PARTITION BY user_id ORDER BY b) AS nb FROM obs)
+        |SELECT user_id,
+        |  (max(b) - min(b))//3600 + 1 AS n_expected,
+        |  count(*) AS n_present,
+        |  (max(b) - min(b))//3600 + 1 - count(*) AS n_missing,
+        |  coalesce(max(nb - b - 3600), 0) AS max_gap_sec
+        |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
     // q144: the same base = pos - tok_idx alignment the index query
     // runs, replayed definitionally over raw token positions: a base
     // covered by every phrase token index is one (overlap-counting)

@@ -773,4 +773,31 @@ class DedupSimilaritySpec extends SparkSpecBase {
       assert(got(pair) >= 0.5, s"overlap for $pair too low: ${got(pair)}")
     }
   }
+
+  test("knn label noise: votes match a driver-side replay, planted mislabel flagged") {
+    val probes = emb.filter(col("vec_id") % 20 === 0)
+    val out = Similarity.knnLabelNoise(emb, probes, k = 5).collect()
+    assert(out.length == probes.count())
+    // replay the vote from the already-verified brute-force top-k
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byQuery = Similarity.bruteForceTopK(emb, probes, k = 5).collect()
+      .groupBy(_.getLong(0))
+    out.foreach { r =>
+      val (vid, lbl, knn, votes, agree) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4))
+      val voteCounts = byQuery(vid).map(n => labels(n.getLong(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expWinner = voteCounts.toSeq.minBy { case (l, c) => (-c, l) }
+      assert((knn, votes) == ((expWinner._1, expWinner._2.toLong)), s"vec $vid")
+      assert(lbl == labels(vid) && agree == (if (lbl == knn) 1 else 0))
+    }
+    // a probe whose stored label is corrupted must flag as disagree
+    val corrupted = emb.withColumn("label",
+      when(col("vec_id") === 0, lit(99)).otherwise(col("label")))
+    val flagged = Similarity.knnLabelNoise(
+      corrupted, corrupted.filter(col("vec_id") === 0), k = 5)
+      .select("agree").head().getInt(0)
+    assert(flagged == 0, "planted mislabel not flagged")
+  }
 }
