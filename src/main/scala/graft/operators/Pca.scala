@@ -79,6 +79,37 @@ object Pca {
     (values, vectors)
   }
 
+  /** Per-dimension drift between two embedding snapshots — the
+    * monitoring face of the moment machinery: one exploded aggregate
+    * over the union (conditional sums, map-side combined; neither
+    * snapshot is joined or broadcast) yields each dimension's mean and
+    * population variance per side plus the absolute mean shift. The
+    * check that catches a changed encoder, a bad normalization, or a
+    * shifted corpus before it poisons an ANN index built on top.
+    *
+    * Output per dim, ordered: (dim, mean_a, mean_b, var_a, var_b,
+    * mean_shift), all round(_, 6). Variance association is fixed as
+    * Σx²/n - (Σx/n)·(Σx/n) so an oracle can reproduce it bit-stably.
+    */
+  def dimDrift(a: DataFrame, b: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val tagged = a.select(lit(0).as("_h"), col(embCol).as("_e"))
+      .unionByName(b.select(lit(1).as("_h"), col(embCol).as("_e")))
+    val u = tagged.select(col("_h"),
+      posexplode(col("_e").cast("array<double>")).as(Seq("dim", "x")))
+    def side(h: Int, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      f(when(col("_h") === h, col("x")))
+    def mean(h: Int) = side(h, sum) / side(h, count)
+    def variance(h: Int) =
+      side(h, c => sum(c * c)) / side(h, count) - mean(h) * mean(h)
+    u.groupBy("dim").agg(
+      round(mean(0), 6).as("mean_a"),
+      round(mean(1), 6).as("mean_b"),
+      round(variance(0), 6).as("var_a"),
+      round(variance(1), 6).as("var_b"),
+      round(abs(mean(0) - mean(1)), 6).as("mean_shift"))
+      .orderBy("dim")
+  }
+
   /** Project the embedding column onto the top-k components — a pure
     * literal-expression map (aggregate over zip_with), fully codegen,
     * no UDF: each output coordinate is Σ_d e[d]·rot[c][d] with the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFamily, Md5Family, XxHash64Family}
 
@@ -285,5 +286,28 @@ object Sampling {
           .otherwise(col("_draw")).as("neg_id"))
     drawn.join(ids.select(col(idCol).as("neg_id")), Seq("neg_id"))
       .select(col("anchor_id"), col("sample_idx"), col("neg_id"))
+  }
+
+  /** Per-group score calibration: z-score against the group's own
+    * mean/sample-stddev plus the percentile rank within the group —
+    * the bias-removal step before a GLOBAL quality threshold: raw
+    * scores aren't comparable across languages/sources (different
+    * length and style distributions), calibrated ones are.
+    *
+    * Two windows over ONE partitioning (group) — a single shuffle,
+    * no stats join. z is NULL when the group's stddev is 0 or
+    * undefined (constant or singleton group): no finite z exists.
+    * Both outputs round(_, 6).
+    */
+  def scoreCalibration(docs: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val wg = Window.partitionBy(groupCol)
+    val wo = Window.partitionBy(groupCol).orderBy(col(scoreCol))
+    val sd = stddev_samp(col(scoreCol)).over(wg)
+    docs.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("z", round(
+        when(sd > 0, (col(scoreCol) - avg(col(scoreCol)).over(wg)) / sd), 6))
+      .withColumn("pct_rank", round(percent_rank().over(wo), 6))
+      .orderBy(idCol)
   }
 }

@@ -1352,7 +1352,29 @@ object ExtensionQueries {
   private val embeddingCovQ: Q = (s, dir) =>
     Pca.covariance(Tables.embeddings(s, dir), "embedding", dim = 64)
 
+  /** q149: per-dimension drift between two embedding snapshots (even
+    * vs odd vec_id as stand-in cohorts) — mean/variance per side and
+    * the absolute mean shift (`Pca.dimDrift`), the encoder-change /
+    * normalization-regression monitor for an embedding pipeline.
+    */
+  private val dimDriftQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Pca.dimDrift(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0))
+  }
+
+  /** q150: per-language score calibration of document lengths —
+    * z-score against the group's own moments + in-group percentile
+    * rank (`Sampling.scoreCalibration`): the step that makes a global
+    * quality threshold language-fair.
+    */
+  private val scoreCalibrationQ: Q = (s, dir) =>
+    Sampling.scoreCalibration(Tables.documents(s, dir),
+      "doc_id", "lang", "n_chars")
+
   val queries: Map[String, Q] = Map(
+    "q150_score_calibration" -> scoreCalibrationQ,
+    "q149_dim_drift" -> dimDriftQ,
     "q148_embedding_cov" -> embeddingCovQ,
     "q147_knn_label_noise" -> knnLabelNoiseQ,
     "q146_gap_report" -> gapReportQ,
@@ -1692,6 +1714,38 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q150: same two windows over the group partitioning; z guarded to
+    // NULL when the sample stddev is 0/undefined; percent_rank is the
+    // ANSI (rank-1)/(n-1) in both engines.
+    "q150_score_calibration" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(CASE WHEN stddev_samp(n_chars) OVER wg > 0
+        |    THEN (n_chars - avg(n_chars) OVER wg)
+        |         / stddev_samp(n_chars) OVER wg END, 6) AS z,
+        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+        |    AS pct_rank
+        |FROM documents
+        |WINDOW wg AS (PARTITION BY lang)
+        |ORDER BY doc_id""".stripMargin,
+    // q149: conditional-sum drift with the Spark side's exact
+    // association: mean = Σx/n, var = Σx²/n - mean·mean.
+    "q149_dim_drift" ->
+      """WITH t AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS h,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT h, CAST(gs.i - 1 AS INTEGER) AS dim, v[gs.i] AS x
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) gs)
+        |SELECT dim,
+        |  round(sum(CASE WHEN h=0 THEN x END)/count(CASE WHEN h=0 THEN x END), 6) AS mean_a,
+        |  round(sum(CASE WHEN h=1 THEN x END)/count(CASE WHEN h=1 THEN x END), 6) AS mean_b,
+        |  round(sum(CASE WHEN h=0 THEN x*x END)/count(CASE WHEN h=0 THEN x END)
+        |    - sum(CASE WHEN h=0 THEN x END)/count(CASE WHEN h=0 THEN x END)
+        |      * (sum(CASE WHEN h=0 THEN x END)/count(CASE WHEN h=0 THEN x END)), 6) AS var_a,
+        |  round(sum(CASE WHEN h=1 THEN x*x END)/count(CASE WHEN h=1 THEN x END)
+        |    - sum(CASE WHEN h=1 THEN x END)/count(CASE WHEN h=1 THEN x END)
+        |      * (sum(CASE WHEN h=1 THEN x END)/count(CASE WHEN h=1 THEN x END)), 6) AS var_b,
+        |  round(abs(sum(CASE WHEN h=0 THEN x END)/count(CASE WHEN h=0 THEN x END)
+        |    - sum(CASE WHEN h=1 THEN x END)/count(CASE WHEN h=1 THEN x END)), 6) AS mean_shift
+        |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
     // q148: definitional covariance — explode once to (row, dim, x),
     // self-join on the row id for the j >= i pairs, and apply the SAME
     // (Σxy - Σx·Σy/n)/n association the Spark side uses so both float

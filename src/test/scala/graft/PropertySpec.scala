@@ -377,4 +377,38 @@ class PropertySpec extends SparkSpecBase {
     }
     runProp(p, 12)
   }
+
+  test("score calibration: z-scores vs a driver replay; constant/singleton groups NULL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 200L), (3L, "en", 300L),
+      (4L, "fr", 50L), (5L, "fr", 50L), // constant group → z NULL
+      (6L, "zh", 7L) // singleton → z NULL
+    ).toDF("doc_id", "lang", "score")
+    val out = graft.operators.Sampling.scoreCalibration(docs, "doc_id", "lang", "score")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4))).toMap
+    // en: mean 200, sample stddev 100 → z = -1, 0, 1
+    assert(out(1L)._1.contains(-1.0) && out(2L)._1.contains(0.0) &&
+      out(3L)._1.contains(1.0))
+    assert(out(4L)._1.isEmpty && out(5L)._1.isEmpty && out(6L)._1.isEmpty)
+    // percent_rank: ties share a rank; singleton rank 0
+    assert(out(1L)._2 == 0.0 && out(2L)._2 == 0.5 && out(3L)._2 == 1.0)
+    assert(out(4L)._2 == 0.0 && out(5L)._2 == 0.0 && out(6L)._2 == 0.0)
+  }
+
+  test("dim drift: zero on identical snapshots, detects a planted shift") {
+    val emb = graft.engine.Tables.embeddings(spark, sf("sf0.001"))
+    val self = graft.operators.Pca.dimDrift(emb, emb)
+    assert(self.count() == 64)
+    assert(self.filter(col("mean_shift") =!= 0.0).count() == 0)
+    // shift dim 0 of the b side by +10: only dim 0 reports the shift
+    val shifted = emb.withColumn("embedding",
+      concat(array(element_at(col("embedding"), 1) + lit(10.0f)),
+        slice(col("embedding"), 2, 63)))
+    val drift = graft.operators.Pca.dimDrift(emb, shifted)
+      .filter(col("mean_shift") > 0.001).collect()
+    assert(drift.length == 1 && drift.head.getInt(0) == 0)
+    assert(math.abs(drift.head.getDouble(5) - 10.0) < 0.01)
+  }
 }
