@@ -131,9 +131,18 @@ object Resample {
   def gapReport(df: DataFrame, keyCol: String, tsCol: String,
       stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
-    val obs = df
-      .select(col(keyCol), bucketCol(tsCol, stepSeconds).as("bucket_sec"))
-      .distinct()
+    gapFromBuckets(
+      df.select(col(keyCol), bucketCol(tsCol, stepSeconds).as("bucket_sec"))
+        .distinct(),
+      keyCol, stepSeconds)
+  }
+
+  /** The report body over an already-bucketed distinct
+    * (key, bucket_sec) frame — shared with the streaming cadence
+    * store, whose persisted state IS this frame.
+    */
+  private[graft] def gapFromBuckets(obs: DataFrame, keyCol: String,
+      stepSeconds: Long): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy("bucket_sec")
     obs.withColumn("_nb", lead(col("bucket_sec"), 1).over(w))
       .groupBy(keyCol)

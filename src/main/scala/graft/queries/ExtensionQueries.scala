@@ -1372,7 +1372,32 @@ object ExtensionQueries {
     Sampling.scoreCalibration(Tables.documents(s, dir),
       "doc_id", "lang", "n_chars")
 
+  /** q151: streaming cadence store — the event stream's distinct
+    * (user, hourly-bucket) grid points folded across three
+    * micro-batch appends plus a compaction, then read out as the gap
+    * report. Same oracle as q146: the persisted-store path must be
+    * indistinguishable from the one-shot batch computation.
+    */
+  private val cadenceStoreQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q151_cad")
+    val store = scratch.toString + "/cadence"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.cadenceStep(
+        ev.filter(col("event_id") % 3 === b), "user_id", "ts",
+        stepSeconds = 3600L, store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.cadenceMerge)
+    val out = graft.streaming.StreamingPower
+      .cadenceReport(s, store, "user_id", stepSeconds = 3600L)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q151_cadence_store" -> cadenceStoreQ,
     "q150_score_calibration" -> scoreCalibrationQ,
     "q149_dim_drift" -> dimDriftQ,
     "q148_embedding_cov" -> embeddingCovQ,
@@ -1714,6 +1739,19 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q151: q146's oracle VERBATIM — the store-backed streaming path
+    // must be indistinguishable from the one-shot batch gap report.
+    "q151_cadence_store" ->
+      """WITH obs AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts)//1000000//3600*3600 AS b FROM events),
+        |d AS (SELECT user_id, b,
+        |    lead(b) OVER (PARTITION BY user_id ORDER BY b) AS nb FROM obs)
+        |SELECT user_id,
+        |  (max(b) - min(b))//3600 + 1 AS n_expected,
+        |  count(*) AS n_present,
+        |  (max(b) - min(b))//3600 + 1 - count(*) AS n_missing,
+        |  coalesce(max(nb - b - 3600), 0) AS max_gap_sec
+        |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
     // q150: same two windows over the group partitioning; z guarded to
     // NULL when the sample stddev is 0/undefined; percent_rank is the
     // ANSI (rank-1)/(n-1) in both engines.

@@ -400,6 +400,67 @@ object StreamingPower {
       .groupBy("bin").agg(sum(col("bcnt")).as("bcnt"))
   }
 
+  /** One micro-batch of the streaming CADENCE store: the batch's
+    * DISTINCT (key, bucket_sec) observations land under
+    * `batch_id=<id>` with the committed-skip guard — per-event volume
+    * never persists, only the observed grid points, so the store is
+    * bounded by keys × elapsed buckets no matter the event rate, and
+    * [[cadenceMerge]] folds duplicate buckets re-observed across
+    * batches back out.
+    */
+  def cadenceStep(batch: DataFrame, keyCol: String, tsCol: String,
+      stepSeconds: Long, storePath: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    batch.select(col(keyCol),
+      expr(s"unix_timestamp($tsCol) DIV $stepSeconds * $stepSeconds")
+        .as("bucket_sec"))
+      .distinct()
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** Cadence MERGE as a compaction hook: the state is a SET of grid
+    * points, so the fold is `distinct` — idempotent, and a pure
+    * refinement of the read-side distinct in [[cadenceReport]].
+    */
+  val cadenceMerge: DataFrame => DataFrame = _.distinct()
+
+  /** The loop as a streaming query over an event stream. `compactEvery
+    * = n` folds the store to one distinct-set generation whenever ≥ n
+    * batches commit.
+    */
+  def cadenceStream(events: DataFrame, keyCol: String, tsCol: String,
+      stepSeconds: Long, storePath: String, checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cadenceStep(batch, keyCol, tsCol, stepSeconds, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            cadenceMerge)
+      }
+      .start()
+
+  /** The gap/cadence report over everything the store has seen —
+    * identical, by construction, to `Resample.gapReport` on the full
+    * event history: the store holds the distinct bucket set, which is
+    * exactly the report's input.
+    */
+  def cadenceReport(spark: SparkSession, storePath: String, keyCol: String,
+      stepSeconds: Long): DataFrame = {
+    graft.engine.BatchStore.heal(spark, storePath)
+    graft.operators.Resample.gapFromBuckets(
+      spark.read.parquet(storePath).select(col(keyCol), col("bucket_sec"))
+        .distinct(),
+      keyCol, stepSeconds)
+  }
+
   /** One micro-batch of the streaming CDC ingest: the batch's raw
     * changelog rows land under `batch_id=<id>` with the same
     * committed-skip guard as the sketch stores — a retried micro-batch

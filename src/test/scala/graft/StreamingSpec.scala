@@ -670,4 +670,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(merged(t4) == expect)
     assert(!fs.exists(new Path(t4 + "._old")), "backup not tidied")
   }
+
+  test("cadence store: report == batch gapReport, compaction + folded-retry invisible") {
+    import graft.operators.Resample
+    val events = Tables.events(spark, sf("sf0.001"))
+    val store = Files.createTempDirectory("graft_cad_store").toString + "/cadence"
+    (0L until 3L).foreach { b =>
+      StreamingPower.cadenceStep(events.filter(col("event_id") % 3 === b),
+        "user_id", "ts", 3600L, store, b)
+    }
+    def report(): Seq[(Long, Long, Long, Long, Long)] =
+      StreamingPower.cadenceReport(spark, store, "user_id", 3600L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val batch = Resample.gapReport(events, "user_id", "ts", 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(report() == batch, "store-backed report != batch gap report")
+    // fold duplicates re-observed across batches: compaction invisible
+    graft.engine.BatchStore.compact(spark, store, StreamingPower.cadenceMerge)
+    assert(report() == batch, "compaction changed the report")
+    // the folded generation holds no duplicate grid points
+    val dup = spark.read.parquet(store).groupBy("user_id", "bucket_sec")
+      .count().filter(col("count") > 1).count()
+    assert(dup == 0, "folded generation holds duplicate buckets")
+    // retry of the folded last batch id is a no-op
+    val last = graft.engine.BatchStore.committedBatches(spark, store).max
+    StreamingPower.cadenceStep(events.filter(col("event_id") % 3 === 2),
+      "user_id", "ts", 3600L, store, last)
+    assert(report() == batch, "retry of the folded batch id mutated the store")
+  }
+
+  test("cadence stream over a MemoryStream matches batch, with compactEvery") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val store = Files.createTempDirectory("graft_cad_ms").toString + "/cadence"
+    val ckpt = Files.createTempDirectory("graft_cad_ms_ck").toString
+    val ms = MemoryStream[StreamingPower.Evt]
+    val q = StreamingPower.cadenceStream(ms.toDF(), "user_id", "ts", 3600L,
+      store, ckpt, compactEvery = 2)
+    ms.addData(StreamingPower.Evt(1L, t("00:10:00"), 1.0),
+      StreamingPower.Evt(1L, t("03:20:00"), 1.0))
+    q.processAllAvailable()
+    ms.addData(StreamingPower.Evt(1L, t("03:40:00"), 1.0),
+      StreamingPower.Evt(2L, t("05:00:00"), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = StreamingPower.cadenceReport(spark, store, "user_id", 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // user 1: hours 0..3 observed at 0 and 3 → 4 expected, 2 present,
+    // longest gap 2h; user 2: singleton bucket
+    assert(got == Seq((1L, 4L, 2L, 2L, 7200L), (2L, 1L, 1L, 0L, 0L)), s"got $got")
+  }
 }
