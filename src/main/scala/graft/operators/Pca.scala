@@ -79,6 +79,32 @@ object Pca {
     (values, vectors)
   }
 
+  /** OPQ-style balanced allocation (Ge et al., CVPR 2013, the
+    * parametric variant): permute the principal components so each of
+    * `numSub` product-quantization subspaces receives dimensions whose
+    * eigenvalue PRODUCTS are as equal as greedy assignment allows —
+    * plain PCA concentrates variance in the leading dims, which
+    * starves the trailing subspaces and wastes their codebooks; the
+    * balanced permutation is what makes a PCA rotation help PQ
+    * instead of hurting it. Returns the permuted component rows:
+    * rows [m·d, (m+1)·d) form subspace m.
+    */
+  def balancedComponents(values: Array[Double], vectors: Array[Array[Double]],
+      numSub: Int): Array[Array[Double]] = {
+    val dim = values.length
+    require(dim % numSub == 0, "numSub must divide dim")
+    val d = dim / numSub
+    val logs = values.map(v => math.log(math.max(v, 1e-12)))
+    val slots = Array.fill(numSub)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val sums = new Array[Double](numSub)
+    for (c <- 0 until dim) { // components arrive eigenvalue-descending
+      val tgt = (0 until numSub).filter(slots(_).size < d).minBy(sums(_))
+      slots(tgt) += c
+      sums(tgt) += logs(c)
+    }
+    slots.flatMap(_.map(vectors(_))).toArray
+  }
+
   /** Per-dimension drift between two embedding snapshots — the
     * monitoring face of the moment machinery: one exploded aggregate
     * over the union (conditional sums, map-side combined; neither

@@ -363,6 +363,34 @@ object Similarity {
     pqAdcRank(enc, probeTable, k)
   }
 
+  /** OPQ-lite PQ top-k: PCA-rotate the corpus with balanced
+    * eigenvalue allocation (`Pca.balancedComponents`) BEFORE product
+    * quantization — decorrelated, variance-balanced subspaces give
+    * the sub-codebooks less structure to waste bits on, lowering
+    * quantization error (spec-verified against the unrotated path).
+    * The rotation is orthonormal, so rotated squared-L2 == original
+    * squared-L2 and the ADC ranking still targets the original
+    * metric. Probes rotate with the CORPUS-trained rotation.
+    *
+    * Like [[pqTopKLearned]], not SQL-oracle-expressible (driver
+    * eigendecomposition); the moment pass feeding it is q148's.
+    */
+  def pqTopKOpq(embeddings: DataFrame, probes: DataFrame, k: Int,
+      dim: Int, numSub: Int = 8, numCodes: Int = 16, iters: Int = 5,
+      sampleN: Int = 512): DataFrame = {
+    val (values, vectors) = Pca.principalComponents(embeddings, "embedding", dim)
+    val rot = Pca.balancedComponents(values, vectors, numSub)
+    def rotate(df: DataFrame): DataFrame =
+      Pca.project(df, "embedding", rot, dim, "_rot")
+        .drop("embedding").withColumnRenamed("_rot", "embedding")
+    val re = rotate(embeddings)
+    val cb = pqCodebooksDf(embeddings.sparkSession,
+      pqLearnedCodebooks(re, dim, numSub, numCodes, iters, sampleN))
+    val (enc, probeTable) =
+      pqArtifactsWithCodebook(re, rotate(probes), dim, numSub, cb)
+    pqAdcRank(enc, probeTable, k)
+  }
+
   /** Shared ADC scorer: exhaustive scan of the encoded corpus against
     * the broadcast probe tables, per-query top-k on the exact-integer
     * distance sums.
