@@ -1396,7 +1396,29 @@ object ExtensionQueries {
     out
   }
 
+  /** q152: streaming embedding-moment store — per-dim (n, Σx, Σx²)
+    * folded across three micro-batch appends plus a compaction, read
+    * out as per-dim mean/variance. The incremental face of q148/q149:
+    * drift monitoring over an unbounded stream, constant-size state.
+    */
+  private val momentStoreQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q152_mom")
+    val store = scratch.toString + "/moments"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.momentStep(
+        emb.filter(col("vec_id") % 3 === b), "embedding", store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.momentMerge)
+    val out = graft.streaming.StreamingPower.momentReport(s, store)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q152_moment_store" -> momentStoreQ,
     "q151_cadence_store" -> cadenceStoreQ,
     "q150_score_calibration" -> scoreCalibrationQ,
     "q149_dim_drift" -> dimDriftQ,
@@ -1739,6 +1761,17 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q152: definitional per-dim mean/variance over the full corpus —
+    // the store's merged sums must be indistinguishable from the
+    // one-shot computation (same association as q148/q149).
+    "q152_moment_store" ->
+      """WITH t AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT CAST(gs.i - 1 AS INTEGER) AS dim, v[gs.i] AS x
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) gs)
+        |SELECT dim, count(*) AS n, round(sum(x)/count(*), 6) AS mean,
+        |  round(sum(x*x)/count(*) - sum(x)/count(*)*(sum(x)/count(*)), 6)
+        |    AS variance
+        |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
     // q151: q146's oracle VERBATIM — the store-backed streaming path
     // must be indistinguishable from the one-shot batch gap report.
     "q151_cadence_store" ->

@@ -461,6 +461,69 @@ object StreamingPower {
       keyCol, stepSeconds)
   }
 
+  /** One micro-batch of the streaming EMBEDDING-MOMENT store: the
+    * batch's per-dimension (n, Σx, Σx²) rows land under `batch_id=N`
+    * with the committed-skip guard — 64 tiny rows per batch no matter
+    * the batch size, and [[momentMerge]] sums them to a constant-size
+    * generation. The incremental face of `Pca.dimDrift`/q148's moment
+    * pass: drift and variance monitoring over an unbounded embedding
+    * stream without ever re-scanning history.
+    */
+  def momentStep(batch: DataFrame, embCol: String, storePath: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    batch.select(posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_x2"))
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** Moment MERGE as a compaction hook: counts and sums add per dim —
+    * the folded generation is ≤ dim rows however many batches it
+    * absorbed, and [[momentReport]]'s read-side sum is unchanged.
+    */
+  val momentMerge: DataFrame => DataFrame =
+    _.groupBy("dim").agg(sum(col("n")).as("n"), sum(col("sum_x")).as("sum_x"),
+      sum(col("sum_x2")).as("sum_x2"))
+
+  /** The loop as a streaming query over an embedding stream. */
+  def momentStream(embeddings: DataFrame, embCol: String, storePath: String,
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        momentStep(batch, embCol, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            momentMerge)
+      }
+      .start()
+
+  /** Per-dimension mean/variance over everything the store has seen:
+    * merged sums with the q148/q149 association (Σx/n, Σx²/n − m·m),
+    * round(_, 6) — matches the one-shot batch computation up to float
+    * re-association absorbed by the rounding.
+    */
+  def momentReport(spark: SparkSession, storePath: String): DataFrame = {
+    graft.engine.BatchStore.heal(spark, storePath)
+    val merged = spark.read.parquet(storePath)
+      .groupBy("dim").agg(sum(col("n")).as("n"), sum(col("sum_x")).as("sum_x"),
+        sum(col("sum_x2")).as("sum_x2"))
+    merged.select(col("dim"), col("n"),
+      round(col("sum_x") / col("n"), 6).as("mean"),
+      round(col("sum_x2") / col("n")
+        - col("sum_x") / col("n") * (col("sum_x") / col("n")), 6).as("variance"))
+      .orderBy("dim")
+  }
+
   /** One micro-batch of the streaming CDC ingest: the batch's raw
     * changelog rows land under `batch_id=<id>` with the same
     * committed-skip guard as the sketch stores — a retried micro-batch

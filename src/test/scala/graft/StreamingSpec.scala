@@ -701,6 +701,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(report() == batch, "retry of the folded batch id mutated the store")
   }
 
+  test("moment store: report == one-shot batch moments, compaction + folded-retry invisible") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val store = Files.createTempDirectory("graft_mom_store").toString + "/moments"
+    (0L until 3L).foreach { b =>
+      StreamingPower.momentStep(emb.filter(col("vec_id") % 3 === b),
+        "embedding", store, b)
+    }
+    def report(): Seq[(Int, Long, Double, Double)] =
+      StreamingPower.momentReport(spark, store).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // one-shot batch computation with the same association
+    val batch = emb
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sx2"))
+      .select(col("dim"), col("n"), round(col("sx") / col("n"), 6).as("mean"),
+        round(col("sx2") / col("n") - col("sx") / col("n") * (col("sx") / col("n")), 6)
+          .as("variance"))
+      .orderBy("dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val got = report()
+    assert(got.length == 64)
+    got.zip(batch).foreach { case ((d1, n1, m1, v1), (d2, n2, m2, v2)) =>
+      assert(d1 == d2 && n1 == n2)
+      assert(math.abs(m1 - m2) < 2e-6 && math.abs(v1 - v2) < 2e-6,
+        s"dim $d1 moments drifted: ($m1,$v1) vs ($m2,$v2)")
+    }
+    graft.engine.BatchStore.compact(spark, store, StreamingPower.momentMerge)
+    assert(report() == got, "compaction changed the report")
+    // constant-size folded generation: one row per dim
+    assert(spark.read.parquet(store).count() == 64)
+    // retry of the folded last batch id is a no-op
+    val last = graft.engine.BatchStore.committedBatches(spark, store).max
+    StreamingPower.momentStep(emb.filter(col("vec_id") % 3 === 2),
+      "embedding", store, last)
+    assert(report() == got, "retry of the folded batch id mutated the store")
+  }
+
   test("cadence stream over a MemoryStream matches batch, with compactEvery") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
