@@ -299,6 +299,37 @@ object Sampling {
     * undefined (constant or singleton group): no finite z exists.
     * Both outputs round(_, 6).
     */
+  /** Robust per-group calibration: z against the group's MEDIAN and
+    * MAD (×1.4826, the normal-consistency constant) — outlier-proof
+    * where `scoreCalibration`'s mean/stddev is not: one corrupt
+    * mega-document shifts a mean but barely moves a median — plus a
+    * deterministic equal-frequency bin (`ntile` ordered by
+    * (score, id): the id tie-break is what makes bin membership
+    * reproducible across engines and partitionings; curriculum
+    * schedules read off the bins).
+    *
+    * Two group-level exact percentile aggregates (tiny results,
+    * broadcast back), one window. `robust_z` NULL when MAD = 0.
+    */
+  def robustCalibration(docs: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    val med = docs.groupBy(groupCol)
+      .agg(expr(s"percentile($scoreCol, 0.5)").as("_med"))
+    val dev = docs.select(col(idCol), col(groupCol), col(scoreCol))
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("_adev", abs(col(scoreCol) - col("_med")))
+    val mad = dev.groupBy(groupCol)
+      .agg(expr("percentile(_adev, 0.5)").as("_mad"))
+    val w = Window.partitionBy(groupCol).orderBy(col(scoreCol), col(idCol))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z", round(
+        when(col("_mad") > 0,
+          (col(scoreCol) - col("_med")) / (lit(1.4826) * col("_mad"))), 6))
+      .withColumn("bin", ntile(bins).over(w))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("robust_z"), col("bin"))
+      .orderBy(idCol)
+  }
+
   def scoreCalibration(docs: DataFrame, idCol: String, groupCol: String,
       scoreCol: String): DataFrame = {
     val wg = Window.partitionBy(groupCol)

@@ -531,4 +531,44 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("doc").as(idCol), col("score"))
       .orderBy("query_id", "rank")
   }
+
+  /** Exact vocabulary-overlap matrix between groups (sources): for
+    * every group pair, the intersection size and Jaccard similarity of
+    * their distinct token sets — the provenance-level similarity /
+    * shared-boilerplate signal (two "independent" crawls with a high
+    * vocabulary Jaccard are not independent).
+    *
+    * Scale shape: one distinct over (group, token) — the only
+    * corpus-sized shuffle — then a self-equi-join PER TOKEN, whose
+    * fan-out is bounded by |groups-containing-token|² ≤ |groups|² per
+    * token regardless of corpus size; pair aggregation output is
+    * |groups|²/2 rows. Sizes attach from a |groups|-row broadcast.
+    * All counts exact integers; only the final Jaccard divides.
+    * Pairs sharing NO token are absent from the output (inner token
+    * join), not emitted as zero rows.
+    */
+  def vocabOverlap(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val st = docs
+      .select(col(groupCol).as("g"), explode(wsTokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+      .localCheckpoint() // feeds sizes, and both sides of the pair join
+    val sizes = st.groupBy("g").agg(count(lit(1)).as("n"))
+    val pairs = st.select(col("g").as("source_a"), col("tok"))
+      .join(st.select(col("g").as("source_b"), col("tok")), Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("g").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("g").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 }

@@ -1417,7 +1417,26 @@ object ExtensionQueries {
     out
   }
 
+  /** q153: exact vocabulary-overlap matrix between sources — pairwise
+    * intersection and Jaccard of distinct token sets
+    * (`TextAnalysis.vocabOverlap`): the provenance-similarity /
+    * shared-boilerplate signal.
+    */
+  private val vocabOverlapQ: Q = (s, dir) =>
+    TextAnalysis.vocabOverlap(Tables.documents(s, dir), "source", "text")
+
+  /** q154: robust per-language calibration — median/MAD z-scores and
+    * deterministic decile bins (`Sampling.robustCalibration`), the
+    * outlier-proof sibling of q150 plus the curriculum-binning
+    * primitive.
+    */
+  private val robustCalibrationQ: Q = (s, dir) =>
+    Sampling.robustCalibration(Tables.documents(s, dir),
+      "doc_id", "lang", "n_chars")
+
   val queries: Map[String, Q] = Map(
+    "q154_robust_calibration" -> robustCalibrationQ,
+    "q153_vocab_overlap" -> vocabOverlapQ,
     "q152_moment_store" -> momentStoreQ,
     "q151_cadence_store" -> cadenceStoreQ,
     "q150_score_calibration" -> scoreCalibrationQ,
@@ -1761,6 +1780,40 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q154: interpolated medians at 0.5 are bit-identical across both
+    // engines' quantile conventions; the ntile tie-break on
+    // (score, id) pins bin membership; 1.4826e0 per the float-constant
+    // rule.
+    "q154_robust_calibration" ->
+      """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5e0) AS med
+        |  FROM documents GROUP BY 1),
+        |dev AS (SELECT d.doc_id, d.lang, d.n_chars, m.med,
+        |    abs(d.n_chars - m.med) AS adev
+        |  FROM documents d JOIN med m USING (lang)),
+        |mad AS (SELECT lang, quantile_cont(adev, 0.5e0) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT doc_id, lang, n_chars,
+        |  round(CASE WHEN mad > 0
+        |    THEN (n_chars - med)/(1.4826e0 * mad) END, 6) AS robust_z,
+        |  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |    AS INTEGER) AS bin
+        |FROM dev JOIN mad USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+    // q153: definitional distinct-token pair join; counts exact
+    // integers, only the final Jaccard divides (BIGINT/BIGINT is
+    // float division in both engines).
+    "q153_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source AS g, t.tok FROM documents,
+        |  LATERAL (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok) t
+        |  WHERE t.tok <> ''),
+        |sz AS (SELECT g, count(*) AS n FROM st GROUP BY 1),
+        |px AS (SELECT a.g AS source_a, b.g AS source_b, count(*) AS n_shared
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.g < b.g GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+        |  round(n_shared/(sa.n + sb.n - n_shared), 6) AS jaccard
+        |FROM px JOIN sz sa ON px.source_a = sa.g
+        |  JOIN sz sb ON px.source_b = sb.g
+        |ORDER BY source_a, source_b""".stripMargin,
     // q152: definitional per-dim mean/variance over the full corpus —
     // the store's merged sums must be indistinguishable from the
     // one-shot computation (same association as q148/q149).

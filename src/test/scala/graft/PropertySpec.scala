@@ -397,6 +397,49 @@ class PropertySpec extends SparkSpecBase {
     assert(out(4L)._2 == 0.0 && out(5L)._2 == 0.0 && out(6L)._2 == 0.0)
   }
 
+  test("vocab overlap: counts match hand-built token sets, no cartesian plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "c d"),      // s1 = {a,b,c,d}
+      (3L, "s2", "c d e"),                          // s2 = {c,d,e}
+      (4L, "s3", "x y")                             // s3 = {x,y}
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.vocabOverlap(docs, "source", "text")
+    val got = out.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got(("s1", "s2")) == ((4L, 3L, 2L, 0.4)))  // {c,d} / {a,b,c,d,e}
+    // zero-overlap pairs are ABSENT (inner token join), not 0-rows
+    assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")))
+    assert(got.size == 1)
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("robust calibration: hand-computed median/MAD z; bins stable under repartition") {
+    import spark.implicits._
+    // en: scores 1..5 → med 3, adev {2,1,0,1,2} → mad 1, z = (x-3)/1.4826
+    // fr: constant scores → MAD 0 → z NULL
+    val docs = (1L to 5L).map(i => (i, "en", i.toDouble)).toSeq ++
+      Seq((10L, "fr", 7.0), (11L, "fr", 7.0))
+    val df = docs.toDF("doc_id", "lang", "score")
+    val out = graft.operators.Sampling
+      .robustCalibration(df, "doc_id", "lang", "score", bins = 2)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), r.getInt(4))).toMap
+    assert(out(3L)._1.contains(0.0))
+    assert(out(1L)._1.contains(math.rint(-2.0 / 1.4826 * 1e6) / 1e6))
+    assert(out(5L)._1.contains(math.rint(2.0 / 1.4826 * 1e6) / 1e6))
+    assert(out(10L)._1.isEmpty && out(11L)._1.isEmpty)
+    // deterministic bins: (score, id) tie-break pins membership
+    assert(Seq(1L, 2L, 3L).forall(out(_)._2 == 1) &&
+      Seq(4L, 5L).forall(out(_)._2 == 2))
+    assert(out(10L)._2 == 1 && out(11L)._2 == 2)
+    val again = graft.operators.Sampling
+      .robustCalibration(df.repartition(7), "doc_id", "lang", "score", bins = 2)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), r.getInt(4))).toMap
+    assert(again == out, "calibration not invariant under partitioning")
+  }
+
   test("dim drift: zero on identical snapshots, detects a planted shift") {
     val emb = graft.engine.Tables.embeddings(spark, sf("sf0.001"))
     val self = graft.operators.Pca.dimDrift(emb, emb)
