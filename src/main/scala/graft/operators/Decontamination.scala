@@ -60,59 +60,16 @@ object Decontamination {
     val benchGrams = bench
       .select(explode(array_distinct(Dedup.shingles(col(textCol), k))).as("g"))
       .distinct().localCheckpoint()
-    val expected = math.max(1L, benchGrams.count())
     val trainGrams = train
       .select(col(idCol).as("doc"),
         explode(array_distinct(Dedup.shingles(col(textCol), k))).as("g"))
-    val candidates =
-      try trainGrams.filter(builtinProbe(benchGrams, expected, fpp))
-      catch { case _: Throwable => // internal API moved: cold-path UDF
-        trainGrams.filter(udfProbe(benchGrams, expected, fpp))
-      }
-    candidates.join(benchGrams, Seq("g"))
+    // build/probe machinery shared with the generic runtime-filter
+    // join (`BloomJoin`): codegen bloom_filter_agg/might_contain with
+    // the UDF fallback inside
+    trainGrams.filter(BloomJoin.probeColumn(benchGrams, "g", col("g"), fpp))
+      .join(benchGrams, Seq("g"))
       .groupBy(col("doc").as(idCol))
       .agg(count(lit(1)).as("shared_grams"))
       .orderBy(idCol)
-  }
-
-  /** Codegen Bloom probe: build the sketch with Catalyst's
-    * `BloomFilterAggregate` over xxhash64(g) (distributed, mergeable),
-    * embed the serialized filter as a binary literal, and probe with
-    * `BloomFilterMightContain` over the same hash. Both ends MUST use
-    * the identical key hash — the aggregate stores longs, not strings.
-    * Registered through the session FunctionRegistry (Spark 4's Column
-    * API has no public Expression→Column constructor).
-    */
-  private def builtinProbe(benchGrams: DataFrame, expected: Long,
-      fpp: Double): org.apache.spark.sql.Column = {
-    val spark = benchGrams.sparkSession
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expected, fpp)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_might_contain",
-      exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs.head, exprs(1)),
-      "built-in")
-    val filterBytes = benchGrams
-      .agg(call_function("graft_bloom_agg", xxhash64(col("g")),
-        lit(expected), lit(numBits)).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
-    call_function("graft_bloom_might_contain", lit(filterBytes),
-      xxhash64(col("g")))
-  }
-
-  /** Fallback probe: `stat.bloomFilter` + a broadcast Scala UDF. */
-  private def udfProbe(benchGrams: DataFrame, expected: Long,
-      fpp: Double): org.apache.spark.sql.Column = {
-    val spark = benchGrams.sparkSession
-    val bloom = benchGrams.stat.bloomFilter("g", expected, fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bloomB.value.mightContainString(g))
-    mightContain(col("g"))
   }
 }

@@ -1434,7 +1434,25 @@ object ExtensionQueries {
     Sampling.robustCalibration(Tables.documents(s, dir),
       "doc_id", "lang", "n_chars")
 
+  /** q155: Bloom runtime-filter semi join — orders restricted to one
+    * customer segment's keys through a map-side `might_contain`
+    * prefilter before the exact join (`BloomJoin.semiJoin`); the
+    * result is identical to the plain semi join, so the oracle is the
+    * plain IN-subquery.
+    */
+  private val bloomSemiJoinQ: Q = (s, dir) => {
+    val segment = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    BloomJoin.semiJoin(Tables.orders(s, dir), segment,
+      "o_custkey", "c_custkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 6).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q155_bloom_semi_join" -> bloomSemiJoinQ,
     "q154_robust_calibration" -> robustCalibrationQ,
     "q153_vocab_overlap" -> vocabOverlapQ,
     "q152_moment_store" -> momentStoreQ,
@@ -1780,6 +1798,15 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q155: the Bloom prefilter is invisible to results (false
+    // positives die in the exact join, false negatives impossible) —
+    // the oracle is the PLAIN semi join.
+    "q155_bloom_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 6) AS sum_price
+        |FROM orders WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q154: interpolated medians at 0.5 are bit-identical across both
     // engines' quantile conventions; the ntile tie-break on
     // (score, id) pins bin membership; 1.4826e0 per the float-constant

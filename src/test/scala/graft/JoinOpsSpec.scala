@@ -60,4 +60,30 @@ class JoinOpsSpec extends SparkSpecBase {
     assert(plain.length == salted.length)
     assert(plain.sameElements(salted))
   }
+
+  test("bloom semi join == plain semi join, probe codegen, prefilter below the join") {
+    import graft.operators.BloomJoin
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val segment = Tables.customer(spark, sf("sf0.001"))
+      .filter(col("c_mktsegment") === "BUILDING")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val bloomed = BloomJoin.semiJoin(orders, segment, "o_custkey", "c_custkey")
+    val got = keys(bloomed)
+    val plain = keys(orders.join(segment,
+      orders("o_custkey") === segment("c_custkey"), "leftsemi"))
+    assert(got.nonEmpty && got == plain,
+      s"bloom semi join diverged: ${(got -- plain).take(3)} extra, ${(plain -- got).take(3)} missing")
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"builtin bloom probe missing (fell back to the UDF?):\n$plan")
+    assert(!plan.contains("UDF"), s"UDF node in the hot path:\n$plan")
+    // the probe must sit on the SCAN side, not above the join: in the
+    // tree string the Filter carrying might_contain appears strictly
+    // below the first join node
+    val joinAt = plan.indexOf("Join")
+    val probeAt = plan.indexOf("might_contain")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"bloom probe not below the join:\n$plan")
+  }
 }
