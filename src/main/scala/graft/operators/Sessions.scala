@@ -17,10 +17,13 @@ object Sessions {
     * user_id, then all window work is within-partition; no global sort.
     * (Contrast the reference's unpartitioned gold window, SURVEY §2.5.)
     */
-  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+  /** lag → gap flag → running-sum session index, shared by the
+    * per-session aggregate and the per-event feature projection.
+    */
+  private def flagged(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapNs = gapMinutes * 60L * 1000000L // µs
-    val flagged = events
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull
@@ -28,7 +31,10 @@ object Sessions {
           .otherwise(0))
       .withColumn("session_idx",
         sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    flagged.groupBy("user_id", "session_idx")
+  }
+
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    flagged(events, gapMinutes).groupBy("user_id", "session_idx")
       .agg(
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
@@ -47,4 +53,28 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
       .select(col("w.start").as("hour_start"), col("n_events"), col("total_value"))
       .orderBy("hour_start")
+
+  /** Per-EVENT session features — what a behavioral model trains on:
+    * the session index, the event's position within it, integer
+    * seconds since the previous event (0 at a session start) and
+    * since the session began. Same one-shuffle shape as `sessionize`
+    * (every window is user- or (user, session)-partitioned); second
+    * deltas stay exact BIGINTs (µs difference, integer division) —
+    * no float time math.
+    */
+  def sessionFeatures(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val bySession = Window.partitionBy("user_id", "session_idx")
+      .orderBy("ts", "event_id")
+    flagged(events, gapMinutes)
+      .withColumn("event_idx", row_number().over(bySession))
+      .withColumn("secs_since_prev",
+        when(col("new_session") === 1, lit(0L))
+          .otherwise(expr("(unix_micros(ts) - unix_micros(prev_ts)) DIV 1000000")))
+      .withColumn("secs_since_start",
+        expr("unix_micros(ts) DIV 1000000")
+          - min(expr("unix_micros(ts) DIV 1000000")).over(bySession))
+      .select(col("event_id"), col("user_id"), col("session_idx"),
+        col("event_idx"), col("secs_since_prev"), col("secs_since_start"))
+      .orderBy("event_id")
+  }
 }

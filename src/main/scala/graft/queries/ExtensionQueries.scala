@@ -1451,7 +1451,16 @@ object ExtensionQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** q156: per-event session features — session index, in-session
+    * position, integer seconds since previous event and since session
+    * start (`Sessions.sessionFeatures`): the behavioral-model feature
+    * projection over the q34 sessionization.
+    */
+  private val sessionFeaturesQ: Q = (s, dir) =>
+    Sessions.sessionFeatures(Tables.events(s, dir), gapMinutes = 30)
+
   val queries: Map[String, Q] = Map(
+    "q156_session_features" -> sessionFeaturesQ,
     "q155_bloom_semi_join" -> bloomSemiJoinQ,
     "q154_robust_calibration" -> robustCalibrationQ,
     "q153_vocab_overlap" -> vocabOverlapQ,
@@ -1798,6 +1807,29 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q156: the same lag → flag → running-sum chain definitionally;
+    // second deltas are exact integer µs divisions, so no float time
+    // math on either side.
+    "q156_session_features" ->
+      """WITH f AS (SELECT event_id, user_id, ts,
+        |    lag(ts) OVER w AS prev_ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT f.*, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS session_idx FROM f)
+        |SELECT event_id, user_id, session_idx,
+        |  CAST(row_number() OVER ws AS INTEGER) AS event_idx,
+        |  CASE WHEN new_s = 1 THEN 0
+        |    ELSE (epoch_us(ts) - epoch_us(prev_ts))//1000000 END
+        |    AS secs_since_prev,
+        |  epoch_us(ts)//1000000
+        |    - min(epoch_us(ts)//1000000) OVER ws AS secs_since_start
+        |FROM g WINDOW ws AS (PARTITION BY user_id, session_idx
+        |  ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     // q155: the Bloom prefilter is invisible to results (false
     // positives die in the exact join, false negatives impossible) —
     // the oracle is the PLAIN semi join.

@@ -440,6 +440,33 @@ class PropertySpec extends SparkSpecBase {
     assert(again == out, "calibration not invariant under partitioning")
   }
 
+  test("session features agree with sessionize: counts, firsts, monotone positions") {
+    import graft.operators.Sessions
+    val events = graft.engine.Tables.events(spark, sf("sf0.001"))
+    val feats = Sessions.sessionFeatures(events, gapMinutes = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(feats.length == events.count())
+    val bySession = feats.groupBy(f => (f._2, f._3))
+    val sessions = Sessions.sessionize(events, gapMinutes = 30).collect()
+    assert(bySession.size == sessions.length,
+      s"${bySession.size} feature sessions vs ${sessions.length} sessionize rows")
+    val nEvents = sessions.map(r => r.getLong(0) -> r.getLong(3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    bySession.groupBy(_._1._1).foreach { case (user, ss) =>
+      assert(ss.values.map(_.size.toLong).sum == nEvents(user), s"user $user")
+    }
+    bySession.values.foreach { evs =>
+      val sorted = evs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to evs.size), "event_idx not dense")
+      val first = sorted.head
+      assert(first._5 == 0L && first._6 == 0L,
+        s"session start has nonzero deltas: $first")
+      // secs_since_start is non-decreasing along the session
+      assert(sorted.map(_._6).toSeq == sorted.map(_._6).sorted.toSeq)
+    }
+  }
+
   test("dim drift: zero on identical snapshots, detects a planted shift") {
     val emb = graft.engine.Tables.embeddings(spark, sf("sf0.001"))
     val self = graft.operators.Pca.dimDrift(emb, emb)
