@@ -1459,7 +1459,31 @@ object ExtensionQueries {
   private val sessionFeaturesQ: Q = (s, dir) =>
     Sessions.sessionFeatures(Tables.events(s, dir), gapMinutes = 30)
 
+  /** q157: gap-robust anomaly detection — rolling z-score over the
+    * RESAMPLED (gap-filled) grid, so a burst after a quiet stretch is
+    * judged against true elapsed time, not against however many rows
+    * happened to exist (the q116-style raw-row window silently spans
+    * gaps). Composes q145's grid with one more partitioned window;
+    * the flag compares ROUNDED z so the cut is cross-engine exact.
+    */
+  private val gridAnomalyQ: Q = (s, dir) => {
+    val grid = Resample.resample(
+      Tables.events(s, dir).filter(col("user_id") % 10 === 0),
+      "user_id", "ts", "value", stepSeconds = 3600L)
+    val w = Window.partitionBy("user_id").orderBy("bucket_sec")
+      .rowsBetween(-23, 0)
+    grid
+      .withColumn("_m", avg(col("interp_value")).over(w))
+      .withColumn("_sd", stddev(col("interp_value")).over(w))
+      .withColumn("z", round(
+        when(col("_sd") > 0, (col("interp_value") - col("_m")) / col("_sd")), 6))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("user_id"), col("bucket_sec"), col("interp_value"), col("z"))
+      .orderBy("user_id", "bucket_sec")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q157_grid_anomaly" -> gridAnomalyQ,
     "q156_session_features" -> sessionFeaturesQ,
     "q155_bloom_semi_join" -> bloomSemiJoinQ,
     "q154_robust_calibration" -> robustCalibrationQ,
@@ -1807,6 +1831,46 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q157: q145's grid CTE + one more 24-bucket window; sample
+    // stddev (NULL under 2 rows) and the cut on ROUNDED z in both
+    // engines.
+    "q157_grid_anomaly" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts)//1000000//3600*3600 AS b,
+        |         count(*) AS n, round(avg(value), 6) AS v
+        |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(b) AS bmin, max(b) AS bmax
+        |  FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, gs.b FROM bounds,
+        |  LATERAL (SELECT unnest(generate_series(bmin, bmax, 3600)) AS b) gs),
+        |u AS (SELECT user_id, b, 0 AS side, n, v FROM obs
+        |  UNION ALL SELECT user_id, b, 1, NULL, NULL FROM grid),
+        |w AS (SELECT user_id, b, side,
+        |    last_value(v IGNORE NULLS) OVER back AS fv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER back AS fb,
+        |    first_value(v IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER fwd AS nb
+        |  FROM u WINDOW
+        |    back AS (PARTITION BY user_id ORDER BY b, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fwd AS (PARTITION BY user_id ORDER BY b, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |r AS (SELECT user_id, b AS bucket_sec,
+        |    round(CASE WHEN fb = b THEN fv
+        |      WHEN fv IS NOT NULL AND nv IS NOT NULL
+        |        THEN fv + (nv - fv) * (b - fb) / (nb - fb)
+        |      ELSE fv END, 6) AS interp_value
+        |  FROM w WHERE side = 1),
+        |zz AS (SELECT user_id, bucket_sec, interp_value,
+        |    avg(interp_value) OVER wz AS m,
+        |    stddev_samp(interp_value) OVER wz AS sd
+        |  FROM r WINDOW wz AS (PARTITION BY user_id ORDER BY bucket_sec
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, bucket_sec, interp_value,
+        |  round((interp_value - m)/sd, 6) AS z
+        |FROM zz WHERE sd > 0
+        |  AND abs(round((interp_value - m)/sd, 6)) > 2.5e0
+        |ORDER BY user_id, bucket_sec""".stripMargin,
     // q156: the same lag → flag → running-sum chain definitionally;
     // second deltas are exact integer µs divisions, so no float time
     // math on either side.
