@@ -91,14 +91,23 @@ object Resample {
 
     val ord = Window.partitionBy(keyCol).orderBy(col("bucket_sec"), col("_side"))
     val back = ord.rowsBetween(Window.unboundedPreceding, 0)
-    val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    // The forward neighbor is NOT first() over (0, unboundedFollowing):
+    // Spark evaluates an UnboundedFollowing frame by re-scanning the
+    // remainder of the partition for EVERY row — O(n²) per key (9 s at
+    // 105k grid rows; 60× worse at a year of minutes). A reversed sort
+    // with a growing UnboundedPreceding frame computes the same value
+    // incrementally in O(n): same single exchange (identical
+    // partitioning), one extra in-partition sort.
+    val fwd = Window.partitionBy(keyCol)
+      .orderBy(col("bucket_sec").desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val obsBucket = when(col("_val").isNotNull, col("bucket_sec"))
     val filled = unioned
       .withColumn("_fv", last(col("_val"), ignoreNulls = true).over(back))
       .withColumn("_fb", last(obsBucket, ignoreNulls = true).over(back))
       .withColumn("_fn", last(col("_n_obs"), ignoreNulls = true).over(back))
-      .withColumn("_nv", first(col("_val"), ignoreNulls = true).over(fwd))
-      .withColumn("_nb", first(obsBucket, ignoreNulls = true).over(fwd))
+      .withColumn("_nv", last(col("_val"), ignoreNulls = true).over(fwd))
+      .withColumn("_nb", last(obsBucket, ignoreNulls = true).over(fwd))
       .filter(col("_side") === 1)
     val present = col("_fb") === col("bucket_sec")
     filled.select(
