@@ -251,6 +251,21 @@ class PlanSpec extends SparkSpecBase {
       s"encoded corpus shuffled for the ADC join:\n$plan")
   }
 
+  test("kNN label noise broadcasts only checkpointed probe-bounded artifacts") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val df = graft.operators.Similarity.knnLabelNoise(
+      emb, emb.filter(col("vec_id") < 10), k = 5)
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    val broadcasts = nodes.collect { case b: BroadcastExchangeExec => b }
+    assert(broadcasts.nonEmpty, "expected broadcast exchanges in the kNN plan")
+    broadcasts.foreach { b =>
+      assert(!flattenPlan(b.child).exists(_.isInstanceOf[FileSourceScanExec]),
+        s"corpus-scale file scan under a broadcast (q102 regression class):\n$b")
+    }
+  }
+
   test("IVF+PQ broadcasts only probe-bounded artifacts; corpus meets its codes via shuffle equi-join") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
