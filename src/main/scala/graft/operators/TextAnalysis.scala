@@ -532,6 +532,34 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact top-k terms per group (source) with each term's share of
+    * the group's token volume — the "signature vocabulary" view of
+    * provenance (pairs with [[vocabOverlap]]: overlap says two crawls
+    * look alike, this says WHAT dominates each).
+    *
+    * One (group, token) hash aggregate (map-side combined), then two
+    * windows over the same group partitioning — per-group state is
+    * vocabulary-sized, independent of corpus row count. Rank is
+    * (count DESC, token): deterministic cross-engine.
+    */
+  def topTermsByGroup(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("g"), explode(wsTokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("g", "token").agg(count(lit(1)).as("cnt"))
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val rank = byGroup.orderBy(col("cnt").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(rank))
+      .withColumn("share",
+        round(col("cnt").cast("double") / sum(col("cnt")).over(byGroup), 6))
+      .filter(col("rank") <= k)
+      .select(col("g").as(groupCol), col("rank"), col("token"), col("cnt"),
+        col("share"))
+      .orderBy(groupCol, "rank")
+  }
+
   /** Exact vocabulary-overlap matrix between groups (sources): for
     * every group pair, the intersection size and Jaccard similarity of
     * their distinct token sets — the provenance-level similarity /

@@ -1482,7 +1482,17 @@ object ExtensionQueries {
       .orderBy("user_id", "bucket_sec")
   }
 
+  /** q158: signature vocabulary per source — exact top-5 terms with
+    * share of the source's token volume
+    * (`TextAnalysis.topTermsByGroup`), the companion readout to
+    * q153's overlap matrix.
+    */
+  private val sourceTopTermsQ: Q = (s, dir) =>
+    TextAnalysis.topTermsByGroup(Tables.documents(s, dir), "source", "text",
+      k = 5)
+
   val queries: Map[String, Q] = Map(
+    "q158_source_top_terms" -> sourceTopTermsQ,
     "q157_grid_anomaly" -> gridAnomalyQ,
     "q156_session_features" -> sessionFeaturesQ,
     "q155_bloom_semi_join" -> bloomSemiJoinQ,
@@ -1831,6 +1841,19 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q158: definitional per-group counts + rank on (cnt DESC, token);
+    // share divides exact integers, float only at the end.
+    "q158_source_top_terms" ->
+      """WITH t AS (SELECT source AS g, u.tok FROM documents,
+        |  LATERAL (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok) u
+        |  WHERE u.tok <> ''),
+        |c AS (SELECT g, tok AS token, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT g, token, cnt,
+        |    CAST(row_number() OVER (PARTITION BY g
+        |      ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+        |    round(cnt/sum(cnt) OVER (PARTITION BY g), 6) AS share FROM c)
+        |SELECT g AS source, rank, token, cnt, share FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
     // q157: q145's grid CTE + one more 24-bucket window; sample
     // stddev (NULL under 2 rows) and the cut on ROUNDED z in both
     // engines.
