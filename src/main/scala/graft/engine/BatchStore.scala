@@ -47,6 +47,20 @@ object BatchStore {
       .sorted
   }
 
+  /** Read the store restricted to COMMITTED generations (per-dir
+    * `_SUCCESS`): a crashed step leaves a partial `batch_id=N` dir
+    * whose rows are garbage pending the retry's overwrite — a bare
+    * `spark.read.parquet(path)` would silently fold them into every
+    * read-side merge (fatal for the sum-state stores: partial moment /
+    * count-min rows corrupt totals, they don't just waste work). Every
+    * report reader goes through here.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    heal(spark, path)
+    spark.read.parquet(path)
+      .filter(col("batch_id").isin(committedBatches(spark, path): _*))
+  }
+
   /** Fold committed generations into one (see object doc). Uncommitted
     * dirs are garbage pending their retry's overwrite — dropped.
     */

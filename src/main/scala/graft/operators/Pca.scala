@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
 import graft.functions.GramAggregator
@@ -13,16 +13,38 @@ import graft.functions.GramAggregator
   * broadcast back as a LITERAL expression so the projection is a pure
   * codegen map over the corpus (no UDF, no shuffle).
   *
+  * All moment passes quantize coordinates to fixed-point
+  * (round(x·10⁶) as long, [[Pca.quantize]]) and accumulate EXACT
+  * integer sums — double partial sums depend on the partition merge
+  * order, which varies run-to-run and flips round(_, 6) boundaries
+  * against a sequential-order oracle (the CLAUDE.md order-invariance
+  * invariant). Doubles are reconstructed once from the exact sums
+  * with a fixed association both engines share.
+  *
   * Uses: dimensionality reduction ahead of ANN (project-then-index),
   * decorrelation before product quantization (the rotation is the
   * "O" of OPQ), and embedding-drift diagnostics (covariance deltas).
   */
 object Pca {
 
+  /** Fixed-point quantization scale shared with every oracle:
+    * q = round(x·10⁶) (half away from zero — Spark `round` and DuckDB
+    * `round` agree), x ≈ q/10⁶, products at scale 10¹².
+    */
+  val Scale: Double = 1e6
+  val Scale2: Double = 1e12
+
+  /** array<double> → array<long> fixed-point coordinates (codegen map,
+    * no UDF). Oracle equivalent: `CAST(round(v[i]*1e6) AS BIGINT)`.
+    */
+  def quantize(c: Column): Column =
+    transform(c.cast("array<double>"), x => round(x * lit(Scale), 0).cast("long"))
+
   /** Population covariance as rows (dim_i, dim_j, cov), upper triangle
     * j >= i, round(_, 6) — the oracle-checkable face of the moment
-    * pass: cov = (Σxy - Σx·Σy/n) / n with a fixed association so the
-    * oracle's float path is bit-compatible under the rounding.
+    * pass: cov = (Σxy - Σx·Σy/n)/n over the quantized coordinates,
+    * reconstructed from exact integer sums with a fixed association so
+    * the oracle is bit-identical, not merely close.
     */
   def covariance(embeddings: DataFrame, embCol: String, dim: Int): DataFrame = {
     val spark = embeddings.sparkSession
@@ -30,27 +52,37 @@ object Pca {
     val rows = for {
       i <- 0 until dim
       j <- i until dim
-    } yield Row(i, j,
-      BigDecimal((prods(GramAggregator.triIndex(i, j, dim)) - sums(i) * sums(j) / n) / n)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    } yield Row(i, j, covCell(sums, prods, n, i, j, dim))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1),
       StructType(Seq(StructField("dim_i", IntegerType, nullable = false),
         StructField("dim_j", IntegerType, nullable = false),
         StructField("cov", DoubleType, nullable = false))))
+      .select(col("dim_i"), col("dim_j"), round(col("cov"), 6).as("cov"))
       .orderBy("dim_i", "dim_j")
   }
 
-  /** One distributed pass: (Σx per dim, Σxy upper triangle, n). */
+  /** One covariance cell from the exact integer moments — the ONE
+    * float expression both engines evaluate, in this exact order:
+    * (Σq_iq_j/10¹² − (Σq_i/10⁶)·(Σq_j/10⁶)/n)/n.
+    */
+  private def covCell(sums: Array[Long], prods: Array[Long], n: Long,
+      i: Int, j: Int, dim: Int): Double =
+    (prods(GramAggregator.triIndex(i, j, dim)).toDouble / Scale2 -
+      sums(i).toDouble / Scale * (sums(j).toDouble / Scale) / n) / n
+
+  /** One distributed pass over the QUANTIZED coordinates:
+    * (Σq per dim, Σq_iq_j upper triangle, n) — exact integers.
+    */
   private[graft] def moments(embeddings: DataFrame, embCol: String,
-      dim: Int): (Array[Double], Array[Double], Long) = {
+      dim: Int): (Array[Long], Array[Long], Long) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val agg = new GramAggregator(dim).toColumn
     embeddings
-      .select(col(embCol).cast("array<double>").as("_e"))
-      .as[Array[Double]]
-      .select(agg.as[(Array[Double], Array[Double], Long)])
+      .select(quantize(col(embCol)).as("_e"))
+      .as[Array[Long]]
+      .select(agg.as[(Array[Long], Array[Long], Long)])
       .head()
   }
 
@@ -66,7 +98,7 @@ object Pca {
     val (sums, prods, n) = moments(embeddings, embCol, dim)
     val cov = breeze.linalg.DenseMatrix.tabulate(dim, dim) { (i, j) =>
       val (a, b) = if (i <= j) (i, j) else (j, i)
-      (prods(GramAggregator.triIndex(a, b, dim)) - sums(a) * sums(b) / n) / n
+      covCell(sums, prods, n, a, b, dim)
     }
     val es = breeze.linalg.eigSym(cov)
     val order = (0 until dim).sortBy(c => -es.eigenvalues(c))
@@ -114,19 +146,26 @@ object Pca {
     * shifted corpus before it poisons an ANN index built on top.
     *
     * Output per dim, ordered: (dim, mean_a, mean_b, var_a, var_b,
-    * mean_shift), all round(_, 6). Variance association is fixed as
-    * Σx²/n - (Σx/n)·(Σx/n) so an oracle can reproduce it bit-stably.
+    * mean_shift), all round(_, 6). Sums run over the QUANTIZED
+    * coordinates as exact longs (order-invariant); the float
+    * association is fixed as mean = Σq/10⁶/n,
+    * var = Σq²/10¹²/n − mean·mean so an oracle reproduces it
+    * bit-stably.
     */
   def dimDrift(a: DataFrame, b: DataFrame, embCol: String = "embedding"): DataFrame = {
     val tagged = a.select(lit(0).as("_h"), col(embCol).as("_e"))
       .unionByName(b.select(lit(1).as("_h"), col(embCol).as("_e")))
     val u = tagged.select(col("_h"),
-      posexplode(col("_e").cast("array<double>")).as(Seq("dim", "x")))
-    def side(h: Int, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      f(when(col("_h") === h, col("x")))
-    def mean(h: Int) = side(h, sum) / side(h, count)
+      posexplode(quantize(col("_e"))).as(Seq("dim", "q")))
+    def side(h: Int, f: Column => Column) =
+      f(when(col("_h") === h, col("q")))
+    def mean(h: Int) = side(h, sum).cast("double") / lit(Scale) / side(h, count)
+    // q² sums accumulate as decimal(38,0) — exact at any corpus size
+    // (a long Σq² caps out near 10¹⁹, i.e. tens of millions of
+    // unit-scale rows); one cast to double after aggregation
     def variance(h: Int) =
-      side(h, c => sum(c * c)) / side(h, count) - mean(h) * mean(h)
+      side(h, c => sum(c.cast("decimal(19,0)") * c.cast("decimal(19,0)")))
+        .cast("double") / lit(Scale2) / side(h, count) - mean(h) * mean(h)
     u.groupBy("dim").agg(
       round(mean(0), 6).as("mean_a"),
       round(mean(1), 6).as("mean_b"),

@@ -1960,16 +1960,22 @@ object ExtensionQueries {
         |FROM px JOIN sz sa ON px.source_a = sa.g
         |  JOIN sz sb ON px.source_b = sb.g
         |ORDER BY source_a, source_b""".stripMargin,
-    // q152: definitional per-dim mean/variance over the full corpus —
-    // the store's merged sums must be indistinguishable from the
-    // one-shot computation (same association as q148/q149).
+    // q152: definitional per-dim mean/variance over the full corpus on
+    // the FIXED-POINT coordinates (q = round(x*1e6), Pca.quantize) —
+    // the store's merged integer sums are exact and order-invariant,
+    // so this is bit-identical to the one-shot computation (same
+    // association as q148/q149: mean = Σq/1e6/n, var = Σq²/1e12/n −
+    // mean·mean).
     "q152_moment_store" ->
       """WITH t AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |u AS (SELECT CAST(gs.i - 1 AS INTEGER) AS dim, v[gs.i] AS x
+        |u AS (SELECT CAST(gs.i - 1 AS INTEGER) AS dim,
+        |    CAST(round(v[gs.i]*1e6) AS BIGINT) AS q
         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) gs)
-        |SELECT dim, count(*) AS n, round(sum(x)/count(*), 6) AS mean,
-        |  round(sum(x*x)/count(*) - sum(x)/count(*)*(sum(x)/count(*)), 6)
-        |    AS variance
+        |SELECT dim, count(*) AS n,
+        |  round(CAST(sum(q) AS DOUBLE)/1e6/count(*), 6) AS mean,
+        |  round(CAST(sum(q*q) AS DOUBLE)/1e12/count(*)
+        |    - CAST(sum(q) AS DOUBLE)/1e6/count(*)
+        |      *(CAST(sum(q) AS DOUBLE)/1e6/count(*)), 6) AS variance
         |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
     // q151: q146's oracle VERBATIM — the store-backed streaming path
     // must be indistinguishable from the one-shot batch gap report.
@@ -1997,37 +2003,56 @@ object ExtensionQueries {
         |FROM documents
         |WINDOW wg AS (PARTITION BY lang)
         |ORDER BY doc_id""".stripMargin,
-    // q149: conditional-sum drift with the Spark side's exact
-    // association: mean = Σx/n, var = Σx²/n - mean·mean.
+    // q149: conditional sums over the FIXED-POINT coordinates (q =
+    // round(x*1e6), matching Pca.quantize) — exact integers, so only
+    // the final reconstruction is float, with the Spark side's exact
+    // association: mean = Σq/1e6/n, var = Σq²/1e12/n - mean·mean.
     "q149_dim_drift" ->
       """WITH t AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS h,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |u AS (SELECT h, CAST(gs.i - 1 AS INTEGER) AS dim, v[gs.i] AS x
+        |u AS (SELECT h, CAST(gs.i - 1 AS INTEGER) AS dim,
+        |    CAST(round(v[gs.i]*1e6) AS BIGINT) AS q
         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) gs)
         |SELECT dim,
-        |  round(sum(CASE WHEN h=0 THEN x END)/count(CASE WHEN h=0 THEN x END), 6) AS mean_a,
-        |  round(sum(CASE WHEN h=1 THEN x END)/count(CASE WHEN h=1 THEN x END), 6) AS mean_b,
-        |  round(sum(CASE WHEN h=0 THEN x*x END)/count(CASE WHEN h=0 THEN x END)
-        |    - sum(CASE WHEN h=0 THEN x END)/count(CASE WHEN h=0 THEN x END)
-        |      * (sum(CASE WHEN h=0 THEN x END)/count(CASE WHEN h=0 THEN x END)), 6) AS var_a,
-        |  round(sum(CASE WHEN h=1 THEN x*x END)/count(CASE WHEN h=1 THEN x END)
-        |    - sum(CASE WHEN h=1 THEN x END)/count(CASE WHEN h=1 THEN x END)
-        |      * (sum(CASE WHEN h=1 THEN x END)/count(CASE WHEN h=1 THEN x END)), 6) AS var_b,
-        |  round(abs(sum(CASE WHEN h=0 THEN x END)/count(CASE WHEN h=0 THEN x END)
-        |    - sum(CASE WHEN h=1 THEN x END)/count(CASE WHEN h=1 THEN x END)), 6) AS mean_shift
+        |  round(CAST(sum(CASE WHEN h=0 THEN q END) AS DOUBLE)/1e6
+        |    /count(CASE WHEN h=0 THEN q END), 6) AS mean_a,
+        |  round(CAST(sum(CASE WHEN h=1 THEN q END) AS DOUBLE)/1e6
+        |    /count(CASE WHEN h=1 THEN q END), 6) AS mean_b,
+        |  round(CAST(sum(CASE WHEN h=0 THEN q*q END) AS DOUBLE)/1e12
+        |      /count(CASE WHEN h=0 THEN q END)
+        |    - CAST(sum(CASE WHEN h=0 THEN q END) AS DOUBLE)/1e6
+        |      /count(CASE WHEN h=0 THEN q END)
+        |      * (CAST(sum(CASE WHEN h=0 THEN q END) AS DOUBLE)/1e6
+        |        /count(CASE WHEN h=0 THEN q END)), 6) AS var_a,
+        |  round(CAST(sum(CASE WHEN h=1 THEN q*q END) AS DOUBLE)/1e12
+        |      /count(CASE WHEN h=1 THEN q END)
+        |    - CAST(sum(CASE WHEN h=1 THEN q END) AS DOUBLE)/1e6
+        |      /count(CASE WHEN h=1 THEN q END)
+        |      * (CAST(sum(CASE WHEN h=1 THEN q END) AS DOUBLE)/1e6
+        |        /count(CASE WHEN h=1 THEN q END)), 6) AS var_b,
+        |  round(abs(CAST(sum(CASE WHEN h=0 THEN q END) AS DOUBLE)/1e6
+        |      /count(CASE WHEN h=0 THEN q END)
+        |    - CAST(sum(CASE WHEN h=1 THEN q END) AS DOUBLE)/1e6
+        |      /count(CASE WHEN h=1 THEN q END)), 6) AS mean_shift
         |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
-    // q148: definitional covariance — explode once to (row, dim, x),
-    // self-join on the row id for the j >= i pairs, and apply the SAME
-    // (Σxy - Σx·Σy/n)/n association the Spark side uses so both float
-    // paths agree under round(_, 6).
+    // q148: definitional covariance over the FIXED-POINT coordinates
+    // (q = round(x*1e6) as BIGINT, matching Pca.quantize): integer
+    // sums are exact and order-invariant on both engines, so the one
+    // float reconstruction — (Σqq/1e12 - Σq/1e6·(Σq/1e6)/n)/n, the
+    // SAME association covCell uses — is bit-identical, not merely
+    // close (the CLAUDE.md order-invariance invariant; double partial
+    // sums here flipped a 6-dp boundary in round 6).
     "q148_embedding_cov" ->
       """WITH e AS (SELECT row_number() OVER () AS rid,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |u AS (SELECT rid, gs.i AS d, v[gs.i] AS x FROM e,
+        |u AS (SELECT rid, gs.i AS d, CAST(round(v[gs.i]*1e6) AS BIGINT) AS q
+        |  FROM e,
         |  LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) gs)
         |SELECT CAST(a.d - 1 AS INTEGER) AS dim_i,
         |  CAST(b.d - 1 AS INTEGER) AS dim_j,
-        |  round((sum(a.x*b.x) - sum(a.x)*sum(b.x)/count(*)) / count(*), 6) AS cov
+        |  round((CAST(sum(a.q*b.q) AS DOUBLE)/1e12
+        |    - CAST(sum(a.q) AS DOUBLE)/1e6*(CAST(sum(b.q) AS DOUBLE)/1e6)
+        |      /count(*))/count(*), 6) AS cov
         |FROM u a JOIN u b ON a.rid = b.rid AND b.d >= a.d
         |GROUP BY 1, 2 ORDER BY dim_i, dim_j""".stripMargin,
     // q147: definitional quadratic kNN + vote — rank on the ROUNDED

@@ -342,12 +342,13 @@ object StreamingPower {
       }
       .start()
 
-  /** The merged sketch across every committed batch: sum per (r, c). */
-  def mergedCountMin(spark: SparkSession, storePath: String): DataFrame = {
-    graft.engine.BatchStore.heal(spark, storePath)
-    spark.read.parquet(storePath)
+  /** The merged sketch across every committed batch: sum per (r, c).
+    * Committed-only read — a partial batch dir's counters would
+    * silently inflate the totals (`BatchStore.read`).
+    */
+  def mergedCountMin(spark: SparkSession, storePath: String): DataFrame =
+    graft.engine.BatchStore.read(spark, storePath)
       .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
-  }
 
   /** One micro-batch of the streaming HISTOGRAM store: the batch's
     * fixed-edge histogram written to a per-batch-id dir with the same
@@ -394,11 +395,9 @@ object StreamingPower {
   /** Merged histogram across every committed batch: sum per bin —
     * feed to `Sketches.quantilesFromHistogram` for the readout.
     */
-  def mergedHistogram(spark: SparkSession, storePath: String): DataFrame = {
-    graft.engine.BatchStore.heal(spark, storePath)
-    spark.read.parquet(storePath)
+  def mergedHistogram(spark: SparkSession, storePath: String): DataFrame =
+    graft.engine.BatchStore.read(spark, storePath)
       .groupBy("bin").agg(sum(col("bcnt")).as("bcnt"))
-  }
 
   /** One micro-batch of the streaming CADENCE store: the batch's
     * DISTINCT (key, bucket_sec) observations land under
@@ -453,21 +452,26 @@ object StreamingPower {
     * exactly the report's input.
     */
   def cadenceReport(spark: SparkSession, storePath: String, keyCol: String,
-      stepSeconds: Long): DataFrame = {
-    graft.engine.BatchStore.heal(spark, storePath)
+      stepSeconds: Long): DataFrame =
     graft.operators.Resample.gapFromBuckets(
-      spark.read.parquet(storePath).select(col(keyCol), col("bucket_sec"))
-        .distinct(),
+      graft.engine.BatchStore.read(spark, storePath)
+        .select(col(keyCol), col("bucket_sec")).distinct(),
       keyCol, stepSeconds)
-  }
 
   /** One micro-batch of the streaming EMBEDDING-MOMENT store: the
-    * batch's per-dimension (n, Σx, Σx²) rows land under `batch_id=N`
+    * batch's per-dimension (n, Σq, Σq²) rows land under `batch_id=N`
     * with the committed-skip guard — 64 tiny rows per batch no matter
     * the batch size, and [[momentMerge]] sums them to a constant-size
     * generation. The incremental face of `Pca.dimDrift`/q148's moment
     * pass: drift and variance monitoring over an unbounded embedding
     * stream without ever re-scanning history.
+    *
+    * Sums run over the FIXED-POINT coordinates (`Pca.quantize`,
+    * q = round(x·10⁶)) as exact integers — double partial sums depend
+    * on batch/partition order and flip round(_, 6) boundaries against
+    * a sequential-order oracle (the CLAUDE.md order-invariance
+    * invariant). Σq is a long (exact to ~10¹² unit-scale rows per
+    * dim); Σq² accumulates as decimal(38,0), exact at any scale.
     */
   def momentStep(batch: DataFrame, embCol: String, storePath: String,
       batchId: Long): Unit = {
@@ -477,20 +481,23 @@ object StreamingPower {
     val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     val batchDir = new Path(root, s"batch_id=$batchId")
     if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
-    batch.select(posexplode(col(embCol).cast("array<double>")).as(Seq("dim", "x")))
+    batch.select(posexplode(graft.operators.Pca.quantize(col(embCol)))
+        .as(Seq("dim", "q")))
       .groupBy("dim")
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
-        sum(col("x") * col("x")).as("sum_x2"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+        sum(col("q").cast("decimal(19,0)") * col("q").cast("decimal(19,0)"))
+          .as("sum_q2"))
       .write.mode("overwrite").parquet(batchDir.toString)
   }
 
-  /** Moment MERGE as a compaction hook: counts and sums add per dim —
-    * the folded generation is ≤ dim rows however many batches it
-    * absorbed, and [[momentReport]]'s read-side sum is unchanged.
+  /** Moment MERGE as a compaction hook: counts and exact integer sums
+    * add per dim — the folded generation is ≤ dim rows however many
+    * batches it absorbed, and [[momentReport]]'s read-side sum is
+    * unchanged.
     */
   val momentMerge: DataFrame => DataFrame =
-    _.groupBy("dim").agg(sum(col("n")).as("n"), sum(col("sum_x")).as("sum_x"),
-      sum(col("sum_x2")).as("sum_x2"))
+    _.groupBy("dim").agg(sum(col("n")).as("n"), sum(col("sum_q")).as("sum_q"),
+      sum(col("sum_q2")).as("sum_q2"))
 
   /** The loop as a streaming query over an embedding stream. */
   def momentStream(embeddings: DataFrame, embCol: String, storePath: String,
@@ -508,19 +515,22 @@ object StreamingPower {
       .start()
 
   /** Per-dimension mean/variance over everything the store has seen:
-    * merged sums with the q148/q149 association (Σx/n, Σx²/n − m·m),
-    * round(_, 6) — matches the one-shot batch computation up to float
-    * re-association absorbed by the rounding.
+    * exact merged integer sums reconstructed to doubles ONCE with the
+    * q148/q149 association (mean = Σq/10⁶/n, var = Σq²/10¹²/n − m·m),
+    * round(_, 6) — bit-identical to the one-shot batch computation,
+    * not merely close: integer sums are order-invariant across any
+    * batch split. Committed-only read (`BatchStore.read`): a crashed
+    * step's partial per-dim rows would silently corrupt the totals.
     */
   def momentReport(spark: SparkSession, storePath: String): DataFrame = {
-    graft.engine.BatchStore.heal(spark, storePath)
-    val merged = spark.read.parquet(storePath)
-      .groupBy("dim").agg(sum(col("n")).as("n"), sum(col("sum_x")).as("sum_x"),
-        sum(col("sum_x2")).as("sum_x2"))
+    val merged = graft.engine.BatchStore.read(spark, storePath)
+      .groupBy("dim").agg(sum(col("n")).as("n"), sum(col("sum_q")).as("sum_q"),
+        sum(col("sum_q2")).as("sum_q2"))
+    def mean = col("sum_q").cast("double") / lit(graft.operators.Pca.Scale) / col("n")
     merged.select(col("dim"), col("n"),
-      round(col("sum_x") / col("n"), 6).as("mean"),
-      round(col("sum_x2") / col("n")
-        - col("sum_x") / col("n") * (col("sum_x") / col("n")), 6).as("variance"))
+      round(mean, 6).as("mean"),
+      round(col("sum_q2").cast("double") / lit(graft.operators.Pca.Scale2) / col("n")
+        - mean * mean, 6).as("variance"))
       .orderBy("dim")
   }
 
@@ -561,14 +571,15 @@ object StreamingPower {
       }
       .start()
 
-  /** Current table state across every committed changelog batch. */
+  /** Current table state across every committed changelog batch —
+    * committed-only read (`BatchStore.read`): a crashed step's partial
+    * changelog rows could otherwise apply a half-written batch.
+    */
   def cdcCurrentState(spark: SparkSession, storePath: String, keyCol: String,
-      seqCol: String, opCol: String, attrCols: Seq[String]): DataFrame = {
-    graft.engine.BatchStore.heal(spark, storePath)
+      seqCol: String, opCol: String, attrCols: Seq[String]): DataFrame =
     graft.operators.Cdc.applyChangelog(
-      spark.read.parquet(storePath).drop("batch_id"),
+      graft.engine.BatchStore.read(spark, storePath).drop("batch_id"),
       keyCol, seqCol, opCol, attrCols)
-  }
 
   /** STREAM-STREAM interval join: purchases attributed to the same
     * user's clicks within a lookback window, both sides live streams.

@@ -20,6 +20,8 @@ class PcaSpec extends SparkSpecBase {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(got.size == Dim * (Dim + 1) / 2)
     val n = raw.length.toDouble
+    // 1e-5 absorbs the fixed-point quantization (δ ≤ 5e-7/coord →
+    // ~1e-7/cell at |x| ≤ ~0.5) on top of the 6-dp rounding
     for (i <- 0 until Dim; j <- i until Dim) {
       val sx = raw.map(_(i)).sum; val sy = raw.map(_(j)).sum
       val sxy = raw.map(v => v(i) * v(j)).sum
@@ -44,13 +46,14 @@ class PcaSpec extends SparkSpecBase {
     vectors.foreach { v =>
       assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0)
     }
-    // trace preserved: Σ eigenvalues == Σ var(dim)
+    // trace preserved: Σ eigenvalues == Σ var(dim) — tolerance covers
+    // 64 dims of fixed-point quantization error (~1e-7 each)
     val n = raw.length.toDouble
     val trace = (0 until Dim).map { i =>
       val sx = raw.map(_(i)).sum
       (raw.map(v => v(i) * v(i)).sum - sx * sx / n) / n
     }.sum
-    assert(math.abs(values.sum - trace) < 1e-6)
+    assert(math.abs(values.sum - trace) < 1e-4)
   }
 
   test("projection is codegen (no UDF) and its per-component variance equals the eigenvalue") {
@@ -65,7 +68,9 @@ class PcaSpec extends SparkSpecBase {
       val xs = comps.map(_.getDouble(c))
       val n = xs.length.toDouble
       val v = (xs.map(x => x * x).sum - xs.sum * xs.sum / n) / n
-      assert(math.abs(v - values(c)) < 1e-6,
+      // eigenvalues come from the QUANTIZED covariance, the projection
+      // from raw doubles — 1e-4 covers the fixed-point delta
+      assert(math.abs(v - values(c)) < 1e-4,
         s"component $c variance $v != eigenvalue ${values(c)}")
     }
     // top-k projection reconstructs better with more components

@@ -711,23 +711,24 @@ class StreamingSpec extends SparkSpecBase {
     def report(): Seq[(Int, Long, Double, Double)] =
       StreamingPower.momentReport(spark, store).collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
-    // one-shot batch computation with the same association
+    // one-shot batch computation with the same association — exact
+    // integer sums over the fixed-point coordinates are order-
+    // invariant across any batch split, so equality is EXACT
+    val q2 = col("q").cast("decimal(19,0)") * col("q").cast("decimal(19,0)")
+    def mean = col("sq").cast("double") / lit(graft.operators.Pca.Scale) / col("n")
     val batch = emb
-      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(posexplode(graft.operators.Pca.quantize(col("embedding")))
+        .as(Seq("dim", "q")))
       .groupBy("dim")
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sx2"))
-      .select(col("dim"), col("n"), round(col("sx") / col("n"), 6).as("mean"),
-        round(col("sx2") / col("n") - col("sx") / col("n") * (col("sx") / col("n")), 6)
-          .as("variance"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"), sum(q2).as("sq2"))
+      .select(col("dim"), col("n"), round(mean, 6).as("mean"),
+        round(col("sq2").cast("double") / lit(graft.operators.Pca.Scale2) / col("n")
+          - mean * mean, 6).as("variance"))
       .orderBy("dim").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
     val got = report()
     assert(got.length == 64)
-    got.zip(batch).foreach { case ((d1, n1, m1, v1), (d2, n2, m2, v2)) =>
-      assert(d1 == d2 && n1 == n2)
-      assert(math.abs(m1 - m2) < 2e-6 && math.abs(v1 - v2) < 2e-6,
-        s"dim $d1 moments drifted: ($m1,$v1) vs ($m2,$v2)")
-    }
+    assert(got == batch, "store report != one-shot batch moments")
     graft.engine.BatchStore.compact(spark, store, StreamingPower.momentMerge)
     assert(report() == got, "compaction changed the report")
     // constant-size folded generation: one row per dim
@@ -737,6 +738,15 @@ class StreamingSpec extends SparkSpecBase {
     StreamingPower.momentStep(emb.filter(col("vec_id") % 3 === 2),
       "embedding", store, last)
     assert(report() == got, "retry of the folded batch id mutated the store")
+    // a crashed step's PARTIAL batch dir (rows written, no _SUCCESS)
+    // is invisible to the report — partial per-dim sums would corrupt
+    // the totals, not just waste work (BatchStore.read gate)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingPower.momentStep(emb.limit(7), "embedding", store, last + 97)
+    fs.delete(new Path(s"$store/batch_id=${last + 97}/_SUCCESS"), false)
+    assert(report() == got, "partial (uncommitted) batch dir leaked into the report")
   }
 
   test("cadence stream over a MemoryStream matches batch, with compactEvery") {
