@@ -77,6 +77,13 @@ object TextIndex {
     toks.groupBy("doc", "dl", "token")
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(buckets)))
+      // cluster by bucket before the partitioned write: ONE file per
+      // bucket per batch. Without this every aggregate partition fans
+      // out to every bucket dir — buckets × shuffle-partitions small
+      // files per append, whose listing + footer reads come to
+      // dominate query latency (and at real scale become the classic
+      // small-file problem on the store).
+      .repartition(col("tok_bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("tok_bucket")
       .parquet(postingsPath(path) + s"/batch_id=$batchId")
     docs.agg(count(lit(1)).as("n_docs"),
