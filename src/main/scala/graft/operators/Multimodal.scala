@@ -9,10 +9,16 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is the real deliverable: binary payload column,
   * `mapPartitions` batch decode (one decoder instantiation per
   * partition, not per row — the same shape a JNI image/audio codec
-  * needs), typed `Dataset` output with an explicit schema. The decode
-  * itself is a clearly-marked deterministic STUB (no media codecs in
-  * this environment); swapping in a real decoder changes only the body
-  * of `decodeStub`.
+  * needs), typed `Dataset` output with an explicit schema.
+  *
+  * The decode path is REAL for formats the JVM ships codecs for:
+  * [[decodeMedia]] parses actual PNG/BMP/GIF/JPEG containers through
+  * `javax.imageio` (pure-JVM, no native libs) and reports true pixel
+  * dimensions and channel counts. Payloads no registered reader
+  * recognizes fall back to the clearly-marked deterministic STUB
+  * ([[decodeStub]]) so the pipeline stays total and oracle-checkable
+  * over non-media stand-in payloads; a video/audio codec would slot in
+  * beside the imageio branch the same way.
   *
   * Scale: decode is embarrassingly parallel; partition sizing is
   * governed by `spark.sql.files.maxPartitionBytes` on the payload scan,
@@ -20,20 +26,39 @@ import org.apache.spark.sql.functions._
   * heavy binary column is dropped before any shuffle.
   */
 object Multimodal {
-  /** Typed metadata row produced by the decoder. */
-  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, channels: Int)
+  /** Typed metadata row produced by the decoder. `real_decode` records
+    * which branch produced the row: true = an actual imageio codec
+    * parsed the container, false = the deterministic stub.
+    */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      channels: Int, real_decode: Boolean)
 
-  /** STUB decoder ??? — stands in for a real image/audio decode.
+  /** STUB decoder ??? — stands in for a real decode when no codec
+    * recognizes the payload (here: the text-bytes stand-in blobs).
     * Deterministic pure arithmetic on the payload bytes so the whole
     * pipeline (schema, batching, partitioning) is testable and carries
-    * a DuckDB oracle. A real implementation would parse the container
-    * header here (and this is the ONLY place that changes).
+    * a DuckDB oracle.
     */
   private def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
     val nBytes = payload.length
     val firstByte = if (nBytes > 0) payload(0) & 0xff else 0
-    MediaMeta(docId, nBytes, 64 + nBytes % 512, 64 + firstByte % 512, 3)
+    MediaMeta(docId, nBytes, 64 + nBytes % 512, 64 + firstByte % 512, 3,
+      real_decode = false)
   }
+
+  /** REAL decode via `javax.imageio` (PNG/BMP/GIF/JPEG readers ship
+    * with the JVM): true pixel width/height and the color model's
+    * channel count from the parsed container. Unrecognized or corrupt
+    * payloads fall back to [[decodeStub]].
+    */
+  private[graft] def decodeMedia(docId: Long, payload: Array[Byte]): MediaMeta =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) decodeStub(docId, payload)
+      else MediaMeta(docId, payload.length, img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents, real_decode = true)
+    } catch { case _: Exception => decodeStub(docId, payload) }
 
   /** Attach a binary payload column (here: the UTF-8 text bytes as the
     * stand-in media blob; real data would read e.g. image files).
@@ -41,15 +66,53 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
 
-  /** Partition-wise batch decode: binary payloads → typed metadata. */
-  def decodeFeatures(docs: DataFrame): Dataset[MediaMeta] = {
+  /** Deterministic REAL image fixture: each doc's text renders to a
+    * tiny true PNG (grayscale values from the text bytes) with
+    * dimensions derived from the doc — width = 8 + doc_id % 24,
+    * height = 8 + utf8len(text) % 24 — so a decode that parses the
+    * actual container recovers oracle-predictable dimensions. The
+    * encode runs partition-wise like the decode (imageio is pure JVM).
+    */
+  def withImagePayload(docs: DataFrame): DataFrame = {
     val payloads = withPayload(docs)
     import payloads.sparkSession.implicits._
     payloads.as[(Long, Array[Byte])].mapPartitions { batch =>
-      // Real decoders init per-partition state here (codec handles etc.)
-      batch.map { case (id, bytes) => decodeStub(id, bytes) }
-    }
+      batch.map { case (id, seed) =>
+        val w = (8 + id % 24).toInt
+        val h = 8 + seed.length % 24
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val b = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
+            img.setRGB(x, y, (b << 16) | (b << 8) | b)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
   }
+
+  /** Partition-wise batch decode of a (doc_id, payload) frame. */
+  def decodePayloads(payloads: DataFrame): Dataset[MediaMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { batch =>
+        // Real decoders init per-partition state here (codec handles etc.)
+        batch.map { case (id, bytes) => decodeMedia(id, bytes) }
+      }
+  }
+
+  /** Partition-wise batch decode: binary payloads → typed metadata. */
+  def decodeFeatures(docs: DataFrame): Dataset[MediaMeta] =
+    decodePayloads(withPayload(docs))
 
   /** Resize planning row: source dims → fitted dims + scale factor. */
   case class ResizeMeta(doc_id: Long, src_w: Int, src_h: Int,
@@ -58,10 +121,9 @@ object Multimodal {
   /** Resize-to-fit planning: aspect-preserving scale into a
     * (maxW, maxH) box, never upscaling — the dimension arithmetic every
     * image-normalization stage runs before the actual pixel resample.
-    * Composes the partition-wise decode (dims come from `decodeStub`;
-    * a real pipeline resamples pixels in the same mapPartitions pass —
-    * STUB ??? only the metadata math runs here, deterministically, so
-    * the plumbing carries a DuckDB oracle). All arithmetic is plain
+    * Composes the partition-wise decode (real imageio dims for media
+    * payloads, stub dims for stand-ins; a real pipeline resamples
+    * pixels in the same mapPartitions pass). All arithmetic is plain
     * IEEE double + floor, bit-identical cross-engine.
     */
   def resizePlan(docs: DataFrame, maxW: Int = 256, maxH: Int = 256): Dataset[ResizeMeta] = {
@@ -85,8 +147,9 @@ object Multimodal {
     * past the mapPartitions).
     *
     * STUB ??? — frame_hash is the byte at the frame offset, standing in
-    * for a decoded-frame content hash; pure arithmetic so the fan-out
-    * plumbing carries a DuckDB oracle.
+    * for a decoded-frame content hash (no video codec ships with the
+    * JVM); pure arithmetic so the fan-out plumbing carries a DuckDB
+    * oracle.
     */
   def frameSample(docs: DataFrame, nFrames: Int): Dataset[FrameMeta] = {
     val payloads = withPayload(docs)

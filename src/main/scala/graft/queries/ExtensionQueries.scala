@@ -83,7 +83,25 @@ object ExtensionQueries {
     Sessions.tumblingHourly(Tables.events(s, dir))
 
   private val multimodal: Q = (s, dir) =>
-    Multimodal.decodeFeatures(Tables.documents(s, dir)).toDF().orderBy("doc_id")
+    Multimodal.decodeFeatures(Tables.documents(s, dir)).toDF()
+      // text stand-in payloads take the deterministic stub branch;
+      // the branch flag is q162's concern, not part of this contract
+      .select("doc_id", "n_bytes", "width", "height", "channels")
+      .orderBy("doc_id")
+
+  /** q162: REAL image decode end-to-end — each doc's text renders to a
+    * true PNG with deterministic dimensions (8 + doc_id % 24 wide,
+    * 8 + utf8len % 24 tall, `Multimodal.withImagePayload`), and
+    * `decodePayloads` parses the actual container via javax.imageio:
+    * recovered width/height/channels and the real-decode branch flag
+    * are oracle-predicted. n_bytes (the PNG's compressed size) is
+    * encoder-dependent and deliberately excluded.
+    */
+  private val imageDecodeQ: Q = (s, dir) =>
+    Multimodal.decodePayloads(
+        Multimodal.withImagePayload(Tables.documents(s, dir))).toDF()
+      .select("doc_id", "width", "height", "channels", "real_decode")
+      .orderBy("doc_id")
 
   /** Corpus vocabulary: token frequencies, top-100 — explode + hash
     * aggregate + TakeOrdered (per-partition top-k, no global sort).
@@ -1534,6 +1552,7 @@ object ExtensionQueries {
       k = 5)
 
   val queries: Map[String, Q] = Map(
+    "q162_image_decode" -> imageDecodeQ,
     "q161_text_index_build" -> textIndexBuildQ,
     "q158_source_top_terms" -> sourceTopTermsQ,
     "q157_grid_anomaly" -> gridAnomalyQ,
@@ -1884,6 +1903,15 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q162: the PNG fixture's dimensions are derived from the doc, so
+    // a decode that parses the real container must recover them; the
+    // flag certifies the imageio branch ran, not the stub.
+    "q162_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 24 AS INTEGER) AS width,
+        |  CAST(8 + octet_length(encode(text)) % 24 AS INTEGER) AS height,
+        |  3 AS channels, true AS real_decode
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q161: the built index's committed postings must reproduce the
     // raw corpus exactly — doc count, summed doc length (q139's
     // string_split tokenization), distinct (doc, token) postings.
