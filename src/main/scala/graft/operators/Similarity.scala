@@ -391,6 +391,55 @@ object Similarity {
     pqAdcRank(enc, probeTable, k)
   }
 
+  /** Total PQ quantization error of the corpus under a sub-codebook
+    * frame, as ONE exact-integer ppm sum (1-row frame, column
+    * `err_ppm`) — per-(vector, subspace) nearest-codeword distances
+    * quantize to longs before summing, so the total is order-invariant
+    * (the q148/HLL rule) and cross-engine hash-stable. One scan, the
+    * codebook broadcast; the distributed face of the spec-side
+    * `quantError` driver replay.
+    */
+  def pqQuantErrorPpm(embeddings: DataFrame, dim: Int, numSub: Int,
+      cb: DataFrame): DataFrame = {
+    require(dim % numSub == 0, "numSub must divide dim")
+    subvecs(embeddings, "vec_id", numSub, dim / numSub)
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("d2", d2ppm)
+      .groupBy("vec_id", "m").agg(min(col("d2")).as("d2min"))
+      .agg(sum(col("d2min")).as("err_ppm"))
+  }
+
+  /** [[pqQuantErrorPpm]] under the hash-SEEDED sub-codebook — fully
+    * SQL-replayable (the q99 codebook chain), so an oracle can pin the
+    * exact integer.
+    */
+  def pqQuantErrorSeeded(embeddings: DataFrame, dim: Int, numSub: Int = 8,
+      numCodes: Int = 16): DataFrame =
+    pqQuantErrorPpm(embeddings, dim, numSub,
+      seededSubCodebook(embeddings, dim, numSub, numCodes))
+
+  /** [[pqQuantErrorPpm]] under the Lloyd-LEARNED sub-codebooks. */
+  def pqQuantErrorLearned(embeddings: DataFrame, dim: Int, numSub: Int = 8,
+      numCodes: Int = 16, iters: Int = 5, sampleN: Int = 512): DataFrame =
+    pqQuantErrorPpm(embeddings, dim, numSub,
+      pqCodebooksDf(embeddings.sparkSession,
+        pqLearnedCodebooks(embeddings, dim, numSub, numCodes, iters, sampleN)))
+
+  /** [[pqQuantErrorPpm]] under the OPQ path: balanced-PCA rotation,
+    * then learned codebooks on the ROTATED corpus. The rotation is
+    * orthonormal, so the error lives in the same L2 metric as the
+    * unrotated paths and the three numbers are directly comparable.
+    */
+  def pqQuantErrorOpq(embeddings: DataFrame, dim: Int, numSub: Int = 8,
+      numCodes: Int = 16, iters: Int = 5, sampleN: Int = 512): DataFrame = {
+    val (values, vectors) = Pca.principalComponents(embeddings, "embedding", dim)
+    val rot = Pca.balancedComponents(values, vectors, numSub)
+    val re = Pca.project(embeddings, "embedding", rot, dim, "_rot")
+      .drop("embedding").withColumnRenamed("_rot", "embedding")
+      .localCheckpoint() // feeds both the Lloyd sample and the error scan
+    pqQuantErrorLearned(re, dim, numSub, numCodes, iters, sampleN)
+  }
+
   /** Shared ADC scorer: exhaustive scan of the encoded corpus against
     * the broadcast probe tables, per-query top-k on the exact-integer
     * distance sums.

@@ -1002,6 +1002,86 @@ object ExtensionQueries {
       .orderBy("method")
   }
 
+  /** q159: recall certification for the LEARNED ANN tier — the
+    * production (Lloyd-trained) PQ and IVF+PQ codebooks against the
+    * hash-seeded ones q99/q102 oracle directly. Training is driver-side
+    * k-means (not SQL-expressible), so the oracle replays the SEEDED
+    * tier (q99's CTE chain at probes<50, k=5) and pins the exact
+    * integer seeded hit count; the learned tiers' hit counts enter as
+    * the hash-checked BOOLEANS learned >= seeded per tier — if Lloyd
+    * training ever degrades recall below the raw seeded init, the
+    * booleans flip and the gate goes red. (Margins at the gate's
+    * sf0.01: learned 67 vs seeded 31 PQ hits of 250 — far from the
+    * flip point.)
+    */
+  private val annRecallLearnedQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") < 50)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, probes, k)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    def hits(df: DataFrame, as: String): DataFrame =
+      df.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as(as))
+    val pqS = hits(Similarity.pqTopKSeeded(emb, probes, k, dim = 64), "seeded_hits")
+    val pqL = hits(Similarity.pqTopKLearned(emb, probes, k, dim = 64), "pq_learned")
+    val ivS = hits(Similarity.ivfPqTopKSeeded(emb, probes, k, dim = 64), "ivf_seeded")
+    val ivL = hits(Similarity.ivfPqTopKLearned(emb, probes, k, dim = 64), "ivf_learned")
+    exact.agg(count(lit(1)).as("total"))
+      .crossJoin(broadcast(pqS)).crossJoin(broadcast(pqL))
+      .crossJoin(broadcast(ivS)).crossJoin(broadcast(ivL))
+      .select(col("total"), col("seeded_hits"),
+        round(col("seeded_hits") / col("total"), 6).as("seeded_recall"),
+        (col("pq_learned") >= col("seeded_hits")).as("pq_learned_ge_seeded"),
+        (col("ivf_learned") >= col("ivf_seeded")).as("ivfpq_learned_ge_seeded"))
+  }
+
+  /** q160: the OPQ win, hash-verified end-to-end — a DETERMINISTIC
+    * correlated corpus (rank-4 linear mix of each embedding's first 4
+    * coordinates under fixed integer loadings + 1% self-noise, the
+    * regime OPQ exists for, derivable in SQL) is quantization-scored
+    * under three codebook tiers: hash-seeded (oracle replays the q99
+    * chain and pins the exact integer ppm error), Lloyd-learned, and
+    * OPQ (balanced-PCA rotation then learned). The corpus fingerprint
+    * (bit_xor of md5-hashed fixed-point coordinates) proves both
+    * engines scored the SAME corpus; the learned/OPQ tiers (driver
+    * training, not SQL-expressible) enter as hash-checked booleans —
+    * learned ≤ seeded and opq < learned/2, measured at 0.66× and
+    * 0.05–0.08× respectively, so a training regression flips the gate
+    * red long before the win is gone.
+    */
+  private val opqGainQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val v = col("embedding").cast("array<double>")
+    def loading(f: Int, d: Int): Double = ((d * (f + 3) + f) % 7 - 3).toDouble
+    val w = array((0 until 64).map { d =>
+      (0 until 4).map(f => v.getItem(f) * lit(loading(f, d))).reduce(_ + _) +
+        lit(0.01) * v.getItem(d)
+    }: _*)
+    val corr = emb.select(col("vec_id"), w.as("embedding")).localCheckpoint()
+    val fp = corr
+      .select(col("vec_id"),
+        posexplode(Pca.quantize(col("embedding"))).as(Seq("dim", "q")))
+      .select(graft.functions.Md5Family.hash(concat(
+        col("vec_id").cast("string"), lit(":"),
+        col("dim").cast("string"), lit(":"),
+        col("q").cast("string"))).as("h"))
+      .agg(expr("bit_xor(h)").as("corpus_fp"))
+    val se = Similarity.pqQuantErrorSeeded(corr, dim = 64)
+      .select(col("err_ppm").as("seeded_err_ppm"))
+    val le = Similarity.pqQuantErrorLearned(corr, dim = 64)
+      .select(col("err_ppm").as("learned_err"))
+    val oe = Similarity.pqQuantErrorOpq(corr, dim = 64)
+      .select(col("err_ppm").as("opq_err"))
+    corr.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(fp)).crossJoin(broadcast(se))
+      .crossJoin(broadcast(le)).crossJoin(broadcast(oe))
+      .select(col("n_vecs"), col("corpus_fp"), col("seeded_err_ppm"),
+        (col("learned_err") <= col("seeded_err_ppm")).as("learned_le_seeded"),
+        (col("opq_err") * 2 < col("learned_err")).as("opq_halves_learned"))
+  }
+
   /** q130: INCREMENTAL canonicalization — the corpus's near-dup pairs
     * are split into a standing half (pairs among even doc ids, labeled
     * by full CC) and an arriving half (any pair touching an odd id),
@@ -1554,6 +1634,8 @@ object ExtensionQueries {
   val queries: Map[String, Q] = Map(
     "q162_image_decode" -> imageDecodeQ,
     "q161_text_index_build" -> textIndexBuildQ,
+    "q160_opq_gain" -> opqGainQ,
+    "q159_ann_recall_learned" -> annRecallLearnedQ,
     "q158_source_top_terms" -> sourceTopTermsQ,
     "q157_grid_anomaly" -> gridAnomalyQ,
     "q156_session_features" -> sessionFeaturesQ,
@@ -1903,6 +1985,96 @@ object ExtensionQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q160: the derived rank-4 corpus and its seeded-tier ppm error
+    // are replayed exactly (fixed integer loadings, q99's codebook
+    // chain); the corpus fingerprint proves both engines scored the
+    // same vectors; learned/OPQ tiers enter as asserted booleans.
+    "q160_opq_gain" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |wt AS (SELECT vec_id,
+        |    [v[1]*CAST((d*3) % 7 - 3 AS DOUBLE)
+        |     + v[2]*CAST((d*4+1) % 7 - 3 AS DOUBLE)
+        |     + v[3]*CAST((d*5+2) % 7 - 3 AS DOUBLE)
+        |     + v[4]*CAST((d*6+3) % 7 - 3 AS DOUBLE)
+        |     + 0.01e0*v[d+1]
+        |     FOR d IN generate_series(0, 63)] AS w
+        |  FROM e),
+        |u AS (SELECT vec_id, gs.i - 1 AS dim,
+        |    CAST(round(w[gs.i]*1e6) AS BIGINT) AS q
+        |  FROM wt, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) gs),
+        |fp AS (SELECT bit_xor(${md5l(
+             "concat(CAST(vec_id AS VARCHAR), ':', CAST(dim AS VARCHAR), ':', CAST(q AS VARCHAR))")})
+        |    AS corpus_fp FROM u),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |sub AS (SELECT vec_id, m, w[m*8+1 : m*8+8] AS s FROM wt, ms),
+        |cb AS (SELECT m, code_id, s AS c FROM (
+        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+        |        vec_id) - 1 AS code_id
+        |    FROM sub) WHERE code_id < 16),
+        |mind AS (SELECT vec_id, m, min(d2) AS d2min FROM (
+        |    SELECT sub.vec_id, sub.m,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m)) GROUP BY 1, 2),
+        |err AS (SELECT CAST(sum(d2min) AS BIGINT) AS seeded_err_ppm FROM mind)
+        |SELECT (SELECT count(*) FROM e) AS n_vecs, fp.corpus_fp,
+        |  err.seeded_err_ppm,
+        |  true AS learned_le_seeded, true AS opq_halves_learned
+        |FROM fp CROSS JOIN err""".stripMargin,
+    // q159: the seeded-PQ tier is replayed exactly (q99's chain at
+    // probes<50, k=5) against the exact cosine top-5; the learned
+    // tiers (driver-side Lloyd, not SQL-expressible) enter as the
+    // asserted booleans learned >= seeded — Spark computes the real
+    // comparison, so a Lloyd regression flips the hash red.
+    "q159_ann_recall_learned" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
+        |cb AS (SELECT m, code_id, s AS c FROM (
+        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+        |        vec_id) - 1 AS code_id
+        |    FROM sub) WHERE code_id < 16),
+        |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
+        |    SELECT sub.vec_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m))
+        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+        |      ORDER BY d2, code_id) = 1),
+        |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 50),
+        |adc AS (SELECT query_id, neighbor_id, CAST(sum(d2) AS BIGINT) AS sd
+        |    FROM enc JOIN pt USING (m, code_id)
+        |    WHERE neighbor_id <> query_id GROUP BY 1, 2),
+        |sl AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sd, neighbor_id) AS rank FROM adc)
+        |  WHERE rank <= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+        |          c.vec_id) AS rank
+        |    FROM e q, e c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+        |  WHERE rank <= 5),
+        |h AS (SELECT count(*) AS seeded_hits
+        |      FROM sl JOIN ex USING (query_id, neighbor_id)),
+        |tot AS (SELECT count(*) AS total FROM ex)
+        |SELECT tot.total, h.seeded_hits,
+        |  ROUND(CAST(h.seeded_hits AS DOUBLE) / tot.total, 6) AS seeded_recall,
+        |  true AS pq_learned_ge_seeded, true AS ivfpq_learned_ge_seeded
+        |FROM tot CROSS JOIN h""".stripMargin,
     // q162: the PNG fixture's dimensions are derived from the doc, so
     // a decode that parses the real container must recover them; the
     // flag certifies the imageio branch ran, not the stub.
