@@ -1,0 +1,776 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{IdempotentSink, Tables}
+import graft.functions.Md5Family
+import graft.operators._
+import graft.queries.QueryHelpers._
+
+/** Embedding similarity family: brute-force/LSH/IVF/PQ/OPQ ANN tiers, the persisted index, recall certification, kNN label noise, covariance/PCA drift monitoring.
+  *
+  * Split from the former ExtensionQueries monolith (round 7) — query
+  * bodies, registration names, and oracle SQL are unchanged;
+  * [[ExtensionQueries]] re-aggregates every domain map.
+  */
+object AnnQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+
+  private val annTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+
+  // `Similarity.thresholdPairs` (the exact O(n²) all-pairs scorer) is
+  // deliberately NOT registered: its plan is a cartesian product by
+  // construction, a scale-killer no suite query may contain
+  // (QueriesSmokeSpec asserts CartesianProduct-free plans suite-wide).
+  // It remains the spec-only verifier for the LSH path, exactly like
+  // the single-task union-find verifies connectedComponentsStars.
+
+  private val annLsh: Q = (s, dir) =>
+    Similarity.lshNeighborPairs(Tables.embeddings(s, dir), threshold = 0.4)
+
+
+  private val centroids: Q = (s, dir) =>
+    Similarity.labelCentroids(Tables.embeddings(s, dir))
+
+
+  /** IVF over the hash-seeded codebook, so the full pipeline (seed
+    * selection → list assignment → probe routing → candidate ranking)
+    * is SQL-expressible and hash-checked; the learned-k-means codebook
+    * (`Similarity.ivfTopK`) is the production default and keeps its
+    * recall spec.
+    */
+  private val annIvf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopKSeeded(emb, emb.filter(col("vec_id") < 10), k = 3, nprobe = 4)
+  }
+
+
+  /** Int8 quantization of the embedding table (q66 is its profile). */
+  private val quantizeQ: Q = (s, dir) =>
+    Similarity.quantizeInt8(Tables.embeddings(s, dir))
+
+
+  /** Per-vector norm/quantization profile (storage planning for int8). */
+  private val embeddingNorms: Q = (s, dir) =>
+    Similarity.embeddingStats(Tables.embeddings(s, dir))
+
+
+  /** Cross-table composite: document metadata ⋈ embeddings (doc_id ==
+    * vec_id in the testdata) → per-language embedding centroids — the
+    * metadata-conditioned-centroid shape of real corpus analytics.
+    */
+  private val langCentroids: Q = (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .select(col("lang"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "v")))
+      .groupBy("lang", "dim")
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("v")), 6).as("centroid_v"))
+      .orderBy("lang", "dim")
+
+
+  /** IVF routing (q40's coarse quantizer, nprobe=4/nlists=8) with PQ
+    * ADC scoring (q99's codes) — the composed production ANN path.
+    */
+  private val annIvfPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopKSeeded(emb, emb.filter(col("vec_id") < 10), k = 3,
+      dim = 64)
+  }
+
+
+  /** PQ-compressed ANN: same probe set as q24, distances via 8×16
+    * hash-seeded sub-codebooks and exact-integer ADC sums.
+    */
+  private val annPq: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTopKSeeded(emb, emb.filter(col("vec_id") < 10), k = 5,
+      dim = 64)
+  }
+
+
+  /** q122: per-label embedding diversity via the linear-time
+    * E||x−y||² identity (no pairwise join).
+    */
+  private val diversityQ: Q = (s, dir) =>
+    Similarity.labelDiversity(Tables.embeddings(s, dir))
+
+
+  /** q123: label-centroid cosine affinity matrix (mixture-design
+    * redundancy report).
+    */
+  private val affinityQ: Q = (s, dir) =>
+    Similarity.centroidAffinity(Tables.embeddings(s, dir))
+
+
+  /** q124: deterministic negative sampling — 4 hash-drawn negatives
+    * per anchor over the dense vec_id space, labels attached via one
+    * equi-join.
+    */
+  private val negSamplesQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Sampling.negativeSamples(emb.select(col("vec_id")), "vec_id", k = 4)
+      .join(emb.select(col("vec_id").as("neg_id"), col("label").as("neg_label")),
+        Seq("neg_id"))
+      .select(col("anchor_id"), col("sample_idx"), col("neg_id"), col("neg_label"))
+      .orderBy("anchor_id", "sample_idx")
+  }
+
+
+  /** q126: IVF+PQ with exact re-ranking — q102's shortlist widened to
+    * k·candMult, re-scored with exact cosines from the raw vectors,
+    * re-cut to k.
+    */
+  private val annIvfPqRerank: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopKReranked(emb, emb.filter(col("vec_id") < 10), k = 3,
+      dim = 64)
+  }
+
+
+  /** q129: registered ANN accuracy report — recall@k of the compressed
+    * IVF+PQ tier (q102's path) and its exact-reranked tier (q126's)
+    * against the brute-force exact top-k, so the accuracy claim is
+    * hash-verified cross-engine like the speed paths themselves.
+    * Counts are exact integers; the one division happens last.
+    */
+  private val annRecallQ: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val k = 3
+    val exact = Similarity.bruteForceTopK(emb, probes, k)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val approx =
+      Similarity.ivfPqTopKSeeded(emb, probes, k, dim = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          lit("ivfpq_adc").as("method"))
+        .union(Similarity.ivfPqTopKReranked(emb, probes, k, dim = 64)
+          .select(col("query_id"), col("neighbor_id"),
+            lit("ivfpq_rerank").as("method")))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("method").agg(count(lit(1)).as("hits"))
+    val total = exact.agg(count(lit(1)).as("total"))
+    Seq("ivfpq_adc", "ivfpq_rerank").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("method"), coalesce(col("hits"), lit(0L)).as("hits"),
+        col("total"),
+        round(coalesce(col("hits"), lit(0L)) / col("total"), 6).as("recall"))
+      .orderBy("method")
+  }
+
+
+  /** q159: recall certification for the LEARNED ANN tier — the
+    * production (Lloyd-trained) PQ and IVF+PQ codebooks against the
+    * hash-seeded ones q99/q102 oracle directly. Training is driver-side
+    * k-means (not SQL-expressible), so the oracle replays the SEEDED
+    * tier (q99's CTE chain at probes<50, k=5) and pins the exact
+    * integer seeded hit count; the learned tiers' hit counts enter as
+    * the hash-checked BOOLEANS learned >= seeded per tier — if Lloyd
+    * training ever degrades recall below the raw seeded init, the
+    * booleans flip and the gate goes red. (Margins at the gate's
+    * sf0.01: learned 67 vs seeded 31 PQ hits of 250 — far from the
+    * flip point.)
+    */
+  private val annRecallLearnedQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") < 50)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, probes, k)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    def hits(df: DataFrame, as: String): DataFrame =
+      df.select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as(as))
+    val pqS = hits(Similarity.pqTopKSeeded(emb, probes, k, dim = 64), "seeded_hits")
+    val pqL = hits(Similarity.pqTopKLearned(emb, probes, k, dim = 64), "pq_learned")
+    val ivS = hits(Similarity.ivfPqTopKSeeded(emb, probes, k, dim = 64), "ivf_seeded")
+    val ivL = hits(Similarity.ivfPqTopKLearned(emb, probes, k, dim = 64), "ivf_learned")
+    exact.agg(count(lit(1)).as("total"))
+      .crossJoin(broadcast(pqS)).crossJoin(broadcast(pqL))
+      .crossJoin(broadcast(ivS)).crossJoin(broadcast(ivL))
+      .select(col("total"), col("seeded_hits"),
+        round(col("seeded_hits") / col("total"), 6).as("seeded_recall"),
+        (col("pq_learned") >= col("seeded_hits")).as("pq_learned_ge_seeded"),
+        (col("ivf_learned") >= col("ivf_seeded")).as("ivfpq_learned_ge_seeded"))
+  }
+
+
+  /** q160: the OPQ win, hash-verified end-to-end — a DETERMINISTIC
+    * correlated corpus (rank-4 linear mix of each embedding's first 4
+    * coordinates under fixed integer loadings + 1% self-noise, the
+    * regime OPQ exists for, derivable in SQL) is quantization-scored
+    * under three codebook tiers: hash-seeded (oracle replays the q99
+    * chain and pins the exact integer ppm error), Lloyd-learned, and
+    * OPQ (balanced-PCA rotation then learned). The corpus fingerprint
+    * (bit_xor of md5-hashed fixed-point coordinates) proves both
+    * engines scored the SAME corpus; the learned/OPQ tiers (driver
+    * training, not SQL-expressible) enter as hash-checked booleans —
+    * learned ≤ seeded and opq < learned/2, measured at 0.66× and
+    * 0.05–0.08× respectively, so a training regression flips the gate
+    * red long before the win is gone.
+    */
+  private val opqGainQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val v = col("embedding").cast("array<double>")
+    def loading(f: Int, d: Int): Double = ((d * (f + 3) + f) % 7 - 3).toDouble
+    val w = array((0 until 64).map { d =>
+      (0 until 4).map(f => v.getItem(f) * lit(loading(f, d))).reduce(_ + _) +
+        lit(0.01) * v.getItem(d)
+    }: _*)
+    val corr = emb.select(col("vec_id"), w.as("embedding")).localCheckpoint()
+    val fp = corr
+      .select(col("vec_id"),
+        posexplode(Pca.quantize(col("embedding"))).as(Seq("dim", "q")))
+      .select(graft.functions.Md5Family.hash(concat(
+        col("vec_id").cast("string"), lit(":"),
+        col("dim").cast("string"), lit(":"),
+        col("q").cast("string"))).as("h"))
+      .agg(expr("bit_xor(h)").as("corpus_fp"))
+    val se = Similarity.pqQuantErrorSeeded(corr, dim = 64)
+      .select(col("err_ppm").as("seeded_err_ppm"))
+    val le = Similarity.pqQuantErrorLearned(corr, dim = 64)
+      .select(col("err_ppm").as("learned_err"))
+    val oe = Similarity.pqQuantErrorOpq(corr, dim = 64)
+      .select(col("err_ppm").as("opq_err"))
+    corr.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(fp)).crossJoin(broadcast(se))
+      .crossJoin(broadcast(le)).crossJoin(broadcast(oe))
+      .select(col("n_vecs"), col("corpus_fp"), col("seeded_err_ppm"),
+        (col("learned_err") <= col("seeded_err_ppm")).as("learned_le_seeded"),
+        (col("opq_err") * 2 < col("learned_err")).as("opq_halves_learned"))
+  }
+
+
+  /** q131: the PERSISTED ANN index end-to-end — build the stored
+    * index at a scratch path, then answer through its on-disk tables
+    * (partition-pruned enc scan, manifest-gated batches). Same seeded
+    * codebooks and routing as q102, whose oracle it shares verbatim:
+    * a hash match certifies the store/encode/prune/read path itself.
+    */
+  private val annIndexQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q131_idx")
+    val idx = scratch.toString + "/idx"
+    AnnIndex.build(emb, idx, dim = 64)
+    // materialize BEFORE deleting the scratch index (the frame is
+    // lazy), so repeated bench/verify invocations don't accrete
+    // sf-scale index copies under /tmp
+    val out = AnnIndex.query(s, idx, emb.filter(col("vec_id") < 10),
+      k = 3, dim = 64).localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
+  /** q147: kNN label-noise detection (Wilson editing) — each probe's 5
+    * nearest corpus neighbors by exact cosine vote on its label;
+    * disagreement flags probable mislabels (`Similarity.knnLabelNoise`).
+    */
+  private val knnLabelNoiseQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnLabelNoise(emb, emb.filter(col("vec_id") % 20 === 0), k = 5)
+  }
+
+
+  /** q148: embedding covariance matrix (upper triangle) from ONE
+    * distributed moment pass (`Pca.covariance` / `GramAggregator`) —
+    * the oracle-checkable face of the distributed-PCA split whose
+    * eigendecomposition/projection half is spec-verified (`PcaSpec`).
+    */
+  private val embeddingCovQ: Q = (s, dir) =>
+    Pca.covariance(Tables.embeddings(s, dir), "embedding", dim = 64)
+
+
+  /** q149: per-dimension drift between two embedding snapshots (even
+    * vs odd vec_id as stand-in cohorts) — mean/variance per side and
+    * the absolute mean shift (`Pca.dimDrift`), the encoder-change /
+    * normalization-regression monitor for an embedding pipeline.
+    */
+  private val dimDriftQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Pca.dimDrift(emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 =!= 0))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q160_opq_gain" -> opqGainQ,
+    "q159_ann_recall_learned" -> annRecallLearnedQ,
+    "q149_dim_drift" -> dimDriftQ,
+    "q148_embedding_cov" -> embeddingCovQ,
+    "q147_knn_label_noise" -> knnLabelNoiseQ,
+    "q131_ann_index" -> annIndexQ,
+    "q129_ann_recall" -> annRecallQ,
+    "q126_ann_ivfpq_rerank" -> annIvfPqRerank,
+    "q124_negative_samples" -> negSamplesQ,
+    "q123_centroid_affinity" -> affinityQ,
+    "q122_embedding_diversity" -> diversityQ,
+    "q102_ann_ivf_pq" -> annIvfPq,
+    "q99_ann_pq" -> annPq,
+    "q80_quantize_int8" -> quantizeQ,
+    "q66_embedding_norms" -> embeddingNorms,
+    "q58_lang_centroids" -> langCentroids,
+    "q40_ann_ivf" -> annIvf,
+    "q24_ann_topk" -> annTopK,
+    "q26_ann_lsh" -> annLsh,
+    "q27_centroids" -> centroids)
+
+  val oracleSql: Map[String, String] = Map(
+    // q160: the derived rank-4 corpus and its seeded-tier ppm error
+    // are replayed exactly (fixed integer loadings, q99's codebook
+    // chain); the corpus fingerprint proves both engines scored the
+    // same vectors; learned/OPQ tiers enter as asserted booleans.
+    "q160_opq_gain" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |wt AS (SELECT vec_id,
+        |    [v[1]*CAST((d*3) % 7 - 3 AS DOUBLE)
+        |     + v[2]*CAST((d*4+1) % 7 - 3 AS DOUBLE)
+        |     + v[3]*CAST((d*5+2) % 7 - 3 AS DOUBLE)
+        |     + v[4]*CAST((d*6+3) % 7 - 3 AS DOUBLE)
+        |     + 0.01e0*v[d+1]
+        |     FOR d IN generate_series(0, 63)] AS w
+        |  FROM e),
+        |u AS (SELECT vec_id, gs.i - 1 AS dim,
+        |    CAST(round(w[gs.i]*1e6) AS BIGINT) AS q
+        |  FROM wt, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) gs),
+        |fp AS (SELECT bit_xor(${md5l(
+             "concat(CAST(vec_id AS VARCHAR), ':', CAST(dim AS VARCHAR), ':', CAST(q AS VARCHAR))")})
+        |    AS corpus_fp FROM u),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |sub AS (SELECT vec_id, m, w[m*8+1 : m*8+8] AS s FROM wt, ms),
+        |cb AS (SELECT m, code_id, s AS c FROM (
+        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+        |        vec_id) - 1 AS code_id
+        |    FROM sub) WHERE code_id < 16),
+        |mind AS (SELECT vec_id, m, min(d2) AS d2min FROM (
+        |    SELECT sub.vec_id, sub.m,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m)) GROUP BY 1, 2),
+        |err AS (SELECT CAST(sum(d2min) AS BIGINT) AS seeded_err_ppm FROM mind)
+        |SELECT (SELECT count(*) FROM e) AS n_vecs, fp.corpus_fp,
+        |  err.seeded_err_ppm,
+        |  true AS learned_le_seeded, true AS opq_halves_learned
+        |FROM fp CROSS JOIN err""".stripMargin,
+    // q159: the seeded-PQ tier is replayed exactly (q99's chain at
+    // probes<50, k=5) against the exact cosine top-5; the learned
+    // tiers (driver-side Lloyd, not SQL-expressible) enter as the
+    // asserted booleans learned >= seeded — Spark computes the real
+    // comparison, so a Lloyd regression flips the hash red.
+    "q159_ann_recall_learned" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
+        |cb AS (SELECT m, code_id, s AS c FROM (
+        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+        |        vec_id) - 1 AS code_id
+        |    FROM sub) WHERE code_id < 16),
+        |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
+        |    SELECT sub.vec_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m))
+        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+        |      ORDER BY d2, code_id) = 1),
+        |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 50),
+        |adc AS (SELECT query_id, neighbor_id, CAST(sum(d2) AS BIGINT) AS sd
+        |    FROM enc JOIN pt USING (m, code_id)
+        |    WHERE neighbor_id <> query_id GROUP BY 1, 2),
+        |sl AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sd, neighbor_id) AS rank FROM adc)
+        |  WHERE rank <= 5),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+        |          c.vec_id) AS rank
+        |    FROM e q, e c WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+        |  WHERE rank <= 5),
+        |h AS (SELECT count(*) AS seeded_hits
+        |      FROM sl JOIN ex USING (query_id, neighbor_id)),
+        |tot AS (SELECT count(*) AS total FROM ex)
+        |SELECT tot.total, h.seeded_hits,
+        |  ROUND(CAST(h.seeded_hits AS DOUBLE) / tot.total, 6) AS seeded_recall,
+        |  true AS pq_learned_ge_seeded, true AS ivfpq_learned_ge_seeded
+        |FROM tot CROSS JOIN h""".stripMargin,
+    // q149: conditional sums over the FIXED-POINT coordinates (q =
+    // round(x*1e6), matching Pca.quantize) — exact integers, so only
+    // the final reconstruction is float, with the Spark side's exact
+    // association: mean = Σq/1e6/n, var = Σq²/1e12/n - mean·mean.
+    "q149_dim_drift" ->
+      """WITH t AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS h,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT h, CAST(gs.i - 1 AS INTEGER) AS dim,
+        |    CAST(round(v[gs.i]*1e6) AS BIGINT) AS q
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) gs)
+        |SELECT dim,
+        |  round(CAST(sum(CASE WHEN h=0 THEN q END) AS DOUBLE)/1e6
+        |    /count(CASE WHEN h=0 THEN q END), 6) AS mean_a,
+        |  round(CAST(sum(CASE WHEN h=1 THEN q END) AS DOUBLE)/1e6
+        |    /count(CASE WHEN h=1 THEN q END), 6) AS mean_b,
+        |  round(CAST(sum(CASE WHEN h=0 THEN q*q END) AS DOUBLE)/1e12
+        |      /count(CASE WHEN h=0 THEN q END)
+        |    - CAST(sum(CASE WHEN h=0 THEN q END) AS DOUBLE)/1e6
+        |      /count(CASE WHEN h=0 THEN q END)
+        |      * (CAST(sum(CASE WHEN h=0 THEN q END) AS DOUBLE)/1e6
+        |        /count(CASE WHEN h=0 THEN q END)), 6) AS var_a,
+        |  round(CAST(sum(CASE WHEN h=1 THEN q*q END) AS DOUBLE)/1e12
+        |      /count(CASE WHEN h=1 THEN q END)
+        |    - CAST(sum(CASE WHEN h=1 THEN q END) AS DOUBLE)/1e6
+        |      /count(CASE WHEN h=1 THEN q END)
+        |      * (CAST(sum(CASE WHEN h=1 THEN q END) AS DOUBLE)/1e6
+        |        /count(CASE WHEN h=1 THEN q END)), 6) AS var_b,
+        |  round(abs(CAST(sum(CASE WHEN h=0 THEN q END) AS DOUBLE)/1e6
+        |      /count(CASE WHEN h=0 THEN q END)
+        |    - CAST(sum(CASE WHEN h=1 THEN q END) AS DOUBLE)/1e6
+        |      /count(CASE WHEN h=1 THEN q END)), 6) AS mean_shift
+        |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
+    // q148: definitional covariance over the FIXED-POINT coordinates
+    // (q = round(x*1e6) as BIGINT, matching Pca.quantize): integer
+    // sums are exact and order-invariant on both engines, so the one
+    // float reconstruction — (Σqq/1e12 - Σq/1e6·(Σq/1e6)/n)/n, the
+    // SAME association covCell uses — is bit-identical, not merely
+    // close (the CLAUDE.md order-invariance invariant; double partial
+    // sums here flipped a 6-dp boundary in round 6).
+    "q148_embedding_cov" ->
+      """WITH e AS (SELECT row_number() OVER () AS rid,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT rid, gs.i AS d, CAST(round(v[gs.i]*1e6) AS BIGINT) AS q
+        |  FROM e,
+        |  LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) gs)
+        |SELECT CAST(a.d - 1 AS INTEGER) AS dim_i,
+        |  CAST(b.d - 1 AS INTEGER) AS dim_j,
+        |  round((CAST(sum(a.q*b.q) AS DOUBLE)/1e12
+        |    - CAST(sum(a.q) AS DOUBLE)/1e6*(CAST(sum(b.q) AS DOUBLE)/1e6)
+        |      /count(*))/count(*), 6) AS cov
+        |FROM u a JOIN u b ON a.rid = b.rid AND b.d >= a.d
+        |GROUP BY 1, 2 ORDER BY dim_i, dim_j""".stripMargin,
+    // q147: definitional quadratic kNN + vote — rank on the ROUNDED
+    // cosine (q24's convention), majority with (count DESC, label)
+    // tie-break, both deterministic cross-engine.
+    "q147_knn_label_noise" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+        |    CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, label AS n_label,
+        |    CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT query_id, q_label, neighbor_id, n_label,
+        |    ROUND(list_cosine_similarity(qe, ce), 6) AS cos
+        |  FROM q, c WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, q_label, n_label,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank FROM s),
+        |v AS (SELECT query_id, q_label, n_label, count(*) AS n_votes
+        |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |w AS (SELECT query_id, q_label, n_label, n_votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY n_votes DESC, n_label) AS vr FROM v)
+        |SELECT query_id AS vec_id, q_label AS label, n_label AS knn_label,
+        |  n_votes, CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS agree
+        |FROM w WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    // q129: q102's ADC chain + q126's rerank + q24's exact top-k,
+    // composed into one recall report — every tier's result set is the
+    // SAME CTE shape its own oracle uses, so a hash match here means
+    // the recall numbers, not just the rankings, agree cross-engine.
+    "q129_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id LIMIT 8)),
+        |ca AS (SELECT e.vec_id, e.v, ccb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, ccb.cc), 6) DESC,
+        |             ccb.list_id) AS crank
+        |       FROM e CROSS JOIN ccb),
+        |corpus AS (SELECT vec_id AS neighbor_id, list_id FROM ca WHERE crank = 1),
+        |pl AS (SELECT vec_id AS query_id, list_id
+        |       FROM ca WHERE crank <= 4 AND vec_id < 10),
+        |cand AS (SELECT p.query_id, c.neighbor_id
+        |         FROM pl p JOIN corpus c USING (list_id)
+        |         WHERE c.neighbor_id <> p.query_id),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
+        |cb AS (SELECT m, code_id, s AS c FROM (
+        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+        |        vec_id) - 1 AS code_id
+        |    FROM sub) WHERE code_id < 16),
+        |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
+        |    SELECT sub.vec_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m))
+        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+        |      ORDER BY d2, code_id) = 1),
+        |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10),
+        |adc AS (SELECT cd.query_id, cd.neighbor_id, CAST(sum(pt.d2) AS BIGINT) AS sd
+        |    FROM cand cd
+        |    JOIN enc ON enc.neighbor_id = cd.neighbor_id
+        |    JOIN pt ON pt.query_id = cd.query_id AND pt.m = enc.m
+        |           AND pt.code_id = enc.code_id
+        |    GROUP BY 1, 2),
+        |pq AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY sd, neighbor_id) AS rank
+        |      FROM adc),
+        |sl AS (SELECT query_id, neighbor_id FROM pq WHERE rank <= 12),
+        |rr AS (SELECT sl.query_id, sl.neighbor_id,
+        |        row_number() OVER (PARTITION BY sl.query_id
+        |          ORDER BY ROUND(list_cosine_similarity(eq.v, en.v), 6) DESC,
+        |            sl.neighbor_id) AS rank
+        |      FROM sl JOIN e eq ON eq.vec_id = sl.query_id
+        |              JOIN e en ON en.vec_id = sl.neighbor_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+        |          c.vec_id) AS rank
+        |    FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |  WHERE rank <= 3),
+        |mm AS (SELECT 'ivfpq_adc' AS method, query_id, neighbor_id
+        |         FROM pq WHERE rank <= 3
+        |       UNION ALL
+        |       SELECT 'ivfpq_rerank', query_id, neighbor_id
+        |         FROM rr WHERE rank <= 3),
+        |h AS (SELECT method, count(*) AS hits FROM mm
+        |      JOIN ex USING (query_id, neighbor_id) GROUP BY method),
+        |tot AS (SELECT count(*) AS total FROM ex)
+        |SELECT names.method, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |  tot.total,
+        |  ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / tot.total, 6) AS recall
+        |FROM (SELECT unnest(['ivfpq_adc', 'ivfpq_rerank']) AS method) names
+        |LEFT JOIN h ON h.method = names.method
+        |CROSS JOIN tot
+        |ORDER BY names.method""".stripMargin,
+    "q124_negative_samples" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |d AS (SELECT e.vec_id AS anchor_id, gs.i AS sample_idx,
+        |        ${md5l("concat(CAST(e.vec_id AS VARCHAR), ':', CAST(gs.i AS VARCHAR), ':neg')")} % nn.n AS draw
+        |      FROM embeddings e, nn,
+        |        LATERAL (SELECT unnest(generate_series(0, 3)) AS i) gs),
+        |s AS (SELECT anchor_id, sample_idx,
+        |        CASE WHEN draw = anchor_id
+        |             THEN (draw + 1) % (SELECT n FROM nn) ELSE draw END AS neg_id
+        |      FROM d)
+        |SELECT anchor_id, CAST(sample_idx AS INTEGER) AS sample_idx, neg_id,
+        |  e2.label AS neg_label
+        |FROM s JOIN embeddings e2 ON e2.vec_id = s.neg_id
+        |ORDER BY anchor_id, sample_idx""".stripMargin,
+    "q122_embedding_diversity" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT label, count(*) AS n,
+        |        avg(list_dot_product(v, v)) AS s FROM e GROUP BY label),
+        |dm AS (SELECT label, gs.d AS dim, avg(v[gs.d]) AS m
+        |       FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d) gs
+        |       GROUP BY label, gs.d),
+        |m2 AS (SELECT label, sum(m * m) AS m2 FROM dm GROUP BY label)
+        |SELECT label, n, ROUND(2.0e0 * (s - m2), 6) AS mean_sq_dist
+        |FROM n JOIN m2 USING (label) ORDER BY label""".stripMargin,
+    "q123_centroid_affinity" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dm AS (SELECT label, gs.d AS dim, ROUND(avg(v[gs.d]), 6) AS m
+        |       FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS d) gs
+        |       GROUP BY label, gs.d),
+        |c AS (SELECT label, list(m ORDER BY dim) AS c FROM dm GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  ROUND(list_cosine_similarity(a.c, b.c), 6) AS cosine
+        |FROM c a JOIN c b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
+    "q102_ann_ivf_pq" -> ivfPqSeededOracle,
+    // q131 shares q102's oracle VERBATIM: the persisted index must
+    // return exactly what the inline operator returns — the hash match
+    // proves the store/encode/prune/read path, not just the algebra.
+    "q131_ann_index" -> ivfPqSeededOracle,
+    "q126_ann_ivfpq_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id LIMIT 8)),
+        |ca AS (SELECT e.vec_id, e.v, ccb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, ccb.cc), 6) DESC,
+        |             ccb.list_id) AS crank
+        |       FROM e CROSS JOIN ccb),
+        |corpus AS (SELECT vec_id AS neighbor_id, list_id FROM ca WHERE crank = 1),
+        |pl AS (SELECT vec_id AS query_id, list_id
+        |       FROM ca WHERE crank <= 4 AND vec_id < 10),
+        |cand AS (SELECT p.query_id, c.neighbor_id
+        |         FROM pl p JOIN corpus c USING (list_id)
+        |         WHERE c.neighbor_id <> p.query_id),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
+        |cb AS (SELECT m, code_id, s AS c FROM (
+        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+        |        vec_id) - 1 AS code_id
+        |    FROM sub) WHERE code_id < 16),
+        |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
+        |    SELECT sub.vec_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m))
+        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+        |      ORDER BY d2, code_id) = 1),
+        |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10),
+        |adc AS (SELECT cd.query_id, cd.neighbor_id, CAST(sum(pt.d2) AS BIGINT) AS sd
+        |    FROM cand cd
+        |    JOIN enc ON enc.neighbor_id = cd.neighbor_id
+        |    JOIN pt ON pt.query_id = cd.query_id AND pt.m = enc.m
+        |           AND pt.code_id = enc.code_id
+        |    GROUP BY 1, 2),
+        |sl AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sd, neighbor_id) AS prank
+        |    FROM adc) WHERE prank <= 12)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT sl.query_id, sl.neighbor_id,
+        |    ROUND(list_cosine_similarity(eq.v, en.v), 6) AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY sl.query_id
+        |        ORDER BY ROUND(list_cosine_similarity(eq.v, en.v), 6) DESC,
+        |          sl.neighbor_id) AS INTEGER) AS rank
+        |  FROM sl JOIN e eq ON eq.vec_id = sl.query_id
+        |          JOIN e en ON en.vec_id = sl.neighbor_id)
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q99_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
+        |cb AS (SELECT m, code_id, s AS c FROM (
+        |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+        |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+        |        vec_id) - 1 AS code_id
+        |    FROM sub) WHERE code_id < 16),
+        |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
+        |    SELECT sub.vec_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m))
+        |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+        |      ORDER BY d2, code_id) = 1),
+        |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
+        |      CAST(floor(list_aggregate(
+        |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+        |           FOR i IN generate_series(1, 8)], 'sum')
+        |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+        |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10),
+        |adc AS (SELECT query_id, neighbor_id, CAST(sum(d2) AS BIGINT) AS sd
+        |    FROM enc JOIN pt USING (m, code_id)
+        |    WHERE neighbor_id <> query_id GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id,
+        |  ROUND(CAST(sd AS DOUBLE) / 1000000e0, 6) AS approx_d2
+        |FROM (SELECT query_id, neighbor_id, sd,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sd, neighbor_id) AS INTEGER) AS rank
+        |      FROM adc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q40_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS c
+        |       FROM (SELECT vec_id, v,
+        |               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |             FROM e ORDER BY h, vec_id LIMIT 8)),
+        |ca AS (SELECT e.vec_id, e.v, cb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC, cb.list_id)
+        |           AS crank
+        |       FROM e CROSS JOIN cb),
+        |corpus AS (SELECT vec_id AS neighbor_id, v, list_id FROM ca WHERE crank = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS q, list_id
+        |           FROM ca WHERE crank <= 4 AND vec_id < 10),
+        |cand AS (SELECT p.query_id, c.neighbor_id,
+        |           ROUND(list_cosine_similarity(p.q, c.v), 6) AS cos
+        |         FROM probes p JOIN corpus c USING (list_id)
+        |         WHERE c.neighbor_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |             AS INTEGER) AS rank
+        |      FROM cand)
+        |SELECT query_id, rank, neighbor_id, cos AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q66_embedding_norms" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e)
+        |SELECT vec_id,
+        |  ROUND(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6)
+        |    AS l2_norm,
+        |  ROUND(max_abs, 6) AS max_abs,
+        |  CASE WHEN max_abs = 0 THEN 0.0 ELSE
+        |    ROUND(list_aggregate(list_transform(v,
+        |        x -> pow(x - ROUND(x * 127 / max_abs) * max_abs / 127, 2)), 'sum')
+        |      / len(v), 6) END AS int8_mse
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "q26_ann_lsh" -> annLshOracle,
+    "q80_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e)
+        |SELECT vec_id, CAST(gs.i - 1 AS INTEGER) AS dim,
+        |  CAST(CASE WHEN max_abs = 0 THEN 0
+        |       ELSE round(v[gs.i] * 127 / max_abs) END AS INTEGER) AS q,
+        |  ROUND(max_abs, 6) AS max_abs
+        |FROM m, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) gs
+        |ORDER BY vec_id, dim""".stripMargin,
+    "q58_lang_centroids" ->
+      """SELECT d.lang, CAST(gs.dim - 1 AS INTEGER) AS dim,
+        |  count(*) AS n_docs,
+        |  ROUND(AVG(CAST(e.embedding[gs.dim] AS DOUBLE)), 6) AS centroid_v
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id,
+        |  LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS dim) gs
+        |GROUP BY d.lang, gs.dim ORDER BY d.lang, dim""".stripMargin,
+    "q24_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, ROUND(list_cosine_similarity(qe, ce), 6) AS cos
+        |      FROM q, c WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |             AS INTEGER) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id, cos AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q27_centroids" ->
+      """SELECT label, CAST(gs.dim - 1 AS INTEGER) AS dim,
+        |  ROUND(AVG(CAST(embedding[gs.dim] AS DOUBLE)), 6) AS centroid_v
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim) gs
+        |GROUP BY label, gs.dim ORDER BY label, dim""".stripMargin)
+}

@@ -1,0 +1,902 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{IdempotentSink, Tables}
+import graft.functions.Md5Family
+import graft.operators._
+import graft.queries.QueryHelpers._
+
+/** Deduplication family: exact/MinHash-LSH/SimHash/n-gram-Jaccard near-dup, connected components + incremental canonicalization, CDC chunking, span removal, fuzzy join, decontamination and split-leakage checks.
+  *
+  * Split from the former ExtensionQueries monolith (round 7) — query
+  * bodies, registration names, and oracle SQL are unchanged;
+  * [[ExtensionQueries]] re-aggregates every domain map.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+
+  private val dedupExact: Q = (s, dir) =>
+    Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("dup_count"))
+      .orderBy("doc_id")
+
+
+  // The registered hash-based queries use Md5Family (not the xxhash64
+  // production default) so the driver's DuckDB oracle can hash-verify
+  // them end-to-end — md5 exists identically in both engines.
+  private val minhashLsh: Q = (s, dir) =>
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", hashes = Md5Family)
+
+
+  private val simhashPairs: Q = (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", hashes = Md5Family)
+
+
+  private val ngramJaccard: Q = (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+
+
+  /** Dedup clustering: exact near-dup pairs → connected components →
+    * (doc, cluster, size). Oracled via DuckDB's WITH RECURSIVE
+    * transitive closure over the identical pair set.
+    */
+  private val dedupClusters: Q = (s, dir) => {
+    // hashed gram keys: same pair set as the string-keyed exact form
+    // (the oracle's), narrower index shuffle — q23 keeps string keys as
+    // the byte-exact reference
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
+    Dedup.connectedComponentsAuto(pairs, "doc_a", "doc_b").orderBy("doc_id")
+  }
+
+
+  /** The end product of the dedup family: the deduplicated corpus
+    * itself — min-id survivor per near-dup cluster, with how many
+    * duplicates each survivor absorbed. Oracled via the q57 recursive
+    * transitive closure joined back to documents.
+    */
+  private val canonicalCorpusQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
+    Dedup.canonicalCorpus(docs, pairs, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("cluster_size"), col("removed_dups"))
+      .orderBy("doc_id")
+  }
+
+
+  /** The production (skew-capped) form of q23: shingles present in more
+    * than maxDf documents are dropped from the inverted index before
+    * the self-join. Its own DuckDB oracle — the cap is SQL-expressible.
+    */
+  private val ngramJaccardCapped: Q = (s, dir) =>
+    // xxhash64 gram keys: the hash never reaches the output (pair
+    // jaccards are counts over distinct grams, invariant under any
+    // collision-free keying), so the cheaper codegen hash is safe even
+    // though the oracle derives the same counts from md5'd grams
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxDf = 50, gramHash = Some(graft.functions.XxHash64Family))
+
+
+  /** Benchmark decontamination: treat source 'src0' as the eval set,
+    * everything else as training; flag train docs sharing any 5-gram.
+    */
+  private val decontaminate: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Decontamination.contaminated(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", k = 5)
+  }
+
+
+  /** Bloom-prefiltered decontamination — exact same result as q64 (the
+    * Bloom stage only gates the exchange; the verify join removes its
+    * false positives), so it shares q64's oracle semantics verbatim.
+    */
+  private val decontaminateBloom: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Decontamination.contaminatedBloom(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", k = 5)
+  }
+
+
+  /** Embedding-space canonical dedup: LSH near-neighbor pairs (q26's
+    * params) → star-contraction clustering → min-id survivor per
+    * cluster. The full embedding-dedup pipeline an LLM-data run ships,
+    * end-to-end in one plan, oracled through the recursive-closure SQL
+    * rendering.
+    */
+  private val embeddingDedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = Similarity.lshNeighborPairs(emb, threshold = 0.4)
+    Dedup.canonicalCorpus(emb.select(col("vec_id"), col("label")), pairs,
+      "vec_id", "id_a", "id_b")
+      .select(col("vec_id"), col("label"), col("cluster_size"), col("removed_dups"))
+      .orderBy("vec_id")
+  }
+
+
+  /** Incremental dedup: the corpus hash-split 50/50 into "existing"
+    * and "incoming" halves; incoming docs near-duplicating an existing
+    * doc via the cross-corpus MinHash-LSH join — the daily-ingest
+    * dedup-against-index shape.
+    */
+  private val incrementalDedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bucket = Sampling.hashBucket(col("doc_id"), 100, Md5Family)
+    Dedup.minhashLshJoin(
+      docs.filter(bucket >= 50), docs.filter(bucket < 50),
+      "doc_id", "text", hashes = Md5Family)
+  }
+
+
+  /** Split-leakage report: near-duplicate pairs (MinHash-LSH, the q21
+    * operator) that STRADDLE a train/test hash split — the
+    * contamination a benchmark-honest pipeline must count before
+    * training. 50/50 md5 split (an 80/20 split yields zero cross pairs
+    * on the small fixtures; the rule matches q78's).
+    */
+  private val splitLeakage: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", hashes = Md5Family)
+    val splits = docs.select(col("doc_id"),
+      when(Md5Family.hash(col("doc_id").cast("string")) % 100 < 50, lit("train"))
+        .otherwise(lit("test")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)).as("n_cross_pairs"))
+      .select(col("n_pairs"), col("n_cross_pairs"),
+        round(col("n_cross_pairs").cast("double") / col("n_pairs"), 6).as("leakage_ratio"))
+  }
+
+
+  /** Cross-source n-gram overlap matrix — per source pair, how many
+    * distinct (DF-capped, hashed) shingles they share and the shingle
+    * Jaccard: the corpus-governance number behind "these two crawls are
+    * mostly the same site". Same capped hashed index as q62; the
+    * per-source distinct index is tiny relative to the corpus, so the
+    * pair join is source-cardinality-bounded.
+    */
+  private val sourceOverlap: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val grams = Dedup.shingleIndex(docs, "doc_id", "text", k = 3, maxDf = 50,
+      gramHash = Some(Md5Family))
+    val gs = grams
+      .join(docs.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
+      .select("source", "g").distinct().localCheckpoint()
+    val sizes = gs.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = gs.select(col("g"), col("source").as("source_a"))
+      .join(gs.select(col("g"), col("source").as("source_b")), Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("source").as("source_a"), col("n").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")), 6)
+          .as("gram_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+
+  /** q106: CCNet-style segment-level boilerplate removal — 8-token
+    * segments, dropped when shared by more than 2 distinct docs,
+    * reassembled in order. Registered on Md5Family so the full
+    * hash → DF-count → anti-join → reassembly pipeline is DuckDB-
+    * verifiable; xxhash64 stays the production default.
+    */
+  private val segmentDedupQ: Q = (s, dir) =>
+    Dedup.segmentDedup(Tables.documents(s, dir), "doc_id", "text",
+      segLen = 8, maxDf = 2, hashes = Md5Family)
+      .orderBy("doc_id")
+
+
+  /** q111: duplicated-span removal — tokens covered by any 8-token
+    * window occurring in ≥2 distinct docs are cut (the exact-substring
+    * dedup pass, at any offset). Md5Family for the DuckDB oracle.
+    */
+  private val dupSpanQ: Q = (s, dir) =>
+    Dedup.dupSpanRemoval(Tables.documents(s, dir), "doc_id", "text",
+      spanLen = 8, minDf = 2, hashes = Md5Family)
+      .orderBy("doc_id")
+
+
+  /** q115: SemDeDup — within-cluster cosine pruning over the
+    * hash-seeded coarse codebook, min-id survivors. The learned-
+    * codebook variant stays spec-verified via
+    * `semanticDedupWithCodebook(kmeansCodebook(...))`.
+    */
+  private val semdedupQ: Q = (s, dir) =>
+    Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.4, nlists = 8)
+      .orderBy("vec_id")
+
+
+  /** q120: per-source dedup governance report — doc counts, canonical
+    * survivors, removed duplicates, and retention share per source
+    * (the q59 canonical corpus re-aggregated by provenance).
+    */
+  private val sourceDedupReportQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
+    val canon = Dedup.canonicalCorpus(docs, pairs, "doc_id")
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(canon.groupBy("source")
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("removed_dups")).as("n_removed")), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_survivors"), col("n_removed"),
+        round(col("n_survivors").cast("double") / col("n_docs"), 6).as("retention"))
+      .orderBy("source")
+  }
+
+
+  /** q125: SemDeDup with the AUTO cluster count — nlists = ⌈√N⌉
+    * derived from the corpus (the k-vs-N rule; a fixed nlists is
+    * quadratic in the corpus). Same threshold and codebook rule as
+    * q115, so the two differ only in cluster granularity.
+    */
+  private val semdedupAutoQ: Q = (s, dir) =>
+    Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.4)
+      .orderBy("vec_id")
+
+
+  /** q127: C4-style corpus cleaning — the composed keep/drop report
+    * (length, stopword density, type-token ratio, fixed precedence).
+    */
+  private val cleanCorpusQ: Q = (s, dir) =>
+    TextAnalysis.cleanCorpus(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+
+  /** q130: INCREMENTAL canonicalization — the corpus's near-dup pairs
+    * are split into a standing half (pairs among even doc ids, labeled
+    * by full CC) and an arriving half (any pair touching an odd id),
+    * and the arriving pairs fold into the standing labels via
+    * `Dedup.assignToExistingClusters` — no global CC replay. The
+    * oracle is q57's FULL recursive-CC over the whole pair set:
+    * hash-equality proves incremental == full recompute, including
+    * bridges that merge two standing components.
+    */
+  private val incrementalCanonQ: Q = (s, dir) => {
+    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
+      "text", gramHash = Some(graft.functions.XxHash64Family))
+      .localCheckpoint()
+    val oldPairs = pairs.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+    val newPairs = pairs.filter(col("doc_a") % 2 =!= 0 || col("doc_b") % 2 =!= 0)
+    val labels = Dedup.connectedComponentsAuto(oldPairs, "doc_a", "doc_b")
+      .select("doc_id", "cluster_id")
+    Dedup.assignToExistingClusters(labels, newPairs, "doc_a", "doc_b")
+      .orderBy("doc_id")
+  }
+
+
+  /** q136: cross-document duplicated-chunk report over content-defined
+    * chunks — the shift-robust complement to q106's fixed segments
+    * (see `Dedup.contentDefinedChunks`). Md5Family so DuckDB replays
+    * the boundary decisions and chunk fingerprints bit-for-bit.
+    */
+  private val cdcChunksQ: Q = (s, dir) => {
+    val chunks = Dedup.contentDefinedChunks(
+      Tables.documents(s, dir).select("doc_id", "text"),
+      "doc_id", "text", divisor = 16, hashes = Md5Family)
+    chunks.groupBy("chunk_hash")
+      .agg(max("n_tokens").as("n_tokens"),
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+      .orderBy(desc("n_docs"), desc("n_occurrences"), col("chunk_hash"))
+  }
+
+
+  /** q137: shift-robust near-dup pairs by shared CDC chunks — the
+    * chunk index is ~16× smaller than q23's shingle index for the
+    * same corpus, and alignment survives edits/insertions.
+    */
+  private val cdcPairsQ: Q = (s, dir) =>
+    Dedup.cdcNearDupPairs(
+      Tables.documents(s, dir).select("doc_id", "text"),
+      "doc_id", "text", divisor = 16, minShared = 2, maxDf = 50L,
+      hashes = Md5Family)
+      .orderBy("doc_a", "doc_b")
+
+
+  /** q138: exact edit-distance fuzzy key join (entity resolution) —
+    * ED-Join prefix filtering makes it index-driven; the levenshtein
+    * verify makes it exact, so the DuckDB oracle is the plain
+    * quadratic join and must match bit-for-bit.
+    */
+  private val fuzzyJoinQ: Q = (s, dir) =>
+    Fuzzy.editDistancePairs(
+      Tables.customer(s, dir).select("c_custkey", "c_name"),
+      "c_custkey", "c_name", maxDist = 1, q = 3)
+      .orderBy("id_a", "id_b")
+
+
+  /** q142: the FIX for the leakage q91 measures — split assignment by
+    * near-dup cluster (q57's edge set and CC), so cross-split near-dup
+    * pairs are zero by construction. Singletons degrade to the plain
+    * per-doc hash split.
+    */
+  private val clusterSplitQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
+    Sampling.clusterAwareSplit(docs, "doc_id", pairs, "doc_a", "doc_b",
+        hashes = Md5Family)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+
+  /** q155: Bloom runtime-filter semi join — orders restricted to one
+    * customer segment's keys through a map-side `might_contain`
+    * prefilter before the exact join (`BloomJoin.semiJoin`); the
+    * result is identical to the plain semi join, so the oracle is the
+    * plain IN-subquery.
+    */
+  private val bloomSemiJoinQ: Q = (s, dir) => {
+    val segment = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    BloomJoin.semiJoin(Tables.orders(s, dir), segment,
+      "o_custkey", "c_custkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 6).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q155_bloom_semi_join" -> bloomSemiJoinQ,
+    "q142_cluster_split" -> clusterSplitQ,
+    "q138_fuzzy_join" -> fuzzyJoinQ,
+    "q137_cdc_pairs" -> cdcPairsQ,
+    "q136_cdc_chunks" -> cdcChunksQ,
+    "q130_incremental_canon" -> incrementalCanonQ,
+    "q127_clean_corpus" -> cleanCorpusQ,
+    "q125_semdedup_auto" -> semdedupAutoQ,
+    "q120_source_dedup_report" -> sourceDedupReportQ,
+    "q115_semdedup" -> semdedupQ,
+    "q111_dup_span_removal" -> dupSpanQ,
+    "q106_segment_dedup" -> segmentDedupQ,
+    "q91_split_leakage" -> splitLeakage,
+    "q92_source_overlap" -> sourceOverlap,
+    "q59_canonical_corpus" -> canonicalCorpusQ,
+    "q71_decontaminate_bloom" -> decontaminateBloom,
+    "q74_embedding_dedup" -> embeddingDedup,
+    "q78_incremental_dedup" -> incrementalDedup,
+    "q62_ngram_jaccard_capped" -> ngramJaccardCapped,
+    "q64_decontaminate" -> decontaminate,
+    "q57_dedup_clusters" -> dedupClusters,
+    "q20_dedup_exact" -> dedupExact,
+    "q21_minhash_lsh" -> minhashLsh,
+    "q22_simhash_pairs" -> simhashPairs,
+    "q23_ngram_jaccard" -> ngramJaccard)
+
+  val oracleSql: Map[String, String] = Map(
+    // q155: the Bloom prefilter is invisible to results (false
+    // positives die in the exact join, false negatives impossible) —
+    // the oracle is the PLAIN semi join.
+    "q155_bloom_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 6) AS sum_price
+        |FROM orders WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q142: q57's recursive-CC cluster assignment, then the split is a
+    // pure md5 of the CLUSTER id; docs outside every pair fall back to
+    // their own id (singleton clusters).
+    "q142_cluster_split" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+        |alld AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        |         FROM documents d LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN ${md5l("CAST(cluster_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+        |       WHEN ${md5l("CAST(cluster_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM alld ORDER BY doc_id""".stripMargin,
+    // q138: the oracle is the definitionally-exact quadratic join;
+    // Spark's index-driven plan must reproduce it bit-for-bit.
+    "q138_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q137: q136's chunk CTEs + a per-doc-distinct, DF-capped
+    // inverted-index pair join. One double division at the very end.
+    "q137_cdc_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) gs),
+        |b AS (SELECT doc_id, pos, tok,
+        |  CASE WHEN lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+        |        AND (${md5l("tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)")} % 16) = 0
+        |       THEN 1 ELSE 0 END AS f
+        |  FROM toks),
+        |c AS (SELECT doc_id, pos, tok,
+        |  coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM b),
+        |ch AS (SELECT doc_id, chunk_id,
+        |  ${md5l("string_agg(tok, ' ' ORDER BY pos)")} AS chunk_hash
+        |  FROM c GROUP BY doc_id, chunk_id),
+        |idx AS (SELECT DISTINCT doc_id, chunk_hash FROM ch),
+        |hot AS (SELECT chunk_hash FROM
+        |  (SELECT chunk_hash, count(*) AS df FROM idx GROUP BY chunk_hash)
+        |  WHERE df > 50),
+        |kept AS (SELECT * FROM idx
+        |  WHERE chunk_hash NOT IN (SELECT chunk_hash FROM hot)),
+        |n AS (SELECT doc_id, count(*) AS n_chunks FROM kept GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS shared_chunks
+        |  FROM kept a JOIN kept b
+        |    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, shared_chunks,
+        |  na.n_chunks AS n_a, nb.n_chunks AS n_b,
+        |  round(CAST(shared_chunks AS DOUBLE)
+        |    / LEAST(na.n_chunks, nb.n_chunks), 6) AS overlap
+        |FROM p
+        |JOIN n na ON doc_a = na.doc_id
+        |JOIN n nb ON doc_b = nb.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q136: DuckDB replays the CDC boundary rule (bigram md5 % 16)
+    // and chunk fingerprints with the same window algebra.
+    "q136_cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) gs),
+        |b AS (SELECT doc_id, pos, tok,
+        |  CASE WHEN lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+        |        AND (${md5l("tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)")} % 16) = 0
+        |       THEN 1 ELSE 0 END AS f
+        |  FROM toks),
+        |c AS (SELECT doc_id, pos, tok,
+        |  coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |  FROM b),
+        |ch AS (SELECT doc_id, chunk_id,
+        |  ${md5l("string_agg(tok, ' ' ORDER BY pos)")} AS chunk_hash,
+        |  count(*) AS n_tokens
+        |  FROM c GROUP BY doc_id, chunk_id)
+        |SELECT chunk_hash, max(n_tokens) AS n_tokens,
+        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM ch GROUP BY chunk_hash
+        |HAVING count(DISTINCT doc_id) > 1
+        |ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash""".stripMargin,
+    // q130's oracle is q57's full-recompute CC over the ENTIRE pair
+    // set — the Spark side computes it incrementally (standing labels
+    // + arriving batch), so the hash match IS the incremental==full
+    // equivalence proof.
+    "q130_incremental_canon" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, min(v) AS cluster_id,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS cluster_size
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q120_source_dedup_report" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (SELECT u AS doc_id, min(v) AS cluster_id,
+        |         count(DISTINCT v) AS cluster_size FROM reach GROUP BY u),
+        |surv AS (SELECT d.doc_id, d.source,
+        |           CAST(coalesce(cc.cluster_size, 1) AS BIGINT) AS cluster_size
+        |         FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |         WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id),
+        |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT t.source, t.n_docs, count(*) AS n_survivors,
+        |  CAST(sum(s.cluster_size - 1) AS BIGINT) AS n_removed,
+        |  ROUND(CAST(count(*) AS DOUBLE) / t.n_docs, 6) AS retention
+        |FROM surv s JOIN tot t ON s.source = t.source
+        |GROUP BY t.source, t.n_docs ORDER BY t.source""".stripMargin,
+    "q115_semdedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS c
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id LIMIT 8)),
+        |ca AS (SELECT e.vec_id, e.v, cb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC, cb.list_id)
+        |           AS crank
+        |       FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
+        |jp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM jp
+        |          UNION SELECT id_b, id_a FROM jp
+        |          UNION SELECT id_a, id_a FROM jp UNION SELECT id_b, id_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+        |clusters AS (SELECT u AS vec_id, min(v) AS cluster_id,
+        |               CAST(count(DISTINCT v) AS BIGINT) AS cluster_size
+        |             FROM reach GROUP BY u)
+        |SELECT em.vec_id, em.label,
+        |  coalesce(c.cluster_size, 1::BIGINT) AS cluster_size,
+        |  coalesce(c.cluster_size, 1::BIGINT) - 1 AS removed_dups
+        |FROM embeddings em LEFT JOIN clusters c ON em.vec_id = c.vec_id
+        |WHERE c.cluster_id IS NULL OR c.cluster_id = em.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
+    "q125_semdedup_auto" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS c
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id
+        |             LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e))),
+        |ca AS (SELECT e.vec_id, e.v, cb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC, cb.list_id)
+        |           AS crank
+        |       FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
+        |jp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM jp
+        |          UNION SELECT id_b, id_a FROM jp
+        |          UNION SELECT id_a, id_a FROM jp UNION SELECT id_b, id_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+        |clusters AS (SELECT u AS vec_id, min(v) AS cluster_id,
+        |               CAST(count(DISTINCT v) AS BIGINT) AS cluster_size
+        |             FROM reach GROUP BY u)
+        |SELECT em.vec_id, em.label,
+        |  coalesce(c.cluster_size, 1::BIGINT) AS cluster_size,
+        |  coalesce(c.cluster_size, 1::BIGINT) - 1 AS removed_dups
+        |FROM embeddings em LEFT JOIN clusters c ON em.vec_id = c.vec_id
+        |WHERE c.cluster_id IS NULL OR c.cluster_id = em.vec_id
+        |ORDER BY em.vec_id""".stripMargin,
+    "q111_dup_span_removal" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS pos, ${md5l("array_to_string(t[i:i+7], ' ')")} AS gh
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) gs
+        |  WHERE len(t) >= 8),
+        |dup AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS df
+        |    FROM w GROUP BY gh) WHERE df >= 2),
+        |st AS (SELECT doc_id, pos FROM w WHERE gh IN (SELECT gh FROM dup)),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS p FROM st,
+        |  LATERAL (SELECT unnest(generate_series(0, 7)) AS o) go),
+        |tp AS (SELECT doc_id, i - 1 AS p, t[i] AS tok FROM toks,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) gs),
+        |keptp AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+        |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |nds AS (SELECT doc_id, count(*) AS n_dup_spans FROM st GROUP BY doc_id),
+        |ncv AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+        |tc AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean
+        |  FROM keptp GROUP BY doc_id)
+        |SELECT toks.doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+        |  CAST(coalesce(n_dup_spans, 0) AS INTEGER) AS n_dup_spans,
+        |  CAST(coalesce(n_removed, 0) AS INTEGER) AS n_removed,
+        |  coalesce(text_clean, '') AS text_clean
+        |FROM toks LEFT JOIN nds USING (doc_id) LEFT JOIN ncv USING (doc_id)
+        |  LEFT JOIN tc USING (doc_id)
+        |ORDER BY toks.doc_id""".stripMargin,
+    "q106_segment_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |segarr AS (SELECT doc_id,
+        |    [array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, GREATEST(len(t), 1), 8)]
+        |      AS segs FROM toks),
+        |seg AS (SELECT doc_id, i AS seg_idx, segs[i] AS segment
+        |  FROM segarr, LATERAL (SELECT unnest(generate_series(1, len(segs))) AS i) gs),
+        |h AS (SELECT doc_id, seg_idx, segment, ${md5l("segment")} AS seg_hash FROM seg),
+        |hot AS (SELECT seg_hash FROM (SELECT seg_hash, count(DISTINCT doc_id) AS df
+        |    FROM h GROUP BY seg_hash) WHERE df > 2),
+        |kept AS (SELECT * FROM h WHERE seg_hash NOT IN (SELECT seg_hash FROM hot)),
+        |n AS (SELECT doc_id, count(*) AS n_segments FROM h GROUP BY doc_id),
+        |k AS (SELECT doc_id, count(*) AS kept_segments,
+        |    string_agg(segment, ' ' ORDER BY seg_idx) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT doc_id, n_segments,
+        |  coalesce(kept_segments, 0) AS kept_segments,
+        |  coalesce(text_clean, '') AS text_clean
+        |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q91_split_leakage" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |h AS (SELECT doc_id, ${md5l("g")} % 1125899906842624 AS h1,
+        |    ${md5l("concat('2_', g)")} % 1125899906842624 AS h2 FROM g),
+        |mh AS (SELECT doc_id, p, min((h1 + p * h2) % 1125899906842624) AS mh
+        |  FROM h, generate_series(0, 15) AS gs(p) GROUP BY doc_id, p),
+        |bands AS (SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_str
+        |  FROM mh GROUP BY doc_id, p // 2),
+        |bh AS (SELECT doc_id, band,
+        |    ${md5l("concat(band_str, '_', band)")} AS band_hash FROM bands),
+        |capped AS (SELECT * FROM bh
+        |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |est AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+        |  FROM mh a JOIN mh b ON a.p = b.p
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN ${md5l("CAST(doc_id AS VARCHAR)")} % 100 < 50
+        |         THEN 'train' ELSE 'test' END AS split FROM documents)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cross_pairs,
+        |  ROUND(CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS leakage_ratio
+        |FROM pairs JOIN sp sa ON sa.doc_id = doc_a
+        |  JOIN sp sb ON sb.doc_id = doc_b""".stripMargin,
+    "q92_source_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |gstrs AS (SELECT doc_id, unnest(grams) AS gstr FROM sh),
+        |g0 AS (SELECT DISTINCT doc_id, ${md5l("gstr")} AS g FROM gstrs),
+        |hot AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+        |gi AS (SELECT doc_id, g FROM g0 WHERE g NOT IN (SELECT g FROM hot)),
+        |gsr AS (SELECT DISTINCT d.source, gi.g
+        |        FROM gi JOIN documents d USING (doc_id)),
+        |sizes AS (SELECT source, count(*) AS n FROM gsr GROUP BY source),
+        |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM gsr a JOIN gsr b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS gram_jaccard
+        |FROM shared JOIN sizes sa ON sa.source = source_a
+        |  JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q59_canonical_corpus" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cc AS (SELECT u AS doc_id, min(v) AS cluster_id,
+        |         count(DISTINCT v) AS cluster_size FROM reach GROUP BY u)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        |  CAST(coalesce(cc.cluster_size, 1) AS BIGINT) AS cluster_size,
+        |  CAST(coalesce(cc.cluster_size, 1) - 1 AS BIGINT) AS removed_dups
+        |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q62_ngram_jaccard_capped" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |gs AS (SELECT doc_id, unnest(grams) AS gstr FROM sh),
+        |g0 AS (SELECT DISTINCT doc_id, ${md5l("gstr")} AS g FROM gs),
+        |hot AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+        |g AS (SELECT doc_id, g FROM g0 WHERE g NOT IN (SELECT g FROM hot)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q64_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source, CASE WHEN len(t) >= 5
+        |  THEN [array_to_string(t[i:i+4], ' ') FOR i IN generate_series(1, len(t)-4)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, source, unnest(grams) AS g FROM sh),
+        |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+        |SELECT g.doc_id, count(*) AS shared_grams
+        |FROM g JOIN bench USING (g) WHERE g.source <> 'src0'
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // q71: the Bloom prefilter is performance-only (exact verify join
+    // removes false positives), so the oracle is q64's, verbatim.
+    "q71_decontaminate_bloom" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, source, CASE WHEN len(t) >= 5
+        |  THEN [array_to_string(t[i:i+4], ' ') FOR i IN generate_series(1, len(t)-4)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, source, unnest(grams) AS g FROM sh),
+        |bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+        |SELECT g.doc_id, count(*) AS shared_grams
+        |FROM g JOIN bench USING (g) WHERE g.source <> 'src0'
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q74_embedding_dedup" -> embeddingDedupOracle,
+    // q78: q21's minhash machinery, restricted to (incoming >= bucket 50)
+    // × (existing < bucket 50) candidate pairs; no hot-bucket cap in the
+    // cross form (mirrors Dedup.minhashLshJoin exactly).
+    "q78_incremental_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    ${md5l("CAST(doc_id AS VARCHAR)")} % 100 AS bucket FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |h AS (SELECT doc_id, ${md5l("g")} % 1125899906842624 AS h1,
+        |    ${md5l("concat('2_', g)")} % 1125899906842624 AS h2 FROM g),
+        |mh AS (SELECT doc_id, p, min((h1 + p * h2) % 1125899906842624) AS mh
+        |  FROM h, generate_series(0, 15) AS gs(p) GROUP BY doc_id, p),
+        |bands AS (SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_str
+        |  FROM mh GROUP BY doc_id, p // 2),
+        |bh AS (SELECT doc_id, band,
+        |    ${md5l("concat(band_str, '_', band)")} AS band_hash FROM bands),
+        |bk AS (SELECT doc_id, bucket FROM toks),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+        |  FROM bh a JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
+        |  JOIN bk ba ON ba.doc_id = a.doc_id JOIN bk bb ON bb.doc_id = b.doc_id
+        |  WHERE ba.bucket >= 50 AND bb.bucket < 50),
+        |est AS (SELECT c.doc_new, c.doc_old,
+        |    ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+        |  FROM cand c JOIN mh a ON a.doc_id = c.doc_new
+        |    JOIN mh b ON b.doc_id = c.doc_old AND a.p = b.p
+        |  GROUP BY c.doc_new, c.doc_old)
+        |SELECT doc_new, doc_old, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5 ORDER BY doc_new, doc_old""".stripMargin,
+    "q21_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |h AS (SELECT doc_id, ${md5l("g")} % 1125899906842624 AS h1,
+        |    ${md5l("concat('2_', g)")} % 1125899906842624 AS h2 FROM g),
+        |mh AS (SELECT doc_id, p, min((h1 + p * h2) % 1125899906842624) AS mh
+        |  FROM h, generate_series(0, 15) AS gs(p) GROUP BY doc_id, p),
+        |bands AS (SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_str
+        |  FROM mh GROUP BY doc_id, p // 2),
+        |bh AS (SELECT doc_id, band,
+        |    ${md5l("concat(band_str, '_', band)")} AS band_hash FROM bands),
+        |capped AS (SELECT * FROM bh
+        |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |est AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+        |  FROM mh a JOIN mh b ON a.p = b.p
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q22_simhash_pairs" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |th AS (SELECT doc_id, tf, ${md5l("token")} AS h FROM tf),
+        |bits AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS bsum
+        |  FROM th, generate_series(0, 63) AS gs(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bsum > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)
+        |         AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id),
+        |seg AS (SELECT doc_id, simhash, s, (simhash >> CAST(s * 16 AS INTEGER)) & 65535 AS seg_val
+        |  FROM sh, generate_series(0, 3) AS gs(s)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |  FROM seg a JOIN seg b
+        |    ON a.s = b.s AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "q57_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT u AS doc_id, min(v) AS cluster_id,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS cluster_size
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q23_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE ROUND(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q127_clean_corpus" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  ROUND(CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |    / len(toks), 6) AS stopword_ratio,
+        |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+        |FROM t),
+        |r AS (SELECT doc_id, n_tokens, stopword_ratio, ttr,
+        |  CASE WHEN n_tokens < 10 THEN 'too_short'
+        |       WHEN stopword_ratio < 0.05e0 THEN 'low_stopword'
+        |       WHEN ttr < 0.2e0 THEN 'low_ttr' ELSE 'kept' END AS drop_reason
+        |FROM m)
+        |SELECT doc_id, n_tokens, stopword_ratio, ttr, drop_reason,
+        |  CAST(CASE WHEN drop_reason = 'kept' THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,971 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{IdempotentSink, Tables}
+import graft.functions.Md5Family
+import graft.operators._
+import graft.queries.QueryHelpers._
+
+/** Event, time-series, storage and multimodal family: sessionization, windows, as-of/interval joins, resample/gap/anomaly, SCD2/CDC/snapshot-diff, idempotent sinks, streaming cadence/moment stores, JSON and image-decode plumbing.
+  *
+  * Split from the former ExtensionQueries monolith (round 7) — query
+  * bodies, registration names, and oracle SQL are unchanged;
+  * [[ExtensionQueries]] re-aggregates every domain map.
+  */
+object EventStoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+
+  private val jsonExtract: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+
+  private val sessionizeQ: Q = (s, dir) =>
+    Sessions.sessionize(Tables.events(s, dir), gapMinutes = 30)
+
+
+  private val tumbling: Q = (s, dir) =>
+    Sessions.tumblingHourly(Tables.events(s, dir))
+
+
+  private val multimodal: Q = (s, dir) =>
+    Multimodal.decodeFeatures(Tables.documents(s, dir)).toDF()
+      // text stand-in payloads take the deterministic stub branch;
+      // the branch flag is q162's concern, not part of this contract
+      .select("doc_id", "n_bytes", "width", "height", "channels")
+      .orderBy("doc_id")
+
+
+  /** q162: REAL image decode end-to-end — each doc's text renders to a
+    * true PNG with deterministic dimensions (8 + doc_id % 24 wide,
+    * 8 + utf8len % 24 tall, `Multimodal.withImagePayload`), and
+    * `decodePayloads` parses the actual container via javax.imageio:
+    * recovered width/height/channels and the real-decode branch flag
+    * are oracle-predicted. n_bytes (the PNG's compressed size) is
+    * encoder-dependent and deliberately excluded.
+    */
+  private val imageDecodeQ: Q = (s, dir) =>
+    Multimodal.decodePayloads(
+        Multimodal.withImagePayload(Tables.documents(s, dir))).toDF()
+      .select("doc_id", "width", "height", "channels", "real_decode")
+      .orderBy("doc_id")
+
+
+  /** Schema-on-read JSON parsing (from_json with an explicit schema —
+    * the structured sibling of q33's get_json_object path).
+    */
+  private val fromJson: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"),
+        round(avg(col("p.k")), 6).as("avg_k"))
+      .orderBy("event_type")
+
+
+  /** As-of attribution: each purchase joined to the user's most recent
+    * prior (or simultaneous) click — oracled against DuckDB's native
+    * ASOF JOIN, implemented here with the union+window form (one
+    * shuffle on user_id, no range-join explosion).
+    */
+  private val asofAttribution: Q = (s, dir) => {
+    val events = Tables.events(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    AsofJoin.asofLookup(purchases, clicks, "user_id", "ts", Seq("click_id", "click_ts"))
+      .select(col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("asof_click_id").as("click_id"), col("asof_click_ts").as("click_ts"))
+      .orderBy("purchase_id")
+  }
+
+
+  /** Spark's NATIVE session_window, verified against the same oracle
+    * as the lag/cumsum formulation (q34) — the two sessionization
+    * idioms are proven equivalent on this data. (Boundary note: the
+    * built-in merges on gap < 30min strictly, the lag form on <=; no
+    * exact-30-minute gaps exist at any sf, checked.) Session bounds are
+    * re-derived as min/max event time because session_window.end is
+    * last_event + gap, not the last event itself.
+    */
+  private val sessionWindowBuiltin: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .orderBy("user_id", "session_start")
+
+
+  private val multimodalFrames: Q = (s, dir) =>
+    Multimodal.frameSample(Tables.documents(s, dir), nFrames = 4)
+      .toDF().orderBy("doc_id", "frame_idx")
+
+
+  /** Ordered conversion funnel over the event stream: users who
+    * viewed, then clicked at/after their first view, then purchased
+    * at/after that click. Each step is a pushdown-filtered scan +
+    * per-user min aggregate; steps join on user_id (one shuffle key
+    * throughout) and only per-user step times cross stages.
+    */
+  private val funnel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+
+  /** Point-in-interval range join done as a bucketed equi-join:
+    * purchases attributed to the click-session interval containing
+    * them. The naive `ts BETWEEN start AND end` join has no equi-key
+    * and falls back to a nested loop — `RangeJoin.pointInInterval`
+    * restores a hash shuffle (spec-asserted: no BNLJ/cartesian in the
+    * plan).
+    */
+  private val intervalJoin: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    // 4h-gap sessions over the user's non-purchase activity; purchases
+    // are then attributed to the activity interval containing them
+    val sessions = Sessions
+      .sessionize(ev.filter(col("event_type") =!= "purchase"), gapMinutes = 240)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    RangeJoin.pointInInterval(purchases, sessions, Seq("user_id"),
+      "ts", "session_start", "session_end")
+      .select(col("event_id"), col("user_id"), col("ts"), col("session_start"))
+      .orderBy("event_id")
+  }
+
+
+  /** Hopping (sliding) 60-minute windows every 15 minutes — each event
+    * lands in size/slide = 4 windows; the built-in `window()` generator
+    * handles the multi-assignment (and runs unchanged on a stream).
+    */
+  private val hoppingQ: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "60 minutes", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("total_value"))
+      .orderBy("window_start")
+
+
+  /** Aspect-preserving resize planning over the decoded stub dims. */
+  private val resizePlanQ: Q = (s, dir) =>
+    Multimodal.resizePlan(Tables.documents(s, dir)).toDF().orderBy("doc_id")
+
+
+  /** JSONL rendering — the standard training-data interchange format:
+    * one compact JSON object per row via `to_json(struct(...))`
+    * (numeric/string fields only; engines agree on compact rendering).
+    * Writing `.text` files of this column IS the JSONL export sink.
+    */
+  private val jsonlExport: Q = (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      to_json(struct(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+        .as("jsonl"))
+      .orderBy("doc_id")
+
+
+  /** q107: dataset-versioning diff — two simulated snapshots of
+    * `documents` (drops + edits derived deterministically from doc_id)
+    * compared by md5 row digest; output is the change set only.
+    */
+  private val snapshotDiffQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val prev = docs.filter(col("doc_id") % 10 =!= 3)
+    val next = docs.filter(col("doc_id") % 7 =!= 2)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    SnapshotDiff.diff(prev, next, Seq("doc_id")).orderBy("doc_id")
+  }
+
+
+  /** q108: SCD2 merge — the customer dimension at version 1 merged
+    * with an update batch touching every 7th key (acctbal shift);
+    * changed keys close their v1 row and open a v2 row.
+    */
+  private val scd2Q: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    val dim = cust
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("version", lit(1))
+      .withColumn("is_current", lit(true))
+    val updates = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"))
+    Scd2.merge(dim, updates, "c_custkey", Seq("c_mktsegment", "c_acctbal"))
+      .orderBy("c_custkey", "version")
+  }
+
+
+  /** q109: cohort retention matrix over events. */
+  private val retentionQ: Q = (s, dir) =>
+    Retention.cohortMatrix(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("cohort_d", "offset_days")
+
+
+  /** q110: trailing-7-day distinct active users per day. */
+  private val rollingActiveQ: Q = (s, dir) =>
+    Retention.rollingActiveUsers(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("target_d")
+
+
+  /** q113: CDC changelog compaction — base snapshot (seq 0) + updates
+    * (seq 1, every 7th key) + deletes (seq 2, every 11th key) folded
+    * to current state by one max_by hash aggregate.
+    */
+  private val cdcQ: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    def slice(extra: DataFrame => DataFrame, seq: Long, op: String) =
+      extra(cust)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .withColumn("seq", lit(seq)).withColumn("op", lit(op))
+    val base = slice(identity, 0L, "I")
+    val upd = slice(_.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0), 1L, "U")
+    val del = slice(_.filter(col("c_custkey") % 11 === 0), 2L, "D")
+    Cdc.applyChangelog(base.unionByName(upd).unionByName(del),
+      "c_custkey", "seq", "op", Seq("c_mktsegment", "c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+
+  /** q116: trailing z-score anomaly flags — each event scored against
+    * its user's previous-5-event mean/stddev (the gold-layer
+    * volatility machinery turned into a detector). Window is
+    * partitioned by user — no global sort; sample stddev is NULL on
+    * short frames in both engines, and those rows are excluded.
+    */
+  private val anomalyQ: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-5, -1)
+    Tables.events(s, dir)
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev(col("value")).over(w))
+      .filter(col("sd").isNotNull && col("sd") > 0)
+      .select(col("event_id"), col("user_id"), col("value"),
+        round((col("value") - col("mu")) / col("sd"), 6).as("z"),
+        (abs(round((col("value") - col("mu")) / col("sd"), 6)) > 3)
+          .as("is_anomaly"))
+      .orderBy("event_id")
+  }
+
+
+  /** q117: data-quality expectations — four named constraints over
+    * lineitem folded in one aggregate scan (one has real violations,
+    * so pass AND fail paths are exercised).
+    */
+  private val expectationsQ: Q = (s, dir) =>
+    Expectations.validate(Tables.lineitem(s, dir), Seq(
+      "qty_positive" -> (col("l_quantity") > 0),
+      "price_nonneg" -> (col("l_extendedprice") >= 0),
+      "discount_le_5pct" -> (col("l_discount") <= 0.05),
+      "shipdate_in_range" -> col("l_shipdate").between(
+        lit("1992-01-01").cast("date"), lit("1998-12-31").cast("date"))))
+
+
+  /** q118: referential-integrity count — lineitem rows orphaned by a
+    * parent snapshot missing every 5th order key.
+    */
+  private val refIntegrityQ: Q = (s, dir) =>
+    Expectations.referentialViolations(
+      Tables.lineitem(s, dir),
+      Tables.orders(s, dir).filter(col("o_orderkey") % 5 =!= 0),
+      "l_orderkey", "o_orderkey")
+
+
+  /** q132: the training-data pipeline FUNNEL, end-to-end per source —
+    * raw docs → C4-style clean (q127's operator) → exact dedup among
+    * the keepers (q20's operator, keyed on md5(text) so the dedup
+    * shuffle moves 32-char digests, not document bodies) → canonical
+    * token totals → mixture share. One registered DAG composing the
+    * real operators, not re-implementations: the hash match certifies
+    * that the STAGES compose, which is what a pipeline user actually
+    * runs. Counts stay exact integers; the single share division is
+    * last. Scale: two doc-partitioned projections, one digest-keyed
+    * dedup shuffle, a 20-group aggregate, and a broadcast 1-row total.
+    */
+  private val pipelineFunnelQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val clean = TextAnalysis.cleanCorpus(docs, "doc_id", "text")
+    // kept feeds BOTH sides of the dedup self-join below — checkpoint
+    // it once (project invariant) instead of cleaning the corpus twice
+    val kept = docs.select("doc_id", "source", "text").join(
+      clean.filter(col("keep") === 1).select("doc_id", "n_tokens"), Seq("doc_id"))
+      .localCheckpoint()
+    val canonIds = Dedup.exactDedup(
+      kept.withColumn("text_key", md5(col("text"))), "text_key", "doc_id")
+      .select("doc_id")
+    val canonDocs = kept.join(canonIds, Seq("doc_id"))
+    val base = docs.groupBy("source").agg(count(lit(1)).as("docs_in"))
+    val keptAgg = kept.groupBy("source").agg(count(lit(1)).as("docs_kept"))
+    val canonAgg = canonDocs.groupBy("source").agg(
+      count(lit(1)).as("docs_canonical"),
+      sum(col("n_tokens").cast("long")).as("tokens_canonical"))
+    val total = canonDocs.agg(
+      sum(col("n_tokens").cast("long")).as("total_tokens"))
+    base.join(keptAgg, Seq("source"), "left")
+      .join(canonAgg, Seq("source"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("docs_in"),
+        coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("docs_canonical"), lit(0L)).as("docs_canonical"),
+        coalesce(col("tokens_canonical"), lit(0L)).as("tokens_canonical"),
+        round(coalesce(col("tokens_canonical"), lit(0L)).cast("double")
+          / col("total_tokens"), 6).as("token_share"))
+      .orderBy("source")
+  }
+
+
+  /** q133: the batch STORE end-to-end — documents flow into an
+    * `IdempotentSink` table in three key-overlapping appends (each
+    * re-delivers a slice of the previous batch, as a retrying loader
+    * would), the generations are compacted, and the table is read
+    * back through the healed reader into a per-source summary. The
+    * oracle is a plain aggregate over `documents`: a hash match
+    * certifies the stage/commit/key-dedup/compact/read path preserved
+    * exactly one copy of every row — the store's whole contract.
+    */
+  private val sinkRoundtripQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "source", "text").localCheckpoint()
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q133_sink")
+    val store = scratch.toString + "/t"
+    // three appends with overlapping key ranges: [0,45%), [40%,75%),
+    // [70%,100%) of the id space — every boundary slice re-delivers
+    val ids = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    def slice(a: Double, b: Double) = docs.filter(
+      col("doc_id") >= lo + (span * a).toLong &&
+        col("doc_id") < lo + (span * b).toLong + (if (b >= 1.0) 1 else 0))
+    IdempotentSink.appendIfAbsent(s, slice(0.0, 0.45), store, Seq("doc_id"))
+    IdempotentSink.appendIfAbsent(s, slice(0.40, 0.75), store, Seq("doc_id"))
+    IdempotentSink.appendIfAbsent(s, slice(0.70, 1.0), store, Seq("doc_id"))
+    IdempotentSink.compact(s, store)
+    // materialize the 20-row summary, then drop the scratch store
+    // (same hygiene as q131)
+    val out = IdempotentSink.read(s, store)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(length(col("text")).cast("long")).as("chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("source")
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
+  /** q145: regular-grid hourly resample of the event stream per user —
+    * every hour from each user's first to last event, bucket mean,
+    * forward-fill with staleness, and linear interpolation across gaps
+    * (`Resample.resample`). The cadence-repair pass a 1-row-per-minute
+    * feed needs before window features are trustworthy.
+    */
+  private val resampleQ: Q = (s, dir) =>
+    Resample.resample(
+      Tables.events(s, dir).filter(col("user_id") % 10 === 0),
+      "user_id", "ts", "value", stepSeconds = 3600L)
+
+
+  /** q146: per-user cadence/gap report from observed buckets alone —
+    * expected vs present hourly buckets and the longest missing run
+    * (`Resample.gapReport`; no grid materialized).
+    */
+  private val gapReportQ: Q = (s, dir) =>
+    Resample.gapReport(Tables.events(s, dir), "user_id", "ts",
+      stepSeconds = 3600L)
+
+
+  /** q151: streaming cadence store — the event stream's distinct
+    * (user, hourly-bucket) grid points folded across three
+    * micro-batch appends plus a compaction, then read out as the gap
+    * report. Same oracle as q146: the persisted-store path must be
+    * indistinguishable from the one-shot batch computation.
+    */
+  private val cadenceStoreQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q151_cad")
+    val store = scratch.toString + "/cadence"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.cadenceStep(
+        ev.filter(col("event_id") % 3 === b), "user_id", "ts",
+        stepSeconds = 3600L, store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.cadenceMerge)
+    val out = graft.streaming.StreamingPower
+      .cadenceReport(s, store, "user_id", stepSeconds = 3600L)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
+  /** q152: streaming embedding-moment store — per-dim (n, Σx, Σx²)
+    * folded across three micro-batch appends plus a compaction, read
+    * out as per-dim mean/variance. The incremental face of q148/q149:
+    * drift monitoring over an unbounded stream, constant-size state.
+    */
+  private val momentStoreQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q152_mom")
+    val store = scratch.toString + "/moments"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.momentStep(
+        emb.filter(col("vec_id") % 3 === b), "embedding", store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.momentMerge)
+    val out = graft.streaming.StreamingPower.momentReport(s, store)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
+  /** q156: per-event session features — session index, in-session
+    * position, integer seconds since previous event and since session
+    * start (`Sessions.sessionFeatures`): the behavioral-model feature
+    * projection over the q34 sessionization.
+    */
+  private val sessionFeaturesQ: Q = (s, dir) =>
+    Sessions.sessionFeatures(Tables.events(s, dir), gapMinutes = 30)
+
+
+  /** q157: gap-robust anomaly detection — rolling z-score over the
+    * RESAMPLED (gap-filled) grid, so a burst after a quiet stretch is
+    * judged against true elapsed time, not against however many rows
+    * happened to exist (the q116-style raw-row window silently spans
+    * gaps). Composes q145's grid with one more partitioned window;
+    * the flag compares ROUNDED z so the cut is cross-engine exact.
+    */
+  private val gridAnomalyQ: Q = (s, dir) => {
+    val grid = Resample.resample(
+      Tables.events(s, dir).filter(col("user_id") % 10 === 0),
+      "user_id", "ts", "value", stepSeconds = 3600L)
+    val w = Window.partitionBy("user_id").orderBy("bucket_sec")
+      .rowsBetween(-23, 0)
+    grid
+      .withColumn("_m", avg(col("interp_value")).over(w))
+      .withColumn("_sd", stddev(col("interp_value")).over(w))
+      .withColumn("z", round(
+        when(col("_sd") > 0, (col("interp_value") - col("_m")) / col("_sd")), 6))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("user_id"), col("bucket_sec"), col("interp_value"), col("z"))
+      .orderBy("user_id", "bucket_sec")
+  }
+
+  /** q163: the DataSource V2 feed source (`graft.sources.FeedSource`,
+    * the reference S1 HTTP-ingest surface) end-to-end — four JSON
+    * response bodies are rendered FROM the events table (the shape a
+    * fetch sidecar drops on shared storage), read back through
+    * `spark.read.format(...)` with an incremental cursor bound, and
+    * aggregated per event type. The hash match certifies payload
+    * parsing, schema inference, the reader-side cursor filter, and
+    * multi-payload partitioning against DuckDB computing the same
+    * aggregate straight from the parquet table. The 4-row collect is
+    * payload RENDERING (fixture prep, q162's PNG pattern — bounded by
+    * the bucket count, never by corpus size); the read path itself
+    * scales one partition per payload file. Value sums travel as
+    * fixed-point longs (the q148 order-invariance rule).
+    */
+  private val feedSourceQ: Q = (s, dir) => {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q163_feed")
+    val recs = Tables.events(s, dir).filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minutes1_utc"),
+        col("value"))
+    val bodies = recs
+      .withColumn("bucket", pmod(xxhash64(col("event_id")), lit(4)).cast("int"))
+      .select(col("bucket"), to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("minutes1_utc"), col("value"))).as("j"))
+      .groupBy("bucket")
+      .agg(concat(lit("{\"records\":["),
+        concat_ws(",", collect_list(col("j"))), lit("]}")).as("body"))
+      .collect()
+    bodies.foreach { r =>
+      java.nio.file.Files.write(scratch.resolve(f"page${r.getInt(0)}%02d.json"),
+        r.getString(1).getBytes("UTF-8"))
+    }
+    // explicit schema: `to_json` drops null fields, so inference from
+    // one payload could miss a key — inference is FeedSourceSpec's job
+    val feed = s.read.format("graft.sources.FeedSource")
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, " +
+        "minutes1_utc STRING, value DOUBLE")
+      .option("endpoint", scratch.toString)
+      .option("cursorField", "minutes1_utc")
+      .option("startCursor", "2024-01-16T00:00:00")
+      .load()
+    val out = feed.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("value_sum_us"),
+        min(col("minutes1_utc")).as("min_cursor"),
+        max(col("minutes1_utc")).as("max_cursor"))
+      .orderBy("event_type")
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q163_feed_source" -> feedSourceQ,
+    "q162_image_decode" -> imageDecodeQ,
+    "q157_grid_anomaly" -> gridAnomalyQ,
+    "q156_session_features" -> sessionFeaturesQ,
+    "q152_moment_store" -> momentStoreQ,
+    "q151_cadence_store" -> cadenceStoreQ,
+    "q146_gap_report" -> gapReportQ,
+    "q145_resample" -> resampleQ,
+    "q133_sink_roundtrip" -> sinkRoundtripQ,
+    "q132_pipeline_funnel" -> pipelineFunnelQ,
+    "q118_ref_integrity" -> refIntegrityQ,
+    "q117_expectations" -> expectationsQ,
+    "q116_anomaly_flags" -> anomalyQ,
+    "q113_cdc_apply" -> cdcQ,
+    "q110_rolling_active" -> rollingActiveQ,
+    "q109_retention" -> retentionQ,
+    "q108_scd2_merge" -> scd2Q,
+    "q107_snapshot_diff" -> snapshotDiffQ,
+    "q94_jsonl_export" -> jsonlExport,
+    "q93_multimodal_resize" -> resizePlanQ,
+    "q86_hopping_window" -> hoppingQ,
+    "q75_funnel" -> funnel,
+    "q76_interval_join" -> intervalJoin,
+    "q52_multimodal_frames" -> multimodalFrames,
+    "q51_session_window_builtin" -> sessionWindowBuiltin,
+    "q41_asof_attribution" -> asofAttribution,
+    "q38_from_json" -> fromJson,
+    "q33_json_extract" -> jsonExtract,
+    "q34_sessionize" -> sessionizeQ,
+    "q35_tumbling_hourly" -> tumbling,
+    "q36_multimodal_decode" -> multimodal)
+
+  val oracleSql: Map[String, String] = Map(
+    // q163: DuckDB computes the same cursor-bounded per-type aggregate
+    // straight from the parquet table the payloads were rendered from;
+    // value sums as fixed-point BIGINTs (q148's order-invariance rule),
+    // the cursor bound replayed on the same second-resolution string.
+    "q163_feed_source" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_sum_us,
+        |  min(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS min_cursor,
+        |  max(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS max_cursor
+        |FROM events
+        |WHERE event_id % 20 = 0
+        |  AND strftime(ts, '%Y-%m-%dT%H:%M:%S') >= '2024-01-16T00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q162: the PNG fixture's dimensions are derived from the doc, so
+    // a decode that parses the real container must recover them; the
+    // flag certifies the imageio branch ran, not the stub.
+    "q162_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 24 AS INTEGER) AS width,
+        |  CAST(8 + octet_length(encode(text)) % 24 AS INTEGER) AS height,
+        |  3 AS channels, true AS real_decode
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q157: q145's grid CTE + one more 24-bucket window; sample
+    // stddev (NULL under 2 rows) and the cut on ROUNDED z in both
+    // engines.
+    "q157_grid_anomaly" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts)//1000000//3600*3600 AS b,
+        |         count(*) AS n, round(avg(value), 6) AS v
+        |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(b) AS bmin, max(b) AS bmax
+        |  FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, gs.b FROM bounds,
+        |  LATERAL (SELECT unnest(generate_series(bmin, bmax, 3600)) AS b) gs),
+        |u AS (SELECT user_id, b, 0 AS side, n, v FROM obs
+        |  UNION ALL SELECT user_id, b, 1, NULL, NULL FROM grid),
+        |w AS (SELECT user_id, b, side,
+        |    last_value(v IGNORE NULLS) OVER back AS fv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER back AS fb,
+        |    first_value(v IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER fwd AS nb
+        |  FROM u WINDOW
+        |    back AS (PARTITION BY user_id ORDER BY b, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fwd AS (PARTITION BY user_id ORDER BY b, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |r AS (SELECT user_id, b AS bucket_sec,
+        |    round(CASE WHEN fb = b THEN fv
+        |      WHEN fv IS NOT NULL AND nv IS NOT NULL
+        |        THEN fv + (nv - fv) * (b - fb) / (nb - fb)
+        |      ELSE fv END, 6) AS interp_value
+        |  FROM w WHERE side = 1),
+        |zz AS (SELECT user_id, bucket_sec, interp_value,
+        |    avg(interp_value) OVER wz AS m,
+        |    stddev_samp(interp_value) OVER wz AS sd
+        |  FROM r WINDOW wz AS (PARTITION BY user_id ORDER BY bucket_sec
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, bucket_sec, interp_value,
+        |  round((interp_value - m)/sd, 6) AS z
+        |FROM zz WHERE sd > 0
+        |  AND abs(round((interp_value - m)/sd, 6)) > 2.5e0
+        |ORDER BY user_id, bucket_sec""".stripMargin,
+    // q156: the same lag → flag → running-sum chain definitionally;
+    // second deltas are exact integer µs divisions, so no float time
+    // math on either side.
+    "q156_session_features" ->
+      """WITH f AS (SELECT event_id, user_id, ts,
+        |    lag(ts) OVER w AS prev_ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT f.*, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS session_idx FROM f)
+        |SELECT event_id, user_id, session_idx,
+        |  CAST(row_number() OVER ws AS INTEGER) AS event_idx,
+        |  CASE WHEN new_s = 1 THEN 0
+        |    ELSE (epoch_us(ts) - epoch_us(prev_ts))//1000000 END
+        |    AS secs_since_prev,
+        |  epoch_us(ts)//1000000
+        |    - min(epoch_us(ts)//1000000) OVER ws AS secs_since_start
+        |FROM g WINDOW ws AS (PARTITION BY user_id, session_idx
+        |  ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    // q152: definitional per-dim mean/variance over the full corpus on
+    // the FIXED-POINT coordinates (q = round(x*1e6), Pca.quantize) —
+    // the store's merged integer sums are exact and order-invariant,
+    // so this is bit-identical to the one-shot computation (same
+    // association as q148/q149: mean = Σq/1e6/n, var = Σq²/1e12/n −
+    // mean·mean).
+    "q152_moment_store" ->
+      """WITH t AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT CAST(gs.i - 1 AS INTEGER) AS dim,
+        |    CAST(round(v[gs.i]*1e6) AS BIGINT) AS q
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) gs)
+        |SELECT dim, count(*) AS n,
+        |  round(CAST(sum(q) AS DOUBLE)/1e6/count(*), 6) AS mean,
+        |  round(CAST(sum(q*q) AS DOUBLE)/1e12/count(*)
+        |    - CAST(sum(q) AS DOUBLE)/1e6/count(*)
+        |      *(CAST(sum(q) AS DOUBLE)/1e6/count(*)), 6) AS variance
+        |FROM u GROUP BY dim ORDER BY dim""".stripMargin,
+    // q151: q146's oracle VERBATIM — the store-backed streaming path
+    // must be indistinguishable from the one-shot batch gap report.
+    "q151_cadence_store" ->
+      """WITH obs AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts)//1000000//3600*3600 AS b FROM events),
+        |d AS (SELECT user_id, b,
+        |    lead(b) OVER (PARTITION BY user_id ORDER BY b) AS nb FROM obs)
+        |SELECT user_id,
+        |  (max(b) - min(b))//3600 + 1 AS n_expected,
+        |  count(*) AS n_present,
+        |  (max(b) - min(b))//3600 + 1 - count(*) AS n_missing,
+        |  coalesce(max(nb - b - 3600), 0) AS max_gap_sec
+        |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // q145: same grid ∪ observations + one window definitionally —
+    // buckets are epoch-second floors, the grid is generate_series
+    // over each user's bucket span, fills read off the same
+    // (bucket, side) ordering with obs rows sorted first.
+    "q145_resample" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts)//1000000//3600*3600 AS b,
+        |         count(*) AS n, round(avg(value), 6) AS v
+        |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(b) AS bmin, max(b) AS bmax
+        |  FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, gs.b FROM bounds,
+        |  LATERAL (SELECT unnest(generate_series(bmin, bmax, 3600)) AS b) gs),
+        |u AS (SELECT user_id, b, 0 AS side, n, v FROM obs
+        |  UNION ALL SELECT user_id, b, 1, NULL, NULL FROM grid),
+        |w AS (SELECT user_id, b, side,
+        |    last_value(v IGNORE NULLS) OVER back AS fv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER back AS fb,
+        |    last_value(n IGNORE NULLS) OVER back AS fn,
+        |    first_value(v IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER fwd AS nb
+        |  FROM u WINDOW
+        |    back AS (PARTITION BY user_id ORDER BY b, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fwd AS (PARTITION BY user_id ORDER BY b, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, b AS bucket_sec,
+        |  CASE WHEN fb = b THEN fn ELSE 0 END AS n_obs,
+        |  CASE WHEN fb = b THEN fv END AS obs_value,
+        |  fv AS ffill_value,
+        |  b - fb AS ffill_age_sec,
+        |  round(CASE WHEN fb = b THEN fv
+        |    WHEN fv IS NOT NULL AND nv IS NOT NULL
+        |      THEN fv + (nv - fv) * (b - fb) / (nb - fb)
+        |    ELSE fv END, 6) AS interp_value
+        |FROM w WHERE side = 1
+        |ORDER BY user_id, bucket_sec""".stripMargin,
+    // q146: cadence report from observed buckets alone — expected =
+    // span/step + 1, longest gap from the lead() delta between
+    // successive present buckets.
+    "q146_gap_report" ->
+      """WITH obs AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts)//1000000//3600*3600 AS b FROM events),
+        |d AS (SELECT user_id, b,
+        |    lead(b) OVER (PARTITION BY user_id ORDER BY b) AS nb FROM obs)
+        |SELECT user_id,
+        |  (max(b) - min(b))//3600 + 1 AS n_expected,
+        |  count(*) AS n_present,
+        |  (max(b) - min(b))//3600 + 1 - count(*) AS n_missing,
+        |  coalesce(max(nb - b - 3600), 0) AS max_gap_sec
+        |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // q133: the store round-trip must reproduce the source table
+    // exactly — the oracle aggregates `documents` directly, so the
+    // hash match is over WHAT SURVIVED the staged appends, key dedup,
+    // compaction, and healed read.
+    "q133_sink_roundtrip" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q132: q127's clean rules + q20's dedup (keyed on md5(text)) +
+    // token totals, per source — the funnel every stage's own oracle
+    // already verifies in isolation, composed. Counts CAST to BIGINT
+    // (DuckDB sums INTEGER into HUGEINT); the share division is last.
+    "q132_pipeline_funnel" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id, source, text,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  ROUND(CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |    / len(toks), 6) AS stopword_ratio,
+        |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+        |FROM t),
+        |kept AS (SELECT doc_id, source, text, n_tokens FROM m
+        |  WHERE n_tokens >= 10 AND stopword_ratio >= 0.05e0 AND ttr >= 0.2e0),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        |canon_docs AS (SELECT k.source, k.n_tokens
+        |  FROM kept k JOIN canon c USING (doc_id)),
+        |base AS (SELECT source, count(*) AS docs_in FROM documents GROUP BY source),
+        |keptagg AS (SELECT source, count(*) AS docs_kept FROM kept GROUP BY source),
+        |canonagg AS (SELECT source, count(*) AS docs_canonical,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_canonical
+        |  FROM canon_docs GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM canon_docs)
+        |SELECT b.source, b.docs_in,
+        |  coalesce(k.docs_kept, 0) AS docs_kept,
+        |  coalesce(c.docs_canonical, 0) AS docs_canonical,
+        |  coalesce(c.tokens_canonical, 0) AS tokens_canonical,
+        |  ROUND(CAST(coalesce(c.tokens_canonical, 0) AS DOUBLE)
+        |    / t.total_tokens, 6) AS token_share
+        |FROM base b
+        |LEFT JOIN keptagg k USING (source)
+        |LEFT JOIN canonagg c USING (source)
+        |CROSS JOIN tot t
+        |ORDER BY b.source""".stripMargin,
+    "q117_expectations" ->
+      """WITH s AS (SELECT
+        |  CAST(sum(CASE WHEN coalesce(l_quantity > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS c0,
+        |  CAST(sum(CASE WHEN coalesce(l_extendedprice >= 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN coalesce(l_discount <= 0.05e0, false) THEN 0 ELSE 1 END) AS BIGINT) AS c2,
+        |  CAST(sum(CASE WHEN coalesce(l_shipdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31', false) THEN 0 ELSE 1 END) AS BIGINT) AS c3
+        |  FROM lineitem)
+        |SELECT 'discount_le_5pct' AS check_name, c2 AS n_violations, c2 = 0 AS passed FROM s
+        |UNION ALL SELECT 'price_nonneg', c1, c1 = 0 FROM s
+        |UNION ALL SELECT 'qty_positive', c0, c0 = 0 FROM s
+        |UNION ALL SELECT 'shipdate_in_range', c3, c3 = 0 FROM s
+        |ORDER BY check_name""".stripMargin,
+    "q118_ref_integrity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orphans
+        |FROM lineitem l LEFT JOIN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 != 0) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL""".stripMargin,
+    "q116_anomaly_flags" ->
+      """WITH x AS (SELECT event_id, user_id, value,
+        |    avg(value) OVER w AS mu, stddev_samp(value) OVER w AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, value,
+        |  ROUND((value - mu) / sd, 6) AS z,
+        |  abs(ROUND((value - mu) / sd, 6)) > 3 AS is_anomaly
+        |FROM x WHERE sd IS NOT NULL AND sd > 0
+        |ORDER BY event_id""".stripMargin,
+    "q113_cdc_apply" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0e0
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CAST(CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS last_seq
+        |FROM customer WHERE c_custkey % 11 != 0
+        |ORDER BY c_custkey""".stripMargin,
+    "q107_snapshot_diff" ->
+      s"""WITH prev AS (SELECT doc_id, ${docDigest("text")} AS h1
+        |  FROM documents WHERE doc_id % 10 != 3),
+        |nxt AS (SELECT doc_id,
+        |    ${docDigest("CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2') ELSE text END")} AS h2
+        |  FROM documents WHERE doc_id % 7 != 2),
+        |j AS (SELECT coalesce(prev.doc_id, nxt.doc_id) AS doc_id, h1, h2
+        |  FROM prev FULL OUTER JOIN nxt ON prev.doc_id = nxt.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status
+        |FROM j WHERE h1 IS NULL OR h2 IS NULL OR h1 != h2
+        |ORDER BY doc_id""".stripMargin,
+    "q108_scd2_merge" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(1 AS INTEGER) AS version,
+        |  (c_custkey % 7 != 0) AS is_current
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal + 100.0e0,
+        |  CAST(2 AS INTEGER), true
+        |FROM customer WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey, version""".stripMargin,
+    "q109_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |f AS (SELECT u, min(d) AS cohort_d FROM act GROUP BY u)
+        |SELECT cohort_d, CAST(d - cohort_d AS INTEGER) AS offset_days,
+        |  count(*) AS n_users
+        |FROM act JOIN f USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q110_rolling_active" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |days AS (SELECT DISTINCT d AS target_d FROM act)
+        |SELECT target_d, count(DISTINCT u) AS active_users
+        |FROM days JOIN act ON act.d BETWEEN target_d - 6 AND target_d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q94_jsonl_export" ->
+      """SELECT doc_id,
+        |  CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
+        |    source := source, n_chars := n_chars)) AS VARCHAR) AS jsonl
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q93_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS src_w,
+        |    CAST(64 + ascii(substr(text, 1, 1)) % 512 AS INTEGER) AS src_h
+        |  FROM documents),
+        |s AS (SELECT doc_id, src_w, src_h,
+        |    LEAST(256.0e0 / src_w, 256.0e0 / src_h, 1.0e0) AS sc FROM m)
+        |SELECT doc_id, src_w, src_h,
+        |  CAST(GREATEST(1, floor(src_w * sc)) AS INTEGER) AS dst_w,
+        |  CAST(GREATEST(1, floor(src_h * sc)) AS INTEGER) AS dst_h,
+        |  ROUND(sc, 6) AS scale
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q86_hopping_window" ->
+      """WITH b AS (SELECT ts, value,
+        |    date_trunc('hour', ts)
+        |      + (CAST(minute(ts) AS BIGINT) // 15) * INTERVAL 15 MINUTE AS bucket
+        |  FROM events),
+        |w AS (SELECT ts, value, bucket - o.o * INTERVAL 15 MINUTE AS window_start
+        |      FROM b, (SELECT unnest(generate_series(0, 3)) AS o) o
+        |      WHERE ts < bucket - o.o * INTERVAL 15 MINUTE + INTERVAL 60 MINUTE)
+        |SELECT window_start, count(*) AS n_events,
+        |  ROUND(sum(value), 6) AS total_value
+        |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin,
+    "q76_interval_join" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 240 MINUTE THEN 1 ELSE 0 END AS ns
+        |  FROM events WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |iv AS (SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        |       FROM s GROUP BY user_id, sid)
+        |SELECT p.event_id, p.user_id, p.ts, iv.session_start
+        |FROM events p JOIN iv ON p.user_id = iv.user_id
+        |  AND p.ts >= iv.session_start AND p.ts <= iv.session_end
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    "q75_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_view_click,
+        |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "q52_multimodal_frames" ->
+      """SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
+        |  CAST((f.i * octet_length(encode(text))) // 4 AS INTEGER) AS frame_offset,
+        |  ascii(substr(text,
+        |    CAST((f.i * octet_length(encode(text))) // 4 AS INTEGER) + 1, 1))
+        |    AS frame_hash
+        |FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q51_session_window_builtin" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q41_asof_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        |  c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q38_from_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(min(json_extract_string(props, '$.k') :: INTEGER) AS INTEGER) AS min_k,
+        |  CAST(max(json_extract_string(props, '$.k') :: INTEGER) AS INTEGER) AS max_k,
+        |  ROUND(avg(json_extract_string(props, '$.k') :: INTEGER), 6) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q33_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q34_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "q35_tumbling_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,
+        |  ROUND(SUM(value), 6) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        |  CAST(64 + ascii(substr(text, 1, 1)) % 512 AS INTEGER) AS height,
+        |  3 AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{IdempotentSink, Tables}
+import graft.functions.Md5Family
+import graft.operators._
+
+/** Shared helpers for the domain query registries: the DuckDB-side
+  * renderings of the repo's hash families and LSH/z-order CTE builders,
+  * plus small runtime utilities. `private[queries]` — the public surface
+  * stays [[ExtensionQueries]].
+  */
+private[queries] object QueryHelpers {
+
+
+  def deleteRecursively(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+
+  /** DuckDB rendering of `Md5Family.hash` — must stay in lockstep with
+    * graft.functions.Md5Family (top 15 hex chars of md5 as a bigint).
+    */
+  def md5l(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+
+  /** q26's oracle inlines the SAME seeded hyperplanes the Spark plan
+    * uses (`Similarity.hyperplanes` is deterministic on (dim, n, seed))
+    * as literal DOUBLE[] rows, so the sign-LSH bucket routing is
+    * reproduced exactly in DuckDB via list_dot_product (sign(cosine) ==
+    * sign(dot): norms are positive).
+    */
+  /** Shared CTE block rendering the sign-LSH candidate generation
+    * (planes → signatures → bucket-collision candidates) — used by the
+    * q26 oracle and, composed with a recursive closure, by q74's.
+    */
+  def lshCandCtes: String = {
+    val bits = 6; val tables = 8
+    val planes = Similarity.hyperplanes(64, bits * tables, 42L)
+    val rows = (0 until tables).flatMap { t =>
+      (0 until bits).map { b =>
+        s"($t, $b, [${planes(t * bits + b).mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(", ")
+    s"""planes(tbl, bit, pl) AS (VALUES $rows),
+       |emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sig AS (SELECT vec_id, tbl,
+       |    CAST(SUM(CASE WHEN list_dot_product(e, pl) >= 0
+       |             THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM emb CROSS JOIN planes GROUP BY vec_id, tbl),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sig a JOIN sig b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
+
+  def annLshOracle: String =
+    s"""WITH $lshCandCtes
+       |SELECT id_a, id_b, ROUND(list_cosine_similarity(ea.e, eb.e), 6) AS cosine
+       |FROM cand JOIN emb ea ON ea.vec_id = id_a JOIN emb eb ON eb.vec_id = id_b
+       |WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+
+  /** q74: LSH pairs (same params as q26) → transitive closure →
+    * min-id survivor per cluster — the embedding-space rendering of
+    * the canonical-corpus pipeline.
+    */
+  def embeddingDedupOracle: String =
+    s"""WITH RECURSIVE $lshCandCtes,
+       |jp AS (SELECT id_a, id_b
+       |  FROM cand JOIN emb ea ON ea.vec_id = id_a JOIN emb eb ON eb.vec_id = id_b
+       |  WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= 0.4),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM jp
+       |          UNION SELECT id_b, id_a FROM jp
+       |          UNION SELECT id_a, id_a FROM jp UNION SELECT id_b, id_b FROM jp),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+       |clusters AS (SELECT u AS vec_id, min(v) AS cluster_id,
+       |               CAST(count(DISTINCT v) AS BIGINT) AS cluster_size
+       |             FROM reach GROUP BY u)
+       |SELECT em.vec_id, em.label,
+       |  coalesce(c.cluster_size, 1::BIGINT) AS cluster_size,
+       |  coalesce(c.cluster_size, 1::BIGINT) - 1 AS removed_dups
+       |FROM embeddings em LEFT JOIN clusters c ON em.vec_id = c.vec_id
+       |WHERE c.cluster_id IS NULL OR c.cluster_id = em.vec_id
+       |ORDER BY em.vec_id""".stripMargin
+
+
+  /** DuckDB equivalents — every registered query has one: q40 routes
+    * through the hash-seeded IVF codebook and q47 through the
+    * deterministic portable HLL precisely so that the last two
+    * formerly rows-only checks became hash-checkable.
+    */
+  /** DuckDB rendering of `ZOrder.interleave` — bit-for-bit the same
+    * shift/mask terms the Spark expression builds.
+    */
+  def zTermsSql(x: String, y: String, bits: Int = 16): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
+
+  /** DuckDB rendering of `SnapshotDiff.rowDigest` over the documents
+    * table: non-key columns in sorted name order (lang, n_chars,
+    * source, text), unit-separator joined, NULL → record separator.
+    */
+  def docDigest(textExpr: String): String =
+    s"""md5(concat_ws(chr(31),
+       |    coalesce(CAST(lang AS VARCHAR), chr(30)),
+       |    coalesce(CAST(n_chars AS VARCHAR), chr(30)),
+       |    coalesce(CAST(source AS VARCHAR), chr(30)),
+       |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
+
+  /** q102's full IVF+PQ chain in DuckDB — shared verbatim by q131 (the
+    * persisted index must reproduce the inline operator exactly).
+    */
+  lazy val ivfPqSeededOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
+      |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+      |             FROM e ORDER BY h, vec_id LIMIT 8)),
+      |ca AS (SELECT e.vec_id, e.v, ccb.list_id,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY ROUND(list_cosine_similarity(e.v, ccb.cc), 6) DESC,
+      |             ccb.list_id) AS crank
+      |       FROM e CROSS JOIN ccb),
+      |corpus AS (SELECT vec_id AS neighbor_id, list_id FROM ca WHERE crank = 1),
+      |pl AS (SELECT vec_id AS query_id, list_id
+      |       FROM ca WHERE crank <= 4 AND vec_id < 10),
+      |cand AS (SELECT p.query_id, c.neighbor_id
+      |         FROM pl p JOIN corpus c USING (list_id)
+      |         WHERE c.neighbor_id <> p.query_id),
+      |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+      |sub AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM e, ms),
+      |cb AS (SELECT m, code_id, s AS c FROM (
+      |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+      |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+      |        vec_id) - 1 AS code_id
+      |    FROM sub) WHERE code_id < 16),
+      |enc AS (SELECT vec_id AS neighbor_id, m, code_id FROM (
+      |    SELECT sub.vec_id, sub.m, cb.code_id,
+      |      CAST(floor(list_aggregate(
+      |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+      |           FOR i IN generate_series(1, 8)], 'sum')
+      |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+      |    FROM sub JOIN cb USING (m))
+      |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+      |      ORDER BY d2, code_id) = 1),
+      |pt AS (SELECT sub.vec_id AS query_id, sub.m, cb.code_id,
+      |      CAST(floor(list_aggregate(
+      |          [(sub.s[i] - cb.c[i]) * (sub.s[i] - cb.c[i])
+      |           FOR i IN generate_series(1, 8)], 'sum')
+      |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+      |    FROM sub JOIN cb USING (m) WHERE sub.vec_id < 10),
+      |adc AS (SELECT cd.query_id, cd.neighbor_id, CAST(sum(pt.d2) AS BIGINT) AS sd
+      |    FROM cand cd
+      |    JOIN enc ON enc.neighbor_id = cd.neighbor_id
+      |    JOIN pt ON pt.query_id = cd.query_id AND pt.m = enc.m
+      |           AND pt.code_id = enc.code_id
+      |    GROUP BY 1, 2)
+      |SELECT query_id, rank, neighbor_id,
+      |  ROUND(CAST(sd AS DOUBLE) / 1000000e0, 6) AS approx_d2
+      |FROM (SELECT query_id, neighbor_id, sd,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |            ORDER BY sd, neighbor_id) AS INTEGER) AS rank
+      |      FROM adc)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // q139/q140: full BM25 replay — same tokenizer, Lucene idf, float
+  // constants in e0 notation so DuckDB keeps them DOUBLE, scores
+  // rounded BEFORE ranking with the doc-id tie-break. q140 (the
+  // persisted index) must answer exactly like the inline operator,
+  // so it shares this oracle verbatim.
+  // CTE chain through the per-(query, doc) BM25 score `sc`, shared by
+  // the q139/q140 oracle and q141's sparse tier.
+  lazy val bm25Ctes: String =
+      """corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+        |probes AS (SELECT doc_id AS query_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE source = 'src0' AND doc_id % 50 = 0),
+        |qt AS (SELECT DISTINCT query_id, t[i] AS token FROM probes,
+        |  LATERAL (SELECT unnest(generate_series(1, least(6, len(t)))) AS i) gs),
+        |tfc AS (SELECT doc, token, count(*) AS tf FROM
+        |  (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS token
+        |   FROM corpus) GROUP BY 1, 2),
+        |dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+        |dl AS (SELECT doc_id AS doc, len(string_split(text, ' ')) AS dl
+        |  FROM corpus),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  avg(len(string_split(text, ' '))) AS avgdl FROM corpus),
+        |sc AS (SELECT query_id, tfc.doc,
+        |    round(sum(ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+        |      * tf * (1.2e0 + 1e0)
+        |      / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))), 6)
+        |      AS score
+        |  FROM tfc
+        |  JOIN qt USING (token)
+        |  JOIN dfc USING (token)
+        |  JOIN dl ON tfc.doc = dl.doc
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2)""".stripMargin
+
+  lazy val bm25Oracle: String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, rank, doc AS doc_id, score FROM
+       |  (SELECT query_id, doc, score,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc) AS INTEGER) AS rank
+       |   FROM sc)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // q141: RRF fusion of the BM25 ranking above and the exact cosine
+  // ranking over the same corpus split. Ranks are integers (exact
+  // cross-engine given q139/q24 green), each (query, doc) sums at most
+  // TWO double contributions — a single IEEE addition, order-free —
+  // and the fused score rounds to 6dp before ranking, doc tie-break.
+  lazy val hybridRrfOracle: String =
+    s"""WITH $bm25Ctes,
+       |bm AS (SELECT query_id, doc, rank FROM
+       |  (SELECT query_id, doc,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc) AS INTEGER) AS rank
+       |   FROM sc) WHERE rank <= 10),
+       |qv AS (SELECT query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings JOIN probes ON vec_id = query_id),
+       |cv AS (SELECT vec_id AS doc, CAST(embedding AS DOUBLE[]) AS ce
+       |  FROM embeddings JOIN corpus ON vec_id = doc_id),
+       |ds AS (SELECT query_id, doc,
+       |    ROUND(list_cosine_similarity(qe, ce), 6) AS cos FROM qv, cv),
+       |dn AS (SELECT query_id, doc, rank FROM
+       |  (SELECT query_id, doc,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY cos DESC, doc) AS INTEGER) AS rank
+       |   FROM ds) WHERE rank <= 10),
+       |u AS (SELECT query_id, doc, rank FROM bm
+       |      UNION ALL SELECT query_id, doc, rank FROM dn),
+       |f AS (SELECT query_id, doc, ROUND(SUM(1e0 / (60 + rank)), 6) AS rrf
+       |      FROM u GROUP BY 1, 2)
+       |SELECT query_id, rank, doc AS doc_id, rrf FROM
+       |  (SELECT query_id, doc, rrf,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY rrf DESC, doc) AS INTEGER) AS rank
+       |   FROM f)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+}

@@ -1,0 +1,729 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{IdempotentSink, Tables}
+import graft.functions.Md5Family
+import graft.operators._
+import graft.queries.QueryHelpers._
+
+/** Sampling/statistics family: splits, stratified/temperature/weighted draws, calibration, quantiles and sketches, packing, z-order, salted/bucketed joins.
+  *
+  * Split from the former ExtensionQueries monolith (round 7) — query
+  * bodies, registration names, and oracle SQL are unchanged;
+  * [[ExtensionQueries]] re-aggregates every domain map.
+  */
+object StatsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+
+  /** Interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont` semantics — verified by the oracle).
+    */
+  private val percentiles: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 6).as("med"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"))
+      .orderBy("event_type")
+
+
+  /** Pivot (cross-tab): linestatus columns per returnflag — Spark's
+    * pivot == manual CASE aggregation (the oracle's portable form).
+    */
+  private val pivotQ: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy("l_returnflag")
+
+
+  /** Ranking-window family (absent from the reference, SURVEY §2.5
+    * notes — added as extension coverage): row_number / rank /
+    * dense_rank / lag / lead / ntile over a user-partitioned ordering.
+    */
+  private val rankWindows: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("value"),
+        row_number().over(byUser).as("rn"),
+        rank().over(byUser).as("rnk"),
+        dense_rank().over(byUser).as("drnk"),
+        lag(col("value"), 1).over(byUser).as("prev_value"),
+        lead(col("value"), 1).over(byUser).as("next_value"),
+        ntile(4).over(byUser).as("quartile"))
+      .orderBy("user_id", "rn")
+  }
+
+
+  /** Deterministic hash-bucket train/val/test split (Md5Family so the
+    * bucket function is engine-portable and the oracle exact).
+    */
+  private val hashSplit: Q = (s, dir) =>
+    Sampling.split(Tables.documents(s, dir), "doc_id", hashes = Md5Family)
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+
+  /** Token-budget shard packing over the hash order — oracled against
+    * the global-window cumulative-sum rendering.
+    */
+  private val shardPack: Q = (s, dir) =>
+    Packing.packByTokenBudget(Tables.documents(s, dir), "doc_id", "text",
+      budgetTokens = 10000L)
+
+
+  /** Canonical text normalization (lowercase / strip punctuation /
+    * collapse whitespace) — pure projection.
+    */
+  private val normalizeQ: Q = (s, dir) =>
+    TextAnalysis.normalize(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+
+  /** Mixture balancing with computed rates: cap every language at ~100
+    * docs, keep smaller languages whole (q70 is the fixed-rate form).
+    */
+  private val capGroupsQ: Q = (s, dir) =>
+    Sampling.capGroups(Tables.documents(s, dir), "doc_id", "lang",
+      cap = 100L, hashes = Md5Family)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+
+  /** Exact-k complement of q81: exactly min(100, |lang|) docs kept per
+    * language, chosen by hash order.
+    */
+  private val capGroupsExactQ: Q = (s, dir) =>
+    Sampling.capGroupsExact(Tables.documents(s, dir), "doc_id", "lang",
+      cap = 100, hashes = Md5Family)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+
+  /** q128: token-budget mixture trim — each lang keeps hash-priority
+    * docs until 5000 cumulative tokens (UniMax-style: budgets are in
+    * tokens, not documents).
+    */
+  private val capTokensQ: Q = (s, dir) =>
+    Sampling.capGroupsByTokens(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens")),
+      "doc_id", "lang", "n_tokens", budgetTokens = 5000L, hashes = Md5Family)
+      .orderBy("doc_id")
+
+
+  /** Join-key skew profile over events.user_id — the pre-salting
+    * diagnostic.
+    */
+  private val skewProfile: Q = (s, dir) =>
+    SkewJoin.keySkewProfile(Tables.events(s, dir), "user_id", topN = 10)
+
+
+  /** Portable approximate distinct (linear counting over md5 buckets) —
+    * the oracle-checkable sibling of q47's HLL.
+    */
+  private val linearCount: Q = (s, dir) =>
+    Sketches.linearCountDistinct(Tables.events(s, dir), col("user_id"))
+
+
+  /** Corpus rebalancing: downsample the dominant language (en keeps
+    * 30%), keep the rest at 80% — per-group deterministic hash
+    * sampling.
+    */
+  private val stratified: Q = (s, dir) =>
+    Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 30), defaultPct = 80, hashes = Md5Family)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+
+  /** Salted skew join, oracle-checked against the PLAIN inner join —
+    * the salt is pure execution strategy, invisible in the result.
+    */
+  private val saltedJoin: Q = (s, dir) => {
+    val orders = Tables.orders(s, dir)
+    val customer = Tables.customer(s, dir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    SkewJoin.saltedInnerJoin(orders, customer, "o_custkey",
+        idCol = "o_orderkey", numSalts = 7)
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+
+  /** Context-window chunking: 64-token windows every 48 tokens. */
+  private val chunkQ: Q = (s, dir) =>
+    Chunking.chunkByTokens(Tables.documents(s, dir), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+
+
+  /** Morton z-value of (l_partkey, l_suppkey) — the sort key behind the
+    * z-order layout (the layout write itself is spec'd in ZOrderSpec;
+    * partition/file boundaries depend on range sampling, so only the
+    * deterministic key computation is oracle-checked).
+    */
+  private val zorderQ: Q = (s, dir) =>
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      ZOrder.interleave(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+
+  /** Histogram-sketch quantiles over lineitem prices — the mergeable
+    * constant-memory alternative to the exact sort-based q42.
+    */
+  private val histQuantiles: Q = (s, dir) =>
+    Sketches.histogramQuantiles(Tables.lineitem(s, dir), "l_extendedprice")
+
+
+  /** Count-min heavy hitters over the document token stream. */
+  private val countMin: Q = (s, dir) =>
+    Sketches.countMinTopK(
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token")),
+      "token")
+
+
+  /** Mixture-governance report for the temperature rebalance: per
+    * language, corpus share before vs after — the number a data-mixing
+    * review actually signs off on. Two tiny hash aggregates; fractions
+    * divide exact integer counts so both engines agree bit-for-bit.
+    */
+  private val mixReport: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val kept = Sampling.temperatureSample(docs, "doc_id", "lang",
+      targetFrac = 0.5, hashes = Md5Family)
+    val before = docs.groupBy("lang").agg(count(lit(1)).as("n_before"))
+    val after = kept.groupBy("lang").agg(count(lit(1)).as("n_after"))
+    val joined = before.join(after, Seq("lang"), "left")
+      .select(col("lang"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+    val totals = joined.agg(sum(col("n_before")).as("_tb"),
+      sum(col("n_after")).as("_ta"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_before"), col("n_after"),
+        round(col("n_before") / col("_tb"), 6).as("frac_before"),
+        round(col("n_after") / col("_ta"), 6).as("frac_after"))
+      .orderBy("lang")
+  }
+
+
+  /** Per-language document-length quantiles off the mergeable
+    * fixed-edge histogram (declared [0, 5000)×500 bins) — the grouped,
+    * constant-memory alternative to exact percentiles.
+    */
+  private val groupedQuantilesQ: Q = (s, dir) =>
+    Sketches.groupedHistogramQuantiles(Tables.documents(s, dir), "lang",
+      "n_chars", lo = 0.0, hi = 5000.0, bins = 500)
+
+
+  /** The composed data-mixing stage — what a training-data pipeline
+    * actually ships: temperature-rebalance the corpus (q95's rule),
+    * then lay the kept docs into a reproducible epoch-1 training
+    * order (q97's rule). Operators compose as plain DataFrame
+    * transforms; the corpus is touched by one broadcast-join filter
+    * and one shard exchange end to end.
+    */
+  private val mixturePipeline: Q = (s, dir) => {
+    val sampled = Sampling.temperatureSample(Tables.documents(s, dir),
+      "doc_id", "lang", targetFrac = 0.5, hashes = Md5Family)
+    Sampling.epochShuffle(sampled, "doc_id", epoch = 1, numShards = 8,
+      hashes = Md5Family)
+      .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+
+  /** Per-file footer-stats report for the z-order layout: each z-range
+    * cell's (partkey, suppkey) bounding box plus the would-read flags
+    * for one range predicate per axis — the file-skipping evidence.
+    */
+  private val zorderStatsQ: Q = (s, dir) =>
+    ZOrder.pruningStats(Tables.lineitem(s, dir), "l_partkey", "l_suppkey",
+      xLo = 100L, xHi = 300L, yLo = 10L, yHi = 20L)
+      .orderBy("file")
+
+
+  /** Epoch-1 deterministic training shuffle into 8 shards. */
+  private val epochShuffleQ: Q = (s, dir) =>
+    Sampling.epochShuffle(Tables.documents(s, dir), "doc_id", epoch = 1,
+      numShards = 8, hashes = Md5Family)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+
+  /** α=0.5 temperature rebalancing by language, half-corpus target. */
+  private val temperatureQ: Q = (s, dir) =>
+    Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", "lang",
+      targetFrac = 0.5, hashes = Md5Family)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
+
+  /** q119: winsorization — event values clamped to the [p05, p95]
+    * band estimated from the mergeable fixed-bin histogram (q88's
+    * machinery reused as thresholds; clamp is map-side).
+    */
+  private val winsorizeQ: Q = (s, dir) =>
+    Sketches.winsorize(Tables.events(s, dir), "event_id", "value")
+      .orderBy("event_id")
+
+
+  /** q121: the documents → training-sequences layout path, composed
+    * end-to-end: context-window chunking (q83's 64/48 windows) feeding
+    * token-budget shard packing (q72's distributed prefix sum) keyed
+    * by a per-chunk id. Plain DataFrame composition — no new
+    * machinery, which is the point.
+    */
+  private val chunkPackQ: Q = (s, dir) => {
+    val chunks = Chunking.chunkByTokens(Tables.documents(s, dir), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+      .select(concat(col("doc_id").cast("string"), lit(":"),
+        col("chunk_id").cast("string")).as("chunk_key"),
+        col("chunk_text"))
+    Packing.packByTokenBudget(chunks, "chunk_key", "chunk_text",
+      budgetTokens = 2000L)
+      .orderBy("chunk_key")
+  }
+
+
+  /** q134: quality-weighted mixture draw — Efraimidis–Spirakis
+    * weighted sampling without replacement, 3 docs per source with
+    * inclusion probability ∝ n_chars. The u draws are Md5Family-
+    * deterministic, so DuckDB reproduces the "random" sample
+    * bit-for-bit: the hash match certifies the weighting math, not
+    * just the plumbing. Output carries only integers (rank + row
+    * columns) — the continuous float key never leaves the plan, so
+    * there is no cross-engine float-rounding surface at all.
+    */
+  private val weightedSampleQ: Q = (s, dir) =>
+    Sampling.weightedSample(
+      Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+      "doc_id", "n_chars", k = 3, groupCol = "source")
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "rank")
+
+
+  /** q135: bucketed co-located join — orders ⋈ customer on the
+    * customer key with BOTH sides pre-bucketed, so the join itself
+    * plans zero ShuffleExchange (BucketingSpec asserts the plan
+    * shape; this query hash-verifies that the exchange-free layout
+    * computes the same answer as the oracle's plain join). The
+    * layout write is part of the query on purpose: at scale it is
+    * the one-off cost a pipeline amortizes across every downstream
+    * join, same as q85's z-order range shuffle.
+    */
+  private val bucketedJoinQ: Q = (s, dir) => {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q135_bkt")
+    val tag = math.abs(scratch.toString.hashCode).toString
+    val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
+    Bucketing.writeBucketed(s,
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      ot, scratch.toString + "/orders", 8, Seq("o_custkey"))
+    Bucketing.writeBucketed(s,
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+      ct, scratch.toString + "/customer", 8, Seq("c_custkey"))
+    val out = Bucketing.colocatedJoin(s, ot, ct, "o_custkey", "c_custkey")
+      .groupBy("c_mktsegment")
+      // revenue in exact integer cents: double sums over a shuffled
+      // join visit rows in engine-dependent order (CLAUDE.md: exact
+      // integer accumulation for order-varying cross-engine sums)
+      .agg(count(lit(1)).as("orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+      .orderBy("c_mktsegment")
+      .localCheckpoint()
+    Bucketing.dropTables(s, ot, ct)
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
+  /** q150: per-language score calibration of document lengths —
+    * z-score against the group's own moments + in-group percentile
+    * rank (`Sampling.scoreCalibration`): the step that makes a global
+    * quality threshold language-fair.
+    */
+  private val scoreCalibrationQ: Q = (s, dir) =>
+    Sampling.scoreCalibration(Tables.documents(s, dir),
+      "doc_id", "lang", "n_chars")
+
+
+  /** q154: robust per-language calibration — median/MAD z-scores and
+    * deterministic decile bins (`Sampling.robustCalibration`), the
+    * outlier-proof sibling of q150 plus the curriculum-binning
+    * primitive.
+    */
+  private val robustCalibrationQ: Q = (s, dir) =>
+    Sampling.robustCalibration(Tables.documents(s, dir),
+      "doc_id", "lang", "n_chars")
+
+  val queries: Map[String, Q] = Map(
+    "q154_robust_calibration" -> robustCalibrationQ,
+    "q150_score_calibration" -> scoreCalibrationQ,
+    "q135_bucketed_join" -> bucketedJoinQ,
+    "q134_weighted_sample" -> weightedSampleQ,
+    "q128_cap_groups_tokens" -> capTokensQ,
+    "q121_chunk_pack" -> chunkPackQ,
+    "q119_winsorize" -> winsorizeQ,
+    "q103_mix_report" -> mixReport,
+    "q101_grouped_quantiles" -> groupedQuantilesQ,
+    "q100_mixture_pipeline" -> mixturePipeline,
+    "q96_zorder_stats" -> zorderStatsQ,
+    "q97_epoch_shuffle" -> epochShuffleQ,
+    "q95_temperature_sample" -> temperatureQ,
+    "q88_histogram_quantiles" -> histQuantiles,
+    "q89_count_min" -> countMin,
+    "q83_chunk" -> chunkQ,
+    "q85_zorder" -> zorderQ,
+    "q72_shard_pack" -> shardPack,
+    "q77_normalize" -> normalizeQ,
+    "q79_skew_profile" -> skewProfile,
+    "q81_cap_groups" -> capGroupsQ,
+    "q82_cap_groups_exact" -> capGroupsExactQ,
+    "q63_hash_split" -> hashSplit,
+    "q68_linear_count_distinct" -> linearCount,
+    "q69_salted_join" -> saltedJoin,
+    "q70_stratified_sample" -> stratified,
+    "q43_pivot" -> pivotQ,
+    "q44_rank_windows" -> rankWindows,
+    "q42_percentiles" -> percentiles)
+
+  val oracleSql: Map[String, String] = Map(
+    // q154: interpolated medians at 0.5 are bit-identical across both
+    // engines' quantile conventions; the ntile tie-break on
+    // (score, id) pins bin membership; 1.4826e0 per the float-constant
+    // rule.
+    "q154_robust_calibration" ->
+      """WITH med AS (SELECT lang, quantile_cont(n_chars, 0.5e0) AS med
+        |  FROM documents GROUP BY 1),
+        |dev AS (SELECT d.doc_id, d.lang, d.n_chars, m.med,
+        |    abs(d.n_chars - m.med) AS adev
+        |  FROM documents d JOIN med m USING (lang)),
+        |mad AS (SELECT lang, quantile_cont(adev, 0.5e0) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT doc_id, lang, n_chars,
+        |  round(CASE WHEN mad > 0
+        |    THEN (n_chars - med)/(1.4826e0 * mad) END, 6) AS robust_z,
+        |  CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |    AS INTEGER) AS bin
+        |FROM dev JOIN mad USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+    // q150: same two windows over the group partitioning; z guarded to
+    // NULL when the sample stddev is 0/undefined; percent_rank is the
+    // ANSI (rank-1)/(n-1) in both engines.
+    "q150_score_calibration" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(CASE WHEN stddev_samp(n_chars) OVER wg > 0
+        |    THEN (n_chars - avg(n_chars) OVER wg)
+        |         / stddev_samp(n_chars) OVER wg END, 6) AS z,
+        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+        |    AS pct_rank
+        |FROM documents
+        |WINDOW wg AS (PARTITION BY lang)
+        |ORDER BY doc_id""".stripMargin,
+    // q135: the oracle is the PLAIN join — the bucketed layout must
+    // change the plan, never the answer.
+    "q135_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // q134: same E-S keys from the same md5-derived uniforms; the
+    // float key exists only inside the ORDER BY (continuous → no
+    // cross-engine ties), the output is integers.
+    "q134_weighted_sample" ->
+      s"""WITH keyed AS (SELECT source, doc_id, n_chars,
+        |  ln((${md5l("CAST(doc_id AS VARCHAR)")} + 1) / 1152921504606846976e0)
+        |    / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT source, rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY k DESC, doc_id) AS INTEGER) AS rank
+        |  FROM keyed)
+        |WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+    "q121_chunk_pack" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |        CASE WHEN len(toks) <= 64 THEN 1
+        |             ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+        |      FROM t),
+        |ch AS (SELECT concat(CAST(doc_id AS VARCHAR), ':', CAST(gs.i AS VARCHAR)) AS chunk_key,
+        |         array_to_string(toks[gs.i * 48 + 1 : gs.i * 48 + 64], ' ') AS chunk_text
+        |       FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) gs),
+        |t2 AS (SELECT chunk_key,
+        |         CAST(len(regexp_split_to_array(chunk_text, '\\s+')) AS BIGINT) AS n_tokens,
+        |         ${md5l("chunk_key")} AS h FROM ch),
+        |c2 AS (SELECT chunk_key, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY h, chunk_key
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t2)
+        |SELECT chunk_key, n_tokens,
+        |  CAST((cum - n_tokens) // 2000 AS INTEGER) AS shard_id
+        |FROM c2 ORDER BY chunk_key""".stripMargin,
+    "q119_winsorize" ->
+      """WITH s AS (SELECT min(value) AS lo, max(value) AS hi,
+        |                  count(value) AS n FROM events),
+        |b AS (SELECT CASE WHEN hi = lo THEN 0
+        |        ELSE CAST(LEAST(999, floor((value - lo) / (hi - lo) * 1000))
+        |             AS INTEGER) END AS bin
+        |      FROM events, s),
+        |h AS (SELECT bin, count(*) AS bcnt FROM b GROUP BY bin),
+        |c AS (SELECT bin, sum(bcnt) OVER (ORDER BY bin) AS cum FROM h),
+        |t AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS target
+        |      FROM s, (VALUES (0.05e0), (0.95e0)) pp(p)),
+        |q AS (SELECT p, min(bin) AS bin FROM t JOIN c ON cum >= target GROUP BY p),
+        |qv AS (SELECT p, ROUND(lo + bin * (hi - lo) / 1000e0, 6) AS v FROM q, s),
+        |th AS (SELECT min(CASE WHEN p = 0.05e0 THEN v END) AS ql,
+        |              min(CASE WHEN p = 0.95e0 THEN v END) AS qh FROM qv)
+        |SELECT event_id, value,
+        |  ROUND(LEAST(GREATEST(value, ql), qh), 6) AS value_w
+        |FROM events, th ORDER BY event_id""".stripMargin,
+    "q103_mix_report" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000e0) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(sum(w) AS BIGINT) AS sumw
+        |       FROM w),
+        |r AS (SELECT lang,
+        |    LEAST(1000000, CAST(floor(0.5e0 * tot * w / sumw / n * 1000000e0) AS BIGINT))
+        |      AS ppm
+        |  FROM w, t),
+        |kept AS (SELECT d.lang, count(*) AS n_after
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE ${md5l("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.ppm
+        |  GROUP BY d.lang),
+        |j AS (SELECT c.lang, CAST(c.n AS BIGINT) AS n_before,
+        |        CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_after
+        |      FROM c LEFT JOIN kept k USING (lang)),
+        |tt AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+        |         CAST(sum(n_after) AS BIGINT) AS ta FROM j)
+        |SELECT lang, n_before, n_after,
+        |  ROUND(n_before / tb, 6) AS frac_before,
+        |  ROUND(n_after / ta, 6) AS frac_after
+        |FROM j, tt ORDER BY lang""".stripMargin,
+    "q101_grouped_quantiles" ->
+      """WITH b AS (SELECT lang,
+        |    CAST(LEAST(499, GREATEST(0,
+        |      floor((CAST(n_chars AS DOUBLE) - 0e0) / 5000e0 * 500)))
+        |      AS INTEGER) AS bin
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |h AS (SELECT lang, bin, count(*) AS bcnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT lang, bin, sum(bcnt) OVER (PARTITION BY lang ORDER BY bin)
+        |        AS cum FROM h),
+        |n AS (SELECT lang, CAST(sum(bcnt) AS BIGINT) AS n FROM h GROUP BY lang),
+        |t AS (SELECT lang, p.percentile, ceil(p.percentile * n) AS target
+        |      FROM n, (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0])
+        |                 AS percentile) p),
+        |r AS (SELECT t.lang, t.percentile, min(c.bin) AS bin
+        |      FROM t JOIN c ON t.lang = c.lang AND c.cum >= t.target
+        |      GROUP BY 1, 2)
+        |SELECT lang, percentile, bin,
+        |  ROUND(0e0 + bin * 5000e0 / 500e0, 6) AS value_est
+        |FROM r ORDER BY lang, percentile""".stripMargin,
+    "q100_mixture_pipeline" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000e0) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(sum(w) AS BIGINT) AS sumw
+        |       FROM w),
+        |r AS (SELECT lang,
+        |    LEAST(1000000, CAST(floor(0.5e0 * tot * w / sumw / n * 1000000e0) AS BIGINT))
+        |      AS ppm
+        |  FROM w, t),
+        |kept AS (SELECT d.doc_id, d.lang
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE ${md5l("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.ppm),
+        |h AS (SELECT doc_id, lang,
+        |    ${md5l("concat(CAST(doc_id AS VARCHAR), ':1')")} AS h FROM kept)
+        |SELECT doc_id, lang, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INTEGER)
+        |    AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "q96_zorder_stats" ->
+      s"""WITH z AS (SELECT CAST(${zTermsSql("l_partkey", "l_suppkey")} AS BIGINT) >> 14
+        |    AS file, l_partkey AS x, l_suppkey AS y FROM lineitem),
+        |s AS (SELECT file, count(*) AS n_rows,
+        |    min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+        |  FROM z GROUP BY file)
+        |SELECT file, n_rows, x_min, x_max, y_min, y_max,
+        |  (x_min <= 300 AND x_max >= 100) AS read_x,
+        |  (y_min <= 20 AND y_max >= 10) AS read_y
+        |FROM s ORDER BY file""".stripMargin,
+    "q97_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+        |    ${md5l("concat(CAST(doc_id AS VARCHAR), ':1')")} AS h FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INTEGER)
+        |    AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "q95_temperature_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000e0) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(sum(w) AS BIGINT) AS sumw
+        |       FROM w),
+        |r AS (SELECT lang,
+        |    LEAST(1000000, CAST(floor(0.5e0 * tot * w / sumw / n * 1000000e0) AS BIGINT))
+        |      AS ppm
+        |  FROM w, t)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ${md5l("CAST(d.doc_id AS VARCHAR)")} % 1000000 < r.ppm
+        |ORDER BY d.doc_id""".stripMargin,
+    "q88_histogram_quantiles" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+        |                  count(*) AS n FROM lineitem),
+        |b AS (SELECT CASE WHEN hi = lo THEN 0
+        |        ELSE CAST(LEAST(999, floor((l_extendedprice - lo) / (hi - lo) * 1000))
+        |             AS INTEGER) END AS bin
+        |      FROM lineitem, s),
+        |h AS (SELECT bin, count(*) AS bcnt FROM b GROUP BY bin),
+        |c AS (SELECT bin, sum(bcnt) OVER (ORDER BY bin
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |q AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS percentile),
+        |t AS (SELECT percentile, ceil(percentile * n) AS target, lo, hi FROM q, s),
+        |r AS (SELECT percentile, lo, hi, min(bin) AS bin
+        |      FROM t JOIN c ON c.cum >= t.target GROUP BY percentile, lo, hi)
+        |SELECT percentile, bin,
+        |  ROUND(lo + bin * (hi - lo) / 1000.0e0, 6) AS value_est
+        |FROM r ORDER BY percentile""".stripMargin,
+    "q89_count_min" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |hx AS (SELECT token, r,
+        |    ${md5l("concat(token, '_', CAST(r AS VARCHAR))")} % 1024 AS c
+        |  FROM tok, generate_series(0, 3) AS gs(r)),
+        |cm AS (SELECT r, c, count(*) AS cnt FROM hx GROUP BY r, c),
+        |est AS (SELECT token, min(cnt) AS est_count
+        |        FROM (SELECT DISTINCT token, r, c FROM hx) d JOIN cm USING (r, c)
+        |        GROUP BY token),
+        |ex AS (SELECT token, count(*) AS exact_count FROM tok GROUP BY token)
+        |SELECT token, est_count, exact_count
+        |FROM est JOIN ex USING (token)
+        |ORDER BY est_count DESC, token LIMIT 20""".stripMargin,
+    "q83_chunk" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |        CASE WHEN len(toks) <= 64 THEN 1
+        |             ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1 END AS n_chunks
+        |      FROM t)
+        |SELECT doc_id, CAST(gs.i AS INTEGER) AS chunk_id,
+        |  CAST(LEAST(64, n - gs.i * 48) AS INTEGER) AS n_chunk_tokens,
+        |  array_to_string(toks[gs.i * 48 + 1 : gs.i * 48 + 64], ' ') AS chunk_text
+        |FROM c, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) gs
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q85_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(${zTermsSql("l_partkey", "l_suppkey")} AS BIGINT) AS z
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q63_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+        |    ${md5l("CAST(doc_id AS VARCHAR)")} % 100 AS bucket FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // q72: global-window rendering of the distributed prefix sum —
+    // identical running totals, shards cut where a doc's START offset
+    // crosses a budget boundary.
+    "q72_shard_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+        |         ${md5l("CAST(doc_id AS VARCHAR)")} AS h
+        |       FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 10000 AS INTEGER) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q68_linear_count_distinct" ->
+      s"""WITH b AS (SELECT DISTINCT ${md5l("CAST(user_id AS VARCHAR)")} % 4096 AS b
+        |           FROM events WHERE user_id IS NOT NULL)
+        |SELECT count(*) AS occupied_buckets,
+        |  ROUND(-4096 * ln((4096 - count(*)) / 4096.0), 6) AS estimated_distinct
+        |FROM b""".stripMargin,
+    "q69_salted_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q70_stratified_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE ${md5l("CAST(doc_id AS VARCHAR)")} % 100 <
+        |  CASE WHEN lang = 'en' THEN 30 ELSE 80 END
+        |ORDER BY doc_id""".stripMargin,
+    "q82_cap_groups_exact" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY ${md5l("CAST(doc_id AS VARCHAR)")}, doc_id) <= 100
+        |ORDER BY doc_id""".stripMargin,
+    "q128_cap_groups_tokens" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    ${md5l("CAST(doc_id AS VARCHAR)")} AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin,
+    "q81_cap_groups" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |k AS (SELECT lang, LEAST(1000000, 100000000 // n) AS ppm FROM c)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN k USING (lang)
+        |WHERE ${md5l("CAST(d.doc_id AS VARCHAR)")} % 1000000 < k.ppm
+        |ORDER BY d.doc_id""".stripMargin,
+    "q79_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c),
+        |r AS (SELECT user_id, n_rows, total,
+        |        CAST(row_number() OVER (ORDER BY n_rows DESC, user_id) AS INTEGER) AS rank
+        |      FROM c CROSS JOIN t)
+        |SELECT user_id, rank, n_rows,
+        |  ROUND(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q77_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS n_chars_norm,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q43_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q44_rank_windows" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        |ORDER BY user_id, rn""".stripMargin,
+    "q42_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS med,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

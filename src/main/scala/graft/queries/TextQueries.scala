@@ -1,0 +1,643 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{IdempotentSink, Tables}
+import graft.functions.Md5Family
+import graft.operators._
+import graft.queries.QueryHelpers._
+
+/** Text-analysis family: stats/quality/langid/fingerprint, tokenization and BPE, BM25 + persisted positional text index + phrase search + RRF hybrid retrieval, vocabulary reports.
+  *
+  * Split from the former ExtensionQueries monolith (round 7) — query
+  * bodies, registration names, and oracle SQL are unchanged;
+  * [[ExtensionQueries]] re-aggregates every domain map.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+
+  private val textStats: Q = (s, dir) =>
+    TextAnalysis.textStats(Tables.documents(s, dir))
+
+
+  private val tokenCounts: Q = (s, dir) =>
+    TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+
+  private val quality: Q = (s, dir) =>
+    TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+
+  private val langId: Q = (s, dir) =>
+    TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+
+  private val fingerprint: Q = (s, dir) =>
+    TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text", hashes = Md5Family)
+      .orderBy("doc_id")
+
+
+  /** Corpus vocabulary: token frequencies, top-100 — explode + hash
+    * aggregate + TakeOrdered (per-partition top-k, no global sort).
+    */
+  private val vocab: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+
+  private val tfidf: Q = (s, dir) =>
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+
+
+  /** Unigram log-probability quality proxy. */
+  private val unigramLp: Q = (s, dir) =>
+    TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+
+
+  /** Corpus token-length histogram (fixed 50-token buckets, top capped
+    * at bucket 9) — the length-distribution profile every data run
+    * reports.
+    */
+  private val tokenHistogram: Q = (s, dir) => {
+    val n = size(TextAnalysis.wsTokens(col("text")))
+    Tables.documents(s, dir)
+      .select(least(floor(n / lit(50.0)), lit(9.0)).cast("int").as("bucket"),
+        n.as("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("bucket")
+  }
+
+
+  /** Within-document shingle repetition (Gopher-style quality filter). */
+  private val repetitionQ: Q = (s, dir) =>
+    TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+
+  /** BPE-style regex pre-tokenization profile (fertility etc.). */
+  private val regexTokensQ: Q = (s, dir) =>
+    TextAnalysis.regexTokenProfile(Tables.documents(s, dir), "doc_id", "text")
+
+
+  private val bigramLp: Q = (s, dir) =>
+    TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+
+
+  /** PII/policy scrub: standard URL/email/number patterns (exercised as
+    * exact-string no-ops on this corpus) plus an entity denylist term
+    * that does fire.
+    */
+  private val scrubQ: Q = (s, dir) =>
+    TextAnalysis.scrub(Tables.documents(s, dir), "doc_id", "text", Seq(
+      ("urls", "https?://[^ ]+", "<URL>"),
+      ("emails", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      ("numbers", "[0-9]{4,}", "<NUM>"),
+      ("entities", "\\bcustomer\\b", "<ENTITY>")))
+
+
+  /** 5%-start, length-3 deterministic span corruption. */
+  private val spanQ: Q = (s, dir) =>
+    TextAnalysis.spanCorrupt(Tables.documents(s, dir), "doc_id", "text",
+      hashes = Md5Family)
+
+
+  /** 15% deterministic MLM masking over the documents table. */
+  private val maskQ: Q = (s, dir) =>
+    TextAnalysis.maskTokens(Tables.documents(s, dir), "doc_id", "text",
+      hashes = Md5Family)
+
+
+  /** Model-based quality filter over stub weights: the weight table a
+    * trained classifier would export is faked deterministically
+    * (hash-derived, uniform in [-1, 1]) so both engines reproduce it —
+    * the join/OOV/exact-sum/threshold plumbing is the real thing.
+    */
+  private val linearQualityQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val weights = docs
+      .select(explode(split(col("text"), " ")).as("token")).distinct()
+      .select(col("token"),
+        ((Md5Family.hash(col("token")) % 2001L - 1000L).cast("double")
+          / 1000.0).as("weight"))
+    TextAnalysis.linearQualityScore(docs, "doc_id", "text", weights)
+      .orderBy("doc_id")
+  }
+
+
+  /** q112: one word-level BPE training round — corpus-wide adjacent
+    * token-pair counts, top 50 merge candidates.
+    */
+  private val bpeQ: Q = (s, dir) =>
+    TextAnalysis.bpeMergeCandidates(Tables.documents(s, dir), "text", k = 50)
+
+
+  /** q114: one-row dataset card — corpus size, token volume, exact-dup
+    * and diversity counters in a single aggregate pass.
+    */
+  private val corpusStatsQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).as("total_tokens"),
+      count_distinct(col("text")).as("distinct_texts"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("source")).as("n_sources"),
+      round(avg(size(split(col("text"), " "))), 6).as("avg_doc_tokens"))
+  }
+
+
+  /** q139: BM25 ranked retrieval — probe queries are the first 6
+    * tokens of every 50th src0 (eval) doc; the corpus is everything
+    * else, so no probe retrieves itself.
+    */
+  private val bm25Q: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      probes, "query_id", "qtext", k = 10)
+  }
+
+
+  /** Session-shared POSITIONAL text index over the q139/q140 corpus
+    * split (source != src0, two disjoint even/odd-doc_id batches) —
+    * built once per (JVM, sf dir) and reused by q140 (BM25 query) and
+    * q144 (phrase search). Index BUILD is the amortizable one-time
+    * cost of a persisted index and is timed as its own entry
+    * (q161_text_index_build); the standing q140/q144 entries then
+    * measure QUERY cost, which is what repeats in production. Results
+    * are identical to per-query scratch builds: batches hold disjoint
+    * doc sets and the stats fold is exact integer addition.
+    */
+  private val sharedIdxByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def buildCorpusIndex(s: SparkSession, dir: String, idx: String): Unit = {
+    val corpus = Tables.documents(s, dir)
+      .filter(col("source") =!= "src0").select("doc_id", "text")
+    TextIndex.appendBatch(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, batchId = 0L)
+    TextIndex.appendBatch(corpus.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", idx, batchId = 1L)
+  }
+
+  private def sharedTextIndex(s: SparkSession, dir: String): String =
+    sharedIdxByDir.computeIfAbsent(dir, _ => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_shared_tidx").toString + "/idx"
+      buildCorpusIndex(s, dir, idx)
+      idx
+    })
+
+
+  /** Pre-build the shared index outside any timed window (Bench's
+    * warm-up calls this so q140/q144 timings are pure query cost).
+    */
+  def prewarmSharedTextIndex(s: SparkSession, dir: String): Unit = {
+    sharedTextIndex(s, dir); ()
+  }
+
+
+  /** q140: BM25 over the PERSISTED inverted text index (the shared
+    * two-batch store). Must answer exactly like the inline operator
+    * (q139's oracle verbatim), with the scan pruned to the probed
+    * token buckets.
+    */
+  private val textIndexQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    TextIndex.query(s, sharedTextIndex(s, dir), probes,
+      "query_id", "qtext", k = 10)
+  }
+
+
+  /** q141: hybrid retrieval — q139's BM25 ranking and an exact cosine
+    * ranking over the same probe/corpus split, fused by reciprocal
+    * rank (`Retrieval.rrfFuse`). The dense tier here is the exact
+    * top-k so the oracle can replay it; at scale it swaps for
+    * `ivfPqTopKReranked` without touching the fusion.
+    */
+  private val hybridRrfQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    val sparse = TextAnalysis.bm25TopK(
+        corpus, "doc_id", "text", probes, "query_id", "qtext", k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    // doc_id ↔ vec_id are aligned ids; the dense tier retrieves over
+    // the same corpus split, probing with the query docs' vectors
+    val corpusEmb = emb.join(
+      corpus.select(col("doc_id").as("vec_id")), "vec_id")
+    val probeEmb = emb.join(
+      probes.select(col("query_id").as("vec_id")), "vec_id")
+    val dense = Similarity.bruteForceTopK(corpusEmb, probeEmb, k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+  }
+
+
+  /** q143: exact corpus heavy hitters (tokens above 1/k of all token
+    * occurrences) via the two-scan Misra–Gries + verify design — the
+    * answer is exact, so the oracle is the plain count/filter.
+    */
+  private val heavyHittersQ: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    Sketches.heavyHitters(toks, "token", k = 200)
+      .select(col("item").as("token"), col("cnt"), col("share"))
+  }
+
+
+  /** q144: exact phrase search over the persisted positional index
+    * (the same shared store q140 queries — a positional index serves
+    * both retrieval modes) — each probe doc's 2nd..4th tokens form the
+    * phrase; a corpus doc matches when those tokens occur
+    * consecutively, n_matches counts occurrences (overlaps included).
+    */
+  private val phraseSearchQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 2, 3)).as("phrase"))
+    TextIndex.phraseSearch(s, sharedTextIndex(s, dir), probes,
+      "query_id", "phrase")
+  }
+
+
+  /** q161: the index BUILD as its own timed, oracle-checked entry —
+    * a fresh two-batch positional build on scratch, verified by
+    * reading the committed postings back: doc count, summed document
+    * length, and distinct (doc, token) posting count must equal the
+    * raw corpus's. This is the amortized one-time cost that q140/q144
+    * deliberately exclude (they query the session-shared store).
+    */
+  private val textIndexBuildQ: Q = (s, dir) => {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q161_idx")
+    val idx = scratch.toString + "/idx"
+    buildCorpusIndex(s, dir, idx)
+    val committed = TextIndex.committedBatches(s, idx)
+    val out = s.read.parquet(idx + "/postings")
+      .filter(col("batch_id").isin(committed: _*))
+      .groupBy("doc").agg(max(col("dl")).as("dl"), count(lit(1)).as("nt"))
+      .agg(lit(committed.size).as("n_batches"),
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"),
+        sum(col("nt")).as("n_postings"))
+      .localCheckpoint() // materialize BEFORE deleting the scratch
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
+  /** q153: exact vocabulary-overlap matrix between sources — pairwise
+    * intersection and Jaccard of distinct token sets
+    * (`TextAnalysis.vocabOverlap`): the provenance-similarity /
+    * shared-boilerplate signal.
+    */
+  private val vocabOverlapQ: Q = (s, dir) =>
+    TextAnalysis.vocabOverlap(Tables.documents(s, dir), "source", "text")
+
+
+  /** q158: signature vocabulary per source — exact top-5 terms with
+    * share of the source's token volume
+    * (`TextAnalysis.topTermsByGroup`), the companion readout to
+    * q153's overlap matrix.
+    */
+  private val sourceTopTermsQ: Q = (s, dir) =>
+    TextAnalysis.topTermsByGroup(Tables.documents(s, dir), "source", "text",
+      k = 5)
+
+  val queries: Map[String, Q] = Map(
+    "q161_text_index_build" -> textIndexBuildQ,
+    "q158_source_top_terms" -> sourceTopTermsQ,
+    "q153_vocab_overlap" -> vocabOverlapQ,
+    "q144_phrase_search" -> phraseSearchQ,
+    "q143_heavy_hitters" -> heavyHittersQ,
+    "q141_hybrid_rrf" -> hybridRrfQ,
+    "q140_text_index" -> textIndexQ,
+    "q139_bm25" -> bm25Q,
+    "q114_corpus_stats" -> corpusStatsQ,
+    "q112_bpe_merges" -> bpeQ,
+    "q105_span_corrupt" -> spanQ,
+    "q104_mask_tokens" -> maskQ,
+    "q98_linear_quality" -> linearQualityQ,
+    "q90_scrub" -> scrubQ,
+    "q84_regex_tokens" -> regexTokensQ,
+    "q87_bigram_logprob" -> bigramLp,
+    "q73_unigram_logprob" -> unigramLp,
+    "q65_token_histogram" -> tokenHistogram,
+    "q67_repetition" -> repetitionQ,
+    "q46_tfidf_top_terms" -> tfidf,
+    "q37_vocab" -> vocab,
+    "q28_text_stats" -> textStats,
+    "q29_token_counts" -> tokenCounts,
+    "q30_quality_score" -> quality,
+    "q31_langid" -> langId,
+    "q32_fingerprint" -> fingerprint)
+
+  val oracleSql: Map[String, String] = Map(
+    // q161: the built index's committed postings must reproduce the
+    // raw corpus exactly — doc count, summed doc length (q139's
+    // string_split tokenization), distinct (doc, token) postings.
+    "q161_text_index_build" ->
+      """WITH c AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+        |  FROM documents WHERE source <> 'src0'),
+        |p AS (SELECT DISTINCT doc_id, token FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |   FROM documents WHERE source <> 'src0'))
+        |SELECT 2 AS n_batches, count(*) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |  (SELECT count(*) FROM p) AS n_postings
+        |FROM c""".stripMargin,
+    // q158: definitional per-group counts + rank on (cnt DESC, token);
+    // share divides exact integers, float only at the end.
+    "q158_source_top_terms" ->
+      """WITH t AS (SELECT source AS g, u.tok FROM documents,
+        |  LATERAL (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok) u
+        |  WHERE u.tok <> ''),
+        |c AS (SELECT g, tok AS token, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT g, token, cnt,
+        |    CAST(row_number() OVER (PARTITION BY g
+        |      ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+        |    round(cnt/sum(cnt) OVER (PARTITION BY g), 6) AS share FROM c)
+        |SELECT g AS source, rank, token, cnt, share FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
+    // q153: definitional distinct-token pair join; counts exact
+    // integers, only the final Jaccard divides (BIGINT/BIGINT is
+    // float division in both engines).
+    "q153_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source AS g, t.tok FROM documents,
+        |  LATERAL (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok) t
+        |  WHERE t.tok <> ''),
+        |sz AS (SELECT g, count(*) AS n FROM st GROUP BY 1),
+        |px AS (SELECT a.g AS source_a, b.g AS source_b, count(*) AS n_shared
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.g < b.g GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+        |  round(n_shared/(sa.n + sb.n - n_shared), 6) AS jaccard
+        |FROM px JOIN sz sa ON px.source_a = sa.g
+        |  JOIN sz sb ON px.source_b = sb.g
+        |ORDER BY source_a, source_b""".stripMargin,
+    // q144: the same base = pos - tok_idx alignment the index query
+    // runs, replayed definitionally over raw token positions: a base
+    // covered by every phrase token index is one (overlap-counting)
+    // occurrence.
+    "q144_phrase_search" ->
+      """WITH probes AS (SELECT doc_id AS query_id,
+        |    array_to_string(string_split(text, ' ')[2:4], ' ') AS phrase
+        |  FROM documents WHERE source = 'src0' AND doc_id % 50 = 0),
+        |qt AS (SELECT query_id, gs.i - 1 AS tok_idx, string_split(phrase, ' ')[gs.i] AS token
+        |  FROM probes, LATERAL (SELECT unnest(generate_series(1,
+        |    len(string_split(phrase, ' ')))) AS i) gs),
+        |plen AS (SELECT query_id, count(*) AS plen FROM qt GROUP BY 1),
+        |dt AS (SELECT doc_id, gs.i - 1 AS pos, string_split(text, ' ')[gs.i] AS tok
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    len(string_split(text, ' ')))) AS i) gs
+        |  WHERE source <> 'src0'),
+        |cov AS (SELECT query_id, doc_id, dt.pos - qt.tok_idx AS base,
+        |    count(DISTINCT qt.tok_idx) AS cov
+        |  FROM qt JOIN dt ON qt.token = dt.tok GROUP BY 1, 2, 3)
+        |SELECT query_id, doc_id, count(*) AS n_matches
+        |FROM cov JOIN plen USING (query_id)
+        |WHERE cov = plen
+        |GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin,
+    // q143: the Spark side is exact by construction (MG candidates are
+    // a superset, the verify pass re-counts exactly), so the oracle is
+    // the definitional count/threshold.
+    "q143_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT count(*) AS n FROM t),
+        |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1)
+        |SELECT token, cnt, ROUND(CAST(cnt AS DOUBLE) / n.n, 6) AS share
+        |FROM c, n WHERE cnt * 200 > n.n ORDER BY token""".stripMargin,
+    "q141_hybrid_rrf" -> hybridRrfOracle,
+    "q140_text_index" -> bm25Oracle,
+    "q139_bm25" -> bm25Oracle,
+    "q114_corpus_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS distinct_texts,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  ROUND(avg(len(string_split(text, ' '))), 6) AS avg_doc_tokens
+        |FROM documents""".stripMargin,
+    "q112_bpe_merges" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT array_to_string(t[i:i+1], ' ') AS merge_pair
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gs
+        |  WHERE len(t) >= 2)
+        |SELECT merge_pair, count(*) AS n_occurrences
+        |FROM p GROUP BY merge_pair
+        |ORDER BY n_occurrences DESC, merge_pair LIMIT 50""".stripMargin,
+    "q105_span_corrupt" -> {
+      def st(j: String) =
+        s"${md5l(s"concat(CAST(doc_id AS VARCHAR), ':', CAST($j AS VARCHAR), ':s')")} % 100 < 5"
+      val cov = s"(${st("i - 1")} OR (i >= 2 AND ${st("i - 2")})" +
+        s" OR (i >= 3 AND ${st("i - 3")}))"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, toks,
+        |    [CASE WHEN $cov THEN '<X>' ELSE toks[i] END
+        |     FOR i IN generate_series(1, len(toks))] AS ct,
+        |    [i FOR i IN generate_series(1, len(toks)) IF ${st("i - 1")}] AS starts,
+        |    [i FOR i IN generate_series(1, len(toks)) IF $cov] AS cov
+        |  FROM t)
+        |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(starts) AS INTEGER) AS n_spans,
+        |  CAST(len(cov) AS INTEGER) AS n_masked,
+        |  array_to_string(ct, ' ') AS corrupted_text
+        |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "q104_mask_tokens" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, toks,
+        |    [CASE WHEN ${md5l("concat(CAST(doc_id AS VARCHAR), ':', CAST(i - 1 AS VARCHAR))")}
+        |            % 100 < 15
+        |          THEN '<MASK>' ELSE toks[i] END
+        |     FOR i IN generate_series(1, len(toks))] AS mt,
+        |    [i FOR i IN generate_series(1, len(toks))
+        |     IF ${md5l("concat(CAST(doc_id AS VARCHAR), ':', CAST(i - 1 AS VARCHAR))")}
+        |        % 100 < 15] AS hits
+        |  FROM t)
+        |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(hits) AS INTEGER) AS n_masked,
+        |  array_to_string(mt, ' ') AS masked_text
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q98_linear_quality" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents),
+        |v AS (SELECT DISTINCT token FROM toks),
+        |w AS (SELECT token,
+        |    CAST(floor(CAST(${md5l("token")} % 2001 - 1000 AS DOUBLE)
+        |               / 1000.0e0 * 1000000e0) AS BIGINT) AS w_ppm FROM v),
+        |s AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(coalesce(w_ppm, 0)) AS BIGINT) AS sw
+        |  FROM toks LEFT JOIN w USING (token) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(1.0e0 / (1.0e0 + exp(-(CAST(sw AS DOUBLE) / 1000000e0
+        |    / CAST(n_tokens AS DOUBLE)))), 6) AS p_keep,
+        |  sw >= 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q90_scrub" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{4,}', '<NUM>', 'g'),
+        |      '\bcustomer\b', '<ENTITY>', 'g') AS scrubbed_text
+        |  FROM documents)
+        |SELECT doc_id, scrubbed_text,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS INTEGER) AS n_numbers,
+        |  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS INTEGER) AS n_entities,
+        |  scrubbed_text <> text AS changed
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q84_regex_tokens" ->
+      """WITH r AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS sub,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_ws AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(sub) AS INTEGER) AS n_subtokens,
+        |  CAST(len(list_filter(sub, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS INTEGER)
+        |    AS n_word,
+        |  CAST(len(list_filter(sub, x -> regexp_matches(x, '^[0-9]+$'))) AS INTEGER)
+        |    AS n_number,
+        |  CAST(len(sub) - len(list_filter(sub, x -> regexp_matches(x, '^[A-Za-z]+$')))
+        |       - len(list_filter(sub, x -> regexp_matches(x, '^[0-9]+$'))) AS INTEGER)
+        |    AS n_punct,
+        |  ROUND(CAST(len(sub) AS DOUBLE) / n_ws, 6) AS fertility
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q87_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bgs AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |    THEN [array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t)-1)]
+        |    ELSE [array_to_string(t, ' ')] END) AS bigram FROM toks),
+        |bg AS (SELECT doc_id, bigram FROM bgs
+        |       WHERE len(string_split(bigram, ' ')) = 2),
+        |c AS (SELECT bigram, count(*) AS bf, string_split(bigram, ' ')[1] AS w1
+        |      FROM bg GROUP BY bigram),
+        |p AS (SELECT w1, CAST(sum(bf) AS BIGINT) AS pf FROM c GROUP BY w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  ROUND(avg(ln(CAST(bf AS DOUBLE) / CAST(pf AS DOUBLE))), 6) AS avg_logprob
+        |FROM bg JOIN c USING (bigram) JOIN p USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q73_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+        |             FROM documents),
+        |c AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM c)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  ROUND(avg(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS avg_logprob
+        |FROM tok JOIN c USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q65_token_histogram" ->
+      """WITH n AS (SELECT len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        |           FROM documents)
+        |SELECT CAST(LEAST(FLOOR(n_tokens / 50.0), 9) AS INTEGER) AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(min(n_tokens) AS INTEGER) AS min_tokens,
+        |  CAST(max(n_tokens) AS INTEGER) AS max_tokens
+        |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q67_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS INTEGER) AS n_shingles,
+        |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+        |  ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        |    AS repetition_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q32_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, text, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT doc_id, text, unnest(grams) AS g FROM sh)
+        |SELECT doc_id, ${md5l("text")} AS text_hash,
+        |  min(${md5l("g")}) AS min_shingle_hash
+        |FROM g GROUP BY doc_id, text ORDER BY doc_id""".stripMargin,
+    "q46_tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tfc AS (SELECT doc, token, count(*) AS tf FROM tf GROUP BY doc, token),
+        |dfc AS (SELECT token, count(DISTINCT doc) AS df FROM tfc GROUP BY token),
+        |scored AS (
+        |  SELECT doc, tfc.token,
+        |    ROUND(tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 6)
+        |      AS tfidf
+        |  FROM tfc JOIN dfc ON tfc.token = dfc.token),
+        |ranked AS (
+        |  SELECT doc, token, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, token)
+        |         AS INTEGER) AS term_rank
+        |  FROM scored)
+        |SELECT doc AS doc_id, term_rank, token, tfidf
+        |FROM ranked WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "q37_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q28_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  ROUND(avg(n_chars), 6) AS avg_chars,
+        |  ROUND(avg(len(regexp_split_to_array(text, '\s+'))), 6) AS avg_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q29_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS INTEGER) AS n_distinct,
+        |  ROUND(CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS DOUBLE)
+        |        / len(regexp_split_to_array(text, '\s+')), 6) AS ttr,
+        |  ROUND(CAST(list_aggregate(list_transform(regexp_split_to_array(text, '\s+'),
+        |          x -> length(x)), 'sum') AS DOUBLE)
+        |        / len(regexp_split_to_array(text, '\s+')), 6) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_quality_score" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |    / len(toks) AS stop_ratio,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        |  LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score
+        |FROM t)
+        |SELECT doc_id, ROUND(stop_ratio, 6) AS stopword_ratio, ROUND(ttr, 6) AS ttr,
+        |  ROUND(len_score, 6) AS length_score,
+        |  ROUND(0.4 * len_score + 0.3 * stop_ratio + 0.3 * ttr, 6) AS quality_score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q31_langid" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |    / len(toks) AS r
+        |FROM t)
+        |SELECT doc_id, ROUND(r, 6) AS en_stopword_ratio,
+        |  CASE WHEN r >= 0.05 THEN 'en' ELSE 'unk' END AS predicted_lang
+        |FROM m ORDER BY doc_id""".stripMargin)
+}

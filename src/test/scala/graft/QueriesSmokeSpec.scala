@@ -51,4 +51,22 @@ class QueriesSmokeSpec extends SparkSpecBase {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracles: $missing")
   }
+
+  test("domain registries are disjoint and cover the extension surface") {
+    // ExtensionQueries aggregates the per-domain maps with ++, which
+    // silently keeps the LAST binding on a key collision — disjointness
+    // is what makes the aggregation order immaterial
+    val doms = graft.queries.ExtensionQueries.domains.toSeq
+    for {
+      Seq((na, (qa, _)), (nb, (qb, _))) <- doms.combinations(2)
+    } {
+      val overlap = qa.keySet.intersect(qb.keySet)
+      assert(overlap.isEmpty, s"domains $na and $nb both register: $overlap")
+    }
+    doms.foreach { case (n, (q, o)) =>
+      assert(q.keySet == o.keySet, s"domain $n query/oracle key mismatch")
+    }
+    val union = doms.map(_._2._1.keySet).reduce(_ ++ _)
+    assert(union == graft.queries.ExtensionQueries.queries.keySet)
+  }
 }
