@@ -1,0 +1,258 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reference's S1 surface — an HTTP JSON feed with an incremental
+  * cursor (`bronze_ingest.py:21-43`: GET with a `start` param, records
+  * under the `"records"` key, sorted by `Minutes1UTC`) — as a Spark
+  * DataSource V2 `TableProvider`:
+  *
+  * {{{
+  * spark.read.format("graft.sources.FeedSource")
+  *   .option("endpoint", "/data/fetched")       // payload store
+  *   .option("cursorField", "minutes1_utc")     // optional
+  *   .option("startCursor", "2025-10-01T00:00") // optional
+  *   .load()
+  * }}}
+  *
+  * The transport is pluggable by URI scheme. A local path or `file:`
+  * URI reads previously fetched response payloads (one JSON body per
+  * file — the shape a fetch sidecar or `curl` cron drops on shared
+  * storage), which is the honest form in an egress-free harness and the
+  * robust form at scale: payloads land once, scans parallelize per
+  * payload file with no rate-limited API in the job's critical path.
+  * `http(s):` endpoints throw `UnsupportedOperationException` with that
+  * guidance — the LIVE get is the documented stub, the relational
+  * surface (schema inference, cursor pushdown, column pruning,
+  * per-payload partitioning) is real and tested.
+  *
+  * - **Schema**: caller-supplied via `.schema(...)`, else inferred from
+  *   the first payload's records (flat JSON: long/double/boolean/string
+  *   — the reference feed is flat; nested nodes read as JSON strings).
+  * - **Cursor pushdown**: `>=` / `>` filters on `cursorField` (and the
+  *   `startCursor` option) are evaluated inside the partition readers
+  *   before rows materialize — the V2 mirror of the API's server-side
+  *   `start` param. `.explain` shows them under `PushedFilters`.
+  * - **Column pruning**: only requested fields are parsed into rows.
+  * - **Partitioning**: one input partition per payload file; a feed
+  *   polled every N minutes scales out by file count, not record count.
+  *
+  * Incremental loads compose with the existing machinery: read with
+  * `startCursor` = `Watermark.cursor(...)` of the bronze table, then
+  * append via `IdempotentSink` — the dlt `write_disposition="append"`
+  * + `primary_key` contract, Spark-first.
+  */
+class FeedSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FeedSource.inferSchema(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new FeedTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] class FeedTable(schema0: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"feed(${FeedSource.endpoint(options)})"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new FeedScanBuilder(schema0, options)
+}
+
+private[sources] class FeedScanBuilder(full: StructType,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private val cursorField = FeedSource.cursorField(options)
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept only what the reader truly evaluates: cursor lower bounds
+    // (the API's `start` param) — everything else stays with Spark
+    val (take, keep) = filters.partition {
+      case GreaterThanOrEqual(a, _: String) => cursorField.contains(a)
+      case GreaterThan(a, _: String) => cursorField.contains(a)
+      case IsNotNull(a) => cursorField.contains(a)
+      case _ => false
+    }
+    pushed = take
+    keep
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = {
+    val bound = (FeedSource.startCursor(options).toSeq ++ pushed.collect {
+      case GreaterThanOrEqual(_, v: String) => v
+      case GreaterThan(_, v: String) => v
+    }).sorted.lastOption // tightest lower bound wins
+    new FeedScan(required, FeedSource.payloadFiles(options),
+      FeedSource.recordsField(options), cursorField, bound)
+  }
+}
+
+private[sources] class FeedScan(schema: StructType, files: Seq[String],
+    recordsField: String, cursorField: Option[String], bound: Option[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FeedScan[files=${files.size}, cursor=${cursorField.orNull} >= ${bound.orNull}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => FeedPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedReaderFactory(schema, recordsField, cursorField, bound)
+}
+
+private[sources] case class FeedPartition(path: String) extends InputPartition
+
+private[sources] class FeedReaderFactory(schema: StructType,
+    recordsField: String, cursorField: Option[String], bound: Option[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new FeedReader(p.asInstanceOf[FeedPartition].path, schema, recordsField,
+      cursorField, bound)
+}
+
+private[sources] class FeedReader(path: String, schema: StructType,
+    recordsField: String, cursorField: Option[String], bound: Option[String])
+    extends PartitionReader[InternalRow] {
+  private val records: Iterator[JsonNode] = {
+    val it = FeedSource.records(FeedSource.parse(path), recordsField)
+    (cursorField, bound) match {
+      case (Some(c), Some(b)) =>
+        it.filter(n => n.hasNonNull(c) && n.get(c).asText() >= b)
+      case _ => it
+    }
+  }
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!records.hasNext) return false
+    val n = records.next()
+    row = InternalRow.fromSeq(schema.fields.toSeq.map(f =>
+      FeedSource.catalystValue(n.get(f.name), f.dataType)))
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+object FeedSource {
+  private val mapper = new ObjectMapper()
+
+  private[sources] def endpoint(o: CaseInsensitiveStringMap): String = {
+    val e = o.get("endpoint")
+    require(e != null && e.nonEmpty, "feed source requires an `endpoint` option")
+    if (e.startsWith("http://") || e.startsWith("https://"))
+      throw new UnsupportedOperationException(
+        "live HTTP fetch is not available in this environment; point " +
+          "`endpoint` at a directory of fetched JSON payload files " +
+          "(one response body per file) instead")
+    e.stripPrefix("file:")
+  }
+  private[sources] def recordsField(o: CaseInsensitiveStringMap): String =
+    Option(o.get("recordsField")).getOrElse("records")
+  private[sources] def cursorField(o: CaseInsensitiveStringMap): Option[String] =
+    Option(o.get("cursorField"))
+  private[sources] def startCursor(o: CaseInsensitiveStringMap): Option[String] =
+    Option(o.get("startCursor"))
+
+  /** Payload files under the endpoint: a single file, or every `*.json`
+    * in a directory, sorted for deterministic partition order.
+    */
+  private[sources] def payloadFiles(o: CaseInsensitiveStringMap): Seq[String] = {
+    val f = new java.io.File(endpoint(o))
+    require(f.exists(), s"feed endpoint not found: $f")
+    if (f.isFile) Seq(f.getPath)
+    else f.listFiles().filter(p => p.isFile && p.getName.endsWith(".json"))
+      .map(_.getPath).sorted.toSeq
+  }
+
+  private[sources] def parse(path: String): JsonNode =
+    mapper.readTree(new java.io.File(path))
+
+  /** Records in a payload: the configured field of a response object,
+    * or the payload itself when it is already a bare JSON array.
+    */
+  private[sources] def records(root: JsonNode, field: String): Iterator[JsonNode] = {
+    val arr = if (root.isArray) root else root.path(field)
+    require(arr.isArray, s"payload has no array under '$field'")
+    arr.elements().asScala
+  }
+
+  /** Flat-record schema inference from the FIRST payload (cheap and
+    * deterministic — the feed's shape is fixed by the upstream API):
+    * long ⊂ double promotion across records, booleans, strings for
+    * text/timestamps/nested nodes, nullable throughout.
+    */
+  private[sources] def inferSchema(o: CaseInsensitiveStringMap): StructType = {
+    val first = payloadFiles(o).headOption.getOrElse(
+      throw new IllegalArgumentException("feed endpoint has no payload files"))
+    val kinds = mutable.LinkedHashMap.empty[String, DataType]
+    records(parse(first), recordsField(o)).foreach { rec =>
+      rec.properties().asScala.foreach { e =>
+        val t = e.getValue match {
+          case v if v.isNull => NullType
+          case v if v.isBoolean => BooleanType
+          case v if v.isIntegralNumber => LongType
+          case v if v.isNumber => DoubleType
+          case _ => StringType
+        }
+        kinds.get(e.getKey) match {
+          case None | Some(NullType) => kinds(e.getKey) = t
+          case Some(LongType) if t == DoubleType => kinds(e.getKey) = DoubleType
+          case Some(prev) if prev != t && t != NullType &&
+              !(prev == DoubleType && t == LongType) =>
+            kinds(e.getKey) = StringType
+          case _ => ()
+        }
+      }
+    }
+    StructType(kinds.toSeq.map { case (k, t) =>
+      StructField(k, if (t == NullType) StringType else t)
+    })
+  }
+
+  /** JSON node → catalyst value under the requested type. Lenient on
+    * the string side (`asText` renders nested nodes as JSON text) and
+    * strict enough on numerics to surface schema drift as nulls, the
+    * bronze-layer convention.
+    */
+  private[sources] def catalystValue(n: JsonNode, dt: DataType): Any = {
+    if (n == null || n.isNull || n.isMissingNode) return null
+    dt match {
+      case LongType => if (n.isNumber) n.asLong() else null
+      case IntegerType => if (n.isNumber) n.asInt() else null
+      case DoubleType => if (n.isNumber) n.asDouble() else null
+      case BooleanType => if (n.isBoolean) n.asBoolean() else null
+      case StringType =>
+        UTF8String.fromString(if (n.isValueNode) n.asText() else n.toString)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"feed source supports flat long/int/double/boolean/string records; got $other")
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 feed source (the reference's S1 HTTP-ingest surface):
+  * payload parsing, schema inference, cursor pushdown, column pruning,
+  * per-payload partitioning, and the documented no-egress guard.
+  */
+class FeedSourceSpec extends SparkSpecBase {
+  private val fmt = "graft.sources.FeedSource"
+
+  private def writePayloads(): String = {
+    val dir = Files.createTempDirectory("graft_feed").toString
+    def w(name: String, body: String): Unit =
+      Files.write(java.nio.file.Paths.get(dir, name), body.getBytes("UTF-8"))
+    w("page0.json",
+      """{"total": 3, "records": [
+        |  {"minutes1_utc": "2025-10-01T00:00", "mw": 100, "price": 1.5, "area": "DK1", "ok": true},
+        |  {"minutes1_utc": "2025-10-01T00:05", "mw": 110, "price": 2.5, "area": "DK2", "ok": false},
+        |  {"minutes1_utc": "2025-10-01T00:10", "mw": null, "price": null, "area": null, "ok": null}
+        |]}""".stripMargin)
+    w("page1.json",
+      """[{"minutes1_utc": "2025-10-01T00:15", "mw": 130, "price": 4.0, "area": "DK1", "ok": true}]""")
+    dir
+  }
+
+  test("schema inference: long/double/boolean/string with null tolerance") {
+    val df = spark.read.format(fmt).option("endpoint", writePayloads()).load()
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types == Map("minutes1_utc" -> "string", "mw" -> "bigint",
+      "price" -> "double", "area" -> "string", "ok" -> "boolean"))
+    assert(df.count() == 4)
+    assert(df.filter(col("mw").isNull).count() == 1)
+  }
+
+  test("one input partition per payload file; records round-trip") {
+    val df = spark.read.format(fmt).option("endpoint", writePayloads()).load()
+    assert(df.rdd.getNumPartitions == 2)
+    val got = df.orderBy("minutes1_utc").select("minutes1_utc", "mw")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("2025-10-01T00:00", 100L), ("2025-10-01T00:05", 110L),
+      ("2025-10-01T00:10", -1L), ("2025-10-01T00:15", 130L)))
+  }
+
+  test("cursor lower bounds push into the scan (startCursor and filters agree)") {
+    val dir = writePayloads()
+    val viaOption = spark.read.format(fmt).option("endpoint", dir)
+      .option("cursorField", "minutes1_utc")
+      .option("startCursor", "2025-10-01T00:05").load()
+    assert(viaOption.count() == 3)
+
+    val viaFilter = spark.read.format(fmt).option("endpoint", dir)
+      .option("cursorField", "minutes1_utc").load()
+      .filter(col("minutes1_utc") >= "2025-10-01T00:05")
+    assert(viaFilter.count() == 3)
+    val plan = viaFilter.queryExecution.executedPlan.toString
+    assert(plan.contains("minutes1_utc"), plan.take(500))
+    // the scan itself reports the pushed bound
+    assert(plan.contains("FeedScan") || plan.contains("BatchScan"), plan.take(500))
+  }
+
+  test("column pruning reaches the reader") {
+    val df = spark.read.format(fmt).option("endpoint", writePayloads()).load()
+      .select("area")
+    assert(df.schema.fieldNames.toSeq == Seq("area"))
+    assert(df.collect().length == 4)
+  }
+
+  test("caller-supplied schema overrides inference") {
+    val df = spark.read.format(fmt)
+      .schema("minutes1_utc STRING, mw DOUBLE")
+      .option("endpoint", writePayloads()).load()
+    assert(df.schema("mw").dataType.simpleString == "double")
+    assert(df.agg(sum("mw")).head.getDouble(0) == 340.0)
+  }
+
+  test("http endpoints fail fast with fetched-payload guidance") {
+    val e = intercept[UnsupportedOperationException] {
+      spark.read.format(fmt)
+        .option("endpoint", "https://api.energidataservice.dk/dataset/X").load()
+    }
+    assert(e.getMessage.contains("fetched JSON payload"))
+  }
+}
