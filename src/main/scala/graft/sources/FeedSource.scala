@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,6 +51,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * - **Column pruning**: only requested fields are parsed into rows.
   * - **Partitioning**: one input partition per payload file; a feed
   *   polled every N minutes scales out by file count, not record count.
+  * - **Streaming**: `spark.readStream.format(...)` works too — a
+  *   [[FeedMicroBatchStream]] whose checkpointed offset is the last
+  *   payload file ingested, so each drop is read exactly once and a
+  *   restarted query resumes mid-feed (the dlt incremental-state
+  *   contract, engine-managed).
   *
   * Incremental loads compose with the existing machinery: read with
   * `startCursor` = `Watermark.cursor(...)` of the bronze table, then
@@ -72,7 +78,8 @@ private[sources] class FeedTable(schema0: StructType,
   override def name(): String = s"feed(${FeedSource.endpoint(options)})"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new FeedScanBuilder(schema0, options)
 }
@@ -108,22 +115,62 @@ private[sources] class FeedScanBuilder(full: StructType,
       case GreaterThanOrEqual(_, v: String) => v
       case GreaterThan(_, v: String) => v
     }).sorted.lastOption // tightest lower bound wins
-    new FeedScan(required, FeedSource.payloadFiles(options),
+    new FeedScan(required, FeedSource.endpoint(options),
       FeedSource.recordsField(options), cursorField, bound)
   }
 }
 
-private[sources] class FeedScan(schema: StructType, files: Seq[String],
+private[sources] class FeedScan(schema: StructType, endpoint: String,
     recordsField: String, cursorField: Option[String], bound: Option[String])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"FeedScan[files=${files.size}, cursor=${cursorField.orNull} >= ${bound.orNull}]"
+    s"FeedScan[endpoint=$endpoint, cursor=${cursorField.orNull} >= ${bound.orNull}]"
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => FeedPartition(f): InputPartition).toArray
+    FeedSource.listPayloads(endpoint)
+      .map(f => FeedPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new FeedReaderFactory(schema, recordsField, cursorField, bound)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FeedMicroBatchStream(schema, endpoint, recordsField, cursorField, bound)
+}
+
+/** Streaming face of the feed — the reference's poll loop (each dlt
+  * run ingests records past the stored cursor) as a Spark
+  * `MicroBatchStream`: the offset is the lexicographically last
+  * payload file ingested, each micro-batch reads exactly the files
+  * that arrived since, and the engine's checkpoint carries the offset
+  * so restarts resume without re-reading (the dlt-state contract,
+  * engine-managed). Requires monotonic payload names (fetch sidecars
+  * name drops by timestamp), mirroring the cursor monotonicity the
+  * reference's incremental load already assumes. The reader-side
+  * cursor bound applies per batch, so late records below `startCursor`
+  * stay out exactly as in the batch path.
+  */
+private[sources] class FeedMicroBatchStream(schema: StructType,
+    endpoint: String, recordsField: String, cursorField: Option[String],
+    bound: Option[String]) extends MicroBatchStream {
+  override def initialOffset(): Offset = FeedOffset("")
+  override def latestOffset(): Offset =
+    FeedOffset(FeedSource.listPayloads(endpoint).lastOption.getOrElse(""))
+  override def deserializeOffset(json: String): Offset =
+    FeedOffset(FeedSource.offsetFromJson(json))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[FeedOffset].lastFile
+    val hi = end.asInstanceOf[FeedOffset].lastFile
+    FeedSource.listPayloads(endpoint)
+      .filter(f => f > lo && f <= hi)
+      .map(f => FeedPartition(f): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedReaderFactory(schema, recordsField, cursorField, bound)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class FeedOffset(lastFile: String) extends Offset {
+  override def json(): String = FeedSource.offsetToJson(lastFile)
 }
 
 private[sources] case class FeedPartition(path: String) extends InputPartition
@@ -181,15 +228,29 @@ object FeedSource {
     Option(o.get("startCursor"))
 
   /** Payload files under the endpoint: a single file, or every `*.json`
-    * in a directory, sorted for deterministic partition order.
+    * in a directory, sorted for deterministic partition order (and for
+    * the streaming offset, which is the lexicographically last name —
+    * monotonic drop names make the listing append-only). A missing or
+    * empty directory is an empty feed, not an error: streams start
+    * before the first drop lands.
     */
-  private[sources] def payloadFiles(o: CaseInsensitiveStringMap): Seq[String] = {
-    val f = new java.io.File(endpoint(o))
-    require(f.exists(), s"feed endpoint not found: $f")
-    if (f.isFile) Seq(f.getPath)
+  private[sources] def listPayloads(endpoint: String): Seq[String] = {
+    val f = new java.io.File(endpoint)
+    if (!f.exists()) Seq.empty
+    else if (f.isFile) Seq(f.getPath)
     else f.listFiles().filter(p => p.isFile && p.getName.endsWith(".json"))
       .map(_.getPath).sorted.toSeq
   }
+
+  private[sources] def payloadFiles(o: CaseInsensitiveStringMap): Seq[String] =
+    listPayloads(endpoint(o))
+
+  private[graft] def offsetToJson(lastFile: String): String =
+    mapper.writeValueAsString(
+      mapper.createObjectNode().put("lastFile", lastFile))
+
+  private[graft] def offsetFromJson(json: String): String =
+    mapper.readTree(json).path("lastFile").asText("")
 
   private[sources] def parse(path: String): JsonNode =
     mapper.readTree(new java.io.File(path))

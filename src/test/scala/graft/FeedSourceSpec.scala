@@ -77,6 +77,43 @@ class FeedSourceSpec extends SparkSpecBase {
     assert(df.agg(sum("mw")).head.getDouble(0) == 340.0)
   }
 
+  test("micro-batch stream ingests each payload exactly once and sees late drops") {
+    val dir = Files.createTempDirectory("graft_feed_stream").toString
+    def w(name: String, body: String): Unit =
+      Files.write(java.nio.file.Paths.get(dir, name), body.getBytes("UTF-8"))
+    w("drop-000.json",
+      """{"records": [{"minutes1_utc": "2025-10-01T00:00", "mw": 100},
+        |             {"minutes1_utc": "2025-10-01T00:05", "mw": 110}]}""".stripMargin)
+    val q = spark.readStream.format(fmt)
+      .schema("minutes1_utc STRING, mw BIGINT")
+      .option("endpoint", dir)
+      .option("cursorField", "minutes1_utc")
+      .option("startCursor", "2025-10-01T00:05") // drops the 00:00 record
+      .load()
+      .writeStream.format("memory").queryName("feed_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_mem").count() == 1) // 00:05 only
+      // a later drop is a new micro-batch; the earlier file is not re-read
+      w("drop-001.json",
+        """{"records": [{"minutes1_utc": "2025-10-01T00:10", "mw": 120}]}""")
+      q.processAllAvailable()
+      val rows = spark.table("feed_mem").orderBy("minutes1_utc")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("2025-10-01T00:05", 110L), ("2025-10-01T00:10", 120L)))
+      // no new files -> no new rows (exactly-once per payload)
+      q.processAllAvailable()
+      assert(spark.table("feed_mem").count() == 2)
+    } finally q.stop()
+  }
+
+  test("feed offsets round-trip through their JSON form") {
+    import graft.sources.FeedSource
+    for (f <- Seq("", "/tmp/x/drop-001.json", "we\"ird\\name.json"))
+      assert(FeedSource.offsetFromJson(FeedSource.offsetToJson(f)) == f)
+  }
+
   test("http endpoints fail fast with fetched-payload guidance") {
     val e = intercept[UnsupportedOperationException] {
       spark.read.format(fmt)
