@@ -77,6 +77,10 @@ object Multimodal {
     val payloads = withPayload(docs)
     import payloads.sparkSession.implicits._
     payloads.as[(Long, Array[Byte])].mapPartitions { batch =>
+      // ImageIO defaults to a DISK-backed stream cache — a temp file
+      // per encode/decode call, which dominates small-image batches
+      // (2x the whole query at sf0.1). In-memory streams need no cache.
+      javax.imageio.ImageIO.setUseCache(false)
       batch.map { case (id, seed) =>
         val w = (8 + id % 24).toInt
         val h = 8 + seed.length % 24
@@ -105,7 +109,9 @@ object Multimodal {
     import payloads.sparkSession.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])].mapPartitions { batch =>
-        // Real decoders init per-partition state here (codec handles etc.)
+        // Real decoders init per-partition state here (codec handles
+        // etc.); in-memory payloads never want ImageIO's temp-file cache
+        javax.imageio.ImageIO.setUseCache(false)
         batch.map { case (id, bytes) => decodeMedia(id, bytes) }
       }
   }
