@@ -92,16 +92,20 @@ private[sources] class FeedScanBuilder(full: StructType,
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // accept only what the reader truly evaluates: cursor lower bounds
-    // (the API's `start` param) — everything else stays with Spark
-    val (take, keep) = filters.partition {
+    // record cursor lower bounds (the API's `start` param) so the
+    // readers can prune records early, but return EVERY filter as
+    // residual: the reader's single `>=` bound is a conservative
+    // superset of a strict `>` (and of a bare IsNotNull), so Spark
+    // must re-apply exact semantics above the scan. Filters NOT
+    // returned here are treated as fully applied by the source —
+    // swallowing a strict `>` would leak the boundary record.
+    pushed = filters.filter {
       case GreaterThanOrEqual(a, _: String) => cursorField.contains(a)
       case GreaterThan(a, _: String) => cursorField.contains(a)
       case IsNotNull(a) => cursorField.contains(a)
       case _ => false
     }
-    pushed = take
-    keep
+    filters
   }
   override def pushedFilters(): Array[Filter] = pushed
 

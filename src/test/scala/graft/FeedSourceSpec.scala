@@ -56,10 +56,21 @@ class FeedSourceSpec extends SparkSpecBase {
       .option("cursorField", "minutes1_utc").load()
       .filter(col("minutes1_utc") >= "2025-10-01T00:05")
     assert(viaFilter.count() == 3)
-    val plan = viaFilter.queryExecution.executedPlan.toString
-    assert(plan.contains("minutes1_utc"), plan.take(500))
-    // the scan itself reports the pushed bound
-    assert(plan.contains("FeedScan") || plan.contains("BatchScan"), plan.take(500))
+    // the scan node itself carries the pushed bound (reader-side
+    // pruning), while the filter stays above it as the exact residual
+    val plan = viaFilter.queryExecution.executedPlan
+    val scanDesc = plan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scanDesc.contains("minutes1_utc >= 2025-10-01T00:05"), scanDesc.take(800))
+  }
+
+  test("strict > keeps exact semantics (reader bound is a conservative superset)") {
+    // the reader prunes with a single >= bound; the engine-side
+    // residual must still drop the boundary record of a strict >
+    val df = spark.read.format(fmt).option("endpoint", writePayloads())
+      .option("cursorField", "minutes1_utc").load()
+      .filter(col("minutes1_utc") > "2025-10-01T00:05")
+    assert(df.collect().map(_.getAs[String]("minutes1_utc")).sorted.toSeq ==
+      Seq("2025-10-01T00:10", "2025-10-01T00:15"))
   }
 
   test("column pruning reaches the reader") {
