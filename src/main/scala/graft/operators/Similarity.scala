@@ -690,6 +690,44 @@ object Similarity {
     rerankExact(embeddings, probes, shortlist, k)
   }
 
+  /** Seeded ANN artifacts shared across tiers WITHIN one query: recall
+    * reports (q129, q159) run several tiers over the SAME seeded
+    * codebooks, and without sharing each tier silently re-encodes the
+    * whole corpus. enc and probeTable are localCheckpointed — multiple
+    * tiers re-join them (the derived-frame rule). Returns
+    * (coarse codebook, encoded corpus, probe ADC table); feed them to
+    * the `*With` variants below, which produce bit-identical results
+    * to their self-building counterparts at the same parameters.
+    */
+  def seededAnnArtifacts(embeddings: DataFrame, probes: DataFrame, dim: Int,
+      nlists: Int = 8, numSub: Int = 8, numCodes: Int = 16)
+      : (Array[Array[Double]], DataFrame, DataFrame) = {
+    val (enc, pt) = pqArtifacts(embeddings, probes, dim, numSub, numCodes)
+    (seededCodebook(embeddings, nlists),
+      enc.localCheckpoint(), pt.localCheckpoint())
+  }
+
+  /** PQ ADC top-k over prebuilt artifacts ([[seededAnnArtifacts]]). */
+  def pqTopKWith(enc: DataFrame, probeTable: DataFrame, k: Int): DataFrame =
+    pqAdcRank(enc, probeTable, k)
+
+  /** IVF+PQ top-k over prebuilt artifacts ([[seededAnnArtifacts]]). */
+  def ivfPqTopKWith(embeddings: DataFrame, probes: DataFrame, k: Int,
+      nprobe: Int, coarse: Array[Array[Double]], enc: DataFrame,
+      probeTable: DataFrame): DataFrame =
+    ivfPqAdcRank(embeddings, probes, k, nprobe, coarse, enc, probeTable)
+
+  /** Reranked IVF+PQ over prebuilt artifacts ([[seededAnnArtifacts]]). */
+  def ivfPqTopKRerankedWith(embeddings: DataFrame, probes: DataFrame, k: Int,
+      nprobe: Int, coarse: Array[Array[Double]], enc: DataFrame,
+      probeTable: DataFrame, candMult: Int = 4): DataFrame = {
+    val shortlist = ivfPqTopKWith(embeddings, probes, k * candMult, nprobe,
+      coarse, enc, probeTable)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    rerankExact(embeddings, probes, shortlist, k)
+  }
+
   /** Exact-cosine re-rank of a probe-bounded (query, neighbor)
     * shortlist: the corpus scan flows through a broadcast join against
     * the shortlist to fetch raw vectors map-side (the corpus never

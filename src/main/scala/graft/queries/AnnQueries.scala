@@ -147,11 +147,16 @@ object AnnQueries {
     val k = 3
     val exact = Similarity.bruteForceTopK(emb, probes, k)
       .select("query_id", "neighbor_id").localCheckpoint()
+    // both tiers share one seeded codebook + corpus encode (identical
+    // results to the self-building entry points, one encode instead of
+    // two — the dominant avoidable cost in multi-tier recall reports)
+    val (coarse, enc, pt) = Similarity.seededAnnArtifacts(emb, probes, dim = 64)
     val approx =
-      Similarity.ivfPqTopKSeeded(emb, probes, k, dim = 64)
+      Similarity.ivfPqTopKWith(emb, probes, k, nprobe = 4, coarse, enc, pt)
         .select(col("query_id"), col("neighbor_id"),
           lit("ivfpq_adc").as("method"))
-        .union(Similarity.ivfPqTopKReranked(emb, probes, k, dim = 64)
+        .union(Similarity.ivfPqTopKRerankedWith(emb, probes, k, nprobe = 4,
+          coarse, enc, pt)
           .select(col("query_id"), col("neighbor_id"),
             lit("ivfpq_rerank").as("method")))
     val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
@@ -189,9 +194,14 @@ object AnnQueries {
       df.select("query_id", "neighbor_id")
         .join(exact, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as(as))
-    val pqS = hits(Similarity.pqTopKSeeded(emb, probes, k, dim = 64), "seeded_hits")
+    // the two SEEDED tiers share one codebook + corpus encode
+    // (bit-identical to the self-building entry points); the learned
+    // tiers train their own codebooks so their encodes are theirs alone
+    val (coarse, enc, pt) = Similarity.seededAnnArtifacts(emb, probes, dim = 64)
+    val pqS = hits(Similarity.pqTopKWith(enc, pt, k), "seeded_hits")
     val pqL = hits(Similarity.pqTopKLearned(emb, probes, k, dim = 64), "pq_learned")
-    val ivS = hits(Similarity.ivfPqTopKSeeded(emb, probes, k, dim = 64), "ivf_seeded")
+    val ivS = hits(Similarity.ivfPqTopKWith(emb, probes, k, nprobe = 4,
+      coarse, enc, pt), "ivf_seeded")
     val ivL = hits(Similarity.ivfPqTopKLearned(emb, probes, k, dim = 64), "ivf_learned")
     exact.agg(count(lit(1)).as("total"))
       .crossJoin(broadcast(pqS)).crossJoin(broadcast(pqL))
