@@ -533,7 +533,73 @@ object EventStoreQueries {
     out
   }
 
+  /** q164: the reference's bronze ingest loop END-TO-END through the
+    * V2 feed source — two polls (payload drops rendered from the
+    * events table; the second re-delivers everything past an overlap
+    * point, the at-least-once delivery dlt's `primary_key` guards
+    * against), each ingested as: read the feed past the sink's cursor
+    * watermark → PK-deduped staged append (`IdempotentSink`, S7's
+    * left-anti + append) → healed read. The final aggregate hash-
+    * matches DuckDB reading the raw table directly, which certifies
+    * cursor extraction, overlap dedup, and the store commit path in
+    * ONE chain (S1+S2+S3+S7 composed, dlt-style): a broken dedup
+    * double-counts the overlap window's exact-integer value sums and
+    * the hash flips. Payload rendering is fixture prep (q163's
+    * pattern); the ingest path itself is the production shape —
+    * feed scan → anti-join on the healed store → append.
+    */
+  private val feedBronzeQ: Q = (s, dir) => {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q164_bronze")
+    val feedDir = scratch.resolve("feed")
+    java.nio.file.Files.createDirectories(feedDir)
+    val sink = scratch.resolve("bronze").toString
+    val recs = Tables.events(s, dir).filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minutes1_utc"),
+        round(col("value") * 1e6).cast("long").as("value_us"))
+    val cut = "2024-01-20T00:00:00" // poll-1 horizon
+    val overlapFrom = "2024-01-15T00:00:00" // poll 2 re-delivers from here
+    def drop(name: String, df: DataFrame): Unit = {
+      val body = df
+        .select(to_json(struct(col("event_id"), col("event_type"),
+          col("minutes1_utc"), col("value_us"))).as("j"))
+        .agg(concat(lit("{\"records\":["),
+          concat_ws(",", collect_list(col("j"))), lit("]}")).as("b"))
+        .head.getString(0)
+      java.nio.file.Files.write(feedDir.resolve(name), body.getBytes("UTF-8"))
+    }
+    def ingest(): Unit = {
+      val cursor =
+        if (IdempotentSink.exists(s, sink))
+          IdempotentSink.read(s, sink).agg(max("minutes1_utc")).head.getString(0)
+        else null
+      var rd = s.read.format("graft.sources.FeedSource")
+        .schema("event_id BIGINT, event_type STRING, minutes1_utc STRING, " +
+          "value_us BIGINT")
+        .option("endpoint", feedDir.toString)
+        .option("cursorField", "minutes1_utc")
+      if (cursor != null) rd = rd.option("startCursor", cursor)
+      // >= cursor re-reads the boundary second from already-ingested
+      // drops — exactly the at-least-once window the PK dedup absorbs
+      IdempotentSink.appendIfAbsent(s, rd.load(), sink, Seq("event_id"))
+    }
+    drop("drop-000.json", recs.filter(col("minutes1_utc") < cut))
+    ingest()
+    drop("drop-001.json", recs.filter(col("minutes1_utc") >= overlapFrom))
+    ingest()
+    val out = IdempotentSink.read(s, sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_us")).as("value_sum_us"),
+        min(col("minutes1_utc")).as("min_cursor"),
+        max(col("minutes1_utc")).as("max_cursor"))
+      .orderBy("event_type")
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q164_feed_bronze" -> feedBronzeQ,
     "q163_feed_source" -> feedSourceQ,
     "q162_image_decode" -> imageDecodeQ,
     "q157_grid_anomaly" -> gridAnomalyQ,
@@ -567,6 +633,19 @@ object EventStoreQueries {
     "q36_multimodal_decode" -> multimodal)
 
   val oracleSql: Map[String, String] = Map(
+    // q164: the two polls' union covers every non-null-ts record of the
+    // %20 subset exactly once after PK dedup, so DuckDB aggregates the
+    // raw table directly; a dedup failure double-counts the overlap
+    // window's exact-integer sums and flips the hash.
+    "q164_feed_bronze" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_sum_us,
+        |  min(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS min_cursor,
+        |  max(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS max_cursor
+        |FROM events
+        |WHERE event_id % 20 = 0 AND ts IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q163: DuckDB computes the same cursor-bounded per-type aggregate
     // straight from the parquet table the payloads were rendered from;
     // value sums as fixed-point BIGINTs (q148's order-invariance rule),
