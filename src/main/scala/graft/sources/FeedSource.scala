@@ -62,7 +62,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * append via `IdempotentSink` — the dlt `write_disposition="append"`
   * + `primary_key` contract, Spark-first.
   */
-class FeedSource extends TableProvider {
+class FeedSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  /** `spark.read.format("graft-feed")` — registered via the standard
+    * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister
+    * entry; the fully-qualified class name keeps working too.
+    */
+  override def shortName(): String = "graft-feed"
+
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

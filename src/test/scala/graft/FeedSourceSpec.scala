@@ -125,6 +125,12 @@ class FeedSourceSpec extends SparkSpecBase {
       assert(FeedSource.offsetFromJson(FeedSource.offsetToJson(f)) == f)
   }
 
+  test("the graft-feed short name resolves through DataSourceRegister") {
+    val df = spark.read.format("graft-feed")
+      .option("endpoint", writePayloads()).load()
+    assert(df.count() == 4)
+  }
+
   test("http endpoints fail fast with fetched-payload guidance") {
     val e = intercept[UnsupportedOperationException] {
       spark.read.format(fmt)
