@@ -30,12 +30,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .load()
   * }}}
   *
-  * The transport is pluggable by URI scheme. A local path or `file:`
-  * URI reads previously fetched response payloads (one JSON body per
-  * file — the shape a fetch sidecar or `curl` cron drops on shared
-  * storage), which is the honest form in an egress-free harness and the
-  * robust form at scale: payloads land once, scans parallelize per
-  * payload file with no rate-limited API in the job's critical path.
+  * The transport is pluggable by URI scheme. Any Hadoop-addressable
+  * endpoint (local path, `file:`, `hdfs:`, `s3a:` …) reads previously
+  * fetched response payloads (one JSON body per file — the shape a
+  * fetch sidecar or `curl` cron drops on shared storage); listing runs
+  * on the driver with the session's Hadoop config and the partition
+  * readers open payloads through the same serialized config, so
+  * credentials and scheme impls reach the executors. This is the
+  * honest form in an egress-free harness and the robust form at scale:
+  * payloads land once, scans parallelize per payload file with no
+  * rate-limited API in the job's critical path.
   * `http(s):` endpoints throw `UnsupportedOperationException` with that
   * guidance — the LIVE get is the documented stub, the relational
   * surface (schema inference, cursor pushdown, column pruning,
@@ -139,10 +143,11 @@ private[sources] class FeedScan(schema: StructType, endpoint: String,
   override def description(): String =
     s"FeedScan[endpoint=$endpoint, cursor=${cursorField.orNull} >= ${bound.orNull}]"
   override def planInputPartitions(): Array[InputPartition] =
-    FeedSource.listPayloads(endpoint)
+    FeedSource.listPayloads(endpoint, FeedSource.driverConf())
       .map(f => FeedPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(schema, recordsField, cursorField, bound)
+    new FeedReaderFactory(schema, recordsField, cursorField, bound,
+      new SerializableHadoopConf(FeedSource.driverConf()))
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new FeedMicroBatchStream(schema, endpoint, recordsField, cursorField, bound)
 }
@@ -164,18 +169,20 @@ private[sources] class FeedMicroBatchStream(schema: StructType,
     bound: Option[String]) extends MicroBatchStream {
   override def initialOffset(): Offset = FeedOffset("")
   override def latestOffset(): Offset =
-    FeedOffset(FeedSource.listPayloads(endpoint).lastOption.getOrElse(""))
+    FeedOffset(FeedSource.listPayloads(endpoint, FeedSource.driverConf())
+      .lastOption.getOrElse(""))
   override def deserializeOffset(json: String): Offset =
     FeedOffset(FeedSource.offsetFromJson(json))
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[FeedOffset].lastFile
     val hi = end.asInstanceOf[FeedOffset].lastFile
-    FeedSource.listPayloads(endpoint)
+    FeedSource.listPayloads(endpoint, FeedSource.driverConf())
       .filter(f => f > lo && f <= hi)
       .map(f => FeedPartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(schema, recordsField, cursorField, bound)
+    new FeedReaderFactory(schema, recordsField, cursorField, bound,
+      new SerializableHadoopConf(FeedSource.driverConf()))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -186,19 +193,40 @@ private[sources] case class FeedOffset(lastFile: String) extends Offset {
 
 private[sources] case class FeedPartition(path: String) extends InputPartition
 
+/** Hadoop `Configuration` with Java serialization, so executor-side
+  * readers open payloads through the SAME filesystem config the
+  * driver planned with (credentials, scheme impls) — the payload
+  * store can be any Hadoop-addressable FS (local, HDFS, S3A), not
+  * just the driver's local disk.
+  */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[sources] class FeedReaderFactory(schema: StructType,
-    recordsField: String, cursorField: Option[String], bound: Option[String])
-    extends PartitionReaderFactory {
+    recordsField: String, cursorField: Option[String], bound: Option[String],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new FeedReader(p.asInstanceOf[FeedPartition].path, schema, recordsField,
-      cursorField, bound)
+      cursorField, bound, conf)
 }
 
 private[sources] class FeedReader(path: String, schema: StructType,
-    recordsField: String, cursorField: Option[String], bound: Option[String])
-    extends PartitionReader[InternalRow] {
+    recordsField: String, cursorField: Option[String], bound: Option[String],
+    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
   private val records: Iterator[JsonNode] = {
-    val it = FeedSource.records(FeedSource.parse(path), recordsField)
+    val it = FeedSource.records(
+      FeedSource.parse(path, conf.value), recordsField)
     (cursorField, bound) match {
       case (Some(c), Some(b)) =>
         it.filter(n => n.hasNonNull(c) && n.get(c).asText() >= b)
@@ -229,7 +257,7 @@ object FeedSource {
         "live HTTP fetch is not available in this environment; point " +
           "`endpoint` at a directory of fetched JSON payload files " +
           "(one response body per file) instead")
-    e.stripPrefix("file:")
+    e
   }
   private[sources] def recordsField(o: CaseInsensitiveStringMap): String =
     Option(o.get("recordsField")).getOrElse("records")
@@ -238,23 +266,37 @@ object FeedSource {
   private[sources] def startCursor(o: CaseInsensitiveStringMap): Option[String] =
     Option(o.get("startCursor"))
 
-  /** Payload files under the endpoint: a single file, or every `*.json`
-    * in a directory, sorted for deterministic partition order (and for
-    * the streaming offset, which is the lexicographically last name —
-    * monotonic drop names make the listing append-only). A missing or
-    * empty directory is an empty feed, not an error: streams start
-    * before the first drop lands.
+  /** The driver-side Hadoop config: the active session's, so scheme
+    * impls and credentials configured on the session reach both the
+    * listing here and (via [[SerializableHadoopConf]]) the readers.
     */
-  private[sources] def listPayloads(endpoint: String): Seq[String] = {
-    val f = new java.io.File(endpoint)
-    if (!f.exists()) Seq.empty
-    else if (f.isFile) Seq(f.getPath)
-    else f.listFiles().filter(p => p.isFile && p.getName.endsWith(".json"))
-      .map(_.getPath).sorted.toSeq
+  private[sources] def driverConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  /** Payload files under the endpoint — any Hadoop-addressable store
+    * (local path, `file:`, `hdfs:`, `s3a:` …): a single file, or every
+    * `*.json` in a directory, sorted for deterministic partition order
+    * (and for the streaming offset, which is the lexicographically
+    * last name — monotonic drop names make the listing append-only).
+    * A missing or empty directory is an empty feed, not an error:
+    * streams start before the first drop lands.
+    */
+  private[sources] def listPayloads(endpoint: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(endpoint)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(st.getPath.toString)
+      else fs.listStatus(p)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+        .map(_.getPath.toString).sorted.toSeq
+    }
   }
 
   private[sources] def payloadFiles(o: CaseInsensitiveStringMap): Seq[String] =
-    listPayloads(endpoint(o))
+    listPayloads(endpoint(o), driverConf())
 
   private[graft] def offsetToJson(lastFile: String): String =
     mapper.writeValueAsString(
@@ -263,8 +305,12 @@ object FeedSource {
   private[graft] def offsetFromJson(json: String): String =
     mapper.readTree(json).path("lastFile").asText("")
 
-  private[sources] def parse(path: String): JsonNode =
-    mapper.readTree(new java.io.File(path))
+  private[sources] def parse(path: String,
+      conf: org.apache.hadoop.conf.Configuration): JsonNode = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try mapper.readTree(in) finally in.close()
+  }
 
   /** Records in a payload: the configured field of a response object,
     * or the payload itself when it is already a bare JSON array.
@@ -284,7 +330,7 @@ object FeedSource {
     val first = payloadFiles(o).headOption.getOrElse(
       throw new IllegalArgumentException("feed endpoint has no payload files"))
     val kinds = mutable.LinkedHashMap.empty[String, DataType]
-    records(parse(first), recordsField(o)).foreach { rec =>
+    records(parse(first, driverConf()), recordsField(o)).foreach { rec =>
       rec.properties().asScala.foreach { e =>
         val t = e.getValue match {
           case v if v.isNull => NullType
