@@ -72,4 +72,67 @@ object Decontamination {
       .agg(count(lit(1)).as("shared_grams"))
       .orderBy(idCol)
   }
+
+  /** SEMANTIC decontamination — the modern complement of the shingle
+    * probes above: a benchmark item that was paraphrased or translated
+    * into the training set shares no 5-grams, but its embedding still
+    * sits next to the benchmark's. Flags every training vector whose
+    * cosine against ANY benchmark vector reaches `tau`, with the
+    * benchmark hit count and the best-matching item.
+    *
+    * Routing reuses the seeded-IVF machinery ([[Similarity]]): coarse
+    * codebook seeded FROM THE TRAINING CORPUS (hash-sampled, so the
+    * whole chain stays oracle-expressible), corpus assigned to its 1
+    * nearest list, bench probes fanned to `nprobe` lists — candidate
+    * pairs are (corpus ∩ probed lists), never all pairs. Like any IVF
+    * probe the flag set is approximate-by-routing: a paraphrase pair
+    * split across non-probed lists is missed, the recall/cost dial is
+    * `nprobe` (= nlists recovers the exact scan).
+    *
+    * Scale shape: the corpus never shuffles (its list assignment is a
+    * map-side broadcast-codebook argmax) and never broadcasts; the
+    * routed BENCH side — probe-bounded by definition — is
+    * localCheckpointed and broadcast into the list-keyed join (the
+    * q102 rule: a broadcast side must be a materialized probe/codebook
+    * artifact, never a plan re-scanning a corpus). Per-corpus-vector
+    * rollup is two window functions over ONE (train_id) partitioning.
+    *
+    * Output: (train_id, n_bench_hits, bench_id, cosine) for flagged
+    * training vectors, best match per the (cosine DESC, bench_id)
+    * tie-break, ordered by train_id. Thresholding compares the ROUNDED
+    * 6dp cosine per the repo's cross-engine float rule.
+    */
+  def semanticContaminated(train: DataFrame, bench: DataFrame, tau: Double,
+      nlists: Int = 8, nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.asDouble
+    import graft.functions.VectorExpressions.cosineFast
+    import org.apache.spark.sql.expressions.Window
+    val spark = train.sparkSession
+    val centroids = Similarity.centroidsDf(spark,
+      Similarity.seededCodebook(train, nlists))
+    val corpus = Similarity.nearestLists(
+      train.select(col("vec_id").as("train_id"),
+        asDouble(col("embedding")).as("emb")),
+      "train_id", 1, centroids)
+      .select(col("list_id"), col("train_id"), col("emb").as("t_emb"))
+    val probes = Similarity.nearestLists(
+      bench.select(col("vec_id").as("bench_id"),
+        asDouble(col("embedding")).as("emb")),
+      "bench_id", nprobe, centroids)
+      .select(col("list_id"), col("bench_id"), col("emb").as("b_emb"))
+      .localCheckpoint()
+    val hits = corpus.join(broadcast(probes), Seq("list_id"))
+      .withColumn("cosine",
+        round(cosineFast(spark)(col("t_emb"), col("b_emb")), 6))
+      .filter(col("cosine") >= tau)
+    val byTrain = Window.partitionBy("train_id")
+    val best = byTrain.orderBy(col("cosine").desc, col("bench_id"))
+    hits
+      .withColumn("n_bench_hits", count(lit(1)).over(byTrain))
+      .withColumn("_rn", row_number().over(best))
+      .filter(col("_rn") === 1)
+      .select(col("train_id"), col("n_bench_hits"), col("bench_id"),
+        col("cosine"))
+      .orderBy("train_id")
+  }
 }

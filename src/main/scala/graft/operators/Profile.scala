@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Column-level data profiling — the per-column summary every dataset
+  * onboarding run produces before a byte of it enters a training mix
+  * (deequ's `ColumnProfiler`, Great Expectations' profile step):
+  * row/null/distinct counts, lexicographic min/max, and the modal
+  * value with its frequency, one output row per profiled column.
+  *
+  * Scale shape: ONE scan of the input explodes each row into
+  * (column, value) pairs — a map-side projection, no join — and ONE
+  * hash aggregate on (column, value) with map-side partials collapses
+  * the corpus to its per-column value histogram. Everything after
+  * (per-column rollup, modal-value window) runs on that collapsed
+  * frame, whose size is the sum of per-column cardinalities — never
+  * the row count. At 100 TB the single wide shuffle is the histogram
+  * build; nothing downstream re-touches the input.
+  *
+  * Values are profiled through a CAST to string so one long-format
+  * schema fits every column type; min/max are therefore LEXICOGRAPHIC
+  * over that rendering (documented in the output column names).
+  * Callers profile float columns at their own risk — float-to-string
+  * rendering is engine-specific, so the registered query sticks to
+  * string/integer/timestamp-free columns per the repo's cross-engine
+  * rules.
+  *
+  * Modal-value tie-break is deterministic: highest count, then the
+  * lexicographically LARGEST value. A column that is entirely NULL
+  * profiles with NULL top_value/top_count (no non-null candidate).
+  */
+object Profile {
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("column_name"), col(c).cast("string").as("value"))): _*))
+      .as("_p"))
+      .select(col("_p.*"))
+    val counts = pairs.groupBy("column_name", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val rollup = counts.groupBy("column_name").agg(
+      sum("cnt").as("n_rows"),
+      coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L)).as("n_null"),
+      // counts frame has one row per distinct value; counting its
+      // non-null rows IS the distinct-value count — no second
+      // count-distinct shuffle.
+      count(col("value")).as("n_distinct"),
+      min("value").as("min_value"),
+      max("value").as("max_value"))
+    val w = Window.partitionBy("column_name")
+      .orderBy(col("cnt").desc, col("value").desc)
+    val top = counts.filter(col("value").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("column_name"), col("value").as("top_value"),
+        col("cnt").as("top_count"))
+    rollup.join(top, Seq("column_name"), "left")
+      .orderBy("column_name")
+  }
+}

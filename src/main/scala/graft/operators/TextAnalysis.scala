@@ -180,11 +180,18 @@ object TextAnalysis {
     val total = counts.agg(sum(col("tf")).as("_total"))
     tok.join(broadcast(counts), Seq("token"))
       .crossJoin(broadcast(total))
+      // nano-nat quantization per position (the q148 rule): the mean
+      // assembles from an exact integer sum, order-invariant
+      .withColumn("term_nano",
+        floor(log(col("tf").cast("double") / col("_total").cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long"))
       .groupBy(col("doc").as(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(log(col("tf").cast("double") / col("_total").cast("double"))), 6)
-          .as("avg_logprob"))
+        sum(col("term_nano")).as("_sum_nano"))
+      .select(col(idCol), col("n_tokens"),
+        round((col("_sum_nano").cast("double") / lit(1e9))
+          / col("n_tokens"), 6).as("avg_logprob"))
       .orderBy(idCol)
   }
 
@@ -214,11 +221,91 @@ object TextAnalysis {
     val prefix = counts.groupBy("w1").agg(sum(col("bf")).as("pf"))
     bg.join(counts, Seq("bigram"))
       .join(prefix, Seq("w1"))
+      // each position's log term is a deterministic function of two
+      // exact integer counts — quantized to integer nano-nats at birth
+      // so the per-doc mean assembles from an order-invariant exact
+      // integer sum (the q148 rule; a plain avg of doubles varies with
+      // partition layout and can flip the 6dp rounding)
+      .withColumn("term_nano",
+        floor(log(col("bf").cast("double") / col("pf").cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long"))
       .groupBy(col("doc").as(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("bf").cast("double") / col("pf").cast("double"))), 6)
-          .as("avg_logprob"))
+        sum(col("term_nano")).as("_sum_nano"))
+      .select(col(idCol), col("n_bigrams"),
+        round((col("_sum_nano").cast("double") / lit(1e9))
+          / col("n_bigrams"), 6).as("avg_logprob"))
+      .orderBy(idCol)
+  }
+
+  /** Interpolated trigram LM scoring — the KenLM-style perplexity
+    * quality filter: every position i≥3 scores
+    * ln(λ3·P(w₃|w₁w₂) + λ2·P(w₃|w₂) + λ1·P(w₃)), corpus-trained, and a
+    * document's mean log-probability is the filter signal (low = the
+    * corpus LM finds the text surprising — OCR noise, lorem, key-mash;
+    * suspiciously high = boilerplate the corpus has memorized).
+    * Interpolation (Jelinek–Mercer smoothing) keeps positions whose
+    * trigram is unseen *in context* finite via the bigram/unigram
+    * backoff mass.
+    *
+    * Scale shape: three count tables (unigram/bigram/trigram) are hash
+    * aggregates with map-side partials; scoring is five vocabulary-
+    * keyed equi-joins — no broadcast of anything corpus-derived, the
+    * single-row token total rides a broadcast cross join. Cross-engine
+    * float discipline: every position's probability is a deterministic
+    * rational of exact integer counts evaluated in one fixed expression
+    * order, its log quantized to integer nano-nats at birth (the q148
+    * rule), so the per-doc mean assembles from an exact integer sum.
+    *
+    * Output per doc with ≥1 trigram: (id, n_trigrams, avg_logprob).
+    */
+  def trigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tg = docs
+      .select(col(idCol).as("doc"),
+        explode(Dedup.shingles(col(textCol), 3)).as("trigram"))
+      // drop the whole-text sentinel shingles() emits for short docs
+      .filter(size(split(col("trigram"), " ")) === 3)
+      .select(col("doc"), col("trigram"),
+        element_at(split(col("trigram"), " "), 1).as("w1"),
+        element_at(split(col("trigram"), " "), 2).as("w2"),
+        element_at(split(col("trigram"), " "), 3).as("w3"))
+    // count tables are vocabulary-sized and feed joins against the
+    // frame they derive from — materialize once (the self-join-fed
+    // rule), so scoring re-reads counts, not the corpus
+    val uni = docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uf"))
+      .localCheckpoint()
+    val nTokens = uni.agg(sum(col("uf")).as("n_tokens"))
+    val bg = docs
+      .select(explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
+      .filter(size(split(col("bigram"), " ")) === 2)
+      .groupBy("bigram").agg(count(lit(1)).as("bf"))
+      .localCheckpoint()
+    val tri = tg.groupBy("trigram").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // λ3·tf/c(w1w2) + λ2·c(w2w3)/c(w2) + λ1·c(w3)/N — one fixed
+    // left-associated expression order on both engines
+    val p = (lit(0.6) * col("tf") / col("bfp")) +
+      (lit(0.3) * col("bfs") / col("uf2")) +
+      (lit(0.1) * col("uf3") / col("n_tokens"))
+    tg.join(tri, Seq("trigram"))
+      .join(bg.select(col("bigram"), col("bf").as("bfp")),
+        concat(col("w1"), lit(" "), col("w2")) === col("bigram"))
+      .drop("bigram")
+      .join(bg.select(col("bigram"), col("bf").as("bfs")),
+        concat(col("w2"), lit(" "), col("w3")) === col("bigram"))
+      .join(uni.select(col("w").as("w2"), col("uf").as("uf2")), Seq("w2"))
+      .join(uni.select(col("w").as("w3"), col("uf").as("uf3")), Seq("w3"))
+      .crossJoin(broadcast(nTokens))
+      .withColumn("term_nano",
+        floor(log(p) * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("term_nano")).as("_sum_nano"))
+      .select(col(idCol), col("n_trigrams"),
+        round((col("_sum_nano").cast("double") / lit(1e9))
+          / col("n_trigrams"), 6).as("avg_logprob"))
       .orderBy(idCol)
   }
 
@@ -598,5 +685,51 @@ object TextAnalysis {
         round(col("n_shared").cast("double")
           / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
       .orderBy("source_a", "source_b")
+  }
+
+  /** Character-unigram Shannon entropy per document (nats) — the
+    * compressibility quality signal: machine-generated or boilerplate
+    * text (key-mash, repeated padding, base64 blobs) sits at the
+    * entropy extremes while natural language clusters mid-range, so
+    * entropy cuts catch junk that token/stopword ratios miss.
+    *
+    * Computed as ln(n) − Σ cnt·ln(cnt)/n over the per-character counts
+    * (the algebraic form needs no per-character p=cnt/n division).
+    * Cross-engine float discipline: each cnt·ln(cnt) term is a
+    * DETERMINISTIC function of one integer, quantized to integer
+    * nano-nats at birth, so the aggregate is an exact integer sum —
+    * order-invariant under any partitioning (the q148 rule). The final
+    * 6dp rounding happens once, on a value assembled from exact
+    * integers plus the single deterministic ln(n) term.
+    *
+    * Scale shape: one character explode (map-side) into one hash
+    * aggregate on (doc, char) with map-side partials, then a per-doc
+    * rollup — the alphabet bounds the post-combine state per task, and
+    * nothing joins or broadcasts.
+    *
+    * Output per non-empty doc: (id, n_chars_counted, n_unique_chars,
+    * entropy_nats), ordered by id.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), length(col(textCol)).as("n_chars_counted"),
+        explode(split(col(textCol), "")).as("ch"))
+      // Spark's split keeps the trailing empty match of the empty
+      // pattern (limit = -1 semantics); it is not a character.
+      .filter(col("ch") =!= "")
+    chars.groupBy(idCol, "n_chars_counted", "ch")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("term_nano",
+        floor(col("cnt").cast("double") * log(col("cnt").cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col(idCol), col("n_chars_counted"))
+      .agg(sum("term_nano").as("_sum_nano"),
+        count(lit(1)).as("n_unique_chars"))
+      .select(col(idCol), col("n_chars_counted"), col("n_unique_chars"),
+        round(log(col("n_chars_counted").cast("double"))
+          - (col("_sum_nano").cast("double") / lit(1e9))
+            / col("n_chars_counted"), 6).as("entropy_nats"))
+      .orderBy(idCol)
   }
 }

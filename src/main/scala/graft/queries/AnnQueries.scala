@@ -310,7 +310,23 @@ object AnnQueries {
       emb.filter(col("vec_id") % 2 =!= 0))
   }
 
+  /** q167: semantic decontamination — the embedding-space complement
+    * of q64/q71's shingle probes (`Decontamination
+    * .semanticContaminated`): training vectors near ANY benchmark
+    * vector (seeded-IVF routed, so the whole chain replays in SQL),
+    * with hit count and best match. Bench = every 50th vec_id, the
+    * q139-style held-out split.
+    */
+  private val semanticDecontamQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Decontamination.semanticContaminated(
+      emb.filter(col("vec_id") % 50 =!= 0),
+      emb.filter(col("vec_id") % 50 === 0),
+      tau = 0.35, nlists = 8, nprobe = 4)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q167_semantic_decontam" -> semanticDecontamQ,
     "q160_opq_gain" -> opqGainQ,
     "q159_ann_recall_learned" -> annRecallLearnedQ,
     "q149_dim_drift" -> dimDriftQ,
@@ -333,6 +349,41 @@ object AnnQueries {
     "q27_centroids" -> centroids)
 
   val oracleSql: Map[String, String] = Map(
+    // q167: replays the exact seeded-IVF routing (train-side codebook
+    // by md5 hash order, corpus→1 list, bench→4 lists) and thresholds
+    // on the ROUNDED cosine; per-train hit count and the
+    // (cosine DESC, bench_id) best-match tie-break mirror the two
+    // window functions.
+    "q167_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |tr AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+        |be AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
+        |        FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |              FROM tr ORDER BY h, vec_id LIMIT 8)),
+        |ta AS (SELECT tr.vec_id, tr.v, ccb.list_id,
+        |         row_number() OVER (PARTITION BY tr.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(tr.v, ccb.cc), 6) DESC,
+        |             ccb.list_id) AS crank
+        |       FROM tr CROSS JOIN ccb),
+        |corpus AS (SELECT vec_id AS train_id, v, list_id FROM ta WHERE crank = 1),
+        |ba AS (SELECT be.vec_id, be.v, ccb.list_id,
+        |         row_number() OVER (PARTITION BY be.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(be.v, ccb.cc), 6) DESC,
+        |             ccb.list_id) AS crank
+        |       FROM be CROSS JOIN ccb),
+        |probes AS (SELECT vec_id AS bench_id, v, list_id FROM ba WHERE crank <= 4),
+        |hits AS (SELECT c.train_id, p.bench_id,
+        |           ROUND(list_cosine_similarity(c.v, p.v), 6) AS cosine
+        |         FROM corpus c JOIN probes p USING (list_id)
+        |         WHERE ROUND(list_cosine_similarity(c.v, p.v), 6) >= 0.35e0)
+        |SELECT train_id, n_bench_hits, bench_id, cosine FROM (
+        |  SELECT train_id, bench_id, cosine,
+        |    CAST(count(*) OVER (PARTITION BY train_id) AS BIGINT) AS n_bench_hits,
+        |    row_number() OVER (PARTITION BY train_id
+        |      ORDER BY cosine DESC, bench_id) AS rn
+        |  FROM hits)
+        |WHERE rn = 1 ORDER BY train_id""".stripMargin,
     // q160: the derived rank-4 corpus and its seeded-tier ppm error
     // are replayed exactly (fixed integer loadings, q99's codebook
     // chain); the corpus fingerprint proves both engines scored the

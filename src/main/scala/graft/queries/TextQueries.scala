@@ -326,7 +326,27 @@ object TextQueries {
     TextAnalysis.topTermsByGroup(Tables.documents(s, dir), "source", "text",
       k = 5)
 
+
+  /** q166: character-entropy quality signal
+    * (`TextAnalysis.charEntropy`) — Σ cnt·ln(cnt) terms quantized to
+    * integer nano-nats at birth so the cross-engine aggregate is an
+    * exact integer sum (the q148 rule).
+    */
+  private val charEntropyQ: Q = (s, dir) =>
+    TextAnalysis.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+
+
+  /** q168: interpolated trigram LM scoring
+    * (`TextAnalysis.trigramLogProb`) — the perplexity-style quality
+    * filter; per-position log terms quantized to integer nano-nats so
+    * the per-doc mean is order-invariant (unlike q87's plain avg).
+    */
+  private val trigramLmQ: Q = (s, dir) =>
+    TextAnalysis.trigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
+    "q168_trigram_lm" -> trigramLmQ,
+    "q166_char_entropy" -> charEntropyQ,
     "q161_text_index_build" -> textIndexBuildQ,
     "q158_source_top_terms" -> sourceTopTermsQ,
     "q153_vocab_overlap" -> vocabOverlapQ,
@@ -355,6 +375,60 @@ object TextQueries {
     "q32_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    // q168: counts replayed from the same single-space tokenization
+    // (q87's rendering), the interpolation evaluated in the IDENTICAL
+    // left-associated expression order with e0 float constants, each
+    // position floored to nano-nats before the exact integer sum.
+    "q168_trigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |n AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tokens FROM toks),
+        |uc AS (SELECT w, count(*) AS uf FROM
+        |  (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |bc AS (SELECT bigram, count(*) AS bf FROM
+        |  (SELECT array_to_string(t[i:i+1], ' ') AS bigram FROM toks,
+        |     LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) gs)
+        |  GROUP BY 1),
+        |tgs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |  FROM toks,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) gs),
+        |tc AS (SELECT w1, w2, w3, count(*) AS tf FROM tgs GROUP BY 1, 2, 3),
+        |sc AS (SELECT g.doc_id,
+        |    CAST(floor(ln(0.6e0 * tf / bp.bf + 0.3e0 * bs.bf / u2.uf
+        |        + 0.1e0 * u3.uf / n_tokens) * 1000000000e0 + 0.5e0)
+        |      AS BIGINT) AS tn
+        |  FROM tgs g
+        |  JOIN tc USING (w1, w2, w3)
+        |  JOIN bc bp ON bp.bigram = g.w1 || ' ' || g.w2
+        |  JOIN bc bs ON bs.bigram = g.w2 || ' ' || g.w3
+        |  JOIN uc u2 ON u2.w = g.w2
+        |  JOIN uc u3 ON u3.w = g.w3
+        |  CROSS JOIN n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  round((CAST(sum(tn) AS BIGINT) / 1000000000e0) / count(*), 6)
+        |    AS avg_logprob
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // q166: characters via the LATERAL generate_series + substr walk
+    // (string_split can't split on ''); per-(doc, char) terms floored
+    // to integer nano-nats exactly as the Spark side does, summed as
+    // exact BIGINTs, one final 6dp rounding. DuckDB len == Spark
+    // length (code points) on this corpus; len widens to BIGINT so the
+    // projected count casts back to INTEGER.
+    "q166_char_entropy" ->
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND len(text) > 0),
+        |ch AS (SELECT doc_id, n, substr(text, i, 1) AS ch FROM d,
+        |  LATERAL (SELECT unnest(generate_series(1, n)) AS i) gs),
+        |c AS (SELECT doc_id, n, ch, count(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+        |t AS (SELECT doc_id, n,
+        |        CAST(floor(cnt * ln(cnt) * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
+        |      FROM c),
+        |a AS (SELECT doc_id, n, CAST(sum(tn) AS BIGINT) AS sum_nano,
+        |        CAST(count(*) AS BIGINT) AS n_unique_chars
+        |      FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_chars_counted, n_unique_chars,
+        |  round(ln(n) - (CAST(sum_nano AS DOUBLE) / 1000000000e0) / n, 6)
+        |    AS entropy_nats
+        |FROM a ORDER BY doc_id""".stripMargin,
     // q161: the built index's committed postings must reproduce the
     // raw corpus exactly — doc count, summed doc length (q139's
     // string_split tokenization), distinct (doc, token) postings.
@@ -537,19 +611,29 @@ object TextQueries {
         |       WHERE len(string_split(bigram, ' ')) = 2),
         |c AS (SELECT bigram, count(*) AS bf, string_split(bigram, ' ')[1] AS w1
         |      FROM bg GROUP BY bigram),
-        |p AS (SELECT w1, CAST(sum(bf) AS BIGINT) AS pf FROM c GROUP BY w1)
+        |p AS (SELECT w1, CAST(sum(bf) AS BIGINT) AS pf FROM c GROUP BY w1),
+        |t AS (SELECT doc_id,
+        |    CAST(floor(ln(CAST(bf AS DOUBLE) / CAST(pf AS DOUBLE))
+        |        * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
+        |  FROM bg JOIN c USING (bigram) JOIN p USING (w1))
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  ROUND(avg(ln(CAST(bf AS DOUBLE) / CAST(pf AS DOUBLE))), 6) AS avg_logprob
-        |FROM bg JOIN c USING (bigram) JOIN p USING (w1)
+        |  ROUND((CAST(sum(tn) AS BIGINT) / 1000000000e0) / count(*), 6)
+        |    AS avg_logprob
+        |FROM t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q73_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
         |             FROM documents),
         |c AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
-        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM c)
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM c),
+        |t AS (SELECT doc_id,
+        |    CAST(floor(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE))
+        |        * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
+        |  FROM tok JOIN c USING (token) CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  ROUND(avg(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE))), 6) AS avg_logprob
-        |FROM tok JOIN c USING (token) CROSS JOIN tot
+        |  ROUND((CAST(sum(tn) AS BIGINT) / 1000000000e0) / count(*), 6)
+        |    AS avg_logprob
+        |FROM t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q65_token_histogram" ->
       """WITH n AS (SELECT len(regexp_split_to_array(text, '\s+')) AS n_tokens

@@ -879,4 +879,32 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .select("agree").head().getInt(0)
     assert(flagged == 0, "planted mislabel not flagged")
   }
+
+  test("semantic decontamination flags planted paraphrases with hit count and best match") {
+    import spark.implicits._
+    import graft.operators.Decontamination
+    // train: t1 sits next to BOTH bench vectors, t2/t3 are orthogonal
+    // to everything in the bench set
+    val train = Seq(
+      (101L, Seq(0.97f, 0.20f, 0.0f, 0.0f)),
+      (102L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (103L, Seq(0.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.96f, 0.25f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Decontamination
+      .semanticContaminated(train, bench, tau = 0.9, nlists = 8, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((101L, 2L)),
+      s"expected only t1 flagged, with both bench hits: $got")
+    // best match is the higher cosine: b2's direction is closer to t1
+    // than b1's
+    assert(got.head._3 == 2L && got.head._4 > 0.99,
+      s"best bench match wrong: ${got.head}")
+    // raising tau above both cosines empties the report
+    assert(Decontamination
+      .semanticContaminated(train, bench, tau = 0.9999).isEmpty)
+  }
 }

@@ -266,6 +266,26 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("semantic decontamination broadcasts only checkpointed probe-bounded artifacts") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val df = graft.operators.Decontamination.semanticContaminated(
+      emb.filter(col("vec_id") % 50 =!= 0),
+      emb.filter(col("vec_id") % 50 === 0), tau = 0.4)
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    val broadcasts = nodes.collect { case b: BroadcastExchangeExec => b }
+    assert(broadcasts.nonEmpty,
+      "expected broadcast exchanges in the decontamination plan")
+    // allowed broadcasts: the codebook centroids (local relation) and
+    // the checkpointed routed-bench probes — never a plan re-scanning
+    // the training corpus (q102 regression class)
+    broadcasts.foreach { b =>
+      assert(!flattenPlan(b.child).exists(_.isInstanceOf[FileSourceScanExec]),
+        s"corpus-scale file scan under a broadcast:\n$b")
+    }
+  }
+
   test("IVF+PQ broadcasts only probe-bounded artifacts; corpus meets its codes via shuffle equi-join") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec

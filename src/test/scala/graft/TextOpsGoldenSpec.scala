@@ -39,6 +39,60 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     assert(applied.getLong(0) - applied.getLong(1) == 3L)
   }
 
+  test("trigram LM: matches an independent reference on a known corpus; short docs absent") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.trigramLogProb(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+
+    // independent reference: plain Scala maps + the same quantization
+    val docs = Map(1L -> "a b c a b c".split(" ").toSeq,
+      2L -> "a b d".split(" ").toSeq, 3L -> Seq("x", "y"))
+    val toks = docs.values.flatten.toSeq
+    val uf = toks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val bf = docs.values.flatMap(_.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val tf = docs.values.flatMap(_.sliding(3).filter(_.size == 3).map(_.mkString(" ")))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val n = toks.size.toDouble
+    def expected(id: Long): (Long, Double) = {
+      val terms = docs(id).sliding(3).filter(_.size == 3).map { w =>
+        val p = 0.6 * tf(w.mkString(" ")) / bf(w.take(2).mkString(" ")) +
+          0.3 * bf(w.drop(1).mkString(" ")) / uf(w(1)) +
+          0.1 * uf(w(2)) / n
+        math.floor(math.log(p) * 1e9 + 0.5).toLong
+      }.toSeq
+      val avg = (terms.sum.toDouble / 1e9) / terms.size
+      (terms.size.toLong,
+        BigDecimal(avg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // doc3 (2 tokens) has no trigram and is absent
+    assert(got.map(_._1) == Seq(1L, 2L))
+    got.foreach { case (id, nTri, avg) =>
+      assert((nTri, avg) == expected(id), s"doc $id")
+    }
+  }
+
+  test("char entropy: hand-computed nats, degenerate and uniform docs, empty/null filtered") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aabb"), // 2×2 → ln4 − 2·2ln2/4 = ln2
+      (2L, "aaaa"), // single symbol → 0
+      (3L, "abcd"), // uniform → ln4
+      (4L, ""), // empty: filtered
+      (6L, "z")) // one char → 0
+      .toDF("doc_id", "text")
+      .union(Seq((5L, Option.empty[String])).toDF("doc_id", "text"))
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4, 2L, 0.693147),
+      (2L, 4, 1L, 0.0),
+      (3L, 4, 4L, 1.386294),
+      (6L, 1, 1L, 0.0)))
+  }
+
   test("clean corpus: drop-reason precedence and threshold edges") {
     import spark.implicits._
     val docs = Seq(
