@@ -731,6 +731,34 @@ object Dedup {
       .drop("cluster_id")
   }
 
+  /** Quality-aware canonical selection: [[canonicalCorpus]] keeps each
+    * cluster's MIN-ID member; real pipelines keep the BEST member —
+    * the longest extraction, the highest quality score — because
+    * near-duplicate crawls routinely pair a clean page with a
+    * truncated or boilerplate-wrapped copy. Survivor per cluster =
+    * max `qualityCol`, id ASC tie-break; singletons (docs in no pair)
+    * survive as their own cluster.
+    *
+    * Scale shape: clustering is the adaptive CC; selection is ONE
+    * window over the cluster key (singletons keyed by their own id, so
+    * no skewed null partition) — no self-join, no collect.
+    */
+  def canonicalCorpusBy(docs: DataFrame, pairs: DataFrame, idCol: String,
+      qualityCol: String, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val clusters = connectedComponentsAuto(pairs, aCol, bCol)
+      .withColumnRenamed("doc_id", idCol)
+    val joined = docs.join(clusters, Seq(idCol), "left")
+      .withColumn("_cl", coalesce(col("cluster_id"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_cl")
+      .orderBy(col(qualityCol).desc, col(idCol))
+    joined
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("removed_dups", col("cluster_size") - 1)
+      .drop("cluster_id", "_cl", "_rn")
+  }
+
   /** CCNet-style segment-level boilerplate removal: split every doc
     * into non-overlapping `segLen`-token segments, count the number of
     * DISTINCT documents each segment occurs in across the corpus, drop

@@ -84,6 +84,61 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Hard-negative mining for contrastive training: each anchor's k
+    * nearest corpus vectors whose label DIFFERS from the anchor's —
+    * the negatives that actually move a contrastive loss, where
+    * `Sampling.negativeSamples`' uniform draws are mostly trivial.
+    * Exact tier, mirroring [[bruteForceTopK]]'s shape (probes
+    * broadcast, corpus scanned once, per-query ranking shuffle is
+    * |probes|·N rows); at corpus scale route through the IVF/PQ tiers
+    * and post-filter labels on the reranked shortlist instead.
+    *
+    * Output: (query_id, rank, neighbor_id, neighbor_label, cosine),
+    * rounded-cosine ranking with neighbor_id tie-break.
+    */
+  def hardNegatives(embeddings: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"), asDouble(col("embedding")).as("c_emb"))
+    val q = probes.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"), asDouble(col("embedding")).as("q_emb"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("neighbor_label") =!= col("q_label"))
+      .withColumn("cosine",
+        round(cosineFast(embeddings.sparkSession)(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Corpus cartography: embedding-space clusters (seeded coarse
+    * codebook, each vector assigned to its nearest list) labeled by
+    * their signature vocabulary — the top-k tokens of the documents
+    * landing in each cluster, with token-volume share. The
+    * "what is actually IN this data" report a mixture designer reads
+    * before weighting sources.
+    *
+    * Scale shape: assignment is the map-side broadcast-codebook argmax
+    * ([[nearestLists]]); docs join their cluster by id (one shuffle);
+    * the term rollup is [[TextAnalysis.topTermsByGroup]] — per-cluster
+    * state is vocabulary-sized, independent of corpus rows.
+    */
+  def clusterTopics(embeddings: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, k: Int, nlists: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids = centroidsDf(spark, seededCodebook(embeddings, nlists))
+    val assign = nearestLists(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      "vec_id", 1, centroids)
+      .select(col("vec_id").as(idCol), col("list_id"))
+    val labeled = docs.select(col(idCol), col(textCol)).join(assign, Seq(idCol))
+    TextAnalysis.topTermsByGroup(labeled, "list_id", textCol, k)
+  }
+
   /** Exact all-pairs above a cosine threshold (the embedding-cosine
     * near-duplicate primitive). Quadratic — intended for small corpora
     * or as the verifier for the LSH path below.

@@ -325,7 +325,27 @@ object AnnQueries {
       tau = 0.35, nlists = 8, nprobe = 4)
   }
 
+  /** q169: hard-negative mining (`Similarity.hardNegatives`) — each
+    * probe's 5 nearest OTHER-label vectors, the contrastive-training
+    * negatives a uniform sampler (q124) never surfaces.
+    */
+  private val hardNegativesQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+
+  /** q170: corpus cartography (`Similarity.clusterTopics`) — seeded
+    * coarse-codebook embedding clusters labeled by their top-5 tokens
+    * with token-volume share (vec_id ≡ doc_id in the testdata).
+    */
+  private val clusterTopicsQ: Q = (s, dir) =>
+    Similarity.clusterTopics(Tables.embeddings(s, dir),
+      Tables.documents(s, dir), "doc_id", "text", k = 5)
+
   val queries: Map[String, Q] = Map(
+    "q169_hard_negatives" -> hardNegativesQ,
+    "q170_cluster_topics" -> clusterTopicsQ,
     "q167_semantic_decontam" -> semanticDecontamQ,
     "q160_opq_gain" -> opqGainQ,
     "q159_ann_recall_learned" -> annRecallLearnedQ,
@@ -349,6 +369,45 @@ object AnnQueries {
     "q27_centroids" -> centroids)
 
   val oracleSql: Map[String, String] = Map(
+    // q169: definitional — every (probe, other-label corpus vector)
+    // pair scored, rounded-cosine rank with neighbor_id tie-break.
+    "q169_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT * FROM e WHERE vec_id < 10),
+        |s AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        c.label AS neighbor_label,
+        |        ROUND(list_cosine_similarity(p.v, c.v), 6) AS cosine
+        |      FROM p JOIN e c ON c.vec_id <> p.vec_id AND c.label <> p.label)
+        |SELECT query_id, rank, neighbor_id, neighbor_label, cosine FROM
+        |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q170: the seeded coarse routing (q102's ccb over the FULL
+    // corpus), docs joined to their list by id, then q158's top-terms
+    // chain per list.
+    "q170_cluster_topics" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
+        |        FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |              FROM e ORDER BY h, vec_id LIMIT 8)),
+        |ca AS (SELECT e.vec_id, ccb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, ccb.cc), 6) DESC,
+        |             ccb.list_id) AS crank
+        |       FROM e CROSS JOIN ccb),
+        |assign AS (SELECT vec_id, CAST(list_id AS INTEGER) AS list_id
+        |           FROM ca WHERE crank = 1),
+        |t AS (SELECT a.list_id AS g, u.tok
+        |      FROM assign a JOIN documents d ON d.doc_id = a.vec_id,
+        |      LATERAL (SELECT unnest(regexp_split_to_array(d.text, '\\s+')) AS tok) u
+        |      WHERE u.tok <> ''),
+        |c AS (SELECT g, tok AS token, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT g, token, cnt,
+        |    CAST(row_number() OVER (PARTITION BY g
+        |      ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+        |    round(cnt/sum(cnt) OVER (PARTITION BY g), 6) AS share FROM c)
+        |SELECT g AS list_id, rank, token, cnt, share FROM r WHERE rank <= 5
+        |ORDER BY list_id, rank""".stripMargin,
     // q167: replays the exact seeded-IVF routing (train-side codebook
     // by md5 hash order, corpus→1 list, bench→4 lists) and thresholds
     // on the ROUNDED cosine; per-train hit count and the

@@ -69,6 +69,21 @@ object DedupQueries {
   }
 
 
+  /** q171: quality-aware canonical selection — q59's clusters, but the
+    * survivor is each cluster's LONGEST doc (n_chars DESC, doc_id tie),
+    * the keep-the-best-extraction policy (`Dedup.canonicalCorpusBy`).
+    */
+  private val qualityCanonicalQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
+    Dedup.canonicalCorpusBy(docs, pairs, "doc_id", "n_chars")
+      .select(col("doc_id"), col("n_chars"),
+        col("cluster_size"), col("removed_dups"))
+      .orderBy("doc_id")
+  }
+
+
   /** The production (skew-capped) form of q23: shingles present in more
     * than maxDf documents are dropped from the inverted index before
     * the self-join. Its own DuckDB oracle — the cap is SQL-expressible.
@@ -369,6 +384,7 @@ object DedupQueries {
     "q106_segment_dedup" -> segmentDedupQ,
     "q91_split_leakage" -> splitLeakage,
     "q92_source_overlap" -> sourceOverlap,
+    "q171_quality_canonical" -> qualityCanonicalQ,
     "q59_canonical_corpus" -> canonicalCorpusQ,
     "q71_decontaminate_bloom" -> decontaminateBloom,
     "q74_embedding_dedup" -> embeddingDedup,
@@ -704,6 +720,37 @@ object DedupQueries {
         |FROM shared JOIN sizes sa ON sa.source = source_a
         |  JOIN sizes sb ON sb.source = source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    // q171: q57's recursive closure, survivor = per-cluster window on
+    // (n_chars DESC, doc_id); singletons key by their own id.
+    "q171_quality_canonical" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |clusters AS (SELECT u AS doc_id, min(v) AS cluster_id,
+        |               CAST(count(DISTINCT v) AS BIGINT) AS cluster_size
+        |             FROM reach GROUP BY u),
+        |sel AS (SELECT d.doc_id, d.n_chars,
+        |          coalesce(c.cluster_id, d.doc_id) AS cl,
+        |          coalesce(c.cluster_size, 1) AS cluster_size
+        |        FROM documents d LEFT JOIN clusters c USING (doc_id))
+        |SELECT doc_id, n_chars, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(cluster_size - 1 AS BIGINT) AS removed_dups
+        |FROM (SELECT *, row_number() OVER (PARTITION BY cl
+        |        ORDER BY n_chars DESC, doc_id) AS rn FROM sel)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q59_canonical_corpus" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3

@@ -907,4 +907,60 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(Decontamination
       .semanticContaminated(train, bench, tau = 0.9999).isEmpty)
   }
+
+  test("hard negatives: the label-filtered brute-force ranking, same-label/self excluded") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val got = Similarity.hardNegatives(emb, probes, k = 5).collect()
+    // expectation: the FULL exact ranking (bit-parity-tested
+    // elsewhere), label-filtered in the driver and re-ranked
+    val n = emb.count().toInt
+    val full = Similarity.bruteForceTopK(emb, probes, k = n).collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      val expect = full.filter(_.getLong(0) == qid)
+        .sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), labels(r.getLong(2)), r.getDouble(3)))
+        .filter { case (_, lbl, _) => lbl != labels(qid) }
+        .take(5).toSeq
+      val gotRows = rows.sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getInt(3), r.getDouble(4))).toSeq
+      assert(gotRows == expect, s"probe $qid")
+      assert(gotRows.forall(_._2 != labels(qid)), s"probe $qid kept its own label")
+    }
+  }
+
+  test("cluster topics: nlists=1 degenerates to the global top-terms report") {
+    val one = Similarity.clusterTopics(emb, docs, "doc_id", "text",
+      k = 5, nlists = 1)
+    val global = TextAnalysis.topTermsByGroup(
+      docs.withColumn("list_id", lit(0)), "list_id", "text", k = 5)
+    assert(one.collect().toSeq == global.collect().toSeq)
+    // full routing: ranks dense per cluster, shares within (0, 1]
+    val routed = Similarity.clusterTopics(emb, docs, "doc_id", "text", k = 3)
+      .collect()
+    routed.groupBy(_.getInt(0)).foreach { case (lid, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        s"cluster $lid ranks not dense")
+    }
+    assert(routed.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 1))
+  }
+
+  test("quality canonical: keeps the best-quality member per cluster, min-id on ties") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // cluster {1,2,3}: 2 wins on quality
+      (4L, 7L), (5L, 7L),              // cluster {4,5}: tie -> min id 4
+      (9L, 1L))                        // singleton survives
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.canonicalCorpusBy(fixture, pairs, "doc_id", "quality")
+      .select("doc_id", "quality", "cluster_size", "removed_dups")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 30L, 3L, 2L), (4L, 7L, 2L, 1L), (9L, 1L, 1L, 0L)))
+    // same clusters as min-id canonicalisation -> same survivor count
+    val minId = Dedup.canonicalCorpus(fixture, pairs, "doc_id")
+    assert(minId.count() == got.size)
+  }
 }
