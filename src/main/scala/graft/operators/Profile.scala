@@ -32,14 +32,30 @@ import org.apache.spark.sql.functions._
   * profiles with NULL top_value/top_count (no non-null candidate).
   */
 object Profile {
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** The (column, value, cnt) histogram `columnProfile` is computed
+    * from — exposed because it is the profile's MERGEABLE form: two
+    * histograms over disjoint row sets fold by summing cnt per
+    * (column, value), which is what the streaming profile store
+    * persists per batch (`StreamingPower.profileStream`).
+    */
+  def valueHistogram(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
-    val pairs = df.select(explode(array(cols.map(c =>
+    df.select(explode(array(cols.map(c =>
       struct(lit(c).as("column_name"), col(c).cast("string").as("value"))): _*))
       .as("_p"))
       .select(col("_p.*"))
-    val counts = pairs.groupBy("column_name", "value")
+      .groupBy("column_name", "value")
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileFromCounts(valueHistogram(df, cols))
+
+  /** The profile readout over a (column, value, cnt) histogram —
+    * batch and merged-store paths share it, so streamed == batch by
+    * construction once the histograms fold equal.
+    */
+  def profileFromCounts(counts: DataFrame): DataFrame = {
     val rollup = counts.groupBy("column_name").agg(
       sum("cnt").as("n_rows"),
       coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L)).as("n_null"),

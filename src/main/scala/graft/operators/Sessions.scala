@@ -77,4 +77,5 @@ object Sessions {
         col("event_idx"), col("secs_since_prev"), col("secs_since_start"))
       .orderBy("event_id")
   }
+
 }

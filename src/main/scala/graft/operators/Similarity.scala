@@ -139,6 +139,61 @@ object Similarity {
     TextAnalysis.topTermsByGroup(labeled, "list_id", textCol, k)
   }
 
+  /** Matryoshka truncation report: what does retrieval lose if the
+    * index stores only the first d dimensions? For each candidate
+    * budget, the mean retained L2 energy of the prefix and the
+    * recall@k of the truncated-cosine ranking against the full-vector
+    * ranking — the storage/recall dial for MRL-style embeddings, where
+    * prefixes are trained to be usable on their own (Kusupati et al.,
+    * NeurIPS 2022).
+    *
+    * Cross-engine discipline: per-vector energy ratios quantize to
+    * integer ppm at birth (exact integer sums); recall counts are
+    * exact integers over rounded-cosine rankings; the two divisions
+    * happen once in the final projection.
+    *
+    * Scale shape: one corpus scan per budget for each of energy
+    * (map-side aggregate) and ranking (q24's probe-broadcast shape) —
+    * a |dims|-pass report, run at index-design time, not per query.
+    *
+    * Output: (d, retained_energy, recall_at_k), ordered by d.
+    */
+  def truncationReport(embeddings: DataFrame, probes: DataFrame,
+      dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty, "at least one dimension budget")
+    def trunc(df: DataFrame, d: Int): DataFrame =
+      df.withColumn("embedding", slice(col("embedding"), 1, d))
+    val full = bruteForceTopK(embeddings, probes, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+    val rankings = dims.map { d =>
+      bruteForceTopK(trunc(embeddings, d), trunc(probes, d), k)
+        .select(lit(d).as("d"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val hits = rankings.join(broadcast(full), Seq("query_id", "neighbor_id"))
+      .groupBy("d").agg(count(lit(1)).as("n_hits"))
+    val energies = dims.map { d =>
+      val v = asDouble(col("embedding"))
+      val ed = aggregate(slice(v, lit(1), lit(d)), lit(0.0),
+        (acc, x) => acc + x * x)
+      val ef = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+      embeddings
+        .select(when(ef > 0,
+          floor(ed / ef * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(1000000L)).as("ppm"))
+        .agg(sum(col("ppm")).as("sum_ppm"), count(lit(1)).as("n_vecs"))
+        .select(lit(d).as("d"), col("sum_ppm"), col("n_vecs"))
+    }.reduce(_ unionByName _)
+    energies.join(hits, Seq("d"))
+      .crossJoin(broadcast(nProbes))
+      .select(col("d"),
+        round((col("sum_ppm").cast("double") / lit(1e6)) / col("n_vecs"), 6)
+          .as("retained_energy"),
+        round(col("n_hits").cast("double") / (col("n_probes") * k), 6)
+          .as("recall_at_k"))
+      .orderBy("d")
+  }
+
   /** Exact all-pairs above a cosine threshold (the embedding-cosine
     * near-duplicate primitive). Quadratic — intended for small corpora
     * or as the verifier for the LSH path below.

@@ -343,7 +343,19 @@ object AnnQueries {
     Similarity.clusterTopics(Tables.embeddings(s, dir),
       Tables.documents(s, dir), "doc_id", "text", k = 5)
 
+  /** q173: matryoshka truncation report
+    * (`Similarity.truncationReport`) — retained prefix energy and
+    * recall@10 vs the full-vector ranking at dimension budgets
+    * 8/16/32/64; the d=64 row certifies recall 1.0 by construction.
+    */
+  private val truncationQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.truncationReport(emb, emb.filter(col("vec_id") < 10),
+      dims = Seq(8, 16, 32, 64), k = 10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q173_matryoshka" -> truncationQ,
     "q169_hard_negatives" -> hardNegativesQ,
     "q170_cluster_topics" -> clusterTopicsQ,
     "q167_semantic_decontam" -> semanticDecontamQ,
@@ -368,7 +380,56 @@ object AnnQueries {
     "q26_ann_lsh" -> annLsh,
     "q27_centroids" -> centroids)
 
+  /** q173's oracle, generated per dimension budget: truncated rankings
+    * replay q24's rounded-cosine chain over `v[1:d]`; energy ratios
+    * floor to integer ppm exactly like the Spark side (the d2ppm
+    * pattern); the full ranking is the d=64 chain's own join target,
+    * so the last row certifies recall 1.0.
+    */
+  private def matryoshkaOracle: String = {
+    val dims = Seq(8, 16, 32, 64)
+    val ranks = dims.map { d =>
+      s"""r$d AS (SELECT query_id, neighbor_id FROM (
+         |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |     row_number() OVER (PARTITION BY q.vec_id
+         |       ORDER BY ROUND(list_cosine_similarity(q.v[1:$d], c.v[1:$d]), 6) DESC,
+         |         c.vec_id) AS rank
+         |   FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10)
+         | WHERE rank <= 10)""".stripMargin
+    }
+    val stats = dims.map { d =>
+      s"""s$d AS (SELECT $d AS d, CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+         |    CAST(count(*) AS BIGINT) AS n_vecs,
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM r$d JOIN fullr USING (query_id, neighbor_id)) AS n_hits
+         |  FROM (SELECT CASE WHEN ef > 0
+         |      THEN CAST(floor(ed / ef * 1000000e0 + 0.5e0) AS BIGINT)
+         |      ELSE 1000000 END AS ppm
+         |    FROM (SELECT list_aggregate([y*y FOR y IN v[1:$d]], 'sum') AS ed,
+         |            list_aggregate([y*y FOR y IN v], 'sum') AS ef FROM e)))""".stripMargin
+    }
+    val union = dims.map(d => s"SELECT * FROM s$d").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |fullr AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |     row_number() OVER (PARTITION BY q.vec_id
+       |       ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+       |         c.vec_id) AS rank
+       |   FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10)
+       | WHERE rank <= 10),
+       |${ranks.mkString(",\n")},
+       |${stats.mkString(",\n")},
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM e WHERE vec_id < 10)
+       |SELECT d,
+       |  round((CAST(sum_ppm AS DOUBLE) / 1000000e0) / n_vecs, 6)
+       |    AS retained_energy,
+       |  round(n_hits / (np * 10), 6) AS recall_at_k
+       |FROM ($union) u CROSS JOIN np
+       |ORDER BY d""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q173_matryoshka" -> matryoshkaOracle,
     // q169: definitional — every (probe, other-label corpus vector)
     // pair scored, rounded-cosine rank with neighbor_id tie-break.
     "q169_hard_negatives" ->

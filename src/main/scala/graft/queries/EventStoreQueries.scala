@@ -458,6 +458,30 @@ object EventStoreQueries {
     Sessions.sessionFeatures(Tables.events(s, dir), gapMinutes = 30)
 
 
+  /** q172: streaming column-profile store — the documents table split
+    * into three micro-batch appends of (column, value, cnt)
+    * histograms, compacted, read out through the SAME profile rollup
+    * as q165 (whose oracle this shares verbatim: the merged store
+    * must be indistinguishable from the one-shot batch profile).
+    */
+  private val profileStoreQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q172_prof")
+    val store = scratch.toString + "/profile"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.profileStep(
+        docs.filter(col("doc_id") % 3 === b), cols, store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.profileMerge)
+    val out = graft.streaming.StreamingPower.mergedProfile(s, store)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
   /** q157: gap-robust anomaly detection — rolling z-score over the
     * RESAMPLED (gap-filled) grid, so a burst after a quiet stretch is
     * judged against true elapsed time, not against however many rows
@@ -599,6 +623,7 @@ object EventStoreQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q172_profile_store" -> profileStoreQ,
     "q164_feed_bronze" -> feedBronzeQ,
     "q163_feed_source" -> feedSourceQ,
     "q162_image_decode" -> imageDecodeQ,
@@ -633,6 +658,9 @@ object EventStoreQueries {
     "q36_multimodal_decode" -> multimodal)
 
   val oracleSql: Map[String, String] = Map(
+    // q172: q165's oracle verbatim — the folded store must read out
+    // exactly like the one-shot batch profile.
+    "q172_profile_store" -> columnProfileOracle,
     // q164: the two polls' union covers every non-null-ts record of the
     // %20 subset exactly once after PK dedup, so DuckDB aggregates the
     // raw table directly; a dedup failure double-counts the overlap

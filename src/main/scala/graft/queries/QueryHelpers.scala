@@ -116,6 +116,37 @@ private[queries] object QueryHelpers {
        |    coalesce(CAST(source AS VARCHAR), chr(30)),
        |    coalesce(CAST($textExpr AS VARCHAR), chr(30))))""".stripMargin
 
+  /** q165's column-profile oracle — shared verbatim by q172 (the
+    * merged profile store must be indistinguishable from the one-shot
+    * batch profile). DuckDB sums of BIGINT widen to HUGEINT, so every
+    * count casts back; min/max/top tie-breaks are binary string
+    * comparisons in both engines.
+    */
+  lazy val columnProfileOracle: String =
+    """WITH p AS (
+      |  SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS value FROM documents
+      |  UNION ALL SELECT 'lang', lang FROM documents
+      |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+      |  UNION ALL SELECT 'source', source FROM documents
+      |  UNION ALL SELECT 'text', text FROM documents),
+      |c AS (SELECT column_name, value, count(*) AS cnt FROM p GROUP BY 1, 2),
+      |a AS (SELECT column_name,
+      |        CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |        CAST(coalesce(sum(cnt) FILTER (WHERE value IS NULL), 0) AS BIGINT) AS n_null,
+      |        CAST(count(value) AS BIGINT) AS n_distinct,
+      |        min(value) AS min_value, max(value) AS max_value
+      |      FROM c GROUP BY 1),
+      |t AS (SELECT column_name, value AS top_value, CAST(cnt AS BIGINT) AS top_count
+      |      FROM (SELECT column_name, value, cnt,
+      |              row_number() OVER (PARTITION BY column_name
+      |                ORDER BY cnt DESC, value DESC) AS rn
+      |            FROM c WHERE value IS NOT NULL)
+      |      WHERE rn = 1)
+      |SELECT a.column_name, n_rows, n_null, n_distinct, min_value,
+      |  max_value, top_value, top_count
+      |FROM a LEFT JOIN t ON a.column_name = t.column_name
+      |ORDER BY a.column_name""".stripMargin
+
   /** q102's full IVF+PQ chain in DuckDB — shared verbatim by q131 (the
     * persisted index must reproduce the inline operator exactly).
     */

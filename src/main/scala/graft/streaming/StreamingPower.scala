@@ -350,6 +350,62 @@ object StreamingPower {
     graft.engine.BatchStore.read(spark, storePath)
       .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
 
+  /** One micro-batch of the streaming COLUMN-PROFILE store: the
+    * batch's (column, value, cnt) histogram (`Profile.valueHistogram`
+    * — the profile's mergeable form) lands under `batch_id=<id>` with
+    * the committed-skip guard. Store size is the sum of per-column
+    * cardinalities seen so far, never event volume; duplicate
+    * (column, value) rows across batches fold by summing cnt.
+    */
+  def profileStep(batch: DataFrame, cols: Seq[String], storePath: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.Profile.valueHistogram(batch, cols)
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** Profile MERGE as a compaction hook: cnt sums per (column, value)
+    * — the folded generation is cardinality-sized (see
+    * [[countMinMerge]]).
+    */
+  val profileMerge: DataFrame => DataFrame =
+    _.groupBy("column_name", "value").agg(sum(col("cnt")).as("cnt"))
+
+  /** The loop as a streaming query over a row stream. `compactEvery =
+    * n` folds the store to one MERGED generation whenever ≥ n batches
+    * commit.
+    */
+  def profileStream(rows: DataFrame, cols: Seq[String], storePath: String,
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        profileStep(batch, cols, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            profileMerge)
+      }
+      .start()
+
+  /** The profile readout across every committed batch: fold the
+    * stored histograms per (column, value), then the SAME
+    * `profileFromCounts` the batch profiler uses — streamed == batch
+    * by construction once the folded histogram equals the one-shot
+    * one. Committed-only read (`BatchStore.read`): a partial batch
+    * dir would silently inflate counts.
+    */
+  def mergedProfile(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Profile.profileFromCounts(
+      graft.engine.BatchStore.read(spark, storePath)
+        .groupBy("column_name", "value").agg(sum(col("cnt")).as("cnt")))
+
   /** One micro-batch of the streaming HISTOGRAM store: the batch's
     * fixed-edge histogram written to a per-batch-id dir with the same
     * committed-skip guard as `countMinStep` — retries are no-ops, and

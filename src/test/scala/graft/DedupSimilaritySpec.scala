@@ -946,6 +946,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(routed.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 1))
   }
 
+  test("matryoshka truncation: retained energy monotone in d, full budget exact") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val rep = Similarity.truncationReport(emb, probes,
+      dims = Seq(8, 16, 32, 64), k = 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rep.map(_._1) == Seq(8, 16, 32, 64))
+    // the full budget reproduces the full ranking and keeps all energy
+    assert(rep.last._2 == 1.0 && rep.last._3 == 1.0)
+    // prefix energy can only grow with d
+    assert(rep.map(_._2).sliding(2).forall(p => p.head <= p.last),
+      s"retained energy not monotone: $rep")
+    assert(rep.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
   test("quality canonical: keeps the best-quality member per cluster, min-id on ties") {
     import spark.implicits._
     val fixture = Seq(

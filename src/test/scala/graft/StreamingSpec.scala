@@ -260,6 +260,37 @@ class StreamingSpec extends SparkSpecBase {
       "retried batch mutated the committed changelog store")
   }
 
+  test("streaming profile store reads out as the batch profile of the whole stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_prof_store").toString + "/prof"
+    val ckpt = Files.createTempDirectory("graft_prof_ckpt").toString
+    val cols = Seq("id", "s")
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingPower.profileStream(
+      ms.toDF().toDF("id", "s"), cols, storePath, ckpt, compactEvery = 2)
+    val b1 = Seq(1L -> "a", 2L -> "b", 3L -> "a")
+    val b2 = Seq(4L -> "b", 5L -> "b", 6L -> "c")
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val whole = graft.operators.Profile
+      .columnProfile((b1 ++ b2).toDF("id", "s"), cols).collect().toSeq
+    val merged = StreamingPower.mergedProfile(spark, storePath).collect().toSeq
+    assert(merged == whole, s"merged $merged != whole-stream $whole")
+    // cross-batch modal shift is visible: "b" (3 across batches) beats
+    // "a" (2, batch-1 local winner)
+    val sRow = merged.find(_.getString(0) == "s").get
+    assert(sRow.getString(6) == "b" && sRow.getLong(7) == 3L)
+    // a retried batch id must not inflate any count
+    StreamingPower.profileStep(b2.toDF("id", "s"), cols, storePath, batchId = 1L)
+    assert(StreamingPower.mergedProfile(spark, storePath).collect().toSeq == whole,
+      "retried batch mutated the committed profile store")
+  }
+
   test("streaming histogram store merges to the batch histogram of the whole stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
