@@ -194,6 +194,65 @@ object Similarity {
       .orderBy("d")
   }
 
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    * hard-label variant): a small seed set labels its neighbors, the
+    * grown set labels THEIR neighbors, for `iters` synchronous rounds
+    * — the standard way a 1%-labeled corpus becomes a weakly-labeled
+    * training set. Deterministic form: a node adopts the majority
+    * label of its already-labeled in-neighbors (count DESC, label ASC
+    * tie-break); labeled nodes never change; `hop` records the round
+    * a node was labeled (0 = seed).
+    *
+    * The kNN graph is IVF-routed, not exact: nodes meet only within
+    * their coarse list (the SemDeDup shape — per-list candidate work
+    * is (N/nlists)², so callers pass `nlists` ≈ ⌈√N⌉ via
+    * [[autoNlists]]; never a cartesian), each node keeping its k
+    * nearest in-list neighbors by rounded cosine with id tie-break.
+    *
+    * Scale shape: one list-keyed self-equi-join builds the graph
+    * (checkpointed — it feeds every round); each round is one
+    * graph⋈labels equi-join + an anti-join against the labeled set +
+    * one majority window, all keyed by node; label state is node-
+    * sized and checkpointed per round (the self-join-fed rule).
+    *
+    * Output: (vec_id, label, hop) for every node labeled within
+    * `iters` rounds, ordered by vec_id.
+    */
+  def labelPropagation(embeddings: DataFrame, seeds: DataFrame, k: Int,
+      iters: Int, nlists: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids = centroidsDf(spark, seededCodebook(embeddings, nlists))
+    val asg = nearestLists(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      "vec_id", 1, centroids)
+      .select(col("vec_id"), col("list_id"), col("emb"))
+      .localCheckpoint()
+    val wk = Window.partitionBy("node").orderBy(col("cosine").desc, col("nbr"))
+    val graph = asg.select(col("list_id"), col("vec_id").as("node"), col("emb").as("ea"))
+      .join(asg.select(col("list_id"), col("vec_id").as("nbr"), col("emb").as("eb")),
+        Seq("list_id"))
+      .filter(col("node") =!= col("nbr"))
+      .withColumn("cosine", round(cosineFast(spark)(col("ea"), col("eb")), 6))
+      .withColumn("_r", row_number().over(wk))
+      .filter(col("_r") <= k)
+      .select(col("node"), col("nbr"))
+      .localCheckpoint()
+    var labels = seeds.select(col("vec_id"), col("label"), lit(0).as("hop"))
+      .localCheckpoint()
+    for (i <- 1 to iters) {
+      val wv = Window.partitionBy("node").orderBy(col("n").desc, col("label"))
+      val newly = graph
+        .join(labels.select(col("vec_id").as("nbr"), col("label")), Seq("nbr"))
+        .join(labels.select(col("vec_id").as("node")), Seq("node"), "left_anti")
+        .groupBy("node", "label").agg(count(lit(1)).as("n"))
+        .withColumn("_r", row_number().over(wv))
+        .filter(col("_r") === 1)
+        .select(col("node").as("vec_id"), col("label"), lit(i).as("hop"))
+      labels = labels.unionByName(newly).localCheckpoint()
+    }
+    labels.orderBy("vec_id")
+  }
+
   /** Exact all-pairs above a cosine threshold (the embedding-cosine
     * near-duplicate primitive). Quadratic — intended for small corpora
     * or as the verifier for the LSH path below.

@@ -354,7 +354,20 @@ object AnnQueries {
       dims = Seq(8, 16, 32, 64), k = 10)
   }
 
+  /** q174: semi-supervised label propagation
+    * (`Similarity.labelPropagation`) — every 5th vector seeds its
+    * label, two synchronous majority rounds over the ⌈√N⌉-list
+    * IVF-routed kNN graph label the rest of the reachable corpus.
+    */
+  private val labelPropQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.labelPropagation(emb,
+      emb.filter(col("vec_id") % 5 === 0).select(col("vec_id"), col("label")),
+      k = 5, iters = 2, nlists = Similarity.autoNlists(emb))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q174_label_prop" -> labelPropQ,
     "q173_matryoshka" -> truncationQ,
     "q169_hard_negatives" -> hardNegativesQ,
     "q170_cluster_topics" -> clusterTopicsQ,
@@ -429,6 +442,48 @@ object AnnQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // q174: the ⌈√N⌉ seeded routing (q125's cb/ca pattern), the
+    // within-list kNN graph (rounded cosine, id tie-break), then two
+    // unrolled majority rounds — each restricted to not-yet-labeled
+    // nodes, (count DESC, label ASC) tie-break, exactly the Spark
+    // iteration.
+    "q174_label_prop" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS c
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id
+        |             LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e))),
+        |ca AS (SELECT e.vec_id, e.v, cb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC, cb.list_id)
+        |           AS crank
+        |       FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
+        |g AS (SELECT node, nbr FROM (
+        |   SELECT a.vec_id AS node, b.vec_id AS nbr,
+        |     row_number() OVER (PARTITION BY a.vec_id
+        |       ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC, b.vec_id) AS r
+        |   FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id)
+        | WHERE r <= 5),
+        |l0 AS (SELECT vec_id, label, 0 AS hop FROM embeddings WHERE vec_id % 5 = 0),
+        |v1 AS (SELECT g.node, l.label, count(*) AS n
+        |       FROM g JOIN l0 l ON l.vec_id = g.nbr
+        |       WHERE g.node NOT IN (SELECT vec_id FROM l0) GROUP BY 1, 2),
+        |n1 AS (SELECT node AS vec_id, label, 1 AS hop FROM
+        |       (SELECT node, label,
+        |          row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS r
+        |        FROM v1) WHERE r = 1),
+        |l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM n1),
+        |v2 AS (SELECT g.node, l.label, count(*) AS n
+        |       FROM g JOIN l1 l ON l.vec_id = g.nbr
+        |       WHERE g.node NOT IN (SELECT vec_id FROM l1) GROUP BY 1, 2),
+        |n2 AS (SELECT node AS vec_id, label, 2 AS hop FROM
+        |       (SELECT node, label,
+        |          row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS r
+        |        FROM v2) WHERE r = 1),
+        |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM n2)
+        |SELECT vec_id, label, CAST(hop AS INTEGER) AS hop
+        |FROM l2 ORDER BY vec_id""".stripMargin,
     "q173_matryoshka" -> matryoshkaOracle,
     // q169: definitional — every (probe, other-label corpus vector)
     // pair scored, rounded-cosine rank with neighbor_id tie-break.

@@ -960,6 +960,32 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(rep.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
   }
 
+  test("label propagation: planted clusters adopt their seed's label, seeds never change") {
+    import spark.implicits._
+    // two tight clusters around orthogonal axes; one seed each
+    def jitter(base: Seq[Float], i: Int): Seq[Float] =
+      base.zipWithIndex.map { case (x, d) => x + (if (d == 3) 0.01f * i else 0f) }
+    val a = (0 until 6).map(i => ((10 + i).toLong, jitter(Seq(1f, 0f, 0f, 0f), i), 7))
+    val b = (0 until 6).map(i => ((20 + i).toLong, jitter(Seq(0f, 1f, 0f, 0f), i), 8))
+    val embFix = (a ++ b).toDF("vec_id", "embedding", "label")
+    val seeds = embFix.filter(col("vec_id").isin(10L, 20L))
+      .select(col("vec_id"), col("label"))
+    val out = Similarity.labelPropagation(embFix, seeds, k = 3, iters = 2,
+      nlists = Similarity.autoNlists(embFix))
+      .as[(Long, Int, Int)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // seeds keep hop 0 and their label
+    assert(byId(10L) == ((10L, 7, 0)) && byId(20L) == ((20L, 8, 0)))
+    // every labeled node got its own cluster's seed label
+    out.foreach { case (id, lbl, hop) =>
+      val want = if (id < 20) 7 else 8
+      assert(lbl == want, s"node $id labeled $lbl (hop $hop)")
+      assert(hop >= 0 && hop <= 2)
+    }
+    // propagation reached beyond the seeds
+    assert(out.size > 2, s"nothing propagated: $out")
+  }
+
   test("quality canonical: keeps the best-quality member per cluster, min-id on ties") {
     import spark.implicits._
     val fixture = Seq(
