@@ -52,6 +52,7 @@ object AnnIndex {
   private def coarsePath(path: String) = s"$path/coarse"
   private def subPath(path: String) = s"$path/sub"
   private def encPath(path: String) = s"$path/enc"
+  private def deadPath(path: String) = s"$path/dead"
 
   /** Derive seeded codebooks from the corpus, encode it, and publish
     * the three index tables. Re-running on an existing index is a full
@@ -106,7 +107,11 @@ object AnnIndex {
     // APPEND to the old codebooks and silently drop the pre-crash
     // corpus from every future query.
     Seq(coarsePath(path), subPath(path),
-      encPath(path) + "._compacting", encPath(path) + "._old", encPath(path))
+      encPath(path) + "._compacting", encPath(path) + "._old", encPath(path),
+      // a rebuild starts a fresh corpus generation — tombstones refer
+      // to the PREVIOUS generation's membership and must not suppress
+      // re-indexed ids
+      deadPath(path))
       .foreach(d => fs.delete(new Path(d), true))
     val centsC = cents.localCheckpoint()
     val subC = sub.localCheckpoint()
@@ -131,6 +136,54 @@ object AnnIndex {
     val id = if (batchId >= 0) batchId else nextBatchId(spark, path)
     writeEnc(batch, cents, sub, path, dim, numSub, id)
   }
+
+  /** TOMBSTONE delete: the ids land under `dead/batch=M` (parquet's
+    * per-dir `_SUCCESS` is the commit marker, the same per-batch-dir
+    * gate the enc reads use) and every [[query]] anti-joins the live
+    * tombstone set — a delete is visible immediately without touching
+    * the encoded generations. [[compact]] applies tombstones
+    * PHYSICALLY (folds enc minus dead) and then drains exactly the
+    * tombstone dirs it snapshotted, so the live set stays bounded by
+    * deletes-since-last-compaction, never corpus scale. Idempotent per
+    * batch id like [[appendBatch]]; a rebuild clears all tombstones
+    * (previous-generation membership). Deleting an id and later
+    * re-appending it (after a compaction drained the tombstone) makes
+    * it visible again — tombstones mask, they don't retire ids.
+    */
+  def delete(ids: DataFrame, path: String, batchId: Long = -1L): Unit = {
+    val spark = ids.sparkSession
+    require(exists(spark, path),
+      s"no committed codebooks at $path — build the index first")
+    val dead = new Path(deadPath(path))
+    val fs = fsOf(spark, dead)
+    val id = if (batchId >= 0) batchId else nextIdIn(fs, dead)
+    val dir = new Path(dead, s"batch=$id")
+    if (fs.exists(new Path(dir, "_SUCCESS"))) return // committed retry
+    ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+  }
+
+  /** Committed tombstone batch ids — per-dir `_SUCCESS` probes (the
+    * dead set is small by the compaction-drain contract; no manifest).
+    */
+  private[graft] def committedDeadBatches(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new Path(deadPath(path))
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(b => fs.exists(new Path(p, s"batch=$b/_SUCCESS")))
+      .sorted
+  }
+
+  /** The live tombstoned id set (distinct, committed dirs only). */
+  private[operators] def deadIds(spark: SparkSession, path: String,
+      batches: Seq[Long]): DataFrame =
+    spark.read.parquet(deadPath(path))
+      .filter(col("batch").isin(batches: _*))
+      .select(col("vec_id")).distinct()
 
   /** True once the index's codebooks are COMMITTED — parquet's
     * `_SUCCESS` under both `coarse/` and `sub/`. A build killed
@@ -194,7 +247,12 @@ object AnnIndex {
     val fs = fsOf(spark, enc)
     if (!fs.exists(enc)) return
     val batches = committedBatches(spark, path)
-    if (batches.size <= 1) return
+    // SNAPSHOT the tombstone dirs to apply: deletes landing after this
+    // point are untouched by the post-swap drain below, so they are
+    // never lost (their rows survive the fold and the tombstone stays
+    // live until the next compaction)
+    val deadBatches = committedDeadBatches(spark, path)
+    if (batches.size <= 1 && deadBatches.isEmpty) return
     // the merged generation takes the MAX folded id, NOT 0: a
     // streaming writer killed between its append commit and the
     // engine's checkpoint commit will RE-DELIVER that last batch id,
@@ -206,9 +264,18 @@ object AnnIndex {
     val backup = new Path(encPath(path) + "._old")
     fs.delete(staging, true)
     fs.delete(backup, true)
-    spark.read.parquet(encPath(path))
+    val kept = spark.read.parquet(encPath(path))
       .filter(col("batch").isin(batches: _*))
       .withColumn("batch", lit(genId))
+    // apply tombstones physically: the folded generation simply
+    // doesn't contain dead rows
+    val folded =
+      if (deadBatches.isEmpty) kept
+      else kept.join(
+        deadIds(spark, path, deadBatches)
+          .withColumnRenamed("vec_id", "neighbor_id").localCheckpoint(),
+        Seq("neighbor_id"), "left_anti")
+    folded
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "list_id")
       .parquet(staging.toString)
     // reader gate: batch-level _SUCCESS (parquet only marks the root)
@@ -227,6 +294,13 @@ object AnnIndex {
     renameOrThrow(fs, enc, backup)
     renameOrThrow(fs, staging, enc)
     fs.delete(backup, true)
+    // drain ONLY the snapshotted tombstone dirs — their rows are gone
+    // from the folded generation. A crash before this point leaves
+    // them live, which is harmless (the anti-join masks rows that no
+    // longer exist); deletes that arrived mid-compaction keep their
+    // dirs and stay effective.
+    deadBatches.foreach(b =>
+      fs.delete(new Path(deadPath(path), s"batch=$b"), true))
   }
 
   /** Recover `enc/` around an interrupted [[compact]] swap: staging
@@ -325,12 +399,14 @@ object AnnIndex {
 
   private def nextBatchId(spark: SparkSession, path: String): Long = {
     val p = new Path(encPath(path))
-    val fs = fsOf(spark, p)
+    nextIdIn(fsOf(spark, p), p)
+  }
+
+  private def nextIdIn(fs: FileSystem, p: Path): Long =
     if (!fs.exists(p)) 0L
     else fs.listStatus(p).map(_.getPath.getName)
       .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
       .foldLeft(-1L)(math.max) + 1L
-  }
 
   private def writeEnc(vectors: DataFrame, cents: DataFrame, sub: DataFrame,
       path: String, dim: Int, numSub: Int, batchId: Long): Unit = {
@@ -374,10 +450,20 @@ object AnnIndex {
     // killed mid-append is invisible to readers
     val probed = probeLists.select("list_id").distinct()
       .collect().map(_.get(0))
-    val enc = spark.read.parquet(encPath(path))
+    val encAll = spark.read.parquet(encPath(path))
       .filter(col("batch").isin(committedBatches(spark, path): _*))
       .filter(col("list_id").isin(probed: _*))
       .drop("batch")
+    // mask tombstoned ids (bounded by deletes-since-last-compaction —
+    // compact() drains the set — and checkpointed per the broadcast
+    // discipline: never a raw file-scan plan on a broadcast side)
+    val deadBatches = committedDeadBatches(spark, path)
+    val enc =
+      if (deadBatches.isEmpty) encAll
+      else encAll.join(
+        deadIds(spark, path, deadBatches)
+          .withColumnRenamed("vec_id", "neighbor_id").localCheckpoint(),
+        Seq("neighbor_id"), "left_anti")
     val probeTable = Similarity.pqProbeTable(probes, dim, numSub, sub)
     val rank = Window.partitionBy("query_id").orderBy(col("sd"), col("neighbor_id"))
     enc.join(broadcast(probeLists), Seq("list_id"))

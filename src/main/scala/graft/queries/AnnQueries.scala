@@ -366,7 +366,25 @@ object AnnQueries {
       k = 5, iters = 2, nlists = Similarity.autoNlists(emb))
   }
 
+  /** q175: tombstone deletes on the persisted ANN index — q131's
+    * build + query with every 7th vector deleted in between
+    * (`AnnIndex.delete`): the masked ids vanish from the ranking
+    * immediately, codebooks and routing untouched.
+    */
+  private val annDeleteQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q175_del")
+    val idx = scratch.toString + "/idx"
+    AnnIndex.build(emb, idx, dim = 64)
+    AnnIndex.delete(emb.filter(col("vec_id") % 7 === 0).select("vec_id"), idx)
+    val out = AnnIndex.query(s, idx, emb.filter(col("vec_id") < 10),
+      k = 3, dim = 64).localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_ann_delete" -> annDeleteQ,
     "q174_label_prop" -> labelPropQ,
     "q173_matryoshka" -> truncationQ,
     "q169_hard_negatives" -> hardNegativesQ,
@@ -442,6 +460,11 @@ object AnnQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // q175: q102's chain with tombstoned neighbors masked from the
+    // candidate set — everything else (codebooks, routing, ADC)
+    // identical, exactly the query-time anti-join semantics.
+    "q175_ann_delete" ->
+      ivfPqSeededOracleWhere(" AND c.neighbor_id % 7 <> 0"),
     // q174: the ⌈√N⌉ seeded routing (q125's cb/ca pattern), the
     // within-list kNN graph (rounded cosine, id tie-break), then two
     // unrolled majority rounds — each restricted to not-yet-labeled

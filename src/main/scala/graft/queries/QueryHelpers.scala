@@ -148,8 +148,16 @@ private[queries] object QueryHelpers {
       |ORDER BY a.column_name""".stripMargin
 
   /** q102's full IVF+PQ chain in DuckDB — shared verbatim by q131 (the
-    * persisted index must reproduce the inline operator exactly).
+    * persisted index must reproduce the inline operator exactly), and
+    * with a candidate filter by q175 (tombstoned neighbors masked; the
+    * codebooks/routing/probes stay full-corpus, exactly as an index
+    * built before the deletes).
     */
+  def ivfPqSeededOracleWhere(candExtra: String): String =
+    ivfPqSeededOracle.replace(
+      "WHERE c.neighbor_id <> p.query_id",
+      s"WHERE c.neighbor_id <> p.query_id$candExtra")
+
   lazy val ivfPqSeededOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc

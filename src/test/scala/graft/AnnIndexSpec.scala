@@ -68,6 +68,40 @@ class AnnIndexSpec extends SparkSpecBase {
       "retried append changed query results")
   }
 
+  test("tombstone delete: masked immediately, physically dropped by compaction, drained tombstones harmless") {
+    val dir = Files.createTempDirectory("graft_anndel").toString + "/idx"
+    AnnIndex.build(emb, dir, dim = 64)
+    val probes = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    // expectation: the pre-delete ranking at full depth, deleted ids
+    // filtered, re-cut to k — the ADC scores of survivors are
+    // untouched by a delete
+    val deep = AnnIndex.query(spark, dir, probes, k = n, dim = 64).collect()
+    val expect = deep.groupBy(_.getLong(0)).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(_.getInt(1)).filter(_.getLong(2) % 7 != 0).take(3)
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    }.sortBy(r => (r._1, r._3, r._2))
+    AnnIndex.delete(emb.filter(col("vec_id") % 7 === 0).select("vec_id"), dir)
+    def gotNow() = AnnIndex.query(spark, dir, probes, k = 3, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._3, r._2)).toSeq
+    val masked = gotNow()
+    assert(masked == expect, "query-time tombstone mask diverged")
+    assert(masked.forall(_._2 % 7 != 0), "a deleted id survived")
+    // a retried delete batch id is a no-op
+    AnnIndex.delete(emb.filter(col("vec_id") % 7 === 0).select("vec_id"),
+      dir, batchId = 0L)
+    assert(AnnIndex.committedDeadBatches(spark, dir) == Seq(0L))
+    // compaction drops the rows physically and drains the tombstones
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.committedDeadBatches(spark, dir).isEmpty,
+      "compaction did not drain applied tombstones")
+    assert(gotNow() == expect, "compaction changed the masked ranking")
+    // a tombstone for rows already gone is harmless
+    AnnIndex.delete(emb.filter(col("vec_id") % 7 === 0).select("vec_id"), dir)
+    assert(gotNow() == expect, "stale tombstone changed results")
+  }
+
   test("streaming ingestion: first micro-batch builds the index, later ones append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
