@@ -164,6 +164,28 @@ object AnnIndex {
       .write.mode(SaveMode.Overwrite).parquet(dir.toString)
   }
 
+  /** [[delete]] as a streaming face: a stream of ids to forget (an
+    * unsubscribe feed, a takedown queue) lands each micro-batch as one
+    * tombstone batch keyed by the ENGINE's batch id — exactly-once
+    * under foreachBatch retries while the batch dir lives; a retry of
+    * an id already drained by compaction re-applies a mask over rows
+    * that no longer exist, which is a no-op by construction.
+    * `compactEvery` bounds the live tombstone set like
+    * [[indexStream]]'s generation count.
+    */
+  def deleteStream(ids: DataFrame, path: String, checkpoint: String,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        delete(batch, path, batchId = id)
+        if (compactEvery > 0 &&
+            committedDeadBatches(batch.sparkSession, path).size >= compactEvery)
+          compact(batch.sparkSession, path)
+      }
+      .start()
+
   /** Committed tombstone batch ids — per-dir `_SUCCESS` probes (the
     * dead set is small by the compaction-drain contract; no manifest).
     */

@@ -53,4 +53,55 @@ object Retrieval {
       .select(col(queryCol), col("rank"), col(docCol), col("rrf"))
       .orderBy(queryCol, "rank")
   }
+
+  /** Ranking-quality evaluation: nDCG@k of a ranked list against a
+    * graded relevance table — the number a retrieval tier is tuned
+    * on (Järvelin & Kekäläinen, TOIS 2002). DCG sums
+    * gain/log2(pos+1) over the list's top-k positions; the ideal DCG
+    * re-ranks each query's relevance grades descending (doc tie-break)
+    * and sums the same discounts; nDCG = DCG/IDCG.
+    *
+    * Cross-engine float discipline: each position's discounted gain is
+    * a deterministic function of (grade, position), quantized to
+    * integer nano-units at birth (the q148 rule), so both sums are
+    * exact integers and the single final division is deterministic.
+    * Negative grades clamp to 0 (standard); queries with zero ideal
+    * gain emit NULL nDCG.
+    *
+    * Scale shape: the ranked list is top-k-bounded per query by its
+    * retrieval tier; relevance joins by (query, doc); the ideal
+    * ranking is one window over each query's graded docs. Nothing
+    * sees the corpus.
+    *
+    * Output: (queryCol, dcg, idcg, ndcg), ordered by query.
+    */
+  def ndcgAtK(ranked: DataFrame, rels: DataFrame, k: Int,
+      queryCol: String = "query_id", docCol: String = "doc_id",
+      relCol: String = "rel"): DataFrame = {
+    def termNano(gain: org.apache.spark.sql.Column,
+        pos: org.apache.spark.sql.Column) =
+      floor(greatest(gain, lit(0.0)) / log2(pos + lit(1)) * lit(1e9)
+        + lit(0.5)).cast("long")
+    val dcg = ranked.filter(col("rank") <= k)
+      .join(rels.select(col(queryCol), col(docCol), col(relCol)),
+        Seq(queryCol, docCol), "left")
+      .withColumn("_t", termNano(coalesce(col(relCol), lit(0.0)), col("rank")))
+      .groupBy(queryCol).agg(sum(col("_t")).as("_dcg_nano"))
+    val wi = Window.partitionBy(queryCol)
+      .orderBy(col(relCol).desc, col(docCol))
+    val idcg = rels
+      .withColumn("_pos", row_number().over(wi))
+      .filter(col("_pos") <= k)
+      .withColumn("_t", termNano(col(relCol), col("_pos")))
+      .groupBy(queryCol).agg(sum(col("_t")).as("_idcg_nano"))
+    dcg.join(idcg, Seq(queryCol), "left")
+      .select(col(queryCol),
+        round(col("_dcg_nano").cast("double") / lit(1e9), 6).as("dcg"),
+        round(coalesce(col("_idcg_nano"), lit(0L)).cast("double") / lit(1e9), 6)
+          .as("idcg"),
+        when(coalesce(col("_idcg_nano"), lit(0L)) > 0,
+          round(col("_dcg_nano").cast("double") / col("_idcg_nano"), 6))
+          .as("ndcg"))
+      .orderBy(queryCol)
+  }
 }

@@ -344,7 +344,32 @@ object TextQueries {
   private val trigramLmQ: Q = (s, dir) =>
     TextAnalysis.trigramLogProb(Tables.documents(s, dir), "doc_id", "text")
 
+  /** q176: retrieval evaluation — nDCG@10 of the q139 BM25 ranking
+    * against dense graded relevance (each query's exact-cosine top-20
+    * as grades): the sparse-vs-dense agreement number a retrieval
+    * tier is tuned on (`Retrieval.ndcgAtK`).
+    */
+  private val ndcgQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    val ranked = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      probes, "query_id", "qtext", k = 10)
+    val cEmb = emb.join(corpus.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val pEmb = emb.join(probes.select(col("query_id").as("vec_id")), Seq("vec_id"))
+    val rels = Similarity.bruteForceTopK(cEmb, pEmb, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cosine").as("rel"))
+      .localCheckpoint() // feeds both the DCG join and the ideal window
+    Retrieval.ndcgAtK(ranked, rels, k = 10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q176_ndcg" -> ndcgQ,
     "q168_trigram_lm" -> trigramLmQ,
     "q166_char_entropy" -> charEntropyQ,
     "q161_text_index_build" -> textIndexBuildQ,
@@ -375,6 +400,48 @@ object TextQueries {
     "q32_fingerprint" -> fingerprint)
 
   val oracleSql: Map[String, String] = Map(
+    // q176: q139's BM25 chain + q141's dense-cosine tier as graded
+    // relevance; each position's discounted gain floors to integer
+    // nano-units in the IDENTICAL expression order before the exact
+    // sums, one final division per query.
+    "q176_ndcg" ->
+      s"""WITH $bm25Ctes,
+        |bm AS (SELECT query_id, doc, rank FROM
+        |  (SELECT query_id, doc,
+        |     CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY score DESC, doc) AS INTEGER) AS rank
+        |   FROM sc) WHERE rank <= 10),
+        |qv AS (SELECT query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings JOIN probes ON vec_id = query_id),
+        |cv AS (SELECT vec_id AS doc, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings JOIN corpus ON vec_id = doc_id),
+        |ds AS (SELECT query_id, doc,
+        |    ROUND(list_cosine_similarity(qe, ce), 6) AS cos FROM qv, cv),
+        |rels AS (SELECT query_id, doc, cos AS rel FROM
+        |  (SELECT query_id, doc, cos,
+        |     row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, doc) AS r FROM ds) WHERE r <= 20),
+        |dn AS (SELECT b.query_id,
+        |    CAST(sum(CAST(floor(greatest(coalesce(r.rel, 0e0), 0e0)
+        |        / log2(b.rank + 1) * 1000000000e0 + 0.5e0) AS BIGINT))
+        |      AS BIGINT) AS dnano
+        |  FROM bm b LEFT JOIN rels r
+        |    ON r.query_id = b.query_id AND r.doc = b.doc
+        |  GROUP BY 1),
+        |idn AS (SELECT query_id,
+        |    CAST(sum(CAST(floor(greatest(rel, 0e0)
+        |        / log2(pos + 1) * 1000000000e0 + 0.5e0) AS BIGINT))
+        |      AS BIGINT) AS inano
+        |  FROM (SELECT query_id, doc, rel,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY rel DESC, doc) AS pos FROM rels)
+        |  WHERE pos <= 10 GROUP BY 1)
+        |SELECT d.query_id,
+        |  round(CAST(dnano AS DOUBLE) / 1000000000e0, 6) AS dcg,
+        |  round(CAST(coalesce(inano, 0) AS DOUBLE) / 1000000000e0, 6) AS idcg,
+        |  CASE WHEN coalesce(inano, 0) > 0
+        |    THEN round(CAST(dnano AS DOUBLE) / inano, 6) END AS ndcg
+        |FROM dn d LEFT JOIN idn USING (query_id) ORDER BY query_id""".stripMargin,
     // q168: counts replayed from the same single-space tokenization
     // (q87's rendering), the interpolation evaluated in the IDENTICAL
     // left-associated expression order with e0 float constants, each

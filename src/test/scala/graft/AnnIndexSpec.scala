@@ -102,6 +102,37 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(gotNow() == expect, "stale tombstone changed results")
   }
 
+  test("delete stream: batched tombstones mask like one batch delete; compactEvery drains them") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_anndelstream").toString + "/idx"
+    AnnIndex.build(emb, dir, dim = 64)
+    val probes = emb.filter(col("vec_id") < 10)
+    val oneShot = {
+      val ref = Files.createTempDirectory("graft_anndelref").toString + "/idx"
+      AnnIndex.build(emb, ref, dim = 64)
+      AnnIndex.delete(emb.filter(col("vec_id") % 7 === 0).select("vec_id"), ref)
+      AnnIndex.query(spark, ref, probes, k = 3, dim = 64).collect().map(key).toSeq
+    }
+    val ms = MemoryStream[Long]
+    val q = AnnIndex.deleteStream(ms.toDF().toDF("vec_id"), dir,
+      Files.createTempDirectory("graft_anndelckpt").toString, compactEvery = 2)
+    val dead = emb.filter(col("vec_id") % 7 === 0)
+      .select("vec_id").as[Long].collect().toSeq
+    val (d1, d2) = dead.splitAt(dead.size / 2)
+    ms.addData(d1: _*); q.processAllAvailable()
+    ms.addData(d2: _*); q.processAllAvailable()
+    q.stop()
+    // two streamed tombstone batches == the one-shot delete
+    val streamed = AnnIndex.query(spark, dir, probes, k = 3, dim = 64)
+      .collect().map(key).toSeq
+    assert(streamed == oneShot, "streamed deletes diverged from batch delete")
+    // compactEvery = 2 applied + drained the tombstones physically
+    assert(AnnIndex.committedDeadBatches(spark, dir).isEmpty,
+      "delete stream did not compact its tombstones away")
+  }
+
   test("streaming ingestion: first micro-batch builds the index, later ones append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

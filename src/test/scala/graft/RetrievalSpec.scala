@@ -90,4 +90,28 @@ class RetrievalSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), s"fusion should not join:\n$plan")
     assert(plan.contains("Union"), s"fusion should union its lists:\n$plan")
   }
+
+  test("nDCG: hand-computed grades, ungraded docs gain 0, perfect ranking scores 1") {
+    val ranked = Seq((1L, 1, 10L), (1L, 2, 12L), (1L, 3, 99L))
+      .toDF("query_id", "rank", "doc_id")
+    val rels = Seq((1L, 10L, 3.0), (1L, 11L, 2.0), (1L, 12L, 1.0))
+      .toDF("query_id", "doc_id", "rel")
+    def nano(gain: Double, pos: Int): Long =
+      math.floor(math.max(gain, 0.0) / (math.log(pos + 1) / math.log(2))
+        * 1e9 + 0.5).toLong
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dn = nano(3.0, 1) + nano(1.0, 2) + nano(0.0, 3)
+    val in = nano(3.0, 1) + nano(2.0, 2) + nano(1.0, 3)
+    val row = Retrieval.ndcgAtK(ranked, rels, k = 10).head()
+    assert(row.getDouble(1) == r6(dn / 1e9) && row.getDouble(2) == r6(in / 1e9))
+    assert(row.getDouble(3) == r6(dn.toDouble / in))
+    // ranking the graded docs in grade order is a perfect 1.0
+    val perfect = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
+      .toDF("query_id", "rank", "doc_id")
+    assert(Retrieval.ndcgAtK(perfect, rels, k = 10).head().getDouble(3) == 1.0)
+    // zero ideal gain -> NULL ndcg
+    val zeroRels = Seq((1L, 10L, 0.0)).toDF("query_id", "doc_id", "rel")
+    assert(Retrieval.ndcgAtK(ranked, zeroRels, k = 10).head().isNullAt(3))
+  }
 }
