@@ -368,7 +368,43 @@ object TextQueries {
     Retrieval.ndcgAtK(ranked, rels, k = 10)
   }
 
+  /** q177: per-source quality governance — mean char entropy, trigram
+    * LM score, and repetition ratio per provenance slice, over docs
+    * carrying all three signals. Each 6dp per-doc signal lifts to
+    * exact integer micros before the mean, so the per-source
+    * aggregates are order-invariant (the q148 rule).
+    */
+  private val sourceQualityQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    def m(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val ent = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select(col("doc_id"), col("entropy_nats"))
+    val lm = TextAnalysis.trigramLogProb(docs, "doc_id", "text")
+      .select(col("doc_id"), col("avg_logprob"))
+    val rep = TextAnalysis.repetition(docs, "doc_id", "text")
+      .select(col("doc_id"), col("repetition_ratio"))
+    docs.select(col("doc_id"), col("source"))
+      .join(ent, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(m(col("entropy_nats"))).as("_e"),
+        sum(m(col("avg_logprob"))).as("_l"),
+        sum(m(col("repetition_ratio"))).as("_r"))
+      .select(col("source"), col("n_docs"),
+        round((col("_e").cast("double") / lit(1e6)) / col("n_docs"), 6)
+          .as("mean_entropy"),
+        round((col("_l").cast("double") / lit(1e6)) / col("n_docs"), 6)
+          .as("mean_logprob"),
+        round((col("_r").cast("double") / lit(1e6)) / col("n_docs"), 6)
+          .as("mean_repetition"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_source_quality" -> sourceQualityQ,
     "q176_ndcg" -> ndcgQ,
     "q168_trigram_lm" -> trigramLmQ,
     "q166_char_entropy" -> charEntropyQ,
@@ -399,11 +435,94 @@ object TextQueries {
     "q31_langid" -> langId,
     "q32_fingerprint" -> fingerprint)
 
+  // Per-doc signal oracles, shared verbatim by their own entries and
+  // the q177 per-source composition.
+  private lazy val trigramLmOracle: String =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |n AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tokens FROM toks),
+        |uc AS (SELECT w, count(*) AS uf FROM
+        |  (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |bc AS (SELECT bigram, count(*) AS bf FROM
+        |  (SELECT array_to_string(t[i:i+1], ' ') AS bigram FROM toks,
+        |     LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) gs)
+        |  GROUP BY 1),
+        |tgs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |  FROM toks,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) gs),
+        |tc AS (SELECT w1, w2, w3, count(*) AS tf FROM tgs GROUP BY 1, 2, 3),
+        |sc AS (SELECT g.doc_id,
+        |    CAST(floor(ln(0.6e0 * tf / bp.bf + 0.3e0 * bs.bf / u2.uf
+        |        + 0.1e0 * u3.uf / n_tokens) * 1000000000e0 + 0.5e0)
+        |      AS BIGINT) AS tn
+        |  FROM tgs g
+        |  JOIN tc USING (w1, w2, w3)
+        |  JOIN bc bp ON bp.bigram = g.w1 || ' ' || g.w2
+        |  JOIN bc bs ON bs.bigram = g.w2 || ' ' || g.w3
+        |  JOIN uc u2 ON u2.w = g.w2
+        |  JOIN uc u3 ON u3.w = g.w3
+        |  CROSS JOIN n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  round((CAST(sum(tn) AS BIGINT) / 1000000000e0) / count(*), 6)
+        |    AS avg_logprob
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  private lazy val charEntropyOracle: String =
+      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND len(text) > 0),
+        |ch AS (SELECT doc_id, n, substr(text, i, 1) AS ch FROM d,
+        |  LATERAL (SELECT unnest(generate_series(1, n)) AS i) gs),
+        |c AS (SELECT doc_id, n, ch, count(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+        |t AS (SELECT doc_id, n,
+        |        CAST(floor(cnt * ln(cnt) * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
+        |      FROM c),
+        |a AS (SELECT doc_id, n, CAST(sum(tn) AS BIGINT) AS sum_nano,
+        |        CAST(count(*) AS BIGINT) AS n_unique_chars
+        |      FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_chars_counted, n_unique_chars,
+        |  round(ln(n) - (CAST(sum_nano AS DOUBLE) / 1000000000e0) / n, 6)
+        |    AS entropy_nats
+        |FROM a ORDER BY doc_id""".stripMargin
+
+  private lazy val repetitionOracle: String =
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS INTEGER) AS n_shingles,
+        |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+        |  ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        |    AS repetition_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // q176: q139's BM25 chain + q141's dense-cosine tier as graded
     // relevance; each position's discounted gain floors to integer
     // nano-units in the IDENTICAL expression order before the exact
     // sums, one final division per query.
+    // q177: the three per-doc signal oracles verbatim as derived
+    // tables, joined per doc, each 6dp signal lifted to exact integer
+    // micros before the per-source mean (order-invariant).
+    "q177_source_quality" ->
+      s"""WITH ent AS (SELECT * FROM ($charEntropyOracle)),
+        |lm AS (SELECT * FROM ($trigramLmOracle)),
+        |rep AS (SELECT * FROM ($repetitionOracle)),
+        |j AS (SELECT d.source,
+        |    CAST(floor(e.entropy_nats * 1000000e0 + 0.5e0) AS BIGINT) AS em,
+        |    CAST(floor(l.avg_logprob * 1000000e0 + 0.5e0) AS BIGINT) AS lmm,
+        |    CAST(floor(r.repetition_ratio * 1000000e0 + 0.5e0) AS BIGINT) AS rm
+        |  FROM documents d
+        |  JOIN ent e USING (doc_id)
+        |  JOIN lm l USING (doc_id)
+        |  JOIN rep r USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round((CAST(sum(em) AS DOUBLE) / 1000000e0) / count(*), 6)
+        |    AS mean_entropy,
+        |  round((CAST(sum(lmm) AS DOUBLE) / 1000000e0) / count(*), 6)
+        |    AS mean_logprob,
+        |  round((CAST(sum(rm) AS DOUBLE) / 1000000e0) / count(*), 6)
+        |    AS mean_repetition
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q176_ndcg" ->
       s"""WITH $bm25Ctes,
         |bm AS (SELECT query_id, doc, rank FROM
@@ -446,56 +565,10 @@ object TextQueries {
     // (q87's rendering), the interpolation evaluated in the IDENTICAL
     // left-associated expression order with e0 float constants, each
     // position floored to nano-nats before the exact integer sum.
-    "q168_trigram_lm" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |n AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tokens FROM toks),
-        |uc AS (SELECT w, count(*) AS uf FROM
-        |  (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
-        |bc AS (SELECT bigram, count(*) AS bf FROM
-        |  (SELECT array_to_string(t[i:i+1], ' ') AS bigram FROM toks,
-        |     LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) gs)
-        |  GROUP BY 1),
-        |tgs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
-        |  FROM toks,
-        |  LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) gs),
-        |tc AS (SELECT w1, w2, w3, count(*) AS tf FROM tgs GROUP BY 1, 2, 3),
-        |sc AS (SELECT g.doc_id,
-        |    CAST(floor(ln(0.6e0 * tf / bp.bf + 0.3e0 * bs.bf / u2.uf
-        |        + 0.1e0 * u3.uf / n_tokens) * 1000000000e0 + 0.5e0)
-        |      AS BIGINT) AS tn
-        |  FROM tgs g
-        |  JOIN tc USING (w1, w2, w3)
-        |  JOIN bc bp ON bp.bigram = g.w1 || ' ' || g.w2
-        |  JOIN bc bs ON bs.bigram = g.w2 || ' ' || g.w3
-        |  JOIN uc u2 ON u2.w = g.w2
-        |  JOIN uc u3 ON u3.w = g.w3
-        |  CROSS JOIN n)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-        |  round((CAST(sum(tn) AS BIGINT) / 1000000000e0) / count(*), 6)
-        |    AS avg_logprob
-        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q168_trigram_lm" -> trigramLmOracle,
     // q166: characters via the LATERAL generate_series + substr walk
-    // (string_split can't split on ''); per-(doc, char) terms floored
-    // to integer nano-nats exactly as the Spark side does, summed as
-    // exact BIGINTs, one final 6dp rounding. DuckDB len == Spark
-    // length (code points) on this corpus; len widens to BIGINT so the
-    // projected count casts back to INTEGER.
-    "q166_char_entropy" ->
-      """WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents
-        |  WHERE text IS NOT NULL AND len(text) > 0),
-        |ch AS (SELECT doc_id, n, substr(text, i, 1) AS ch FROM d,
-        |  LATERAL (SELECT unnest(generate_series(1, n)) AS i) gs),
-        |c AS (SELECT doc_id, n, ch, count(*) AS cnt FROM ch GROUP BY 1, 2, 3),
-        |t AS (SELECT doc_id, n,
-        |        CAST(floor(cnt * ln(cnt) * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
-        |      FROM c),
-        |a AS (SELECT doc_id, n, CAST(sum(tn) AS BIGINT) AS sum_nano,
-        |        CAST(count(*) AS BIGINT) AS n_unique_chars
-        |      FROM t GROUP BY 1, 2)
-        |SELECT doc_id, CAST(n AS INTEGER) AS n_chars_counted, n_unique_chars,
-        |  round(ln(n) - (CAST(sum_nano AS DOUBLE) / 1000000000e0) / n, 6)
-        |    AS entropy_nats
-        |FROM a ORDER BY doc_id""".stripMargin,
+    // (see charEntropyOracle).
+    "q166_char_entropy" -> charEntropyOracle,
     // q161: the built index's committed postings must reproduce the
     // raw corpus exactly — doc count, summed doc length (q139's
     // string_split tokenization), distinct (doc, token) postings.
@@ -710,17 +783,7 @@ object TextQueries {
         |  CAST(min(n_tokens) AS INTEGER) AS min_tokens,
         |  CAST(max(n_tokens) AS INTEGER) AS max_tokens
         |FROM n GROUP BY 1 ORDER BY bucket""".stripMargin,
-    "q67_repetition" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
-        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
-        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks)
-        |SELECT doc_id,
-        |  CAST(len(grams) AS INTEGER) AS n_shingles,
-        |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
-        |  ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
-        |    AS repetition_ratio
-        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q67_repetition" -> repetitionOracle,
     "q32_fingerprint" ->
       s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id, text, CASE WHEN len(t) >= 3
