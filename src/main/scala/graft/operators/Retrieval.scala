@@ -75,6 +75,32 @@ object Retrieval {
     *
     * Output: (queryCol, dcg, idcg, ndcg), ordered by query.
     */
+  /** Binary-relevance ranking metrics: per query, how many of its
+    * relevant docs the top-k retrieved (recall@k) and where the first
+    * one landed (reciprocal rank). Everything is exact integers until
+    * the two final divisions — no float aggregation at all.
+    *
+    * Output per query in `rels`: (queryCol, n_rel, n_rel_at_k,
+    * first_rel_rank [NULL if none retrieved], recall_at_k,
+    * rr [NULL if none]), ordered by query.
+    */
+  def rankEval(ranked: DataFrame, rels: DataFrame, k: Int,
+      queryCol: String = "query_id", docCol: String = "doc_id"): DataFrame = {
+    val totals = rels.groupBy(queryCol).agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.filter(col("rank") <= k)
+      .join(rels.select(col(queryCol), col(docCol)), Seq(queryCol, docCol))
+      .groupBy(queryCol)
+      .agg(count(lit(1)).as("n_rel_at_k"), min(col("rank")).as("first_rel_rank"))
+    totals.join(hits, Seq(queryCol), "left")
+      .select(col(queryCol), col("n_rel"),
+        coalesce(col("n_rel_at_k"), lit(0L)).as("n_rel_at_k"),
+        col("first_rel_rank"),
+        round(coalesce(col("n_rel_at_k"), lit(0L)).cast("double")
+          / least(col("n_rel"), lit(k.toLong)), 6).as("recall_at_k"),
+        round(lit(1.0) / col("first_rel_rank"), 6).as("rr"))
+      .orderBy(queryCol)
+  }
+
   def ndcgAtK(ranked: DataFrame, rels: DataFrame, k: Int,
       queryCol: String = "query_id", docCol: String = "doc_id",
       relCol: String = "rel"): DataFrame = {

@@ -403,7 +403,31 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q178: binary-relevance retrieval metrics — recall@10 and MRR of
+    * the q139 BM25 ranking against the dense exact-cosine top-5 as
+    * the relevant set (`Retrieval.rankEval`); q176's nDCG is the
+    * graded sibling.
+    */
+  private val rankEvalQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    val ranked = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      probes, "query_id", "qtext", k = 10)
+    val cEmb = emb.join(corpus.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val pEmb = emb.join(probes.select(col("query_id").as("vec_id")), Seq("vec_id"))
+    val rels = Similarity.bruteForceTopK(cEmb, pEmb, k = 5)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"))
+      .localCheckpoint()
+    Retrieval.rankEval(ranked, rels, k = 10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q178_rank_eval" -> rankEvalQ,
     "q177_source_quality" -> sourceQualityQ,
     "q176_ndcg" -> ndcgQ,
     "q168_trigram_lm" -> trigramLmQ,
@@ -500,6 +524,39 @@ object TextQueries {
     // relevance; each position's discounted gain floors to integer
     // nano-units in the IDENTICAL expression order before the exact
     // sums, one final division per query.
+    // q178: q139's BM25 chain + the dense top-5 as the relevant set;
+    // counts/min-rank exact integers, two final divisions.
+    "q178_rank_eval" ->
+      s"""WITH $bm25Ctes,
+        |bm AS (SELECT query_id, doc, rank FROM
+        |  (SELECT query_id, doc,
+        |     CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY score DESC, doc) AS INTEGER) AS rank
+        |   FROM sc) WHERE rank <= 10),
+        |qv AS (SELECT query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |  FROM embeddings JOIN probes ON vec_id = query_id),
+        |cv AS (SELECT vec_id AS doc, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings JOIN corpus ON vec_id = doc_id),
+        |ds AS (SELECT query_id, doc,
+        |    ROUND(list_cosine_similarity(qe, ce), 6) AS cos FROM qv, cv),
+        |rels AS (SELECT query_id, doc FROM
+        |  (SELECT query_id, doc,
+        |     row_number() OVER (PARTITION BY query_id
+        |       ORDER BY cos DESC, doc) AS r FROM ds) WHERE r <= 5),
+        |tot AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM rels GROUP BY 1),
+        |h AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_rel_at_k,
+        |    CAST(min(b.rank) AS INTEGER) AS first_rel_rank
+        |  FROM bm b JOIN rels r ON r.query_id = b.query_id AND r.doc = b.doc
+        |  GROUP BY 1)
+        |SELECT t.query_id, n_rel,
+        |  CAST(coalesce(n_rel_at_k, 0) AS BIGINT) AS n_rel_at_k,
+        |  first_rel_rank,
+        |  round(CAST(coalesce(n_rel_at_k, 0) AS DOUBLE)
+        |    / least(n_rel, 10), 6) AS recall_at_k,
+        |  round(1e0 / first_rel_rank, 6) AS rr
+        |FROM tot t LEFT JOIN h USING (query_id)
+        |ORDER BY t.query_id""".stripMargin,
     // q177: the three per-doc signal oracles verbatim as derived
     // tables, joined per doc, each 6dp signal lifted to exact integer
     // micros before the per-source mean (order-invariant).

@@ -91,6 +91,20 @@ class RetrievalSpec extends SparkSpecBase {
     assert(plan.contains("Union"), s"fusion should union its lists:\n$plan")
   }
 
+  test("rank eval: recall@k and MRR on hand fixtures, zero-hit query stays NULL") {
+    val ranked = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L), (2L, 1, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val rels = Seq((1L, 11L), (1L, 99L), (2L, 77L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.rankEval(ranked, rels, k = 3).collect()
+    val q1 = got.find(_.getLong(0) == 1L).get
+    assert((q1.getLong(1), q1.getLong(2), q1.getInt(3),
+      q1.getDouble(4), q1.getDouble(5)) == ((2L, 1L, 2, 0.5, 0.5)))
+    val q2 = got.find(_.getLong(0) == 2L).get
+    assert(q2.getLong(1) == 1L && q2.getLong(2) == 0L)
+    assert(q2.isNullAt(3) && q2.getDouble(4) == 0.0 && q2.isNullAt(5))
+  }
+
   test("nDCG: hand-computed grades, ungraded docs gain 0, perfect ranking scores 1") {
     val ranked = Seq((1L, 1, 10L), (1L, 2, 12L), (1L, 3, 99L))
       .toDF("query_id", "rank", "doc_id")
