@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarityExpr, Md5Family, MinhashSignatureExpr}
+import graft.functions.{CosineSimilarityExpr, Md5Family, MinhashSignatureExpr, NfcNormalizeExpr}
 
 /** Library integration point — the standard way to ship custom Catalyst
   * expressions with a Spark library:
@@ -37,5 +37,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashSignatureExpr].getName, "graft_minhash16"),
       (exprs: Seq[Expression]) =>
         MinhashSignatureExpr(exprs.head, exprs(1), 16, Md5Family.Ring)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head)))
   }
 }

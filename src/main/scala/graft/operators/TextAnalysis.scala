@@ -687,6 +687,27 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Unicode NFC normalization report — the canonical-composition
+    * pass that must run before any string-EQUALITY operator on web
+    * text (exact dedup, shingles, vocabulary): precomposed and
+    * decomposed renderings of the same glyph are different strings,
+    * different shingles, different md5 digests until normalized.
+    * Codegen end-to-end via [[graft.functions.NfcNormalizeExpr]] (a
+    * UDF here would break whole-stage codegen in dedup's hottest
+    * projection). Output: (id, text_nfc, changed, n_chars_raw,
+    * n_chars_nfc), ordered by id.
+    */
+  def nfcNormalize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nfc = graft.functions.TextExpressions
+      .nfcFast(docs.sparkSession)(col(textCol))
+    docs.select(col(idCol),
+      nfc.as("text_nfc"),
+      when(col(textCol) =!= nfc, 1).otherwise(0).as("changed"),
+      length(col(textCol)).as("n_chars_raw"),
+      length(nfc).as("n_chars_nfc"))
+      .orderBy(idCol)
+  }
+
   /** Character-unigram Shannon entropy per document (nats) — the
     * compressibility quality signal: machine-generated or boilerplate
     * text (key-mash, repeated padding, base64 blobs) sits at the

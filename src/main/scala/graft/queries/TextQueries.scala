@@ -426,7 +426,17 @@ object TextQueries {
     Retrieval.rankEval(ranked, rels, k = 10)
   }
 
+  /** q179: Unicode NFC normalization report
+    * (`TextAnalysis.nfcNormalize`, codegen `NfcNormalizeExpr`) — on
+    * this ASCII corpus the pass is provably a no-op (changed = 0
+    * everywhere, hash-checked); the composition behavior itself is
+    * golden-tested on decomposed fixtures in ExtensionsSpec.
+    */
+  private val nfcQ: Q = (s, dir) =>
+    TextAnalysis.nfcNormalize(Tables.documents(s, dir), "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
+    "q179_nfc_normalize" -> nfcQ,
     "q178_rank_eval" -> rankEvalQ,
     "q177_source_quality" -> sourceQualityQ,
     "q176_ndcg" -> ndcgQ,
@@ -524,6 +534,14 @@ object TextQueries {
     // relevance; each position's discounted gain floors to integer
     // nano-units in the IDENTICAL expression order before the exact
     // sums, one final division per query.
+    // q179: the JDK and DuckDB both implement Unicode-standard NFC,
+    // which is what makes the normalization pass oracle-checkable.
+    "q179_nfc_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+        |  CASE WHEN text <> nfc_normalize(text) THEN 1 ELSE 0 END AS changed,
+        |  CAST(len(text) AS INTEGER) AS n_chars_raw,
+        |  CAST(len(nfc_normalize(text)) AS INTEGER) AS n_chars_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q178: q139's BM25 chain + the dense top-5 as the relevant set;
     // counts/min-rank exact integers, two final divisions.
     "q178_rank_eval" ->
