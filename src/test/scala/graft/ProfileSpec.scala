@@ -34,6 +34,16 @@ class ProfileSpec extends SparkSpecBase {
       ("s", 5L, 1L, 2L, Some("a"), Some("b"), Some("b"), Some(2L))))
   }
 
+  test("column profile is partition-layout invariant") {
+    val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val base = Profile.columnProfile(docs, cols).collect().toSeq
+    for (parts <- Seq(1, 7)) {
+      assert(Profile.columnProfile(docs.repartition(parts), cols)
+        .collect().toSeq == base, s"profile varies at $parts partitions")
+    }
+  }
+
   test("column profile: lexicographic (not numeric) min/max on integer renderings") {
     import spark.implicits._
     val df = Seq(9L, 10L, 100L).toDF("v")

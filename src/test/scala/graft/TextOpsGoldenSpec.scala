@@ -39,6 +39,25 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     assert(applied.getLong(0) - applied.getLong(1) == 3L)
   }
 
+  test("nano-nat quantized scores are partition-layout invariant (the q148 rule, pinned)") {
+    // the documented point of quantizing per-position terms to exact
+    // integers: any repartitioning must yield BIT-identical results
+    val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    for (parts <- Seq(1, 7)) {
+      val re = docs.repartition(parts)
+      assert(canon(TextAnalysis.charEntropy(re, "doc_id", "text")) ==
+        canon(TextAnalysis.charEntropy(docs, "doc_id", "text")),
+        s"charEntropy varies at $parts partitions")
+      assert(canon(TextAnalysis.trigramLogProb(re, "doc_id", "text")) ==
+        canon(TextAnalysis.trigramLogProb(docs, "doc_id", "text")),
+        s"trigramLogProb varies at $parts partitions")
+      assert(canon(TextAnalysis.unigramLogProb(re, "doc_id", "text")) ==
+        canon(TextAnalysis.unigramLogProb(docs, "doc_id", "text")),
+        s"unigramLogProb varies at $parts partitions")
+    }
+  }
+
   test("trigram LM: matches an independent reference on a known corpus; short docs absent") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "x y"))
