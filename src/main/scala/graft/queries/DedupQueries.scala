@@ -369,7 +369,28 @@ object DedupQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** q180: ENSEMBLE leakage-safe split — the assignment unit is the
+    * connected component of the UNION of near-dup signals (q57's
+    * shingle-Jaccard pairs ∪ q26's embedding sign-LSH pairs), so
+    * neither a verbatim copy NOR a paraphrase can straddle
+    * train/test. q142 is the single-signal (text) form.
+    */
+  private val ensembleSplitQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val textPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
+      .select("doc_a", "doc_b")
+    val embPairs = Similarity
+      .lshNeighborPairs(Tables.embeddings(s, dir), threshold = 0.4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    Sampling.clusterAwareSplit(docs, "doc_id",
+      textPairs.unionByName(embPairs), "doc_a", "doc_b", hashes = Md5Family)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q180_ensemble_split" -> ensembleSplitQ,
     "q155_bloom_semi_join" -> bloomSemiJoinQ,
     "q142_cluster_split" -> clusterSplitQ,
     "q138_fuzzy_join" -> fuzzyJoinQ,
@@ -410,6 +431,39 @@ object DedupQueries {
     // q142: q57's recursive-CC cluster assignment, then the split is a
     // pure md5 of the CLUSTER id; docs outside every pair fall back to
     // their own id (singleton clusters).
+    // q180: q142's closure over the UNION of the text jp (shingle
+    // Jaccard) and the embedding jp (q26's seeded sign-LSH chain,
+    // lshCandCtes) — same md5-of-cluster split.
+    "q180_ensemble_split" ->
+      s"""WITH RECURSIVE $lshCandCtes,
+        |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |tjp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |ejp AS (SELECT id_a AS doc_a, id_b AS doc_b FROM cand
+        |  JOIN emb ea ON ea.vec_id = id_a JOIN emb eb ON eb.vec_id = id_b
+        |  WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= 0.4),
+        |jp AS (SELECT * FROM tjp UNION SELECT * FROM ejp),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+        |alld AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        |         FROM documents d LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN ${md5l("CAST(cluster_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+        |       WHEN ${md5l("CAST(cluster_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM alld ORDER BY doc_id""".stripMargin,
     "q142_cluster_split" ->
       s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3

@@ -946,6 +946,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(routed.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 1))
   }
 
+  test("ensemble split: neither text nor embedding near-dup pairs cross splits") {
+    import graft.operators.Sampling
+    val textPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
+      .select("doc_a", "doc_b")
+    val embPairs = Similarity.lshNeighborPairs(emb, threshold = 0.4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val sp = Sampling.clusterAwareSplit(docs, "doc_id",
+      textPairs.unionByName(embPairs), "doc_a", "doc_b",
+      hashes = graft.functions.Md5Family)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def crossings(pairs: Array[(Long, Long)]) =
+      pairs.count { case (a, b) => sp(a) != sp(b) }
+    val tp = textPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ep = embPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tp.nonEmpty && ep.nonEmpty, "degenerate fixture: no pairs")
+    assert(crossings(tp) == 0, "a text near-dup pair crossed splits")
+    assert(crossings(ep) == 0, "an embedding near-dup pair crossed splits")
+    // the single-signal split does NOT guarantee embedding pairs stay
+    // together — that's the gap the ensemble closes (only asserted as
+    // a documentation check if a crossing exists at this sf)
+    val single = Sampling.clusterAwareSplit(docs, "doc_id", textPairs,
+      "doc_a", "doc_b", hashes = graft.functions.Md5Family)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val singleCrossings = ep.count { case (a, b) => single(a) != single(b) }
+    assert(singleCrossings >= 0) // informational; zero is possible at tiny sf
+  }
+
   test("matryoshka truncation: retained energy monotone in d, full budget exact") {
     val probes = emb.filter(col("vec_id") < 10)
     val rep = Similarity.truncationReport(emb, probes,
