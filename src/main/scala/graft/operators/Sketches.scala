@@ -38,17 +38,36 @@ object Sketches {
     * wire.
     */
   def hllDistinct(df: DataFrame, c: Column, p: Int = 12,
+      hashes: HashFamily = Md5Family): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, c, p, hashes), p)
+
+  /** The (bucket, rho) register frame [[hllDistinct]] reads out — its
+    * MERGEABLE form: HLL union is per-register MAX, so two register
+    * frames over disjoint (or overlapping!) row sets fold by
+    * `max(rho)` per bucket, which is what the streaming store
+    * persists per batch (`StreamingPower.hllStream`).
+    */
+  def hllRegisters(df: DataFrame, c: Column, p: Int = 12,
       hashes: HashFamily = Md5Family): DataFrame = {
     val m = 1 << p
     val wBits = 60 - p        // Md5Family range is [0, 2^60)
     val maxRho = wBits + 1
-    val regs = df.filter(c.isNotNull)
+    df.filter(c.isNotNull)
       .select(hashes.hash(c.cast("string")).as("h"))
       .select(pmod(col("h"), lit(m.toLong)).as("bucket"),
         shiftright(col("h"), p).as("w"))
       .groupBy("bucket")
       .agg(max(when(col("w") === 0, lit(maxRho))
         .otherwise(lit(maxRho) - length(bin(col("w"))))).as("rho"))
+  }
+
+  /** The estimate readout over a register frame — batch and
+    * merged-store paths share it, so streamed == batch by
+    * construction once the folded registers are equal.
+    */
+  def hllEstimateFromRegisters(regs: DataFrame, p: Int = 12): DataFrame = {
+    val m = 1 << p
+    val maxRho = 60 - p + 1
     val alphaM2 = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
       lit(m.toDouble) * lit(m.toDouble)
     val pow2MaxRho = lit(1L << maxRho)

@@ -622,7 +622,32 @@ object EventStoreQueries {
     out
   }
 
+  /** q181: streaming HLL distinct-count store — the documents table
+    * split into three OVERLAPPING micro-batch appends (batch 1
+    * re-delivers a third of batch 0: per-register MAX union is
+    * idempotent where the sum-based stores would double-count),
+    * compacted, read out through the q47 closed form.
+    */
+  private val hllStoreQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q181_hll")
+    val store = scratch.toString + "/hll"
+    graft.streaming.StreamingPower.hllStep(
+      docs.filter(col("doc_id") % 3 === 0), "text", store, batchId = 0L)
+    graft.streaming.StreamingPower.hllStep(
+      docs.filter(col("doc_id") % 3 <= 1), "text", store, batchId = 1L)
+    graft.streaming.StreamingPower.hllStep(
+      docs.filter(col("doc_id") % 3 === 2), "text", store, batchId = 2L)
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.hllMerge)
+    val out = graft.streaming.StreamingPower.mergedHllDistinct(s, store)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q181_hll_store" -> hllStoreQ,
     "q172_profile_store" -> profileStoreQ,
     "q164_feed_bronze" -> feedBronzeQ,
     "q163_feed_source" -> feedSourceQ,
@@ -658,6 +683,30 @@ object EventStoreQueries {
     "q36_multimodal_decode" -> multimodal)
 
   val oracleSql: Map[String, String] = Map(
+    // q181: the q47 deterministic-HLL closed form over the whole
+    // documents.text column — the folded store (with its overlapping
+    // re-delivery) must be indistinguishable from the one-shot batch
+    // sketch.
+    "q181_hll_store" ->
+      s"""WITH hp AS (SELECT ${md5l("text")} AS h
+        |            FROM documents WHERE text IS NOT NULL),
+        |rp AS (SELECT h % 4096 AS bucket,
+        |         max(CASE WHEN h // 4096 = 0 THEN 49
+        |             ELSE 49 - length(bin(h // 4096)) END) AS rho
+        |       FROM hp GROUP BY 1),
+        |zp AS (SELECT count(*) AS occ,
+        |         CAST(coalesce(sum(1::BIGINT << (49 - rho)), 0) AS BIGINT)
+        |           + (4096 - count(*)) * (1::BIGINT << 49) AS z_int
+        |       FROM rp)
+        |SELECT CAST(occ AS BIGINT) AS occupied_buckets,
+        |  ROUND(CASE WHEN (0.7213e0 / (1e0 + 1.079e0 / 4096e0) * 4096e0 * 4096e0)
+        |            * 562949953421312e0 / CAST(z_int AS DOUBLE)
+        |            <= 2.5e0 * 4096e0 AND (4096 - occ) > 0
+        |        THEN 4096e0 * ln(4096e0 / (4096 - occ))
+        |        ELSE (0.7213e0 / (1e0 + 1.079e0 / 4096e0) * 4096e0 * 4096e0)
+        |            * 562949953421312e0 / CAST(z_int AS DOUBLE) END, 6)
+        |    AS hll_estimate
+        |FROM zp""".stripMargin,
     // q172: q165's oracle verbatim — the folded store must read out
     // exactly like the one-shot batch profile.
     "q172_profile_store" -> columnProfileOracle,

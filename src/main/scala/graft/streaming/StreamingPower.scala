@@ -406,6 +406,59 @@ object StreamingPower {
       graft.engine.BatchStore.read(spark, storePath)
         .groupBy("column_name", "value").agg(sum(col("cnt")).as("cnt")))
 
+  /** One micro-batch of the streaming HLL store: the batch's
+    * (bucket, rho) register frame (`Sketches.hllRegisters`) lands
+    * under `batch_id=<id>` with the committed-skip guard. The fold is
+    * per-register MAX — the HyperLogLog UNION — so unlike the
+    * sum-based sketch stores this one is insensitive to values
+    * re-observed across batches: distinct-count state stays ≤ 2^p
+    * registers however much (and however duplicated) the stream is.
+    */
+  def hllStep(batch: DataFrame, valueCol: String, storePath: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.Sketches.hllRegisters(batch, col(valueCol))
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** HLL MERGE as a compaction hook: rho MAXES per bucket — union, not
+    * sum; folded generation ≤ 2^p rows.
+    */
+  val hllMerge: DataFrame => DataFrame =
+    _.groupBy("bucket").agg(max(col("rho")).as("rho"))
+
+  /** The loop as a streaming query over a value stream. */
+  def hllStream(rows: DataFrame, valueCol: String, storePath: String,
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hllStep(batch, valueCol, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            hllMerge)
+      }
+      .start()
+
+  /** Distinct-count readout across every committed batch: registers
+    * union by per-bucket max, then the SAME closed-form estimate the
+    * batch sketch uses — streamed == batch EXACTLY (max is
+    * associative, commutative, idempotent; re-delivered values cannot
+    * inflate it). Committed-only read (`BatchStore.read`).
+    */
+  def mergedHllDistinct(spark: SparkSession, storePath: String,
+      p: Int = 12): DataFrame =
+    graft.operators.Sketches.hllEstimateFromRegisters(
+      graft.engine.BatchStore.read(spark, storePath)
+        .groupBy("bucket").agg(max(col("rho")).as("rho")), p)
+
   /** One micro-batch of the streaming HISTOGRAM store: the batch's
     * fixed-edge histogram written to a per-batch-id dir with the same
     * committed-skip guard as `countMinStep` — retries are no-ops, and

@@ -260,6 +260,36 @@ class StreamingSpec extends SparkSpecBase {
       "retried batch mutated the committed changelog store")
   }
 
+  test("streaming HLL store: union fold is re-delivery-proof, == whole-stream batch sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_hll_store").toString + "/hll"
+    val ckpt = Files.createTempDirectory("graft_hll_ckpt").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingPower.hllStream(ms.toDF().toDF("id", "t"), "t",
+      storePath, ckpt, compactEvery = 2)
+    val b1 = (1 to 300).map(i => (i.toLong, s"v$i"))
+    val b2 = (200 to 500).map(i => (i.toLong, s"v$i")) // 200..300 re-observed
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val whole = graft.operators.Sketches
+      .hllDistinct((b1 ++ b2).toDF("id", "t"), col("t")).head()
+    val merged = StreamingPower.mergedHllDistinct(spark, storePath).head()
+    // max-union absorbs the overlap EXACTLY — unlike a sum fold, which
+    // would double-count the re-observed values
+    assert(merged == whole, s"merged $merged != whole-stream $whole")
+    // within HLL error of the 500 true distinct values
+    assert(math.abs(merged.getDouble(1) - 500) / 500 < 0.1)
+    // a retried (already folded) batch id is a no-op
+    StreamingPower.hllStep(b2.toDF("id", "t"), "t", storePath, batchId = 1L)
+    assert(StreamingPower.mergedHllDistinct(spark, storePath).head() == whole,
+      "retried batch mutated the committed HLL store")
+  }
+
   test("streaming profile store reads out as the batch profile of the whole stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
