@@ -84,6 +84,96 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein 1998): greedy re-ranking of an exact-cosine shortlist —
+    * step 1 takes the most relevant candidate, each later step the
+    * argmax of `lambda·rel − (1−lambda)·max_sim_to_selected`, so
+    * near-duplicate results can't crowd the answer list. The dedup
+    * counterpart on the RETRIEVAL side of what SemDeDup does on the
+    * corpus side.
+    *
+    * Determinism: relevance and pairwise similarities quantize to
+    * integer ppm at birth (6dp-rounded cosines × 1e6), the MMR score
+    * is exact BIGINT arithmetic (`lambda_ppm·rel_ppm −
+    * (1e6−lambda_ppm)·max_sim_ppm`, magnitudes ≤ 1e12), ties break on
+    * neighbor_id — the greedy path is bit-stable across engines and
+    * partition layouts.
+    *
+    * Scale shape: the corpus is touched exactly once, by
+    * [[bruteForceTopK]] (probes broadcast, corpus never shuffles); at
+    * corpus scale the shortlist instead comes from the IVF/PQ tiers.
+    * Everything after is probe-bounded: |probes|·m members, |probes|·m²
+    * pairwise sims, k tiny greedy iterations over localCheckpointed
+    * frames (checkpoints keep the k-step plan linear, and every
+    * broadcast below is a checkpointed probe-bounded artifact — the
+    * q102 rule).
+    *
+    * Output: (query_id, sel_rank 1..k, neighbor_id, cosine, mmr_score),
+    * ordered by (query_id, sel_rank).
+    */
+  def mmrTopK(embeddings: DataFrame, probes: DataFrame, k: Int = 5,
+      m: Int = 20, lambdaPpm: Long = 700000L): DataFrame = {
+    require(k >= 1 && k <= m, s"need 1 <= k=$k <= m=$m")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L)
+    val spark = embeddings.sparkSession
+    val short = bruteForceTopK(embeddings, probes, m)
+      .withColumn("rel_ppm", round(col("cosine") * lit(1e6)).cast("long"))
+      .localCheckpoint()
+    val ids = short.select(col("query_id"), col("neighbor_id"))
+    val mem = embeddings
+      .select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("_e"))
+      .join(broadcast(ids), Seq("neighbor_id"))
+      .localCheckpoint()
+    val pairs = mem
+      .select(col("query_id"), col("neighbor_id").as("a_id"),
+        col("_e").as("_ea"))
+      .join(broadcast(mem.select(col("query_id"),
+        col("neighbor_id").as("b_id"), col("_e").as("_eb"))), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        round(round(cosineFast(spark)(col("_ea"), col("_eb")), 6) * lit(1e6))
+          .cast("long").as("sim_ppm"))
+      .localCheckpoint()
+    var selected = short.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("sel_rank"),
+        (lit(lambdaPpm) * col("rel_ppm")).as("score_e12"))
+      .localCheckpoint()
+    for (i <- 2 to k) {
+      val selIds = selected.select(col("query_id"), col("neighbor_id"))
+      val cand = pairs
+        .join(selIds.withColumnRenamed("neighbor_id", "b_id"),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id"))
+        .agg(max(col("sim_ppm")).as("_mx"))
+        .join(selIds.withColumnRenamed("neighbor_id", "a_id"),
+          Seq("query_id", "a_id"), "left_anti")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_e12").desc, col("neighbor_id"))
+      val pick = cand
+        .join(short.select(col("query_id"), col("neighbor_id").as("a_id"),
+          col("rel_ppm")), Seq("query_id", "a_id"))
+        .select(col("query_id"), col("a_id").as("neighbor_id"),
+          (lit(lambdaPpm) * col("rel_ppm")
+            - lit(1000000L - lambdaPpm) * col("_mx")).as("score_e12"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(i).as("sel_rank"),
+          col("score_e12"))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected
+      .join(short.select("query_id", "neighbor_id", "cosine"),
+        Seq("query_id", "neighbor_id"))
+      // the score stays fixed-point (1e-12 units): it is a multiple of
+      // 1e5 by construction (both coefficients are), so a 6dp-rounded
+      // double would sit exactly on the .5 boundary for ~1 in 10 rows
+      // and flip between engines — exact integers can't.
+      .select(col("query_id"), col("sel_rank"), col("neighbor_id"),
+        col("cosine"), col("score_e12").as("mmr_score_e12"))
+      .orderBy("query_id", "sel_rank")
+  }
+
   /** Hard-negative mining for contrastive training: each anchor's k
     * nearest corpus vectors whose label DIFFERS from the anchor's —
     * the negatives that actually move a contrastive loss, where

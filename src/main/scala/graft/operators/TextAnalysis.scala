@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{HashFamily, XxHash64Family}
 
@@ -752,5 +753,56 @@ object TextAnalysis {
           - (col("_sum_nano").cast("double") / lit(1e9))
             / col("n_chars_counted"), 6).as("entropy_nats"))
       .orderBy(idCol)
+  }
+
+  /** Gopher-style top-n-gram repetition profile (Rae et al. 2021,
+    * table A1): for each n in `ns`, the document's most frequent word
+    * n-gram and the fraction of the document's characters its
+    * occurrences cover (`count * chars(gram) / chars(doc)`; overlaps
+    * can push it past 1, which is exactly the boilerplate signal).
+    * [[repetition]] is the distinct-shingle ratio; this is the
+    * per-gram concentration cut the Gopher filters add on top —
+    * together they catch both "many different shingles repeat" and
+    * "one phrase dominates".
+    *
+    * Determinism: the top gram ties break lexicographically smallest;
+    * the fraction is one division of exact integers, so no float
+    * accumulates across rows. Scale shape: tokens explode once per n
+    * (O(Σn · tokens) rows), ONE hash aggregate on (doc, n, gram) with
+    * map-side partials, then an argmax window keyed by (doc, n) —
+    * per-key state is bounded by document length, never corpus size.
+    *
+    * Output per (doc, n) with at least n tokens: (id, n, top_gram,
+    * n_occurrences, top_gram_char_frac), ordered by (id, n).
+    */
+  def topNgramProfile(docs: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3, 4)): DataFrame = {
+    // materialize the token array before any lambda touches it — a
+    // HOF body re-evaluates outer subexpressions per element
+    val toks = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), length(col(textCol)).as("_n_chars"),
+        wsTokens(col(textCol)).as("_t"))
+    val grams = toks
+      .select(col(idCol), col("_n_chars"),
+        explode(array(ns.map(lit): _*)).as("n"), col("_t"))
+      .filter(size(col("_t")) >= col("n"))
+      .select(col(idCol), col("_n_chars"), col("n"),
+        explode(expr(
+          "transform(sequence(1, size(_t) - n + 1)," +
+            " i -> concat_ws(' ', slice(_t, i, n)))")).as("gram"))
+    val byGram = grams
+      .groupBy(col(idCol), col("_n_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy(col(idCol), col("n"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+    byGram
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col("n"), col("gram").as("top_gram"),
+        col("n_occurrences"),
+        round((col("n_occurrences") * length(col("gram"))).cast("double")
+          / col("_n_chars"), 6).as("top_gram_char_frac"))
+      .orderBy(idCol, "n")
   }
 }

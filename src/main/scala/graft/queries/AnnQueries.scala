@@ -24,6 +24,15 @@ object AnnQueries {
   }
 
 
+  /** q183: MMR diversified top-5 from the exact top-20 shortlist —
+    * retrieval-side diversity over q24's probes (lambda = 0.7).
+    */
+  private val mmrQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 10), k = 5, m = 20)
+  }
+
+
   // `Similarity.thresholdPairs` (the exact O(n²) all-pairs scorer) is
   // deliberately NOT registered: its plan is a cartesian product by
   // construction, a scale-killer no suite query may contain
@@ -409,7 +418,69 @@ object AnnQueries {
     "q40_ann_ivf" -> annIvf,
     "q24_ann_topk" -> annTopK,
     "q26_ann_lsh" -> annLsh,
-    "q27_centroids" -> centroids)
+    "q27_centroids" -> centroids,
+    "q183_mmr" -> mmrQ)
+
+  /** q183's oracle: the same greedy MMR unrolled as k−1 CTE steps —
+    * each step's candidate scores are exact BIGINT arithmetic over the
+    * ppm-quantized relevance/pairwise cosines (`700000·rel_ppm −
+    * 300000·max_sim_ppm`), ties on neighbor_id, so the greedy path is
+    * bit-identical to the Spark loop.
+    */
+  private def mmrOracle: String = {
+    val steps = (2 to 5).map { i =>
+      val p = i - 1
+      s"""c$i AS (SELECT p.query_id, p.a_id, max(p.sim_ppm) AS mx
+         |  FROM ps p JOIN sel$p s
+         |    ON s.query_id = p.query_id AND s.neighbor_id = p.b_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$p x
+         |    WHERE x.query_id = p.query_id AND x.neighbor_id = p.a_id)
+         |  GROUP BY 1, 2),
+         |s$i AS (SELECT query_id, neighbor_id, CAST($i AS INTEGER) AS sel_rank,
+         |    score FROM (
+         |  SELECT c$i.query_id, c$i.a_id AS neighbor_id,
+         |    CAST(700000 AS BIGINT) * r.rel_ppm
+         |      - CAST(300000 AS BIGINT) * c$i.mx AS score,
+         |    row_number() OVER (PARTITION BY c$i.query_id
+         |      ORDER BY CAST(700000 AS BIGINT) * r.rel_ppm
+         |        - CAST(300000 AS BIGINT) * c$i.mx DESC, c$i.a_id) AS rk
+         |  FROM c$i JOIN r ON r.query_id = c$i.query_id
+         |    AND r.neighbor_id = c$i.a_id) WHERE rk = 1),
+         |sel$i AS (SELECT * FROM sel$p
+         |  UNION ALL SELECT query_id, neighbor_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+       |      FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id,
+       |        ROUND(list_cosine_similarity(qe, ce), 6) AS cos
+       |      FROM q, c WHERE neighbor_id <> query_id),
+       |r AS (SELECT * FROM (
+       |    SELECT query_id, neighbor_id, cos,
+       |      CAST(round(cos * 1000000e0) AS BIGINT) AS rel_ppm,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM s) WHERE rank <= 20),
+       |mem AS (SELECT r.query_id, r.neighbor_id, c.ce
+       |        FROM r JOIN c USING (neighbor_id)),
+       |ps AS (SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+       |        CAST(round(ROUND(list_cosine_similarity(a.ce, b.ce), 6)
+       |          * 1000000e0) AS BIGINT) AS sim_ppm
+       |      FROM mem a JOIN mem b ON a.query_id = b.query_id
+       |        AND a.neighbor_id <> b.neighbor_id),
+       |s1 AS (SELECT query_id, neighbor_id, CAST(1 AS INTEGER) AS sel_rank,
+       |        CAST(700000 AS BIGINT) * rel_ppm AS score FROM r WHERE rank = 1),
+       |sel1 AS (SELECT query_id, neighbor_id FROM s1),
+       |$steps
+       |SELECT u.query_id, u.sel_rank, u.neighbor_id, r.cos AS cosine,
+       |  u.score AS mmr_score_e12
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+       |      UNION ALL SELECT * FROM s5) u
+       |JOIN r ON r.query_id = u.query_id AND r.neighbor_id = u.neighbor_id
+       |ORDER BY u.query_id, u.sel_rank""".stripMargin
+  }
 
   /** q173's oracle, generated per dimension budget: truncated rankings
     * replay q24's rounded-cosine chain over `v[1:d]`; energy ratios
@@ -460,6 +531,7 @@ object AnnQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q183_mmr" -> mmrOracle,
     // q175: q102's chain with tombstoned neighbors masked from the
     // candidate set — everything else (codebooks, routing, ADC)
     // identical, exactly the query-time anti-join semantics.

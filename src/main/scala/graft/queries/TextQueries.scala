@@ -79,6 +79,13 @@ object TextQueries {
   /** Within-document shingle repetition (Gopher-style quality filter). */
   private val repetitionQ: Q = (s, dir) =>
     TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
+
+
+  /** Gopher top-n-gram concentration profile (q67's complement: the
+    * per-gram dominance cut, not the distinct-shingle ratio).
+    */
+  private val topNgramQ: Q = (s, dir) =>
+    TextAnalysis.topNgramProfile(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
 
@@ -437,6 +444,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "q179_nfc_normalize" -> nfcQ,
+    "q182_top_ngram" -> topNgramQ,
     "q178_rank_eval" -> rankEvalQ,
     "q177_source_quality" -> sourceQualityQ,
     "q176_ndcg" -> ndcgQ,
@@ -530,6 +538,27 @@ object TextQueries {
         |FROM sh ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q182: the fraction is ONE division of exact integers
+    // (count * chars(gram) / chars(doc)), so no float order varies;
+    // top-gram ties break lexicographically in both engines.
+    "q182_top_ngram" ->
+      """WITH toks AS (SELECT doc_id, len(text) AS n_chars,
+        |    string_split(text, ' ') AS t FROM documents
+        |  WHERE text IS NOT NULL AND len(text) > 0),
+        |ns(n) AS (VALUES (1), (2), (3), (4)),
+        |grams AS (SELECT doc_id, n_chars, n,
+        |    unnest([array_to_string(t[i:i+n-1], ' ')
+        |            FOR i IN generate_series(1, len(t)-n+1)]) AS gram
+        |  FROM toks CROSS JOIN ns WHERE len(t) >= n),
+        |c AS (SELECT doc_id, n_chars, n, gram, count(*) AS cnt
+        |  FROM grams GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |    ORDER BY cnt DESC, gram) AS rk FROM c)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n, gram AS top_gram,
+        |  CAST(cnt AS BIGINT) AS n_occurrences,
+        |  ROUND(CAST(cnt * len(gram) AS DOUBLE) / n_chars, 6)
+        |    AS top_gram_char_frac
+        |FROM r WHERE rk = 1 ORDER BY doc_id, n""".stripMargin,
     // q176: q139's BM25 chain + q141's dense-cosine tier as graded
     // relevance; each position's discounted gain floors to integer
     // nano-units in the IDENTICAL expression order before the exact

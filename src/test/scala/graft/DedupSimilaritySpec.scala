@@ -1033,4 +1033,49 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val minId = Dedup.canonicalCorpus(fixture, pairs, "doc_id")
     assert(minId.count() == got.size)
   }
+
+  test("MMR: lambda=1 reduces to the exact top-k; diversity skips a planted near-dup") {
+    import spark.implicits._
+    val emb = graft.engine.Tables.embeddings(spark, sf("sf0.001"))
+    val probes = emb.filter(col("vec_id") < 3)
+    // pure-relevance degeneration: with the diversity term zeroed the
+    // greedy path must replay bruteForceTopK order exactly
+    val pure = Similarity.mmrTopK(emb, probes, k = 4, m = 10,
+        lambdaPpm = 1000000L)
+      .select("query_id", "sel_rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val brute = Similarity.bruteForceTopK(emb, probes, k = 4)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(pure == brute)
+    // planted near-duplicate: d1 ~ d2 (near-identical), d3 diverse; a
+    // diversity-weighted lambda must pick d3 second, not the dup
+    val fix = Seq(
+      (0L, Seq(1f, 0f)),         // query
+      (1L, Seq(0.999f, 0.001f)), // top hit
+      (2L, Seq(0.998f, 0.002f)), // its near-duplicate
+      (3L, Seq(0.6f, 0.6f)))     // diverse
+      .toDF("vec_id", "embedding")
+    val picks = Similarity.mmrTopK(fix, fix.filter(col("vec_id") === 0),
+        k = 2, m = 3, lambdaPpm = 300000L)
+      .select("sel_rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    assert(picks == Seq((1, 1L), (2, 3L)), s"got $picks")
+    // and every selection is drawn from the shortlist with dense ranks
+    val full = Similarity.mmrTopK(emb, probes, k = 5, m = 8)
+      .select("query_id", "sel_rank").as[(Long, Int)].collect().toSeq
+    assert(full.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(1, 2, 3, 4, 5)))
+  }
+
+  test("top-ngram profile: hand-computed fixture, smallest-gram tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgramProfile(docs, "doc_id", "text")
+      .as[(Long, Int, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1, "a", 3L, 0.428571),        // 3*1/7
+      (1L, 2, "a a", 2L, 0.857143),      // 2*3/7
+      (1L, 3, "a a a", 1L, 0.714286),    // tie with "a a b" -> smallest
+      (1L, 4, "a a a b", 1L, 1.0),
+      (2L, 1, "x", 1L, 1.0)), s"got $got")
+  }
 }
