@@ -258,6 +258,85 @@ object Sampling {
     }
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023): reweight a
+    * raw corpus toward a target domain using hashed-unigram bucket
+    * statistics — each doc's importance is the log-likelihood ratio of
+    * its token buckets under the target vs the raw distribution
+    * (add-1 smoothed), and the sample is the Gumbel-top-n by
+    * importance (Gumbel-max = sampling without replacement
+    * proportional to exp(importance), made deterministic here by
+    * md5-derived uniforms).
+    *
+    * Determinism: bucket counts are exact integers; each bucket's
+    * log-ratio quantizes to integer nanos in ONE float expression on
+    * those exact counts, so the per-doc importance is an exact integer
+    * sum (the q148 rule). The Gumbel score is one float expression per
+    * doc on exact inputs (never aggregated), ranked with an id
+    * tie-break.
+    *
+    * Scale shape: one token explode feeding two hash aggregates — the
+    * bucket table (≤ `buckets` rows, broadcast back onto the token
+    * stream) and the per-doc importance sum (map-side combined, keyed
+    * by id). The top-n plans as TakeOrderedAndProject: per-partition
+    * heaps + an n-row driver merge, no global sort, no corpus shuffle
+    * beyond the per-doc aggregate.
+    *
+    * Output: (rank 1..n, id, imp_nano), ordered by rank. `targetCol`
+    * must be 0/1 — the in-domain indicator the ratio is fit against.
+    */
+  def importanceResample(docs: DataFrame, idCol: String, textCol: String,
+      targetCol: String, n: Int, buckets: Int = 256,
+      hashes: HashFamily = Md5Family): DataFrame =
+    importanceResampleWith(docs, idCol, textCol,
+      dsirBucketStats(docs, idCol, textCol, targetCol, buckets, hashes),
+      n, buckets, hashes)
+
+  /** The mergeable half of [[importanceResample]]: per-bucket exact
+    * token counts in the target subcorpus (`tc`) and the whole corpus
+    * (`rc`). Sums fold across any split of the corpus — the streaming
+    * store form (`StreamingPower.dsirStep`).
+    */
+  def dsirBucketStats(docs: DataFrame, idCol: String, textCol: String,
+      targetCol: String, buckets: Int = 256,
+      hashes: HashFamily = Md5Family): DataFrame =
+    docs.select(col(targetCol).cast("long").as("_tgt"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("_t"))
+      .select(col("_tgt"),
+        pmod(hashes.hash(col("_t")), lit(buckets)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("_tgt")).as("tc"), count(lit(1)).as("rc"))
+
+  /** The scoring half of [[importanceResample]], given a (possibly
+    * folded) bucket-stats table.
+    */
+  def importanceResampleWith(docs: DataFrame, idCol: String,
+      textCol: String, stats: DataFrame, n: Int, buckets: Int = 256,
+      hashes: HashFamily = Md5Family): DataFrame = {
+    require(n > 0 && buckets > 0)
+    val tok = docs.select(col(idCol),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("_t"))
+      .select(col(idCol),
+        pmod(hashes.hash(col("_t")), lit(buckets)).cast("long").as("bucket"))
+    val tot = stats.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+    val lr = stats.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        floor((log((col("tc") + lit(1L)).cast("double")
+            / (col("tt") + lit(buckets.toLong)).cast("double"))
+          - log((col("rc") + lit(1L)).cast("double")
+            / (col("rt") + lit(buckets.toLong)).cast("double")))
+          * lit(1e9) + lit(0.5)).cast("long").as("lr_nano"))
+    val imp = tok.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col(idCol)).agg(sum(col("lr_nano")).as("imp_nano"))
+    val u = (hashes.hash(col(idCol).cast("string")) + lit(1L)).cast("double") /
+      lit(1152921504606846976.0) // 2^60, u ∈ (0, 1]
+    val score = col("imp_nano").cast("double") / lit(1e9) - log(-log(u))
+    val top = imp.orderBy(score.desc, col(idCol)).limit(n)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(score.desc, col(idCol))))
+      .select(col("rank"), col(idCol), col("imp_nano"))
+      .orderBy("rank")
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor draws `k` pseudo-random partners by hashing (anchor, i)
     * into the DENSE id space [0, N) — the contract is contiguous ids,

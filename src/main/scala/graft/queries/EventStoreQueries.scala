@@ -482,6 +482,33 @@ object EventStoreQueries {
   }
 
 
+  /** q186: streaming DSIR importance-model store — the documents table
+    * split into three micro-batch appends of per-bucket (tc, rc)
+    * token counts, compacted, then the corpus scored through the SAME
+    * sampler half as q185 (whose oracle this shares verbatim: the
+    * streamed model must be indistinguishable from the one-shot fit).
+    */
+  private val dsirStoreQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tgt",
+        when(col("source").isin("src0", "src1"), 1).otherwise(0))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q186_dsir")
+    val store = scratch.toString + "/dsir"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.dsirStep(
+        docs.filter(col("doc_id") % 3 === b), "doc_id", "text", "tgt",
+        buckets = 256, store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.dsirMerge)
+    val out = graft.streaming.StreamingPower.mergedDsirSample(s, store,
+        docs, "doc_id", "text", n = 100)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
   /** q157: gap-robust anomaly detection — rolling z-score over the
     * RESAMPLED (gap-filled) grid, so a burst after a quiet stretch is
     * judged against true elapsed time, not against however many rows
@@ -647,6 +674,7 @@ object EventStoreQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q186_dsir_store" -> dsirStoreQ,
     "q181_hll_store" -> hllStoreQ,
     "q172_profile_store" -> profileStoreQ,
     "q164_feed_bronze" -> feedBronzeQ,
@@ -710,6 +738,9 @@ object EventStoreQueries {
     // q172: q165's oracle verbatim — the folded store must read out
     // exactly like the one-shot batch profile.
     "q172_profile_store" -> columnProfileOracle,
+    // q186: q185's oracle verbatim — the streamed importance model
+    // must score exactly like the one-shot DSIR fit.
+    "q186_dsir_store" -> StatsQueries.dsirOracle,
     // q164: the two polls' union covers every non-null-ts record of the
     // %20 subset exactly once after PK dedup, so DuckDB aggregates the
     // raw table directly; a dedup failure double-counts the overlap

@@ -312,6 +312,18 @@ object StatsQueries {
       .orderBy("source", "rank")
 
 
+  /** q185: DSIR importance resampling toward the "curated" sources
+    * (src0/src1 as the target domain) — hashed-unigram log-likelihood
+    * ratios, Gumbel-top-100 selection.
+    */
+  private val dsirQ: Q = (s, dir) =>
+    Sampling.importanceResample(
+      Tables.documents(s, dir)
+        .withColumn("tgt",
+          when(col("source").isin("src0", "src1"), 1).otherwise(0)),
+      "doc_id", "text", "tgt", n = 100)
+
+
   /** q135: bucketed co-located join — orders ⋈ customer on the
     * customer key with BOTH sides pre-bucketed, so the join itself
     * plans zero ShuffleExchange (BucketingSpec asserts the plan
@@ -377,6 +389,7 @@ object StatsQueries {
 
   val queries: Map[String, Q] = Map(
     "q165_column_profile" -> columnProfileQ,
+    "q185_dsir_sample" -> dsirQ,
     "q154_robust_calibration" -> robustCalibrationQ,
     "q150_score_calibration" -> scoreCalibrationQ,
     "q135_bucketed_join" -> bucketedJoinQ,
@@ -407,7 +420,41 @@ object StatsQueries {
     "q44_rank_windows" -> rankWindows,
     "q42_percentiles" -> percentiles)
 
+  // q185: bucket counts exact; each bucket's log-ratio quantizes to
+  // nanos in the identical float expression; per-doc importance is
+  // an exact integer sum; the Gumbel score is one per-doc float
+  // expression on exact inputs (md5-derived uniforms, id tie-break).
+  // Shared verbatim by q186 (the streamed model must score
+  // indistinguishably from the one-shot sampler).
+  private[queries] lazy val dsirOracle: String =
+      s"""WITH d AS (SELECT doc_id,
+        |    CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS tgt,
+        |    string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, tgt, ${md5l("tok")} % 256 AS bucket
+        |  FROM (SELECT doc_id, tgt, unnest(t) AS tok FROM d)),
+        |bs AS (SELECT bucket, CAST(SUM(tgt) AS BIGINT) AS tc,
+        |    CAST(count(*) AS BIGINT) AS rc FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt,
+        |    CAST(SUM(rc) AS BIGINT) AS rt FROM bs),
+        |lr AS (SELECT bucket,
+        |    CAST(floor((ln(CAST(tc + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+        |      - ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + 256 AS DOUBLE)))
+        |      * 1000000000e0 + 0.5e0) AS BIGINT) AS lr_nano
+        |  FROM bs CROSS JOIN tot),
+        |imp AS (SELECT t.doc_id, CAST(SUM(l.lr_nano) AS BIGINT) AS imp_nano
+        |  FROM tok t JOIN lr l USING (bucket) GROUP BY 1),
+        |sc AS (SELECT doc_id, imp_nano,
+        |    CAST(imp_nano AS DOUBLE) / 1000000000e0
+        |      - ln(-ln((${md5l("CAST(doc_id AS VARCHAR)")} + 1)
+        |        / 1152921504606846976e0)) AS score
+        |  FROM imp)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, imp_nano FROM (
+        |  SELECT doc_id, imp_nano,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q185_dsir_sample" -> dsirOracle,
     // q165: the shared columnProfileOracle (q172's merged store must
     // read out identically, so the SQL lives in QueryHelpers).
     "q165_column_profile" -> columnProfileOracle,

@@ -79,6 +79,7 @@ object TextQueries {
   /** Within-document shingle repetition (Gopher-style quality filter). */
   private val repetitionQ: Q = (s, dir) =>
     TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
 
 
   /** Gopher top-n-gram concentration profile (q67's complement: the
@@ -86,7 +87,19 @@ object TextQueries {
     */
   private val topNgramQ: Q = (s, dir) =>
     TextAnalysis.topNgramProfile(Tables.documents(s, dir), "doc_id", "text")
-      .orderBy("doc_id")
+
+
+  /** q184: the TRAINING half of the q98 quality classifier — two
+    * full-batch logistic GD steps over hashed bag-of-words presence
+    * features, label = (lang = 'en'); registered with `Md5Family` so
+    * the oracle replays the identical feature hashing.
+    */
+  private val trainLogisticQ: Q = (s, dir) =>
+    Classifier.trainLogistic(
+      Tables.documents(s, dir)
+        .withColumn("y", when(col("lang") === "en", 1).otherwise(0)),
+      "doc_id", "text", "y", buckets = 64, iters = 2, lrPpm = 500000L,
+      hashes = Md5Family)
 
 
   /** BPE-style regex pre-tokenization profile (fertility etc.). */
@@ -445,6 +458,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "q179_nfc_normalize" -> nfcQ,
     "q182_top_ngram" -> topNgramQ,
+    "q184_train_logistic" -> trainLogisticQ,
     "q178_rank_eval" -> rankEvalQ,
     "q177_source_quality" -> sourceQualityQ,
     "q176_ndcg" -> ndcgQ,
@@ -476,6 +490,58 @@ object TextQueries {
     "q30_quality_score" -> quality,
     "q31_langid" -> langId,
     "q32_fingerprint" -> fingerprint)
+
+  /** q184's oracle: the same two GD steps unrolled as CTEs. Margins
+    * are exact BIGINT sums of micro-weights; per-doc error/logloss
+    * quantize to nanos in the IDENTICAL float expression before the
+    * exact gradient/loss sums; the weight update is the identical
+    * one-shot float expression floored back to micros — so both
+    * engines walk the same integer weight trajectory bit-for-bit.
+    */
+  private lazy val trainLogisticOracle: String = {
+    val iters = (1 to 2).map { i =>
+      val p = i - 1
+      s"""m$i AS (SELECT f.doc_id, CAST(SUM(w.w_micro) AS BIGINT) AS margin
+         |  FROM feat f JOIN w$p w USING (bucket) GROUP BY 1),
+         |s$i AS (SELECT d.doc_id, d.y, m.margin,
+         |    1e0 / (1e0 + exp(-(CAST(m.margin AS DOUBLE) / 1000000e0))) AS p
+         |  FROM d JOIN m$i m USING (doc_id)),
+         |e$i AS (SELECT doc_id, y, margin,
+         |    CAST(floor((p - y) * 1000000000e0 + 0.5e0) AS BIGINT)
+         |      AS err_nano,
+         |    CAST(floor(-((y * ln(p)) + (1 - y) * ln(1e0 - p))
+         |      * 1000000000e0 + 0.5e0) AS BIGINT) AS loss_nano
+         |  FROM s$i),
+         |mt$i AS (SELECT CAST(SUM(loss_nano) AS BIGINT) AS loss_sum_nano,
+         |    CAST(SUM(CASE WHEN (margin >= 0) = (y = 1) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct FROM e$i),
+         |g$i AS (SELECT f.bucket, CAST(SUM(e.err_nano) AS BIGINT) AS g_nano
+         |  FROM feat f JOIN e$i e USING (doc_id) GROUP BY 1),
+         |w$i AS (SELECT w.bucket,
+         |    CAST(w.w_micro - CAST(floor((500000e0 / 1000000e0)
+         |      * (CAST(coalesce(g.g_nano, 0) AS DOUBLE) / 1000000000e0
+         |        / n_docs) * 1000000e0 + 0.5e0) AS BIGINT) AS BIGINT)
+         |      AS w_micro
+         |  FROM w$p w LEFT JOIN g$i g USING (bucket) CROSS JOIN n)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    string_split(text, ' ') AS t FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+       |feat AS (SELECT DISTINCT doc_id, ${md5l("tok")} % 64 AS bucket
+       |    FROM (SELECT doc_id, unnest(t) AS tok FROM d)
+       |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) FROM d),
+       |w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w_micro
+       |       FROM feat),
+       |$iters
+       |SELECT CAST(1 AS INTEGER) AS iter, w1.bucket, w1.w_micro,
+       |  mt1.loss_sum_nano, mt1.n_correct FROM w1 CROSS JOIN mt1
+       |UNION ALL
+       |SELECT CAST(2 AS INTEGER), w2.bucket, w2.w_micro,
+       |  mt2.loss_sum_nano, mt2.n_correct FROM w2 CROSS JOIN mt2
+       |ORDER BY iter, bucket""".stripMargin
+  }
 
   // Per-doc signal oracles, shared verbatim by their own entries and
   // the q177 per-source composition.
@@ -538,6 +604,7 @@ object TextQueries {
         |FROM sh ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q184_train_logistic" -> trainLogisticOracle,
     // q182: the fraction is ONE division of exact integers
     // (count * chars(gram) / chars(doc)), so no float order varies;
     // top-gram ties break lexicographically in both engines.

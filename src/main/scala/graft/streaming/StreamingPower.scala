@@ -459,6 +459,62 @@ object StreamingPower {
       graft.engine.BatchStore.read(spark, storePath)
         .groupBy("bucket").agg(max(col("rho")).as("rho")), p)
 
+  /** One micro-batch of the streaming DSIR importance-model store:
+    * the batch's per-bucket (tc, rc) token counts
+    * (`Sampling.dsirBucketStats` — exact integers, the mergeable half
+    * of q185) land under `batch_id=<id>` with the committed-skip
+    * guard. Fold = per-bucket SUM, so batches must partition the
+    * corpus (the profile-store contract); model state is ≤ `buckets`
+    * rows per batch however much text streamed past.
+    */
+  def dsirStep(batch: DataFrame, idCol: String, textCol: String,
+      targetCol: String, buckets: Int, storePath: String, batchId: Long,
+      hashes: graft.functions.HashFamily = graft.functions.Md5Family): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.Sampling
+      .dsirBucketStats(batch, idCol, textCol, targetCol, buckets, hashes)
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** DSIR stats MERGE as a compaction hook: exact sums per bucket. */
+  val dsirMerge: DataFrame => DataFrame =
+    _.groupBy("bucket").agg(sum(col("tc")).as("tc"), sum(col("rc")).as("rc"))
+
+  /** The loop as a streaming query over a document stream. */
+  def dsirStream(rows: DataFrame, idCol: String, textCol: String,
+      targetCol: String, buckets: Int, storePath: String, checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dsirStep(batch, idCol, textCol, targetCol, buckets, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            dsirMerge)
+      }
+      .start()
+
+  /** Score a corpus against the streamed importance model: fold the
+    * committed bucket stats (exact sums), then the SAME scoring half
+    * the one-shot sampler uses (`Sampling.importanceResampleWith`) —
+    * streamed == batch EXACTLY once the folded stats equal the
+    * one-shot stats. Committed-only read (`BatchStore.read`): a
+    * partial batch dir would silently skew the model.
+    */
+  def mergedDsirSample(spark: SparkSession, storePath: String,
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      buckets: Int = 256,
+      hashes: graft.functions.HashFamily = graft.functions.Md5Family): DataFrame =
+    graft.operators.Sampling.importanceResampleWith(docs, idCol, textCol,
+      dsirMerge(graft.engine.BatchStore.read(spark, storePath)),
+      n, buckets, hashes)
+
   /** One micro-batch of the streaming HISTOGRAM store: the batch's
     * fixed-edge histogram written to a per-batch-id dir with the same
     * committed-skip guard as `countMinStep` — retries are no-ops, and

@@ -481,4 +481,33 @@ class PropertySpec extends SparkSpecBase {
     assert(drift.length == 1 && drift.head.getInt(0) == 0)
     assert(math.abs(drift.head.getDouble(5) - 10.0) < 0.01)
   }
+
+  test("DSIR resampling: target-vocab docs outrank raw, layout-invariant importances") {
+    import spark.implicits._
+    // target docs speak "alpha/beta", raw background speaks
+    // "noise0..4"; the mixed doc sits between — importance must order
+    // target-vocab > mixed > background
+    val docs = (
+      (0 until 5).map(i => (i.toLong, "alpha beta alpha beta", 1)) ++
+      Seq((5L, "alpha beta noise0 noise1", 0)) ++
+      (6 until 30).map(i =>
+        (i.toLong, s"noise${i % 5} noise${(i + 1) % 5} noise${(i + 2) % 5}", 0)))
+      .toDF("doc_id", "text", "tgt")
+    val out = graft.operators.Sampling
+      .importanceResample(docs, "doc_id", "text", "tgt", n = 30, buckets = 64)
+      .select("rank", "doc_id", "imp_nano")
+      .as[(Int, Long, Long)].collect().toSeq
+    val imp = out.map(r => r._2 -> r._3).toMap
+    val targetMin = (0L until 5L).map(imp).min
+    val backgroundMax = (6L until 30L).map(imp).max
+    assert(targetMin > imp(5L) && imp(5L) > backgroundMax,
+      s"importance ordering broken: $imp")
+    // exact-integer importances: any repartitioning is bit-identical
+    val re = graft.operators.Sampling
+      .importanceResample(docs.repartition(7), "doc_id", "text", "tgt",
+        n = 30, buckets = 64)
+      .select("rank", "doc_id", "imp_nano")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(re == out)
+  }
 }

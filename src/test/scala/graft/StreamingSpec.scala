@@ -834,4 +834,39 @@ class StreamingSpec extends SparkSpecBase {
     // longest gap 2h; user 2: singleton bucket
     assert(got == Seq((1L, 4L, 2L, 2L, 7200L), (2L, 1L, 1L, 0L, 0L)), s"got $got")
   }
+
+  test("streaming DSIR store scores exactly like the one-shot importance fit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_dsir_store").toString + "/dsir"
+    val ckpt = Files.createTempDirectory("graft_dsir_ckpt").toString
+    val docs = (
+      (0 until 6).map(i => (i.toLong, "alpha beta alpha", 1)) ++
+      (6 until 24).map(i => (i.toLong, s"noise${i % 4} noise${(i + 1) % 4}", 0)))
+    val ms = MemoryStream[(Long, String, Int)]
+    val q = StreamingPower.dsirStream(
+      ms.toDF().toDF("doc_id", "text", "tgt"), "doc_id", "text", "tgt",
+      buckets = 64, storePath, ckpt, compactEvery = 2)
+    val (b1, b2) = docs.partition(_._1 % 2 == 0) // disjoint corpus split
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val whole = docs.toDF("doc_id", "text", "tgt")
+    val oneShot = graft.operators.Sampling
+      .importanceResample(whole, "doc_id", "text", "tgt", n = 24, buckets = 64)
+      .collect().toSeq
+    val streamed = StreamingPower.mergedDsirSample(spark, storePath,
+      whole, "doc_id", "text", n = 24, buckets = 64).collect().toSeq
+    assert(streamed == oneShot,
+      s"streamed model diverged from one-shot fit:\n$streamed\n$oneShot")
+    // a retried (already folded) batch id is a no-op
+    StreamingPower.dsirStep(b2.toDF("doc_id", "text", "tgt"), "doc_id",
+      "text", "tgt", buckets = 64, storePath, batchId = 1L)
+    assert(StreamingPower.mergedDsirSample(spark, storePath, whole,
+      "doc_id", "text", n = 24, buckets = 64).collect().toSeq == oneShot,
+      "retried batch mutated the committed DSIR store")
+  }
 }

@@ -9,6 +9,44 @@ import graft.operators.TextAnalysis
   */
 class TextOpsGoldenSpec extends SparkSpecBase {
 
+  test("logistic training: signal bucket learns positive weight, loss falls, layout-invariant") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    import graft.functions.Md5Family
+    // y = presence of the token "good" — after one GD step from w=0
+    // the gradient is lr·mean((y−0.5)·x_b), so "good"'s bucket must
+    // carry the largest positive weight
+    val docs = (0 until 40).map { i =>
+      val hasGood = i % 2 == 0
+      val text = (if (hasGood) "good " else "") + s"w${i % 5} w${i % 7} filler"
+      (i.toLong, text, if (hasGood) 1 else 0)
+    }.toDF("doc_id", "text", "y")
+    val out = Classifier.trainLogistic(docs, "doc_id", "text", "y",
+      buckets = 32, iters = 2, lrPpm = 500000L, hashes = Md5Family)
+    val rows = out.as[(Int, Long, Long, Long, Long)].collect().toSeq
+    // replay the operator's own bucketing to find "good"'s bucket
+    val gb = docs.sparkSession.range(1)
+      .select(org.apache.spark.sql.functions.pmod(
+        Md5Family.hash(org.apache.spark.sql.functions.lit("good")),
+        org.apache.spark.sql.functions.lit(32)).cast("long"))
+      .as[Long].head()
+    val it1 = rows.filter(_._1 == 1)
+    assert(it1.maxBy(_._3)._2 == gb,
+      s"bucket $gb ('good') should carry the max weight after step 1")
+    // loss and accuracy: step 2's pre-update metrics (scored with w1)
+    // must improve on step 1's zero-weight baseline
+    val (l1, c1) = (it1.head._4, it1.head._5)
+    val it2 = rows.filter(_._1 == 2)
+    assert(it2.head._4 < l1, "loss should fall after one update")
+    assert(it2.head._5 >= c1, "accuracy should not fall after one update")
+    // partition-layout invariance: exact-integer aggregation means any
+    // repartitioning yields the bit-identical weight trajectory
+    val re = Classifier.trainLogistic(docs.repartition(7), "doc_id",
+      "text", "y", buckets = 32, iters = 2, lrPpm = 500000L,
+      hashes = Md5Family)
+    assert(re.as[(Int, Long, Long, Long, Long)].collect().toSeq == rows)
+  }
+
   test("BPE apply: rank order, left-to-right non-overlap, merged forms compose") {
     import spark.implicits._
     val docs = Seq(
