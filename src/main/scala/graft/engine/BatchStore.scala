@@ -66,13 +66,18 @@ object BatchStore {
     */
   def compact(spark: SparkSession, path: String,
       merge: DataFrame => DataFrame = identity,
-      subPartitionCols: Seq[String] = Nil): Unit = {
+      subPartitionCols: Seq[String] = Nil,
+      force: Boolean = false): Unit = {
     heal(spark, path)
     val p = new Path(path)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return
     val batches = committedBatches(spark, path)
-    if (batches.size <= 1) return
+    // `force` folds even a lone generation — callers whose merge hook
+    // must rewrite rows regardless of batch count (e.g. TextIndex
+    // applying tombstone deletes) opt in; the plain fold is a no-op on
+    // a single batch by definition
+    if (batches.isEmpty || (batches.size <= 1 && !force)) return
     val genId = batches.max
     val staging = new Path(path + "._compacting")
     val backup = new Path(path + "._old")

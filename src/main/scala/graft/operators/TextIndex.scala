@@ -36,6 +36,81 @@ import graft.engine.BatchStore
 object TextIndex {
   private def postingsPath(path: String) = path + "/postings"
   private def statsPath(path: String) = path + "/stats"
+  private def deadPath(path: String) = path + "/dead"
+
+  /** TOMBSTONE delete (the `AnnIndex.delete` shape): doc ids to forget
+    * land under `dead/batch=M` (parquet's own per-dir `_SUCCESS` is
+    * the commit marker), idempotent per batch id. Queries mask the
+    * live tombstone set; `compact` folds the postings minus the dead
+    * docs and re-fits the stats. Until that compaction, corpus
+    * statistics (df, n_docs, avgdl) still reflect the pre-delete
+    * corpus — exactly Lucene's deleted-docs-until-merge semantics, and
+    * what makes the mask equal a deep-rank filter of the pre-delete
+    * ranking (surviving docs' scores are unchanged).
+    */
+  def delete(ids: DataFrame, idCol: String, path: String,
+      batchId: Long = -1L): Unit = {
+    val spark = ids.sparkSession
+    require(committedBatches(spark, path).nonEmpty,
+      s"no committed index at $path — build it first")
+    val dead = new Path(deadPath(path))
+    val fs = dead.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val id = if (batchId >= 0) batchId else nextDeadId(fs, dead)
+    val dir = new Path(dead, s"batch=$id")
+    if (fs.exists(new Path(dir, "_SUCCESS"))) return // committed retry
+    ids.select(col(idCol).cast("long").as("doc")).distinct()
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+  }
+
+  /** [[delete]] as a streaming face (a takedown/unsubscribe feed):
+    * each micro-batch is one tombstone batch keyed by the ENGINE's
+    * batch id — exactly-once under foreachBatch retries while the dir
+    * lives; a retry of an already-drained id re-applies a mask over
+    * rows that no longer exist, a no-op by construction.
+    */
+  def deleteStream(ids: DataFrame, idCol: String, path: String,
+      checkpoint: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        delete(batch, idCol, path, batchId = id)
+        if (compactEvery > 0 &&
+            committedDeadBatches(batch.sparkSession, path).size >= compactEvery)
+          compact(batch.sparkSession, path)
+      }
+      .start()
+
+  private def nextDeadId(fs: org.apache.hadoop.fs.FileSystem,
+      dead: Path): Long = {
+    if (!fs.exists(dead)) return 0L
+    val ids = fs.listStatus(dead).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+    if (ids.isEmpty) 0L else ids.max + 1
+  }
+
+  /** Committed tombstone batch ids — per-dir `_SUCCESS` probes (the
+    * dead set stays small by the compaction-drain contract).
+    */
+  private[graft] def committedDeadBatches(spark: SparkSession,
+      path: String): Seq[Long] = {
+    val p = new Path(deadPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(id => fs.exists(new Path(p, s"batch=$id/_SUCCESS")))
+      .sorted
+  }
+
+  private def deadDocs(spark: SparkSession, path: String,
+      batches: Seq[Long]): DataFrame =
+    spark.read
+      .parquet(batches.map(b => s"${deadPath(path)}/batch=$b"): _*)
+      .select(col("doc")).distinct()
 
   /** Committed generations: batches whose postings AND stats both
     * carry their `_SUCCESS` marker.
@@ -134,7 +209,15 @@ object TextIndex {
       .join(postings.groupBy("token").agg(count(lit(1)).as("df")), Seq("token"))
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
-    val scored = postings
+    // tombstone mask on the SCORED side only: df/n_docs/avgdl keep the
+    // pre-delete corpus until compaction (Lucene semantics), so a
+    // masked ranking == the pre-delete ranking minus the dead docs
+    val deadB = committedDeadBatches(spark, path)
+    val live =
+      if (deadB.isEmpty) postings
+      else postings.join(deadDocs(spark, path, deadB).localCheckpoint(),
+        Seq("doc"), "left_anti")
+    val scored = live
       .join(broadcast(qdf), Seq("token"))
       .withColumn("contrib",
         col("idf") * col("tf") * (lit(k1) + 1.0) /
@@ -179,10 +262,16 @@ object TextIndex {
     val postings = spark.read.parquet(postingsPath(path))
     require(postings.columns.contains("positions"),
       s"index at $path was built withPositions=false — phrase search needs a positional index")
-    postings
+    val deadB = committedDeadBatches(spark, path)
+    val pruned = postings
       .filter(col("batch_id").isin(committed: _*))
       .filter(col("tok_bucket").isin(probeBuckets: _*))
       .filter(col("token").isin(probeTokens: _*))
+    val live =
+      if (deadB.isEmpty) pruned
+      else pruned.join(deadDocs(spark, path, deadB).localCheckpoint(),
+        Seq("doc"), "left_anti")
+    live
       .select(col("doc"), col("token"), explode(col("positions")).as("pos"))
       .join(broadcast(qt), Seq("token"))
       .groupBy(col("query_id"), col("doc"),
@@ -200,12 +289,54 @@ object TextIndex {
     * `BatchStore`): postings keep their tok_bucket pruning layout,
     * stats sum to a single row — constant size no matter how many
     * batches have passed.
+    *
+    * Tombstones: the dead batches are SNAPSHOTTED at entry (a delete
+    * landing mid-compaction stays live for the next one — the
+    * `AnnIndex.compact` contract); the fold drops their docs from the
+    * postings, stats are RE-FIT exactly from the folded postings (the
+    * stale-until-merge window ends here), and only the snapshotted
+    * tombstone dirs drain — and only after verifying their docs
+    * actually left the committed postings, so a skipped or
+    * race-aborted fold (`BatchStore.compact` may abort quietly) can
+    * never lose a delete.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    BatchStore.compact(spark, postingsPath(path),
-      subPartitionCols = Seq("tok_bucket"))
-    BatchStore.compact(spark, statsPath(path),
-      merge = df => df.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))
+    val deadB = committedDeadBatches(spark, path) // snapshot at entry
+    val mask: DataFrame => DataFrame =
+      if (deadB.isEmpty) identity
+      else df => df.join(
+        deadDocs(spark, path, deadB).localCheckpoint(), Seq("doc"),
+        "left_anti")
+    BatchStore.compact(spark, postingsPath(path), merge = mask,
+      subPartitionCols = Seq("tok_bucket"), force = deadB.nonEmpty)
+    if (deadB.isEmpty)
+      BatchStore.compact(spark, statsPath(path),
+        merge = df => df.agg(sum("n_docs").as("n_docs"),
+          sum("sum_dl").as("sum_dl")))
+    else {
+      // deletes shrank the corpus: recompute (n_docs, sum_dl) exactly
+      // from the committed postings instead of summing stale rows
+      val committed = BatchStore.committedBatches(spark, postingsPath(path))
+      val statsDf = spark.read.parquet(postingsPath(path))
+        .filter(col("batch_id").isin(committed: _*))
+        .select(col("doc"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .localCheckpoint()
+      BatchStore.compact(spark, statsPath(path), merge = _ => statsDf,
+        force = true)
+      // drain gate: a tombstone may only drop once its docs are gone
+      val folded = spark.read.parquet(postingsPath(path))
+        .filter(col("batch_id")
+          .isin(BatchStore.committedBatches(spark, postingsPath(path)): _*))
+      val survivors = folded.join(
+        deadDocs(spark, path, deadB).localCheckpoint(), Seq("doc"),
+        "left_semi").limit(1).count()
+      if (survivors == 0L) {
+        val dp = new Path(deadPath(path))
+        val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        deadB.foreach(b => fs.delete(new Path(dp, s"batch=$b"), true))
+      }
+    }
   }
 
   /** Streaming ingestion: each micro-batch appends under its engine

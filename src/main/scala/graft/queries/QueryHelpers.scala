@@ -217,8 +217,15 @@ private[queries] object QueryHelpers {
   // so it shares this oracle verbatim.
   // CTE chain through the per-(query, doc) BM25 score `sc`, shared by
   // the q139/q140 oracle and q141's sparse tier.
-  lazy val bm25Ctes: String =
-      """corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+  lazy val bm25Ctes: String = bm25CtesWhere("")
+
+  /** The q139 chain with an extra corpus predicate — q188 replays it
+    * over the post-delete survivor set (tombstoned docs removed, df /
+    * n_docs / avgdl re-fit by compaction).
+    */
+  def bm25CtesWhere(extra: String): String =
+      s"""corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE source <> 'src0'$extra),
         |probes AS (SELECT doc_id AS query_id, string_split(text, ' ') AS t
         |  FROM documents WHERE source = 'src0' AND doc_id % 50 = 0),
         |qt AS (SELECT DISTINCT query_id, t[i] AS token FROM probes,

@@ -102,6 +102,63 @@ object TextQueries {
       hashes = Md5Family)
 
 
+  /** q187: quality-filter funnel governance — the per-stage keep/drop
+    * accounting every production cleaning pipeline reports (what did
+    * each filter cost, in order): length → shingle repetition →
+    * peak 2-gram concentration → char entropy. Every cut compares
+    * EXACT integers (`50·(ns−nd) ≤ ns` instead of `ratio ≤ 0.02`,
+    * `8·peak_cov ≤ n_chars` instead of a float fraction) or a
+    * hash-verified 6dp signal against a 6dp-representable threshold,
+    * so the funnel is bit-stable cross-engine. One signal pass + one
+    * conditional-sum aggregate; the per-doc frames are the q67/q166
+    * shapes (per-key state bounded by doc length).
+    */
+  private val qualityFunnelQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val ent = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select(col("doc_id"), col("entropy_nats"))
+    val sh = Dedup.shingles(col("text"), 3)
+    val cov2 = docs
+      .filter(size(TextAnalysis.wsTokens(col("text"))) >= 2)
+      .select(col("doc_id"), length(col("text")).as("_nc"),
+        TextAnalysis.wsTokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("_nc"), explode(expr(
+        "transform(sequence(1, size(_t) - 1)," +
+          " i -> concat_ws(' ', slice(_t, i, 2)))")).as("gram"))
+      .groupBy(col("doc_id"), col("_nc"), col("gram"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col("doc_id"), col("_nc"))
+      .agg(max(col("_cnt") * length(col("gram"))).as("_cov2"))
+    val sig = docs
+      .select(col("doc_id"), length(col("text")).as("_nchars"),
+        size(TextAnalysis.wsTokens(col("text"))).as("_ntok"),
+        size(sh).as("_ns"), size(array_distinct(sh)).as("_nd"))
+      .join(cov2.select(col("doc_id"), col("_cov2")), Seq("doc_id"), "left")
+      .join(ent, Seq("doc_id"), "left")
+      .select(
+        (col("_ntok") >= 24).as("f1"),
+        ((col("_ns") - col("_nd")) * 50 <= col("_ns")).as("f2"),
+        (coalesce(col("_cov2"), lit(0L)) * 8 <= col("_nchars")).as("f3"),
+        (coalesce(col("entropy_nats"), lit(0.0)) >= 2.7).as("f4"))
+    val cnt = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    val agg = sig.agg(
+      count(lit(1)).as("n0"),
+      cnt(col("f1")).as("a1"),
+      cnt(col("f1") && col("f2")).as("a2"),
+      cnt(col("f1") && col("f2") && col("f3")).as("a3"),
+      cnt(col("f1") && col("f2") && col("f3") && col("f4")).as("a4"))
+    agg.selectExpr(
+      """stack(4,
+        | 1, 'length',     n0, n0 - a1, a1,
+        | 2, 'repetition', a1, a1 - a2, a2,
+        | 3, 'ngram_conc', a2, a2 - a3, a3,
+        | 4, 'entropy',    a3, a3 - a4, a4)
+        | AS (stage, filter, n_in, n_drop, n_out)""".stripMargin)
+      .orderBy("stage")
+  }
+
+
   /** BPE-style regex pre-tokenization profile (fertility etc.). */
   private val regexTokensQ: Q = (s, dir) =>
     TextAnalysis.regexTokenProfile(Tables.documents(s, dir), "doc_id", "text")
@@ -242,6 +299,36 @@ object TextQueries {
         concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
     TextIndex.query(s, sharedTextIndex(s, dir), probes,
       "query_id", "qtext", k = 10)
+  }
+
+
+  /** q188: tombstone deletes on the persisted text index — build a
+    * lean (BM25-only) scratch index over the q139 corpus split in two
+    * batches, tombstone every `doc_id % 7 == 0`, compact (fold minus
+    * dead + exact stats re-fit + tombstone drain), query. Must answer
+    * exactly like the inline operator on the SURVIVING corpus — the
+    * oracle is q139's chain with the survivor predicate.
+    */
+  private val textDeleteQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q188_tidx")
+    val path = scratch.toString + "/tidx"
+    TextIndex.appendBatch(corpus.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", path, batchId = 0L, withPositions = false)
+    TextIndex.appendBatch(corpus.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", path, batchId = 1L, withPositions = false)
+    TextIndex.delete(corpus.filter(col("doc_id") % 7 === 0)
+      .select("doc_id"), "doc_id", path)
+    TextIndex.compact(s, path)
+    val out = TextIndex.query(s, path, probes, "query_id", "qtext", k = 10)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
   }
 
 
@@ -459,6 +546,8 @@ object TextQueries {
     "q179_nfc_normalize" -> nfcQ,
     "q182_top_ngram" -> topNgramQ,
     "q184_train_logistic" -> trainLogisticQ,
+    "q187_quality_funnel" -> qualityFunnelQ,
+    "q188_text_delete" -> textDeleteQ,
     "q178_rank_eval" -> rankEvalQ,
     "q177_source_quality" -> sourceQualityQ,
     "q176_ndcg" -> ndcgQ,
@@ -603,7 +692,62 @@ object TextQueries {
         |    AS repetition_ratio
         |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** q187's oracle: the same four exact-integer cuts over the q67
+    * shingle shape, the peak 2-gram coverage, and the q166 entropy
+    * oracle as a derived table; funnel counts are conditional sums of
+    * exact booleans.
+    */
+  private lazy val qualityFunnelOracle: String =
+      s"""WITH t AS (SELECT doc_id, len(text) AS nc,
+        |    string_split(text, ' ') AS tk FROM documents),
+        |shg AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+        |  THEN [array_to_string(tk[i:i+2], ' ')
+        |        FOR i IN generate_series(1, len(tk)-2)]
+        |  ELSE [array_to_string(tk, ' ')] END AS g FROM t),
+        |rep AS (SELECT doc_id, len(g) AS ns, len(list_distinct(g)) AS nd
+        |  FROM shg),
+        |g2 AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+        |    FOR i IN generate_series(1, len(tk)-1)]) AS gram
+        |  FROM t WHERE len(tk) >= 2),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, CAST(max(cnt * len(gram)) AS BIGINT) AS cov2
+        |  FROM c2 GROUP BY 1),
+        |ent AS (SELECT doc_id, entropy_nats FROM ($charEntropyOracle)),
+        |sig AS (SELECT t.doc_id,
+        |    len(tk) >= 24 AS f1,
+        |    (r.ns - r.nd) * 50 <= r.ns AS f2,
+        |    coalesce(cov.cov2, 0) * 8 <= t.nc AS f3,
+        |    coalesce(ent.entropy_nats, 0e0) >= 2.7e0 AS f4
+        |  FROM t JOIN rep r USING (doc_id)
+        |  LEFT JOIN cov USING (doc_id) LEFT JOIN ent USING (doc_id)),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+        |    CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a3,
+        |    CAST(SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a4 FROM sig)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS INTEGER) AS stage, 'length' AS filter,
+        |    n0 AS n_in, n0 - a1 AS n_drop, a1 AS n_out FROM a
+        |  UNION ALL SELECT 2, 'repetition', a1, a1 - a2, a2 FROM a
+        |  UNION ALL SELECT 3, 'ngram_conc', a2, a2 - a3, a3 FROM a
+        |  UNION ALL SELECT 4, 'entropy', a3, a3 - a4, a4 FROM a)
+        |ORDER BY stage""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // q188: q139's chain over the survivor corpus — compaction re-fit
+    // the stats, so the deleted index must answer exactly like the
+    // inline operator on what remains.
+    "q188_text_delete" ->
+      s"""WITH ${bm25CtesWhere(" AND doc_id % 7 <> 0")}
+        |SELECT query_id, rank, doc AS doc_id, score FROM
+        |  (SELECT query_id, doc, score,
+        |     CAST(row_number() OVER (PARTITION BY query_id
+        |       ORDER BY score DESC, doc) AS INTEGER) AS rank
+        |   FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q187_quality_funnel" -> qualityFunnelOracle,
     "q184_train_logistic" -> trainLogisticOracle,
     // q182: the fraction is ONE division of exact integers
     // (count * chars(gram) / chars(doc)), so no float order varies;

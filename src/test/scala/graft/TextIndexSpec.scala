@@ -151,4 +151,61 @@ class TextIndexSpec extends SparkSpecBase {
     assert(TextIndex.committedBatches(spark, path).size == 1,
       "compactEvery=2 should have folded the stream's generations")
   }
+
+  test("tombstone deletes: mask == deep-rank filter; compact re-fits stats == inline on survivors") {
+    val path = buildTwoBatches("_del")
+    val deadIds = corpus.filter(col("doc_id") % 7 === 0).select("doc_id")
+    // pre-delete ranking, deep (k large enough that filtering the dead
+    // docs out still leaves 10 per query)
+    val deep = TextIndex.query(spark, path, probes, "query_id", "qtext",
+      k = 30).collect().map(key)
+    TextIndex.delete(deadIds, "doc_id", path)
+    val dead = deadIds.collect().map(_.getLong(0)).toSet
+    // masked query: stats are stale (Lucene semantics) so surviving
+    // docs keep their exact pre-delete scores — the masked top-10 is
+    // the pre-delete ranking minus dead docs, ranks renumbered
+    val masked = TextIndex.query(spark, path, probes, "query_id", "qtext",
+      k = 10).collect().map(key)
+    val expect = deep.filterNot(r => dead.contains(r._3))
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(_._2).zipWithIndex
+          .map { case (r, i) => (r._1, i + 1, r._3, r._4) }.toSeq
+      }.filter(_._2 <= 10).sortBy(r => (r._1, r._2))
+    assert(masked.toSeq.sortBy(r => (r._1, r._2)) == expect,
+      "masked ranking != deep-rank filter of the pre-delete ranking")
+    assert(masked.forall(r => !dead.contains(r._3)))
+    // a retried tombstone batch id is a no-op
+    TextIndex.delete(deadIds, "doc_id", path, batchId = 0L)
+    assert(TextIndex.committedDeadBatches(spark, path) == Seq(0L))
+    // compact: folds minus dead, RE-FITS stats, drains the tombstones
+    TextIndex.compact(spark, path)
+    assert(TextIndex.committedDeadBatches(spark, path).isEmpty,
+      "compaction should drain applied tombstones")
+    val survivors = corpus.filter(col("doc_id") % 7 =!= 0)
+    val inlineSurv = TextAnalysis.bm25TopK(survivors, "doc_id", "text",
+      probes, "query_id", "qtext", k = 10).collect().map(key)
+    val afterCompact = TextIndex.query(spark, path, probes, "query_id",
+      "qtext", k = 10).collect().map(key)
+    assert(afterCompact.toSeq == inlineSurv.toSeq,
+      "compacted index != inline BM25 on the surviving corpus")
+    // a stale tombstone (already drained id, re-delivered) is harmless
+    TextIndex.delete(deadIds, "doc_id", path, batchId = 0L)
+    TextIndex.compact(spark, path)
+    assert(TextIndex.query(spark, path, probes, "query_id", "qtext",
+      k = 10).collect().map(key).toSeq == inlineSurv.toSeq)
+  }
+
+  test("tombstone delete on a single-generation index folds under force-compact") {
+    val path = Files.createTempDirectory("graft_tidx_del1").toString + "/idx"
+    TextIndex.appendBatch(corpus, "doc_id", "text", path, batchId = 0L)
+    TextIndex.delete(corpus.filter(col("doc_id") % 7 === 0)
+      .select("doc_id"), "doc_id", path)
+    TextIndex.compact(spark, path) // one batch + tombstones must still fold
+    assert(TextIndex.committedDeadBatches(spark, path).isEmpty)
+    val inlineSurv = TextAnalysis.bm25TopK(
+      corpus.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+      probes, "query_id", "qtext", k = 10).collect().map(key)
+    assert(TextIndex.query(spark, path, probes, "query_id", "qtext",
+      k = 10).collect().map(key).toSeq == inlineSurv.toSeq)
+  }
 }
