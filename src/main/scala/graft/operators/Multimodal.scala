@@ -144,6 +144,105 @@ object Multimodal {
     }
   }
 
+  /** Typed metadata row produced by the audio decoder. `sum_sq` is the
+    * exact integer energy (Σ sample², int16 samples — fits a long at
+    * any realistic clip length), so the acoustic feature aggregates
+    * without float-order hazards; RMS is one float expression away.
+    */
+  case class AudioMeta(doc_id: Long, n_bytes: Int, sample_rate: Int,
+      channels: Int, n_samples: Int, duration_ms: Long, sum_sq: Long,
+      real_decode: Boolean)
+
+  private def audioStub(docId: Long, payload: Array[Byte]): AudioMeta =
+    AudioMeta(docId, payload.length, 0, 0, 0, 0L, 0L, real_decode = false)
+
+  /** REAL audio decode: a manual RIFF/WAVE container parse (PCM 16-bit
+    * only — the format [[withAudioPayload]] synthesizes), pure JVM, no
+    * codec libs: walks the chunk list for `fmt ` and `data`, reads the
+    * true sample rate / channel count / sample frames, and accumulates
+    * the exact integer energy. Anything that isn't a parseable 16-bit
+    * PCM WAV falls back to the zeroed stub row (`real_decode = false`),
+    * keeping the pipeline total.
+    */
+  private[graft] def decodeWav(docId: Long, p: Array[Byte]): AudioMeta =
+    try {
+      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def le32(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+        ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+      def tag(o: Int) = new String(p, o, 4, "US-ASCII")
+      if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        audioStub(docId, p)
+      else {
+        var off = 12
+        var sampleRate = 0; var channels = 0; var bits = 0
+        var dataOff = -1; var dataLen = 0
+        while (off + 8 <= p.length) {
+          val t = tag(off); val len = le32(off + 4)
+          if (t == "fmt ") {
+            channels = le16(off + 10); sampleRate = le32(off + 12)
+            bits = le16(off + 22)
+          } else if (t == "data") { dataOff = off + 8; dataLen = len }
+          off += 8 + len + (len & 1) // RIFF chunks pad to even offsets
+        }
+        if (dataOff < 0 || bits != 16 || channels <= 0 || sampleRate <= 0 ||
+            dataOff + dataLen > p.length) audioStub(docId, p)
+        else {
+          val n = dataLen / (2 * channels)
+          var i = 0; var sumSq = 0L
+          while (i < n * channels) {
+            val v = le16(dataOff + 2 * i).toShort.toInt
+            sumSq += v.toLong * v
+            i += 1
+          }
+          AudioMeta(docId, p.length, sampleRate, channels, n,
+            n.toLong * 1000L / sampleRate, sumSq, real_decode = true)
+        }
+      }
+    } catch { case _: Exception => audioStub(docId, p) }
+
+  /** Deterministic REAL audio fixture: each doc renders to a true
+    * 16-bit PCM mono WAV at 8 kHz — `64 + utf8len(text) % 192` sample
+    * frames of the integer waveform `((doc_id·37 + i·131) % 4001) −
+    * 2000` — so a decoder that parses the actual container recovers
+    * oracle-predictable rate/channels/length/energy. Synthesis runs
+    * partition-wise like the decode.
+    */
+  def withAudioPayload(docs: DataFrame): DataFrame = {
+    val payloads = withPayload(docs)
+    import payloads.sparkSession.implicits._
+    payloads.as[(Long, Array[Byte])].mapPartitions { batch =>
+      batch.map { case (id, seed) =>
+        val n = 64 + (seed.length % 192)
+        val rate = 8000; val channels = 1
+        val dataLen = n * 2
+        val bos = new java.io.ByteArrayOutputStream(44 + dataLen)
+        def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+        def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+        def wtag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+        wtag("RIFF"); w32(36 + dataLen); wtag("WAVE")
+        wtag("fmt "); w32(16); w16(1); w16(channels); w32(rate)
+        w32(rate * channels * 2); w16(channels * 2); w16(16)
+        wtag("data"); w32(dataLen)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 37L + i.toLong * 131L) % 4001L).toInt - 2000
+          w16(s & 0xffff)
+          i += 1
+        }
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Partition-wise batch decode of audio payloads. */
+  def decodeAudioPayloads(payloads: DataFrame): Dataset[AudioMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { batch =>
+        batch.map { case (id, bytes) => decodeWav(id, bytes) }
+      }
+  }
+
   /** One sampled frame of a media payload. */
   case class FrameMeta(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_hash: Int)
 

@@ -56,6 +56,20 @@ object EventStoreQueries {
       .orderBy("doc_id")
 
 
+  /** q189: REAL audio decode end-to-end — each doc renders to a true
+    * 16-bit PCM mono WAV (8 kHz, `64 + utf8len % 192` sample frames of
+    * a doc-seeded integer waveform, `Multimodal.withAudioPayload`),
+    * and `decodeAudioPayloads` parses the actual RIFF container:
+    * recovered rate/channels/frame-count/duration and the EXACT
+    * integer energy (Σ sample²) are all oracle-predicted, n_bytes
+    * included (WAV is uncompressed: 44 + 2·n).
+    */
+  private val audioDecodeQ: Q = (s, dir) =>
+    Multimodal.decodeAudioPayloads(
+        Multimodal.withAudioPayload(Tables.documents(s, dir))).toDF()
+      .orderBy("doc_id")
+
+
   /** Schema-on-read JSON parsing (from_json with an explicit schema —
     * the structured sibling of q33's get_json_object path).
     */
@@ -680,6 +694,7 @@ object EventStoreQueries {
     "q164_feed_bronze" -> feedBronzeQ,
     "q163_feed_source" -> feedSourceQ,
     "q162_image_decode" -> imageDecodeQ,
+    "q189_audio_decode" -> audioDecodeQ,
     "q157_grid_anomaly" -> gridAnomalyQ,
     "q156_session_features" -> sessionFeaturesQ,
     "q152_moment_store" -> momentStoreQ,
@@ -777,6 +792,22 @@ object EventStoreQueries {
         |  CAST(8 + octet_length(encode(text)) % 24 AS INTEGER) AS height,
         |  3 AS channels, true AS real_decode
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q189: the WAV fixture is fully predictable — frame count from
+    // utf8 length, byte size closed-form (uncompressed PCM), energy as
+    // the exact integer sum of squared synthesized samples.
+    "q189_audio_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    64 + (octet_length(encode(text)) % 192) AS n FROM documents),
+        |s AS (SELECT doc_id, n, CAST(SUM(v * v) AS BIGINT) AS sum_sq FROM (
+        |    SELECT doc_id, n, ((doc_id * 37 + i * 131) % 4001) - 2000 AS v
+        |    FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) gs)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(44 + 2 * n AS INTEGER) AS n_bytes,
+        |  CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+        |  CAST(n AS INTEGER) AS n_samples,
+        |  CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+        |  sum_sq, true AS real_decode
+        |FROM s ORDER BY doc_id""".stripMargin,
     // q157: q145's grid CTE + one more 24-bucket window; sample
     // stddev (NULL under 2 rows) and the cut on ROUNDED z in both
     // engines.

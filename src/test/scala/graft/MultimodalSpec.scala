@@ -81,4 +81,30 @@ class MultimodalSpec extends SparkSpecBase {
     // exceeds a trivial header and is not the raster size
     assert(got.filter(col("n_bytes") <= 8).count() == 0)
   }
+
+  test("WAV fixture encode -> manual RIFF decode recovers rate, frames, exact energy") {
+    import spark.implicits._
+    val docs = Seq((3L, "hello world"), (10L, "x")).toDF("doc_id", "text")
+    val got = Multimodal.decodeAudioPayloads(Multimodal.withAudioPayload(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    // doc 3: utf8len 11 -> 64 + 11 = 75 frames; energy replayed
+    // independently from the synthesis formula
+    val m3 = got(3L)
+    assert(m3.real_decode && m3.sample_rate == 8000 && m3.channels == 1)
+    assert(m3.n_samples == 75 && m3.n_bytes == 44 + 150)
+    assert(m3.duration_ms == 75L * 1000L / 8000L)
+    val want = (0 until 75).map { i =>
+      val s = ((3L * 37L + i.toLong * 131L) % 4001L) - 2000L
+      s * s
+    }.sum
+    assert(m3.sum_sq == want, s"energy ${m3.sum_sq} != replayed $want")
+    // a payload that is not a WAV container falls back to the stub
+    val junk = Seq((7L, Array[Byte](1, 2, 3, 4, 5))).toDF("doc_id", "payload")
+    val stub = Multimodal.decodeAudioPayloads(junk).head()
+    assert(!stub.real_decode && stub.n_bytes == 5 && stub.sum_sq == 0L)
+    // a truncated RIFF header (claims WAVE, no usable chunks) is also safe
+    val trunc = Seq((8L, "RIFFxxxxWAVE".getBytes("US-ASCII") ++
+        Array.fill[Byte](40)(0))).toDF("doc_id", "payload")
+    assert(!Multimodal.decodeAudioPayloads(trunc).head().real_decode)
+  }
 }
