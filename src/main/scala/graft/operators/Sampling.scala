@@ -325,6 +325,10 @@ object Sampling {
           - log((col("rc") + lit(1L)).cast("double")
             / (col("rt") + lit(buckets.toLong)).cast("double")))
           * lit(1e9) + lit(0.5)).cast("long").as("lr_nano"))
+      // materialize the <=buckets-row model before broadcasting: the
+      // scoring pass must not re-run the stats aggregate's corpus scan
+      // under a BroadcastExchange (the q102 rule)
+      .localCheckpoint()
     val imp = tok.join(broadcast(lr), Seq("bucket"))
       .groupBy(col(idCol)).agg(sum(col("lr_nano")).as("imp_nano"))
     val u = (hashes.hash(col(idCol).cast("string")) + lit(1L)).cast("double") /

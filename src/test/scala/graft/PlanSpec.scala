@@ -380,6 +380,55 @@ class PlanSpec extends SparkSpecBase {
       s"global top-k not a per-partition heap merge:\n$plan")
   }
 
+  test("MMR broadcasts only checkpointed probe-bounded artifacts") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val df = graft.operators.Similarity.mmrTopK(
+      emb, emb.filter(col("vec_id") < 5), k = 3, m = 8)
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    // every greedy input is a checkpointed probe-bounded artifact, so
+    // the final assembly must not touch corpus files at all — which
+    // also makes a corpus scan under a broadcast (q102 class) impossible
+    assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+      "the greedy MMR phase re-scanned corpus files")
+    nodes.collect { case b: BroadcastExchangeExec => b }.foreach { b =>
+      assert(!flattenPlan(b.child).exists(_.isInstanceOf[FileSourceScanExec]),
+        s"corpus-scale file scan under a broadcast (q102 regression class):\n$b")
+    }
+  }
+
+  test("DSIR sample: distributed top-n, model table broadcast without a corpus rescan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .withColumn("tgt", when(col("source").isin("src0", "src1"), 1).otherwise(0))
+    val df = graft.operators.Sampling.importanceResample(
+      docs, "doc_id", "text", "tgt", n = 20)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"Gumbel top-n not a per-partition heap merge:\n$plan")
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    nodes.collect { case b: BroadcastExchangeExec => b }.foreach { b =>
+      assert(!flattenPlan(b.child).exists(_.isInstanceOf[FileSourceScanExec]),
+        s"corpus scan re-run under the model broadcast:\n$b")
+    }
+  }
+
+  test("logistic training: weight/metric broadcasts never re-scan the corpus") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .withColumn("y", when(col("lang") === "en", 1).otherwise(0))
+    val df = graft.operators.Classifier.trainLogistic(
+      docs, "doc_id", "text", "y", buckets = 32, iters = 2)
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    nodes.collect { case b: BroadcastExchangeExec => b }.foreach { b =>
+      assert(!flattenPlan(b.child).exists(_.isInstanceOf[FileSourceScanExec]),
+        s"corpus scan under a broadcast in the training plan:\n$b")
+    }
+  }
+
   test("pipeline funnel dedups on digests and broadcasts only the 1-row total") {
     val df = graft.queries.ExtensionQueries.queries("q132_pipeline_funnel")(
       spark, sf("sf0.001"))
