@@ -306,6 +306,65 @@ object Sampling {
       .groupBy(col("bucket"))
       .agg(sum(col("_tgt")).as("tc"), count(lit(1)).as("rc"))
 
+  /** Distribution (histogram) matching by deterministic rejection
+    * sampling: thin a raw corpus so a bucketed feature (here any
+    * numeric column, e.g. token length) matches a REFERENCE corpus's
+    * distribution — the shape-matching complement of
+    * [[importanceResample]] (DSIR matches content, this matches a
+    * marginal). Standard rejection scaling: per-bucket acceptance
+    * `(t_b/T)/(r_b/R)` normalized so the tightest bucket accepts
+    * everything; the accept decision is `md5(id) % 1e6 < acc_ppm` —
+    * a pure function of the id, so membership never changes across
+    * runs, partitionings, or engines.
+    *
+    * Determinism: bucket counts are exact; the density ratio
+    * quantizes to integer nanos in one float expression on exact
+    * counts; the normalization is integer-only
+    * (`floor(ratio_nano·1e6 / max_ratio_nano)`, bucket tie-break on
+    * the argmax). Scale shape: two count aggregates + a ≤buckets-row
+    * broadcast back onto the raw side; the corpus never shuffles.
+    *
+    * Output per occupied raw bucket: (bucket, n_ref, n_raw, acc_ppm,
+    * n_kept), ordered by bucket.
+    */
+  def histogramMatch(raw: DataFrame, ref: DataFrame, idCol: String,
+      bucketCol: String, hashes: HashFamily = Md5Family): DataFrame = {
+    val rb = raw.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("n_raw"))
+    val tb = ref.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1)).as("n_ref"))
+    val tot = rb.agg(sum(col("n_raw")).as("rt")).crossJoin(
+      tb.agg(sum(col("n_ref")).as("tt")))
+    val ratios = rb.join(tb, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        col("n_raw"),
+        floor((coalesce(col("n_ref"), lit(0L)).cast("double") / col("tt"))
+          / (col("n_raw").cast("double") / col("rt"))
+          * lit(1e9) + lit(0.5)).cast("long").as("ratio_nano"))
+      .localCheckpoint()
+    val mx = ratios.orderBy(col("ratio_nano").desc, col("bucket")).limit(1)
+      .select(col("ratio_nano").as("max_nano"))
+    val acc = ratios.crossJoin(broadcast(mx))
+      .select(col("bucket"), col("n_ref"), col("n_raw"),
+        when(col("max_nano") === 0L, lit(0L))
+          .otherwise(floor(col("ratio_nano").cast("double") * lit(1e6)
+            / col("max_nano")).cast("long")).as("acc_ppm"))
+      .localCheckpoint()
+    val kept = raw
+      .select(col(bucketCol).as("bucket"),
+        pmod(hashes.hash(col(idCol).cast("string")), lit(1000000L))
+          .as("_u_ppm"))
+      .join(broadcast(acc.select(col("bucket"), col("acc_ppm"))),
+        Seq("bucket"))
+      .filter(col("_u_ppm") < col("acc_ppm"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_kept"))
+    acc.join(kept, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_ref"), col("n_raw"), col("acc_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("bucket")
+  }
+
   /** The scoring half of [[importanceResample]], given a (possibly
     * folded) bucket-stats table.
     */

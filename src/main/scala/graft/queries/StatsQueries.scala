@@ -312,6 +312,19 @@ object StatsQueries {
       .orderBy("source", "rank")
 
 
+  /** q190: histogram matching — thin the raw (non-src0) corpus so its
+    * doc-length distribution matches src0's (64-char buckets, top
+    * capped), reported per bucket with exact-integer acceptance and
+    * kept counts.
+    */
+  private val histMatchQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("lb", least(expr("n_chars div 64"), lit(9L)))
+    Sampling.histogramMatch(docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "doc_id", "lb")
+  }
+
+
   /** q185: DSIR importance resampling toward the "curated" sources
     * (src0/src1 as the target domain) — hashed-unigram log-likelihood
     * ratios, Gumbel-top-100 selection.
@@ -390,6 +403,7 @@ object StatsQueries {
   val queries: Map[String, Q] = Map(
     "q165_column_profile" -> columnProfileQ,
     "q185_dsir_sample" -> dsirQ,
+    "q190_hist_match" -> histMatchQ,
     "q154_robust_calibration" -> robustCalibrationQ,
     "q150_score_calibration" -> scoreCalibrationQ,
     "q135_bucketed_join" -> bucketedJoinQ,
@@ -455,6 +469,38 @@ object StatsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q185_dsir_sample" -> dsirOracle,
+    // q190: counts exact; density ratio quantizes to nanos in one
+    // identical float expression; normalization divides quantized
+    // integers; accept = md5(id) % 1e6 < acc_ppm — pure id function.
+    "q190_hist_match" ->
+      s"""WITH d AS (SELECT doc_id, source,
+        |    least(n_chars // 64, 9) AS bucket FROM documents),
+        |rb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw
+        |  FROM d WHERE source <> 'src0' GROUP BY 1),
+        |tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_ref
+        |  FROM d WHERE source = 'src0' GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(n_raw) FROM rb) AS rt,
+        |               (SELECT SUM(n_ref) FROM tb) AS tt),
+        |ra AS (SELECT rb.bucket, coalesce(tb.n_ref, 0) AS n_ref, rb.n_raw,
+        |    CAST(floor((coalesce(tb.n_ref, 0) / CAST(tt AS DOUBLE))
+        |      / (rb.n_raw / CAST(rt AS DOUBLE))
+        |      * 1000000000e0 + 0.5e0) AS BIGINT) AS ratio_nano
+        |  FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot),
+        |mx AS (SELECT ratio_nano AS max_nano FROM ra
+        |  ORDER BY ratio_nano DESC, bucket LIMIT 1),
+        |acc AS (SELECT bucket, n_ref, n_raw,
+        |    CASE WHEN max_nano = 0 THEN 0
+        |      ELSE CAST(floor(CAST(ratio_nano AS DOUBLE) * 1000000e0
+        |        / max_nano) AS BIGINT) END AS acc_ppm
+        |  FROM ra CROSS JOIN mx),
+        |k AS (SELECT d.bucket, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM d JOIN acc USING (bucket)
+        |  WHERE source <> 'src0'
+        |    AND ${md5l("CAST(doc_id AS VARCHAR)")} % 1000000 < acc_ppm
+        |  GROUP BY 1)
+        |SELECT acc.bucket, acc.n_ref, acc.n_raw, acc.acc_ppm,
+        |  coalesce(k.n_kept, 0) AS n_kept
+        |FROM acc LEFT JOIN k USING (bucket) ORDER BY bucket""".stripMargin,
     // q165: the shared columnProfileOracle (q172's merged store must
     // read out identically, so the SQL lives in QueryHelpers).
     "q165_column_profile" -> columnProfileOracle,

@@ -510,4 +510,38 @@ class PropertySpec extends SparkSpecBase {
       .as[(Int, Long, Long)].collect().toSeq
     assert(re == out)
   }
+
+  test("histogram matching: normalizer accepts all, zero-ref buckets reject all, shape converges") {
+    import spark.implicits._
+    // raw skews short (bucket 0-heavy), ref is uniform over 0..2
+    val raw = (0 until 600).map(i => (i.toLong, (i % 6) match {
+      case 0 | 1 | 2 | 3 => 0L; case 4 => 1L; case 5 => 2L
+    })).toDF("doc_id", "b")
+    val ref = (0 until 90).map(i => (10000L + i, (i % 3).toLong))
+      .toDF("doc_id", "b")
+    val rep = graft.operators.Sampling.histogramMatch(raw, ref, "doc_id", "b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val byB = rep.map(r => r._1 -> r).toMap
+    // raw is scarcest (relative to ref) in buckets 1 and 2 (100 raw
+    // each vs 30 ref): they tie as normalizer -> acc exactly 1e6
+    assert(byB(1L)._4 == 1000000L && byB(2L)._4 == 1000000L, s"got $rep")
+    assert(byB(1L)._5 == byB(1L)._3 && byB(2L)._5 == byB(2L)._3,
+      "normalizer buckets must keep every row")
+    // bucket 0 is 4x over-represented -> acc 1/4, kept ~ n_raw/4
+    assert(byB(0L)._4 == 250000L, s"expected 250000 ppm, got ${byB(0L)._4}")
+    val kept0 = byB(0L)._5.toDouble / byB(0L)._3
+    assert(kept0 > 0.15 && kept0 < 0.35, s"kept share $kept0 far from 1/4")
+    // deterministic and layout-invariant
+    val re = graft.operators.Sampling
+      .histogramMatch(raw.repartition(7), ref, "doc_id", "b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(re == rep)
+    // a bucket absent from ref rejects everything
+    val raw2 = raw.union(Seq((9999L, 5L)).toDF("doc_id", "b"))
+    val rep2 = graft.operators.Sampling
+      .histogramMatch(raw2, ref, "doc_id", "b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val b5 = rep2.find(_._1 == 5L).get
+    assert(b5._4 == 0L && b5._5 == 0L)
+  }
 }
