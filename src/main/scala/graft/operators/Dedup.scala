@@ -189,6 +189,60 @@ object Dedup {
     scorePairs(cand, sig, sig, "doc_a", "doc_b", numPerm, threshold)
   }
 
+  /** MinHash estimation-error calibration: for every LSH candidate
+    * pair (threshold 0 — everything the bands surface), the sketch's
+    * estimated Jaccard next to the EXACT shingle-set Jaccard, so an
+    * operator can size numPerm/bands empirically instead of trusting
+    * the 1/√numPerm folklore. The near-dup queries themselves stay on
+    * the sketch; this is the audit that says how much the sketch lies.
+    *
+    * Determinism: matches/intersection/union are exact integers;
+    * est_ppm is exact (k/numPerm quantizes exactly when numPerm
+    * divides 1e6), exact_ppm floors one division of exact ints.
+    * Scale shape: the candidate set is LSH-bounded (never all pairs);
+    * the pair×shingle fan-out joins hashed shingle ids only — document
+    * bodies never shuffle — and each side attaches via one equi-join
+    * on the checkpointed distinct-shingle frame.
+    *
+    * Output per candidate pair: (doc_a, doc_b, n_match, n_inter,
+    * n_union, est_ppm, exact_ppm, err_ppm), ordered by (doc_a, doc_b).
+    */
+  def minhashCalibration(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8,
+      maxBucket: Int = 1000,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    require(1000000 % numPerm == 0, "numPerm must divide 1e6 for exact est_ppm")
+    val pairs = minhashLshPairs(docs, idCol, textCol, shingleK, numPerm,
+      bands, threshold = 0.0, maxBucket, hashes).localCheckpoint()
+    val sh = docs.select(col(idCol).as("_d"),
+        explode(array_distinct(shingles(col(textCol), shingleK))).as("_g"))
+      .select(col("_d"), hashes.hash(col("_g")).as("_gh"))
+      .distinct().localCheckpoint()
+    val sizes = sh.groupBy(col("_d")).agg(count(lit(1)).as("_n"))
+    val inter = pairs.select("doc_a", "doc_b")
+      .join(sh.select(col("_d").as("doc_a"), col("_gh")), Seq("doc_a"))
+      .join(sh.select(col("_d").as("doc_b"), col("_gh")),
+        Seq("doc_b", "_gh"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("_d").as("doc_a"), col("_n").as("_na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("_d").as("doc_b"), col("_n").as("_nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard") * numPerm).cast("long").as("n_match"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("_na") + col("_nb") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union"),
+        round(col("est_jaccard") * lit(1e6)).cast("long").as("est_ppm"))
+      .withColumn("exact_ppm",
+        floor(col("n_inter").cast("double") * lit(1e6) / col("n_union"))
+          .cast("long"))
+      .withColumn("err_ppm", col("est_ppm") - col("exact_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental (cross-corpus) MinHash-LSH join: near-duplicate pairs
     * BETWEEN a new batch and an existing corpus — the daily-ingest
     * shape: "which incoming documents duplicate something we already

@@ -1066,6 +1066,37 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(full.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("minhash calibration: exact overlap replayed driver-side, est = matches/numPerm") {
+    import spark.implicits._
+    def shingleSet(t: String): Set[String] = {
+      val tk = t.split(" ")
+      if (tk.length >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+      else Set(tk.mkString(" "))
+    }
+    val base = (0 until 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                  // exact dup
+      (3L, base.replace("w9", "zz")),              // near dup
+      (4L, (20 until 30).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val texts = docs.as[(Long, String)].collect().toMap
+    val out = graft.operators.Dedup.minhashCalibration(
+        docs, "doc_id", "text", hashes = graft.functions.Md5Family)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.exists(r => r._1 == 1L && r._2 == 2L), "exact dup pair missing")
+    out.foreach { case (a, b, nMatch, nInter, nUnion, estPpm, exactPpm, errPpm) =>
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      assert(nInter == (sa & sb).size && nUnion == (sa | sb).size,
+        s"pair ($a,$b): set overlap mismatch")
+      assert(estPpm == nMatch * 62500L && errPpm == estPpm - exactPpm)
+      assert(exactPpm == math.floor(nInter.toDouble * 1e6 / nUnion).toLong)
+    }
+    // the exact-dup pair estimates and measures exactly 1.0
+    val dup = out.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(dup._6 == 1000000L && dup._7 == 1000000L && dup._8 == 0L)
+  }
+
   test("top-ngram profile: hand-computed fixture, smallest-gram tie-break") {
     import spark.implicits._
     val docs = Seq((1L, "a a a b"), (2L, "x")).toDF("doc_id", "text")
