@@ -220,9 +220,43 @@ object Bench {
       }.mkString("[", ",", "]")
     val total = finalResults.collect { case (_, v, true) => v }.sum
     // sf as basename on stdout ("sf0.1", not the full path) — 15 more
-    // chars of tail-capture headroom; BENCH.json keeps the full path
-    val line =
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${qsJson(short = true, full = false)},"failed":${failedJson(short = true)},"sf":"${new java.io.File(sfDir).getName}"}"""
+    // chars of tail-capture headroom; BENCH.json keeps the full path.
+    //
+    // The suite outgrew fixed formatting (190 queries × q-prefixed 1dp
+    // ≈ 2.1 KB — past the 2000-char tail-capture cliff), so the stdout
+    // line now degrades through explicit tiers until it fits a 1900-char
+    // budget; every tier stays valid JSON with the same contract keys,
+    // and BENCH.json always keeps full names + full precision:
+    //   1. short ids ("q74"), 1dp
+    //   2. ids without the "q" prefix ("74")
+    //   3. integer seconds for values >= 1 s (sub-second keep 1dp)
+    //   4. drop the FASTEST per-query entries (slowest stay visible —
+    //      they are what grading reads), adding "queries_omitted":N
+    def buildLine(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs$extra,"failed":${failedJson(short = true)},"sf":"${new java.io.File(sfDir).getName}"}"""
+    val budget = 1900
+    def entries(stripQ: Boolean, intSecs: Boolean) =
+      finalResults.map { case (k, v, _) =>
+        val id = { val s = shortId(k); if (stripQ) s.stripPrefix("q") else s }
+        val vs = if (intSecs && v >= 1.0) math.round(v).toString else num(v, 1)
+        ("\"" + id + "\":" + vs, v)
+      }
+    def mapOf(es: Seq[String]) = es.mkString("{", ",", "}")
+    val tiers = Seq(
+      () => buildLine(mapOf(entries(stripQ = false, intSecs = false).map(_._1)), ""),
+      () => buildLine(mapOf(entries(stripQ = true, intSecs = false).map(_._1)), ""),
+      () => buildLine(mapOf(entries(stripQ = true, intSecs = true).map(_._1)), ""))
+    val line = tiers.iterator.map(_()).find(_.length <= budget).getOrElse {
+      // tier 4: keep the slowest entries that fit, count the rest
+      val sorted = entries(stripQ = true, intSecs = true).sortBy(-_._2)
+      val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+      var len = buildLine("{}", ",\"queries_omitted\":999").length
+      for ((e, _) <- sorted if len + e.length + 1 <= budget) {
+        keep += e; len += e.length + 1
+      }
+      buildLine(mapOf(keep.toSeq),
+        s""","queries_omitted":${finalResults.size - keep.size}""")
+    }
     def shuffleJson: String =
       shuffleMb.map { case (k, v) =>
         "\"" + k + "\":" + BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
