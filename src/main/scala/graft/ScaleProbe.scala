@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators._
+
+/** Empirical scale-up probe: runs the flagship operator families on
+  * synthetically multiplied copies of the sf0.1 tables (ids offset per
+  * replica so cardinalities actually grow) and reports wall time per
+  * scale. The point is the GROWTH CURVE, not the absolute numbers — a
+  * plan that is per-key-bounded and shuffle-lean grows ~linearly in
+  * rows; anything super-linear here would break first on a real
+  * cluster at 100 TB.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=16 \
+  *   sbt "runMain graft.ScaleProbe 1 4 16"
+  * Prints one line per (op, mult) plus a per-op growth summary.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 16)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // replicate a table xN with disjoint id spaces (text/vec content
+    // reused — fine for timing: dedup keys, shingles, and embeddings
+    // keep realistic collision structure inside each replica)
+    def rep(df: DataFrame, idCols: Seq[String], n: Int): DataFrame = {
+      val step = 10000000L
+      (0 until n).map { r =>
+        idCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(r * step)))
+      }.reduce(_ unionAll _).localCheckpoint()
+    }
+
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val docs0 = Tables.documents(spark, sfDir).localCheckpoint()
+    val emb0 = Tables.embeddings(spark, sfDir).localCheckpoint()
+    val ev0 = Tables.events(spark, sfDir).localCheckpoint()
+
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Double)]
+    val baseIds = spark.sparkContext.getPersistentRDDs.keySet
+    for (m <- mults) {
+      val docs = rep(docs0, Seq("doc_id"), m)
+      val emb = rep(emb0, Seq("vec_id"), m)
+      val ev = rep(ev0, Seq("event_id", "user_id"), m)
+      val probes = emb0.filter(col("vec_id") < 10).localCheckpoint()
+      // warm the replicas (checkpoint materialization off the clock)
+      Seq(docs, emb, ev).foreach(_.count())
+      val inputIds = spark.sparkContext.getPersistentRDDs.keySet
+
+      val ops: Seq[(String, () => DataFrame)] = Seq(
+        "exact_dedup" -> (() =>
+          Dedup.exactDedup(docs, "text", "doc_id")),
+        "minhash_lsh" -> (() =>
+          Dedup.minhashLshPairs(docs, "doc_id", "text")),
+        "cc_clusters" -> (() => Dedup.connectedComponentsAuto(
+          Dedup.minhashLshPairs(docs, "doc_id", "text")
+            .select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")),
+        "ivfpq_query" -> (() =>
+          Similarity.ivfPqTopKSeeded(emb, probes, k = 5, dim = 64)),
+        "bm25_topk" -> (() => TextAnalysis.bm25TopK(
+          docs, "doc_id", "text",
+          docs0.filter(col("doc_id") % 50 === 0)
+            .select(col("doc_id").as("query_id"),
+              concat_ws(" ", slice(split(col("text"), " "), 1, 6))
+                .as("qtext")),
+          "query_id", "qtext", k = 10)),
+        "resample_grid" -> (() => Resample.resample(
+          ev, "user_id", "ts", "value", stepSeconds = 3600L)),
+        "dsir_sample" -> (() => Sampling.importanceResample(
+          docs.withColumn("tgt",
+            when(col("source").isin("src0", "src1"), 1).otherwise(0)),
+          "doc_id", "text", "tgt", n = 100)))
+
+      for ((name, f) <- ops) {
+        val dt = time(f())
+        results += ((name, m, dt))
+        println(f"[scale] $name%-14s x$m%-3d ${dt}%8.2f s")
+        // release op-internal localCheckpoint blocks between runs
+        // (the Bench/Verify discipline), keeping the shared inputs
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => inputIds.contains(id) }
+          .foreach(_._2.unpersist(blocking = false))
+      }
+      // drop this multiplier's replicas before building the next
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => baseIds.contains(id) }
+        .foreach(_._2.unpersist(blocking = false))
+    }
+    println("op,mult,seconds")
+    results.foreach { case (n, m, t) => println(f"$n,$m,$t%.2f") }
+    spark.stop()
+  }
+}
