@@ -565,6 +565,48 @@ object TextAnalysis {
       .toDF(idCol, "text_bpe", "n_tokens", "n_tokens_bpe")
   }
 
+  /** Iterative word-level BPE TRAINING (the loop [[bpeMergeCandidates]]
+    * and [[applyBpeMerges]] are the two halves of): `nMerges` rounds of
+    * take-the-top-pair → rewrite-the-corpus, exactly the Sennrich et
+    * al. procedure at word granularity. Each round is one corpus pass
+    * (a hash aggregate for the pair counts, a mapPartitions projection
+    * for the rewrite); the driver holds only the 1-row argmax per
+    * round (the Lloyd-trainer pattern) and the corpus iterates through
+    * localCheckpoints so the plan stays one round deep.
+    *
+    * Ties break (count DESC, pair ASC) — deterministic cross-engine,
+    * so the learned merge TABLE (not just its size) is
+    * oracle-checkable.
+    *
+    * Output per round: (merge_rank, merge_pair, n_occurrences [the
+    * adjacency count at selection time], n_tokens_after), ordered by
+    * merge_rank.
+    */
+  def trainBpe(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var corpus = docs.select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long)]
+    for (i <- 1 to nMerges) {
+      val top = bpeMergeCandidates(corpus, "_t", k = 1).head() // 1 row
+      val pair = top.getString(0)
+      val cnt = top.getLong(1)
+      val Array(a, b) = pair.split(" ", 2)
+      val applied = applyBpeMerges(corpus, "_id", "_t", Seq((a, b)))
+        .localCheckpoint()
+      corpus = applied.select(col("_id"), col("text_bpe").as("_t"))
+      val nAfter = applied.agg(sum(col("n_tokens_bpe"))).head().getLong(0)
+      out += ((i, pair, cnt, nAfter))
+    }
+    out.toSeq
+      .toDF("merge_rank", "merge_pair", "n_occurrences", "n_tokens_after")
+      .orderBy("merge_rank")
+  }
+
   /** BM25 ranked retrieval (Robertson–Spärck Jones / Okapi): top-`k`
     * corpus documents per probe query, scored
     *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),

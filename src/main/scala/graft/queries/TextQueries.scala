@@ -332,6 +332,16 @@ object TextQueries {
   }
 
 
+  /** q192: the full BPE training loop — five take-top-pair →
+    * rewrite-corpus rounds over the documents table; the learned
+    * merge table itself (pairs, counts, shrinking token totals) is
+    * what the oracle hash-checks.
+    */
+  private val bpeTrainQ: Q = (s, dir) =>
+    TextAnalysis.trainBpe(Tables.documents(s, dir), "doc_id", "text",
+      nMerges = 5)
+
+
   /** q141: hybrid retrieval — q139's BM25 ranking and an exact cosine
     * ranking over the same probe/corpus split, fused by reciprocal
     * rank (`Retrieval.rrfFuse`). The dense tier here is the exact
@@ -548,6 +558,7 @@ object TextQueries {
     "q184_train_logistic" -> trainLogisticQ,
     "q187_quality_funnel" -> qualityFunnelQ,
     "q188_text_delete" -> textDeleteQ,
+    "q192_bpe_train" -> bpeTrainQ,
     "q178_rank_eval" -> rankEvalQ,
     "q177_source_quality" -> sourceQualityQ,
     "q176_ndcg" -> ndcgQ,
@@ -735,7 +746,49 @@ object TextQueries {
         |  UNION ALL SELECT 4, 'entropy', a3, a3 - a4, a4 FROM a)
         |ORDER BY stage""".stripMargin
 
+  /** q192's oracle: the same five BPE rounds unrolled. Each round's
+    * rewrite uses the double-space sentinel trick so plain (non-regex)
+    * `replace` reproduces left-to-right non-overlapping merge
+    * semantics exactly: tokens are re-joined with TWO spaces and the
+    * padded pattern ` a  b ` consumes one boundary space from each
+    * side, so adjacent occurrences ("a a a a") merge pairwise just
+    * like the operator's single-pass loop.
+    */
+  private lazy val bpeTrainOracle: String = {
+    val steps = (1 to 5).map { i =>
+      val p = i - 1
+      s"""t$i AS (SELECT string_split(_t, ' ') AS t FROM c$p),
+         |pc$i AS (SELECT array_to_string(t[j:j+1], ' ') AS pair,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t$i, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) gs
+         |  WHERE len(t) >= 2 GROUP BY 1),
+         |m$i AS (SELECT pair, cnt,
+         |    ' ' || replace(pair, ' ', '  ') || ' ' AS pat,
+         |    ' ' || replace(pair, ' ', '_') || ' ' AS rep
+         |  FROM pc$i ORDER BY cnt DESC, pair LIMIT 1),
+         |c$i AS (SELECT doc_id,
+         |    replace(trim(replace(' ' || replace(_t, ' ', '  ') || ' ',
+         |      (SELECT pat FROM m$i), (SELECT rep FROM m$i))), '  ', ' ')
+         |      AS _t
+         |  FROM c$p),
+         |n$i AS (SELECT CAST(SUM(len(string_split(_t, ' '))) AS BIGINT)
+         |    AS n_after FROM c$i)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 5).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS merge_rank,
+         |  (SELECT pair FROM m$i) AS merge_pair,
+         |  (SELECT cnt FROM m$i) AS n_occurrences,
+         |  (SELECT n_after FROM n$i) AS n_tokens_after""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH c0 AS (SELECT doc_id, text AS _t FROM documents),
+       |$steps
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q192_bpe_train" -> bpeTrainOracle,
     // q188: q139's chain over the survivor corpus — compaction re-fit
     // the stats, so the deleted index must answer exactly like the
     // inline operator on what remains.

@@ -77,6 +77,18 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     assert(applied.getLong(0) - applied.getLong(1) == 3L)
   }
 
+  test("BPE training loop: greedy ranks, tie-break, exact token shrinkage") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y z"), (2L, "x y q")).toDF("doc_id", "text")
+    val got = TextAnalysis.trainBpe(docs, "doc_id", "text", nMerges = 2)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    // round 1: "x y" wins with 3 adjacencies; all 3 merge -> 8-3=5 tokens
+    // round 2: three pairs tie at 1 -> lexicographic smallest "x_y q"
+    assert(got == Seq(
+      (1, "x y", 3L, 5L),
+      (2, "x_y q", 1L, 4L)), s"got $got")
+  }
+
   test("nano-nat quantized scores are partition-layout invariant (the q148 rule, pinned)") {
     // the documented point of quantizing per-position terms to exact
     // integers: any repartitioning must yield BIT-identical results
