@@ -75,4 +75,27 @@ object Profile {
     rollup.join(top, Seq("column_name"), "left")
       .orderBy("column_name")
   }
+
+  /** k-anonymity profile over a quasi-identifier combination — the
+    * privacy-governance check a dataset release runs: every row whose
+    * QID equivalence class is smaller than `kMin` is re-identifiable
+    * at that granularity. Reported as the group-size histogram
+    * (exact integers: for each class size k, how many classes and how
+    * many rows sit in them, flagged below the threshold) — the shape
+    * that tells you both the risk mass and which generalization level
+    * would clear it.
+    *
+    * Scale shape: one hash aggregate on the QID tuple (map-side
+    * combined), then a second over class-size cardinality (≤ distinct
+    * sizes, tiny). Nothing row-scale shuffles twice.
+    */
+  def kAnonymity(df: DataFrame, qidCols: Seq[String],
+      kMin: Int = 5): DataFrame = {
+    require(qidCols.nonEmpty)
+    df.groupBy(qidCols.map(col): _*).agg(count(lit(1)).as("_k"))
+      .groupBy(col("_k").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("_k")).as("n_rows"))
+      .withColumn("below_k", (col("group_size") < kMin).cast("int"))
+      .orderBy("group_size")
+  }
 }

@@ -312,6 +312,17 @@ object StatsQueries {
       .orderBy("source", "rank")
 
 
+  /** q193: k-anonymity over the (lang, source, length-bucket) quasi
+    * identifiers — the dataset-release privacy check, reported as the
+    * exact equivalence-class-size histogram with a below-k flag.
+    */
+  private val kAnonQ: Q = (s, dir) =>
+    Profile.kAnonymity(
+      Tables.documents(s, dir)
+        .withColumn("lb", least(expr("n_chars div 64"), lit(9L))),
+      Seq("lang", "source", "lb"), kMin = 5)
+
+
   /** q190: histogram matching — thin the raw (non-src0) corpus so its
     * doc-length distribution matches src0's (64-char buckets, top
     * capped), reported per bucket with exact-integer acceptance and
@@ -404,6 +415,7 @@ object StatsQueries {
     "q165_column_profile" -> columnProfileQ,
     "q185_dsir_sample" -> dsirQ,
     "q190_hist_match" -> histMatchQ,
+    "q193_k_anonymity" -> kAnonQ,
     "q154_robust_calibration" -> robustCalibrationQ,
     "q150_score_calibration" -> scoreCalibrationQ,
     "q135_bucketed_join" -> bucketedJoinQ,
@@ -469,6 +481,14 @@ object StatsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q185_dsir_sample" -> dsirOracle,
+    // q193: pure exact-integer class-size histogram.
+    "q193_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, least(n_chars // 64, 9) AS lb,
+        |    count(*) AS k FROM documents GROUP BY 1, 2, 3)
+        |SELECT k AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(k) AS BIGINT) AS n_rows,
+        |  CAST(k < 5 AS INTEGER) AS below_k
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     // q190: counts exact; density ratio quantizes to nanos in one
     // identical float expression; normalization divides quantized
     // integers; accept = md5(id) % 1e6 < acc_ppm — pure id function.

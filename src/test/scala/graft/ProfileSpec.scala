@@ -52,4 +52,19 @@ class ProfileSpec extends SparkSpecBase {
     assert(row.getString(4) == "10" && row.getString(5) == "9")
     assert(row.getLong(3) == 3L)
   }
+
+  test("k-anonymity: exact class-size histogram with below-k flag") {
+    import spark.implicits._
+    // QID classes: (a,1)x1 — singleton; (a,2)x3; (b,1)x3; (b,2)x5
+    val df = (Seq(("a", 1)) ++ Seq.fill(3)(("a", 2)) ++
+      Seq.fill(3)(("b", 1)) ++ Seq.fill(5)(("b", 2))).toDF("q1", "q2")
+    val got = Profile.kAnonymity(df, Seq("q1", "q2"), kMin = 5)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 1),   // one singleton class, below k
+      (3L, 2L, 6L, 1),   // two classes of 3, below k
+      (5L, 1L, 5L, 0)), s"got $got")
+    // row mass conserves
+    assert(got.map(_._3).sum == 12L)
+  }
 }
