@@ -78,4 +78,42 @@ object Sessions {
       .orderBy("event_id")
   }
 
+  /** Exponentially time-decayed engagement score per key: each event
+    * contributes `value · exp(−(T − t)/τ)` with T = the stream's max
+    * event time — the recency-weighted activity feature a
+    * training-data pipeline uses to weight fresh interactions over
+    * stale ones without a cutoff cliff.
+    *
+    * Determinism (the q148 rule): every per-event term is one float
+    * expression over exact integer seconds, quantized to integer
+    * nanos at birth, so the per-key aggregate is an exact integer sum
+    * — order- and partition-invariant. Scale shape: one 1-row
+    * broadcast (T), one map-side-combined aggregate; nothing else.
+    *
+    * Output: (key, n_events, decayed_micros — the score in exact
+    * fixed-point 1e-6 units), ordered by key.
+    */
+  def decayedEngagement(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tauSeconds: Long): DataFrame = {
+    require(tauSeconds > 0)
+    val secs = expr(s"unix_micros($tsCol) DIV 1000000")
+    val live = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), secs.as("_s"),
+        col(valueCol).cast("double").as("_v"))
+    val tmax = live.agg(max(col("_s")).as("_tmax"))
+    live.crossJoin(broadcast(tmax))
+      .withColumn("_term_nano",
+        floor(col("_v")
+          * exp(-(col("_tmax") - col("_s")).cast("double")
+            / lit(tauSeconds.toDouble))
+          * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        // stay fixed-point to the end: a 6dp-rounded double would sit
+        // on the .5 boundary for ~1/1000 keys (nano sums mod 1000) and
+        // flip between engines; integer micros cannot
+        expr("(sum(_term_nano) + 500) div 1000").as("decayed_micros"))
+      .orderBy(keyCol)
+  }
 }

@@ -523,6 +523,16 @@ object EventStoreQueries {
   }
 
 
+  /** q194: recency-weighted engagement — per-user exponentially
+    * decayed value sums (τ = 7 days against the stream's max event
+    * time), the freshness feature a training pipeline weights
+    * interactions by.
+    */
+  private val decayedQ: Q = (s, dir) =>
+    Sessions.decayedEngagement(Tables.events(s, dir), "user_id", "ts",
+      "value", tauSeconds = 604800L)
+
+
   /** q157: gap-robust anomaly detection — rolling z-score over the
     * RESAMPLED (gap-filled) grid, so a burst after a quiet stretch is
     * judged against true elapsed time, not against however many rows
@@ -689,6 +699,7 @@ object EventStoreQueries {
 
   val queries: Map[String, Q] = Map(
     "q186_dsir_store" -> dsirStoreQ,
+    "q194_decayed_engagement" -> decayedQ,
     "q181_hll_store" -> hllStoreQ,
     "q172_profile_store" -> profileStoreQ,
     "q164_feed_bronze" -> feedBronzeQ,
@@ -756,6 +767,20 @@ object EventStoreQueries {
     // q186: q185's oracle verbatim — the streamed importance model
     // must score exactly like the one-shot DSIR fit.
     "q186_dsir_store" -> StatsQueries.dsirOracle,
+    // q194: per-event decay terms quantize to nanos in the identical
+    // float expression over exact integer seconds; sums are exact.
+    "q194_decayed_engagement" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)//1000000 AS s,
+        |    CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |t AS (SELECT max(s) AS tmax FROM e),
+        |n AS (SELECT user_id,
+        |    CAST(floor(v * exp(-CAST(tmax - s AS DOUBLE) / 604800e0)
+        |      * 1000000000e0 + 0.5e0) AS BIGINT) AS term_nano
+        |  FROM e CROSS JOIN t)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST((SUM(term_nano) + 500) // 1000 AS BIGINT) AS decayed_micros
+        |FROM n GROUP BY 1 ORDER BY user_id""".stripMargin,
     // q164: the two polls' union covers every non-null-ts record of the
     // %20 subset exactly once after PK dedup, so DuckDB aggregates the
     // raw table directly; a dedup failure double-counts the overlap

@@ -312,6 +312,33 @@ object StatsQueries {
       .orderBy("source", "rank")
 
 
+  /** q195: per-source data card — the "datasheets for datasets" rollup
+    * every release ships: volume (docs, tokens, chars), language
+    * spread, and the within-source exact-duplicate mass, one row per
+    * provenance slice. Counts exact; mean_chars is one division.
+    */
+  private val dataCardQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val base = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextAnalysis.wsTokens(col("text")))).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars_total"),
+      countDistinct(col("lang")).as("n_langs"),
+      round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+        .as("mean_chars"))
+    val dups = docs.select(col("source"), md5(col("text")).as("_d"))
+      .groupBy("source", "_d").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+      .groupBy("source").agg(sum(col("_c") - 1).as("n_dup_docs"))
+    base.join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars_total"), col("n_langs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        col("mean_chars"))
+      .orderBy("source")
+  }
+
+
   /** q193: k-anonymity over the (lang, source, length-bucket) quasi
     * identifiers — the dataset-release privacy check, reported as the
     * exact equivalence-class-size histogram with a below-k flag.
@@ -416,6 +443,7 @@ object StatsQueries {
     "q185_dsir_sample" -> dsirQ,
     "q190_hist_match" -> histMatchQ,
     "q193_k_anonymity" -> kAnonQ,
+    "q195_data_card" -> dataCardQ,
     "q154_robust_calibration" -> robustCalibrationQ,
     "q150_score_calibration" -> scoreCalibrationQ,
     "q135_bucketed_join" -> bucketedJoinQ,
@@ -481,6 +509,22 @@ object StatsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q185_dsir_sample" -> dsirOracle,
+    // q195: exact counts per provenance slice; both engines hash the
+    // identical md5 hex for the within-source duplicate mass.
+    "q195_data_card" ->
+      """WITH b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    ROUND(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+        |  FROM documents GROUP BY 1),
+        |d AS (SELECT source, CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+        |  FROM (SELECT source, md5(text) AS h, count(*) AS c
+        |        FROM documents GROUP BY 1, 2)
+        |  WHERE c > 1 GROUP BY 1)
+        |SELECT b.source, b.n_docs, b.n_tokens, b.n_chars_total, b.n_langs,
+        |  coalesce(d.n_dup_docs, 0) AS n_dup_docs, b.mean_chars
+        |FROM b LEFT JOIN d USING (source) ORDER BY source""".stripMargin,
     // q193: pure exact-integer class-size histogram.
     "q193_k_anonymity" ->
       """WITH g AS (SELECT lang, source, least(n_chars // 64, 9) AS lb,

@@ -511,6 +511,59 @@ class PropertySpec extends SparkSpecBase {
     assert(re == out)
   }
 
+  test("decayed engagement: hand-computed weights, exact-integer layout invariance") {
+    import spark.implicits._
+    val tau = 100L
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
+    // user 1: one event AT the max time (weight 1), one exactly tau
+    // earlier (weight e^-1); user 2 defines the max time
+    val ev = Seq(
+      (1L, at(0), 10.0), (1L, at(100), 10.0), (2L, at(100), 2.0))
+      .toDF("user_id", "ts", "value")
+    val got = graft.operators.Sessions
+      .decayedEngagement(ev, "user_id", "ts", "value", tau)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got(0)._2 == 2L && got(1)._3 == 2000000L)
+    val expected1 = (math.floor(10.0 * math.exp(-1.0) * 1e9 + 0.5).toLong
+      + math.floor(10.0 * 1e9 + 0.5).toLong + 500L) / 1000L
+    assert(got(0)._3 == expected1, s"got ${got(0)._3}, want $expected1")
+    // layout invariance: exact integer sums
+    val re = graft.operators.Sessions
+      .decayedEngagement(ev.repartition(3), "user_id", "ts", "value", tau)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(re == got)
+  }
+
+  test("data card: within-source duplicate mass counts copies beyond the first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "dup text", "en", "sA", 8L), (2L, "dup text", "en", "sA", 8L),
+      (3L, "dup text", "fr", "sA", 8L), (4L, "unique", "en", "sA", 6L),
+      (5L, "other", "de", "sB", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // replicate the registered query's body on the fixture (the
+    // registered form reads the harness tables)
+    val base = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), "\\s+"))).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars_total"),
+      countDistinct(col("lang")).as("n_langs"))
+    val dups = docs.select(col("source"), md5(col("text")).as("_d"))
+      .groupBy("source", "_d").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+      .groupBy("source").agg(sum(col("_c") - 1).as("n_dup_docs"))
+    val card = base.join(dups, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // sA: 4 docs, 2 langs (en, fr), "dup text" x3 -> 2 copies beyond
+    // the first
+    assert(card == Seq(("sA", 4L, 2L, 2L), ("sB", 1L, 1L, 0L)), s"$card")
+  }
+
   test("histogram matching: normalizer accepts all, zero-ref buckets reject all, shape converges") {
     import spark.implicits._
     // raw skews short (bucket 0-heavy), ref is uniform over 0..2
