@@ -565,6 +565,69 @@ object TextAnalysis {
       .toDF(idCol, "text_bpe", "n_tokens", "n_tokens_bpe")
   }
 
+  /** Per-doc quality-funnel flags (the q187 cuts): length → shingle
+    * repetition → peak 2-gram concentration → char entropy, every cut
+    * an exact-integer comparison (or a hash-verified 6dp signal
+    * against a 6dp-representable threshold) so the funnel is
+    * bit-stable cross-engine. One signal pass; the per-doc frames are
+    * the q67/q166 shapes (per-key state bounded by doc length).
+    */
+  def funnelSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ent = charEntropy(docs, idCol, textCol)
+      .select(col(idCol), col("entropy_nats"))
+    val sh = Dedup.shingles(col(textCol), 3)
+    val cov2 = docs
+      .filter(size(wsTokens(col(textCol))) >= 2)
+      .select(col(idCol), length(col(textCol)).as("_nc"),
+        wsTokens(col(textCol)).as("_t"))
+      .select(col(idCol), col("_nc"), explode(expr(
+        "transform(sequence(1, size(_t) - 1)," +
+          " i -> concat_ws(' ', slice(_t, i, 2)))")).as("gram"))
+      .groupBy(col(idCol), col("_nc"), col("gram"))
+      .agg(count(lit(1)).as("_cnt"))
+      .groupBy(col(idCol), col("_nc"))
+      .agg(max(col("_cnt") * length(col("gram"))).as("_cov2"))
+    docs
+      .select(col(idCol), length(col(textCol)).as("_nchars"),
+        size(wsTokens(col(textCol))).as("_ntok"),
+        size(sh).as("_ns"), size(array_distinct(sh)).as("_nd"))
+      .join(cov2.select(col(idCol), col("_cov2")), Seq(idCol), "left")
+      .join(ent, Seq(idCol), "left")
+      .select(col(idCol),
+        (col("_ntok") >= 24).as("f1"),
+        ((col("_ns") - col("_nd")) * 50 <= col("_ns")).as("f2"),
+        (coalesce(col("_cov2"), lit(0L)) * 8 <= col("_nchars")).as("f3"),
+        (coalesce(col("entropy_nats"), lit(0.0)) >= 2.7).as("f4"))
+  }
+
+  /** The funnel's MERGEABLE form: one row of cumulative-pass counters
+    * (exact integer sums of indicator products — folds across any
+    * disjoint split of the corpus, the streaming-store shape).
+    */
+  def funnelCounts(signals: DataFrame): DataFrame = {
+    val cnt = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    signals.agg(
+      count(lit(1)).as("n0"),
+      cnt(col("f1")).as("a1"),
+      cnt(col("f1") && col("f2")).as("a2"),
+      cnt(col("f1") && col("f2") && col("f3")).as("a3"),
+      cnt(col("f1") && col("f2") && col("f3") && col("f4")).as("a4"))
+  }
+
+  /** Render a (possibly folded) counters row as the per-stage
+    * keep/drop funnel report.
+    */
+  def funnelReport(counts: DataFrame): DataFrame =
+    counts.selectExpr(
+      """stack(4,
+        | 1, 'length',     n0, n0 - a1, a1,
+        | 2, 'repetition', a1, a1 - a2, a2,
+        | 3, 'ngram_conc', a2, a2 - a3, a3,
+        | 4, 'entropy',    a3, a3 - a4, a4)
+        | AS (stage, filter, n_in, n_drop, n_out)""".stripMargin)
+      .orderBy("stage")
+
   /** Iterative word-level BPE TRAINING (the loop [[bpeMergeCandidates]]
     * and [[applyBpeMerges]] are the two halves of): `nMerges` rounds of
     * take-the-top-pair → rewrite-the-corpus, exactly the Sennrich et

@@ -523,6 +523,30 @@ object EventStoreQueries {
   }
 
 
+  /** q196: streaming quality-funnel store — the documents table split
+    * into three micro-batch appends of one-row cumulative-pass
+    * counters, compacted, rendered through the SAME report as q187
+    * (whose oracle this shares verbatim: the streamed funnel must be
+    * indistinguishable from the one-shot accounting).
+    */
+  private val funnelStoreQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q196_funnel")
+    val store = scratch.toString + "/funnel"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.funnelStep(
+        docs.filter(col("doc_id") % 3 === b), "doc_id", "text", store,
+        batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.funnelMerge)
+    val out = graft.streaming.StreamingPower.mergedFunnel(s, store)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
   /** q194: recency-weighted engagement — per-user exponentially
     * decayed value sums (τ = 7 days against the stream's max event
     * time), the freshness feature a training pipeline weights
@@ -700,6 +724,7 @@ object EventStoreQueries {
   val queries: Map[String, Q] = Map(
     "q186_dsir_store" -> dsirStoreQ,
     "q194_decayed_engagement" -> decayedQ,
+    "q196_funnel_store" -> funnelStoreQ,
     "q181_hll_store" -> hllStoreQ,
     "q172_profile_store" -> profileStoreQ,
     "q164_feed_bronze" -> feedBronzeQ,
@@ -767,6 +792,9 @@ object EventStoreQueries {
     // q186: q185's oracle verbatim — the streamed importance model
     // must score exactly like the one-shot DSIR fit.
     "q186_dsir_store" -> StatsQueries.dsirOracle,
+    // q196: q187's oracle verbatim — the folded funnel counters must
+    // render exactly like the one-shot accounting.
+    "q196_funnel_store" -> TextQueries.qualityFunnelOracle,
     // q194: per-event decay terms quantize to nanos in the identical
     // float expression over exact integer seconds; sums are exact.
     "q194_decayed_engagement" ->

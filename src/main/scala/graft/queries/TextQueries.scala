@@ -113,50 +113,10 @@ object TextQueries {
     * conditional-sum aggregate; the per-doc frames are the q67/q166
     * shapes (per-key state bounded by doc length).
     */
-  private val qualityFunnelQ: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    val ent = TextAnalysis.charEntropy(docs, "doc_id", "text")
-      .select(col("doc_id"), col("entropy_nats"))
-    val sh = Dedup.shingles(col("text"), 3)
-    val cov2 = docs
-      .filter(size(TextAnalysis.wsTokens(col("text"))) >= 2)
-      .select(col("doc_id"), length(col("text")).as("_nc"),
-        TextAnalysis.wsTokens(col("text")).as("_t"))
-      .select(col("doc_id"), col("_nc"), explode(expr(
-        "transform(sequence(1, size(_t) - 1)," +
-          " i -> concat_ws(' ', slice(_t, i, 2)))")).as("gram"))
-      .groupBy(col("doc_id"), col("_nc"), col("gram"))
-      .agg(count(lit(1)).as("_cnt"))
-      .groupBy(col("doc_id"), col("_nc"))
-      .agg(max(col("_cnt") * length(col("gram"))).as("_cov2"))
-    val sig = docs
-      .select(col("doc_id"), length(col("text")).as("_nchars"),
-        size(TextAnalysis.wsTokens(col("text"))).as("_ntok"),
-        size(sh).as("_ns"), size(array_distinct(sh)).as("_nd"))
-      .join(cov2.select(col("doc_id"), col("_cov2")), Seq("doc_id"), "left")
-      .join(ent, Seq("doc_id"), "left")
-      .select(
-        (col("_ntok") >= 24).as("f1"),
-        ((col("_ns") - col("_nd")) * 50 <= col("_ns")).as("f2"),
-        (coalesce(col("_cov2"), lit(0L)) * 8 <= col("_nchars")).as("f3"),
-        (coalesce(col("entropy_nats"), lit(0.0)) >= 2.7).as("f4"))
-    val cnt = (c: org.apache.spark.sql.Column) =>
-      sum(when(c, 1L).otherwise(0L))
-    val agg = sig.agg(
-      count(lit(1)).as("n0"),
-      cnt(col("f1")).as("a1"),
-      cnt(col("f1") && col("f2")).as("a2"),
-      cnt(col("f1") && col("f2") && col("f3")).as("a3"),
-      cnt(col("f1") && col("f2") && col("f3") && col("f4")).as("a4"))
-    agg.selectExpr(
-      """stack(4,
-        | 1, 'length',     n0, n0 - a1, a1,
-        | 2, 'repetition', a1, a1 - a2, a2,
-        | 3, 'ngram_conc', a2, a2 - a3, a3,
-        | 4, 'entropy',    a3, a3 - a4, a4)
-        | AS (stage, filter, n_in, n_drop, n_out)""".stripMargin)
-      .orderBy("stage")
-  }
+  private val qualityFunnelQ: Q = (s, dir) =>
+    TextAnalysis.funnelReport(TextAnalysis.funnelCounts(
+      TextAnalysis.funnelSignals(Tables.documents(s, dir), "doc_id",
+        "text")))
 
 
   /** BPE-style regex pre-tokenization profile (fertility etc.). */
@@ -708,7 +668,7 @@ object TextQueries {
     * oracle as a derived table; funnel counts are conditional sums of
     * exact booleans.
     */
-  private lazy val qualityFunnelOracle: String =
+  private[queries] lazy val qualityFunnelOracle: String =
       s"""WITH t AS (SELECT doc_id, len(text) AS nc,
         |    string_split(text, ' ') AS tk FROM documents),
         |shg AS (SELECT doc_id, CASE WHEN len(tk) >= 3

@@ -459,6 +459,57 @@ object StreamingPower {
       graft.engine.BatchStore.read(spark, storePath)
         .groupBy("bucket").agg(max(col("rho")).as("rho")), p)
 
+  /** One micro-batch of the streaming QUALITY-FUNNEL store: the
+    * batch's cumulative-pass counters (`TextAnalysis.funnelCounts` —
+    * one exact-integer row per batch, the funnel's mergeable form)
+    * land under `batch_id=<id>` with the committed-skip guard. Fold =
+    * elementwise SUM, so batches must partition the corpus; the store
+    * holds ONE row per batch however much text streamed past.
+    */
+  def funnelStep(batch: DataFrame, idCol: String, textCol: String,
+      storePath: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.TextAnalysis.funnelCounts(
+        graft.operators.TextAnalysis.funnelSignals(batch, idCol, textCol))
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** Funnel-counter MERGE as a compaction hook: exact elementwise sums. */
+  val funnelMerge: DataFrame => DataFrame =
+    _.agg(sum(col("n0")).as("n0"), sum(col("a1")).as("a1"),
+      sum(col("a2")).as("a2"), sum(col("a3")).as("a3"),
+      sum(col("a4")).as("a4"))
+
+  /** The loop as a streaming query over a document stream. */
+  def funnelStream(rows: DataFrame, idCol: String, textCol: String,
+      storePath: String, checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        funnelStep(batch, idCol, textCol, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            funnelMerge)
+      }
+      .start()
+
+  /** The funnel readout across every committed batch: fold the
+    * counters (exact sums), then the SAME `funnelReport` rendering
+    * the batch path uses — streamed == batch EXACTLY once the folded
+    * counters equal the one-shot ones. Committed-only read
+    * (`BatchStore.read`).
+    */
+  def mergedFunnel(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.TextAnalysis.funnelReport(
+      funnelMerge(graft.engine.BatchStore.read(spark, storePath)))
+
   /** One micro-batch of the streaming DSIR importance-model store:
     * the batch's per-bucket (tc, rc) token counts
     * (`Sampling.dsirBucketStats` — exact integers, the mergeable half

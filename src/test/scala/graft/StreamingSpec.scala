@@ -835,6 +835,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Seq((1L, 4L, 2L, 2L, 7200L), (2L, 1L, 1L, 0L, 0L)), s"got $got")
   }
 
+  test("streaming funnel store renders exactly like the one-shot accounting") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_funnel_store").toString + "/funnel"
+    val ckpt = Files.createTempDirectory("graft_funnel_ckpt").toString
+    val docs = graft.engine.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingPower.funnelStream(ms.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", storePath, ckpt, compactEvery = 2)
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val whole = docs.toDF("doc_id", "text")
+    val oneShot = graft.operators.TextAnalysis.funnelReport(
+      graft.operators.TextAnalysis.funnelCounts(
+        graft.operators.TextAnalysis.funnelSignals(whole, "doc_id", "text")))
+      .collect().toSeq
+    val streamed = StreamingPower.mergedFunnel(spark, storePath)
+      .collect().toSeq
+    assert(streamed == oneShot,
+      s"streamed funnel diverged:\n$streamed\n$oneShot")
+    // a retried (already folded) batch id is a no-op
+    StreamingPower.funnelStep(b2.toDF("doc_id", "text"), "doc_id", "text",
+      storePath, batchId = 1L)
+    assert(StreamingPower.mergedFunnel(spark, storePath)
+      .collect().toSeq == oneShot,
+      "retried batch mutated the committed funnel store")
+  }
+
   test("streaming DSIR store scores exactly like the one-shot importance fit") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
