@@ -343,6 +343,58 @@ object Similarity {
     labels.orderBy("vec_id")
   }
 
+  /** Embedding-space OUTLIER detection — the pruning complement of
+    * SemDeDup: where `semanticDedup` removes points packed too close
+    * to a neighbor, this flags points whose within-list kNN
+    * neighborhood is too FAR (mean cosine to the k nearest co-listed
+    * points below `tauPpm`) — mislabeled strays, corrupt embeddings,
+    * off-distribution junk. Same IVF routing as `labelPropagation`
+    * (⌈√N⌉ lists by the SemDeDup sizing rule), so per-list pair work
+    * stays (N/nlists)² and nothing is all-pairs.
+    *
+    * Determinism: per-neighbor cosines quantize to integer ppm at
+    * birth; the neighborhood sum is exact, and the outlier cut
+    * compares `sum_ppm < tauPpm · n_nbrs` in exact integers (mean <
+    * tau without a division). A point alone in its list has no
+    * neighborhood evidence and flags as an outlier by convention.
+    *
+    * Output: (vec_id, list_id, n_nbrs, knn_sum_ppm, outlier 0/1),
+    * ordered by vec_id.
+    */
+  def embeddingOutliers(embeddings: DataFrame, k: Int = 5,
+      nlists: Int, tauPpm: Long = 300000L): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids = centroidsDf(spark, seededCodebook(embeddings, nlists))
+    val asg = nearestLists(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      "vec_id", 1, centroids)
+      .select(col("vec_id"), col("list_id"), col("emb"))
+      .localCheckpoint()
+    val wk = Window.partitionBy("node").orderBy(col("cos_ppm").desc, col("nbr"))
+    val knn = asg.select(col("list_id"), col("vec_id").as("node"),
+        col("emb").as("ea"))
+      .join(asg.select(col("list_id"), col("vec_id").as("nbr"),
+        col("emb").as("eb")), Seq("list_id"))
+      .filter(col("node") =!= col("nbr"))
+      .withColumn("cos_ppm",
+        round(round(cosineFast(spark)(col("ea"), col("eb")), 6) * lit(1e6))
+          .cast("long"))
+      .withColumn("_r", row_number().over(wk))
+      .filter(col("_r") <= k)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_nbrs"), sum(col("cos_ppm")).as("knn_sum_ppm"))
+    asg.select(col("vec_id"), col("list_id"))
+      .join(knn.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        coalesce(col("knn_sum_ppm"), lit(0L)).as("knn_sum_ppm"))
+      .withColumn("outlier",
+        when(col("n_nbrs") === 0L
+          || col("knn_sum_ppm") < lit(tauPpm) * col("n_nbrs"), 1)
+          .otherwise(0))
+      .orderBy("vec_id")
+  }
+
   /** Exact all-pairs above a cosine threshold (the embedding-cosine
     * near-duplicate primitive). Quadratic — intended for small corpora
     * or as the verifier for the LSH path below.

@@ -24,6 +24,17 @@ object AnnQueries {
   }
 
 
+  /** q197: embedding-space outlier pruning — within-list kNN mean
+    * cosine below 0.30 (or an empty neighborhood) flags the stray;
+    * ⌈√N⌉ seeded routing, q174's graph shape.
+    */
+  private val outliersQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.embeddingOutliers(emb, k = 5,
+      nlists = Similarity.autoNlists(emb))
+  }
+
+
   /** q183: MMR diversified top-5 from the exact top-20 shortlist —
     * retrieval-side diversity over q24's probes (lambda = 0.7).
     */
@@ -419,7 +430,8 @@ object AnnQueries {
     "q24_ann_topk" -> annTopK,
     "q26_ann_lsh" -> annLsh,
     "q27_centroids" -> centroids,
-    "q183_mmr" -> mmrQ)
+    "q183_mmr" -> mmrQ,
+    "q197_embedding_outliers" -> outliersQ)
 
   /** q183's oracle: the same greedy MMR unrolled as k−1 CTE steps —
     * each step's candidate scores are exact BIGINT arithmetic over the
@@ -532,6 +544,43 @@ object AnnQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q183_mmr" -> mmrOracle,
+    // q197: q174's seeded routing + within-list kNN window; cosines
+    // quantize to ppm at birth, the cut compares exact integers.
+    "q197_embedding_outliers" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+        |         v AS c
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id
+        |             LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e))),
+        |ca AS (SELECT e.vec_id, e.v, cb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC,
+        |             cb.list_id) AS crank
+        |       FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
+        |g AS (SELECT node, cos_ppm FROM (
+        |   SELECT a.vec_id AS node, b.vec_id AS nbr,
+        |     CAST(round(ROUND(list_cosine_similarity(a.v, b.v), 6)
+        |       * 1000000e0) AS BIGINT) AS cos_ppm,
+        |     row_number() OVER (PARTITION BY a.vec_id
+        |       ORDER BY CAST(round(ROUND(list_cosine_similarity(a.v, b.v), 6)
+        |         * 1000000e0) AS BIGINT) DESC, b.vec_id) AS r
+        |   FROM asg a JOIN asg b
+        |     ON a.list_id = b.list_id AND a.vec_id <> b.vec_id)
+        | WHERE r <= 5),
+        |kn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_nbrs,
+        |         CAST(SUM(cos_ppm) AS BIGINT) AS knn_sum_ppm
+        |       FROM g GROUP BY 1)
+        |SELECT a.vec_id, CAST(a.list_id AS INTEGER) AS list_id,
+        |  coalesce(kn.n_nbrs, 0) AS n_nbrs,
+        |  coalesce(kn.knn_sum_ppm, 0) AS knn_sum_ppm,
+        |  CAST(CASE WHEN coalesce(kn.n_nbrs, 0) = 0
+        |    OR coalesce(kn.knn_sum_ppm, 0) < 300000 * coalesce(kn.n_nbrs, 0)
+        |    THEN 1 ELSE 0 END AS INTEGER) AS outlier
+        |FROM asg a LEFT JOIN kn ON kn.node = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     // q175: q102's chain with tombstoned neighbors masked from the
     // candidate set — everything else (codebooks, routing, ADC)
     // identical, exactly the query-time anti-join semantics.

@@ -1016,6 +1016,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(out.size > 2, s"nothing propagated: $out")
   }
 
+  test("embedding outliers: the planted orthogonal stray flags, cluster members do not") {
+    import spark.implicits._
+    // six tight points around one axis plus one orthogonal stray; one
+    // list, so the stray's whole kNN neighborhood is near-zero cosine
+    def jitter(base: Seq[Float], i: Int): Seq[Float] =
+      base.zipWithIndex.map { case (x, d) => x + (if (d == 3) 0.01f * i else 0f) }
+    val pts = (0 until 6).map(i => ((10 + i).toLong, jitter(Seq(1f, 0f, 0f, 0f), i))) :+
+      (99L, Seq(0f, 1f, 0f, 0f))
+    val fix = pts.toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(fix, k = 5, nlists = 1)
+      .select("vec_id", "n_nbrs", "outlier")
+      .as[(Long, Long, Int)].collect().toSeq
+    val flags = out.map(r => r._1 -> r._3).toMap
+    assert(flags(99L) == 1, s"stray not flagged: $out")
+    (10L to 15L).foreach(id => assert(flags(id) == 0, s"cluster member $id flagged: $out"))
+    // everyone saw a full k-neighborhood
+    assert(out.forall(_._2 == 5L), s"bad n_nbrs: $out")
+    // a point alone in its list has no evidence and flags by convention
+    val solo = Similarity.embeddingOutliers(
+      Seq((1L, Seq(1f, 0f))).toDF("vec_id", "embedding"), k = 5, nlists = 1)
+      .select("n_nbrs", "outlier").as[(Long, Int)].collect().toSeq
+    assert(solo == Seq((0L, 1)))
+  }
+
   test("quality canonical: keeps the best-quality member per cluster, min-id on ties") {
     import spark.implicits._
     val fixture = Seq(
