@@ -363,24 +363,8 @@ object Similarity {
     */
   def embeddingOutliers(embeddings: DataFrame, k: Int = 5,
       nlists: Int, tauPpm: Long = 300000L): DataFrame = {
-    val spark = embeddings.sparkSession
-    val centroids = centroidsDf(spark, seededCodebook(embeddings, nlists))
-    val asg = nearestLists(
-      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
-      "vec_id", 1, centroids)
-      .select(col("vec_id"), col("list_id"), col("emb"))
-      .localCheckpoint()
-    val wk = Window.partitionBy("node").orderBy(col("cos_ppm").desc, col("nbr"))
-    val knn = asg.select(col("list_id"), col("vec_id").as("node"),
-        col("emb").as("ea"))
-      .join(asg.select(col("list_id"), col("vec_id").as("nbr"),
-        col("emb").as("eb")), Seq("list_id"))
-      .filter(col("node") =!= col("nbr"))
-      .withColumn("cos_ppm",
-        round(round(cosineFast(spark)(col("ea"), col("eb")), 6) * lit(1e6))
-          .cast("long"))
-      .withColumn("_r", row_number().over(wk))
-      .filter(col("_r") <= k)
+    val asg = ivfAssignments(embeddings, nlists)
+    val knn = withinListKnnEdges(asg, k)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_nbrs"), sum(col("cos_ppm")).as("knn_sum_ppm"))
     asg.select(col("vec_id"), col("list_id"))
@@ -393,6 +377,137 @@ object Similarity {
           || col("knn_sum_ppm") < lit(tauPpm) * col("n_nbrs"), 1)
           .otherwise(0))
       .orderBy("vec_id")
+  }
+
+  /** ⌈√N⌉-style seeded IVF assignment: (vec_id, list_id, emb), one row
+    * per vector, checkpointed (it feeds a self-join downstream).
+    */
+  private def ivfAssignments(embeddings: DataFrame, nlists: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val centroids = centroidsDf(spark, seededCodebook(embeddings, nlists))
+    nearestLists(
+      embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      "vec_id", 1, centroids)
+      .select(col("vec_id"), col("list_id"), col("emb"))
+      .localCheckpoint()
+  }
+
+  /** Directed kNN edges within each IVF list: for every vector, its k
+    * nearest co-listed neighbors by ppm-quantized cosine (nbr-id
+    * tie-break). Per-list pair work is (N/nlists)² — never all-pairs.
+    * Output: (node, nbr, cos_ppm).
+    */
+  private def withinListKnnEdges(asg: DataFrame, k: Int): DataFrame = {
+    val spark = asg.sparkSession
+    val wk = Window.partitionBy("node").orderBy(col("cos_ppm").desc, col("nbr"))
+    asg.select(col("list_id"), col("vec_id").as("node"), col("emb").as("ea"))
+      .join(asg.select(col("list_id"), col("vec_id").as("nbr"),
+        col("emb").as("eb")), Seq("list_id"))
+      .filter(col("node") =!= col("nbr"))
+      .withColumn("cos_ppm",
+        round(round(cosineFast(spark)(col("ea"), col("eb")), 6) * lit(1e6))
+          .cast("long"))
+      .withColumn("_r", row_number().over(wk))
+      .filter(col("_r") <= k)
+      .select(col("node"), col("nbr"), col("cos_ppm"))
+  }
+
+  /** PageRank over the within-list kNN similarity graph — the
+    * graph-centrality data-selection signal: vectors many neighbors
+    * point at are "representative" of their region; low-rank vectors
+    * are peripheral. Edges are `withinListKnnEdges` (directed node→nbr,
+    * so rank flows TOWARD the vectors others choose as neighbors).
+    *
+    * Determinism: the whole power iteration runs in exact integer
+    * arithmetic — ranks are parts-per-trillion longs, each round is
+    *   rank'(u) = tele + (dampPct · Σ_{v→u} (rank(v) div outdeg(v))) div 100
+    * with `div` = truncating integer division (identical to DuckDB `//`
+    * on non-negative values), tele = ((SCALE div N) · (100−dampPct))
+    * div 100. Vectors alone in their list have no out-edges; their mass
+    * is dropped (the standard lost-mass variant) — deterministic, and
+    * documented rather than redistributed.
+    *
+    * Scale shape: edges build once and checkpoint; each round is one
+    * node-keyed join plus one dst-keyed aggregate over |E| ≤ kN rows —
+    * O(iterations · kN), no driver-side state beyond the scalar N.
+    *
+    * Output: (vec_id, outdeg, rank_ppt, rank_share 6dp), by vec_id.
+    */
+  def knnPagerank(embeddings: DataFrame, k: Int = 5, nlists: Int,
+      iterations: Int = 5, dampPct: Long = 85L): DataFrame = {
+    val asg = ivfAssignments(embeddings, nlists)
+    val edges = withinListKnnEdges(asg, k)
+      .select(col("node"), col("nbr")).localCheckpoint()
+    val nodes = asg.select(col("vec_id"))
+      .join(edges.groupBy(col("node")).agg(count(lit(1)).as("outdeg"))
+        .withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .localCheckpoint()
+    val scale = 1000000000000L
+    val n = nodes.count()
+    val tele = ((scale / n) * (100L - dampPct)) / 100L
+    var ranks = nodes.select(col("vec_id"), lit(scale / n).as("rank_ppt"))
+    for (_ <- 0 until iterations) {
+      val contrib = ranks.join(nodes, Seq("vec_id"))
+        .filter(col("outdeg") > 0L)
+        .select(col("vec_id").as("node"), expr("rank_ppt div outdeg").as("c"))
+      val inflow = edges.join(contrib, Seq("node"))
+        .groupBy(col("nbr")).agg(sum(col("c")).as("in_sum"))
+        .withColumnRenamed("nbr", "vec_id")
+      ranks = nodes.select(col("vec_id"))
+        .join(inflow, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          expr(s"$tele + ($dampPct * coalesce(in_sum, CAST(0 AS BIGINT))) div 100")
+            .as("rank_ppt"))
+        .localCheckpoint()
+    }
+    ranks.join(nodes, Seq("vec_id"))
+      .select(col("vec_id"), col("outdeg"), col("rank_ppt"),
+        round(col("rank_ppt") / lit(scale.toDouble), 6).as("rank_share"))
+      .orderBy("vec_id")
+  }
+
+  /** Centroid-based (simplified) silhouette per IVF list — the linear
+    * O(N·nlists) cluster-quality audit (exact silhouette is O(N²)):
+    * for each vector, a = ppm cosine-distance to its own centroid,
+    * b = distance to the runner-up centroid, s = (b−a)/max(a,b)
+    * ∈ [0, 1e6] ppm (a ≤ b by construction of the assignment).
+    * Low per-list means flag lists whose members sit as close to a
+    * neighboring centroid as their own — merge candidates / bad k.
+    *
+    * Determinism: distances quantize to integer ppm at birth
+    * (d = 1e6 − cos_ppm); s_ppm = ((b−a)·1e6) div max(a,b) in exact
+    * integers (0 when max = 0); per-list sums are exact, one division
+    * at the end. Needs nlists ≥ 2 (no runner-up otherwise).
+    *
+    * Output: (list_id, n_pts, sum_s_ppm, mean_s 6dp), by list_id.
+    */
+  def clusterSilhouette(embeddings: DataFrame, nlists: Int): DataFrame = {
+    require(nlists >= 2, s"silhouette needs nlists >= 2, got $nlists")
+    val spark = embeddings.sparkSession
+    val centroids = centroidsDf(spark, seededCodebook(embeddings, nlists))
+    val scored = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d_ppm",
+        lit(1000000L) - round(round(cosineFast(spark)(col("emb"), col("centroid")), 6)
+          * lit(1e6)).cast("long"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d_ppm").asc, col("list_id"))
+    val top2 = scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(
+        min(when(col("crank") === 1, col("list_id"))).as("list_id"),
+        min(when(col("crank") === 1, col("d_ppm"))).as("a_ppm"),
+        min(when(col("crank") === 2, col("d_ppm"))).as("b_ppm"))
+    top2.withColumn("s_ppm",
+        when(greatest(col("a_ppm"), col("b_ppm")) === 0L, lit(0L))
+          .otherwise(expr("((b_ppm - a_ppm) * 1000000) div greatest(a_ppm, b_ppm)")))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("s_ppm")).as("sum_s_ppm"))
+      .withColumn("mean_s",
+        round(col("sum_s_ppm") / (col("n_pts") * lit(1e6)), 6))
+      .orderBy("list_id")
   }
 
   /** Exact all-pairs above a cosine threshold (the embedding-cosine

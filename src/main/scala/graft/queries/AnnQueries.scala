@@ -35,6 +35,28 @@ object AnnQueries {
   }
 
 
+  /** q198: PageRank over the within-list kNN similarity graph —
+    * graph-centrality data selection (vectors many neighbors point at
+    * are representative; low-rank = peripheral). Exact
+    * parts-per-trillion integer power iteration: 5 rounds, damping
+    * 85/100, dangling mass dropped.
+    */
+  private val pagerankQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnPagerank(emb, k = 5, nlists = Similarity.autoNlists(emb))
+  }
+
+
+  /** q199: centroid-based silhouette per IVF list — the linear
+    * O(N·nlists) cluster-quality audit; ppm distances quantized at
+    * birth, s = (b−a)·1e6 div max(a,b), exact per-list sums.
+    */
+  private val silhouetteQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.clusterSilhouette(emb, nlists = Similarity.autoNlists(emb))
+  }
+
+
   /** q183: MMR diversified top-5 from the exact top-20 shortlist —
     * retrieval-side diversity over q24's probes (lambda = 0.7).
     */
@@ -431,7 +453,9 @@ object AnnQueries {
     "q26_ann_lsh" -> annLsh,
     "q27_centroids" -> centroids,
     "q183_mmr" -> mmrQ,
-    "q197_embedding_outliers" -> outliersQ)
+    "q197_embedding_outliers" -> outliersQ,
+    "q198_knn_pagerank" -> pagerankQ,
+    "q199_silhouette" -> silhouetteQ)
 
   /** q183's oracle: the same greedy MMR unrolled as k−1 CTE steps —
     * each step's candidate scores are exact BIGINT arithmetic over the
@@ -542,7 +566,95 @@ object AnnQueries {
        |ORDER BY d""".stripMargin
   }
 
+  /** q198's oracle: q197's routing + kNN-edge CTEs (nbr kept), then
+    * the 5 power-iteration rounds unrolled — every round exact BIGINT
+    * arithmetic (`//` = Spark's `div` on non-negative values), sums
+    * cast back from DuckDB's HUGEINT.
+    */
+  private val pagerankOracle: String = {
+    val prefix =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+        |         v AS c
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id
+        |             LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e))),
+        |ca AS (SELECT e.vec_id, e.v, cb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC,
+        |             cb.list_id) AS crank
+        |       FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
+        |g AS (SELECT node, nbr FROM (
+        |   SELECT a.vec_id AS node, b.vec_id AS nbr,
+        |     row_number() OVER (PARTITION BY a.vec_id
+        |       ORDER BY CAST(round(ROUND(list_cosine_similarity(a.v, b.v), 6)
+        |         * 1000000e0) AS BIGINT) DESC, b.vec_id) AS r
+        |   FROM asg a JOIN asg b
+        |     ON a.list_id = b.list_id AND a.vec_id <> b.vec_id)
+        | WHERE r <= 5),
+        |deg AS (SELECT a.vec_id, CAST(coalesce(d.outdeg, 0) AS BIGINT) AS outdeg
+        |        FROM asg a LEFT JOIN (SELECT node, count(*) AS outdeg
+        |                              FROM g GROUP BY 1) d
+        |          ON d.node = a.vec_id),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |r0 AS (SELECT vec_id, 1000000000000 // (SELECT n FROM nn) AS r
+        |       FROM asg)""".stripMargin
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (SELECT d.vec_id,
+        |    ((1000000000000 // (SELECT n FROM nn)) * 15) // 100
+        |      + (85 * coalesce(s.c, 0)) // 100 AS r
+        |  FROM deg d LEFT JOIN (
+        |    SELECT g.nbr, CAST(SUM(p.r // d2.outdeg) AS BIGINT) AS c
+        |    FROM g JOIN r${i - 1} p ON p.vec_id = g.node
+        |           JOIN deg d2 ON d2.vec_id = g.node
+        |    GROUP BY 1) s ON s.nbr = d.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$prefix,
+      |$rounds
+      |SELECT d.vec_id, d.outdeg, CAST(r5.r AS BIGINT) AS rank_ppt,
+      |  ROUND(CAST(r5.r AS DOUBLE) / 1000000000000e0, 6) AS rank_share
+      |FROM deg d JOIN r5 ON r5.vec_id = d.vec_id
+      |ORDER BY d.vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q198_knn_pagerank" -> pagerankOracle,
+    // q199: same seeded codebook; per-vector distances to ALL
+    // centroids, top-2 by ppm distance, exact-integer silhouette.
+    "q199_silhouette" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+        |         v AS c
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id
+        |             LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e))),
+        |sc AS (SELECT e.vec_id, cb.list_id,
+        |         1000000 - CAST(round(ROUND(list_cosine_similarity(e.v, cb.c), 6)
+        |           * 1000000e0) AS BIGINT) AS d_ppm
+        |       FROM e CROSS JOIN cb),
+        |rk AS (SELECT vec_id, list_id, d_ppm,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY d_ppm ASC, list_id) AS crank
+        |       FROM sc),
+        |t2 AS (SELECT vec_id,
+        |         MIN(CASE WHEN crank = 1 THEN list_id END) AS list_id,
+        |         MIN(CASE WHEN crank = 1 THEN d_ppm END) AS a_ppm,
+        |         MIN(CASE WHEN crank = 2 THEN d_ppm END) AS b_ppm
+        |       FROM rk WHERE crank <= 2 GROUP BY 1),
+        |s AS (SELECT list_id,
+        |        CASE WHEN greatest(a_ppm, b_ppm) = 0 THEN CAST(0 AS BIGINT)
+        |             ELSE ((b_ppm - a_ppm) * 1000000) // greatest(a_ppm, b_ppm)
+        |        END AS s_ppm
+        |      FROM t2)
+        |SELECT CAST(list_id AS INTEGER) AS list_id,
+        |  CAST(count(*) AS BIGINT) AS n_pts,
+        |  CAST(SUM(s_ppm) AS BIGINT) AS sum_s_ppm,
+        |  ROUND(CAST(SUM(s_ppm) AS BIGINT) / (count(*) * 1000000e0), 6) AS mean_s
+        |FROM s GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "q183_mmr" -> mmrOracle,
     // q197: q174's seeded routing + within-list kNN window; cosines
     // quantize to ppm at birth, the cut compares exact integers.

@@ -1040,6 +1040,75 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(solo == Seq((0L, 1)))
   }
 
+  test("knn pagerank: hub-and-spokes ranks match the exact integer recurrence") {
+    import spark.implicits._
+    // hub on the x axis, four spokes on a 40-degree cone around it:
+    // spoke-hub cosine (0.766) beats every spoke-spoke cosine (<=0.587),
+    // so with k=1 every spoke's only edge points at the hub, and the
+    // hub's one edge goes to the min-id spoke (all spokes tie).
+    val a = math.toRadians(40)
+    def spoke(phiDeg: Double): Seq[Float] = {
+      val p = math.toRadians(phiDeg)
+      Seq(math.cos(a), math.sin(a) * math.cos(p), math.sin(a) * math.sin(p))
+        .map(_.toFloat)
+    }
+    val fix = (Seq((1L, Seq(1f, 0f, 0f))) ++
+      Seq(0.0, 90.0, 180.0, 270.0).zipWithIndex.map { case (phi, i) =>
+        ((i + 2).toLong, spoke(phi))
+      }).toDF("vec_id", "embedding")
+    val out = Similarity.knnPagerank(fix, k = 1, nlists = 1, iterations = 5)
+      .select("vec_id", "outdeg", "rank_ppt", "rank_share")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == (1L to 5L), s"ids: $out")
+    assert(out.forall(_._2 == 1L), s"outdeg: $out")
+    // independent driver-side replay of the exact integer recurrence
+    // over the known edge set {2..5 -> 1, 1 -> 2}
+    val scale = 1000000000000L
+    val n = 5L
+    val tele = ((scale / n) * 15L) / 100L
+    var r = Map((1L to 5L).map(_ -> scale / n): _*)
+    for (_ <- 0 until 5) {
+      val next = (1L to 5L).map { v =>
+        val inSum = v match {
+          case 1L => (2L to 5L).map(s => r(s) / 1L).sum
+          case 2L => r(1L) / 1L
+          case _  => 0L
+        }
+        v -> (tele + (85L * inSum) / 100L)
+      }.toMap
+      r = next
+    }
+    out.foreach { case (id, _, rank, share) =>
+      assert(rank == r(id), s"rank($id): got $rank want ${r(id)}")
+      assert(share == math.rint(rank / 1e12 * 1e6) / 1e6, s"share($id)")
+    }
+    // centrality ordering: hub above its chosen spoke, chosen spoke
+    // above the three pure sinks
+    val byId = out.map(o => o._1 -> o._3).toMap
+    assert(byId(1L) > byId(2L) && byId(2L) > byId(3L), s"ordering: $out")
+    assert(byId(3L) == byId(4L) && byId(4L) == byId(5L), s"sinks differ: $out")
+  }
+
+  test("cluster silhouette: separated clusters score 1.0, the equidistant point scores 0") {
+    import spark.implicits._
+    // ids chosen so the two md5-smallest (27, 6) sit one per cluster —
+    // the seeded codebook then holds one centroid per true cluster
+    val x = Seq(1f, 0f, 0f); val y = Seq(0f, 1f, 0f)
+    val diag = Seq(math.sqrt(0.5).toFloat, math.sqrt(0.5).toFloat, 0f)
+    val fix = Seq(27L -> x, 1L -> x, 2L -> x, 6L -> y, 11L -> y, 12L -> y,
+      40L -> diag).toDF("vec_id", "embedding")
+    val out = Similarity.clusterSilhouette(fix, nlists = 2)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // list 0 = the (1,0,0) centroid (id 27 hashes lowest): members
+    // 27,1,2 at s=1e6 plus the a==b diagonal at s=0, tie-broken here
+    assert(out == Seq((0, 4L, 3000000L, 0.75), (1, 3L, 3000000L, 1.0)),
+      s"got: $out")
+    // degenerate guard: nlists < 2 must refuse
+    intercept[IllegalArgumentException] {
+      Similarity.clusterSilhouette(fix, nlists = 1)
+    }
+  }
+
   test("quality canonical: keeps the best-quality member per cluster, min-id on ties") {
     import spark.implicits._
     val fixture = Seq(
