@@ -510,6 +510,111 @@ object Similarity {
       .orderBy("list_id")
   }
 
+  /** Greedy farthest-point (k-center / Gonzalez 1985) coreset: the
+    * diversity-maximizing subset selection — start from the
+    * md5-smallest vector (the codebook seeding convention) and
+    * repeatedly take the point FARTHEST from the chosen set (max over
+    * candidates of min ppm cosine-distance to any chosen; ties to the
+    * smaller vec_id). The selected k points 2-approximate the optimal
+    * k-center cover — the canonical "pick maximally diverse exemplars"
+    * primitive for pruning redundant training data.
+    *
+    * Determinism: pair distances quantize to integer ppm at birth, the
+    * argmax orders on (d_ppm DESC, vec_id). The seed's distance-at-
+    * selection is NULL (nothing was chosen before it).
+    *
+    * Scale shape: k driver-side rounds, each one map-side pass over
+    * the corpus against the BROADCAST chosen set (≤ k rows — a
+    * fixed-size artifact, never corpus-derived growth) plus a 1-row
+    * TakeOrdered; the corpus checkpoints once and never shuffles.
+    *
+    * Output: (sel_rank 1..k, vec_id, d_ppm), ordered by sel_rank.
+    */
+  def farthestPointCoreset(embeddings: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pts = embeddings.select(col("vec_id"),
+        asDouble(col("embedding")).as("emb"),
+        graft.functions.Md5Family.hash(col("vec_id").cast("string")).as("_h"))
+      .localCheckpoint()
+    val seed = pts.orderBy(col("_h"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("emb")).collect()(0)
+    var chosen = Vector[(Long, Seq[Double], Option[Long])](
+      (seed.getLong(0), seed.getSeq[Double](1), None))
+    for (_ <- 2 to k) {
+      val chosenDf = chosen.map { case (id, e, _) => (id, e) }
+        .toDF("c_id", "c_emb")
+      val next = pts
+        .join(broadcast(chosenDf.select(col("c_id").as("vec_id"))),
+          Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(chosenDf))
+        .withColumn("d_ppm",
+          lit(1000000L) - round(round(cosineFast(spark)(col("emb"), col("c_emb")), 6)
+            * lit(1e6)).cast("long"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("d_ppm")).as("dmin"), first(col("emb")).as("emb"))
+        .orderBy(col("dmin").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      chosen = chosen :+ ((next.getLong(0), next.getSeq[Double](2),
+        Some(next.getLong(1))))
+    }
+    chosen.zipWithIndex.map { case ((id, _, d), i) => (i + 1, id, d) }
+      .toDF("sel_rank", "vec_id", "d_ppm")
+      .orderBy("sel_rank")
+  }
+
+  /** DBSCAN* density clustering (Campello et al. 2013 — the
+    * deterministic DBSCAN variant: only CORE points cluster, border
+    * points are noise, so no insertion-order dependence) over the
+    * within-list eps-neighbor graph: a point is core when ≥ `minPts`
+    * co-listed points sit at cosine ≥ `epsPpm`; clusters are the
+    * connected components of the core–core eps edges (min-id label);
+    * everything else labels −1 (noise). The IVF routing bounds pair
+    * work at (N/nlists)² — cross-list eps pairs are sacrificed, the
+    * same locality trade every ANN/SemDeDup path here makes.
+    *
+    * Output: (vec_id, list_id, n_eps, is_core, cluster_id), by vec_id.
+    */
+  def densityClusters(embeddings: DataFrame, nlists: Int,
+      epsPpm: Long = 300000L, minPts: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val asg = ivfAssignments(embeddings, nlists)
+    val pairs = asg.select(col("list_id"), col("vec_id").as("node"),
+        col("emb").as("ea"))
+      .join(asg.select(col("list_id"), col("vec_id").as("nbr"),
+        col("emb").as("eb")), Seq("list_id"))
+      .filter(col("node") =!= col("nbr"))
+      .withColumn("cos_ppm",
+        round(round(cosineFast(spark)(col("ea"), col("eb")), 6) * lit(1e6))
+          .cast("long"))
+      .filter(col("cos_ppm") >= epsPpm)
+      .select(col("node"), col("nbr"))
+      .localCheckpoint()
+    val core = pairs.groupBy(col("node")).agg(count(lit(1)).as("n_eps"))
+      .filter(col("n_eps") >= minPts)
+      .localCheckpoint()
+    val coreEdges = pairs
+      .join(core.select(col("node")), Seq("node"))
+      .join(core.select(col("node").as("nbr")), Seq("nbr"))
+      .filter(col("node") < col("nbr"))
+    val cc = Dedup.connectedComponentsAuto(coreEdges, "node", "nbr")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    asg.select(col("vec_id"), col("list_id"))
+      .join(pairs.groupBy(col("node").as("vec_id"))
+        .agg(count(lit(1)).as("n_eps")), Seq("vec_id"), "left")
+      .join(core.select(col("node").as("vec_id"), lit(1).as("is_core")),
+        Seq("vec_id"), "left")
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("n_eps"), lit(0L)).as("n_eps"),
+        coalesce(col("is_core"), lit(0)).as("is_core"),
+        when(col("is_core").isNull, lit(-1L))
+          .otherwise(coalesce(col("cluster_id"), col("vec_id")))
+          .as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   /** Exact all-pairs above a cosine threshold (the embedding-cosine
     * near-duplicate primitive). Quadratic — intended for small corpora
     * or as the verifier for the LSH path below.

@@ -910,4 +910,39 @@ object TextAnalysis {
           / col("_n_chars"), 6).as("top_gram_char_frac"))
       .orderBy(idCol, "n")
   }
+
+  /** CCNet-style per-language perplexity bucketing: score every doc
+    * with the interpolated trigram LM (`trigramLogProb`) and split
+    * each language into `nBuckets` equal tiers by LM fit — tier 1
+    * ("head") is the best-scoring third, "tail" the worst; CCNet
+    * keeps head+middle and drops or down-weights tail. Docs too short
+    * to produce a trigram are unscored and excluded (they fall to the
+    * length-based quality filters instead).
+    *
+    * Determinism: `avg_logprob` is 6dp-rounded at the LM; ntile orders
+    * on (avg_logprob DESC, id) so ties can't swap tiers cross-engine.
+    * Scale shape: the LM scoring dominates; the bucketing itself is
+    * one per-language window — a per-lang total order is what CCNet's
+    * semantics demand (at extreme scale swap ntile for approx-quantile
+    * cut points if a per-language sort is unaffordable).
+    *
+    * Output: (id, lang, n_trigrams, avg_logprob, tier, ppl_bucket).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    val lm = trigramLogProb(docs, idCol, textCol)
+    val w = Window.partitionBy(langCol)
+      .orderBy(col("avg_logprob").desc, col(idCol))
+    docs.select(col(idCol), col(langCol))
+      .join(lm, Seq(idCol))
+      .withColumn("tier", ntile(nBuckets).over(w))
+      .withColumn("ppl_bucket",
+        when(col("tier") === 1, lit("head"))
+          .when(col("tier") === nBuckets, lit("tail"))
+          .otherwise(lit("middle")))
+      .select(col(idCol), col(langCol), col("n_trigrams"),
+        col("avg_logprob"), col("tier"), col("ppl_bucket"))
+      .orderBy(idCol)
+  }
 }

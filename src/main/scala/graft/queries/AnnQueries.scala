@@ -57,6 +57,26 @@ object AnnQueries {
   }
 
 
+  /** q201: greedy farthest-point (Gonzalez k-center) coreset, k = 8 —
+    * maximally diverse exemplars for redundancy pruning; seed = the
+    * md5-smallest vec_id, every later pick the argmax of min ppm
+    * distance to the chosen set.
+    */
+  private val coresetQ: Q = (s, dir) =>
+    Similarity.farthestPointCoreset(Tables.embeddings(s, dir), k = 8)
+
+
+  /** q202: DBSCAN* density clustering over the within-list
+    * eps-neighbor graph (cos ≥ 0.30, minPts 3) — deterministic
+    * variant: only core points cluster (core-core CC, min-id label),
+    * border and noise points label −1.
+    */
+  private val densityQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.densityClusters(emb, nlists = Similarity.autoNlists(emb))
+  }
+
+
   /** q183: MMR diversified top-5 from the exact top-20 shortlist —
     * retrieval-side diversity over q24's probes (lambda = 0.7).
     */
@@ -455,7 +475,9 @@ object AnnQueries {
     "q183_mmr" -> mmrQ,
     "q197_embedding_outliers" -> outliersQ,
     "q198_knn_pagerank" -> pagerankQ,
-    "q199_silhouette" -> silhouetteQ)
+    "q199_silhouette" -> silhouetteQ,
+    "q201_coreset" -> coresetQ,
+    "q202_density_clusters" -> densityQ)
 
   /** q183's oracle: the same greedy MMR unrolled as k−1 CTE steps —
     * each step's candidate scores are exact BIGINT arithmetic over the
@@ -619,8 +641,82 @@ object AnnQueries {
       |ORDER BY d.vec_id""".stripMargin
   }
 
+  /** q201's oracle: the greedy loop unrolled — each round's argmax is
+    * an ORDER BY (d_ppm DESC, vec_id) LIMIT 1 over min distance to the
+    * accumulated chosen CTE.
+    */
+  private val coresetOracle: String = {
+    val rounds = (2 to 8).map { r =>
+      s"""c$r AS (SELECT e.vec_id, e.v,
+        |    MIN(1000000 - CAST(round(ROUND(list_cosine_similarity(e.v, ch.v), 6)
+        |      * 1000000e0) AS BIGINT)) AS d_ppm
+        |  FROM e CROSS JOIN ch${r - 1} ch
+        |  WHERE e.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+        |  GROUP BY e.vec_id, e.v
+        |  ORDER BY d_ppm DESC, e.vec_id LIMIT 1),
+        |ch$r AS (SELECT vec_id, v FROM ch${r - 1}
+        |         UNION ALL SELECT vec_id, v FROM c$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (2 to 8).map(r =>
+      s"UNION ALL SELECT $r AS sel_rank, vec_id, d_ppm FROM c$r").mkString("\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |c1 AS (SELECT vec_id, v, CAST(NULL AS BIGINT) AS d_ppm
+      |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+      |             FROM e ORDER BY h, vec_id LIMIT 1)),
+      |ch1 AS (SELECT vec_id, v FROM c1),
+      |$rounds
+      |SELECT * FROM (
+      |SELECT 1 AS sel_rank, vec_id, d_ppm FROM c1
+      |$sel) ORDER BY sel_rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q198_knn_pagerank" -> pagerankOracle,
+    "q201_coreset" -> coresetOracle,
+    // q202: q197's routing CTEs, symmetric eps pairs, core = degree
+    // >= minPts, recursive closure over core-core edges + core self
+    // loops, min-reachable label; noise -1.
+    "q202_density_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+        |         v AS c
+        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |             FROM e ORDER BY h, vec_id
+        |             LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e))),
+        |ca AS (SELECT e.vec_id, e.v, cb.list_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC,
+        |             cb.list_id) AS crank
+        |       FROM e CROSS JOIN cb),
+        |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
+        |p AS (SELECT a.vec_id AS node, b.vec_id AS nbr
+        |      FROM asg a JOIN asg b
+        |        ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+        |      WHERE CAST(round(ROUND(list_cosine_similarity(a.v, b.v), 6)
+        |        * 1000000e0) AS BIGINT) >= 300000),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS n_eps
+        |        FROM p GROUP BY 1),
+        |core AS (SELECT node FROM deg WHERE n_eps >= 3),
+        |ce AS (SELECT p.node AS u, p.nbr AS v FROM p
+        |       JOIN core c1 ON c1.node = p.node
+        |       JOIN core c2 ON c2.node = p.nbr),
+        |edges AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce
+        |          UNION SELECT node, node FROM core),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+        |cl AS (SELECT u AS vec_id, min(v) AS cid FROM reach GROUP BY u)
+        |SELECT a.vec_id, CAST(a.list_id AS INTEGER) AS list_id,
+        |  COALESCE(deg.n_eps, 0) AS n_eps,
+        |  CAST(CASE WHEN core.node IS NULL THEN 0 ELSE 1 END AS INTEGER)
+        |    AS is_core,
+        |  CASE WHEN core.node IS NULL THEN CAST(-1 AS BIGINT)
+        |       ELSE cl.cid END AS cluster_id
+        |FROM asg a LEFT JOIN deg ON deg.node = a.vec_id
+        |  LEFT JOIN core ON core.node = a.vec_id
+        |  LEFT JOIN cl ON cl.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     // q199: same seeded codebook; per-vector distances to ALL
     // centroids, top-2 by ppm distance, exact-integer silhouette.
     "q199_silhouette" ->

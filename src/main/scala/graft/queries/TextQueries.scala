@@ -421,6 +421,15 @@ object TextQueries {
   private val trigramLmQ: Q = (s, dir) =>
     TextAnalysis.trigramLogProb(Tables.documents(s, dir), "doc_id", "text")
 
+  /** q200: CCNet-style per-language perplexity tertiles — q168's LM
+    * scores cut into head/middle/tail per lang (ntile over
+    * (avg_logprob DESC, doc_id)); the bucket CCNet keeps or
+    * down-weights by.
+    */
+  private val pplBucketsQ: Q = (s, dir) =>
+    TextAnalysis.perplexityBuckets(Tables.documents(s, dir), "doc_id",
+      "text", "lang", nBuckets = 3)
+
   /** q176: retrieval evaluation — nDCG@10 of the q139 BM25 ranking
     * against dense graded relevance (each query's exact-cosine top-20
     * as grades): the sparse-vs-dense agreement number a retrieval
@@ -523,6 +532,7 @@ object TextQueries {
     "q177_source_quality" -> sourceQualityQ,
     "q176_ndcg" -> ndcgQ,
     "q168_trigram_lm" -> trigramLmQ,
+    "q200_ppl_buckets" -> pplBucketsQ,
     "q166_char_entropy" -> charEntropyQ,
     "q161_text_index_build" -> textIndexBuildQ,
     "q158_source_top_terms" -> sourceTopTermsQ,
@@ -894,6 +904,18 @@ object TextQueries {
     // left-associated expression order with e0 float constants, each
     // position floored to nano-nats before the exact integer sum.
     "q168_trigram_lm" -> trigramLmOracle,
+    // q200: q168's LM as a CTE, ntile(3) per lang on the identical
+    // (avg_logprob DESC, doc_id) order.
+    "q200_ppl_buckets" ->
+      s"""WITH lm AS (SELECT * FROM ($trigramLmOracle)),
+        |j AS (SELECT d.doc_id, d.lang, lm.n_trigrams, lm.avg_logprob,
+        |        CAST(ntile(3) OVER (PARTITION BY d.lang
+        |          ORDER BY lm.avg_logprob DESC, d.doc_id) AS INTEGER) AS tier
+        |      FROM documents d JOIN lm ON lm.doc_id = d.doc_id)
+        |SELECT doc_id, lang, n_trigrams, avg_logprob, tier,
+        |  CASE WHEN tier = 1 THEN 'head' WHEN tier = 3 THEN 'tail'
+        |       ELSE 'middle' END AS ppl_bucket
+        |FROM j ORDER BY doc_id""".stripMargin,
     // q166: characters via the LATERAL generate_series + substr walk
     // (see charEntropyOracle).
     "q166_char_entropy" -> charEntropyOracle,

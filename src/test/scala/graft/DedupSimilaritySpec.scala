@@ -1109,6 +1109,48 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("farthest-point coreset: picks one exemplar per orthogonal direction, skips the duplicate") {
+    import spark.implicits._
+    // id 27 hashes md5-smallest -> seed; id 1 duplicates the seed's
+    // direction (d = 0, never picked); 6/11/12 are orthogonal axes all
+    // at d = 1e6 from everything chosen -> picked in id order
+    val fix = Seq(
+      27L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f, 0f),
+      6L -> Seq(0f, 1f, 0f, 0f), 11L -> Seq(0f, 0f, 1f, 0f),
+      12L -> Seq(0f, 0f, 0f, 1f)).toDF("vec_id", "embedding")
+    val out = Similarity.farthestPointCoreset(fix, k = 4)
+      .as[(Int, Long, Option[Long])].collect().toSeq
+    assert(out == Seq((1, 27L, None), (2, 6L, Some(1000000L)),
+      (3, 11L, Some(1000000L)), (4, 12L, Some(1000000L))), s"got: $out")
+    // farthest-point invariant on real-shaped data: distances at
+    // selection never increase
+    val jit = (0 until 12).map { i =>
+      (100L + i, Seq.tabulate(4)(d => if (d == i % 4) 1f else 0.05f * i))
+    }.toDF("vec_id", "embedding")
+    val ds = Similarity.farthestPointCoreset(jit, k = 6)
+      .as[(Int, Long, Option[Long])].collect().toSeq.flatMap(_._3)
+    assert(ds == ds.sorted.reverse, s"distances increased: $ds")
+  }
+
+  test("density clusters: two planted blobs become two clusters, the stray is noise") {
+    import spark.implicits._
+    def jit(base: Seq[Float], i: Int): Seq[Float] =
+      base.zipWithIndex.map { case (x, d) => x + (if (d == 3) 0.01f * i else 0f) }
+    val fix = ((0 until 4).map(i => ((10 + i).toLong, jit(Seq(1f, 0f, 0f, 0f), i))) ++
+      (0 until 4).map(i => ((20 + i).toLong, jit(Seq(0f, 1f, 0f, 0f), i))) :+
+      (99L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.densityClusters(fix, nlists = 1, epsPpm = 300000L,
+      minPts = 3)
+      .select("vec_id", "n_eps", "is_core", "cluster_id")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    (10L to 13L).foreach(id => assert(byId(id)._3 == 1 && byId(id)._4 == 10L,
+      s"blob A member $id: $out"))
+    (20L to 23L).foreach(id => assert(byId(id)._3 == 1 && byId(id)._4 == 20L,
+      s"blob B member $id: $out"))
+    assert(byId(99L) == ((99L, 0L, 0, -1L)), s"stray: $out")
+  }
+
   test("quality canonical: keeps the best-quality member per cluster, min-id on ties") {
     import spark.implicits._
     val fixture = Seq(

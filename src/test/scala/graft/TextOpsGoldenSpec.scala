@@ -324,4 +324,35 @@ class TextOpsGoldenSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("perplexity buckets: equal per-lang tiers ordered by LM fit, short docs unscored") {
+    import spark.implicits._
+    // six scoreable docs per lang (varying LM fit via repetition vs
+    // unique tails) plus one 2-token doc that can't form a trigram
+    def doc(lang: String, i: Int): String =
+      "the cat sat on the mat " + (Seq.fill(6 - i)("the cat sat").mkString(" ") +
+        " " + Seq.tabulate(i)(j => s"rare$lang$i$j").mkString(" "))
+    val docs = (for {
+      lang <- Seq("en", "fr"); i <- 1 to 6
+    } yield (lang match { case "en" => 10L + i; case _ => 20L + i },
+        doc(lang, i), lang)) :+ (99L, "too short", "en")
+    val fix = docs.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(fix, "doc_id", "text", "lang")
+      .select("doc_id", "lang", "avg_logprob", "tier", "ppl_bucket")
+      .as[(Long, String, Double, Int, String)].collect().toSeq
+    assert(!out.exists(_._1 == 99L), s"unscored doc bucketed: $out")
+    Seq("en", "fr").foreach { lang =>
+      val g = out.filter(_._2 == lang)
+      assert(g.size == 6, s"$lang size: $out")
+      assert(g.groupBy(_._4).view.mapValues(_.size).toMap ==
+        Map(1 -> 2, 2 -> 2, 3 -> 2), s"$lang tiers uneven: $g")
+      // tiers respect the score order: sort by (score desc, id) and
+      // the tier sequence must be non-decreasing
+      val tiers = g.sortBy(r => (-r._3, r._1)).map(_._4)
+      assert(tiers == tiers.sorted, s"$lang tier order: $g")
+      assert(g.filter(_._4 == 1).forall(_._5 == "head") &&
+        g.filter(_._4 == 2).forall(_._5 == "middle") &&
+        g.filter(_._4 == 3).forall(_._5 == "tail"), s"$lang labels: $g")
+    }
+  }
 }
