@@ -112,4 +112,142 @@ object Classifier {
     }
     out.orderBy("iter", "bucket")
   }
+
+  /** Per-class evaluation of any (true-label, predicted-label) table —
+    * the confusion-derived report every trained filter/classifier gets
+    * before it gates data: per class, the exact tp / n_true / n_pred /
+    * fp / fn counts plus precision, recall, and F1. Every ratio is ONE
+    * division of exact integers (F1 = 2·tp / (2·tp + fp + fn), never
+    * composed from the rounded p and r) and NULL when its denominator
+    * is zero. Classes are the union of observed true and predicted
+    * labels. Scale shape: one (t, p) count aggregate (map-side
+    * combined), then class-count joins over ≤|classes|² rows.
+    *
+    * Output: (class, tp, n_true, n_pred, fp, fn, prec, rec, f1),
+    * ordered by class.
+    */
+  def classifierEval(preds: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val pairs = preds.groupBy(col(labelCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val classes = pairs.select(col("t").as("class"))
+      .union(pairs.select(col("p").as("class"))).distinct()
+    val tp = pairs.filter(col("t") === col("p"))
+      .select(col("t").as("class"), col("n").as("tp"))
+    val nTrue = pairs.groupBy(col("t").as("class")).agg(sum("n").as("n_true"))
+    val nPred = pairs.groupBy(col("p").as("class")).agg(sum("n").as("n_pred"))
+    classes.join(tp, Seq("class"), "left")
+      .join(nTrue, Seq("class"), "left")
+      .join(nPred, Seq("class"), "left")
+      .select(col("class"), coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .withColumn("fp", col("n_pred") - col("tp"))
+      .withColumn("fn", col("n_true") - col("tp"))
+      .withColumn("prec", when(col("n_pred") > 0,
+        round(col("tp").cast("double") / col("n_pred"), 6)))
+      .withColumn("rec", when(col("n_true") > 0,
+        round(col("tp").cast("double") / col("n_true"), 6)))
+      .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        round((lit(2L) * col("tp")).cast("double")
+          / (lit(2L) * col("tp") + col("fp") + col("fn")), 6)))
+      .orderBy("class")
+  }
+
+  /** Calibration curve (reliability diagram) for a probabilistic
+    * scorer against a boolean outcome: scores bucket into `bins`
+    * equal-width bins and each bin reports its exact count, positive
+    * count, mean predicted probability, and empirical positive rate —
+    * the table a threshold is chosen from. Scores must already be
+    * 6dp-rounded probabilities in [0, 1] (the repo's quantize-at-birth
+    * convention): they convert to exact integer micros, so bin
+    * membership and the bin sums are partition-order invariant; the
+    * two ratios are one division each. A score of exactly 1.0 folds
+    * into the top bin. Scale shape: one map-side projection + one
+    * `bins`-row aggregate.
+    *
+    * Output: (bin, n, n_pos, mean_p, pos_rate), ordered by bin.
+    */
+  def calibrationCurve(scored: DataFrame, scoreCol: String,
+      outcomeCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && 1000000 % bins == 0,
+      s"bins must divide 1e6, got $bins")
+    val width = 1000000 / bins
+    scored.select(
+        round(col(scoreCol) * lit(1e6)).cast("long").as("p_micro"),
+        col(outcomeCol).cast("int").as("_pos"))
+      .withColumn("bin",
+        least(expr(s"p_micro div $width"), lit((bins - 1).toLong)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_pos")).as("n_pos"),
+        sum(col("p_micro")).as("_sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("_sp") / (col("n") * lit(1e6)), 6).as("mean_p"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+      .orderBy("bin")
+  }
+
+  /** Exact ROC-AUC of a scorer against a boolean outcome, via the
+    * Mann–Whitney rank statistic with average-rank tie handling:
+    * grouping by distinct 6dp score, 2·Σ(rank of positives) =
+    * Σ_s p_s·(2·cum_before_s + c_s + 1) stays integer, and
+    * AUC = (2R − P(P+1)) / (2·P·N_neg) is ONE exact-integer division.
+    * NULL when either class is absent.
+    *
+    * Scale shape: one map-side projection, one distinct-score
+    * aggregate, then a single-partition running sum over the DISTINCT
+    * scores — bounded by the 1e6+1 score resolution, never by the
+    * corpus. Output: one row (n_items, n_pos, n_neg, auc).
+    */
+  def rocAuc(scored: DataFrame, scoreCol: String,
+      outcomeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = scored.select(
+        round(col(scoreCol) * lit(1e6)).cast("long").as("sc"),
+        col(outcomeCol).cast("long").as("_pos"))
+      .groupBy(col("sc"))
+      .agg(count(lit(1)).as("c"), sum(col("_pos")).as("p"))
+    val w = Window.orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      .agg(sum(col("c")).as("n_items"), sum(col("p")).as("n_pos"),
+        sum(col("p") * (lit(2L) * col("cum") + col("c") + lit(1L)))
+          .as("_r2"))
+      .select(col("n_items"), col("n_pos"),
+        (col("n_items") - col("n_pos")).as("n_neg"),
+        when(col("n_pos") > 0L && col("n_items") - col("n_pos") > 0L,
+          round((col("_r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double")
+            / (lit(2L) * col("n_pos") * (col("n_items") - col("n_pos"))), 6))
+          .as("auc"))
+  }
+
+  /** Cohen's kappa for the same (true, predicted) table — chance-
+    * corrected agreement: κ = (N·Σtp − Σ_c n_true_c·n_pred_c)
+    * / (N² − Σ_c n_true_c·n_pred_c), algebraically identical to
+    * (p_o − p_e)/(1 − p_e) but evaluated as ONE division of exact
+    * integers. NULL when the denominator is zero (both raters constant
+    * on one class). Output: one row (n_items, n_agree, sum_ntnp,
+    * kappa).
+    */
+  def cohenKappa(preds: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val pairs = preds.groupBy(col(labelCol).as("t"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    val agg = pairs.agg(sum("n").as("n_items"),
+      sum(when(col("t") === col("p"), col("n")).otherwise(lit(0L)))
+        .as("n_agree"))
+    val nTrue = pairs.groupBy(col("t").as("class")).agg(sum("n").as("nt"))
+    val nPred = pairs.groupBy(col("p").as("class")).agg(sum("n").as("np"))
+    val exp = nTrue.join(nPred, Seq("class"))
+      .agg(coalesce(sum(col("nt") * col("np")), lit(0L)).as("sum_ntnp"))
+    agg.crossJoin(broadcast(exp))
+      .select(col("n_items"), col("n_agree"), col("sum_ntnp"),
+        when(col("n_items") * col("n_items") - col("sum_ntnp") =!= 0L,
+          round((col("n_items") * col("n_agree") - col("sum_ntnp"))
+            .cast("double")
+            / (col("n_items") * col("n_items") - col("sum_ntnp")), 6))
+          .as("kappa"))
+  }
 }

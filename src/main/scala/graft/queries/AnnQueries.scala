@@ -77,6 +77,29 @@ object AnnQueries {
   }
 
 
+  /** q203: per-class evaluation of the kNN vote classifier against the
+    * stored labels (q147's votes over the %20 probe set) — exact
+    * confusion counts, precision/recall/F1 each one division.
+    */
+  private val knnEvalQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val votes = Similarity.knnLabelNoise(emb,
+      emb.filter(col("vec_id") % 20 === 0), k = 5)
+    Classifier.classifierEval(votes, "label", "knn_label")
+  }
+
+
+  /** q204: Cohen's kappa of the same vote table — chance-corrected
+    * agreement as one exact-integer division.
+    */
+  private val knnKappaQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val votes = Similarity.knnLabelNoise(emb,
+      emb.filter(col("vec_id") % 20 === 0), k = 5)
+    Classifier.cohenKappa(votes, "label", "knn_label")
+  }
+
+
   /** q183: MMR diversified top-5 from the exact top-20 shortlist —
     * retrieval-side diversity over q24's probes (lambda = 0.7).
     */
@@ -477,7 +500,9 @@ object AnnQueries {
     "q198_knn_pagerank" -> pagerankQ,
     "q199_silhouette" -> silhouetteQ,
     "q201_coreset" -> coresetQ,
-    "q202_density_clusters" -> densityQ)
+    "q202_density_clusters" -> densityQ,
+    "q203_knn_eval" -> knnEvalQ,
+    "q204_knn_kappa" -> knnKappaQ)
 
   /** q183's oracle: the same greedy MMR unrolled as k−1 CTE steps —
     * each step's candidate scores are exact BIGINT arithmetic over the
@@ -671,9 +696,78 @@ object AnnQueries {
       |$sel) ORDER BY sel_rank""".stripMargin
   }
 
+  /** q147's vote chain as a shared CTE prefix ending in
+    * `pred(label, pred)` — q203/q204 aggregate it two different ways.
+    */
+  private val knnVoteCtes: String =
+    """q AS (SELECT vec_id AS query_id, label AS q_label,
+      |    CAST(embedding AS DOUBLE[]) AS qe
+      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |c AS (SELECT vec_id AS neighbor_id, label AS n_label,
+      |    CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+      |s AS (SELECT query_id, q_label, neighbor_id, n_label,
+      |    ROUND(list_cosine_similarity(qe, ce), 6) AS cos
+      |  FROM q, c WHERE neighbor_id <> query_id),
+      |r AS (SELECT query_id, q_label, n_label,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rank FROM s),
+      |v AS (SELECT query_id, q_label, n_label, count(*) AS n_votes
+      |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+      |w AS (SELECT query_id, q_label, n_label, n_votes,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY n_votes DESC, n_label) AS vr FROM v),
+      |pred AS (SELECT q_label AS label, n_label AS p FROM w WHERE vr = 1),
+      |pairs AS (SELECT label AS t, p, CAST(count(*) AS BIGINT) AS n
+      |  FROM pred GROUP BY 1, 2),
+      |nt AS (SELECT t AS class, CAST(SUM(n) AS BIGINT) AS n_true
+      |  FROM pairs GROUP BY 1),
+      |np AS (SELECT p AS class, CAST(SUM(n) AS BIGINT) AS n_pred
+      |  FROM pairs GROUP BY 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q198_knn_pagerank" -> pagerankOracle,
     "q201_coreset" -> coresetOracle,
+    // q203: per-class one-vs-rest counts off the vote chain; F1 from
+    // integers (2tp / (2tp+fp+fn)), never from the rounded p and r.
+    "q203_knn_eval" ->
+      s"""WITH $knnVoteCtes,
+        |cls AS (SELECT class FROM nt UNION SELECT class FROM np),
+        |tp AS (SELECT t AS class, n AS tp FROM pairs WHERE t = p)
+        |SELECT cls.class, coalesce(tp.tp, 0) AS tp,
+        |  coalesce(nt.n_true, 0) AS n_true,
+        |  coalesce(np.n_pred, 0) AS n_pred,
+        |  coalesce(np.n_pred, 0) - coalesce(tp.tp, 0) AS fp,
+        |  coalesce(nt.n_true, 0) - coalesce(tp.tp, 0) AS fn,
+        |  CASE WHEN coalesce(np.n_pred, 0) > 0 THEN
+        |    ROUND(CAST(coalesce(tp.tp, 0) AS DOUBLE) / np.n_pred, 6)
+        |  END AS prec,
+        |  CASE WHEN coalesce(nt.n_true, 0) > 0 THEN
+        |    ROUND(CAST(coalesce(tp.tp, 0) AS DOUBLE) / nt.n_true, 6)
+        |  END AS rec,
+        |  CASE WHEN coalesce(np.n_pred, 0) + coalesce(nt.n_true, 0) > 0 THEN
+        |    ROUND(CAST(2 * coalesce(tp.tp, 0) AS DOUBLE)
+        |      / (coalesce(np.n_pred, 0) + coalesce(nt.n_true, 0)), 6)
+        |  END AS f1
+        |FROM cls LEFT JOIN tp ON tp.class = cls.class
+        |  LEFT JOIN nt ON nt.class = cls.class
+        |  LEFT JOIN np ON np.class = cls.class
+        |ORDER BY cls.class""".stripMargin,
+    // q204: kappa as one exact-integer division,
+    // (N·agree − Σ nt·np) / (N² − Σ nt·np).
+    "q204_knn_kappa" ->
+      s"""WITH $knnVoteCtes,
+        |a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+        |    CAST(SUM(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM pairs),
+        |ex AS (SELECT CAST(coalesce(SUM(nt.n_true * np.n_pred), 0) AS BIGINT)
+        |    AS sum_ntnp
+        |  FROM nt JOIN np ON nt.class = np.class)
+        |SELECT a.n_items, a.n_agree, ex.sum_ntnp,
+        |  CASE WHEN a.n_items * a.n_items - ex.sum_ntnp <> 0 THEN
+        |    ROUND(CAST(a.n_items * a.n_agree - ex.sum_ntnp AS DOUBLE)
+        |      / (a.n_items * a.n_items - ex.sum_ntnp), 6)
+        |  END AS kappa
+        |FROM a CROSS JOIN ex""".stripMargin,
     // q202: q197's routing CTEs, symmetric eps pairs, core = degree
     // >= minPts, recursive closure over core-core edges + core self
     // loops, min-reachable label; noise -1.

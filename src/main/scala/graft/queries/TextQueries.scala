@@ -157,16 +157,44 @@ object TextQueries {
     * (hash-derived, uniform in [-1, 1]) so both engines reproduce it —
     * the join/OOV/exact-sum/threshold plumbing is the real thing.
     */
+  private def stubWeights(docs: DataFrame): DataFrame = docs
+    .select(explode(split(col("text"), " ")).as("token")).distinct()
+    .select(col("token"),
+      ((Md5Family.hash(col("token")) % 2001L - 1000L).cast("double")
+        / 1000.0).as("weight"))
+
   private val linearQualityQ: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val weights = docs
-      .select(explode(split(col("text"), " ")).as("token")).distinct()
-      .select(col("token"),
-        ((Md5Family.hash(col("token")) % 2001L - 1000L).cast("double")
-          / 1000.0).as("weight"))
-    TextAnalysis.linearQualityScore(docs, "doc_id", "text", weights)
-      .orderBy("doc_id")
+    TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+      stubWeights(docs)).orderBy("doc_id")
   }
+
+  /** The (p_keep, funnel-pass) frame q205/q206 evaluate: the q98
+    * model score joined to the q187 rule-funnel verdict per doc.
+    */
+  private def scoredVsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = TextAnalysis.linearQualityScore(docs, "doc_id", "text",
+      stubWeights(docs))
+    val sig = TextAnalysis.funnelSignals(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        (col("f1") && col("f2") && col("f3") && col("f4")).as("pass"))
+    scored.join(sig, Seq("doc_id"))
+  }
+
+  /** q205: calibration curve of the model-based quality score against
+    * the rule-funnel verdict — does p_keep's probability mass track
+    * the empirical pass rate per decile?
+    */
+  private val calibCurveQ: Q = (s, dir) =>
+    Classifier.calibrationCurve(scoredVsFunnel(s, dir), "p_keep", "pass")
+
+  /** q206: exact ROC-AUC (Mann–Whitney with average-rank ties) of the
+    * same score against the same verdict — the single ranking-quality
+    * number for the classifier-vs-rules audit.
+    */
+  private val rocAucQ: Q = (s, dir) =>
+    Classifier.rocAuc(scoredVsFunnel(s, dir), "p_keep", "pass")
 
 
   /** q112: one word-level BPE training round — corpus-wide adjacent
@@ -533,6 +561,8 @@ object TextQueries {
     "q176_ndcg" -> ndcgQ,
     "q168_trigram_lm" -> trigramLmQ,
     "q200_ppl_buckets" -> pplBucketsQ,
+    "q205_calibration_curve" -> calibCurveQ,
+    "q206_roc_auc" -> rocAucQ,
     "q166_char_entropy" -> charEntropyQ,
     "q161_text_index_build" -> textIndexBuildQ,
     "q158_source_top_terms" -> sourceTopTermsQ,
@@ -678,6 +708,49 @@ object TextQueries {
     * oracle as a derived table; funnel counts are conditional sums of
     * exact booleans.
     */
+  /** Shared CTE chain for q205/q206: the q98 scoring chain plus the
+    * q187 per-doc funnel signals, ending in `d(doc_id, p_micro, pass)`
+    * — p_keep re-quantized to exact integer micros at birth.
+    */
+  private lazy val scoredPassCtes: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents),
+      |v AS (SELECT DISTINCT token FROM toks),
+      |w AS (SELECT token,
+      |    CAST(floor(CAST(${md5l("token")} % 2001 - 1000 AS DOUBLE)
+      |               / 1000.0e0 * 1000000e0) AS BIGINT) AS w_ppm FROM v),
+      |sq AS (SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(sum(coalesce(w_ppm, 0)) AS BIGINT) AS sw
+      |  FROM toks LEFT JOIN w USING (token) GROUP BY doc_id),
+      |t AS (SELECT doc_id, len(text) AS nc,
+      |    string_split(text, ' ') AS tk FROM documents),
+      |shg AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+      |  THEN [array_to_string(tk[i:i+2], ' ')
+      |        FOR i IN generate_series(1, len(tk)-2)]
+      |  ELSE [array_to_string(tk, ' ')] END AS g FROM t),
+      |rep AS (SELECT doc_id, len(g) AS ns, len(list_distinct(g)) AS nd
+      |  FROM shg),
+      |g2 AS (SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+      |    FOR i IN generate_series(1, len(tk)-1)]) AS gram
+      |  FROM t WHERE len(tk) >= 2),
+      |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+      |cov AS (SELECT doc_id, CAST(max(cnt * len(gram)) AS BIGINT) AS cov2
+      |  FROM c2 GROUP BY 1),
+      |ent AS (SELECT doc_id, entropy_nats FROM ($charEntropyOracle)),
+      |sig AS (SELECT t.doc_id,
+      |    len(tk) >= 24 AS f1,
+      |    (r.ns - r.nd) * 50 <= r.ns AS f2,
+      |    coalesce(cov.cov2, 0) * 8 <= t.nc AS f3,
+      |    coalesce(ent.entropy_nats, 0e0) >= 2.7e0 AS f4
+      |  FROM t JOIN rep r USING (doc_id)
+      |  LEFT JOIN cov USING (doc_id) LEFT JOIN ent USING (doc_id)),
+      |d AS (SELECT sq.doc_id,
+      |    CAST(round(ROUND(1.0e0 / (1.0e0 + exp(-(CAST(sw AS DOUBLE)
+      |      / 1000000e0 / CAST(n_tokens AS DOUBLE)))), 6) * 1000000e0)
+      |      AS BIGINT) AS p_micro,
+      |    (sig.f1 AND sig.f2 AND sig.f3 AND sig.f4) AS pass
+      |  FROM sq JOIN sig ON sig.doc_id = sq.doc_id)""".stripMargin
+
   private[queries] lazy val qualityFunnelOracle: String =
       s"""WITH t AS (SELECT doc_id, len(text) AS nc,
         |    string_split(text, ' ') AS tk FROM documents),
@@ -904,6 +977,36 @@ object TextQueries {
     // left-associated expression order with e0 float constants, each
     // position floored to nano-nats before the exact integer sum.
     "q168_trigram_lm" -> trigramLmOracle,
+    // q205: decile bins over exact p_micro; both ratios one division.
+    "q205_calibration_curve" ->
+      s"""WITH $scoredPassCtes,
+        |b AS (SELECT LEAST(p_micro // 100000, 9) AS bin, p_micro, pass
+        |      FROM d)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  ROUND(CAST(SUM(p_micro) AS BIGINT) / (count(*) * 1000000e0), 6)
+        |    AS mean_p,
+        |  ROUND(CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS pos_rate
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q206: Mann-Whitney over distinct-score groups; 2R stays integer
+    // via p*(2*cum + c + 1), AUC is one exact division.
+    "q206_roc_auc" ->
+      s"""WITH $scoredPassCtes,
+        |bs AS (SELECT p_micro AS scv, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM d GROUP BY 1),
+        |cm AS (SELECT scv, c, p, CAST(coalesce(SUM(c) OVER (ORDER BY scv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum FROM bs),
+        |ag AS (SELECT CAST(SUM(c) AS BIGINT) AS n_items,
+        |    CAST(SUM(p) AS BIGINT) AS n_pos,
+        |    CAST(SUM(p * (2 * cum + c + 1)) AS BIGINT) AS r2 FROM cm)
+        |SELECT n_items, n_pos, n_items - n_pos AS n_neg,
+        |  CASE WHEN n_pos > 0 AND n_items - n_pos > 0 THEN
+        |    ROUND(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |      / (2 * n_pos * (n_items - n_pos)), 6) END AS auc
+        |FROM ag""".stripMargin,
     // q200: q168's LM as a CTE, ntile(3) per lang on the identical
     // (avg_logprob DESC, doc_id) order.
     "q200_ppl_buckets" ->

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.TextAnalysis
+import graft.operators.{Classifier, TextAnalysis}
 
 /** Hand-computed golden fixtures for the round-4 text operators —
   * independent of the DuckDB oracle, so a cross-engine-agreed-but-wrong
@@ -323,6 +323,50 @@ class TextOpsGoldenSpec extends SparkSpecBase {
         if (e != 29) assert(e - s + 1 >= 3, s"doc $id: interior run ($s,$e) < spanLen")
       }
     }
+  }
+
+  test("classifier eval + kappa: hand-computed confusion on four classes") {
+    import spark.implicits._
+    // (true, pred) multiset: (0,0)x3 (0,1)x1 (1,1)x2 (1,0)x1 (2,1)x1
+    // (2,3)x1 -> class 2 never predicted, class 3 never true
+    val preds = (Seq.fill(3)((0, 0)) ++ Seq((0, 1)) ++ Seq.fill(2)((1, 1)) ++
+      Seq((1, 0), (2, 1), (2, 3))).toDF("label", "pred")
+    val ev = Classifier.classifierEval(preds, "label", "pred")
+      .as[(Int, Long, Long, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(ev == Seq(
+      (0, 3L, 4L, 4L, 1L, 1L, Some(0.75), Some(0.75), Some(0.75)),
+      (1, 2L, 3L, 4L, 2L, 1L, Some(0.5), Some(0.666667), Some(0.571429)),
+      (2, 0L, 2L, 0L, 0L, 2L, None, Some(0.0), Some(0.0)),
+      (3, 0L, 0L, 1L, 1L, 0L, Some(0.0), None, Some(0.0))), s"got: $ev")
+    val k = Classifier.cohenKappa(preds, "label", "pred")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    // kappa = (9*5 - 28) / (81 - 28) = 17/53
+    assert(k == Seq((9L, 5L, 28L, Some(0.320755))), s"got: $k")
+    // degenerate: both sides constant -> denominator 0 -> NULL
+    val const = Seq.fill(4)((1, 1)).toDF("label", "pred")
+    val kc = Classifier.cohenKappa(const, "label", "pred")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(kc == Seq((4L, 4L, 16L, None)), s"got: $kc")
+  }
+
+  test("calibration curve + ROC-AUC: hand-computed bins, ties, and the 1.0 clamp") {
+    import spark.implicits._
+    val scored = Seq((0.1, false), (0.1, false), (0.3, true), (0.7, true),
+      (0.7, false), (1.0, true)).toDF("p", "pass")
+    val cal = Classifier.calibrationCurve(scored, "p", "pass")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(cal == Seq((1L, 2L, 0L, 0.1, 0.0), (3L, 1L, 1L, 0.3, 1.0),
+      (7L, 2L, 1L, 0.7, 0.5), (9L, 1L, 1L, 1.0, 1.0)), s"got: $cal")
+    // AUC: 7.5 of 9 pos-neg pairs won (the 0.7 tie counts half) = 5/6
+    val auc = Classifier.rocAuc(scored, "p", "pass")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(auc == Seq((6L, 3L, 3L, Some(0.833333))), s"got: $auc")
+    // single-class input -> NULL
+    val one = Classifier.rocAuc(
+      Seq((0.2, true), (0.9, true)).toDF("p", "pass"), "p", "pass")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(one == Seq((2L, 2L, 0L, None)), s"got: $one")
   }
 
   test("perplexity buckets: equal per-lang tiers ordered by LM fit, short docs unscored") {
