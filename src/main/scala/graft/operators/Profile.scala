@@ -98,4 +98,126 @@ object Profile {
       .withColumn("below_k", (col("group_size") < kMin).cast("int"))
       .orderBy("group_size")
   }
+
+  /** Cross-source duplication matrix — which provenance slices copy
+    * each other: for every unordered source pair (a ≤ b), how many
+    * duplicated SEGMENT pairs (fixed `segLen`-token windows, the
+    * `Dedup.segmentDedup` unit) span them, within-source pairs on the
+    * diagonal. Segment granularity is what surfaces real provenance
+    * overlap — whole-doc digests only fire on byte-identical copies.
+    * The matrix aggregates hashed segments and per-source counts,
+    * never bodies; pair arithmetic is exact (n·(n−1) div 2 within,
+    * n_a·n_b across).
+    *
+    * Output: (src_a, src_b, n_digests, n_pairs) for pairs with ≥ 1
+    * duplicated segment pair, ordered by (src_a, src_b).
+    */
+  def crossSourceDuplication(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String, segLen: Int = 8): DataFrame = {
+    // materialize the token array before the lambda touches it (HOF
+    // bodies re-evaluate outer subexpressions per element)
+    val withToks = docs.select(col(srcCol).as("src"),
+      split(col(textCol), " ").as("_toks"))
+    val segArr = transform(
+      sequence(lit(1), greatest(size(col("_toks")), lit(1)), lit(segLen)),
+      s => concat_ws(" ", slice(col("_toks"), s, lit(segLen))))
+    val g = withToks
+      .select(col("src"), explode(segArr).as("segment"))
+      .select(col("src"), xxhash64(col("segment")).as("digest"))
+      .groupBy("digest", "src").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val a = g.select(col("digest"), col("src").as("src_a"), col("n").as("na"))
+    val b = g.select(col("digest"), col("src").as("src_b"), col("n").as("nb"))
+    a.join(b, Seq("digest"))
+      .filter(col("src_a") <= col("src_b"))
+      .withColumn("pairs",
+        when(col("src_a") === col("src_b"),
+          expr("na * (na - 1) div 2"))
+          .otherwise(col("na") * col("nb")))
+      .filter(col("pairs") > 0L)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_digests"), sum(col("pairs")).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Embedding-table data-quality audit per label: exact vector
+    * counts, dimension bounds, zero-vector and non-finite counts, and
+    * the mean L2 norm. Per-vector norms quantize at birth — each
+    * element contributes round(x²·1e12) to an exact integer sum, so
+    * the fold is partition- and engine-order invariant; norm_micro =
+    * round(sqrt(pico/1e12)·1e6) is one float expression per row, and
+    * the per-label mean is one division. Non-finite vectors count in
+    * n_bad, contribute 0 to the norm mean, and are excluded from
+    * n_zero. Pure map-side projection + one label aggregate.
+    *
+    * Output: (label, n_vecs, min_dim, max_dim, n_zero, n_bad,
+    * mean_norm), ordered by label.
+    */
+  def embeddingAudit(embeddings: DataFrame, labelCol: String = "label",
+      embCol: String = "embedding"): DataFrame = {
+    val v = transform(col(embCol), x => x.cast("double"))
+    val bad = exists(v, x => isnan(x) || x === Double.PositiveInfinity
+      || x === Double.NegativeInfinity)
+    // the bad-guard must wrap the fold: under ANSI, casting a NaN/Inf
+    // square to long throws — CaseWhen only evaluates the taken branch
+    val pico = when(bad, lit(0L)).otherwise(aggregate(
+      transform(v, x => round(x * x * lit(1e12)).cast("long")),
+      lit(0L), (acc, x) => acc + x))
+    embeddings.select(col(labelCol).as("label"),
+        size(col(embCol)).as("_dim"), pico.as("_pico"), bad.as("_bad"))
+      .withColumn("_norm_micro",
+        round(sqrt(col("_pico") / lit(1e12)) * lit(1e6)).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("_dim")).as("min_dim"), max(col("_dim")).as("max_dim"),
+        sum(when(!col("_bad") && col("_pico") === 0L, 1L).otherwise(0L))
+          .as("n_zero"),
+        sum(when(col("_bad"), 1L).otherwise(0L)).as("n_bad"),
+        sum(col("_norm_micro")).as("_sn"))
+      .select(col("label"), col("n_vecs"), col("min_dim"), col("max_dim"),
+        col("n_zero"), col("n_bad"),
+        round(col("_sn") / (col("n_vecs") * lit(1e6)), 6).as("mean_norm"))
+      .orderBy("label")
+  }
+
+  /** Join-key skew report — the pre-flight a 100 TB join runs before
+    * choosing a salting factor: exact key-frequency distribution
+    * summary (max, exact median and p99 by position over the sorted
+    * distinct-key frequencies) plus the skew ratio max/avg and the
+    * integer salting factor ⌈max·n_keys/n_rows⌉ that would level the
+    * hottest key to the average. Shape: one key-count aggregate, then
+    * everything runs on the frequency-OF-frequency table — bounded by
+    * the number of distinct frequency VALUES (≤ max_freq, typically
+    * tiny), so the quantile window never sees key cardinality.
+    *
+    * Output: one row (n_rows, n_keys, max_freq, p50_freq, p99_freq,
+    * skew_ratio, suggested_salt).
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // frequency-of-frequency: the skew summary never touches per-key
+    // rows again — everything below is bounded by the number of
+    // DISTINCT frequency values
+    val fof = df.groupBy(col(keyCol)).agg(count(lit(1)).as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("nk"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("f"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = fof.withColumn("cumk", sum(col("nk")).over(w))
+    val tot = fof.agg(sum(col("f") * col("nk")).as("n_rows"),
+      sum(col("nk")).as("n_keys"), max(col("f")).as("max_freq"))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n_rows"), col("n_keys"), col("max_freq"))
+      .agg(
+        min(when(col("cumk") >= expr("CAST(ceil(0.50e0 * n_keys) AS BIGINT)"),
+          col("f"))).as("p50_freq"),
+        min(when(col("cumk") >= expr("CAST(ceil(0.99e0 * n_keys) AS BIGINT)"),
+          col("f"))).as("p99_freq"))
+      .select(col("n_rows"), col("n_keys"), col("max_freq"),
+        col("p50_freq"), col("p99_freq"),
+        round(col("max_freq") * col("n_keys") / col("n_rows").cast("double"), 6)
+          .as("skew_ratio"),
+        expr("(max_freq * n_keys + n_rows - 1) div n_rows")
+          .as("suggested_salt"))
+  }
 }

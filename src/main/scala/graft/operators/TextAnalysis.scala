@@ -911,6 +911,34 @@ object TextAnalysis {
       .orderBy(idCol, "n")
   }
 
+  /** N-gram novelty per document — the memorization-risk / boilerplate
+    * signal: the fraction of a doc's DISTINCT k-shingles that occur in
+    * no other document (corpus df = 1). Low novelty = the doc is
+    * assembled from corpus-common n-grams (template/boilerplate); high
+    * novelty = mostly unique content. Shingle df aggregates on the
+    * hashed gram (bodies shuffle once, as hashes); the ratio is one
+    * division of exact counts. Short docs fall back to the whole-text
+    * sentinel shingle, so every doc reports.
+    *
+    * Output: (id, n_grams, n_unique, novelty 6dp), ordered by id.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+        explode(array_distinct(Dedup.shingles(col(textCol), k))).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("gh"))
+      .localCheckpoint()
+    val df = sh.groupBy(col("gh")).agg(count(lit(1)).as("_df"))
+    sh.join(df, Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col(idCol), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+      .orderBy(idCol)
+  }
+
   /** CCNet-style per-language perplexity bucketing: score every doc
     * with the interpolated trigram LM (`trigramLogProb`) and split
     * each language into `nBuckets` equal tiers by LM fit — tier 1

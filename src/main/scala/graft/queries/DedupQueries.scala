@@ -398,7 +398,16 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** q207: cross-source duplication matrix — which provenance slices
+    * copy each other (exact-dup pairs per unordered source pair,
+    * within-source on the diagonal).
+    */
+  private val crossSourceDupQ: Q = (s, dir) =>
+    Profile.crossSourceDuplication(Tables.documents(s, dir), "doc_id",
+      "text", "source")
+
   val queries: Map[String, Q] = Map(
+    "q207_cross_source_dups" -> crossSourceDupQ,
     "q180_ensemble_split" -> ensembleSplitQ,
     "q155_bloom_semi_join" -> bloomSemiJoinQ,
     "q142_cluster_split" -> clusterSplitQ,
@@ -429,6 +438,27 @@ object DedupQueries {
     "q191_minhash_calib" -> minhashCalib)
 
   val oracleSql: Map[String, String] = Map(
+    // q207: q106's segment CTEs (8-token windows), string segments
+    // exact where Spark moves xxhash64 keys; pair arithmetic exact
+    // (n(n-1)//2 within, na*nb across), unordered pairs via src <=.
+    "q207_cross_source_dups" ->
+      """WITH toks AS (SELECT source AS src, string_split(text, ' ') AS t
+        |  FROM documents),
+        |segarr AS (SELECT src,
+        |    [array_to_string(t[i:i+7], ' ')
+        |     FOR i IN generate_series(1, GREATEST(len(t), 1), 8)] AS segs
+        |  FROM toks),
+        |seg AS (SELECT src, segs[i] AS segment FROM segarr,
+        |  LATERAL (SELECT unnest(generate_series(1, len(segs))) AS i) gs),
+        |g AS (SELECT segment, src, CAST(count(*) AS BIGINT) AS n
+        |  FROM seg GROUP BY 1, 2),
+        |j AS (SELECT a.src AS src_a, b.src AS src_b,
+        |    CASE WHEN a.src = b.src THEN a.n * (a.n - 1) // 2
+        |         ELSE a.n * b.n END AS pairs
+        |  FROM g a JOIN g b ON a.segment = b.segment AND a.src <= b.src)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_digests,
+        |  CAST(SUM(pairs) AS BIGINT) AS n_pairs
+        |FROM j WHERE pairs > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q191: q21's chain without the threshold, matches kept as exact
     // integers, joined to the exact shingle-set intersection/union;
     // est_ppm = n_match·62500 exactly (16 divides 1e6), exact_ppm

@@ -438,7 +438,24 @@ object StatsQueries {
     Profile.columnProfile(Tables.documents(s, dir),
       Seq("doc_id", "lang", "n_chars", "source", "text"))
 
+  /** q209: embedding-table audit — per-label exact counts, dim
+    * bounds, zero/non-finite counts, mean L2 norm (per-element pico
+    * quantization keeps the fold order-invariant).
+    */
+  private val embAuditQ: Q = (s, dir) =>
+    Profile.embeddingAudit(Tables.embeddings(s, dir))
+
+  /** q210: join-key skew report over lineitem.l_orderkey — exact
+    * frequency distribution summary + the salting factor a 100 TB
+    * join would apply; everything after the key count runs on the
+    * frequency-of-frequency table.
+    */
+  private val skewReportQ: Q = (s, dir) =>
+    Profile.keySkewReport(Tables.lineitem(s, dir), "l_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "q209_embedding_audit" -> embAuditQ,
+    "q210_key_skew" -> skewReportQ,
     "q165_column_profile" -> columnProfileQ,
     "q185_dsir_sample" -> dsirQ,
     "q190_hist_match" -> histMatchQ,
@@ -508,6 +525,58 @@ object StatsQueries {
         |WHERE rank <= 100 ORDER BY rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q209: per-element pico quantization before the sum, one float
+    // sqrt per row on the exact integer, one division per label.
+    "q209_embedding_audit" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |p0 AS (SELECT label, len(e) AS dim, e,
+        |    len(list_filter(e, x -> isnan(x) OR isinf(x))) > 0 AS bad
+        |  FROM v),
+        |p AS (SELECT label, dim, bad,
+        |    CASE WHEN bad THEN 0
+        |      ELSE CAST(coalesce(list_sum(list_transform(e,
+        |        x -> CAST(round(x * x * 1000000000000e0) AS BIGINT))), 0)
+        |        AS BIGINT) END AS pico
+        |  FROM p0),
+        |nr AS (SELECT label, dim, pico, bad,
+        |    CAST(round(sqrt(pico / 1000000000000e0) * 1000000e0) AS BIGINT)
+        |      AS nm
+        |  FROM p)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(dim) AS INTEGER) AS min_dim,
+        |  CAST(max(dim) AS INTEGER) AS max_dim,
+        |  CAST(SUM(CASE WHEN NOT bad AND pico = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_zero,
+        |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  ROUND(CAST(SUM(nm) AS BIGINT) / (count(*) * 1000000e0), 6)
+        |    AS mean_norm
+        |FROM nr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q210: quantiles by position over the frequency-of-frequency
+    // cumulative counts; salting factor one ceil-division of ints.
+    "q210_key_skew" ->
+      """WITH kf AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS f
+        |  FROM lineitem GROUP BY 1),
+        |fof AS (SELECT f, CAST(count(*) AS BIGINT) AS nk FROM kf GROUP BY 1),
+        |c AS (SELECT f, nk, CAST(SUM(nk) OVER (ORDER BY f
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumk FROM fof),
+        |t AS (SELECT CAST(SUM(f * nk) AS BIGINT) AS n_rows,
+        |    CAST(SUM(nk) AS BIGINT) AS n_keys,
+        |    CAST(MAX(f) AS BIGINT) AS max_freq FROM fof)
+        |SELECT t.n_rows, t.n_keys, t.max_freq,
+        |  CAST(MIN(CASE WHEN c.cumk >=
+        |    CAST(ceil(0.50e0 * t.n_keys) AS BIGINT) THEN c.f END)
+        |    AS BIGINT) AS p50_freq,
+        |  CAST(MIN(CASE WHEN c.cumk >=
+        |    CAST(ceil(0.99e0 * t.n_keys) AS BIGINT) THEN c.f END)
+        |    AS BIGINT) AS p99_freq,
+        |  ROUND(t.max_freq * t.n_keys / CAST(t.n_rows AS DOUBLE), 6)
+        |    AS skew_ratio,
+        |  (t.max_freq * t.n_keys + t.n_rows - 1) // t.n_rows
+        |    AS suggested_salt
+        |FROM c CROSS JOIN t
+        |GROUP BY t.n_rows, t.n_keys, t.max_freq""".stripMargin,
     "q185_dsir_sample" -> dsirOracle,
     // q195: exact counts per provenance slice; both engines hash the
     // identical md5 hex for the within-source duplicate mass.

@@ -182,6 +182,13 @@ object TextQueries {
     scored.join(sig, Seq("doc_id"))
   }
 
+  /** q208: n-gram novelty — fraction of each doc's distinct trigram
+    * shingles with corpus df = 1 (memorization-risk / boilerplate
+    * signal); df counts move hashed grams, never bodies.
+    */
+  private val noveltyQ: Q = (s, dir) =>
+    TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text")
+
   /** q205: calibration curve of the model-based quality score against
     * the rule-funnel verdict — does p_keep's probability mass track
     * the empirical pass rate per decile?
@@ -563,6 +570,7 @@ object TextQueries {
     "q200_ppl_buckets" -> pplBucketsQ,
     "q205_calibration_curve" -> calibCurveQ,
     "q206_roc_auc" -> rocAucQ,
+    "q208_ngram_novelty" -> noveltyQ,
     "q166_char_entropy" -> charEntropyQ,
     "q161_text_index_build" -> textIndexBuildQ,
     "q158_source_top_terms" -> sourceTopTermsQ,
@@ -977,6 +985,25 @@ object TextQueries {
     // left-associated expression order with e0 float constants, each
     // position floored to nano-nats before the exact integer sum.
     "q168_trigram_lm" -> trigramLmOracle,
+    // q208: the q142 shingle CTE shape (whole-text sentinel for short
+    // docs), string grams exact where the Spark side moves xxhash64
+    // gram keys — same-distribution equivalence as q57's hashed pairs.
+    "q208_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ')
+        |        FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |gr AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM sh),
+        |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+        |  FROM gr GROUP BY 1)
+        |SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM gr JOIN d USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
     // q205: decile bins over exact p_micro; both ratios one division.
     "q205_calibration_curve" ->
       s"""WITH $scoredPassCtes,

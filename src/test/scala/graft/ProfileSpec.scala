@@ -67,4 +67,43 @@ class ProfileSpec extends SparkSpecBase {
     // row mass conserves
     assert(got.map(_._3).sum == 12L)
   }
+
+  test("cross-source duplication: within-pair halves, cross-pair products, uniques drop") {
+    import spark.implicits._
+    // segLen 3: every doc is exactly one segment; "a b c" appears
+    // twice in s1 and once in s2, "x y z" is unique
+    val docs = Seq((1L, "a b c", "s1"), (2L, "a b c", "s1"),
+      (3L, "a b c", "s2"), (4L, "x y z", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = Profile.crossSourceDuplication(docs, "doc_id", "text",
+      "source", segLen = 3)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", "s1", 1L, 1L), ("s1", "s2", 1L, 2L)),
+      s"got $got")
+  }
+
+  test("embedding audit: norms, zero vector, NaN row isolated per label") {
+    import spark.implicits._
+    val fix = Seq(
+      (0, Seq(3f, 4f)), (0, Seq(0f, 0f)),
+      (1, Seq(1f, 0f)),
+      (2, Seq(Float.NaN, 1f))).toDF("label", "embedding")
+    val got = Profile.embeddingAudit(fix)
+      .as[(Int, Long, Int, Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0, 2L, 2, 2, 1L, 0L, 2.5),  // (5.0 + 0.0) / 2
+      (1, 1L, 2, 2, 0L, 0L, 1.0),
+      (2, 1L, 2, 2, 0L, 1L, 0.0)), s"got $got")
+  }
+
+  test("key skew report: hand-computed quantiles, ratio, salting factor") {
+    import spark.implicits._
+    val rows = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val got = Profile.keySkewReport(rows, "k")
+      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().toSeq
+    // freqs {6,2,1,1}: p50 at ceil(2)=2nd of sorted -> 1,
+    // p99 at ceil(3.96)=4th -> 6; skew 6*4/10; salt ceil(24/10)
+    assert(got == Seq((10L, 4L, 6L, 1L, 6L, 2.4, 3L)), s"got $got")
+  }
 }

@@ -350,6 +350,18 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     assert(kc == Seq((4L, 4L, 16L, None)), s"got: $kc")
   }
 
+  test("ngram novelty: shared trigram halves novelty, short doc falls to sentinel") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "q"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // "a b c" df=2; "b c d"/"b c e" unique; short doc's whole-text
+    // sentinel "q" unique
+    assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 1L, 1L, 1.0)), s"got $got")
+  }
+
   test("calibration curve + ROC-AUC: hand-computed bins, ties, and the 1.0 clamp") {
     import spark.implicits._
     val scored = Seq((0.1, false), (0.1, false), (0.3, true), (0.7, true),
