@@ -116,4 +116,70 @@ object Sessions {
         expr("(sum(_term_nano) + 500) div 1000").as("decayed_micros"))
       .orderBy(keyCol)
   }
+
+  /** Ordered conversion funnel over an event stream: a user reaches
+    * stage i when an event of `stages(i)` occurs AT OR AFTER their
+    * first stage-(i−1) event (first-touch semantics; ties at the same
+    * timestamp count — the stages differ by type, so no event double-
+    * counts). Reports per stage the users reaching it and the
+    * conversion from stage 1, one exact division per row.
+    *
+    * Scale shape: one filtered min-aggregate per stage, each a join +
+    * aggregate on the SAME user key (the shuffle partitioning is
+    * reused stage to stage); stage count is a small constant.
+    *
+    * Output: (stage, stage_name, n_users, conversion), by stage.
+    */
+  def eventFunnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    var reached = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+      .localCheckpoint()
+    var counts = Vector(stages.head -> reached.count())
+    stages.tail.foreach { st =>
+      reached = events.filter(col(typeCol) === st)
+        .join(reached, Seq(userCol))
+        .filter(col(tsCol) >= col("_t"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+        .localCheckpoint()
+      counts = counts :+ (st -> reached.count())
+    }
+    val n1 = counts.head._2
+    counts.zipWithIndex.map { case ((name, n), i) =>
+      (i + 1, name, n,
+        if (n1 == 0) None
+        else Some(BigDecimal(n.toDouble / n1)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toDF("stage", "stage_name", "n_users", "conversion")
+      .orderBy("stage")
+  }
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: consecutive pairs under the deterministic
+    * (ts, event_id) order, exact pair counts, and the transition
+    * probability as ONE division against the per-prev total. The
+    * pre-training analogue is session-shape profiling; here it's the
+    * event-grammar audit. One user-partitioned window + one pair
+    * aggregate.
+    *
+    * Output: (prev_type, next_type, n, prob), by (prev, next).
+    */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("prev_type"), col("_next").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("_tot"))
+    pairs.join(tot, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("_tot"), 6).as("prob"))
+      .orderBy("prev_type", "next_type")
+  }
 }

@@ -721,7 +721,25 @@ object EventStoreQueries {
     out
   }
 
+  /** q211: signup→click→purchase conversion funnel, first-touch
+    * ordering (each stage's event at or after the user's previous
+    * stage time).
+    */
+  private val eventFunnelQ: Q = (s, dir) =>
+    Sessions.eventFunnel(Tables.events(s, dir), "user_id", "ts",
+      "event_type", Seq("signup", "click", "purchase"))
+
+  /** q212: first-order event-type transition matrix under the
+    * deterministic (ts, event_id) order; probabilities one exact
+    * division per prev type.
+    */
+  private val transitionsQ: Q = (s, dir) =>
+    Sessions.eventTransitions(Tables.events(s, dir), "user_id", "ts",
+      "event_id", "event_type")
+
   val queries: Map[String, Q] = Map(
+    "q211_event_funnel" -> eventFunnelQ,
+    "q212_event_transitions" -> transitionsQ,
     "q186_dsir_store" -> dsirStoreQ,
     "q194_decayed_engagement" -> decayedQ,
     "q196_funnel_store" -> funnelStoreQ,
@@ -762,6 +780,44 @@ object EventStoreQueries {
     "q36_multimodal_decode" -> multimodal)
 
   val oracleSql: Map[String, String] = Map(
+    // q211: each stage a filtered min-aggregate gated on the previous
+    // stage's first-touch time; conversions one division vs stage 1.
+    "q211_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(1 AS INTEGER) AS stage, 'signup' AS stage_name,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s3))
+        |SELECT stage, stage_name, n_users,
+        |  CASE WHEN (SELECT count(*) FROM s1) > 0 THEN
+        |    ROUND(CAST(n_users AS DOUBLE) / (SELECT count(*) FROM s1), 6)
+        |  END AS conversion
+        |FROM c ORDER BY stage""".stripMargin,
+    // q212: lead() under the same (ts, event_id) order, exact pair
+    // counts, one division per prev type.
+    "q212_event_transitions" ->
+      """WITH nx AS (SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |p AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM p GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, p.n,
+        |  ROUND(CAST(p.n AS DOUBLE) / t.tot, 6) AS prob
+        |FROM p JOIN t USING (prev_type)
+        |ORDER BY p.prev_type, p.next_type""".stripMargin,
     // q181: the q47 deterministic-HLL closed form over the whole
     // documents.text column — the folded store (with its overlapping
     // re-delivery) must be indistinguishable from the one-shot batch

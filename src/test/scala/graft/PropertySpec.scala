@@ -597,4 +597,42 @@ class PropertySpec extends SparkSpecBase {
     val b5 = rep2.find(_._1 == 5L).get
     assert(b5._4 == 0L && b5._5 == 0L)
   }
+
+  test("event funnel: order matters, same-timestamp ties count, drop-offs accumulate") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1 completes in order; u2 clicked BEFORE signup (click must not
+    // count) and never purchases; u3 signup+click same instant (tie
+    // counts) but purchase precedes click -> no stage 3; u4 never
+    // signs up, their click/purchase are invisible to the funnel
+    val ev = Seq(
+      (1L, ts(1), 1L, "signup"), (2L, ts(2), 1L, "click"),
+      (3L, ts(3), 1L, "purchase"),
+      (4L, ts(1), 2L, "click"), (5L, ts(5), 2L, "signup"),
+      (6L, ts(2), 3L, "signup"), (7L, ts(2), 3L, "click"),
+      (8L, ts(1), 3L, "purchase"),
+      (9L, ts(1), 4L, "click"), (10L, ts(2), 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Sessions.eventFunnel(ev, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"))
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(got == Seq((1, "signup", 3L, 1.0), (2, "click", 2L, 0.666667),
+      (3, "purchase", 1L, 0.333333)), s"got $got")
+  }
+
+  test("event transitions: lead pairs under (ts, id) order, probs sum to 1 per prev") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1: a->b->b ; u2: a->c ; same-timestamp pair ordered by event_id
+    val ev = Seq(
+      (1L, ts(1), 1L, "a"), (2L, ts(2), 1L, "b"), (3L, ts(2), 1L, "b"),
+      (4L, ts(1), 2L, "a"), (5L, ts(2), 2L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Sessions.eventTransitions(ev, "user_id", "ts", "event_id",
+      "event_type").as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
+      ("b", "b", 1L, 1.0)), s"got $got")
+  }
 }
