@@ -453,9 +453,33 @@ object StatsQueries {
   private val skewReportQ: Q = (s, dir) =>
     Profile.keySkewReport(Tables.lineitem(s, dir), "l_orderkey")
 
+  /** q213: PSI of the event value distribution, click vs view — the
+    * drift monitor's stability index (Laplace-smoothed, 10 bins over
+    * [0, 500)).
+    */
+  private val psiQ: Q = (s, dir) =>
+    StatTests.psi(Tables.events(s, dir), "value", "event_type",
+      "click", "view", lo = 0.0, hi = 500.0)
+
+  /** q214: exact two-sample KS statistic, click vs view values —
+    * integer-exact max CDF gap, one division.
+    */
+  private val ksQ: Q = (s, dir) =>
+    StatTests.ksTest(Tables.events(s, dir), "value", "event_type",
+      "click", "view")
+
+  /** q215: chi-square independence of documents lang × source —
+    * per-cell nanos quantized at birth over exact counts.
+    */
+  private val chi2Q: Q = (s, dir) =>
+    StatTests.chiSquare(Tables.documents(s, dir), "lang", "source")
+
   val queries: Map[String, Q] = Map(
     "q209_embedding_audit" -> embAuditQ,
     "q210_key_skew" -> skewReportQ,
+    "q213_psi" -> psiQ,
+    "q214_ks_test" -> ksQ,
+    "q215_chi2" -> chi2Q,
     "q165_column_profile" -> columnProfileQ,
     "q185_dsir_sample" -> dsirQ,
     "q190_hist_match" -> histMatchQ,
@@ -525,6 +549,77 @@ object StatsQueries {
         |WHERE rank <= 100 ORDER BY rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q213: the smoothed per-bin term is one float expression over
+    // exact counts, floored to nanos at birth; sum exact.
+    "q213_psi" ->
+      """WITH f AS (SELECT event_type = 'click' AS is_a, value
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |b AS (SELECT LEAST(GREATEST(
+        |    CAST(floor((value - 0e0) / 50e0) AS BIGINT), 0), 9) AS bin,
+        |    is_a FROM f),
+        |c AS (SELECT bin,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+        |s AS (SELECT na, nb, CAST(floor(
+        |    (((ca + 1) / CAST(na + 10 AS DOUBLE))
+        |      - ((cb + 1) / CAST(nb + 10 AS DOUBLE)))
+        |    * ln(((ca + 1) / CAST(na + 10 AS DOUBLE))
+        |      / ((cb + 1) / CAST(nb + 10 AS DOUBLE)))
+        |    * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
+        |  FROM c CROSS JOIN t)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(CAST(SUM(tn) AS BIGINT) / 1000000000e0, 6) AS psi
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // q214: max |cum_a*nb - cum_b*na| in exact integers over distinct
+    // stored values (no arithmetic on the doubles), one division.
+    "q214_ks_test" ->
+      """WITH f AS (SELECT value, event_type FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT value AS v,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM f GROUP BY 1),
+        |m AS (SELECT ca, cb,
+        |    CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |    CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum_b FROM c),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb FROM c)
+        |SELECT t.na AS n_a, t.nb AS n_b,
+        |  ROUND(CAST(MAX(abs(m.cum_a * t.nb - m.cum_b * t.na)) AS BIGINT)
+        |    / CAST(t.na * t.nb AS DOUBLE), 6) AS d_stat
+        |FROM m CROSS JOIN t GROUP BY 1, 2""".stripMargin,
+    // q215: chi2 cell terms (O*N - r*c)^2 / (N*r*c) floored to nanos
+    // at birth over the FULL rows x cols grid (absent cells count).
+    "q215_chi2" ->
+      """WITH cells AS (SELECT lang AS r, source AS c,
+        |    CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2),
+        |rws AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1),
+        |cls AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+        |    CAST(COUNT(DISTINCT c) AS BIGINT) AS nc FROM cells),
+        |grid AS (SELECT rws.r, cls.c, rws.rt, cls.ct,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM rws CROSS JOIN cls
+        |  LEFT JOIN cells ON cells.r = rws.r AND cells.c = cls.c),
+        |s AS (SELECT n, nr, nc, CAST(floor(
+        |    (CAST(o * n - rt * ct AS DOUBLE) * CAST(o * n - rt * ct AS DOUBLE)
+        |      / CAST(n * rt * ct AS DOUBLE))
+        |    * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
+        |  FROM grid CROSS JOIN t)
+        |SELECT n AS n_items, nr AS n_rows_cat, nc AS n_cols_cat,
+        |  (nr - 1) * (nc - 1) AS dof,
+        |  ROUND(CAST(SUM(tn) AS BIGINT) / 1000000000e0, 6) AS chi2
+        |FROM s GROUP BY 1, 2, 3, 4""".stripMargin,
     // q209: per-element pico quantization before the sum, one float
     // sqrt per row on the exact integer, one division per label.
     "q209_embedding_audit" ->

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.StatTests
+
+/** Hand-computed goldens for the two-sample drift tests — independent
+  * of the DuckDB oracle so a cross-engine-agreed-but-wrong formula
+  * can't hide.
+  */
+class StatTestsSpec extends SparkSpecBase {
+
+  test("psi: identical slices score 0, a full bin swap scores 2*(4/14)*ln5") {
+    import spark.implicits._
+    val same = (Seq.fill(3)(("a", 10.0)) ++ Seq.fill(3)(("b", 10.0)))
+      .toDF("g", "v")
+    val z = StatTests.psi(same, "v", "g", "a", "b", lo = 0.0, hi = 100.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(z == Seq((3L, 3L, 0.0)), s"got $z")
+    // a all in bin 0, b all in bin 9: two symmetric smoothed terms,
+    // each floor(0.285714...*ln5*1e9 + .5) = 459839404 nanos
+    val shift = (Seq.fill(4)(("a", 1.0)) ++ Seq.fill(4)(("b", 99.0)))
+      .toDF("g", "v")
+    val s = StatTests.psi(shift, "v", "g", "a", "b", lo = 0.0, hi = 100.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(s == Seq((4L, 4L, 0.919679)), s"got $s")
+  }
+
+  test("ks: max CDF gap with a shared value, exact 4/6") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 3.0),
+      ("b", 4.0)).toDF("g", "v")
+    val got = StatTests.ksTest(df, "v", "g", "a", "b")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((3L, 2L, 0.666667)), s"got $got")
+  }
+
+  test("chi2: 2x2 table matches the closed form N(ad-bc)^2/(r1 r2 c1 c2), absent cell counts") {
+    import spark.implicits._
+    val df = Seq(("x", "p"), ("x", "p"), ("y", "p"), ("y", "q"))
+      .toDF("r", "c")
+    val got = StatTests.chiSquare(df, "r", "c")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // 4*(2*1-0*1)^2/(2*2*3*1) = 4/3; the (x,q) cell is absent from
+    // the observed counts but still contributes 0.5
+    assert(got == Seq((4L, 2L, 2L, 1L, 1.333333)), s"got $got")
+  }
+}
