@@ -31,17 +31,35 @@ object StatTests {
     */
   def psi(df: DataFrame, valueCol: String, groupCol: String,
       a: String, b: String, lo: Double, hi: Double,
-      bins: Int = 10): DataFrame = {
+      bins: Int = 10): DataFrame =
+    psiFromCounts(psiBinCounts(df, valueCol, groupCol, a, b, lo, hi, bins),
+      bins)
+
+  /** The mergeable half of [[psi]]: per-bin exact (ca, cb) counts —
+    * rows fold across any disjoint corpus split (the streaming-store
+    * shape; `graft.streaming.StreamingPower.psiStep` persists them
+    * per micro-batch).
+    */
+  def psiBinCounts(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
     require(bins >= 2 && hi > lo, s"bad bins/range: $bins, [$lo, $hi)")
-    val binned = df
-      .filter(col(groupCol) === a || col(groupCol) === b)
+    df.filter(col(groupCol) === a || col(groupCol) === b)
       .select((col(groupCol) === a).as("_is_a"),
         least(greatest(
           floor((col(valueCol) - lit(lo)) / lit((hi - lo) / bins))
             .cast("long"), lit(0L)), lit((bins - 1).toLong)).as("bin"))
-    val counts = binned.groupBy(col("bin"))
+      .groupBy(col("bin"))
       .agg(sum(when(col("_is_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("_is_a"), 1L).otherwise(0L)).as("cb"))
+  }
+
+  /** The report half of [[psi]]: fold bin-count rows (so pre-split
+    * inputs merge exactly), then the smoothed nano-quantized index.
+    */
+  def psiFromCounts(binCounts: DataFrame, bins: Int): DataFrame = {
+    val counts = binCounts.groupBy(col("bin"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
     val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     // every observed bin contributes; unobserved bins contribute the
     // identical smoothed mass on both sides -> zero term, so iterating

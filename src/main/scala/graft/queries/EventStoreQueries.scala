@@ -737,9 +737,32 @@ object EventStoreQueries {
     Sessions.eventTransitions(Tables.events(s, dir), "user_id", "ts",
       "event_id", "event_type")
 
+  /** q216: streaming PSI drift-monitor store — the events split into
+    * three micro-batch appends of per-bin counts, compacted, rendered
+    * through the SAME smoothed index as q213 (whose oracle this
+    * shares verbatim: streamed must equal one-shot).
+    */
+  private val psiStoreQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q216_psi")
+    val store = scratch.toString + "/psi"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.psiStep(
+        ev.filter(col("event_id") % 3 === b), "value", "event_type",
+        "click", "view", lo = 0.0, hi = 500.0, bins = 10, store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.psiMerge)
+    val out = graft.streaming.StreamingPower.mergedPsi(s, store, bins = 10)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "q211_event_funnel" -> eventFunnelQ,
     "q212_event_transitions" -> transitionsQ,
+    "q216_psi_store" -> psiStoreQ,
     "q186_dsir_store" -> dsirStoreQ,
     "q194_decayed_engagement" -> decayedQ,
     "q196_funnel_store" -> funnelStoreQ,
@@ -780,6 +803,9 @@ object EventStoreQueries {
     "q36_multimodal_decode" -> multimodal)
 
   val oracleSql: Map[String, String] = Map(
+    // q216: q213's oracle verbatim — the folded bin counts must
+    // reproduce the one-shot index exactly.
+    "q216_psi_store" -> StatsQueries.oracleSql("q213_psi"),
     // q211: each stage a filtered min-aggregate gated on the previous
     // stage's first-touch time; conversions one division vs stage 1.
     "q211_event_funnel" ->

@@ -510,6 +510,57 @@ object StreamingPower {
     graft.operators.TextAnalysis.funnelReport(
       funnelMerge(graft.engine.BatchStore.read(spark, storePath)))
 
+  /** One micro-batch of the streaming PSI drift-monitor store: the
+    * batch's per-bin exact (ca, cb) counts land in a committed
+    * `batch_id=N` dir (idempotent under foreachBatch retries — same
+    * shape as `funnelStep`). The report folds rows, so compaction can
+    * collapse generations with `psiMerge` at any time.
+    */
+  def psiStep(batch: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String, lo: Double, hi: Double, bins: Int,
+      storePath: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.StatTests
+      .psiBinCounts(batch, valueCol, groupCol, a, b, lo, hi, bins)
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** PSI bin-count MERGE as a compaction hook: exact per-bin sums. */
+  val psiMerge: DataFrame => DataFrame =
+    _.groupBy(col("bin")).agg(sum(col("ca")).as("ca"),
+      sum(col("cb")).as("cb"))
+
+  /** The PSI loop as a streaming query over an event stream. */
+  def psiStream(rows: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String, lo: Double, hi: Double, bins: Int,
+      storePath: String, checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        psiStep(batch, valueCol, groupCol, a, b, lo, hi, bins,
+          storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            psiMerge)
+      }
+      .start()
+
+  /** The drift readout across every committed batch: fold the bin
+    * counts (exact sums) and render the SAME smoothed index the
+    * one-shot path computes — streamed == batch exactly.
+    */
+  def mergedPsi(spark: SparkSession, storePath: String,
+      bins: Int): DataFrame =
+    graft.operators.StatTests.psiFromCounts(
+      graft.engine.BatchStore.read(spark, storePath), bins)
+
   /** One micro-batch of the streaming DSIR importance-model store:
     * the batch's per-bucket (tc, rc) token counts
     * (`Sampling.dsirBucketStats` — exact integers, the mergeable half

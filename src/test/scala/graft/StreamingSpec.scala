@@ -869,6 +869,41 @@ class StreamingSpec extends SparkSpecBase {
       "retried batch mutated the committed funnel store")
   }
 
+  test("streaming PSI store renders exactly like the one-shot index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_psi_store").toString + "/psi"
+    val ckpt = Files.createTempDirectory("graft_psi_ckpt").toString
+    val ev = graft.engine.Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSeq
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = StreamingPower.psiStream(
+      ms.toDF().toDF("event_id", "event_type", "value"),
+      "value", "event_type", "click", "view", lo = 0.0, hi = 500.0,
+      bins = 10, storePath, ckpt, compactEvery = 2)
+    val (b1, b2) = ev.partition(_._1 % 2 == 0)
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = graft.operators.StatTests.psi(
+      ev.toDF("event_id", "event_type", "value"), "value", "event_type",
+      "click", "view", lo = 0.0, hi = 500.0).collect().toSeq
+    val streamed = StreamingPower.mergedPsi(spark, storePath, bins = 10)
+      .collect().toSeq
+    assert(streamed == oneShot, s"streamed PSI diverged:\n$streamed\n$oneShot")
+    // a retried (already folded) batch id is a no-op
+    StreamingPower.psiStep(b2.toDF("event_id", "event_type", "value"),
+      "value", "event_type", "click", "view", 0.0, 500.0, 10,
+      storePath, batchId = 1L)
+    assert(StreamingPower.mergedPsi(spark, storePath, bins = 10)
+      .collect().toSeq == oneShot,
+      "retried batch mutated the committed PSI store")
+  }
+
   test("streaming DSIR store scores exactly like the one-shot importance fit") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
