@@ -86,7 +86,20 @@ object ScaleProbe {
         "dsir_sample" -> (() => Sampling.importanceResample(
           docs.withColumn("tgt",
             when(col("source").isin("src0", "src1"), 1).otherwise(0)),
-          "doc_id", "text", "tgt", n = 100)))
+          "doc_id", "text", "tgt", n = 100)),
+        // round-8 continuation families: the ⌈√N⌉-routed kNN graph ops
+        // ((N/nlists)² pair work — expected ~linear in N), the
+        // k-round driver-greedy coreset (k corpus passes — linear),
+        // and the drift index (two aggregates — overhead-dominated)
+        "knn_pagerank" -> (() => Similarity.knnPagerank(
+          emb, k = 5, nlists = Similarity.autoNlists(emb))),
+        "density_dbscan" -> (() => Similarity.densityClusters(
+          emb, nlists = Similarity.autoNlists(emb))),
+        "fp_coreset" -> (() =>
+          Similarity.farthestPointCoreset(emb, k = 8)),
+        "psi_drift" -> (() => StatTests.psi(
+          ev, "value", "event_type", "click", "view",
+          lo = 0.0, hi = 500.0)))
 
       for ((name, f) <- ops) {
         val dt = time(f())
