@@ -429,6 +429,42 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("kNN pagerank final plan runs entirely off checkpoints (no corpus rescan)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val df = graft.operators.Similarity.knnPagerank(emb, k = 3,
+      nlists = graft.operators.Similarity.autoNlists(emb), iterations = 2)
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    // edges, nodes, and every round's ranks are localCheckpointed —
+    // the final assembly joins ids+longs only and must never return
+    // to corpus files (which also rules out the q102 broadcast class)
+    assert(!nodes.exists(_.isInstanceOf[FileSourceScanExec]),
+      "pagerank's final assembly re-scanned corpus files")
+    nodes.collect { case b: BroadcastExchangeExec => b }.foreach { b =>
+      assert(!flattenPlan(b.child).exists(_.isInstanceOf[FileSourceScanExec]),
+        s"corpus-scale file scan under a broadcast:\n$b")
+    }
+  }
+
+  test("PSI pushes the slice filter to the events scan; skew report broadcasts only folded aggregates") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val plan = planOf(graft.operators.StatTests.psi(
+      Tables.events(spark, sf("sf0.001")), "value", "event_type",
+      "click", "view", lo = 0.0, hi = 500.0))
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      s"slice filter not pushed to the scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"psi planned a cartesian:\n$plan")
+    val skew = graft.operators.Profile.keySkewReport(
+      Tables.lineitem(spark, sf("sf0.001")), "l_orderkey")
+    val nodes = flattenPlan(skew.queryExecution.executedPlan)
+    nodes.collect { case b: BroadcastExchangeExec => b }.foreach { b =>
+      assert(!flattenPlan(b.child).exists(_.isInstanceOf[FileSourceScanExec]),
+        s"key-cardinality data under a broadcast in the skew report:\n$b")
+    }
+  }
+
   test("pipeline funnel dedups on digests and broadcasts only the 1-row total") {
     val df = graft.queries.ExtensionQueries.queries("q132_pipeline_funnel")(
       spark, sf("sf0.001"))
