@@ -77,6 +77,39 @@ object StatTests {
         round(col("_sn").cast("double") / lit(1e9), 6).as("psi"))
   }
 
+  /** Categorical PSI between two slices of a discrete column (the
+    * language-mix / source-mix drift monitor): categories are the
+    * union observed in either slice, smoothing is Laplace +1 over
+    * that category count, and each category's term is one float
+    * expression over exact counts floored to nanos at birth — the
+    * numeric [[psi]]'s discipline with categories as bins.
+    *
+    * Output: one row (n_a, n_b, n_categories, psi).
+    */
+  def psiCategorical(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val counts = df
+      .filter(col(groupCol) === a || col(groupCol) === b)
+      .groupBy(col(valueCol).as("category"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint()
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("ncat"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("_term_nano", floor(
+        (((col("ca") + 1).cast("double") / (col("na") + col("ncat")))
+          - ((col("cb") + 1).cast("double") / (col("nb") + col("ncat"))))
+          * log(((col("ca") + 1).cast("double") / (col("na") + col("ncat")))
+            / ((col("cb") + 1).cast("double") / (col("nb") + col("ncat"))))
+          * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("na"), col("nb"), col("ncat"))
+      .agg(sum(col("_term_nano")).as("_sn"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("ncat").as("n_categories"),
+        round(col("_sn").cast("double") / lit(1e9), 6).as("psi"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between the same
     * two slices: D = max over observed values of
     * |cum_a/n_a − cum_b/n_b|, evaluated as max |cum_a·n_b − cum_b·n_a|

@@ -474,12 +474,20 @@ object StatsQueries {
   private val chi2Q: Q = (s, dir) =>
     StatTests.chiSquare(Tables.documents(s, dir), "lang", "source")
 
+  /** q217: categorical PSI of the language mix between two provenance
+    * slices — the source-mix drift monitor.
+    */
+  private val catPsiQ: Q = (s, dir) =>
+    StatTests.psiCategorical(Tables.documents(s, dir), "lang", "source",
+      "src0", "src1")
+
   val queries: Map[String, Q] = Map(
     "q209_embedding_audit" -> embAuditQ,
     "q210_key_skew" -> skewReportQ,
     "q213_psi" -> psiQ,
     "q214_ks_test" -> ksQ,
     "q215_chi2" -> chi2Q,
+    "q217_cat_psi" -> catPsiQ,
     "q165_column_profile" -> columnProfileQ,
     "q185_dsir_sample" -> dsirQ,
     "q190_hist_match" -> histMatchQ,
@@ -573,6 +581,30 @@ object StatsQueries {
         |SELECT na AS n_a, nb AS n_b,
         |  ROUND(CAST(SUM(tn) AS BIGINT) / 1000000000e0, 6) AS psi
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // q217: numeric PSI's discipline with the union of observed
+    // categories as bins; smoothing denominator n + ncat.
+    "q217_cat_psi" ->
+      """WITH f AS (SELECT lang, source FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT lang AS category,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM f GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS ncat FROM c),
+        |s AS (SELECT na, nb, ncat, CAST(floor(
+        |    (((ca + 1) / CAST(na + ncat AS DOUBLE))
+        |      - ((cb + 1) / CAST(nb + ncat AS DOUBLE)))
+        |    * ln(((ca + 1) / CAST(na + ncat AS DOUBLE))
+        |      / ((cb + 1) / CAST(nb + ncat AS DOUBLE)))
+        |    * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
+        |  FROM c CROSS JOIN t)
+        |SELECT na AS n_a, nb AS n_b, ncat AS n_categories,
+        |  ROUND(CAST(SUM(tn) AS BIGINT) / 1000000000e0, 6) AS psi
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
     // q214: max |cum_a*nb - cum_b*na| in exact integers over distinct
     // stored values (no arithmetic on the doubles), one division.
     "q214_ks_test" ->

@@ -24,6 +24,22 @@ class StatTestsSpec extends SparkSpecBase {
     assert(s == Seq((4L, 4L, 0.919679)), s"got $s")
   }
 
+  test("categorical psi: identical mixes score 0, disjoint categories score 2*(2/3)*ln5") {
+    import spark.implicits._
+    val same = (Seq.fill(2)(("a", "en")) ++ Seq.fill(2)(("b", "en")) ++
+      Seq(("a", "fr"), ("b", "fr"))).toDF("g", "lang")
+    val z = StatTests.psiCategorical(same, "lang", "g", "a", "b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(z == Seq((3L, 3L, 2L, 0.0)), s"got $z")
+    // a all "en", b all "fr": two symmetric smoothed terms of
+    // (5/6 - 1/6)*ln5 nanos each
+    val disj = (Seq.fill(4)(("a", "en")) ++ Seq.fill(4)(("b", "fr")))
+      .toDF("g", "lang")
+    val d = StatTests.psiCategorical(disj, "lang", "g", "a", "b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(d == Seq((4L, 4L, 2L, 2.145917)), s"got $d")
+  }
+
   test("ks: max CDF gap with a shared value, exact 4/6") {
     import spark.implicits._
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 3.0),
