@@ -187,6 +187,40 @@ object Classifier {
       .orderBy("bin")
   }
 
+  /** Expected Calibration Error — the one-number summary of the
+    * [[calibrationCurve]]: ECE = Σ_bins (n_b/N)·|acc_b − conf_b|,
+    * where acc is the bin's empirical positive rate and conf its mean
+    * predicted probability. Each bin's weighted gap is ONE float
+    * expression over exact integers (n_pos, n, Σp_micro, N) floored
+    * to nanos at birth, so the sum is exact. Same binning contract as
+    * the curve (6dp scores → exact micros, 1.0 folds into the top
+    * bin). Output: one row (n_items, bins_used, ece).
+    */
+  def expectedCalibrationError(scored: DataFrame, scoreCol: String,
+      outcomeCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && 1000000 % bins == 0,
+      s"bins must divide 1e6, got $bins")
+    val width = 1000000 / bins
+    val byBin = scored.select(
+        round(col(scoreCol) * lit(1e6)).cast("long").as("p_micro"),
+        col(outcomeCol).cast("int").as("_pos"))
+      .withColumn("bin",
+        least(expr(s"p_micro div $width"), lit((bins - 1).toLong)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_pos")).as("n_pos"),
+        sum(col("p_micro")).as("_sp"))
+    val tot = byBin.agg(sum(col("n")).as("n_items"))
+    byBin.crossJoin(broadcast(tot))
+      .withColumn("_term_nano", floor(
+        abs(col("n_pos").cast("double") / col("n")
+          - col("_sp").cast("double") / (col("n") * lit(1e6)))
+          * col("n") / col("n_items") * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("bins_used"), sum(col("_term_nano")).as("_sn"))
+      .select(col("n_items"), col("bins_used"),
+        round(col("_sn").cast("double") / lit(1e9), 6).as("ece"))
+  }
+
   /** Exact ROC-AUC of a scorer against a boolean outcome, via the
     * Mann–Whitney rank statistic with average-rank tie handling:
     * grouping by distinct 6dp score, 2·Σ(rank of positives) =

@@ -203,6 +203,13 @@ object TextQueries {
   private val rocAucQ: Q = (s, dir) =>
     Classifier.rocAuc(scoredVsFunnel(s, dir), "p_keep", "pass")
 
+  /** q218: expected calibration error — q205's curve collapsed to the
+    * weighted one-number summary.
+    */
+  private val eceQ: Q = (s, dir) =>
+    Classifier.expectedCalibrationError(scoredVsFunnel(s, dir),
+      "p_keep", "pass")
+
 
   /** q112: one word-level BPE training round — corpus-wide adjacent
     * token-pair counts, top 50 merge candidates.
@@ -571,6 +578,7 @@ object TextQueries {
     "q205_calibration_curve" -> calibCurveQ,
     "q206_roc_auc" -> rocAucQ,
     "q208_ngram_novelty" -> noveltyQ,
+    "q218_ece" -> eceQ,
     "q166_char_entropy" -> charEntropyQ,
     "q161_text_index_build" -> textIndexBuildQ,
     "q158_source_top_terms" -> sourceTopTermsQ,
@@ -1016,6 +1024,23 @@ object TextQueries {
         |  ROUND(CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS pos_rate
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q218: per-bin weighted |acc - conf| gaps floored to nanos at
+    // birth over exact integers; sum exact, one division at the end.
+    "q218_ece" ->
+      s"""WITH $scoredPassCtes,
+        |bb AS (SELECT LEAST(p_micro // 100000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(p_micro) AS BIGINT) AS sp
+        |  FROM d GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_items FROM bb),
+        |s AS (SELECT n_items, CAST(floor(
+        |    abs(np / CAST(n AS DOUBLE) - sp / (n * 1000000e0))
+        |    * n / n_items * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
+        |  FROM bb CROSS JOIN tt)
+        |SELECT n_items, CAST(count(*) AS BIGINT) AS bins_used,
+        |  ROUND(CAST(SUM(tn) AS BIGINT) / 1000000000e0, 6) AS ece
+        |FROM s GROUP BY 1""".stripMargin,
     // q206: Mann-Whitney over distinct-score groups; 2R stays integer
     // via p*(2*cum + c + 1), AUC is one exact division.
     "q206_roc_auc" ->

@@ -379,6 +379,16 @@ class TextOpsGoldenSpec extends SparkSpecBase {
       Seq((0.2, true), (0.9, true)).toDF("p", "pass"), "p", "pass")
       .as[(Long, Long, Long, Option[Double])].collect().toSeq
     assert(one == Seq((2L, 2L, 0L, None)), s"got: $one")
+    // ECE on the same fixture: 0.1*2/6 + 0.7/6 + 0.2*2/6 + 0 nanos
+    val ece = Classifier.expectedCalibrationError(scored, "p", "pass")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(ece == Seq((6L, 4L, 0.216667)), s"got: $ece")
+    // a 0.55-constant scorer at a 0.5 hit rate gaps by exactly 0.05
+    val flat = Seq((0.55, true), (0.55, false), (0.55, true),
+      (0.55, false)).toDF("p", "pass")
+    val e0 = Classifier.expectedCalibrationError(flat, "p", "pass")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(e0 == Seq((4L, 1L, 0.05)), s"got: $e0")
   }
 
   test("perplexity buckets: equal per-lang tiers ordered by LM fit, short docs unscored") {
