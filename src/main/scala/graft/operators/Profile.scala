@@ -220,4 +220,39 @@ object Profile {
         expr("(max_freq * n_keys + n_rows - 1) div n_rows")
           .as("suggested_salt"))
   }
+
+  /** Per-group Gini coefficient of an integer value column — the
+    * dataset-balance report (how concentrated is token/byte mass
+    * across a slice's documents?) a mixture review reads next to the
+    * [[keySkewReport]]: 0 = perfectly even, →1 = one row holds
+    * everything. Over each group's ascending values x_(1..n):
+    * G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — Σ i·x_i is invariant
+    * under tie order (equal values swap identical products), so the
+    * per-group window needs no tie-break; both sums are exact longs
+    * and G is ONE float expression on them. NULL when Σx = 0.
+    *
+    * Scale shape: one per-group sort window (partitioned by the group
+    * — never global) + one group aggregate. Σ i·x_i ≤ n²·max(x):
+    * exact-long headroom to ~10⁹ value-mass per group.
+    *
+    * Output: (group, n, total, gini), ordered by group.
+    */
+  def giniConcentration(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(groupCol).as("group"), col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .withColumn("_i", row_number().over(
+        Window.partitionBy(col("group")).orderBy(col("x"))))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
+        sum(col("_i") * col("x")).as("_s1"))
+      .select(col("group"), col("n"), col("total"),
+        when(col("total") > 0L,
+          round((lit(2.0) * col("_s1").cast("double")
+            - (col("n") + 1).cast("double") * col("total").cast("double"))
+            / (col("n").cast("double") * col("total").cast("double")), 6))
+          .as("gini"))
+      .orderBy("group")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -164,5 +164,63 @@ object Resample {
         coalesce(max(col("_nb") - col("bucket_sec") - lit(stepSeconds)), lit(0L))
           .as("max_gap_sec"))
       .orderBy(keyCol)
+  }
+
+  /** Exponentially-weighted moving average per key — the recursive
+    * smoother behind drift dashboards and cadence anomaly baselines:
+    * s₁ = v₁, sᵢ = (α·vᵢ + (1−α)·sᵢ₋₁), α given in ppm.
+    *
+    * Determinism (the q148 rule, applied to a RECURRENCE): values
+    * quantize to integer micros at birth and every step is exact
+    * integer arithmetic — sᵢ = ⌊(α_ppm·vᵢ + (1e6−α_ppm)·sᵢ₋₁)/1e6⌋,
+    * the floor via subtract-pmod-then-divide so it is exact for either
+    * sign (Spark `div`/DuckDB `//` truncate and would disagree with
+    * floor on negatives). Step order is the (ts, v_micro) sort, total
+    * even under duplicate timestamps.
+    *
+    * Scale shape: a linear recurrence cannot shuffle-parallelize
+    * WITHIN a key without changing the floor-per-step semantics, so
+    * each key's series folds in one task: one groupBy(key) shuffle,
+    * then an in-row `aggregate` over the sorted series. Per-key series
+    * length must fit a task (the `Packing`/`Chunking` bound); the
+    * accumulator append is O(n²) in copying per key — fine for
+    * cadence-feed series, pre-chunk by epoch for million-row keys.
+    *
+    * Output: (keyCol, step 1-based, ts_sec, v_micro, s_micro,
+    * ewma 6dp), ordered by (keyCol, step) — `step` keeps the row
+    * order unambiguous even under fully duplicate (ts, value) pairs,
+    * whose smoothed values differ by chain position.
+    */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      alphaPpm: Long = 300000L): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L,
+      s"alphaPpm must be in (0, 1e6], got $alphaPpm")
+    val m = lit(1000000L)
+    def floorDivM(a: Column): Column =
+      ((a - pmod(a, m)) / m).cast("long")
+    val rows = df.select(col(keyCol).as("_k"),
+      unix_timestamp(col(tsCol)).as("ts_sec"),
+      round(col(valueCol) * lit(1e6)).cast("long").as("v_micro"))
+    val folded = rows
+      .groupBy(col("_k"))
+      .agg(array_sort(collect_list(struct(col("ts_sec"), col("v_micro"))))
+        .as("_series"))
+      .withColumn("_out", aggregate(
+        col("_series"),
+        expr("CAST(array() AS ARRAY<STRUCT<ts_sec: BIGINT, v_micro: BIGINT, s_micro: BIGINT>>)"),
+        (acc, x) => concat(acc, array(struct(
+          x.getField("ts_sec").as("ts_sec"),
+          x.getField("v_micro").as("v_micro"),
+          when(size(acc) === 0, x.getField("v_micro"))
+            .otherwise(floorDivM(lit(alphaPpm) * x.getField("v_micro")
+              + (m - lit(alphaPpm))
+                * element_at(acc, -1).getField("s_micro")))
+            .as("s_micro"))))))
+    folded.select(col("_k").as(keyCol), posexplode(col("_out")).as(Seq("_p", "_e")))
+      .select(col(keyCol), (col("_p") + 1).cast("long").as("step"),
+        col("_e.ts_sec").as("ts_sec"),
+        col("_e.v_micro").as("v_micro"), col("_e.s_micro").as("s_micro"),
+        round(col("_e.s_micro") / lit(1e6), 6).as("ewma"))
+      .orderBy(keyCol, "step")
   }
 }

@@ -483,4 +483,61 @@ object Sampling {
       .withColumn("pct_rank", round(percent_rank().over(wo), 6))
       .orderBy(idCol)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * stable re-sharding rule for 100 TB layouts: each key goes to the
+    * shard with the largest hash(key, shard), so when the shard count
+    * grows from n to n+1 only the keys the NEW shard wins move
+    * (expected 1/(n+1) of them) — every other key stays put, unlike
+    * mod-n hashing which reshuffles almost everything. Reported per
+    * key: the n-shard winner, the (n+1)-shard winner, and the moved
+    * flag (1 ⟺ the winner changed, which can only be shard n).
+    *
+    * Shape: a pure per-row projection — the shard argmax folds over
+    * an in-row `transform`ed sequence of (hash, shard) structs
+    * (`array_max`'s struct ordering breaks exact hash ties toward the
+    * larger shard id); no shuffle, no join, nothing corpus-sized.
+    *
+    * Output: (idCol, shard, shard_next, moved), ordered by idCol.
+    */
+  /** Curriculum interleave — the reproducible easy-to-hard training
+    * order: rows carry a difficulty bin in [1, nBins] (any map-side
+    * binning — length buckets, q154 deciles, q200 perplexity tiers);
+    * within each bin rows shuffle by deterministic hash, and the
+    * global order round-robins across bins so every training window
+    * sees the full difficulty mix while early positions skew easy.
+    *
+    * global_rank = (pos−1)·nBins + bin is pure arithmetic — bins are
+    * interleaved WITHOUT any global sort window; ranks are unique
+    * (bin ≤ nBins) though not dense when bins differ in size.
+    *
+    * Scale shape: one per-bin window (partitioned, never global) and
+    * a map-side rank projection.
+    *
+    * Output: (idCol, bin, pos, global_rank), ordered by global_rank.
+    */
+  def curriculumInterleave(df: DataFrame, idCol: String, binCol: String,
+      nBins: Int, hashes: HashFamily = Md5Family): DataFrame = {
+    require(nBins >= 1, s"need nBins >= 1, got $nBins")
+    val w = Window.partitionBy(col("bin"))
+      .orderBy(hashes.hash(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(binCol).cast("long").as("bin"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("global_rank", (col("pos") - 1L) * nBins + col("bin"))
+      .orderBy("global_rank")
+  }
+
+  def rendezvousShards(df: DataFrame, idCol: String, numShards: Int,
+      hashes: HashFamily = Md5Family): DataFrame = {
+    require(numShards >= 1, s"need numShards >= 1, got $numShards")
+    def winner(n: Int): Column =
+      array_max(transform(sequence(lit(0), lit(n - 1)), s =>
+        struct(hashes.hash(concat(col(idCol).cast("string"), lit(":"),
+          s.cast("string"))).as("h"), s.as("s")))).getField("s")
+    df.select(col(idCol),
+        winner(numShards).cast("int").as("shard"),
+        winner(numShards + 1).cast("int").as("shard_next"))
+      .withColumn("moved", (col("shard") =!= col("shard_next")).cast("int"))
+      .orderBy(idCol)
+  }
 }

@@ -467,6 +467,66 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Triangle counts and local clustering coefficients over an
+    * UNDIRECTED edge list `(u, v)` (callers pass u < v, deduplicated —
+    * [[knnTriangles]] symmetrizes the kNN graph into this shape).
+    * Each triangle a < b < c is found exactly once, as the wedge
+    * (a,b),(a,c) closed by the edge (b,c); per-node counts credit all
+    * three corners. Coefficient = 2·T / (deg·(deg−1)) — one float
+    * expression over exact integer counts, NULL below degree 2.
+    *
+    * Scale shape: one self-join of the edge list on its lower
+    * endpoint (Σ_u deg_lower(u)² candidate wedges — bounded, for a
+    * symmetrized kNN graph, by (2k)²·N/2) closed by one equi-join
+    * back to the edges; no all-pairs stage.
+    *
+    * Output: (vec_id, degree, triangles, clustering_coef) for every
+    * node that appears in `nodes`, ordered by vec_id.
+    */
+  def triangleStats(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v")).localCheckpoint()
+    val deg = und.select(col("u").as("vec_id"))
+      .union(und.select(col("v").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+    val tri = und.as("e1")
+      .join(und.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      .join(und.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .localCheckpoint()
+    val perNode = tri.select(col("a").as("vec_id"))
+      .union(tri.select(col("b").as("vec_id")))
+      .union(tri.select(col("c").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("triangles"))
+    nodes.select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .join(perNode, Seq("vec_id"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("clustering_coef", when(col("degree") >= 2L,
+        round(lit(2.0) * col("triangles").cast("double")
+          / (col("degree") * (col("degree") - 1)).cast("double"), 6)))
+      .select("vec_id", "degree", "triangles", "clustering_coef")
+      .orderBy("vec_id")
+  }
+
+  /** Triangle / clustering-coefficient profile of the within-list kNN
+    * similarity graph — the cohesion audit next to [[knnPagerank]]'s
+    * centrality: high-coefficient regions are tight near-duplicate
+    * neighborhoods, zero-triangle nodes are stragglers. The directed
+    * kNN edges symmetrize to the undirected DISTINCT (min, max) pair
+    * set first, so mutual and one-way neighbor picks weigh the same.
+    */
+  def knnTriangles(embeddings: DataFrame, k: Int = 5,
+      nlists: Int): DataFrame = {
+    val asg = ivfAssignments(embeddings, nlists)
+    val und = withinListKnnEdges(asg, k)
+      .select(least(col("node"), col("nbr")).as("u"),
+        greatest(col("node"), col("nbr")).as("v"))
+      .distinct()
+    triangleStats(asg.select(col("vec_id")), und)
+  }
+
   /** Centroid-based (simplified) silhouette per IVF list — the linear
     * O(N·nlists) cluster-quality audit (exact silhouette is O(N²)):
     * for each vector, a = ppm cosine-distance to its own centroid,

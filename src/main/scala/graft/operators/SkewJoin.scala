@@ -56,4 +56,51 @@ object SkewJoin {
           .as("share"))
       .orderBy("rank")
   }
+
+  /** Pre-join cardinality and skew advisor — the planning probe a
+    * 100 TB pipeline runs BEFORE a big equi-join: exact join output
+    * size Σ_k ca(k)·cb(k) from the two per-key count tables (never
+    * the join itself), the hottest key's contribution, and the
+    * salting factor [[saltedInnerJoin]] would need. Everything after
+    * the two count aggregates runs on matched-key rows; every number
+    * is an exact integer except the two advisory ratios (one float
+    * expression each, NULL on an empty join).
+    *
+    * `top_key` is the max-output key (ties to the LARGER key — the
+    * (product, key) struct-max order); `suggested_salt` mirrors
+    * [[keySkewReport]]: ⌈max_key_rows · n_keys_matched / est_rows⌉.
+    *
+    * Output: one row (n_left, n_right, n_keys_left, n_keys_right,
+    * n_keys_matched, est_rows, max_key_rows, top_key, skew_ratio,
+    * suggested_salt).
+    */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val lc = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("ca"))
+      .localCheckpoint()
+    val rc = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    val lt = lc.agg(sum(col("ca")).as("n_left"),
+      count(lit(1)).as("n_keys_left"))
+    val rt = rc.agg(sum(col("cb")).as("n_right"),
+      count(lit(1)).as("n_keys_right"))
+    val m = lc.join(rc, Seq("k"))
+      .select(col("k"), (col("ca") * col("cb")).as("p"))
+      .agg(count(lit(1)).as("n_keys_matched"),
+        coalesce(sum(col("p")), lit(0L)).as("est_rows"),
+        max(struct(col("p"), col("k"))).as("_top"))
+    lt.crossJoin(broadcast(rt)).crossJoin(broadcast(m))
+      .select(col("n_left"), col("n_right"), col("n_keys_left"),
+        col("n_keys_right"), col("n_keys_matched"), col("est_rows"),
+        coalesce(col("_top.p"), lit(0L)).as("max_key_rows"),
+        col("_top.k").as("top_key"),
+        when(col("est_rows") > 0L,
+          round(col("_top.p").cast("double") * col("n_keys_matched")
+            / col("est_rows").cast("double"), 6)).as("skew_ratio"),
+        when(col("est_rows") > 0L,
+          expr("(_top.p * n_keys_matched + est_rows - 1) div est_rows"))
+          .as("suggested_salt"))
+  }
 }

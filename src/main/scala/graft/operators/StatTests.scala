@@ -148,6 +148,152 @@ object StatTests {
           .as("d_stat"))
   }
 
+  /** Adjusted Rand Index between two partitionings of the same rows
+    * (two label columns) — the clustering-agreement audit run when a
+    * new clustering/bucketing is compared against an existing one
+    * (or against provenance labels). From the contingency table:
+    * ARI = 2·(C·S − A·B) / (C·(A+B) − 2·A·B), where S = Σ_cells
+    * C(n_ij,2), A = Σ_rows C(a_i,2), B = Σ_cols C(b_j,2), and
+    * C = C(n,2) — each component an EXACT integer sum (pair counts),
+    * combined in ONE float expression at the end, so the result is
+    * partition-order and engine invariant. NULL when the denominator
+    * is 0 (both partitionings trivial). 1 = identical partitions,
+    * ~0 = chance-level agreement.
+    *
+    * Scale shape: one (a, b) cell aggregate (map-side combined), then
+    * row/col rollups of the cell frame — nothing beyond |A|·|B| rows
+    * after the first aggregate. The pair-count components are exact
+    * longs up to n ≈ 4·10⁹ rows; the cross-component products are
+    * evaluated in doubles (53-bit mantissa) deliberately — an exact
+    * long product would overflow ANSI at n ≳ 10⁵.
+    *
+    * Output: one row (n_items, pairs_both, pairs_a, pairs_b, ari).
+    */
+  def adjustedRandIndex(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
+    // Spark's `/` on longs is double division — pair counts use `div`
+    // (n·(n−1) is even, so the integer division is exact)
+    val s = cells.agg(sum(expr("n * (n - 1) div 2")).as("s"),
+      sum(col("n")).as("n_items"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("n")).as("ai"))
+      .agg(sum(expr("ai * (ai - 1) div 2")).as("pa"))
+    val rb = cells.groupBy(col("b")).agg(sum(col("n")).as("bj"))
+      .agg(sum(expr("bj * (bj - 1) div 2")).as("pb"))
+    s.crossJoin(broadcast(ra)).crossJoin(broadcast(rb))
+      .withColumn("_c2", expr("n_items * (n_items - 1) div 2")
+        .cast("double"))
+      .select(col("n_items"), col("s").as("pairs_both"),
+        col("pa").as("pairs_a"), col("pb").as("pairs_b"),
+        when(col("_c2") * (col("pa") + col("pb")).cast("double")
+          - lit(2.0) * col("pa").cast("double") * col("pb").cast("double")
+          =!= 0.0,
+          round((lit(2.0) * (col("_c2") * col("s").cast("double")
+            - col("pa").cast("double") * col("pb").cast("double")))
+            / (col("_c2") * (col("pa") + col("pb")).cast("double")
+              - lit(2.0) * col("pa").cast("double")
+                * col("pb").cast("double")), 6)).as("ari"))
+  }
+
+  /** Mutual information (nats) and normalized mutual information
+    * between two categorical columns — the association strength
+    * behind [[chiSquare]]'s significance: how much knowing one label
+    * says about the other (feature/provenance leakage audits, split
+    * design). MI = Σ_cells (n_ij/N)·ln(N·n_ij/(r_i·c_j)) over OBSERVED
+    * cells (empty cells contribute exactly 0, so iterating observed
+    * cells is exact); H(a), H(b) the marginal entropies. Every
+    * per-cell / per-category term is ONE float expression over exact
+    * integer counts floored to nanos at birth, so all three sums are
+    * exact; NMI = MI/√(H_a·H_b) is one final float expression, NULL
+    * when either marginal is deterministic (zero entropy).
+    *
+    * Output: one row (n_items, n_a, n_b, mi, h_a, h_b, nmi).
+    */
+  def mutualInformation(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val rows = cells.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+      .localCheckpoint()
+    val cols_ = cells.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("na"), countDistinct(col("b")).as("nb"))
+    def entNano(marg: DataFrame, cnt: String) = marg
+      .crossJoin(broadcast(tot.select(col("n").as("_n"))))
+      .withColumn("_t", floor(-(col(cnt).cast("double") / col("_n"))
+        * log(col(cnt).cast("double") / col("_n"))
+        * lit(1e9) + lit(0.5)).cast("long"))
+      .agg(sum(col("_t")).as("_h"))
+    val miNano = cells.join(rows, Seq("a")).join(cols_, Seq("b"))
+      .crossJoin(broadcast(tot.select(col("n").as("_n"))))
+      .withColumn("_t", floor((col("o").cast("double") / col("_n"))
+        * log(col("o").cast("double") * col("_n").cast("double")
+          / (col("rt").cast("double") * col("ct").cast("double")))
+        * lit(1e9) + lit(0.5)).cast("long"))
+      .agg(sum(col("_t")).as("_mi"))
+    tot.crossJoin(broadcast(miNano))
+      .crossJoin(broadcast(entNano(rows, "rt").withColumnRenamed("_h", "_ha")))
+      .crossJoin(broadcast(entNano(cols_, "ct").withColumnRenamed("_h", "_hb")))
+      .select(col("n").as("n_items"), col("na").as("n_a"),
+        col("nb").as("n_b"),
+        round(col("_mi").cast("double") / lit(1e9), 6).as("mi"),
+        round(col("_ha").cast("double") / lit(1e9), 6).as("h_a"),
+        round(col("_hb").cast("double") / lit(1e9), 6).as("h_b"),
+        when(col("_ha") > 0L && col("_hb") > 0L,
+          round(col("_mi") / sqrt(col("_ha").cast("double")
+            * col("_hb").cast("double")), 6)).as("nmi"))
+  }
+
+  /** Spearman rank correlation between two numeric columns, with
+    * average-rank tie handling — the monotone-association check run
+    * between quality signals (does signal A order the corpus the way
+    * signal B does?). Works on doubled average ranks so ties stay
+    * integer: for a value group with min-rank m and size c, the
+    * doubled average rank is 2m + c − 1. ρ is Pearson over the
+    * doubled ranks: every aggregate (n, Σxy, Σx², …) is an exact
+    * integer sum, combined in ONE float expression — engine and
+    * partition-order invariant. NULL when either column is constant.
+    *
+    * Scale shape: two global rank windows (single-partition over the
+    * rows, the documented exact-order cost — same caveat as
+    * [[ksTest]]; pre-aggregate or bucket first at extreme scale) and
+    * one scalar aggregate. Exact-long aggregates bound n ≲ 10⁶ under
+    * ANSI (Σ of rank products grows as 4n³); beyond that, quantize
+    * the inputs into buckets first.
+    *
+    * Output: one row (n_items, rho).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val rx = Window.orderBy(col("x"))
+    val ry = Window.orderBy(col("y"))
+    val ranked = base
+      .withColumn("r2x", lit(2L) * rank().over(rx)
+        + count(lit(1)).over(Window.partitionBy(col("x"))) - lit(1L))
+      .withColumn("r2y", lit(2L) * rank().over(ry)
+        + count(lit(1)).over(Window.partitionBy(col("y"))) - lit(1L))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+        sum(col("r2x") * col("r2y")).as("sxy"),
+        sum(col("r2x") * col("r2x")).as("sxx"),
+        sum(col("r2y") * col("r2y")).as("syy"))
+      .select(col("n").as("n_items"),
+        when((col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")) > 0.0
+          && (col("n").cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")) > 0.0,
+          round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 6))
+          .as("rho"))
+  }
+
   /** Chi-square test of independence between two categorical columns:
     * χ² = Σ_cells (O·N − r·c)² / (N·r·c) — each cell term ONE float
     * expression over exact integer counts (observed O, row total r,

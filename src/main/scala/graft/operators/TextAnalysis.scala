@@ -973,4 +973,63 @@ object TextAnalysis {
         col("avg_logprob"), col("tier"), col("ppl_bucket"))
       .orderBy(idCol)
   }
+
+  /** Zipf power-law fit over the corpus's top-`topV` token
+    * frequencies — the one-row language-health profile (natural text
+    * fits ln f ≈ a + b·ln r with b near −1; templated/synthetic
+    * corpora bend away from it): OLS of ln(freq) on ln(rank) with the
+    * rank order pinned to (count DESC, token ASC).
+    *
+    * Determinism: ln(rank) and ln(count) quantize to integer MICROS
+    * at birth (nanos would overflow the Σx·y products), so every OLS
+    * sum is an exact integer; slope, intercept, and r² are each one
+    * float expression over those sums. r² is NULL when the top-V
+    * counts are all equal (zero y-variance).
+    *
+    * Scale shape: one token count aggregate, a TakeOrdered top-V, and
+    * a ≤V-row window + scalar fold — the corpus is touched once.
+    *
+    * Output: one row (n_terms, slope, intercept, r2).
+    */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String,
+      topV: Int = 200): DataFrame = {
+    require(topV >= 2, s"need topV >= 2, got $topV")
+    val top = docs
+      .select(explode(wsTokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(topV)
+    val w = Window.orderBy(col("cnt").desc, col("t"))
+    val q = top.withColumn("rnk", row_number().over(w))
+      .select(
+        floor(log(col("rnk").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("x"),
+        floor(log(col("cnt").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("y"))
+    q.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_terms"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("slope"),
+        round((col("sy").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sxy").cast("double"))
+          / ((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * lit(1e6)), 6).as("intercept"),
+        when((col("n").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")) > 0.0,
+          round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            * (col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / ((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 6))
+          .as("r2"))
+  }
 }

@@ -47,6 +47,18 @@ object AnnQueries {
   }
 
 
+  /** q224: triangle counts + local clustering coefficients over the
+    * symmetrized within-list kNN graph — the cohesion audit next to
+    * q198's centrality (tight near-dup neighborhoods score high,
+    * stragglers sit at zero triangles). Exact integer counts; the
+    * coefficient is one float expression.
+    */
+  private val trianglesQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnTriangles(emb, k = 5, nlists = Similarity.autoNlists(emb))
+  }
+
+
   /** q199: centroid-based silhouette per IVF list — the linear
     * O(N·nlists) cluster-quality audit; ppm distances quantized at
     * birth, s = (b−a)·1e6 div max(a,b), exact per-list sums.
@@ -502,7 +514,8 @@ object AnnQueries {
     "q201_coreset" -> coresetQ,
     "q202_density_clusters" -> densityQ,
     "q203_knn_eval" -> knnEvalQ,
-    "q204_knn_kappa" -> knnKappaQ)
+    "q204_knn_kappa" -> knnKappaQ,
+    "q224_knn_triangles" -> trianglesQ)
 
   /** q183's oracle: the same greedy MMR unrolled as k−1 CTE steps —
     * each step's candidate scores are exact BIGINT arithmetic over the
@@ -618,29 +631,35 @@ object AnnQueries {
     * arithmetic (`//` = Spark's `div` on non-negative values), sums
     * cast back from DuckDB's HUGEINT.
     */
+  /** The q198/q224 shared graph prefix: seeded-IVF assignment and the
+    * directed within-list kNN edge set `g(node, nbr)`.
+    */
+  private lazy val knnGraphCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+      |         v AS c
+      |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+      |             FROM e ORDER BY h, vec_id
+      |             LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e))),
+      |ca AS (SELECT e.vec_id, e.v, cb.list_id,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC,
+      |             cb.list_id) AS crank
+      |       FROM e CROSS JOIN cb),
+      |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
+      |g AS (SELECT node, nbr FROM (
+      |   SELECT a.vec_id AS node, b.vec_id AS nbr,
+      |     row_number() OVER (PARTITION BY a.vec_id
+      |       ORDER BY CAST(round(ROUND(list_cosine_similarity(a.v, b.v), 6)
+      |         * 1000000e0) AS BIGINT) DESC, b.vec_id) AS r
+      |   FROM asg a JOIN asg b
+      |     ON a.list_id = b.list_id AND a.vec_id <> b.vec_id)
+      | WHERE r <= 5)""".stripMargin
+
   private val pagerankOracle: String = {
     val prefix =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings),
-        |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id,
-        |         v AS c
-        |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
-        |             FROM e ORDER BY h, vec_id
-        |             LIMIT (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e))),
-        |ca AS (SELECT e.vec_id, e.v, cb.list_id,
-        |         row_number() OVER (PARTITION BY e.vec_id
-        |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC,
-        |             cb.list_id) AS crank
-        |       FROM e CROSS JOIN cb),
-        |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
-        |g AS (SELECT node, nbr FROM (
-        |   SELECT a.vec_id AS node, b.vec_id AS nbr,
-        |     row_number() OVER (PARTITION BY a.vec_id
-        |       ORDER BY CAST(round(ROUND(list_cosine_similarity(a.v, b.v), 6)
-        |         * 1000000e0) AS BIGINT) DESC, b.vec_id) AS r
-        |   FROM asg a JOIN asg b
-        |     ON a.list_id = b.list_id AND a.vec_id <> b.vec_id)
-        | WHERE r <= 5),
+      s"""WITH $knnGraphCtes,
         |deg AS (SELECT a.vec_id, CAST(coalesce(d.outdeg, 0) AS BIGINT) AS outdeg
         |        FROM asg a LEFT JOIN (SELECT node, count(*) AS outdeg
         |                              FROM g GROUP BY 1) d
@@ -724,9 +743,38 @@ object AnnQueries {
       |np AS (SELECT p AS class, CAST(SUM(n) AS BIGINT) AS n_pred
       |  FROM pairs GROUP BY 1)""".stripMargin
 
+  /** q224's oracle: symmetrize g to the distinct (min, max) pair set,
+    * find each triangle a < b < c once as the (a,b),(a,c) wedge closed
+    * by (b,c), credit all three corners.
+    */
+  private lazy val trianglesOracle: String =
+    s"""WITH $knnGraphCtes,
+      |und AS (SELECT DISTINCT least(node, nbr) AS u,
+      |    greatest(node, nbr) AS v FROM g),
+      |deg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS degree
+      |  FROM (SELECT u AS vec_id FROM und
+      |        UNION ALL SELECT v AS vec_id FROM und) GROUP BY 1),
+      |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+      |  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+      |pn AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS triangles
+      |  FROM (SELECT a AS vec_id FROM tri
+      |        UNION ALL SELECT b AS vec_id FROM tri
+      |        UNION ALL SELECT c AS vec_id FROM tri) GROUP BY 1)
+      |SELECT asg.vec_id, coalesce(deg.degree, 0) AS degree,
+      |  coalesce(pn.triangles, 0) AS triangles,
+      |  CASE WHEN coalesce(deg.degree, 0) >= 2 THEN
+      |    ROUND(2e0 * CAST(coalesce(pn.triangles, 0) AS DOUBLE)
+      |      / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
+      |  END AS clustering_coef
+      |FROM asg LEFT JOIN deg ON deg.vec_id = asg.vec_id
+      |LEFT JOIN pn ON pn.vec_id = asg.vec_id
+      |ORDER BY asg.vec_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q198_knn_pagerank" -> pagerankOracle,
     "q201_coreset" -> coresetOracle,
+    "q224_knn_triangles" -> trianglesOracle,
     // q203: per-class one-vs-rest counts off the vote chain; F1 from
     // integers (2tp / (2tp+fp+fn)), never from the rounded p and r.
     "q203_knn_eval" ->

@@ -407,6 +407,17 @@ object EventStoreQueries {
       "user_id", "ts", "value", stepSeconds = 3600L)
 
 
+  /** q226: per-user EWMA smoothing of event values (α = 0.3) — the
+    * exact integer recurrence (micros at birth, floor per step), step
+    * order pinned to (ts, v) and surfaced as `step` so duplicate
+    * observations can't make the output order ambiguous.
+    */
+  private val ewmaQ: Q = (s, dir) =>
+    Resample.ewma(
+      Tables.events(s, dir).filter(col("user_id") < 50),
+      "user_id", "ts", "value", alphaPpm = 300000L)
+
+
   /** q146: per-user cadence/gap report from observed buckets alone —
     * expected vs present hourly buckets and the longest missing run
     * (`Resample.gapReport`; no grid materialized).
@@ -778,6 +789,7 @@ object EventStoreQueries {
     "q151_cadence_store" -> cadenceStoreQ,
     "q146_gap_report" -> gapReportQ,
     "q145_resample" -> resampleQ,
+    "q226_ewma" -> ewmaQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
     "q132_pipeline_funnel" -> pipelineFunnelQ,
     "q118_ref_integrity" -> refIntegrityQ,
@@ -803,6 +815,27 @@ object EventStoreQueries {
     "q36_multimodal_decode" -> multimodal)
 
   val oracleSql: Map[String, String] = Map(
+    // q226: the linear recurrence replayed as a recursive CTE — the
+    // identical integer floor step (subtract-pmod form, exact for
+    // either sign), identical (ts, v) chain order.
+    "q226_ewma" ->
+      """WITH RECURSIVE q AS (SELECT user_id,
+        |    epoch_us(ts)//1000000 AS ts_sec,
+        |    CAST(round(value * 1000000, 0) AS BIGINT) AS v
+        |  FROM events WHERE user_id < 50),
+        |o AS (SELECT user_id, ts_sec, v, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts_sec, v) AS i FROM q),
+        |e AS (
+        |  SELECT user_id, ts_sec, v, i, v AS s FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.ts_sec, o.v, o.i,
+        |    (300000 * o.v + 700000 * e.s
+        |      - (((300000 * o.v + 700000 * e.s) % 1000000 + 1000000)
+        |        % 1000000)) // 1000000
+        |  FROM o JOIN e ON o.user_id = e.user_id AND o.i = e.i + 1)
+        |SELECT user_id, CAST(i AS BIGINT) AS step, ts_sec, v AS v_micro,
+        |  s AS s_micro, ROUND(s / 1000000e0, 6) AS ewma
+        |FROM e ORDER BY user_id, step""".stripMargin,
     // q216: q213's oracle verbatim — the folded bin counts must
     // reproduce the one-shot index exactly.
     "q216_psi_store" -> StatsQueries.oracleSql("q213_psi"),

@@ -481,7 +481,73 @@ object StatsQueries {
     StatTests.psiCategorical(Tables.documents(s, dir), "lang", "source",
       "src0", "src1")
 
+  /** q219: adjusted Rand index between the language and provenance
+    * partitionings of the corpus — the clustering-agreement audit
+    * (chance-corrected; pairs with q215's significance view).
+    */
+  private val ariQ: Q = (s, dir) =>
+    StatTests.adjustedRandIndex(Tables.documents(s, dir), "lang", "source")
+
+  /** q220: mutual information / NMI of documents lang × source — the
+    * association-strength companion to q215's chi-square.
+    */
+  private val miQ: Q = (s, dir) =>
+    StatTests.mutualInformation(Tables.documents(s, dir), "lang", "source")
+
+  /** q221: Spearman rank correlation between character length and
+    * whitespace token count — the monotone-agreement check between
+    * two quality signals (average-rank ties, exact integer sums).
+    */
+  private val spearmanQ: Q = (s, dir) =>
+    StatTests.spearman(
+      Tables.documents(s, dir)
+        .select(col("n_chars"),
+          size(TextAnalysis.wsTokens(col("text"))).as("n_tok")),
+      "n_chars", "n_tok")
+
+  /** q222: per-source Gini concentration of character mass across
+    * documents — the dataset-balance number a mixture review reads
+    * next to q210's key-skew report.
+    */
+  private val giniQ: Q = (s, dir) =>
+    Profile.giniConcentration(Tables.documents(s, dir), "source", "n_chars")
+
+  /** q225: rendezvous (highest-random-weight) sharding of the corpus,
+    * 8 shards vs 9 — the stable re-sharding rule: a moved doc can
+    * only have moved TO the new shard (PropertySpec asserts it).
+    */
+  private val rendezvousQ: Q = (s, dir) =>
+    Sampling.rendezvousShards(
+      Tables.documents(s, dir).select("doc_id"), "doc_id", numShards = 8,
+      hashes = Md5Family)
+
+  /** q227: pre-join cardinality/skew advisor for orders ⋈ lineitem on
+    * the order key — exact join-size estimate from the two count
+    * tables, hottest key, and the salting factor, without running the
+    * join.
+    */
+  private val joinSizeQ: Q = (s, dir) =>
+    SkewJoin.joinSizeEstimate(Tables.orders(s, dir), Tables.lineitem(s, dir),
+      "o_orderkey", "l_orderkey")
+
+  /** q228: curriculum interleave — 10 length-difficulty bins,
+    * hash-shuffled within bin, round-robined globally by pure
+    * arithmetic (no global sort window).
+    */
+  private val curriculumQ: Q = (s, dir) =>
+    Sampling.curriculumInterleave(
+      Tables.documents(s, dir)
+        .withColumn("bin", least(expr("n_chars div 256"), lit(9L)) + lit(1L)),
+      "doc_id", "bin", nBins = 10, hashes = Md5Family)
+
   val queries: Map[String, Q] = Map(
+    "q225_rendezvous" -> rendezvousQ,
+    "q227_join_size" -> joinSizeQ,
+    "q228_curriculum" -> curriculumQ,
+    "q219_adjusted_rand" -> ariQ,
+    "q220_mutual_info" -> miQ,
+    "q221_spearman" -> spearmanQ,
+    "q222_gini" -> giniQ,
     "q209_embedding_audit" -> embAuditQ,
     "q210_key_skew" -> skewReportQ,
     "q213_psi" -> psiQ,
@@ -557,6 +623,167 @@ object StatsQueries {
         |WHERE rank <= 100 ORDER BY rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q227: exact Σ ca·cb join size from the two count tables; top
+    // key = the (product, key) struct-max (ties to the larger key).
+    "q227_join_size" ->
+      """WITH lc AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+        |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |rc AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |lt AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_left,
+        |    CAST(count(*) AS BIGINT) AS n_keys_left FROM lc),
+        |rt AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_right,
+        |    CAST(count(*) AS BIGINT) AS n_keys_right FROM rc),
+        |j AS (SELECT lc.k, ca * cb AS p FROM lc JOIN rc USING (k)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_matched,
+        |    CAST(coalesce(SUM(p), 0) AS BIGINT) AS est_rows FROM j),
+        |tp AS (SELECT p, k FROM j ORDER BY p DESC, k DESC LIMIT 1)
+        |SELECT lt.n_left, rt.n_right, lt.n_keys_left, rt.n_keys_right,
+        |  m.n_keys_matched, m.est_rows,
+        |  tp.p AS max_key_rows, tp.k AS top_key,
+        |  CASE WHEN m.est_rows > 0 THEN
+        |    ROUND(CAST(tp.p AS DOUBLE) * m.n_keys_matched
+        |      / CAST(m.est_rows AS DOUBLE), 6) END AS skew_ratio,
+        |  CASE WHEN m.est_rows > 0 THEN
+        |    (tp.p * m.n_keys_matched + m.est_rows - 1) // m.est_rows
+        |  END AS suggested_salt
+        |FROM lt CROSS JOIN rt CROSS JOIN m CROSS JOIN tp""".stripMargin,
+    // q228: per-bin hash order + the pure-arithmetic round-robin rank.
+    "q228_curriculum" ->
+      s"""WITH b AS (SELECT doc_id,
+        |    CAST(least(n_chars // 256, 9) + 1 AS BIGINT) AS bin
+        |  FROM documents),
+        |r AS (SELECT doc_id, bin,
+        |    CAST(row_number() OVER (PARTITION BY bin
+        |      ORDER BY ${md5l("CAST(doc_id AS VARCHAR)")}, doc_id)
+        |      AS BIGINT) AS pos
+        |  FROM b)
+        |SELECT doc_id, bin, pos, (pos - 1) * 10 + bin AS global_rank
+        |FROM r ORDER BY global_rank""".stripMargin,
+    // q225: per-(doc, shard) md5 weights; the winner is the (h DESC,
+    // s DESC) head — exactly array_max's struct order on (h, s).
+    "q225_rendezvous" ->
+      s"""WITH sh AS (SELECT doc_id, gs.s,
+        |    ${md5l("concat(CAST(doc_id AS VARCHAR), ':', CAST(gs.s AS VARCHAR))")} AS h
+        |  FROM documents CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 8)) AS s) gs),
+        |p8 AS (SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, s DESC) AS r FROM sh WHERE s < 8)
+        |  WHERE r = 1),
+        |p9 AS (SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, s DESC) AS r FROM sh)
+        |  WHERE r = 1)
+        |SELECT p8.doc_id, CAST(p8.s AS INTEGER) AS shard,
+        |  CAST(p9.s AS INTEGER) AS shard_next,
+        |  CAST(p8.s <> p9.s AS INTEGER) AS moved
+        |FROM p8 JOIN p9 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q219: every pair-count component an exact integer sum (DuckDB
+    // `//` == Spark `div` on non-negatives); components combine in
+    // one identical float expression.
+    "q219_adjusted_rand" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |    CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+        |s AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS s,
+        |    CAST(SUM(n) AS BIGINT) AS n_items FROM cells),
+        |ra AS (SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS pa
+        |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS ai FROM cells GROUP BY a)),
+        |rb AS (SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS pb
+        |  FROM (SELECT CAST(SUM(n) AS BIGINT) AS bj FROM cells GROUP BY b))
+        |SELECT n_items, s AS pairs_both, pa AS pairs_a, pb AS pairs_b,
+        |  CASE WHEN CAST(n_items * (n_items - 1) // 2 AS DOUBLE)
+        |      * CAST(pa + pb AS DOUBLE)
+        |      - 2e0 * CAST(pa AS DOUBLE) * CAST(pb AS DOUBLE) <> 0e0
+        |    THEN ROUND((2e0 * (CAST(n_items * (n_items - 1) // 2 AS DOUBLE)
+        |        * CAST(s AS DOUBLE)
+        |        - CAST(pa AS DOUBLE) * CAST(pb AS DOUBLE)))
+        |      / (CAST(n_items * (n_items - 1) // 2 AS DOUBLE)
+        |        * CAST(pa + pb AS DOUBLE)
+        |        - 2e0 * CAST(pa AS DOUBLE) * CAST(pb AS DOUBLE)), 6)
+        |  END AS ari
+        |FROM s CROSS JOIN ra CROSS JOIN rb""".stripMargin,
+    // q220: observed-cell MI terms and marginal-entropy terms each one
+    // float expression over exact counts, floored to nanos at birth;
+    // empty cells contribute exactly 0.
+    "q220_mutual_info" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |    CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2),
+        |rws AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+        |cls AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS na,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM cells),
+        |mi AS (SELECT CAST(SUM(CAST(floor(
+        |    (o / CAST(n AS DOUBLE))
+        |      * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+        |      * 1000000000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS mi_nano
+        |  FROM cells JOIN rws USING (a) JOIN cls USING (b) CROSS JOIN t),
+        |ha AS (SELECT CAST(SUM(CAST(floor(
+        |    -(rt / CAST(n AS DOUBLE)) * ln(rt / CAST(n AS DOUBLE))
+        |      * 1000000000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS ha_nano
+        |  FROM rws CROSS JOIN t),
+        |hb AS (SELECT CAST(SUM(CAST(floor(
+        |    -(ct / CAST(n AS DOUBLE)) * ln(ct / CAST(n AS DOUBLE))
+        |      * 1000000000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS hb_nano
+        |  FROM cls CROSS JOIN t)
+        |SELECT t.n AS n_items, t.na AS n_a, t.nb AS n_b,
+        |  ROUND(mi_nano / 1000000000e0, 6) AS mi,
+        |  ROUND(ha_nano / 1000000000e0, 6) AS h_a,
+        |  ROUND(hb_nano / 1000000000e0, 6) AS h_b,
+        |  CASE WHEN ha_nano > 0 AND hb_nano > 0
+        |    THEN ROUND(mi_nano / sqrt(CAST(ha_nano AS DOUBLE)
+        |      * CAST(hb_nano AS DOUBLE)), 6) END AS nmi
+        |FROM t CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+    // q221: doubled average ranks (2·min_rank + tie_count − 1) keep
+    // ties integer; the Pearson fold over them is exact-integer sums
+    // combined in one identical float expression.
+    "q221_spearman" ->
+      """WITH b AS (SELECT n_chars AS x,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT
+        |    CAST(2 * rank() OVER (ORDER BY x)
+        |      + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2x,
+        |    CAST(2 * rank() OVER (ORDER BY y)
+        |      + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS r2y
+        |  FROM b),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(r2x) AS BIGINT) AS sx, CAST(SUM(r2y) AS BIGINT) AS sy,
+        |    CAST(SUM(r2x * r2y) AS BIGINT) AS sxy,
+        |    CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+        |    CAST(SUM(r2y * r2y) AS BIGINT) AS syy FROM r)
+        |SELECT n AS n_items,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0e0
+        |    AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0e0
+        |    THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM a""".stripMargin,
+    // q222: Σ i·x_i is tie-order invariant (equal values swap equal
+    // products), so the unqualified per-group ORDER BY x window is
+    // deterministic; both sums exact longs, G one float expression.
+    "q222_gini" ->
+      """WITH v AS (SELECT source AS "group", CAST(n_chars AS BIGINT) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT "group", x, row_number()
+        |    OVER (PARTITION BY "group" ORDER BY x) AS i FROM v),
+        |a AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS total,
+        |    CAST(SUM(i * x) AS BIGINT) AS s1 FROM r GROUP BY 1)
+        |SELECT "group", n, total,
+        |  CASE WHEN total > 0 THEN
+        |    ROUND((2e0 * CAST(s1 AS DOUBLE)
+        |      - CAST(n + 1 AS DOUBLE) * CAST(total AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) END AS gini
+        |FROM a ORDER BY "group"""".stripMargin,
     // q213: the smoothed per-bin term is one float expression over
     // exact counts, floored to nanos at birth; sum exact.
     "q213_psi" ->

@@ -563,8 +563,17 @@ object TextQueries {
   private val nfcQ: Q = (s, dir) =>
     TextAnalysis.nfcNormalize(Tables.documents(s, dir), "doc_id", "text")
 
+  /** q223: Zipf power-law fit over the top-200 token frequencies —
+    * the one-row language-health profile (slope near −1 for natural
+    * text); micro-quantized log-log OLS over exact integer sums.
+    */
+  private val zipfQ: Q = (s, dir) =>
+    TextAnalysis.zipfFit(Tables.documents(s, dir), "doc_id", "text",
+      topV = 200)
+
   val queries: Map[String, Q] = Map(
     "q179_nfc_normalize" -> nfcQ,
+    "q223_zipf_fit" -> zipfQ,
     "q182_top_ngram" -> topNgramQ,
     "q184_train_logistic" -> trainLogisticQ,
     "q187_quality_funnel" -> qualityFunnelQ,
@@ -848,6 +857,48 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q192_bpe_train" -> bpeTrainOracle,
+    // q223: ln(rank)/ln(count) quantize to integer micros at birth
+    // (nanos would overflow the product sums); the OLS sums are exact
+    // integers, slope/intercept/r2 one float expression each.
+    "q223_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+        |top AS (SELECT t, cnt FROM c ORDER BY cnt DESC, t LIMIT 200),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rnk
+        |  FROM top),
+        |q AS (SELECT
+        |    CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000e0 + 0.5e0)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000e0 + 0.5e0)
+        |      AS BIGINT) AS y FROM r),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy FROM q)
+        |SELECT n AS n_terms,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000e0), 6)
+        |    AS intercept,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0e0
+        |    THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS r2
+        |FROM a""".stripMargin,
     // q188: q139's chain over the survivor corpus — compaction re-fit
     // the stats, so the deleted index must answer exactly like the
     // inline operator on what remains.

@@ -1089,6 +1089,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(byId(3L) == byId(4L) && byId(4L) == byId(5L), s"sinks differ: $out")
   }
 
+  test("triangle stats: hand graph counts each triangle once at all three corners") {
+    import spark.implicits._
+    // square 1-2-3 with tail 3-4 and isolate 5: one triangle (1,2,3)
+    val nodes = (1L to 5L).toDF("vec_id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = Similarity.triangleStats(nodes, edges)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, Some(1.0)), (2L, 2L, 1L, Some(1.0)),
+      (3L, 3L, 1L, Some(0.333333)), (4L, 1L, 0L, None),
+      (5L, 0L, 0L, None)), s"got $got")
+  }
+
   test("cluster silhouette: separated clusters score 1.0, the equidistant point scores 0") {
     import spark.implicits._
     // ids chosen so the two md5-smallest (27, 6) sit one per cluster —

@@ -86,4 +86,24 @@ class JoinOpsSpec extends SparkSpecBase {
     assert(joinAt >= 0 && probeAt > joinAt,
       s"bloom probe not below the join:\n$plan")
   }
+
+  test("join size estimate: hand counts, hottest key, salt — without running the join") {
+    import spark.implicits._
+    val left = Seq(1L, 1L, 2L).toDF("lk")
+    val right = (Seq.fill(3)(1L) ++ Seq.fill(5)(3L)).toDF("rk")
+    val got = SkewJoin.joinSizeEstimate(left, right, "lk", "rk")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Double, Long)]
+      .collect().toSeq
+    // matched key 1 only: est = 2*3 = 6 = max -> skew 1.0, salt 1
+    assert(got == Seq((3L, 8L, 2L, 2L, 1L, 6L, 6L, 1L, 1.0, 1L)), s"got $got")
+    // two matched keys with skew: left 4x1 + 1x2, right 5x1 + 1x2
+    val l2 = (Seq.fill(4)(1L) ++ Seq(2L)).toDF("lk")
+    val r2 = (Seq.fill(5)(1L) ++ Seq(2L)).toDF("rk")
+    val g2 = SkewJoin.joinSizeEstimate(l2, r2, "lk", "rk")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Double, Long)]
+      .collect().toSeq
+    // est = 20 + 1 = 21, max = 20 on key 1, skew = 20*2/21, salt = ceil(40/21)=2
+    assert(g2 == Seq((5L, 6L, 2L, 2L, 2L, 21L, 20L, 1L, 1.904762, 2L)),
+      s"got $g2")
+  }
 }

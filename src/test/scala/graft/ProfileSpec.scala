@@ -106,4 +106,16 @@ class ProfileSpec extends SparkSpecBase {
     // p99 at ceil(3.96)=4th -> 6; skew 6*4/10; salt ceil(24/10)
     assert(got == Seq((10L, 4L, 6L, 1L, 6L, 2.4, 3L)), s"got $got")
   }
+
+  test("gini: equal mass 0, one-holds-all (n-1)/n, hand case exact") {
+    import spark.implicits._
+    val fix = (Seq.fill(4)(("even", 5)) ++
+      Seq(("top", 0), ("top", 0), ("top", 0), ("top", 10)) ++
+      Seq(("mix", 1), ("mix", 2), ("mix", 3))).toDF("src", "v")
+    val got = Profile.giniConcentration(fix, "src", "v")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // mix: (2*(1+4+9) - 4*6)/(3*6) = 4/18
+    assert(got == Seq(("even", 4L, 20L, 0.0), ("mix", 3L, 6L, 0.222222),
+      ("top", 4L, 10L, 0.75)), s"got $got")
+  }
 }

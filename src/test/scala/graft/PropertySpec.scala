@@ -635,4 +635,51 @@ class PropertySpec extends SparkSpecBase {
     assert(got == Seq(("a", "b", 1L, 0.5), ("a", "c", 1L, 0.5),
       ("b", "b", 1L, 1.0)), s"got $got")
   }
+
+  test("curriculum interleave: dense per-bin positions, arithmetic round-robin rank") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rows = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+      (6L, 3L)).toDF("doc_id", "bin")
+    val got = Sampling.curriculumInterleave(rows, "doc_id", "bin", nBins = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // rank arithmetic and global ordering
+    got.foreach { case (_, bin, pos, gr) =>
+      assert(gr == (pos - 1) * 3 + bin, s"rank arithmetic: $got")
+    }
+    assert(got.map(_._4) == got.map(_._4).sorted, "not ordered by rank")
+    // per-bin positions are dense 1..|bin|
+    got.groupBy(_._2).foreach { case (b, rs) =>
+      assert(rs.map(_._3).sorted == (1L to rs.size), s"bin $b positions")
+    }
+    // the first training window (rank <= 3 slots) holds one row per bin
+    val firstWave = got.filter(_._3 == 1).map(_._2).sorted
+    assert(firstWave == Seq(1L, 2L, 3L), s"first wave: $got")
+  }
+
+  test("rendezvous shards: moves only land on the new shard, assignment is layout-invariant") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val ids = (1L to 400L).toDF("doc_id")
+    val got = Sampling.rendezvousShards(ids, "doc_id", numShards = 8)
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(got.map(_._1) == (1L to 400L), "ids")
+    assert(got.forall(r => r._2 >= 0 && r._2 < 8), "shard range")
+    assert(got.forall(r => r._3 >= 0 && r._3 < 9), "shard_next range")
+    // THE rendezvous property: growing 8 -> 9 shards can only move a
+    // key to the NEW shard — old shards never trade keys
+    got.filter(_._4 == 1).foreach { r =>
+      assert(r._3 == 8, s"moved key landed on an old shard: $r")
+    }
+    got.filter(_._4 == 0).foreach { r =>
+      assert(r._2 == r._3, s"unmoved key changed shard: $r")
+    }
+    // ~1/9 of keys move in expectation; allow a wide band
+    val moved = got.count(_._4 == 1)
+    assert(moved > 10 && moved < 120, s"moved=$moved of 400")
+    // pure projection of the id -> any partition layout agrees
+    val re = Sampling.rendezvousShards(ids.repartition(7), "doc_id", 8)
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(re == got, "layout changed the assignment")
+  }
 }

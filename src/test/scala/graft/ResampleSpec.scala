@@ -77,6 +77,33 @@ class ResampleSpec extends SparkSpecBase {
     assert(grid("A") == ((4L, 2L)) && grid("B") == ((1L, 1L)))
   }
 
+  test("ewma: hand recurrence, floor (not trunc) on negatives, duplicate steps stay ordered") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val fix = Seq(("a", ts(1), 10.0), ("a", ts(2), 20.0), ("a", ts(3), 40.0))
+      .toDF("k", "t", "v")
+    val got = Resample.ewma(fix, "k", "t", "v", alphaPpm = 500000L)
+      .select("k", "step", "v_micro", "s_micro", "ewma")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // s: 10, (20+10)/2 = 15, (40+15)/2 = 27.5
+    assert(got == Seq(("a", 1L, 10000000L, 10000000L, 10.0),
+      ("a", 2L, 20000000L, 15000000L, 15.0),
+      ("a", 3L, 40000000L, 27500000L, 27.5)), s"got $got")
+    // floor semantics: 0.7·(−1 micro) must floor to −1, not trunc to 0
+    val neg = Seq(("n", ts(1), -0.000001), ("n", ts(2), 0.0)).toDF("k", "t", "v")
+    val ns = Resample.ewma(neg, "k", "t", "v", alphaPpm = 300000L)
+      .select("s_micro").as[Long].collect().toSeq
+    assert(ns == Seq(-1L, -1L), s"got $ns")
+    // fully duplicate observations chain deterministically via step
+    val dup = Seq(("d", ts(1), 8.0), ("d", ts(1), 8.0), ("d", ts(1), 4.0))
+      .toDF("k", "t", "v")
+    val ds = Resample.ewma(dup, "k", "t", "v", alphaPpm = 500000L)
+      .select("step", "v_micro", "s_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    // (ts, v) sort puts 4 first: s = 4, (8+4)/2 = 6, (8+6)/2 = 7
+    assert(ds == Seq((1L, 4000000L, 4000000L), (2L, 8000000L, 6000000L),
+      (3L, 8000000L, 7000000L)), s"got $ds")
+  }
+
   test("resample plan: one window sort, no join, no cartesian") {
     val plan = Resample.resample(fixture, "k", "t", "v", 3600L)
       .queryExecution.executedPlan.toString

@@ -49,6 +49,65 @@ class StatTestsSpec extends SparkSpecBase {
     assert(got == Seq((3L, 2L, 0.666667)), s"got $got")
   }
 
+  test("ari: identical partitions score 1, the independent 2x2 uniform scores -0.5") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val same = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val one = StatTests.adjustedRandIndex(same, "a", "b")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(one == Seq((4L, 2L, 2L, 2L, 1.0)), s"got $one")
+    // uniform 2x2: S=0, A=B=2, C(4,2)=6 -> 2*(0-4)/(6*4-8) = -0.5
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val neg = StatTests.adjustedRandIndex(ind, "a", "b")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(neg == Seq((4L, 0L, 2L, 2L, -0.5)), s"got $neg")
+    // one side trivial (single class both columns): denominator 0 -> NULL
+    val triv = Seq(("x", "p"), ("x", "p")).toDF("a", "b")
+    val n = StatTests.adjustedRandIndex(triv, "a", "b")
+      .select(col("ari")).collect().head
+    assert(n.isNullAt(0), s"expected NULL ari, got $n")
+  }
+
+  test("mutual information: independent grid scores 0, identical labels score nmi 1") {
+    import spark.implicits._
+    // every cell o = rt*ct/N exactly -> each term ln(1) = 0
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val z = StatTests.mutualInformation(ind, "a", "b")
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(z == Seq((4L, 2L, 2L, 0.0, 0.693147, 0.693147, 0.0)), s"got $z")
+    // a == b: MI = H(a) = H(b) = ln 2 -> nmi exactly 1 (same nanos)
+    val same = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val m = StatTests.mutualInformation(same, "a", "b")
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(m == Seq((4L, 2L, 2L, 0.693147, 0.693147, 0.693147, 1.0)),
+      s"got $m")
+  }
+
+  test("spearman: monotone 1, reversed -1, ties keep 1, constant column NULL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val up = Seq((1, 10), (2, 40), (3, 60)).toDF("x", "y")
+    assert(StatTests.spearman(up, "x", "y")
+      .as[(Long, Double)].collect().toSeq == Seq((3L, 1.0)))
+    val down = Seq((1, 60), (2, 40), (3, 10)).toDF("x", "y")
+    assert(StatTests.spearman(down, "x", "y")
+      .as[(Long, Double)].collect().toSeq == Seq((3L, -1.0)))
+    // tied pairs rank identically on both axes -> still perfect
+    val tied = Seq((1, 5), (1, 5), (2, 9)).toDF("x", "y")
+    assert(StatTests.spearman(tied, "x", "y")
+      .as[(Long, Double)].collect().toSeq == Seq((3L, 1.0)))
+    val const = Seq((1, 7), (2, 7), (3, 7)).toDF("x", "y")
+    val n = StatTests.spearman(const, "x", "y").select(col("rho"))
+      .collect().head
+    assert(n.isNullAt(0), s"expected NULL rho, got $n")
+  }
+
   test("chi2: 2x2 table matches the closed form N(ad-bc)^2/(r1 r2 c1 c2), absent cell counts") {
     import spark.implicits._
     val df = Seq(("x", "p"), ("x", "p"), ("y", "p"), ("y", "q"))

@@ -391,6 +391,33 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     assert(e0 == Seq((4L, 1L, 0.05)), s"got: $e0")
   }
 
+  test("zipf fit: known counts reproduce the micro-quantized OLS exactly") {
+    import spark.implicits._
+    // token counts 8/4/2/1 -> ranks 1..4 by (count desc, token)
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, "doc_id", "text", topV = 4)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    // independent replay of the quantize-then-OLS arithmetic
+    val xs = (1 to 4).map(r => math.floor(math.log(r) * 1e6 + 0.5).toLong)
+    val ys = Seq(8L, 4L, 2L, 1L)
+      .map(c => math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong)
+    val n = 4.0
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = xs.map(a => a * a).sum.toDouble
+    val syy = ys.map(a => a * a).sum.toDouble
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val slope = r6((n * sxy - sx * sy) / (n * sxx - sx * sx))
+    val icept = r6((sy * sxx - sx * sxy) / ((n * sxx - sx * sx) * 1e6))
+    val r2 = r6((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    assert(got == Seq((4L, slope, icept, r2)), s"got $got want $slope $icept $r2")
+    assert(slope < -1.0 && slope > -2.0, s"slope off the Zipf scale: $slope")
+  }
+
   test("perplexity buckets: equal per-lang tiers ordered by LM fit, short docs unscored") {
     import spark.implicits._
     // six scoreable docs per lang (varying LM fit via repetition vs
