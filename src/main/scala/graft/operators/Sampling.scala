@@ -500,6 +500,72 @@ object Sampling {
     *
     * Output: (idCol, shard, shard_next, moved), ordered by idCol.
     */
+  /** Uniform-target mixture solver by WATER-FILLING — the step that
+    * turns "give every language an equal share of a B-row budget"
+    * into per-group keep rates when some groups are too small to fill
+    * their quota: each round splits the remaining budget evenly over
+    * unsaturated groups; groups below the quota saturate (kept whole)
+    * and their unused share refills the rest. Converges in ≤|groups|
+    * rounds; runs on the collected per-group count table (bounded
+    * metadata, the codebook convention — the corpus itself is touched
+    * only by the final broadcast-rate membership filter, a pure
+    * hash-threshold like [[temperatureSample]]'s).
+    *
+    * Determinism: the loop is EXACT long arithmetic — quota =
+    * remaining div |unsat|, rate_ppm = (quota·1e6) div n_g — so the
+    * DuckDB oracle replays the identical rounds; each round's
+    * leftover (< |unsat| rows) stays unassigned by design. Membership
+    * is md5(id) % 1e6 < rate_ppm, a pure id function.
+    *
+    * Output: (groupCol, n_before, saturated, quota, rate_ppm,
+    * n_kept), ordered by groupCol.
+    */
+  def waterFillMix(docs: DataFrame, idCol: String, groupCol: String,
+      targetPpm: Long = 500000L,
+      hashes: HashFamily = Md5Family): DataFrame = {
+    require(targetPpm > 0 && targetPpm <= 1000000L, s"bad targetPpm $targetPpm")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val total = counts.map(_._2).sum
+    var remaining = targetPpm * total / 1000000L
+    var saturated = Map.empty[String, Long] // g -> kept(=n)
+    var quota = 0L
+    var done = false
+    while (!done) {
+      val unsat = counts.filter { case (g, _) => !saturated.contains(g) }
+      if (unsat.isEmpty) { quota = 0L; done = true }
+      else {
+        quota = remaining / unsat.length
+        val newly = unsat.filter { case (_, n) => n <= quota }
+        if (newly.isEmpty) done = true
+        else {
+          saturated ++= newly.toMap
+          remaining -= newly.map(_._2).sum
+        }
+      }
+    }
+    val rates = counts.map { case (g, n) =>
+      val sat = saturated.contains(g)
+      val q = if (sat) n else quota
+      (g, n, if (sat) 1 else 0, q,
+        if (sat) 1000000L else (quota * 1000000L) / n)
+    }.toSeq.toDF("g", "n_before", "saturated", "quota", "rate_ppm")
+    val kept = docs
+      .select(col(groupCol).cast("string").as("g"), col(idCol).as("_id"))
+      .join(broadcast(rates.select(col("g"), col("rate_ppm"))), Seq("g"))
+      .filter(pmod(hashes.hash(col("_id").cast("string")), lit(1000000L))
+        < col("rate_ppm"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("g"), "left")
+      .select(col("g").as(groupCol), col("n_before"), col("saturated"),
+        col("quota"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(groupCol)
+  }
+
   /** Curriculum interleave — the reproducible easy-to-hard training
     * order: rows carry a difficulty bin in [1, nBins] (any map-side
     * binning — length buckets, q154 deciles, q200 perplexity tiers);

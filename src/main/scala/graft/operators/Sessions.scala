@@ -182,4 +182,45 @@ object Sessions {
         round(col("n").cast("double") / col("_tot"), 6).as("prob"))
       .orderBy("prev_type", "next_type")
   }
+
+  /** Inter-arrival burstiness profile per key — the cadence-health
+    * summary a feed monitor reads: gaps between consecutive events in
+    * integer seconds under the deterministic (ts, id) order, rolled
+    * up to n_events, n_gaps, mean/max gap, and the Fano factor
+    * (sample variance of gaps / mean gap; 1 ≈ Poisson arrivals, ≫1 =
+    * bursty, ≪1 = metronome). Gap sums Σg and Σg² are exact longs;
+    * mean and Fano are one float expression each, NULL when fewer
+    * than 2 gaps or a zero mean.
+    *
+    * Scale shape: one per-key lag window + one map-side-combined
+    * aggregate. Output: (keyCol, n_events, n_gaps, mean_gap, max_gap,
+    * fano), ordered by keyCol.
+    */
+  def interArrival(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(keyCol), col(tsCol), unix_timestamp(col(tsCol)).as("_s"),
+        col(idCol))
+      .withColumn("_g", col("_s") - lag(col("_s"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("_g")).as("n_gaps"),
+        coalesce(sum(col("_g")), lit(0L)).as("_sg"),
+        coalesce(sum(col("_g") * col("_g")), lit(0L)).as("_sgg"),
+        max(col("_g")).as("max_gap"))
+      .select(col(keyCol), col("n_events"), col("n_gaps"),
+        when(col("n_gaps") > 0L,
+          round(col("_sg").cast("double") / col("n_gaps"), 6)).as("mean_gap"),
+        col("max_gap"),
+        when(col("n_gaps") >= 2L && col("_sg") > 0L,
+          round(((col("n_gaps").cast("double") * col("_sgg").cast("double")
+            - col("_sg").cast("double") * col("_sg").cast("double"))
+            / (col("n_gaps").cast("double") * (col("n_gaps") - 1)
+              .cast("double")))
+            / (col("_sg").cast("double") / col("n_gaps").cast("double")), 6))
+          .as("fano"))
+      .orderBy(keyCol)
+  }
 }

@@ -991,6 +991,51 @@ object TextAnalysis {
     *
     * Output: one row (n_terms, slope, intercept, r2).
     */
+  /** PMI collocations over the top-`topV` vocabulary — the
+    * co-occurrence miner behind phrase/boilerplate discovery:
+    * for token pairs (a < b) within the capped vocabulary,
+    * PMI = ln(n_ab·N / (df_a·df_b)) over DOCUMENT-level
+    * presence counts. Every count is an exact integer; each pair's
+    * PMI is ONE float expression quantized to nanos (no cross-row
+    * float accumulation at all). Pairs below `minPairDf` co-docs are
+    * cut (classic sparse-PMI noise guard).
+    *
+    * Scale shape: the df-capped inverted-index discipline (q62): the
+    * corpus meets only the BROADCAST top-V vocabulary, per-doc pair
+    * work is bounded by min(|doc|, V)², and the pair aggregate moves
+    * (tok_a, tok_b) rows — never text.
+    *
+    * Output: (tok_a, tok_b, df_a, df_b, n_ab, pmi), ordered by
+    * (tok_a, tok_b).
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      topV: Int = 100, minPairDf: Long = 5L): DataFrame = {
+    require(topV >= 2, s"need topV >= 2, got $topV")
+    val dt = docs
+      .select(col(idCol).as("_id"),
+        explode(wsTokens(col(textCol))).as("tok"))
+      .distinct().localCheckpoint()
+    val vocab = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(topV)
+    val dv = dt.join(broadcast(vocab), Seq("tok")).localCheckpoint()
+    val tot = docs.agg(countDistinct(col(idCol)).as("_n"))
+    dv.select(col("_id"), col("tok").as("tok_a"), col("df").as("df_a"))
+      .join(dv.select(col("_id"), col("tok").as("tok_b"),
+        col("df").as("df_b")), Seq("_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"), col("df_a"), col("df_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDf)
+      .crossJoin(broadcast(tot))
+      .withColumn("_pmi_nano", floor(
+        log(col("n_ab").cast("double") * col("_n").cast("double")
+          / (col("df_a").cast("double") * col("df_b").cast("double")))
+          * lit(1e9) + lit(0.5)).cast("long"))
+      .select(col("tok_a"), col("tok_b"), col("df_a"), col("df_b"),
+        col("n_ab"), round(col("_pmi_nano") / lit(1e9), 6).as("pmi"))
+      .orderBy("tok_a", "tok_b")
+  }
+
   def zipfFit(docs: DataFrame, idCol: String, textCol: String,
       topV: Int = 200): DataFrame = {
     require(topV >= 2, s"need topV >= 2, got $topV")

@@ -418,6 +418,15 @@ object EventStoreQueries {
       "user_id", "ts", "value", alphaPpm = 300000L)
 
 
+  /** q229: per-user inter-arrival burstiness profile — integer-second
+    * gaps under the (ts, event_id) order, Fano factor from exact
+    * Σg/Σg² sums (1 ≈ Poisson, ≫1 bursty).
+    */
+  private val interArrivalQ: Q = (s, dir) =>
+    Sessions.interArrival(Tables.events(s, dir), "user_id", "ts",
+      "event_id")
+
+
   /** q146: per-user cadence/gap report from observed buckets alone —
     * expected vs present hourly buckets and the longest missing run
     * (`Resample.gapReport`; no grid materialized).
@@ -790,6 +799,7 @@ object EventStoreQueries {
     "q146_gap_report" -> gapReportQ,
     "q145_resample" -> resampleQ,
     "q226_ewma" -> ewmaQ,
+    "q229_interarrival" -> interArrivalQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
     "q132_pipeline_funnel" -> pipelineFunnelQ,
     "q118_ref_integrity" -> refIntegrityQ,
@@ -815,6 +825,31 @@ object EventStoreQueries {
     "q36_multimodal_decode" -> multimodal)
 
   val oracleSql: Map[String, String] = Map(
+    // q229: gaps from truncated seconds but ORDERED by the full-
+    // resolution (ts, event_id) chain on both engines; Σg/Σg² exact,
+    // mean and Fano one float expression each.
+    "q229_interarrival" ->
+      """WITH s AS (SELECT user_id, ts, event_id,
+        |    epoch_us(ts)//1000000 AS sec FROM events),
+        |g AS (SELECT user_id, sec - lag(sec) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS g FROM s),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(g) AS BIGINT) AS n_gaps,
+        |    CAST(coalesce(SUM(g), 0) AS BIGINT) AS sg,
+        |    CAST(coalesce(SUM(g * g), 0) AS BIGINT) AS sgg,
+        |    CAST(MAX(g) AS BIGINT) AS max_gap
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, n_events, n_gaps,
+        |  CASE WHEN n_gaps > 0 THEN ROUND(CAST(sg AS DOUBLE) / n_gaps, 6)
+        |  END AS mean_gap,
+        |  max_gap,
+        |  CASE WHEN n_gaps >= 2 AND sg > 0 THEN
+        |    ROUND(((CAST(n_gaps AS DOUBLE) * CAST(sgg AS DOUBLE)
+        |        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |      / (CAST(n_gaps AS DOUBLE) * CAST(n_gaps - 1 AS DOUBLE)))
+        |      / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6)
+        |  END AS fano
+        |FROM a ORDER BY user_id""".stripMargin,
     // q226: the linear recurrence replayed as a recursive CTE — the
     // identical integer floor step (subtract-pmod form, exact for
     // either sign), identical (ts, v) chain order.

@@ -540,10 +540,20 @@ object StatsQueries {
         .withColumn("bin", least(expr("n_chars div 256"), lit(9L)) + lit(1L)),
       "doc_id", "bin", nBins = 10, hashes = Md5Family)
 
+  /** q231: uniform-target mixture by water-filling at an 80% budget —
+    * the four smaller languages saturate (kept whole) and their
+    * unused share refills en's quota; exact long rounds, md5
+    * membership.
+    */
+  private val waterFillQ: Q = (s, dir) =>
+    Sampling.waterFillMix(Tables.documents(s, dir), "doc_id", "lang",
+      targetPpm = 800000L, hashes = Md5Family)
+
   val queries: Map[String, Q] = Map(
     "q225_rendezvous" -> rendezvousQ,
     "q227_join_size" -> joinSizeQ,
     "q228_curriculum" -> curriculumQ,
+    "q231_water_fill" -> waterFillQ,
     "q219_adjusted_rand" -> ariQ,
     "q220_mutual_info" -> miQ,
     "q221_spearman" -> spearmanQ,
@@ -622,7 +632,58 @@ object StatsQueries {
         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
         |WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  /** q231's oracle: the water-filling rounds unrolled — each round's
+    * quota is `rem // |unsat|` and newly-fitting groups saturate; a
+    * fixed 8-round unroll reaches the same fixed point the operator's
+    * early-exit loop does (extra rounds are no-ops).
+    */
+  private lazy val waterFillOracle: String = {
+    // MATERIALIZED is load-bearing: each round references the prior
+    // round three times, and DuckDB's default CTE inlining would
+    // expand the chain to 3^8 scans of the base table.
+    val rounds = (1 to 8).map { i =>
+      s"""q$i AS MATERIALIZED (SELECT CASE WHEN
+        |    (SELECT count(*) FROM r${i - 1} WHERE NOT sat) > 0
+        |  THEN (SELECT rem FROM b${i - 1})
+        |    // (SELECT count(*) FROM r${i - 1} WHERE NOT sat) END AS q),
+        |r$i AS MATERIALIZED (SELECT g, n,
+        |    sat OR (NOT sat AND n <= (SELECT q FROM q$i)) AS sat
+        |  FROM r${i - 1}),
+        |b$i AS MATERIALIZED (SELECT (SELECT rem FROM b${i - 1}) - coalesce(
+        |    (SELECT SUM(n) FROM r${i - 1}
+        |     WHERE NOT sat AND n <= (SELECT q FROM q$i)), 0) AS rem)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS MATERIALIZED (SELECT lang AS g, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      |r0 AS MATERIALIZED (SELECT g, n, FALSE AS sat FROM c),
+      |b0 AS MATERIALIZED (SELECT (800000 * total) // 1000000 AS rem FROM t),
+      |$rounds,
+      |qf AS (SELECT CASE WHEN
+      |    (SELECT count(*) FROM r8 WHERE NOT sat) > 0
+      |  THEN (SELECT rem FROM b8)
+      |    // (SELECT count(*) FROM r8 WHERE NOT sat) END AS q),
+      |rates AS MATERIALIZED (SELECT g, n AS n_before,
+      |    CAST(sat AS INTEGER) AS saturated,
+      |    CAST(CASE WHEN sat THEN n ELSE (SELECT q FROM qf) END AS BIGINT)
+      |      AS quota,
+      |    CAST(CASE WHEN sat THEN 1000000
+      |      ELSE ((SELECT q FROM qf) * 1000000) // n END AS BIGINT)
+      |      AS rate_ppm
+      |  FROM r8),
+      |k AS (SELECT d.lang AS g, CAST(count(*) AS BIGINT) AS n_kept
+      |  FROM documents d JOIN rates ON rates.g = d.lang
+      |  WHERE ${md5l("CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
+      |  GROUP BY 1)
+      |SELECT rates.g AS lang, rates.n_before, rates.saturated,
+      |  rates.quota, rates.rate_ppm,
+      |  coalesce(k.n_kept, 0) AS n_kept
+      |FROM rates LEFT JOIN k USING (g) ORDER BY lang""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q231_water_fill" -> waterFillOracle,
     // q227: exact Σ ca·cb join size from the two count tables; top
     // key = the (product, key) struct-max (ties to the larger key).
     "q227_join_size" ->

@@ -571,9 +571,18 @@ object TextQueries {
     TextAnalysis.zipfFit(Tables.documents(s, dir), "doc_id", "text",
       topV = 200)
 
+  /** q230: PMI collocations over the top-100 vocabulary — document-
+    * level co-occurrence pairs with ≥5 co-docs; each pair's PMI is one
+    * float expression over exact counts (no float accumulation).
+    */
+  private val pmiQ: Q = (s, dir) =>
+    TextAnalysis.pmiCollocations(Tables.documents(s, dir), "doc_id",
+      "text", topV = 100, minPairDf = 5L)
+
   val queries: Map[String, Q] = Map(
     "q179_nfc_normalize" -> nfcQ,
     "q223_zipf_fit" -> zipfQ,
+    "q230_pmi" -> pmiQ,
     "q182_top_ngram" -> topNgramQ,
     "q184_train_logistic" -> trainLogisticQ,
     "q187_quality_funnel" -> qualityFunnelQ,
@@ -857,6 +866,28 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q192_bpe_train" -> bpeTrainOracle,
+    // q230: document-presence counts exact; PMI per pair one float
+    // expression floored to nanos; (df DESC, tok) vocab cut and the
+    // binary tok_a < tok_b pair order match Spark's.
+    "q230_pmi" ->
+      """WITH dt AS (SELECT DISTINCT id, tok FROM (
+        |    SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)),
+        |vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM dt GROUP BY 1 ORDER BY df DESC, tok LIMIT 100),
+        |dv AS (SELECT dt.id, dt.tok, vocab.df
+        |  FROM dt JOIN vocab USING (tok)),
+        |tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |    a.df AS df_a, b.df AS df_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM dv a JOIN dv b ON a.id = b.id AND a.tok < b.tok
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5)
+        |SELECT tok_a, tok_b, df_a, df_b, n_ab,
+        |  ROUND(CAST(floor(ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)))
+        |    * 1000000000e0 + 0.5e0) AS BIGINT) / 1000000000e0, 6) AS pmi
+        |FROM p CROSS JOIN tot ORDER BY tok_a, tok_b""".stripMargin,
     // q223: ln(rank)/ln(count) quantize to integer micros at birth
     // (nanos would overflow the product sums); the OLS sums are exact
     // integers, slope/intercept/r2 one float expression each.

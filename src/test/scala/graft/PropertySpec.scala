@@ -636,6 +636,26 @@ class PropertySpec extends SparkSpecBase {
       ("b", "b", 1L, 1.0)), s"got $got")
   }
 
+  test("inter-arrival: hand gaps, exact Fano, degenerate users NULL") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    def ts(sec: Int) = new Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 1L), (2L, ts(10), 1L), (3L, ts(20), 1L), (4L, ts(50), 1L),
+      (5L, ts(7), 2L),
+      (6L, ts(0), 3L), (7L, ts(5), 3L))
+      .toDF("event_id", "ts", "user_id")
+    val got = Sessions.interArrival(ev, "user_id", "ts", "event_id")
+      .as[(Long, Long, Long, Option[Double], Option[Long], Option[Double])]
+      .collect().toSeq
+    // u1 gaps {10,10,30}: mean 50/3, var_s (3*1100-2500)/6 = 800/6,
+    // fano = (800/6)/(50/3) = 8 exactly
+    assert(got == Seq(
+      (1L, 4L, 3L, Some(16.666667), Some(30L), Some(8.0)),
+      (2L, 1L, 0L, None, None, None),
+      (3L, 2L, 1L, Some(5.0), Some(5L), None)), s"got $got")
+  }
+
   test("curriculum interleave: dense per-bin positions, arithmetic round-robin rank") {
     import spark.implicits._
     import graft.operators.Sampling
@@ -655,6 +675,29 @@ class PropertySpec extends SparkSpecBase {
     // the first training window (rank <= 3 slots) holds one row per bin
     val firstWave = got.filter(_._3 == 1).map(_._2).sorted
     assert(firstWave == Seq(1L, 2L, 3L), s"first wave: $got")
+  }
+
+  test("water-fill mix: small groups saturate, refilled quota reaches the big group") {
+    import spark.implicits._
+    import graft.functions.Md5Family
+    import graft.operators.Sampling
+    // a:10 b:2 c:3, budget 0.8*15 = 12 -> q=4 saturates b,c (5 rows),
+    // refill leaves a a quota of 7 -> rate 700000 ppm
+    val docs = ((1 to 10).map(i => (i.toLong, "a")) ++
+      Seq((11L, "b"), (12L, "b"), (13L, "c"), (14L, "c"), (15L, "c")))
+      .toDF("id", "g")
+    val got = Sampling.waterFillMix(docs, "id", "g", targetPpm = 800000L)
+      .as[(String, Long, Int, Long, Long, Long)].collect().toSeq
+    val expKeptA = docs.filter(col("g") === "a")
+      .filter(pmod(Md5Family.hash(col("id").cast("string")), lit(1000000L))
+        < lit(700000L)).count()
+    assert(got == Seq(("a", 10L, 0, 7L, 700000L, expKeptA),
+      ("b", 2L, 1, 2L, 1000000L, 2L),
+      ("c", 3L, 1, 3L, 1000000L, 3L)), s"got $got (expKeptA=$expKeptA)")
+    // full budget: everyone saturates
+    val all = Sampling.waterFillMix(docs, "id", "g", targetPpm = 1000000L)
+      .as[(String, Long, Int, Long, Long, Long)].collect().toSeq
+    assert(all.forall(r => r._3 == 1 && r._6 == r._2), s"got $all")
   }
 
   test("rendezvous shards: moves only land on the new shard, assignment is layout-invariant") {

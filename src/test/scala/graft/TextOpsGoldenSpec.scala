@@ -391,6 +391,22 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     assert(e0 == Seq((4L, 1L, 0.05)), s"got: $e0")
   }
 
+  test("pmi collocations: hand counts, sparse pairs cut, nano quantization") {
+    import spark.implicits._
+    // df_x = df_y = 8 over 10 docs, co-docs 6; filler pairs die at
+    // minPairDf
+    val docs = ((1 to 6).map(i => (i.toLong, s"x y f$i")) ++
+      Seq((7L, "x"), (8L, "x"), (9L, "y"), (10L, "y")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text",
+      topV = 20, minPairDf = 5L)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    val want = BigDecimal(
+      math.floor(math.log(6.0 * 10.0 / (8.0 * 8.0)) * 1e9 + 0.5) / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("x", "y", 8L, 8L, 6L, want)), s"got $got want $want")
+  }
+
   test("zipf fit: known counts reproduce the micro-quantized OLS exactly") {
     import spark.implicits._
     // token counts 8/4/2/1 -> ranks 1..4 by (count desc, token)
