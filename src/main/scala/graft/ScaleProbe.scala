@@ -99,9 +99,27 @@ object ScaleProbe {
           Similarity.farthestPointCoreset(emb, k = 8)),
         "psi_drift" -> (() => StatTests.psi(
           ev, "value", "event_type", "click", "view",
-          lo = 0.0, hi = 500.0)))
+          lo = 0.0, hi = 500.0)),
+        // third-session families: wedge-join triangles ((2k)²·N/2
+        // candidate wedges — ~linear in N at fixed k), broadcast-vocab
+        // PMI (pair work ≤ min(d,V)² per doc), the per-key EWMA
+        // recurrence (one shuffle + per-key fold), and Spearman (two
+        // single-partition rank windows — the documented global-sort
+        // cost, expected ~n log n)
+        "knn_triangles" -> (() => Similarity.knnTriangles(
+          emb, k = 5, nlists = Similarity.autoNlists(emb))),
+        "pmi_colloc" -> (() => TextAnalysis.pmiCollocations(
+          docs, "doc_id", "text", topV = 100, minPairDf = 5L)),
+        "ewma" -> (() => Resample.ewma(ev, "user_id", "ts", "value")),
+        "spearman" -> (() => StatTests.spearman(
+          docs.select(col("n_chars"),
+            size(split(col("text"), " ")).as("nt")), "n_chars", "nt")))
 
-      for ((name, f) <- ops) {
+      // SPARK_GRAFT_OPS=knn_triangles,pmi_colloc restricts the probe
+      // (targeted curve refresh without re-measuring every family)
+      val only = sys.env.get("SPARK_GRAFT_OPS")
+        .map(_.split(",").map(_.trim).toSet)
+      for ((name, f) <- ops if only.forall(_.contains(name))) {
         val dt = time(f())
         results += ((name, m, dt))
         println(f"[scale] $name%-14s x$m%-3d ${dt}%8.2f s")

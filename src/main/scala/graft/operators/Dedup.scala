@@ -243,6 +243,59 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-superset (containment) detection — the dedup blind spot a
+    * Jaccard threshold misses: a short document quoted whole inside a
+    * long one has low Jaccard |A∩B|/|A∪B| but containment |A∩B|/|A|
+    * near 1. Over the threshold-free LSH candidate pairs (the
+    * [[minhashCalibration]] surface), computes the EXACT hashed-
+    * shingle containment in both directions and keeps pairs where
+    * either side is ≥ `thresholdPpm` contained. Every ratio is one
+    * floored division of exact integers.
+    *
+    * Recall caveat (documented, not hidden): candidates still come
+    * from Jaccard-banded LSH, so a containment pair with very low
+    * Jaccard may not band-collide — this catches the quote/extract/
+    * exact-dup regime; a dedicated prefix index is the exhaustive
+    * path. Scale shape: banded equi-join moves ids, the exact overlap
+    * joins hashed shingle ids — bodies never shuffle.
+    *
+    * Output: (doc_a, doc_b, n_a, n_b, n_inter, cont_a_ppm,
+    * cont_b_ppm, jaccard_ppm), ordered by (doc_a, doc_b).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8,
+      thresholdPpm: Long = 800000L, maxBucket: Int = 1000,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, shingleK, numPerm,
+        bands, threshold = 0.0, maxBucket, hashes)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val sh = docs.select(col(idCol).as("_d"),
+        explode(array_distinct(shingles(col(textCol), shingleK))).as("_g"))
+      .select(col("_d"), hashes.hash(col("_g")).as("_gh"))
+      .distinct().localCheckpoint()
+    val sizes = sh.groupBy(col("_d")).agg(count(lit(1)).as("_n"))
+    val inter = pairs
+      .join(sh.select(col("_d").as("doc_a"), col("_gh")), Seq("doc_a"))
+      .join(sh.select(col("_d").as("doc_b"), col("_gh")),
+        Seq("doc_b", "_gh"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    pairs.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("_d").as("doc_a"), col("_n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("_d").as("doc_b"), col("_n").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("cont_a_ppm", expr("(n_inter * 1000000) div n_a"))
+      .withColumn("cont_b_ppm", expr("(n_inter * 1000000) div n_b"))
+      .withColumn("jaccard_ppm",
+        expr("(n_inter * 1000000) div (n_a + n_b - n_inter)"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm"))
+        >= thresholdPpm)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_inter",
+        "cont_a_ppm", "cont_b_ppm", "jaccard_ppm")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental (cross-corpus) MinHash-LSH join: near-duplicate pairs
     * BETWEEN a new batch and an existing corpus — the daily-ingest
     * shape: "which incoming documents duplicate something we already

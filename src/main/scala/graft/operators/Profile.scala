@@ -237,6 +237,40 @@ object Profile {
     *
     * Output: (group, n, total, gini), ordered by group.
     */
+  /** Per-group trimmed mean of an integer value column — the robust
+    * location estimate for monitoring dashboards (outlier meters,
+    * runaway docs): drop the lowest and highest ⌊n·trimPct/100⌋ rows
+    * by the total (value, id) order, average the rest. Drop counts
+    * and the kept-sum are exact integers; the mean is ONE division
+    * (trimPct < 50 guarantees ≥1 survivor per group).
+    *
+    * Scale shape: one per-group rank window (partitioned, never
+    * global) + one aggregate. Output: (group, n, n_trimmed,
+    * trimmed_mean), ordered by group.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, trimPct: Int = 5): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50, s"bad trimPct $trimPct")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("x"), col(idCol))
+    df.select(col(groupCol).as("group"), col(valueCol).cast("long").as("x"),
+        col(idCol))
+      .filter(col("x").isNotNull)
+      .withColumn("_r", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("group"))))
+      .withColumn("_cut", expr(s"_n * $trimPct div 100"))
+      .filter(col("_r") > col("_cut") && col("_r") <= col("_n") - col("_cut"))
+      .groupBy(col("group"))
+      .agg(max(col("_n")).as("n"), count(lit(1)).as("n_trimmed"),
+        sum(col("x")).as("_s"))
+      .select(col("group"), col("n"), col("n_trimmed"),
+        when(col("n_trimmed") > 0L,
+          round(col("_s").cast("double") / col("n_trimmed"), 6))
+          .as("trimmed_mean"))
+      .orderBy("group")
+  }
+
   def giniConcentration(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

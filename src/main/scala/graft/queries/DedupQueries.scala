@@ -40,6 +40,15 @@ object DedupQueries {
       hashes = Md5Family)
 
 
+  /** q232: near-superset containment over the LSH candidates — the
+    * quote/extract/exact-dup regime a Jaccard threshold misses; exact
+    * directional shingle-set ratios, ≥0.8 containment either way.
+    */
+  private val containmentQ: Q = (s, dir) =>
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      thresholdPpm = 800000L, hashes = Md5Family)
+
+
   private val simhashPairs: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", hashes = Md5Family)
 
@@ -435,9 +444,64 @@ object DedupQueries {
     "q21_minhash_lsh" -> minhashLsh,
     "q22_simhash_pairs" -> simhashPairs,
     "q23_ngram_jaccard" -> ngramJaccard,
-    "q191_minhash_calib" -> minhashCalib)
+    "q191_minhash_calib" -> minhashCalib,
+    "q232_containment" -> containmentQ)
+
+  /** The q191/q232 shared chain: Md5Family minhash bands →
+    * bucket-capped candidate pairs → exact hashed-shingle sets,
+    * sizes, and pairwise intersections. Verbatim the former q191
+    * prefix; q232 reads cand/gset/sz/iv (est prunes away unused).
+    */
+  private lazy val minhashExactSetCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+      |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+      |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+      |g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+      |h AS (SELECT doc_id, ${md5l("g")} % 1125899906842624 AS h1,
+      |    ${md5l("concat('2_', g)")} % 1125899906842624 AS h2 FROM g),
+      |mh AS (SELECT doc_id, p, min((h1 + p * h2) % 1125899906842624) AS mh
+      |  FROM h, generate_series(0, 15) AS gs(p) GROUP BY doc_id, p),
+      |bands AS (SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+      |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_str
+      |  FROM mh GROUP BY doc_id, p // 2),
+      |bh AS (SELECT doc_id, band,
+      |    ${md5l("concat(band_str, '_', band)")} AS band_hash FROM bands),
+      |capped AS (SELECT * FROM bh
+      |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 1000),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM capped a JOIN capped b
+      |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |est AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |  FROM mh a JOIN mh b ON a.p = b.p
+      |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+      |  GROUP BY 1, 2),
+      |gset AS (SELECT DISTINCT doc_id, ${md5l("g")} AS gh FROM g),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gset GROUP BY 1),
+      |iv AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM cand c JOIN gset a ON a.doc_id = c.doc_a
+      |  JOIN gset b ON b.doc_id = c.doc_b AND b.gh = a.gh GROUP BY 1, 2)"""
+      .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q232: the q191 chain's exact sets re-read for directional
+    // containment; every ratio one floored integer division.
+    "q232_containment" ->
+      s"""WITH $minhashExactSetCtes
+        |SELECT doc_a, doc_b, n_a, n_b, n_inter, cont_a_ppm, cont_b_ppm,
+        |  jaccard_ppm FROM (
+        |  SELECT c.doc_a, c.doc_b, sa.n AS n_a, sb.n AS n_b,
+        |    coalesce(iv.n_inter, 0) AS n_inter,
+        |    (coalesce(iv.n_inter, 0) * 1000000) // sa.n AS cont_a_ppm,
+        |    (coalesce(iv.n_inter, 0) * 1000000) // sb.n AS cont_b_ppm,
+        |    (coalesce(iv.n_inter, 0) * 1000000)
+        |      // (sa.n + sb.n - coalesce(iv.n_inter, 0)) AS jaccard_ppm
+        |  FROM cand c LEFT JOIN iv USING (doc_a, doc_b)
+        |  JOIN sz sa ON sa.doc_id = c.doc_a
+        |  JOIN sz sb ON sb.doc_id = c.doc_b)
+        |WHERE greatest(cont_a_ppm, cont_b_ppm) >= 800000
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q207: q106's segment CTEs (8-token windows), string segments
     // exact where Spark moves xxhash64 keys; pair arithmetic exact
     // (n(n-1)//2 within, na*nb across), unordered pairs via src <=.
@@ -464,35 +528,7 @@ object DedupQueries {
     // est_ppm = n_match·62500 exactly (16 divides 1e6), exact_ppm
     // floors one division of exact ints.
     "q191_minhash_calib" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
-        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
-        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
-        |g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
-        |h AS (SELECT doc_id, ${md5l("g")} % 1125899906842624 AS h1,
-        |    ${md5l("concat('2_', g)")} % 1125899906842624 AS h2 FROM g),
-        |mh AS (SELECT doc_id, p, min((h1 + p * h2) % 1125899906842624) AS mh
-        |  FROM h, generate_series(0, 15) AS gs(p) GROUP BY doc_id, p),
-        |bands AS (SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
-        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_str
-        |  FROM mh GROUP BY doc_id, p // 2),
-        |bh AS (SELECT doc_id, band,
-        |    ${md5l("concat(band_str, '_', band)")} AS band_hash FROM bands),
-        |capped AS (SELECT * FROM bh
-        |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 1000),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM capped a JOIN capped b
-        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-        |est AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-        |  FROM mh a JOIN mh b ON a.p = b.p
-        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
-        |  GROUP BY 1, 2),
-        |gset AS (SELECT DISTINCT doc_id, ${md5l("g")} AS gh FROM g),
-        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gset GROUP BY 1),
-        |iv AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter
-        |  FROM cand c JOIN gset a ON a.doc_id = c.doc_a
-        |  JOIN gset b ON b.doc_id = c.doc_b AND b.gh = a.gh GROUP BY 1, 2)
+      s"""WITH $minhashExactSetCtes
         |SELECT doc_a, doc_b, n_match, n_inter, n_union, est_ppm, exact_ppm,
         |  est_ppm - exact_ppm AS err_ppm FROM (
         |  SELECT e.doc_a, e.doc_b, e.n_match,

@@ -549,11 +549,19 @@ object StatsQueries {
     Sampling.waterFillMix(Tables.documents(s, dir), "doc_id", "lang",
       targetPpm = 800000L, hashes = Md5Family)
 
+  /** q233: per-language 5% trimmed mean of document length — the
+    * robust location estimate; drop counts exact, ONE division.
+    */
+  private val trimmedMeanQ: Q = (s, dir) =>
+    Profile.trimmedMean(Tables.documents(s, dir), "lang", "n_chars",
+      "doc_id", trimPct = 5)
+
   val queries: Map[String, Q] = Map(
     "q225_rendezvous" -> rendezvousQ,
     "q227_join_size" -> joinSizeQ,
     "q228_curriculum" -> curriculumQ,
     "q231_water_fill" -> waterFillQ,
+    "q233_trimmed_mean" -> trimmedMeanQ,
     "q219_adjusted_rand" -> ariQ,
     "q220_mutual_info" -> miQ,
     "q221_spearman" -> spearmanQ,
@@ -684,6 +692,20 @@ object StatsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q231_water_fill" -> waterFillOracle,
+    // q233: ⌊n·5/100⌋ dropped each side by the (value, id) order;
+    // the kept sum is exact, the mean one division.
+    "q233_trimmed_mean" ->
+      """WITH r AS (SELECT lang AS "group", CAST(n_chars AS BIGINT) AS x,
+        |    doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      AS r,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |k AS (SELECT "group", x, CAST(n AS BIGINT) AS n
+        |  FROM r WHERE r > n * 5 // 100 AND r <= n - n * 5 // 100)
+        |SELECT "group", n, CAST(count(*) AS BIGINT) AS n_trimmed,
+        |  ROUND(CAST(SUM(x) AS DOUBLE) / count(*), 6) AS trimmed_mean
+        |FROM k GROUP BY 1, 2 ORDER BY "group"""".stripMargin,
     // q227: exact Σ ca·cb join size from the two count tables; top
     // key = the (product, key) struct-max (ties to the larger key).
     "q227_join_size" ->

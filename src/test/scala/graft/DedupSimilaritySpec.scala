@@ -1089,6 +1089,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(byId(3L) == byId(4L) && byId(4L) == byId(5L), s"sinks differ: $out")
   }
 
+  test("containment: a prefix doc reads fully contained, exact dups 1e6 both ways") {
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val longer = base + " x1 x2 x3"
+    val docs = Seq((1L, base), (2L, longer), (3L, "zz yy xx qq rr"),
+      (4L, "zz yy xx qq rr")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+      numPerm = 16, bands = 16, thresholdPpm = 800000L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // (1,2): A's 10 shingles all inside B's 13 -> cont_a 1e6,
+    // cont_b 10e6/13, jaccard 10e6/13; (3,4): identical sets
+    assert(got.contains((1L, 2L, 10L, 13L, 10L,
+      1000000L, 10000000L / 13L, 10000000L / 13L)), s"got $got")
+    assert(got.contains((3L, 4L, 3L, 3L, 3L,
+      1000000L, 1000000L, 1000000L)), s"got $got")
+    assert(got.size == 2, s"unexpected extra pairs: $got")
+  }
+
   test("triangle stats: hand graph counts each triangle once at all three corners") {
     import spark.implicits._
     // square 1-2-3 with tail 3-4 and isolate 5: one triangle (1,2,3)

@@ -476,4 +476,54 @@ class PlanSpec extends SparkSpecBase {
       s"dedup grouped by raw text (body-sized shuffle):\n$plan")
     assert(plan.contains("text_key"), s"digest key missing from the plan:\n$plan")
   }
+
+  test("pmi collocations: vocabulary joins broadcast, wedge/pair joins never go cartesian") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val pmi = graft.operators.TextAnalysis.pmiCollocations(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text",
+      topV = 20, minPairDf = 2L)
+    val plan = planOf(pmi)
+    assert(!plan.contains("CartesianProduct"), s"pmi planned a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"top-V vocabulary not broadcast:\n$plan")
+    // triangles: the wedge self-join and the closing join are
+    // equi-joins off the checkpointed edge list — no cartesian, no
+    // file scan under any broadcast
+    val tri = graft.operators.Similarity.knnTriangles(
+      Tables.embeddings(spark, sf("sf0.001")), k = 3, nlists = 4)
+    val tplan = tri.queryExecution.executedPlan
+    assert(!tplan.toString.contains("CartesianProduct"),
+      s"triangles planned a cartesian:\n$tplan")
+    flattenPlan(tplan).collect {
+      case b: BroadcastExchangeExec => b
+    }.foreach { b =>
+      assert(!flattenPlan(b.child).exists(_.isInstanceOf[FileSourceScanExec]),
+        s"corpus-sized broadcast in the triangle plan:\n$b")
+    }
+  }
+
+  test("curriculum/rendezvous stay shuffle-lean: per-bin window only, rendezvous is map-side") {
+    // rendezvous: pure projection — the only exchange is the
+    // presentation orderBy's range partitioning
+    val rv = graft.operators.Sampling.rendezvousShards(
+      Tables.documents(spark, sf("sf0.001")).select("doc_id"), "doc_id", 8)
+    val rvPlan = planOf(rv)
+    val rvExchanges = "Exchange (hashpartitioning|SinglePartition)".r
+      .findAllIn(rvPlan).size
+    assert(rvExchanges == 0,
+      s"rendezvous shuffled beyond the output sort:\n$rvPlan")
+    // curriculum: exactly one hash exchange (the per-bin window);
+    // the interleave rank itself is arithmetic, not a global sort
+    val cur = graft.operators.Sampling.curriculumInterleave(
+      Tables.documents(spark, sf("sf0.001"))
+        .withColumn("bin", least(expr("n_chars div 256"), lit(9L)) + lit(1L)),
+      "doc_id", "bin", nBins = 10)
+    val curPlan = planOf(cur)
+    val curHash = "Exchange hashpartitioning\\(bin".r.findAllIn(curPlan).size
+    assert(curHash >= 1 && !curPlan.contains("CartesianProduct"),
+      s"curriculum window not partitioned by bin:\n$curPlan")
+    val globalWindows = "Window \\[row_number".r.findAllIn(curPlan).size
+    assert(globalWindows == 1, s"unexpected extra windows:\n$curPlan")
+  }
 }

@@ -107,6 +107,19 @@ class ProfileSpec extends SparkSpecBase {
     assert(got == Seq((10L, 4L, 6L, 1L, 6L, 2.4, 3L)), s"got $got")
   }
 
+  test("trimmed mean: one row cut each side at 5% of 20, tiny groups cut nothing") {
+    import spark.implicits._
+    val fix = ((1 to 20).map(v => ("big", v, v.toLong)) ++
+      Seq(("tiny", 1, 100L), ("tiny", 2, 200L), ("tiny", 3, 900L)))
+      .toDF("src", "id", "v")
+    val got = Profile.trimmedMean(fix, "src", "v", "id", trimPct = 5)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // big: drop {1} and {20} -> mean of 2..19 = 189/18 = 10.5;
+    // tiny: cut = 0 -> plain mean 400
+    assert(got == Seq(("big", 20L, 18L, 10.5), ("tiny", 3L, 3L, 400.0)),
+      s"got $got")
+  }
+
   test("gini: equal mass 0, one-holds-all (n-1)/n, hand case exact") {
     import spark.implicits._
     val fix = (Seq.fill(4)(("even", 5)) ++
