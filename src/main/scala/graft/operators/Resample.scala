@@ -192,32 +192,60 @@ object Resample {
     * whose smoothed values differ by chain position.
     */
   def ewma(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
-      alphaPpm: Long = 300000L): DataFrame = {
+      alphaPpm: Long = 300000L): DataFrame =
+    ewmaWith(df, keyCol, tsCol, valueCol, alphaPpm, state = None)
+
+  /** [[ewma]] SEEDED from persisted per-key state — the incremental/
+    * streaming form: `state` rows (keyCol, step0, s0_micro) are each
+    * key's last emitted step and smoothed value; the batch's first
+    * observation then applies the recurrence against s0 instead of
+    * self-seeding, and steps continue from step0. Feeding time-ordered
+    * batches through this is EXACTLY the one-shot fold (the q234
+    * streaming store's contract, spec-proved).
+    */
+  def ewmaWith(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alphaPpm: Long,
+      state: Option[DataFrame]): DataFrame = {
     require(alphaPpm > 0 && alphaPpm <= 1000000L,
       s"alphaPpm must be in (0, 1e6], got $alphaPpm")
     val m = lit(1000000L)
     def floorDivM(a: Column): Column =
       ((a - pmod(a, m)) / m).cast("long")
+    def step(v: Column, s: Column): Column =
+      floorDivM(lit(alphaPpm) * v + (m - lit(alphaPpm)) * s)
     val rows = df.select(col(keyCol).as("_k"),
       unix_timestamp(col(tsCol)).as("ts_sec"),
       round(col(valueCol) * lit(1e6)).cast("long").as("v_micro"))
-    val folded = rows
+    val grouped = rows
       .groupBy(col("_k"))
       .agg(array_sort(collect_list(struct(col("ts_sec"), col("v_micro"))))
         .as("_series"))
+    val seeded = state match {
+      case Some(s) => grouped.join(
+        s.select(col(keyCol).as("_k"), col("step0").as("_step0"),
+          col("s0_micro").as("_s0")), Seq("_k"), "left")
+      case None => grouped
+        .withColumn("_step0", lit(null).cast("long"))
+        .withColumn("_s0", lit(null).cast("long"))
+    }
+    val folded = seeded
       .withColumn("_out", aggregate(
         col("_series"),
         expr("CAST(array() AS ARRAY<STRUCT<ts_sec: BIGINT, v_micro: BIGINT, s_micro: BIGINT>>)"),
         (acc, x) => concat(acc, array(struct(
           x.getField("ts_sec").as("ts_sec"),
           x.getField("v_micro").as("v_micro"),
-          when(size(acc) === 0, x.getField("v_micro"))
-            .otherwise(floorDivM(lit(alphaPpm) * x.getField("v_micro")
-              + (m - lit(alphaPpm))
-                * element_at(acc, -1).getField("s_micro")))
+          when(size(acc) === 0,
+            when(col("_s0").isNull, x.getField("v_micro"))
+              .otherwise(step(x.getField("v_micro"), col("_s0"))))
+            .otherwise(step(x.getField("v_micro"),
+              element_at(acc, -1).getField("s_micro")))
             .as("s_micro"))))))
-    folded.select(col("_k").as(keyCol), posexplode(col("_out")).as(Seq("_p", "_e")))
-      .select(col(keyCol), (col("_p") + 1).cast("long").as("step"),
+    folded.select(col("_k").as(keyCol), col("_step0"),
+        posexplode(col("_out")).as(Seq("_p", "_e")))
+      .select(col(keyCol),
+        (col("_p") + 1 + coalesce(col("_step0"), lit(0L))).cast("long")
+          .as("step"),
         col("_e.ts_sec").as("ts_sec"),
         col("_e.v_micro").as("v_micro"), col("_e.s_micro").as("s_micro"),
         round(col("_e.s_micro") / lit(1e6), 6).as("ewma"))

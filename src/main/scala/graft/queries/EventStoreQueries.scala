@@ -418,6 +418,33 @@ object EventStoreQueries {
       "user_id", "ts", "value", alphaPpm = 300000L)
 
 
+  /** q234: the streaming EWMA store fed three TIME-ordered slices of
+    * the same q226 stream — the seeded recurrence must chain across
+    * batch boundaries so that streamed ≡ one-shot (q226's oracle
+    * verbatim).
+    */
+  private val ewmaStoreQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).filter(col("user_id") < 50)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q234_ewma")
+    val store = scratch.toString + "/ewma"
+    val cuts = Seq(
+      col("ts") < lit("2024-01-11").cast("timestamp"),
+      col("ts") >= lit("2024-01-11").cast("timestamp")
+        && col("ts") < lit("2024-01-21").cast("timestamp"),
+      col("ts") >= lit("2024-01-21").cast("timestamp"))
+    cuts.zipWithIndex.foreach { case (cut, b) =>
+      graft.streaming.StreamingPower.ewmaStep(ev.filter(cut),
+        "user_id", "ts", "value", alphaPpm = 300000L, store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.ewmaMerge)
+    val out = graft.streaming.StreamingPower.mergedEwma(s, store, "user_id")
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
   /** q229: per-user inter-arrival burstiness profile — integer-second
     * gaps under the (ts, event_id) order, Fano factor from exact
     * Σg/Σg² sums (1 ≈ Poisson, ≫1 bursty).
@@ -800,6 +827,7 @@ object EventStoreQueries {
     "q145_resample" -> resampleQ,
     "q226_ewma" -> ewmaQ,
     "q229_interarrival" -> interArrivalQ,
+    "q234_ewma_store" -> ewmaStoreQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
     "q132_pipeline_funnel" -> pipelineFunnelQ,
     "q118_ref_integrity" -> refIntegrityQ,
@@ -824,7 +852,30 @@ object EventStoreQueries {
     "q35_tumbling_hourly" -> tumbling,
     "q36_multimodal_decode" -> multimodal)
 
+  /** q226's oracle — the recurrence as a recursive CTE; shared
+    * verbatim by q234 (streamed must equal one-shot).
+    */
+  private lazy val ewmaOracle: String =
+    """WITH RECURSIVE q AS (SELECT user_id,
+      |    epoch_us(ts)//1000000 AS ts_sec,
+      |    CAST(round(value * 1000000, 0) AS BIGINT) AS v
+      |  FROM events WHERE user_id < 50),
+      |o AS (SELECT user_id, ts_sec, v, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts_sec, v) AS i FROM q),
+      |e AS (
+      |  SELECT user_id, ts_sec, v, i, v AS s FROM o WHERE i = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.ts_sec, o.v, o.i,
+      |    (300000 * o.v + 700000 * e.s
+      |      - (((300000 * o.v + 700000 * e.s) % 1000000 + 1000000)
+      |        % 1000000)) // 1000000
+      |  FROM o JOIN e ON o.user_id = e.user_id AND o.i = e.i + 1)
+      |SELECT user_id, CAST(i AS BIGINT) AS step, ts_sec, v AS v_micro,
+      |  s AS s_micro, ROUND(s / 1000000e0, 6) AS ewma
+      |FROM e ORDER BY user_id, step""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q234_ewma_store" -> ewmaOracle,
     // q229: gaps from truncated seconds but ORDERED by the full-
     // resolution (ts, event_id) chain on both engines; Σg/Σg² exact,
     // mean and Fano one float expression each.
@@ -853,24 +904,7 @@ object EventStoreQueries {
     // q226: the linear recurrence replayed as a recursive CTE — the
     // identical integer floor step (subtract-pmod form, exact for
     // either sign), identical (ts, v) chain order.
-    "q226_ewma" ->
-      """WITH RECURSIVE q AS (SELECT user_id,
-        |    epoch_us(ts)//1000000 AS ts_sec,
-        |    CAST(round(value * 1000000, 0) AS BIGINT) AS v
-        |  FROM events WHERE user_id < 50),
-        |o AS (SELECT user_id, ts_sec, v, row_number() OVER (
-        |    PARTITION BY user_id ORDER BY ts_sec, v) AS i FROM q),
-        |e AS (
-        |  SELECT user_id, ts_sec, v, i, v AS s FROM o WHERE i = 1
-        |  UNION ALL
-        |  SELECT o.user_id, o.ts_sec, o.v, o.i,
-        |    (300000 * o.v + 700000 * e.s
-        |      - (((300000 * o.v + 700000 * e.s) % 1000000 + 1000000)
-        |        % 1000000)) // 1000000
-        |  FROM o JOIN e ON o.user_id = e.user_id AND o.i = e.i + 1)
-        |SELECT user_id, CAST(i AS BIGINT) AS step, ts_sec, v AS v_micro,
-        |  s AS s_micro, ROUND(s / 1000000e0, 6) AS ewma
-        |FROM e ORDER BY user_id, step""".stripMargin,
+    "q226_ewma" -> ewmaOracle,
     // q216: q213's oracle verbatim — the folded bin counts must
     // reproduce the one-shot index exactly.
     "q216_psi_store" -> StatsQueries.oracleSql("q213_psi"),

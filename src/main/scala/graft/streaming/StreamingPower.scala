@@ -561,6 +561,78 @@ object StreamingPower {
     graft.operators.StatTests.psiFromCounts(
       graft.engine.BatchStore.read(spark, storePath), bins)
 
+  /** One micro-batch of the streaming EWMA store: smooth the batch's
+    * rows SEEDED from each key's persisted tail (max-step row across
+    * committed batches) and append them under `batch_id=<id>` with
+    * the committed-skip guard — a retried batch id is a no-op, so
+    * the recurrence never double-applies.
+    *
+    * Contract (the sequential-fold analogue of the profile-store
+    * "batches partition the corpus" rule): micro-batches must carry
+    * each key's events in nondecreasing event-time order ACROSS
+    * batches — an ordered feed's reality. Under it, streamed output ≡
+    * the one-shot [[graft.operators.Resample.ewma]] fold exactly
+    * (StreamingSpec proves it, q234 hash-certifies it).
+    *
+    * The tail read scans committed output rows; `compactEvery`
+    * folding keeps that a single generation. Output rows are
+    * append-only facts, so the compaction merge is identity.
+    */
+  def ewmaStep(batch: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alphaPpm: Long, storePath: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    graft.engine.BatchStore.heal(spark, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    val committed = graft.engine.BatchStore.committedBatches(spark, storePath)
+    val state = if (committed.isEmpty) None else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(col("step").desc)
+      Some(graft.engine.BatchStore.read(spark, storePath)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col(keyCol), col("step").as("step0"),
+          col("s_micro").as("s0_micro")))
+    }
+    graft.operators.Resample
+      .ewmaWith(batch, keyCol, tsCol, valueCol, alphaPpm, state)
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** EWMA rows are append-only facts — compaction folds generations
+    * by concatenation (schema preserved, nothing summed).
+    */
+  val ewmaMerge: DataFrame => DataFrame = df => df
+
+  /** The EWMA loop as a streaming query over an ordered feed. */
+  def ewmaStream(rows: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alphaPpm: Long, storePath: String,
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ewmaStep(batch, keyCol, tsCol, valueCol, alphaPpm, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            ewmaMerge)
+      }
+      .start()
+
+  /** The full smoothed series across every committed batch — must
+    * render exactly like the one-shot fold over the same rows.
+    */
+  def mergedEwma(spark: SparkSession, storePath: String,
+      keyCol: String): DataFrame =
+    graft.engine.BatchStore.read(spark, storePath)
+      .select(col(keyCol), col("step"), col("ts_sec"), col("v_micro"),
+        col("s_micro"), col("ewma"))
+      .orderBy(keyCol, "step")
+
   /** One micro-batch of the streaming DSIR importance-model store:
     * the batch's per-bucket (tc, rc) token counts
     * (`Sampling.dsirBucketStats` — exact integers, the mergeable half

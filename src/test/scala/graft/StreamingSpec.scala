@@ -938,4 +938,42 @@ class StreamingSpec extends SparkSpecBase {
       "doc_id", "text", n = 24, buckets = 64).collect().toSeq == oneShot,
       "retried batch mutated the committed DSIR store")
   }
+
+  test("streaming EWMA store chains the seeded recurrence across batches == one-shot fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_ewma_store").toString + "/ewma"
+    val ckpt = Files.createTempDirectory("graft_ewma_ckpt").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val all = Seq((1L, ts(1), 10.0), (1L, ts(2), 20.0), (2L, ts(1), 4.0),
+      (1L, ts(3), 40.0), (2L, ts(4), 8.0), (1L, ts(5), 10.0))
+    // time-ordered split: the streaming contract (per-key event time
+    // never goes backwards across batches)
+    val (b1, b2) = all.partition(_._2.getTime <= ts(2).getTime)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingPower.ewmaStream(
+      ms.toDF().toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", alphaPpm = 500000L, storePath, ckpt,
+      compactEvery = 2)
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = graft.operators.Resample.ewma(
+      all.toDF("user_id", "ts", "value"), "user_id", "ts", "value",
+      alphaPpm = 500000L).collect().toSeq
+    val streamed = StreamingPower.mergedEwma(spark, storePath, "user_id")
+      .collect().toSeq
+    assert(streamed == oneShot,
+      s"streamed EWMA diverged:\n$streamed\n$oneShot")
+    // a retried (already folded) batch id is a no-op — the recurrence
+    // must not double-apply
+    StreamingPower.ewmaStep(b2.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", 500000L, storePath, batchId = 1L)
+    assert(StreamingPower.mergedEwma(spark, storePath, "user_id")
+      .collect().toSeq == oneShot,
+      "retried batch mutated the committed EWMA store")
+  }
 }
