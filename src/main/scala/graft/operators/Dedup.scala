@@ -296,6 +296,62 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** LSH banding-design report: for every candidate pair, the exact
+    * shingle Jaccard and the probability THIS banding configuration
+    * detects a pair of that similarity — P = 1 − (1 − J^rows)^bands —
+    * the number an engineer reads before trusting a threshold (pairs
+    * sitting at low detect probability are the recall risk; the
+    * S-curve's knee should sit at the intended threshold).
+    *
+    * Determinism: J is one division of exact integers; the power
+    * curve is evaluated by REPEATED SQUARING in a fixed association
+    * order mirrored exactly in the oracle (a generic `pow` is not
+    * cross-engine reproducible), then floored to nanos. Pinned to the
+    * rows=2 / bands=8 production banding for that reason.
+    *
+    * Output: (doc_a, doc_b, n_inter, n_union, exact_ppm, detect_p),
+    * ordered by (doc_a, doc_b).
+    */
+  def lshDetectionReport(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, maxBucket: Int = 1000,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val numPerm = 16
+    val bands = 8 // rows = 2: the repeated-squaring chain below
+    val pairs = minhashLshPairs(docs, idCol, textCol, shingleK, numPerm,
+        bands, threshold = 0.0, maxBucket, hashes)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val sh = docs.select(col(idCol).as("_d"),
+        explode(array_distinct(shingles(col(textCol), shingleK))).as("_g"))
+      .select(col("_d"), hashes.hash(col("_g")).as("_gh"))
+      .distinct().localCheckpoint()
+    val sizes = sh.groupBy(col("_d")).agg(count(lit(1)).as("_n"))
+    val inter = pairs
+      .join(sh.select(col("_d").as("doc_a"), col("_gh")), Seq("doc_a"))
+      .join(sh.select(col("_d").as("doc_b"), col("_gh")),
+        Seq("doc_b", "_gh"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val scored = pairs.join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("_d").as("doc_a"), col("_n").as("_na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("_d").as("doc_b"), col("_n").as("_nb")),
+        Seq("doc_b"))
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("_na") + col("_nb") - col("n_inter"))
+      .withColumn("_j",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      // x = 1 - J^2; x^8 by squaring: x2 = x*x, x4 = x2*x2, x8 = x4*x4
+      .withColumn("_x", lit(1.0) - col("_j") * col("_j"))
+      .withColumn("_x2", col("_x") * col("_x"))
+      .withColumn("_x4", col("_x2") * col("_x2"))
+      .withColumn("_det_nano", floor((lit(1.0) - col("_x4") * col("_x4"))
+        * lit(1e9) + lit(0.5)).cast("long"))
+    scored.select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("n_union"),
+        expr("(n_inter * 1000000) div n_union").as("exact_ppm"),
+        round(col("_det_nano") / lit(1e9), 6).as("detect_p"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Incremental (cross-corpus) MinHash-LSH join: near-duplicate pairs
     * BETWEEN a new batch and an existing corpus — the daily-ingest
     * shape: "which incoming documents duplicate something we already

@@ -500,6 +500,60 @@ object Sampling {
     *
     * Output: (idCol, shard, shard_next, moved), ordered by idCol.
     */
+  /** Deterministic bootstrap confidence interval for the mean of an
+    * integer column — "how sure are we of this dashboard number":
+    * B pseudo-replicas give each row a multiplier m = Bern(½)+Bern(½)
+    * (mean 1, variance ½ — the two-coin approximation of the Poisson
+    * bootstrap, from two independent md5 bits of (id, replica)), each
+    * replica's mean is ONE floored division of exact longs (nanos),
+    * and the CI is the percentile band over the B replica means.
+    * Fully deterministic: same ids → same CI, any partitioning.
+    *
+    * Scale shape: one map-side explode ×B with map-side-combined
+    * per-replica partial sums — B rows cross the wire per partition;
+    * the percentile window runs over B rows. Exact-nano means bound
+    * Σ m·x ≤ ~9·10⁹ value-mass; beyond that drop to double means.
+    *
+    * Output: one row (n_rows, b_replicas, mean, ci_lo, ci_hi).
+    */
+  def bootstrapCiMean(df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 200, alphaPct: Int = 5,
+      hashes: HashFamily = Md5Family): DataFrame = {
+    require(b >= 40 && alphaPct >= 1 && alphaPct < 50, s"bad b/alpha")
+    val rows = df.select(col(idCol).cast("string").as("_id"),
+        col(valueCol).cast("long").as("_x"))
+      .filter(col("_x").isNotNull)
+    val reps = rows
+      .select(col("_id"), col("_x"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("_m",
+        pmod(hashes.hash(concat(col("_id"), lit(":"),
+          col("rep").cast("string"), lit(":1"))), lit(2L))
+          + pmod(hashes.hash(concat(col("_id"), lit(":"),
+            col("rep").cast("string"), lit(":2"))), lit(2L)))
+      .groupBy(col("rep"))
+      .agg(sum(col("_m") * col("_x")).as("_smx"), sum(col("_m")).as("_sm"))
+      .withColumn("_mean_nano",
+        when(col("_sm") > 0L, expr("(_smx * 1000000000) div _sm")))
+      .filter(col("_mean_nano").isNotNull)
+    val wUp = Window.orderBy(col("_mean_nano"), col("rep"))
+    val wDown = Window.orderBy(col("_mean_nano").desc, col("rep").desc)
+    val ranked = reps
+      .withColumn("_r", row_number().over(wUp))
+      .withColumn("_rd", row_number().over(wDown))
+      .localCheckpoint()
+    val loRank = greatest(lit((b.toLong * alphaPct) / 200L), lit(1L))
+    val tot = rows.agg(count(lit(1)).as("n_rows"), sum(col("_x")).as("_sx"))
+    tot.crossJoin(broadcast(
+        ranked.agg(count(lit(1)).as("b_replicas"),
+          min(when(col("_r") === loRank, col("_mean_nano"))).as("_lo"),
+          min(when(col("_rd") === loRank, col("_mean_nano"))).as("_hi"))))
+      .select(col("n_rows"), col("b_replicas"),
+        round(col("_sx").cast("double") / col("n_rows"), 6).as("mean"),
+        round(col("_lo") / lit(1e9), 6).as("ci_lo"),
+        round(col("_hi") / lit(1e9), 6).as("ci_hi"))
+  }
+
   /** Uniform-target mixture solver by WATER-FILLING — the step that
     * turns "give every language an equal share of a B-row budget"
     * into per-group keep rates when some groups are too small to fill

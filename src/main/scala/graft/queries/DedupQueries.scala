@@ -49,6 +49,15 @@ object DedupQueries {
       thresholdPpm = 800000L, hashes = Md5Family)
 
 
+  /** q235: the LSH banding-design report — per candidate pair, exact
+    * Jaccard and the 16/8 banding's detection probability via a
+    * fixed repeated-squaring chain (cross-engine-exact, no pow()).
+    */
+  private val lshDesignQ: Q = (s, dir) =>
+    Dedup.lshDetectionReport(Tables.documents(s, dir), "doc_id", "text",
+      hashes = Md5Family)
+
+
   private val simhashPairs: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", hashes = Md5Family)
 
@@ -445,7 +454,8 @@ object DedupQueries {
     "q22_simhash_pairs" -> simhashPairs,
     "q23_ngram_jaccard" -> ngramJaccard,
     "q191_minhash_calib" -> minhashCalib,
-    "q232_containment" -> containmentQ)
+    "q232_containment" -> containmentQ,
+    "q235_lsh_design" -> lshDesignQ)
 
   /** The q191/q232 shared chain: Md5Family minhash bands →
     * bucket-capped candidate pairs → exact hashed-shingle sets,
@@ -485,6 +495,25 @@ object DedupQueries {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q235: the staged x2/x4 squaring chain mirrors the Spark column
+    // graph exactly — identical IEEE multiply order, nano floor.
+    "q235_lsh_design" ->
+      s"""WITH $minhashExactSetCtes,
+        |p0 AS (SELECT c.doc_a, c.doc_b, coalesce(iv.n_inter, 0) AS n_inter,
+        |    sa.n + sb.n - coalesce(iv.n_inter, 0) AS n_union
+        |  FROM cand c LEFT JOIN iv USING (doc_a, doc_b)
+        |  JOIN sz sa ON sa.doc_id = c.doc_a
+        |  JOIN sz sb ON sb.doc_id = c.doc_b),
+        |p1 AS (SELECT *, CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+        |    AS j FROM p0),
+        |p2 AS (SELECT *, 1e0 - j * j AS x FROM p1),
+        |p3 AS (SELECT *, x * x AS x2 FROM p2),
+        |p4 AS (SELECT *, x2 * x2 AS x4 FROM p3)
+        |SELECT doc_a, doc_b, n_inter, n_union,
+        |  (n_inter * 1000000) // n_union AS exact_ppm,
+        |  ROUND(CAST(floor((1e0 - x4 * x4) * 1000000000e0 + 0.5e0)
+        |    AS BIGINT) / 1000000000e0, 6) AS detect_p
+        |FROM p4 ORDER BY doc_a, doc_b""".stripMargin,
     // q232: the q191 chain's exact sets re-read for directional
     // containment; every ratio one floored integer division.
     "q232_containment" ->

@@ -556,12 +556,21 @@ object StatsQueries {
     Profile.trimmedMean(Tables.documents(s, dir), "lang", "n_chars",
       "doc_id", trimPct = 5)
 
+  /** q236: deterministic two-coin Poisson-bootstrap CI for the mean
+    * document length — per-replica means exact nanos, percentile band
+    * over 200 replicas.
+    */
+  private val bootstrapQ: Q = (s, dir) =>
+    Sampling.bootstrapCiMean(Tables.documents(s, dir), "doc_id",
+      "n_chars", b = 200, alphaPct = 5, hashes = Md5Family)
+
   val queries: Map[String, Q] = Map(
     "q225_rendezvous" -> rendezvousQ,
     "q227_join_size" -> joinSizeQ,
     "q228_curriculum" -> curriculumQ,
     "q231_water_fill" -> waterFillQ,
     "q233_trimmed_mean" -> trimmedMeanQ,
+    "q236_bootstrap_ci" -> bootstrapQ,
     "q219_adjusted_rand" -> ariQ,
     "q220_mutual_info" -> miQ,
     "q221_spearman" -> spearmanQ,
@@ -692,6 +701,37 @@ object StatsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q231_water_fill" -> waterFillOracle,
+    // q236: multipliers from two md5 bits per (id, replica); replica
+    // means exact floored nanos; CI ranks 5 / 196 of 200.
+    "q236_bootstrap_ci" ->
+      s"""WITH rws AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    CAST(n_chars AS BIGINT) AS x FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |reps AS (SELECT rep, CAST(SUM(m * x) AS BIGINT) AS smx,
+        |    CAST(SUM(m) AS BIGINT) AS sm FROM (
+        |    SELECT id, x, gs.rep,
+        |      ${md5l("concat(id, ':', CAST(gs.rep AS VARCHAR), ':1')")} % 2
+        |      + ${md5l("concat(id, ':', CAST(gs.rep AS VARCHAR), ':2')")} % 2
+        |        AS m
+        |    FROM rws CROSS JOIN
+        |      (SELECT unnest(generate_series(0, 199)) AS rep) gs)
+        |  GROUP BY 1),
+        |mn AS (SELECT rep, (smx * 1000000000) // sm AS mean_nano
+        |  FROM reps WHERE sm > 0),
+        |rk AS (SELECT rep, mean_nano,
+        |    row_number() OVER (ORDER BY mean_nano, rep) AS r,
+        |    row_number() OVER (ORDER BY mean_nano DESC, rep DESC) AS rd
+        |  FROM mn),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(x) AS BIGINT) AS sx FROM rws),
+        |ci AS (SELECT CAST(count(*) AS BIGINT) AS b_replicas,
+        |    MIN(CASE WHEN r = 5 THEN mean_nano END) AS lo,
+        |    MIN(CASE WHEN rd = 5 THEN mean_nano END) AS hi FROM rk)
+        |SELECT t.n_rows, ci.b_replicas,
+        |  ROUND(CAST(t.sx AS DOUBLE) / t.n_rows, 6) AS mean,
+        |  ROUND(lo / 1000000000e0, 6) AS ci_lo,
+        |  ROUND(hi / 1000000000e0, 6) AS ci_hi
+        |FROM t CROSS JOIN ci""".stripMargin,
     // q233: ⌊n·5/100⌋ dropped each side by the (value, id) order;
     // the kept sum is exact, the mean one division.
     "q233_trimmed_mean" ->

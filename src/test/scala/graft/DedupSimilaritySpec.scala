@@ -1108,6 +1108,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got.size == 2, s"unexpected extra pairs: $got")
   }
 
+  test("lsh design report: exact dups detect at 1.0, the prefix pair matches the squaring chain") {
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " x1 x2 x3"),
+      (3L, "zz yy xx qq rr"), (4L, "zz yy xx qq rr"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshDetectionReport(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // independent replay of the staged arithmetic for J = 10/13
+    val j = 10.0 / 13.0
+    val x = 1.0 - j * j
+    val x2 = x * x; val x4 = x2 * x2
+    val want = BigDecimal(math.floor((1.0 - x4 * x4) * 1e9 + 0.5) / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.contains((1L, 2L, 10L, 13L, 10000000L / 13L, want)),
+      s"got $got want $want")
+    assert(got.contains((3L, 4L, 3L, 3L, 1000000L, 1.0)), s"got $got")
+  }
+
   test("triangle stats: hand graph counts each triangle once at all three corners") {
     import spark.implicits._
     // square 1-2-3 with tail 3-4 and isolate 5: one triangle (1,2,3)

@@ -677,6 +677,24 @@ class PropertySpec extends SparkSpecBase {
     assert(firstWave == Seq(1L, 2L, 3L), s"first wave: $got")
   }
 
+  test("bootstrap CI: constant column collapses the band, spread straddles the mean, layout-invariant") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val const = (1L to 60L).map(i => (i, 42)).toDF("id", "v")
+    val c = Sampling.bootstrapCiMean(const, "id", "v", b = 40)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(c == ((60L, 40L, 42.0, 42.0, 42.0)), s"got $c")
+    val spread = (1L to 100L).map(i => (i, i.toInt)).toDF("id", "v")
+    val s = Sampling.bootstrapCiMean(spread, "id", "v", b = 200)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(s._1 == 100L && s._2 == 200L && s._3 == 50.5, s"got $s")
+    assert(s._4 < 50.5 && 50.5 < s._5, s"band must straddle the mean: $s")
+    assert(s._4 > 30 && s._5 < 70, s"band implausibly wide: $s")
+    val re = Sampling.bootstrapCiMean(spread.repartition(13), "id", "v",
+      b = 200).as[(Long, Long, Double, Double, Double)].collect().head
+    assert(re == s, "partitioning changed the CI")
+  }
+
   test("water-fill mix: small groups saturate, refilled quota reaches the big group") {
     import spark.implicits._
     import graft.functions.Md5Family
