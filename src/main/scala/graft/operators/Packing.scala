@@ -65,4 +65,46 @@ object Packing {
       .select(col(idCol), col("n_tokens"), col("shard_id"))
       .orderBy(idCol)
   }
+
+  /** Padding-waste report — the training-efficiency number behind
+    * length-bucketed batching: sequences batched `batchSize` at a time
+    * pad every member to the batch max, so the fraction of padded
+    * slots is pure waste. Compares the LENGTH-SORTED batching
+    * (length-bucketing's ideal) against deterministic-hash batching
+    * (the shuffled-data baseline) on identical data: the gap is what
+    * a bucketing stage buys. All counts exact; waste is ONE division.
+    *
+    * Scale note: each strategy ranks rows in one global order (the
+    * q221 single-partition-window caveat — a REPORT over sequence
+    * lengths, not a per-example pipeline stage; pre-bucket at extreme
+    * scale). Output: (strategy, n_batches, token_slots, real_tokens,
+    * waste), ordered by strategy.
+    */
+  def paddingReport(df: DataFrame, idCol: String, nTokensCol: String,
+      batchSize: Int,
+      hashes: graft.functions.HashFamily = graft.functions.Md5Family)
+      : DataFrame = {
+    require(batchSize >= 1, s"bad batchSize $batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).as("_id"),
+        col(nTokensCol).cast("long").as("_n"))
+      .filter(col("_n").isNotNull).localCheckpoint()
+    def strat(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      rows.withColumn("_r", row_number().over(Window.orderBy(order: _*)))
+        .withColumn("_b", expr(s"(_r - 1) div $batchSize"))
+        .groupBy(col("_b"))
+        .agg(count(lit(1)).as("_c"), max(col("_n")).as("_mx"),
+          sum(col("_n")).as("_tok"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("_mx") * col("_c")).as("token_slots"),
+          sum(col("_tok")).as("real_tokens"))
+        .select(lit(name).as("strategy"), col("n_batches"),
+          col("token_slots"), col("real_tokens"),
+          when(col("token_slots") > 0L,
+            round((col("token_slots") - col("real_tokens")).cast("double")
+              / col("token_slots").cast("double"), 6)).as("waste"))
+    strat("hashed", Seq(hashes.hash(col("_id").cast("string")), col("_id")))
+      .unionAll(strat("sorted", Seq(col("_n").desc, col("_id"))))
+      .orderBy("strategy")
+  }
 }

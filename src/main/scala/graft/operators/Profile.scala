@@ -237,6 +237,40 @@ object Profile {
     *
     * Output: (group, n, total, gini), ordered by group.
     */
+  /** Order-invariant table fingerprint — the dataset-versioning
+    * integrity check a 100 TB pipeline runs after a copy/compaction/
+    * migration: row hash = md5-long of the NULL-sentineled column
+    * renderings; duplicates fold into (row_hash, multiplicity) FIRST
+    * so the final bit_xor cannot cancel even-multiplicity duplicates
+    * (the naive xor-of-rows trap); the fingerprint is the xor of
+    * md5(row_hash:count) over distinct rows — identical for any
+    * partitioning, row order, or engine, different for any changed
+    * cell, dropped row, or altered duplicate count.
+    *
+    * Float columns are excluded by CONTRACT (cross-engine string
+    * rendering of doubles is not stable — the columnProfile rule).
+    *
+    * Output: one row (n_rows, n_distinct_rows, fingerprint).
+    */
+  def tableFingerprint(df: DataFrame, cols: Seq[String],
+      hashes: graft.functions.HashFamily = graft.functions.Md5Family)
+      : DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    // unit separator between columns, SOH as the NULL sentinel --
+    // single-byte identical in both engines' UTF-8 (unicode escapes
+    // per the no-literal-control-bytes rule)
+    val sep = "\u001f"
+    val rendered = cols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0001")))
+    df.select(hashes.hash(concat_ws(sep, rendered: _*)).as("_h"))
+      .groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .select(hashes.hash(concat(col("_h").cast("string"), lit(":"),
+        col("_c").cast("string"))).as("_f"), col("_c"))
+      .agg(sum(col("_c")).as("n_rows"),
+        count(lit(1)).as("n_distinct_rows"),
+        expr("bit_xor(_f)").as("fingerprint"))
+  }
+
   /** Per-group trimmed mean of an integer value column — the robust
     * location estimate for monitoring dashboards (outlier meters,
     * runaway docs): drop the lowest and highest ⌊n·trimPct/100⌋ rows

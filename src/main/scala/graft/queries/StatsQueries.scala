@@ -564,6 +564,25 @@ object StatsQueries {
     Sampling.bootstrapCiMean(Tables.documents(s, dir), "doc_id",
       "n_chars", b = 200, alphaPct = 5, hashes = Md5Family)
 
+  /** q237: padding-waste report at batch size 16 — length-sorted
+    * batching vs the hashed baseline; the gap is what a bucketing
+    * stage buys the trainer.
+    */
+  private val paddingQ: Q = (s, dir) =>
+    Packing.paddingReport(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.wsTokens(col("text"))).as("n_tok")),
+      "doc_id", "n_tok", batchSize = 16, hashes = Md5Family)
+
+  /** q238: order-invariant table fingerprint of the documents table —
+    * the copy/compaction integrity check (duplicates fold to
+    * (row_hash, count) first so xor cannot cancel them).
+    */
+  private val fingerprintQ: Q = (s, dir) =>
+    Profile.tableFingerprint(Tables.documents(s, dir),
+      Seq("doc_id", "lang", "source", "n_chars", "text"))
+
   val queries: Map[String, Q] = Map(
     "q225_rendezvous" -> rendezvousQ,
     "q227_join_size" -> joinSizeQ,
@@ -571,6 +590,8 @@ object StatsQueries {
     "q231_water_fill" -> waterFillQ,
     "q233_trimmed_mean" -> trimmedMeanQ,
     "q236_bootstrap_ci" -> bootstrapQ,
+    "q237_padding" -> paddingQ,
+    "q238_table_fingerprint" -> fingerprintQ,
     "q219_adjusted_rand" -> ariQ,
     "q220_mutual_info" -> miQ,
     "q221_spearman" -> spearmanQ,
@@ -701,6 +722,46 @@ object StatsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q231_water_fill" -> waterFillOracle,
+    // q237: both strategies rank in one total order; batch rollups
+    // are exact integers, waste one division.
+    "q237_padding" ->
+      s"""WITH rws AS (SELECT doc_id AS id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |sh AS (SELECT 'hashed' AS strategy, n, row_number() OVER (
+        |    ORDER BY ${md5l("CAST(id AS VARCHAR)")}, id) AS r FROM rws),
+        |ss AS (SELECT 'sorted' AS strategy, n, row_number() OVER (
+        |    ORDER BY n DESC, id) AS r FROM rws),
+        |u AS (SELECT * FROM sh UNION ALL SELECT * FROM ss),
+        |b AS (SELECT strategy, (r - 1) // 16 AS bt,
+        |    CAST(count(*) AS BIGINT) AS c, CAST(MAX(n) AS BIGINT) AS mx,
+        |    CAST(SUM(n) AS BIGINT) AS tok
+        |  FROM u GROUP BY 1, 2)
+        |SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        |  CAST(SUM(mx * c) AS BIGINT) AS token_slots,
+        |  CAST(SUM(tok) AS BIGINT) AS real_tokens,
+        |  CASE WHEN SUM(mx * c) > 0 THEN
+        |    ROUND(CAST(SUM(mx * c) - SUM(tok) AS DOUBLE)
+        |      / CAST(SUM(mx * c) AS DOUBLE), 6) END AS waste
+        |FROM b GROUP BY 1 ORDER BY strategy""".stripMargin,
+    // q238: duplicates fold to (row_hash, count) BEFORE the xor so
+    // even-multiplicity copies cannot cancel; chr(31)/chr(1) mirror
+    // the Spark unicode-escape separator/sentinel bytes.
+    "q238_table_fingerprint" ->
+      s"""WITH h AS (SELECT ${md5l(
+             "concat_ws(chr(31), coalesce(CAST(doc_id AS VARCHAR), chr(1)), " +
+             "coalesce(lang, chr(1)), coalesce(source, chr(1)), " +
+             "coalesce(CAST(n_chars AS VARCHAR), chr(1)), " +
+             "coalesce(text, chr(1)))")} AS h
+        |  FROM documents),
+        |c AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY 1),
+        |f AS (SELECT ${md5l(
+             "concat(CAST(h AS VARCHAR), ':', CAST(c AS VARCHAR))")} AS f, c
+        |  FROM c)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_rows,
+        |  CAST(bit_xor(f) AS BIGINT) AS fingerprint
+        |FROM f""".stripMargin,
     // q236: multipliers from two md5 bits per (id, replica); replica
     // means exact floored nanos; CI ranks 5 / 196 of 200.
     "q236_bootstrap_ci" ->

@@ -677,6 +677,45 @@ class PropertySpec extends SparkSpecBase {
     assert(firstWave == Seq(1L, 2L, 3L), s"first wave: $got")
   }
 
+  test("padding report: sorted batching hits the hand-computed waste and never loses to hashed") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val rows = (1L to 8L).map(i => (i, i.toInt)).toDF("id", "n")
+    val got = Packing.paddingReport(rows, "id", "n", batchSize = 4)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    val sorted = got.find(_._1 == "sorted").get
+    // desc batches [8,7,6,5][4,3,2,1]: slots 32+16 = 48, real 36
+    assert(sorted == (("sorted", 2L, 48L, 36L, 0.25)), s"got $sorted")
+    val hashed = got.find(_._1 == "hashed").get
+    assert(hashed._2 == 2L && hashed._4 == 36L, s"got $hashed")
+    // sorted grouping minimizes the sum of per-batch maxima
+    assert(hashed._3 >= sorted._3, s"hashed beat sorted?! $got")
+  }
+
+  test("table fingerprint: order/partition invariant, sensitive to cells and duplicate counts") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val base = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Profile.tableFingerprint(df, Seq("id", "s"))
+        .as[(Long, Long, Long)].collect().head
+    val f0 = fp(base)
+    assert(f0._1 == 3L && f0._2 == 3L)
+    assert(fp(base.repartition(7)) == f0, "partitioning changed the fingerprint")
+    assert(fp(base.orderBy(col("s").desc_nulls_last)) == f0,
+      "row order changed the fingerprint")
+    // a changed cell changes it
+    val mut = Seq((1L, "a"), (2L, "B"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    assert(fp(mut)._3 != f0._3, "cell mutation went undetected")
+    // doubling a row changes it (the naive xor would cancel a pair)
+    val dup = base.unionAll(Seq((1L, "a")).toDF("id", "s"))
+    val f2 = fp(dup.unionAll(Seq((1L, "a")).toDF("id", "s")))
+    assert(f2._1 == 5L && f2._2 == 3L && f2._3 != f0._3,
+      s"even-multiplicity duplicates cancelled: $f2 vs $f0")
+  }
+
   test("bootstrap CI: constant column collapses the band, spread straddles the mean, layout-invariant") {
     import spark.implicits._
     import graft.operators.Sampling
