@@ -46,6 +46,21 @@ object Classifier {
     * in the corpus (absent buckets have zero gradient and would stay
     * at w=0 forever).
     */
+  /** The hashed bag-of-words presence featurizer `trainLogistic`
+    * trains on and every scorer must reproduce bit-for-bit: distinct
+    * (id, hash(token) pmod buckets) pairs plus the always-on bias
+    * feature at bucket −1.
+    */
+  private[graft] def bowPresence(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int, hashes: HashFamily): DataFrame =
+    docs
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("_tok"))
+      .select(col("_id"), pmod(hashes.hash(col("_tok")), lit(buckets))
+        .cast("long").as("bucket"))
+      .distinct()
+      .union(docs.select(col(idCol).as("_id"), lit(-1L).as("bucket")))
+
   def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, buckets: Int = 64, iters: Int = 2,
       lrPpm: Long = 500000L,
@@ -53,13 +68,7 @@ object Classifier {
     require(buckets > 0 && iters >= 1 && lrPpm > 0)
     val labels = docs.select(col(idCol).as("_id"),
       col(labelCol).cast("long").as("_y")).localCheckpoint()
-    val feat = docs
-      .select(col(idCol).as("_id"),
-        explode(TextAnalysis.wsTokens(col(textCol))).as("_tok"))
-      .select(col("_id"), pmod(hashes.hash(col("_tok")), lit(buckets))
-        .cast("long").as("bucket"))
-      .distinct()
-      .union(labels.select(col("_id"), lit(-1L).as("bucket")))
+    val feat = bowPresence(docs, idCol, textCol, buckets, hashes)
       .localCheckpoint()
     val nDocs = labels.count() // one scalar, driver-side by design
 
@@ -255,6 +264,39 @@ object Classifier {
             .cast("double")
             / (lit(2L) * col("n_pos") * (col("n_items") - col("n_pos"))), 6))
           .as("auc"))
+  }
+
+  /** Margin-based active-learning selection — "which documents should
+    * a human label next": train the [[trainLogistic]] filter, score
+    * every document with the FINAL iteration's weights, and return
+    * the k documents closest to the decision boundary (smallest
+    * |margin|, ties to the smaller id). Margins are exact integer
+    * micro sums, so the selection is bit-deterministic.
+    *
+    * Scale shape: the training loop's own shape plus one scoring pass
+    * (broadcast weight table, per-doc sum) and a distributed top-k —
+    * never a global sort.
+    *
+    * Output: (rank 1..k, idCol, margin_micro), ordered by rank.
+    */
+  def boundarySelect(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, k: Int = 20, buckets: Int = 64, iters: Int = 2,
+      lrPpm: Long = 500000L,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"need k >= 1, got $k")
+    val w = trainLogistic(docs, idCol, textCol, labelCol, buckets, iters,
+        lrPpm, hashes)
+      .filter(col("iter") === iters)
+      .select(col("bucket"), col("w_micro")).localCheckpoint()
+    val margins = bowPresence(docs, idCol, textCol, buckets, hashes)
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy(col("_id")).agg(sum(col("w_micro")).as("margin_micro"))
+    margins.orderBy(abs(col("margin_micro")), col("_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("margin_micro")), col("_id"))))
+      .select(col("rank"), col("_id").as(idCol), col("margin_micro"))
+      .orderBy("rank")
   }
 
   /** Cohen's kappa for the same (true, predicted) table — chance-

@@ -579,10 +579,38 @@ object TextQueries {
     TextAnalysis.pmiCollocations(Tables.documents(s, dir), "doc_id",
       "text", topV = 100, minPairDf = 5L)
 
+  /** q239: confusion audit of the q31 language-ID heuristic against
+    * the stored labels (binarized en/unk) — the eval family applied
+    * to a real in-repo signal; every ratio one exact division.
+    */
+  private val langidEvalQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val preds = TextAnalysis.langId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("predicted_lang"))
+    val truth = docs.select(col("doc_id"),
+      when(col("lang") === "en", lit("en")).otherwise(lit("unk"))
+        .as("true_lang"))
+    Classifier.classifierEval(truth.join(preds, Seq("doc_id")),
+      "true_lang", "predicted_lang")
+  }
+
+  /** q240: margin-based active-learning pick — the 20 documents the
+    * q184-trained filter is least sure about (smallest |margin| under
+    * the final weights), the "label these next" list.
+    */
+  private val boundarySelectQ: Q = (s, dir) =>
+    Classifier.boundarySelect(
+      Tables.documents(s, dir)
+        .withColumn("y", when(col("lang") === "en", 1).otherwise(0)),
+      "doc_id", "text", "y", k = 20, buckets = 64, iters = 2,
+      lrPpm = 500000L, hashes = Md5Family)
+
   val queries: Map[String, Q] = Map(
     "q179_nfc_normalize" -> nfcQ,
     "q223_zipf_fit" -> zipfQ,
     "q230_pmi" -> pmiQ,
+    "q239_langid_eval" -> langidEvalQ,
+    "q240_boundary_select" -> boundarySelectQ,
     "q182_top_ngram" -> topNgramQ,
     "q184_train_logistic" -> trainLogisticQ,
     "q187_quality_funnel" -> qualityFunnelQ,
@@ -632,7 +660,10 @@ object TextQueries {
     * one-shot float expression floored back to micros — so both
     * engines walk the same integer weight trajectory bit-for-bit.
     */
-  private lazy val trainLogisticOracle: String = {
+  /** The q184 training chain through the iteration-2 weights `w2` —
+    * shared by q184's report and q240's boundary scoring.
+    */
+  private lazy val logisticChainCtes: String = {
     val iters = (1 to 2).map { i =>
       val p = i - 1
       s"""m$i AS (SELECT f.doc_id, CAST(SUM(w.w_micro) AS BIGINT) AS margin
@@ -659,7 +690,7 @@ object TextQueries {
          |  FROM w$p w LEFT JOIN g$i g USING (bucket) CROSS JOIN n)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH d AS (SELECT doc_id,
+    s"""d AS (SELECT doc_id,
        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
        |    string_split(text, ' ') AS t FROM documents),
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
@@ -668,14 +699,17 @@ object TextQueries {
        |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT) FROM d),
        |w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w_micro
        |       FROM feat),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private lazy val trainLogisticOracle: String =
+    s"""WITH $logisticChainCtes
        |SELECT CAST(1 AS INTEGER) AS iter, w1.bucket, w1.w_micro,
        |  mt1.loss_sum_nano, mt1.n_correct FROM w1 CROSS JOIN mt1
        |UNION ALL
        |SELECT CAST(2 AS INTEGER), w2.bucket, w2.w_micro,
        |  mt2.loss_sum_nano, mt2.n_correct FROM w2 CROSS JOIN mt2
        |ORDER BY iter, bucket""".stripMargin
-  }
 
   // Per-doc signal oracles, shared verbatim by their own entries and
   // the q177 per-source composition.
@@ -943,6 +977,59 @@ object TextQueries {
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q187_quality_funnel" -> qualityFunnelOracle,
     "q184_train_logistic" -> trainLogisticOracle,
+    // q240: one more scoring pass against w2, distributed top-20 by
+    // (|margin|, doc_id) — margins exact micro integers.
+    "q240_boundary_select" ->
+      s"""WITH $logisticChainCtes,
+        |m3 AS (SELECT f.doc_id, CAST(SUM(w.w_micro) AS BIGINT)
+        |    AS margin_micro
+        |  FROM feat f JOIN w2 w USING (bucket) GROUP BY 1),
+        |r AS (SELECT doc_id, margin_micro, row_number() OVER (
+        |    ORDER BY abs(margin_micro), doc_id) AS rank FROM m3)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, margin_micro
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // q239: the q31 heuristic chain feeding the q203 confusion rollup;
+    // classes binarized en/unk on both sides.
+    "q239_langid_eval" ->
+      """WITH tt AS (SELECT doc_id, regexp_split_to_array(text, '\s+')
+        |    AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> x IN
+        |    ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |    / len(toks) AS r
+        |FROM tt),
+        |pr AS (SELECT doc_id,
+        |    CASE WHEN r >= 0.05 THEN 'en' ELSE 'unk' END AS p FROM m),
+        |j AS (SELECT CASE WHEN d.lang = 'en' THEN 'en' ELSE 'unk' END AS t,
+        |    pr.p
+        |  FROM documents d JOIN pr USING (doc_id)),
+        |pairs AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n
+        |  FROM j GROUP BY 1, 2),
+        |nt AS (SELECT t AS class, CAST(SUM(n) AS BIGINT) AS n_true
+        |  FROM pairs GROUP BY 1),
+        |np AS (SELECT p AS class, CAST(SUM(n) AS BIGINT) AS n_pred
+        |  FROM pairs GROUP BY 1),
+        |cls AS (SELECT class FROM nt UNION SELECT class FROM np),
+        |tp AS (SELECT t AS class, n AS tp FROM pairs WHERE t = p)
+        |SELECT cls.class, coalesce(tp.tp, 0) AS tp,
+        |  coalesce(nt.n_true, 0) AS n_true,
+        |  coalesce(np.n_pred, 0) AS n_pred,
+        |  coalesce(np.n_pred, 0) - coalesce(tp.tp, 0) AS fp,
+        |  coalesce(nt.n_true, 0) - coalesce(tp.tp, 0) AS fn,
+        |  CASE WHEN coalesce(np.n_pred, 0) > 0 THEN
+        |    ROUND(CAST(coalesce(tp.tp, 0) AS DOUBLE) / np.n_pred, 6)
+        |  END AS prec,
+        |  CASE WHEN coalesce(nt.n_true, 0) > 0 THEN
+        |    ROUND(CAST(coalesce(tp.tp, 0) AS DOUBLE) / nt.n_true, 6)
+        |  END AS rec,
+        |  CASE WHEN coalesce(np.n_pred, 0) + coalesce(nt.n_true, 0) > 0 THEN
+        |    ROUND(CAST(2 * coalesce(tp.tp, 0) AS DOUBLE)
+        |      / (coalesce(np.n_pred, 0) + coalesce(nt.n_true, 0)), 6)
+        |  END AS f1
+        |FROM cls LEFT JOIN tp ON tp.class = cls.class
+        |  LEFT JOIN nt ON nt.class = cls.class
+        |  LEFT JOIN np ON np.class = cls.class
+        |ORDER BY cls.class""".stripMargin,
     // q182: the fraction is ONE division of exact integers
     // (count * chars(gram) / chars(doc)), so no float order varies;
     // top-gram ties break lexicographically in both engines.

@@ -391,6 +391,35 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     assert(e0 == Seq((4L, 1L, 0.05)), s"got: $e0")
   }
 
+  test("boundary select: dense ranks by |margin|, uncertain docs first, k respected") {
+    import spark.implicits._
+    import graft.functions.Md5Family
+    // half the docs carry the label-defining token, a few are mixed
+    val docs = (0 until 30).map { i =>
+      val y = if (i % 2 == 0) 1 else 0
+      val text = if (i < 4) "good bad good bad"
+        else if (y == 1) s"good token$i" else s"bad token$i"
+      (i.toLong, text, y)
+    }.toDF("doc_id", "text", "y")
+    val got = Classifier.boundarySelect(docs, "doc_id", "text", "y",
+      k = 5, buckets = 16, iters = 2, hashes = Md5Family)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (1 to 5), s"ranks not dense: $got")
+    val absMargins = got.map(g => math.abs(g._3))
+    assert(absMargins == absMargins.sorted, s"not by |margin|: $got")
+    // scoring must agree with the final trained weights re-applied
+    val w = Classifier.trainLogistic(docs, "doc_id", "text", "y",
+      buckets = 16, iters = 2, hashes = Md5Family)
+      .filter(col("iter") === 2).select("bucket", "w_micro")
+    val m = Classifier.bowPresence(docs, "doc_id", "text", 16, Md5Family)
+      .join(w, Seq("bucket"))
+      .groupBy("_id").agg(sum("w_micro").as("m"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (_, id, margin) =>
+      assert(m(id) == margin, s"margin mismatch for $id: $got")
+    }
+  }
+
   test("pmi collocations: hand counts, sparse pairs cut, nano quantization") {
     import spark.implicits._
     // df_x = df_y = 8 over 10 docs, co-docs 6; filler pairs die at
