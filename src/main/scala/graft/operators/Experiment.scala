@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experimentation readouts over user-level metric tables — the A/B
+  * analysis a data platform runs on hash-randomized assignments:
+  * CUPED variance reduction (Deng et al. 2013, the pre-period
+  * covariate adjustment every large experimentation platform applies)
+  * and the minimum-detectable-effect planning report.
+  *
+  * Determinism discipline: callers quantize metrics to integer units
+  * AT BIRTH (per-event, before any cross-row sum); every aggregate
+  * here is an exact integer sum, and each reported statistic is ONE
+  * float expression over those sums — partition-order and engine
+  * invariant. Exact-long headroom: Σ x_u·y_u over users must fit
+  * int64 — milli-unit quantization keeps test-scale corpora
+  * comfortable; quantize coarser at extreme scale.
+  */
+object Experiment {
+
+  /** CUPED-adjusted experiment readout. Input: one row per user with
+    * (armCol, xCol, yCol) — x the PRE-period covariate and y the
+    * experiment metric, both exact integer units. Pooled
+    * θ = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) over all users (NULL x-variance
+    * degrades to the raw readout, θ = 0), and each arm reports its raw
+    * and adjusted means: adj = (Σy_a − θ·(Σx_a − n_a·x̄))/n_a. ρ² is
+    * the theoretical variance-reduction fraction.
+    *
+    * Scale shape: one scalar aggregate over users + one per-arm
+    * aggregate; nothing user-scale crosses twice.
+    *
+    * Output: (arm, n_users, mean_y, adj_mean_y, theta, rho2),
+    * ordered by arm.
+    */
+  def cuped(metrics: DataFrame, armCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val rows = metrics.select(col(armCol).as("arm"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val tot = rows.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val arms = rows.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sxa"),
+        sum(col("y")).as("sya"))
+    val denomX = col("n").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val denomY = col("n").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val covN = col("n").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    arms.crossJoin(broadcast(tot))
+      .withColumn("_theta", when(denomX > 0.0, covN / denomX)
+        .otherwise(lit(0.0)))
+      .withColumn("_rho2", when(denomX > 0.0 && denomY > 0.0,
+        covN * covN / (denomX * denomY)).otherwise(lit(0.0)))
+      .select(col("arm"), col("n_users"),
+        round(col("sya").cast("double") / col("n_users"), 6).as("mean_y"),
+        round((col("sya").cast("double")
+          - col("_theta") * (col("sxa").cast("double")
+            - col("n_users").cast("double") * (col("sx").cast("double")
+              / col("n").cast("double"))))
+          / col("n_users"), 6).as("adj_mean_y"),
+        round(col("_theta"), 6).as("theta"),
+        round(col("_rho2"), 6).as("rho2"))
+      .orderBy("arm")
+  }
+
+  /** Minimum-detectable-effect planning report for a two-arm test on
+    * the same user-level metric: with the observed pooled sample
+    * variance s² and n users per arm (the smaller arm, conservative),
+    * MDE_abs = (z_{1−α/2} + z_{power})·√(2s²/n) at the conventional
+    * α = 5% / power = 80% (z constants are fixed literals, not a
+    * quantile function — cross-engine by construction). s² from exact
+    * integer sums, the rest one float expression.
+    *
+    * Output: one row (n_users, n_per_arm, mean_y, var_y, mde_abs,
+    * mde_rel).
+    */
+  def minimumDetectableEffect(metrics: DataFrame, armCol: String,
+      yCol: String): DataFrame = {
+    // z_{0.975} + z_{0.80} as ONE parsed literal — summing the two
+    // constants at runtime could differ from the oracle's parse by an
+    // ulp
+    val z = 2.801585
+    val rows = metrics.select(col(armCol).as("arm"),
+      col(yCol).cast("long").as("y"))
+    val tot = rows.agg(count(lit(1)).as("n_users"), sum(col("y")).as("sy"),
+      sum(col("y") * col("y")).as("syy"))
+    val minArm = rows.groupBy(col("arm")).agg(count(lit(1)).as("_na"))
+      .agg(min(col("_na")).as("n_per_arm"))
+    tot.crossJoin(broadcast(minArm))
+      .withColumn("_var", when(col("n_users") > 1L,
+        (col("n_users").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double"))
+          / (col("n_users").cast("double")
+            * (col("n_users") - 1).cast("double"))))
+      .withColumn("_mde", when(col("n_per_arm") > 0L,
+        lit(z) * sqrt(lit(2.0) * col("_var")
+          / col("n_per_arm").cast("double"))))
+      .select(col("n_users"), col("n_per_arm"),
+        round(col("sy").cast("double") / col("n_users"), 6).as("mean_y"),
+        round(col("_var"), 6).as("var_y"),
+        round(col("_mde"), 6).as("mde_abs"),
+        when(col("sy") > 0L, round(col("_mde")
+          / (col("sy").cast("double") / col("n_users").cast("double")), 6))
+          .as("mde_rel"))
+  }
+}

@@ -454,6 +454,51 @@ object EventStoreQueries {
       "event_id")
 
 
+  /** The q241/q242 user-metric table: md5-randomized arms (the way a
+    * real experiment assigns), pre-period (before Jan 16) value sums
+    * as the CUPED covariate, post-period sums as the metric — each
+    * event quantized to WHOLE integer units at birth. Units (not
+    * millis) keep the reported variance small enough that round(_, 6)
+    * stays exact in BOTH engines: DuckDB's round multiplies by 1e6
+    * internally, so a 1e11-magnitude statistic silently loses
+    * precision there.
+    */
+  private def userMetrics(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cut = lit("2024-01-16").cast("timestamp")
+    def units(c: org.apache.spark.sql.Column) =
+      sum(round(c).cast("long"))
+    val pre = ev.filter(col("ts") < cut).groupBy("user_id")
+      .agg(units(col("value")).as("x_units"))
+    val post = ev.filter(col("ts") >= cut).groupBy("user_id")
+      .agg(units(col("value")).as("y_units"))
+    ev.select("user_id").distinct()
+      .withColumn("arm",
+        when(pmod(Md5Family.hash(col("user_id").cast("string")), lit(2L))
+          === 0L, lit("A")).otherwise(lit("B")))
+      .join(pre, Seq("user_id"), "left")
+      .join(post, Seq("user_id"), "left")
+      .select(col("user_id"), col("arm"),
+        coalesce(col("x_units"), lit(0L)).as("x_units"),
+        coalesce(col("y_units"), lit(0L)).as("y_units"))
+  }
+
+  /** q241: CUPED experiment readout over the hash-randomized arms —
+    * pre-period covariate adjustment; with no real treatment the
+    * adjusted lift ≈ 0 and ρ² reports the variance reduction the
+    * covariate buys.
+    */
+  private val cupedQ: Q = (s, dir) =>
+    Experiment.cuped(userMetrics(s, dir), "arm", "x_units", "y_units")
+
+  /** q242: minimum-detectable-effect planning report on the same
+    * metric (α = 5%, power = 80%, conservative smaller arm).
+    */
+  private val mdeQ: Q = (s, dir) =>
+    Experiment.minimumDetectableEffect(userMetrics(s, dir), "arm",
+      "y_units")
+
+
   /** q146: per-user cadence/gap report from observed buckets alone —
     * expected vs present hourly buckets and the longest missing run
     * (`Resample.gapReport`; no grid materialized).
@@ -828,6 +873,8 @@ object EventStoreQueries {
     "q226_ewma" -> ewmaQ,
     "q229_interarrival" -> interArrivalQ,
     "q234_ewma_store" -> ewmaStoreQ,
+    "q241_cuped" -> cupedQ,
+    "q242_mde" -> mdeQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
     "q132_pipeline_funnel" -> pipelineFunnelQ,
     "q118_ref_integrity" -> refIntegrityQ,
@@ -874,8 +921,79 @@ object EventStoreQueries {
       |  s AS s_micro, ROUND(s / 1000000e0, 6) AS ewma
       |FROM e ORDER BY user_id, step""".stripMargin
 
+  /** The q241/q242 shared user-metric CTE (md5 arms, whole-unit sums). */
+  private lazy val userMetricCte: String =
+    s"""um AS (SELECT u.user_id,
+      |    CASE WHEN ${md5l("CAST(u.user_id AS VARCHAR)")} % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS arm,
+      |    coalesce(p.x, 0) AS x, coalesce(q.y, 0) AS y
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  LEFT JOIN (SELECT user_id,
+      |      CAST(SUM(CAST(round(value, 0) AS BIGINT)) AS BIGINT) AS x
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1) p
+      |    USING (user_id)
+      |  LEFT JOIN (SELECT user_id,
+      |      CAST(SUM(CAST(round(value, 0) AS BIGINT)) AS BIGINT) AS y
+      |    FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1) q
+      |    USING (user_id))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q234_ewma_store" -> ewmaOracle,
+    // q241: pooled theta/rho2 from exact sums, per-arm adjustment one
+    // float expression.
+    "q241_cuped" ->
+      s"""WITH $userMetricCte,
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy FROM um),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+        |  FROM um GROUP BY 1),
+        |c AS (SELECT a.arm, a.n_users, a.sxa, a.sya, t.n, t.sx,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+        |  FROM a CROSS JOIN t),
+        |th AS (SELECT *,
+        |    CASE WHEN dx > 0e0 THEN cv / dx ELSE 0e0 END AS theta,
+        |    CASE WHEN dx > 0e0 AND dy > 0e0 THEN cv * cv / (dx * dy)
+        |      ELSE 0e0 END AS rho2 FROM c)
+        |SELECT arm, n_users,
+        |  ROUND(CAST(sya AS DOUBLE) / n_users, 6) AS mean_y,
+        |  ROUND((CAST(sya AS DOUBLE) - theta * (CAST(sxa AS DOUBLE)
+        |    - CAST(n_users AS DOUBLE)
+        |      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+        |    / n_users, 6) AS adj_mean_y,
+        |  ROUND(theta, 6) AS theta, ROUND(rho2, 6) AS rho2
+        |FROM th ORDER BY arm""".stripMargin,
+    // q242: pooled sample variance exact; the z constant is one
+    // parsed literal on both engines.
+    "q242_mde" ->
+      s"""WITH $userMetricCte,
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy FROM um),
+        |ma AS (SELECT CAST(MIN(na) AS BIGINT) AS n_per_arm FROM
+        |  (SELECT arm, count(*) AS na FROM um GROUP BY 1)),
+        |v AS (SELECT *, CASE WHEN n_users > 1 THEN
+        |    (CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_users AS DOUBLE) * CAST(n_users - 1 AS DOUBLE))
+        |  END AS var_y FROM t CROSS JOIN ma),
+        |m AS (SELECT *, CASE WHEN n_per_arm > 0 THEN
+        |    2.801585e0 * sqrt(2e0 * var_y / CAST(n_per_arm AS DOUBLE))
+        |  END AS mde FROM v)
+        |SELECT n_users, n_per_arm,
+        |  ROUND(CAST(sy AS DOUBLE) / n_users, 6) AS mean_y,
+        |  ROUND(var_y, 6) AS var_y, ROUND(mde, 6) AS mde_abs,
+        |  CASE WHEN sy > 0 THEN ROUND(mde / (CAST(sy AS DOUBLE)
+        |    / CAST(n_users AS DOUBLE)), 6) END AS mde_rel
+        |FROM m""".stripMargin,
     // q229: gaps from truncated seconds but ORDERED by the full-
     // resolution (ts, event_id) chain on both engines; Σg/Σg² exact,
     // mean and Fano one float expression each.

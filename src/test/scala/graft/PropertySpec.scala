@@ -677,6 +677,38 @@ class PropertySpec extends SparkSpecBase {
     assert(firstWave == Seq(1L, 2L, 3L), s"first wave: $got")
   }
 
+  test("cuped: a fully explanatory covariate equalizes arms; zero x-variance degrades to raw") {
+    import spark.implicits._
+    import graft.operators.Experiment
+    // y = 2x exactly -> theta 2, rho2 1, both arms adjust to 50
+    val m = Seq(("A", 10L, 20L), ("A", 20L, 40L),
+      ("B", 30L, 60L), ("B", 40L, 80L)).toDF("arm", "x", "y")
+    val got = Experiment.cuped(m, "arm", "x", "y")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("A", 2L, 30.0, 50.0, 2.0, 1.0),
+      ("B", 2L, 70.0, 50.0, 2.0, 1.0)), s"got $got")
+    val flat = Seq(("A", 5L, 20L), ("A", 5L, 40L),
+      ("B", 5L, 60L), ("B", 5L, 80L)).toDF("arm", "x", "y")
+    val raw = Experiment.cuped(flat, "arm", "x", "y")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(raw == Seq(("A", 2L, 30.0, 30.0, 0.0, 0.0),
+      ("B", 2L, 70.0, 70.0, 0.0, 0.0)), s"got $raw")
+  }
+
+  test("mde: hand variance and the fixed z-constant formula") {
+    import spark.implicits._
+    import graft.operators.Experiment
+    val m = Seq(("A", 0L), ("A", 2L), ("B", 0L), ("B", 2L)).toDF("arm", "y")
+    val got = Experiment.minimumDetectableEffect(m, "arm", "y")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val varY = (4.0 * 8.0 - 16.0) / (4.0 * 3.0)
+    val mde = 2.801585 * math.sqrt(2.0 * varY / 2.0)
+    assert(got == ((4L, 2L, 1.0, r6(varY), r6(mde), r6(mde / 1.0))),
+      s"got $got want ${r6(mde)}")
+  }
+
   test("padding report: sorted batching hits the hand-computed waste and never loses to hashed") {
     import spark.implicits._
     import graft.operators.Packing
