@@ -68,6 +68,34 @@ object Experiment {
       .orderBy("arm")
   }
 
+  /** Sample-ratio-mismatch check — the first thing a trustworthy
+    * experiment platform validates: are the arm sizes consistent with
+    * the intended uniform split? Chi-square goodness-of-fit against
+    * equal allocation: Σ_arms (o·k − N)²/(N·k), each term ONE float
+    * expression over exact integer counts floored to nanos at birth
+    * (the [[StatTests.chiSquare]] discipline), dof = k − 1. A large
+    * value means the assignment or logging pipeline is dropping one
+    * arm's traffic and every downstream readout is suspect.
+    *
+    * Output: one row (n_items, n_arms, dof, chi2).
+    */
+  def srmCheck(metrics: DataFrame, armCol: String): DataFrame = {
+    val arms = metrics.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("o")).localCheckpoint()
+    val tot = arms.agg(sum(col("o")).as("n"), count(lit(1)).as("k"))
+    arms.crossJoin(broadcast(tot))
+      .withColumn("_t_nano", floor(
+        ((col("o") * col("k") - col("n")).cast("double")
+          * (col("o") * col("k") - col("n")).cast("double")
+          / (col("n") * col("k")).cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("n"), col("k"))
+      .agg(sum(col("_t_nano")).as("_sn"))
+      .select(col("n").as("n_items"), col("k").as("n_arms"),
+        (col("k") - 1).as("dof"),
+        round(col("_sn").cast("double") / lit(1e9), 6).as("chi2"))
+  }
+
   /** Minimum-detectable-effect planning report for a two-arm test on
     * the same user-level metric: with the observed pooled sample
     * variance s² and n users per arm (the smaller arm, conservative),

@@ -183,6 +183,77 @@ object Sessions {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Top event paths — the most common `len`-step type sequences
+    * under the deterministic per-user (ts, id) order (the "how do
+    * users actually move" mining behind funnel design): sliding
+    * windows of consecutive types, exact counts, distributed top-k
+    * on (count DESC, path). Paths are rendered `a>b>c`.
+    *
+    * Scale shape: `len−1` leads off ONE per-user sort window, a
+    * map-side-combined path count, and a TakeOrdered top-k — no
+    * global sort. Output: (rank, path, n), ordered by rank.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, len: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(len >= 2 && k >= 1, s"bad len/k: $len/$k")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val steps = (1 until len).foldLeft(
+      events.select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("_t0"))) { (d, i) =>
+      d.withColumn(s"_t$i", lead(col("_t0"), i).over(w))
+    }
+    val path = concat_ws(">",
+      (0 until len).map(i => col(s"_t$i")): _*)
+    val counted = steps
+      .filter((1 until len).map(i => col(s"_t$i").isNotNull)
+        .reduce(_ && _))
+      .select(path.as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+    counted.withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))).cast("int"))
+      .select(col("rank"), col("path"), col("n"))
+      .orderBy("rank")
+  }
+
+  /** Per-group daily-volume trend — the feed-health drift monitor:
+    * one row per group with the OLS slope of daily counts over the
+    * epoch-day index. Day indexes and counts are native integers, so
+    * every OLS sum is exact with NO quantization; the slope and
+    * per-day mean are one float expression each. NULL slope for
+    * single-day groups.
+    *
+    * Scale shape: one (group, day) count aggregate (map-side
+    * combined), then a per-group fold over ≤days rows.
+    *
+    * Output: (group, n_days, n_events, mean_per_day, slope_per_day),
+    * ordered by group.
+    */
+  def volumeTrend(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events.select(col(groupCol).as("group"),
+        expr(s"unix_timestamp(date_trunc('DAY', $tsCol)) div 86400")
+          .as("d"))
+      .groupBy(col("group"), col("d")).agg(count(lit(1)).as("c"))
+    daily.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"),
+        sum(col("d")).as("_sd"), sum(col("c") * col("d")).as("_sdc"),
+        sum(col("d") * col("d")).as("_sdd"))
+      .select(col("group"), col("n_days"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_days"), 6)
+          .as("mean_per_day"),
+        when(col("n_days").cast("double") * col("_sdd").cast("double")
+          - col("_sd").cast("double") * col("_sd").cast("double") > 0.0,
+          round((col("n_days").cast("double") * col("_sdc").cast("double")
+            - col("_sd").cast("double") * col("n_events").cast("double"))
+            / (col("n_days").cast("double") * col("_sdd").cast("double")
+              - col("_sd").cast("double") * col("_sd").cast("double")), 6))
+          .as("slope_per_day"))
+      .orderBy("group")
+  }
+
   /** Inter-arrival burstiness profile per key — the cadence-health
     * summary a feed monitor reads: gaps between consecutive events in
     * integer seconds under the deterministic (ts, id) order, rolled

@@ -499,6 +499,26 @@ object EventStoreQueries {
       "y_units")
 
 
+  /** q243: sample-ratio-mismatch check over the q241 arms — chi-square
+    * against the intended uniform split; large = broken assignment.
+    */
+  private val srmQ: Q = (s, dir) =>
+    Experiment.srmCheck(userMetrics(s, dir), "arm")
+
+  /** q244: top 3-step event paths under the per-user (ts, id) order —
+    * how users actually move; distributed top-20.
+    */
+  private val pathsQ: Q = (s, dir) =>
+    Sessions.topPaths(Tables.events(s, dir), "user_id", "ts", "event_id",
+      "event_type", len = 3, k = 20)
+
+  /** q245: per-type daily-volume trend — native-integer OLS slope over
+    * epoch days, the feed-health drift monitor.
+    */
+  private val volumeTrendQ: Q = (s, dir) =>
+    Sessions.volumeTrend(Tables.events(s, dir), "event_type", "ts")
+
+
   /** q146: per-user cadence/gap report from observed buckets alone —
     * expected vs present hourly buckets and the longest missing run
     * (`Resample.gapReport`; no grid materialized).
@@ -875,6 +895,9 @@ object EventStoreQueries {
     "q234_ewma_store" -> ewmaStoreQ,
     "q241_cuped" -> cupedQ,
     "q242_mde" -> mdeQ,
+    "q243_srm" -> srmQ,
+    "q244_event_paths" -> pathsQ,
+    "q245_volume_trend" -> volumeTrendQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
     "q132_pipeline_funnel" -> pipelineFunnelQ,
     "q118_ref_integrity" -> refIntegrityQ,
@@ -939,6 +962,60 @@ object EventStoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q234_ewma_store" -> ewmaOracle,
+    // q243: per-arm GOF term (o·k − N)²/(N·k) nano-floored over exact
+    // counts.
+    "q243_srm" ->
+      s"""WITH $userMetricCte,
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS o FROM um GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k FROM a),
+        |s AS (SELECT n, k, CAST(floor(
+        |    (CAST(o * k - n AS DOUBLE) * CAST(o * k - n AS DOUBLE)
+        |      / CAST(n * k AS DOUBLE)) * 1000000000e0 + 0.5e0) AS BIGINT)
+        |    AS tn
+        |  FROM a CROSS JOIN t)
+        |SELECT n AS n_items, k AS n_arms, k - 1 AS dof,
+        |  ROUND(CAST(SUM(tn) AS BIGINT) / 1000000000e0, 6) AS chi2
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    // q244: two leads off one per-user window, exact path counts,
+    // top-20 on (n DESC, path).
+    "q244_event_paths" ->
+      """WITH s AS (SELECT event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT concat(event_type, '>', t1, '>', t2) AS path,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL GROUP BY 1),
+        |r AS (SELECT path, n,
+        |    row_number() OVER (ORDER BY n DESC, path) AS rank FROM p)
+        |SELECT CAST(rank AS INTEGER) AS rank, path, n
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // q245: epoch-day indexes and counts are native integers — the
+    // OLS sums are exact with no quantization at all.
+    "q245_volume_trend" ->
+      """WITH dd AS (SELECT event_type AS "group",
+        |    epoch_us(date_trunc('day', ts))//1000000//86400 AS d
+        |  FROM events),
+        |c AS (SELECT "group", d, CAST(count(*) AS BIGINT) AS c
+        |  FROM dd GROUP BY 1, 2),
+        |a AS (SELECT "group", CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS n_events,
+        |    CAST(SUM(d) AS BIGINT) AS sd,
+        |    CAST(SUM(c * d) AS BIGINT) AS sdc,
+        |    CAST(SUM(d * d) AS BIGINT) AS sdd
+        |  FROM c GROUP BY 1)
+        |SELECT "group", n_days, n_events,
+        |  ROUND(CAST(n_events AS DOUBLE) / n_days, 6) AS mean_per_day,
+        |  CASE WHEN CAST(n_days AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) > 0e0 THEN
+        |    ROUND((CAST(n_days AS DOUBLE) * CAST(sdc AS DOUBLE)
+        |      - CAST(sd AS DOUBLE) * CAST(n_events AS DOUBLE))
+        |      / (CAST(n_days AS DOUBLE) * CAST(sdd AS DOUBLE)
+        |        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)), 6)
+        |  END AS slope_per_day
+        |FROM a ORDER BY "group"""".stripMargin,
     // q241: pooled theta/rho2 from exact sums, per-arm adjustment one
     // float expression.
     "q241_cuped" ->

@@ -677,6 +677,48 @@ class PropertySpec extends SparkSpecBase {
     assert(firstWave == Seq(1L, 2L, 3L), s"first wave: $got")
   }
 
+  test("srm: balanced arms score 0, an 8/2 split scores the closed form 3.6") {
+    import spark.implicits._
+    import graft.operators.Experiment
+    val even = (Seq.fill(5)("A") ++ Seq.fill(5)("B")).toDF("arm")
+    assert(Experiment.srmCheck(even, "arm")
+      .as[(Long, Long, Long, Double)].collect().toSeq ==
+      Seq((10L, 2L, 1L, 0.0)))
+    // (8*2-10)^2/20 + (2*2-10)^2/20 = 1.8 + 1.8
+    val skewed = (Seq.fill(8)("A") ++ Seq.fill(2)("B")).toDF("arm")
+    assert(Experiment.srmCheck(skewed, "arm")
+      .as[(Long, Long, Long, Double)].collect().toSeq ==
+      Seq((10L, 2L, 1L, 3.6)))
+  }
+
+  test("top paths: sliding windows under (ts, id) order, exact counts, rank ties on path") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 1L, "a"), (2L, ts(2), 1L, "b"), (3L, ts(3), 1L, "c"),
+      (4L, ts(4), 1L, "d"),
+      (5L, ts(1), 2L, "a"), (6L, ts(2), 2L, "b"), (7L, ts(3), 2L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Sessions.topPaths(ev, "user_id", "ts", "event_id",
+      "event_type", len = 3, k = 10)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a>b>c", 2L), (2, "b>c>d", 1L)), s"got $got")
+  }
+
+  test("volume trend: linear daily growth reports the exact slope") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    def ts(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-${10 + day}%02d 0$i:00:00")
+    val ev = ((1 to 2).map(i => ("click", ts(0, i))) ++
+      (1 to 4).map(i => ("click", ts(1, i))) ++
+      (1 to 6).map(i => ("click", ts(2, i)))).toDF("event_type", "ts")
+    val got = Sessions.volumeTrend(ev, "event_type", "ts")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("click", 3L, 12L, 4.0, 2.0)), s"got $got")
+  }
+
   test("cuped: a fully explanatory covariate equalizes arms; zero x-variance degrades to raw") {
     import spark.implicits._
     import graft.operators.Experiment
