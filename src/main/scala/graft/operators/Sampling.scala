@@ -554,6 +554,59 @@ object Sampling {
         round(col("_hi") / lit(1e9), 6).as("ci_hi"))
   }
 
+  /** Neyman (optimal) allocation of a fixed sampling budget across
+    * strata — minimum-variance stratified sampling: n_h ∝ N_h·s_h
+    * (big, high-variance strata get the samples). Weights are one
+    * float expression over exact sums quantized to NANOS at birth;
+    * the proportional split is exact integer arithmetic with
+    * largest-remainder rounding (ties to the lexicographically
+    * smaller stratum), so Σ alloc = budget exactly. Allocations may
+    * exceed a stratum's size (the textbook caveat) — capping and
+    * refilling is [[waterFillMix]]'s job; the raw optimum is reported
+    * with a capped flag.
+    *
+    * Single-row strata have undefined s_h → weight 0 (documented).
+    * Scale shape: one stratum aggregate + windows over |strata| rows.
+    *
+    * Output: (group, n_rows, sd, weight_nano, alloc, capped),
+    * ordered by group.
+    */
+  def neymanAllocation(df: DataFrame, groupCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"bad budget $budget")
+    val stats = df.select(col(groupCol).as("group"),
+        col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("_sd", when(col("n") > 1L,
+        sqrt((col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+          / (col("n").cast("double") * (col("n") - 1).cast("double")))))
+      .withColumn("weight_nano", coalesce(
+        floor(col("n").cast("double") * col("_sd") * lit(1e9) + lit(0.5))
+          .cast("long"), lit(0L)))
+      .localCheckpoint()
+    val tot = stats.agg(sum(col("weight_nano")).as("_w"))
+    val base = stats.crossJoin(broadcast(tot))
+      .withColumn("_alloc0", when(col("_w") > 0L,
+        expr(s"(weight_nano * ${budget}L) div _w")).otherwise(lit(0L)))
+      .withColumn("_rem", when(col("_w") > 0L,
+        expr(s"(weight_nano * ${budget}L) % _w")).otherwise(lit(0L)))
+    val wRem = Window.orderBy(col("_rem").desc, col("group"))
+    val leftover = base.agg((lit(budget) -
+      coalesce(sum(col("_alloc0")), lit(0L))).as("_left"))
+    base.crossJoin(broadcast(leftover))
+      .withColumn("_rr", row_number().over(wRem))
+      .withColumn("alloc", col("_alloc0")
+        + when(col("_rr") <= col("_left"), 1L).otherwise(0L))
+      .select(col("group"), col("n").as("n_rows"),
+        round(col("_sd"), 6).as("sd"), col("weight_nano"),
+        col("alloc"), (col("alloc") > col("n")).cast("int").as("capped"))
+      .orderBy("group")
+  }
+
   /** Uniform-target mixture solver by WATER-FILLING — the step that
     * turns "give every language an equal share of a B-row budget"
     * into per-group keep rates when some groups are too small to fill

@@ -583,7 +583,16 @@ object StatsQueries {
     Profile.tableFingerprint(Tables.documents(s, dir),
       Seq("doc_id", "lang", "source", "n_chars", "text"))
 
+  /** q246: Neyman allocation of a 100-doc audit budget across
+    * language strata — n_h ∝ N_h·s_h with exact largest-remainder
+    * rounding (Σ alloc = budget exactly).
+    */
+  private val neymanQ: Q = (s, dir) =>
+    Sampling.neymanAllocation(Tables.documents(s, dir), "lang", "n_chars",
+      budget = 100L)
+
   val queries: Map[String, Q] = Map(
+    "q246_neyman" -> neymanQ,
     "q225_rendezvous" -> rendezvousQ,
     "q227_join_size" -> joinSizeQ,
     "q228_curriculum" -> curriculumQ,
@@ -722,6 +731,38 @@ object StatsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q231_water_fill" -> waterFillOracle,
+    // q246: weights nano-quantized at birth; the proportional split
+    // and largest-remainder rounding are exact integer arithmetic.
+    "q246_neyman" ->
+      """WITH st AS (SELECT lang AS "group", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |w AS (SELECT *, CASE WHEN n > 1 THEN
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) END AS sd
+        |  FROM st),
+        |wn AS (SELECT *, coalesce(CAST(floor(CAST(n AS DOUBLE) * sd
+        |    * 1000000000e0 + 0.5e0) AS BIGINT), 0) AS weight_nano
+        |  FROM w),
+        |t AS (SELECT CAST(SUM(weight_nano) AS BIGINT) AS wtot FROM wn),
+        |b AS (SELECT *, CASE WHEN wtot > 0
+        |      THEN (weight_nano * 100) // wtot ELSE 0 END AS a0,
+        |    CASE WHEN wtot > 0
+        |      THEN (weight_nano * 100) % wtot ELSE 0 END AS rem
+        |  FROM wn CROSS JOIN t),
+        |l AS (SELECT 100 - coalesce(SUM(a0), 0) AS lft FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, "group")
+        |    AS rr FROM b),
+        |f AS (SELECT "group", n, sd, weight_nano,
+        |    a0 + CASE WHEN rr <= (SELECT lft FROM l) THEN 1 ELSE 0 END
+        |      AS alloc
+        |  FROM r)
+        |SELECT "group", n AS n_rows, ROUND(sd, 6) AS sd, weight_nano,
+        |  CAST(alloc AS BIGINT) AS alloc,
+        |  CAST(alloc > n AS INTEGER) AS capped
+        |FROM f ORDER BY "group"""".stripMargin,
     // q237: both strategies rank in one total order; batch rollups
     // are exact integers, waste one division.
     "q237_padding" ->

@@ -677,6 +677,24 @@ class PropertySpec extends SparkSpecBase {
     assert(firstWave == Seq(1L, 2L, 3L), s"first wave: $got")
   }
 
+  test("neyman allocation: weights track N·sd, largest remainder spends the budget exactly") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // a: 4 rows sd 0 -> weight 0; b: high variance; c: low variance
+    val rows = (Seq.fill(4)(("a", 10)) ++
+      Seq(("b", 0), ("b", 100), ("b", 0), ("b", 100)) ++
+      Seq(("c", 50), ("c", 52), ("c", 50), ("c", 52))).toDF("g", "v")
+    val got = Sampling.neymanAllocation(rows, "g", "v", budget = 10L)
+      .as[(String, Long, Double, Long, Long, Int)].collect().toSeq
+    assert(got.map(_._5).sum == 10L, s"budget not spent exactly: $got")
+    val byG = got.map(r => r._1 -> r).toMap
+    assert(byG("a")._4 == 0L && byG("a")._5 == 0L, s"zero-sd stratum: $got")
+    assert(byG("b")._5 > byG("c")._5, s"variance ordering: $got")
+    // b's sd = 57.735027 (sample sd of {0,100,0,100}); weight 4x that
+    assert(byG("b")._3 == 57.735027, s"sd: $got")
+    assert(byG("b")._4 == 230940107676L, s"weight: $got")
+  }
+
   test("srm: balanced arms score 0, an 8/2 split scores the closed form 3.6") {
     import spark.implicits._
     import graft.operators.Experiment
