@@ -114,4 +114,48 @@ object Fuzzy {
     // the raw candidates — pay the dedup shuffle.
     pairsLong.unionByName(pairsShort).distinct()
   }
+
+  /** Blocking-scheme audit for a record-linkage / fuzzy join — the
+    * planning probe run BEFORE choosing a blocking key: for each
+    * scheme, the candidate-pair mass Σ_blocks C(n_b, 2) computed from
+    * block-size counts alone (the pairs themselves never
+    * materialize), the hottest block, and the reduction vs the
+    * unblocked C(N, 2). All counts exact; the two ratios are one
+    * float expression each.
+    *
+    * Schemes audited: `first_token` (lowercased), `len_bucket`
+    * (length div 16), `prefix4` (lowercased 4-char prefix) — the
+    * classic cheap keys.
+    *
+    * Output: (scheme, n_blocks, max_block, cand_pairs,
+    * reduction, max_block_share), ordered by scheme.
+    */
+  def blockingAudit(df: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val s = col(strCol)
+    val schemes: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "first_token" -> lower(element_at(split(s, " "), 1)),
+      "len_bucket" -> expr(s"length($strCol) div 16").cast("string"),
+      "prefix4" -> lower(substring(s, 1, 4)))
+    val tot = df.agg(count(lit(1)).as("_n"))
+    schemes.map { case (name, key) =>
+      df.select(key.as("_k"))
+        .groupBy(col("_k")).agg(count(lit(1)).as("_c"))
+        .agg(count(lit(1)).as("n_blocks"),
+          max(col("_c")).as("max_block"),
+          coalesce(sum(expr("_c * (_c - 1) div 2")), lit(0L))
+            .as("cand_pairs"))
+        .crossJoin(broadcast(tot))
+        .select(lit(name).as("scheme"), col("n_blocks"), col("max_block"),
+          col("cand_pairs"),
+          when(col("_n") > 1L, round(lit(1.0)
+            - col("cand_pairs").cast("double")
+              / expr("(_n * (_n - 1) div 2)").cast("double"), 6))
+            .as("reduction"),
+          when(col("cand_pairs") > 0L,
+            round(expr("(max_block * (max_block - 1) div 2)")
+              .cast("double") / col("cand_pairs").cast("double"), 6))
+            .as("max_block_share"))
+    }.reduce(_ unionAll _).orderBy("scheme")
+  }
 }

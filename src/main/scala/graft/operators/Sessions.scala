@@ -232,11 +232,27 @@ object Sessions {
     * ordered by group.
     */
   def volumeTrend(events: DataFrame, groupCol: String,
-      tsCol: String): DataFrame = {
-    val daily = events.select(col(groupCol).as("group"),
+      tsCol: String): DataFrame =
+    trendFromDaily(dailyCounts(events, groupCol, tsCol))
+
+  /** The mergeable half of [[volumeTrend]]: per-(group, epoch-day)
+    * exact counts — rows fold across any disjoint event split (the
+    * streaming-store shape; `StreamingPower.trendStep` persists them
+    * per micro-batch).
+    */
+  def dailyCounts(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame =
+    events.select(col(groupCol).as("group"),
         expr(s"unix_timestamp(date_trunc('DAY', $tsCol)) div 86400")
           .as("d"))
       .groupBy(col("group"), col("d")).agg(count(lit(1)).as("c"))
+
+  /** The report half of [[volumeTrend]]: fold daily-count rows, then
+    * the native-integer OLS.
+    */
+  def trendFromDaily(dailyCounts: DataFrame): DataFrame = {
+    val daily = dailyCounts.groupBy(col("group"), col("d"))
+      .agg(sum(col("c")).as("c"))
     daily.groupBy(col("group"))
       .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"),
         sum(col("d")).as("_sd"), sum(col("c") * col("d")).as("_sdc"),

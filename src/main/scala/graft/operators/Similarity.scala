@@ -412,6 +412,27 @@ object Similarity {
       .select(col("node"), col("nbr"), col("cos_ppm"))
   }
 
+  /** IVF list-balance report — is the ⌈√N⌉ seeded routing keeping
+    * lists balanced enough to bound within-list pair work and probe
+    * latency? One row: exact list-size extremes, the exact within-
+    * list pair mass Σ C(n_l, 2) (what SemDeDup / kNN-graph / DBSCAN
+    * builds actually pay), and the imbalance factor max·L/N (1 =
+    * perfectly even; the straggler multiplier at scale).
+    *
+    * Output: one row (n_vecs, n_lists_used, min_list, max_list,
+    * sum_pairs, imbalance).
+    */
+  def listBalanceReport(embeddings: DataFrame, nlists: Int): DataFrame =
+    ivfAssignments(embeddings, nlists)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_vecs"), count(lit(1)).as("n_lists_used"),
+        min(col("n")).as("min_list"), max(col("n")).as("max_list"),
+        sum(expr("n * (n - 1) div 2")).as("sum_pairs"))
+      .select(col("n_vecs"), col("n_lists_used"), col("min_list"),
+        col("max_list"), col("sum_pairs"),
+        round(col("max_list").cast("double") * col("n_lists_used")
+          / col("n_vecs").cast("double"), 6).as("imbalance"))
+
   /** PageRank over the within-list kNN similarity graph — the
     * graph-centrality data-selection signal: vectors many neighbors
     * point at are "representative" of their region; low-rank vectors

@@ -59,6 +59,16 @@ object AnnQueries {
   }
 
 
+  /** q249: IVF list-balance report at the ⌈√N⌉ routing — exact
+    * within-list pair mass and the max·L/N straggler factor; the
+    * rebuild-advisor number next to q199's silhouette.
+    */
+  private val listBalanceQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.listBalanceReport(emb, nlists = Similarity.autoNlists(emb))
+  }
+
+
   /** q199: centroid-based silhouette per IVF list — the linear
     * O(N·nlists) cluster-quality audit; ppm distances quantized at
     * birth, s = (b−a)·1e6 div max(a,b), exact per-list sums.
@@ -515,7 +525,8 @@ object AnnQueries {
     "q202_density_clusters" -> densityQ,
     "q203_knn_eval" -> knnEvalQ,
     "q204_knn_kappa" -> knnKappaQ,
-    "q224_knn_triangles" -> trianglesQ)
+    "q224_knn_triangles" -> trianglesQ,
+    "q249_list_balance" -> listBalanceQ)
 
   /** q183's oracle: the same greedy MMR unrolled as k−1 CTE steps —
     * each step's candidate scores are exact BIGINT arithmetic over the
@@ -771,10 +782,27 @@ object AnnQueries {
       |LEFT JOIN pn ON pn.vec_id = asg.vec_id
       |ORDER BY asg.vec_id""".stripMargin
 
+  /** q249's oracle: the shared seeded-routing chain's `asg`, list
+    * sizes only (the unused kNN-edge CTE prunes away).
+    */
+  private lazy val listBalanceOracle: String =
+    s"""WITH $knnGraphCtes,
+      |lc AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM asg GROUP BY 1)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_vecs,
+      |  CAST(count(*) AS BIGINT) AS n_lists_used,
+      |  CAST(MIN(n) AS BIGINT) AS min_list,
+      |  CAST(MAX(n) AS BIGINT) AS max_list,
+      |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS sum_pairs,
+      |  ROUND(CAST(MAX(n) AS DOUBLE) * count(*)
+      |    / CAST(SUM(n) AS DOUBLE), 6) AS imbalance
+      |FROM lc""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q198_knn_pagerank" -> pagerankOracle,
     "q201_coreset" -> coresetOracle,
     "q224_knn_triangles" -> trianglesOracle,
+    "q249_list_balance" -> listBalanceOracle,
     // q203: per-class one-vs-rest counts off the vote chain; F1 from
     // integers (2tp / (2tp+fp+fn)), never from the rounded p and r.
     "q203_knn_eval" ->

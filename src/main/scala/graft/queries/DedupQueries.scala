@@ -49,6 +49,14 @@ object DedupQueries {
       thresholdPpm = 800000L, hashes = Md5Family)
 
 
+  /** q248: blocking-scheme audit for record linkage over documents —
+    * candidate-pair mass per cheap key, computed from block sizes
+    * alone (no pairs materialize).
+    */
+  private val blockingQ: Q = (s, dir) =>
+    Fuzzy.blockingAudit(Tables.documents(s, dir), "doc_id", "text")
+
+
   /** q235: the LSH banding-design report — per candidate pair, exact
     * Jaccard and the 16/8 banding's detection probability via a
     * fixed repeated-squaring chain (cross-engine-exact, no pow()).
@@ -455,7 +463,8 @@ object DedupQueries {
     "q23_ngram_jaccard" -> ngramJaccard,
     "q191_minhash_calib" -> minhashCalib,
     "q232_containment" -> containmentQ,
-    "q235_lsh_design" -> lshDesignQ)
+    "q235_lsh_design" -> lshDesignQ,
+    "q248_blocking" -> blockingQ)
 
   /** The q191/q232 shared chain: Md5Family minhash bands →
     * bucket-capped candidate pairs → exact hashed-shingle sets,
@@ -495,6 +504,38 @@ object DedupQueries {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q248: block-size counts only; pair mass Σ C(n,2) exact, the two
+    // ratios one float expression each.
+    "q248_blocking" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ft AS (SELECT lower(string_split(text, ' ')[1]) AS k
+        |  FROM documents),
+        |lb AS (SELECT CAST(length(text) // 16 AS VARCHAR) AS k
+        |  FROM documents),
+        |p4 AS (SELECT lower(substr(text, 1, 4)) AS k FROM documents),
+        |a AS (
+        |  SELECT 'first_token' AS scheme, CAST(count(*) AS BIGINT)
+        |      AS n_blocks, CAST(MAX(c) AS BIGINT) AS max_block,
+        |    CAST(coalesce(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+        |      AS cand_pairs
+        |  FROM (SELECT k, count(*) AS c FROM ft GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'len_bucket', CAST(count(*) AS BIGINT),
+        |    CAST(MAX(c) AS BIGINT),
+        |    CAST(coalesce(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+        |  FROM (SELECT k, count(*) AS c FROM lb GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'prefix4', CAST(count(*) AS BIGINT),
+        |    CAST(MAX(c) AS BIGINT),
+        |    CAST(coalesce(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+        |  FROM (SELECT k, count(*) AS c FROM p4 GROUP BY 1))
+        |SELECT scheme, n_blocks, max_block, cand_pairs,
+        |  CASE WHEN n > 1 THEN ROUND(1e0 - CAST(cand_pairs AS DOUBLE)
+        |    / CAST(n * (n - 1) // 2 AS DOUBLE), 6) END AS reduction,
+        |  CASE WHEN cand_pairs > 0 THEN
+        |    ROUND(CAST(max_block * (max_block - 1) // 2 AS DOUBLE)
+        |      / CAST(cand_pairs AS DOUBLE), 6) END AS max_block_share
+        |FROM a CROSS JOIN n ORDER BY scheme""".stripMargin,
     // q235: the staged x2/x4 squaring chain mirrors the Spark column
     // graph exactly — identical IEEE multiply order, nano floor.
     "q235_lsh_design" ->

@@ -519,6 +519,28 @@ object EventStoreQueries {
     Sessions.volumeTrend(Tables.events(s, dir), "event_type", "ts")
 
 
+  /** q247: the streaming volume-trend store fed three disjoint slices
+    * — mergeable daily counts fold exactly, so streamed ≡ one-shot
+    * (q245's oracle verbatim).
+    */
+  private val trendStoreQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q247_trend")
+    val store = scratch.toString + "/trend"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.trendStep(
+        ev.filter(col("event_id") % 3 === b), "event_type", "ts",
+        store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.trendMerge)
+    val out = graft.streaming.StreamingPower.mergedTrend(s, store)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
   /** q146: per-user cadence/gap report from observed buckets alone —
     * expected vs present hourly buckets and the longest missing run
     * (`Resample.gapReport`; no grid materialized).
@@ -898,6 +920,7 @@ object EventStoreQueries {
     "q243_srm" -> srmQ,
     "q244_event_paths" -> pathsQ,
     "q245_volume_trend" -> volumeTrendQ,
+    "q247_trend_store" -> trendStoreQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
     "q132_pipeline_funnel" -> pipelineFunnelQ,
     "q118_ref_integrity" -> refIntegrityQ,
@@ -921,6 +944,32 @@ object EventStoreQueries {
     "q34_sessionize" -> sessionizeQ,
     "q35_tumbling_hourly" -> tumbling,
     "q36_multimodal_decode" -> multimodal)
+
+  /** q245's oracle — native-integer OLS over folded daily counts;
+    * shared verbatim by q247 (streamed must equal one-shot).
+    */
+  private lazy val oracleSqlTrend: String =
+    """WITH dd AS (SELECT event_type AS "group",
+      |    epoch_us(date_trunc('day', ts))//1000000//86400 AS d
+      |  FROM events),
+      |c AS (SELECT "group", d, CAST(count(*) AS BIGINT) AS c
+      |  FROM dd GROUP BY 1, 2),
+      |a AS (SELECT "group", CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS n_events,
+      |    CAST(SUM(d) AS BIGINT) AS sd,
+      |    CAST(SUM(c * d) AS BIGINT) AS sdc,
+      |    CAST(SUM(d * d) AS BIGINT) AS sdd
+      |  FROM c GROUP BY 1)
+      |SELECT "group", n_days, n_events,
+      |  ROUND(CAST(n_events AS DOUBLE) / n_days, 6) AS mean_per_day,
+      |  CASE WHEN CAST(n_days AS DOUBLE) * CAST(sdd AS DOUBLE)
+      |      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) > 0e0 THEN
+      |    ROUND((CAST(n_days AS DOUBLE) * CAST(sdc AS DOUBLE)
+      |      - CAST(sd AS DOUBLE) * CAST(n_events AS DOUBLE))
+      |      / (CAST(n_days AS DOUBLE) * CAST(sdd AS DOUBLE)
+      |        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)), 6)
+      |  END AS slope_per_day
+      |FROM a ORDER BY "group"""".stripMargin
 
   /** q226's oracle — the recurrence as a recursive CTE; shared
     * verbatim by q234 (streamed must equal one-shot).
@@ -962,6 +1011,9 @@ object EventStoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q234_ewma_store" -> ewmaOracle,
+    // q247: mergeable daily counts fold exactly -> streamed must
+    // equal the one-shot q245 trend verbatim.
+    "q247_trend_store" -> oracleSqlTrend,
     // q243: per-arm GOF term (o·k − N)²/(N·k) nano-floored over exact
     // counts.
     "q243_srm" ->
@@ -993,29 +1045,9 @@ object EventStoreQueries {
         |SELECT CAST(rank AS INTEGER) AS rank, path, n
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // q245: epoch-day indexes and counts are native integers — the
-    // OLS sums are exact with no quantization at all.
-    "q245_volume_trend" ->
-      """WITH dd AS (SELECT event_type AS "group",
-        |    epoch_us(date_trunc('day', ts))//1000000//86400 AS d
-        |  FROM events),
-        |c AS (SELECT "group", d, CAST(count(*) AS BIGINT) AS c
-        |  FROM dd GROUP BY 1, 2),
-        |a AS (SELECT "group", CAST(count(*) AS BIGINT) AS n_days,
-        |    CAST(SUM(c) AS BIGINT) AS n_events,
-        |    CAST(SUM(d) AS BIGINT) AS sd,
-        |    CAST(SUM(c * d) AS BIGINT) AS sdc,
-        |    CAST(SUM(d * d) AS BIGINT) AS sdd
-        |  FROM c GROUP BY 1)
-        |SELECT "group", n_days, n_events,
-        |  ROUND(CAST(n_events AS DOUBLE) / n_days, 6) AS mean_per_day,
-        |  CASE WHEN CAST(n_days AS DOUBLE) * CAST(sdd AS DOUBLE)
-        |      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) > 0e0 THEN
-        |    ROUND((CAST(n_days AS DOUBLE) * CAST(sdc AS DOUBLE)
-        |      - CAST(sd AS DOUBLE) * CAST(n_events AS DOUBLE))
-        |      / (CAST(n_days AS DOUBLE) * CAST(sdd AS DOUBLE)
-        |        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)), 6)
-        |  END AS slope_per_day
-        |FROM a ORDER BY "group"""".stripMargin,
+    // OLS sums are exact with no quantization at all. Shared verbatim
+    // by q247 (streamed must equal one-shot).
+    "q245_volume_trend" -> oracleSqlTrend,
     // q241: pooled theta/rho2 from exact sums, per-arm adjustment one
     // float expression.
     "q241_cuped" ->

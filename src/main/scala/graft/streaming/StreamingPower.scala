@@ -561,6 +561,54 @@ object StreamingPower {
     graft.operators.StatTests.psiFromCounts(
       graft.engine.BatchStore.read(spark, storePath), bins)
 
+  /** One micro-batch of the streaming volume-trend store: the batch's
+    * per-(group, epoch-day) exact counts (`Sessions.dailyCounts` —
+    * the mergeable half of q245) land under `batch_id=<id>` with the
+    * committed-skip guard. Fold = per-(group, day) SUM, so batches
+    * must partition the stream (the profile-store contract); state is
+    * ≤ groups×days rows per batch.
+    */
+  def trendStep(batch: DataFrame, groupCol: String, tsCol: String,
+      storePath: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.Sessions.dailyCounts(batch, groupCol, tsCol)
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** Daily-count MERGE as a compaction hook: exact per-(group, day)
+    * sums.
+    */
+  val trendMerge: DataFrame => DataFrame =
+    _.groupBy(col("group"), col("d")).agg(sum(col("c")).as("c"))
+
+  /** The trend loop as a streaming query over an event stream. */
+  def trendStream(rows: DataFrame, groupCol: String, tsCol: String,
+      storePath: String, checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        trendStep(batch, groupCol, tsCol, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            trendMerge)
+      }
+      .start()
+
+  /** The drift readout across every committed batch: fold the daily
+    * counts (exact sums) and render the SAME OLS the one-shot path
+    * computes — streamed == batch exactly.
+    */
+  def mergedTrend(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Sessions.trendFromDaily(
+      graft.engine.BatchStore.read(spark, storePath))
+
   /** One micro-batch of the streaming EWMA store: smooth the batch's
     * rows SEEDED from each key's persisted tail (max-step row across
     * committed batches) and append them under `batch_id=<id>` with

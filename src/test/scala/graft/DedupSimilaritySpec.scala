@@ -1160,6 +1160,36 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("list balance report: the separated-cluster fixture's exact sizes and pair mass") {
+    import spark.implicits._
+    // same routing fixture as the silhouette spec: lists of 4 and 3
+    val x = Seq(1f, 0f, 0f); val y = Seq(0f, 1f, 0f)
+    val diag = Seq(math.sqrt(0.5).toFloat, math.sqrt(0.5).toFloat, 0f)
+    val fix = Seq(27L -> x, 1L -> x, 2L -> x, 6L -> y, 11L -> y, 12L -> y,
+      40L -> diag).toDF("vec_id", "embedding")
+    val got = Similarity.listBalanceReport(fix, nlists = 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // sizes {4, 3}: pairs 6 + 3 = 9, imbalance 4*2/7
+    assert(got == Seq((7L, 2L, 3L, 4L, 9L, 1.142857)), s"got $got")
+  }
+
+  test("blocking audit: hand block sizes, pair mass, reduction, hot-block share") {
+    import spark.implicits._
+    import graft.operators.Fuzzy
+    val docs = Seq((1L, "aa x"), (2L, "aa y"), (3L, "bb z"))
+      .toDF("doc_id", "text")
+    val got = Fuzzy.blockingAudit(docs, "doc_id", "text")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      // first token: {aa: 2, bb: 1} -> 1 pair of C(3,2)=3
+      ("first_token", 2L, 2L, 1L, Some(0.666667), Some(1.0)),
+      // all length 4 -> one bucket, no reduction
+      ("len_bucket", 1L, 3L, 3L, Some(0.0), Some(1.0)),
+      // 4-char prefixes all distinct -> zero candidates
+      ("prefix4", 3L, 1L, 0L, Some(1.0), None)), s"got $got")
+  }
+
   test("farthest-point coreset: picks one exemplar per orthogonal direction, skips the duplicate") {
     import spark.implicits._
     // id 27 hashes md5-smallest -> seed; id 1 duplicates the seed's

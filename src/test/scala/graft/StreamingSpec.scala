@@ -939,6 +939,39 @@ class StreamingSpec extends SparkSpecBase {
       "retried batch mutated the committed DSIR store")
   }
 
+  test("streaming volume-trend store folds daily counts == one-shot OLS") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_trend_store").toString + "/trend"
+    val ckpt = Files.createTempDirectory("graft_trend_ckpt").toString
+    val ev = graft.engine.Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)].collect().toSeq
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingPower.trendStream(
+      ms.toDF().toDF("event_id", "event_type", "ts"),
+      "event_type", "ts", storePath, ckpt, compactEvery = 2)
+    val (b1, b2) = ev.partition(_._1 % 2 == 0)
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = graft.operators.Sessions.volumeTrend(
+      ev.toDF("event_id", "event_type", "ts"), "event_type", "ts")
+      .collect().toSeq
+    val streamed = StreamingPower.mergedTrend(spark, storePath)
+      .collect().toSeq
+    assert(streamed == oneShot,
+      s"streamed trend diverged:\n$streamed\n$oneShot")
+    StreamingPower.trendStep(b2.toDF("event_id", "event_type", "ts"),
+      "event_type", "ts", storePath, batchId = 1L)
+    assert(StreamingPower.mergedTrend(spark, storePath)
+      .collect().toSeq == oneShot,
+      "retried batch mutated the committed trend store")
+  }
+
   test("streaming EWMA store chains the seeded recurrence across batches == one-shot fold") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
