@@ -991,6 +991,79 @@ object TextAnalysis {
     *
     * Output: one row (n_terms, slope, intercept, r2).
     */
+  /** The consolidated Gopher quality-rule report (Rae et al. 2021,
+    * §A1.1) — the canonical rule set production corpus cleaning
+    * starts from, one row per document with each rule's evidence and
+    * flag plus the overall verdict:
+    *   1. 50 ≤ word count ≤ 100 000
+    *   2. 3 ≤ mean word length ≤ 10 (compared as 3n ≤ Σlen ≤ 10n —
+    *      exact integers, no float mean in the decision)
+    *   3. symbol-to-word ratio (# and "...") ≤ 0.1
+    *   4. ≥ 90 % of words contain an alphabetic character
+    *   5. ≥ 2 distinct Gopher stopwords present
+    *   6. ≤ 90 % of lines bullet-started, ≤ 30 % ellipsis-ended
+    * Every flag compares exact integers (ratios cross-multiplied);
+    * `mean_word_len` is reported 6dp for humans but never drives a
+    * flag. Pure map-side projection.
+    *
+    * Output: (id, n_words, n_word_chars, mean_word_len, n_symbols,
+    * n_alpha_words, n_stopwords, flag_words, flag_word_len,
+    * flag_symbols, flag_alpha, flag_stopwords, flag_lines, pass),
+    * ordered by id.
+    */
+  def gopherRules(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = wsTokens(col(textCol))
+    val n = size(t).cast("long")
+    // single-byte-safe char mass of the words themselves
+    val wordChars = length(regexp_replace(col(textCol), "\\s", ""))
+      .cast("long")
+    val symbols = (length(col(textCol))
+      - length(regexp_replace(col(textCol), "#", ""))).cast("long") +
+      ((length(col(textCol))
+        - length(regexp_replace(col(textCol), "\\.\\.\\.", "")))
+        / lit(3)).cast("long")
+    val alphaWords = size(filter(t, w => w.rlike("[A-Za-z]"))).cast("long")
+    val gopherStops = array(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with").map(lit): _*)
+    val stops = size(array_intersect(array_distinct(t), gopherStops))
+      .cast("long")
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("*"))).cast("long")
+    val ellLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    docs.select(col(idCol), n.as("n_words"), wordChars.as("n_word_chars"),
+        symbols.as("n_symbols"), alphaWords.as("n_alpha_words"),
+        stops.as("n_stopwords"), nLines.as("_nl"),
+        bulletLines.as("_bl"), ellLines.as("_el"))
+      .withColumn("mean_word_len", when(col("n_words") > 0L,
+        round(col("n_word_chars").cast("double") / col("n_words"), 6)))
+      .withColumn("flag_words",
+        (col("n_words") >= 50L && col("n_words") <= 100000L).cast("int"))
+      .withColumn("flag_word_len",
+        (col("n_word_chars") >= col("n_words") * 3L
+          && col("n_word_chars") <= col("n_words") * 10L).cast("int"))
+      .withColumn("flag_symbols",
+        (col("n_symbols") * 10L <= col("n_words")).cast("int"))
+      .withColumn("flag_alpha",
+        (col("n_alpha_words") * 10L >= col("n_words") * 9L).cast("int"))
+      .withColumn("flag_stopwords", (col("n_stopwords") >= 2L).cast("int"))
+      .withColumn("flag_lines",
+        (col("_bl") * 10L <= col("_nl") * 9L
+          && col("_el") * 10L <= col("_nl") * 3L).cast("int"))
+      .withColumn("pass",
+        (col("flag_words") + col("flag_word_len") + col("flag_symbols")
+          + col("flag_alpha") + col("flag_stopwords") + col("flag_lines")
+          === 6).cast("int"))
+      .select(col(idCol), col("n_words"), col("n_word_chars"),
+        col("mean_word_len"), col("n_symbols"), col("n_alpha_words"),
+        col("n_stopwords"), col("flag_words"), col("flag_word_len"),
+        col("flag_symbols"), col("flag_alpha"), col("flag_stopwords"),
+        col("flag_lines"), col("pass"))
+      .orderBy(idCol)
+  }
+
   /** PMI collocations over the top-`topV` vocabulary — the
     * co-occurrence miner behind phrase/boilerplate discovery:
     * for token pairs (a < b) within the capped vocabulary,

@@ -605,12 +605,19 @@ object TextQueries {
       "doc_id", "text", "y", k = 20, buckets = 64, iters = 2,
       lrPpm = 500000L, hashes = Md5Family)
 
+  /** q250: the consolidated Gopher §A1.1 rule report — exact-integer
+    * flags per rule (ratios cross-multiplied, no float decisions).
+    */
+  private val gopherRulesQ: Q = (s, dir) =>
+    TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
     "q179_nfc_normalize" -> nfcQ,
     "q223_zipf_fit" -> zipfQ,
     "q230_pmi" -> pmiQ,
     "q239_langid_eval" -> langidEvalQ,
     "q240_boundary_select" -> boundarySelectQ,
+    "q250_gopher_rules" -> gopherRulesQ,
     "q182_top_ngram" -> topNgramQ,
     "q184_train_logistic" -> trainLogisticQ,
     "q187_quality_funnel" -> qualityFunnelQ,
@@ -900,6 +907,52 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q192_bpe_train" -> bpeTrainOracle,
+    // q250: every flag compares exact integers (cross-multiplied
+    // ratios); mean_word_len is reporting-only.
+    "q250_gopher_rules" ->
+      """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        |      AS n_word_chars,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((length(text) - length(replace(text, '...', '')))
+        |        // 3 AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(list_intersect(list_distinct(t),
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS n_stopwords,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      x -> x LIKE '-%' OR x LIKE '*%')) AS BIGINT) AS bl,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      x -> x LIKE '%...')) AS BIGINT) AS el
+        |  FROM b),
+        |f AS (SELECT *,
+        |    CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER)
+        |      AS flag_words,
+        |    CAST(n_word_chars >= 3 * n_words
+        |      AND n_word_chars <= 10 * n_words AS INTEGER)
+        |      AS flag_word_len,
+        |    CAST(n_symbols * 10 <= n_words AS INTEGER) AS flag_symbols,
+        |    CAST(n_alpha_words * 10 >= n_words * 9 AS INTEGER)
+        |      AS flag_alpha,
+        |    CAST(n_stopwords >= 2 AS INTEGER) AS flag_stopwords,
+        |    CAST(bl * 10 <= nl * 9 AND el * 10 <= nl * 3 AS INTEGER)
+        |      AS flag_lines
+        |  FROM m)
+        |SELECT doc_id, n_words, n_word_chars,
+        |  CASE WHEN n_words > 0 THEN
+        |    ROUND(CAST(n_word_chars AS DOUBLE) / n_words, 6)
+        |  END AS mean_word_len,
+        |  n_symbols, n_alpha_words, n_stopwords,
+        |  flag_words, flag_word_len, flag_symbols, flag_alpha,
+        |  flag_stopwords, flag_lines,
+        |  CAST(flag_words + flag_word_len + flag_symbols + flag_alpha
+        |    + flag_stopwords + flag_lines = 6 AS INTEGER) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
     // q230: document-presence counts exact; PMI per pair one float
     // expression floored to nanos; (df DESC, tok) vocab cut and the
     // binary tok_a < tok_b pair order match Spark's.

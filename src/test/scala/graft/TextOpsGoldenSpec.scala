@@ -391,6 +391,30 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     assert(e0 == Seq((4L, 1L, 0.05)), s"got: $e0")
   }
 
+  test("gopher rules: each rule trips on its crafted violator, clean doc passes") {
+    import spark.implicits._
+    val clean = ((1 to 60).map(i => s"word$i") ++
+      Seq("the", "of", "and")).mkString(" ")           // 63 words, all rules ok
+    val short = "the of and"                            // < 50 words
+    val longWords = (1 to 60).map(_ => "a" * 12).mkString(" ") +
+      " the of"                                         // mean word len > 10
+    val symbols = ((1 to 50).map(i => s"w$i") ++
+      Seq.fill(10)("#") ++ Seq("the", "of")).mkString(" ") // 10 '#' > 62/10
+    val docs = Seq((1L, clean), (2L, short), (3L, longWords),
+      (4L, symbols)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select("doc_id", "flag_words", "flag_word_len", "flag_symbols",
+        "flag_alpha", "flag_stopwords", "flag_lines", "pass")
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect().toSeq
+    // doc 2 also trips word-len (8 chars < 3*3); doc 4's '#' tokens
+    // drag mean word length under 3 as well as tripping symbols/alpha
+    assert(got == Seq(
+      (1L, 1, 1, 1, 1, 1, 1, 1),
+      (2L, 0, 0, 1, 1, 1, 1, 0),
+      (3L, 1, 0, 1, 1, 1, 1, 0),
+      (4L, 1, 0, 0, 0, 1, 1, 0)), s"got $got")
+  }
+
   test("boundary select: dense ranks by |margin|, uncertain docs first, k respected") {
     import spark.implicits._
     import graft.functions.Md5Family
