@@ -270,6 +270,38 @@ object Sessions {
       .orderBy("group")
   }
 
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * user-value grid: per user, days since last event at `asOfDay`
+    * (epoch day, exact), event count, and whole-unit value mass; each
+    * dimension scored 1–5 by ntile with 5 = best (most recent / most
+    * frequent / highest value), ties pinned by user id; segment =
+    * the concatenated scores.
+    *
+    * Scale note: the three ntile windows are global over USERS (not
+    * events) — fine for user-cardinality frames; pre-bucket at
+    * extreme scale. Output: (userCol, recency_days, frequency,
+    * monetary, r_score, f_score, m_score, segment), ordered by user.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, asOfDay: String): DataFrame = {
+    val per = events.groupBy(col(userCol))
+      .agg(
+        datediff(lit(asOfDay).cast("date"), max(col(tsCol)).cast("date"))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(round(col(valueCol)).cast("long")).as("monetary"))
+    val r = Window.orderBy(col("recency_days").desc, col(userCol))
+    val f = Window.orderBy(col("frequency"), col(userCol))
+    val m = Window.orderBy(col("monetary"), col(userCol))
+    per
+      .withColumn("r_score", ntile(5).over(r))
+      .withColumn("f_score", ntile(5).over(f))
+      .withColumn("m_score", ntile(5).over(m))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+      .orderBy(userCol)
+  }
+
   /** Inter-arrival burstiness profile per key — the cadence-health
     * summary a feed monitor reads: gaps between consecutive events in
     * integer seconds under the deterministic (ts, id) order, rolled

@@ -412,6 +412,123 @@ object Similarity {
       .select(col("node"), col("nbr"), col("cos_ppm"))
   }
 
+  /** k-core membership over an UNDIRECTED edge list `(u, v)` — the
+    * "dense cohesive region" selector (nodes that survive repeated
+    * pruning of degree < k): each round recomputes degrees over edges
+    * between surviving nodes and drops the under-k nodes, to a fixed
+    * point. Runs ≤ `maxRounds` driver rounds with early exit — extra
+    * rounds after the fixed point are no-ops, which is what lets the
+    * oracle unroll a FIXED round count and still agree (the q231
+    * argument); throws if the graph hasn't converged by `maxRounds`
+    * (raise it) so a silent truncation can never ship.
+    *
+    * Scale shape: each round is one edge semi-join + one degree
+    * aggregate over surviving edges (≤|E| rows); the node set only
+    * shrinks. Output: (vec_id, degree, in_core) for every input
+    * node — degree is the FINAL surviving-subgraph degree (0 outside
+    * the core), ordered by vec_id.
+    */
+  def kCore(nodes: DataFrame, edges: DataFrame, k: Int,
+      maxRounds: Int = 12): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"bad k/maxRounds: $k/$maxRounds")
+    val und = edges.select(col("u"), col("v")).localCheckpoint()
+    var alive = nodes.select(col("vec_id")).localCheckpoint()
+    var aliveCount = alive.count()
+    var rounds = 0
+    var done = false
+    while (!done) {
+      require(rounds < maxRounds,
+        s"k-core did not converge in $maxRounds rounds — raise maxRounds")
+      val live = und
+        .join(alive.select(col("vec_id").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("vec_id").as("v")), Seq("v"), "left_semi")
+      val deg = live.select(col("u").as("vec_id"))
+        .union(live.select(col("v").as("vec_id")))
+        .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+      val next = deg.filter(col("degree") >= k)
+        .select(col("vec_id")).localCheckpoint()
+      val nextCount = next.count()
+      if (nextCount == aliveCount) done = true
+      else { alive = next; aliveCount = nextCount; rounds += 1 }
+    }
+    val live = und
+      .join(alive.select(col("vec_id").as("u")), Seq("u"), "left_semi")
+      .join(alive.select(col("vec_id").as("v")), Seq("v"), "left_semi")
+    val deg = live.select(col("u").as("vec_id"))
+      .union(live.select(col("v").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("degree"))
+    nodes.select(col("vec_id"))
+      .join(deg.join(alive, Seq("vec_id"), "left_semi"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("degree"), lit(0L)).as("degree"),
+        col("degree").isNotNull.cast("int").as("in_core"))
+      .orderBy("vec_id")
+  }
+
+  /** [[kCore]] over the symmetrized within-list kNN graph. */
+  def knnKCore(embeddings: DataFrame, k: Int = 5, nlists: Int,
+      coreK: Int = 2, maxRounds: Int = 12): DataFrame = {
+    val asg = ivfAssignments(embeddings, nlists)
+    val und = withinListKnnEdges(asg, k)
+      .select(least(col("node"), col("nbr")).as("u"),
+        greatest(col("node"), col("nbr")).as("v"))
+      .distinct()
+    kCore(asg.select(col("vec_id")), und, coreK, maxRounds)
+  }
+
+  /** Degree assortativity of an undirected edge list — Pearson
+    * correlation of endpoint degrees over the edge ends (positive:
+    * hubs link hubs; negative: hub-and-spoke): degrees are exact
+    * integer counts, every correlation sum is an exact long over the
+    * 2|E| (end, other-end) pairs, and r is ONE float expression.
+    * NULL when either side is degree-constant.
+    *
+    * Output: one row (n_nodes, n_edges, assortativity).
+    */
+  def degreeAssortativity(nodes: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v")).localCheckpoint()
+    val deg = und.select(col("u").as("vec_id"))
+      .union(und.select(col("v").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("d")).localCheckpoint()
+    // both orientations so the correlation is symmetric
+    val ends = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+      .join(deg.select(col("vec_id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("vec_id").as("b"), col("d").as("db")), Seq("b"))
+    val tot = ends.agg(count(lit(1)).as("m"),
+      sum(col("da")).as("sa"), sum(col("db")).as("sb"),
+      sum(col("da") * col("db")).as("sab"),
+      sum(col("da") * col("da")).as("saa"),
+      sum(col("db") * col("db")).as("sbb"))
+    val nN = nodes.agg(countDistinct(col("vec_id")).as("n_nodes"))
+    val eN = und.agg(count(lit(1)).as("n_edges"))
+    nN.crossJoin(broadcast(eN)).crossJoin(broadcast(tot))
+      .select(col("n_nodes"), col("n_edges"),
+        when((col("m").cast("double") * col("saa").cast("double")
+          - col("sa").cast("double") * col("sa").cast("double")) > 0.0
+          && (col("m").cast("double") * col("sbb").cast("double")
+            - col("sb").cast("double") * col("sb").cast("double")) > 0.0,
+          round((col("m").cast("double") * col("sab").cast("double")
+            - col("sa").cast("double") * col("sb").cast("double"))
+            / sqrt((col("m").cast("double") * col("saa").cast("double")
+              - col("sa").cast("double") * col("sa").cast("double"))
+              * (col("m").cast("double") * col("sbb").cast("double")
+                - col("sb").cast("double") * col("sb").cast("double"))), 6))
+          .as("assortativity"))
+  }
+
+  /** [[degreeAssortativity]] over the symmetrized kNN graph. */
+  def knnAssortativity(embeddings: DataFrame, k: Int = 5,
+      nlists: Int): DataFrame = {
+    val asg = ivfAssignments(embeddings, nlists)
+    val und = withinListKnnEdges(asg, k)
+      .select(least(col("node"), col("nbr")).as("u"),
+        greatest(col("node"), col("nbr")).as("v"))
+      .distinct()
+    degreeAssortativity(asg.select(col("vec_id")), und)
+  }
+
   /** IVF list-balance report — is the ⌈√N⌉ seeded routing keeping
     * lists balanced enough to bound within-list pair work and probe
     * latency? One row: exact list-size extremes, the exact within-

@@ -69,6 +69,27 @@ object AnnQueries {
   }
 
 
+  /** q251: 6-core of the symmetrized kNN graph — the dense cohesive
+    * region that survives repeated pruning of degree < 6; driver
+    * rounds to a fixed point, oracle unrolls 12 MATERIALIZED rounds.
+    */
+  private val kCoreQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnKCore(emb, k = 5, nlists = Similarity.autoNlists(emb),
+      coreK = 6)
+  }
+
+
+  /** q252: degree assortativity of the symmetrized kNN graph —
+    * hub-links-hub vs hub-and-spoke, exact sums over edge ends.
+    */
+  private val assortQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnAssortativity(emb, k = 5,
+      nlists = Similarity.autoNlists(emb))
+  }
+
+
   /** q199: centroid-based silhouette per IVF list — the linear
     * O(N·nlists) cluster-quality audit; ppm distances quantized at
     * birth, s = (b−a)·1e6 div max(a,b), exact per-list sums.
@@ -526,7 +547,9 @@ object AnnQueries {
     "q203_knn_eval" -> knnEvalQ,
     "q204_knn_kappa" -> knnKappaQ,
     "q224_knn_triangles" -> trianglesQ,
-    "q249_list_balance" -> listBalanceQ)
+    "q249_list_balance" -> listBalanceQ,
+    "q251_kcore" -> kCoreQ,
+    "q252_assortativity" -> assortQ)
 
   /** q183's oracle: the same greedy MMR unrolled as k−1 CTE steps —
     * each step's candidate scores are exact BIGINT arithmetic over the
@@ -798,11 +821,83 @@ object AnnQueries {
       |    / CAST(SUM(n) AS DOUBLE), 6) AS imbalance
       |FROM lc""".stripMargin
 
+  /** q251's oracle: 12 unrolled peel rounds (MATERIALIZED — each
+    * round reads the prior alive set twice); extra rounds after the
+    * fixed point are no-ops, matching the operator's early exit.
+    */
+  private lazy val kCoreOracle: String = {
+    val rounds = (1 to 12).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT u, v FROM und
+        |  WHERE u IN (SELECT vec_id FROM a${i - 1})
+        |    AND v IN (SELECT vec_id FROM a${i - 1})),
+        |d$i AS MATERIALIZED (SELECT vec_id,
+        |    CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT u AS vec_id FROM l$i
+        |        UNION ALL SELECT v AS vec_id FROM l$i) GROUP BY 1),
+        |a$i AS MATERIALIZED (SELECT vec_id FROM d$i WHERE degree >= 6)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+      |und AS MATERIALIZED (SELECT DISTINCT least(node, nbr) AS u,
+      |    greatest(node, nbr) AS v FROM g),
+      |a0 AS MATERIALIZED (SELECT vec_id FROM asg),
+      |$rounds,
+      |lf AS (SELECT u, v FROM und
+      |  WHERE u IN (SELECT vec_id FROM a12)
+      |    AND v IN (SELECT vec_id FROM a12)),
+      |df AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS degree
+      |  FROM (SELECT u AS vec_id FROM lf
+      |        UNION ALL SELECT v AS vec_id FROM lf) GROUP BY 1)
+      |SELECT asg.vec_id, coalesce(df.degree, 0) AS degree,
+      |  CAST(df.vec_id IS NOT NULL AS INTEGER) AS in_core
+      |FROM asg LEFT JOIN df ON df.vec_id = asg.vec_id
+      |ORDER BY asg.vec_id""".stripMargin
+  }
+
+  /** q252's oracle: endpoint-degree Pearson over both edge
+    * orientations, exact sums.
+    */
+  private lazy val assortOracle: String =
+    s"""WITH $knnGraphCtes,
+      |und AS MATERIALIZED (SELECT DISTINCT least(node, nbr) AS u,
+      |    greatest(node, nbr) AS v FROM g),
+      |deg AS MATERIALIZED (SELECT vec_id, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS vec_id FROM und
+      |        UNION ALL SELECT v AS vec_id FROM und) GROUP BY 1),
+      |ends AS (SELECT da.d AS da, db.d AS db FROM (
+      |    SELECT u AS a, v AS b FROM und
+      |    UNION ALL SELECT v AS a, u AS b FROM und) e
+      |  JOIN deg da ON da.vec_id = e.a
+      |  JOIN deg db ON db.vec_id = e.b),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(SUM(da) AS BIGINT) AS sa, CAST(SUM(db) AS BIGINT) AS sb,
+      |    CAST(SUM(da * db) AS BIGINT) AS sab,
+      |    CAST(SUM(da * da) AS BIGINT) AS saa,
+      |    CAST(SUM(db * db) AS BIGINT) AS sbb FROM ends),
+      |nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_nodes
+      |  FROM asg),
+      |ee AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+      |SELECT nn.n_nodes, ee.n_edges,
+      |  CASE WHEN (CAST(m AS DOUBLE) * CAST(saa AS DOUBLE)
+      |      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0e0
+      |    AND (CAST(m AS DOUBLE) * CAST(sbb AS DOUBLE)
+      |      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0e0
+      |    THEN ROUND((CAST(m AS DOUBLE) * CAST(sab AS DOUBLE)
+      |        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+      |      / sqrt((CAST(m AS DOUBLE) * CAST(saa AS DOUBLE)
+      |          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+      |        * (CAST(m AS DOUBLE) * CAST(sbb AS DOUBLE)
+      |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+      |  END AS assortativity
+      |FROM nn CROSS JOIN ee CROSS JOIN t""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q198_knn_pagerank" -> pagerankOracle,
     "q201_coreset" -> coresetOracle,
     "q224_knn_triangles" -> trianglesOracle,
     "q249_list_balance" -> listBalanceOracle,
+    "q251_kcore" -> kCoreOracle,
+    "q252_assortativity" -> assortOracle,
     // q203: per-class one-vs-rest counts off the vote chain; F1 from
     // integers (2tp / (2tp+fp+fn)), never from the rounded p and r.
     "q203_knn_eval" ->

@@ -541,6 +541,14 @@ object EventStoreQueries {
   }
 
 
+  /** q253: RFM user segmentation as of Jan 31 — quintile scores per
+    * dimension (5 = best), ties pinned by user id.
+    */
+  private val rfmQ: Q = (s, dir) =>
+    Sessions.rfmSegments(Tables.events(s, dir), "user_id", "ts", "value",
+      asOfDay = "2024-01-31")
+
+
   /** q146: per-user cadence/gap report from observed buckets alone —
     * expected vs present hourly buckets and the longest missing run
     * (`Resample.gapReport`; no grid materialized).
@@ -921,6 +929,7 @@ object EventStoreQueries {
     "q244_event_paths" -> pathsQ,
     "q245_volume_trend" -> volumeTrendQ,
     "q247_trend_store" -> trendStoreQ,
+    "q253_rfm" -> rfmQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
     "q132_pipeline_funnel" -> pipelineFunnelQ,
     "q118_ref_integrity" -> refIntegrityQ,
@@ -1014,6 +1023,29 @@ object EventStoreQueries {
     // q247: mergeable daily counts fold exactly -> streamed must
     // equal the one-shot q245 trend verbatim.
     "q247_trend_store" -> oracleSqlTrend,
+    // q253: recency/frequency/monetary all exact integers; ntile ties
+    // pinned by user id; 5 = best on every axis.
+    "q253_rfm" ->
+      """WITH per AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(max(ts) AS DATE),
+        |      DATE '2024-01-31') AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(CAST(round(value, 0) AS BIGINT)) AS BIGINT)
+        |      AS monetary
+        |  FROM events GROUP BY 1),
+        |sc AS (SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id)
+        |      AS INTEGER) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id)
+        |      AS INTEGER) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary, user_id)
+        |      AS INTEGER) AS m_score
+        |  FROM per)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+        |    CAST(m_score AS VARCHAR)) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
     // q243: per-arm GOF term (o·k − N)²/(N·k) nano-floored over exact
     // counts.
     "q243_srm" ->

@@ -1160,6 +1160,32 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("k-core: the tail peels in cascade, the triangle survives, isolates stay out") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("vec_id")
+    // triangle 1-2-3 with chain 3-4-5; node 6 isolated
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = Similarity.kCore(nodes, edges, k = 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1), (2L, 2L, 1), (3L, 2L, 1),
+      (4L, 0L, 0), (5L, 0L, 0), (6L, 0L, 0)), s"got $got")
+  }
+
+  test("assortativity: a star is exactly -1, a cycle is degree-constant NULL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val nodes = (1L to 4L).toDF("vec_id")
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val s = Similarity.degreeAssortativity(nodes, star)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(s == Seq((4L, 3L, -1.0)), s"got $s")
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val c = Similarity.degreeAssortativity(nodes, cycle)
+      .select(col("assortativity")).collect().head
+    assert(c.isNullAt(0), s"expected NULL on a regular graph, got $c")
+  }
+
   test("list balance report: the separated-cluster fixture's exact sizes and pair mass") {
     import spark.implicits._
     // same routing fixture as the silhouette spec: lists of 4 and 3

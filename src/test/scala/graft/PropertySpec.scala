@@ -695,6 +695,26 @@ class PropertySpec extends SparkSpecBase {
     assert(byG("b")._4 == 230940107676L, s"weight: $got")
   }
 
+  test("rfm: five distinct users land one per quintile on every axis") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // user i: last day 10+i, i events, value 10*i each
+    val ev = (1 to 5).flatMap { i =>
+      (1 to i).map(j => (i.toLong * 100 + j, ts(10 + i), i.toLong,
+        10.0 * i))
+    }.toDF("event_id", "ts", "user_id", "value")
+    val got = Sessions.rfmSegments(ev, "user_id", "ts", "value",
+      asOfDay = "2024-01-31")
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect().toSeq
+    got.foreach { case (u, rec, freq, mon, r, f, m, seg) =>
+      assert(rec == 31 - (10 + u), s"recency($u): $got")
+      assert(freq == u && mon == 10 * u * u, s"freq/mon($u): $got")
+      assert(r == u && f == u && m == u, s"scores($u): $got")
+      assert(seg == s"$u$u$u", s"segment($u): $got")
+    }
+  }
+
   test("srm: balanced arms score 0, an 8/2 split scores the closed form 3.6") {
     import spark.implicits._
     import graft.operators.Experiment
