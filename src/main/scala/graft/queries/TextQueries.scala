@@ -611,6 +611,30 @@ object TextQueries {
   private val gopherRulesQ: Q = (s, dir) =>
     TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")
 
+  /** q254: the q250 rule report rolled up per provenance slice — the
+    * data-card governance view (which source is failing which rule);
+    * exact counts, pass_rate one division.
+    */
+  private val gopherBySourceQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pass")).cast("long").as("n_pass"),
+        sum(lit(1) - col("flag_words")).cast("long").as("fail_words"),
+        sum(lit(1) - col("flag_word_len")).cast("long")
+          .as("fail_word_len"),
+        sum(lit(1) - col("flag_symbols")).cast("long").as("fail_symbols"),
+        sum(lit(1) - col("flag_alpha")).cast("long").as("fail_alpha"),
+        sum(lit(1) - col("flag_stopwords")).cast("long")
+          .as("fail_stopwords"),
+        sum(lit(1) - col("flag_lines")).cast("long").as("fail_lines"))
+      .withColumn("pass_rate",
+        round(col("n_pass").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "q179_nfc_normalize" -> nfcQ,
     "q223_zipf_fit" -> zipfQ,
@@ -618,6 +642,7 @@ object TextQueries {
     "q239_langid_eval" -> langidEvalQ,
     "q240_boundary_select" -> boundarySelectQ,
     "q250_gopher_rules" -> gopherRulesQ,
+    "q254_gopher_by_source" -> gopherBySourceQ,
     "q182_top_ngram" -> topNgramQ,
     "q184_train_logistic" -> trainLogisticQ,
     "q187_quality_funnel" -> qualityFunnelQ,
@@ -905,12 +930,11 @@ object TextQueries {
        |) ORDER BY merge_rank""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
-    "q192_bpe_train" -> bpeTrainOracle,
-    // q250: every flag compares exact integers (cross-multiplied
-    // ratios); mean_word_len is reporting-only.
-    "q250_gopher_rules" ->
-      """WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS t
+  /** The q250 per-doc rule chain (b, m, f) — shared by the q254
+    * per-source rollup.
+    */
+  private lazy val gopherCtes: String =
+    """b AS (SELECT doc_id, text, string_split(text, ' ') AS t
         |  FROM documents),
         |m AS (SELECT doc_id,
         |    CAST(len(t) AS BIGINT) AS n_words,
@@ -942,7 +966,15 @@ object TextQueries {
         |    CAST(n_stopwords >= 2 AS INTEGER) AS flag_stopwords,
         |    CAST(bl * 10 <= nl * 9 AND el * 10 <= nl * 3 AS INTEGER)
         |      AS flag_lines
-        |  FROM m)
+        |  FROM m)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q192_bpe_train" -> bpeTrainOracle,
+    // q250: every flag compares exact integers (cross-multiplied
+    // ratios); mean_word_len is reporting-only. Chain shared with the
+    // q254 per-source rollup.
+    "q250_gopher_rules" ->
+      s"""WITH $gopherCtes
         |SELECT doc_id, n_words, n_word_chars,
         |  CASE WHEN n_words > 0 THEN
         |    ROUND(CAST(n_word_chars AS DOUBLE) / n_words, 6)
@@ -953,6 +985,28 @@ object TextQueries {
         |  CAST(flag_words + flag_word_len + flag_symbols + flag_alpha
         |    + flag_stopwords + flag_lines = 6 AS INTEGER) AS pass
         |FROM f ORDER BY doc_id""".stripMargin,
+    // q254: the q250 chain rolled up per source; exact counts, one
+    // division.
+    "q254_gopher_by_source" ->
+      s"""WITH $gopherCtes,
+        |j AS (SELECT f.*, d.source FROM f
+        |  JOIN documents d USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN flag_words + flag_word_len + flag_symbols
+        |    + flag_alpha + flag_stopwords + flag_lines = 6
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(1 - flag_words) AS BIGINT) AS fail_words,
+        |  CAST(SUM(1 - flag_word_len) AS BIGINT) AS fail_word_len,
+        |  CAST(SUM(1 - flag_symbols) AS BIGINT) AS fail_symbols,
+        |  CAST(SUM(1 - flag_alpha) AS BIGINT) AS fail_alpha,
+        |  CAST(SUM(1 - flag_stopwords) AS BIGINT) AS fail_stopwords,
+        |  CAST(SUM(1 - flag_lines) AS BIGINT) AS fail_lines,
+        |  ROUND(CAST(SUM(CASE WHEN flag_words + flag_word_len
+        |      + flag_symbols + flag_alpha + flag_stopwords + flag_lines
+        |      = 6 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    AS pass_rate
+        |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
+
     // q230: document-presence counts exact; PMI per pair one float
     // expression floored to nanos; (df DESC, tok) vocab cut and the
     // binary tok_a < tok_b pair order match Spark's.
