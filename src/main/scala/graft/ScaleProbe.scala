@@ -113,7 +113,14 @@ object ScaleProbe {
         "ewma" -> (() => Resample.ewma(ev, "user_id", "ts", "value")),
         "spearman" -> (() => StatTests.spearman(
           docs.select(col("n_chars"),
-            size(split(col("text"), " ")).as("nt")), "n_chars", "nt")))
+            size(split(col("text"), " ")).as("nt")), "n_chars", "nt")),
+        // graph-family completion: fixed-point peeling (rounds bounded
+        // by peel depth, each round one semi-join + degree aggregate)
+        // and the endpoint-degree correlation (two joins over 2|E|)
+        "knn_kcore" -> (() => Similarity.knnKCore(
+          emb, k = 5, nlists = Similarity.autoNlists(emb), coreK = 6)),
+        "assortativity" -> (() => Similarity.knnAssortativity(
+          emb, k = 5, nlists = Similarity.autoNlists(emb))))
 
       // SPARK_GRAFT_OPS=knn_triangles,pmi_colloc restricts the probe
       // (targeted curve refresh without re-measuring every family)
