@@ -209,8 +209,12 @@ object Resample {
     require(alphaPpm > 0 && alphaPpm <= 1000000L,
       s"alphaPpm must be in (0, 1e6], got $alphaPpm")
     val m = lit(1000000L)
+    // After the pmod subtraction the operand is an exact multiple of m,
+    // so truncating integer `div` equals floor — and stays EXACT past
+    // 2^53, where `/` (double division on longs) would shed low bits
+    // and silently diverge from the oracle's integer `//`.
     def floorDivM(a: Column): Column =
-      ((a - pmod(a, m)) / m).cast("long")
+      call_function("div", a - pmod(a, m), m)
     def step(v: Column, s: Column): Column =
       floorDivM(lit(alphaPpm) * v + (m - lit(alphaPpm)) * s)
     val rows = df.select(col(keyCol).as("_k"),

@@ -1315,7 +1315,7 @@ object AnnQueries {
         |  CAST(b.d - 1 AS INTEGER) AS dim_j,
         |  round((CAST(sum(a.q*b.q) AS DOUBLE)/1e12
         |    - CAST(sum(a.q) AS DOUBLE)/1e6*(CAST(sum(b.q) AS DOUBLE)/1e6)
-        |      /count(*))/count(*), 6) AS cov
+        |      /count(*))/count(*), 6) + 0e0 AS cov
         |FROM u a JOIN u b ON a.rid = b.rid AND b.d >= a.d
         |GROUP BY 1, 2 ORDER BY dim_i, dim_j""".stripMargin,
     // q147: definitional quadratic kNN + vote — rank on the ROUNDED

@@ -54,8 +54,14 @@ for name in sorted(oracle):
                 diff = (ev - gv).abs()
                 bad = ~both_nan & ~(diff <= 1e-9)
                 exact = ((ev == gv) | both_nan).all()
+                # the driver hashes BITS, not values: -0.0 != 0.0 there
+                # even though numpy == calls them equal (the q148 driver
+                # red row, round 8) — treat signbit mismatch as HARD
+                sb = ~both_nan & (np.signbit(ev.values) != np.signbit(gv.values)) & (ev.values == gv.values)
                 if bad.any():
                     problems.append(f"col {c}: {bad.sum()} values differ >1e-9 (max {diff[~both_nan].max()})")
+                elif sb.any():
+                    problems.append(f"col {c}: {sb.sum()} -0.0/0.0 signbit mismatches (driver hash breaks)")
                 elif not exact:
                     problems.append(f"col {c}: tolerance-only match (max diff {diff[~both_nan].max():.2e}) [WARN]")
             else:
