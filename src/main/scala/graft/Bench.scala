@@ -247,15 +247,39 @@ object Bench {
       () => buildLine(mapOf(entries(stripQ = true, intSecs = false).map(_._1)), ""),
       () => buildLine(mapOf(entries(stripQ = true, intSecs = true).map(_._1)), ""))
     val line = tiers.iterator.map(_()).find(_.length <= budget).getOrElse {
-      // tier 4: keep the slowest entries that fit, count the rest
+      // tier 4: keep the slowest entries that fit, count the rest. The
+      // reserve is the REAL assembled-suffix length (worst-case omitted
+      // digit count AND the actual failed array — a mass-failure run
+      // must not blow the budget through an untruncatable "failed").
       val sorted = entries(stripQ = true, intSecs = true).sortBy(-_._2)
-      val keep = scala.collection.mutable.ArrayBuffer.empty[String]
-      var len = buildLine("{}", ",\"queries_omitted\":999").length
-      for ((e, _) <- sorted if len + e.length + 1 <= budget) {
-        keep += e; len += e.length + 1
+      val failedIds = finalResults.collect { case (k, _, false) =>
+        "\"" + shortId(k) + "\"" }
+      def assemble(qs: Seq[String], fails: Seq[String], fOmit: Int): String = {
+        val fo = if (fOmit > 0) s""","failed_omitted":$fOmit""" else ""
+        s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${mapOf(qs)},"queries_omitted":${finalResults.size - qs.size},"failed":${fails.mkString("[", ",", "]")}$fo,"sf":"${new java.io.File(sfDir).getName}"}"""
       }
-      buildLine(mapOf(keep.toSeq),
-        s""","queries_omitted":${finalResults.size - keep.size}""")
+      // greedy fill against the budget, starting from the length of the
+      // emptied line (an upper bound: the omitted count only shrinks as
+      // entries are added back)
+      def fill(base: Int, items: Seq[String]): Seq[String] = {
+        val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+        var len = base
+        for (e <- items if len + e.length + 1 <= budget) {
+          keep += e; len += e.length + 1
+        }
+        keep.toSeq
+      }
+      val t4 = assemble(
+        fill(assemble(Nil, failedIds, 0).length, sorted.map(_._1)),
+        failedIds, 0)
+      if (t4.length <= budget) t4
+      else {
+        // tier 5: the failed array alone is over budget — degrade it the
+        // same way queries did (keep what fits, count the rest); full
+        // names always survive in BENCH.json
+        val keepF = fill(assemble(Nil, Nil, failedIds.size).length, failedIds)
+        assemble(Nil, keepF, failedIds.size - keepF.size)
+      }
     }
     def shuffleJson: String =
       shuffleMb.map { case (k, v) =>

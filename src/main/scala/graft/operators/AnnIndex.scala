@@ -156,7 +156,12 @@ object AnnIndex {
       s"no committed codebooks at $path — build the index first")
     val dead = new Path(deadPath(path))
     val fs = fsOf(spark, dead)
-    val id = if (batchId >= 0) batchId else nextIdIn(fs, dead)
+    // auto-allocated MANUAL ids live above TextIndex.ManualDeleteBase,
+    // disjoint from deleteStream's engine batch ids (count from 0): a
+    // shared namespace would let a manual batch=0 trip the stream's
+    // committed-retry guard and silently drop the stream's tombstones.
+    val id = if (batchId >= 0) batchId
+      else math.max(nextIdIn(fs, dead), TextIndex.ManualDeleteBase)
     val dir = new Path(dead, s"batch=$id")
     if (fs.exists(new Path(dir, "_SUCCESS"))) return // committed retry
     ids.select(col("vec_id").cast("long").as("vec_id")).distinct()
@@ -171,7 +176,13 @@ object AnnIndex {
     * an id already drained by compaction re-applies a mask over rows
     * that no longer exist, which is a no-op by construction.
     * `compactEvery` bounds the live tombstone set like
-    * [[indexStream]]'s generation count.
+    * [[indexStream]]'s generation count — but a compaction fired from
+    * THIS stream is a staged whole-store rewrite, so `compactEvery > 0`
+    * requires no concurrent live [[indexStream]] on the same index
+    * (single-writer-per-store contract; an in-flight enc append could
+    * land in the swapped-out generation and be lost). With a live
+    * ingest stream, keep `compactEvery=0` here and let the ingest
+    * stream schedule compaction.
     */
   def deleteStream(ids: DataFrame, path: String, checkpoint: String,
       compactEvery: Int = 0)

@@ -34,6 +34,12 @@ import graft.engine.BatchStore
   * tok_bucket pruning sub-layout and summing stats to one row.
   */
 object TextIndex {
+  /** Floor for auto-allocated manual-delete tombstone ids — keeps the
+    * manual and streaming-engine id ranges disjoint (engine batch ids
+    * count from 0 and stay far below 2^40 for any real stream).
+    */
+  private[operators] val ManualDeleteBase: Long = 1L << 40
+
   private def postingsPath(path: String) = path + "/postings"
   private def statsPath(path: String) = path + "/stats"
   private def deadPath(path: String) = path + "/dead"
@@ -55,7 +61,14 @@ object TextIndex {
       s"no committed index at $path — build it first")
     val dead = new Path(deadPath(path))
     val fs = dead.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val id = if (batchId >= 0) batchId else nextDeadId(fs, dead)
+    // auto-allocated MANUAL ids live above ManualDeleteBase, DISJOINT
+    // from deleteStream's engine batch ids (which count from 0): were
+    // they shared, a manual batch=0 would make the stream's batch 0 hit
+    // the committed-retry guard and silently drop its tombstones.
+    // Callers passing an EXPLICIT batchId own that discipline (the
+    // engine-id contract) and must not mix manual ids into it.
+    val id = if (batchId >= 0) batchId
+      else math.max(nextDeadId(fs, dead), ManualDeleteBase)
     val dir = new Path(dead, s"batch=$id")
     if (fs.exists(new Path(dir, "_SUCCESS"))) return // committed retry
     ids.select(col(idCol).cast("long").as("doc")).distinct()
@@ -68,6 +81,14 @@ object TextIndex {
     * batch id — exactly-once under foreachBatch retries while the dir
     * lives; a retry of an already-drained id re-applies a mask over
     * rows that no longer exist, a no-op by construction.
+    *
+    * `compactEvery > 0` triggers [[compact]] — a staged WHOLE-STORE
+    * rewrite — from this stream's foreachBatch, which makes this
+    * stream the store's single writer for that window: it must NOT
+    * run concurrently with a live [[indexStream]] (an in-flight
+    * postings append could land in the swapped-out backup generation
+    * and be lost). With a live ingest stream, leave `compactEvery=0`
+    * here and let the postings writer schedule compaction.
     */
   def deleteStream(ids: DataFrame, idCol: String, path: String,
       checkpoint: String, compactEvery: Int = 0)

@@ -88,10 +88,17 @@ class AnnIndexSpec extends SparkSpecBase {
     val masked = gotNow()
     assert(masked == expect, "query-time tombstone mask diverged")
     assert(masked.forall(_._2 % 7 != 0), "a deleted id survived")
-    // a retried delete batch id is a no-op
+    // the auto-allocated MANUAL id lives at/above 2^40, disjoint from
+    // deleteStream's engine batch ids (count from 0) — and a retried
+    // delete batch id is a no-op
+    val manualId = AnnIndex.committedDeadBatches(spark, dir) match {
+      case Seq(id) => assert(id >= (1L << 40),
+        "manual tombstone id collided with the engine-id namespace"); id
+      case other => fail(s"expected one tombstone batch, got $other")
+    }
     AnnIndex.delete(emb.filter(col("vec_id") % 7 === 0).select("vec_id"),
-      dir, batchId = 0L)
-    assert(AnnIndex.committedDeadBatches(spark, dir) == Seq(0L))
+      dir, batchId = manualId)
+    assert(AnnIndex.committedDeadBatches(spark, dir) == Seq(manualId))
     // compaction drops the rows physically and drains the tombstones
     AnnIndex.compact(spark, dir)
     assert(AnnIndex.committedDeadBatches(spark, dir).isEmpty,

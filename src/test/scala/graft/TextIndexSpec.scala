@@ -174,9 +174,16 @@ class TextIndexSpec extends SparkSpecBase {
     assert(masked.toSeq.sortBy(r => (r._1, r._2)) == expect,
       "masked ranking != deep-rank filter of the pre-delete ranking")
     assert(masked.forall(r => !dead.contains(r._3)))
-    // a retried tombstone batch id is a no-op
-    TextIndex.delete(deadIds, "doc_id", path, batchId = 0L)
-    assert(TextIndex.committedDeadBatches(spark, path) == Seq(0L))
+    // the auto-allocated MANUAL id lives at/above 2^40, disjoint from
+    // deleteStream's engine batch ids (count from 0) — and a retried
+    // tombstone batch id is a no-op
+    val manualId = TextIndex.committedDeadBatches(spark, path) match {
+      case Seq(id) => assert(id >= (1L << 40),
+        "manual tombstone id collided with the engine-id namespace"); id
+      case other => fail(s"expected one tombstone batch, got $other")
+    }
+    TextIndex.delete(deadIds, "doc_id", path, batchId = manualId)
+    assert(TextIndex.committedDeadBatches(spark, path) == Seq(manualId))
     // compact: folds minus dead, RE-FITS stats, drains the tombstones
     TextIndex.compact(spark, path)
     assert(TextIndex.committedDeadBatches(spark, path).isEmpty,
