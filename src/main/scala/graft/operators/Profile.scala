@@ -282,6 +282,49 @@ object Profile {
     * global) + one aggregate. Output: (group, n, n_trimmed,
     * trimmed_mean), ordered by group.
     */
+  /** Benford first-digit audit — does a positive amount column follow
+    * the log-law digit distribution (P(d) = log₁₀(1+1/d)) that
+    * organically-grown magnitudes obey? Gross deviation flags
+    * synthetic, truncated, or unit-mangled data at onboarding.
+    *
+    * Determinism: the digit is the first character of the BIGINT
+    * floor's decimal rendering (integer-to-string is exact in any
+    * engine — no float log in the extraction path); expected shares
+    * use ln of exact small rationals, the repo's established
+    * transcendental (q73/q87/q230). Rows with value < 1 are excluded
+    * (no leading digit). All 9 digits always emit (zero-observed rows
+    * included) so the shape is fixed.
+    *
+    * Scale shape: one map-side projection + one 9-key hash aggregate;
+    * the digit spine is a 9-row literal frame. Output: (digit,
+    * observed, share 6dp, expected_share 6dp, chi2_contrib 6dp),
+    * ordered by digit.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df.filter(col(valueCol) >= 1.0)
+      .select(substring(floor(col(valueCol)).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val spine = (1 to 9).toDF("digit")
+    val tot = obs.agg(sum(col("observed")).as("n"))
+    spine.join(obs, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", log((col("digit") + lit(1)).cast("double")
+        / col("digit").cast("double")) / log(lit(10.0)))
+      .withColumn("dev",
+        col("observed").cast("double") - col("n").cast("double") * col("p"))
+      .select(col("digit"), col("observed"),
+        round(col("observed").cast("double") / col("n"), 6).as("share"),
+        round(col("p"), 6).as("expected_share"),
+        round(col("dev") * col("dev")
+          / (col("n").cast("double") * col("p")), 6).as("chi2_contrib"))
+      .orderBy("digit")
+  }
+
   def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, trimPct: Int = 5): DataFrame = {
     require(trimPct >= 0 && trimPct < 50, s"bad trimPct $trimPct")

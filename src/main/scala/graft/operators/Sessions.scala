@@ -270,6 +270,47 @@ object Sessions {
       .orderBy("group")
   }
 
+  /** CUSUM changepoint scan over the per-(group, day) counts — where
+    * did a source's daily volume regime shift? The classic cumulative
+    * deviation-from-mean curve: S_t = Σ_{i≤t}(x_i − μ) peaks (in
+    * absolute value) at the most likely changepoint.
+    *
+    * Determinism: S_t is evaluated as (n·cum_t − t·total)/n — the
+    * numerator is an exact long recurrence-free window sum, the mean
+    * never materializes, and the peak test compares exact integers,
+    * so ties flag every argmax day identically in both engines.
+    *
+    * Scale shape: one map-side-combined (group, day) count, one O(n)
+    * running-sum window per group (days, not events), one broadcast
+    * per-group total join. Output: (group, d, cnt, cusum 6dp,
+    * is_peak), ordered by (group, d).
+    */
+  def cusumDaily(dailyCounts: DataFrame): DataFrame = {
+    val daily = dailyCounts.groupBy(col("group"), col("d"))
+      .agg(sum(col("c")).as("cnt"))
+    val tot = daily.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("total"))
+    val w = Window.partitionBy("group").orderBy("d")
+    val dev = daily
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(tot), Seq("group"))
+      .withColumn("devn", col("n") * col("cum") - col("t") * col("total"))
+    dev
+      .withColumn("mabs",
+        max(abs(col("devn"))).over(Window.partitionBy("group")))
+      .select(col("group"), col("d"), col("cnt"),
+        round(col("devn").cast("double") / col("n"), 6).as("cusum"),
+        (abs(col("devn")) === col("mabs")).cast("int").as("is_peak"))
+      .orderBy("group", "d")
+  }
+
+  /** [[cusumDaily]] over raw events. */
+  def cusumEvents(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame =
+    cusumDaily(dailyCounts(events, groupCol, tsCol))
+
   /** RFM (recency / frequency / monetary) segmentation — the classic
     * user-value grid: per user, days since last event at `asOfDay`
     * (epoch day, exact), event count, and whole-unit value mass; each

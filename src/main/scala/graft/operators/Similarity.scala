@@ -529,6 +529,84 @@ object Similarity {
     degreeAssortativity(asg.select(col("vec_id")), und)
   }
 
+  /** Newman modularity of a node partition over an UNDIRECTED edge
+    * list `(u, v)` — how much denser the within-part edges are than a
+    * degree-preserving random rewiring:
+    *   Q = Σ_c [ L_c/m − (d_c/(2m))² ]
+    * with L_c = intra-part edges, d_c = part degree sum, m = |E|.
+    * The quality gate for IVF-as-community structure next to
+    * [[clusterSilhouette]] (geometry) and [[listBalanceReport]] (cost).
+    *
+    * Determinism: every input to the two float divisions is an exact
+    * long (edge/degree counts); each contribution is computed in one
+    * expression as (4·m·L_c − d_c²) / (4m²) so the engines agree bit
+    * for bit. The long products cap the method at m < 2³¹ edges per
+    * evaluation — audit-sized graphs, not the raw corpus (the kNN
+    * graph of a 10⁹-vector corpus would be sharded by list before a
+    * modularity readout anyway).
+    *
+    * Scale shape: two broadcast-sized joins of the edge list against
+    * the (node → part) map, then one aggregate per part; nothing
+    * quadratic, no driver state beyond the m scalar row.
+    *
+    * Output: one row per part (part_id, n_nodes, intra_edges,
+    * degree_sum, contrib) plus the global `modularity` repeated per
+    * row, ordered by part_id.
+    */
+  def partitionModularity(parts: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u"), col("v")).localCheckpoint()
+    val deg = und.select(col("u").as("vec_id"))
+      .union(und.select(col("v").as("vec_id")))
+      .groupBy("vec_id").agg(count(lit(1)).as("d"))
+    val nd = parts.select(col("vec_id"), col("part_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .groupBy(col("part_id"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("d"), lit(0L))).as("degree_sum"))
+    val pu = parts.select(col("vec_id").as("u"), col("part_id").as("pu"))
+    val pv = parts.select(col("vec_id").as("v"), col("part_id").as("pv"))
+    val intra = und.join(pu, Seq("u")).join(pv, Seq("v"))
+      .filter(col("pu") === col("pv"))
+      .groupBy(col("pu").as("part_id"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val per = nd.join(intra, Seq("part_id"), "left")
+      .select(col("part_id"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"))
+      .crossJoin(broadcast(m))
+    val gl = per.agg(sum(col("intra_edges")).as("si"),
+      sum(col("degree_sum") * col("degree_sum")).as("sdd"))
+    def q(intraC: org.apache.spark.sql.Column,
+        ddC: org.apache.spark.sql.Column) =
+      round((lit(4L) * col("m") * intraC - ddC).cast("double")
+        / (lit(4L) * col("m") * col("m")).cast("double"), 6)
+    per.crossJoin(broadcast(gl))
+      .select(col("part_id"), col("n_nodes"), col("intra_edges"),
+        col("degree_sum"),
+        q(col("intra_edges"), col("degree_sum") * col("degree_sum"))
+          .as("contrib"),
+        q(col("si"), col("sdd")).as("modularity"))
+      .orderBy("part_id")
+  }
+
+  /** [[partitionModularity]] of the ⌈√N⌉ IVF routing over its own
+    * symmetrized within-list kNN graph. All kNN edges are intra-list
+    * by construction, so Q > 0 certifies (and quantifies) that the
+    * seeded routing concentrates degree mass inside lists rather than
+    * merely splitting the corpus evenly.
+    */
+  def listModularity(embeddings: DataFrame, k: Int = 5,
+      nlists: Int): DataFrame = {
+    val asg = ivfAssignments(embeddings, nlists)
+    val und = withinListKnnEdges(asg, k)
+      .select(least(col("node"), col("nbr")).as("u"),
+        greatest(col("node"), col("nbr")).as("v"))
+      .distinct()
+    partitionModularity(
+      asg.select(col("vec_id"), col("list_id").as("part_id")), und)
+  }
+
   /** IVF list-balance report — is the ⌈√N⌉ seeded routing keeping
     * lists balanced enough to bound within-list pair work and probe
     * latency? One row: exact list-size extremes, the exact within-

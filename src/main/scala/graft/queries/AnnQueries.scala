@@ -90,6 +90,17 @@ object AnnQueries {
   }
 
 
+  /** q255: Newman modularity of the IVF routing over its own
+    * symmetrized kNN graph — the community-structure gate next to
+    * q199 (geometry) and q249 (cost); exact integer edge/degree sums,
+    * one float division per row.
+    */
+  private val modularityQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.listModularity(emb, k = 5,
+      nlists = Similarity.autoNlists(emb))
+  }
+
   /** q199: centroid-based silhouette per IVF list — the linear
     * O(N·nlists) cluster-quality audit; ppm distances quantized at
     * birth, s = (b−a)·1e6 div max(a,b), exact per-list sums.
@@ -549,7 +560,8 @@ object AnnQueries {
     "q224_knn_triangles" -> trianglesQ,
     "q249_list_balance" -> listBalanceQ,
     "q251_kcore" -> kCoreQ,
-    "q252_assortativity" -> assortQ)
+    "q252_assortativity" -> assortQ,
+    "q255_modularity" -> modularityQ)
 
   /** q183's oracle: the same greedy MMR unrolled as k−1 CTE steps —
     * each step's candidate scores are exact BIGINT arithmetic over the
@@ -891,6 +903,42 @@ object AnnQueries {
       |  END AS assortativity
       |FROM nn CROSS JOIN ee CROSS JOIN t""".stripMargin
 
+  /** q255's oracle: the shared graph chain, then exact integer
+    * intra/degree sums per list; both ratios divide once, `+ 0e0`
+    * normalizes DuckDB round()'s -0.0 (contrib can round to zero from
+    * below on sparse lists).
+    */
+  private lazy val modularityOracle: String =
+    s"""WITH $knnGraphCtes,
+      |und AS MATERIALIZED (SELECT DISTINCT least(node, nbr) AS u,
+      |    greatest(node, nbr) AS v FROM g),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+      |deg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS vec_id FROM und
+      |        UNION ALL SELECT v AS vec_id FROM und) GROUP BY 1),
+      |nd AS (SELECT a.list_id, CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(SUM(coalesce(deg.d, 0)) AS BIGINT) AS degree_sum
+      |  FROM asg a LEFT JOIN deg ON deg.vec_id = a.vec_id GROUP BY 1),
+      |ie AS (SELECT a.list_id, CAST(count(*) AS BIGINT) AS intra
+      |  FROM und JOIN asg a ON a.vec_id = und.u
+      |    JOIN asg b ON b.vec_id = und.v AND b.list_id = a.list_id
+      |  GROUP BY 1),
+      |per AS (SELECT nd.list_id, nd.n_nodes,
+      |    CAST(coalesce(ie.intra, 0) AS BIGINT) AS intra_edges,
+      |    nd.degree_sum
+      |  FROM nd LEFT JOIN ie ON ie.list_id = nd.list_id),
+      |gl AS (SELECT CAST(SUM(intra_edges) AS BIGINT) AS si,
+      |    CAST(SUM(degree_sum * degree_sum) AS BIGINT) AS sdd FROM per)
+      |SELECT CAST(per.list_id AS INTEGER) AS part_id, per.n_nodes,
+      |  per.intra_edges, per.degree_sum,
+      |  ROUND(CAST(4 * mm.m * per.intra_edges
+      |      - per.degree_sum * per.degree_sum AS DOUBLE)
+      |    / CAST(4 * mm.m * mm.m AS DOUBLE), 6) + 0e0 AS contrib,
+      |  ROUND(CAST(4 * mm.m * gl.si - gl.sdd AS DOUBLE)
+      |    / CAST(4 * mm.m * mm.m AS DOUBLE), 6) + 0e0 AS modularity
+      |FROM per CROSS JOIN mm CROSS JOIN gl
+      |ORDER BY part_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q198_knn_pagerank" -> pagerankOracle,
     "q201_coreset" -> coresetOracle,
@@ -898,6 +946,7 @@ object AnnQueries {
     "q249_list_balance" -> listBalanceOracle,
     "q251_kcore" -> kCoreOracle,
     "q252_assortativity" -> assortOracle,
+    "q255_modularity" -> modularityOracle,
     // q203: per-class one-vs-rest counts off the vote chain; F1 from
     // integers (2tp / (2tp+fp+fn)), never from the rounded p and r.
     "q203_knn_eval" ->

@@ -518,6 +518,13 @@ object EventStoreQueries {
   private val volumeTrendQ: Q = (s, dir) =>
     Sessions.volumeTrend(Tables.events(s, dir), "event_type", "ts")
 
+  /** q256: CUSUM changepoint scan over per-type daily volume — the
+    * regime-shift locator next to q245's trend slope; exact integer
+    * deviation numerators, peak days flagged by integer compare.
+    */
+  private val cusumQ: Q = (s, dir) =>
+    Sessions.cusumEvents(Tables.events(s, dir), "event_type", "ts")
+
 
   /** q247: the streaming volume-trend store fed three disjoint slices
     * — mergeable daily counts fold exactly, so streamed ≡ one-shot
@@ -929,6 +936,7 @@ object EventStoreQueries {
     "q244_event_paths" -> pathsQ,
     "q245_volume_trend" -> volumeTrendQ,
     "q247_trend_store" -> trendStoreQ,
+    "q256_cusum" -> cusumQ,
     "q253_rfm" -> rfmQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
     "q132_pipeline_funnel" -> pipelineFunnelQ,
@@ -1080,6 +1088,32 @@ object EventStoreQueries {
     // OLS sums are exact with no quantization at all. Shared verbatim
     // by q247 (streamed must equal one-shot).
     "q245_volume_trend" -> oracleSqlTrend,
+    // q256: the CUSUM numerator n·cum − t·total is an exact long; the
+    // single division and the integer peak compare keep both engines
+    // bit-identical (|devn| ≥ 1 ⇒ |cusum| ≥ 1/n, so no -0.0 rounding).
+    "q256_cusum" ->
+      """WITH dd AS (SELECT event_type AS "group",
+        |    epoch_us(date_trunc('day', ts))//1000000//86400 AS d
+        |  FROM events),
+        |c AS (SELECT "group", d, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM dd GROUP BY 1, 2),
+        |t AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY 1),
+        |cu AS (SELECT "group", d, cnt,
+        |    CAST(row_number() OVER (PARTITION BY "group" ORDER BY d)
+        |      AS BIGINT) AS i,
+        |    CAST(SUM(cnt) OVER (PARTITION BY "group" ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+        |dev AS (SELECT cu."group", d, cnt,
+        |    n * cum - i * total AS devn, n
+        |  FROM cu JOIN t ON t."group" = cu."group"),
+        |mx AS (SELECT "group", CAST(MAX(abs(devn)) AS BIGINT) AS mabs
+        |  FROM dev GROUP BY 1)
+        |SELECT dev."group", d, cnt,
+        |  ROUND(CAST(devn AS DOUBLE) / n, 6) AS cusum,
+        |  CAST(abs(devn) = mabs AS INTEGER) AS is_peak
+        |FROM dev JOIN mx ON mx."group" = dev."group"
+        |ORDER BY 1, 2""".stripMargin,
     // q241: pooled theta/rho2 from exact sums, per-arm adjustment one
     // float expression.
     "q241_cuped" ->

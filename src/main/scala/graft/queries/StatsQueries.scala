@@ -591,7 +591,16 @@ object StatsQueries {
     Sampling.neymanAllocation(Tables.documents(s, dir), "lang", "n_chars",
       budget = 100L)
 
+  /** q257: Benford first-digit audit of order totals — the
+    * organic-magnitude law check a financial/telemetry onboarding
+    * runs; digits by exact integer-string extraction, expectations by
+    * ln of fixed rationals.
+    */
+  private val benfordQ: Q = (s, dir) =>
+    Profile.benford(Tables.orders(s, dir), "o_totalprice")
+
   val queries: Map[String, Q] = Map(
+    "q257_benford" -> benfordQ,
     "q246_neyman" -> neymanQ,
     "q225_rendezvous" -> rendezvousQ,
     "q227_join_size" -> joinSizeQ,
@@ -730,6 +739,30 @@ object StatsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // q257: digit via exact BIGINT-to-string; expected shares through
+    // ln of fixed small rationals (the q73/q230 transcendental), dev
+    // squared by explicit self-multiplication (never pow — CLAUDE.md).
+    "q257_benford" ->
+      """WITH obs AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    CAST(count(*) AS BIGINT) AS observed
+        |  FROM orders WHERE o_totalprice >= 1e0 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs),
+        |sp AS (SELECT CAST(d AS INTEGER) AS digit
+        |  FROM generate_series(1, 9) t(d)),
+        |j AS (SELECT sp.digit,
+        |    CAST(coalesce(obs.observed, 0) AS BIGINT) AS observed
+        |  FROM sp LEFT JOIN obs ON obs.digit = sp.digit),
+        |x AS (SELECT digit, observed, n,
+        |    ln((digit + 1e0) / digit) / ln(10e0) AS p
+        |  FROM j CROSS JOIN tot)
+        |SELECT digit, observed,
+        |  ROUND(CAST(observed AS DOUBLE) / n, 6) AS share,
+        |  ROUND(p, 6) AS expected_share,
+        |  ROUND((CAST(observed AS DOUBLE) - n * p)
+        |    * (CAST(observed AS DOUBLE) - n * p) / (n * p), 6)
+        |    AS chi2_contrib
+        |FROM x ORDER BY digit""".stripMargin,
     "q231_water_fill" -> waterFillOracle,
     // q246: weights nano-quantized at birth; the proportional split
     // and largest-remainder rounding are exact integer arithmetic.
