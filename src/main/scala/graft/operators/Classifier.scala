@@ -177,6 +177,54 @@ object Classifier {
     *
     * Output: (bin, n, n_pos, mean_p, pos_rate), ordered by bin.
     */
+  /** Weight-of-evidence / information-value profile of a binned
+    * numeric feature against a binary label — the classic univariate
+    * predictive-power screen (credit-scoring heritage, same use here:
+    * "does this quality feature separate keep/drop before I spend a
+    * training run on it"). WOEᵢ = ln((gᵢ/G)/(bᵢ/B)) per bin, IV
+    * contribution (gᵢ/G − bᵢ/B)·WOEᵢ; IV ≳ 0.3 = strong feature.
+    *
+    * Determinism: bins are fixed-width floor divisions (never ntile —
+    * tie order would leak engine differences); all counts exact
+    * longs; WOE's ln argument is the exact rational gᵢ·B/(bᵢ·G);
+    * per-bin contributions only — a global IV sum over float terms
+    * would be accumulation-order-dependent, so callers sum the
+    * (deterministically rounded) contributions themselves if they
+    * want the scalar. NULL woe/iv on bins missing a class.
+    *
+    * Scale shape: one map-side projection + one bins-sized hash
+    * aggregate + a broadcast totals join.
+    *
+    * Output: (bin, n, n_good, n_bad, good_share 6dp, bad_share 6dp,
+    * woe 6dp, iv_contrib 6dp), ordered by bin.
+    */
+  def woeIv(df: DataFrame, valueCol: String, labelCol: String,
+      binWidth: Double, maxBin: Int): DataFrame = {
+    require(binWidth > 0 && maxBin > 0, s"bad bins: $binWidth/$maxBin")
+    val binned = df.select(
+      least(floor(col(valueCol) / lit(binWidth)), lit(maxBin.toLong))
+        .cast("int").as("bin"),
+      col(labelCol).cast("int").as("_y"))
+    val per = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_y").cast("long")).as("n_good"),
+        (count(lit(1)) - sum(col("_y").cast("long"))).as("n_bad"))
+    val tot = per.agg(sum(col("n_good")).as("_g"), sum(col("n_bad")).as("_b"))
+    val gs = col("n_good").cast("double") / col("_g").cast("double")
+    val bs = col("n_bad").cast("double") / col("_b").cast("double")
+    val woe = log((col("n_good") * col("_b")).cast("double")
+      / (col("n_bad") * col("_g")).cast("double"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_good"), col("n_bad"),
+        round(gs, 6).as("good_share"),
+        round(bs, 6).as("bad_share"),
+        when(col("n_good") > 0L && col("n_bad") > 0L, round(woe, 6))
+          .as("woe"),
+        when(col("n_good") > 0L && col("n_bad") > 0L,
+          round((gs - bs) * woe, 6)).as("iv_contrib"))
+      .orderBy("bin")
+  }
+
   def calibrationCurve(scored: DataFrame, scoreCol: String,
       outcomeCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 2 && 1000000 % bins == 0,

@@ -325,6 +325,50 @@ object Profile {
       .orderBy("digit")
   }
 
+  /** Selection-rate parity audit — does a keep/drop decision (a
+    * quality filter, a sampling gate) select one cohort at a
+    * disproportionately lower rate than the best-treated cohort? Per
+    * group: the selection rate, the disparate-impact ratio
+    * rate/rate_ref against the highest-rate group, and the four-
+    * fifths-rule flag (di < 0.8 — the classic adverse-impact
+    * screen, here pointed at corpus governance: "my Gopher filter
+    * keeps 60% of English but 20% of Chinese" is a mixture bug).
+    *
+    * Determinism: counts exact; the reference group is the
+    * (rate DESC, group) argmax where each rate is ONE division of
+    * exact longs (identical doubles in both engines); di and the 80%
+    * flag are evaluated on cross-multiplied exact integers — the flag
+    * never touches a float. NULL di/flag when the reference selects
+    * nothing.
+    *
+    * Scale shape: one group-sized aggregate, a 1-row broadcast of the
+    * reference, a groups-sized window. Output: (group, n, n_selected,
+    * rate 6dp, di_ratio 6dp, flag_disparate), ordered by group.
+    */
+  def selectionParity(df: DataFrame, groupCol: String,
+      flagCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(flagCol).cast("long")).as("n_selected"))
+    val w = Window.orderBy(
+      (col("n_selected").cast("double") / col("n")).desc, col("group"))
+    val ref = per.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("n").as("_n_ref"), col("n_selected").as("_s_ref"))
+    per.crossJoin(broadcast(ref))
+      .select(col("group"), col("n"), col("n_selected"),
+        round(col("n_selected").cast("double") / col("n"), 6).as("rate"),
+        when(col("_s_ref") > 0L,
+          round((col("n_selected") * col("_n_ref")).cast("double")
+            / (col("n") * col("_s_ref")).cast("double"), 6))
+          .as("di_ratio"),
+        when(col("_s_ref") > 0L,
+          (col("n_selected") * col("_n_ref") * lit(10L)
+            < col("n") * col("_s_ref") * lit(8L)).cast("int"))
+          .as("flag_disparate"))
+      .orderBy("group")
+  }
+
   def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, trimPct: Int = 5): DataFrame = {
     require(trimPct >= 0 && trimPct < 50, s"bad trimPct $trimPct")

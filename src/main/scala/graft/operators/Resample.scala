@@ -166,6 +166,83 @@ object Resample {
       .orderBy(keyCol)
   }
 
+  /** Additive seasonal decomposition of the event-volume series —
+    * classical trend (centered moving average over one full period +
+    * 1 rows), seasonal (per-phase mean of the detrended series), and
+    * residual, with a Poisson-style anomaly flag
+    * |residual| > 3·√trend. The "is this hour's traffic off-profile
+    * AFTER accounting for time-of-day" monitor next to [[gapReport]]
+    * (missing data) and `Sessions.cusumDaily` (level shifts).
+    *
+    * Determinism (the q148 rule): counts are exact longs on a dense
+    * zero-filled grid; the detrended value is kept as the exact
+    * integer den·x − Σwindow (den = 2·halfWindow+1), per-phase
+    * seasonal sums stay exact longs, and trend/seasonal/residual each
+    * evaluate float division in ONE mirrored expression. Edge buckets
+    * without a full centered window carry NULL trend/residual; a
+    * phase with no full-window rows carries NULL seasonal.
+    *
+    * Scale shape: one map-side-combined bucket count collapses events
+    * to the grid (≤ span/step rows), the chunked-sequence grid join
+    * zero-fills, then one O(n·window) sliding window and a
+    * period-sized broadcast join. The window runs UNPARTITIONED over
+    * the bucket series — fine at bucket cardinality (hours/days), not
+    * something to point at raw events; shard by key first if a keyed
+    * variant is ever needed.
+    *
+    * Output: (bucket_sec, phase, cnt, trend 6dp, seasonal 6dp,
+    * residual 6dp, is_anomaly) ordered by bucket_sec.
+    */
+  def seasonalDecompose(df: DataFrame, tsCol: String,
+      stepSeconds: Long = 3600L, period: Int = 24,
+      halfWindow: Int = 12): DataFrame = {
+    require(stepSeconds > 0 && period > 1 && halfWindow > 0,
+      s"bad step/period/halfWindow: $stepSeconds/$period/$halfWindow")
+    val den = 2L * halfWindow + 1L
+    val obs = df.select(bucketCol(tsCol, stepSeconds).as("bucket_sec"))
+      .groupBy("bucket_sec").agg(count(lit(1)).as("cnt"))
+    val bounds = obs
+      .agg(min("bucket_sec").as("_bmin"), max("bucket_sec").as("_bmax"))
+      .withColumn("_n_steps",
+        ((col("_bmax") - col("_bmin")) / lit(stepSeconds)).cast("long"))
+    val grid = bounds
+      .select(col("_bmin"), col("_n_steps"),
+        explode(sequence(lit(0L), (col("_n_steps") / lit(Chunk)).cast("long")))
+          .as("_chunk"))
+      .select(col("_bmin"), col("_chunk"), col("_n_steps"),
+        explode(sequence(lit(0L),
+          least(lit(Chunk - 1L), col("_n_steps") - col("_chunk") * lit(Chunk))))
+          .as("_i"))
+      .select((col("_bmin")
+        + (col("_chunk") * lit(Chunk) + col("_i")) * lit(stepSeconds))
+        .as("bucket_sec"))
+    val dense = grid.join(obs, Seq("bucket_sec"), "left")
+      .select(col("bucket_sec"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.orderBy("bucket_sec").rowsBetween(-halfWindow, halfWindow)
+    val t = dense
+      .withColumn("_wn", count(lit(1)).over(w))
+      .withColumn("_wsum", when(col("_wn") === den, sum(col("cnt")).over(w)))
+      .withColumn("_detr", lit(den) * col("cnt") - col("_wsum"))
+      .withColumn("phase",
+        (expr(s"bucket_sec div $stepSeconds") % period).cast("int"))
+    val seas = t.filter(col("_detr").isNotNull)
+      .groupBy("phase")
+      .agg(sum(col("_detr")).as("_snum"), count(lit(1)).as("_scnt"))
+    val trendD = col("_wsum").cast("double") / lit(den.toDouble)
+    val seasD = col("_snum").cast("double") /
+      (lit(den) * col("_scnt")).cast("double")
+    val residD = col("cnt").cast("double") - trendD - seasD
+    t.join(broadcast(seas), Seq("phase"), "left")
+      .select(col("bucket_sec"), col("phase"), col("cnt"),
+        round(trendD, 6).as("trend"),
+        round(seasD, 6).as("seasonal"),
+        round(residD, 6).as("residual"),
+        when(col("_wsum").isNotNull && col("_snum").isNotNull,
+          (abs(residD) > lit(3.0) * sqrt(trendD)).cast("int"))
+          .as("is_anomaly"))
+      .orderBy("bucket_sec")
+  }
+
   /** Exponentially-weighted moving average per key — the recursive
     * smoother behind drift dashboards and cadence anomaly baselines:
     * s₁ = v₁, sᵢ = (α·vᵢ + (1−α)·sᵢ₋₁), α given in ppm.

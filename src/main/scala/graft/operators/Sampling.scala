@@ -472,6 +472,73 @@ object Sampling {
       .orderBy(idCol)
   }
 
+  /** Split-conformal outlier band per group — the
+    * distribution-free anomaly gate: a deterministic hash split
+    * carves a calibration set, the nonconformity score is the
+    * absolute deviation from the calibration median, and the
+    * threshold q̂ is the ⌈(1−α)(n+1)⌉-th smallest calibration score —
+    * guaranteeing ≥(1−α) coverage on exchangeable eval rows with NO
+    * distributional assumption (Vovk's split-conformal recipe). The
+    * reported eval coverage audits the guarantee.
+    *
+    * Determinism: the split is an md5-ppm membership test; median and
+    * q̂ are exact order statistics (row_number over (value, id) — the
+    * VALUE at rank k is tie-order-free); deviations and the coverage
+    * compare are single float expressions over identical doubles in
+    * both engines. When ⌈(1−α)(n+1)⌉ > n_cal the finite-sample
+    * threshold is +∞ — reported as NULL q̂/covered/coverage rather
+    * than a clamped lie.
+    *
+    * Scale shape: a map-side hash flag, two per-group rank windows
+    * over calibration rows only, and broadcast joins of the per-group
+    * scalars; eval rows never shuffle beyond their group aggregate.
+    *
+    * Output: (group, n_cal, n_eval, cal_median 6dp, qhat 6dp,
+    * n_covered, coverage 6dp), ordered by group.
+    */
+  def conformalOutlierReport(df: DataFrame, idCol: String,
+      groupCol: String, valueCol: String, alphaPct: Int = 10,
+      calPpm: Long = 500000L,
+      hashes: HashFamily = Md5Family): DataFrame = {
+    require(alphaPct > 0 && alphaPct < 100, s"bad alphaPct: $alphaPct")
+    val base = df.select(col(groupCol).as("group"), col(idCol).as("_id"),
+      col(valueCol).cast("double").as("_v"),
+      (pmod(hashes.hash(col(idCol).cast("string")), lit(1000000L))
+        < lit(calPpm)).as("_cal"))
+    val cal = base.filter(col("_cal"))
+    val calN = cal.groupBy("group").agg(count(lit(1)).as("n_cal"))
+    val wv = Window.partitionBy("group").orderBy(col("_v"), col("_id"))
+    val med = cal.withColumn("_rn", row_number().over(wv).cast("long"))
+      .join(broadcast(calN), Seq("group"))
+      .filter(col("_rn") === expr("(n_cal + 1) div 2"))
+      .select(col("group"), col("_v").as("_med"))
+    val scored = base.join(broadcast(med), Seq("group"))
+      .withColumn("_a", abs(col("_v") - col("_med")))
+    val wa = Window.partitionBy("group").orderBy(col("_a"), col("_id"))
+    val kq = calN.withColumn("_kq",
+      expr(s"(${100 - alphaPct} * (n_cal + 1) + 99) div 100"))
+    val qhat = scored.filter(col("_cal"))
+      .withColumn("_rn", row_number().over(wa).cast("long"))
+      .join(broadcast(kq), Seq("group"))
+      .filter(col("_rn") === col("_kq"))
+      .select(col("group"), col("_a").as("_qhat"))
+    val ev = scored.filter(!col("_cal"))
+      .join(broadcast(qhat), Seq("group"), "left")
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("_a") <= col("_qhat"), lit(1L))).as("n_covered"))
+    calN.join(med, Seq("group"))
+      .join(qhat, Seq("group"), "left")
+      .join(ev, Seq("group"))
+      .select(col("group"), col("n_cal"), col("n_eval"),
+        round(col("_med"), 6).as("cal_median"),
+        round(col("_qhat"), 6).as("qhat"),
+        col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_eval"), 6)
+          .as("coverage"))
+      .orderBy("group")
+  }
+
   def scoreCalibration(docs: DataFrame, idCol: String, groupCol: String,
       scoreCol: String): DataFrame = {
     val wg = Window.partitionBy(groupCol)

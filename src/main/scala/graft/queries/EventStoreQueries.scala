@@ -525,6 +525,14 @@ object EventStoreQueries {
   private val cusumQ: Q = (s, dir) =>
     Sessions.cusumEvents(Tables.events(s, dir), "event_type", "ts")
 
+  /** q258: additive seasonal decomposition of hourly event volume —
+    * centered-MA trend, per-hour-of-day seasonal, Poisson-style
+    * 3·√trend residual anomaly flag; exact integer detrending.
+    */
+  private val seasonalQ: Q = (s, dir) =>
+    Resample.seasonalDecompose(Tables.events(s, dir), "ts",
+      stepSeconds = 3600L, period = 24, halfWindow = 12)
+
 
   /** q247: the streaming volume-trend store fed three disjoint slices
     * — mergeable daily counts fold exactly, so streamed ≡ one-shot
@@ -937,6 +945,7 @@ object EventStoreQueries {
     "q245_volume_trend" -> volumeTrendQ,
     "q247_trend_store" -> trendStoreQ,
     "q256_cusum" -> cusumQ,
+    "q258_seasonal" -> seasonalQ,
     "q253_rfm" -> rfmQ,
     "q133_sink_roundtrip" -> sinkRoundtripQ,
     "q132_pipeline_funnel" -> pipelineFunnelQ,
@@ -1114,6 +1123,44 @@ object EventStoreQueries {
         |  CAST(abs(devn) = mabs AS INTEGER) AS is_peak
         |FROM dev JOIN mx ON mx."group" = dev."group"
         |ORDER BY 1, 2""".stripMargin,
+    // q258: dense zero-filled hourly grid; detrended values stay the
+    // exact integer 25·x − Σwindow; trend/seasonal/residual divide
+    // once in mirrored expressions; + 0e0 normalizes round()'s -0.0
+    // on the two signed outputs (the q148 rule).
+    "q258_seasonal" ->
+      """WITH obs AS (SELECT epoch_us(ts)//1000000//3600*3600 AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |bounds AS (SELECT min(b) AS bmin, max(b) AS bmax FROM obs),
+        |grid AS (SELECT gs.b FROM bounds,
+        |  LATERAL (SELECT unnest(generate_series(bmin, bmax, 3600)) AS b) gs),
+        |dense AS (SELECT g.b, CAST(coalesce(o.cnt, 0) AS BIGINT) AS cnt
+        |  FROM grid g LEFT JOIN obs o ON o.b = g.b),
+        |w AS (SELECT b, cnt,
+        |    CAST(count(*) OVER win AS BIGINT) AS wn,
+        |    CAST(SUM(cnt) OVER win AS BIGINT) AS wsum,
+        |    CAST((b // 3600) % 24 AS INTEGER) AS phase
+        |  FROM dense WINDOW win AS (ORDER BY b
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |t AS (SELECT b, cnt, phase,
+        |    CASE WHEN wn = 25 THEN wsum END AS wsum,
+        |    CASE WHEN wn = 25 THEN 25 * cnt - wsum END AS detr FROM w),
+        |seas AS (SELECT phase, CAST(SUM(detr) AS BIGINT) AS snum,
+        |    CAST(count(*) AS BIGINT) AS scnt
+        |  FROM t WHERE detr IS NOT NULL GROUP BY 1)
+        |SELECT t.b AS bucket_sec, t.phase, t.cnt,
+        |  ROUND(CAST(t.wsum AS DOUBLE) / 25e0, 6) AS trend,
+        |  ROUND(CAST(s.snum AS DOUBLE)
+        |    / CAST(25 * s.scnt AS DOUBLE), 6) + 0e0 AS seasonal,
+        |  ROUND(CAST(t.cnt AS DOUBLE) - CAST(t.wsum AS DOUBLE) / 25e0
+        |    - CAST(s.snum AS DOUBLE) / CAST(25 * s.scnt AS DOUBLE), 6)
+        |    + 0e0 AS residual,
+        |  CASE WHEN t.wsum IS NOT NULL AND s.snum IS NOT NULL THEN
+        |    CAST(abs(CAST(t.cnt AS DOUBLE) - CAST(t.wsum AS DOUBLE) / 25e0
+        |      - CAST(s.snum AS DOUBLE) / CAST(25 * s.scnt AS DOUBLE))
+        |      > 3e0 * sqrt(CAST(t.wsum AS DOUBLE) / 25e0) AS INTEGER)
+        |  END AS is_anomaly
+        |FROM t LEFT JOIN seas s ON s.phase = t.phase
+        |ORDER BY bucket_sec""".stripMargin,
     // q241: pooled theta/rho2 from exact sums, per-arm adjustment one
     // float expression.
     "q241_cuped" ->

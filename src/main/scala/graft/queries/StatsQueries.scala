@@ -599,8 +599,35 @@ object StatsQueries {
   private val benfordQ: Q = (s, dir) =>
     Profile.benford(Tables.orders(s, dir), "o_totalprice")
 
+  /** q259: split-conformal outlier band on order totals per market
+    * segment — distribution-free ≥90% coverage from exact order
+    * statistics over an md5 calibration split; the reported eval
+    * coverage audits the guarantee.
+    */
+  private val conformalQ: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    Sampling.conformalOutlierReport(
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+      "o_orderkey", "c_mktsegment", "o_totalprice", alphaPct = 10)
+  }
+
+  /** q260: WOE / information-value screen of order totals against
+    * order completion — fixed-width bins (never ntile), exact counts,
+    * ln of exact rationals; per-bin IV contributions only (a global
+    * float sum would be order-dependent).
+    */
+  private val woeIvQ: Q = (s, dir) =>
+    Classifier.woeIv(
+      Tables.orders(s, dir)
+        .withColumn("label", col("o_orderstatus") === "F"),
+      "o_totalprice", "label", binWidth = 75000.0, maxBin = 7)
+
   val queries: Map[String, Q] = Map(
     "q257_benford" -> benfordQ,
+    "q259_conformal" -> conformalQ,
+    "q260_woe_iv" -> woeIvQ,
     "q246_neyman" -> neymanQ,
     "q225_rendezvous" -> rendezvousQ,
     "q227_join_size" -> joinSizeQ,
@@ -763,6 +790,74 @@ object StatsQueries {
         |    * (CAST(observed AS DOUBLE) - n * p) / (n * p), 6)
         |    AS chi2_contrib
         |FROM x ORDER BY digit""".stripMargin,
+    // q260: exact counts, ln of the exact rational g·B/(b·G); + 0e0
+    // normalizes round()'s -0.0 on woe (iv_contrib is ≥ 0 by sign
+    // agreement of its factors).
+    "q260_woe_iv" ->
+      """WITH binned AS (SELECT
+        |    CAST(least(floor(o_totalprice / 75000e0), 7) AS INTEGER)
+        |      AS bin,
+        |    CAST(o_orderstatus = 'F' AS INTEGER) AS y FROM orders),
+        |per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS n_good,
+        |    CAST(count(*) - SUM(y) AS BIGINT) AS n_bad
+        |  FROM binned GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_good) AS BIGINT) AS g,
+        |    CAST(SUM(n_bad) AS BIGINT) AS b FROM per)
+        |SELECT bin, n, n_good, n_bad,
+        |  ROUND(CAST(n_good AS DOUBLE) / CAST(g AS DOUBLE), 6)
+        |    AS good_share,
+        |  ROUND(CAST(n_bad AS DOUBLE) / CAST(b AS DOUBLE), 6)
+        |    AS bad_share,
+        |  CASE WHEN n_good > 0 AND n_bad > 0 THEN
+        |    ROUND(ln(CAST(n_good * b AS DOUBLE)
+        |      / CAST(n_bad * g AS DOUBLE)), 6) + 0e0 END AS woe,
+        |  CASE WHEN n_good > 0 AND n_bad > 0 THEN
+        |    ROUND((CAST(n_good AS DOUBLE) / CAST(g AS DOUBLE)
+        |        - CAST(n_bad AS DOUBLE) / CAST(b AS DOUBLE))
+        |      * ln(CAST(n_good * b AS DOUBLE)
+        |        / CAST(n_bad * g AS DOUBLE)), 6) END AS iv_contrib
+        |FROM per CROSS JOIN tot ORDER BY bin""".stripMargin,
+    // q259: md5-ppm calibration split; median and q-hat are exact
+    // rank-k order statistics (value at rank k is tie-order-free);
+    // the coverage compare runs on identical doubles in both engines.
+    "q259_conformal" -> {
+      val h = md5l("CAST(o_orderkey AS VARCHAR)")
+      s"""WITH base AS (SELECT c.c_mktsegment AS "group",
+        |    o.o_orderkey AS id, o.o_totalprice AS v,
+        |    ($h % 1000000) < 500000 AS cal
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        |cn AS (SELECT "group", CAST(count(*) AS BIGINT) AS n_cal
+        |  FROM base WHERE cal GROUP BY 1),
+        |mr AS (SELECT "group", id, v, row_number() OVER (
+        |    PARTITION BY "group" ORDER BY v, id) AS rn
+        |  FROM base WHERE cal),
+        |med AS (SELECT mr."group", mr.v AS med FROM mr
+        |  JOIN cn ON cn."group" = mr."group"
+        |  WHERE mr.rn = (cn.n_cal + 1) // 2),
+        |sc AS (SELECT b."group", b.id, b.cal, abs(b.v - med.med) AS a,
+        |    med.med FROM base b JOIN med ON med."group" = b."group"),
+        |ar AS (SELECT "group", id, a, row_number() OVER (
+        |    PARTITION BY "group" ORDER BY a, id) AS rn
+        |  FROM sc WHERE cal),
+        |kq AS (SELECT "group", n_cal,
+        |    (90 * (n_cal + 1) + 99) // 100 AS kq FROM cn),
+        |qh AS (SELECT ar."group", ar.a AS qhat FROM ar
+        |  JOIN kq ON kq."group" = ar."group" WHERE ar.rn = kq.kq),
+        |ev AS (SELECT sc."group", CAST(count(*) AS BIGINT) AS n_eval,
+        |    CAST(SUM(CASE WHEN sc.a <= qh.qhat THEN 1 END) AS BIGINT)
+        |      AS n_covered
+        |  FROM sc LEFT JOIN qh ON qh."group" = sc."group"
+        |  WHERE NOT sc.cal GROUP BY 1)
+        |SELECT cn."group", cn.n_cal, ev.n_eval,
+        |  ROUND(med.med, 6) AS cal_median, ROUND(qh.qhat, 6) AS qhat,
+        |  ev.n_covered,
+        |  ROUND(CAST(ev.n_covered AS DOUBLE) / ev.n_eval, 6) AS coverage
+        |FROM cn JOIN med ON med."group" = cn."group"
+        |  LEFT JOIN qh ON qh."group" = cn."group"
+        |  JOIN ev ON ev."group" = cn."group"
+        |ORDER BY cn."group"""".stripMargin
+    },
     "q231_water_fill" -> waterFillOracle,
     // q246: weights nano-quantized at birth; the proportional split
     // and largest-remainder rounding are exact integer arithmetic.

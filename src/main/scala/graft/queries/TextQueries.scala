@@ -635,7 +635,21 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** q261: selection-rate parity of the Gopher keep decision across
+    * languages — the four-fifths adverse-impact screen pointed at
+    * corpus governance; di and the flag from cross-multiplied exact
+    * integers against the best-treated language.
+    */
+  private val selectionParityQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Profile.selectionParity(
+      TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+      "lang", "pass")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q261_selection_parity" -> selectionParityQ,
     "q179_nfc_normalize" -> nfcQ,
     "q223_zipf_fit" -> zipfQ,
     "q230_pmi" -> pmiQ,
@@ -1007,6 +1021,32 @@ object TextQueries {
         |    AS pass_rate
         |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
 
+    // q261: the q250 chain joined to lang; rates are one division of
+    // exact longs, the reference is the (rate DESC, group) argmax,
+    // di/flag from cross-multiplied exact integers.
+    "q261_selection_parity" ->
+      s"""WITH $gopherCtes,
+        |j AS (SELECT f.doc_id, d.lang,
+        |    CASE WHEN flag_words + flag_word_len + flag_symbols
+        |      + flag_alpha + flag_stopwords + flag_lines = 6
+        |      THEN 1 ELSE 0 END AS pass
+        |  FROM f JOIN documents d USING (doc_id)),
+        |per AS (SELECT lang AS "group", CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(pass) AS BIGINT) AS n_selected FROM j GROUP BY 1),
+        |rk AS (SELECT "group", n, n_selected, row_number() OVER (
+        |    ORDER BY CAST(n_selected AS DOUBLE) / n DESC, "group")
+        |    AS r FROM per),
+        |ref AS (SELECT n AS n_ref, n_selected AS s_ref
+        |  FROM rk WHERE r = 1)
+        |SELECT "group", n, n_selected,
+        |  ROUND(CAST(n_selected AS DOUBLE) / n, 6) AS rate,
+        |  CASE WHEN s_ref > 0 THEN
+        |    ROUND(CAST(n_selected * n_ref AS DOUBLE)
+        |      / CAST(n * s_ref AS DOUBLE), 6) END AS di_ratio,
+        |  CASE WHEN s_ref > 0 THEN
+        |    CAST(n_selected * n_ref * 10 < n * s_ref * 8 AS INTEGER)
+        |  END AS flag_disparate
+        |FROM per CROSS JOIN ref ORDER BY "group"""".stripMargin,
     // q230: document-presence counts exact; PMI per pair one float
     // expression floored to nanos; (df DESC, tok) vocab cut and the
     // binary tok_a < tok_b pair order match Spark's.
