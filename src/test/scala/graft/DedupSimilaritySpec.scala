@@ -1351,4 +1351,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
       (1L, 4, "a a a b", 1L, 1.0),
       (2L, 1, "x", 1L, 1.0)), s"got $got")
   }
+
+  test("modularity: two clean triangles score 0.5; a bridge edge dilutes exactly") {
+    import spark.implicits._
+    val parts = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1), (6L, 1))
+      .toDF("vec_id", "part_id")
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L)).toDF("u", "v")
+    val got = Similarity.partitionModularity(parts, tri)
+      .as[(Int, Long, Long, Long, Double, Double)].collect().toSeq
+    // per part: (4·6·3 − 6²)/(4·6²) = 36/144 = 0.25; Q = 0.5
+    assert(got == Seq((0, 3L, 3L, 6L, 0.25, 0.5),
+      (1, 3L, 3L, 6L, 0.25, 0.5)), s"got $got")
+    // bridge 3–4: m=7, per part (4·7·3 − 49)/(4·49) = 35/196
+    val bridged = tri.unionByName(Seq((3L, 4L)).toDF("u", "v"))
+    val b = Similarity.partitionModularity(parts, bridged)
+      .as[(Int, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(b == Seq((0, 3L, 3L, 7L, 0.178571, 0.357143),
+      (1, 3L, 3L, 7L, 0.178571, 0.357143)), s"got $b")
+  }
 }

@@ -131,4 +131,39 @@ class ProfileSpec extends SparkSpecBase {
     assert(got == Seq(("even", 4L, 20L, 0.0), ("mix", 3L, 6L, 0.222222),
       ("top", 4L, 10L, 0.75)), s"got $got")
   }
+
+  test("benford: exact digit extraction, sub-1 rows dropped, 9-row zero-filled spine") {
+    import spark.implicits._
+    // digits: 30→3, 17.5→1, 9.99→9, 1000.49→1, 0.5→dropped, 2→2
+    val df = Seq(30.0, 17.5, 9.99, 1000.49, 0.5, 2.0).toDF("v")
+    val got = Profile.benford(df, "v").collect()
+    assert(got.length == 9)
+    val byDigit = got.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 4 -> 0L, 5 -> 0L,
+      6 -> 0L, 7 -> 0L, 8 -> 0L, 9 -> 1L), s"got $byDigit")
+    val d1 = got.find(_.getInt(0) == 1).get
+    assert(d1.getDouble(2) == 0.4) // share 2/5
+    assert(math.abs(d1.getDouble(3) - math.log10(2.0)) < 1e-6)
+    // zero-observed digit still carries its expectation and a
+    // nonzero chi2 contribution
+    val d4 = got.find(_.getInt(0) == 4).get
+    assert(d4.getDouble(4) > 0.0)
+  }
+
+  test("selection parity: reference di=1, strict four-fifths boundary, zero-selection reference guard") {
+    import spark.implicits._
+    val df = (Seq.fill(10)(("a", 1)) ++
+      Seq.fill(8)(("b", 1)) ++ Seq.fill(2)(("b", 0)) ++
+      Seq.fill(7)(("c", 1)) ++ Seq.fill(3)(("c", 0))).toDF("g", "f")
+    val got = Profile.selectionParity(df, "g", "f")
+      .as[(String, Long, Long, Double, Double, Int)].collect().toSeq
+    // rate 0.8 is NOT disparate (strict <); 0.7 is
+    assert(got == Seq(("a", 10L, 10L, 1.0, 1.0, 0),
+      ("b", 10L, 8L, 0.8, 0.8, 0), ("c", 10L, 7L, 0.7, 0.7, 1)),
+      s"got $got")
+    // nothing selected anywhere → di/flag NULL, never a NaN
+    val none = Profile.selectionParity(
+      Seq(("a", 0), ("b", 0)).toDF("g", "f"), "g", "f").collect()
+    assert(none.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
 }

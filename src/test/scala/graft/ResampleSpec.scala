@@ -104,6 +104,31 @@ class ResampleSpec extends SparkSpecBase {
       (3L, 8000000L, 7000000L)), s"got $ds")
   }
 
+  test("seasonal decompose: constant series is all-trend, edges NULL, one spike flags one anomaly") {
+    // one event per hour for 20 hours → cnt 1 everywhere
+    val flat = (0 until 20).map(h => ("e", ts(h))).toDF("k", "t")
+    val out = Resample.seasonalDecompose(flat, "t", stepSeconds = 3600L,
+      period = 4, halfWindow = 2).collect()
+    assert(out.length == 20)
+    // edges (first/last 2 rows) carry NULL trend/residual
+    val edges = out.take(2) ++ out.takeRight(2)
+    assert(edges.forall(r => r.isNullAt(3) && r.isNullAt(5)))
+    // interior: trend 1, seasonal 0, residual 0, no anomaly
+    val mid = out.slice(2, 18)
+    assert(mid.forall(r => r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0
+      && r.getDouble(5) == 0.0 && r.getInt(6) == 0), s"got ${mid.toSeq}")
+
+    // 9 extra events in hour 10 → that bucket (and only it) flags
+    val spiked = flat.unionByName(
+      (0 until 9).map(i => ("e", ts(10, i + 1))).toDF("k", "t"))
+    val sOut = Resample.seasonalDecompose(spiked, "t", stepSeconds = 3600L,
+      period = 4, halfWindow = 2).collect()
+    val flagged = sOut.filter(r => !r.isNullAt(6) && r.getInt(6) == 1)
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000
+    assert(flagged.map(_.getLong(0)).toSeq == Seq(h10),
+      s"flagged ${flagged.map(_.getLong(0)).toSeq}")
+  }
+
   test("resample plan: one window sort, no join, no cartesian") {
     val plan = Resample.resample(fixture, "k", "t", "v", 3600L)
       .queryExecution.executedPlan.toString

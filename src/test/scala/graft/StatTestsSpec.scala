@@ -118,4 +118,65 @@ class StatTestsSpec extends SparkSpecBase {
     // the observed counts but still contributes 0.5
     assert(got == Seq((4L, 2L, 2L, 1L, 1.333333)), s"got $got")
   }
+
+  test("cusum: level shift peaks at the regime boundary, constant series is all-zero") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    // daily counts 1,1,5,5 → n=4, total=12; devn = 4·cum − t·12 =
+    // −8, −16, −8, 0 → peak (|devn| max) at day 2, cusum = devn/4
+    val daily = Seq(("x", 0L, 1L), ("x", 1L, 1L), ("x", 2L, 5L),
+      ("x", 3L, 5L)).toDF("group", "d", "c")
+    val got = Sessions.cusumDaily(daily)
+      .as[(String, Long, Long, Double, Int)].collect().toSeq
+    assert(got == Seq(("x", 0L, 1L, -2.0, 0), ("x", 1L, 1L, -4.0, 1),
+      ("x", 2L, 5L, -2.0, 0), ("x", 3L, 5L, 0.0, 0)), s"got $got")
+    // constant volume: every deviation 0 → every day ties the peak
+    val flat = Seq(("y", 0L, 3L), ("y", 1L, 3L), ("y", 2L, 3L))
+      .toDF("group", "d", "c")
+    val f = Sessions.cusumDaily(flat)
+      .as[(String, Long, Long, Double, Int)].collect().toSeq
+    assert(f.forall(r => r._4 == 0.0 && r._5 == 1), s"got $f")
+  }
+
+  test("conformal: ~90% coverage on exchangeable data; starved calibration reports NULL, not a clamp") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val big = (1 to 400).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("grp", "id", "v")
+    val r = Sampling.conformalOutlierReport(big, "id", "grp", "v",
+      alphaPct = 10).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) + row.getLong(2) == 400L) // cal + eval
+    assert(!row.isNullAt(4), "qhat should exist")
+    assert(row.getDouble(6) >= 0.85 && row.getDouble(6) <= 1.0,
+      s"coverage ${row.getDouble(6)}")
+    // alpha 1% with a small calibration set: ⌈0.99(n+1)⌉ > n for all
+    // n ≤ 98 → threshold is +∞, reported as NULL qhat/covered/coverage
+    val starved = Sampling.conformalOutlierReport(big, "id", "grp", "v",
+      alphaPct = 1, calPpm = 100000L).collect().head
+    assert(starved.isNullAt(4) && starved.isNullAt(5)
+      && starved.isNullAt(6), s"got $starved")
+  }
+
+  test("woe/iv: two-bin hand case, one-class bin yields NULL woe") {
+    import spark.implicits._
+    import graft.operators.Classifier
+    // bin 0 (v<10): 3 good 1 bad; bin 1: 1 good 3 bad → G=B=4
+    val df = (Seq.fill(3)((1.0, true)) ++ Seq((2.0, false)) ++
+      Seq((11.0, true)) ++ Seq.fill(3)((12.0, false)))
+      .toDF("v", "label")
+    val got = Classifier.woeIv(df, "v", "label", binWidth = 10.0,
+      maxBin = 1).as[(Int, Long, Long, Long, Double, Double,
+        Double, Double)].collect().toSeq
+    val ln3 = math.round(math.log(3.0) * 1e6) / 1e6
+    val iv0 = math.round(0.5 * math.log(3.0) * 1e6) / 1e6
+    assert(got == Seq((0, 4L, 3L, 1L, 0.75, 0.25, ln3, iv0),
+      (1, 4L, 1L, 3L, 0.25, 0.75, -ln3, iv0)), s"got $got")
+    // a bin with no bad rows: woe/iv NULL, shares still emit
+    val oneSided = (Seq.fill(2)((1.0, true)) ++
+      Seq((11.0, true), (12.0, false))).toDF("v", "label")
+    val os = Classifier.woeIv(oneSided, "v", "label", 10.0, 1).collect()
+    assert(os.find(_.getInt(0) == 0).get.isNullAt(6))
+  }
 }
