@@ -332,4 +332,72 @@ object Resample {
         round(col("_e.s_micro") / lit(1e6), 6).as("ewma"))
       .orderBy(keyCol, "step")
   }
+
+  /** Holt linear (double-exponential) smoothing per key — [[ewma]]
+    * plus an explicit trend state, the one-step-ahead forecaster
+    * cadence dashboards run:
+    *   l₁ = x₁, b₁ = 0;
+    *   lᵢ = ⌊(α·xᵢ + (1e6−α)·(lᵢ₋₁ + bᵢ₋₁))/1e6⌋,
+    *   bᵢ = ⌊(β·(lᵢ − lᵢ₋₁) + (1e6−β)·bᵢ₋₁)/1e6⌋,
+    *   forecast = l + b.
+    * Same exact-integer-recurrence contract as [[ewma]] (values
+    * quantize to micros at birth, floor via subtract-pmod-then-div so
+    * negative trends floor identically to DuckDB's mirrored form,
+    * (ts, v_micro) step order total under duplicates) and the same
+    * scale shape: one groupBy(key) shuffle, the coupled recurrence
+    * folds in-row — a linear recurrence cannot shuffle-parallelize
+    * within a key without changing per-step floors.
+    *
+    * Output: (keyCol, step 1-based, ts_sec, v_micro, l_micro,
+    * b_micro, level 6dp, trend 6dp, forecast 6dp), by (keyCol, step).
+    */
+  def holt(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L
+      && betaPpm > 0 && betaPpm <= 1000000L,
+      s"alpha/beta ppm must be in (0, 1e6], got $alphaPpm/$betaPpm")
+    val m = lit(1000000L)
+    def floorDivM(a: Column): Column =
+      call_function("div", a - pmod(a, m), m)
+    // b's step needs the SAME step's l — inline l's (cheap, constant)
+    // arithmetic rather than referencing a sibling struct field
+    def lNext(v: Column, pl: Column, pb: Column): Column =
+      floorDivM(lit(alphaPpm) * v + (m - lit(alphaPpm)) * (pl + pb))
+    def bNext(v: Column, pl: Column, pb: Column): Column =
+      floorDivM(lit(betaPpm) * (lNext(v, pl, pb) - pl)
+        + (m - lit(betaPpm)) * pb)
+    val rows = df.select(col(keyCol).as("_k"),
+      unix_timestamp(col(tsCol)).as("ts_sec"),
+      round(col(valueCol) * lit(1e6)).cast("long").as("v_micro"))
+    val folded = rows
+      .groupBy(col("_k"))
+      .agg(array_sort(collect_list(struct(col("ts_sec"), col("v_micro"))))
+        .as("_series"))
+      .withColumn("_out", aggregate(
+        col("_series"),
+        expr("CAST(array() AS ARRAY<STRUCT<ts_sec: BIGINT, v_micro: BIGINT, l_micro: BIGINT, b_micro: BIGINT>>)"),
+        (acc, x) => {
+          val v = x.getField("v_micro")
+          val pl = element_at(acc, -1).getField("l_micro")
+          val pb = element_at(acc, -1).getField("b_micro")
+          concat(acc, array(struct(
+            x.getField("ts_sec").as("ts_sec"),
+            v.as("v_micro"),
+            when(size(acc) === 0, v).otherwise(lNext(v, pl, pb))
+              .as("l_micro"),
+            when(size(acc) === 0, lit(0L)).otherwise(bNext(v, pl, pb))
+              .as("b_micro"))))
+        }))
+    folded.select(col("_k").as(keyCol),
+        posexplode(col("_out")).as(Seq("_p", "_e")))
+      .select(col(keyCol), (col("_p") + 1).cast("long").as("step"),
+        col("_e.ts_sec").as("ts_sec"), col("_e.v_micro").as("v_micro"),
+        col("_e.l_micro").as("l_micro"), col("_e.b_micro").as("b_micro"),
+        round(col("_e.l_micro") / lit(1e6), 6).as("level"),
+        round(col("_e.b_micro") / lit(1e6), 6).as("trend"),
+        round((col("_e.l_micro") + col("_e.b_micro")) / lit(1e6), 6)
+          .as("forecast"))
+      .orderBy(keyCol, "step")
+  }
 }

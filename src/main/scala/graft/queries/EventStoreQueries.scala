@@ -417,6 +417,15 @@ object EventStoreQueries {
       Tables.events(s, dir).filter(col("user_id") < 50),
       "user_id", "ts", "value", alphaPpm = 300000L)
 
+  /** q263: Holt linear (level + trend) smoothing per user — q226's
+    * exact-integer recurrence contract extended to the coupled
+    * two-state fold; forecast = level + trend.
+    */
+  private val holtQ: Q = (s, dir) =>
+    Resample.holt(
+      Tables.events(s, dir).filter(col("user_id") < 50),
+      "user_id", "ts", "value", alphaPpm = 300000L, betaPpm = 100000L)
+
 
   /** q234: the streaming EWMA store fed three TIME-ordered slices of
     * the same q226 stream — the seeded recurrence must chain across
@@ -555,6 +564,27 @@ object EventStoreQueries {
     out
   }
 
+
+  /** q264: the CUSUM readout over the SAME streaming daily-count
+    * store as q247, fed three disjoint slices — mergeable counts fold
+    * exactly, so streamed ≡ one-shot (q256's oracle verbatim).
+    */
+  private val cusumStoreQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q264_cusum")
+    val store = scratch.toString + "/trend"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.trendStep(
+        ev.filter(col("event_id") % 3 === b), "event_type", "ts",
+        store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.trendMerge)
+    val out = graft.streaming.StreamingPower.mergedCusum(s, store)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
 
   /** q253: RFM user segmentation as of Jan 31 — quintile scores per
     * dimension (5 = best), ties pinned by user id.
@@ -936,6 +966,8 @@ object EventStoreQueries {
     "q146_gap_report" -> gapReportQ,
     "q145_resample" -> resampleQ,
     "q226_ewma" -> ewmaQ,
+    "q263_holt" -> holtQ,
+    "q264_cusum_store" -> cusumStoreQ,
     "q229_interarrival" -> interArrivalQ,
     "q234_ewma_store" -> ewmaStoreQ,
     "q241_cuped" -> cupedQ,
@@ -1019,6 +1051,66 @@ object EventStoreQueries {
       |  s AS s_micro, ROUND(s / 1000000e0, 6) AS ewma
       |FROM e ORDER BY user_id, step""".stripMargin
 
+  /** q256/q264's shared oracle: the CUSUM scan over per-type daily
+    * counts (q264's streamed store must fold to the identical frame).
+    */
+  private lazy val cusumOracle: String =
+    """WITH dd AS (SELECT event_type AS "group",
+      |    epoch_us(date_trunc('day', ts))//1000000//86400 AS d
+      |  FROM events),
+      |c AS (SELECT "group", d, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM dd GROUP BY 1, 2),
+      |t AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY 1),
+      |cu AS (SELECT "group", d, cnt,
+      |    CAST(row_number() OVER (PARTITION BY "group" ORDER BY d)
+      |      AS BIGINT) AS i,
+      |    CAST(SUM(cnt) OVER (PARTITION BY "group" ORDER BY d
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
+      |dev AS (SELECT cu."group", d, cnt,
+      |    n * cum - i * total AS devn, n
+      |  FROM cu JOIN t ON t."group" = cu."group"),
+      |mx AS (SELECT "group", CAST(MAX(abs(devn)) AS BIGINT) AS mabs
+      |  FROM dev GROUP BY 1)
+      |SELECT dev."group", d, cnt,
+      |  ROUND(CAST(devn AS DOUBLE) / n, 6) AS cusum,
+      |  CAST(abs(devn) = mabs AS INTEGER) AS is_peak
+      |FROM dev JOIN mx ON mx."group" = dev."group"
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q263's oracle — the coupled Holt recurrence as a recursive CTE;
+    * b's step needs the SAME step's l, so l's floor expression is
+    * inlined (the operator does the identical inlining). Floors via
+    * subtract-pmod-then-`//` exactly as q226.
+    */
+  private lazy val holtOracle: String = {
+    val lx = """(300000 * o.v + 700000 * (e.l + e.b)
+      |      - (((300000 * o.v + 700000 * (e.l + e.b)) % 1000000
+      |        + 1000000) % 1000000)) // 1000000""".stripMargin
+    val braw = s"""100000 * ($lx - e.l) + 900000 * e.b"""
+    s"""WITH RECURSIVE q AS (SELECT user_id,
+      |    epoch_us(ts)//1000000 AS ts_sec,
+      |    CAST(round(value * 1000000, 0) AS BIGINT) AS v
+      |  FROM events WHERE user_id < 50),
+      |o AS (SELECT user_id, ts_sec, v, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts_sec, v) AS i FROM q),
+      |e AS (
+      |  SELECT user_id, ts_sec, v, i, v AS l, CAST(0 AS BIGINT) AS b
+      |  FROM o WHERE i = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.ts_sec, o.v, o.i,
+      |    $lx AS l,
+      |    ($braw - ((($braw) % 1000000 + 1000000) % 1000000))
+      |      // 1000000 AS b
+      |  FROM o JOIN e ON o.user_id = e.user_id AND o.i = e.i + 1)
+      |SELECT user_id, CAST(i AS BIGINT) AS step, ts_sec, v AS v_micro,
+      |  l AS l_micro, b AS b_micro,
+      |  ROUND(l / 1000000e0, 6) AS level,
+      |  ROUND(b / 1000000e0, 6) AS trend,
+      |  ROUND((l + b) / 1000000e0, 6) AS forecast
+      |FROM e ORDER BY user_id, step""".stripMargin
+  }
+
   /** The q241/q242 shared user-metric CTE (md5 arms, whole-unit sums). */
   private lazy val userMetricCte: String =
     s"""um AS (SELECT u.user_id,
@@ -1100,29 +1192,10 @@ object EventStoreQueries {
     // q256: the CUSUM numerator n·cum − t·total is an exact long; the
     // single division and the integer peak compare keep both engines
     // bit-identical (|devn| ≥ 1 ⇒ |cusum| ≥ 1/n, so no -0.0 rounding).
-    "q256_cusum" ->
-      """WITH dd AS (SELECT event_type AS "group",
-        |    epoch_us(date_trunc('day', ts))//1000000//86400 AS d
-        |  FROM events),
-        |c AS (SELECT "group", d, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM dd GROUP BY 1, 2),
-        |t AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
-        |    CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY 1),
-        |cu AS (SELECT "group", d, cnt,
-        |    CAST(row_number() OVER (PARTITION BY "group" ORDER BY d)
-        |      AS BIGINT) AS i,
-        |    CAST(SUM(cnt) OVER (PARTITION BY "group" ORDER BY d
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM c),
-        |dev AS (SELECT cu."group", d, cnt,
-        |    n * cum - i * total AS devn, n
-        |  FROM cu JOIN t ON t."group" = cu."group"),
-        |mx AS (SELECT "group", CAST(MAX(abs(devn)) AS BIGINT) AS mabs
-        |  FROM dev GROUP BY 1)
-        |SELECT dev."group", d, cnt,
-        |  ROUND(CAST(devn AS DOUBLE) / n, 6) AS cusum,
-        |  CAST(abs(devn) = mabs AS INTEGER) AS is_peak
-        |FROM dev JOIN mx ON mx."group" = dev."group"
-        |ORDER BY 1, 2""".stripMargin,
+    "q256_cusum" -> cusumOracle,
+    // q264: the streamed store folds the same exact daily counts —
+    // streamed must equal one-shot, so q256's oracle verbatim.
+    "q264_cusum_store" -> cusumOracle,
     // q258: dense zero-filled hourly grid; detrended values stay the
     // exact integer 25·x − Σwindow; trend/seasonal/residual divide
     // once in mirrored expressions; + 0e0 normalizes round()'s -0.0
@@ -1245,6 +1318,7 @@ object EventStoreQueries {
     // identical integer floor step (subtract-pmod form, exact for
     // either sign), identical (ts, v) chain order.
     "q226_ewma" -> ewmaOracle,
+    "q263_holt" -> holtOracle,
     // q216: q213's oracle verbatim — the folded bin counts must
     // reproduce the one-shot index exactly.
     "q216_psi_store" -> StatsQueries.oracleSql("q213_psi"),

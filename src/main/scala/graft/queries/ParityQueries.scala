@@ -251,6 +251,45 @@ object ParityQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** q262: the TPC-H Q5-shape regional revenue rollup — the deep
+    * multi-join breadth check: lineitem⋈orders carries the mass (one
+    * shuffled join), supplier/customer/nation/region ride broadcast
+    * hash joins with the local-supplier predicate
+    * (c_nationkey = s_nationkey) folded into the customer join.
+    * Revenue quantizes l_extendedprice·(1−l_discount) to exact e4
+    * longs at birth (the q148 rule — a raw double SUM would be
+    * accumulation-order-dependent); ONE division at the end.
+    */
+  private val regionalRevenueQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_suppkey"),
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(10000.0) + lit(0.5)).cast("long").as("rev_e4"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00"))
+        && col("o_orderdate") < lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_e4")).as("_rev"))
+      .select(col("r_name"), col("n_name"), col("n_items"),
+        round(col("_rev").cast("double") / lit(10000.0), 6).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** The scale form of q07: day-partitioned trailing window with
     * cross-bucket repair — verified against the SAME oracle as the
     * global window, so the 100 TB plan shape is itself hash-checked.
@@ -390,6 +429,7 @@ object ParityQueries {
     "q15_ordered_export" -> orderedExport,
     "q16_gold_composite" -> goldComposite,
     "q17_sql_pricing" -> sqlPricingSummary,
+    "q262_regional_revenue" -> regionalRevenueQ,
     "q01_scan_filter" -> scanFilter,
     "q02_project_arith" -> projectArith,
     "q03_ratio_guard" -> ratioGuard,
@@ -409,6 +449,24 @@ object ParityQueries {
     "q61_except_all" -> exceptAllOp)
 
   val oracleSql: Map[String, String] = Map(
+    // q262: revenue quantized to exact e4 longs at birth (floor(x+0.5)
+    // mirrored), summed exactly, divided once.
+    "q262_regional_revenue" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |    CAST(floor(l_extendedprice * (1e0 - l_discount) * 10000e0
+        |      + 0.5e0) AS BIGINT) AS rev_e4 FROM lineitem),
+        |o AS (SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  ROUND(CAST(SUM(li.rev_e4) AS DOUBLE) / 10000e0, 6) AS revenue
+        |FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+        |JOIN supplier s ON s.s_suppkey = li.l_suppkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q47: the same deterministic HLL as Sketches.hllDistinct — md5-derived
     // 60-bit hash, low 12 bits route to 4096 registers, rank from the exact
     // bit length of the remainder, register sum as an exact integer

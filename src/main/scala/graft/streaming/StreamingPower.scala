@@ -609,6 +609,16 @@ object StreamingPower {
     graft.operators.Sessions.trendFromDaily(
       graft.engine.BatchStore.read(spark, storePath))
 
+  /** The CUSUM changepoint readout over the SAME mergeable
+    * daily-count store [[trendStep]] fills — one store, two reports
+    * (drift slope and regime shift): fold the committed batches'
+    * exact counts and render the one-shot scan — streamed ≡ batch
+    * exactly (q264 hash-certifies it against q256's oracle verbatim).
+    */
+  def mergedCusum(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Sessions.cusumDaily(
+      graft.engine.BatchStore.read(spark, storePath))
+
   /** One micro-batch of the streaming EWMA store: smooth the batch's
     * rows SEEDED from each key's persisted tail (max-step row across
     * committed batches) and append them under `batch_id=<id>` with
