@@ -526,4 +526,22 @@ class PlanSpec extends SparkSpecBase {
     val globalWindows = "Window \\[row_number".r.findAllIn(curPlan).size
     assert(globalWindows == 1, s"unexpected extra windows:\n$curPlan")
   }
+
+  test("regional revenue: dimensions ride broadcast joins, only lineitem⋈orders shuffles") {
+    val plan = planOf(
+      ParityQueries.queries("q262_regional_revenue")(spark, sf("sf0.001")))
+    // all 4 dimension joins broadcast; at sf0.001 the planner may
+    // broadcast the orders side of the fact join too (hence >= 4)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj:\n$plan")
+    val shuffled = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(shuffled <= 1,
+      s"only lineitem⋈orders may shuffle, got $shuffled:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the date filter reaches the orders scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"orderdate pushdown missing:\n$plan")
+  }
 }

@@ -129,6 +129,21 @@ class ResampleSpec extends SparkSpecBase {
       s"flagged ${flagged.map(_.getLong(0)).toSeq}")
   }
 
+  test("holt: hand recurrence with a negative trend, forecast = level + trend") {
+    val df = Seq(("h", ts(1), 10.0), ("h", ts(2), 0.0), ("h", ts(3), 0.0))
+      .toDF("k", "t", "v")
+    val got = Resample.holt(df, "k", "t", "v",
+      alphaPpm = 300000L, betaPpm = 300000L)
+      .select("step", "l_micro", "b_micro", "forecast")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // l1=10e6 b1=0; l2=⌊.7·10e6⌋=7e6, b2=⌊.3·(7e6−10e6)⌋=−900000;
+    // l3=⌊.7·(7e6−9e5)⌋=4270000, b3=⌊.3·(4.27e6−7e6)+.7·(−9e5)⌋=−1449000
+    assert(got == Seq(
+      (1L, 10000000L, 0L, 10.0),
+      (2L, 7000000L, -900000L, 6.1),
+      (3L, 4270000L, -1449000L, 2.821)), s"got $got")
+  }
+
   test("resample plan: one window sort, no join, no cartesian") {
     val plan = Resample.resample(fixture, "k", "t", "v", 3600L)
       .queryExecution.executedPlan.toString
