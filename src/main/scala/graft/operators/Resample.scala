@@ -400,4 +400,47 @@ object Resample {
           .as("forecast"))
       .orderBy(keyCol, "step")
   }
+
+  /** One-step-ahead backtest of [[holt]] — does the smoother actually
+    * forecast better than persistence ("tomorrow = today")? Per key:
+    * MAE of the Holt forecast (step i−1's level+trend vs step i's
+    * value), MAE of the naive lag-1 forecast, and the skill ratio
+    * holt/naive (< 1 ⟺ the model earns its keep — the
+    * forecasting-literature MASE denominator convention).
+    *
+    * Determinism: absolute errors are exact micro-long differences of
+    * the recurrence's own exact states; the two MAEs and the ratio
+    * each divide once. NULL skill when the naive error is 0
+    * (constant series — no skill is measurable).
+    *
+    * Scale shape: [[holt]]'s one groupBy(key) fold, one lag window on
+    * the per-key series, one aggregate. Output: (keyCol, n_eval,
+    * mae_holt 6dp, mae_naive 6dp, skill 6dp), ordered by keyCol.
+    */
+  def holtBacktest(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L): DataFrame = {
+    val h = holt(df, keyCol, tsCol, valueCol, alphaPpm, betaPpm)
+    val w = Window.partitionBy(keyCol).orderBy("step")
+    val e = h
+      .withColumn("_fp", lag(col("l_micro") + col("b_micro"), 1).over(w))
+      .withColumn("_vp", lag(col("v_micro"), 1).over(w))
+      .filter(col("_fp").isNotNull)
+      .withColumn("_ae", abs(col("v_micro") - col("_fp")))
+      .withColumn("_an", abs(col("v_micro") - col("_vp")))
+    e.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_eval"), sum(col("_ae")).as("_sae"),
+        sum(col("_an")).as("_san"))
+      .select(col(keyCol), col("n_eval"),
+        round(col("_sae").cast("double")
+          / (col("n_eval") * lit(1000000L)).cast("double"), 6)
+          .as("mae_holt"),
+        round(col("_san").cast("double")
+          / (col("n_eval") * lit(1000000L)).cast("double"), 6)
+          .as("mae_naive"),
+        when(col("_san") > 0L,
+          round(col("_sae").cast("double") / col("_san").cast("double"), 6))
+          .as("skill"))
+      .orderBy(keyCol)
+  }
 }

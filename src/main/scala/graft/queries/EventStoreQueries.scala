@@ -565,6 +565,15 @@ object EventStoreQueries {
   }
 
 
+  /** q265: one-step-ahead Holt backtest vs the naive lag-1 forecast —
+    * exact micro-long absolute errors off the recurrence's own
+    * states; skill < 1 ⟺ the smoother beats persistence.
+    */
+  private val forecastSkillQ: Q = (s, dir) =>
+    Resample.holtBacktest(
+      Tables.events(s, dir).filter(col("user_id") < 50),
+      "user_id", "ts", "value", alphaPpm = 300000L, betaPpm = 100000L)
+
   /** q264: the CUSUM readout over the SAME streaming daily-count
     * store as q247, fed three disjoint slices — mergeable counts fold
     * exactly, so streamed ≡ one-shot (q256's oracle verbatim).
@@ -968,6 +977,7 @@ object EventStoreQueries {
     "q226_ewma" -> ewmaQ,
     "q263_holt" -> holtQ,
     "q264_cusum_store" -> cusumStoreQ,
+    "q265_forecast_skill" -> forecastSkillQ,
     "q229_interarrival" -> interArrivalQ,
     "q234_ewma_store" -> ewmaStoreQ,
     "q241_cuped" -> cupedQ,
@@ -1083,12 +1093,12 @@ object EventStoreQueries {
     * inlined (the operator does the identical inlining). Floors via
     * subtract-pmod-then-`//` exactly as q226.
     */
-  private lazy val holtOracle: String = {
+  private lazy val holtCtes: String = {
     val lx = """(300000 * o.v + 700000 * (e.l + e.b)
       |      - (((300000 * o.v + 700000 * (e.l + e.b)) % 1000000
       |        + 1000000) % 1000000)) // 1000000""".stripMargin
     val braw = s"""100000 * ($lx - e.l) + 900000 * e.b"""
-    s"""WITH RECURSIVE q AS (SELECT user_id,
+    s"""RECURSIVE q AS (SELECT user_id,
       |    epoch_us(ts)//1000000 AS ts_sec,
       |    CAST(round(value * 1000000, 0) AS BIGINT) AS v
       |  FROM events WHERE user_id < 50),
@@ -1102,14 +1112,42 @@ object EventStoreQueries {
       |    $lx AS l,
       |    ($braw - ((($braw) % 1000000 + 1000000) % 1000000))
       |      // 1000000 AS b
-      |  FROM o JOIN e ON o.user_id = e.user_id AND o.i = e.i + 1)
+      |  FROM o JOIN e ON o.user_id = e.user_id AND o.i = e.i + 1)"""
+      .stripMargin
+  }
+
+  private lazy val holtOracle: String =
+    s"""WITH $holtCtes
       |SELECT user_id, CAST(i AS BIGINT) AS step, ts_sec, v AS v_micro,
       |  l AS l_micro, b AS b_micro,
       |  ROUND(l / 1000000e0, 6) AS level,
       |  ROUND(b / 1000000e0, 6) AS trend,
       |  ROUND((l + b) / 1000000e0, 6) AS forecast
       |FROM e ORDER BY user_id, step""".stripMargin
-  }
+
+  /** q265's oracle: the holt chain, one lag, exact micro-long error
+    * sums, one division per MAE, exact-rational skill.
+    */
+  private lazy val forecastSkillOracle: String =
+    s"""WITH $holtCtes,
+      |lagd AS (SELECT user_id, v,
+      |    lag(l + b) OVER (PARTITION BY user_id ORDER BY i) AS fp,
+      |    lag(v) OVER (PARTITION BY user_id ORDER BY i) AS vp
+      |  FROM e),
+      |err AS (SELECT user_id, abs(v - fp) AS ae, abs(v - vp) AS an
+      |  FROM lagd WHERE fp IS NOT NULL),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_eval,
+      |    CAST(SUM(ae) AS BIGINT) AS sae, CAST(SUM(an) AS BIGINT) AS san
+      |  FROM err GROUP BY 1)
+      |SELECT user_id, n_eval,
+      |  ROUND(CAST(sae AS DOUBLE)
+      |    / CAST(n_eval * 1000000 AS DOUBLE), 6) AS mae_holt,
+      |  ROUND(CAST(san AS DOUBLE)
+      |    / CAST(n_eval * 1000000 AS DOUBLE), 6) AS mae_naive,
+      |  CASE WHEN san > 0 THEN
+      |    ROUND(CAST(sae AS DOUBLE) / CAST(san AS DOUBLE), 6)
+      |  END AS skill
+      |FROM a ORDER BY user_id""".stripMargin
 
   /** The q241/q242 shared user-metric CTE (md5 arms, whole-unit sums). */
   private lazy val userMetricCte: String =
@@ -1319,6 +1357,7 @@ object EventStoreQueries {
     // either sign), identical (ts, v) chain order.
     "q226_ewma" -> ewmaOracle,
     "q263_holt" -> holtOracle,
+    "q265_forecast_skill" -> forecastSkillOracle,
     // q216: q213's oracle verbatim — the folded bin counts must
     // reproduce the one-shot index exactly.
     "q216_psi_store" -> StatsQueries.oracleSql("q213_psi"),
