@@ -120,7 +120,17 @@ object ScaleProbe {
         "knn_kcore" -> (() => Similarity.knnKCore(
           emb, k = 5, nlists = Similarity.autoNlists(emb), coreK = 6)),
         "assortativity" -> (() => Similarity.knnAssortativity(
-          emb, k = 5, nlists = Similarity.autoNlists(emb))))
+          emb, k = 5, nlists = Similarity.autoNlists(emb))),
+        // round-9 families: modularity (two edge⋈part joins + one
+        // per-part aggregate over the same kNN graph — ~linear), the
+        // coupled Holt recurrence (one shuffle + per-key fold, the
+        // ewma shape), and the conformal report (rank windows over
+        // per-group calibration rows — ~n log n inside groups)
+        "modularity" -> (() => Similarity.listModularity(
+          emb, k = 5, nlists = Similarity.autoNlists(emb))),
+        "holt" -> (() => Resample.holt(ev, "user_id", "ts", "value")),
+        "conformal" -> (() => Sampling.conformalOutlierReport(
+          ev, "event_id", "event_type", "value")))
 
       // SPARK_GRAFT_OPS=knn_triangles,pmi_colloc restricts the probe
       // (targeted curve refresh without re-measuring every family)
