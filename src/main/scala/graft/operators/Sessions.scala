@@ -270,6 +270,74 @@ object Sessions {
       .orderBy("group")
   }
 
+  /** Mann–Kendall trend test + Theil–Sen slope over the per-(group,
+    * day) counts — the ROBUST complement to [[volumeTrend]]'s OLS
+    * (one changepoint or outlier day drags a least-squares slope;
+    * the rank statistic and the median-of-pairwise-slopes barely
+    * move). Per group over all day pairs i<j:
+    *   S = Σ sign(c_j − c_i); Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    *   (tie-corrected, exact); z = (S ∓ 1)/√(Var);
+    *   Theil–Sen = the exact median pairwise slope.
+    *
+    * Determinism: S and Var·18 are exact longs; z is one mirrored
+    * float expression; each pairwise slope is ONE division of exact
+    * longs and the median is a rank-k order statistic under the
+    * (slope, d_i, d_j) total order. NULL z when Var = 0 (all-tied).
+    *
+    * Scale shape: the pair join is per-group DAYS squared (a year =
+    * ~66k pairs), never events — the day table is the collapsed
+    * aggregate. Output: (group, n_days, n_pairs, s_stat, var18,
+    * z 6dp, ts_slope 6dp), ordered by group.
+    */
+  def mannKendall(dailyCounts: DataFrame): DataFrame = {
+    val daily = dailyCounts.groupBy(col("group"), col("d"))
+      .agg(sum(col("c")).as("c")).localCheckpoint()
+    val a = daily.select(col("group"), col("d").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("group"), col("d").as("d2"), col("c").as("c2"))
+    val pairs = a.join(b, Seq("group")).filter(col("d1") < col("d2"))
+      .withColumn("_sgn", signum(col("c2") - col("c1")).cast("long"))
+      .withColumn("_slope",
+        (col("c2") - col("c1")).cast("double")
+          / (col("d2") - col("d1")).cast("double"))
+      .localCheckpoint()
+    val nd = daily.groupBy("group").agg(count(lit(1)).as("n_days"))
+    // tie term: Σ t(t−1)(2t+5) over runs of equal counts
+    val ties = daily.groupBy(col("group"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("group")
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("_tie"))
+    val agg = pairs.groupBy("group")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("_sgn")).as("s_stat"))
+    val wk = Window.partitionBy("group")
+      .orderBy(col("_slope"), col("d1"), col("d2"))
+    val med = pairs.withColumn("_rn", row_number().over(wk).cast("long"))
+      .join(broadcast(agg.select(col("group"), col("n_pairs"))),
+        Seq("group"))
+      .filter(col("_rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("group"), col("_slope").as("_ts"))
+    nd.join(broadcast(ties), Seq("group"))
+      .join(broadcast(agg), Seq("group"))
+      .join(broadcast(med), Seq("group"))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1L)
+          * (lit(2L) * col("n_days") + 5L) - col("_tie"))
+      .select(col("group"), col("n_days"), col("n_pairs"), col("s_stat"),
+        col("var18"),
+        when(col("var18") > 0L, round(
+          (col("s_stat") - signum(col("s_stat")).cast("long"))
+            .cast("double")
+            / sqrt(col("var18").cast("double") / lit(18.0)), 6))
+          .as("z"),
+        round(col("_ts"), 6).as("ts_slope"))
+      .orderBy("group")
+  }
+
+  /** [[mannKendall]] over raw events. */
+  def mannKendallEvents(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame =
+    mannKendall(dailyCounts(events, groupCol, tsCol))
+
   /** CUSUM changepoint scan over the per-(group, day) counts — where
     * did a source's daily volume regime shift? The classic cumulative
     * deviation-from-mean curve: S_t = Σ_{i≤t}(x_i − μ) peaks (in

@@ -1109,6 +1109,88 @@ object TextAnalysis {
       .orderBy("tok_a", "tok_b")
   }
 
+  /** Heaps-law vocabulary-growth fit — V(n) ≈ K·n^β over the corpus
+    * in id order: how fast does NEW vocabulary keep arriving as the
+    * corpus grows? β well below the reference ~0.5 flags a
+    * boilerplate/duplication-heavy source; β near 1 flags noise
+    * (every doc minting tokens). The diversity dial next to
+    * [[zipfFit]]'s frequency dial.
+    *
+    * Determinism: per-doc token counts, first-occurrence vocabulary
+    * increments, and both cumulative series are exact longs; the
+    * log-log OLS runs on micro-quantized ints (the q223 pattern —
+    * micros, not nanos, so the product sums stay in long range), over
+    * ~`samplePoints` evenly-strided docs so Σx² stays ≤ ~1e16 at any
+    * corpus size. β/ln K/r² are one mirrored float expression each.
+    *
+    * Scale shape: one token explode + (token → min doc) aggregate
+    * dominates; the cumulative windows run UNPARTITIONED over the
+    * per-doc frame (docs, not tokens — the documented global-sort
+    * cost, q221's trade). Output: one row (n_docs, n_tokens, vocab,
+    * n_points, beta 6dp, ln_k 6dp, r2 6dp).
+    */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+      samplePoints: Int = 200): DataFrame = {
+    require(samplePoints >= 2, s"need samplePoints >= 2, got $samplePoints")
+    val toks = docs.select(col(idCol).as("_id"),
+      explode(wsTokens(col(textCol))).as("t"))
+    val perDoc = docs.select(col(idCol).as("_id"),
+      size(wsTokens(col(textCol))).cast("long").as("ntok"))
+    val firsts = toks.groupBy(col("t")).agg(min(col("_id")).as("_id"))
+      .localCheckpoint()
+    val nf = firsts.groupBy("_id").agg(count(lit(1)).as("nf"))
+    val w = Window.orderBy("_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    val series = perDoc.join(nf, Seq("_id"), "left")
+      .select(col("_id"), col("ntok"),
+        coalesce(col("nf"), lit(0L)).as("nf"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_tok", sum(col("ntok")).over(cum))
+      .withColumn("cum_v", sum(col("nf")).over(cum))
+    val st = perDoc.agg(count(lit(1)).as("ndocs"),
+        sum(col("ntok")).as("n_tokens"))
+      .withColumn("step",
+        greatest(lit(1L), expr(s"ndocs div $samplePoints")))
+      .localCheckpoint()
+    val pts = series.crossJoin(broadcast(st))
+      .filter(pmod(col("rn"), col("step")) === 0L
+        && col("cum_tok") > 0L && col("cum_v") > 0L)
+      .select(
+        floor(log(col("cum_tok").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("x"),
+        floor(log(col("cum_v").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("y"))
+    val vocab = firsts.agg(count(lit(1)).as("vocab"))
+    val a = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    st.crossJoin(broadcast(vocab)).crossJoin(broadcast(a))
+      .select(col("ndocs").as("n_docs"), col("n_tokens"), col("vocab"),
+        col("n").as("n_points"),
+        round((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("beta"),
+        round((col("sy").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sxy").cast("double"))
+          / ((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * lit(1e6)), 6).as("ln_k"),
+        when((col("n").cast("double") * col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double")) > 0.0,
+          round((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            * (col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / ((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 6))
+          .as("r2"))
+  }
+
   def zipfFit(docs: DataFrame, idCol: String, textCol: String,
       topV: Int = 200): DataFrame = {
     require(topV >= 2, s"need topV >= 2, got $topV")

@@ -574,6 +574,13 @@ object EventStoreQueries {
       Tables.events(s, dir).filter(col("user_id") < 50),
       "user_id", "ts", "value", alphaPpm = 300000L, betaPpm = 100000L)
 
+  /** q266: Mann–Kendall trend test + Theil–Sen slope per event type —
+    * the robust complement to q245's OLS; exact S/variance integers,
+    * median pairwise slope as a rank-k order statistic.
+    */
+  private val mannKendallQ: Q = (s, dir) =>
+    Sessions.mannKendallEvents(Tables.events(s, dir), "event_type", "ts")
+
   /** q264: the CUSUM readout over the SAME streaming daily-count
     * store as q247, fed three disjoint slices — mergeable counts fold
     * exactly, so streamed ≡ one-shot (q256's oracle verbatim).
@@ -978,6 +985,7 @@ object EventStoreQueries {
     "q263_holt" -> holtQ,
     "q264_cusum_store" -> cusumStoreQ,
     "q265_forecast_skill" -> forecastSkillQ,
+    "q266_mann_kendall" -> mannKendallQ,
     "q229_interarrival" -> interArrivalQ,
     "q234_ewma_store" -> ewmaStoreQ,
     "q241_cuped" -> cupedQ,
@@ -1358,6 +1366,46 @@ object EventStoreQueries {
     "q226_ewma" -> ewmaOracle,
     "q263_holt" -> holtOracle,
     "q265_forecast_skill" -> forecastSkillOracle,
+    // q266: S and tie-corrected Var·18 exact longs; z one mirrored
+    // float expression (+ 0e0 against round()'s -0.0); the Theil–Sen
+    // median is a rank-k order statistic under (slope, d1, d2).
+    "q266_mann_kendall" ->
+      """WITH dd AS (SELECT event_type AS "group",
+        |    epoch_us(date_trunc('day', ts))//1000000//86400 AS d
+        |  FROM events),
+        |c AS (SELECT "group", d, CAST(count(*) AS BIGINT) AS c
+        |  FROM dd GROUP BY 1, 2),
+        |p AS (SELECT a."group", a.d AS d1, b.d AS d2,
+        |    CAST(sign(b.c - a.c) AS BIGINT) AS sgn,
+        |    CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+        |      AS slope
+        |  FROM c a JOIN c b ON a."group" = b."group" AND a.d < b.d),
+        |nd AS (SELECT "group", CAST(count(*) AS BIGINT) AS n_days
+        |  FROM c GROUP BY 1),
+        |tt AS (SELECT "group",
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+        |  FROM (SELECT "group", c, CAST(count(*) AS BIGINT) AS t
+        |        FROM c GROUP BY 1, 2) GROUP BY 1),
+        |ag AS (SELECT "group", CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(sgn) AS BIGINT) AS s_stat FROM p GROUP BY 1),
+        |mr AS (SELECT "group", slope, row_number() OVER (
+        |    PARTITION BY "group" ORDER BY slope, d1, d2) AS rn FROM p),
+        |md AS (SELECT mr."group", mr.slope AS ts FROM mr
+        |  JOIN ag ON ag."group" = mr."group"
+        |  WHERE mr.rn = (ag.n_pairs + 1) // 2),
+        |v AS (SELECT nd."group", nd.n_days, ag.n_pairs, ag.s_stat,
+        |    nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - tt.tie
+        |      AS var18, md.ts
+        |  FROM nd JOIN tt ON tt."group" = nd."group"
+        |  JOIN ag ON ag."group" = nd."group"
+        |  JOIN md ON md."group" = nd."group")
+        |SELECT "group", n_days, n_pairs, s_stat, var18,
+        |  CASE WHEN var18 > 0 THEN
+        |    ROUND(CAST(s_stat - CAST(sign(s_stat) AS BIGINT) AS DOUBLE)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18e0), 6) + 0e0
+        |  END AS z,
+        |  ROUND(ts, 6) + 0e0 AS ts_slope
+        |FROM v ORDER BY "group"""".stripMargin,
     // q216: q213's oracle verbatim — the folded bin counts must
     // reproduce the one-shot index exactly.
     "q216_psi_store" -> StatsQueries.oracleSql("q213_psi"),

@@ -648,8 +648,16 @@ object TextQueries {
       "lang", "pass")
   }
 
+  /** q267: Heaps-law vocabulary-growth fit — the corpus-diversity
+    * dial next to q223's Zipf frequency dial; exact cumulative
+    * series, micro-quantized log-log OLS over ~200 strided docs.
+    */
+  private val heapsQ: Q = (s, dir) =>
+    TextAnalysis.heapsFit(Tables.documents(s, dir), "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
     "q261_selection_parity" -> selectionParityQ,
+    "q267_heaps_fit" -> heapsQ,
     "q179_nfc_normalize" -> nfcQ,
     "q223_zipf_fit" -> zipfQ,
     "q230_pmi" -> pmiQ,
@@ -1021,6 +1029,67 @@ object TextQueries {
         |    AS pass_rate
         |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
 
+    // q267: cumulative token/vocab series exact longs; the log-log
+    // OLS mirrors q223 (micros so product sums stay in long range);
+    // stride keeps the point set ~200 at any corpus size.
+    "q267_heaps_fit" ->
+      """WITH td AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS t
+        |  FROM documents),
+        |pd AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+        |      AS ntok FROM documents),
+        |fo AS (SELECT t, CAST(min(doc_id) AS BIGINT) AS doc_id
+        |  FROM td GROUP BY 1),
+        |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+        |  FROM fo GROUP BY 1),
+        |se AS (SELECT pd.doc_id, pd.ntok,
+        |    CAST(row_number() OVER (ORDER BY pd.doc_id) AS BIGINT) AS rn,
+        |    CAST(SUM(pd.ntok) OVER (ORDER BY pd.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok,
+        |    CAST(SUM(coalesce(nf.nf, 0)) OVER (ORDER BY pd.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_v
+        |  FROM pd LEFT JOIN nf ON nf.doc_id = pd.doc_id),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS ndocs,
+        |    CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        |    greatest(1, CAST(count(*) AS BIGINT) // 200) AS step
+        |  FROM pd),
+        |vo AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM fo),
+        |pts AS (SELECT
+        |    CAST(floor(ln(CAST(cum_tok AS DOUBLE)) * 1000000e0 + 0.5e0)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(cum_v AS DOUBLE)) * 1000000e0 + 0.5e0)
+        |      AS BIGINT) AS y
+        |  FROM se CROSS JOIN st
+        |  WHERE rn % step = 0 AND cum_tok > 0 AND cum_v > 0),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy FROM pts)
+        |SELECT st.ndocs AS n_docs, st.n_tokens, vo.vocab,
+        |  a.n AS n_points,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
+        |  ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+        |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * 1000000e0), 6) AS ln_k,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0e0 THEN
+        |    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS r2
+        |FROM st CROSS JOIN vo CROSS JOIN a""".stripMargin,
     // q261: the q250 chain joined to lang; rates are one division of
     // exact longs, the reference is the (rate DESC, group) argmax,
     // di/flag from cross-multiplied exact integers.
