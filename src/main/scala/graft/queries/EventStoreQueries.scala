@@ -574,6 +574,22 @@ object EventStoreQueries {
       Tables.events(s, dir).filter(col("user_id") < 50),
       "user_id", "ts", "value", alphaPpm = 300000L, betaPpm = 100000L)
 
+  /** q268: Kaplan–Meier time-to-conversion curve (signup → first
+    * purchase, right-censored at the corpus horizon) — log-space
+    * exact-integer product-limit estimator.
+    */
+  private val kmQ: Q = (s, dir) =>
+    Retention.kaplanMeier(Tables.events(s, dir), "user_id", "ts",
+      "event_type", startType = "signup", eventType = "purchase")
+
+  /** q269: log-rank test between md5 arms' conversion curves —
+    * censoring-correct A/B readout on time-to-purchase; per-time
+    * (O−E)/V terms nano-quantized at birth, exact sums, χ²(1).
+    */
+  private val logRankQ: Q = (s, dir) =>
+    Retention.logRank(Tables.events(s, dir), "user_id", "ts",
+      "event_type", startType = "signup", eventType = "purchase")
+
   /** q266: Mann–Kendall trend test + Theil–Sen slope per event type —
     * the robust complement to q245's OLS; exact S/variance integers,
     * median pairwise slope as a rank-k order statistic.
@@ -986,6 +1002,8 @@ object EventStoreQueries {
     "q264_cusum_store" -> cusumStoreQ,
     "q265_forecast_skill" -> forecastSkillQ,
     "q266_mann_kendall" -> mannKendallQ,
+    "q268_kaplan_meier" -> kmQ,
+    "q269_log_rank" -> logRankQ,
     "q229_interarrival" -> interArrivalQ,
     "q234_ewma_store" -> ewmaStoreQ,
     "q241_cuped" -> cupedQ,
@@ -1366,6 +1384,109 @@ object EventStoreQueries {
     "q226_ewma" -> ewmaOracle,
     "q263_holt" -> holtOracle,
     "q265_forecast_skill" -> forecastSkillOracle,
+    // q269: the q268 duration chain split by md5 arm; per-time (O−E)
+    // and V terms are one mirrored float expression over exact
+    // integer products, nano-quantized at birth; χ² squares by
+    // explicit self-multiplication; + 0e0 on the signed oe_a.
+    "q269_log_rank" -> {
+      val h = md5l("CAST(u AS VARCHAR)")
+      s"""WITH s0 AS (SELECT user_id AS u,
+        |    min(epoch_us(ts)//1000000) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |mx AS (SELECT max(epoch_us(ts)//1000000) AS tmax FROM events),
+        |p AS (SELECT user_id AS u, epoch_us(ts)//1000000 AS tp
+        |  FROM events WHERE event_type = 'purchase'),
+        |fe AS (SELECT s0.u, s0.t0,
+        |    min(CASE WHEN p.tp >= s0.t0 THEN p.tp END) AS tp
+        |  FROM s0 LEFT JOIN p ON p.u = s0.u GROUP BY 1, 2),
+        |du AS (SELECT u,
+        |    CAST(CASE WHEN tp IS NOT NULL THEN tp - t0
+        |      ELSE (SELECT tmax FROM mx) - t0 END AS BIGINT) AS t_sec,
+        |    CAST(tp IS NOT NULL AS INTEGER) AS evt,
+        |    CAST(($h % 2) = 0 AS INTEGER) AS a FROM fe),
+        |tb AS (SELECT t_sec, CAST(count(*) AS BIGINT) AS alln,
+        |    CAST(SUM(evt) AS BIGINT) AS d,
+        |    CAST(SUM(a * evt) AS BIGINT) AS d1,
+        |    CAST(SUM(a) AS BIGINT) AS all1 FROM du GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS n1,
+        |    CAST(SUM(evt) AS BIGINT) AS dtot,
+        |    CAST(SUM(a * evt) AS BIGINT) AS dtot1 FROM du),
+        |km AS (SELECT t_sec, d, d1,
+        |    tot.n - CAST(coalesce(SUM(alln) OVER (ORDER BY t_sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS nr,
+        |    tot.n1 - CAST(coalesce(SUM(all1) OVER (ORDER BY t_sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS nr1
+        |  FROM tb CROSS JOIN tot),
+        |terms AS (SELECT
+        |    CAST(floor(CAST(d1 * nr - d * nr1 AS DOUBLE) * 1000000000e0
+        |      / CAST(nr AS DOUBLE) + 0.5e0) AS BIGINT) AS oe,
+        |    CAST(floor(CAST(d * nr1 * (nr - nr1) * (nr - d) AS DOUBLE)
+        |      * 1000000000e0
+        |      / CAST(nr * nr * (nr - 1) AS DOUBLE) + 0.5e0) AS BIGINT)
+        |      AS v
+        |  FROM km WHERE d > 0 AND nr > 1),
+        |ag AS (SELECT CAST(coalesce(SUM(oe), 0) AS BIGINT) AS soe,
+        |    CAST(coalesce(SUM(v), 0) AS BIGINT) AS sv FROM terms)
+        |SELECT tot.n1 AS n_a, tot.n - tot.n1 AS n_b,
+        |  tot.dtot1 AS events_a, tot.dtot - tot.dtot1 AS events_b,
+        |  ROUND(CAST(soe AS DOUBLE) / 1000000000e0, 6) + 0e0 AS oe_a,
+        |  ROUND(CAST(sv AS DOUBLE) / 1000000000e0, 6) AS var_lr,
+        |  CASE WHEN sv > 0 THEN
+        |    ROUND((CAST(soe AS DOUBLE) / 1000000000e0)
+        |      * (CAST(soe AS DOUBLE) / 1000000000e0)
+        |      / (CAST(sv AS DOUBLE) / 1000000000e0), 6)
+        |  END AS chi2
+        |FROM tot CROSS JOIN ag""".stripMargin
+    },
+    // q268: durations/at-risk/tallies exact longs; each KM factor's
+    // ln is of an exact rational quantized to nanos at birth, the
+    // product is an exact SUM in log space, exp/round once per row.
+    "q268_kaplan_meier" ->
+      """WITH s0 AS (SELECT user_id AS u,
+        |    min(epoch_us(ts)//1000000) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |mx AS (SELECT max(epoch_us(ts)//1000000) AS tmax FROM events),
+        |p AS (SELECT user_id AS u, epoch_us(ts)//1000000 AS tp
+        |  FROM events WHERE event_type = 'purchase'),
+        |fe AS (SELECT s0.u, s0.t0,
+        |    min(CASE WHEN p.tp >= s0.t0 THEN p.tp END) AS tp
+        |  FROM s0 LEFT JOIN p ON p.u = s0.u GROUP BY 1, 2),
+        |du AS (SELECT CAST(CASE WHEN tp IS NOT NULL THEN tp - t0
+        |      ELSE (SELECT tmax FROM mx) - t0 END AS BIGINT) AS t_sec,
+        |    CAST(tp IS NOT NULL AS INTEGER) AS evt FROM fe),
+        |tb AS (SELECT t_sec, CAST(SUM(evt) AS BIGINT) AS d,
+        |    CAST(SUM(1 - evt) AS BIGINT) AS c FROM du GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM du),
+        |km AS (SELECT t_sec, d, c,
+        |    n - CAST(coalesce(SUM(d + c) OVER (ORDER BY t_sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM tb CROSS JOIN tot),
+        |lt AS (SELECT t_sec, d, c, n_risk,
+        |    CASE WHEN d > 0 AND n_risk > d THEN
+        |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)) * 1000000000e0 + 0.5e0)
+        |        AS BIGINT)
+        |    ELSE 0 END AS term,
+        |    CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END AS hit0
+        |  FROM km),
+        |cu AS (SELECT t_sec, d, c, n_risk,
+        |    CAST(SUM(term) OVER (ORDER BY t_sec
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    MAX(hit0) OVER (ORDER BY t_sec
+        |      ROWS UNBOUNDED PRECEDING) AS z
+        |  FROM lt)
+        |SELECT t_sec, n_risk, d AS n_events, c AS n_censored,
+        |  CASE WHEN z = 0 THEN
+        |    ROUND(CAST(cum AS DOUBLE) / 1000000000e0, 6) + 0e0
+        |  END AS ln_survival,
+        |  CASE WHEN z = 1 THEN 0e0 ELSE
+        |    ROUND(exp(CAST(cum AS DOUBLE) / 1000000000e0), 6)
+        |  END AS survival
+        |FROM cu ORDER BY t_sec""".stripMargin,
     // q266: S and tie-corrected Var·18 exact longs; z one mirrored
     // float expression (+ 0e0 against round()'s -0.0); the Theil–Sen
     // median is a rank-k order statistic under (slope, d1, d2).
