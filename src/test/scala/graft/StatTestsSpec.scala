@@ -159,6 +159,26 @@ class StatTestsSpec extends SparkSpecBase {
       && starved.isNullAt(6), s"got $starved")
   }
 
+  test("mann-kendall: monotone series hand case; all-tied variance is NULL z") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    // counts 1,2,3,4 on days 0..3: S = 6 (all pairs rising), no ties
+    // → var18 = 4·3·13 = 156; every pairwise slope is exactly 1
+    val up = Seq(("x", 0L, 1L), ("x", 1L, 2L), ("x", 2L, 3L),
+      ("x", 3L, 4L)).toDF("group", "d", "c")
+    val got = Sessions.mannKendall(up)
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    val zExp = math.round(5.0 / math.sqrt(156.0 / 18.0) * 1e6) / 1e6
+    assert(got == Seq(("x", 4L, 6L, 6L, 156L, zExp, 1.0)), s"got $got")
+    // constant series: S = 0 and the tie term cancels var18 exactly
+    val flat = Seq(("y", 0L, 2L), ("y", 1L, 2L), ("y", 2L, 2L))
+      .toDF("group", "d", "c")
+    val f = Sessions.mannKendall(flat).collect().head
+    assert(f.getLong(4) == 0L && f.isNullAt(5) && f.getDouble(6) == 0.0,
+      s"got $f")
+  }
+
   test("woe/iv: two-bin hand case, one-class bin yields NULL woe") {
     import spark.implicits._
     import graft.operators.Classifier

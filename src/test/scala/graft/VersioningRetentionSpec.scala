@@ -226,4 +226,50 @@ class VersioningRetentionSpec extends SparkSpecBase {
       (1L, 1L, 0L, ""), (2L, 1L, 0L, ""), (3L, 1L, 0L, ""),
       (9L, 1L, 1L, "short tail")))
   }
+
+  test("kaplan-meier: textbook 3-user curve; all-events final row hits zero") {
+    def fix(u2Buys: Boolean) = (Seq(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "purchase", "2024-01-01 00:16:40"), // +1000 s
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (3L, "signup", "2024-01-01 00:00:00"),
+      (3L, "purchase", "2024-01-01 00:50:00")) ++ // +3000 s (= horizon)
+      (if (u2Buys) Seq((2L, "purchase", "2024-01-01 00:50:00")) else Nil))
+      .toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"),
+        col("s").cast("timestamp").as("ts"))
+    val got = Retention.kaplanMeier(fix(u2Buys = false), "user_id", "ts",
+      "event_type", "signup", "purchase")
+      .as[(Long, Long, Long, Long, Option[Double], Double)]
+      .collect().toSeq
+    // t=1000: S = 2/3; t=3000: one event + one censor → S = 1/3
+    assert(got == Seq(
+      (1000L, 3L, 1L, 0L, Some(-0.405465), 0.666667),
+      (3000L, 2L, 1L, 1L, Some(-1.098612), 0.333333)), s"got $got")
+    // u2 buys at the horizon too: final row is all-events → S = 0
+    val z = Retention.kaplanMeier(fix(u2Buys = true), "user_id", "ts",
+      "event_type", "signup", "purchase")
+      .as[(Long, Long, Long, Long, Option[Double], Double)]
+      .collect().toSeq
+    assert(z == Seq(
+      (1000L, 3L, 1L, 0L, Some(-0.405465), 0.666667),
+      (3000L, 2L, 2L, 0L, None, 0.0)), s"got $z")
+  }
+
+  test("log-rank: totals reconcile; no conversions → zero statistic, NULL chi2") {
+    val ev2 = Seq(
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (2L, "signup", "2024-01-01 00:00:00"),
+      (3L, "signup", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 01:00:00"))
+      .toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"),
+        col("s").cast("timestamp").as("ts"))
+    val r = Retention.logRank(ev2, "user_id", "ts", "event_type",
+      "signup", "purchase").collect().head
+    assert(r.getLong(0) + r.getLong(1) == 3L) // n_a + n_b
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+    assert(r.isNullAt(6), "chi2 must be NULL when no event times exist")
+  }
 }
