@@ -290,6 +290,59 @@ object ParityQueries {
       .orderBy("r_name", "n_name")
   }
 
+  /** q270: TPC-H Q8-shape market share — per order year, one
+    * region's supplier-nation share of e4-quantized revenue via
+    * conditional aggregation (CASE inside SUM over the q262 join
+    * chain); the share is one exact-integer division.
+    */
+  private val marketShareQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+      col("l_suppkey"),
+      floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(10000.0) + lit(0.5)).cast("long").as("rev_e4"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev_e4")).as("_tot"),
+        sum(when(col("n_name") === "NATION_0", col("rev_e4"))
+          .otherwise(lit(0L))).as("_n0"))
+      .select(col("o_year"), col("n_items"),
+        round(col("_tot").cast("double") / lit(10000.0), 6)
+          .as("revenue"),
+        round(col("_n0").cast("double") / col("_tot").cast("double"), 6)
+          .as("n0_share"))
+      .orderBy("o_year")
+  }
+
+  /** q271: TPC-H Q17-shape correlated-aggregate filter — lineitems
+    * below 20% of their part's mean quantity. The threshold compare
+    * is cross-multiplied exact integers (5·qty·cnt < Σqty — no float
+    * mean in the decision), the revenue sum e4-quantized.
+    */
+  private val smallQtyRevenueQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+      round(col("l_quantity")).cast("long").as("qty"),
+      floor(col("l_extendedprice") * lit(10000.0) + lit(0.5))
+        .cast("long").as("price_e4"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sumqty"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter(col("qty") * col("cnt") * lit(5L) < col("sumqty"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("price_e4")).as("_rev"))
+      .select(col("n_items"),
+        round(col("_rev").cast("double") / lit(70000.0), 6)
+          .as("avg_yearly"))
+  }
+
   /** The scale form of q07: day-partitioned trailing window with
     * cross-bucket repair — verified against the SAME oracle as the
     * global window, so the 100 TB plan shape is itself hash-checked.
@@ -430,6 +483,8 @@ object ParityQueries {
     "q16_gold_composite" -> goldComposite,
     "q17_sql_pricing" -> sqlPricingSummary,
     "q262_regional_revenue" -> regionalRevenueQ,
+    "q270_market_share" -> marketShareQ,
+    "q271_small_qty_revenue" -> smallQtyRevenueQ,
     "q01_scan_filter" -> scanFilter,
     "q02_project_arith" -> projectArith,
     "q03_ratio_guard" -> ratioGuard,
@@ -467,6 +522,37 @@ object ParityQueries {
         |JOIN nation n ON n.n_nationkey = s.s_nationkey
         |JOIN region r ON r.r_regionkey = n.n_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q270: e4-quantized revenue; the share is one exact-integer
+    // division per year.
+    "q270_market_share" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |    CAST(floor(l_extendedprice * (1e0 - l_discount) * 10000e0
+        |      + 0.5e0) AS BIGINT) AS rev_e4 FROM lineitem),
+        |o AS (SELECT o_orderkey,
+        |    CAST(year(o_orderdate) AS INTEGER) AS o_year FROM orders)
+        |SELECT o.o_year, CAST(count(*) AS BIGINT) AS n_items,
+        |  ROUND(CAST(SUM(li.rev_e4) AS DOUBLE) / 10000e0, 6) AS revenue,
+        |  ROUND(CAST(SUM(CASE WHEN n.n_name = 'NATION_0'
+        |      THEN li.rev_e4 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(li.rev_e4) AS DOUBLE), 6) AS n0_share
+        |FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+        |JOIN supplier s ON s.s_suppkey = li.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q271: threshold compare on cross-multiplied exact integers
+    // (5·qty·cnt < Σqty), revenue e4-quantized, one division.
+    "q271_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 10000e0 + 0.5e0) AS BIGINT)
+        |      AS price_e4 FROM lineitem),
+        |pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(qty) AS BIGINT) AS sumqty FROM li GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  ROUND(CAST(SUM(li.price_e4) AS DOUBLE) / 70000e0, 6)
+        |    AS avg_yearly
+        |FROM li JOIN pp ON pp.l_partkey = li.l_partkey
+        |WHERE li.qty * pp.cnt * 5 < pp.sumqty""".stripMargin,
     // q47: the same deterministic HLL as Sketches.hllDistinct — md5-derived
     // 60-bit hash, low 12 bits route to 4096 registers, rank from the exact
     // bit length of the remainder, register sum as an exact integer
