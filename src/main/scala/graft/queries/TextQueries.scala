@@ -140,6 +140,30 @@ object TextQueries {
       ("entities", "\\bcustomer\\b", "<ENTITY>")))
 
 
+  /** q272: per-source PII/policy exposure rollup off q90's rule set —
+    * the governance view of the scrub pass (which source needs
+    * redaction, at what density); exact counts, one division each.
+    */
+  private val piiBySourceQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.scrub(docs, "doc_id", "text", Seq(
+      ("urls", "https?://[^ ]+", "<URL>"),
+      ("emails", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      ("numbers", "[0-9]{4,}", "<NUM>"),
+      ("entities", "\\bcustomer\\b", "<ENTITY>")))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("changed").cast("long")).as("n_flagged"),
+        sum(col("n_urls").cast("long")).as("urls"),
+        sum(col("n_emails").cast("long")).as("emails"),
+        sum(col("n_numbers").cast("long")).as("numbers"),
+        sum(col("n_entities").cast("long")).as("entities"))
+      .withColumn("exposure_rate",
+        round(col("n_flagged").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   /** 5%-start, length-3 deterministic span corruption. */
   private val spanQ: Q = (s, dir) =>
     TextAnalysis.spanCorrupt(Tables.documents(s, dir), "doc_id", "text",
@@ -658,6 +682,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "q261_selection_parity" -> selectionParityQ,
     "q267_heaps_fit" -> heapsQ,
+    "q272_pii_by_source" -> piiBySourceQ,
     "q179_nfc_normalize" -> nfcQ,
     "q223_zipf_fit" -> zipfQ,
     "q230_pmi" -> pmiQ,
@@ -1029,6 +1054,35 @@ object TextQueries {
         |    AS pass_rate
         |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
 
+    // q272: q90's regex chain rolled up per source; exact counts, one
+    // division (matches on the ORIGINAL text, as scrub counts them).
+    "q272_pii_by_source" ->
+      """WITH s AS (SELECT d.doc_id, d.source,
+        |    CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+        |      AS BIGINT) AS u,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS e,
+        |    CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT)
+        |      AS nn,
+        |    CAST(len(regexp_extract_all(text, '\bcustomer\b'))
+        |      AS BIGINT) AS en,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(text,
+        |      'https?://[^ ]+', '<URL>', 'g'),
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{4,}', '<NUM>', 'g'),
+        |      '\bcustomer\b', '<ENTITY>', 'g') <> text AS ch
+        |  FROM documents d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(SUM(u) AS BIGINT) AS urls,
+        |  CAST(SUM(e) AS BIGINT) AS emails,
+        |  CAST(SUM(nn) AS BIGINT) AS numbers,
+        |  CAST(SUM(en) AS BIGINT) AS entities,
+        |  ROUND(CAST(SUM(CASE WHEN ch THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS exposure_rate
+        |FROM s GROUP BY 1 ORDER BY source""".stripMargin,
     // q267: cumulative token/vocab series exact longs; the log-log
     // OLS mirrors q223 (micros so product sums stay in long range);
     // stride keeps the point set ~200 at any corpus size.
