@@ -140,6 +140,37 @@ object TextQueries {
       ("entities", "\\bcustomer\\b", "<ENTITY>")))
 
 
+  /** q273: tokenizer fertility of the q192-trained BPE merges, per
+    * language — tokens/word and chars/token after applying the
+    * learned merge table: the "which language pays more tokens for
+    * the same text" fairness readout (q261's dial for the tokenizer).
+    * The 5-row merge table is a probe-bounded driver collect; sums
+    * exact, one division per ratio.
+    */
+  private val bpeFertilityQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val merges = TextAnalysis.trainBpe(docs, "doc_id", "text", nMerges = 5)
+      .orderBy("merge_rank").collect()
+      .map { r =>
+        val Array(a, b) = r.getString(1).split(" ", 2); (a, b)
+      }.toSeq
+    TextAnalysis.applyBpeMerges(docs, "doc_id", "text", merges)
+      .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_words"),
+        sum(col("n_tokens_bpe").cast("long")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        round(col("n_bpe_tokens").cast("double")
+          / col("n_words").cast("double"), 6).as("tokens_per_word"),
+        round(col("n_chars").cast("double")
+          / col("n_bpe_tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** q272: per-source PII/policy exposure rollup off q90's rule set —
     * the governance view of the scrub pass (which source needs
     * redaction, at what density); exact counts, one division each.
@@ -683,6 +714,7 @@ object TextQueries {
     "q261_selection_parity" -> selectionParityQ,
     "q267_heaps_fit" -> heapsQ,
     "q272_pii_by_source" -> piiBySourceQ,
+    "q273_bpe_fertility" -> bpeFertilityQ,
     "q179_nfc_normalize" -> nfcQ,
     "q223_zipf_fit" -> zipfQ,
     "q230_pmi" -> pmiQ,
@@ -944,7 +976,11 @@ object TextQueries {
     * side, so adjacent occurrences ("a a a a") merge pairwise just
     * like the operator's single-pass loop.
     */
-  private lazy val bpeTrainOracle: String = {
+  /** The 5-round BPE training chain (c0..c5, m_i, n_i) — shared by
+    * q192 (the merge table) and q273 (fertility of the trained
+    * tokenizer, read off c5).
+    */
+  private lazy val bpeChainCtes: String = {
     val steps = (1 to 5).map { i =>
       val p = i - 1
       s"""t$i AS (SELECT string_split(_t, ' ') AS t FROM c$p),
@@ -964,14 +1000,18 @@ object TextQueries {
          |n$i AS (SELECT CAST(SUM(len(string_split(_t, ' '))) AS BIGINT)
          |    AS n_after FROM c$i)""".stripMargin
     }.mkString(",\n")
+    s"""c0 AS (SELECT doc_id, text AS _t FROM documents),
+       |$steps""".stripMargin
+  }
+
+  private lazy val bpeTrainOracle: String = {
     val rows = (1 to 5).map { i =>
       s"""SELECT CAST($i AS INTEGER) AS merge_rank,
          |  (SELECT pair FROM m$i) AS merge_pair,
          |  (SELECT cnt FROM m$i) AS n_occurrences,
          |  (SELECT n_after FROM n$i) AS n_tokens_after""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH c0 AS (SELECT doc_id, text AS _t FROM documents),
-       |$steps
+    s"""WITH $bpeChainCtes
        |SELECT * FROM (
        |$rows
        |) ORDER BY merge_rank""".stripMargin
@@ -1017,6 +1057,25 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q192_bpe_train" -> bpeTrainOracle,
+    // q273: the q192 training chain's c5 IS the merged corpus — read
+    // fertility off it per language; exact sums, one division each.
+    "q273_bpe_fertility" ->
+      s"""WITH $bpeChainCtes,
+        |fin AS (SELECT doc_id,
+        |    CAST(len(string_split(_t, ' ')) AS BIGINT) AS ntb FROM c5),
+        |j AS (SELECT d.lang,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+        |    fin.ntb, d.n_chars
+        |  FROM documents d JOIN fin ON fin.doc_id = d.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS n_words,
+        |  CAST(SUM(ntb) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  ROUND(CAST(SUM(ntb) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE), 6)
+        |    AS tokens_per_word,
+        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(ntb) AS DOUBLE),
+        |    6) AS chars_per_token
+        |FROM j GROUP BY 1 ORDER BY lang""".stripMargin,
     // q250: every flag compares exact integers (cross-multiplied
     // ratios); mean_word_len is reporting-only. Chain shared with the
     // q254 per-source rollup.
