@@ -195,12 +195,23 @@ object Resample {
     */
   def seasonalDecompose(df: DataFrame, tsCol: String,
       stepSeconds: Long = 3600L, period: Int = 24,
-      halfWindow: Int = 12): DataFrame = {
+      halfWindow: Int = 12): DataFrame =
+    seasonalFromBuckets(
+      df.select(bucketCol(tsCol, stepSeconds).as("bucket_sec"))
+        .groupBy("bucket_sec").agg(count(lit(1)).as("cnt")),
+      stepSeconds, period, halfWindow)
+
+  /** The decomposition body over an already-bucketed (bucket_sec,
+    * cnt) frame — shared with the streaming seasonal store, whose
+    * persisted mergeable state IS this frame (fold = exact sum).
+    */
+  private[graft] def seasonalFromBuckets(bucketCounts: DataFrame,
+      stepSeconds: Long, period: Int, halfWindow: Int): DataFrame = {
     require(stepSeconds > 0 && period > 1 && halfWindow > 0,
       s"bad step/period/halfWindow: $stepSeconds/$period/$halfWindow")
     val den = 2L * halfWindow + 1L
-    val obs = df.select(bucketCol(tsCol, stepSeconds).as("bucket_sec"))
-      .groupBy("bucket_sec").agg(count(lit(1)).as("cnt"))
+    val obs = bucketCounts.groupBy("bucket_sec")
+      .agg(sum(col("cnt")).as("cnt"))
     val bounds = obs
       .agg(min("bucket_sec").as("_bmin"), max("bucket_sec").as("_bmax"))
       .withColumn("_n_steps",

@@ -618,6 +618,27 @@ object EventStoreQueries {
     out
   }
 
+  /** q274: the seasonal-decomposition readout over a streamed hourly
+    * bucket-count store fed three disjoint slices — mergeable counts
+    * fold exactly, so streamed ≡ one-shot (q258's oracle verbatim).
+    */
+  private val seasonalStoreQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_q274_seasonal")
+    val store = scratch.toString + "/seasonal"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.seasonalStep(
+        ev.filter(col("event_id") % 3 === b), "ts", store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.seasonalMerge)
+    val out = graft.streaming.StreamingPower.mergedSeasonal(s, store)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   /** q253: RFM user segmentation as of Jan 31 — quintile scores per
     * dimension (5 = best), ties pinned by user id.
     */
@@ -1004,6 +1025,7 @@ object EventStoreQueries {
     "q266_mann_kendall" -> mannKendallQ,
     "q268_kaplan_meier" -> kmQ,
     "q269_log_rank" -> logRankQ,
+    "q274_seasonal_store" -> seasonalStoreQ,
     "q229_interarrival" -> interArrivalQ,
     "q234_ewma_store" -> ewmaStoreQ,
     "q241_cuped" -> cupedQ,
@@ -1119,6 +1141,45 @@ object EventStoreQueries {
     * inlined (the operator does the identical inlining). Floors via
     * subtract-pmod-then-`//` exactly as q226.
     */
+  /** q258/q274's shared oracle: the seasonal decomposition over the
+    * dense hourly grid (q274's streamed store must fold to the
+    * identical frame).
+    */
+  private lazy val seasonalOracle: String =
+    """WITH obs AS (SELECT epoch_us(ts)//1000000//3600*3600 AS b,
+      |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+      |bounds AS (SELECT min(b) AS bmin, max(b) AS bmax FROM obs),
+      |grid AS (SELECT gs.b FROM bounds,
+      |  LATERAL (SELECT unnest(generate_series(bmin, bmax, 3600)) AS b) gs),
+      |dense AS (SELECT g.b, CAST(coalesce(o.cnt, 0) AS BIGINT) AS cnt
+      |  FROM grid g LEFT JOIN obs o ON o.b = g.b),
+      |w AS (SELECT b, cnt,
+      |    CAST(count(*) OVER win AS BIGINT) AS wn,
+      |    CAST(SUM(cnt) OVER win AS BIGINT) AS wsum,
+      |    CAST((b // 3600) % 24 AS INTEGER) AS phase
+      |  FROM dense WINDOW win AS (ORDER BY b
+      |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |t AS (SELECT b, cnt, phase,
+      |    CASE WHEN wn = 25 THEN wsum END AS wsum,
+      |    CASE WHEN wn = 25 THEN 25 * cnt - wsum END AS detr FROM w),
+      |seas AS (SELECT phase, CAST(SUM(detr) AS BIGINT) AS snum,
+      |    CAST(count(*) AS BIGINT) AS scnt
+      |  FROM t WHERE detr IS NOT NULL GROUP BY 1)
+      |SELECT t.b AS bucket_sec, t.phase, t.cnt,
+      |  ROUND(CAST(t.wsum AS DOUBLE) / 25e0, 6) AS trend,
+      |  ROUND(CAST(s.snum AS DOUBLE)
+      |    / CAST(25 * s.scnt AS DOUBLE), 6) + 0e0 AS seasonal,
+      |  ROUND(CAST(t.cnt AS DOUBLE) - CAST(t.wsum AS DOUBLE) / 25e0
+      |    - CAST(s.snum AS DOUBLE) / CAST(25 * s.scnt AS DOUBLE), 6)
+      |    + 0e0 AS residual,
+      |  CASE WHEN t.wsum IS NOT NULL AND s.snum IS NOT NULL THEN
+      |    CAST(abs(CAST(t.cnt AS DOUBLE) - CAST(t.wsum AS DOUBLE) / 25e0
+      |      - CAST(s.snum AS DOUBLE) / CAST(25 * s.scnt AS DOUBLE))
+      |      > 3e0 * sqrt(CAST(t.wsum AS DOUBLE) / 25e0) AS INTEGER)
+      |  END AS is_anomaly
+      |FROM t LEFT JOIN seas s ON s.phase = t.phase
+      |ORDER BY bucket_sec""".stripMargin
+
   private lazy val holtCtes: String = {
     val lx = """(300000 * o.v + 700000 * (e.l + e.b)
       |      - (((300000 * o.v + 700000 * (e.l + e.b)) % 1000000
@@ -1264,40 +1325,10 @@ object EventStoreQueries {
     // exact integer 25·x − Σwindow; trend/seasonal/residual divide
     // once in mirrored expressions; + 0e0 normalizes round()'s -0.0
     // on the two signed outputs (the q148 rule).
-    "q258_seasonal" ->
-      """WITH obs AS (SELECT epoch_us(ts)//1000000//3600*3600 AS b,
-        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
-        |bounds AS (SELECT min(b) AS bmin, max(b) AS bmax FROM obs),
-        |grid AS (SELECT gs.b FROM bounds,
-        |  LATERAL (SELECT unnest(generate_series(bmin, bmax, 3600)) AS b) gs),
-        |dense AS (SELECT g.b, CAST(coalesce(o.cnt, 0) AS BIGINT) AS cnt
-        |  FROM grid g LEFT JOIN obs o ON o.b = g.b),
-        |w AS (SELECT b, cnt,
-        |    CAST(count(*) OVER win AS BIGINT) AS wn,
-        |    CAST(SUM(cnt) OVER win AS BIGINT) AS wsum,
-        |    CAST((b // 3600) % 24 AS INTEGER) AS phase
-        |  FROM dense WINDOW win AS (ORDER BY b
-        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
-        |t AS (SELECT b, cnt, phase,
-        |    CASE WHEN wn = 25 THEN wsum END AS wsum,
-        |    CASE WHEN wn = 25 THEN 25 * cnt - wsum END AS detr FROM w),
-        |seas AS (SELECT phase, CAST(SUM(detr) AS BIGINT) AS snum,
-        |    CAST(count(*) AS BIGINT) AS scnt
-        |  FROM t WHERE detr IS NOT NULL GROUP BY 1)
-        |SELECT t.b AS bucket_sec, t.phase, t.cnt,
-        |  ROUND(CAST(t.wsum AS DOUBLE) / 25e0, 6) AS trend,
-        |  ROUND(CAST(s.snum AS DOUBLE)
-        |    / CAST(25 * s.scnt AS DOUBLE), 6) + 0e0 AS seasonal,
-        |  ROUND(CAST(t.cnt AS DOUBLE) - CAST(t.wsum AS DOUBLE) / 25e0
-        |    - CAST(s.snum AS DOUBLE) / CAST(25 * s.scnt AS DOUBLE), 6)
-        |    + 0e0 AS residual,
-        |  CASE WHEN t.wsum IS NOT NULL AND s.snum IS NOT NULL THEN
-        |    CAST(abs(CAST(t.cnt AS DOUBLE) - CAST(t.wsum AS DOUBLE) / 25e0
-        |      - CAST(s.snum AS DOUBLE) / CAST(25 * s.scnt AS DOUBLE))
-        |      > 3e0 * sqrt(CAST(t.wsum AS DOUBLE) / 25e0) AS INTEGER)
-        |  END AS is_anomaly
-        |FROM t LEFT JOIN seas s ON s.phase = t.phase
-        |ORDER BY bucket_sec""".stripMargin,
+    "q258_seasonal" -> seasonalOracle,
+    // q274: the streamed store folds the same exact hourly counts —
+    // streamed must equal one-shot, so q258's oracle verbatim.
+    "q274_seasonal_store" -> seasonalOracle,
     // q241: pooled theta/rho2 from exact sums, per-arm adjustment one
     // float expression.
     "q241_cuped" ->

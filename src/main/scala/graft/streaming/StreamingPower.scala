@@ -619,6 +619,43 @@ object StreamingPower {
     graft.operators.Sessions.cusumDaily(
       graft.engine.BatchStore.read(spark, storePath))
 
+  /** One micro-batch of the streaming SEASONAL store: hourly bucket
+    * counts are mergeable exactly like [[trendStep]]'s daily ones —
+    * append the batch's (bucket_sec, cnt) under `batch_id=<id>` with
+    * the committed-skip guard.
+    */
+  def seasonalStep(batch: DataFrame, tsCol: String, storePath: String,
+      batchId: Long, stepSeconds: Long = 3600L): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    batch.select(
+        expr(s"unix_timestamp($tsCol) div $stepSeconds * $stepSeconds")
+          .as("bucket_sec"))
+      .groupBy("bucket_sec").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** Bucket-count MERGE as a compaction hook: exact per-bucket sums. */
+  val seasonalMerge: DataFrame => DataFrame =
+    _.groupBy(col("bucket_sec")).agg(sum(col("cnt")).as("cnt"))
+
+  /** The seasonal-decomposition readout across every committed batch:
+    * fold the bucket counts (exact sums) and render the SAME
+    * decomposition the one-shot path computes — streamed ≡ batch
+    * exactly (q274 hash-certifies against q258's oracle verbatim).
+    */
+  def mergedSeasonal(spark: SparkSession, storePath: String,
+      stepSeconds: Long = 3600L, period: Int = 24,
+      halfWindow: Int = 12): DataFrame =
+    graft.operators.Resample.seasonalFromBuckets(
+      graft.engine.BatchStore.read(spark, storePath),
+      stepSeconds, period, halfWindow)
+
   /** One micro-batch of the streaming EWMA store: smooth the batch's
     * rows SEEDED from each key's persisted tail (max-step row across
     * committed batches) and append them under `batch_id=<id>` with
