@@ -270,6 +270,77 @@ object Sessions {
       .orderBy("group")
   }
 
+  /** Dispersion (variance-to-mean) index of the per-(group, day)
+    * counts — the Poisson-ness check: D ≈ 1 means arrivals spread
+    * like independent events; D ≫ 1 means bursty days (campaign
+    * spikes, batch backfills) that a mean-based capacity plan will
+    * miss. Complements the inter-arrival Fano factor (q229), which
+    * looks at gaps WITHIN days.
+    *
+    * Determinism: with Sx = Σx, Sxx = Σx², sample variance · n·(n−1)
+    * = n·Sxx − Sx² exactly, and D = (n·Sxx − Sx²)/((n−1)·Sx) is ONE
+    * division of exact longs. NULL for single-day groups or zero
+    * total. Output: (group, n_days, n_events, mean_per_day 6dp,
+    * dispersion 6dp), ordered by group.
+    */
+  def dispersionIndex(dailyCounts: DataFrame): DataFrame = {
+    val daily = dailyCounts.groupBy(col("group"), col("d"))
+      .agg(sum(col("c")).as("c"))
+    daily.groupBy("group")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("_sxx"))
+      .select(col("group"), col("n_days"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_days"), 6)
+          .as("mean_per_day"),
+        when(col("n_days") > 1L && col("n_events") > 0L,
+          round((col("n_days") * col("_sxx")
+            - col("n_events") * col("n_events")).cast("double")
+            / ((col("n_days") - 1L) * col("n_events")).cast("double"), 6))
+          .as("dispersion"))
+      .orderBy("group")
+  }
+
+  /** Autocorrelation function of the per-(group, day) counts at lags
+    * 1..`maxLag` — does yesterday predict today (serial dependence a
+    * weekly-seasonality or backfill process leaves behind)? Evaluated
+    * on the exact integer deviations devnₜ = n·xₜ − Σx (the common n²
+    * factor cancels in the ratio):
+    *   r_k = Σₜ devnₜ·devnₜ₊ₖ / Σₜ devnₜ²
+    * — numerator and denominator exact longs, ONE division. Lag pairs
+    * come from a lead window over the day-ordered series (gaps in the
+    * calendar make this an INDEX lag, documented). NULL when the
+    * denominator is 0 (constant series).
+    *
+    * Output: (group, lag, n_pairs, acf 6dp), ordered by (group, lag).
+    */
+  def dailyAcf(dailyCounts: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val daily = dailyCounts.groupBy(col("group"), col("d"))
+      .agg(sum(col("c")).as("c"))
+    val tot = daily.groupBy("group")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"))
+    val w = Window.partitionBy("group").orderBy("d")
+    val dev = daily.join(broadcast(tot), Seq("group"))
+      .withColumn("devn", col("n") * col("c") - col("sx"))
+      .localCheckpoint()
+    val den = dev.groupBy("group")
+      .agg(sum(col("devn") * col("devn")).as("_den"))
+    val lags = (1 to maxLag).map { k =>
+      dev.withColumn("_next", lead(col("devn"), k).over(w))
+        .filter(col("_next").isNotNull)
+        .groupBy("group")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("devn") * col("_next")).as("_num"))
+        .withColumn("lag", lit(k))
+    }.reduce(_ unionByName _)
+    lags.join(broadcast(den), Seq("group"))
+      .select(col("group"), col("lag"), col("n_pairs"),
+        when(col("_den") > 0L,
+          round(col("_num").cast("double") / col("_den").cast("double"), 6))
+          .as("acf"))
+      .orderBy("group", "lag")
+  }
+
   /** Mann–Kendall trend test + Theil–Sen slope over the per-(group,
     * day) counts — the ROBUST complement to [[volumeTrend]]'s OLS
     * (one changepoint or outlier day drags a least-squares slope;

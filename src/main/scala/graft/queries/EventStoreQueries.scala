@@ -590,6 +590,21 @@ object EventStoreQueries {
     Retention.logRank(Tables.events(s, dir), "user_id", "ts",
       "event_type", startType = "signup", eventType = "purchase")
 
+  /** q275: variance-to-mean dispersion of daily volume per type —
+    * the Poisson-ness check; one exact-integer division.
+    */
+  private val dispersionQ: Q = (s, dir) =>
+    Sessions.dispersionIndex(
+      Sessions.dailyCounts(Tables.events(s, dir), "event_type", "ts"))
+
+  /** q276: daily-volume autocorrelation at lags 1..7 per type — exact
+    * integer deviation products, one division per lag.
+    */
+  private val acfQ: Q = (s, dir) =>
+    Sessions.dailyAcf(
+      Sessions.dailyCounts(Tables.events(s, dir), "event_type", "ts"),
+      maxLag = 7)
+
   /** q266: Mann–Kendall trend test + Theil–Sen slope per event type —
     * the robust complement to q245's OLS; exact S/variance integers,
     * median pairwise slope as a rank-k order statistic.
@@ -1026,6 +1041,8 @@ object EventStoreQueries {
     "q268_kaplan_meier" -> kmQ,
     "q269_log_rank" -> logRankQ,
     "q274_seasonal_store" -> seasonalStoreQ,
+    "q275_dispersion" -> dispersionQ,
+    "q276_acf" -> acfQ,
     "q229_interarrival" -> interArrivalQ,
     "q234_ewma_store" -> ewmaStoreQ,
     "q241_cuped" -> cupedQ,
@@ -1108,6 +1125,42 @@ object EventStoreQueries {
       |SELECT user_id, CAST(i AS BIGINT) AS step, ts_sec, v AS v_micro,
       |  s AS s_micro, ROUND(s / 1000000e0, 6) AS ewma
       |FROM e ORDER BY user_id, step""".stripMargin
+
+  /** q276's oracle: the 7 lags unrolled (DuckDB lead needs a constant
+    * offset); deviations exact, one division per lag, + 0e0 on the
+    * signed acf.
+    */
+  private lazy val acfOracle: String = {
+    val lags = (1 to 7).map { k =>
+      s"""SELECT "group", CAST($k AS INTEGER) AS lag,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(devn * nx) AS BIGINT) AS num
+        |  FROM (SELECT "group", devn, lead(devn, $k) OVER (
+        |      PARTITION BY "group" ORDER BY d) AS nx FROM dv)
+        |  WHERE nx IS NOT NULL GROUP BY 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH dd AS (SELECT event_type AS "group",
+      |    epoch_us(date_trunc('day', ts))//1000000//86400 AS d
+      |  FROM events),
+      |c AS (SELECT "group", d, CAST(count(*) AS BIGINT) AS c
+      |  FROM dd GROUP BY 1, 2),
+      |t AS (SELECT "group", CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(c) AS BIGINT) AS sx FROM c GROUP BY 1),
+      |dv AS MATERIALIZED (SELECT c."group", c.d, t.n * c.c - t.sx
+      |    AS devn
+      |  FROM c JOIN t ON t."group" = c."group"),
+      |den AS (SELECT "group", CAST(SUM(devn * devn) AS BIGINT)
+      |    AS dn FROM dv GROUP BY 1),
+      |ag AS (
+      |$lags)
+      |SELECT ag."group", ag.lag, ag.n_pairs,
+      |  CASE WHEN den.dn > 0 THEN
+      |    ROUND(CAST(ag.num AS DOUBLE) / CAST(den.dn AS DOUBLE), 6)
+      |      + 0e0
+      |  END AS acf
+      |FROM ag JOIN den ON den."group" = ag."group"
+      |ORDER BY ag."group", ag.lag""".stripMargin
+  }
 
   /** q256/q264's shared oracle: the CUSUM scan over per-type daily
     * counts (q264's streamed store must fold to the identical frame).
@@ -1518,6 +1571,27 @@ object EventStoreQueries {
         |    ROUND(exp(CAST(cum AS DOUBLE) / 1000000000e0), 6)
         |  END AS survival
         |FROM cu ORDER BY t_sec""".stripMargin,
+    // q275: sample variance · n(n−1) = n·Σx² − (Σx)² exactly; D is
+    // one division of exact longs.
+    "q275_dispersion" ->
+      """WITH dd AS (SELECT event_type AS "group",
+        |    epoch_us(date_trunc('day', ts))//1000000//86400 AS d
+        |  FROM events),
+        |c AS (SELECT "group", d, CAST(count(*) AS BIGINT) AS c
+        |  FROM dd GROUP BY 1, 2)
+        |SELECT "group", CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(c) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(c) AS DOUBLE) / count(*), 6) AS mean_per_day,
+        |  CASE WHEN count(*) > 1 AND SUM(c) > 0 THEN
+        |    ROUND(CAST(count(*) * SUM(c * c) - SUM(c) * SUM(c)
+        |        AS DOUBLE)
+        |      / CAST((count(*) - 1) * SUM(c) AS DOUBLE), 6)
+        |  END AS dispersion
+        |FROM c GROUP BY 1 ORDER BY "group"""".stripMargin,
+    // q276: deviations devn = n·x − Σx exact (the n² factor cancels
+    // in the ratio); numerator/denominator exact longs, one division
+    // per lag; + 0e0 on the signed acf.
+    "q276_acf" -> acfOracle,
     // q266: S and tie-corrected Var·18 exact longs; z one mirrored
     // float expression (+ 0e0 against round()'s -0.0); the Theil–Sen
     // median is a rank-k order statistic under (slope, d1, d2).
