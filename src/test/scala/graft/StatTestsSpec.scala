@@ -179,6 +179,26 @@ class StatTestsSpec extends SparkSpecBase {
       s"got $f")
   }
 
+  test("dispersion and acf: hand cases on tiny daily series") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    // constant: D = 0; (1,5): D = (2·26 − 36)/(1·6) = 16/6
+    val d = Seq(("a", 0L, 1L), ("a", 1L, 1L), ("a", 2L, 1L),
+      ("b", 0L, 1L), ("b", 1L, 5L)).toDF("group", "d", "c")
+    val disp = Sessions.dispersionIndex(d)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(disp == Seq(("a", 3L, 3L, 1.0, 0.0),
+      ("b", 2L, 6L, 3.0, 2.666667)), s"got $disp")
+    // counts 1..4: devn = −6,−2,2,6; den = 80;
+    // lag1 = 20/80, lag2 = −24/80, lag3 = −36/80
+    val up = Seq(("x", 0L, 1L), ("x", 1L, 2L), ("x", 2L, 3L),
+      ("x", 3L, 4L)).toDF("group", "d", "c")
+    val acf = Sessions.dailyAcf(up, maxLag = 3)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(acf == Seq(("x", 1, 3L, 0.25), ("x", 2, 2L, -0.3),
+      ("x", 3, 1L, -0.45)), s"got $acf")
+  }
+
   test("woe/iv: two-bin hand case, one-class bin yields NULL woe") {
     import spark.implicits._
     import graft.operators.Classifier
