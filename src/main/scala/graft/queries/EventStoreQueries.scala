@@ -590,6 +590,24 @@ object EventStoreQueries {
     Retention.logRank(Tables.events(s, dir), "user_id", "ts",
       "event_type", startType = "signup", eventType = "purchase")
 
+  /** q277: hour-of-day load profile — p10/p50/p90 of OBSERVED hourly
+    * event counts per hour-of-day (capacity-planning bands next to
+    * q258's decomposition; Spark percentile == DuckDB quantile_cont,
+    * the q42 precedent). Hours with zero events carry no sample.
+    */
+  private val hourProfileQ: Q = (s, dir) => {
+    val hc = Tables.events(s, dir)
+      .select(expr("unix_timestamp(ts) div 3600 * 3600").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+      .withColumn("hour", (expr("b div 3600") % 24).cast("int"))
+    hc.groupBy("hour")
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("n_events"),
+        round(expr("percentile(cnt, 0.1)"), 6).as("p10"),
+        round(expr("percentile(cnt, 0.5)"), 6).as("p50"),
+        round(expr("percentile(cnt, 0.9)"), 6).as("p90"))
+      .orderBy("hour")
+  }
+
   /** q275: variance-to-mean dispersion of daily volume per type —
     * the Poisson-ness check; one exact-integer division.
     */
@@ -1043,6 +1061,7 @@ object EventStoreQueries {
     "q274_seasonal_store" -> seasonalStoreQ,
     "q275_dispersion" -> dispersionQ,
     "q276_acf" -> acfQ,
+    "q277_hour_profile" -> hourProfileQ,
     "q229_interarrival" -> interArrivalQ,
     "q234_ewma_store" -> ewmaStoreQ,
     "q241_cuped" -> cupedQ,
@@ -1571,6 +1590,19 @@ object EventStoreQueries {
         |    ROUND(exp(CAST(cum AS DOUBLE) / 1000000000e0), 6)
         |  END AS survival
         |FROM cu ORDER BY t_sec""".stripMargin,
+    // q277: Spark percentile == DuckDB quantile_cont (q42 precedent);
+    // observed hours only.
+    "q277_hour_profile" ->
+      """WITH hc AS (SELECT epoch_us(ts)//1000000//3600*3600 AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |h AS (SELECT CAST((b // 3600) % 24 AS INTEGER) AS hour, cnt
+        |  FROM hc)
+        |SELECT hour, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |  ROUND(quantile_cont(cnt, 0.1e0), 6) AS p10,
+        |  ROUND(quantile_cont(cnt, 0.5e0), 6) AS p50,
+        |  ROUND(quantile_cont(cnt, 0.9e0), 6) AS p90
+        |FROM h GROUP BY 1 ORDER BY hour""".stripMargin,
     // q275: sample variance · n(n−1) = n·Σx² − (Σx)² exactly; D is
     // one division of exact longs.
     "q275_dispersion" ->
