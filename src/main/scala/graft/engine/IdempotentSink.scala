@@ -46,15 +46,50 @@ object IdempotentSink {
     batch.dropDuplicates(keys).join(existingKeys, keys, "left_anti")
   }
 
+  /** Schema-evolution contract (dlt-parity on the bronze path,
+    * `bronze_ingest.py:39-43`'s auto-normalize made EXPLICIT):
+    * ADDITIVE evolution only. A batch may introduce new columns
+    * (earlier generations read back NULL there via the merged-footer
+    * read) or omit existing ones (this batch's rows read back NULL);
+    * a TYPE CHANGE on a shared column is rejected LOUDLY at append
+    * time, naming every conflicting column and both types — a
+    * conflicting footer staged silently would instead poison every
+    * later merged read of the whole table. Key columns must be
+    * present in every batch (the anti-join needs them).
+    */
+  private[graft] def checkEvolution(
+      existing: org.apache.spark.sql.types.StructType,
+      incoming: org.apache.spark.sql.types.StructType,
+      keys: Seq[String]): Unit = {
+    val missing = keys.filterNot(k => incoming.fieldNames.contains(k))
+    require(missing.isEmpty,
+      s"batch is missing key column(s) ${missing.mkString(",")} — " +
+        "keys must be present in every append")
+    val byName = existing.fields.map(f => f.name -> f.dataType).toMap
+    val conflicts = incoming.fields.flatMap { f =>
+      byName.get(f.name).collect {
+        case t if t != f.dataType => s"${f.name}: table=$t batch=${f.dataType}"
+      }
+    }
+    require(conflicts.isEmpty,
+      "schema evolution rejected — type change on shared column(s) " +
+        s"[${conflicts.mkString("; ")}]; only ADDITIVE evolution is " +
+        "supported (new columns NULL-backfill on read)")
+  }
+
   /** I/O form: atomically append only-new rows to a batch-partitioned
     * parquet table (see object doc). Read it back with [[read]].
+    * Additive schema evolution per [[checkEvolution]].
     */
   def appendIfAbsent(spark: SparkSession, batch: DataFrame, path: String,
       keys: Seq[String]): Unit = {
     heal(spark, path)
     val toWrite =
-      if (exists(spark, path)) newRows(batch, read(spark, path), keys)
-      else batch.dropDuplicates(keys)
+      if (exists(spark, path)) {
+        val current = read(spark, path)
+        checkEvolution(current.schema, batch.schema, keys)
+        newRows(batch, current, keys)
+      } else batch.dropDuplicates(keys)
     val p = new Path(path)
     val fs = fsOf(spark, p)
     val next = nextBatchId(fs, p)
@@ -68,10 +103,17 @@ object IdempotentSink {
     else fs.delete(staging, true)
   }
 
-  /** The table's rows (batch bookkeeping column dropped), healed first. */
+  /** The table's rows (batch bookkeeping column dropped), healed
+    * first. `mergeSchema` unions the generations' schemas so a table
+    * that evolved additively reads as ONE schema with NULL backfill on
+    * the generations that predate a column — the other half of the
+    * [[checkEvolution]] contract. (Cost: one footer read per file;
+    * [[compact]] keeps the file count bounded, and re-unifies the
+    * schema while it's at it.)
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
     heal(spark, path)
-    spark.read.parquet(path).drop("batch")
+    spark.read.option("mergeSchema", "true").parquet(path).drop("batch")
   }
 
   /** TIME-TRAVEL read: the table as it stood after batch `maxBatchId`
@@ -96,7 +138,7 @@ object IdempotentSink {
       s"as-of $maxBatchId predates the oldest retained generation " +
         s"(${batches.sorted.mkString(",")}) at $path — that history was " +
         "folded away by compaction; the state cannot be reconstructed")
-    spark.read.parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
       .filter(org.apache.spark.sql.functions.col("batch") <= maxBatchId)
       .drop("batch")
   }
@@ -130,7 +172,11 @@ object IdempotentSink {
     val backup = new Path(path + "._old")
     fs.delete(staging, true)
     fs.delete(backup, true)
-    spark.read.parquet(path)
+    // merged read: compaction of an additively-evolved table rewrites
+    // every row under the UNIFIED schema (explicit NULLs where a
+    // generation predated a column), so post-compact reads no longer
+    // pay the multi-footer merge
+    spark.read.option("mergeSchema", "true").parquet(path)
       .withColumn("batch", org.apache.spark.sql.functions.lit(genId))
       .write.mode(SaveMode.Overwrite).partitionBy("batch")
       .parquet(staging.toString)

@@ -246,15 +246,146 @@ object Multimodal {
   /** One sampled frame of a media payload. */
   case class FrameMeta(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_hash: Int)
 
+  /** One sampled, REALLY-decoded frame of a multi-frame video payload.
+    * `gray` is the frame's planted constant gray level, `pixel_sum` the
+    * exact integer sum over EVERY decoded pixel's gray channel —
+    * evidence the full raster was decoded, not just the header.
+    */
+  case class VideoFrameMeta(doc_id: Long, sample_idx: Int, frame_idx: Int,
+      n_frames: Int, width: Int, height: Int, gray: Int, pixel_sum: Long,
+      real_decode: Boolean)
+
+  /** Exact 256-level gray palette: GIF stores the palette verbatim, so
+    * an indexed write through this model round-trips every gray value
+    * losslessly (no quantizer in the loop).
+    */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val cmap = Array.tabulate(256)(i => (0xff << 24) | (i << 16) | (i << 8) | i)
+    new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+  }
+
+  /** Deterministic REAL video fixture: each doc renders to a true
+    * multi-frame ANIMATED GIF (the one multi-frame container the JVM
+    * ships a codec for — `ImageIO`'s gif plugin supports
+    * `prepareWriteSequence`/`writeToSequence` and random-access
+    * `read(i)` on decode). Planted, oracle-predictable geometry:
+    * n_frames = 2 + doc_id % 5, width = 8 + doc_id % 16,
+    * height = 8 + utf8len(text) % 16, frame f filled with the constant
+    * gray (doc_id·31 + f·17) % 256 through an exact 256-gray palette.
+    * One writer instance per PARTITION (reset per doc), the codec-init
+    * shape a native video decoder needs.
+    */
+  def withVideoPayload(docs: DataFrame): DataFrame = {
+    val payloads = withPayload(docs)
+    import payloads.sparkSession.implicits._
+    payloads.as[(Long, Array[Byte])].mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      batch.map { case (id, seed) =>
+        val nf = (2 + id % 5).toInt
+        val w = (8 + id % 16).toInt
+        val h = 8 + seed.length % 16
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val g = ((id * 31L + f.toLong * 17L) % 256L).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** No-codec fallback for [[sampleVideoFrames]] — the q52 arithmetic
+    * stub shape (gray = the byte at the evenly-spaced offset), zeroed
+    * geometry, `real_decode = false`; keeps the pipeline total over
+    * payloads no installed reader recognizes.
+    */
+  private def videoStubRows(docId: Long, bytes: Array[Byte],
+      nSample: Int): Seq[VideoFrameMeta] = {
+    val nb = bytes.length
+    (0 until nSample).map { i =>
+      val off = if (nb == 0) 0 else ((i.toLong * nb) / nSample).toInt
+      val g = if (nb == 0) 0 else bytes(off) & 0xff
+      VideoFrameMeta(docId, i, i, 0, 0, 0, g, g.toLong, real_decode = false)
+    }
+  }
+
+  /** REAL frame sampling over multi-frame payloads: walk the container
+    * once for the frame count (`getNumImages(true)`), then decode ONLY
+    * the `nSample` evenly-spaced frames via random-access `read(i)` —
+    * the sampling never pays for unsampled frames, which is the whole
+    * point at video scale. Emits the frame count, true per-frame dims,
+    * the (0,0) gray level, and the exact full-raster pixel sum.
+    * Payloads without a recognizing reader fall back to
+    * [[videoStubRows]].
+    */
+  def sampleVideoFrames(payloads: DataFrame, nSample: Int): Dataset[VideoFrameMeta] = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.flatMap { case (id, bytes) =>
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) videoStubRows(id, bytes, nSample)
+            else {
+              val reader = readers.next()
+              reader.setInput(iis, false, true)
+              val nf = reader.getNumImages(true)
+              val out = (0 until nSample).map { i =>
+                val fidx = if (nf == 0) 0 else ((i.toLong * nf) / nSample).toInt
+                val img = reader.read(fidx)
+                val w = img.getWidth
+                val h = img.getHeight
+                var sum = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+                  y += 1
+                }
+                VideoFrameMeta(id, i, fidx, nf, w, h,
+                  img.getRGB(0, 0) & 0xff, sum, real_decode = true)
+              }
+              reader.dispose()
+              out
+            }
+          } catch { case _: Exception => videoStubRows(id, bytes, nSample) }
+        }
+      }
+  }
+
   /** Frame sampling: each payload fans out to `nFrames` evenly-spaced
     * frames — the video/audio sampling shape (one row per frame, typed,
     * exploded inside the partition; the binary column never survives
     * past the mapPartitions).
     *
-    * STUB ??? — frame_hash is the byte at the frame offset, standing in
-    * for a decoded-frame content hash (no video codec ships with the
-    * JVM); pure arithmetic so the fan-out plumbing carries a DuckDB
-    * oracle.
+    * STUB — frame_hash is the byte at the frame offset, standing in
+    * for a decoded-frame content hash; pure arithmetic so the fan-out
+    * plumbing carries a DuckDB oracle over codec-less payloads. The
+    * REAL multi-frame decode path is [[sampleVideoFrames]] (animated
+    * GIF through ImageIO); this stays the no-codec fallback shape.
     */
   def frameSample(docs: DataFrame, nFrames: Int): Dataset[FrameMeta] = {
     val payloads = withPayload(docs)

@@ -67,13 +67,18 @@ object Resample {
 
     val bounds = obs.groupBy(keyCol)
       .agg(min("bucket_sec").as("_bmin"), max("bucket_sec").as("_bmax"))
-      .withColumn("_n_steps", (col("_bmax") - col("_bmin")) / lit(stepSeconds)
-        cast "long")
+      // `div`, not `/`: long `/` is DOUBLE division (CLAUDE.md trap) —
+      // only exact while deltas are step-aligned multiples below 2^53,
+      // an invariant no caller enforces. Operands are non-negative, so
+      // truncating div == floor.
+      .withColumn("_n_steps",
+        call_function("div", col("_bmax") - col("_bmin"), lit(stepSeconds)))
     // Two bounded explodes: chunks of the step index range, then the
     // offsets inside each chunk — every sequence() array ≤ Chunk long.
     val grid = bounds
       .select(col(keyCol), col("_bmin"), col("_n_steps"),
-        explode(sequence(lit(0L), col("_n_steps") / lit(Chunk) cast "long"))
+        explode(sequence(lit(0L),
+          call_function("div", col("_n_steps"), lit(Chunk))))
           .as("_chunk"))
       .select(col(keyCol), col("_bmin"), col("_chunk"), col("_n_steps"),
         explode(sequence(lit(0L),
@@ -214,11 +219,15 @@ object Resample {
       .agg(sum(col("cnt")).as("cnt"))
     val bounds = obs
       .agg(min("bucket_sec").as("_bmin"), max("bucket_sec").as("_bmax"))
+      // Same `div`-not-`/` discipline as [[resample]]: this
+      // private[graft] entry point is also fed by the streaming
+      // seasonal store, whose bucket alignment it must not assume.
       .withColumn("_n_steps",
-        ((col("_bmax") - col("_bmin")) / lit(stepSeconds)).cast("long"))
+        call_function("div", col("_bmax") - col("_bmin"), lit(stepSeconds)))
     val grid = bounds
       .select(col("_bmin"), col("_n_steps"),
-        explode(sequence(lit(0L), (col("_n_steps") / lit(Chunk)).cast("long")))
+        explode(sequence(lit(0L),
+          call_function("div", col("_n_steps"), lit(Chunk))))
           .as("_chunk"))
       .select(col("_bmin"), col("_chunk"), col("_n_steps"),
         explode(sequence(lit(0L),

@@ -114,11 +114,16 @@ object Retention {
     * V = d·n₁·(n−n₁)·(n−d)/(n²·(n−1)); χ² = (ΣO−ΣE)²/ΣV ~ χ²(1).
     *
     * Determinism: at-risk/event tallies exact longs; each per-time
-    * (O−E) and V term is ONE mirrored float expression over exact
-    * integer products (n ≤ user count keeps d·n₁·(n−n₁)·(n−d) well
-    * inside long), quantized to integer nanos at birth so the sums
-    * are exact; χ² squares by explicit self-multiplication. NULL χ²
-    * when ΣV = 0 (no comparable event times).
+    * (O−E) and V term is ONE mirrored float expression, quantized to
+    * integer nanos at birth so the sums are exact; χ² squares by
+    * explicit self-multiplication. NULL χ² when ΣV = 0 (no comparable
+    * event times). The V term's integer products are split into two
+    * QUADRATIC factors — d·(n−d) and n₁·(n−n₁), each exact long up to
+    * n ≈ 6e9, multiplied as doubles in an order mirrored verbatim in
+    * the oracle — because the naive 4-factor long product
+    * d·n₁·(n−n₁)·(n−d) exceeds Long.MaxValue (ANSI
+    * ARITHMETIC_OVERFLOW) once n reaches ~1.1e5 (n⁴/16 > 2⁶³); the
+    * cubic denominator n²·(n−1) is split the same way.
     *
     * Scale shape: [[conversionDurations]]' aggregates plus one
     * duration-keyed aggregate and an unpartitioned running window
@@ -153,9 +158,11 @@ object Retention {
         floor((col("d1") * col("n") - col("d") * col("n1")).cast("double")
           * lit(1e9) / col("n").cast("double") + lit(0.5)).cast("long"))
       .withColumn("_v_nano",
-        floor((col("d") * col("n1") * (col("n") - col("n1"))
-          * (col("n") - col("d"))).cast("double") * lit(1e9)
-          / (col("n") * col("n") * (col("n") - 1L)).cast("double")
+        floor((col("d") * (col("n") - col("d"))).cast("double")
+          * (col("n1") * (col("n") - col("n1"))).cast("double")
+          * lit(1e9)
+          / ((col("n") * col("n")).cast("double")
+            * (col("n") - 1L).cast("double"))
           + lit(0.5)).cast("long"))
     val agg = km.agg(coalesce(sum(col("_oe_nano")), lit(0L)).as("_soe"),
       coalesce(sum(col("_v_nano")), lit(0L)).as("_sv"))

@@ -70,6 +70,22 @@ object EventStoreQueries {
       .orderBy("doc_id")
 
 
+  /** q278: REAL video-frame sampling end-to-end — each doc renders to
+    * a true multi-frame ANIMATED GIF (`Multimodal.withVideoPayload`:
+    * n_frames/dims/per-frame gray all doc-derived through an exact
+    * 256-gray palette) and `sampleVideoFrames` parses the actual
+    * container: the frame count from the GIF sequence walk, dims and
+    * the planted constant gray from really-decoded rasters, and the
+    * exact full-raster pixel sum — all oracle-predicted. This de-stubs
+    * q52's arithmetic frame hash; the stub stays the no-codec
+    * fallback.
+    */
+  private val videoFramesQ: Q = (s, dir) =>
+    Multimodal.sampleVideoFrames(
+        Multimodal.withVideoPayload(Tables.documents(s, dir)), nSample = 4)
+      .toDF().orderBy("doc_id", "sample_idx")
+
+
   /** Schema-on-read JSON parsing (from_json with an explicit schema —
     * the structured sibling of q33's get_json_object path).
     */
@@ -970,6 +986,76 @@ object EventStoreQueries {
     out
   }
 
+  /** q279: ADDITIVE SCHEMA EVOLUTION through the whole bronze chain —
+    * the dlt auto-evolve behavior (`bronze_ingest.py:39-43`) under the
+    * explicit contract (`IdempotentSink.checkEvolution`): poll 1's
+    * payload carries 4 fields and lands as generation 0; the API then
+    * ADDS a `quality` field, so poll 2's payload (re-delivering an
+    * overlap window) carries 5, and its cursor-bounded, PK-deduped
+    * append lands as generation 1 with the extra column. The healed
+    * merged read unions the schemas — pre-evolution rows surface
+    * quality = NULL — and the final per-type aggregate (exact-integer
+    * value/quality sums, non-null quality counts) hash-matches DuckDB
+    * replaying the evolution boundary straight from the events table:
+    * a reader that dropped the late column, backfilled wrongly, or
+    * double-ingested the overlap flips the hash. Feed inference is
+    * exercised too: the poll-2 read derives its 5-field schema from
+    * the MIXED payload store (union across payloads), not from a
+    * caller-supplied schema.
+    */
+  private val schemaEvolutionQ: Q = (s, dir) => {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q279_evo")
+    val feedDir = scratch.resolve("feed")
+    java.nio.file.Files.createDirectories(feedDir)
+    val sink = scratch.resolve("bronze").toString
+    val recs = Tables.events(s, dir).filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minutes1_utc"),
+        round(col("value") * 1e6).cast("long").as("value_us"))
+    val cut = "2024-01-20T00:00:00" // poll-1 horizon == evolution point
+    val overlapFrom = "2024-01-15T00:00:00" // poll 2 re-delivers from here
+    def drop(name: String, df: DataFrame, cols: Seq[String]): Unit = {
+      val body = df
+        .select(to_json(struct(cols.map(col): _*)).as("j"))
+        .agg(concat(lit("{\"records\":["),
+          concat_ws(",", collect_list(col("j"))), lit("]}")).as("b"))
+        .head.getString(0)
+      java.nio.file.Files.write(feedDir.resolve(name), body.getBytes("UTF-8"))
+    }
+    def ingest(): Unit = {
+      val cursor =
+        if (IdempotentSink.exists(s, sink))
+          IdempotentSink.read(s, sink).agg(max("minutes1_utc")).head.getString(0)
+        else null
+      // schema INFERRED from the mixed payload store (the additive
+      // union), not caller-supplied — the evolution surface under test
+      var rd = s.read.format("graft.sources.FeedSource")
+        .option("endpoint", feedDir.toString)
+        .option("cursorField", "minutes1_utc")
+      if (cursor != null) rd = rd.option("startCursor", cursor)
+      IdempotentSink.appendIfAbsent(s, rd.load(), sink, Seq("event_id"))
+    }
+    val base = Seq("event_id", "event_type", "minutes1_utc", "value_us")
+    drop("drop-000.json", recs.filter(col("minutes1_utc") < cut), base)
+    ingest()
+    drop("drop-001.json",
+      recs.filter(col("minutes1_utc") >= overlapFrom)
+        .withColumn("quality", pmod(col("event_id"), lit(5L))),
+      base :+ "quality")
+    ingest()
+    val out = IdempotentSink.read(s, sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value_us")).as("value_sum_us"),
+        count(col("quality")).as("n_quality"),
+        coalesce(sum(col("quality")), lit(0L)).as("quality_sum"),
+        min(col("minutes1_utc")).as("min_cursor"),
+        max(col("minutes1_utc")).as("max_cursor"))
+      .orderBy("event_type")
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   /** q181: streaming HLL distinct-count store — the documents table
     * split into three OVERLAPPING micro-batch appends (batch 1
     * re-delivers a third of batch 0: per-register MAX union is
@@ -1042,9 +1128,11 @@ object EventStoreQueries {
     "q181_hll_store" -> hllStoreQ,
     "q172_profile_store" -> profileStoreQ,
     "q164_feed_bronze" -> feedBronzeQ,
+    "q279_schema_evolution" -> schemaEvolutionQ,
     "q163_feed_source" -> feedSourceQ,
     "q162_image_decode" -> imageDecodeQ,
     "q189_audio_decode" -> audioDecodeQ,
+    "q278_video_frames" -> videoFramesQ,
     "q157_grid_anomaly" -> gridAnomalyQ,
     "q156_session_features" -> sessionFeaturesQ,
     "q152_moment_store" -> momentStoreQ,
@@ -1526,9 +1614,11 @@ object EventStoreQueries {
         |terms AS (SELECT
         |    CAST(floor(CAST(d1 * nr - d * nr1 AS DOUBLE) * 1000000000e0
         |      / CAST(nr AS DOUBLE) + 0.5e0) AS BIGINT) AS oe,
-        |    CAST(floor(CAST(d * nr1 * (nr - nr1) * (nr - d) AS DOUBLE)
+        |    CAST(floor(CAST(d * (nr - d) AS DOUBLE)
+        |      * CAST(nr1 * (nr - nr1) AS DOUBLE)
         |      * 1000000000e0
-        |      / CAST(nr * nr * (nr - 1) AS DOUBLE) + 0.5e0) AS BIGINT)
+        |      / (CAST(nr * nr AS DOUBLE) * CAST(nr - 1 AS DOUBLE))
+        |      + 0.5e0) AS BIGINT)
         |      AS v
         |  FROM km WHERE d > 0 AND nr > 1),
         |ag AS (SELECT CAST(coalesce(SUM(oe), 0) AS BIGINT) AS soe,
@@ -1765,6 +1855,23 @@ object EventStoreQueries {
         |FROM events
         |WHERE event_id % 20 = 0 AND ts IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q279: DuckDB replays the evolution boundary directly — quality
+    // exists exactly for rows at/after the poll-2 horizon (the field
+    // was added there and the overlap re-delivery deduped), NULL
+    // before; integer sums CAST back from DuckDB's HUGEINT.
+    "q279_schema_evolution" ->
+      """WITH r AS (SELECT event_id, event_type,
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%S') AS c,
+        |    CAST(round(value * 1e6) AS BIGINT) AS value_us
+        |  FROM events WHERE event_id % 20 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(SUM(value_us) AS BIGINT) AS value_sum_us,
+        |  CAST(count(CASE WHEN c >= '2024-01-20T00:00:00' THEN 1 END)
+        |    AS BIGINT) AS n_quality,
+        |  CAST(coalesce(SUM(CASE WHEN c >= '2024-01-20T00:00:00'
+        |    THEN event_id % 5 END), 0) AS BIGINT) AS quality_sum,
+        |  min(c) AS min_cursor, max(c) AS max_cursor
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // q163: DuckDB computes the same cursor-bounded per-type aggregate
     // straight from the parquet table the payloads were rendered from;
     // value sums as fixed-point BIGINTs (q148's order-invariance rule),
@@ -1804,6 +1911,26 @@ object EventStoreQueries {
         |  CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
         |  sum_sq, true AS real_decode
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q278: the animated-GIF fixture is fully predictable — frame
+    // count / dims / per-frame constant gray all closed-form from the
+    // doc, the pixel sum is gray·w·h (constant raster), sampled frame
+    // index mirrors the evenly-spaced integer division.
+    "q278_video_frames" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(2 + doc_id % 5 AS BIGINT) AS nf,
+        |    CAST(8 + doc_id % 16 AS INTEGER) AS w,
+        |    CAST(8 + octet_length(encode(text)) % 16 AS INTEGER) AS h
+        |  FROM documents),
+        |f AS (SELECT doc_id, nf, w, h, CAST(i AS INTEGER) AS sample_idx,
+        |    CAST((i * nf) // 4 AS INTEGER) AS frame_idx
+        |  FROM d, (SELECT unnest(generate_series(0, 3)) AS i) gs)
+        |SELECT doc_id, sample_idx, frame_idx,
+        |  CAST(nf AS INTEGER) AS n_frames, w AS width, h AS height,
+        |  CAST((doc_id * 31 + frame_idx * 17) % 256 AS INTEGER) AS gray,
+        |  CAST(((doc_id * 31 + frame_idx * 17) % 256) * w * h AS BIGINT)
+        |    AS pixel_sum,
+        |  true AS real_decode
+        |FROM f ORDER BY doc_id, sample_idx""".stripMargin,
     // q157: q145's grid CTE + one more 24-bucket window; sample
     // stddev (NULL under 2 rows) and the cut on ROUNDED z in both
     // engines.

@@ -321,31 +321,42 @@ object FeedSource {
     arr.elements().asScala
   }
 
-  /** Flat-record schema inference from the FIRST payload (cheap and
-    * deterministic — the feed's shape is fixed by the upstream API):
-    * long ⊂ double promotion across records, booleans, strings for
-    * text/timestamps/nested nodes, nullable throughout.
+  /** Flat-record schema inference, ADDITIVE across EVERY payload (the
+    * dlt auto-evolve contract made explicit: an API that adds a field
+    * mid-feed yields the union schema, and payloads that predate the
+    * field read it back as NULL — the same additive-only policy as
+    * `IdempotentSink.checkEvolution` downstream): long ⊂ double
+    * promotion across records, booleans, strings for text/timestamps/
+    * nested nodes, a cross-payload type CONFLICT widens to string (the
+    * lenient bronze-layer stance — the loud rejection point is the
+    * sink's append, where a type change on a shared column throws).
+    * Nullable throughout. Cost is one driver-side parse per payload
+    * file — fine at poll-drop counts; a store big enough to feel it
+    * should pass an explicit `.schema(...)`, which skips inference
+    * entirely.
     */
   private[sources] def inferSchema(o: CaseInsensitiveStringMap): StructType = {
-    val first = payloadFiles(o).headOption.getOrElse(
-      throw new IllegalArgumentException("feed endpoint has no payload files"))
+    val files = payloadFiles(o)
+    require(files.nonEmpty, "feed endpoint has no payload files")
     val kinds = mutable.LinkedHashMap.empty[String, DataType]
-    records(parse(first, driverConf()), recordsField(o)).foreach { rec =>
-      rec.properties().asScala.foreach { e =>
-        val t = e.getValue match {
-          case v if v.isNull => NullType
-          case v if v.isBoolean => BooleanType
-          case v if v.isIntegralNumber => LongType
-          case v if v.isNumber => DoubleType
-          case _ => StringType
-        }
-        kinds.get(e.getKey) match {
-          case None | Some(NullType) => kinds(e.getKey) = t
-          case Some(LongType) if t == DoubleType => kinds(e.getKey) = DoubleType
-          case Some(prev) if prev != t && t != NullType &&
-              !(prev == DoubleType && t == LongType) =>
-            kinds(e.getKey) = StringType
-          case _ => ()
+    files.foreach { f =>
+      records(parse(f, driverConf()), recordsField(o)).foreach { rec =>
+        rec.properties().asScala.foreach { e =>
+          val t = e.getValue match {
+            case v if v.isNull => NullType
+            case v if v.isBoolean => BooleanType
+            case v if v.isIntegralNumber => LongType
+            case v if v.isNumber => DoubleType
+            case _ => StringType
+          }
+          kinds.get(e.getKey) match {
+            case None | Some(NullType) => kinds(e.getKey) = t
+            case Some(LongType) if t == DoubleType => kinds(e.getKey) = DoubleType
+            case Some(prev) if prev != t && t != NullType &&
+                !(prev == DoubleType && t == LongType) =>
+              kinds(e.getKey) = StringType
+            case _ => ()
+          }
         }
       }
     }

@@ -82,6 +82,50 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got.filter(col("n_bytes") <= 8).count() == 0)
   }
 
+  test("animated-GIF fixture encode -> real frame sampling recovers count, dims, planted grays") {
+    import spark.implicits._
+    val docs = Seq((3L, "hello world"), (10L, "x"), (257L, "abcdef"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.sampleVideoFrames(
+        Multimodal.withVideoPayload(docs), nSample = 4)
+      .collect().groupBy(_.doc_id)
+    assert(got.keySet == Set(3L, 10L, 257L))
+    got.foreach { case (id, rows) =>
+      val text = Map(3L -> "hello world", 10L -> "x", 257L -> "abcdef")(id)
+      val nf = (2 + id % 5).toInt
+      val w = (8 + id % 16).toInt
+      val h = 8 + text.getBytes("UTF-8").length % 16
+      assert(rows.length == 4)
+      rows.sortBy(_.sample_idx).zipWithIndex.foreach { case (r, i) =>
+        assert(r.real_decode, s"doc $id sample $i took the stub branch")
+        assert(r.n_frames == nf, s"doc $id: n_frames ${r.n_frames} != $nf")
+        assert(r.width == w && r.height == h,
+          s"doc $id: dims ${r.width}x${r.height} != ${w}x$h")
+        val fidx = ((i.toLong * nf) / 4).toInt
+        assert(r.frame_idx == fidx)
+        val g = ((id * 31L + fidx.toLong * 17L) % 256L).toInt
+        assert(r.gray == g, s"doc $id frame $fidx: gray ${r.gray} != $g")
+        assert(r.pixel_sum == g.toLong * w * h,
+          s"doc $id frame $fidx: pixel_sum ${r.pixel_sum} != ${g.toLong * w * h}")
+      }
+    }
+  }
+
+  test("non-video payloads fall back to the video stub rows") {
+    import spark.implicits._
+    val junk = Seq((7L, "definitely not a gif".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.sampleVideoFrames(junk, nSample = 4).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => !r.real_decode && r.n_frames == 0 &&
+      r.width == 0 && r.height == 0))
+    val bytes = "definitely not a gif".getBytes("UTF-8")
+    rows.sortBy(_.sample_idx).zipWithIndex.foreach { case (r, i) =>
+      val off = ((i.toLong * bytes.length) / 4).toInt
+      assert(r.gray == (bytes(off) & 0xff) && r.pixel_sum == r.gray.toLong)
+    }
+  }
+
   test("WAV fixture encode -> manual RIFF decode recovers rate, frames, exact energy") {
     import spark.implicits._
     val docs = Seq((3L, "hello world"), (10L, "x")).toDF("doc_id", "text")

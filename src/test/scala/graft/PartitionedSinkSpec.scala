@@ -261,4 +261,50 @@ class PartitionedSinkSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("folded away"), e.getMessage)
   }
+
+  test("additive schema evolution: new columns append, NULL-backfill on read, type change rejected") {
+    import graft.engine.IdempotentSink
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evo").toString + "/t"
+    IdempotentSink.appendIfAbsent(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, Seq("k"))
+    // additive: generation 1 carries an extra column
+    IdempotentSink.appendIfAbsent(spark,
+      Seq((3L, "c", 30L)).toDF("k", "v", "extra"), dir, Seq("k"))
+    val merged = IdempotentSink.read(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("extra", "k", "v"),
+      s"merged schema wrong: ${merged.columns.mkString(",")}")
+    val rows = merged.orderBy("k")
+      .select("k", "extra").as[(Long, Option[Long])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, None), (3L, Some(30L))),
+      s"NULL backfill wrong: $rows")
+    // additive the other way: a batch may OMIT a non-key column
+    IdempotentSink.appendIfAbsent(spark,
+      Seq((4L, "d")).toDF("k", "v"), dir, Seq("k"))
+    assert(IdempotentSink.read(spark, dir)
+      .filter(col("k") === 4L && col("extra").isNull).count() == 1)
+    // readAsOf sees the merged schema too
+    assert(IdempotentSink.readAsOf(spark, dir, 0).columns.sorted.toSeq ==
+      Seq("extra", "k", "v"))
+    // compaction rewrites under the unified schema and keeps the rows
+    IdempotentSink.compact(spark, dir)
+    val afterCompact = IdempotentSink.read(spark, dir)
+    assert(afterCompact.count() == 4 &&
+      afterCompact.columns.sorted.toSeq == Seq("extra", "k", "v"))
+    assert(afterCompact.filter(col("extra").isNotNull).count() == 1)
+    // a TYPE CHANGE on a shared column is rejected loudly at append
+    val e = intercept[IllegalArgumentException] {
+      IdempotentSink.appendIfAbsent(spark,
+        Seq((5L, 99L)).toDF("k", "v"), dir, Seq("k"))
+    }
+    assert(e.getMessage.contains("type change") && e.getMessage.contains("v"),
+      e.getMessage)
+    // a batch missing its KEY column is rejected with the key named
+    val e2 = intercept[IllegalArgumentException] {
+      IdempotentSink.appendIfAbsent(spark,
+        Seq(("x", 1L)).toDF("v", "extra"), dir, Seq("k"))
+    }
+    assert(e2.getMessage.contains("key column") && e2.getMessage.contains("k"),
+      e2.getMessage)
+  }
 }

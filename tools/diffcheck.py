@@ -16,12 +16,21 @@ import pandas as pd
 import numpy as np
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+# --only a,b,c (or SPARK_GRAFT_ONLY): check just that subset — for
+# iterating on a new query with a partial Verify dump
+only = None
+if len(sys.argv) > 4 and sys.argv[3] == "--only":
+    only = set(x.strip() for x in sys.argv[4].split(",") if x.strip())
+elif os.environ.get("SPARK_GRAFT_ONLY"):
+    only = set(x.strip() for x in os.environ["SPARK_GRAFT_ONLY"].split(",") if x.strip())
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fail = 0
 for name in sorted(oracle):
     sql = oracle[name]
