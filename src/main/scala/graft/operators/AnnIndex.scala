@@ -461,13 +461,61 @@ object AnnIndex {
       .parquet(batchDir.toString)
   }
 
+  /** FILTERED ANN, pre-filter strategy — metadata predicate ∧ vector
+    * top-k, the most common production retrieval shape ("nearest
+    * among documents matching X"). The caller's eligible-id set
+    * (first column = vec ids; however it was derived — label
+    * predicate, date range, ACL) SEMI-JOINS the partition-pruned enc
+    * scan BEFORE ADC ranking, so the top-k is cut among eligible
+    * candidates only: recall equals the unfiltered index's recall on
+    * the eligible sub-corpus, and k results surface whenever ≥ k
+    * eligible ids live in the probed lists. The join is a SHUFFLED
+    * equi-join on neighbor_id, deliberately not a broadcast — the
+    * eligible set is corpus-derived and unbounded (q102 regression
+    * class); it is localCheckpointed so no file scan can end up under
+    * a broadcast if AQE re-plans it small.
+    */
+  def queryFiltered(spark: SparkSession, path: String, probes: DataFrame,
+      eligible: DataFrame, k: Int, dim: Int, nprobe: Int = 4,
+      numSub: Int = 8): DataFrame =
+    queryImpl(spark, path, probes, k, dim, nprobe, numSub, Some(eligible))
+
+  /** FILTERED ANN, post-filter strategy — the plain top-(k·candMult)
+    * shortlist filtered AFTER ranking and re-cut to k. Cheaper (no
+    * join under the ranking; the wide cut reuses the unfiltered
+    * path untouched) but LOSSY: a query whose eligible neighbors rank
+    * past k·candMult comes back short — the recall/returned gap the
+    * q282 report measures against [[queryFiltered]]. Use it when the
+    * predicate is weakly selective; pre-filter when it is sharp.
+    */
+  def queryPostFiltered(spark: SparkSession, path: String, probes: DataFrame,
+      eligible: DataFrame, k: Int, dim: Int, nprobe: Int = 4,
+      numSub: Int = 8, candMult: Int = 4): DataFrame = {
+    val el = eligible
+      .select(col(eligible.columns.head).as("neighbor_id"))
+      .localCheckpoint()
+    val wide = query(spark, path, probes, k * candMult, dim, nprobe, numSub)
+    val rerank = Window.partitionBy("query_id").orderBy(col("rank"))
+    wide.join(el, Seq("neighbor_id"), "left_semi")
+      .withColumn("_r", row_number().over(rerank))
+      .filter(col("_r") <= k)
+      .select(col("query_id"), col("_r").cast("int").as("rank"),
+        col("neighbor_id"), col("approx_d2"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Top-k ADC search against the stored index. Probe routing and ADC
     * tables are probe-bounded broadcasts (as in the inline path); the
     * enc scan is FILTERED to the probed list ids, which prunes whole
     * partition directories.
     */
   def query(spark: SparkSession, path: String, probes: DataFrame, k: Int,
-      dim: Int, nprobe: Int = 4, numSub: Int = 8): DataFrame = {
+      dim: Int, nprobe: Int = 4, numSub: Int = 8): DataFrame =
+    queryImpl(spark, path, probes, k, dim, nprobe, numSub, None)
+
+  private def queryImpl(spark: SparkSession, path: String, probes: DataFrame,
+      k: Int, dim: Int, nprobe: Int, numSub: Int,
+      eligible: Option[DataFrame]): DataFrame = {
     healEnc(spark, path)
     val cents = spark.read.parquet(coarsePath(path)).localCheckpoint()
     val sub = spark.read.parquet(subPath(path)).localCheckpoint()
@@ -491,12 +539,20 @@ object AnnIndex {
     // compact() drains the set — and checkpointed per the broadcast
     // discipline: never a raw file-scan plan on a broadcast side)
     val deadBatches = committedDeadBatches(spark, path)
-    val enc =
+    val encLive =
       if (deadBatches.isEmpty) encAll
       else encAll.join(
         deadIds(spark, path, deadBatches)
           .withColumnRenamed("vec_id", "neighbor_id").localCheckpoint(),
         Seq("neighbor_id"), "left_anti")
+    // pre-filter: eligible ids cut the candidate set BEFORE the ADC
+    // aggregate — a shuffled semi-join (see queryFiltered's contract)
+    val enc = eligible match {
+      case Some(el) => encLive.join(
+        el.select(col(el.columns.head).as("neighbor_id")).localCheckpoint(),
+        Seq("neighbor_id"), "left_semi")
+      case None => encLive
+    }
     val probeTable = Similarity.pqProbeTable(probes, dim, numSub, sub)
     val rank = Window.partitionBy("query_id").orderBy(col("sd"), col("neighbor_id"))
     enc.join(broadcast(probeLists), Seq("list_id"))

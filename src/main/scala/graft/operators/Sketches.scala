@@ -240,6 +240,101 @@ object Sketches {
       .orderBy(groupCol, "percentile")
   }
 
+  /** Mergeable bottom-k quantile sketch — grouped quantiles with NO
+    * pre-declared bin edges (the gap `fixedHistogram` leaves: its
+    * mergeability costs a declared [lo, hi] up front). Each row's id
+    * hashes to a uniform 60-bit key and the sketch is the k rows with
+    * the SMALLEST hashes per group — a KMV-style bottom-k uniform
+    * sample with an adaptive rate. This is the deterministic,
+    * closed-form-membership sibling of KLL's randomized compaction:
+    * membership ("is this row in the sketch?") is a pure function of
+    * the data, so the exact sketch replays bit-identically in a SQL
+    * oracle, where KLL's coin flips cannot.
+    *
+    * Properties:
+    *  - size ≤ k per group however large n grows;
+    *  - MERGEABLE: bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B))
+    *    — an exact algebraic identity, so per-slice/per-batch sketches
+    *    fold losslessly ([[mergeQuantileSamples]]);
+    *  - RE-DELIVERY-PROOF: the same row re-appended hashes to the same
+    *    key, and merge dedups on (group, h) before trimming;
+    *  - error bound: the sample is uniform without replacement, so the
+    *    q-quantile estimate's rank error exceeds z·n·√(q(1−q)/k) with
+    *    probability ≤ 2(1−Φ(z)) (z = 3 ⇒ ≈0.3%); k = 1024 keeps the
+    *    q=0.5 rank error under ~4.7% of n at 3σ. The spec asserts the
+    *    z = 3 bound against exact percentiles on testdata.
+    *
+    * Scale shape: one shuffle of (group, h, v) triples — 24 B/row,
+    * values never carry payloads — with a SALTED first stage: per
+    * (group, h mod 32) bottom-k in parallel, then per-group bottom-k
+    * over ≤ 32·k survivors, so no single task sorts a whole hot group.
+    * Ties on h (≈2⁻⁶⁰ per id pair) break on v, mirrored in the oracle.
+    * Output: (group, h, v), ≤ k rows per group.
+    */
+  def quantileSample(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int,
+      hashes: graft.functions.HashFamily = graft.functions.Md5Family)
+      : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hashed = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        hashes.hash(col(idCol).cast("string")).as("h"),
+        col(valueCol).cast("double").as("v"))
+    val salts = 32L
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"), col("_salt")).orderBy(col("h"), col("v"))
+    val stage1 = hashed.withColumn("_salt", pmod(col("h"), lit(salts)))
+      .withColumn("_rn", row_number().over(w1))
+      .filter(col("_rn") <= k).drop("_rn", "_salt")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("h"), col("v"))
+    stage1.withColumn("_rn", row_number().over(w2))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Fold any union of per-slice bottom-k samples back to one sketch:
+    * dedup re-delivered rows by (group, h) — min(v) keeps a collision
+    * deterministic — then keep the k smallest hashes per group. Exact
+    * merge: equals the one-shot sketch of the union.
+    */
+  def mergeQuantileSamples(samples: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("h"), col("v"))
+    samples.groupBy(col("group"), col("h")).agg(min(col("v")).as("v"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
+  /** Quantile readout off a (group, h, v) sample: rank the ≤ k sample
+    * values per group (ties break on h, mirrored in the oracle) and
+    * pick rank ⌈q·m⌉. Output: (group, percentile, value_est 6dp,
+    * sample_n).
+    */
+  def quantilesFromSample(sample: DataFrame,
+      qs: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99)): DataFrame = {
+    val ranked = sample.withColumn("_vr",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("group")).orderBy(col("v"), col("h"))))
+    val targets = sample.groupBy("group").agg(count(lit(1)).as("sample_n"))
+      .select(col("group"), col("sample_n"),
+        explode(array(qs.map(lit): _*)).as("percentile"))
+      .withColumn("_target",
+        greatest(ceil(col("percentile") * col("sample_n")), lit(1L)))
+    targets.join(ranked, Seq("group"))
+      .filter(col("_vr") === col("_target"))
+      .select(col("group"), col("percentile"),
+        round(col("v"), 6).as("value_est"), col("sample_n"))
+      .orderBy("group", "percentile")
+  }
+
+  /** One-pass grouped quantiles without declared edges —
+    * [[quantileSample]] + [[quantilesFromSample]] composed.
+    */
+  def sampledGroupQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int,
+      qs: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99)): DataFrame =
+    quantilesFromSample(quantileSample(df, groupCol, idCol, valueCol, k), qs)
+
   /** Count-min sketch heavy hitters: `depth` salted hash rows of
     * `width` counters; a token's estimate is the MIN over its `depth`
     * counters — always ≥ the true count, within εN with probability

@@ -522,7 +522,56 @@ object AnnQueries {
     out
   }
 
+  /** q282: FILTERED ANN recall report — metadata predicate ∧ vector
+    * top-k over the persisted index, both strategies side by side:
+    * PRE-FILTER (`AnnIndex.queryFiltered`: eligible ids semi-join the
+    * pruned enc scan before ADC ranking — always k results when the
+    * probed lists hold them) vs POST-FILTER
+    * (`AnnIndex.queryPostFiltered`: plain top-k·4 shortlist filtered
+    * after ranking — cheaper, lossy). Ground truth is the exact
+    * filtered top-k (brute-force cosine over the eligible
+    * sub-corpus); counts are exact integers, the division last, and
+    * `returned` exposes the post-filter shortfall the recall number
+    * alone would hide. Eligibility = label < 5 (half the corpus).
+    */
+  private val annFilteredQ: Q = (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val eligible = emb.filter(col("label") < 5).select("vec_id")
+    val k = 3
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q282_filt")
+    val idx = scratch.toString + "/idx"
+    AnnIndex.build(emb, idx, dim = 64)
+    val exact = Similarity.bruteForceTopK(
+        emb.filter(col("label") < 5), probes, k)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val both =
+      AnnIndex.queryFiltered(s, idx, probes, eligible, k, dim = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          lit("prefilter").as("method"))
+        .union(AnnIndex.queryPostFiltered(s, idx, probes, eligible, k,
+          dim = 64, candMult = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            lit("postfilter").as("method")))
+        .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    val returned = both.groupBy("method").agg(count(lit(1)).as("returned"))
+    val hits = both.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("method").agg(count(lit(1)).as("hits"))
+    val total = exact.agg(count(lit(1)).as("total"))
+    Seq("postfilter", "prefilter").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .join(returned, Seq("method"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("method"), coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("returned"), lit(0L)).as("returned"), col("total"),
+        round(coalesce(col("hits"), lit(0L)) / col("total"), 6).as("recall"))
+      .orderBy("method")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q282_ann_filtered" -> annFilteredQ,
     "q175_ann_delete" -> annDeleteQ,
     "q174_label_prop" -> labelPropQ,
     "q173_matryoshka" -> truncationQ,
@@ -1108,6 +1157,9 @@ object AnnQueries {
     // identical, exactly the query-time anti-join semantics.
     "q175_ann_delete" ->
       ivfPqSeededOracleWhere(" AND c.neighbor_id % 7 <> 0"),
+    // q282: the same adc frame cut pre- vs post-filter, scored
+    // against the exact filtered top-k (see QueryHelpers).
+    "q282_ann_filtered" -> annFilteredOracle,
     // q174: the ⌈√N⌉ seeded routing (q125's cb/ca pattern), the
     // within-list kNN graph (rounded cosine, id tie-break), then two
     // unrolled majority rounds — each restricted to not-yet-labeled

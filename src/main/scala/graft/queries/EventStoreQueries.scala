@@ -1056,6 +1056,49 @@ object EventStoreQueries {
     out
   }
 
+  /** q280: grouped quantiles with NO pre-declared bin edges — the
+    * mergeable bottom-k (KMV-style) quantile sketch
+    * (`Sketches.sampledGroupQuantiles`): per event type, the k = 256
+    * smallest-md5-hash rows form a uniform sample and the quantile is
+    * read off its ranked values. The entire sketch chain — hash
+    * sampling, salted two-stage trim, rank readout — hash-matches
+    * DuckDB replaying the same closed-form membership; the rank-error
+    * bound (3σ ≈ 9% of n at this k) is asserted against exact
+    * percentiles in QuantileSketchSpec.
+    */
+  private val quantileSketchQ: Q = (s, dir) =>
+    Sketches.sampledGroupQuantiles(Tables.events(s, dir), "event_type",
+      "event_id", "value", k = 256)
+
+  /** q281: the STREAMED form of q280 — three key-overlapping
+    * micro-batch appends of per-batch bottom-k samples (batch 1
+    * re-delivers a third of batch 0: the (group, h) dedup inside the
+    * merge absorbs it where a naive union would skew the sample),
+    * compacted through `quantileMerge`, read out through the same
+    * ranked readout. Shares q280's oracle verbatim: streamed must
+    * equal one-shot, which is exactly the bottom-k merge identity.
+    */
+  private val quantileStoreQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q281_qtile")
+    val store = scratch.toString + "/qtile"
+    graft.streaming.StreamingPower.quantileStep(
+      ev.filter(col("event_id") % 3 === 0), "event_type", "event_id",
+      "value", k = 256, store, batchId = 0L)
+    graft.streaming.StreamingPower.quantileStep(
+      ev.filter(col("event_id") % 3 <= 1), "event_type", "event_id",
+      "value", k = 256, store, batchId = 1L)
+    graft.streaming.StreamingPower.quantileStep(
+      ev.filter(col("event_id") % 3 === 2), "event_type", "event_id",
+      "value", k = 256, store, batchId = 2L)
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.quantileMerge(256))
+    val out = graft.streaming.StreamingPower.mergedQuantiles(s, store, 256)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   /** q181: streaming HLL distinct-count store — the documents table
     * split into three OVERLAPPING micro-batch appends (batch 1
     * re-delivers a third of batch 0: per-register MAX union is
@@ -1126,6 +1169,8 @@ object EventStoreQueries {
     "q194_decayed_engagement" -> decayedQ,
     "q196_funnel_store" -> funnelStoreQ,
     "q181_hll_store" -> hllStoreQ,
+    "q280_quantile_sketch" -> quantileSketchQ,
+    "q281_quantile_store" -> quantileStoreQ,
     "q172_profile_store" -> profileStoreQ,
     "q164_feed_bronze" -> feedBronzeQ,
     "q279_schema_evolution" -> schemaEvolutionQ,
@@ -1184,6 +1229,33 @@ object EventStoreQueries {
     "q34_sessionize" -> sessionizeQ,
     "q35_tumbling_hourly" -> tumbling,
     "q36_multimodal_decode" -> multimodal)
+
+  /** q280's oracle — the full bottom-k quantile-sketch chain; shared
+    * verbatim by q281 (streamed must equal one-shot by the bottom-k
+    * merge identity).
+    */
+  private lazy val oracleSqlQuantile: String = {
+    val h = md5l("CAST(event_id AS VARCHAR)")
+    s"""WITH hh AS (SELECT event_type AS grp, $h AS h,
+      |    CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |s AS (SELECT grp, h, v,
+      |    row_number() OVER (PARTITION BY grp ORDER BY h, v) AS rn
+      |  FROM hh),
+      |kk AS (SELECT grp, h, v FROM s WHERE rn <= 256),
+      |r AS (SELECT grp, h, v,
+      |    row_number() OVER (PARTITION BY grp ORDER BY v, h) AS vr
+      |  FROM kk),
+      |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS sample_n
+      |  FROM kk GROUP BY 1),
+      |t AS (SELECT grp, sample_n, q AS percentile,
+      |    greatest(CAST(ceil(q * sample_n) AS BIGINT), 1) AS target
+      |  FROM m, (SELECT unnest([0.1e0, 0.5e0, 0.9e0, 0.99e0]) AS q) qs)
+      |SELECT t.grp AS "group", t.percentile,
+      |  round(r.v, 6) AS value_est, t.sample_n
+      |FROM t JOIN r ON r.grp = t.grp AND r.vr = t.target
+      |ORDER BY 1, 2""".stripMargin
+  }
 
   /** q245's oracle — native-integer OLS over folded daily counts;
     * shared verbatim by q247 (streamed must equal one-shot).
@@ -1855,6 +1927,12 @@ object EventStoreQueries {
         |FROM events
         |WHERE event_id % 20 = 0 AND ts IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q280/q281: DuckDB replays the bottom-k sketch's closed-form
+    // membership exactly — md5 bottom-256 per type (single-stage ==
+    // the salted two-stage, an algebraic identity), ranked readout at
+    // ceil(q·m); q281 shares it verbatim (streamed ≡ one-shot).
+    "q280_quantile_sketch" -> oracleSqlQuantile,
+    "q281_quantile_store" -> oracleSqlQuantile,
     // q279: DuckDB replays the evolution boundary directly — quality
     // exists exactly for rows at/after the poll-2 horizon (the field
     // was added there and the overlap re-delivery deduped), NULL

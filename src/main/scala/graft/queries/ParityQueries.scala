@@ -348,6 +348,77 @@ object ParityQueries {
           .as("avg_yearly"))
   }
 
+  /** q283: TPC-H Q2-shape — correlated scalar MIN subquery carrying
+    * its OWN join chain (the subquery re-joins supplier→nation and
+    * correlates on BOTH the outer part key and the outer region key),
+    * the decorrelation path q271's single-key correlated aggregate
+    * (Q17-shape) doesn't exercise; Catalyst rewrites it to an
+    * aggregate + join (RewriteCorrelatedScalarSubquery) — PlanSpec
+    * pins no-cartesian and the dim broadcasts. The equality compares
+    * the STORED price double (no arithmetic), so it is bit-exact
+    * cross-engine; DISTINCT collapses tied lineitems of the same
+    * (part, supplier) at the min price.
+    */
+  private val minCostSupplierQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q283")
+    Tables.part(s, dir).createOrReplaceTempView("part_q283")
+    Tables.supplier(s, dir).createOrReplaceTempView("supp_q283")
+    Tables.nation(s, dir).createOrReplaceTempView("nat_q283")
+    Tables.region(s, dir).createOrReplaceTempView("reg_q283")
+    s.sql(
+      """SELECT DISTINCT p.p_partkey, p.p_name, sp.s_name, n.n_name,
+        |  l.l_extendedprice AS min_price
+        |FROM li_q283 l
+        |JOIN part_q283 p ON p.p_partkey = l.l_partkey
+        |JOIN supp_q283 sp ON sp.s_suppkey = l.l_suppkey
+        |JOIN nat_q283 n ON n.n_nationkey = sp.s_nationkey
+        |JOIN reg_q283 r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'EUROPE'
+        |  AND l.l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM li_q283 l2
+        |    JOIN supp_q283 s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nat_q283 n2 ON n2.n_nationkey = s2.s_nationkey
+        |    WHERE l2.l_partkey = p.p_partkey
+        |      AND n2.n_regionkey = r.r_regionkey)
+        |ORDER BY p.p_partkey, sp.s_name""".stripMargin)
+  }
+
+  /** q284: TPC-H Q21-shape — the multi-EXISTS / NOT-EXISTS
+    * decorrelation pattern: suppliers who were the ONLY one with a
+    * returned item in a finished multi-supplier order (l_returnflag =
+    * 'R' stands in for Q21's receipt>commit lateness — the test
+    * lineitem has no receipt/commit dates, FIXTURES.md). Both
+    * existential subqueries correlate on l_orderkey with an
+    * inequality on l_suppkey; Catalyst plans them as left-semi /
+    * left-anti joins — never a cartesian (QueriesSmokeSpec).
+    */
+  private val lonelyFailureQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q284")
+    Tables.orders(s, dir).createOrReplaceTempView("ord_q284")
+    Tables.supplier(s, dir).createOrReplaceTempView("supp_q284")
+    Tables.nation(s, dir).createOrReplaceTempView("nat_q284")
+    s.sql(
+      """SELECT sp.s_name, n.n_name, count(*) AS numwait
+        |FROM supp_q284 sp
+        |JOIN nat_q284 n ON n.n_nationkey = sp.s_nationkey
+        |JOIN li_q284 l1 ON l1.l_suppkey = sp.s_suppkey
+        |JOIN ord_q284 o ON o.o_orderkey = l1.l_orderkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND o.o_orderstatus = 'F'
+        |  AND EXISTS (
+        |    SELECT 1 FROM li_q284 l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM li_q284 l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY sp.s_name, n.n_name
+        |ORDER BY numwait DESC, sp.s_name""".stripMargin)
+  }
+
   /** The scale form of q07: day-partitioned trailing window with
     * cross-bucket repair — verified against the SAME oracle as the
     * global window, so the 100 TB plan shape is itself hash-checked.
@@ -489,6 +560,8 @@ object ParityQueries {
     "q17_sql_pricing" -> sqlPricingSummary,
     "q262_regional_revenue" -> regionalRevenueQ,
     "q270_market_share" -> marketShareQ,
+    "q283_min_cost_supplier" -> minCostSupplierQ,
+    "q284_lonely_failures" -> lonelyFailureQ,
     "q271_small_qty_revenue" -> smallQtyRevenueQ,
     "q01_scan_filter" -> scanFilter,
     "q02_project_arith" -> projectArith,
@@ -545,6 +618,45 @@ object ParityQueries {
         |JOIN supplier s ON s.s_suppkey = li.l_suppkey
         |JOIN nation n ON n.n_nationkey = s.s_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q283/q284: the SAME ANSI statement runs in both engines (no
+    // arithmetic beyond stored-value compares and integer counts) —
+    // the oracle is the query text itself over the raw tables.
+    "q283_min_cost_supplier" ->
+      """SELECT DISTINCT p.p_partkey, p.p_name, sp.s_name, n.n_name,
+        |  l.l_extendedprice AS min_price
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = sp.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'EUROPE'
+        |  AND l.l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2
+        |    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |    WHERE l2.l_partkey = p.p_partkey
+        |      AND n2.n_regionkey = r.r_regionkey)
+        |ORDER BY p.p_partkey, sp.s_name""".stripMargin,
+    "q284_lonely_failures" ->
+      """SELECT sp.s_name, n.n_name, count(*) AS numwait
+        |FROM supplier sp
+        |JOIN nation n ON n.n_nationkey = sp.s_nationkey
+        |JOIN lineitem l1 ON l1.l_suppkey = sp.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND o.o_orderstatus = 'F'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY sp.s_name, n.n_name
+        |ORDER BY numwait DESC, sp.s_name""".stripMargin,
     // q271: threshold compare on cross-multiplied exact integers
     // (5·qty·cnt < Σqty), revenue e4-quantized, one division.
     "q271_small_qty_revenue" ->

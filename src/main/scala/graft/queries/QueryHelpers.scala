@@ -158,8 +158,13 @@ private[queries] object QueryHelpers {
       "WHERE c.neighbor_id <> p.query_id",
       s"WHERE c.neighbor_id <> p.query_id$candExtra")
 
-  lazy val ivfPqSeededOracle: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** The chain up to the per-(query, neighbor) ADC sums `adc` — the
+    * shared prefix of [[ivfPqSeededOracle]] and the q282 filtered-ANN
+    * report (whose pre/post strategies are two different CUTS of the
+    * same adc frame).
+    */
+  lazy val ivfPqAdcCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
       |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
       |             FROM e ORDER BY h, vec_id LIMIT 8)),
@@ -201,7 +206,10 @@ private[queries] object QueryHelpers {
       |    JOIN enc ON enc.neighbor_id = cd.neighbor_id
       |    JOIN pt ON pt.query_id = cd.query_id AND pt.m = enc.m
       |           AND pt.code_id = enc.code_id
-      |    GROUP BY 1, 2)
+      |    GROUP BY 1, 2)""".stripMargin
+
+  lazy val ivfPqSeededOracle: String =
+    s"""WITH $ivfPqAdcCtes
       |SELECT query_id, rank, neighbor_id,
       |  ROUND(CAST(sd AS DOUBLE) / 1000000e0, 6) AS approx_d2
       |FROM (SELECT query_id, neighbor_id, sd,
@@ -209,6 +217,55 @@ private[queries] object QueryHelpers {
       |            ORDER BY sd, neighbor_id) AS INTEGER) AS rank
       |      FROM adc)
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** q282's oracle: the SAME adc frame cut two ways — pre-filter
+    * (eligibility applied before the rank cut) vs post-filter (top-12
+    * shortlist filtered then re-cut to 3) — scored against the exact
+    * filtered top-3 over the eligible sub-corpus. Exact integer
+    * hit/returned/total counts, one division last.
+    */
+  lazy val annFilteredOracle: String =
+    s"""WITH $ivfPqAdcCtes,
+      |el AS (SELECT vec_id FROM embeddings WHERE label < 5),
+      |pre AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY sd, neighbor_id) AS r
+      |    FROM adc WHERE neighbor_id IN (SELECT vec_id FROM el))
+      |  WHERE r <= 3),
+      |wide AS (SELECT query_id, neighbor_id, r FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY sd, neighbor_id) AS r
+      |    FROM adc) WHERE r <= 12),
+      |post AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY r) AS r2
+      |    FROM wide WHERE neighbor_id IN (SELECT vec_id FROM el))
+      |  WHERE r2 <= 3),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 6) DESC,
+      |          c.vec_id) AS rank
+      |    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |    JOIN embeddings em ON em.vec_id = c.vec_id AND em.label < 5
+      |    WHERE q.vec_id < 10)
+      |  WHERE rank <= 3),
+      |mm AS (SELECT 'prefilter' AS method, query_id, neighbor_id FROM pre
+      |       UNION ALL SELECT 'postfilter', query_id, neighbor_id FROM post),
+      |h AS (SELECT method, count(*) AS hits FROM mm
+      |      JOIN ex USING (query_id, neighbor_id) GROUP BY method),
+      |ret AS (SELECT method, count(*) AS returned FROM mm GROUP BY method),
+      |tot AS (SELECT count(*) AS total FROM ex)
+      |SELECT names.method, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+      |  CAST(COALESCE(ret.returned, 0) AS BIGINT) AS returned, tot.total,
+      |  ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / tot.total, 6) AS recall
+      |FROM (SELECT unnest(['postfilter', 'prefilter']) AS method) names
+      |LEFT JOIN h ON h.method = names.method
+      |LEFT JOIN ret ON ret.method = names.method
+      |CROSS JOIN tot
+      |ORDER BY names.method""".stripMargin
 
   // q139/q140: full BM25 replay — same tokenizer, Lucene idf, float
   // constants in e0 notation so DuckDB keeps them DOUBLE, scores

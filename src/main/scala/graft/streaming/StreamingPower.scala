@@ -432,6 +432,42 @@ object StreamingPower {
   val hllMerge: DataFrame => DataFrame =
     _.groupBy("bucket").agg(max(col("rho")).as("rho"))
 
+  /** One micro-batch of the streaming QUANTILE-SKETCH store: the
+    * batch's per-group bottom-k sample (`Sketches.quantileSample`)
+    * lands under `batch_id=N` with the committed-skip guard. Fold =
+    * dedup-by-(group, h) then re-trim to k — exact, and re-delivery of
+    * a row is a no-op (same id → same hash → one distinct sample row),
+    * so overlapping batches don't skew the sample.
+    */
+  def quantileStep(batch: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int, storePath: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.Sketches.quantileSample(batch, groupCol, idCol, valueCol, k)
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** Bottom-k sample MERGE as a compaction hook — exact (see
+    * `Sketches.mergeQuantileSamples`); folded generation ≤ groups·k
+    * rows.
+    */
+  def quantileMerge(k: Int): DataFrame => DataFrame =
+    df => graft.operators.Sketches.mergeQuantileSamples(df, k)
+
+  /** Readout: fold the store's generations and read the grouped
+    * quantiles off the merged sample — streamed ≡ one-shot by the
+    * bottom-k merge identity.
+    */
+  def mergedQuantiles(spark: SparkSession, storePath: String, k: Int,
+      qs: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99)): DataFrame =
+    graft.operators.Sketches.quantilesFromSample(
+      graft.operators.Sketches.mergeQuantileSamples(
+        graft.engine.BatchStore.read(spark, storePath), k), qs)
+
   /** The loop as a streaming query over a value stream. */
   def hllStream(rows: DataFrame, valueCol: String, storePath: String,
       checkpoint: String,

@@ -527,6 +527,35 @@ class PlanSpec extends SparkSpecBase {
     assert(globalWindows == 1, s"unexpected extra windows:\n$curPlan")
   }
 
+  test("Q2-shape correlated subquery decorrelates: no cartesian, dims broadcast, region filter pushed") {
+    val plan = planOf(
+      ParityQueries.queries("q283_min_cost_supplier")(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"),
+      s"correlated min subquery planned a cartesian:\n$plan")
+    // decorrelation: the subquery's per-(part, region) min shows up as
+    // a real aggregate joined back in, not a per-row re-execution
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"no aggregate from the rewritten scalar subquery:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected the dim joins broadcast, got $bhj:\n$plan")
+    // the region-name literal reaches the region scan
+    assert(plan.contains("EqualTo(r_name,EUROPE)"),
+      s"region filter not pushed to the scan:\n$plan")
+  }
+
+  test("Q21-shape multi-EXISTS decorrelates to semi/anti joins, no cartesian") {
+    val plan = planOf(
+      ParityQueries.queries("q284_lonely_failures")(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"),
+      s"existential subqueries planned a cartesian:\n$plan")
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
+    // the returnflag/orderstatus literals reach their scans
+    assert(plan.contains("EqualTo(l_returnflag,R)") &&
+      plan.contains("EqualTo(o_orderstatus,F)"),
+      s"predicate pushdown missing:\n$plan")
+  }
+
   test("regional revenue: dimensions ride broadcast joins, only lineitem⋈orders shuffles") {
     val plan = planOf(
       ParityQueries.queries("q262_regional_revenue")(spark, sf("sf0.001")))
