@@ -130,7 +130,39 @@ object ScaleProbe {
           emb, k = 5, nlists = Similarity.autoNlists(emb))),
         "holt" -> (() => Resample.holt(ev, "user_id", "ts", "value")),
         "conformal" -> (() => Sampling.conformalOutlierReport(
-          ev, "event_id", "event_type", "value")))
+          ev, "event_id", "event_type", "value")),
+        // round-10 decade-further checks: SemDeDup's ⌈√N⌉ sizing does
+        // N^1.5 TOTAL pair work by design — ×256 input is ×4096 pair
+        // mass, the law this row exists to measure (the strictly-linear
+        // alternative, nlists = N/targetClusterSize, is documented on
+        // `semanticDedup`). Replica embeddings are PERTURBED per id
+        // (+(vec_id % 977)·1e-5 on every component): exact ×m copies
+        // of every point would all land in one list and measure the
+        // duplication artifact, not the sizing law. The composed
+        // funnel (q132's clean → exact-dedup → canonical aggregate) is
+        // projections + one digest-keyed shuffle — expected ~linear.
+        "semdedup" -> (() => Similarity.semanticDedup(
+          emb.withColumn("_eps",
+              pmod(col("vec_id"), lit(977L)).cast("float") * lit(1e-5f))
+            .withColumn("embedding",
+              transform(col("embedding"), x => x + col("_eps")))
+            .drop("_eps"),
+          threshold = 0.75)),
+        "pipeline_funnel" -> (() => {
+          val clean = TextAnalysis.cleanCorpus(docs, "doc_id", "text")
+          val kept = docs.select("doc_id", "source", "text").join(
+            clean.filter(col("keep") === 1)
+              .select("doc_id", "n_tokens"), Seq("doc_id"))
+            .localCheckpoint()
+          val canonIds = Dedup.exactDedup(
+            kept.withColumn("text_key", md5(col("text"))),
+            "text_key", "doc_id")
+            .select("doc_id")
+          kept.join(canonIds, Seq("doc_id"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("docs_canonical"),
+              sum(col("n_tokens").cast("long")).as("tokens_canonical"))
+        }))
 
       // SPARK_GRAFT_OPS=knn_triangles,pmi_colloc restricts the probe
       // (targeted curve refresh without re-measuring every family)
