@@ -84,6 +84,73 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Binary-quantized ANN (sign quantization + Hamming shortlist +
+    * exact rerank): each vector packs to ⌈d/32⌉ sign-bit WORDS (32
+    * bits per long — every engine's integer arithmetic stays exact
+    * and overflow-free), the shortlist is the S smallest Hamming
+    * distances per probe (integer xor/bit_count — codegen'd, ~2 ops
+    * per 32 dims vs 2 FLOPs per dim for cosine), and only shortlist
+    * survivors are rescored with exact cosine.
+    *
+    * The 100 TB story: the packed corpus is d/8 bytes per vector
+    * (64-dim float32 → 16 bytes vs 256, a 16× smaller scan), the
+    * Hamming shuffle carries only (query_id, neighbor_id, hamming)
+    * ints, and the float vectors are touched again ONLY for the
+    * |probes|·S shortlist rows — via a broadcast of the checkpointed
+    * probe-bounded shortlist into the corpus scan, never a corpus
+    * shuffle (the q102 broadcast rule).
+    *
+    * Determinism: Hamming is exact integer; shortlist ties break on
+    * neighbor_id; the rerank orders on 6dp-rounded cosine then
+    * neighbor_id (the cross-engine rank rule).
+    *
+    * Output: (query_id, rank, neighbor_id, hamming, cosine) ordered
+    * by (query_id, rank).
+    */
+  def binaryHammingTopK(embeddings: DataFrame, probes: DataFrame, k: Int,
+      shortlist: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need 1 <= k=$k <= shortlist=$shortlist")
+    val spark = embeddings.sparkSession
+    // sign-bit packing: word w holds dims [32w, 32w+32) as Σ 2^i —
+    // distinct powers < 2^32, so the ANSI long sum can't overflow
+    val packed = expr(
+      """transform(sequence(0, cast((size(embedding) - 1) div 32 as int)), w ->
+        |  aggregate(sequence(0, 31), 0L, (acc, i) ->
+        |    acc + IF(w * 32 + i < size(embedding)
+        |             AND element_at(embedding, w * 32 + i + 1) > 0,
+        |             shiftleft(1L, i), 0L)))""".stripMargin)
+    val corpusW = embeddings.select(col("vec_id").as("neighbor_id"),
+      packed.as("c_words"))
+    val probesW = probes.select(col("vec_id").as("query_id"),
+      packed.as("q_words")).localCheckpoint()
+    val scored = corpusW.crossJoin(broadcast(probesW))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(q_words, c_words, (a, b) -> bit_count(a ^ b))," +
+          " 0, (acc, x) -> acc + x)"))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val short = scored.withColumn("_s", row_number().over(wS))
+      .filter(col("_s") <= shortlist)
+      .select("query_id", "neighbor_id", "hamming")
+      .localCheckpoint() // probe-bounded broadcast artifact (q102 rule)
+    val corpusV = embeddings.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("c_emb"))
+    val probesV = probes.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_emb")).localCheckpoint()
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpusV.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(probesV), Seq("query_id"))
+      .withColumn("cosine",
+        round(cosineFast(spark)(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Maximal-marginal-relevance diversified top-k (Carbonell &
     * Goldstein 1998): greedy re-ranking of an exact-cosine shortlist —
     * step 1 takes the most relevant candidate, each later step the

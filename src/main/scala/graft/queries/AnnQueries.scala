@@ -23,6 +23,20 @@ object AnnQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** q286: binary-quantized ANN — sign-bit packing into 32-bit words,
+    * integer Hamming shortlist (S=50), exact-cosine rerank to top-5.
+    * The oracle replays the identical pipeline closed-form (DuckDB
+    * packs the same words via Σ 2^i, xor/bit_count Hamming, same tie
+    * discipline), so the hash certifies the whole quantize→shortlist→
+    * rerank chain, not just the final ranks. Recall vs exact top-k is
+    * DedupSimilaritySpec's concern.
+    */
+  private val binaryHammingQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.binaryHammingTopK(emb, emb.filter(col("vec_id") < 10),
+      k = 5, shortlist = 50)
+  }
+
 
   /** q197: embedding-space outlier pruning — within-list kNN mean
     * cosine below 0.30 (or an empty neighborhood) flags the stray;
@@ -596,6 +610,7 @@ object AnnQueries {
     "q58_lang_centroids" -> langCentroids,
     "q40_ann_ivf" -> annIvf,
     "q24_ann_topk" -> annTopK,
+    "q286_binary_hamming" -> binaryHammingQ,
     "q26_ann_lsh" -> annLsh,
     "q27_centroids" -> centroids,
     "q183_mmr" -> mmrQ,
@@ -1726,5 +1741,42 @@ object AnnQueries {
         |  ROUND(AVG(CAST(embedding[gs.dim] AS DOUBLE)), 6) AS centroid_v
         |FROM embeddings,
         |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim) gs
-        |GROUP BY label, gs.dim ORDER BY label, dim""".stripMargin)
+        |GROUP BY label, gs.dim ORDER BY label, dim""".stripMargin,
+    // q286: DuckDB replays the binary-quantize pipeline closed-form —
+    // identical sign-bit word packing (Σ 2^i, 32-bit words: exact in
+    // both engines), xor/bit_count Hamming, shortlist-50 on
+    // (hamming, neighbor_id), exact-cosine rerank on (cos DESC,
+    // neighbor_id). `w` feeds both join sides -> AS MATERIALIZED.
+    "q286_binary_hamming" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |w AS MATERIALIZED (
+        |  SELECT vec_id, gs.wi,
+        |    CAST(SUM(CASE WHEN v[gs.wi * 32 + gi.i + 1] > 0
+        |      THEN (1::BIGINT << gi.i) ELSE 0 END) AS BIGINT) AS word
+        |  FROM e,
+        |    LATERAL (SELECT unnest(generate_series(0, (len(v) - 1) // 32)) AS wi) gs,
+        |    LATERAL (SELECT unnest(generate_series(0, 31)) AS i) gi
+        |  WHERE gs.wi * 32 + gi.i < len(v)
+        |  GROUP BY vec_id, gs.wi),
+        |h AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(SUM(bit_count(xor(a.word, b.word))) AS INTEGER) AS hamming
+        |  FROM w a JOIN w b ON a.wi = b.wi
+        |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |s AS (SELECT query_id, neighbor_id, hamming,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, neighbor_id) AS srk
+        |  FROM h),
+        |r AS (SELECT s.query_id, s.neighbor_id, s.hamming,
+        |    ROUND(list_cosine_similarity(eq.v, ec.v), 6) AS cos
+        |  FROM s JOIN e eq ON eq.vec_id = s.query_id
+        |         JOIN e ec ON ec.vec_id = s.neighbor_id
+        |  WHERE s.srk <= 50),
+        |f AS (SELECT query_id, neighbor_id, hamming, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM r)
+        |SELECT query_id, rank, neighbor_id, hamming, cos AS cosine
+        |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

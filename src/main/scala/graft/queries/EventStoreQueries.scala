@@ -921,6 +921,89 @@ object EventStoreQueries {
     out
   }
 
+  /** q285: LIVE HTTP ingest end-to-end — the reference's actual
+    * transport (`bronze_ingest.py:30-39`: GET with `start`/`sort`/
+    * `offset` params, an Energinet `{"total", "records"}` envelope)
+    * against a loopback JDK HttpServer serving records rendered from
+    * the events table. The read exercises the full live path: the
+    * `total` probe, paged partition planning (pageSize=256 ⇒ many
+    * page partitions at every SF), executor-side GETs, the cursor
+    * bound travelling as the `start` query param AND re-applied
+    * reader-side, JSON parsing into the declared schema. The per-type
+    * aggregate (exact-integer value sums, id and cursor extrema)
+    * hash-matches DuckDB computing the same bound straight from the
+    * parquet table — a lost page, a double-fetched page, or a dropped
+    * boundary record flips the hash. The driver-side collect is the
+    * SERVER'S corpus (fixture prep, bounded by the %20 filter — the
+    * q163 payload-rendering pattern); the client path under test
+    * never collects.
+    */
+  private val feedHttpQ: Q = (s, dir) => {
+    val rows = Tables.events(s, dir)
+      .filter(col("event_id") % 20 === 0 && col("ts").isNotNull)
+      .select(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minutes1_utc"),
+        to_json(struct(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minutes1_utc"),
+          round(col("value") * 1e6).cast("long").as("value_us"))).as("j"))
+      .orderBy("minutes1_utc", "j") // deterministic offset pages
+      .collect()
+    val cursors = rows.map(_.getString(0))
+    val bodies = rows.map(_.getString(1))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/dataset/PowerSystemRightNow",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val start = params.getOrElse("start", "")
+        val offset = params.getOrElse("offset", "0").toLong
+        val limit = params.getOrElse("limit", "1000000").toInt
+        val from = cursors.indexWhere(_ >= start) match {
+          case -1 => cursors.length
+          case i => i // cursors sorted: suffix from i is the eligible set
+        }
+        val total = cursors.length - from
+        val lo = from + math.min(offset, total).toInt
+        val hi = from + math.min(offset + limit, total).toInt
+        val body = bodies.slice(lo, hi)
+          .mkString(s"""{"total": $total, "records": [""", ",", "]}")
+          .getBytes("UTF-8")
+        x.getResponseHeaders.add("Content-Type", "application/json")
+        x.sendResponseHeaders(200, body.length)
+        x.getResponseBody.write(body)
+        x.close()
+      })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}" +
+        "/dataset/PowerSystemRightNow"
+      s.read.format("graft.sources.FeedSource")
+        .schema("event_id BIGINT, event_type STRING, minutes1_utc STRING, " +
+          "value_us BIGINT")
+        .option("endpoint", url)
+        .option("cursorField", "minutes1_utc")
+        .option("startCursor", "2024-01-18T00:00:00")
+        .option("pageSize", "256")
+        .load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value_us")).as("value_sum_us"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          min(col("minutes1_utc")).as("min_cursor"),
+          max(col("minutes1_utc")).as("max_cursor"))
+        .orderBy("event_type")
+        .localCheckpoint()
+    } finally {
+      server.stop(0)
+      server.getExecutor
+        .asInstanceOf[java.util.concurrent.ExecutorService].shutdown()
+    }
+  }
+
   /** q164: the reference's bronze ingest loop END-TO-END through the
     * V2 feed source — two polls (payload drops rendered from the
     * events table; the second re-delivers everything past an overlap
@@ -1175,6 +1258,7 @@ object EventStoreQueries {
     "q164_feed_bronze" -> feedBronzeQ,
     "q279_schema_evolution" -> schemaEvolutionQ,
     "q163_feed_source" -> feedSourceQ,
+    "q285_feed_http" -> feedHttpQ,
     "q162_image_decode" -> imageDecodeQ,
     "q189_audio_decode" -> audioDecodeQ,
     "q278_video_frames" -> videoFramesQ,
@@ -1963,6 +2047,21 @@ object EventStoreQueries {
         |FROM events
         |WHERE event_id % 20 = 0
         |  AND strftime(ts, '%Y-%m-%dT%H:%M:%S') >= '2024-01-16T00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q285: DuckDB replays the cursor bound straight from the parquet
+    // table the server's corpus was rendered from; the live path's
+    // probe/pagination/parsing must reproduce it exactly — a lost or
+    // doubled page flips the exact-integer sums.
+    "q285_feed_http" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_sum_us,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  min(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS min_cursor,
+        |  max(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS max_cursor
+        |FROM events
+        |WHERE event_id % 20 = 0
+        |  AND strftime(ts, '%Y-%m-%dT%H:%M:%S') >= '2024-01-18T00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q162: the PNG fixture's dimensions are derived from the doc, so
     // a decode that parses the real container must recover them; the

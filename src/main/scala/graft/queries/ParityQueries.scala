@@ -419,6 +419,62 @@ object ParityQueries {
         |ORDER BY numwait DESC, sp.s_name""".stripMargin)
   }
 
+  /** q287: TPC-H Q13-shape — customer order-count DISTRIBUTION: a
+    * LEFT OUTER join whose non-equi predicate lives INSIDE the join
+    * condition (customers keep their row when every order is filtered
+    * away — a WHERE would wrongly drop them), then a second aggregate
+    * over the first's counts. o_orderpriority <> '1-URGENT' stands in
+    * for Q13's o_comment NOT LIKE (the test orders carry no comment,
+    * FIXTURES.md). Exercises outer-join condition pushdown + the
+    * two-level aggregation; the big side shuffles once on o_custkey.
+    */
+  private val custDistributionQ: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("cust_q287")
+    Tables.orders(s, dir).createOrReplaceTempView("ord_q287")
+    s.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM cust_q287 c
+        |  LEFT OUTER JOIN ord_q287 o
+        |    ON o.o_custkey = c.c_custkey
+        |   AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** q288: TPC-H Q22-shape — two uncorrelated scalar subqueries (the
+    * positive-balance count and sum) plus a correlated NOT EXISTS
+    * anti-join: dormant high-balance customers (no order since
+    * 1998-01-01) in a nationkey-derived "country code" bucket, above
+    * the positive MEAN balance. The mean comparison is EXACT integer
+    * arithmetic — `cents · n > total_cents` instead of a double
+    * `avg()` whose summation order differs across engines and could
+    * flip boundary rows (the q148 order-invariance rule); balance
+    * sums travel as cents BIGINTs for the same reason.
+    */
+  private val dormantRichQ: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("cust_q288")
+    Tables.orders(s, dir).createOrReplaceTempView("ord_q288")
+    s.sql(
+      """WITH pos AS (
+        |  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM cust_q288 WHERE c_nationkey % 5 IN (1, 2, 3))
+        |SELECT cntrycode, count(*) AS numcust,
+        |  sum(cents) AS totacctbal_cents
+        |FROM pos
+        |WHERE cents * (SELECT count(*) FROM pos p2 WHERE p2.cents > 0)
+        |      > (SELECT sum(cents) FROM pos p3 WHERE p3.cents > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM ord_q288 o
+        |    WHERE o.o_custkey = pos.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin)
+  }
+
   /** The scale form of q07: day-partitioned trailing window with
     * cross-bucket repair — verified against the SAME oracle as the
     * global window, so the 100 TB plan shape is itself hash-checked.
@@ -562,6 +618,8 @@ object ParityQueries {
     "q270_market_share" -> marketShareQ,
     "q283_min_cost_supplier" -> minCostSupplierQ,
     "q284_lonely_failures" -> lonelyFailureQ,
+    "q287_cust_distribution" -> custDistributionQ,
+    "q288_dormant_rich" -> dormantRichQ,
     "q271_small_qty_revenue" -> smallQtyRevenueQ,
     "q01_scan_filter" -> scanFilter,
     "q02_project_arith" -> projectArith,
@@ -657,6 +715,35 @@ object ParityQueries {
         |      AND l3.l_returnflag = 'R')
         |GROUP BY sp.s_name, n.n_name
         |ORDER BY numwait DESC, sp.s_name""".stripMargin,
+    // q287: the same ANSI statement (integer counts only); q288 the
+    // same modulo DuckDB's HUGEINT sum needing a BIGINT cast.
+    "q287_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT OUTER JOIN orders o
+        |    ON o.o_custkey = c.c_custkey
+        |   AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q288_dormant_rich" ->
+      """WITH pos AS (
+        |  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_nationkey % 5 IN (1, 2, 3))
+        |SELECT cntrycode, count(*) AS numcust,
+        |  CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+        |FROM pos
+        |WHERE cents * (SELECT count(*) FROM pos p2 WHERE p2.cents > 0)
+        |      > (SELECT CAST(sum(cents) AS BIGINT) FROM pos p3 WHERE p3.cents > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = pos.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
     // q271: threshold compare on cross-multiplied exact integers
     // (5·qty·cnt < Σqty), revenue e4-quantized, one division.
     "q271_small_qty_revenue" ->

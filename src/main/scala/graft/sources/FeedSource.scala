@@ -36,14 +36,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * fetch sidecar or `curl` cron drops on shared storage); listing runs
   * on the driver with the session's Hadoop config and the partition
   * readers open payloads through the same serialized config, so
-  * credentials and scheme impls reach the executors. This is the
-  * honest form in an egress-free harness and the robust form at scale:
-  * payloads land once, scans parallelize per payload file with no
-  * rate-limited API in the job's critical path.
-  * `http(s):` endpoints throw `UnsupportedOperationException` with that
-  * guidance — the LIVE get is the documented stub, the relational
-  * surface (schema inference, cursor pushdown, column pruning,
-  * per-payload partitioning) is real and tested.
+  * credentials and scheme impls reach the executors. Payload stores
+  * are the robust form at scale: payloads land once, scans
+  * parallelize per payload file with no rate-limited API in the job's
+  * critical path.
+  *
+  * `http(s):` endpoints do a LIVE GET (the reference's transport,
+  * `bronze_ingest.py:30-39`: `start`/`sort`/`offset` query params,
+  * records under `"records"`). The batch planner first probes the API
+  * with `limit=1` and reads the response's `total` field (the
+  * Energinet response envelope); when present, the scan plans one
+  * input partition per `offset`/`limit` page of `pageSize` records,
+  * so the fetch itself parallelizes across executors — the reference's
+  * single unbounded GET becomes a distributed paged read. APIs
+  * without a `total` field fall back to one sequential reader that
+  * pages until a short page. Transient failures (HTTP 429/5xx,
+  * connection errors) retry with exponential backoff (`maxRetries`,
+  * `backoffMs`). Offset paging is deterministic when the feed is
+  * append-only and sorted ascending by the cursor (the `sort` param
+  * is sent whenever `cursorField` is set); records that land after
+  * the probe are simply picked up by the next incremental poll — the
+  * same at-least-once contract the cursor/PK machinery already
+  * absorbs. Live streaming is intentionally unsupported: poll into a
+  * payload store and stream that (rate-limited APIs do not belong in
+  * a continuous query's critical path).
   *
   * - **Schema**: caller-supplied via `.schema(...)`, else inferred from
   *   the first payload's records (flat JSON: long/double/boolean/string
@@ -131,25 +147,49 @@ private[sources] class FeedScanBuilder(full: StructType,
       case GreaterThan(_, v: String) => v
     }).sorted.lastOption // tightest lower bound wins
     new FeedScan(required, FeedSource.endpoint(options),
-      FeedSource.recordsField(options), cursorField, bound)
+      FeedSource.recordsField(options), cursorField, bound,
+      FeedSource.httpConf(options))
   }
 }
 
 private[sources] class FeedScan(schema: StructType, endpoint: String,
-    recordsField: String, cursorField: Option[String], bound: Option[String])
-    extends Scan with Batch {
+    recordsField: String, cursorField: Option[String], bound: Option[String],
+    http: HttpConf) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"FeedScan[endpoint=$endpoint, cursor=${cursorField.orNull} >= ${bound.orNull}]"
   override def planInputPartitions(): Array[InputPartition] =
-    FeedSource.listPayloads(endpoint, FeedSource.driverConf())
-      .map(f => FeedPartition(f): InputPartition).toArray
+    if (FeedSource.isHttp(endpoint)) {
+      // one driver-side probe (limit=1) for the response envelope's
+      // `total`; present -> one partition per offset page (the fetch
+      // parallelizes across executors), absent -> one sequential pager
+      HttpFeed.probeTotal(endpoint, cursorField, bound, http) match {
+        case Some(total) =>
+          (0L until total by http.pageSize)
+            .map(o => HttpFeedPartition(o, http.pageSize): InputPartition)
+            .toArray
+        case None => Array(HttpFeedPartition(0L, -1))
+      }
+    } else {
+      FeedSource.listPayloads(endpoint, FeedSource.driverConf())
+        .map(f => FeedPartition(f): InputPartition).toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(schema, recordsField, cursorField, bound,
-      new SerializableHadoopConf(FeedSource.driverConf()))
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new FeedReaderFactory(schema, endpoint, recordsField, cursorField, bound,
+      http,
+      if (FeedSource.isHttp(endpoint)) null
+      else new SerializableHadoopConf(FeedSource.driverConf()))
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (FeedSource.isHttp(endpoint))
+      throw new UnsupportedOperationException(
+        "live HTTP endpoints do not stream: a rate-limited API does not " +
+          "belong in a continuous query's critical path. Poll the API " +
+          "into a payload store (one response body per file) and stream " +
+          "that endpoint instead — the micro-batch offset is the last " +
+          "payload file ingested.")
     new FeedMicroBatchStream(schema, endpoint, recordsField, cursorField, bound)
+  }
 }
 
 /** Streaming face of the feed — the reference's poll loop (each dlt
@@ -181,8 +221,8 @@ private[sources] class FeedMicroBatchStream(schema: StructType,
       .map(f => FeedPartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new FeedReaderFactory(schema, recordsField, cursorField, bound,
-      new SerializableHadoopConf(FeedSource.driverConf()))
+    new FeedReaderFactory(schema, endpoint, recordsField, cursorField, bound,
+      null, new SerializableHadoopConf(FeedSource.driverConf()))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -192,6 +232,24 @@ private[sources] case class FeedOffset(lastFile: String) extends Offset {
 }
 
 private[sources] case class FeedPartition(path: String) extends InputPartition
+
+/** One HTTP page: GET `endpoint?offset=o&limit=pageSize` on the
+  * executor that owns the partition. `limit == -1` marks the
+  * no-`total` fallback — a single reader that pages sequentially from
+  * `offset` until a short page.
+  */
+private[sources] case class HttpFeedPartition(offset: Long, limit: Int)
+    extends InputPartition
+
+/** Live-GET knobs, serialized to the executors with the reader
+  * factory. Param names default to the Energinet envelope
+  * (`offset`/`limit`/`start`/`sort`, `total` in the response) and are
+  * overridable per deployment.
+  */
+private[sources] case class HttpConf(pageSize: Int, maxRetries: Int,
+    backoffMs: Long, timeoutMs: Long, totalField: String,
+    offsetParam: String, limitParam: String, startParam: String,
+    sortParam: String) extends Serializable
 
 /** Hadoop `Configuration` with Java serialization, so executor-side
   * readers open payloads through the SAME filesystem config the
@@ -213,12 +271,18 @@ private[sources] class SerializableHadoopConf(
   }
 }
 
-private[sources] class FeedReaderFactory(schema: StructType,
+private[sources] class FeedReaderFactory(schema: StructType, endpoint: String,
     recordsField: String, cursorField: Option[String], bound: Option[String],
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    http: HttpConf, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new FeedReader(p.asInstanceOf[FeedPartition].path, schema, recordsField,
-      cursorField, bound, conf)
+    p match {
+      case FeedPartition(path) =>
+        new FeedReader(path, schema, recordsField, cursorField, bound, conf)
+      case HttpFeedPartition(offset, limit) =>
+        new HttpFeedReader(endpoint, offset, limit, schema, recordsField,
+          cursorField, bound, http)
+    }
 }
 
 private[sources] class FeedReader(path: String, schema: StructType,
@@ -246,19 +310,171 @@ private[sources] class FeedReader(path: String, schema: StructType,
   override def close(): Unit = ()
 }
 
+/** Executor-side live GET: one page per partition (`limit >= 0`), or
+  * the sequential no-`total` pager (`limit == -1`, pages of
+  * `http.pageSize` until a short page). The cursor bound travels both
+  * as the API's `start` param (server-side pruning, the reference's
+  * incremental contract) AND as a reader-side re-filter — the same
+  * conservative-superset stance as the payload-store reader, so a
+  * server that ignores `start` still yields correct results.
+  */
+private[sources] class HttpFeedReader(endpoint: String, offset: Long,
+    limit: Int, schema: StructType, recordsField: String,
+    cursorField: Option[String], bound: Option[String], http: HttpConf)
+    extends PartitionReader[InternalRow] {
+  private def bounded(it: Iterator[JsonNode]): Iterator[JsonNode] =
+    (cursorField, bound) match {
+      case (Some(c), Some(b)) =>
+        it.filter(n => n.hasNonNull(c) && n.get(c).asText() >= b)
+      case _ => it
+    }
+  private def page(o: Long, l: Int): Vector[JsonNode] =
+    FeedSource.records(
+      HttpFeed.getJson(endpoint, o, l, cursorField, bound, http),
+      recordsField).toVector
+
+  private val records: Iterator[JsonNode] =
+    if (limit >= 0) bounded(page(offset, limit).iterator)
+    else new Iterator[JsonNode] { // sequential pager
+      private var at = offset
+      private var cur: Iterator[JsonNode] = Iterator.empty
+      private var done = false
+      private def advance(): Unit =
+        while (!cur.hasNext && !done) {
+          val p = page(at, http.pageSize)
+          at += p.length
+          done = p.length < http.pageSize
+          cur = bounded(p.iterator)
+        }
+      override def hasNext: Boolean = { advance(); cur.hasNext }
+      override def next(): JsonNode = { advance(); cur.next() }
+    }
+
+  private var row: InternalRow = _
+  override def next(): Boolean = {
+    if (!records.hasNext) return false
+    val n = records.next()
+    row = InternalRow.fromSeq(schema.fields.toSeq.map(f =>
+      FeedSource.catalystValue(n.get(f.name), f.dataType)))
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+/** Shared HTTP plumbing: param-encoded URLs, bounded retries with
+  * exponential backoff on transient failures (HTTP 429/5xx and
+  * connection errors; other 4xx fail fast), and the `total` probe the
+  * batch planner pages by.
+  */
+private[sources] object HttpFeed {
+  private val mapper = new ObjectMapper()
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  private[sources] def pageUrl(endpoint: String, offset: Long, limit: Int,
+      cursorField: Option[String], bound: Option[String],
+      http: HttpConf): String = {
+    val params =
+      Seq(http.offsetParam -> offset.toString, http.limitParam -> limit.toString) ++
+        bound.map(http.startParam -> _) ++
+        cursorField.map(http.sortParam -> _)
+    val sep = if (endpoint.contains("?")) "&" else "?"
+    endpoint + sep + params.map { case (k, v) => enc(k) + "=" + enc(v) }
+      .mkString("&")
+  }
+
+  /** Non-retryable HTTP failure (4xx other than 429): the request
+    * itself is wrong, backing off won't fix it.
+    */
+  private[sources] final class ClientError(msg: String)
+      extends RuntimeException(msg)
+
+  /** GET with retries; returns the response body. Retries transient
+    * failures (HTTP 429/5xx, connection-level IOExceptions) up to
+    * `maxRetries` times with `backoffMs * 2^attempt` sleeps; other
+    * 4xx fail fast.
+    */
+  private[sources] def get(url: String, http: HttpConf): String = {
+    var attempt = 0
+    while (true) {
+      try {
+        val conn = java.net.URI.create(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(http.timeoutMs.toInt)
+        conn.setReadTimeout(http.timeoutMs.toInt)
+        conn.setRequestProperty("Accept", "application/json")
+        try {
+          val code = conn.getResponseCode
+          if (code >= 200 && code < 300) {
+            val in = conn.getInputStream
+            try return new String(in.readAllBytes(), "UTF-8")
+            finally in.close()
+          } else if (code == 429 || code >= 500) {
+            throw new java.io.IOException(s"feed GET $url: HTTP $code")
+          } else {
+            throw new ClientError(s"feed GET $url failed with HTTP $code")
+          }
+        } finally conn.disconnect()
+      } catch {
+        case e: ClientError => throw e
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt > http.maxRetries)
+            throw new java.io.IOException(
+              s"feed GET failing after ${http.maxRetries} retries: " +
+                e.getMessage, e)
+          Thread.sleep(http.backoffMs << (attempt - 1))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private[sources] def getJson(endpoint: String, offset: Long, limit: Int,
+      cursorField: Option[String], bound: Option[String],
+      http: HttpConf): JsonNode =
+    mapper.readTree(
+      get(pageUrl(endpoint, offset, limit, cursorField, bound, http), http))
+
+  /** `limit=1` probe for the response envelope's `total` (the count
+    * matching the request's `start` bound). Absent / non-numeric ->
+    * None -> sequential-pager fallback.
+    */
+  private[sources] def probeTotal(endpoint: String,
+      cursorField: Option[String], bound: Option[String],
+      http: HttpConf): Option[Long] = {
+    val root = getJson(endpoint, 0L, 1, cursorField, bound, http)
+    val t = root.path(http.totalField)
+    if (t.isIntegralNumber) Some(t.asLong()) else None
+  }
+}
+
 object FeedSource {
   private val mapper = new ObjectMapper()
 
   private[sources] def endpoint(o: CaseInsensitiveStringMap): String = {
     val e = o.get("endpoint")
     require(e != null && e.nonEmpty, "feed source requires an `endpoint` option")
-    if (e.startsWith("http://") || e.startsWith("https://"))
-      throw new UnsupportedOperationException(
-        "live HTTP fetch is not available in this environment; point " +
-          "`endpoint` at a directory of fetched JSON payload files " +
-          "(one response body per file) instead")
     e
   }
+  private[sources] def isHttp(endpoint: String): Boolean =
+    endpoint.startsWith("http://") || endpoint.startsWith("https://")
+  private def intOpt(o: CaseInsensitiveStringMap, k: String, d: Int): Int =
+    Option(o.get(k)).map(_.toInt).getOrElse(d)
+  private def strOpt(o: CaseInsensitiveStringMap, k: String, d: String): String =
+    Option(o.get(k)).getOrElse(d)
+  private[sources] def httpConf(o: CaseInsensitiveStringMap): HttpConf =
+    HttpConf(
+      pageSize = intOpt(o, "pageSize", 5000),
+      maxRetries = intOpt(o, "maxRetries", 4),
+      backoffMs = intOpt(o, "backoffMs", 200).toLong,
+      timeoutMs = intOpt(o, "requestTimeoutMs", 30000).toLong,
+      totalField = strOpt(o, "totalField", "total"),
+      offsetParam = strOpt(o, "offsetParam", "offset"),
+      limitParam = strOpt(o, "limitParam", "limit"),
+      startParam = strOpt(o, "startParam", "start"),
+      sortParam = strOpt(o, "sortParam", "sort"))
   private[sources] def recordsField(o: CaseInsensitiveStringMap): String =
     Option(o.get("recordsField")).getOrElse("records")
   private[sources] def cursorField(o: CaseInsensitiveStringMap): Option[String] =
@@ -336,29 +552,41 @@ object FeedSource {
     * entirely.
     */
   private[sources] def inferSchema(o: CaseInsensitiveStringMap): StructType = {
-    val files = payloadFiles(o)
-    require(files.nonEmpty, "feed endpoint has no payload files")
     val kinds = mutable.LinkedHashMap.empty[String, DataType]
-    files.foreach { f =>
-      records(parse(f, driverConf()), recordsField(o)).foreach { rec =>
-        rec.properties().asScala.foreach { e =>
-          val t = e.getValue match {
-            case v if v.isNull => NullType
-            case v if v.isBoolean => BooleanType
-            case v if v.isIntegralNumber => LongType
-            case v if v.isNumber => DoubleType
-            case _ => StringType
-          }
-          kinds.get(e.getKey) match {
-            case None | Some(NullType) => kinds(e.getKey) = t
-            case Some(LongType) if t == DoubleType => kinds(e.getKey) = DoubleType
-            case Some(prev) if prev != t && t != NullType &&
-                !(prev == DoubleType && t == LongType) =>
-              kinds(e.getKey) = StringType
-            case _ => ()
-          }
+    def fold(recs: Iterator[JsonNode]): Unit = recs.foreach { rec =>
+      rec.properties().asScala.foreach { e =>
+        val t = e.getValue match {
+          case v if v.isNull => NullType
+          case v if v.isBoolean => BooleanType
+          case v if v.isIntegralNumber => LongType
+          case v if v.isNumber => DoubleType
+          case _ => StringType
+        }
+        kinds.get(e.getKey) match {
+          case None | Some(NullType) => kinds(e.getKey) = t
+          case Some(LongType) if t == DoubleType => kinds(e.getKey) = DoubleType
+          case Some(prev) if prev != t && t != NullType &&
+              !(prev == DoubleType && t == LongType) =>
+            kinds(e.getKey) = StringType
+          case _ => ()
         }
       }
+    }
+    val ep = endpoint(o)
+    if (isHttp(ep)) {
+      // one probe page (a pageSize-bounded GET): live APIs serve a
+      // uniform current schema, so one page suffices — historic
+      // payloads that predate a field live in payload stores, where
+      // the cross-payload union below applies
+      val http = httpConf(o)
+      fold(records(
+        HttpFeed.getJson(ep, 0L, http.pageSize, cursorField(o),
+          startCursor(o), http), recordsField(o)))
+      require(kinds.nonEmpty, s"feed endpoint $ep returned no records to infer from")
+    } else {
+      val files = payloadFiles(o)
+      require(files.nonEmpty, "feed endpoint has no payload files")
+      files.foreach(f => fold(records(parse(f, driverConf()), recordsField(o))))
     }
     StructType(kinds.toSeq.map { case (k, t) =>
       StructField(k, if (t == NullType) StringType else t)

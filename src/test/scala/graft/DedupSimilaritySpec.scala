@@ -75,6 +75,44 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.35, s"IVF recall@3 collapsed: $recall")
   }
 
+  test("binary-Hamming ANN: packing exact, ranks dense, scores exact, recall floor") {
+    import spark.implicits._
+    // hand-computed packing: dims 0,2 positive in word 0; dim 33 -> bit 1 of word 1
+    val v = Array.fill(64)(-1.0f)
+    v(0) = 1f; v(2) = 1f; v(33) = 1f
+    val one = Seq((0L, v, 0)).toDF("vec_id", "embedding", "label")
+    val words = one.selectExpr(
+      """transform(sequence(0, cast((size(embedding) - 1) div 32 as int)), w ->
+        |  aggregate(sequence(0, 31), 0L, (acc, i) ->
+        |    acc + IF(w * 32 + i < size(embedding)
+        |             AND element_at(embedding, w * 32 + i + 1) > 0,
+        |             shiftleft(1L, i), 0L))) AS w""".stripMargin)
+      .head.getSeq[Long](0)
+    assert(words == Seq(5L, 2L))
+
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val bin = Similarity.binaryHammingTopK(emb, probes, k = 5, shortlist = 50)
+      .collect()
+    assert(bin.nonEmpty)
+    val ranks = bin.groupBy(_.getLong(0)).values
+    ranks.foreach(rs => assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length)))
+    bin.foreach { r =>
+      assert(r.getLong(0) != r.getLong(2)) // no self-matches
+      // any hit shared with the exact path carries the identical cosine
+      exact.get((r.getLong(0), r.getLong(2)))
+        .foreach(e => assert(e == r.getDouble(4)))
+      assert(r.getInt(3) >= 0 && r.getInt(3) <= 64) // 64-dim corpus
+    }
+    // near-random embeddings: 64 sign bits are a noisy angle proxy, so
+    // the 10%-of-corpus shortlist recalls a bounded fraction of the
+    // exact top-5; clustered production data would approach 1. Floor it.
+    val recall = bin.count(r => exact.contains((r.getLong(0), r.getLong(2))))
+      .toDouble / exact.size
+    assert(recall >= 0.25, s"binary-Hamming recall@5 collapsed: $recall")
+  }
+
   test("PQ top-k: dense ranks, no self-matches, deterministic, recall vs exact L2") {
     val probes = emb.filter(col("vec_id") < 10)
     val pq = Similarity.pqTopKSeeded(emb, probes, k = 5, dim = 64).collect()

@@ -131,11 +131,20 @@ class FeedSourceSpec extends SparkSpecBase {
     assert(df.count() == 4)
   }
 
-  test("http endpoints fail fast with fetched-payload guidance") {
-    val e = intercept[UnsupportedOperationException] {
-      spark.read.format(fmt)
-        .option("endpoint", "https://api.energidataservice.dk/dataset/X").load()
+  test("live HTTP endpoints refuse to STREAM with payload-store guidance") {
+    // batch GETs are real (FeedHttpSpec); continuous streaming against a
+    // rate-limited API is the documented non-feature
+    val e = intercept[Throwable] {
+      val q = spark.readStream.format(fmt)
+        .schema("minutes1_utc STRING, mw BIGINT")
+        .option("endpoint", "http://127.0.0.1:9/dataset/X")
+        .load()
+        .writeStream.format("memory").queryName("feed_http_stream")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
     }
-    assert(e.getMessage.contains("fetched JSON payload"))
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("payload store"), msgs)
   }
 }

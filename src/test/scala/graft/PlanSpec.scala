@@ -556,6 +556,26 @@ class PlanSpec extends SparkSpecBase {
       s"predicate pushdown missing:\n$plan")
   }
 
+  test("Q13-shape outer join keeps its non-equi predicate in the join, no cartesian") {
+    val plan = planOf(
+      ParityQueries.queries("q287_cust_distribution")(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftOuter"), s"outer join lost:\n$plan")
+    // the priority predicate must live in the JOIN (a WHERE would drop
+    // order-less customers); it still reaches the orders scan as a
+    // pushed filter because the preserved side is customer
+    assert(plan.contains("o_orderpriority"), s"join predicate missing:\n$plan")
+  }
+
+  test("Q22-shape: scalar subqueries decorrelate, NOT EXISTS is an anti join") {
+    val plan = planOf(
+      ParityQueries.queries("q288_dormant_rich")(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join:\n$plan")
+    // the date bound reaches the orders scan under the anti join
+    assert(plan.contains("o_orderdate"), s"date predicate missing:\n$plan")
+  }
+
   test("regional revenue: dimensions ride broadcast joins, only lineitem⋈orders shuffles") {
     val plan = planOf(
       ParityQueries.queries("q262_regional_revenue")(spark, sf("sf0.001")))
