@@ -104,6 +104,114 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Per-image perceptual hash row: the 64 dHash bits split into two
+    * 32-bit words (`w0` = bits 0–31, `w1` = bits 32–63, bit r·8+c set
+    * iff gray(c+1, r) > gray(c, r) on the 9×8 thumbnail) — 32-bit
+    * words keep every engine's integer arithmetic exact, the q286
+    * packing discipline.
+    */
+  case class PHashRow(doc_id: Long, w0: Long, w1: Long, width: Int,
+      height: Int, real_decode: Boolean)
+
+  /** Deterministic REAL image fixture for perceptual hashing: a 9×8
+    * grayscale PNG whose raster is the closed form
+    * `gray(x, y) = (A + 7x + 13y) % 256`, `A = (doc_id % 16)·31 +
+    * doc_id % 7` — docs sharing `A` render identical images, docs
+    * with nearby `A` render near-duplicates (the wraparound positions
+    * shift slightly), so the downstream dHash pairs have
+    * oracle-predictable Hamming distances. 9×8 is dHash's native
+    * thumbnail, making the fixture's hash independent of the resize
+    * path (which MultimodalSpec pins separately via block-replicated
+    * upscales).
+    */
+  def withPatternedImagePayload(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    import ids.sparkSession.implicits._
+    ids.as[Long].mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { id =>
+        val a = (id % 16) * 31 + id % 7
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val g = ((a + 7 * x + 13 * y) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Difference-hash (dHash) over REAL decoded rasters: decode via
+    * imageio, area-average the gray channel down to the canonical 9×8
+    * thumbnail (exact integer block sums, floor-divided — the resize
+    * every perceptual-hash pipeline runs), emit the 64 row-gradient
+    * bits as two 32-bit words. Near-duplicate IMAGES then reduce to
+    * integer Hamming distance on the words — the multimodal twin of
+    * SimHash-on-text, and the same banded-join machinery finds pairs
+    * without an all-pairs scan. Undecodable payloads yield the stub
+    * words (payload-length-seeded) with `real_decode = false`.
+    */
+  def dHash(payloads: DataFrame): Dataset[PHashRow] = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) {
+            PHashRow(id, bytes.length & 0xffffffffL, 0L, 0, 0,
+              real_decode = false)
+          } else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            // exact area-average to 9x8: block [c*w/9,(c+1)*w/9) x
+            // [r*h/8,(r+1)*h/8), integer sum, floor division
+            val thumb = Array.ofDim[Int](8, 9)
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 9) {
+                val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+                val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+                var sum = 0L; var n = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    sum += img.getRGB(x, y) & 0xff; n += 1; x += 1
+                  }
+                  y += 1
+                }
+                thumb(r)(c) = if (n == 0) 0 else (sum / n).toInt
+                c += 1
+              }
+              r += 1
+            }
+            var w0 = 0L; var w1 = 0L
+            var b = 0
+            while (b < 64) {
+              val row = b / 8; val colI = b % 8
+              if (thumb(row)(colI + 1) > thumb(row)(colI)) {
+                if (b < 32) w0 |= 1L << b else w1 |= 1L << (b - 32)
+              }
+              b += 1
+            }
+            PHashRow(id, w0, w1, w, h, real_decode = true)
+          }
+        }
+      }
+  }
+
   /** Partition-wise batch decode of a (doc_id, payload) frame. */
   def decodePayloads(payloads: DataFrame): Dataset[MediaMeta] = {
     import payloads.sparkSession.implicits._

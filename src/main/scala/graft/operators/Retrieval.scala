@@ -32,6 +32,73 @@ import org.apache.spark.sql.functions._
   * the engine.
   */
 object Retrieval {
+  /** ColBERT-style late-interaction (MaxSim) retrieval (Khattab &
+    * Zaharia, SIGIR 2020): documents and queries are MULTI-vector —
+    * a set of token/chunk vectors each — and the relevance of doc d
+    * to query q is Σ over q's vectors of the MAX cosine against d's
+    * vectors. Late interaction keeps per-token granularity (a query
+    * term can match its best-matching passage chunk) while staying a
+    * sum of per-token maxima — exactly the shape that distributes:
+    *
+    *  - score = two-level aggregation: `max` per (query, doc,
+    *    q_chunk) then `sum` per (query, doc). Both hash-aggregate
+    *    with map-side partial combine; the shuffle after scoring
+    *    carries only (query_id, doc_id, q_chunk, max_ppm) ints,
+    *    never vectors.
+    *  - the query token set is probe-bounded and broadcast
+    *    (checkpointed — the q102 rule); the corpus token table
+    *    streams through ONE scan. At 100 TB the corpus side would be
+    *    the ANN-shortlisted candidate set instead of the full scan —
+    *    the aggregation shape is unchanged.
+    *
+    * The multi-vector sets here are derived deterministically from
+    * the single-vector testdata (per-chunk exact binary-fraction
+    * reweighting — multiples of 0.25, so every product is bit-exact
+    * in any IEEE engine and the oracle replays it closed-form); a
+    * production corpus brings real per-chunk embeddings and the
+    * operator is unchanged from `chunkScores` down.
+    *
+    * Determinism: cosines quantize to ppm longs at birth, maxima and
+    * sums are exact integers, ranking ties break on doc_id.
+    *
+    * Output: (query_id, rank, doc_id, maxsim_ppm) ordered by
+    * (query_id, rank).
+    */
+  def maxSimTopK(embeddings: DataFrame, probes: DataFrame, k: Int,
+      nChunks: Int = 4): DataFrame = {
+    require(k >= 1 && nChunks >= 1)
+    val spark = embeddings.sparkSession
+    // derive chunk vectors: separate selects so the generator column
+    // is never read in the select that creates it (CLAUDE invariant)
+    def chunks(df: DataFrame, idAs: String, chunkAs: String, vecAs: String,
+        dimMult: Int, chunkMult: Int): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding"),
+          explode(sequence(lit(0), lit(nChunks - 1))).as(chunkAs))
+        .select(col(idAs), col(chunkAs),
+          expr(s"""transform(embedding, (x, i) -> cast(x as double) *
+                  |  (1.0d + 0.25d * cast((i * $dimMult + $chunkAs * $chunkMult) % 5 - 2 as double)))"""
+            .stripMargin).as(vecAs))
+    val docs = chunks(embeddings, "doc_id", "d_chunk", "d_vec", 7, 13)
+    val qs = chunks(probes, "query_id", "q_chunk", "q_vec", 3, 17)
+      .localCheckpoint()
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("maxsim_ppm").desc, col("doc_id"))
+    docs.crossJoin(broadcast(qs))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("cos_ppm",
+        round(graft.functions.VectorExpressions.cosineFast(spark)(
+          col("q_vec"), col("d_vec")) * 1e6).cast("long"))
+      .groupBy("query_id", "doc_id", "q_chunk")
+      .agg(max("cos_ppm").as("mx"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("mx").as("maxsim_ppm"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("maxsim_ppm"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Fuse per-query ranked lists into one top-`k` ranking.
     *
     * Each input must carry `queryCol`, `docCol`, and an integer

@@ -23,6 +23,18 @@ object AnnQueries {
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** q289: ColBERT-style MaxSim late interaction — multi-vector docs
+    * and queries (4 deterministic binary-fraction chunk reweightings
+    * of the testdata vectors), score = Σ_q-chunk max_d-chunk cosine,
+    * as a two-level integer-exact aggregation. The oracle rebuilds
+    * the identical chunk vectors (`list(... ORDER BY i)`) and replays
+    * max-then-sum over the same ppm quantization.
+    */
+  private val maxSimQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Retrieval.maxSimTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+  }
+
   /** q286: binary-quantized ANN — sign-bit packing into 32-bit words,
     * integer Hamming shortlist (S=50), exact-cosine rerank to top-5.
     * The oracle replays the identical pipeline closed-form (DuckDB
@@ -611,6 +623,7 @@ object AnnQueries {
     "q40_ann_ivf" -> annIvf,
     "q24_ann_topk" -> annTopK,
     "q286_binary_hamming" -> binaryHammingQ,
+    "q289_maxsim" -> maxSimQ,
     "q26_ann_lsh" -> annLsh,
     "q27_centroids" -> centroids,
     "q183_mmr" -> mmrQ,
@@ -1778,5 +1791,44 @@ object AnnQueries {
         |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM r)
         |SELECT query_id, rank, neighbor_id, hamming, cos AS cosine
-        |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+        |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q289: the chunk vectors rebuild closed-form (`list(... ORDER BY
+    // i)` — 0.25-step reweights are exact binary fractions, so the
+    // doubles are bit-identical to Spark's transform), cosines
+    // quantize to ppm longs, max-then-sum is exact integer. `d`
+    // feeds one join but 4 chunk rows per vec -> MATERIALIZED anyway.
+    "q289_maxsim" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS MATERIALIZED (
+        |  SELECT vec_id AS doc_id, gc.c AS d_chunk,
+        |    list(v[gi.i + 1] * (1e0 + 0.25e0 * ((gi.i * 7 + gc.c * 13) % 5 - 2))
+        |      ORDER BY gi.i) AS d_vec
+        |  FROM e,
+        |    LATERAL (SELECT unnest(generate_series(0, 3)) AS c) gc,
+        |    LATERAL (SELECT unnest(generate_series(0, len(v) - 1)) AS i) gi
+        |  GROUP BY 1, 2),
+        |q AS MATERIALIZED (
+        |  SELECT vec_id AS query_id, gc.c AS q_chunk,
+        |    list(v[gi.i + 1] * (1e0 + 0.25e0 * ((gi.i * 3 + gc.c * 17) % 5 - 2))
+        |      ORDER BY gi.i) AS q_vec
+        |  FROM e,
+        |    LATERAL (SELECT unnest(generate_series(0, 3)) AS c) gc,
+        |    LATERAL (SELECT unnest(generate_series(0, len(v) - 1)) AS i) gi
+        |  WHERE vec_id < 10
+        |  GROUP BY 1, 2),
+        |s AS (SELECT q.query_id, d.doc_id, q.q_chunk,
+        |    max(CAST(round(list_cosine_similarity(q.q_vec, d.d_vec) * 1e6)
+        |      AS BIGINT)) AS mx
+        |  FROM q, d WHERE d.doc_id <> q.query_id
+        |  GROUP BY 1, 2, 3),
+        |m AS (SELECT query_id, doc_id,
+        |    CAST(SUM(mx) AS BIGINT) AS maxsim_ppm
+        |  FROM s GROUP BY 1, 2),
+        |f2 AS (SELECT query_id, doc_id, maxsim_ppm,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY maxsim_ppm DESC, doc_id) AS INTEGER) AS rank
+        |  FROM m)
+        |SELECT query_id, rank, doc_id, maxsim_ppm
+        |FROM f2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

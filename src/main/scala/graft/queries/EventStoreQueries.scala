@@ -921,6 +921,46 @@ object EventStoreQueries {
     out
   }
 
+  /** q290: perceptual-hash IMAGE near-dup — the multimodal twin of
+    * SimHash-on-text, over REAL rasters: docs render to true 9×8
+    * PNGs with a closed-form gray pattern, `Multimodal.dHash` decodes
+    * the actual containers and emits 64 row-gradient bits as two
+    * 32-bit words, candidate pairs come from a 4×16-bit BANDED
+    * equi-join (never all-pairs — the q21/q22 discipline), and the
+    * result is the pair histogram by Hamming distance ≤ 6. The oracle
+    * replays raster→bits→words→bands→pairs closed-form, so a decode
+    * that misreads even one pixel, a resize that blurs the thumbnail,
+    * or a banding bug that loses candidates all flip the hash.
+    * Hashes feed a self-join → localCheckpoint (the repo invariant).
+    */
+  private val imagePhashQ: Q = (s, dir) => {
+    val hashes = Multimodal.dHash(
+        Multimodal.withPatternedImagePayload(Tables.documents(s, dir))).toDF()
+      .select("doc_id", "w0", "w1").localCheckpoint()
+    val bands = hashes.select(col("doc_id"),
+      posexplode(array(
+        col("w0").bitwiseAND(lit(65535L)),
+        shiftright(col("w0"), 16).bitwiseAND(lit(65535L)),
+        col("w1").bitwiseAND(lit(65535L)),
+        shiftright(col("w1"), 16).bitwiseAND(lit(65535L)))))
+      .toDF("doc_id", "k", "band")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("id_a"), col("w0").as("w0a"),
+        col("w1").as("w1a")), Seq("id_a"))
+      .join(hashes.select(col("doc_id").as("id_b"), col("w0").as("w0b"),
+        col("w1").as("w1b")), Seq("id_b"))
+      .withColumn("hamming",
+        expr("bit_count(w0a ^ w0b) + bit_count(w1a ^ w1b)"))
+      .filter(col("hamming") <= 6)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
   /** q285: LIVE HTTP ingest end-to-end — the reference's actual
     * transport (`bronze_ingest.py:30-39`: GET with `start`/`sort`/
     * `offset` params, an Energinet `{"total", "records"}` envelope)
@@ -1259,6 +1299,7 @@ object EventStoreQueries {
     "q279_schema_evolution" -> schemaEvolutionQ,
     "q163_feed_source" -> feedSourceQ,
     "q285_feed_http" -> feedHttpQ,
+    "q290_image_phash" -> imagePhashQ,
     "q162_image_decode" -> imageDecodeQ,
     "q189_audio_decode" -> audioDecodeQ,
     "q278_video_frames" -> videoFramesQ,
@@ -2063,6 +2104,40 @@ object EventStoreQueries {
         |WHERE event_id % 20 = 0
         |  AND strftime(ts, '%Y-%m-%dT%H:%M:%S') >= '2024-01-18T00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q290: the 9x8 fixture raster is closed-form, so DuckDB rebuilds
+    // the dHash words bit by bit (Σ bit·2^b over 32-bit halves), bands
+    // them identically, and replays the pair histogram; the Spark side
+    // must reach the same words THROUGH the real PNG encode+decode.
+    "q290_image_phash" ->
+      """WITH d AS (SELECT doc_id,
+        |    (doc_id % 16) * 31 + doc_id % 7 AS a FROM documents),
+        |g AS (SELECT doc_id, gr.r * 8 + gc.c AS b,
+        |    CASE WHEN (a + 7 * (gc.c + 1) + 13 * gr.r) % 256
+        |            > (a + 7 * gc.c + 13 * gr.r) % 256
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM d,
+        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS r) gr,
+        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS c) gc),
+        |h AS MATERIALIZED (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN b < 32 THEN bit * (1::BIGINT << b)
+        |      ELSE 0 END) AS BIGINT) AS w0,
+        |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
+        |      ELSE 0 END) AS BIGINT) AS w1
+        |  FROM g GROUP BY 1),
+        |bands AS MATERIALIZED (SELECT doc_id, gs.k,
+        |    CASE gs.k WHEN 0 THEN w0 & 65535 WHEN 1 THEN (w0 >> 16) & 65535
+        |              WHEN 2 THEN w1 & 65535 ELSE (w1 >> 16) & 65535
+        |    END AS band
+        |  FROM h, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) gs),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id),
+        |p AS (SELECT CAST(bit_count(xor(ha.w0, hb.w0))
+        |      + bit_count(xor(ha.w1, hb.w1)) AS INTEGER) AS hamming
+        |  FROM cand JOIN h ha ON ha.doc_id = cand.id_a
+        |            JOIN h hb ON hb.doc_id = cand.id_b)
+        |SELECT hamming, count(*) AS n_pairs
+        |FROM p WHERE hamming <= 6 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q162: the PNG fixture's dimensions are derived from the doc, so
     // a decode that parses the real container must recover them; the
     // flag certifies the imageio branch ran, not the stub.

@@ -151,4 +151,53 @@ class MultimodalSpec extends SparkSpecBase {
         Array.fill[Byte](40)(0))).toDF("doc_id", "payload")
     assert(!Multimodal.decodeAudioPayloads(trunc).head().real_decode)
   }
+
+  test("dHash: real decode reproduces the closed-form bits; resize path exact on block upscales") {
+    import spark.implicits._
+    def formulaWords(id: Long): (Long, Long) = {
+      val a = (id % 16) * 31 + id % 7
+      def g(x: Int, y: Int): Long = (a + 7 * x + 13 * y) % 256
+      var w0 = 0L; var w1 = 0L
+      for (b <- 0 until 64) {
+        val r = b / 8; val c = b % 8
+        if (g(c + 1, r) > g(c, r)) {
+          if (b < 32) w0 |= 1L << b else w1 |= 1L << (b - 32)
+        }
+      }
+      (w0, w1)
+    }
+    val docs = Tables.documents(spark, sf("sf0.001")).filter(col("doc_id") < 20)
+    val got = Multimodal.dHash(Multimodal.withPatternedImagePayload(docs))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(got.size == 20)
+    got.values.foreach { r =>
+      assert(r.real_decode && r.width == 9 && r.height == 8)
+      assert((r.w0, r.w1) == formulaWords(r.doc_id),
+        s"doc ${r.doc_id}: decoded hash != formula")
+    }
+    // 2x2 block-replicated 18x16 upscale: every block averages to the
+    // original pixel exactly, so the hash is identical — pins the
+    // area-average resize path with no rounding slack
+    val up = docs.select("doc_id").as[Long].map { id =>
+      val a = (id % 16) * 31 + id % 7
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val g = ((a + 7 * (x / 2) + 13 * (y / 2)) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, bos.toByteArray)
+    }.toDF("doc_id", "payload")
+    Multimodal.dHash(up).collect().foreach { r =>
+      assert(r.real_decode && r.width == 18 && r.height == 16)
+      assert((r.w0, r.w1) == formulaWords(r.doc_id),
+        s"doc ${r.doc_id}: upscaled hash drifted")
+    }
+    // undecodable payloads take the stub branch
+    val junk = Seq((5L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val stub = Multimodal.dHash(junk).head()
+    assert(!stub.real_decode && stub.w0 == 3L && stub.w1 == 0L)
+  }
 }

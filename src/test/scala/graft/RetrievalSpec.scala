@@ -91,6 +91,40 @@ class RetrievalSpec extends SparkSpecBase {
     assert(plan.contains("Union"), s"fusion should union its lists:\n$plan")
   }
 
+  test("MaxSim equals a driver-side late-interaction recomputation") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val probes = emb.filter(col("vec_id") < 3)
+    val got = Retrieval.maxSimTopK(emb, probes, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 15) // 3 queries x dense top-5
+    // independent recomputation: same chunk formulas, plain Scala
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def chunk(v: Array[Float], c: Int, dm: Int, cm: Int): Array[Double] =
+      v.zipWithIndex.map { case (x, i) =>
+        x.toDouble * (1.0 + 0.25 * ((i * dm + c * cm) % 5 - 2)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (q <- 0L until 3L) {
+      val scores = vecs.keys.filter(_ != q).map { d =>
+        val s = (0 until 4).map { qc =>
+          val qv = chunk(vecs(q), qc, 3, 17)
+          (0 until 4).map(dc =>
+            math.round(cos(qv, chunk(vecs(d), dc, 7, 13)) * 1e6)).max
+        }.sum
+        d -> s
+      }.toSeq.sortBy { case (d, s) => (-s, d) }
+      scores.take(5).zipWithIndex.foreach { case ((d, s), i) =>
+        assert(got((q, i + 1)) == ((d, s)),
+          s"q=$q rank=${i + 1}: got ${got((q, i + 1))}, want ($d, $s)")
+      }
+    }
+  }
+
   test("rank eval: recall@k and MRR on hand fixtures, zero-hit query stays NULL") {
     val ranked = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L), (2L, 1, 30L))
       .toDF("query_id", "rank", "doc_id")
