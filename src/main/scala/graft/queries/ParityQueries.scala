@@ -447,7 +447,7 @@ object ParityQueries {
   /** q288: TPC-H Q22-shape — two uncorrelated scalar subqueries (the
     * positive-balance count and sum) plus a correlated NOT EXISTS
     * anti-join: dormant high-balance customers (no order since
-    * 1998-01-01) in a nationkey-derived "country code" bucket, above
+    * 1999-01-01) in a nationkey-derived "country code" bucket, above
     * the positive MEAN balance. The mean comparison is EXACT integer
     * arithmetic — `cents · n > total_cents` instead of a double
     * `avg()` whose summation order differs across engines and could
@@ -470,7 +470,7 @@ object ParityQueries {
         |  AND NOT EXISTS (
         |    SELECT 1 FROM ord_q288 o
         |    WHERE o.o_custkey = pos.c_custkey
-        |      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin)
   }
@@ -741,7 +741,7 @@ object ParityQueries {
         |  AND NOT EXISTS (
         |    SELECT 1 FROM orders o
         |    WHERE o.o_custkey = pos.c_custkey
-        |      AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
     // q271: threshold compare on cross-multiplied exact integers

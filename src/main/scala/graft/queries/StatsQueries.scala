@@ -624,7 +624,23 @@ object StatsQueries {
         .withColumn("label", col("o_orderstatus") === "F"),
       "o_totalprice", "label", binWidth = 75000.0, maxBin = 7)
 
+  /** q291: Fellegi–Sunter probabilistic record linkage — a
+    * closed-form dirty "CRM" second source links back to customers
+    * through nationkey blocking; each agreement pattern (name,
+    * segment, balance±10¢) reports its pair count, TRUE-match count
+    * (fixture ground truth), and ppm-quantized FS score
+    * (frequency-estimated u, declared m). The oracle replays source
+    * dirt, blocking, u-estimation, and the log2 weights; the
+    * n_true column certifies that high-score patterns are where the
+    * real matches live.
+    */
+  private val linkageQ: Q = (s, dir) => {
+    val cust = Tables.customer(s, dir)
+    Linkage.fellegiSunterPatterns(cust, Linkage.crmSnapshot(cust))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q291_record_linkage" -> linkageQ,
     "q257_benford" -> benfordQ,
     "q259_conformal" -> conformalQ,
     "q260_woe_iv" -> woeIvQ,
@@ -766,6 +782,57 @@ object StatsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // q291: dirt, blocking, u = Σn²/N² (exact ints, one double
+    // division — long/long divides as double in BOTH engines), log2
+    // weights summed in fixed order, ppm-rounded once; disagree mass
+    // written (1e0 - m) so the double matches Scala's 1.0 - m exactly.
+    "q291_record_linkage" ->
+      """WITH cust AS MATERIALIZED (
+        |  SELECT c_custkey, upper(c_name) AS name_n, c_nationkey,
+        |    c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |crm AS (SELECT c_custkey AS src_key,
+        |    CASE WHEN c_custkey % 13 = 0 THEN concat('X-', c_name)
+        |         ELSE c_name END AS crm_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+        |         ELSE c_nationkey END AS crm_nationkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'UNKNOWN'
+        |         ELSE c_mktsegment END AS crm_segment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT)
+        |      + CASE WHEN c_custkey % 11 = 0 THEN 50 ELSE 0 END
+        |      AS crm_bal_cents
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |un AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT)
+        |    / (CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT)) AS u_name
+        |  FROM (SELECT count(*) AS cnt FROM cust GROUP BY name_n)),
+        |us AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT)
+        |    / (CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT)) AS u_seg
+        |  FROM (SELECT count(*) AS cnt FROM cust GROUP BY c_mktsegment)),
+        |ub AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT)
+        |    / (CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT)) AS u_bal
+        |  FROM (SELECT count(*) AS cnt FROM cust GROUP BY bal_cents)),
+        |cand AS (SELECT
+        |    CASE WHEN upper(crm_name) = name_n THEN 1 ELSE 0 END AS agree_name,
+        |    CASE WHEN crm_segment = c_mktsegment THEN 1 ELSE 0 END AS agree_seg,
+        |    CASE WHEN abs(crm_bal_cents - bal_cents) <= 10
+        |      THEN 1 ELSE 0 END AS agree_bal,
+        |    CASE WHEN src_key = c_custkey THEN 1 ELSE 0 END AS is_true
+        |  FROM crm JOIN cust ON crm_nationkey = c_nationkey),
+        |pat AS (SELECT agree_name, agree_seg, agree_bal,
+        |    count(*) AS n_pairs, CAST(SUM(is_true) AS BIGINT) AS n_true
+        |  FROM cand GROUP BY 1, 2, 3)
+        |SELECT agree_name, agree_seg, agree_bal, n_pairs, n_true,
+        |  CAST(round((
+        |    CASE agree_name WHEN 1 THEN log2(0.92e0 / u_name)
+        |      ELSE log2((1e0 - 0.92e0) / (1e0 - u_name)) END
+        |    + CASE agree_seg WHEN 1 THEN log2(0.85e0 / u_seg)
+        |      ELSE log2((1e0 - 0.85e0) / (1e0 - u_seg)) END
+        |    + CASE agree_bal WHEN 1 THEN log2(0.95e0 / u_bal)
+        |      ELSE log2((1e0 - 0.95e0) / (1e0 - u_bal)) END) * 1e6)
+        |    AS BIGINT) AS score_ppm
+        |FROM pat, un, us, ub
+        |ORDER BY 1, 2, 3""".stripMargin,
     // q257: digit via exact BIGINT-to-string; expected shares through
     // ln of fixed small rationals (the q73/q230 transcendental), dev
     // squared by explicit self-multiplication (never pow — CLAUDE.md).
