@@ -51,6 +51,7 @@ object ScaleProbe {
     val docs0 = Tables.documents(spark, sfDir).localCheckpoint()
     val emb0 = Tables.embeddings(spark, sfDir).localCheckpoint()
     val ev0 = Tables.events(spark, sfDir).localCheckpoint()
+    val cust0 = Tables.customer(spark, sfDir).localCheckpoint()
 
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Int, Double)]
@@ -148,6 +149,24 @@ object ScaleProbe {
               transform(col("embedding"), x => x + col("_eps")))
             .drop("_eps"),
           threshold = 0.75)),
+        // round-10 families: binary-Hamming ANN (packed-word scan +
+        // probe-bounded shortlist — linear), MaxSim late interaction
+        // (4N×40 integer-quantized cosines, two hash aggregates —
+        // linear), the dHash stage of image near-dup (per-row PNG
+        // encode+decode+pack; pair volume is duplicate-structure-
+        // dependent like every LSH so only the hash stage is curved),
+        // and FS linkage (nationkey offset PER REPLICA so the blocking
+        // key's cardinality grows with the data, as it must at scale —
+        // fixed-cardinality blocking keys are the known quadratic trap)
+        "binary_hamming" -> (() =>
+          Similarity.binaryHammingTopK(emb, probes, k = 5, shortlist = 50)),
+        "maxsim" -> (() => Retrieval.maxSimTopK(emb, probes, k = 5)),
+        "image_phash_hash" -> (() => Multimodal.dHash(
+          Multimodal.withPatternedImagePayload(docs)).toDF()),
+        "record_linkage" -> (() => {
+          val cust = rep(cust0, Seq("c_custkey", "c_nationkey"), m)
+          Linkage.fellegiSunterPatterns(cust, Linkage.crmSnapshot(cust))
+        }),
         "pipeline_funnel" -> (() => {
           val clean = TextAnalysis.cleanCorpus(docs, "doc_id", "text")
           val kept = docs.select("doc_id", "source", "text").join(

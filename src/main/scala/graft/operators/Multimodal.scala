@@ -125,7 +125,12 @@ object Multimodal {
     * upscales).
     */
   def withPatternedImagePayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    // ids-only repartition before the encode: a single-file parquet
+    // scan yields 1-2 partitions, which would serialize 100% of the
+    // imageio CPU; the shuffle moves only longs
     val ids = docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
     import ids.sparkSession.implicits._
     ids.as[Long].mapPartitions { batch =>
       javax.imageio.ImageIO.setUseCache(false)

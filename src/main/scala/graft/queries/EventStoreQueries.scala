@@ -921,6 +921,109 @@ object EventStoreQueries {
     out
   }
 
+  private val feedBronzeOracle: String =
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_sum_us,
+      |  min(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS min_cursor,
+      |  max(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS max_cursor
+      |FROM events
+      |WHERE event_id % 20 = 0 AND ts IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q292: the reference's bronze ingest LOOP over the LIVE transport
+    * — q164's contract (poll → cursor from the sink's watermark →
+    * PK-deduped staged append) with the feed read through real HTTP
+    * GETs instead of a payload store: the loopback API serves records
+    * up to a horizon on poll 1, everything on poll 2, and the second
+    * poll's `start` param comes from `max(minutes1_utc)` of the
+    * healed sink read (dlt's incremental-state contract, live). The
+    * `>=` boundary re-read is absorbed by the event_id dedup exactly
+    * as in q164, and the shared oracle certifies both transports
+    * against one truth. Fixture server corpus is the q285 bounded
+    * collect; the ingest path never collects.
+    */
+  private val feedHttpBronzeQ: Q = (s, dir) => {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q292_http")
+    val sink = scratch.resolve("bronze").toString
+    val rows = Tables.events(s, dir)
+      .filter(col("event_id") % 20 === 0 && col("ts").isNotNull)
+      .select(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("c"),
+        to_json(struct(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minutes1_utc"),
+          round(col("value") * 1e6).cast("long").as("value_us"))).as("j"))
+      .orderBy("c", "j")
+      .collect()
+    val cursors = rows.map(_.getString(0))
+    val bodies = rows.map(_.getString(1))
+    val horizon = new java.util.concurrent.atomic.AtomicReference(
+      "2024-01-20T00:00:00") // poll-1 horizon; lifted before poll 2
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/dataset/PowerSystemRightNow",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val start = params.getOrElse("start", "")
+        val offset = params.getOrElse("offset", "0").toLong
+        val limit = params.getOrElse("limit", "1000000").toInt
+        val hz = horizon.get
+        val idx = cursors.indices.filter(i =>
+          cursors(i) >= start && cursors(i) < hz)
+        val total = idx.length
+        val page = idx.slice(
+          math.min(offset, total).toInt,
+          math.min(offset + limit, total).toInt)
+        val body = page.map(bodies)
+          .mkString(s"""{"total": $total, "records": [""", ",", "]}")
+          .getBytes("UTF-8")
+        x.getResponseHeaders.add("Content-Type", "application/json")
+        x.sendResponseHeaders(200, body.length)
+        x.getResponseBody.write(body)
+        x.close()
+      })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}" +
+        "/dataset/PowerSystemRightNow"
+      def ingest(): Unit = {
+        val cursor =
+          if (IdempotentSink.exists(s, sink))
+            IdempotentSink.read(s, sink).agg(max("minutes1_utc")).head.getString(0)
+          else null
+        var rd = s.read.format("graft.sources.FeedSource")
+          .schema("event_id BIGINT, event_type STRING, " +
+            "minutes1_utc STRING, value_us BIGINT")
+          .option("endpoint", url)
+          .option("cursorField", "minutes1_utc")
+          .option("pageSize", "256")
+        if (cursor != null) rd = rd.option("startCursor", cursor)
+        IdempotentSink.appendIfAbsent(s, rd.load(), sink, Seq("event_id"))
+      }
+      ingest() // poll 1: records below the horizon
+      horizon.set("~") // '~' > any ISO timestamp: the feed "caught up"
+      ingest() // poll 2: start = sink watermark, boundary re-read deduped
+      val out = IdempotentSink.read(s, sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value_us")).as("value_sum_us"),
+          min(col("minutes1_utc")).as("min_cursor"),
+          max(col("minutes1_utc")).as("max_cursor"))
+        .orderBy("event_type")
+        .localCheckpoint()
+      deleteRecursively(s, scratch.toString)
+      out
+    } finally {
+      server.stop(0)
+      server.getExecutor
+        .asInstanceOf[java.util.concurrent.ExecutorService].shutdown()
+    }
+  }
+
   /** q290: perceptual-hash IMAGE near-dup — the multimodal twin of
     * SimHash-on-text, over REAL rasters: docs render to true 9×8
     * PNGs with a closed-form gray pattern, `Multimodal.dHash` decodes
@@ -1300,6 +1403,7 @@ object EventStoreQueries {
     "q163_feed_source" -> feedSourceQ,
     "q285_feed_http" -> feedHttpQ,
     "q290_image_phash" -> imagePhashQ,
+    "q292_feed_http_bronze" -> feedHttpBronzeQ,
     "q162_image_decode" -> imageDecodeQ,
     "q189_audio_decode" -> audioDecodeQ,
     "q278_video_frames" -> videoFramesQ,
@@ -2039,19 +2143,14 @@ object EventStoreQueries {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST((SUM(term_nano) + 500) // 1000 AS BIGINT) AS decayed_micros
         |FROM n GROUP BY 1 ORDER BY user_id""".stripMargin,
-    // q164: the two polls' union covers every non-null-ts record of the
-    // %20 subset exactly once after PK dedup, so DuckDB aggregates the
-    // raw table directly; a dedup failure double-counts the overlap
-    // window's exact-integer sums and flips the hash.
-    "q164_feed_bronze" ->
-      """SELECT event_type,
-        |  count(*) AS n,
-        |  CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_sum_us,
-        |  min(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS min_cursor,
-        |  max(strftime(ts, '%Y-%m-%dT%H:%M:%S')) AS max_cursor
-        |FROM events
-        |WHERE event_id % 20 = 0 AND ts IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q164/q292: the polls' union covers every non-null-ts record of
+    // the %20 subset exactly once after PK dedup, so DuckDB aggregates
+    // the raw table directly; a dedup failure double-counts the overlap
+    // window's exact-integer sums and flips the hash. q292 runs the
+    // SAME ingest contract over the live HTTP transport, hence the
+    // shared oracle (the q280/q281 pattern: two paths, one truth).
+    "q164_feed_bronze" -> feedBronzeOracle,
+    "q292_feed_http_bronze" -> feedBronzeOracle,
     // q280/q281: DuckDB replays the bottom-k sketch's closed-form
     // membership exactly — md5 bottom-256 per type (single-stage ==
     // the salted two-stage, an algebraic identity), ranked readout at

@@ -475,6 +475,74 @@ object ParityQueries {
         |ORDER BY cntrycode""".stripMargin)
   }
 
+  /** q293: TPC-H Q19-shape — an OR of conjunctive clauses spanning
+    * BOTH join sides (brand × size × quantity bands). The planner
+    * surface under test is disjunctive predicate pushdown: Catalyst
+    * extracts the common `l_quantity <= 36` implied bound and pushes
+    * per-side partial filters under the join while keeping the exact
+    * OR as the residual. Revenue is e4-quantized exact integer with
+    * one final division (the q271 discipline).
+    */
+  private val disjunctiveRevenueQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q293")
+    Tables.part(s, dir).createOrReplaceTempView("part_q293")
+    s.sql(
+      """SELECT count(*) AS n_items,
+        |  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 10000e0 + 0.5e0) AS BIGINT)) AS DOUBLE) / 10000e0, 6)
+        |    AS revenue
+        |FROM li_q293 l JOIN part_q293 p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 36)""".stripMargin)
+  }
+
+  /** q294: explicit GROUPING SETS with `grouping()` indicator columns
+    * — the general form behind q14's ROLLUP and q19's CUBE: three
+    * hand-picked sets (status×priority, status, grand total), NULL
+    * group keys disambiguated from real NULLs by the grouping flags.
+    */
+  private val groupingSetsQ: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("ord_q294")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+        |  count(*) AS n,
+        |  sum(CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT))
+        |    AS total_cents
+        |FROM ord_q294
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** q295: UNPIVOT (wide → long) — the inverse of q43's PIVOT: the
+    * per-status order counts-by-priority widen then melt back to
+    * (status, priority, n) rows via `stack`. The oracle expresses the
+    * same melt as a UNION ALL so it runs on any engine.
+    */
+  private val unpivotQ: Q = (s, dir) => {
+    val wide = Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+    wide.select(col("o_orderstatus"), expr(
+      """stack(5,
+        |  '1-URGENT', `1-URGENT`,
+        |  '2-HIGH', `2-HIGH`,
+        |  '3-MEDIUM', `3-MEDIUM`,
+        |  '4-NOT SPECIFIED', `4-NOT SPECIFIED`,
+        |  '5-LOW', `5-LOW`) AS (o_orderpriority, n)""".stripMargin))
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   /** The scale form of q07: day-partitioned trailing window with
     * cross-bucket repair — verified against the SAME oracle as the
     * global window, so the 100 TB plan shape is itself hash-checked.
@@ -620,6 +688,9 @@ object ParityQueries {
     "q284_lonely_failures" -> lonelyFailureQ,
     "q287_cust_distribution" -> custDistributionQ,
     "q288_dormant_rich" -> dormantRichQ,
+    "q293_disjunctive_revenue" -> disjunctiveRevenueQ,
+    "q294_grouping_sets" -> groupingSetsQ,
+    "q295_unpivot" -> unpivotQ,
     "q271_small_qty_revenue" -> smallQtyRevenueQ,
     "q01_scan_filter" -> scanFilter,
     "q02_project_arith" -> projectArith,
@@ -744,6 +815,47 @@ object ParityQueries {
         |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
+    // q293: identical statement modulo DuckDB's HUGEINT sum cast;
+    // revenue e4-quantized exact integers, one final division.
+    "q293_disjunctive_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  round(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+        |      * 10000e0 + 0.5e0) AS BIGINT)) AS DOUBLE) / 10000e0, 6)
+        |    AS revenue
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 36)""".stripMargin,
+    // q294: DuckDB runs the same GROUPING SETS; grouping() flags
+    // disambiguate grouped-out NULLs, sums CAST from HUGEINT.
+    "q294_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+    // q295: the melt replayed engine-portably as a dense status ×
+    // priority grid left-joined to the counts (stack's NULL -> 0).
+    "q295_unpivot" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |st AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |pr AS (SELECT unnest(['1-URGENT','2-HIGH','3-MEDIUM',
+        |  '4-NOT SPECIFIED','5-LOW']) AS o_orderpriority)
+        |SELECT st.o_orderstatus, pr.o_orderpriority,
+        |  coalesce(c.n, 0) AS n
+        |FROM st CROSS JOIN pr
+        |LEFT JOIN c ON c.o_orderstatus = st.o_orderstatus
+        |           AND c.o_orderpriority = pr.o_orderpriority
+        |ORDER BY 1, 2""".stripMargin,
     // q271: threshold compare on cross-multiplied exact integers
     // (5·qty·cnt < Σqty), revenue e4-quantized, one division.
     "q271_small_qty_revenue" ->

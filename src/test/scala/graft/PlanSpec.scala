@@ -576,6 +576,18 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("o_orderdate"), s"date predicate missing:\n$plan")
   }
 
+  test("Q19-shape OR-of-conjunctions pushes per-side partial filters") {
+    val plan = planOf(
+      ParityQueries.queries("q293_disjunctive_revenue")(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // Catalyst extracts the side-local disjunctions: the part scan
+    // sees the brand/size OR, the lineitem scan the quantity-band OR
+    assert(plan.contains("p_brand"), s"no part-side pushdown:\n$plan")
+    val pushedQty = "PushedFilters: \\[[^\\]]*l_quantity".r
+      .findFirstIn(plan).isDefined || plan.contains("Or(And(")
+    assert(pushedQty, s"no lineitem-side disjunctive filter:\n$plan")
+  }
+
   test("regional revenue: dimensions ride broadcast joins, only lineitem⋈orders shuffles") {
     val plan = planOf(
       ParityQueries.queries("q262_regional_revenue")(spark, sf("sf0.001")))
