@@ -136,4 +136,53 @@ object Experiment {
           / (col("sy").cast("double") / col("n_users").cast("double")), 6))
           .as("mde_rel"))
   }
+
+  /** Bradley–Terry strength fitting (Bradley & Terry 1952; Hunter's
+    * MM iteration, 2004) over a pairwise win table — preference-data
+    * QA: given "a beat b" counts (human preference pairs, model
+    * head-to-heads), recover per-player latent strengths. The MM
+    * update s_i ← W_i / Σ_{j≠i} n_ij/(s_i+s_j) runs a FIXED number of
+    * unrolled rounds with strengths re-quantized to ppm after every
+    * round and each denominator term quantized to nanos BEFORE the
+    * sum — exact-integer accumulation, so the whole iteration chain
+    * replays bit-identically in SQL regardless of partition or engine
+    * summation order (the q231/q263 recurrence discipline).
+    *
+    * Scale shape: the player table is |players| rows (bounded — 5
+    * event types here; thousands for real model leaderboards): each
+    * round is two joins of the n_ij pair table against the strength
+    * table and one grouped exact-integer sum, all map-side-combinable;
+    * `matches` itself can be petabyte-derived (the caller aggregates
+    * raw comparisons down to the win table first).
+    *
+    * Input: (a, b, wins) ordered pairs. Output per player: total
+    * wins, s_ppm after `rounds` MM rounds, ordered by player.
+    */
+  def bradleyTerry(matches: DataFrame, rounds: Int = 8): DataFrame = {
+    val w = matches.groupBy(col("a").as("player"))
+      .agg(sum(col("wins")).as("w_total"))
+    val n = matches.select(col("a"), col("b"), col("wins"))
+      .union(matches.select(col("b").as("a"), col("a").as("b"), col("wins")))
+      .groupBy("a", "b").agg(sum(col("wins")).as("n_ab"))
+      .localCheckpoint() // feeds every round twice (the self-join rule)
+    var s = w.select(col("player"), lit(1000000L).as("s_ppm"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val den = n
+        .join(s.select(col("player").as("a"), col("s_ppm").as("si")), Seq("a"))
+        .join(s.select(col("player").as("b"), col("s_ppm").as("sj")), Seq("b"))
+        .withColumn("term_nano",
+          expr("cast(round(n_ab * 1000000.0d / (si + sj) * 1e9d) as bigint)"))
+        .groupBy(col("a").as("player"))
+        .agg(sum(col("term_nano")).as("den_nano"))
+      s = w.join(den, Seq("player"))
+        .withColumn("s_ppm", expr(
+          "cast(round(w_total * 1e9d / den_nano * 1000000.0d) as bigint)"))
+        .select("player", "s_ppm")
+        .localCheckpoint()
+    }
+    w.join(s, Seq("player"))
+      .select(col("player"), col("w_total"), col("s_ppm"))
+      .orderBy("player")
+  }
 }

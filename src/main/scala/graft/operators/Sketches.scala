@@ -89,6 +89,36 @@ object Sketches {
           6).as("hll_estimate"))
   }
 
+  /** HLL set algebra — the reason the register frame is the persisted
+    * artifact: |A∪B| is the per-register MAX merge (exact over the
+    * sketches, no rescan), and |A∩B| / containment follow by
+    * inclusion–exclusion over the three estimates. At 100 TB the two
+    * sides are register frames from different days/sources/stores —
+    * 4096 rows each — so the whole set report costs three constant-
+    * size aggregates, never a join of the underlying sets.
+    *
+    * Estimates are 6dp-rounded at birth (the shared readout), and the
+    * inclusion–exclusion arithmetic runs over those rounded values in
+    * fixed order — cross-engine stable. Intersection can come out
+    * slightly negative on near-disjoint sets (HLL noise); it is
+    * reported as-is, not clamped.
+    */
+  def hllSetOps(a: DataFrame, ca: Column, b: DataFrame, cb: Column,
+      p: Int = 12, hashes: HashFamily = Md5Family): DataFrame = {
+    val ra = hllRegisters(a, ca, p, hashes).localCheckpoint() // est + union
+    val rb = hllRegisters(b, cb, p, hashes).localCheckpoint()
+    val ru = ra.unionAll(rb).groupBy("bucket").agg(max(col("rho")).as("rho"))
+    def est(regs: DataFrame, as: String): DataFrame =
+      broadcast(hllEstimateFromRegisters(regs, p)
+        .select(col("hll_estimate").as(as)))
+    est(ra, "est_a").crossJoin(est(rb, "est_b")).crossJoin(est(ru, "est_u"))
+      .select(col("est_a"), col("est_b"), col("est_u"),
+        round(col("est_a") + col("est_b") - col("est_u"), 6)
+          .as("est_intersection"),
+        round((col("est_a") + col("est_b") - col("est_u")) / col("est_a"), 6)
+          .as("containment_a"))
+  }
+
   def linearCountDistinct(df: DataFrame, c: Column, k: Int = 4096,
       hashes: HashFamily = Md5Family): DataFrame =
     // NULLs are excluded EXPLICITLY: Spark's countDistinct skips the

@@ -325,4 +325,68 @@ object StatTests {
         ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
         round(col("_sn").cast("double") / lit(1e9), 6).as("chi2"))
   }
+
+  /** Upper-tail standard normal 1−Φ(x), x ≥ 0, via Abramowitz–Stegun
+    * 26.2.17 (|ε| < 7.5e-8): φ(x)·Horner(t), t = 1/(1+0.2316419x).
+    * The Horner chain is a FIXED multiplication sequence mirrored
+    * verbatim in the oracle (the q235 pow discipline) — exp/sqrt last-
+    * ulp drift is absorbed by the caller's ppm rounding.
+    */
+  private[graft] def normalUpperTail(x: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val horner = ((((lit(1.330274429) * t + lit(-1.821255978)) * t
+      + lit(1.781477937)) * t + lit(-0.356563782)) * t
+      + lit(0.319381530)) * t
+    exp(lit(-0.5) * x * x) * lit(0.3989422804014327) * horner
+  }
+
+  /** Multiple-testing control (Benjamini–Hochberg 1995, FDR α=0.05)
+    * over per-group proportion tests — the guardrail for "which of my
+    * m slices moved?" readouts (per-source quality drift, per-segment
+    * metric shifts): each group's hit-rate gets a two-sided one-sample
+    * z against the pooled rate, p-values rank ascending, and the BH
+    * step-up rejects ranks ≤ k* = max{i : p_(i) ≤ i·α/m}.
+    *
+    * Determinism: counts are exact integers; z is one fixed float
+    * expression over them (6dp-rounded for the report); p is the A-S
+    * chain ppm-quantized at birth; the BH comparison is EXACT INTEGER
+    * — p_ppm·m ≤ rank·50000 (α·1e6 = 50000) — so no cross-engine
+    * threshold flutter, and rank ties break on the group key.
+    *
+    * Scale shape: one grouped count aggregate (map-side combined), a
+    * 1-row pooled frame broadcast back, a window over m rows (m =
+    * slice count, bounded), nothing corpus-sized past the first agg.
+    *
+    * Output per group: n, hits, z (6dp), p_ppm, p_rank, rejected.
+    */
+  def proportionFdr(df: DataFrame, groupCol: String,
+      hit: org.apache.spark.sql.Column): DataFrame = {
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(hit.cast("long")).as("hits"))
+      .localCheckpoint() // feeds the pooled agg AND the scored join
+    val pooled = broadcast(g.agg(sum(col("n")).as("n0"),
+      sum(col("hits")).as("x0"), count(lit(1)).as("m")).localCheckpoint())
+    val scored = g.crossJoin(pooled)
+      .withColumn("_p0", col("x0").cast("double") / col("n0").cast("double"))
+      .withColumn("_z",
+        (col("hits").cast("double") / col("n").cast("double") - col("_p0"))
+          / sqrt(col("_p0") * (lit(1.0) - col("_p0"))
+            / col("n").cast("double")))
+      .withColumn("p_ppm",
+        round(normalUpperTail(abs(col("_z"))) * lit(2e6)).cast("long"))
+    val w = Window.orderBy(col("p_ppm"), col(groupCol))
+    val ranked = scored
+      .withColumn("p_rank", row_number().over(w))
+      .withColumn("_pass",
+        when(col("p_ppm") * col("m") <= col("p_rank") * lit(50000L),
+          col("p_rank")).otherwise(lit(0)))
+      .localCheckpoint()
+    val kstar = broadcast(ranked.agg(max(col("_pass")).as("kstar")))
+    ranked.crossJoin(kstar)
+      .select(col(groupCol), col("n"), col("hits"),
+        round(col("_z"), 6).as("z"), col("p_ppm"), col("p_rank"),
+        (col("p_rank") <= col("kstar")).cast("int").as("rejected"))
+      .orderBy(groupCol)
+  }
 }

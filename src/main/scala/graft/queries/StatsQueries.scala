@@ -639,8 +639,56 @@ object StatsQueries {
     Linkage.fellegiSunterPatterns(cust, Linkage.crmSnapshot(cust))
   }
 
+  /** q296: Bradley–Terry preference-strength fitting — per-user
+    * event-type "contests" (higher exact-integer value total wins)
+    * aggregate to a win matrix; 8 unrolled MM rounds with ppm/nano
+    * quantization recover latent strengths. The oracle replays the
+    * contests AND the full iteration chain, so the hash certifies the
+    * recurrence, not just the final join.
+    */
+  private val bradleyTerryQ: Q = (s, dir) => {
+    val pu = Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("v"))
+      .localCheckpoint() // self-joined below
+    val matches = pu.as("x").join(pu.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .select(
+        when(col("x.v") > col("y.v"), col("x.event_type"))
+          .otherwise(col("y.event_type")).as("a"),
+        when(col("x.v") > col("y.v"), col("y.event_type"))
+          .otherwise(col("x.event_type")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("wins"))
+    Experiment.bradleyTerry(matches, rounds = 8)
+  }
+
+  /** q297: Benjamini–Hochberg FDR over per-source proportion tests —
+    * which of the 20 sources' short-doc rates really moved vs the
+    * pooled rate. Exact-integer BH comparison (p_ppm·m ≤ rank·50000),
+    * A-S normal tail mirrored in the oracle.
+    */
+  private val fdrSlicesQ: Q = (s, dir) =>
+    StatTests.proportionFdr(Tables.documents(s, dir), "source",
+      col("n_chars") < 500)
+
+  /** q298: HLL set algebra — returned-parts vs open-lineitem-parts:
+    * |A|, |B|, register-MAX |A∪B|, inclusion–exclusion |A∩B| and
+    * containment, all from three constant-size register frames (the
+    * q47 portable HLL, so the whole algebra replays in SQL).
+    */
+  private val hllSetOpsQ: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    Sketches.hllSetOps(
+      li.filter(col("l_returnflag") === "R"), col("l_partkey"),
+      li.filter(col("l_linestatus") === "O"), col("l_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q291_record_linkage" -> linkageQ,
+    "q296_bradley_terry" -> bradleyTerryQ,
+    "q297_fdr_slices" -> fdrSlicesQ,
+    "q298_hll_setops" -> hllSetOpsQ,
     "q257_benford" -> benfordQ,
     "q259_conformal" -> conformalQ,
     "q260_woe_iv" -> woeIvQ,
@@ -781,7 +829,133 @@ object StatsQueries {
       |FROM rates LEFT JOIN k USING (g) ORDER BY lang""".stripMargin
   }
 
+  /** q296's oracle: the 8 MM rounds unrolled as CTEs s1..s8, each
+    * MATERIALIZED (si/sj feed two join sides per round — the q231
+    * exponential-inlining rule); every term nano-quantized before the
+    * sum and every strength ppm-requantized per round, mirroring
+    * `Experiment.bradleyTerry` expression-for-expression.
+    */
+  private def bradleyTerryOracle: String = {
+    val rounds = (1 to 8).map { k =>
+      val p = k - 1
+      s"""s$k AS MATERIALIZED (
+         |  SELECT w.player,
+         |    CAST(round(w.w_total * 1e9 / d.den_nano * 1000000e0)
+         |      AS BIGINT) AS s_ppm
+         |  FROM w JOIN (
+         |    SELECT n.a AS player,
+         |      CAST(SUM(CAST(round(n.n_ab * 1000000e0
+         |        / (si.s_ppm + sj.s_ppm) * 1e9) AS BIGINT)) AS BIGINT)
+         |        AS den_nano
+         |    FROM n JOIN s$p si ON si.player = n.a
+         |           JOIN s$p sj ON sj.player = n.b
+         |    GROUP BY 1) d ON d.player = w.player)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pu AS MATERIALIZED (
+       |  SELECT user_id, event_type,
+       |    CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT
+       |    CASE WHEN x.v > y.v THEN x.event_type ELSE y.event_type END AS a,
+       |    CASE WHEN x.v > y.v THEN y.event_type ELSE x.event_type END AS b
+       |  FROM pu x JOIN pu y ON x.user_id = y.user_id
+       |    AND x.event_type < y.event_type),
+       |mw AS MATERIALIZED (SELECT a, b, count(*) AS wins FROM m GROUP BY 1, 2),
+       |w AS MATERIALIZED (SELECT a AS player,
+       |    CAST(SUM(wins) AS BIGINT) AS w_total FROM mw GROUP BY 1),
+       |n AS MATERIALIZED (SELECT a, b, CAST(SUM(wins) AS BIGINT) AS n_ab
+       |  FROM (SELECT a, b, wins FROM mw
+       |        UNION ALL SELECT b AS a, a AS b, wins FROM mw)
+       |  GROUP BY 1, 2),
+       |s0 AS MATERIALIZED (SELECT player,
+       |    CAST(1000000 AS BIGINT) AS s_ppm FROM w),
+       |$rounds
+       |SELECT w.player, w.w_total, s8.s_ppm
+       |FROM w JOIN s8 ON s8.player = w.player ORDER BY 1""".stripMargin
+  }
+
+  /** q298's oracle: the q47 portable-HLL rendering instantiated for
+    * the A / B / register-MAX-union streams, then inclusion–exclusion
+    * over the three 6dp estimates in Spark's expression order.
+    */
+  private def hllSetOpsOracle: String = {
+    def regs(name: String, filter: String): String =
+      s"""h$name AS (SELECT CAST(concat('0x',
+         |    substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM lineitem WHERE $filter AND l_partkey IS NOT NULL),
+         |r$name AS MATERIALIZED (SELECT h % 4096 AS bucket,
+         |    max(CASE WHEN h // 4096 = 0 THEN 49
+         |        ELSE 49 - length(bin(h // 4096)) END) AS rho
+         |  FROM h$name GROUP BY 1)""".stripMargin
+    def est(name: String, src: String): String =
+      s"""z$name AS (SELECT count(*) AS occ,
+         |    CAST(coalesce(sum(1::BIGINT << (49 - rho)), 0) AS BIGINT)
+         |      + (4096 - count(*)) * (1::BIGINT << 49) AS z_int
+         |  FROM $src),
+         |e$name AS (SELECT CASE
+         |    WHEN (0.7213e0 / (1e0 + 1.079e0 / 4096e0) * 4096e0 * 4096e0)
+         |        * 562949953421312e0 / CAST(z_int AS DOUBLE)
+         |        <= 2.5e0 * 4096e0 AND (4096 - occ) > 0
+         |    THEN 4096e0 * ln(4096e0 / (4096 - occ))
+         |    ELSE (0.7213e0 / (1e0 + 1.079e0 / 4096e0) * 4096e0 * 4096e0)
+         |        * 562949953421312e0 / CAST(z_int AS DOUBLE)
+         |    END AS e FROM z$name)""".stripMargin
+    s"""WITH ${regs("a", "l_returnflag = 'R'")},
+       |${regs("b", "l_linestatus = 'O'")},
+       |ru AS (SELECT bucket, max(rho) AS rho FROM (
+       |    SELECT bucket, rho FROM ra
+       |    UNION ALL SELECT bucket, rho FROM rb) GROUP BY 1),
+       |${est("a", "ra")},
+       |${est("b", "rb")},
+       |${est("u", "ru")}
+       |SELECT round(ea.e, 6) AS est_a, round(eb.e, 6) AS est_b,
+       |  round(eu.e, 6) AS est_u,
+       |  round(round(ea.e, 6) + round(eb.e, 6) - round(eu.e, 6), 6)
+       |    AS est_intersection,
+       |  round((round(ea.e, 6) + round(eb.e, 6) - round(eu.e, 6))
+       |    / round(ea.e, 6), 6) AS containment_a
+       |FROM ea, eb, eu""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q296_bradley_terry" -> bradleyTerryOracle,
+    "q298_hll_setops" -> hllSetOpsOracle,
+    // q297: pooled-rate z per source, A-S 26.2.17 tail (the same fixed
+    // Horner chain as StatTests.normalUpperTail), ppm p-values, BH
+    // step-up as the exact integer comparison p_ppm·m <= rank·50000.
+    "q297_fdr_slices" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT source, count(*) AS n,
+        |    CAST(SUM(CASE WHEN n_chars < 500 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hits
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n0,
+        |    CAST(SUM(hits) AS BIGINT) AS x0, count(*) AS m FROM g),
+        |sc AS (SELECT g.source, g.n, g.hits, t.m,
+        |    (CAST(g.hits AS DOUBLE) / CAST(g.n AS DOUBLE)
+        |      - CAST(t.x0 AS DOUBLE) / CAST(t.n0 AS DOUBLE))
+        |    / sqrt(CAST(t.x0 AS DOUBLE) / CAST(t.n0 AS DOUBLE)
+        |        * (1e0 - CAST(t.x0 AS DOUBLE) / CAST(t.n0 AS DOUBLE))
+        |        / CAST(g.n AS DOUBLE)) AS z
+        |  FROM g, t),
+        |p AS (SELECT source, n, hits, m, z,
+        |    CAST(round(exp(-0.5e0 * abs(z) * abs(z))
+        |      * 0.3989422804014327e0
+        |      * (((((1.330274429e0 * tt + -1.821255978e0) * tt
+        |          + 1.781477937e0) * tt + -0.356563782e0) * tt
+        |          + 0.319381530e0) * tt)
+        |      * 2e6) AS BIGINT) AS p_ppm
+        |  FROM (SELECT *, 1e0 / (1e0 + 0.2316419e0 * abs(z)) AS tt
+        |        FROM sc)),
+        |r AS MATERIALIZED (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY p_ppm, source)
+        |      AS INTEGER) AS p_rank FROM p),
+        |k AS (SELECT max(CASE WHEN p_ppm * m <= p_rank * 50000
+        |    THEN p_rank ELSE 0 END) AS kstar FROM r)
+        |SELECT source, n, hits, round(z, 6) AS z, p_ppm, p_rank,
+        |  CAST(CASE WHEN p_rank <= kstar THEN 1 ELSE 0 END
+        |    AS INTEGER) AS rejected
+        |FROM r, k ORDER BY source""".stripMargin,
     // q291: dirt, blocking, u = Σn²/N² (exact ints, one double
     // division — long/long divides as double in BOTH engines), log2
     // weights summed in fixed order, ppm-rounded once; disagree mass
