@@ -556,6 +556,25 @@ class PlanSpec extends SparkSpecBase {
       s"predicate pushdown missing:\n$plan")
   }
 
+  test("rank<=k filters plan a WindowGroupLimit (partial per-partition top-k)") {
+    // Spark's InferWindowGroupLimit inserts a per-partition group
+    // limit BELOW the shuffle for row_number()<=k patterns — the
+    // reason the engine's pervasive top-k-per-key shape survives
+    // skewed keys at 100 TB: each map task forwards at most k rows
+    // per group instead of the whole group.
+    // (q13's global ORDER BY+LIMIT already plans TakeOrderedAndProject;
+    // the per-KEY shape is the ANN ranking's row_number()<=k filter)
+    val emb = graft.engine.Tables.embeddings(spark, sf("sf0.001"))
+    val plan = planOf(graft.operators.Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 5), k = 3))
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-key top-k did not get a group-limit pushdown:\n$plan")
+    val global = planOf(
+      ParityQueries.queries("q13_topk")(spark, sf("sf0.001")))
+    assert(global.contains("TakeOrderedAndProject"),
+      s"global top-k not a TakeOrderedAndProject:\n$global")
+  }
+
   test("Q13-shape outer join keeps its non-equi predicate in the join, no cartesian") {
     val plan = planOf(
       ParityQueries.queries("q287_cust_distribution")(spark, sf("sf0.001")))
