@@ -1035,18 +1035,27 @@ object EventStoreQueries {
     * that misreads even one pixel, a resize that blurs the thumbnail,
     * or a banding bug that loses candidates all flip the hash.
     * Hashes feed a self-join → localCheckpoint (the repo invariant).
+    * Degenerate bands (> 64 members — boilerplate/duplicate floods,
+    * the thing that turns a banded join quadratic at corpus scale)
+    * are dropped via the broadcast-anti hot-bucket cap, the q21 LSH
+    * discipline; the cap is inactive at the oracle SF and replayed
+    * in the oracle regardless.
     */
   private val imagePhashQ: Q = (s, dir) => {
     val hashes = Multimodal.dHash(
         Multimodal.withPatternedImagePayload(Tables.documents(s, dir))).toDF()
       .select("doc_id", "w0", "w1").localCheckpoint()
-    val bands = hashes.select(col("doc_id"),
+    val banded = hashes.select(col("doc_id"),
       posexplode(array(
         col("w0").bitwiseAND(lit(65535L)),
         shiftright(col("w0"), 16).bitwiseAND(lit(65535L)),
         col("w1").bitwiseAND(lit(65535L)),
         shiftright(col("w1"), 16).bitwiseAND(lit(65535L)))))
       .toDF("doc_id", "k", "band")
+    val hot = banded.groupBy("k", "band")
+      .agg(count(lit(1)).as("_bn")).filter(col("_bn") > 64)
+      .select("k", "band")
+    val bands = banded.join(broadcast(hot), Seq("k", "band"), "left_anti")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -2223,11 +2232,16 @@ object EventStoreQueries {
         |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
         |      ELSE 0 END) AS BIGINT) AS w1
         |  FROM g GROUP BY 1),
-        |bands AS MATERIALIZED (SELECT doc_id, gs.k,
+        |banded AS MATERIALIZED (SELECT doc_id, gs.k,
         |    CASE gs.k WHEN 0 THEN w0 & 65535 WHEN 1 THEN (w0 >> 16) & 65535
         |              WHEN 2 THEN w1 & 65535 ELSE (w1 >> 16) & 65535
         |    END AS band
         |  FROM h, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) gs),
+        |bands AS MATERIALIZED (SELECT bd.* FROM banded bd
+        |  LEFT JOIN (SELECT k, band FROM banded
+        |             GROUP BY 1, 2 HAVING count(*) > 64) hot
+        |    ON hot.k = bd.k AND hot.band = bd.band
+        |  WHERE hot.k IS NULL),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b
         |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id),
