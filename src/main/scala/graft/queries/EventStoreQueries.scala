@@ -931,6 +931,107 @@ object EventStoreQueries {
       |WHERE event_id % 20 = 0 AND ts IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q301: the live polling STREAM end-to-end — q292's bronze-ingest
+    * contract as a CONTINUOUS query: `readStream` on the loopback HTTP
+    * API through [[graft.sources.HttpPollingMicroBatchStream]], rate
+    * caps engaged (pageSize=256, maxPagesPerPoll=4 — every micro-batch
+    * admits at most 1024 records), `Trigger.AvailableNow` draining the
+    * backlog in bounded steps into the PK-deduped `IdempotentSink`.
+    * The horizon lift between the two drains is q292's "run it again
+    * for new data" poll, except the resume point is the ENGINE'S
+    * checkpointed record position, not a watermark read from the sink
+    * — the dlt incremental-state contract, engine-managed. The shared
+    * oracle certifies batch ingest, live-paged ingest, and the polling
+    * stream against one truth.
+    */
+  private val feedHttpStreamQ: Q = (s, dir) => {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q301_stream")
+    val sink = scratch.resolve("bronze").toString
+    val ckpt = scratch.resolve("ckpt").toString
+    val rows = Tables.events(s, dir)
+      .filter(col("event_id") % 20 === 0 && col("ts").isNotNull)
+      .select(
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("c"),
+        to_json(struct(col("event_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minutes1_utc"),
+          round(col("value") * 1e6).cast("long").as("value_us"))).as("j"))
+      .orderBy("c", "j")
+      .collect()
+    val cursors = rows.map(_.getString(0))
+    val bodies = rows.map(_.getString(1))
+    val horizon = new java.util.concurrent.atomic.AtomicReference(
+      "2024-01-20T00:00:00") // drain-1 horizon; lifted before drain 2
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/dataset/PowerSystemRightNow",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        val q = Option(x.getRequestURI.getRawQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val start = params.getOrElse("start", "")
+        val offset = params.getOrElse("offset", "0").toLong
+        val limit = params.getOrElse("limit", "1000000").toInt
+        val hz = horizon.get
+        val idx = cursors.indices.filter(i =>
+          cursors(i) >= start && cursors(i) < hz)
+        val total = idx.length
+        val page = idx.slice(
+          math.min(offset, total).toInt,
+          math.min(offset + limit, total).toInt)
+        val body = page.map(bodies)
+          .mkString(s"""{"total": $total, "records": [""", ",", "]}")
+          .getBytes("UTF-8")
+        x.getResponseHeaders.add("Content-Type", "application/json")
+        x.sendResponseHeaders(200, body.length)
+        x.getResponseBody.write(body)
+        x.close()
+      })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}" +
+        "/dataset/PowerSystemRightNow"
+      def drain(): Unit = {
+        val q = s.readStream.format("graft.sources.FeedSource")
+          .schema("event_id BIGINT, event_type STRING, " +
+            "minutes1_utc STRING, value_us BIGINT")
+          .option("endpoint", url)
+          .option("cursorField", "minutes1_utc")
+          .option("pageSize", "256")
+          .option("maxPagesPerPoll", "4")
+          .option("pollIntervalMs", "0")
+          .load()
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+            IdempotentSink.appendIfAbsent(s, df, sink, Seq("event_id"))
+            ()
+          })
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // drain 1: records below the horizon, in capped batches
+      horizon.set("~") // '~' > any ISO timestamp: the feed "caught up"
+      drain() // drain 2: resumes at the checkpointed record position
+      val out = IdempotentSink.read(s, sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value_us")).as("value_sum_us"),
+          min(col("minutes1_utc")).as("min_cursor"),
+          max(col("minutes1_utc")).as("max_cursor"))
+        .orderBy("event_type")
+        .localCheckpoint()
+      deleteRecursively(s, scratch.toString)
+      out
+    } finally {
+      server.stop(0)
+      server.getExecutor
+        .asInstanceOf[java.util.concurrent.ExecutorService].shutdown()
+    }
+  }
+
   /** q292: the reference's bronze ingest LOOP over the LIVE transport
     * — q164's contract (poll → cursor from the sink's watermark →
     * PK-deduped staged append) with the feed read through real HTTP
@@ -1055,7 +1156,10 @@ object EventStoreQueries {
     val hot = banded.groupBy("k", "band")
       .agg(count(lit(1)).as("_bn")).filter(col("_bn") > 64)
       .select("k", "band")
+    // bands feeds the a/b self-join below: without the checkpoint the
+    // banded explode AND the hot-band aggregation both compute twice
     val bands = banded.join(broadcast(hot), Seq("k", "band"), "left_anti")
+      .localCheckpoint()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1413,6 +1517,7 @@ object EventStoreQueries {
     "q285_feed_http" -> feedHttpQ,
     "q290_image_phash" -> imagePhashQ,
     "q292_feed_http_bronze" -> feedHttpBronzeQ,
+    "q301_feed_http_stream" -> feedHttpStreamQ,
     "q162_image_decode" -> imageDecodeQ,
     "q189_audio_decode" -> audioDecodeQ,
     "q278_video_frames" -> videoFramesQ,
@@ -2160,6 +2265,10 @@ object EventStoreQueries {
     // shared oracle (the q280/q281 pattern: two paths, one truth).
     "q164_feed_bronze" -> feedBronzeOracle,
     "q292_feed_http_bronze" -> feedBronzeOracle,
+    // q301 is the same contract again as a rate-capped polling STREAM
+    // (checkpointed record position instead of the sink watermark) —
+    // third path, same truth.
+    "q301_feed_http_stream" -> feedBronzeOracle,
     // q280/q281: DuckDB replays the bottom-k sketch's closed-form
     // membership exactly — md5 bottom-256 per type (single-stage ==
     // the salted two-stage, an algebraic identity), ranked readout at

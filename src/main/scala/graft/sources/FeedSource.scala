@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,18 +48,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * Energinet response envelope); when present, the scan plans one
   * input partition per `offset`/`limit` page of `pageSize` records,
   * so the fetch itself parallelizes across executors — the reference's
-  * single unbounded GET becomes a distributed paged read. APIs
-  * without a `total` field fall back to one sequential reader that
-  * pages until a short page. Transient failures (HTTP 429/5xx,
+  * single unbounded GET becomes a distributed paged read (each page
+  * validated against the probe's promised count — a server that caps
+  * `limit` below `pageSize` fails loudly instead of dropping rows).
+  * APIs without a `total` field fall back to one sequential reader
+  * that pages until an empty page. Transient failures (HTTP 429/5xx,
   * connection errors) retry with exponential backoff (`maxRetries`,
   * `backoffMs`). Offset paging is deterministic when the feed is
   * append-only and sorted ascending by the cursor (the `sort` param
   * is sent whenever `cursorField` is set); records that land after
   * the probe are simply picked up by the next incremental poll — the
   * same at-least-once contract the cursor/PK machinery already
-  * absorbs. Live streaming is intentionally unsupported: poll into a
-  * payload store and stream that (rate-limited APIs do not belong in
-  * a continuous query's critical path).
+  * absorbs. `readStream` on an `http(s):` endpoint is a RATE-CAPPED
+  * polling stream ([[HttpPollingMicroBatchStream]]): the checkpointed
+  * offset is the record POSITION in the cursor-bounded feed (stable
+  * because the feed is append-only and cursor-sorted), each trigger
+  * probes `total` at most once per `pollIntervalMs` and admits at
+  * most `maxPagesPerPoll` pages, so a continuous query can never
+  * hammer the API — and a payload store remains the recommended form
+  * when a fetch sidecar is available (no API in the critical path at
+  * all).
   *
   * - **Schema**: caller-supplied via `.schema(...)`, else inferred from
   *   the first payload's records (flat JSON: long/double/boolean/string
@@ -166,10 +174,15 @@ private[sources] class FeedScan(schema: StructType, endpoint: String,
       // parallelizes across executors), absent -> one sequential pager
       HttpFeed.probeTotal(endpoint, cursorField, bound, http) match {
         case Some(total) =>
+          // each partition carries the count the probe PROMISED it
+          // (min(pageSize, total-offset)); the reader throws on a
+          // shorter page, so a server that caps `limit` below pageSize
+          // fails loudly instead of silently dropping rows per page
           (0L until total by http.pageSize)
-            .map(o => HttpFeedPartition(o, http.pageSize): InputPartition)
+            .map(o => HttpFeedPartition(o, http.pageSize,
+              math.min(http.pageSize.toLong, total - o)): InputPartition)
             .toArray
-        case None => Array(HttpFeedPartition(0L, -1))
+        case None => Array(HttpFeedPartition(0L, -1, -1L))
       }
     } else {
       FeedSource.listPayloads(endpoint, FeedSource.driverConf())
@@ -180,16 +193,13 @@ private[sources] class FeedScan(schema: StructType, endpoint: String,
       http,
       if (FeedSource.isHttp(endpoint)) null
       else new SerializableHadoopConf(FeedSource.driverConf()))
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     if (FeedSource.isHttp(endpoint))
-      throw new UnsupportedOperationException(
-        "live HTTP endpoints do not stream: a rate-limited API does not " +
-          "belong in a continuous query's critical path. Poll the API " +
-          "into a payload store (one response body per file) and stream " +
-          "that endpoint instead — the micro-batch offset is the last " +
-          "payload file ingested.")
-    new FeedMicroBatchStream(schema, endpoint, recordsField, cursorField, bound)
-  }
+      new HttpPollingMicroBatchStream(schema, endpoint, recordsField,
+        cursorField, bound, http)
+    else
+      new FeedMicroBatchStream(schema, endpoint, recordsField, cursorField,
+        bound)
 }
 
 /** Streaming face of the feed — the reference's poll loop (each dlt
@@ -231,15 +241,109 @@ private[sources] case class FeedOffset(lastFile: String) extends Offset {
   override def json(): String = FeedSource.offsetToJson(lastFile)
 }
 
+/** Streaming face of the LIVE transport — the reference's "run the
+  * pipeline again for new data" loop as a continuous query, without
+  * putting an uncapped API fan-out in its critical path. The
+  * checkpointed offset is the record POSITION within the
+  * cursor-bounded feed: the feed is append-only and sorted ascending
+  * by the cursor (the same monotonicity the batch pager and the
+  * reference's incremental load already assume), so positions never
+  * shift and a restarted query resumes exactly where it committed.
+  * Rate caps, both enforced here rather than left to the trigger:
+  *  - `pollIntervalMs`: the `total` probe (one GET) runs at most once
+  *    per interval — a fast trigger reuses the cached total instead
+  *    of re-probing;
+  *  - `maxPagesPerPoll`: each micro-batch admits at most this many
+  *    pages (`SupportsAdmissionControl`), so a backlogged feed drains
+  *    in bounded steps and `Trigger.AvailableNow` catches up in
+  *    several small batches instead of one unbounded fetch.
+  * Requires the `total` envelope field (the Energinet shape the
+  * reference polls); feeds without it should land payloads in a store
+  * and stream that instead.
+  */
+private[sources] class HttpPollingMicroBatchStream(schema: StructType,
+    endpoint: String, recordsField: String, cursorField: Option[String],
+    bound: Option[String], http: HttpConf) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  private var lastProbeAt = -1L
+  private var lastTotal = 0L
+  // Trigger.AvailableNow drain target, captured ONCE at query start
+  // (Spark 4 requires the source itself to implement the trait —
+  // without it the engine falls back to one unbounded Trigger.Once
+  // batch, defeating the admission cap): batches advance toward this
+  // fixed position in maxPagesPerPoll steps and the query stops there,
+  // even if the feed keeps growing mid-drain.
+  private var availableNowTarget = -1L
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = probedTotal()
+  private def probedTotal(): Long = {
+    val now = System.currentTimeMillis()
+    if (lastProbeAt < 0 || now - lastProbeAt >= http.pollIntervalMs) {
+      lastTotal = HttpFeed.probeTotal(endpoint, cursorField, bound, http)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"live polling requires a '${http.totalField}' field in the " +
+            "response envelope (positions are planned against it); for " +
+            "feeds without one, poll into a payload store and stream " +
+            "that endpoint instead"))
+      lastProbeAt = now
+    }
+    lastTotal
+  }
+
+  override def initialOffset(): Offset = FeedPosOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    FeedPosOffset(FeedSource.posFromJson(json))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) — this stream uses admission control")
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(http.maxPagesPerPoll.toLong * http.pageSize)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FeedPosOffset].pos
+    val cap = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => Long.MaxValue // ReadAllAvailable: drain to the probe
+    }
+    val target =
+      if (availableNowTarget >= 0) availableNowTarget else probedTotal()
+    FeedPosOffset(math.min(target, s + cap))
+  }
+  override def reportLatestOffset(): Offset = FeedPosOffset(lastTotal)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FeedPosOffset].pos
+    val e = end.asInstanceOf[FeedPosOffset].pos
+    // pages within [s, e); e was admitted against a probed total, and
+    // the feed is append-only, so every page is full — `expected`
+    // doubles as the capped-server tripwire exactly as in batch
+    (s until e by http.pageSize).map { o =>
+      val l = math.min(http.pageSize.toLong, e - o)
+      HttpFeedPartition(o, l.toInt, l): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedReaderFactory(schema, endpoint, recordsField, cursorField, bound,
+      http, null)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class FeedPosOffset(pos: Long) extends Offset {
+  override def json(): String = s"""{"pos":$pos}"""
+}
+
 private[sources] case class FeedPartition(path: String) extends InputPartition
 
 /** One HTTP page: GET `endpoint?offset=o&limit=pageSize` on the
   * executor that owns the partition. `limit == -1` marks the
   * no-`total` fallback — a single reader that pages sequentially from
-  * `offset` until a short page.
+  * `offset` until an EMPTY page. `expected` is the record count the
+  * planner's `total` probe promised this page (the feed is
+  * append-only, so the true page can only be >= it); a shorter page
+  * means the server capped `limit` below the requested size and the
+  * reader must fail loudly rather than lose rows.
   */
-private[sources] case class HttpFeedPartition(offset: Long, limit: Int)
-    extends InputPartition
+private[sources] case class HttpFeedPartition(offset: Long, limit: Int,
+    expected: Long) extends InputPartition
 
 /** Live-GET knobs, serialized to the executors with the reader
   * factory. Param names default to the Energinet envelope
@@ -249,7 +353,8 @@ private[sources] case class HttpFeedPartition(offset: Long, limit: Int)
 private[sources] case class HttpConf(pageSize: Int, maxRetries: Int,
     backoffMs: Long, timeoutMs: Long, totalField: String,
     offsetParam: String, limitParam: String, startParam: String,
-    sortParam: String) extends Serializable
+    sortParam: String, maxPagesPerPoll: Int, pollIntervalMs: Long)
+    extends Serializable
 
 /** Hadoop `Configuration` with Java serialization, so executor-side
   * readers open payloads through the SAME filesystem config the
@@ -279,9 +384,9 @@ private[sources] class FeedReaderFactory(schema: StructType, endpoint: String,
     p match {
       case FeedPartition(path) =>
         new FeedReader(path, schema, recordsField, cursorField, bound, conf)
-      case HttpFeedPartition(offset, limit) =>
-        new HttpFeedReader(endpoint, offset, limit, schema, recordsField,
-          cursorField, bound, http)
+      case HttpFeedPartition(offset, limit, expected) =>
+        new HttpFeedReader(endpoint, offset, limit, expected, schema,
+          recordsField, cursorField, bound, http)
     }
 }
 
@@ -312,14 +417,14 @@ private[sources] class FeedReader(path: String, schema: StructType,
 
 /** Executor-side live GET: one page per partition (`limit >= 0`), or
   * the sequential no-`total` pager (`limit == -1`, pages of
-  * `http.pageSize` until a short page). The cursor bound travels both
+  * `http.pageSize` until an empty page). The cursor bound travels both
   * as the API's `start` param (server-side pruning, the reference's
   * incremental contract) AND as a reader-side re-filter — the same
   * conservative-superset stance as the payload-store reader, so a
   * server that ignores `start` still yields correct results.
   */
 private[sources] class HttpFeedReader(endpoint: String, offset: Long,
-    limit: Int, schema: StructType, recordsField: String,
+    limit: Int, expected: Long, schema: StructType, recordsField: String,
     cursorField: Option[String], bound: Option[String], http: HttpConf)
     extends PartitionReader[InternalRow] {
   private def bounded(it: Iterator[JsonNode]): Iterator[JsonNode] =
@@ -334,8 +439,22 @@ private[sources] class HttpFeedReader(endpoint: String, offset: Long,
       recordsField).toVector
 
   private val records: Iterator[JsonNode] =
-    if (limit >= 0) bounded(page(offset, limit).iterator)
-    else new Iterator[JsonNode] { // sequential pager
+    if (limit >= 0) {
+      // paged mode: the planner's probe promised `expected` records at
+      // this offset (the feed is append-only, so the live count can
+      // only be >=). A shorter page means the server honored a smaller
+      // `limit` than requested — every partition would silently drop
+      // rows, so fail loudly with the fix (a pageSize at or below the
+      // server's cap).
+      val raw = page(offset, limit)
+      if (expected >= 0 && raw.length < expected)
+        throw new java.io.IOException(
+          s"feed page at offset=$offset returned ${raw.length} records, " +
+            s"expected $expected: the server caps '${http.limitParam}' " +
+            s"below the requested pageSize=$limit; set pageSize at or " +
+            "below the server's page cap")
+      bounded(raw.iterator)
+    } else new Iterator[JsonNode] { // sequential pager
       private var at = offset
       private var cur: Iterator[JsonNode] = Iterator.empty
       private var done = false
@@ -343,7 +462,11 @@ private[sources] class HttpFeedReader(endpoint: String, offset: Long,
         while (!cur.hasNext && !done) {
           val p = page(at, http.pageSize)
           at += p.length
-          done = p.length < http.pageSize
+          // only an EMPTY page ends the feed: a server that caps
+          // `limit` below pageSize returns short-but-nonempty pages,
+          // and stopping there would silently truncate the read (the
+          // cost is one extra GET per scan on honest servers)
+          done = p.isEmpty
           cur = bounded(p.iterator)
         }
       override def hasNext: Boolean = { advance(); cur.hasNext }
@@ -474,7 +597,9 @@ object FeedSource {
       offsetParam = strOpt(o, "offsetParam", "offset"),
       limitParam = strOpt(o, "limitParam", "limit"),
       startParam = strOpt(o, "startParam", "start"),
-      sortParam = strOpt(o, "sortParam", "sort"))
+      sortParam = strOpt(o, "sortParam", "sort"),
+      maxPagesPerPoll = intOpt(o, "maxPagesPerPoll", 8),
+      pollIntervalMs = intOpt(o, "pollIntervalMs", 1000).toLong)
   private[sources] def recordsField(o: CaseInsensitiveStringMap): String =
     Option(o.get("recordsField")).getOrElse("records")
   private[sources] def cursorField(o: CaseInsensitiveStringMap): Option[String] =
@@ -520,6 +645,9 @@ object FeedSource {
 
   private[graft] def offsetFromJson(json: String): String =
     mapper.readTree(json).path("lastFile").asText("")
+
+  private[graft] def posFromJson(json: String): Long =
+    mapper.readTree(json).path("pos").asLong(0L)
 
   private[sources] def parse(path: String,
       conf: org.apache.hadoop.conf.Configuration): JsonNode = {

@@ -32,7 +32,10 @@ class FeedHttpSpec extends SparkSpecBase {
   private def serve(recs: IndexedSeq[(String, Long)], failFirst: Int = 0,
       withTotal: Boolean = true, path: String = "/dataset/Power",
       lastStart: AtomicReference[String] = new AtomicReference(""),
-      hits: AtomicInteger = new AtomicInteger(0)): (HttpServer, String) = {
+      hits: AtomicInteger = new AtomicInteger(0),
+      capLimit: Int = Int.MaxValue,
+      dynRecs: AtomicReference[IndexedSeq[(String, Long)]] = null)
+      : (HttpServer, String) = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val fails = new AtomicInteger(failFirst)
     server.createContext(path, (x: HttpExchange) => {
@@ -48,8 +51,10 @@ class FeedHttpSpec extends SparkSpecBase {
         val start = params.getOrElse("start", "")
         lastStart.set(start)
         val offset = params.getOrElse("offset", "0").toLong
-        val limit = params.getOrElse("limit", Int.MaxValue.toString).toInt
-        val eligible = recs.filter(_._1 >= start)
+        val limit = math.min(capLimit,
+          params.getOrElse("limit", Int.MaxValue.toString).toInt)
+        val base = if (dynRecs != null) dynRecs.get else recs
+        val eligible = base.filter(_._1 >= start)
         val hi = math.min(eligible.length.toLong, offset + limit).toInt
         val page = eligible.slice(offset.toInt, hi)
         val body = page.map { case (c, mw) =>
@@ -118,8 +123,42 @@ class FeedHttpSpec extends SparkSpecBase {
         .option("endpoint", url).option("pageSize", "4").load()
       assert(df.rdd.getNumPartitions == 1)
       assert(df.count() == 9)
-      // probe + ceil(9/4) pages (the short last page terminates)
+      // probe + ceil(9/4) pages + the terminating empty page (only an
+      // EMPTY page ends the feed — a short one may be a capped server)
       assert(hits.get >= 4)
+    } finally stop(server)
+  }
+
+  test("paged mode fails loudly when the server caps limit below pageSize") {
+    val (server, url) = serve(mkRecords(9), capLimit = 2)
+    try {
+      val e = intercept[Exception] {
+        spark.read.format(fmt)
+          .schema("minutes1_utc STRING, mw BIGINT")
+          .option("endpoint", url).option("pageSize", "4").load().count()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("pageSize"), msgs)
+      // at the server's cap the same read completes, losslessly
+      val df = spark.read.format(fmt)
+        .schema("minutes1_utc STRING, mw BIGINT")
+        .option("endpoint", url).option("pageSize", "2").load()
+      assert(df.count() == 9)
+    } finally stop(server)
+  }
+
+  test("no-total pager survives a limit-capping server without data loss") {
+    val (server, url) = serve(mkRecords(9), withTotal = false, capLimit = 2)
+    try {
+      val df = spark.read.format(fmt)
+        .schema("minutes1_utc STRING, mw BIGINT")
+        .option("endpoint", url).option("pageSize", "4").load()
+      // pages arrive 2-at-a-time though 4 were requested; the pager
+      // keeps going from the advanced offset until an empty page
+      assert(df.count() == 9)
+      assert(df.agg(sum("mw")).head.getLong(0) == (0 until 9).map(100L + _).sum)
     } finally stop(server)
   }
 
@@ -145,6 +184,44 @@ class FeedHttpSpec extends SparkSpecBase {
         .mkString(" | ")
       assert(msgs.contains("retries"), msgs)
     } finally stop(server2)
+  }
+
+  test("live polling stream: capped micro-batches, checkpointed position resume") {
+    val dyn = new AtomicReference(mkRecords(9))
+    val (server, url) = serve(IndexedSeq.empty, dynRecs = dyn)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feed_ckpt").toString
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    def drain(): Unit = {
+      val q = spark.readStream.format(fmt)
+        .schema("minutes1_utc STRING, mw BIGINT")
+        .option("endpoint", url)
+        .option("pageSize", "2").option("maxPagesPerPoll", "2")
+        .option("pollIntervalMs", "0")
+        .load()
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          val n = df.count()
+          batches.synchronized { batches += n }
+          ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not drain in time")
+    }
+    try {
+      drain()
+      // 9 records at <= maxPagesPerPoll*pageSize = 4 rows per batch:
+      // the backlog drains in bounded steps, never one unbounded fetch
+      assert(batches.sum == 9, batches.toString)
+      assert(batches.count(_ > 0) >= 3, s"page cap not applied: $batches")
+      assert(batches.forall(_ <= 4), s"batch over the admission cap: $batches")
+      // the feed grows; a RESTARTED query resumes from the checkpointed
+      // position and reads only the appended records
+      dyn.set(mkRecords(13))
+      drain()
+      assert(batches.sum == 13, s"resume re-read or lost records: $batches")
+    } finally stop(server)
   }
 
   test("schema inference over a probe page") {
