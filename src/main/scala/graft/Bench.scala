@@ -115,6 +115,13 @@ object Bench {
     releaseCheckpoints()
 
     shuffleAcc.set(0)
+    graft.engine.BuildTiming.drainSeconds() // discard prewarm leftovers
+    // Store-building queries (q131/q140/q161/q188/q282) spend part of
+    // their window on PERSISTED-store build/maintenance — amortizable
+    // cost a production deployment pays once, not per query. The
+    // instrumented store entry points account it; drained per query
+    // (outside the next query's window) into BENCH.json's "build_s".
+    val buildS = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { name =>
       val t0 = System.nanoTime()
       val ok =
@@ -122,6 +129,8 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val b = graft.engine.BuildTiming.drainSeconds()
+      if (b > 0.05) buildS(name) = b
       shuffleMb(name) = drainAndReadShuffleMb()
       releaseCheckpoints()
       (name, dt, ok)
@@ -156,8 +165,14 @@ object Bench {
     val okTimes = results.collect { case (_, v, true) => v }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
     val fallback = math.max(2.5, 4 * median)
+    // ≥1 s standing rows trip at >2x — the DRIVER's gate line — so a
+    // contended 2.5x excursion gets re-measured instead of passing
+    // un-rerun into the official artifact (r10: q145/q161 sat between
+    // the old 3x trigger and the 2x gate); sub-second rows keep the
+    // looser absolute floor (2x of 0.3 s is timer noise, not signal).
     def suspect(name: String, v: Double): Boolean =
       standing.get(name) match {
+        case Some(s) if s >= 1.0 => v > 2 * s
         case Some(s) => v > math.max(2.5, 3 * s)
         case None => v > fallback
       }
@@ -173,6 +188,7 @@ object Bench {
           val ok2 = try { run(name); true } catch { case _: Throwable => false }
           val v2 = (System.nanoTime() - t0) / 1e9
           drainAndReadShuffleMb() // discard: keep the first measurement
+          graft.engine.BuildTiming.drainSeconds() // ditto for build_s
           releaseCheckpoints()
           if (!ok2) extra = false
           else {
@@ -190,51 +206,66 @@ object Bench {
     val finalResults = results.map { case (n, _, _) =>
       val (v, ok) = best(n); (n, v, ok)
     }
-    def num(v: Double, dp: Int = 3): String =
-      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
-    // The stdout line must fit the driver's 2000-char tail capture or
-    // the machine-readable gate records parsed:null (it did for rounds
-    // 1–4: full names overflowed it at 82 queries, and at 124 the
-    // appended reruns map overflowed it again). So stdout carries ONLY
-    // the contract fields — short ids ("q74"), 2dp, no reruns/shuffle
-    // (~1.8 KB worst case at 124 queries); full names, full precision,
-    // reruns and shuffle_mb all live in BENCH.json.
-    def shortId(name: String): String = name.takeWhile(_ != '_')
-    // stdout per-query values at 1dp: at 162 queries the 2dp line hit
-    // 1944 chars — 56 from the 2000-char tail-capture cliff. 1dp buys
-    // ~160 chars of headroom (line ≈ 1.78 KB) and grading resolution
-    // lives in BENCH.json's full-precision map anyway.
-    def qsJson(short: Boolean, full: Boolean): String =
-      finalResults.map { case (k, v, _) =>
-        "\"" + (if (short) shortId(k) else k) + "\":" + (if (full) v.toString else num(v, 1))
-      }.mkString("{", ",", "}")
+    val total = finalResults.collect { case (_, v, true) => v }.sum
+    val line = renderStdoutLine(finalResults, new java.io.File(sfDir).getName)
+    def qsJsonFull: String =
+      finalResults.map { case (k, v, _) => "\"" + k + "\":" + v.toString }
+        .mkString("{", ",", "}")
     def rerunsJson: String =
       reruns.map { case (k, ts) =>
         "\"" + k + "\":[" + ts.map(num(_)).mkString(",") + "]"
       }.mkString("{", ",", "}")
     // failures are first-class in the JSON (a broken query must not
     // masquerade as a fast one) and excluded from the headline total
-    def failedJson(short: Boolean): String =
-      finalResults.collect { case (k, _, false) =>
-        "\"" + (if (short) shortId(k) else k) + "\""
-      }.mkString("[", ",", "]")
+    def failedJsonFull: String =
+      finalResults.collect { case (k, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+    def mbJson(m: scala.collection.Map[String, Double], dp: Int): String =
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJsonFull,"failed":$failedJsonFull,"reruns":$rerunsJson,"rerun_protocol":"queries above 2x their BASELINE.md standing entry (3x below 1s standing; max(2.5s,4*median) fallback) rerun in reverse suite order, min kept; a >3x disagreement earns one extra rerun; all timings recorded","build_s":${mbJson(buildS, 2)},"shuffle_mb":${mbJson(shuffleMb, 1)},"sf":"$sfDir"}"""
+    // stdout (undecorated via run/outputStrategy := StdoutOutput) AND a
+    // known file, so the driver's parse can never miss it again
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullLine + "\n")
+    spark.stop()
+  }
+
+  private def num(v: Double, dp: Int = 3): String =
+    BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The driver-facing stdout line for a finished suite of
+    * (name, seconds, ok) rows. It must fit the driver's 2000-char tail
+    * capture or the machine-readable gate records parsed:null (rounds
+    * 1–4 failure mode: full names overflowed at 82 queries, the
+    * appended reruns map at 124, q-prefixed 1dp at 190, and at 297 the
+    * tier-3 line sat 4 chars from the budget). Full names, full
+    * precision, reruns, build/shuffle detail all live in BENCH.json;
+    * stdout degrades through explicit tiers until it fits the 1900-char
+    * budget, every tier staying valid JSON with the same contract keys:
+    *   1. short ids ("q74"), 1dp
+    *   2. ids without the "q" prefix ("74")
+    *   3. integer seconds for values >= 1 s (sub-second keep 1dp)
+    *   4. drop the FASTEST per-query entries (slowest stay visible —
+    *      they are what grading reads), adding "queries_omitted":N
+    *   5. a mass-failure run degrades the failed array the same way
+    * Factored out of main so a spec can pin the budget at ANY suite
+    * size (BenchLineSpec renders 320+ synthetic entries).
+    */
+  private[graft] def renderStdoutLine(
+      finalResults: Seq[(String, Double, Boolean)], sfName: String,
+      budget: Int = 1900): String = {
     val total = finalResults.collect { case (_, v, true) => v }.sum
-    // sf as basename on stdout ("sf0.1", not the full path) — 15 more
-    // chars of tail-capture headroom; BENCH.json keeps the full path.
-    //
-    // The suite outgrew fixed formatting (190 queries × q-prefixed 1dp
-    // ≈ 2.1 KB — past the 2000-char tail-capture cliff), so the stdout
-    // line now degrades through explicit tiers until it fits a 1900-char
-    // budget; every tier stays valid JSON with the same contract keys,
-    // and BENCH.json always keeps full names + full precision:
-    //   1. short ids ("q74"), 1dp
-    //   2. ids without the "q" prefix ("74")
-    //   3. integer seconds for values >= 1 s (sub-second keep 1dp)
-    //   4. drop the FASTEST per-query entries (slowest stay visible —
-    //      they are what grading reads), adding "queries_omitted":N
+    def shortId(name: String): String = name.takeWhile(_ != '_')
+    def failedJson: String =
+      finalResults.collect { case (k, _, false) => "\"" + shortId(k) + "\"" }
+        .mkString("[", ",", "]")
+    // sf as basename ("sf0.1", not the full path) — 15 more chars of
+    // tail-capture headroom; BENCH.json keeps the full path.
     def buildLine(qs: String, extra: String): String =
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs$extra,"failed":${failedJson(short = true)},"sf":"${new java.io.File(sfDir).getName}"}"""
-    val budget = 1900
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs$extra,"failed":$failedJson,"sf":"$sfName"}"""
     def entries(stripQ: Boolean, intSecs: Boolean) =
       finalResults.map { case (k, v, _) =>
         val id = { val s = shortId(k); if (stripQ) s.stripPrefix("q") else s }
@@ -246,7 +277,7 @@ object Bench {
       () => buildLine(mapOf(entries(stripQ = false, intSecs = false).map(_._1)), ""),
       () => buildLine(mapOf(entries(stripQ = true, intSecs = false).map(_._1)), ""),
       () => buildLine(mapOf(entries(stripQ = true, intSecs = true).map(_._1)), ""))
-    val line = tiers.iterator.map(_()).find(_.length <= budget).getOrElse {
+    tiers.iterator.map(_()).find(_.length <= budget).getOrElse {
       // tier 4: keep the slowest entries that fit, count the rest. The
       // reserve is the REAL assembled-suffix length (worst-case omitted
       // digit count AND the actual failed array — a mass-failure run
@@ -256,7 +287,7 @@ object Bench {
         "\"" + shortId(k) + "\"" }
       def assemble(qs: Seq[String], fails: Seq[String], fOmit: Int): String = {
         val fo = if (fOmit > 0) s""","failed_omitted":$fOmit""" else ""
-        s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${mapOf(qs)},"queries_omitted":${finalResults.size - qs.size},"failed":${fails.mkString("[", ",", "]")}$fo,"sf":"${new java.io.File(sfDir).getName}"}"""
+        s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${mapOf(qs)},"queries_omitted":${finalResults.size - qs.size},"failed":${fails.mkString("[", ",", "]")}$fo,"sf":"$sfName"}"""
       }
       // greedy fill against the budget, starting from the length of the
       // emptied line (an upper bound: the omitted count only shrinks as
@@ -281,16 +312,5 @@ object Bench {
         assemble(Nil, keepF, failedIds.size - keepF.size)
       }
     }
-    def shuffleJson: String =
-      shuffleMb.map { case (k, v) =>
-        "\"" + k + "\":" + BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
-      }.mkString("{", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(short = false, full = true)},"failed":${failedJson(short = false)},"reruns":$rerunsJson,"rerun_protocol":"queries above 3x their BASELINE.md standing entry (max(2.5s,4*median) fallback) rerun in reverse suite order, min kept; a >3x disagreement earns one extra rerun; all timings recorded","shuffle_mb":$shuffleJson,"sf":"$sfDir"}"""
-    // stdout (undecorated via run/outputStrategy := StdoutOutput) AND a
-    // known file, so the driver's parse can never miss it again
-    println(line)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullLine + "\n")
-    spark.stop()
   }
 }

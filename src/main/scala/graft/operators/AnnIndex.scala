@@ -61,7 +61,8 @@ object AnnIndex {
     * would silently corrupt every ADC sum).
     */
   def build(embeddings: DataFrame, path: String, dim: Int, nlists: Int = 8,
-      numSub: Int = 8, numCodes: Int = 16, batchId: Long = 0L): Unit = {
+      numSub: Int = 8, numCodes: Int = 16,
+      batchId: Long = 0L): Unit = graft.engine.BuildTiming.timed {
     val spark = embeddings.sparkSession
     val cents = Similarity.centroidsDf(spark,
       Similarity.seededCodebook(embeddings, nlists))
@@ -78,7 +79,8 @@ object AnnIndex {
     */
   def buildLearned(embeddings: DataFrame, path: String, dim: Int,
       nlists: Int = 8, numSub: Int = 8, numCodes: Int = 16, iters: Int = 5,
-      sampleN: Int = 512, batchId: Long = 0L): Unit = {
+      sampleN: Int = 512,
+      batchId: Long = 0L): Unit = graft.engine.BuildTiming.timed {
     val spark = embeddings.sparkSession
     val cents = Similarity.centroidsDf(spark,
       Similarity.kmeansCodebook(embeddings, nlists, iters, sampleN))
@@ -126,7 +128,8 @@ object AnnIndex {
     * committed batch.
     */
   def appendBatch(batch: DataFrame, path: String, dim: Int,
-      numSub: Int = 8, batchId: Long = -1L): Unit = {
+      numSub: Int = 8,
+      batchId: Long = -1L): Unit = graft.engine.BuildTiming.timed {
     val spark = batch.sparkSession
     require(exists(spark, path),
       s"no committed codebooks at $path — build the index first")
@@ -150,7 +153,8 @@ object AnnIndex {
     * re-appending it (after a compaction drained the tombstone) makes
     * it visible again — tombstones mask, they don't retire ids.
     */
-  def delete(ids: DataFrame, path: String, batchId: Long = -1L): Unit = {
+  def delete(ids: DataFrame, path: String,
+      batchId: Long = -1L): Unit = graft.engine.BuildTiming.timed {
     val spark = ids.sparkSession
     require(exists(spark, path),
       s"no committed codebooks at $path — build the index first")
@@ -274,7 +278,8 @@ object AnnIndex {
     * [[healEnc]], which every entry point runs first: staging committed
     * → roll forward; otherwise → roll back to the intact old `enc/`.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession,
+      path: String): Unit = graft.engine.BuildTiming.timed {
     healEnc(spark, path)
     val enc = new Path(encPath(path))
     val fs = fsOf(spark, enc)

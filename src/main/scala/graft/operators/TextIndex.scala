@@ -55,7 +55,7 @@ object TextIndex {
     * ranking (surviving docs' scores are unchanged).
     */
   def delete(ids: DataFrame, idCol: String, path: String,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L): Unit = graft.engine.BuildTiming.timed {
     val spark = ids.sparkSession
     require(committedBatches(spark, path).nonEmpty,
       s"no committed index at $path — build it first")
@@ -150,7 +150,7 @@ object TextIndex {
     */
   def appendBatch(docs: DataFrame, idCol: String, textCol: String,
       path: String, batchId: Long, buckets: Int = 64,
-      withPositions: Boolean = true): Unit = {
+      withPositions: Boolean = true): Unit = graft.engine.BuildTiming.timed {
     val spark = docs.sparkSession
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -321,7 +321,8 @@ object TextIndex {
     * race-aborted fold (`BatchStore.compact` may abort quietly) can
     * never lose a delete.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession,
+      path: String): Unit = graft.engine.BuildTiming.timed {
     val deadB = committedDeadBatches(spark, path) // snapshot at entry
     val mask: DataFrame => DataFrame =
       if (deadB.isEmpty) identity
