@@ -159,12 +159,24 @@ object Experiment {
     * wins, s_ppm after `rounds` MM rounds, ordered by player.
     */
   def bradleyTerry(matches: DataFrame, rounds: Int = 8): DataFrame = {
-    val w = matches.groupBy(col("a").as("player"))
-      .agg(sum(col("wins")).as("w_total"))
     val n = matches.select(col("a"), col("b"), col("wins"))
       .union(matches.select(col("b").as("a"), col("a").as("b"), col("wins")))
       .groupBy("a", "b").agg(sum(col("wins")).as("n_ab"))
+      .filter(col("n_ab") > 0L) // zero-count pairs carry no information
       .localCheckpoint() // feeds every round twice (the self-join rule)
+    // Player universe = everyone who PLAYED (both columns of n), not
+    // just winners: a winless player's n_ij terms must stay in
+    // opponents' MM denominators (seeding from winners only silently
+    // fits a reduced tournament and skews every strength). Winless
+    // players report w_total 0 and reach s_ppm 0 after round 1 — the
+    // BT MLE boundary — while their pair terms keep counting. An edge
+    // never has two zero-strength endpoints (its head-to-head had a
+    // winner), so round denominators stay positive.
+    val w = n.select(col("a").as("player")).distinct()
+      .join(matches.groupBy(col("a").as("player"))
+        .agg(sum(col("wins")).as("_w")), Seq("player"), "left")
+      .select(col("player"), coalesce(col("_w"), lit(0L)).as("w_total"))
+      .localCheckpoint() // joined every round + the final readout
     var s = w.select(col("player"), lit(1000000L).as("s_ppm"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {

@@ -861,12 +861,15 @@ object StatsQueries {
        |  FROM pu x JOIN pu y ON x.user_id = y.user_id
        |    AND x.event_type < y.event_type),
        |mw AS MATERIALIZED (SELECT a, b, count(*) AS wins FROM m GROUP BY 1, 2),
-       |w AS MATERIALIZED (SELECT a AS player,
-       |    CAST(SUM(wins) AS BIGINT) AS w_total FROM mw GROUP BY 1),
        |n AS MATERIALIZED (SELECT a, b, CAST(SUM(wins) AS BIGINT) AS n_ab
        |  FROM (SELECT a, b, wins FROM mw
        |        UNION ALL SELECT b AS a, a AS b, wins FROM mw)
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2 HAVING SUM(wins) > 0),
+       |w AS MATERIALIZED (SELECT p.player,
+       |    CAST(coalesce(ww.w_total, 0) AS BIGINT) AS w_total
+       |  FROM (SELECT DISTINCT a AS player FROM n) p
+       |  LEFT JOIN (SELECT a AS player, SUM(wins) AS w_total
+       |             FROM mw GROUP BY 1) ww ON ww.player = p.player),
        |s0 AS MATERIALIZED (SELECT player,
        |    CAST(1000000 AS BIGINT) AS s_ppm FROM w),
        |$rounds

@@ -55,6 +55,20 @@ class StatExtrasSpec extends SparkSpecBase {
     assert(got("c") > got("b") && got("b") > got("a"), got.toString)
   }
 
+  test("Bradley-Terry: winless players stay in the tournament") {
+    // c never wins but plays both a and b; its n_ij terms must stay in
+    // a's and b's denominators (the symmetric fixture makes a and b
+    // exactly equal ONLY when c's terms are kept for both)
+    val m = Seq(("a", "b", 5L), ("b", "a", 5L),
+      ("a", "c", 4L), ("b", "c", 4L)).toDF("a", "b", "wins")
+    val got = Experiment.bradleyTerry(m).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set("a", "b", "c"), got.toString)
+    assert(got("c") == (0L, 0L), s"winless player not at the boundary: $got")
+    assert(got("a") == got("b"), s"symmetric players diverged: $got")
+    assert(got("a")._2 > 0L)
+  }
+
   test("BH-FDR: an extreme slice is rejected, uniform slices are not") {
     // 9 groups at the pooled rate, one group wildly off
     val rows = (0 until 10).flatMap { g =>
