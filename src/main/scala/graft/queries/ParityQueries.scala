@@ -475,6 +475,77 @@ object ParityQueries {
         |ORDER BY cntrycode""".stripMargin)
   }
 
+  /** q299: TPC-H Q18-shape — the IN-subquery-over-grouped-HAVING
+    * decorrelation form (large-volume orders): the inner aggregate
+    * groups the whole lineitem table and the HAVING filters it, then
+    * the outer query semi-joins orders against the surviving keys and
+    * re-aggregates. Catalyst plans the IN as a left-semi join against
+    * the aggregated subquery — never a per-row re-evaluation (PlanSpec
+    * pins the semi join; QueriesSmokeSpec pins no-cartesian).
+    * Quantities are integral doubles 1–50 (FIXTURES.md), so the
+    * per-order sums are exact integers in any summation order — cast
+    * to BIGINT per row, summed exactly, compared exactly against the
+    * threshold (200 keeps 99 qualifying orders at sf0.001).
+    * o_totalprice is the STORED double (no arithmetic — bit-exact
+    * cross-engine); o_orderkey makes the DESC-price order total.
+    */
+  private val bigOrderCustomersQ: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("cust_q299")
+    Tables.orders(s, dir).createOrReplaceTempView("ord_q299")
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q299")
+    s.sql(
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM cust_q299 c
+        |JOIN ord_q299 o ON o.o_custkey = c.c_custkey
+        |JOIN li_q299 l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM li_q299
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
+  /** q300: TPC-H Q20-shape — the nested correlated IN/EXISTS chain
+    * over two levels: the outer IN's subquery itself contains BOTH an
+    * uncorrelated IN (the part-name filter) and a scalar aggregate
+    * subquery correlated on TWO columns of the middle query
+    * (partkey AND suppkey — Q20's availqty > ½·shipped predicate).
+    * The test tables carry no partsupp, so the 1996 per-(supplier,
+    * part) shipped total stands in for availqty and the predicate
+    * reads "1996 accounted for more than half of this supplier's
+    * lifetime shipments of a widget part" — same nesting, same
+    * decorrelation surface (two-level rewrite into aggregated joins;
+    * no cartesian). All quantity sums are exact BIGINTs; the ×2
+    * comparison replaces Q20's 0.5 factor to stay in integers (the
+    * q288 exact-comparison rule).
+    */
+  private val promisingSuppliersQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q300")
+    Tables.part(s, dir).createOrReplaceTempView("part_q300")
+    Tables.supplier(s, dir).createOrReplaceTempView("supp_q300")
+    Tables.nation(s, dir).createOrReplaceTempView("nat_q300")
+    s.sql(
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS qty96
+        |  FROM li_q300 WHERE year(l_shipdate) = 1996 GROUP BY 1, 2)
+        |SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supp_q300 s JOIN nat_q300 n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_regionkey IN (0, 1)
+        |  AND s.s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps
+        |    WHERE ps_partkey IN (
+        |        SELECT p_partkey FROM part_q300 WHERE p_name LIKE '%widget%')
+        |      AND ps.qty96 * 2 > (
+        |        SELECT coalesce(SUM(CAST(l2.l_quantity AS BIGINT)), 0)
+        |        FROM li_q300 l2
+        |        WHERE l2.l_partkey = ps.ps_partkey
+        |          AND l2.l_suppkey = ps.ps_suppkey))
+        |ORDER BY s.s_suppkey""".stripMargin)
+  }
+
   /** q293: TPC-H Q19-shape — an OR of conjunctive clauses spanning
     * BOTH join sides (brand × size × quantity bands). The planner
     * surface under test is disjunctive predicate pushdown: Catalyst
@@ -689,6 +760,8 @@ object ParityQueries {
     "q287_cust_distribution" -> custDistributionQ,
     "q288_dormant_rich" -> dormantRichQ,
     "q293_disjunctive_revenue" -> disjunctiveRevenueQ,
+    "q299_big_order_customers" -> bigOrderCustomersQ,
+    "q300_promising_suppliers" -> promisingSuppliersQ,
     "q294_grouping_sets" -> groupingSetsQ,
     "q295_unpivot" -> unpivotQ,
     "q271_small_qty_revenue" -> smallQtyRevenueQ,
@@ -711,6 +784,41 @@ object ParityQueries {
     "q61_except_all" -> exceptAllOp)
 
   val oracleSql: Map[String, String] = Map(
+    // q299: Q18-shape; quantities are integral doubles so per-row
+    // BIGINT casts make every sum exact (DuckDB's rounding cast and
+    // Spark's ANSI truncating cast agree on integral values).
+    "q299_big_order_customers" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
+        |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+    // q300: Q20-shape; the ×2 integer comparison replaces the 0.5
+    // factor, every quantity sum travels as an exact BIGINT.
+    "q300_promising_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS qty96
+        |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1, 2)
+        |SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE n.n_regionkey IN (0, 1)
+        |  AND s.s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps
+        |    WHERE ps_partkey IN (
+        |        SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |      AND ps.qty96 * 2 > (
+        |        SELECT coalesce(SUM(CAST(l2.l_quantity AS BIGINT)), 0)
+        |        FROM lineitem l2
+        |        WHERE l2.l_partkey = ps.ps_partkey
+        |          AND l2.l_suppkey = ps.ps_suppkey))
+        |ORDER BY s.s_suppkey""".stripMargin,
     // q262: revenue quantized to exact e4 longs at birth (floor(x+0.5)
     // mirrored), summed exactly, divided once.
     "q262_regional_revenue" ->

@@ -595,6 +595,34 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("o_orderdate"), s"date predicate missing:\n$plan")
   }
 
+  test("Q18-shape IN-over-grouped-HAVING decorrelates to a semi join on the aggregate") {
+    val plan = planOf(
+      ParityQueries.queries("q299_big_order_customers")(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the IN becomes a left-semi join against the HAVING-filtered
+    // aggregate — evaluated ONCE, not per outer row
+    assert(plan.contains("LeftSemi"), s"IN subquery not a semi join:\n$plan")
+    // the inner aggregate exists as a real (partial+final) aggregate
+    // over lineitem, and the HAVING threshold survives as a filter
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"no aggregate from the grouped subquery:\n$plan")
+    assert(plan.contains("200"), s"HAVING threshold lost:\n$plan")
+  }
+
+  test("Q20-shape two-level nested IN + correlated aggregate decorrelates, no cartesian") {
+    val plan = planOf(
+      ParityQueries.queries("q300_promising_suppliers")(spark, sf("sf0.001")))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // outer IN -> semi join; the part-name IN -> another semi join; the
+    // two-column-correlated scalar aggregate -> an aggregate joined back
+    assert("LeftSemi".r.findAllIn(plan).size >= 2,
+      s"nested INs not planned as semi joins:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"correlated aggregate not decorrelated:\n$plan")
+    // the part-name filter reaches the part scan
+    assert(plan.contains("p_name"), s"part filter missing:\n$plan")
+  }
+
   test("Q19-shape OR-of-conjunctions pushes per-side partial filters") {
     val plan = planOf(
       ParityQueries.queries("q293_disjunctive_revenue")(spark, sf("sf0.001")))
