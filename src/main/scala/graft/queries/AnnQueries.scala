@@ -145,6 +145,18 @@ object AnnQueries {
   private val coresetQ: Q = (s, dir) =>
     Similarity.farthestPointCoreset(Tables.embeddings(s, dir), k = 8)
 
+  /** q302: the k-center‖ OVERSAMPLED coreset — q201's bounded-pass
+    * scale form: 2 batch rounds each select the 8 farthest points in
+    * one distributed pass (3 corpus scans total vs k = 8 for the
+    * sequential greedy), then the exact greedy reduces the 17
+    * candidates. The oracle replays batch rounds AND reduction as
+    * unrolled CTEs, so a routing or tie-break change in either stage
+    * flips the hash.
+    */
+  private val coresetScaledQ: Q = (s, dir) =>
+    Similarity.coresetOversampled(Tables.embeddings(s, dir), k = 8,
+      rounds = 2)
+
 
   /** q202: DBSCAN* density clustering over the within-list
     * eps-neighbor graph (cos ≥ 0.30, minPts 3) — deterministic
@@ -631,6 +643,7 @@ object AnnQueries {
     "q198_knn_pagerank" -> pagerankQ,
     "q199_silhouette" -> silhouetteQ,
     "q201_coreset" -> coresetQ,
+    "q302_coreset_scaled" -> coresetScaledQ,
     "q202_density_clusters" -> densityQ,
     "q203_knn_eval" -> knnEvalQ,
     "q204_knn_kappa" -> knnKappaQ,
@@ -808,34 +821,69 @@ object AnnQueries {
       |ORDER BY d.vec_id""".stripMargin
   }
 
-  /** q201's oracle: the greedy loop unrolled — each round's argmax is
-    * an ORDER BY (d_ppm DESC, vec_id) LIMIT 1 over min distance to the
-    * accumulated chosen CTE.
+  /** The unrolled greedy k-center chain over a source CTE `src`
+    * (columns vec_id, v): md5-smallest seed, then k−1 argmax rounds
+    * (ORDER BY d_ppm DESC, vec_id LIMIT 1 over min distance to the
+    * accumulated chosen CTE), ending in the (sel_rank, vec_id, d_ppm)
+    * readout. Shared by q201 (src = the corpus) and q302 (src = the
+    * oversampled candidate set — the k-means‖ reduction step).
     */
-  private val coresetOracle: String = {
-    val rounds = (2 to 8).map { r =>
-      s"""c$r AS (SELECT e.vec_id, e.v,
-        |    MIN(1000000 - CAST(round(ROUND(list_cosine_similarity(e.v, ch.v), 6)
+  private def greedyCoresetSql(src: String, k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""c$r AS (SELECT s.vec_id, s.v,
+        |    MIN(1000000 - CAST(round(ROUND(list_cosine_similarity(s.v, ch.v), 6)
         |      * 1000000e0) AS BIGINT)) AS d_ppm
-        |  FROM e CROSS JOIN ch${r - 1} ch
-        |  WHERE e.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
-        |  GROUP BY e.vec_id, e.v
-        |  ORDER BY d_ppm DESC, e.vec_id LIMIT 1),
+        |  FROM $src s CROSS JOIN ch${r - 1} ch
+        |  WHERE s.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+        |  GROUP BY s.vec_id, s.v
+        |  ORDER BY d_ppm DESC, s.vec_id LIMIT 1),
         |ch$r AS (SELECT vec_id, v FROM ch${r - 1}
         |         UNION ALL SELECT vec_id, v FROM c$r)""".stripMargin
     }.mkString(",\n")
-    val sel = (2 to 8).map(r =>
+    val sel = (2 to k).map(r =>
       s"UNION ALL SELECT $r AS sel_rank, vec_id, d_ppm FROM c$r").mkString("\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      |           FROM embeddings),
-      |c1 AS (SELECT vec_id, v, CAST(NULL AS BIGINT) AS d_ppm
+    s"""c1 AS (SELECT vec_id, v, CAST(NULL AS BIGINT) AS d_ppm
       |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
-      |             FROM e ORDER BY h, vec_id LIMIT 1)),
+      |             FROM $src ORDER BY h, vec_id LIMIT 1)),
       |ch1 AS (SELECT vec_id, v FROM c1),
       |$rounds
       |SELECT * FROM (
       |SELECT 1 AS sel_rank, vec_id, d_ppm FROM c1
       |$sel) ORDER BY sel_rank""".stripMargin
+  }
+
+  /** q201's oracle: the greedy loop unrolled over the full corpus. */
+  private val coresetOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |${greedyCoresetSql("e", 8)}""".stripMargin
+
+  /** q302's oracle: the two batch oversampling rounds (top-8 by min
+    * distance to the accumulated candidates, ties to vec_id) replayed
+    * as MATERIALIZED CTEs, then the SAME greedy template reduces the
+    * 17 candidates — both stages certified by one hash.
+    */
+  private val coresetScaledOracle: String = {
+    def batch(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+        |  SELECT vec_id, v FROM (
+        |    SELECT e.vec_id, e.v,
+        |      MIN(1000000 - CAST(round(ROUND(list_cosine_similarity(e.v, ch.v), 6)
+        |        * 1000000e0) AS BIGINT)) AS dmin
+        |    FROM e CROSS JOIN $prev ch
+        |    WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)
+        |    GROUP BY e.vec_id, e.v
+        |    ORDER BY dmin DESC, e.vec_id LIMIT 8))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |s0 AS MATERIALIZED (SELECT vec_id, v FROM (
+      |    SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+      |    FROM e ORDER BY h, vec_id LIMIT 1)),
+      |${batch("s0", "b1")},
+      |s1 AS MATERIALIZED (SELECT * FROM s0 UNION ALL SELECT * FROM b1),
+      |${batch("s1", "b2")},
+      |cand AS MATERIALIZED (SELECT * FROM s1 UNION ALL SELECT * FROM b2),
+      |${greedyCoresetSql("cand", 8)}""".stripMargin
   }
 
   /** q147's vote chain as a shared CTE prefix ending in
@@ -1019,6 +1067,7 @@ object AnnQueries {
   val oracleSql: Map[String, String] = Map(
     "q198_knn_pagerank" -> pagerankOracle,
     "q201_coreset" -> coresetOracle,
+    "q302_coreset_scaled" -> coresetScaledOracle,
     "q224_knn_triangles" -> trianglesOracle,
     "q249_list_balance" -> listBalanceOracle,
     "q251_kcore" -> kCoreOracle,
