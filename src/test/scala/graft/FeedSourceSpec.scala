@@ -131,20 +131,36 @@ class FeedSourceSpec extends SparkSpecBase {
     assert(df.count() == 4)
   }
 
-  test("live HTTP endpoints refuse to STREAM with payload-store guidance") {
-    // batch GETs are real (FeedHttpSpec); continuous streaming against a
-    // rate-limited API is the documented non-feature
-    val e = intercept[Throwable] {
-      val q = spark.readStream.format(fmt)
-        .schema("minutes1_utc STRING, mw BIGINT")
-        .option("endpoint", "http://127.0.0.1:9/dataset/X")
-        .load()
-        .writeStream.format("memory").queryName("feed_http_stream")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-    assert(msgs.contains("payload store"), msgs)
+  test("live HTTP streaming without a total envelope refuses with payload-store guidance") {
+    // live polling streams are real as of round 11 (FeedHttpSpec) but
+    // PLAN against the envelope's `total` (positions); a feed without
+    // one still gets the documented payload-store guidance
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/dataset/X",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        val body = """{"records": [{"minutes1_utc": "t", "mw": 1}]}"""
+          .getBytes("UTF-8")
+        x.sendResponseHeaders(200, body.length)
+        x.getResponseBody.write(body)
+        x.close()
+      })
+    server.start()
+    try {
+      val e = intercept[Throwable] {
+        val q = spark.readStream.format(fmt)
+          .schema("minutes1_utc STRING, mw BIGINT")
+          .option("endpoint",
+            s"http://127.0.0.1:${server.getAddress.getPort}/dataset/X")
+          .option("backoffMs", "1")
+          .load()
+          .writeStream.format("memory").queryName("feed_http_stream")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("payload store"), msgs)
+    } finally server.stop(0)
   }
 }
