@@ -182,17 +182,24 @@ object Bench {
     results.reverse.foreach {
       case (name, v, true) if suspect(name, v) =>
         var timings = Vector(v)
+        // build seconds per rerun, parallel to timings (index 0 = the
+        // first run's drain, already in buildS): the reported build_s
+        // must come from the SAME run whose total is kept, or a
+        // contended first run's build time would sit beside a rerun's
+        // query time and overstate the amortizable share
+        var builds = Vector(buildS.getOrElse(name, 0.0))
         var extra = true
         while (extra && timings.size < 3) {
           val t0 = System.nanoTime()
           val ok2 = try { run(name); true } catch { case _: Throwable => false }
           val v2 = (System.nanoTime() - t0) / 1e9
+          val b2 = graft.engine.BuildTiming.drainSeconds()
           drainAndReadShuffleMb() // discard: keep the first measurement
-          graft.engine.BuildTiming.drainSeconds() // ditto for build_s
           releaseCheckpoints()
           if (!ok2) extra = false
           else {
             timings = timings :+ v2
+            builds = builds :+ b2
             val (a, b) = (timings(timings.size - 2), timings.last)
             extra = math.max(a, b) > 3 * math.max(1e-9, math.min(a, b))
           }
@@ -200,6 +207,8 @@ object Bench {
         if (timings.size > 1) {
           reruns(name) = timings
           best(name) = (timings.min, true)
+          val kept = builds(timings.indexOf(timings.min))
+          if (kept > 0.05) buildS(name) = kept else buildS.remove(name)
         }
       case _ => ()
     }
