@@ -546,6 +546,99 @@ object ParityQueries {
         |ORDER BY s.s_suppkey""".stripMargin)
   }
 
+  /** q303: TPC-H Q4-shape — the EXISTS-per-group order-priority
+    * checking form: a date-quartered orders scan whose per-priority
+    * counts keep only orders with at least one "late" lineitem
+    * (l_returnflag = 'R' stands in for commit<receipt, the q284
+    * convention — FIXTURES.md: no receipt/commit dates). Catalyst
+    * plans the EXISTS as one left-semi join on l_orderkey; the date
+    * range reaches the orders scan as pushed filters.
+    */
+  private val orderPriorityCheckQ: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("ord_q303")
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q303")
+    s.sql(
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM ord_q303 o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM li_q303 l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin)
+  }
+
+  /** q304: TPC-H Q11-shape — grouped HAVING against TWO uncorrelated
+    * scalar subqueries over the SAME aggregate (important stock):
+    * parts whose e4-quantized revenue exceeds 1.2× the per-part
+    * average, compared as exact integers (value·n·5 > 6·total — no
+    * double average whose summation order could flip boundary rows,
+    * the q288 rule). The part count scales with SF, so the threshold
+    * derives from count(*), never a fixed multiplier (the q288
+    * smallest-SF lesson: 38/326/3339 survivors at the three factors).
+    */
+  private val importantPartsQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q304")
+    s.sql(
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1e0 - l_discount)
+        |      * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS value_e4
+        |  FROM li_q304 GROUP BY l_partkey)
+        |SELECT l_partkey, value_e4 FROM pv
+        |WHERE value_e4 * (SELECT count(*) FROM pv) * 5
+        |      > 6 * (SELECT SUM(value_e4) FROM pv)
+        |ORDER BY value_e4 DESC, l_partkey""".stripMargin)
+  }
+
+  /** q305: TPC-H Q15-shape — an aggregate equated to the MAX of the
+    * same aggregate (top supplier): quarterly e4 revenue per supplier,
+    * keep the supplier(s) at the maximum. Exact integers make the
+    * equality bit-stable cross-engine; ties (none in this data, but
+    * legal) all surface, ordered by s_suppkey.
+    */
+  private val topSupplierQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q305")
+    Tables.supplier(s, dir).createOrReplaceTempView("supp_q305")
+    s.sql(
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1e0 - l_discount)
+        |      * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS total_rev_e4
+        |  FROM li_q305
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+        |FROM supp_q305 s JOIN rev r ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin)
+  }
+
+  /** q306: TPC-H Q16-shape — NOT IN anti-join under a COUNT(DISTINCT)
+    * rollup (parts/supplier relationship): distinct (part, supplier)
+    * pairs from lineitem (the partsupp surrogate), suppliers from
+    * nation 0 excluded via NOT IN (Spark plans the null-aware anti
+    * join; s_suppkey is non-null so it degenerates to a plain anti),
+    * then supplier counts per (brand, size) excluding 'small' types.
+    */
+  private val partSupplierCountQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q306")
+    Tables.part(s, dir).createOrReplaceTempView("part_q306")
+    Tables.supplier(s, dir).createOrReplaceTempView("supp_q306")
+    s.sql(
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM li_q306)
+        |SELECT p.p_brand, p.p_size,
+        |  CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part_q306 p ON p.p_partkey = ps.l_partkey
+        |WHERE p.p_type NOT LIKE 'small%'
+        |  AND ps.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supp_q306 WHERE s_nationkey = 0)
+        |GROUP BY p.p_brand, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""".stripMargin)
+  }
+
   /** q293: TPC-H Q19-shape — an OR of conjunctive clauses spanning
     * BOTH join sides (brand × size × quantity bands). The planner
     * surface under test is disjunctive predicate pushdown: Catalyst
@@ -762,6 +855,10 @@ object ParityQueries {
     "q293_disjunctive_revenue" -> disjunctiveRevenueQ,
     "q299_big_order_customers" -> bigOrderCustomersQ,
     "q300_promising_suppliers" -> promisingSuppliersQ,
+    "q303_order_priority_check" -> orderPriorityCheckQ,
+    "q304_important_parts" -> importantPartsQ,
+    "q305_top_supplier" -> topSupplierQ,
+    "q306_part_supplier_count" -> partSupplierCountQ,
     "q294_grouping_sets" -> groupingSetsQ,
     "q295_unpivot" -> unpivotQ,
     "q271_small_qty_revenue" -> smallQtyRevenueQ,
@@ -799,6 +896,54 @@ object ParityQueries {
         |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
         |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
         |ORDER BY o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+    // q303: Q4-shape; returnflag-R stands in for commit<receipt.
+    "q303_order_priority_check" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+    // q304: Q11-shape; exact-integer 1.2x-average comparison, pv
+    // MATERIALIZED (referenced three times).
+    "q304_important_parts" ->
+      """WITH pv AS MATERIALIZED (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1e0 - l_discount)
+        |      * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS value_e4
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, value_e4 FROM pv
+        |WHERE value_e4 * (SELECT count(*) FROM pv) * 5
+        |      > 6 * (SELECT SUM(value_e4) FROM pv)
+        |ORDER BY value_e4 DESC, l_partkey""".stripMargin,
+    // q305: Q15-shape; rev MATERIALIZED (main scan + the MAX scalar).
+    "q305_top_supplier" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1e0 - l_discount)
+        |      * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS total_rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+        |FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    // q306: Q16-shape; NOT IN over non-null keys.
+    "q306_part_supplier_count" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p.p_brand, p.p_size,
+        |  CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+        |WHERE p.p_type NOT LIKE 'small%'
+        |  AND ps.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_nationkey = 0)
+        |GROUP BY p.p_brand, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""".stripMargin,
     // q300: Q20-shape; the ×2 integer comparison replaces the 0.5
     // factor, every quantity sum travels as an exact BIGINT.
     "q300_promising_suppliers" ->

@@ -623,6 +623,32 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("p_name"), s"part filter missing:\n$plan")
   }
 
+  test("Q4/Q11/Q15/Q16 shapes decorrelate: semi/anti joins, scalar aggregates, no cartesian") {
+    // Q4: EXISTS -> one left-semi join; the date range reaches the scan
+    val p303 = planOf(
+      ParityQueries.queries("q303_order_priority_check")(spark, sf("sf0.001")))
+    assert(!p303.contains("CartesianProduct"), p303)
+    assert(p303.contains("LeftSemi"), s"EXISTS not a semi join:\n$p303")
+    assert(p303.contains("o_orderdate"), s"date range not pushed:\n$p303")
+    // Q11: grouped HAVING vs two uncorrelated scalar subqueries over
+    // the same aggregate — scalars evaluate once, never per row
+    val p304 = planOf(
+      ParityQueries.queries("q304_important_parts")(spark, sf("sf0.001")))
+    assert(!p304.contains("CartesianProduct"), p304)
+    assert(p304.contains("HashAggregate") || p304.contains("SortAggregate"),
+      s"no aggregate in the Q11 shape:\n$p304")
+    // Q15: aggregate equated to MAX of the same aggregate
+    val p305 = planOf(
+      ParityQueries.queries("q305_top_supplier")(spark, sf("sf0.001")))
+    assert(!p305.contains("CartesianProduct"), p305)
+    // Q16: NOT IN -> anti join (null-aware; degenerates to plain anti
+    // on the non-null key), COUNT(DISTINCT) above it
+    val p306 = planOf(
+      ParityQueries.queries("q306_part_supplier_count")(spark, sf("sf0.001")))
+    assert(!p306.contains("CartesianProduct"), p306)
+    assert(p306.contains("LeftAnti"), s"NOT IN not an anti join:\n$p306")
+  }
+
   test("Q19-shape OR-of-conjunctions pushes per-side partial filters") {
     val plan = planOf(
       ParityQueries.queries("q293_disjunctive_revenue")(spark, sf("sf0.001")))
