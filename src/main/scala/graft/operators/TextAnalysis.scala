@@ -725,6 +725,123 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** Impact-ordered static index pruning (Carmel et al., SIGIR 2001)
+    * for BM25 top-k — the flat-latency scale path exact BM25 cannot
+    * offer: a token's postings grow with its document frequency
+    * (∝ corpus), so exact query cost is linear in N (SCALING.md's
+    * text_index_query curve). Keeping only each token's top-`topM`
+    * postings by IMPACT — the doc-dependent BM25 factor
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), which orders a token's
+    * docs exactly as their score contribution would — bounds per-term
+    * query work at topM rows regardless of corpus size. Pruning is
+    * lossy at the tail (a doc accumulating many small contributions
+    * can drop out of the top-k), so the operator returns the
+    * per-query RECALL REPORT against the exact ranking (the
+    * q129/q282 certification pattern): the accuracy trade is a
+    * hash-verified number, not a faith claim.
+    *
+    * Scale shape: the prune is ONE window over the (doc, token) tf
+    * table partitioned by token; the rank ≤ topM filter plans a
+    * WindowGroupLimit (PlanSpec), so each map task forwards at most
+    * topM rows per token below the shuffle — the prune itself scales
+    * like a scan. Both rankings share one tokenize pass; df/idf come
+    * from the FULL corpus (pruning changes candidates, never term
+    * statistics); everything query-sized broadcasts. Impact and
+    * scores round to 6dp before ranking with doc-id tie-breaks, the
+    * cross-engine determinism convention.
+    *
+    * Output: (query_id, n_full, n_pruned, n_overlap, recall) per
+    * probe query with ≥1 exact result; recall = overlap/n_full @6dp.
+    */
+  def bm25TopKPruned(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, topM: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n_docs"),
+      avg(size(wsTokens(col(textCol)))).as("_avgdl")).localCheckpoint()
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the prune window AND both scorings
+    val dl = docs.select(col(idCol).as("doc"),
+      size(split(col(textCol), " ")).as("dl")).localCheckpoint()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(split(col(queryTextCol), " ")).as("token"))
+      .distinct()
+    val qdf = qterms.join(df, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("_n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .localCheckpoint() // broadcast into both scorings
+    def topk(postings: DataFrame): DataFrame = {
+      val partials = postings
+        .join(broadcast(qdf), Seq("token"))
+        .join(dl, Seq("doc"))
+        .withColumn("contrib",
+          col("idf") * col("tf") * (lit(k1) + 1.0) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))))
+      val scored = partials.groupBy("query_id", "doc")
+        .agg(round(sum(col("contrib")), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("doc"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "doc")
+    }
+    val prunedPostings = impactPrune(tf, dl, stats, topM, k1, b)
+    val full = topk(tf).localCheckpoint() // feeds count + overlap join
+    val pruned = topk(prunedPostings).localCheckpoint()
+    val nFull = full.groupBy("query_id").agg(count(lit(1)).as("n_full"))
+    val nPruned = pruned.groupBy("query_id").agg(count(lit(1)).as("n_pruned"))
+    val overlap = full.join(pruned, Seq("query_id", "doc"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    nFull.join(nPruned, Seq("query_id"), "left")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_full"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / col("n_full"), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** The prune at [[bm25TopKPruned]]'s core, standalone — per-token
+    * top-`topM` postings by 6dp-rounded impact (doc tie-break),
+    * returned as (doc, token, tf). Useful on its own: persist the
+    * pruned postings as the serving tier of a text index whose query
+    * cost is bounded by terms × topM, independent of corpus size. One
+    * token-partitioned window; the rank filter plans a
+    * WindowGroupLimit (PlanSpec), so map tasks forward at most topM
+    * rows per token below the shuffle.
+    */
+  def impactPrunedPostings(docs: DataFrame, idCol: String, textCol: String,
+      topM: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n_docs"),
+      avg(size(wsTokens(col(textCol)))).as("_avgdl"))
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol).as("doc"),
+      size(split(col(textCol), " ")).as("dl"))
+    impactPrune(tf, dl, stats, topM, k1, b)
+  }
+
+  private def impactPrune(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+      topM: Int, k1: Double, b: Double): DataFrame = {
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy(col("_impact").desc, col("doc"))
+    tf.join(dl, Seq("doc")).crossJoin(broadcast(stats))
+      .withColumn("_impact",
+        round(col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))), 6))
+      .withColumn("_r", row_number().over(wTok))
+      .filter(col("_r") <= topM)
+      .select("doc", "token", "tf")
+  }
+
   /** Exact top-k terms per group (source) with each term's share of
     * the group's token volume — the "signature vocabulary" view of
     * provenance (pairs with [[vocabOverlap]]: overlap says two crawls

@@ -316,6 +316,51 @@ private[queries] object QueryHelpers {
        |   FROM sc)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // q307: the impact-pruned tier beside the exact one — per-token
+  // top-M postings by the doc-dependent BM25 factor (6dp-rounded,
+  // doc tie-break), scored with the FULL-corpus df/idf, then the
+  // per-query recall of pruned-vs-exact top-k. Shares the q139 chain
+  // so the exact side is the standing oracle verbatim.
+  lazy val bm25PrunedOracle: String =
+    s"""WITH $bm25Ctes,
+       |imp AS (SELECT tfc.doc, tfc.token, tf,
+       |    round(tf * (1.2e0 + 1e0)
+       |      / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl)), 6)
+       |      AS impact
+       |  FROM tfc JOIN dl ON tfc.doc = dl.doc CROSS JOIN stats),
+       |pp AS (SELECT doc, token, tf FROM (
+       |    SELECT doc, token, tf, row_number() OVER (PARTITION BY token
+       |      ORDER BY impact DESC, doc) AS r FROM imp) WHERE r <= 512),
+       |psc AS (SELECT query_id, pp.doc,
+       |    round(sum(ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+       |      * tf * (1.2e0 + 1e0)
+       |      / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))), 6)
+       |      AS score
+       |  FROM pp JOIN qt USING (token) JOIN dfc USING (token)
+       |  JOIN dl ON pp.doc = dl.doc CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |ft AS (SELECT query_id, doc FROM (
+       |    SELECT query_id, doc, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc) AS rank FROM sc) WHERE rank <= 10),
+       |pt AS (SELECT query_id, doc FROM (
+       |    SELECT query_id, doc, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc) AS rank FROM psc) WHERE rank <= 10),
+       |nf AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_full
+       |  FROM ft GROUP BY 1),
+       |np AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_pruned
+       |  FROM pt GROUP BY 1),
+       |ov AS (SELECT ft.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM ft JOIN pt ON ft.query_id = pt.query_id AND ft.doc = pt.doc
+       |  GROUP BY 1)
+       |SELECT nf.query_id, nf.n_full,
+       |  CAST(coalesce(np.n_pruned, 0) AS BIGINT) AS n_pruned,
+       |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / nf.n_full, 6)
+       |    AS recall
+       |FROM nf LEFT JOIN np ON np.query_id = nf.query_id
+       |LEFT JOIN ov ON ov.query_id = nf.query_id
+       |ORDER BY nf.query_id""".stripMargin
+
   // q141: RRF fusion of the BM25 ranking above and the exact cosine
   // ranking over the same corpus split. Ranks are integers (exact
   // cross-engine given q139/q24 green), each (query, doc) sums at most

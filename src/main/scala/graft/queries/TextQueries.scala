@@ -304,6 +304,30 @@ object TextQueries {
   }
 
 
+  /** q307: impact-pruned BM25 (static index pruning, Carmel 2001) —
+    * the bounded-work text-retrieval scale path, certified the q282
+    * way: per-query recall of the topM=512-postings-per-token pruned
+    * ranking vs the exact q139 ranking, hash-verified on both sides.
+    * Same corpus/probe split as q139 so the exact tier replays the
+    * standing oracle chain verbatim. 512 caps per-term query work at
+    * ~11% of this corpus's common-token df while measuring recall
+    * 1.0 at the oracle factor (the harness vocabulary is near-
+    * uniform, so scores accumulate over many mid-impact postings —
+    * aggressive caps like 32 measure recall 0.14, which is exactly
+    * the trade the report exists to surface).
+    */
+  private val bm25PrunedQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    TextAnalysis.bm25TopKPruned(corpus, "doc_id", "text",
+      probes, "query_id", "qtext", k = 10, topM = 512)
+  }
+
+
   /** Session-shared POSITIONAL text index over the q139/q140 corpus
     * split (source != src0, two disjoint even/odd-doc_id batches) —
     * built once per (JVM, sf dir) and reused by q140 (BM25 query) and
@@ -745,6 +769,7 @@ object TextQueries {
     "q141_hybrid_rrf" -> hybridRrfQ,
     "q140_text_index" -> textIndexQ,
     "q139_bm25" -> bm25Q,
+    "q307_bm25_pruned" -> bm25PrunedQ,
     "q114_corpus_stats" -> corpusStatsQ,
     "q112_bpe_merges" -> bpeQ,
     "q105_span_corrupt" -> spanQ,
@@ -1648,6 +1673,7 @@ object TextQueries {
     "q141_hybrid_rrf" -> hybridRrfOracle,
     "q140_text_index" -> bm25Oracle,
     "q139_bm25" -> bm25Oracle,
+    "q307_bm25_pruned" -> bm25PrunedOracle,
     "q114_corpus_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

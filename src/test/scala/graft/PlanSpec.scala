@@ -649,6 +649,24 @@ class PlanSpec extends SparkSpecBase {
     assert(p306.contains("LeftAnti"), s"NOT IN not an anti join:\n$p306")
   }
 
+  test("impact-pruned BM25: the token prune plans a WindowGroupLimit, no cartesian") {
+    // the report query's final plan hides the prune behind its
+    // localCheckpoints, so pin the standalone prune operator (the
+    // exact frame bm25TopKPruned scores) plus the report's own plan
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .filter(col("source") =!= "src0").select("doc_id", "text")
+    val prune = planOf(graft.operators.TextAnalysis
+      .impactPrunedPostings(docs, "doc_id", "text", topM = 8))
+    // the rank<=topM prune must push a per-partition group limit below
+    // the token shuffle — each map task forwards at most topM postings
+    // per token, which is what makes the prune itself scan-shaped
+    assert(prune.contains("WindowGroupLimit"),
+      s"token prune did not get a group-limit pushdown:\n$prune")
+    val report = planOf(graft.queries.ExtensionQueries
+      .queries("q307_bm25_pruned")(spark, sf("sf0.001")))
+    assert(!report.contains("CartesianProduct"), report)
+  }
+
   test("Q19-shape OR-of-conjunctions pushes per-side partial filters") {
     val plan = planOf(
       ParityQueries.queries("q293_disjunctive_revenue")(spark, sf("sf0.001")))
