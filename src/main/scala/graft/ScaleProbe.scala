@@ -236,7 +236,13 @@ object ScaleProbe {
         "ann_index_query" -> (() =>
           AnnIndex.query(spark, annPath, probes, k = 5, dim = 64)),
         "text_index_query" -> (() => TextIndex.query(
-          spark, textPath, textQueries, "query_id", "qtext", k = 10)))
+          spark, textPath, textQueries, "query_id", "qtext", k = 10)),
+        // round-11: the static-prune INDEX-TIME cost (q307's core) —
+        // one token-partitioned WindowGroupLimit'd window, so the
+        // expected curve is scan-shaped (~linear); the query-side
+        // payoff is the terms x topM work bound
+        "bm25_prune" -> (() => TextAnalysis.impactPrunedPostings(
+          docs, "doc_id", "text", topM = 512)))
 
       for ((name, f) <- ops if only.forall(_.contains(name))) {
         val dt = time(f())
