@@ -472,6 +472,83 @@ object Sampling {
       .orderBy(idCol)
   }
 
+  /** Isotonic (monotone nondecreasing) calibration of a binary
+    * outcome against a binned score — the PAV solution computed by
+    * its minimax closed form
+    *
+    *   fit(i) = max over j<=i of ( min over k>=i of mean(y[j..k]) )
+    *
+    * over BOUNDED equal-width bins. This is the classifier-calibration
+    * step of a quality-filter pipeline (raw model scores are not
+    * probabilities; the monotone projection is the canonical
+    * nonparametric fix). Sequential PAV doesn't distribute; the
+    * minimax form does: one data pass (hash aggregate into <= `bins`
+    * groups), then all pair/triple work happens on the bin table —
+    * O(B^2) pair means and O(B^3) minimax comparisons with B bounded
+    * by the caller regardless of data volume, so the shape is
+    * scale-free. Cross-engine exactness: bin counts travel as exact
+    * longs, each pair mean is ONE division of two integers (bit-stable
+    * in both engines), and max/min over identical doubles is
+    * order-free; only the final readout rounds.
+    *
+    * Scores below 0 clamp into bin 0 and above bins·binWidth into the
+    * top bin; empty bins are simply absent (the fit is over observed
+    * bins). Output: (bin, n, pos, raw_rate, iso_rate) ordered by bin,
+    * iso_rate monotone nondecreasing.
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: Column, hitCol: Column,
+      bins: Int, binWidth: Double): DataFrame = {
+    require(bins >= 1 && bins <= 512, "isotonic bins must be 1..512")
+    // one pass: per-bin totals (the only data-sized stage)
+    isotonicFromBins(df.select(
+        least(lit(bins - 1), greatest(lit(0),
+          floor(scoreCol / lit(binWidth)).cast("int"))).as("bin"),
+        hitCol.cast("int").as("_hit"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_hit").as("pos")))
+  }
+
+  /** The bin-table half of [[isotonicCalibration]]: the minimax PAV
+    * fold over an already-aggregated (bin, n, pos) frame — the seam
+    * the STREAMING calibration store reads through (per-bin counts
+    * merge across micro-batches by plain summation, then this fold is
+    * identical on the merged table: streamed ≡ one-shot by
+    * construction).
+    */
+  def isotonicFromBins(binned0: DataFrame): DataFrame = {
+    val binned = binned0.select(col("bin"), col("n"), col("pos"))
+      .localCheckpoint() // feeds the prefix frame AND two join roles
+    // prefix sums over the tiny bin table (single-partition window is
+    // deliberate: <= bins rows)
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = binned
+      .select(col("bin"), col("n"), col("pos"),
+        sum("n").over(w).as("_cn"), sum("pos").over(w).as("_cp"))
+      .localCheckpoint() // two aliases below
+    val lo = pref.select(col("bin").as("j"),
+      (col("_cn") - col("n")).as("_cn0"), (col("_cp") - col("pos")).as("_cp0"))
+    val hi = pref.select(col("bin").as("k"),
+      col("_cn").as("_cn1"), col("_cp").as("_cp1"))
+    // mean over the contiguous run j..k, as one integer/integer division
+    // non-equi joins on the bounded bin table: broadcast explicitly so
+    // the planner never falls back to a CartesianProduct (suite-wide ban)
+    val pairMean = lo.join(broadcast(hi), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("_cp1") - col("_cp0")).cast("double")
+          / (col("_cn1") - col("_cn0")).cast("double")).as("_m"))
+    val fit = binned.select(col("bin"))
+      .join(broadcast(pairMean), col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy("bin", "j").agg(min("_m").as("_mmin"))
+      .groupBy("bin").agg(max("_mmin").as("_iso"))
+    binned.join(fit, Seq("bin"))
+      .select(col("bin"), col("n"), col("pos"),
+        round(col("pos").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        round(col("_iso"), 6).as("iso_rate"))
+      .orderBy("bin")
+  }
+
   /** Split-conformal outlier band per group — the
     * distribution-free anomaly gate: a deterministic hash split
     * carves a calibration set, the nonconformity score is the

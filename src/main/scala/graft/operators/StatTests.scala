@@ -341,6 +341,60 @@ object StatTests {
     exp(lit(-0.5) * x * x) * lit(0.3989422804014327) * horner
   }
 
+  /** Per-group ROC-AUC via the Mann–Whitney U statistic — the
+    * standard "does this score separate the classes" eval for quality
+    * classifiers (AUC = P(score⁺ > score⁻) + ½P(=)), with the exact
+    * tie-corrected normal z and a two-sided ppm p-value.
+    *
+    * Exact-integer discipline: scores collapse to per-(group, value)
+    * positive/negative counts (ties handled EXACTLY, not by rank
+    * jitter); a prefix sum over the value order gives each distinct
+    * value's contribution pos·(2·neg_below + neg_at) — all longs — so
+    * 2U is an exact integer and AUC is ONE long/long division.
+    * The tie-corrected variance σ² = (n⁺n⁻/12)·((n+1) − Σ(t³−t)/
+    * (n(n−1))) is a fixed double chain over exact longs, mirrored
+    * verbatim in the oracle; p ppm-quantizes the A-S tail at birth
+    * (the q297 discipline). Groups with an empty class are dropped
+    * (no AUC exists).
+    *
+    * Scale: one hash aggregate to (group, value) granularity, one
+    * window partitioned by group over distinct values, one per-group
+    * fold — nothing wider than the distinct-score table after the
+    * first aggregate.
+    */
+  def mannWhitneyAuc(df: DataFrame, groupCol: String, valueCol: String,
+      hit: org.apache.spark.sql.Column): DataFrame = {
+    val byValue = df
+      .select(col(groupCol).as("g"), col(valueCol).as("v"),
+        hit.cast("int").as("_h"))
+      .groupBy("g", "v")
+      .agg(sum("_h").as("pos"),
+        (count(lit(1)) - sum("_h")).as("neg"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val contrib = byValue
+      .withColumn("_negBelow", sum("neg").over(w) - col("neg"))
+      .withColumn("_t", col("pos") + col("neg"))
+      .withColumn("_u2", col("pos") * (lit(2L) * col("_negBelow") + col("neg")))
+      .withColumn("_ties", col("_t") * col("_t") * col("_t") - col("_t"))
+    val g = contrib.groupBy("g").agg(
+      sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+      sum("_u2").as("_u2"), sum("_ties").as("_s"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+    val n = col("n_pos") + col("n_neg")
+    val prod = (col("n_pos") * col("n_neg")).cast("double")
+    val sigma = sqrt(prod / lit(12.0)
+      * ((n + lit(1L)).cast("double")
+        - col("_s").cast("double") / (n * (n - lit(1L))).cast("double")))
+    val z = (col("_u2") - col("n_pos") * col("n_neg")).cast("double") /
+      (lit(2.0) * sigma)
+    g.select(col("g").as(groupCol), col("n_pos"), col("n_neg"),
+        round(col("_u2").cast("double") / (lit(2.0) * prod), 6).as("auc"),
+        round(z, 6).as("z"),
+        round(normalUpperTail(abs(z)) * lit(2e6)).cast("long").as("p_ppm"))
+      .orderBy(groupCol)
+  }
+
   /** Multiple-testing control (Benjamini–Hochberg 1995, FDR α=0.05)
     * over per-group proportion tests — the guardrail for "which of my
     * m slices moved?" readouts (per-source quality drift, per-segment

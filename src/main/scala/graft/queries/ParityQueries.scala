@@ -639,6 +639,170 @@ object ParityQueries {
         |ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""".stripMargin)
   }
 
+  /** q308: TPC-H Q3-shape — the shipping-priority top-k: a 3-way
+    * star join (segment-filtered customer → date-bounded orders →
+    * ship-date-bounded lineitem), per-order e4-quantized revenue, and
+    * a LIMIT 10 over the exact integer (never the divided double, so
+    * boundary ties can't flip cross-engine). Catalyst broadcasts the
+    * two filtered dims and plans TakeOrderedAndProject for the top-k.
+    */
+  private val shippingPriorityQ: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("cust_q308")
+    Tables.orders(s, dir).createOrReplaceTempView("ord_q308")
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q308")
+    s.sql(
+      """SELECT l.l_orderkey,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount)
+        |    * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM cust_q308 c
+        |JOIN ord_q308 o ON o.o_custkey = c.c_custkey
+        |JOIN li_q308 l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue_e4 DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** q309: TPC-H Q6-shape — the forecast-revenue-change scan: a pure
+    * filter-aggregate over lineitem (ship-year range, a discount band,
+    * a quantity cap) with revenue = price×discount. The whole query is
+    * one pushed-filter scan + partial/final aggregate — no join, no
+    * shuffle beyond the 1-row combine; the planner surface under test
+    * is that all three predicates reach the parquet scan.
+    */
+  private val forecastRevenueQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q309")
+    s.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  round(CAST(SUM(CAST(floor(l_extendedprice * l_discount
+        |      * 10000e0 + 0.5e0) AS BIGINT)) AS DOUBLE) / 10000e0, 6)
+        |    AS revenue
+        |FROM li_q309
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03e0 AND 0.07e0
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** q310: TPC-H Q7-shape — volume shipping between two nation
+    * groups: the SAME dimension joined twice under different roles
+    * (supplier nation n1, customer nation n2) with a disjunctive
+    * cross-alias pair predicate, grouped by (supp, cust, year).
+    * Region keys pick the pair sets so survivors exist at every SF
+    * (the q288 smallest-SF rule); both nation aliases broadcast.
+    */
+  private val nationVolumeQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q310")
+    Tables.supplier(s, dir).createOrReplaceTempView("supp_q310")
+    Tables.orders(s, dir).createOrReplaceTempView("ord_q310")
+    Tables.customer(s, dir).createOrReplaceTempView("cust_q310")
+    Tables.nation(s, dir).createOrReplaceTempView("nat_q310")
+    s.sql(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l.l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount)
+        |    * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM li_q310 l
+        |JOIN supp_q310 s ON s.s_suppkey = l.l_suppkey
+        |JOIN ord_q310 o ON o.o_orderkey = l.l_orderkey
+        |JOIN cust_q310 c ON c.c_custkey = o.o_custkey
+        |JOIN nat_q310 n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nat_q310 n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE ((n1.n_regionkey = 0 AND n2.n_regionkey = 1)
+        |    OR (n1.n_regionkey = 1 AND n2.n_regionkey = 0))
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  /** q311: TPC-H Q9-shape — product-type profit by nation and year:
+    * the 5-way join (lineitem → part/supplier/orders → nation) with a
+    * substring part filter and a two-term per-row profit expression.
+    * The testdata has no partsupp, so `0.1 × p_retailprice × quantity`
+    * stands in for `ps_supplycost × quantity` (FIXTURES.md) — the
+    * join topology and expression shape are Q9's. Profit can go
+    * negative; `floor(x·1e4 + 0.5)` is the same half-up in both
+    * engines for either sign.
+    */
+  private val productProfitQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q311")
+    Tables.part(s, dir).createOrReplaceTempView("part_q311")
+    Tables.supplier(s, dir).createOrReplaceTempView("supp_q311")
+    Tables.orders(s, dir).createOrReplaceTempView("ord_q311")
+    Tables.nation(s, dir).createOrReplaceTempView("nat_q311")
+    s.sql(
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(floor((l.l_extendedprice * (1e0 - l.l_discount)
+        |    - 0.1e0 * p.p_retailprice * l.l_quantity)
+        |    * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS profit_e4
+        |FROM li_q311 l
+        |JOIN part_q311 p ON p.p_partkey = l.l_partkey
+        |JOIN supp_q311 s ON s.s_suppkey = l.l_suppkey
+        |JOIN ord_q311 o ON o.o_orderkey = l.l_orderkey
+        |JOIN nat_q311 n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
+  /** q312: TPC-H Q10-shape — returned-item reporting: which customers
+    * returned the most revenue in a window (returnflag = 'R' over one
+    * order year), top 20 by the exact e4 integer with the custkey
+    * tiebreak. Customer attributes ride through the GROUP BY exactly
+    * as in Q10; nation broadcasts.
+    */
+  private val returnedItemsQ: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("cust_q312")
+    Tables.orders(s, dir).createOrReplaceTempView("ord_q312")
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q312")
+    Tables.nation(s, dir).createOrReplaceTempView("nat_q312")
+    s.sql(
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount)
+        |    * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  c.c_acctbal, n.n_name
+        |FROM cust_q312 c
+        |JOIN ord_q312 o ON o.o_custkey = c.c_custkey
+        |JOIN li_q312 l ON l.l_orderkey = o.o_orderkey
+        |JOIN nat_q312 n ON n.n_nationkey = c.c_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue_e4 DESC, c.c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** q313: TPC-H Q14-shape — promotion effect: the conditional-sum /
+    * total-sum percentage over one ship year of lineitem ⋈ part
+    * (p_type = 'PROMO' is the testdata's literal promo class). Both
+    * sums accumulate as exact e4 integers; the division to a
+    * percentage happens ONCE at the end (the q271 discipline), then
+    * `round(_, 6)`.
+    */
+  private val promoShareQ: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_q313")
+    Tables.part(s, dir).createOrReplaceTempView("part_q313")
+    s.sql(
+      """SELECT
+        |  round(100e0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        |      THEN CAST(floor(l.l_extendedprice * (1e0 - l.l_discount)
+        |        * 10000e0 + 0.5e0) AS BIGINT)
+        |      ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount)
+        |        * 10000e0 + 0.5e0) AS BIGINT)) AS DOUBLE), 6)
+        |    AS promo_revenue_pct,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM li_q313 l JOIN part_q313 p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin)
+  }
+
   /** q293: TPC-H Q19-shape — an OR of conjunctive clauses spanning
     * BOTH join sides (brand × size × quantity bands). The planner
     * surface under test is disjunctive predicate pushdown: Catalyst
@@ -859,6 +1023,12 @@ object ParityQueries {
     "q304_important_parts" -> importantPartsQ,
     "q305_top_supplier" -> topSupplierQ,
     "q306_part_supplier_count" -> partSupplierCountQ,
+    "q308_shipping_priority" -> shippingPriorityQ,
+    "q309_forecast_revenue" -> forecastRevenueQ,
+    "q310_nation_volume" -> nationVolumeQ,
+    "q311_product_profit" -> productProfitQ,
+    "q312_returned_items" -> returnedItemsQ,
+    "q313_promo_share" -> promoShareQ,
     "q294_grouping_sets" -> groupingSetsQ,
     "q295_unpivot" -> unpivotQ,
     "q271_small_qty_revenue" -> smallQtyRevenueQ,
@@ -944,6 +1114,98 @@ object ParityQueries {
         |    SELECT s_suppkey FROM supplier WHERE s_nationkey = 0)
         |GROUP BY p.p_brand, p.p_size
         |ORDER BY supplier_cnt DESC, p.p_brand, p.p_size""".stripMargin,
+    // q308: Q3-shape; top-10 ordered by the exact integer revenue.
+    "q308_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount)
+        |    * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue_e4 DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+    // q309: Q6-shape; one pushed-filter scan, e4-exact revenue.
+    "q309_forecast_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  round(CAST(SUM(CAST(floor(l_extendedprice * l_discount
+        |      * 10000e0 + 0.5e0) AS BIGINT)) AS DOUBLE) / 10000e0, 6)
+        |    AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03e0 AND 0.07e0
+        |  AND l_quantity < 24""".stripMargin,
+    // q310: Q7-shape; nation joined twice, disjunctive pair predicate.
+    // DuckDB year() yields BIGINT where Spark yields INT — but the
+    // GROUP BY key here is computed identically; cast for the dtype.
+    "q310_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount)
+        |    * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE ((n1.n_regionkey = 0 AND n2.n_regionkey = 1)
+        |    OR (n1.n_regionkey = 1 AND n2.n_regionkey = 0))
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // q311: Q9-shape; retailprice-surrogate supply cost, half-up
+    // quantization identical for negative profits.
+    "q311_product_profit" ->
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(floor((l.l_extendedprice * (1e0 - l.l_discount)
+        |    - 0.1e0 * p.p_retailprice * l.l_quantity)
+        |    * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS profit_e4
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY n.n_name, year(o.o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    // q312: Q10-shape; top-20 returned-revenue customers.
+    "q312_returned_items" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount)
+        |    * 10000e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  c.c_acctbal, n.n_name
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue_e4 DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+    // q313: Q14-shape; both sums exact e4 integers, ONE final division.
+    "q313_promo_share" ->
+      """SELECT
+        |  round(100e0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        |      THEN CAST(floor(l.l_extendedprice * (1e0 - l.l_discount)
+        |        * 10000e0 + 0.5e0) AS BIGINT)
+        |      ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CAST(floor(l.l_extendedprice * (1e0 - l.l_discount)
+        |        * 10000e0 + 0.5e0) AS BIGINT)) AS DOUBLE), 6)
+        |    AS promo_revenue_pct,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
     // q300: Q20-shape; the ×2 integer comparison replaces the 0.5
     // factor, every quantity sum travels as an exact BIGINT.
     "q300_promising_suppliers" ->

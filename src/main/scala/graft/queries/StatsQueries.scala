@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{IdempotentSink, Tables}
+import graft.engine.{IdempotentSink, Tables, TimeFeatures}
 import graft.functions.Md5Family
 import graft.operators._
 import graft.queries.QueryHelpers._
@@ -311,6 +311,140 @@ object StatsQueries {
       .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
       .orderBy("source", "rank")
 
+
+  /** q314: isotonic score calibration — the weighted-PAV monotone
+    * projection of per-bin purchase rate against the event value, via
+    * the minimax closed form (`Sampling.isotonicCalibration`). The
+    * oracle replays the identical pipeline in SQL: one bin aggregate,
+    * prefix sums, pair means as single integer/integer divisions, and
+    * the max-of-min fold — every intermediate is either an exact long
+    * or a division of two exact longs, so the monotone fit
+    * hash-matches bit-for-bit; only the readout rounds. 16 bins of
+    * width 8 cover the value range at every SF (values clamp into the
+    * top bin).
+    */
+  private val isotonicQ: Q = (s, dir) =>
+    Sampling.isotonicCalibration(
+      Tables.events(s, dir).filter(col("value").isNotNull),
+      col("value"), col("event_type") === "purchase",
+      bins = 16, binWidth = 8.0)
+
+  private val isotonicOracle: String =
+    """WITH binned AS MATERIALIZED (
+      |  SELECT least(15, greatest(0, CAST(floor(value / 8e0) AS INTEGER)))
+      |      AS bin,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |pref AS MATERIALIZED (
+      |  SELECT bin, n, pos,
+      |    SUM(n) OVER (ORDER BY bin) AS cn,
+      |    SUM(pos) OVER (ORDER BY bin) AS cp
+      |  FROM binned),
+      |pm AS MATERIALIZED (
+      |  SELECT l.bin AS j, h.bin AS k,
+      |    CAST(h.cp - (l.cp - l.pos) AS DOUBLE)
+      |      / CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS m
+      |  FROM pref l JOIN pref h ON l.bin <= h.bin),
+      |mins AS (
+      |  SELECT b.bin, p.j, min(p.m) AS mmin
+      |  FROM binned b JOIN pm p ON p.j <= b.bin AND p.k >= b.bin
+      |  GROUP BY b.bin, p.j),
+      |fit AS (SELECT bin, max(mmin) AS iso FROM mins GROUP BY bin)
+      |SELECT CAST(b.bin AS INTEGER) AS bin, b.n, b.pos,
+      |  round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+      |  round(f.iso, 6) AS iso_rate
+      |FROM binned b JOIN fit f ON f.bin = b.bin
+      |ORDER BY b.bin""".stripMargin
+
+  /** q316: the STREAMED form of q314 — the isotonic calibration
+    * readout over a per-bin outcome-count store fed three disjoint
+    * event slices, with batch 1 RE-DELIVERED (the committed-skip
+    * guard must absorb the retry — count stores double on naive
+    * re-appends), then compacted. Counts merge by summation, so the
+    * minimax fold over the merged bins is identical to the one-shot
+    * fit: shares q314's oracle verbatim.
+    */
+  private val calibrationStoreQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .withColumn("_hit", (col("event_type") === "purchase").cast("int"))
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_q316_calib")
+    val store = scratch.toString + "/calib"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.calibrationStep(
+        ev.filter(col("event_id") % 3 === b), "value", "_hit",
+        bins = 16, binWidth = 8.0, store, batchId = b)
+    }
+    // a re-delivered micro-batch: the _SUCCESS guard makes it a no-op
+    graft.streaming.StreamingPower.calibrationStep(
+      ev.filter(col("event_id") % 3 === 1L), "value", "_hit",
+      bins = 16, binWidth = 8.0, store, batchId = 1L)
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.calibrationMerge)
+    val out = graft.streaming.StreamingPower.mergedCalibration(s, store)
+      .localCheckpoint()
+    QueryHelpers.deleteRecursively(s, scratch.toString)
+    out
+  }
+
+  /** q315: per-slice ROC-AUC (Mann–Whitney U) — does the event value
+    * separate purchases from non-purchases, sliced by day-of-week
+    * (`StatTests.mannWhitneyAuc`). 2U accumulates as an exact long via
+    * per-distinct-value positive/negative counts and a prefix sum
+    * (ties exact, no rank jitter); AUC is one long/long division, the
+    * tie-corrected z a fixed double chain, p the ppm-quantized A-S
+    * tail — the whole row set hash-matches bit-for-bit.
+    */
+  private val aucQ: Q = (s, dir) =>
+    StatTests.mannWhitneyAuc(
+      Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(TimeFeatures.dayOfWeek0Sun(col("ts")).as("dow"),
+          col("value"), col("event_type")),
+      "dow", "value", col("event_type") === "purchase")
+
+  private val aucOracle: String =
+    """WITH ev AS (
+      |  SELECT dayofweek(ts) AS g, value AS v,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS h
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+      |bv AS (SELECT g, v, CAST(SUM(h) AS BIGINT) AS pos,
+      |    CAST(count(*) - SUM(h) AS BIGINT) AS neg
+      |  FROM ev GROUP BY 1, 2),
+      |c AS (SELECT g, pos, neg,
+      |    CAST(SUM(neg) OVER (PARTITION BY g ORDER BY v)
+      |      - neg AS BIGINT) AS negb,
+      |    pos + neg AS t
+      |  FROM bv),
+      |agg AS (SELECT g,
+      |    CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+      |    CAST(SUM(pos * (2 * negb + neg)) AS BIGINT) AS u2,
+      |    CAST(SUM(t * t * t - t) AS BIGINT) AS s
+      |  FROM c GROUP BY 1
+      |  HAVING SUM(pos) > 0 AND SUM(neg) > 0),
+      |fin AS (SELECT g, n_pos, n_neg, u2,
+      |    CAST(n_pos * n_neg AS DOUBLE) AS prod,
+      |    CAST(u2 - n_pos * n_neg AS DOUBLE)
+      |      / (2e0 * sqrt(CAST(n_pos * n_neg AS DOUBLE) / 12e0
+      |        * (CAST(n_pos + n_neg + 1 AS DOUBLE)
+      |          - CAST(s AS DOUBLE)
+      |            / CAST((n_pos + n_neg) * (n_pos + n_neg - 1)
+      |              AS DOUBLE)))) AS z
+      |  FROM agg)
+      |SELECT CAST(g AS INTEGER) AS dow, n_pos, n_neg,
+      |  round(CAST(u2 AS DOUBLE) / (2e0 * prod), 6) AS auc,
+      |  round(z, 6) AS z,
+      |  CAST(round(exp(-0.5e0 * abs(z) * abs(z))
+      |    * 0.3989422804014327e0
+      |    * (((((1.330274429e0 * tt + -1.821255978e0) * tt
+      |        + 1.781477937e0) * tt + -0.356563782e0) * tt
+      |        + 0.319381530e0) * tt)
+      |    * 2e6) AS BIGINT) AS p_ppm
+      |FROM (SELECT *, 1e0 / (1e0 + 0.2316419e0 * abs(z)) AS tt FROM fin)
+      |ORDER BY dow""".stripMargin
 
   /** q195: per-source data card — the "datasheets for datasets" rollup
     * every release ships: volume (docs, tokens, chars), language
@@ -718,6 +852,9 @@ object StatsQueries {
     "q195_data_card" -> dataCardQ,
     "q154_robust_calibration" -> robustCalibrationQ,
     "q150_score_calibration" -> scoreCalibrationQ,
+    "q314_isotonic" -> isotonicQ,
+    "q315_auc_by_dow" -> aucQ,
+    "q316_calibration_store" -> calibrationStoreQ,
     "q135_bucketed_join" -> bucketedJoinQ,
     "q134_weighted_sample" -> weightedSampleQ,
     "q128_cap_groups_tokens" -> capTokensQ,
@@ -1631,6 +1768,9 @@ object StatsQueries {
     // q134: same E-S keys from the same md5-derived uniforms; the
     // float key exists only inside the ORDER BY (continuous → no
     // cross-engine ties), the output is integers.
+    "q314_isotonic" -> isotonicOracle,
+    "q315_auc_by_dow" -> aucOracle,
+    "q316_calibration_store" -> isotonicOracle,
     "q134_weighted_sample" ->
       s"""WITH keyed AS (SELECT source, doc_id, n_chars,
         |  ln((${md5l("CAST(doc_id AS VARCHAR)")} + 1) / 1152921504606846976e0)

@@ -869,6 +869,63 @@ object StreamingPower {
     graft.engine.BatchStore.read(spark, storePath)
       .groupBy("bin").agg(sum(col("bcnt")).as("bcnt"))
 
+  /** One micro-batch of the streaming CALIBRATION store: the batch's
+    * per-bin (n, pos) outcome counts land under `batch_id=N` with the
+    * committed-skip guard — ≤ `bins` tiny rows per batch no matter the
+    * batch size. Counts are mergeable by plain summation, so the
+    * isotonic readout over the merged table is IDENTICAL to the
+    * one-shot `Sampling.isotonicCalibration` on the full history
+    * (streamed ≡ one-shot, the repo's streaming-store contract).
+    */
+  def calibrationStep(batch: DataFrame, scoreCol: String, hitCol: String,
+      bins: Int, binWidth: Double, storePath: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    batch.select(
+        least(lit(bins - 1), greatest(lit(0),
+          floor(col(scoreCol) / lit(binWidth)).cast("int"))).as("bin"),
+        col(hitCol).cast("int").as("_hit"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("_hit").as("pos"))
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** Calibration MERGE as a compaction hook: per-bin counts add — the
+    * folded generation is ≤ bins rows however many batches it
+    * absorbed.
+    */
+  val calibrationMerge: DataFrame => DataFrame =
+    _.groupBy("bin").agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+
+  /** The loop as a streaming query over a scored-outcome stream. */
+  def calibrationStream(rows: DataFrame, scoreCol: String, hitCol: String,
+      bins: Int, binWidth: Double, storePath: String, checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        calibrationStep(batch, scoreCol, hitCol, bins, binWidth,
+          storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            calibrationMerge)
+      }
+      .start()
+
+  /** Isotonic readout over everything the store has seen — by
+    * construction equal to the one-shot fit on the union of all
+    * committed batches.
+    */
+  def mergedCalibration(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Sampling.isotonicFromBins(
+      graft.engine.BatchStore.read(spark, storePath)
+        .groupBy("bin").agg(sum(col("n")).as("n"), sum(col("pos")).as("pos")))
+
   /** One micro-batch of the streaming CADENCE store: the batch's
     * DISTINCT (key, bucket_sec) observations land under
     * `batch_id=<id>` with the committed-skip guard — per-event volume

@@ -667,6 +667,44 @@ class PlanSpec extends SparkSpecBase {
     assert(!report.contains("CartesianProduct"), report)
   }
 
+  test("Q3/Q7/Q10 shapes: dims broadcast, top-k is TakeOrderedAndProject, no cartesian") {
+    // Q3: the segment-filtered customer dim broadcasts; LIMIT 10 over
+    // the exact revenue plans a TakeOrderedAndProject (partial top-k
+    // per partition, never a global sort)
+    val p308 = planOf(
+      ParityQueries.queries("q308_shipping_priority")(spark, sf("sf0.001")))
+    assert(!p308.contains("CartesianProduct"), p308)
+    assert(p308.contains("TakeOrderedAndProject"),
+      s"Q3 top-k not a TakeOrderedAndProject:\n$p308")
+    assert(p308.contains("BroadcastHashJoin"), s"no broadcast dim:\n$p308")
+    // Q7: nation joined twice under different roles — two broadcast
+    // joins of the same tiny dim, the disjunctive pair predicate
+    // evaluated above them, never a cartesian
+    val p310 = planOf(
+      ParityQueries.queries("q310_nation_volume")(spark, sf("sf0.001")))
+    assert(!p310.contains("CartesianProduct"), p310)
+    assert("BroadcastHashJoin".r.findAllIn(p310).size >= 2,
+      s"nation aliases not broadcast:\n$p310")
+    // Q10: returnflag filter reaches the lineitem scan; top-20 by the
+    // exact integer is a TakeOrderedAndProject
+    val p312 = planOf(
+      ParityQueries.queries("q312_returned_items")(spark, sf("sf0.001")))
+    assert(!p312.contains("CartesianProduct"), p312)
+    assert(p312.contains("TakeOrderedAndProject"),
+      s"Q10 top-k not a TakeOrderedAndProject:\n$p312")
+    assert(p312.contains("l_returnflag"), s"returnflag not pushed:\n$p312")
+  }
+
+  test("Q6-shape scan: all three predicates push to the lineitem scan") {
+    val plan = planOf(
+      ParityQueries.queries("q309_forecast_revenue")(spark, sf("sf0.001")))
+    assert(!plan.contains("Join"), s"Q6 must be join-free:\n$plan")
+    val pushed = "PushedFilters: \\[[^\\]]*l_discount".r.findFirstIn(plan)
+    assert(pushed.isDefined, s"discount band not pushed to the scan:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(plan).isDefined,
+      s"quantity cap not pushed:\n$plan")
+  }
+
   test("Q19-shape OR-of-conjunctions pushes per-side partial filters") {
     val plan = planOf(
       ParityQueries.queries("q293_disjunctive_revenue")(spark, sf("sf0.001")))

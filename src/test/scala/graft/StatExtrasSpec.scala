@@ -105,4 +105,99 @@ class StatExtrasSpec extends SparkSpecBase {
       s"disjoint union $eu far from $ea + $eb")
     assert(math.abs(ei) < 0.1 * (ea + eb), s"phantom intersection $ei")
   }
+
+  test("Mann-Whitney AUC: hand-counted pairs, ties at half weight, perfect separation at 1") {
+    // pos scores {3,4,5}, neg {1,2,3}: U = 2 + 0.5 + 3 + 3 = 8.5,
+    // AUC = 8.5/9
+    val rows = Seq(
+      ("a", 3.0, true), ("a", 4.0, true), ("a", 5.0, true),
+      ("a", 1.0, false), ("a", 2.0, false), ("a", 3.0, false),
+      // group b: perfectly separated
+      ("b", 10.0, true), ("b", 11.0, true),
+      ("b", 1.0, false), ("b", 2.0, false),
+      // group c: one class only -> dropped
+      ("c", 1.0, true), ("c", 2.0, true))
+      .toDF("g", "score", "hit")
+    val got = graft.operators.StatTests.mannWhitneyAuc(
+      rows, "g", "score", col("hit")).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = got(0)
+    assert(a.getLong(1) == 3 && a.getLong(2) == 3)
+    assert(math.abs(a.getDouble(3) - 8.5 / 9.0) < 1e-6, a.toString)
+    assert(a.getDouble(4) > 0, "positive separation must give z > 0")
+    val b = got(1)
+    assert(b.getDouble(3) == 1.0, b.toString)
+    // AUC is label-flip symmetric: 1 - AUC on the complement
+    val flip = graft.operators.StatTests.mannWhitneyAuc(
+      rows, "g", "score", !col("hit")).collect()(0)
+    assert(math.abs(flip.getDouble(3) - (1.0 - 8.5 / 9.0)) < 1e-6)
+  }
+
+  test("Mann-Whitney AUC: z/p agree with the classic large-sample U test on a known case") {
+    // 20 pos uniformly above 20 neg, no ties: AUC=1, U=400,
+    // z = (U - 200) / sqrt(400*41/12) = 5.410018
+    val rows = ((0 until 20).map(i => (100.0 + i, true)) ++
+      (0 until 20).map(i => (i.toDouble, false)))
+      .map { case (s, h) => ("g", s, h) }.toDF("g", "score", "hit")
+    val r = graft.operators.StatTests.mannWhitneyAuc(
+      rows, "g", "score", col("hit")).collect()(0)
+    assert(r.getDouble(3) == 1.0)
+    assert(math.abs(r.getDouble(4) - 5.410018) < 1e-4, r.toString)
+    assert(r.getLong(5) == 0L, s"p_ppm for z=5.4 must round to 0: $r")
+  }
+
+  test("isotonic: minimax closed form reproduces hand-run PAV pooling") {
+    // per-bin raw rates 1/2, 1/4, 1/2, 1/2, 0 (4 rows each). Hand PAV:
+    // pool bins 0,1 -> 3/8; the trailing 0 pulls 3,4 -> 1/4, then
+    // 2,3,4 -> 1/3, and 3/8 > 1/3 cascades the merge into one global
+    // pool: 7 positives / 20 rows = 0.35 everywhere.
+    val rows = Seq(
+      (0.5, true), (0.5, true), (0.5, false), (0.5, false),
+      (1.5, true), (1.5, false), (1.5, false), (1.5, false),
+      (2.5, true), (2.5, true), (2.5, false), (2.5, false),
+      (3.5, true), (3.5, true), (3.5, false), (3.5, false),
+      (4.5, false), (4.5, false), (4.5, false), (4.5, false))
+      .toDF("score", "hit")
+    val got = graft.operators.Sampling.isotonicCalibration(
+      rows.toDF, col("score"), col("hit"), bins = 5, binWidth = 1.0)
+      .collect().map(r => (r.getInt(0), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2, 3, 4))
+    val iso = got.map(_._2)
+    // global pool: total pos 7 over 20 rows
+    assert(iso.forall(v => math.abs(v - 0.35) < 1e-9),
+      s"expected the all-pooled fit 0.35, got ${iso.toSeq}")
+  }
+
+  test("isotonic: fit is monotone and is the projection (pool means preserved)") {
+    // strictly separable rates with one violation in the middle
+    val rows = (0 until 600).map { i =>
+      // blocks of 100 per bin: i%10 is uniform WITHIN each block
+      // (i%6 would correlate with i%10 mod 2 and skew the rates)
+      val bin = i / 100
+      val hit = bin match {
+        case 0 => i % 10 < 1 // 0.1
+        case 1 => i % 10 < 3 // 0.3
+        case 2 => i % 10 < 6 // 0.6  <- violates vs bin 3
+        case 3 => i % 10 < 4 // 0.4
+        case 4 => i % 10 < 7 // 0.7
+        case 5 => i % 10 < 9 // 0.9
+      }
+      (bin.toDouble + 0.5, hit)
+    }.toDF("score", "hit")
+    val got = graft.operators.Sampling.isotonicCalibration(
+      rows, col("score"), col("hit"), bins = 6, binWidth = 1.0)
+      .collect()
+    val iso = got.map(_.getDouble(4))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b + 1e-12 },
+      s"not monotone: ${iso.toSeq}")
+    // bins 2,3 pool to 0.5; the rest stay at their raw rates
+    val expect = Seq(0.1, 0.3, 0.5, 0.5, 0.7, 0.9)
+    iso.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-9, s"${iso.toSeq} != $expect") }
+    // weighted mass is preserved overall (projection property)
+    val n = got.map(_.getLong(1))
+    val fitMass = iso.zip(n).map { case (v, w) => v * w }.sum
+    val rawMass = got.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(fitMass - rawMass) < 1e-6)
+  }
 }

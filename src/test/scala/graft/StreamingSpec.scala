@@ -359,6 +359,46 @@ class StreamingSpec extends SparkSpecBase {
       s"median readout ${med.mkString(",")}")
   }
 
+  test("streaming calibration store reads out as the one-shot isotonic fit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_calib_store").toString + "/calib"
+    val ckpt = Files.createTempDirectory("graft_calib_ckpt").toString
+    val ms = MemoryStream[(Double, Int)]
+    val q = StreamingPower.calibrationStream(
+      ms.toDF().toDF("score", "hit"), "score", "hit",
+      bins = 5, binWidth = 1.0, storePath, ckpt)
+    // the hand-PAV fixture from StatExtrasSpec, split across batches
+    val all = Seq(
+      (0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0),
+      (1.5, 1), (1.5, 0), (1.5, 0), (1.5, 0),
+      (2.5, 1), (2.5, 1), (2.5, 0), (2.5, 0),
+      (3.5, 1), (3.5, 1), (3.5, 0), (3.5, 0),
+      (4.5, 0), (4.5, 0), (4.5, 0), (4.5, 0))
+    val (b1, b2) = all.splitAt(7)
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4))).toSeq
+    val merged = rows(StreamingPower.mergedCalibration(spark, storePath))
+    val oneShot = rows(graft.operators.Sampling.isotonicCalibration(
+      all.toDF("score", "hit"), col("score"), col("hit") === 1,
+      bins = 5, binWidth = 1.0))
+    assert(merged == oneShot, s"streamed $merged != one-shot $oneShot")
+    // all bins pool globally to 7/20 on this fixture
+    assert(merged.forall(t => math.abs(t._4 - 0.35) < 1e-9), merged.toString)
+    // a retried batch id must not double any bin count
+    StreamingPower.calibrationStep(b2.toDF("score", "hit"), "score", "hit",
+      bins = 5, binWidth = 1.0, storePath, batchId = 1L)
+    assert(rows(StreamingPower.mergedCalibration(spark, storePath)) == oneShot,
+      "retried batch mutated the committed calibration store")
+  }
+
   test("stream-stream interval join matches the batch range join") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
