@@ -157,6 +157,14 @@ object ScaleProbe {
         "pmi_colloc" -> (() => TextAnalysis.pmiCollocations(
           docs, "doc_id", "text", topV = 100, minPairDf = 5L)),
         "ewma" -> (() => Resample.ewma(ev, "user_id", "ts", "value")),
+        // rank eval: one hash aggregate to (group, distinct value)
+        // granularity then a window over distinct scores per group —
+        // expected ~linear in rows (distinct values grow with N here)
+        "mann_whitney_auc" -> (() => StatTests.mannWhitneyAuc(
+          ev.filter(col("ts").isNotNull && col("value").isNotNull)
+            .select(graft.engine.TimeFeatures.dayOfWeek0Sun(col("ts"))
+              .as("dow"), col("value"), col("event_type")),
+          "dow", "value", col("event_type") === "purchase")),
         "spearman" -> (() => StatTests.spearman(
           docs.select(col("n_chars"),
             size(split(col("text"), " ")).as("nt")), "n_chars", "nt")),

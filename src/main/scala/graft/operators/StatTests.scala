@@ -395,6 +395,62 @@ object StatTests {
       .orderBy(groupCol)
   }
 
+  /** Cumulative gains / lift table — the targeting-eval companion to
+    * [[mannWhitneyAuc]]: rank rows by score (desc, id tie-break),
+    * split into `buckets` equal-count bands, and report per-band hit
+    * capture and lift. "Read the top decile" is the production use of
+    * a quality score; this table is what certifies it.
+    *
+    * The global rank is a DISTRIBUTED PREFIX SUM (the Packing
+    * layout): range-partition by (score desc, id), per-partition
+    * row_number in parallel, and only the per-partition totals (one
+    * row per partition) pass through a single-partition window to
+    * become offsets — no corpus-scale global window. The checkpoint
+    * freezes the sampled range boundaries (the repartitionByRange
+    * invariant: two consumers must see one layout). Bands come from
+    * the exact integer ((rank−1)·buckets) div N, so band membership
+    * is reproducible in any engine; all rates are single divisions of
+    * exact longs, round(_, 6).
+    */
+  def gainsTable(df: DataFrame, idCol: String, scoreCol: String,
+      hit: org.apache.spark.sql.Column, buckets: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val base = df.select(col(idCol).as("_id"), col(scoreCol).as("_s"),
+        hit.cast("int").as("_h"))
+      .repartitionByRange(parts, col("_s").desc, col("_id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // one layout for ranks AND offsets
+    val local = base.withColumn("_rn", row_number().over(
+      Window.partitionBy("_pid").orderBy(col("_s").desc, col("_id"))))
+    val perPart = base.groupBy("_pid")
+      .agg(count(lit(1)).as("_n"), sum("_h").as("_p"))
+    val offsets = perPart
+      .withColumn("_off", coalesce(sum("_n").over(Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint() // feeds the broadcast join AND the totals
+    val totals = offsets.agg(sum("_n").as("_N"), sum("_p").as("_P"))
+    val banded = local
+      .join(broadcast(offsets.select("_pid", "_off")), Seq("_pid"))
+      .crossJoin(broadcast(totals))
+      .withColumn("band",
+        expr(s"((_off + _rn - 1) * $buckets) div _N").cast("int"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), sum("_h").as("pos"),
+        max("_N").as("_N"), max("_P").as("_P"))
+    val wc = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded
+      .withColumn("cum_pos", sum("pos").over(wc))
+      .select(col("band"), col("n"), col("pos"),
+        round(col("pos").cast("double") / col("n").cast("double")
+          / (col("_P").cast("double") / col("_N").cast("double")), 6)
+          .as("lift"),
+        round(col("cum_pos").cast("double") / col("_P").cast("double"), 6)
+          .as("capture"))
+      .orderBy("band")
+  }
+
   /** Multiple-testing control (Benjamini–Hochberg 1995, FDR α=0.05)
     * over per-group proportion tests — the guardrail for "which of my
     * m slices moved?" readouts (per-source quality drift, per-segment

@@ -389,6 +389,41 @@ object StatsQueries {
     out
   }
 
+  /** q317: cumulative gains / lift table — the decile targeting
+    * readout over the event value as a purchase score
+    * (`StatTests.gainsTable`). The Spark side ranks via the
+    * distributed range-partition prefix sum; the oracle uses the
+    * plain global window — both produce the SAME total order
+    * ((value desc, event_id) is unique), and band membership is the
+    * exact integer ((rank−1)·10) div N, so the table hash-matches.
+    */
+  private val gainsQ: Q = (s, dir) =>
+    StatTests.gainsTable(
+      Tables.events(s, dir).filter(col("value").isNotNull),
+      "event_id", "value", col("event_type") === "purchase", buckets = 10)
+
+  private val gainsOracle: String =
+    """WITH r AS MATERIALIZED (
+      |  SELECT event_id, value,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS h,
+      |    row_number() OVER (ORDER BY value DESC, event_id) AS rn
+      |  FROM events WHERE value IS NOT NULL),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+      |    CAST(SUM(h) AS BIGINT) AS p0 FROM r),
+      |g AS (SELECT CAST(((rn - 1) * 10) // (SELECT n0 FROM t)
+      |      AS INTEGER) AS band,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(SUM(h) AS BIGINT) AS pos
+      |  FROM r GROUP BY 1),
+      |c AS (SELECT band, n, pos,
+      |    CAST(SUM(pos) OVER (ORDER BY band) AS BIGINT) AS cum_pos
+      |  FROM g)
+      |SELECT band, n, pos,
+      |  round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+      |    / (CAST(t.p0 AS DOUBLE) / CAST(t.n0 AS DOUBLE)), 6) AS lift,
+      |  round(CAST(cum_pos AS DOUBLE) / CAST(t.p0 AS DOUBLE), 6)
+      |    AS capture
+      |FROM c, t ORDER BY band""".stripMargin
+
   /** q315: per-slice ROC-AUC (Mann–Whitney U) — does the event value
     * separate purchases from non-purchases, sliced by day-of-week
     * (`StatTests.mannWhitneyAuc`). 2U accumulates as an exact long via
@@ -855,6 +890,7 @@ object StatsQueries {
     "q314_isotonic" -> isotonicQ,
     "q315_auc_by_dow" -> aucQ,
     "q316_calibration_store" -> calibrationStoreQ,
+    "q317_gains_table" -> gainsQ,
     "q135_bucketed_join" -> bucketedJoinQ,
     "q134_weighted_sample" -> weightedSampleQ,
     "q128_cap_groups_tokens" -> capTokensQ,
@@ -1771,6 +1807,7 @@ object StatsQueries {
     "q314_isotonic" -> isotonicOracle,
     "q315_auc_by_dow" -> aucOracle,
     "q316_calibration_store" -> isotonicOracle,
+    "q317_gains_table" -> gainsOracle,
     "q134_weighted_sample" ->
       s"""WITH keyed AS (SELECT source, doc_id, n_chars,
         |  ln((${md5l("CAST(doc_id AS VARCHAR)")} + 1) / 1152921504606846976e0)

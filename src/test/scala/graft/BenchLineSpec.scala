@@ -57,7 +57,7 @@ class BenchLineSpec extends AnyFunSuite {
       (s"q${i}_synthetic_operator_name_$i", v, failEvery == 0 || i % failEvery != 0)
     }
 
-  test("320-query suite renders inside the budget") { check(synth(320)) }
+  test("360-query suite renders inside the budget") { check(synth(360)) }
 
   test("500-query suite renders inside the budget") { check(synth(500)) }
 

@@ -146,6 +146,40 @@ class StatExtrasSpec extends SparkSpecBase {
     assert(r.getLong(5) == 0L, s"p_ppm for z=5.4 must round to 0: $r")
   }
 
+  test("gains table: distributed rank equals the global-window rank; perfect score captures early") {
+    // 100 rows, all 20 hits in the top quintile of the score: bands
+    // 0-1 capture everything, lift 5 in band 0
+    val rows = (0 until 100).map(i => (i.toLong, 1000.0 - i, i < 20))
+      .toDF("id", "score", "hit")
+    val got = graft.operators.StatTests.gainsTable(
+      rows, "id", "score", col("hit"), buckets = 10).collect()
+    assert(got.length == 10)
+    assert(got(0).getLong(2) == 10 && got(0).getDouble(3) == 5.0, got(0).toString)
+    assert(got(1).getDouble(4) == 1.0, "top two deciles must capture all hits")
+    assert(got(9).getLong(2) == 0)
+    // equivalence with a naive single-window reference on real data
+    // (the distributed prefix sum must reproduce the exact total order)
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .filter(col("value").isNotNull)
+    val dist = graft.operators.StatTests.gainsTable(
+      ev, "event_id", "value", col("event_type") === "purchase").collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("value").desc, col("event_id"))
+    val n = ev.count()
+    val naive = ev
+      .withColumn("rn", row_number().over(w))
+      // integer floor division: Spark `/` on longs is DOUBLE division
+      .withColumn("band", expr(s"((rn - 1) * 10) div ${n}L").cast("int"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum((col("event_type") === "purchase").cast("int")).as("pos"))
+      .orderBy("band").collect()
+    dist.zip(naive).foreach { case (d, nv) =>
+      assert(d.getInt(0) == nv.getInt(0) && d.getLong(1) == nv.getLong(1)
+        && d.getLong(2) == nv.getLong(2), s"$d != $nv")
+    }
+  }
+
   test("isotonic: minimax closed form reproduces hand-run PAV pooling") {
     // per-bin raw rates 1/2, 1/4, 1/2, 1/2, 0 (4 rows each). Hand PAV:
     // pool bins 0,1 -> 3/8; the trailing 0 pulls 3,4 -> 1/4, then
