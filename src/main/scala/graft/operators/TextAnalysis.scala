@@ -688,7 +688,21 @@ object TextAnalysis {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKTerms(docs, idCol, textCol,
+      queries.select(col(queryIdCol).as("query_id"),
+          explode(split(col(queryTextCol), " ")).as("token"))
+        .distinct(),
+      k, k1, b)
+
+  /** [[bm25TopK]] over an explicit per-query TERM SET — (query_id,
+    * token) rows instead of query text. The seam query-expansion
+    * passes ([[rm3ExpandedTopK]]) rescore through: expansion changes
+    * the term set, never the scoring chain.
+    */
+  def bm25TopKTerms(docs: DataFrame, idCol: String, textCol: String,
+      qterms: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     val stats = docs.agg(
       count(lit(1)).cast("double").as("_n_docs"),
       avg(size(wsTokens(col(textCol)))).as("_avgdl"))
@@ -697,11 +711,17 @@ object TextAnalysis {
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
     val dl = docs.select(col(idCol).as("doc"),
       size(split(col(textCol), " ")).as("dl"))
+    bm25ScoreTerms(tf, dl, stats, qterms, idCol, k, k1, b)
+  }
+
+  /** The scoring half of [[bm25TopKTerms]] over prebuilt corpus
+    * statistics — the seam multi-pass retrieval ([[rm3ExpandedTopK]])
+    * shares so the corpus tokenizes ONCE, not once per pass.
+    */
+  private def bm25ScoreTerms(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame, qterms: DataFrame, idCol: String, k: Int,
+      k1: Double, b: Double): DataFrame = {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val qterms = queries
-      .select(col(queryIdCol).as("query_id"),
-        explode(split(col(queryTextCol), " ")).as("token"))
-      .distinct()
     val qdf = qterms.join(df, Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -723,6 +743,71 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc").as(idCol), col("score"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the RM3 recipe,
+    * Lavrenko & Croft SIGIR 2001 relevance models as popularized in
+    * Anserini/Pyserini): run the query, treat its top `fbDocs` hits
+    * as relevant, weight each of their terms by
+    * Σ over feedback docs of (tf(t,d)/dl(d)) · rsv(d) — the relevance
+    * model estimate with the BM25 score as the document weight — add
+    * the top `fbTerms` NEW terms to the query, and rescore. The
+    * vocabulary-mismatch fix sparse retrieval ships with: a query
+    * phrased differently from its relevant docs inherits their
+    * wording.
+    *
+    * Determinism: per-(term, doc) weights quantize to integer nano at
+    * birth (the order-invariant-aggregate rule — a 5-double sum's
+    * order is unpinnable), so term weights are exact longs ranked with
+    * token tie-breaks; both retrieval passes are the standard
+    * 6dp-rounded BM25 rankings.
+    *
+    * Scale shape: pass 1 is [[bm25TopK]]; the feedback table is
+    * |queries|·fbDocs rows (broadcast); term mining joins it
+    * map-side against the tf table; pass 2 is [[bm25TopKTerms]] over
+    * ≤ original+fbTerms terms per query. Nothing beyond the standard
+    * BM25 joins ever materializes corpus-scale.
+    *
+    * Output: pass-2 (query_id, rank, idCol, score) top-k.
+    */
+  def rm3ExpandedTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, fbDocs: Int = 5, fbTerms: Int = 8,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(split(col(queryTextCol), " ")).as("token"))
+      .distinct()
+      .localCheckpoint() // feeds pass 1, the NOT-IN filter, and pass 2
+    // corpus statistics built ONCE; tf/dl checkpoint because pass 1,
+    // term mining, and pass 2 all read them (3 tokenize passes
+    // otherwise)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n_docs"),
+      avg(size(wsTokens(col(textCol)))).as("_avgdl"))
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = docs.select(col(idCol).as("doc"),
+      size(split(col(textCol), " ")).as("dl"))
+      .localCheckpoint()
+    val fb = bm25ScoreTerms(tf, dl, stats, qt, idCol, fbDocs, k1, b)
+      .select(col("query_id"), col(idCol).as("doc"), col("score"))
+      .localCheckpoint() // |queries|·fbDocs rows — the broadcast seam
+    val weights = tf.join(broadcast(fb), Seq("doc")).join(dl, Seq("doc"))
+      .withColumn("_w_nano",
+        round(lit(1e9) * ((col("tf").cast("double") / col("dl").cast("double"))
+          * col("score"))).cast("long"))
+      .groupBy("query_id", "token").agg(sum("_w_nano").as("w_nano"))
+    val expansion = weights
+      .join(qt, Seq("query_id", "token"), "left_anti") // NEW terms only
+      .withColumn("_er", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("w_nano").desc, col("token"))))
+      .filter(col("_er") <= fbTerms)
+      .select("query_id", "token")
+    val qt2 = qt.unionByName(expansion).distinct().localCheckpoint()
+    bm25ScoreTerms(tf, dl, stats, qt2, idCol, k, k1, b)
   }
 
   /** Impact-ordered static index pruning (Carmel et al., SIGIR 2001)

@@ -316,6 +316,51 @@ private[queries] object QueryHelpers {
        |   FROM sc)
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  // q318: RM3 pseudo-relevance feedback on the q139 chain — top-5
+  // feedback docs, term weights as exact nano-long sums of
+  // (tf/dl)·rsv (the order-invariant-aggregate rule), top-8 NEW
+  // terms (NOT EXISTS against the original qt), UNION'd term set,
+  // then the verbatim q139 scoring expression over qt2.
+  lazy val rm3Oracle: String =
+    s"""WITH $bm25Ctes,
+       |fb AS (SELECT query_id, doc, score FROM (
+       |    SELECT query_id, doc, score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc) AS rk
+       |    FROM sc) WHERE rk <= 5),
+       |wv AS (SELECT f.query_id, t.token,
+       |    CAST(SUM(CAST(round(1e9 * ((CAST(t.tf AS DOUBLE)
+       |      / CAST(d.dl AS DOUBLE)) * f.score)) AS BIGINT))
+       |      AS BIGINT) AS w_nano
+       |  FROM fb f JOIN tfc t ON t.doc = f.doc JOIN dl d ON d.doc = f.doc
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT query_id, token FROM (
+       |    SELECT w.query_id, w.token,
+       |      row_number() OVER (PARTITION BY w.query_id
+       |        ORDER BY w.w_nano DESC, w.token) AS er
+       |    FROM wv w WHERE NOT EXISTS (SELECT 1 FROM qt q
+       |      WHERE q.query_id = w.query_id AND q.token = w.token))
+       |  WHERE er <= 8),
+       |qt2 AS (SELECT query_id, token FROM qt
+       |  UNION SELECT query_id, token FROM ex),
+       |sc2 AS (SELECT query_id, tfc.doc,
+       |    round(sum(ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+       |      * tf * (1.2e0 + 1e0)
+       |      / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))), 6)
+       |      AS score
+       |  FROM tfc
+       |  JOIN qt2 USING (token)
+       |  JOIN dfc USING (token)
+       |  JOIN dl ON tfc.doc = dl.doc
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc AS doc_id, score FROM
+       |  (SELECT query_id, doc, score,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc) AS INTEGER) AS rank
+       |   FROM sc2)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // q307: the impact-pruned tier beside the exact one — per-token
   // top-M postings by the doc-dependent BM25 factor (6dp-rounded,
   // doc tie-break), scored with the FULL-corpus df/idf, then the

@@ -328,6 +328,26 @@ object TextQueries {
   }
 
 
+  /** q318: RM3 pseudo-relevance-feedback expansion
+    * (`TextAnalysis.rm3ExpandedTopK`) on the q139 corpus/probe split:
+    * top-5 feedback docs per query, term weights as exact nano-long
+    * sums of (tf/dl)·rsv, top-8 NEW terms joined to the query, then
+    * the standard BM25 rescore. The oracle replays feedback → mining
+    * → expansion → rescore on the shared q139 CTE chain, so a wrong
+    * feedback doc, a mis-weighted term, or a second-pass scoring
+    * drift all flip the hash.
+    */
+  private val rm3Q: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    TextAnalysis.rm3ExpandedTopK(corpus, "doc_id", "text",
+      probes, "query_id", "qtext", k = 10, fbDocs = 5, fbTerms = 8)
+  }
+
   /** Session-shared POSITIONAL text index over the q139/q140 corpus
     * split (source != src0, two disjoint even/odd-doc_id batches) —
     * built once per (JVM, sf dir) and reused by q140 (BM25 query) and
@@ -770,6 +790,7 @@ object TextQueries {
     "q140_text_index" -> textIndexQ,
     "q139_bm25" -> bm25Q,
     "q307_bm25_pruned" -> bm25PrunedQ,
+    "q318_rm3_expansion" -> rm3Q,
     "q114_corpus_stats" -> corpusStatsQ,
     "q112_bpe_merges" -> bpeQ,
     "q105_span_corrupt" -> spanQ,
@@ -1674,6 +1695,7 @@ object TextQueries {
     "q140_text_index" -> bm25Oracle,
     "q139_bm25" -> bm25Oracle,
     "q307_bm25_pruned" -> bm25PrunedOracle,
+    "q318_rm3_expansion" -> rm3Oracle,
     "q114_corpus_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

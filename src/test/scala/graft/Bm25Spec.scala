@@ -76,4 +76,46 @@ class Bm25Spec extends SparkSpecBase {
       assert(math.abs(gs - es) < 1e-5, s"score mismatch at ($gq,$gr): $gs vs $es")
     }
   }
+
+  test("RM3 expansion bridges vocabulary mismatch: a doc sharing no query term becomes reachable") {
+    import spark.implicits._
+    // feedback docs pair "alpha" with "beta"; doc 10 speaks only
+    // "beta" and is invisible to the raw query
+    val corpus = Seq(
+      (1L, "alpha beta common"), (2L, "alpha beta common"),
+      (3L, "alpha beta filler"),
+      (10L, "beta beta beta"),
+      (20L, "gamma delta common"), (21L, "gamma epsilon filler"),
+      (22L, "zeta eta common"), (23L, "theta iota filler"))
+      .toDF("doc_id", "text")
+    val probes = Seq((100L, "alpha")).toDF("query_id", "qtext")
+    val raw = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      probes, "query_id", "qtext", k = 10).collect()
+    assert(!raw.map(_.getLong(2)).contains(10L),
+      "doc 10 must be unreachable before expansion")
+    val exp = TextAnalysis.rm3ExpandedTopK(corpus, "doc_id", "text",
+      probes, "query_id", "qtext", k = 10, fbDocs = 3, fbTerms = 2)
+      .collect()
+    assert(exp.map(_.getLong(2)).contains(10L),
+      s"expansion did not surface doc 10: ${exp.mkString("; ")}")
+    // original-term docs must stay retrievable (expansion adds, never
+    // replaces)
+    assert(exp.map(_.getLong(2)).toSet.intersect(Set(1L, 2L, 3L)).size == 3)
+  }
+
+  test("RM3 with zero feedback terms degrades to the plain BM25 ranking") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    val plain = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+      probes, "query_id", "qtext", k = 10).collect().toSeq
+    val noExp = TextAnalysis.rm3ExpandedTopK(corpus, "doc_id", "text",
+      probes, "query_id", "qtext", k = 10, fbDocs = 5, fbTerms = 0)
+      .collect().toSeq
+    assert(noExp == plain, "fbTerms=0 must reproduce the raw ranking")
+  }
 }
