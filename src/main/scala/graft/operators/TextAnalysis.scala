@@ -714,14 +714,19 @@ object TextAnalysis {
     bm25ScoreTerms(tf, dl, stats, qterms, idCol, k, k1, b)
   }
 
+  private def bm25ScoreTerms(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame, qterms: DataFrame, idCol: String, k: Int,
+      k1: Double, b: Double): DataFrame =
+    bm25ScoreTermsDf(tf, tf.groupBy("token").agg(count(lit(1)).as("df")),
+      dl, stats, qterms, idCol, k, k1, b)
+
   /** The scoring half of [[bm25TopKTerms]] over prebuilt corpus
     * statistics — the seam multi-pass retrieval ([[rm3ExpandedTopK]])
     * shares so the corpus tokenizes ONCE, not once per pass.
     */
-  private def bm25ScoreTerms(tf: DataFrame, dl: DataFrame,
-      stats: DataFrame, qterms: DataFrame, idCol: String, k: Int,
-      k1: Double, b: Double): DataFrame = {
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+  private def bm25ScoreTermsDf(tf: DataFrame, df: DataFrame,
+      dl: DataFrame, stats: DataFrame, qterms: DataFrame, idCol: String,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val qdf = qterms.join(df, Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -792,7 +797,9 @@ object TextAnalysis {
     val dl = docs.select(col(idCol).as("doc"),
       size(split(col(textCol), " ")).as("dl"))
       .localCheckpoint()
-    val fb = bm25ScoreTerms(tf, dl, stats, qt, idCol, fbDocs, k1, b)
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .localCheckpoint() // both scoring passes read it
+    val fb = bm25ScoreTermsDf(tf, df, dl, stats, qt, idCol, fbDocs, k1, b)
       .select(col("query_id"), col(idCol).as("doc"), col("score"))
       .localCheckpoint() // |queries|·fbDocs rows — the broadcast seam
     val weights = tf.join(broadcast(fb), Seq("doc")).join(dl, Seq("doc"))
@@ -807,7 +814,7 @@ object TextAnalysis {
       .filter(col("_er") <= fbTerms)
       .select("query_id", "token")
     val qt2 = qt.unionByName(expansion).distinct().localCheckpoint()
-    bm25ScoreTerms(tf, dl, stats, qt2, idCol, k, k1, b)
+    bm25ScoreTermsDf(tf, df, dl, stats, qt2, idCol, k, k1, b)
   }
 
   /** Impact-ordered static index pruning (Carmel et al., SIGIR 2001)

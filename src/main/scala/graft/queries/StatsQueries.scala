@@ -471,7 +471,7 @@ object StatsQueries {
       |  FROM agg)
       |SELECT CAST(g AS INTEGER) AS dow, n_pos, n_neg,
       |  round(CAST(u2 AS DOUBLE) / (2e0 * prod), 6) AS auc,
-      |  round(z, 6) AS z,
+      |  round(z, 6) + 0e0 AS z,
       |  CAST(round(exp(-0.5e0 * abs(z) * abs(z))
       |    * 0.3989422804014327e0
       |    * (((((1.330274429e0 * tt + -1.821255978e0) * tt
