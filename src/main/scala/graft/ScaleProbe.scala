@@ -165,6 +165,28 @@ object ScaleProbe {
             .select(graft.engine.TimeFeatures.dayOfWeek0Sun(col("ts"))
               .as("dow"), col("value"), col("event_type")),
           "dow", "value", col("event_type") === "purchase")),
+        // distributed-prefix-sum global rank: one range shuffle +
+        // parallel local windows; only the per-partition totals table
+        // is single-partition — expected ~linear (sort-bound)
+        "gains_table" -> (() => StatTests.gainsTable(
+          ev.filter(col("value").isNotNull),
+          "event_id", "value", col("event_type") === "purchase")),
+        // two BM25 scoring passes + feedback mining over ONE shared
+        // tokenize/df build — expected ~2x the single-pass text query
+        // curve (linear in corpus, the documented honest limit)
+        "rm3_expansion" -> (() => {
+          // probes from the UNreplicated base (docs0): the curve
+          // measures corpus growth at a FIXED query load
+          val probes = docs0
+            .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+            .select(col("doc_id").as("query_id"),
+              concat_ws(" ", slice(split(col("text"), " "), 1, 6))
+                .as("qtext"))
+          TextAnalysis.rm3ExpandedTopK(
+            docs.filter(col("source") =!= "src0").select("doc_id", "text"),
+            "doc_id", "text", probes, "query_id", "qtext",
+            k = 10, fbDocs = 5, fbTerms = 8)
+        }),
         "spearman" -> (() => StatTests.spearman(
           docs.select(col("n_chars"),
             size(split(col("text"), " ")).as("nt")), "n_chars", "nt")),

@@ -778,6 +778,7 @@ object TextAnalysis {
   def rm3ExpandedTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int = 10, fbDocs: Int = 5, fbTerms: Int = 8,
+      maxExpansionDfPct: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qt = queries
       .select(col(queryIdCol).as("query_id"),
@@ -807,7 +808,18 @@ object TextAnalysis {
         round(lit(1e9) * ((col("tf").cast("double") / col("dl").cast("double"))
           * col("score"))).cast("long"))
       .groupBy("query_id", "token").agg(sum("_w_nano").as("w_nano"))
+    // df cap on expansion candidates (exact-integer compare): the
+    // relevance model loves high-(tf/dl) near-stopwords whose postings
+    // are corpus-sized — without the cap, pass-2 cost per query grows
+    // with df(expansion) ~ N and the ScaleProbe curve goes 10x the
+    // single-pass text query. Capping df at maxExpansionDfPct% keeps
+    // the informative mid-df terms (standard RM3 practice) and bounds
+    // pass-2 postings at the cap.
+    val nd = docs.agg(count(lit(1)).as("_nd"))
     val expansion = weights
+      .join(df.select(col("token"), col("df").as("_df")), Seq("token"))
+      .crossJoin(broadcast(nd))
+      .filter(col("_df") * 100 <= lit(maxExpansionDfPct.toLong) * col("_nd"))
       .join(qt, Seq("query_id", "token"), "left_anti") // NEW terms only
       .withColumn("_er", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("w_nano").desc, col("token"))))

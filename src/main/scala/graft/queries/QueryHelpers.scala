@@ -318,9 +318,10 @@ private[queries] object QueryHelpers {
 
   // q318: RM3 pseudo-relevance feedback on the q139 chain — top-5
   // feedback docs, term weights as exact nano-long sums of
-  // (tf/dl)·rsv (the order-invariant-aggregate rule), top-8 NEW
-  // terms (NOT EXISTS against the original qt), UNION'd term set,
-  // then the verbatim q139 scoring expression over qt2.
+  // (tf/dl)·rsv (the order-invariant-aggregate rule), the df cap
+  // df·100 <= 20·|corpus| (exact integers) on expansion candidates,
+  // top-8 NEW terms (NOT EXISTS against the original qt), UNION'd
+  // term set, then the verbatim q139 scoring expression over qt2.
   lazy val rm3Oracle: String =
     s"""WITH $bm25Ctes,
        |fb AS (SELECT query_id, doc, score FROM (
@@ -334,12 +335,15 @@ private[queries] object QueryHelpers {
        |      AS BIGINT) AS w_nano
        |  FROM fb f JOIN tfc t ON t.doc = f.doc JOIN dl d ON d.doc = f.doc
        |  GROUP BY 1, 2),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM corpus),
        |ex AS (SELECT query_id, token FROM (
        |    SELECT w.query_id, w.token,
        |      row_number() OVER (PARTITION BY w.query_id
        |        ORDER BY w.w_nano DESC, w.token) AS er
-       |    FROM wv w WHERE NOT EXISTS (SELECT 1 FROM qt q
-       |      WHERE q.query_id = w.query_id AND q.token = w.token))
+       |    FROM wv w JOIN dfc USING (token) CROSS JOIN nd
+       |    WHERE dfc.df * 100 <= 20 * nd.nd
+       |      AND NOT EXISTS (SELECT 1 FROM qt q
+       |        WHERE q.query_id = w.query_id AND q.token = w.token))
        |  WHERE er <= 8),
        |qt2 AS (SELECT query_id, token FROM qt
        |  UNION SELECT query_id, token FROM ex),

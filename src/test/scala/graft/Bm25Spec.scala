@@ -93,8 +93,11 @@ class Bm25Spec extends SparkSpecBase {
       probes, "query_id", "qtext", k = 10).collect()
     assert(!raw.map(_.getLong(2)).contains(10L),
       "doc 10 must be unreachable before expansion")
+    // pct=60: "beta" has df 4/8 = 50%, above the production default
+    // cap but a legitimate expansion term in this tiny fixture
     val exp = TextAnalysis.rm3ExpandedTopK(corpus, "doc_id", "text",
-      probes, "query_id", "qtext", k = 10, fbDocs = 3, fbTerms = 2)
+      probes, "query_id", "qtext", k = 10, fbDocs = 3, fbTerms = 2,
+      maxExpansionDfPct = 60)
       .collect()
     assert(exp.map(_.getLong(2)).contains(10L),
       s"expansion did not surface doc 10: ${exp.mkString("; ")}")
@@ -114,7 +117,8 @@ class Bm25Spec extends SparkSpecBase {
     val plain = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
       probes, "query_id", "qtext", k = 10).collect().toSeq
     val noExp = TextAnalysis.rm3ExpandedTopK(corpus, "doc_id", "text",
-      probes, "query_id", "qtext", k = 10, fbDocs = 5, fbTerms = 0)
+      probes, "query_id", "qtext", k = 10, fbDocs = 5, fbTerms = 0,
+      maxExpansionDfPct = 100)
       .collect().toSeq
     assert(noExp == plain, "fbTerms=0 must reproduce the raw ranking")
   }
