@@ -154,6 +154,140 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .orderBy(aCol, bCol)
 
+  /** WEIGHTED MinHash near-dup pairs — Ioffe's Improved Consistent
+    * Weighted Sampling (ICDM 2010) over token-FREQUENCY vectors:
+    * collision probability equals the weighted Jaccard
+    * J_w = Σ min(a_k, b_k) / Σ max(a_k, b_k), so near-dups are judged
+    * on how often terms repeat, not just which terms appear — robust
+    * where plain (set) MinHash saturates on long docs sharing a
+    * vocabulary.
+    *
+    * Per (token, hash i), ICWS draws r, c ~ Gamma(2,1) and
+    * β ~ U(0,1) — all DETERMINISTIC hash-uniforms (Gamma(2,1) =
+    * −ln(u₁·u₂), the Efraimidis–Spirakis trick), so the "random"
+    * sample replays bit-for-bit in the oracle. The sample for weight
+    * w is t = ⌊ln w / r + β⌋, argmin over tokens of
+    * ln a = ln c − r·(t − β) − r. The argmin compares the nano-long
+    * quantization of ln a packed with a 24-bit KM mix of the token
+    * identity into ONE long (raw libm doubles could argmin-flip
+    * cross-engine; a ±1-nano disagreement flips a winner only on a
+    * ≤1-nano top-2 gap). Parameters are VOCABULARY-sized and
+    * doc-independent — computed once, joined to the tf table; the
+    * argmin is a codegen'd map-side-partial `min(long)` HashAggregate,
+    * never a corpus-wide window, and the packed value IS the
+    * signature key (lna is a pure function of (token, i, t)).
+    *
+    * Candidates come from banded signature keys exactly like
+    * [[minhashLshPairs]] (bit_xor band fold — order-free — plus the
+    * hot-bucket broadcast-anti cap), and every candidate is verified
+    * with the EXACT weighted Jaccard from integer tf sums (Σmin /
+    * (Σa + Σb − Σmin)) — the estimate ships beside the exact value,
+    * the q307 certification discipline.
+    *
+    * Output: (doc_a, doc_b, est_jw, jw) with jw ≥ `minJw`, ordered.
+    */
+  def weightedMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 8, minJw: Double = 0.5,
+      maxBucket: Int = 1000,
+      hashes: HashFamily = XxHash64Family): DataFrame = {
+    val rows = numHashes / bands
+    require(bands * rows == numHashes, "bands must divide numHashes")
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("w"))
+      .localCheckpoint() // feeds params vocab, sampling, and exact verify
+    // ICWS parameters per (token, i): vocabulary-sized, doc-independent.
+    // All 5 uniforms per (token, i) derive from TWO base hashes via
+    // Kirsch-Mitzenmacher arithmetic (the q21 permute trick): h2 masks
+    // to 56 bits so (5i+j)*h2 + h1 stays under 2^63 (ANSI-safe), the
+    // & (2^60-1) fold keeps the draw in md5l's range — every op is
+    // exact integer arithmetic the oracle replays verbatim.
+    def u(j: Int): Column =
+      (((col("_h1") + (lit(5L) * col("i") + lit(j.toLong))
+        * col("_h2").bitwiseAND(lit(0xFFFFFFFFFFFFFFL)))
+        .bitwiseAND(lit((1L << 60) - 1)) + lit(1L))
+        / lit(1.152921504606846976e18))
+    val par = tf.select("token").distinct()
+      .select(col("token"), hashes.hash(col("token")).as("_h1"),
+        hashes.hash2(col("token")).as("_h2"))
+      .select(col("token"), col("_h1"), col("_h2"),
+        explode(sequence(lit(0L), lit(numHashes - 1L))).as("i"))
+      .select(col("token"), col("i"), col("_h1"), col("_h2"),
+        negate(log(u(1) * u(2))).as("_r"),
+        negate(log(u(3) * u(4))).as("_c"),
+        u(5).as("_beta"))
+    // the sample candidate packs into ONE long — (lna_nano + 2^38)
+    // << 24 | mix24 — so the per-(doc, i) argmin is a codegen'd
+    // HashAggregate min(long) with map-side partials, not a
+    // SortAggregate over (long, string) structs (measured 4.2 s ->
+    // 0.6 s on the 1.9M-row sample frame at sf0.1). The winner's
+    // IDENTITY rides in the value: lna is a pure function of
+    // (token, i, t), and mix24 KM-mixes (h1, h2, t), so equal packed
+    // values mean the same weighted sample — packed IS the signature
+    // key. Bounds: |lna| <= ~131 (r <= -ln 2^-120, |ln c| <= 41,
+    // ln w <= ~7) keeps lna_nano under 2^38; (t%2^20 + 7)·(h2 &
+    // 2^42-1) + h1 < 2^63 — every op ANSI-safe and replayed verbatim
+    // in the oracle.
+    val sampled = tf.join(par, Seq("token"))
+      .withColumn("t",
+        floor(log(col("w").cast("double")) / col("_r") + col("_beta")))
+      .withColumn("_lna_nano",
+        round((log(col("_c")) - col("_r") * (col("t") - col("_beta"))
+          - col("_r")) * lit(1e9)).cast("long"))
+      .withColumn("_mix",
+        (col("_h1") + (col("t") % lit(1048576L) + lit(7L))
+          * col("_h2").bitwiseAND(lit(4398046511103L)))
+          .bitwiseAND(lit(16777215L)))
+      .withColumn("_packed",
+        shiftleft(col("_lna_nano") + lit(274877906944L), 24)
+          .bitwiseOR(col("_mix")))
+    val sig = sampled.groupBy("doc", "i")
+      .agg(min(col("_packed")).as("skey"))
+      .localCheckpoint() // feeds banding AND pair scoring
+    val banded = sig
+      .withColumn("band", expr(s"CAST(i div $rows AS INT)"))
+      .groupBy("doc", "band")
+      .agg(expr("bit_xor(skey)").as("band_hash")) // order-free fold
+    val hot = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select("band", "band_hash")
+    val capped = banded
+      .join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    val cand = capped
+      .select(col("band"), col("band_hash"), col("doc").as("doc_a"))
+      .join(capped.select(col("band"), col("band_hash"),
+        col("doc").as("doc_b")), Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint() // feeds the est AND exact joins
+    val est = cand
+      .join(sig.select(col("doc").as("doc_a"), col("i"),
+        col("skey").as("_ka")), Seq("doc_a"))
+      .join(sig.select(col("doc").as("doc_b"), col("i"),
+        col("skey").as("_kb")), Seq("doc_b", "i"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(sum(when(col("_ka") === col("_kb"), 1).otherwise(0))
+        .cast("double") / lit(numHashes), 6).as("est_jw"))
+    val tot = tf.groupBy("doc").agg(sum("w").as("_tw"))
+    val cmin = cand
+      .join(tf.select(col("doc").as("doc_a"), col("token"),
+        col("w").as("_wa")), Seq("doc_a"))
+      .join(tf.select(col("doc").as("doc_b"), col("token"),
+        col("w").as("_wb")), Seq("doc_b", "token"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("_wa"), col("_wb"))).as("_cmin"))
+    est
+      .join(cmin, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("_cmin"))
+      .join(tot.select(col("doc").as("doc_a"), col("_tw").as("_ta")), Seq("doc_a"))
+      .join(tot.select(col("doc").as("doc_b"), col("_tw").as("_tb")), Seq("doc_b"))
+      .withColumn("jw", round(col("_cmin").cast("double")
+        / (col("_ta") + col("_tb") - col("_cmin")).cast("double"), 6))
+      .filter(col("jw") >= minJw)
+      .select("doc_a", "doc_b", "est_jw", "jw")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 1000,

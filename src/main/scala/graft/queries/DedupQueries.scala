@@ -432,7 +432,98 @@ object DedupQueries {
     Profile.crossSourceDuplication(Tables.documents(s, dir), "doc_id",
       "text", "source")
 
+  /** q319: WEIGHTED MinHash (Ioffe ICWS) near-dup pairs over token
+    * frequencies — collision probability = weighted Jaccard. All the
+    * "randomness" (the per-(token, hash) Gamma/uniform draws) derives
+    * from Md5Family hashes, so the oracle replays the full chain:
+    * params → log-space argmin (nano-quantized packed longs) →
+    * bit_xor band keys → collision pairs → estimate BESIDE the exact
+    * integer-tf weighted Jaccard. A wrong draw, a flipped argmin, or
+    * a lost band collision all flip the hash. 2 bands × 8 rows — the
+    * HIGH-threshold S-curve ((1/b)^(1/r) ≈ 0.92): this synthetic
+    * corpus has a ~0.54 weighted-Jaccard template floor across ALL
+    * doc pairs, so permissive banding (8×2) would collide ~every
+    * pair (the quadratic trap); the tight curve keeps candidates to
+    * the true near-dup mass.
+    */
+  private val weightedMinhashQ: Q = (s, dir) =>
+    Dedup.weightedMinhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      numHashes = 16, bands = 2, minJw = 0.8, hashes = Md5Family)
+
+  private val weightedMinhashOracle: String = {
+    // KM-derived uniforms: ((h1 + (5i+j) * (h2 & 2^56-1)) & 2^60-1 + 1)
+    // / 2^60 — exact integer ops, mirrored from Dedup's u(j)
+    def u(j: Int) =
+      s"""((((h1 + (5 * i + $j) * (h2 & 72057594037927935))
+         | & 1152921504606846975) + 1) / 1152921504606846976e0)""".stripMargin
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc, token, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS token
+       |    FROM documents) GROUP BY 1, 2),
+       |base AS (SELECT token,
+       |    ${md5l("token")} AS h1,
+       |    ${md5l("'2_' || token")} AS h2
+       |  FROM (SELECT DISTINCT token FROM tf)),
+       |par AS (SELECT token, i, h1, h2,
+       |    -ln(${u(1)} * ${u(2)}) AS r,
+       |    -ln(${u(3)} * ${u(4)}) AS c,
+       |    ${u(5)} AS beta
+       |  FROM base
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)),
+       |st0 AS (SELECT f.doc, p.i, p.r, p.c, p.beta, p.h1, p.h2,
+       |    CAST(floor(ln(CAST(f.w AS DOUBLE)) / p.r + p.beta) AS BIGINT)
+       |      AS t
+       |  FROM tf f JOIN par p ON p.token = f.token),
+       |st AS (SELECT doc, i,
+       |    ((CAST(round((ln(c) - r * (t - beta) - r) * 1e9) AS BIGINT)
+       |        + 274877906944) << 24)
+       |      | ((h1 + ((t % 1048576) + 7) * (h2 & 4398046511103))
+       |        & 16777215) AS packed
+       |  FROM st0),
+       |sig AS MATERIALIZED (SELECT doc, i, min(packed) AS skey
+       |  FROM st GROUP BY 1, 2),
+       |bnd AS MATERIALIZED (SELECT doc, CAST(i // 8 AS INTEGER) AS band,
+       |    bit_xor(skey) AS band_hash
+       |  FROM sig GROUP BY 1, 2),
+       |hot AS (SELECT band, band_hash FROM (
+       |    SELECT band, band_hash, count(*) AS n FROM bnd GROUP BY 1, 2)
+       |  WHERE n > 1000),
+       |bc AS (SELECT b.* FROM bnd b WHERE NOT EXISTS (
+       |    SELECT 1 FROM hot h
+       |    WHERE h.band = b.band AND h.band_hash = b.band_hash)),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM bc a JOIN bc b ON a.band = b.band
+       |    AND a.band_hash = b.band_hash AND a.doc < b.doc),
+       |est AS (SELECT c.doc_a, c.doc_b,
+       |    round(CAST(SUM(CASE WHEN sa.skey = sb.skey THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / 16, 6) AS est_jw
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc = c.doc_a
+       |  JOIN sig sb ON sb.doc = c.doc_b AND sb.i = sa.i
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT doc, CAST(SUM(w) AS BIGINT) AS tw FROM tf GROUP BY 1),
+       |cm AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(SUM(least(fa.w, fb.w)) AS BIGINT) AS cmin
+       |  FROM cand c
+       |  JOIN tf fa ON fa.doc = c.doc_a
+       |  JOIN tf fb ON fb.doc = c.doc_b AND fb.token = fa.token
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, e.est_jw,
+       |  round(CAST(coalesce(cm.cmin, 0) AS DOUBLE)
+       |    / CAST(ta.tw + tb.tw - coalesce(cm.cmin, 0) AS DOUBLE), 6) AS jw
+       |FROM cand c
+       |JOIN est e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+       |LEFT JOIN cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+       |JOIN tot ta ON ta.doc = c.doc_a
+       |JOIN tot tb ON tb.doc = c.doc_b
+       |WHERE round(CAST(coalesce(cm.cmin, 0) AS DOUBLE)
+       |    / CAST(ta.tw + tb.tw - coalesce(cm.cmin, 0) AS DOUBLE), 6)
+       |  >= 0.8e0
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q319_weighted_minhash" -> weightedMinhashQ,
     "q207_cross_source_dups" -> crossSourceDupQ,
     "q180_ensemble_split" -> ensembleSplitQ,
     "q155_bloom_semi_join" -> bloomSemiJoinQ,
@@ -504,6 +595,7 @@ object DedupQueries {
       .stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q319_weighted_minhash" -> weightedMinhashOracle,
     // q248: block-size counts only; pair mass Σ C(n,2) exact, the two
     // ratios one float expression each.
     "q248_blocking" ->

@@ -1408,4 +1408,49 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(b == Seq((0, 3L, 3L, 7L, 0.178571, 0.357143),
       (1, 3L, 3L, 7L, 0.178571, 0.357143)), s"got $b")
   }
+
+  test("weighted minhash: frequency-sensitive where set Jaccard saturates; exact dups estimate 1.0") {
+    import spark.implicits._
+    // A and C share the exact tf vector; B shares A's token SET but
+    // inverts the frequencies: set Jaccard 1.0, weighted Jaccard
+    // min(4,1)+min(1,4) / (5+5-2) = 0.25
+    val docs = Seq(
+      (1L, "w w w w z"), (2L, "w z z z z"), (3L, "w w w w z"),
+      (10L, "p q r s t"), (11L, "u v a b c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.weightedMinhashPairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 2, minJw = 0.0,
+        hashes = graft.functions.Md5Family)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val (est13, jw13) = got((1L, 3L))
+    assert(jw13 == 1.0 && est13 == 1.0,
+      s"identical tf vectors must score 1.0/1.0: $est13/$jw13")
+    // if the frequency-inverted pair collides in a band at all, its
+    // EXACT weighted Jaccard must be 0.25 — never set-Jaccard 1.0
+    got.get((1L, 2L)).foreach { case (_, jw) => assert(jw == 0.25, jw) }
+    got.get((2L, 3L)).foreach { case (_, jw) => assert(jw == 0.25, jw) }
+  }
+
+  test("weighted minhash: estimator tracks the exact weighted Jaccard on the corpus") {
+    val pairs = Dedup.weightedMinhashPairs(
+      Tables.documents(spark, sf("sf0.001")), "doc_id", "text",
+      numHashes = 16, bands = 2, minJw = 0.5,
+      hashes = graft.functions.Md5Family).collect()
+    assert(pairs.nonEmpty, "exact-dup docs exist at sf0.001; pairs must too")
+    // every surviving pair passed banding (est has >= threshold mass)
+    // and carries both columns; exact dups must estimate exactly 1.0
+    pairs.foreach { r =>
+      val (est, jw) = (r.getDouble(2), r.getDouble(3))
+      assert(jw >= 0.5 && est >= 0.0 && est <= 1.0)
+      if (jw == 1.0) assert(est == 1.0, s"identical docs, est $est")
+    }
+    // 16-hash estimator: bound mean |err| at 2x the binomial sigma
+    // (sigma = sqrt(J(1-J)/16) ~ 0.12 at the mid-jw survivors; banding
+    // also selects upward-biased estimates -- the 2-sigma convention
+    // from the sampled-order-statistics lesson, not a per-pair bound)
+    val meanErr = pairs.map(r => math.abs(r.getDouble(2) - r.getDouble(3)))
+      .sum / pairs.length
+    assert(meanErr <= 0.25, s"mean |est - jw| $meanErr")
+  }
 }
