@@ -165,6 +165,10 @@ object ScaleProbe {
             .select(graft.engine.TimeFeatures.dayOfWeek0Sun(col("ts"))
               .as("dow"), col("value"), col("event_type")),
           "dow", "value", col("event_type") === "purchase")),
+        // (weighted minhash is deliberately NOT probed: the replica
+        // trick reuses text, so every doc becomes an m-way exact dup
+        // and the pair stage measures a duplicate flood, not scaling —
+        // the same reason the other content-dedup ops are absent here)
         // distributed-prefix-sum global rank: one range shuffle +
         // parallel local windows; only the per-partition totals table
         // is single-partition — expected ~linear (sort-bound)

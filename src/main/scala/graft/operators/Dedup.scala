@@ -207,9 +207,15 @@ object Dedup {
         * col("_h2").bitwiseAND(lit(0xFFFFFFFFFFFFFFL)))
         .bitwiseAND(lit((1L << 60) - 1)) + lit(1L))
         / lit(1.152921504606846976e18))
+    // base hashes mask to 60 bits at ingestion: Md5Family is already
+    // 60-bit (the mask is a no-op — oracle unchanged), xxhash64 is
+    // full-range signed and would overflow the KM arithmetic bounds
     val par = tf.select("token").distinct()
-      .select(col("token"), hashes.hash(col("token")).as("_h1"),
-        hashes.hash2(col("token")).as("_h2"))
+      .select(col("token"),
+        hashes.hash(col("token"))
+          .bitwiseAND(lit((1L << 60) - 1)).as("_h1"),
+        hashes.hash2(col("token"))
+          .bitwiseAND(lit((1L << 60) - 1)).as("_h2"))
       .select(col("token"), col("_h1"), col("_h2"),
         explode(sequence(lit(0L), lit(numHashes - 1L))).as("i"))
       .select(col("token"), col("i"), col("_h1"), col("_h2"),

@@ -1430,6 +1430,14 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // EXACT weighted Jaccard must be 0.25 — never set-Jaccard 1.0
     got.get((1L, 2L)).foreach { case (_, jw) => assert(jw == 0.25, jw) }
     got.get((2L, 3L)).foreach { case (_, jw) => assert(jw == 0.25, jw) }
+    // the production default (xxhash64, full-range signed longs) must
+    // survive the ANSI overflow bounds (the 60-bit ingestion mask) and
+    // agree on the EXACT jw values (draws differ, exactness doesn't)
+    val gotXx = Dedup.weightedMinhashPairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 2, minJw = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(gotXx((1L, 3L)) == 1.0)
   }
 
   test("weighted minhash: estimator tracks the exact weighted Jaccard on the corpus") {
