@@ -894,4 +894,74 @@ class PropertySpec extends SparkSpecBase {
       .as[(Long, Int, Int, Int)].collect().toSeq
     assert(re == got, "layout changed the assignment")
   }
+
+  test("property: isotonic minimax fit equals sequential PAV for any binned outcome") {
+    import spark.implicits._
+    val binGen: Gen[Seq[(Int, Int, Int)]] = for {
+      b <- Gen.choose(2, 10)
+      ns <- Gen.listOfN(b, Gen.choose(1, 30))
+      ps <- Gen.sequence[Seq[Int], Int](ns.map(n => Gen.choose(0, n)))
+    } yield (0 until b).map(i => (i, ns(i), ps(i)))
+    // reference: the classic stack-based pool-adjacent-violators
+    def pav(bins: Seq[(Long, Long)]): Seq[Double] = {
+      val st = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+      for ((n, pos) <- bins) {
+        st += ((1, n.toDouble, pos.toDouble))
+        while (st.length >= 2 && {
+          val a = st(st.length - 2); val b = st.last
+          a._3 / a._2 > b._3 / b._2 + 1e-12
+        }) {
+          val b = st.remove(st.length - 1); val a = st.remove(st.length - 1)
+          st += ((a._1 + b._1, a._2 + b._2, a._3 + b._3))
+        }
+      }
+      st.toSeq.flatMap { case (k, n, pos) => Seq.fill(k)(pos / n) }
+    }
+    val p = Prop.forAll(binGen) { bins =>
+      val df = bins.toDF("bin", "n", "pos")
+        .select(col("bin"), col("n").cast("long").as("n"),
+          col("pos").cast("long").as("pos"))
+      val got = graft.operators.Sampling.isotonicFromBins(df).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(4)))
+        .sortBy(_._1)
+      val iso = got.map(_._3)
+      val ref = pav(bins.map(t => (t._2.toLong, t._3.toLong)))
+      val monotone = iso.zip(iso.drop(1)).forall { case (a, b) => a <= b + 1e-9 }
+      val matches = iso.zip(ref).forall { case (g, r) => math.abs(g - r) < 1.1e-6 }
+      monotone && matches && iso.length == bins.length
+    }
+    runProp(p, 60)
+  }
+
+  test("property: AUC is in [0,1], label-flip antisymmetric, and matches brute-force pair counting") {
+    import spark.implicits._
+    val rowsGen: Gen[Seq[(Double, Boolean)]] = for {
+      n <- Gen.choose(4, 60)
+      scores <- Gen.listOfN(n, Gen.choose(0, 20).map(_ / 3.0))
+      hits <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield scores.zip(hits)
+    val p = Prop.forAll(rowsGen) { rows =>
+      val nPos = rows.count(_._2); val nNeg = rows.size - nPos
+      if (nPos == 0 || nNeg == 0) true
+      else {
+        val df = rows.map { case (sc, h) => ("g", sc, h) }
+          .toDF("g", "score", "hit")
+        val r = graft.operators.StatTests.mannWhitneyAuc(
+          df, "g", "score", col("hit")).collect()(0)
+        val auc = r.getDouble(3)
+        // brute-force pair counting: wins + half-ties
+        val pos = rows.filter(_._2).map(_._1)
+        val neg = rows.filterNot(_._2).map(_._1)
+        val u2 = pos.map(pp => neg.map(nn =>
+          if (pp > nn) 2L else if (pp == nn) 1L else 0L).sum).sum
+        val brute = u2.toDouble / (2.0 * nPos * nNeg)
+        val flip = graft.operators.StatTests.mannWhitneyAuc(
+          df, "g", "score", !col("hit")).collect()(0).getDouble(3)
+        auc >= 0.0 && auc <= 1.0 &&
+          math.abs(auc - (math.rint(brute * 1e6) / 1e6)) < 2e-6 &&
+          math.abs(auc + flip - 1.0) < 2e-6
+      }
+    }
+    runProp(p, 60)
+  }
 }
