@@ -190,4 +190,97 @@ object Pca {
     }
     embeddings.withColumn(outCol, array(coords: _*))
   }
+
+  /** Deterministic ±1 JL sign matrix — entry (i, j) from the low bit
+    * of the md5l-style 60-bit hash of "jl#seed#i#j" (the exact string
+    * the oracle feeds DuckDB's md5), so both engines build the SAME
+    * matrix. Bounded: dim × k ints, a fixed-size broadcastable
+    * artifact computed once on the driver.
+    */
+  private[graft] def jlSigns(dim: Int, k: Int, seed: Long): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim, k) { (i, j) =>
+      val digest = md.digest(s"jl#$seed#$i#$j".getBytes("UTF-8"))
+      val hex = digest.map("%02x".format(_)).mkString.take(15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 0L) 1 else -1
+    }
+  }
+
+  /** Achlioptas sign random projection (STOC 2001 / JL lemma): map
+    * dim-dimensional embeddings to k dimensions through a ±1 matrix —
+    * the cheap-dimension-reduction step before ANN/clustering when 64
+    * dims are more than the task needs. Coordinates are EXACT LONGS:
+    * inputs micro-quantize ([[quantize]]) and the projection is a
+    * fixed ±element_at sum chain (codegen'd, no shuffle, no float
+    * accumulation order to pin). E‖Px‖² = k·‖x‖² under this scaling —
+    * callers divide by k (or √k per-coordinate) when they need the
+    * isometry normalized.
+    */
+  def signProjection(embeddings: DataFrame, idCol: String, embCol: String,
+      dim: Int, k: Int, seed: Long = 42L): DataFrame = {
+    val signs = jlSigns(dim, k, seed)
+    val cols = (0 until k).map { j =>
+      (0 until dim).map { i =>
+        val e = element_at(col("_q"), i + 1)
+        if (signs(i)(j) > 0) e else negate(e)
+      }.reduce(_ + _)
+    }
+    embeddings
+      .select(col(idCol), quantize(col(embCol)).as("_q"))
+      .select(col(idCol), array(cols: _*).as("proj"))
+  }
+
+  /** The Johnson–Lindenstrauss CERTIFICATION for [[signProjection]]:
+    * over consecutive-id pairs (an equi-join — never a cartesian),
+    * the squared-distance ratio ‖Pa−Pb‖² / (k·‖a−b‖²) per target
+    * dimension k, reported as (n, mean, min, max, share within ±50%).
+    * Every distance is an exact integer of micro-quantized
+    * coordinates; each ratio is ONE division ppm-quantized at birth,
+    * so the concentration-improves-with-k readout hash-matches. The
+    * per-pair work is dim·k_max adds — map-side, scan-shaped.
+    */
+  def jlDistortionReport(embeddings: DataFrame, idCol: String,
+      embCol: String, dim: Int, ks: Seq[Int] = Seq(8, 16, 32),
+      seed: Long = 42L): DataFrame = {
+    require(ks.nonEmpty && ks.max <= 64)
+    val kmax = ks.max
+    val signs = jlSigns(dim, kmax, seed)
+    val base = embeddings
+      .select(col(idCol).as("id"), quantize(col(embCol)).as("q"))
+      .localCheckpoint() // two join roles
+    val pairs = base.select(col("id"), col("q").as("qa"))
+      .join(base.select((col("id") - lit(1L)).as("id"), col("q").as("qb")),
+        Seq("id"))
+      .withColumn("dq", zip_with(col("qa"), col("qb"), (x, y) => x - y))
+      .withColumn("d2in", aggregate(col("dq"), lit(0L), (a, v) => a + v * v))
+      .filter(col("d2in") > 0L)
+    val pds = (0 until kmax).map { j =>
+      (0 until dim).map { i =>
+        val e = element_at(col("dq"), i + 1)
+        if (signs(i)(j) > 0) e else negate(e)
+      }.reduce(_ + _).as(s"_pd$j")
+    }
+    val withPd = pairs.select(Seq(col("id"), col("d2in")) ++ pds: _*)
+    val ratios = ks.map { k =>
+      val d2out = (0 until k).map(j => col(s"_pd$j") * col(s"_pd$j"))
+        .reduce(_ + _)
+      round(d2out.cast("double")
+        / (lit(k.toLong) * col("d2in")).cast("double") * lit(1e6))
+        .cast("long").as(s"_r$k")
+    }
+    val rframe = withPd.select(Seq(col("id")) ++ ratios: _*)
+      .localCheckpoint() // ks read it once each
+    ks.map(k => rframe.select(lit(k).as("k"), col(s"_r$k").as("_ppm")))
+      .reduce(_ unionByName _)
+      .groupBy("k").agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum("_ppm").cast("double") / count(lit(1)) / lit(1e6), 6)
+          .as("mean_ratio"),
+        round(min("_ppm").cast("double") / lit(1e6), 6).as("min_ratio"),
+        round(max("_ppm").cast("double") / lit(1e6), 6).as("max_ratio"),
+        round(sum(when(col("_ppm").between(500000L, 1500000L), 1)
+          .otherwise(0)).cast("double") / count(lit(1)), 6)
+          .as("frac_within_50pct"))
+      .orderBy("k")
+  }
 }

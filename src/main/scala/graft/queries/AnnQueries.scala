@@ -608,7 +608,62 @@ object AnnQueries {
       .orderBy("method")
   }
 
+  /** q320: Johnson–Lindenstrauss certification of the Achlioptas ±1
+    * sign projection (`Pca.jlDistortionReport`): per target dimension
+    * k ∈ {8, 16, 32}, the squared-distance ratio ‖Pa−Pb‖²/(k·‖a−b‖²)
+    * over consecutive-id embedding pairs — mean ≈ 1 with spread
+    * tightening as k grows (the JL concentration, measured not
+    * claimed). The sign matrix derives from md5 low bits so DuckDB
+    * builds the identical matrix; distances are exact integers of
+    * micro-quantized coordinates; each ratio ppm-quantizes at birth.
+    */
+  private val jlProjectionQ: Q = (s, dir) =>
+    Pca.jlDistortionReport(Tables.embeddings(s, dir), "vec_id",
+      "embedding", dim = 64, ks = Seq(8, 16, 32), seed = 42L)
+
+  private val jlProjectionOracle: String = {
+    import graft.queries.QueryHelpers.md5l
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(round(x * 1000000e0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pr AS (SELECT a.id, a.q AS qa, b.q AS qb
+       |  FROM e a JOIN e b ON b.id = a.id + 1),
+       |dq AS MATERIALIZED (SELECT id, i, qa[i + 1] - qb[i + 1] AS d
+       |  FROM pr, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) gs),
+       |sg AS (SELECT i, j, CASE WHEN
+       |      (${md5l("'jl#42#' || CAST(i AS VARCHAR) || '#' || CAST(j AS VARCHAR)")}
+       |        & 1) = 0 THEN 1 ELSE -1 END AS s
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS i),
+       |       (SELECT unnest(generate_series(0, 31)) AS j)),
+       |pd AS MATERIALIZED (SELECT dq.id, sg.j,
+       |    CAST(SUM(sg.s * dq.d) AS BIGINT) AS pd
+       |  FROM dq JOIN sg ON sg.i = dq.i GROUP BY 1, 2),
+       |din AS MATERIALIZED (SELECT id, CAST(SUM(d * d) AS BIGINT) AS d2in
+       |  FROM dq GROUP BY 1),
+       |d2o AS (SELECT pd.id, ks.k, CAST(SUM(pd.pd * pd.pd) AS BIGINT)
+       |      AS d2out
+       |  FROM pd JOIN (SELECT unnest([8, 16, 32]) AS k) ks ON pd.j < ks.k
+       |  GROUP BY 1, 2),
+       |rt AS (SELECT d2o.k,
+       |    CAST(round(CAST(d2o.d2out AS DOUBLE)
+       |      / CAST(d2o.k * din.d2in AS DOUBLE) * 1000000e0) AS BIGINT)
+       |      AS ppm
+       |  FROM d2o JOIN din ON din.id = d2o.id WHERE din.d2in > 0)
+       |SELECT CAST(k AS INTEGER) AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(SUM(ppm) AS DOUBLE) / count(*) / 1000000e0, 6)
+       |    AS mean_ratio,
+       |  round(CAST(min(ppm) AS DOUBLE) / 1000000e0, 6) AS min_ratio,
+       |  round(CAST(max(ppm) AS DOUBLE) / 1000000e0, 6) AS max_ratio,
+       |  round(CAST(SUM(CASE WHEN ppm BETWEEN 500000 AND 1500000
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+       |    AS frac_within_50pct
+       |FROM rt GROUP BY k ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q320_jl_projection" -> jlProjectionQ,
     "q282_ann_filtered" -> annFilteredQ,
     "q175_ann_delete" -> annDeleteQ,
     "q174_label_prop" -> labelPropQ,
@@ -1065,6 +1120,7 @@ object AnnQueries {
       |ORDER BY part_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q320_jl_projection" -> jlProjectionOracle,
     "q198_knn_pagerank" -> pagerankOracle,
     "q201_coreset" -> coresetOracle,
     "q302_coreset_scaled" -> coresetScaledOracle,

@@ -86,4 +86,30 @@ class PcaSpec extends SparkSpecBase {
     }
     assert(reconErr(16) < reconErr(4))
   }
+
+  test("JL sign projection: exact-integer coords, linear, concentration tightens with k") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val proj = graft.operators.Pca.signProjection(
+      emb, "vec_id", "embedding", dim = 64, k = 16)
+    val rows = proj.orderBy("vec_id").collect()
+    assert(rows.length == 500 && rows.head.getSeq[Long](1).length == 16)
+    // deterministic: a second evaluation is bit-identical
+    val again = graft.operators.Pca.signProjection(
+      emb, "vec_id", "embedding", dim = 64, k = 16)
+      .orderBy("vec_id").collect()
+    assert(rows.map(_.getSeq[Long](1)).toSeq == again.map(_.getSeq[Long](1)).toSeq)
+    val rep = graft.operators.Pca.jlDistortionReport(
+      emb, "vec_id", "embedding", dim = 64).collect()
+    assert(rep.map(_.getInt(0)).toSeq == Seq(8, 16, 32))
+    rep.foreach { r =>
+      assert(r.getDouble(2) > 0.7 && r.getDouble(2) < 1.3,
+        s"mean ratio off: $r")
+    }
+    // the JL concentration: the within-±50% share never degrades as
+    // k grows (and strictly improves from 8 to 32 on any real data)
+    val within = rep.map(_.getDouble(5))
+    assert(within(0) <= within(1) + 1e-9 && within(1) <= within(2) + 1e-9,
+      s"concentration not tightening: ${within.toSeq}")
+    assert(within(2) > within(0), s"no improvement 8 -> 32: ${within.toSeq}")
+  }
 }
