@@ -358,6 +358,86 @@ object StatsQueries {
       |FROM binned b JOIN fit f ON f.bin = b.bin
       |ORDER BY b.bin""".stripMargin
 
+  /** q321: Sinkhorn mixture transport (`Transport.sinkhornPlan`) —
+    * the entropic-OT plan moving per-source corpus mass onto a
+    * UNIFORM language target, with cost 1e6 − share_ppm(lang | src)
+    * (a source aligned with a language moves mass there cheaply).
+    * Supply/demand/cost are all exact integer ppm from hash
+    * aggregates; the oracle replays the Gibbs kernel and SIX unrolled
+    * scaling rounds (MATERIALIZED per round — the q231 inlining rule)
+    * bit-identically.
+    */
+  private val sinkhornQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val bySrc = docs.groupBy(col("source").as("src"))
+      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint() // supply AND the cost grid
+    val supply = bySrc
+      .crossJoin(broadcast(bySrc.agg(sum("_n").as("_t"))))
+      .select(col("src"), expr("_n * 1000000L div _t").as("a_ppm"))
+    val langs = docs.select(col("lang").as("dst")).distinct()
+      .localCheckpoint() // demand AND the grid
+    val demand = langs
+      .crossJoin(broadcast(langs.agg(count(lit(1)).as("_m"))))
+      .select(col("dst"), expr("1000000L div _m").as("b_ppm"))
+    val cell = docs
+      .groupBy(col("source").as("src"), col("lang").as("dst"))
+      .agg(count(lit(1)).as("_c"))
+    val cost = bySrc.crossJoin(broadcast(langs))
+      .join(cell, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        expr("1000000L - coalesce(_c, 0L) * 1000000L div _n")
+          .as("cost_ppm"))
+    Transport.sinkhornPlan(supply, demand, cost)
+  }
+
+  private val sinkhornOracle: String = {
+    val rounds = (1 to 6).map { r =>
+      val pu = if (r == 1) "v0" else s"v${r - 1}"
+      s"""u$r AS MATERIALIZED (SELECT a.src,
+         |    a.a_ppm * 1000000000000 // kv.s AS u
+         |  FROM a JOIN (SELECT k.src,
+         |      CAST(SUM(k.k_ppm * $pu.v) AS BIGINT) AS s
+         |    FROM kk k JOIN $pu ON $pu.dst = k.dst GROUP BY 1) kv
+         |    ON kv.src = a.src),
+         |v$r AS MATERIALIZED (SELECT b.dst,
+         |    b.b_ppm * 1000000000000 // ku.s AS v
+         |  FROM b JOIN (SELECT k.dst,
+         |      CAST(SUM(k.k_ppm * u$r.u) AS BIGINT) AS s
+         |    FROM kk k JOIN u$r ON u$r.src = k.src GROUP BY 1) ku
+         |    ON ku.dst = b.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bysrc AS MATERIALIZED (
+       |  SELECT source AS src, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM bysrc),
+       |a AS MATERIALIZED (SELECT src, n * 1000000 // t AS a_ppm
+       |  FROM bysrc, tot),
+       |langs AS (SELECT DISTINCT lang AS dst FROM documents),
+       |nl AS (SELECT CAST(count(*) AS BIGINT) AS m FROM langs),
+       |b AS MATERIALIZED (SELECT dst, 1000000 // m AS b_ppm
+       |  FROM langs, nl),
+       |cell AS (SELECT source AS src, lang AS dst,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |cost AS (SELECT s2.src, l.dst,
+       |    1000000 - coalesce(c.c, 0) * 1000000 // s2.n AS cost_ppm
+       |  FROM bysrc s2 CROSS JOIN langs l
+       |  LEFT JOIN cell c ON c.src = s2.src AND c.dst = l.dst),
+       |kk AS MATERIALIZED (SELECT src, dst,
+       |    greatest(1, CAST(round(exp((-cost_ppm) / 200000e0)
+       |      * 1000000e0) AS BIGINT)) AS k_ppm
+       |  FROM cost),
+       |v0 AS (SELECT dst, CAST(1000000 AS BIGINT) AS v FROM b),
+       |$rounds
+       |SELECT k.src, k.dst,
+       |  round(CAST(u6.u * k.k_ppm * v6.v AS DOUBLE) / 1e18, 6) AS plan
+       |FROM kk k
+       |JOIN u6 ON u6.src = k.src
+       |JOIN v6 ON v6.dst = k.dst
+       |ORDER BY k.src, k.dst""".stripMargin
+  }
+
   /** q316: the STREAMED form of q314 — the isotonic calibration
     * readout over a per-bin outcome-count store fed three disjoint
     * event slices, with batch 1 RE-DELIVERED (the committed-skip
@@ -891,6 +971,7 @@ object StatsQueries {
     "q315_auc_by_dow" -> aucQ,
     "q316_calibration_store" -> calibrationStoreQ,
     "q317_gains_table" -> gainsQ,
+    "q321_sinkhorn_mix" -> sinkhornQ,
     "q135_bucketed_join" -> bucketedJoinQ,
     "q134_weighted_sample" -> weightedSampleQ,
     "q128_cap_groups_tokens" -> capTokensQ,
@@ -1808,6 +1889,7 @@ object StatsQueries {
     "q315_auc_by_dow" -> aucOracle,
     "q316_calibration_store" -> isotonicOracle,
     "q317_gains_table" -> gainsOracle,
+    "q321_sinkhorn_mix" -> sinkhornOracle,
     "q134_weighted_sample" ->
       s"""WITH keyed AS (SELECT source, doc_id, n_chars,
         |  ln((${md5l("CAST(doc_id AS VARCHAR)")} + 1) / 1152921504606846976e0)

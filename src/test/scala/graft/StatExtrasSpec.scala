@@ -234,4 +234,44 @@ class StatExtrasSpec extends SparkSpecBase {
     val rawMass = got.map(_.getLong(2)).sum.toDouble
     assert(math.abs(fitMass - rawMass) < 1e-6)
   }
+
+  test("Sinkhorn: uniform costs give the independent coupling; cheap diagonal concentrates") {
+    import spark.implicits._
+    val supply = Seq(("s1", 700000L), ("s2", 300000L)).toDF("src", "a_ppm")
+    val demand = Seq(("d1", 400000L), ("d2", 600000L)).toDF("dst", "b_ppm")
+    // equal costs: K is constant, so the fixed point is a x b
+    val flat = Seq(("s1", "d1", 500000L), ("s1", "d2", 500000L),
+      ("s2", "d1", 500000L), ("s2", "d2", 500000L))
+      .toDF("src", "dst", "cost_ppm")
+    val got = graft.operators.Transport
+      .sinkhornPlan(supply, demand, flat)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(got(("s1", "d1")) - 0.28) < 1e-3, got.toString)
+    assert(math.abs(got(("s2", "d2")) - 0.18) < 1e-3, got.toString)
+    // near-zero diagonal cost, expensive off-diagonal: mass stays home
+    val sup2 = Seq(("s1", 500000L), ("s2", 500000L)).toDF("src", "a_ppm")
+    val dem2 = Seq(("d1", 500000L), ("d2", 500000L)).toDF("dst", "b_ppm")
+    val diag = Seq(("s1", "d1", 0L), ("s1", "d2", 1000000L),
+      ("s2", "d1", 1000000L), ("s2", "d2", 0L))
+      .toDF("src", "dst", "cost_ppm")
+    val got2 = graft.operators.Transport
+      .sinkhornPlan(sup2, dem2, diag)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got2(("s1", "d1")) > 0.49 && got2(("s1", "d2")) < 0.01, got2.toString)
+  }
+
+  test("Sinkhorn: the q321 plan matches both marginals on real data") {
+    val plan = graft.queries.ExtensionQueries
+      .queries("q321_sinkhorn_mix")(spark, sf("sf0.001")).collect()
+    val byDst = plan.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getDouble(2)).sum)
+    byDst.foreach { case (d, m) =>
+      assert(math.abs(m - 0.2) < 5e-3, s"col $d sum $m != 0.2") }
+    val bySrc = plan.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(2)).sum).toMap
+    val total = bySrc.values.sum
+    assert(math.abs(total - 1.0) < 1e-2, s"total $total")
+  }
 }
