@@ -358,6 +358,44 @@ object StatsQueries {
       |FROM binned b JOIN fit f ON f.bin = b.bin
       |ORDER BY b.bin""".stripMargin
 
+  /** q322: 1-D Wasserstein-1 drift — the earth-mover's distance
+    * between the click and view value distributions over a 32-bin
+    * grid (`StatTests.wasserstein1`): cross-multiplied integer CDFs,
+    * empty bins included (the CDF gap persists across them), one
+    * final division. The metric-aware sibling of q116/q256's
+    * PSI-family monitors.
+    */
+  private val wassersteinQ: Q = (s, dir) =>
+    StatTests.wasserstein1(
+      Tables.events(s, dir).filter(col("value").isNotNull),
+      "value", "event_type", "click", "view", lo = 0.0, hi = 320.0,
+      bins = 32)
+
+  private val wassersteinOracle: String =
+    """WITH ev AS (
+      |  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+      |    least(greatest(CAST(floor(value / 10e0) AS BIGINT), 0), 31)
+      |      AS bin
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+      |c AS (SELECT bin, CAST(SUM(is_a) AS BIGINT) AS ca,
+      |    CAST(SUM(1 - is_a) AS BIGINT) AS cb
+      |  FROM ev GROUP BY 1),
+      |f AS MATERIALIZED (SELECT g.bin, coalesce(c.ca, 0) AS ca,
+      |    coalesce(c.cb, 0) AS cb
+      |  FROM (SELECT unnest(generate_series(0, 31)) AS bin) g
+      |  LEFT JOIN c USING (bin)),
+      |cum AS (SELECT bin,
+      |    CAST(SUM(ca) OVER (ORDER BY bin) AS BIGINT) AS cuma,
+      |    CAST(SUM(cb) OVER (ORDER BY bin) AS BIGINT) AS cumb
+      |  FROM f),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb FROM f)
+      |SELECT t.na AS n_a, t.nb AS n_b,
+      |  round(CAST(SUM(abs(cum.cuma * t.nb - cum.cumb * t.na))
+      |      AS DOUBLE) * 10e0 / CAST(t.na * t.nb AS DOUBLE), 6) AS w1
+      |FROM cum, t GROUP BY t.na, t.nb""".stripMargin
+
   /** q321: Sinkhorn mixture transport (`Transport.sinkhornPlan`) —
     * the entropic-OT plan moving per-source corpus mass onto a
     * UNIFORM language target, with cost 1e6 − share_ppm(lang | src)
@@ -972,6 +1010,7 @@ object StatsQueries {
     "q316_calibration_store" -> calibrationStoreQ,
     "q317_gains_table" -> gainsQ,
     "q321_sinkhorn_mix" -> sinkhornQ,
+    "q322_wasserstein_drift" -> wassersteinQ,
     "q135_bucketed_join" -> bucketedJoinQ,
     "q134_weighted_sample" -> weightedSampleQ,
     "q128_cap_groups_tokens" -> capTokensQ,
@@ -1890,6 +1929,7 @@ object StatsQueries {
     "q316_calibration_store" -> isotonicOracle,
     "q317_gains_table" -> gainsOracle,
     "q321_sinkhorn_mix" -> sinkhornOracle,
+    "q322_wasserstein_drift" -> wassersteinOracle,
     "q134_weighted_sample" ->
       s"""WITH keyed AS (SELECT source, doc_id, n_chars,
         |  ln((${md5l("CAST(doc_id AS VARCHAR)")} + 1) / 1152921504606846976e0)

@@ -274,4 +274,31 @@ class StatExtrasSpec extends SparkSpecBase {
     val total = bySrc.values.sum
     assert(math.abs(total - 1.0) < 1e-2, s"total $total")
   }
+
+  test("Wasserstein-1: point masses measure their distance; identical slices score 0") {
+    import spark.implicits._
+    // a concentrated at bin 0 (value 5), b at bin 31 (value 315):
+    // CDF gap is 1 across 31 bins of width 10 -> W1 = 310
+    val rows = (0 until 50).map(i => (s"r$i", "a", 5.0)) ++
+      (0 until 70).map(i => (s"s$i", "b", 315.0))
+    val far = graft.operators.StatTests.wasserstein1(
+      rows.toDF("id", "grp", "value"), "value", "grp", "a", "b",
+      lo = 0.0, hi = 320.0, bins = 32).collect()(0)
+    assert(far.getLong(0) == 50 && far.getLong(1) == 70)
+    assert(far.getDouble(2) == 310.0, far.toString)
+    // identical distributions -> 0 (regardless of slice sizes)
+    val same = (0 until 40).map(i => (s"r$i", "a", (i % 8) * 37.0)) ++
+      (0 until 80).map(i => (s"s$i", "b", (i % 8) * 37.0))
+    val zero = graft.operators.StatTests.wasserstein1(
+      same.toDF("id", "grp", "value"), "value", "grp", "a", "b",
+      lo = 0.0, hi = 320.0, bins = 32).collect()(0)
+    assert(zero.getDouble(2) == 0.0, zero.toString)
+    // a one-bin nudge of all mass moves W1 by exactly the bin width
+    val nudge = (0 until 50).map(i => (s"r$i", "a", 5.0)) ++
+      (0 until 50).map(i => (s"s$i", "b", 15.0))
+    val w = graft.operators.StatTests.wasserstein1(
+      nudge.toDF("id", "grp", "value"), "value", "grp", "a", "b",
+      lo = 0.0, hi = 320.0, bins = 32).collect()(0)
+    assert(w.getDouble(2) == 10.0, w.toString)
+  }
 }
