@@ -257,8 +257,12 @@ object Dedup {
     val hot = banded.groupBy("band", "band_hash")
       .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
       .select("band", "band_hash")
+    // capped feeds BOTH sides of the candidate self-join: without the
+    // checkpoint the band fold and the anti-join compute twice (the
+    // q290 bands lesson)
     val capped = banded
       .join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+      .localCheckpoint()
     val cand = capped
       .select(col("band"), col("band_hash"), col("doc").as("doc_a"))
       .join(capped.select(col("band"), col("band_hash"),

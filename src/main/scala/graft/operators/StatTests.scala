@@ -99,7 +99,10 @@ object StatTests {
       a: String, b: String, lo: Double, hi: Double,
       bins: Int = 32): DataFrame = {
     val spark = df.sparkSession
+    // the bin aggregate is the only corpus-sized stage and feeds both
+    // the totals and the cumulative path — checkpoint or scan twice
     val counts = psiBinCounts(df, valueCol, groupCol, a, b, lo, hi, bins)
+      .localCheckpoint()
     val grid = spark.range(bins).select(col("id").as("bin"))
     val full = grid.join(counts, Seq("bin"), "left")
       .na.fill(0L, Seq("ca", "cb"))
