@@ -549,6 +549,44 @@ object Sampling {
       .orderBy("bin")
   }
 
+  /** Calibration-quality readout over a fitted bin table (the
+    * [[isotonicFromBins]] output): ECE — the expected calibration
+    * error Σ n_b·|raw_b − iso_b| / N, how far the monotone fit had to
+    * move the observed rates — plus the Murphy (1973) decomposition
+    * with the fit as the forecast: reliability Σ n(iso−raw)²/N,
+    * resolution Σ n(raw−p̄)²/N, uncertainty p̄(1−p̄). Every per-bin
+    * term is one float expression over the fitted table's (already
+    * 6dp-deterministic) rates, nano-quantized at birth; the folds are
+    * exact integer sums over ≤ bins rows.
+    */
+  def calibrationErrorReport(fitted: DataFrame): DataFrame = {
+    val tot = fitted.agg(sum("n").as("_nt"), sum("pos").as("_pt"))
+    val pbar = col("_pt").cast("double") / col("_nt").cast("double")
+    val terms = fitted.crossJoin(broadcast(tot))
+      .withColumn("_ece_nano",
+        round(col("n") * abs(col("raw_rate") - col("iso_rate")) * lit(1e9))
+          .cast("long"))
+      .withColumn("_rel_nano",
+        round(col("n") * (col("iso_rate") - col("raw_rate"))
+          * (col("iso_rate") - col("raw_rate")) * lit(1e9)).cast("long"))
+      .withColumn("_res_nano",
+        round(col("n") * (col("raw_rate") - pbar)
+          * (col("raw_rate") - pbar) * lit(1e9)).cast("long"))
+    terms.groupBy("_nt", "_pt").agg(
+        count(lit(1)).as("n_bins"),
+        sum("_ece_nano").as("_se"), sum("_rel_nano").as("_sl"),
+        sum("_res_nano").as("_sr"))
+      .select(col("_nt").as("n_total"),
+        col("n_bins").cast("integer").as("n_bins"),
+        round(col("_se").cast("double") / col("_nt") / lit(1e9), 6)
+          .as("ece"),
+        round(col("_sl").cast("double") / col("_nt") / lit(1e9), 6)
+          .as("reliability"),
+        round(col("_sr").cast("double") / col("_nt") / lit(1e9), 6)
+          .as("resolution"),
+        round(pbar * (lit(1.0) - pbar), 6).as("uncertainty"))
+  }
+
   /** Split-conformal outlier band per group — the
     * distribution-free anomaly gate: a deterministic hash split
     * carves a calibration set, the nonconformity score is the

@@ -329,8 +329,11 @@ object StatsQueries {
       col("value"), col("event_type") === "purchase",
       bins = 16, binWidth = 8.0)
 
-  private val isotonicOracle: String =
-    """WITH binned AS MATERIALIZED (
+  /** Shared CTE chain through the per-bin isotonic fit — used by the
+    * q314/q316 oracle and q323's calibration-error readout.
+    */
+  private val isotonicCtes: String =
+    """binned AS MATERIALIZED (
       |  SELECT least(15, greatest(0, CAST(floor(value / 8e0) AS INTEGER)))
       |      AS bin,
       |    CAST(count(*) AS BIGINT) AS n,
@@ -351,12 +354,18 @@ object StatsQueries {
       |  SELECT b.bin, p.j, min(p.m) AS mmin
       |  FROM binned b JOIN pm p ON p.j <= b.bin AND p.k >= b.bin
       |  GROUP BY b.bin, p.j),
-      |fit AS (SELECT bin, max(mmin) AS iso FROM mins GROUP BY bin)
-      |SELECT CAST(b.bin AS INTEGER) AS bin, b.n, b.pos,
-      |  round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6) AS raw_rate,
-      |  round(f.iso, 6) AS iso_rate
-      |FROM binned b JOIN fit f ON f.bin = b.bin
-      |ORDER BY b.bin""".stripMargin
+      |fit AS (SELECT bin, max(mmin) AS iso FROM mins GROUP BY bin),
+      |rows2 AS MATERIALIZED (
+      |  SELECT CAST(b.bin AS INTEGER) AS bin, b.n, b.pos,
+      |    round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+      |      AS raw_rate,
+      |    round(f.iso, 6) AS iso_rate
+      |  FROM binned b JOIN fit f ON f.bin = b.bin)""".stripMargin
+
+  private val isotonicOracle: String =
+    s"""WITH $isotonicCtes
+       |SELECT bin, n, pos, raw_rate, iso_rate FROM rows2
+       |ORDER BY bin""".stripMargin
 
   /** q322: 1-D Wasserstein-1 drift — the earth-mover's distance
     * between the click and view value distributions over a 32-bin
@@ -395,6 +404,42 @@ object StatsQueries {
       |  round(CAST(SUM(abs(cum.cuma * t.nb - cum.cumb * t.na))
       |      AS DOUBLE) * 10e0 / CAST(t.na * t.nb AS DOUBLE), 6) AS w1
       |FROM cum, t GROUP BY t.na, t.nb""".stripMargin
+
+  /** q323: calibration-error readout over the q314 isotonic fit —
+    * ECE (how far pooling moved the raw rates) plus the Murphy
+    * decomposition (reliability/resolution/uncertainty) with the fit
+    * as the forecast. Shares q314's CTE chain; per-bin terms
+    * nano-quantize at birth over the already-deterministic 6dp rates.
+    */
+  private val calibrationErrorQ: Q = (s, dir) =>
+    Sampling.calibrationErrorReport(
+      Sampling.isotonicCalibration(
+        Tables.events(s, dir).filter(col("value").isNotNull),
+        col("value"), col("event_type") === "purchase",
+        bins = 16, binWidth = 8.0))
+
+  private val calibrationErrorOracle: String =
+    s"""WITH $isotonicCtes,
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+       |    CAST(SUM(pos) AS BIGINT) AS pt FROM rows2),
+       |tm AS (SELECT r.n, r.raw_rate, r.iso_rate, t.nt, t.pt,
+       |    CAST(t.pt AS DOUBLE) / CAST(t.nt AS DOUBLE) AS pbar,
+       |    CAST(round(r.n * abs(r.raw_rate - r.iso_rate) * 1e9)
+       |      AS BIGINT) AS e_nano,
+       |    CAST(round(r.n * (r.iso_rate - r.raw_rate)
+       |      * (r.iso_rate - r.raw_rate) * 1e9) AS BIGINT) AS l_nano,
+       |    CAST(round(r.n * (r.raw_rate
+       |        - CAST(t.pt AS DOUBLE) / CAST(t.nt AS DOUBLE))
+       |      * (r.raw_rate
+       |        - CAST(t.pt AS DOUBLE) / CAST(t.nt AS DOUBLE)) * 1e9)
+       |      AS BIGINT) AS r_nano
+       |  FROM rows2 r, t)
+       |SELECT nt AS n_total, CAST(count(*) AS INTEGER) AS n_bins,
+       |  round(CAST(SUM(e_nano) AS DOUBLE) / nt / 1e9, 6) AS ece,
+       |  round(CAST(SUM(l_nano) AS DOUBLE) / nt / 1e9, 6) AS reliability,
+       |  round(CAST(SUM(r_nano) AS DOUBLE) / nt / 1e9, 6) AS resolution,
+       |  round(pbar * (1e0 - pbar), 6) AS uncertainty
+       |FROM tm GROUP BY nt, pbar""".stripMargin
 
   /** q321: Sinkhorn mixture transport (`Transport.sinkhornPlan`) —
     * the entropic-OT plan moving per-source corpus mass onto a
@@ -1011,6 +1056,7 @@ object StatsQueries {
     "q317_gains_table" -> gainsQ,
     "q321_sinkhorn_mix" -> sinkhornQ,
     "q322_wasserstein_drift" -> wassersteinQ,
+    "q323_calibration_error" -> calibrationErrorQ,
     "q135_bucketed_join" -> bucketedJoinQ,
     "q134_weighted_sample" -> weightedSampleQ,
     "q128_cap_groups_tokens" -> capTokensQ,
@@ -1930,6 +1976,7 @@ object StatsQueries {
     "q317_gains_table" -> gainsOracle,
     "q321_sinkhorn_mix" -> sinkhornOracle,
     "q322_wasserstein_drift" -> wassersteinOracle,
+    "q323_calibration_error" -> calibrationErrorOracle,
     "q134_weighted_sample" ->
       s"""WITH keyed AS (SELECT source, doc_id, n_chars,
         |  ln((${md5l("CAST(doc_id AS VARCHAR)")} + 1) / 1152921504606846976e0)

@@ -301,4 +301,27 @@ class StatExtrasSpec extends SparkSpecBase {
       lo = 0.0, hi = 320.0, bins = 32).collect()(0)
     assert(w.getDouble(2) == 10.0, w.toString)
   }
+
+  test("calibration error report: hand-computed ECE/Murphy terms on the PAV fixture") {
+    import spark.implicits._
+    // the all-pooled fixture: iso = pbar = 0.35 everywhere, raw rates
+    // (.5,.25,.5,.5,0) with n=4 each -> ECE = 4*0.9/20 = 0.18,
+    // rel = res = 4*0.2/20 = 0.04, unc = 0.35*0.65 = 0.2275
+    val rows = Seq(
+      (0.5, true), (0.5, true), (0.5, false), (0.5, false),
+      (1.5, true), (1.5, false), (1.5, false), (1.5, false),
+      (2.5, true), (2.5, true), (2.5, false), (2.5, false),
+      (3.5, true), (3.5, true), (3.5, false), (3.5, false),
+      (4.5, false), (4.5, false), (4.5, false), (4.5, false))
+      .toDF("score", "hit")
+    val r = graft.operators.Sampling.calibrationErrorReport(
+      graft.operators.Sampling.isotonicCalibration(
+        rows, col("score"), col("hit"), bins = 5, binWidth = 1.0))
+      .collect()(0)
+    assert(r.getLong(0) == 20 && r.getInt(1) == 5)
+    assert(math.abs(r.getDouble(2) - 0.18) < 1e-9, s"ece $r")
+    assert(math.abs(r.getDouble(3) - 0.04) < 1e-9, s"rel $r")
+    assert(math.abs(r.getDouble(4) - 0.04) < 1e-9, s"res $r")
+    assert(math.abs(r.getDouble(5) - 0.2275) < 1e-9, s"unc $r")
+  }
 }
