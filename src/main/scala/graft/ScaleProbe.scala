@@ -194,6 +194,12 @@ object ScaleProbe {
         "spearman" -> (() => StatTests.spearman(
           docs.select(col("n_chars"),
             size(split(col("text"), " ")).as("nt")), "n_chars", "nt")),
+        // JL certification (q320): id-keyed (consecutive-id pairs via
+        // ONE equi-join), per-pair work a fixed dim·k_max add chain —
+        // expected linear-in-rows, scan-shaped. Uses the perturbed
+        // replicas so replica pairs aren't all-zero-distance rows.
+        "jl_distortion" -> (() => Pca.jlDistortionReport(
+          embPerturbed, "vec_id", "embedding", dim = 64)),
         // graph-family completion: fixed-point peeling (rounds bounded
         // by peel depth, each round one semi-join + degree aggregate)
         // and the endpoint-degree correlation (two joins over 2|E|)

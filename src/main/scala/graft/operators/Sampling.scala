@@ -500,9 +500,12 @@ object Sampling {
       bins: Int, binWidth: Double): DataFrame = {
     require(bins >= 1 && bins <= 512, "isotonic bins must be 1..512")
     // one pass: per-bin totals (the only data-sized stage)
+    // clamp on the LONG before any narrowing cast: floor() of an extreme
+    // score can exceed Int range and ANSI mode would throw CAST_OVERFLOW
+    // instead of clamping into the edge bin (the psiBinCounts pattern)
     isotonicFromBins(df.select(
-        least(lit(bins - 1), greatest(lit(0),
-          floor(scoreCol / lit(binWidth)).cast("int"))).as("bin"),
+        least(lit((bins - 1).toLong), greatest(lit(0L),
+          floor(scoreCol / lit(binWidth)).cast("long"))).cast("int").as("bin"),
         hitCol.cast("int").as("_hit"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("_hit").as("pos")))

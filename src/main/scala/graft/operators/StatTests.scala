@@ -97,11 +97,26 @@ object StatTests {
     */
   def wasserstein1(df: DataFrame, valueCol: String, groupCol: String,
       a: String, b: String, lo: Double, hi: Double,
-      bins: Int = 32): DataFrame = {
-    val spark = df.sparkSession
-    // the bin aggregate is the only corpus-sized stage and feeds both
-    // the totals and the cumulative path — checkpoint or scan twice
-    val counts = psiBinCounts(df, valueCol, groupCol, a, b, lo, hi, bins)
+      bins: Int = 32): DataFrame =
+    wasserstein1FromBins(
+      psiBinCounts(df, valueCol, groupCol, a, b, lo, hi, bins),
+      lo, hi, bins)
+
+  /** The readout half of [[wasserstein1]] over already-aggregated
+    * (bin, ca, cb) rows — the seam a PSI-style store's mergeable bin
+    * counts feed (`StreamingPower.mergedWasserstein`): fold rows
+    * (exact sums, so pre-split micro-batch counts merge losslessly),
+    * re-grid over the full bin range, cumulate, and take the
+    * cross-multiplied integer sum. Streamed ≡ one-shot by
+    * construction because folding commutes with every step.
+    */
+  def wasserstein1FromBins(binCounts: DataFrame, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    val spark = binCounts.sparkSession
+    // the folded bin table feeds both the totals and the cumulative
+    // path — checkpoint or compute twice
+    val counts = binCounts.groupBy(col("bin"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
       .localCheckpoint()
     val grid = spark.range(bins).select(col("id").as("bin"))
     val full = grid.join(counts, Seq("bin"), "left")
@@ -400,6 +415,13 @@ object StatTests {
     * verbatim in the oracle; p ppm-quantizes the A-S tail at birth
     * (the q297 discipline). Groups with an empty class are dropped
     * (no AUC exists).
+    *
+    * ANSI bound: the per-(group, value) tie term t³−t is computed in
+    * exact longs, so a single tied cell may hold at most ~2.09M rows
+    * (2^63^(1/3) ≈ 2 097 152) or the sum throws ARITHMETIC_OVERFLOW —
+    * the analogue of wasserstein1's documented n_a·n_b·bins < 2^63
+    * limit. Scores at that tie density should be pre-bucketed (which
+    * also bounds the distinct-value table).
     *
     * Scale: one hash aggregate to (group, value) granularity, one
     * window partitioned by group over distinct values, one per-group

@@ -734,14 +734,22 @@ object TextAnalysis {
     // Probe-term filter FIRST (map-side broadcast semi-filter on the
     // big tf table), so the doc-length join's left side is already
     // query-bounded — AQE turns it into a broadcast join at runtime.
+    // per-term contributions nano-quantize AT BIRTH and accumulate as
+    // exact longs (the order-invariant-aggregate rule / q176 w_nano
+    // precedent): a per-(query,doc) multi-term double sum's order is
+    // unpinnable across engines, so round(sum(double),6) is the q148
+    // failure class — one boundary-straddling score would flip the
+    // hash on a testdata regeneration. The long sum is order-free;
+    // ONE division converts back (nano sums ≤ ~1e11 « 2^53, exact).
     val partials = tf
       .join(broadcast(qdf), Seq("token"))
       .join(dl, Seq("doc"))
       .withColumn("contrib",
-        col("idf") * col("tf") * (lit(k1) + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))))
+        round(lit(1e9) * (col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl")))))
+          .cast("long"))
     val scored = partials.groupBy("query_id", "doc")
-      .agg(round(sum(col("contrib")), 6).as("score"))
+      .agg(round(sum(col("contrib")).cast("double") / lit(1e9), 6).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col("doc"))
     scored.withColumn("rank", row_number().over(w))
@@ -880,14 +888,16 @@ object TextAnalysis {
         log(lit(1.0) + (col("_n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .localCheckpoint() // broadcast into both scorings
     def topk(postings: DataFrame): DataFrame = {
+      // nano-quantized long accumulation — see bm25ScoreTermsDf
       val partials = postings
         .join(broadcast(qdf), Seq("token"))
         .join(dl, Seq("doc"))
         .withColumn("contrib",
-          col("idf") * col("tf") * (lit(k1) + 1.0) /
-            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl"))))
+          round(lit(1e9) * (col("idf") * col("tf") * (lit(k1) + 1.0) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl")))))
+            .cast("long"))
       val scored = partials.groupBy("query_id", "doc")
-        .agg(round(sum(col("contrib")), 6).as("score"))
+        .agg(round(sum(col("contrib")).cast("double") / lit(1e9), 6).as("score"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("score").desc, col("doc"))
       scored.withColumn("rank", row_number().over(w))
@@ -1091,43 +1101,37 @@ object TextAnalysis {
     * together they catch both "many different shingles repeat" and
     * "one phrase dominates".
     *
-    * Determinism: the top gram ties break lexicographically smallest;
-    * the fraction is one division of exact integers, so no float
-    * accumulates across rows. Scale shape: tokens explode once per n
-    * (O(Σn · tokens) rows), ONE hash aggregate on (doc, n, gram) with
-    * map-side partials, then an argmax window keyed by (doc, n) —
-    * per-key state is bounded by document length, never corpus size.
+    * Determinism: the top gram ties break lexicographically smallest
+    * (UTF8String binary compare == DuckDB collation); the fraction is
+    * one division of exact integers, so no float accumulates across
+    * rows. Scale shape: every gram of a doc originates from ONE input
+    * row, so the whole profile computes IN-ROW through the fused
+    * [[graft.functions.TopGramExpr]] codegen expression — one O(L)
+    * hash-map pass per (doc, n), zero gram strings ever reach a
+    * shuffle (the previous (doc, n, gram) hash-aggregate form shuffled
+    * 27 MB of raw n-gram strings at sf0.1, the suite's largest —
+    * ~27 GB at 100×, for strings that never needed to leave the scan);
+    * per-row work is bounded by document length, never corpus size.
     *
     * Output per (doc, n) with at least n tokens: (id, n, top_gram,
     * n_occurrences, top_gram_char_frac), ordered by (id, n).
     */
   def topNgramProfile(docs: DataFrame, idCol: String, textCol: String,
       ns: Seq[Int] = Seq(1, 2, 3, 4)): DataFrame = {
-    // materialize the token array before any lambda touches it — a
-    // HOF body re-evaluates outer subexpressions per element
-    val toks = docs
+    val topGram = graft.functions.TextExpressions
+      .topGramFast(docs.sparkSession) _
+    docs
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol), length(col(textCol)).as("_n_chars"),
         wsTokens(col(textCol)).as("_t"))
-    val grams = toks
       .select(col(idCol), col("_n_chars"),
         explode(array(ns.map(lit): _*)).as("n"), col("_t"))
       .filter(size(col("_t")) >= col("n"))
       .select(col(idCol), col("_n_chars"), col("n"),
-        explode(expr(
-          "transform(sequence(1, size(_t) - n + 1)," +
-            " i -> concat_ws(' ', slice(_t, i, n)))")).as("gram"))
-    val byGram = grams
-      .groupBy(col(idCol), col("_n_chars"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("n_occurrences"))
-    val w = Window.partitionBy(col(idCol), col("n"))
-      .orderBy(col("n_occurrences").desc, col("gram"))
-    byGram
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .select(col(idCol), col("n"), col("gram").as("top_gram"),
-        col("n_occurrences"),
-        round((col("n_occurrences") * length(col("gram"))).cast("double")
+        topGram(col("_t"), col("n")).as("_top"))
+      .select(col(idCol), col("n"), col("_top.g").as("top_gram"),
+        col("_top.c").as("n_occurrences"),
+        round((col("_top.c") * length(col("_top.g"))).cast("double")
           / col("_n_chars"), 6).as("top_gram_char_frac"))
       .orderBy(idCol, "n")
   }

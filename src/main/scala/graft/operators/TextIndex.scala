@@ -238,13 +238,16 @@ object TextIndex {
       if (deadB.isEmpty) postings
       else postings.join(deadDocs(spark, path, deadB).localCheckpoint(),
         Seq("doc"), "left_anti")
+    // nano-quantized long accumulation — must mirror
+    // TextAnalysis.bm25ScoreTermsDf exactly (shared oracle verbatim)
     val scored = live
       .join(broadcast(qdf), Seq("token"))
       .withColumn("contrib",
-        col("idf") * col("tf") * (lit(k1) + 1.0) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+        round(lit(1e9) * (col("idf") * col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))))
+          .cast("long"))
       .groupBy("query_id", "doc")
-      .agg(round(sum(col("contrib")), 6).as("score"))
+      .agg(round(sum(col("contrib")).cast("double") / lit(1e9), 6).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

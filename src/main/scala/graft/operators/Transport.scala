@@ -59,22 +59,28 @@ object Transport {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     var u = aMap.map { case (k, _) => k -> 1000000L }
     var v = bMap.map { case (k, _) => k -> 1000000L }
+    // overflow-CHECKED long arithmetic throughout the driver loop: the
+    // docstring's "throws loudly rather than corrupting" contract must
+    // hold on the Spark side too, not just in the DuckDB oracle's ANSI
+    // arithmetic — plain `*`/`+` would silently wrap at 2^63 under a
+    // skewed kernel/marginal combination
+    def mul(x: Long, y: Long): Long = Math.multiplyExact(x, y)
     for (_ <- 1 to rounds) {
       // integer matrix-vector products: order-free exact sums, then
       // ONE truncating division per entry — identical to the oracle's
       // unrolled SQL rounds
       val kv = cells.groupBy(_._1).map { case (src, cs) =>
-        src -> cs.map(c => c._3 * v(c._2)).sum }
-      u = aMap.map { case (src, a) => src -> a * 1000000000000L / kv(src) }
+        src -> cs.map(c => mul(c._3, v(c._2))).foldLeft(0L)(Math.addExact) }
+      u = aMap.map { case (src, a) => src -> mul(a, 1000000000000L) / kv(src) }
       val ku = cells.groupBy(_._2).map { case (dst, cs) =>
-        dst -> cs.map(c => c._3 * u(c._1)).sum }
-      v = bMap.map { case (dst, b) => dst -> b * 1000000000000L / ku(dst) }
+        dst -> cs.map(c => mul(c._3, u(c._1))).foldLeft(0L)(Math.addExact) }
+      v = bMap.map { case (dst, b) => dst -> mul(b, 1000000000000L) / ku(dst) }
     }
     cells.map { case (src, dst, kp) =>
       // HALF_UP to 6dp — the same BigDecimal rounding Spark's
       // round(_, 6) and DuckDB's round() apply (rint would be
       // HALF_EVEN and could diverge at exact boundaries)
-      (src, dst, BigDecimal((u(src) * kp * v(dst)).toDouble / 1e18)
+      (src, dst, BigDecimal(mul(mul(u(src), kp), v(dst)).toDouble / 1e18)
         .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
         .toDouble)
     }.toSeq.toDF("src", "dst", "plan")

@@ -1500,10 +1500,38 @@ object EventStoreQueries {
     out
   }
 
+  /** q324: store-fed Wasserstein-1 drift — the SAME mergeable
+    * (bin, ca, cb) rows a q216-style PSI monitor store persists,
+    * written as three micro-batch appends at q322's grid, compacted,
+    * then read through the W₁ readout (`mergedWasserstein`):
+    * streamed ≡ one-shot, so it shares q322's oracle verbatim. One
+    * persisted store now serves both the per-bin (PSI) and the
+    * metric-aware (W₁) drift readings.
+    */
+  private val wassersteinStoreQ: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q324_w1")
+    val store = scratch.toString + "/w1"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.psiStep(
+        ev.filter(col("event_id") % 3 === b), "value", "event_type",
+        "click", "view", lo = 0.0, hi = 320.0, bins = 32, store,
+        batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.psiMerge)
+    val out = graft.streaming.StreamingPower
+      .mergedWasserstein(s, store, lo = 0.0, hi = 320.0, bins = 32)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "q211_event_funnel" -> eventFunnelQ,
     "q212_event_transitions" -> transitionsQ,
     "q216_psi_store" -> psiStoreQ,
+    "q324_wasserstein_store" -> wassersteinStoreQ,
     "q186_dsir_store" -> dsirStoreQ,
     "q194_decayed_engagement" -> decayedQ,
     "q196_funnel_store" -> funnelStoreQ,
@@ -2172,6 +2200,10 @@ object EventStoreQueries {
     // q216: q213's oracle verbatim — the folded bin counts must
     // reproduce the one-shot index exactly.
     "q216_psi_store" -> StatsQueries.oracleSql("q213_psi"),
+    // q324: q322's oracle verbatim — the folded store counts must
+    // reproduce the one-shot W₁ readout exactly (streamed ≡ one-shot).
+    "q324_wasserstein_store" ->
+      StatsQueries.oracleSql("q322_wasserstein_drift"),
     // q211: each stage a filtered min-aggregate gated on the previous
     // stage's first-touch time; conversions one division vs stage 1.
     "q211_event_funnel" ->

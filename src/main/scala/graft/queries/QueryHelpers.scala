@@ -296,9 +296,11 @@ private[queries] object QueryHelpers {
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
         |  avg(len(string_split(text, ' '))) AS avgdl FROM corpus),
         |sc AS (SELECT query_id, tfc.doc,
-        |    round(sum(ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+        |    round(CAST(CAST(sum(CAST(round(1e9 *
+        |      (ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
         |      * tf * (1.2e0 + 1e0)
-        |      / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))), 6)
+        |      / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))))
+        |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9, 6)
         |      AS score
         |  FROM tfc
         |  JOIN qt USING (token)
@@ -348,9 +350,11 @@ private[queries] object QueryHelpers {
        |qt2 AS (SELECT query_id, token FROM qt
        |  UNION SELECT query_id, token FROM ex),
        |sc2 AS (SELECT query_id, tfc.doc,
-       |    round(sum(ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+       |    round(CAST(CAST(sum(CAST(round(1e9 *
+       |      (ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
        |      * tf * (1.2e0 + 1e0)
-       |      / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))), 6)
+       |      / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))))
+       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9, 6)
        |      AS score
        |  FROM tfc
        |  JOIN qt2 USING (token)
@@ -381,9 +385,11 @@ private[queries] object QueryHelpers {
        |    SELECT doc, token, tf, row_number() OVER (PARTITION BY token
        |      ORDER BY impact DESC, doc) AS r FROM imp) WHERE r <= 512),
        |psc AS (SELECT query_id, pp.doc,
-       |    round(sum(ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
+       |    round(CAST(CAST(sum(CAST(round(1e9 *
+       |      (ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))
        |      * tf * (1.2e0 + 1e0)
-       |      / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))), 6)
+       |      / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))))
+       |      AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e9, 6)
        |      AS score
        |  FROM pp JOIN qt USING (token) JOIN dfc USING (token)
        |  JOIN dl ON pp.doc = dl.doc CROSS JOIN stats

@@ -597,6 +597,19 @@ object StreamingPower {
     graft.operators.StatTests.psiFromCounts(
       graft.engine.BatchStore.read(spark, storePath), bins)
 
+  /** The W₁ (earth-mover's) drift readout across every committed
+    * batch of a PSI-style store: fold the stored (bin, ca, cb) counts
+    * (exact sums) and run the same cross-multiplied integer readout
+    * as the one-shot `StatTests.wasserstein1` — streamed ≡ batch
+    * exactly. The store rows are the SAME mergeable shape `psiStep`
+    * writes, so one persisted monitor store serves both the PSI and
+    * the metric-aware W₁ readings.
+    */
+  def mergedWasserstein(spark: SparkSession, storePath: String,
+      lo: Double, hi: Double, bins: Int): DataFrame =
+    graft.operators.StatTests.wasserstein1FromBins(
+      graft.engine.BatchStore.read(spark, storePath), lo, hi, bins)
+
   /** One micro-batch of the streaming volume-trend store: the batch's
     * per-(group, epoch-day) exact counts (`Sessions.dailyCounts` —
     * the mergeable half of q245) land under `batch_id=<id>` with the
@@ -885,9 +898,11 @@ object StreamingPower {
     val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
     val batchDir = new Path(root, s"batch_id=$batchId")
     if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    // clamp on the LONG before the narrowing cast (ANSI CAST_OVERFLOW
+    // guard — mirrors Sampling.isotonicCalibration / psiBinCounts)
     batch.select(
-        least(lit(bins - 1), greatest(lit(0),
-          floor(col(scoreCol) / lit(binWidth)).cast("int"))).as("bin"),
+        least(lit((bins - 1).toLong), greatest(lit(0L),
+          floor(col(scoreCol) / lit(binWidth)).cast("long"))).cast("int").as("bin"),
         col(hitCol).cast("int").as("_hit"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum("_hit").as("pos"))

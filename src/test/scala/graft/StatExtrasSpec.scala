@@ -202,6 +202,19 @@ class StatExtrasSpec extends SparkSpecBase {
       s"expected the all-pooled fit 0.35, got ${iso.toSeq}")
   }
 
+  test("isotonic: extreme scores clamp into edge bins, no ANSI CAST_OVERFLOW") {
+    // |score/binWidth| >= 2^31 used to throw under ANSI because the
+    // clamp ran AFTER a narrowing int cast; the docstring promises
+    // clamping. Both edges, plus a sane mid value.
+    val rows = Seq((1e18, true), (-1e18, false), (2.5, true), (2.5, false))
+      .toDF("score", "hit")
+    val got = graft.operators.Sampling.isotonicCalibration(
+      rows, col("score"), col("hit"), bins = 5, binWidth = 1.0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0, 1L, 0L), (2, 2L, 1L), (4, 1L, 1L)),
+      s"edge clamp wrong: $got")
+  }
+
   test("isotonic: fit is monotone and is the projection (pool means preserved)") {
     // strictly separable rates with one violation in the middle
     val rows = (0 until 600).map { i =>
@@ -260,6 +273,24 @@ class StatExtrasSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
       .toMap
     assert(got2(("s1", "d1")) > 0.49 && got2(("s1", "d2")) < 0.01, got2.toString)
+  }
+
+  test("Sinkhorn: a violated ANSI bound throws on the driver side, never wraps") {
+    import spark.implicits._
+    // a marginal past ~9.2e6 ppm overflows the a·10^12 rescale in
+    // round 1 — the documented contract is a LOUD ArithmeticException
+    // (multiplyExact/addExact in the driver loop), not a silent Long
+    // wrap producing a corrupt plan (which plain `*` used to do)
+    val supply = Seq(("s1", 10000000000L), ("s2", 1L)).toDF("src", "a_ppm")
+    val demand = Seq(("d1", 500000L), ("d2", 500000L)).toDF("dst", "b_ppm")
+    val cost = Seq(("s1", "d1", 0L), ("s1", "d2", 0L),
+      ("s2", "d1", 0L), ("s2", "d2", 0L))
+      .toDF("src", "dst", "cost_ppm")
+    intercept[ArithmeticException] {
+      graft.operators.Transport
+        .sinkhornPlan(supply, demand, cost)
+        .collect()
+    }
   }
 
   test("Sinkhorn: the q321 plan matches both marginals on real data") {

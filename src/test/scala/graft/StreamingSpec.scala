@@ -944,6 +944,42 @@ class StreamingSpec extends SparkSpecBase {
       "retried batch mutated the committed PSI store")
   }
 
+  test("W1 readout off the streamed PSI-shape store equals the one-shot wasserstein1") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_w1_store").toString + "/w1"
+    val ckpt = Files.createTempDirectory("graft_w1_ckpt").toString
+    val ev = graft.engine.Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSeq
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = StreamingPower.psiStream(
+      ms.toDF().toDF("event_id", "event_type", "value"),
+      "value", "event_type", "click", "view", lo = 0.0, hi = 320.0,
+      bins = 32, storePath, ckpt, compactEvery = 2)
+    val (b1, b2) = ev.partition(_._1 % 2 == 0)
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = graft.operators.StatTests.wasserstein1(
+      ev.toDF("event_id", "event_type", "value"), "value", "event_type",
+      "click", "view", lo = 0.0, hi = 320.0, bins = 32).collect().toSeq
+    def streamed() = StreamingPower
+      .mergedWasserstein(spark, storePath, lo = 0.0, hi = 320.0, bins = 32)
+      .collect().toSeq
+    assert(streamed() == oneShot,
+      s"streamed W1 diverged:\n${streamed()}\n$oneShot")
+    // a retried (already folded) batch id is a no-op
+    StreamingPower.psiStep(b2.toDF("event_id", "event_type", "value"),
+      "value", "event_type", "click", "view", 0.0, 320.0, 32,
+      storePath, batchId = 1L)
+    assert(streamed() == oneShot,
+      "retried batch mutated the committed W1 store")
+  }
+
   test("streaming DSIR store scores exactly like the one-shot importance fit") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
