@@ -65,6 +65,53 @@ object Sampling {
           .otherwise(lit("test")))
   }
 
+  /** TEMPORAL (rank-ordered) train/val/test split: assign by position
+    * in `orderCol` order — the train-on-the-past / test-on-the-future
+    * protocol (order = crawl time, ingestion id, event time), the one
+    * split dimension hash ([[split]]) and cluster
+    * ([[clusterAwareSplit]]) assignment don't cover. Bands are exact
+    * integer compares rank·100 ≤ pct·N, so membership is reproducible
+    * in any engine.
+    *
+    * The global rank is the DISTRIBUTED PREFIX SUM (the gainsTable /
+    * Packing layout): range-partition by (orderCol, id), per-partition
+    * row_number in parallel, per-partition totals through a
+    * |partitions|-row window into offsets — no corpus-scale global
+    * window; the checkpoint freezes the sampled range boundaries (the
+    * repartitionByRange invariant). Unlike the hash split, a temporal
+    * split is NOT stable under corpus growth — appending future data
+    * shifts band edges by design (the past/future boundary moves);
+    * use it to AUDIT a time cut, not to key persistent assignment.
+    *
+    * Output: (idCol, split ∈ train|val|test).
+    */
+  def temporalSplit(df: DataFrame, idCol: String, orderCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "bad split percentages")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val base = df.select(col(idCol).as("_id"), col(orderCol).as("_o"))
+      .repartitionByRange(parts, col("_o"), col("_id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // one layout for ranks AND offsets
+    val local = base.withColumn("_rn", row_number().over(
+      Window.partitionBy("_pid").orderBy(col("_o"), col("_id"))))
+    val offsets = base.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum("_n").over(Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint() // feeds the broadcast join AND the total
+    val total = offsets.agg(sum("_n").as("_N"))
+    local.join(broadcast(offsets.select("_pid", "_off")), Seq("_pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("_r", col("_off") + col("_rn"))
+      .select(col("_id").as(idCol),
+        when(col("_r") * 100 <= lit(trainPct.toLong) * col("_N"), lit("train"))
+          .when(col("_r") * 100 <= lit((trainPct + valPct).toLong) * col("_N"),
+            lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   /** Keep a deterministic ~pct% sample. */
   def sample(docs: DataFrame, idCol: String, pct: Int,
       hashes: HashFamily = XxHash64Family): DataFrame =

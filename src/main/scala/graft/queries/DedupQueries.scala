@@ -522,7 +522,52 @@ object DedupQueries {
        |ORDER BY c.doc_a, c.doc_b""".stripMargin
   }
 
+  /** q325: TEMPORAL-split leakage audit over the q180 ensemble
+    * components — the one split dimension (time) the hash (q91) and
+    * cluster (q142/q180) audits don't cover. `doc_id` order plays
+    * crawl/ingestion time; the 80/10/10 prefix split is the
+    * train-on-the-past protocol, assigned by the distributed
+    * prefix-sum rank (`Sampling.temporalSplit` — no corpus-scale
+    * global window). Reported PER SIGNAL (n-gram Jaccard vs
+    * embedding LSH — the q180 components separately, so a clean text
+    * signal can't mask a leaking paraphrase signal): per-boundary
+    * cross-pair counts and the total straddle ratio. The expected
+    * contrast vs q91: near-dup mass concentrates locally in crawl
+    * order, so a temporal cut leaks less than a hash cut — this
+    * query measures that, per signal.
+    */
+  private val temporalLeakageQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val textPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      gramHash = Some(graft.functions.XxHash64Family))
+      .select(col("doc_a"), col("doc_b"), lit("ngram").as("signal"))
+    val embPairs = Similarity
+      .lshNeighborPairs(Tables.embeddings(s, dir), threshold = 0.4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit("emb").as("signal"))
+    val sp = Sampling.temporalSplit(docs, "doc_id", "doc_id")
+      .localCheckpoint() // two join roles
+    def cross(a: String, b: String) = sum(when(
+      (col("s_a") === a && col("s_b") === b)
+        || (col("s_a") === b && col("s_b") === a), 1L).otherwise(0L))
+    textPairs.unionByName(embPairs)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("s_a")),
+        Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("s_b")),
+        Seq("doc_b"))
+      .groupBy("signal")
+      .agg(count(lit(1)).as("n_pairs"),
+        cross("train", "val").as("n_train_val"),
+        cross("train", "test").as("n_train_test"),
+        cross("val", "test").as("n_val_test"))
+      .withColumn("leakage_ratio",
+        round((col("n_train_val") + col("n_train_test") + col("n_val_test"))
+          .cast("double") / col("n_pairs"), 6))
+      .orderBy("signal")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q325_temporal_leakage" -> temporalLeakageQ,
     "q319_weighted_minhash" -> weightedMinhashQ,
     "q207_cross_source_dups" -> crossSourceDupQ,
     "q180_ensemble_split" -> ensembleSplitQ,
@@ -712,6 +757,51 @@ object DedupQueries {
         |FROM orders WHERE o_custkey IN
         |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q325: q180's tjp/ejp pair CTEs verbatim (no closure needed —
+    // the audit counts straddling PAIRS, not clusters), split by
+    // row_number over doc_id order with exact r*100 <= pct*N band
+    // compares (the Spark side computes the same rank distributed).
+    "q325_temporal_leakage" ->
+      s"""WITH $lshCandCtes,
+        |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |tjp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |ejp AS (SELECT id_a AS doc_a, id_b AS doc_b FROM cand
+        |  JOIN emb ea ON ea.vec_id = id_a JOIN emb eb ON eb.vec_id = id_b
+        |  WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= 0.4),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN r * 100 <= 80 * n THEN 'train'
+        |         WHEN r * 100 <= 90 * n THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+        |        FROM documents) CROSS JOIN nn),
+        |lab AS (SELECT 'ngram' AS signal, doc_a, doc_b FROM tjp
+        |        UNION ALL SELECT 'emb', doc_a, doc_b FROM ejp),
+        |j AS (SELECT signal, sa.split AS s_a, sb.split AS s_b
+        |  FROM lab JOIN sp sa ON sa.doc_id = lab.doc_a
+        |  JOIN sp sb ON sb.doc_id = lab.doc_b)
+        |SELECT signal, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN (s_a = 'train' AND s_b = 'val')
+        |    OR (s_a = 'val' AND s_b = 'train') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train_val,
+        |  CAST(SUM(CASE WHEN (s_a = 'train' AND s_b = 'test')
+        |    OR (s_a = 'test' AND s_b = 'train') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train_test,
+        |  CAST(SUM(CASE WHEN (s_a = 'val' AND s_b = 'test')
+        |    OR (s_a = 'test' AND s_b = 'val') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_val_test,
+        |  round(CAST(SUM(CASE WHEN s_a <> s_b THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS leakage_ratio
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // q142: q57's recursive-CC cluster assignment, then the split is a
     // pure md5 of the CLUSTER id; docs outside every pair fall back to
     // their own id (singleton clusters).

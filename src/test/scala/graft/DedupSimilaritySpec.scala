@@ -1014,6 +1014,34 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(singleCrossings >= 0) // informational; zero is possible at tiny sf
   }
 
+  test("temporal split: exact band boundaries, distributed rank == global window") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // 10 rows, 80/10/10: ranks 1..8 train (r*100 <= 800), 9 val
+    // (900 <= 900), 10 test — boundary ranks land EXACTLY on the
+    // <= compare. Unsorted input with non-contiguous order keys.
+    val rows = Seq(70L, 10L, 50L, 30L, 90L, 20L, 80L, 40L, 60L, 100L)
+      .map(i => (i, i * 3)).toDF("id", "t")
+    val got = Sampling.temporalSplit(rows, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L).map(_ -> "train") ++
+      Seq(90L -> "val", 100L -> "test")
+    assert(got == expect.toMap, s"got $got")
+    // equivalence with the plain global-window rank on real data
+    val ids = docs.select(col("doc_id"))
+    val dist = Sampling.temporalSplit(ids, "doc_id", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = ids.count()
+    val glob = ids.withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+      .select(col("doc_id"),
+        when(col("_r") * 100 <= lit(80L) * n, "train")
+          .when(col("_r") * 100 <= lit(90L) * n, "val")
+          .otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dist == glob, "distributed prefix-sum rank diverged from the global window")
+  }
+
   test("matryoshka truncation: retained energy monotone in d, full budget exact") {
     val probes = emb.filter(col("vec_id") < 10)
     val rep = Similarity.truncationReport(emb, probes,
