@@ -217,6 +217,54 @@ object Multimodal {
       }
   }
 
+  /** The near-dup PAIR half of the dHash pipeline, standalone over an
+    * already-hashed (doc_id, w0, w1) frame — the seam the PERSISTED
+    * image-hash store reads through (`StreamingPower
+    * .mergedImagePairs`): 4×16-bit banded equi-join candidates (the
+    * q21/q22 SimHash discipline, never all-pairs), hot bands
+    * (> `maxBucket` members — duplicate floods that would turn the
+    * join quadratic) dropped via the broadcast-anti cap, exact
+    * bit_count Hamming verification, histogram by distance ≤
+    * `maxHamming`. The hash frame feeds a self-join, so it
+    * checkpoints here (the repo invariant).
+    *
+    * Output: (hamming, n_pairs) ordered by hamming.
+    */
+  def dHashPairHistogram(hashRows: DataFrame, maxBucket: Int = 64,
+      maxHamming: Int = 6): DataFrame = {
+    val hashes = hashRows.select(col("doc_id"), col("w0"), col("w1"))
+      .localCheckpoint() // feeds the band explode AND two attach joins
+    val banded = hashes.select(col("doc_id"),
+      posexplode(array(
+        col("w0").bitwiseAND(lit(65535L)),
+        shiftright(col("w0"), 16).bitwiseAND(lit(65535L)),
+        col("w1").bitwiseAND(lit(65535L)),
+        shiftright(col("w1"), 16).bitwiseAND(lit(65535L)))))
+      .toDF("doc_id", "k", "band")
+    val hot = banded.groupBy("k", "band")
+      .agg(count(lit(1)).as("_bn")).filter(col("_bn") > maxBucket)
+      .select("k", "band")
+    // bands feeds the a/b self-join below: without the checkpoint the
+    // banded explode AND the hot-band aggregation both compute twice
+    val bands = banded.join(broadcast(hot), Seq("k", "band"), "left_anti")
+      .localCheckpoint()
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("id_a"), col("w0").as("w0a"),
+        col("w1").as("w1a")), Seq("id_a"))
+      .join(hashes.select(col("doc_id").as("id_b"), col("w0").as("w0b"),
+        col("w1").as("w1b")), Seq("id_b"))
+      .withColumn("hamming",
+        expr("bit_count(w0a ^ w0b) + bit_count(w1a ^ w1b)"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
   /** Partition-wise batch decode of a (doc_id, payload) frame. */
   def decodePayloads(payloads: DataFrame): Dataset[MediaMeta] = {
     import payloads.sparkSession.implicits._

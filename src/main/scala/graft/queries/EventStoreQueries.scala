@@ -1142,39 +1142,35 @@ object EventStoreQueries {
     * discipline; the cap is inactive at the oracle SF and replayed
     * in the oracle regardless.
     */
-  private val imagePhashQ: Q = (s, dir) => {
-    val hashes = Multimodal.dHash(
-        Multimodal.withPatternedImagePayload(Tables.documents(s, dir))).toDF()
-      .select("doc_id", "w0", "w1").localCheckpoint()
-    val banded = hashes.select(col("doc_id"),
-      posexplode(array(
-        col("w0").bitwiseAND(lit(65535L)),
-        shiftright(col("w0"), 16).bitwiseAND(lit(65535L)),
-        col("w1").bitwiseAND(lit(65535L)),
-        shiftright(col("w1"), 16).bitwiseAND(lit(65535L)))))
-      .toDF("doc_id", "k", "band")
-    val hot = banded.groupBy("k", "band")
-      .agg(count(lit(1)).as("_bn")).filter(col("_bn") > 64)
-      .select("k", "band")
-    // bands feeds the a/b self-join below: without the checkpoint the
-    // banded explode AND the hot-band aggregation both compute twice
-    val bands = banded.join(broadcast(hot), Seq("k", "band"), "left_anti")
+  private val imagePhashQ: Q = (s, dir) =>
+    Multimodal.dHashPairHistogram(
+      Multimodal.dHash(
+        Multimodal.withPatternedImagePayload(Tables.documents(s, dir)))
+        .toDF())
+
+  /** q326: the PERSISTED image-hash tier — dHash rows (doc_id, w0,
+    * w1) land in a batch store as three micro-batch appends (the
+    * decode cost is paid once per image, at ingest), compacted, then
+    * the q290 banded-pair readout runs off the STORE: streamed ≡
+    * one-shot, so it shares q290's oracle verbatim. This is the shape
+    * a 100 TB image corpus actually wants — rasters decode once on
+    * arrival, near-dup queries touch only the 2-word hash table.
+    */
+  private val imageHashStoreQ: Q = (s, dir) => {
+    val payloads = Multimodal
+      .withPatternedImagePayload(Tables.documents(s, dir))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q326_ih")
+    val store = scratch.toString + "/imagehash"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.imageHashStep(
+        payloads.filter(col("doc_id") % 3 === b), store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.imageHashMerge)
+    val out = graft.streaming.StreamingPower.mergedImagePairs(s, store)
       .localCheckpoint()
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    cand
-      .join(hashes.select(col("doc_id").as("id_a"), col("w0").as("w0a"),
-        col("w1").as("w1a")), Seq("id_a"))
-      .join(hashes.select(col("doc_id").as("id_b"), col("w0").as("w0b"),
-        col("w1").as("w1b")), Seq("id_b"))
-      .withColumn("hamming",
-        expr("bit_count(w0a ^ w0b) + bit_count(w1a ^ w1b)"))
-      .filter(col("hamming") <= 6)
-      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
-      .orderBy("hamming")
+    deleteRecursively(s, scratch.toString)
+    out
   }
 
   /** q285: LIVE HTTP ingest end-to-end — the reference's actual
@@ -1544,6 +1540,7 @@ object EventStoreQueries {
     "q163_feed_source" -> feedSourceQ,
     "q285_feed_http" -> feedHttpQ,
     "q290_image_phash" -> imagePhashQ,
+    "q326_image_hash_store" -> imageHashStoreQ,
     "q292_feed_http_bronze" -> feedHttpBronzeQ,
     "q301_feed_http_stream" -> feedHttpStreamQ,
     "q162_image_decode" -> imageDecodeQ,
@@ -1854,6 +1851,49 @@ object EventStoreQueries {
       |      CAST(SUM(CAST(round(value, 0) AS BIGINT)) AS BIGINT) AS y
       |    FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1) q
       |    USING (user_id))""".stripMargin
+
+  /** q290/q326 shared oracle: the 9x8 fixture raster is closed-form,
+    * so DuckDB rebuilds the dHash words bit by bit (Σ bit·2^b over
+    * 32-bit halves), bands them identically, and replays the pair
+    * histogram; the Spark side must reach the same words THROUGH the
+    * real PNG encode+decode (inline for q290, decode-at-ingest via
+    * the persisted store for q326).
+    */
+  private lazy val oracleSqlQ290: String =
+    """WITH d AS (SELECT doc_id,
+      |    (doc_id % 16) * 31 + doc_id % 7 AS a FROM documents),
+      |g AS (SELECT doc_id, gr.r * 8 + gc.c AS b,
+      |    CASE WHEN (a + 7 * (gc.c + 1) + 13 * gr.r) % 256
+      |            > (a + 7 * gc.c + 13 * gr.r) % 256
+      |      THEN 1 ELSE 0 END AS bit
+      |  FROM d,
+      |    LATERAL (SELECT unnest(generate_series(0, 7)) AS r) gr,
+      |    LATERAL (SELECT unnest(generate_series(0, 7)) AS c) gc),
+      |h AS MATERIALIZED (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN b < 32 THEN bit * (1::BIGINT << b)
+      |      ELSE 0 END) AS BIGINT) AS w0,
+      |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
+      |      ELSE 0 END) AS BIGINT) AS w1
+      |  FROM g GROUP BY 1),
+      |banded AS MATERIALIZED (SELECT doc_id, gs.k,
+      |    CASE gs.k WHEN 0 THEN w0 & 65535 WHEN 1 THEN (w0 >> 16) & 65535
+      |              WHEN 2 THEN w1 & 65535 ELSE (w1 >> 16) & 65535
+      |    END AS band
+      |  FROM h, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) gs),
+      |bands AS MATERIALIZED (SELECT bd.* FROM banded bd
+      |  LEFT JOIN (SELECT k, band FROM banded
+      |             GROUP BY 1, 2 HAVING count(*) > 64) hot
+      |    ON hot.k = bd.k AND hot.band = bd.band
+      |  WHERE hot.k IS NULL),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id),
+      |p AS (SELECT CAST(bit_count(xor(ha.w0, hb.w0))
+      |      + bit_count(xor(ha.w1, hb.w1)) AS INTEGER) AS hamming
+      |  FROM cand JOIN h ha ON ha.doc_id = cand.id_a
+      |            JOIN h hb ON hb.doc_id = cand.id_b)
+      |SELECT hamming, count(*) AS n_pairs
+      |FROM p WHERE hamming <= 6 GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q234_ewma_store" -> ewmaOracle,
@@ -2353,45 +2393,16 @@ object EventStoreQueries {
         |WHERE event_id % 20 = 0
         |  AND strftime(ts, '%Y-%m-%dT%H:%M:%S') >= '2024-01-18T00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q326: q290's oracle verbatim — the folded store's hash table
+    // must reproduce the one-shot pair histogram exactly (streamed ≡
+    // one-shot; decode-at-ingest changes where the codec runs, never
+    // the words).
+    "q326_image_hash_store" -> oracleSqlQ290,
     // q290: the 9x8 fixture raster is closed-form, so DuckDB rebuilds
     // the dHash words bit by bit (Σ bit·2^b over 32-bit halves), bands
     // them identically, and replays the pair histogram; the Spark side
     // must reach the same words THROUGH the real PNG encode+decode.
-    "q290_image_phash" ->
-      """WITH d AS (SELECT doc_id,
-        |    (doc_id % 16) * 31 + doc_id % 7 AS a FROM documents),
-        |g AS (SELECT doc_id, gr.r * 8 + gc.c AS b,
-        |    CASE WHEN (a + 7 * (gc.c + 1) + 13 * gr.r) % 256
-        |            > (a + 7 * gc.c + 13 * gr.r) % 256
-        |      THEN 1 ELSE 0 END AS bit
-        |  FROM d,
-        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS r) gr,
-        |    LATERAL (SELECT unnest(generate_series(0, 7)) AS c) gc),
-        |h AS MATERIALIZED (SELECT doc_id,
-        |    CAST(SUM(CASE WHEN b < 32 THEN bit * (1::BIGINT << b)
-        |      ELSE 0 END) AS BIGINT) AS w0,
-        |    CAST(SUM(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32))
-        |      ELSE 0 END) AS BIGINT) AS w1
-        |  FROM g GROUP BY 1),
-        |banded AS MATERIALIZED (SELECT doc_id, gs.k,
-        |    CASE gs.k WHEN 0 THEN w0 & 65535 WHEN 1 THEN (w0 >> 16) & 65535
-        |              WHEN 2 THEN w1 & 65535 ELSE (w1 >> 16) & 65535
-        |    END AS band
-        |  FROM h, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) gs),
-        |bands AS MATERIALIZED (SELECT bd.* FROM banded bd
-        |  LEFT JOIN (SELECT k, band FROM banded
-        |             GROUP BY 1, 2 HAVING count(*) > 64) hot
-        |    ON hot.k = bd.k AND hot.band = bd.band
-        |  WHERE hot.k IS NULL),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b
-        |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id),
-        |p AS (SELECT CAST(bit_count(xor(ha.w0, hb.w0))
-        |      + bit_count(xor(ha.w1, hb.w1)) AS INTEGER) AS hamming
-        |  FROM cand JOIN h ha ON ha.doc_id = cand.id_a
-        |            JOIN h hb ON hb.doc_id = cand.id_b)
-        |SELECT hamming, count(*) AS n_pairs
-        |FROM p WHERE hamming <= 6 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q290_image_phash" -> oracleSqlQ290,
     // q162: the PNG fixture's dimensions are derived from the doc, so
     // a decode that parses the real container must recover them; the
     // flag certifies the imageio branch ran, not the stub.

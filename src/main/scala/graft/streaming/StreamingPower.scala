@@ -597,6 +597,59 @@ object StreamingPower {
     graft.operators.StatTests.psiFromCounts(
       graft.engine.BatchStore.read(spark, storePath), bins)
 
+  /** One micro-batch of the streaming IMAGE-HASH store: the batch's
+    * payloads decode ONCE (the expensive codec pass) and only the
+    * (doc_id, w0, w1) dHash words land under `batch_id=N` with the
+    * committed-skip guard — 3 longs per image however large the
+    * raster. Batches must partition the corpus by doc (the
+    * profile-store contract); a retried committed batch is a no-op.
+    */
+  def imageHashStep(payloads: DataFrame, storePath: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(payloads.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(
+      payloads.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.Multimodal.dHash(payloads).toDF()
+      .select(col("doc_id"), col("w0"), col("w1"))
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** Image-hash MERGE as a compaction hook: each doc lives in exactly
+    * one batch, so min() per word is the identity fold — deterministic
+    * however generations interleave.
+    */
+  val imageHashMerge: DataFrame => DataFrame =
+    _.groupBy(col("doc_id")).agg(min(col("w0")).as("w0"),
+      min(col("w1")).as("w1"))
+
+  /** The image-hash loop as a streaming query over a payload stream. */
+  def imageHashStream(rows: DataFrame, storePath: String,
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        imageHashStep(batch, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            imageHashMerge)
+      }
+      .start()
+
+  /** The near-dup readout across every committed batch: the q290
+    * banded-pair Hamming histogram off the stored hash table —
+    * streamed ≡ one-shot because the hash rows are per-doc facts and
+    * the pair chain is a pure function of the folded table.
+    */
+  def mergedImagePairs(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Multimodal.dHashPairHistogram(
+      graft.engine.BatchStore.read(spark, storePath))
+
   /** The W₁ (earth-mover's) drift readout across every committed
     * batch of a PSI-style store: fold the stored (bin, ca, cb) counts
     * (exact sums) and run the same cross-multiplied integer readout

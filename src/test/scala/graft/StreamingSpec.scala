@@ -980,6 +980,38 @@ class StreamingSpec extends SparkSpecBase {
       "retried batch mutated the committed W1 store")
   }
 
+  test("streaming image-hash store: pair readout == one-shot, decode paid at ingest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_ih_store").toString + "/ih"
+    val ckpt = Files.createTempDirectory("graft_ih_ckpt").toString
+    val payloads = graft.operators.Multimodal.withPatternedImagePayload(
+        graft.engine.Tables.documents(spark, sf("sf0.001")))
+      .as[(Long, Array[Byte])].collect().toSeq
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingPower.imageHashStream(
+      ms.toDF().toDF("doc_id", "payload"), storePath, ckpt, compactEvery = 2)
+    val (b1, b2) = payloads.partition(_._1 % 2 == 0)
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = graft.operators.Multimodal.dHashPairHistogram(
+      graft.operators.Multimodal.dHash(
+        payloads.toDF("doc_id", "payload")).toDF()).collect().toSeq
+    def streamed() = StreamingPower.mergedImagePairs(spark, storePath)
+      .collect().toSeq
+    assert(streamed() == oneShot,
+      s"streamed pair histogram diverged:\n${streamed()}\n$oneShot")
+    // a retried (already folded) batch id is a no-op
+    StreamingPower.imageHashStep(b2.toDF("doc_id", "payload"),
+      storePath, batchId = 1L)
+    assert(streamed() == oneShot,
+      "retried batch mutated the committed image-hash store")
+  }
+
   test("streaming DSIR store scores exactly like the one-shot importance fit") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
