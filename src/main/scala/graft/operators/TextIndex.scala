@@ -295,12 +295,22 @@ object TextIndex {
       if (deadB.isEmpty) pruned
       else pruned.join(deadDocs(spark, path, deadB).localCheckpoint(),
         Seq("doc"), "left_anti")
+    // coverage as a BIT MASK, not countDistinct: bit_or pre-combines
+    // map-side (countDistinct planned an Expand + a second shuffle
+    // carrying one row per posting OCCURRENCE — 31 MB at sf0.1, the
+    // suite's largest after the q182 fix), idempotent under duplicate
+    // positions, and ONE long per group crosses the wire. Valid while
+    // phrases stay under 64 tokens — enforced on the query-sized side
+    // (shiftleft wraps silently past 64, so the guard is load-bearing).
+    val maxLen = plen.agg(max(col("plen"))).head().getLong(0)
+    require(maxLen <= 64, s"phrase longer than 64 tokens unsupported ($maxLen)")
     live
       .select(col("doc"), col("token"), explode(col("positions")).as("pos"))
       .join(broadcast(qt), Seq("token"))
       .groupBy(col("query_id"), col("doc"),
         (col("pos") - col("tok_idx")).as("base"))
-      .agg(countDistinct(col("tok_idx")).as("cov"))
+      .agg(expr("bit_or(shiftleft(1L, tok_idx))").as("_mask"))
+      .withColumn("cov", expr("bit_count(_mask)").cast("long"))
       .join(broadcast(plen), Seq("query_id"))
       .filter(col("cov") === col("plen"))
       .groupBy("query_id", "doc")
