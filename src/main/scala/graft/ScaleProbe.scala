@@ -200,6 +200,12 @@ object ScaleProbe {
         // replicas so replica pairs aren't all-zero-distance rows.
         "jl_distortion" -> (() => Pca.jlDistortionReport(
           embPerturbed, "vec_id", "embedding", dim = 64)),
+        // temporal split (q325's rank half): ONE range shuffle +
+        // parallel local windows; the only single-partition window
+        // sees |shuffle partitions| rows regardless of N — expected
+        // ~linear, the gains_table law
+        "temporal_split" -> (() => Sampling.temporalSplit(
+          docs.select("doc_id"), "doc_id", "doc_id")),
         // graph-family completion: fixed-point peeling (rounds bounded
         // by peel depth, each round one semi-join + degree aggregate)
         // and the endpoint-degree correlation (two joins over 2|E|)
