@@ -408,6 +408,69 @@ object Sketches {
       .join(broadcast(sketch), Seq("r", "c"))
       .groupBy("token").agg(min(col("cnt")).as("est_count"))
 
+  /** JOIN-SIZE ESTIMATION from count-min sketches (the classic
+    * AMS-family application; Cormode & Muthukrishnan 2005 §4.2): the
+    * equi-join cardinality |A ⋈ B on key| = Σ_k f_A(k)·f_B(k) is the
+    * inner product of the two key-frequency vectors, and the
+    * per-row inner product of two CM sketches built with the SAME
+    * (depth, width, hash family) overestimates it by exactly the
+    * collision mass — so min over the depth rows is an upper bound
+    * that concentrates within ε·N_A·N_B/width. The 100 TB use: the
+    * two sketches are constant-size (depth×width) MERGEABLE tables
+    * (the `countMinStream` store shape), so a pipeline can predict
+    * whether a join is broadcastable / how many shuffle partitions it
+    * needs WITHOUT running the join or scanning either side again.
+    *
+    * This certification form computes the exact inner product
+    * alongside (two key-granular hash aggregates + one key-sized
+    * join — never the materialized join) the way `countMinTopK`
+    * carries its exact counts: the overestimate is a hash-verified
+    * number, not a faith claim. est_join ≥ exact_join always.
+    *
+    * Determinism: counters and products are exact longs (order-free
+    * sums); ANSI bound: the true inner product is ≤ n_a·n_b, so the
+    * estimate stays under 2⁶³ while n_a·n_b < 2⁶³ (~3·10⁹ rows per
+    * side) — beyond that, pre-aggregate or widen the sketch. Output:
+    * one row (n_a, n_b, est_join, exact_join, est_ratio 6dp).
+    */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame,
+      bKey: String, depth: Int = 4, width: Int = 1024,
+      hashes: HashFamily = Md5Family): DataFrame = {
+    val spark = a.sparkSession
+    val ka = a.select(col(aKey).cast("string").as("k"))
+    val kb = b.select(col(bKey).cast("string").as("k"))
+    // the sketch tables are ≤ depth×width rows — checkpoint so the
+    // inner product AND the totals read one materialization (each
+    // side then scans its input exactly twice: sketch + exact side)
+    val sa = countMinSketch(ka, "k", depth, width, hashes).localCheckpoint()
+    val sb = countMinSketch(kb, "k", depth, width, hashes).localCheckpoint()
+    // per-row inner products over the (r, c) cell space (both sides
+    // tiny, the join is cell-keyed); rows with NO overlapping cells
+    // contribute 0 via the grid left join
+    val ip = sa.select(col("r"), col("c"), col("cnt").as("ca"))
+      .join(sb.select(col("r"), col("c"), col("cnt").as("cb")),
+        Seq("r", "c"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+    val est = spark.range(depth).select(col("id").as("r"))
+      .join(ip, Seq("r"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_join"))
+    // exact Σ f_A·f_B: key-granular aggregates + a key-sized join —
+    // the verification side; production reads the sketches only
+    val exact = ka.groupBy("k").agg(count(lit(1)).as("fa"))
+      .join(kb.groupBy("k").agg(count(lit(1)).as("fb")), Seq("k"))
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
+    // totals come off the sketches (any one row sums to N) — no
+    // third scan of either input
+    val tot = sa.filter(col("r") === 0).agg(sum("cnt").as("n_a"))
+      .crossJoin(broadcast(
+        sb.filter(col("r") === 0).agg(sum("cnt").as("n_b"))))
+    tot.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+      .select(col("n_a"), col("n_b"), col("est_join"), col("exact_join"),
+        when(col("exact_join") > 0L,
+          round(col("est_join").cast("double")
+            / col("exact_join").cast("double"), 6)).as("est_ratio"))
+  }
+
   /** EXACT heavy hitters (all items with count · k > N) in two scans
     * and zero vocabulary-scale shuffles — the frequent-items
     * complement of the count-min estimates above.

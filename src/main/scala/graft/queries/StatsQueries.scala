@@ -191,6 +191,24 @@ object StatsQueries {
         .select(explode(split(col("text"), " ")).as("token")),
       "token")
 
+  /** q327: SKETCH-based join-size estimation — |lineitem ⋈ orders on
+    * orderkey| predicted from two constant-size count-min sketches
+    * (per-row inner product, min over rows) WITHOUT running the join,
+    * certified against the exact Σ f_A·f_B. Where q227's advisor
+    * needs the key-granular count tables (state ∝ distinct keys),
+    * the sketch form is depth×width regardless of vocabulary and
+    * MERGEABLE (the countMinStream store shape) — the planning
+    * primitive that still works when the key tables themselves are
+    * too big to hold. The orderkey vocabulary exceeds the sketch
+    * width at every SF, so the estimate genuinely carries collision
+    * mass (est_ratio > 1) — the bound under test, not a degenerate
+    * exact replay.
+    */
+  private val joinSizeSketchQ: Q = (s, dir) =>
+    Sketches.joinSizeEstimate(
+      Tables.lineitem(s, dir), "l_orderkey",
+      Tables.orders(s, dir), "o_orderkey", width = 65536)
+
 
   /** Mixture-governance report for the temperature rebalance: per
     * language, corpus share before vs after — the number a data-mixing
@@ -1070,6 +1088,7 @@ object StatsQueries {
     "q95_temperature_sample" -> temperatureQ,
     "q88_histogram_quantiles" -> histQuantiles,
     "q89_count_min" -> countMin,
+    "q327_join_size_sketch" -> joinSizeSketchQ,
     "q83_chunk" -> chunkQ,
     "q85_zorder" -> zorderQ,
     "q72_shard_pack" -> shardPack,
@@ -2147,6 +2166,36 @@ object StatsQueries {
         |SELECT token, est_count, exact_count
         |FROM est JOIN ex USING (token)
         |ORDER BY est_count DESC, token LIMIT 20""".stripMargin,
+    // q327: full sketch replay — same salted md5 cell hashes as q89,
+    // per-row inner products, min over the depth grid (absent rows
+    // count 0), exact Σ fa·fb beside it.
+    "q327_join_size_sketch" ->
+      s"""WITH ka AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |kb AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+        |ha AS (SELECT k, r,
+        |    ${md5l("concat(k, '_', CAST(r AS VARCHAR))")} % 65536 AS c
+        |  FROM ka, generate_series(0, 3) AS gs(r)),
+        |sa AS (SELECT r, c, CAST(count(*) AS BIGINT) AS ca FROM ha GROUP BY 1, 2),
+        |hb AS (SELECT k, r,
+        |    ${md5l("concat(k, '_', CAST(r AS VARCHAR))")} % 65536 AS c
+        |  FROM kb, generate_series(0, 3) AS gs(r)),
+        |sb AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cb FROM hb GROUP BY 1, 2),
+        |ip AS (SELECT r, CAST(SUM(ca * cb) AS BIGINT) AS ip
+        |  FROM sa JOIN sb USING (r, c) GROUP BY 1),
+        |est AS (SELECT CAST(MIN(coalesce(ip.ip, 0)) AS BIGINT) AS est_join
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS r) g
+        |  LEFT JOIN ip USING (r)),
+        |fa AS (SELECT k, CAST(count(*) AS BIGINT) AS fa FROM ka GROUP BY 1),
+        |fb AS (SELECT k, CAST(count(*) AS BIGINT) AS fb FROM kb GROUP BY 1),
+        |ex AS (SELECT CAST(coalesce(SUM(fa * fb), 0) AS BIGINT) AS exact_join
+        |  FROM fa JOIN fb USING (k)),
+        |t AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ka) AS n_a,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM kb) AS n_b)
+        |SELECT t.n_a, t.n_b, est.est_join, ex.exact_join,
+        |  CASE WHEN ex.exact_join > 0 THEN
+        |    round(CAST(est.est_join AS DOUBLE)
+        |      / CAST(ex.exact_join AS DOUBLE), 6) END AS est_ratio
+        |FROM t, est, ex""".stripMargin,
     "q83_chunk" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
         |           FROM documents),

@@ -704,6 +704,34 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("_OTHER_", 50L)))
   }
 
+  test("join-size sketch: upper bound always; exact when vocabulary fits the width") {
+    import graft.operators.Sketches
+    import spark.implicits._
+    // collision-free regime (8 keys « width): inner product is exact —
+    // fa·fb summed = 3*2*1(k1) + 1*4(k2) + 2*0 + 0*5 = 10
+    val a = Seq("k1", "k1", "k1", "k2", "k3", "k3").toDF("ka")
+    val b = Seq("k1", "k1", "k2", "k2", "k2", "k2", "k4", "k4", "k4",
+      "k4", "k4").toDF("kb")
+    val r = Sketches.joinSizeEstimate(a, "ka", b, "kb").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 11L, 10L, 10L)), s"got $r")
+    assert(r.getDouble(4) == 1.0)
+    // disjoint key sets: exact 0, estimate may carry collision mass
+    // but stays a NON-NEGATIVE upper bound with NULL ratio
+    val d = Sketches.joinSizeEstimate(
+      Seq("x1", "x2").toDF("ka"), "ka", Seq("y1").toDF("kb"), "kb")
+      .collect()(0)
+    assert(d.getLong(3) == 0L && d.getLong(2) >= 0L && d.isNullAt(4))
+    // real-data regime (orderkey vocabulary » width): upper bound holds
+    val s0 = Sketches.joinSizeEstimate(
+      Tables.lineitem(spark, sf("sf0.001")), "l_orderkey",
+      Tables.orders(spark, sf("sf0.001")), "o_orderkey",
+      width = 256).collect()(0)
+    assert(s0.getLong(2) >= s0.getLong(3),
+      s"sketch under-estimated the join: $s0")
+    assert(s0.getLong(3) == 6000L) // FK: every lineitem matches once
+  }
+
   test("count-min estimates never undercount and nail the heavy hitters") {
     import graft.operators.Sketches
     val tok = Tables.documents(spark, sf("sf0.001"))
