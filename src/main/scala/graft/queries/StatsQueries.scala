@@ -862,6 +862,29 @@ object StatsQueries {
   private val giniQ: Q = (s, dir) =>
     Profile.giniConcentration(Tables.documents(s, dir), "source", "n_chars")
 
+  /** q328: split BALANCE audit — is the q325 temporal cut
+    * demographically fair? χ² of independence between the split
+    * assignment and each governance dimension (lang, source): a
+    * time-ordered cut can silently skew the mixture (a source that
+    * arrived late lands entirely in test), which per-pair leakage
+    * audits never see. One distributed-rank split + two chi-square
+    * tests over the same joined frame; dof and the nano-quantized χ²
+    * per feature, the q215 discipline.
+    */
+  private val splitBalanceQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val sp = Sampling.temporalSplit(docs, "doc_id", "doc_id")
+    val joined = docs.select("doc_id", "lang", "source")
+      .join(sp, Seq("doc_id"))
+      .localCheckpoint() // feeds both feature tests
+    def one(c: String) = StatTests.chiSquare(joined, "split", c)
+      .withColumn("feature", lit(c))
+    one("lang").unionByName(one("source"))
+      .select(col("feature"), col("n_items"), col("n_rows_cat"),
+        col("n_cols_cat"), col("dof"), col("chi2"))
+      .orderBy("feature")
+  }
+
   /** q225: rendezvous (highest-random-weight) sharding of the corpus,
     * 8 shards vs 9 — the stable re-sharding rule: a moved doc can
     * only have moved TO the new shard (PropertySpec asserts it).
@@ -1060,6 +1083,7 @@ object StatsQueries {
     "q213_psi" -> psiQ,
     "q214_ks_test" -> ksQ,
     "q215_chi2" -> chi2Q,
+    "q328_split_balance" -> splitBalanceQ,
     "q217_cat_psi" -> catPsiQ,
     "q165_column_profile" -> columnProfileQ,
     "q185_dsir_sample" -> dsirQ,
@@ -1811,6 +1835,50 @@ object StatsQueries {
         |FROM m CROSS JOIN t GROUP BY 1, 2""".stripMargin,
     // q215: chi2 cell terms (O*N - r*c)^2 / (N*r*c) floored to nanos
     // at birth over the FULL rows x cols grid (absent cells count).
+    // q328: the q325 rank split + the q215 chi2 chain once per
+    // governance feature, UNION ALL'd (absent grid cells contribute
+    // rc/N, nano-quantized terms — the q215 discipline verbatim).
+    "q328_split_balance" -> {
+      def chain(f: String, sfx: String) =
+        s"""cells$sfx AS (SELECT split AS r, $f AS c,
+           |    CAST(count(*) AS BIGINT) AS o FROM j GROUP BY 1, 2),
+           |rws$sfx AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt
+           |  FROM cells$sfx GROUP BY 1),
+           |cls$sfx AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct
+           |  FROM cells$sfx GROUP BY 1),
+           |t$sfx AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+           |    CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+           |    CAST(COUNT(DISTINCT c) AS BIGINT) AS nc FROM cells$sfx),
+           |grid$sfx AS (SELECT rws$sfx.r, cls$sfx.c, rws$sfx.rt,
+           |    cls$sfx.ct, coalesce(cells$sfx.o, 0) AS o
+           |  FROM rws$sfx CROSS JOIN cls$sfx
+           |  LEFT JOIN cells$sfx ON cells$sfx.r = rws$sfx.r
+           |    AND cells$sfx.c = cls$sfx.c),
+           |s$sfx AS (SELECT n, nr, nc, CAST(floor(
+           |    (CAST(o * n - rt * ct AS DOUBLE)
+           |      * CAST(o * n - rt * ct AS DOUBLE)
+           |      / CAST(n * rt * ct AS DOUBLE))
+           |    * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
+           |  FROM grid$sfx CROSS JOIN t$sfx),
+           |f$sfx AS (SELECT '$f' AS feature, n AS n_items,
+           |    nr AS n_rows_cat, nc AS n_cols_cat,
+           |    (nr - 1) * (nc - 1) AS dof,
+           |    ROUND(CAST(SUM(tn) AS BIGINT) / 1000000000e0, 6) AS chi2
+           |  FROM s$sfx GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN r * 100 <= 80 * n THEN 'train'
+        |         WHEN r * 100 <= 90 * n THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+        |        FROM documents) CROSS JOIN nn),
+        |j AS (SELECT d.lang, d.source, sp.split
+        |  FROM documents d JOIN sp USING (doc_id)),
+        |${chain("lang", "l")},
+        |${chain("source", "s")}
+        |SELECT * FROM fl UNION ALL SELECT * FROM fs
+        |ORDER BY feature""".stripMargin
+    },
     "q215_chi2" ->
       """WITH cells AS (SELECT lang AS r, source AS c,
         |    CAST(count(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2),
