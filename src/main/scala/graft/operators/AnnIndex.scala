@@ -514,6 +514,31 @@ object AnnIndex {
     * enc scan is FILTERED to the probed list ids, which prunes whole
     * partition directories.
     */
+  /** The index's LIVE coarse routing — one (list_id, neighbor_id) row
+    * per committed, non-tombstoned vector, straight off the enc
+    * partition layout (the [[query]] read discipline: committed
+    * batches only, dead ids anti-joined, heal first). This is what an
+    * index-fed SemDeDup ([[Similarity.semanticDedupFromIndex]]) reads
+    * instead of re-assigning the corpus to centroids per audit: the
+    * encode/routing cost amortizes into the index build, and within-
+    * list membership is a column scan of two small columns (the PQ
+    * code rows are never read — enc is (batch, list_id)-partitioned,
+    * so projection prunes to the partition values plus neighbor_id).
+    */
+  def listAssignments(spark: SparkSession, path: String): DataFrame = {
+    healEnc(spark, path)
+    val all = spark.read.parquet(encPath(path))
+      .filter(col("batch").isin(committedBatches(spark, path): _*))
+      .select("list_id", "neighbor_id")
+      .dropDuplicates("list_id", "neighbor_id")
+    val deadBatches = committedDeadBatches(spark, path)
+    if (deadBatches.isEmpty) all
+    else all.join(
+      deadIds(spark, path, deadBatches)
+        .withColumnRenamed("vec_id", "neighbor_id").localCheckpoint(),
+      Seq("neighbor_id"), "left_anti")
+  }
+
   def query(spark: SparkSession, path: String, probes: DataFrame, k: Int,
       dim: Int, nprobe: Int = 4, numSub: Int = 8): DataFrame =
     queryImpl(spark, path, probes, k, dim, nprobe, numSub, None)

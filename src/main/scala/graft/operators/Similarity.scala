@@ -1067,10 +1067,26 @@ object Similarity {
     * (table, bucket); candidate volume ≈ Σ_buckets n² per table, the
     * knob that replaces the brute-force O(n²).
     */
-  def lshNeighborPairs(embeddings: DataFrame, threshold: Double, bits: Int = 6,
+  /** The sign-LSH signature rows (vec_id, table, bucket) behind
+    * [[lshNeighborPairs]], factored out so incremental pair miners
+    * ([[PairStore]]) persist the SAME routing the one-shot operator
+    * computes — a stored signature row and a freshly computed one are
+    * bit-identical for the same (bits, tables, seed).
+    */
+  private[graft] def lshSignatureRows(embeddings: DataFrame, bits: Int = 6,
       tables: Int = 8, seed: Long = 42L): DataFrame = {
     val dim = 64
     val planes = hyperplanes(dim, bits * tables, seed)
+    embeddings.select(
+      col("vec_id"),
+      posexplode(array((0 until tables).map { t =>
+        signature(embeddings.sparkSession, asDouble(col("embedding")),
+          planes.slice(t * bits, (t + 1) * bits))
+      }: _*)).as(Seq("table", "bucket")))
+  }
+
+  def lshNeighborPairs(embeddings: DataFrame, threshold: Double, bits: Int = 6,
+      tables: Int = 8, seed: Long = 42L): DataFrame = {
     // The candidate self-join deliberately carries ONLY (table, bucket,
     // id): shuffling the vectors with every candidate row would move
     // |candidates| × 2 × dim doubles through the exchange and the pair
@@ -1079,12 +1095,7 @@ object Similarity {
     // corpus projection, so each surviving pair reads its two vectors
     // once. localCheckpoint: the signature projection feeds both sides
     // of the self-join.
-    val sig = embeddings.select(
-      col("vec_id"),
-      posexplode(array((0 until tables).map { t =>
-        signature(embeddings.sparkSession, asDouble(col("embedding")),
-          planes.slice(t * bits, (t + 1) * bits))
-      }: _*)).as(Seq("table", "bucket")))
+    val sig = lshSignatureRows(embeddings, bits, tables, seed)
       .localCheckpoint()
     val a = sig.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
     val b = sig.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
@@ -1853,6 +1864,44 @@ object Similarity {
       .filter(col("cosine") >= threshold)
     Dedup.canonicalCorpus(
       embeddings.select(col("vec_id"), col("label")), pairs,
+      "vec_id", "id_a", "id_b")
+  }
+
+  /** SemDeDup fed by a PERSISTED [[AnnIndex]]: the coarse routing is
+    * read off the index's live enc layout (`AnnIndex.listAssignments`
+    * — committed batches, tombstones masked) instead of re-assigning
+    * the corpus to centroids per audit, so the encode amortizes into
+    * the index build and embedding dedup becomes incremental: append
+    * batches to the index, re-read assignments. An index built with
+    * the same seeded codebook routes identically to the inline
+    * [[semanticDedup]], so this shares q115's oracle verbatim.
+    *
+    * The within-list self-join carries ONLY (list_id, id) — vectors
+    * attach AFTER the candidate join by two equi-joins against the
+    * corpus projection (the `lshNeighborPairs` discipline; the inline
+    * operator shuffles both vectors with every candidate row).
+    * `vectors` is the lake's embedding table — the index stores codes,
+    * not raw embeddings, and the exact-cosine verify reads each
+    * surviving pair's two vectors once.
+    */
+  def semanticDedupFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, vectors: DataFrame, threshold: Double): DataFrame = {
+    val assigned = AnnIndex.listAssignments(spark, indexPath)
+      .localCheckpoint() // both sides of the within-list self-join
+    val cand = assigned.select(col("list_id"), col("neighbor_id").as("id_a"))
+      .join(assigned.select(col("list_id"), col("neighbor_id").as("id_b")),
+        Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val emb = vectors.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val pairs = cand
+      .join(emb.select(col("vec_id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineFast(spark)(col("emb_a"), col("emb_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    Dedup.canonicalCorpus(
+      vectors.select(col("vec_id"), col("label")), pairs,
       "vec_id", "id_a", "id_b")
   }
 }

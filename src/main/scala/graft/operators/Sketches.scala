@@ -436,14 +436,38 @@ object Sketches {
   def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame,
       bKey: String, depth: Int = 4, width: Int = 1024,
       hashes: HashFamily = Md5Family): DataFrame = {
-    val spark = a.sparkSession
     val ka = a.select(col(aKey).cast("string").as("k"))
     val kb = b.select(col(bKey).cast("string").as("k"))
+    val base = joinSizeFromSketches(
+      countMinSketch(ka, "k", depth, width, hashes),
+      countMinSketch(kb, "k", depth, width, hashes), depth)
+    // exact Σ f_A·f_B: key-granular aggregates + a key-sized join —
+    // the verification side; production reads the sketches only
+    val exact = ka.groupBy("k").agg(count(lit(1)).as("fa"))
+      .join(kb.groupBy("k").agg(count(lit(1)).as("fb")), Seq("k"))
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
+    base.crossJoin(broadcast(exact))
+      .select(col("n_a"), col("n_b"), col("est_join"), col("exact_join"),
+        when(col("exact_join") > 0L,
+          round(col("est_join").cast("double")
+            / col("exact_join").cast("double"), 6)).as("est_ratio"))
+  }
+
+  /** The ESTIMATE half of [[joinSizeEstimate]] from two ALREADY-BUILT
+    * count-min sketch tables sharing (depth, width, hash family) —
+    * what a store-fed planner reads. Count-min rows are mergeable
+    * (sum per (r, c)), so the inputs can come straight off two
+    * persisted monitor stores (`StreamingPower.keySketchStep`) with
+    * NO scan of either joined input: the whole readout touches
+    * 2×depth×width rows. One row (n_a, n_b, est_join).
+    */
+  def joinSizeFromSketches(sketchA: DataFrame, sketchB: DataFrame,
+      depth: Int = 4): DataFrame = {
+    val spark = sketchA.sparkSession
     // the sketch tables are ≤ depth×width rows — checkpoint so the
-    // inner product AND the totals read one materialization (each
-    // side then scans its input exactly twice: sketch + exact side)
-    val sa = countMinSketch(ka, "k", depth, width, hashes).localCheckpoint()
-    val sb = countMinSketch(kb, "k", depth, width, hashes).localCheckpoint()
+    // inner product AND the totals read one materialization
+    val sa = sketchA.localCheckpoint()
+    val sb = sketchB.localCheckpoint()
     // per-row inner products over the (r, c) cell space (both sides
     // tiny, the join is cell-keyed); rows with NO overlapping cells
     // contribute 0 via the grid left join
@@ -454,21 +478,16 @@ object Sketches {
     val est = spark.range(depth).select(col("id").as("r"))
       .join(ip, Seq("r"), "left")
       .agg(min(coalesce(col("ip"), lit(0L))).as("est_join"))
-    // exact Σ f_A·f_B: key-granular aggregates + a key-sized join —
-    // the verification side; production reads the sketches only
-    val exact = ka.groupBy("k").agg(count(lit(1)).as("fa"))
-      .join(kb.groupBy("k").agg(count(lit(1)).as("fb")), Seq("k"))
-      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
     // totals come off the sketches (any one row sums to N) — no
-    // third scan of either input
-    val tot = sa.filter(col("r") === 0).agg(sum("cnt").as("n_a"))
-      .crossJoin(broadcast(
-        sb.filter(col("r") === 0).agg(sum("cnt").as("n_b"))))
-    tot.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
-      .select(col("n_a"), col("n_b"), col("est_join"), col("exact_join"),
-        when(col("exact_join") > 0L,
-          round(col("est_join").cast("double")
-            / col("exact_join").cast("double"), 6)).as("est_ratio"))
+    // scan of either input
+    // sum over an EMPTY side's zero sketch rows is NULL — coalesce pins
+    // the empty-input case to 0, matching the oracle's count(*) and the
+    // documented one-row (n_a, n_b, ...) contract
+    val tot = sa.filter(col("r") === 0)
+      .agg(coalesce(sum("cnt"), lit(0L)).as("n_a"))
+      .crossJoin(broadcast(sb.filter(col("r") === 0)
+        .agg(coalesce(sum("cnt"), lit(0L)).as("n_b"))))
+    tot.crossJoin(broadcast(est))
   }
 
   /** EXACT heavy hitters (all items with count · k > N) in two scans

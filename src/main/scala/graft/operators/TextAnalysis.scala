@@ -14,6 +14,50 @@ object TextAnalysis {
   /** Whitespace tokenization (regex), robust to repeated whitespace. */
   def wsTokens(text: Column): Column = split(text, "\\s+")
 
+  /** TRUE for documents dominated by a NO-SPACE script: CJK unified
+    * ideographs + kana codepoints make up at least half of the
+    * non-whitespace characters (exact integer compare, so the DuckDB
+    * oracle replays the decision bit-for-bit). Whitespace tokenization
+    * silently degrades to whole-line tokens on such text — this is the
+    * routing predicate of [[scriptTokens]].
+    */
+  def isNoSpaceScript(text: Column): Column = {
+    val noSpace = length(regexp_replace(text,
+      "[^\\u3040-\\u30FF\\u4E00-\\u9FFF]", ""))
+    val nonWs = length(regexp_replace(text, "\\s", ""))
+    nonWs > 0 && noSpace.cast("long") * 2 >= nonWs.cast("long")
+  }
+
+  /** Script-aware tokenization: whitespace tokens for space-delimited
+    * scripts, overlapping CHARACTER BIGRAMS (the standard CJK IR
+    * fallback) for documents [[isNoSpaceScript]] flags — computed over
+    * the whitespace-stripped text, single-character documents yielding
+    * their one character. On pure space-delimited text this is
+    * [[wsTokens]] bit-for-bit, so routing an operator through it
+    * changes nothing on Latin-script corpora while un-degrading every
+    * token statistic on CJK text.
+    *
+    * Implementation note: bigrams are a zip_with of two shifted char
+    * slices (the `Dedup.shingles` pattern) — NOT
+    * `transform(sequence(...), i => substr(s, i, 2))`, whose lambda
+    * would re-run the whitespace strip once per bigram (the O(n²)
+    * lambda trap). DuckDB mirror of the bigram list:
+    * `[substr(s, i, 2) FOR i IN generate_series(1, greatest(length(s)-1, 1))]`.
+    */
+  def scriptTokens(text: Column): Column = {
+    val stripped = regexp_replace(text, "\\s", "")
+    // split on "" keeps a trailing empty string (Java split semantics)
+    // — filter it so the char array is exactly the codepoints
+    val chars = filter(split(stripped, ""), ch => length(ch) > 0)
+    val m = size(chars) - 1
+    val bigrams = zip_with(slice(chars, lit(1), m), slice(chars, lit(2), m),
+      (a, b) => concat(a, b))
+    when(isNoSpaceScript(text),
+      when(size(chars) >= 2, bigrams)
+        .otherwise(array(concat_ws("", chars))))
+      .otherwise(wsTokens(text))
+  }
+
   /** A small fixed English stopword list used by the quality and
     * language-ID heuristics. Deterministic and oracle-expressible.
     */
@@ -21,10 +65,13 @@ object TextAnalysis {
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Per-document token counts: total, distinct, type-token ratio,
-    * mean token length.
+    * mean token length. Tokenization is [[scriptTokens]] — identical
+    * to whitespace tokens on space-delimited text, character bigrams
+    * on no-space scripts (q331 exercises the CJK route; q29's oracle
+    * is unchanged because the testdata corpus is space-delimited).
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = wsTokens(col(textCol))
+    val t = scriptTokens(col(textCol))
     docs.select(
       col(idCol),
       size(t).as("n_tokens"),

@@ -302,7 +302,10 @@ object TextIndex {
     // positions, and ONE long per group crosses the wire. Valid while
     // phrases stay under 64 tokens — enforced on the query-sized side
     // (shiftleft wraps silently past 64, so the guard is load-bearing).
-    val maxLen = plen.agg(max(col("plen"))).head().getLong(0)
+    // max over zero rows is NULL — an empty query set must return an
+    // empty result, not NPE at query-construction time
+    val maxLenRow = plen.agg(max(col("plen"))).head()
+    val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
     require(maxLen <= 64, s"phrase longer than 64 tokens unsupported ($maxLen)")
     live
       .select(col("doc"), col("token"), explode(col("positions")).as("pos"))

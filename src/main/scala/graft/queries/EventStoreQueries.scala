@@ -869,6 +869,28 @@ object EventStoreQueries {
       .orderBy("user_id", "bucket_sec")
   }
 
+  /** Driver-collected loopback-fixture corpus with an EXPLICIT row
+    * bound: the q285/q292/q301 fixtures render ~1/20 of `events` into
+    * served JSON bodies — fine at the verify/bench scale factors, but
+    * previously bounded only implicitly by the modulo filter. The
+    * `limit` caps what the driver can ever materialize, and the
+    * require turns a larger SF_DIR into an explicit, diagnosable
+    * failure instead of a silent driver-memory risk (the honest
+    * alternatives at that scale are partition-wise rendering, q189's
+    * WAV pattern). Under the cap the ordered limit collects exactly
+    * the full ordered set, so the shared oracles are unchanged.
+    */
+  private val FixtureRowCap = 200000
+  private def collectFixtureRows(df: DataFrame,
+      sortCols: String*): Array[org.apache.spark.sql.Row] = {
+    val rows = df.orderBy(sortCols.map(col): _*)
+      .limit(FixtureRowCap + 1).collect()
+    require(rows.length <= FixtureRowCap,
+      s"HTTP-fixture corpus exceeds the $FixtureRowCap-row driver bound " +
+        "- render payloads partition-wise (q189's WAV pattern) at this SF")
+    rows
+  }
+
   /** q163: the DataSource V2 feed source (`graft.sources.FeedSource`,
     * the reference S1 HTTP-ingest surface) end-to-end — four JSON
     * response bodies are rendered FROM the events table (the shape a
@@ -948,15 +970,14 @@ object EventStoreQueries {
     val scratch = java.nio.file.Files.createTempDirectory("graft_q301_stream")
     val sink = scratch.resolve("bronze").toString
     val ckpt = scratch.resolve("ckpt").toString
-    val rows = Tables.events(s, dir)
+    val rowsDf = Tables.events(s, dir)
       .filter(col("event_id") % 20 === 0 && col("ts").isNotNull)
       .select(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("c"),
         to_json(struct(col("event_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minutes1_utc"),
           round(col("value") * 1e6).cast("long").as("value_us"))).as("j"))
-      .orderBy("c", "j")
-      .collect()
+    val rows = collectFixtureRows(rowsDf, "c", "j")
     val cursors = rows.map(_.getString(0))
     val bodies = rows.map(_.getString(1))
     val horizon = new java.util.concurrent.atomic.AtomicReference(
@@ -1047,15 +1068,14 @@ object EventStoreQueries {
   private val feedHttpBronzeQ: Q = (s, dir) => {
     val scratch = java.nio.file.Files.createTempDirectory("graft_q292_http")
     val sink = scratch.resolve("bronze").toString
-    val rows = Tables.events(s, dir)
+    val rowsDf = Tables.events(s, dir)
       .filter(col("event_id") % 20 === 0 && col("ts").isNotNull)
       .select(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("c"),
         to_json(struct(col("event_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minutes1_utc"),
           round(col("value") * 1e6).cast("long").as("value_us"))).as("j"))
-      .orderBy("c", "j")
-      .collect()
+    val rows = collectFixtureRows(rowsDf, "c", "j")
     val cursors = rows.map(_.getString(0))
     val bodies = rows.map(_.getString(1))
     val horizon = new java.util.concurrent.atomic.AtomicReference(
@@ -1191,15 +1211,15 @@ object EventStoreQueries {
     * never collects.
     */
   private val feedHttpQ: Q = (s, dir) => {
-    val rows = Tables.events(s, dir)
+    val rowsDf = Tables.events(s, dir)
       .filter(col("event_id") % 20 === 0 && col("ts").isNotNull)
       .select(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minutes1_utc"),
         to_json(struct(col("event_id"), col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("minutes1_utc"),
           round(col("value") * 1e6).cast("long").as("value_us"))).as("j"))
-      .orderBy("minutes1_utc", "j") // deterministic offset pages
-      .collect()
+    // deterministic offset pages via the sort inside the bounded collect
+    val rows = collectFixtureRows(rowsDf, "minutes1_utc", "j")
     val cursors = rows.map(_.getString(0))
     val bodies = rows.map(_.getString(1))
     val server = com.sun.net.httpserver.HttpServer.create(

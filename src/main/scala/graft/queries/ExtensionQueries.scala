@@ -38,4 +38,11 @@ object ExtensionQueries {
     */
   def prewarmSharedTextIndex(spark: SparkSession, dir: String): Unit =
     TextQueries.prewarmSharedTextIndex(spark, dir)
+
+  /** Forwarder kept for Bench: pre-builds the shared near-dup pair
+    * store so the store-fed audits (q142/q180/q325/q329) time pure
+    * store-read cost, not the amortizable mining.
+    */
+  def prewarmSharedPairStore(spark: SparkSession, dir: String): Unit =
+    DedupQueries.prewarmSharedPairStore(spark, dir)
 }

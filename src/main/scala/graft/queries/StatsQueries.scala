@@ -209,6 +209,48 @@ object StatsQueries {
       Tables.lineitem(s, dir), "l_orderkey",
       Tables.orders(s, dir), "o_orderkey", width = 65536)
 
+  /** q332: the STORE-FED form of q327 — each fact table maintains a
+    * persisted count-min KEY sketch (two incremental batches here,
+    * `StreamingPower.keySketchStep`), and the planner's join-size
+    * readout folds the two stores and runs the AMS min-inner-product
+    * with NO scan of either fact table (the q216→q324 pattern applied
+    * to the planning primitive). Count-min is linear in its input, so
+    * the folded store sketch == the one-shot corpus sketch exactly;
+    * the exact Σ f_A·f_B certification side is recomputed from the
+    * raw tables as in q327, whose oracle this shares verbatim.
+    */
+  private val joinSizeStoreQ: Q = (s, dir) => {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q332_jss")
+    val pa = scratch.resolve("li").toString
+    val pb = scratch.resolve("ord").toString
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    graft.engine.BuildTiming.timed {
+      (0L to 1L).foreach { b =>
+        graft.streaming.StreamingPower.keySketchStep(
+          li.filter(pmod(col("l_orderkey"), lit(2)) === b),
+          "l_orderkey", pa, b, width = 65536)
+        graft.streaming.StreamingPower.keySketchStep(
+          ord.filter(pmod(col("o_orderkey"), lit(2)) === b),
+          "o_orderkey", pb, b, width = 65536)
+      }
+    }
+    val base = graft.streaming.StreamingPower.mergedJoinSize(s, pa, pb)
+    val ka = li.select(col("l_orderkey").cast("string").as("k"))
+    val kb = ord.select(col("o_orderkey").cast("string").as("k"))
+    val exact = ka.groupBy("k").agg(count(lit(1)).as("fa"))
+      .join(kb.groupBy("k").agg(count(lit(1)).as("fb")), Seq("k"))
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
+    val out = base.crossJoin(broadcast(exact))
+      .select(col("n_a"), col("n_b"), col("est_join"), col("exact_join"),
+        when(col("exact_join") > 0L,
+          round(col("est_join").cast("double")
+            / col("exact_join").cast("double"), 6)).as("est_ratio"))
+      .localCheckpoint() // materialize before the scratch delete
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
 
   /** Mixture-governance report for the temperature rebalance: per
     * language, corpus share before vs after — the number a data-mixing
@@ -885,6 +927,31 @@ object StatsQueries {
       .orderBy("feature")
   }
 
+  /** q333: split BALANCE audit over the CLUSTER split — q328's χ²
+    * independence test composed over q142's leakage-safe assignment
+    * (the split × governance cell the temporal audit doesn't cover:
+    * cluster-hash splits are leakage-proof by construction but can
+    * still skew the lang/source mixture when near-dup clusters
+    * correlate with provenance). Pairs come off the shared PairStore,
+    * so the whole audit is store-read + CC + two chi-square chains.
+    */
+  private val clusterBalanceQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = DedupQueries.storedPairs(s, dir)
+      .filter(col("signal") === "ngram").select("doc_a", "doc_b")
+    val sp = Sampling.clusterAwareSplit(docs, "doc_id", pairs,
+      "doc_a", "doc_b", hashes = Md5Family).select("doc_id", "split")
+    val joined = docs.select("doc_id", "lang", "source")
+      .join(sp, Seq("doc_id"))
+      .localCheckpoint() // feeds both feature tests
+    def one(c: String) = StatTests.chiSquare(joined, "split", c)
+      .withColumn("feature", lit(c))
+    one("lang").unionByName(one("source"))
+      .select(col("feature"), col("n_items"), col("n_rows_cat"),
+        col("n_cols_cat"), col("dof"), col("chi2"))
+      .orderBy("feature")
+  }
+
   /** q225: rendezvous (highest-random-weight) sharding of the corpus,
     * 8 shards vs 9 — the stable re-sharding rule: a moved doc can
     * only have moved TO the new shard (PropertySpec asserts it).
@@ -1084,6 +1151,7 @@ object StatsQueries {
     "q214_ks_test" -> ksQ,
     "q215_chi2" -> chi2Q,
     "q328_split_balance" -> splitBalanceQ,
+    "q333_cluster_balance" -> clusterBalanceQ,
     "q217_cat_psi" -> catPsiQ,
     "q165_column_profile" -> columnProfileQ,
     "q185_dsir_sample" -> dsirQ,
@@ -1113,6 +1181,7 @@ object StatsQueries {
     "q88_histogram_quantiles" -> histQuantiles,
     "q89_count_min" -> countMin,
     "q327_join_size_sketch" -> joinSizeSketchQ,
+    "q332_join_size_store" -> joinSizeStoreQ,
     "q83_chunk" -> chunkQ,
     "q85_zorder" -> zorderQ,
     "q72_shard_pack" -> shardPack,
@@ -1301,6 +1370,69 @@ object StatsQueries {
        |    / round(ea.e, 6), 6) AS containment_a
        |FROM ea, eb, eu""".stripMargin
   }
+
+  /** q327's full sketch replay — shared verbatim by q332 (the
+    * store-fed readout must equal the one-shot estimate exactly).
+    */
+  private lazy val joinSizeSketchOracle: String =
+    s"""WITH ka AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+        |kb AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+        |ha AS (SELECT k, r,
+        |    ${md5l("concat(k, '_', CAST(r AS VARCHAR))")} % 65536 AS c
+        |  FROM ka, generate_series(0, 3) AS gs(r)),
+        |sa AS (SELECT r, c, CAST(count(*) AS BIGINT) AS ca FROM ha GROUP BY 1, 2),
+        |hb AS (SELECT k, r,
+        |    ${md5l("concat(k, '_', CAST(r AS VARCHAR))")} % 65536 AS c
+        |  FROM kb, generate_series(0, 3) AS gs(r)),
+        |sb AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cb FROM hb GROUP BY 1, 2),
+        |ip AS (SELECT r, CAST(SUM(ca * cb) AS BIGINT) AS ip
+        |  FROM sa JOIN sb USING (r, c) GROUP BY 1),
+        |est AS (SELECT CAST(MIN(coalesce(ip.ip, 0)) AS BIGINT) AS est_join
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS r) g
+        |  LEFT JOIN ip USING (r)),
+        |fa AS (SELECT k, CAST(count(*) AS BIGINT) AS fa FROM ka GROUP BY 1),
+        |fb AS (SELECT k, CAST(count(*) AS BIGINT) AS fb FROM kb GROUP BY 1),
+        |ex AS (SELECT CAST(coalesce(SUM(fa * fb), 0) AS BIGINT) AS exact_join
+        |  FROM fa JOIN fb USING (k)),
+        |t AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ka) AS n_a,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM kb) AS n_b)
+        |SELECT t.n_a, t.n_b, est.est_join, ex.exact_join,
+        |  CASE WHEN ex.exact_join > 0 THEN
+        |    round(CAST(est.est_join AS DOUBLE)
+        |      / CAST(ex.exact_join AS DOUBLE), 6) END AS est_ratio
+        |FROM t, est, ex""".stripMargin
+
+  /** The q215 chi2 chain over (split, feature) as oracle CTEs —
+    * shared by q328 (temporal split) and q333 (cluster split): the
+    * same nano-quantized full-grid discipline, parameterized on the
+    * feature column and a CTE suffix.
+    */
+  private def chi2ChainSql(f: String, sfx: String): String =
+    s"""cells$sfx AS (SELECT split AS r, $f AS c,
+           |    CAST(count(*) AS BIGINT) AS o FROM j GROUP BY 1, 2),
+           |rws$sfx AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt
+           |  FROM cells$sfx GROUP BY 1),
+           |cls$sfx AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct
+           |  FROM cells$sfx GROUP BY 1),
+           |t$sfx AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+           |    CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+           |    CAST(COUNT(DISTINCT c) AS BIGINT) AS nc FROM cells$sfx),
+           |grid$sfx AS (SELECT rws$sfx.r, cls$sfx.c, rws$sfx.rt,
+           |    cls$sfx.ct, coalesce(cells$sfx.o, 0) AS o
+           |  FROM rws$sfx CROSS JOIN cls$sfx
+           |  LEFT JOIN cells$sfx ON cells$sfx.r = rws$sfx.r
+           |    AND cells$sfx.c = cls$sfx.c),
+           |s$sfx AS (SELECT n, nr, nc, CAST(floor(
+           |    (CAST(o * n - rt * ct AS DOUBLE)
+           |      * CAST(o * n - rt * ct AS DOUBLE)
+           |      / CAST(n * rt * ct AS DOUBLE))
+           |    * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
+           |  FROM grid$sfx CROSS JOIN t$sfx),
+           |f$sfx AS (SELECT '$f' AS feature, n AS n_items,
+           |    nr AS n_rows_cat, nc AS n_cols_cat,
+           |    (nr - 1) * (nc - 1) AS dof,
+           |    ROUND(CAST(SUM(tn) AS BIGINT) / 1000000000e0, 6) AS chi2
+           |  FROM s$sfx GROUP BY 1, 2, 3, 4, 5)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q296_bradley_terry" -> bradleyTerryOracle,
@@ -1835,36 +1967,44 @@ object StatsQueries {
         |FROM m CROSS JOIN t GROUP BY 1, 2""".stripMargin,
     // q215: chi2 cell terms (O*N - r*c)^2 / (N*r*c) floored to nanos
     // at birth over the FULL rows x cols grid (absent cells count).
+    // q333: q142's recursive-CC cluster split (md5-of-cluster bands)
+    // + the same chi2 chain per governance feature — the Spark side
+    // reads the pair store, whose pairs are the one-shot mining
+    // exactly, so the oracle mines inline.
+    "q333_cluster_balance" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp
+        |          UNION SELECT doc_a, doc_a FROM jp UNION SELECT doc_b, doc_b FROM jp),
+        |reach AS (SELECT u, v FROM edges
+        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+        |sp AS (SELECT d.doc_id,
+        |    CASE WHEN ${md5l("CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)")} % 100 < 80 THEN 'train'
+        |         WHEN ${md5l("CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)")} % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents d LEFT JOIN cl USING (doc_id)),
+        |j AS (SELECT d.lang, d.source, sp.split
+        |  FROM documents d JOIN sp USING (doc_id)),
+        |${chi2ChainSql("lang", "l")},
+        |${chi2ChainSql("source", "s")}
+        |SELECT * FROM fl UNION ALL SELECT * FROM fs
+        |ORDER BY feature""".stripMargin,
     // q328: the q325 rank split + the q215 chi2 chain once per
     // governance feature, UNION ALL'd (absent grid cells contribute
     // rc/N, nano-quantized terms — the q215 discipline verbatim).
     "q328_split_balance" -> {
-      def chain(f: String, sfx: String) =
-        s"""cells$sfx AS (SELECT split AS r, $f AS c,
-           |    CAST(count(*) AS BIGINT) AS o FROM j GROUP BY 1, 2),
-           |rws$sfx AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt
-           |  FROM cells$sfx GROUP BY 1),
-           |cls$sfx AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct
-           |  FROM cells$sfx GROUP BY 1),
-           |t$sfx AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
-           |    CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
-           |    CAST(COUNT(DISTINCT c) AS BIGINT) AS nc FROM cells$sfx),
-           |grid$sfx AS (SELECT rws$sfx.r, cls$sfx.c, rws$sfx.rt,
-           |    cls$sfx.ct, coalesce(cells$sfx.o, 0) AS o
-           |  FROM rws$sfx CROSS JOIN cls$sfx
-           |  LEFT JOIN cells$sfx ON cells$sfx.r = rws$sfx.r
-           |    AND cells$sfx.c = cls$sfx.c),
-           |s$sfx AS (SELECT n, nr, nc, CAST(floor(
-           |    (CAST(o * n - rt * ct AS DOUBLE)
-           |      * CAST(o * n - rt * ct AS DOUBLE)
-           |      / CAST(n * rt * ct AS DOUBLE))
-           |    * 1000000000e0 + 0.5e0) AS BIGINT) AS tn
-           |  FROM grid$sfx CROSS JOIN t$sfx),
-           |f$sfx AS (SELECT '$f' AS feature, n AS n_items,
-           |    nr AS n_rows_cat, nc AS n_cols_cat,
-           |    (nr - 1) * (nc - 1) AS dof,
-           |    ROUND(CAST(SUM(tn) AS BIGINT) / 1000000000e0, 6) AS chi2
-           |  FROM s$sfx GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+      def chain(f: String, sfx: String) = chi2ChainSql(f, sfx)
       s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
         |sp AS (SELECT doc_id,
         |    CASE WHEN r * 100 <= 80 * n THEN 'train'
@@ -2234,36 +2374,14 @@ object StatsQueries {
         |SELECT token, est_count, exact_count
         |FROM est JOIN ex USING (token)
         |ORDER BY est_count DESC, token LIMIT 20""".stripMargin,
+    // q332: the store-fed readout must equal the one-shot q327 exactly
+    // (count-min is linear: per-batch sketches sum to the corpus
+    // sketch), so it shares the oracle verbatim.
+    "q332_join_size_store" -> joinSizeSketchOracle,
     // q327: full sketch replay — same salted md5 cell hashes as q89,
     // per-row inner products, min over the depth grid (absent rows
     // count 0), exact Σ fa·fb beside it.
-    "q327_join_size_sketch" ->
-      s"""WITH ka AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
-        |kb AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
-        |ha AS (SELECT k, r,
-        |    ${md5l("concat(k, '_', CAST(r AS VARCHAR))")} % 65536 AS c
-        |  FROM ka, generate_series(0, 3) AS gs(r)),
-        |sa AS (SELECT r, c, CAST(count(*) AS BIGINT) AS ca FROM ha GROUP BY 1, 2),
-        |hb AS (SELECT k, r,
-        |    ${md5l("concat(k, '_', CAST(r AS VARCHAR))")} % 65536 AS c
-        |  FROM kb, generate_series(0, 3) AS gs(r)),
-        |sb AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cb FROM hb GROUP BY 1, 2),
-        |ip AS (SELECT r, CAST(SUM(ca * cb) AS BIGINT) AS ip
-        |  FROM sa JOIN sb USING (r, c) GROUP BY 1),
-        |est AS (SELECT CAST(MIN(coalesce(ip.ip, 0)) AS BIGINT) AS est_join
-        |  FROM (SELECT unnest(generate_series(0, 3)) AS r) g
-        |  LEFT JOIN ip USING (r)),
-        |fa AS (SELECT k, CAST(count(*) AS BIGINT) AS fa FROM ka GROUP BY 1),
-        |fb AS (SELECT k, CAST(count(*) AS BIGINT) AS fb FROM kb GROUP BY 1),
-        |ex AS (SELECT CAST(coalesce(SUM(fa * fb), 0) AS BIGINT) AS exact_join
-        |  FROM fa JOIN fb USING (k)),
-        |t AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ka) AS n_a,
-        |             (SELECT CAST(count(*) AS BIGINT) FROM kb) AS n_b)
-        |SELECT t.n_a, t.n_b, est.est_join, ex.exact_join,
-        |  CASE WHEN ex.exact_join > 0 THEN
-        |    round(CAST(est.est_join AS DOUBLE)
-        |      / CAST(ex.exact_join AS DOUBLE), 6) END AS est_ratio
-        |FROM t, est, ex""".stripMargin,
+    "q327_join_size_sketch" -> joinSizeSketchOracle,
     "q83_chunk" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
         |           FROM documents),

@@ -26,6 +26,38 @@ object TextQueries {
     TextAnalysis.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
 
 
+  /** The deterministic CJK rendering behind q331: odd doc_ids have
+    * each whitespace token replaced by ONE ideograph from a fixed
+    * 16-character alphabet (md5-indexed, so the oracle replays the
+    * mapping), concatenated with NO separators — a no-space-script
+    * corpus derived from the testdata instead of synthesized, per the
+    * fixture rules. Even doc_ids keep their Latin text, so the same
+    * query exercises BOTH tokenization routes.
+    */
+  private[queries] val CjkAlphabet: Seq[String] =
+    (0 until 16).map(i => (0x4E00 + i).toChar.toString)
+
+  private def mixedScriptDocs(s: SparkSession, dir: String): DataFrame = {
+    val cjkText = array_join(transform(split(col("text"), " "),
+      t => element_at(array(CjkAlphabet.map(lit): _*),
+        (pmod(Md5Family.hash(t), lit(16L)) + 1).cast("int"))), "")
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 2 === 1, cjkText).otherwise(col("text")).as("text"))
+  }
+
+  /** q331: script-aware token statistics over a mixed-script corpus —
+    * the whitespace tokenizer silently collapses a no-space (CJK)
+    * document to ONE whole-line token; `TextAnalysis.scriptTokens`
+    * routes such documents (≥ half non-whitespace chars in CJK/kana
+    * ranges, an exact integer decision) to character bigrams instead.
+    * The oracle replays the corpus derivation, the routing decision,
+    * and both tokenizations.
+    */
+  private val cjkTokensQ: Q = (s, dir) =>
+    TextAnalysis.tokenCounts(mixedScriptDocs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+
   private val quality: Q = (s, dir) =>
     TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
 
@@ -808,7 +840,8 @@ object TextQueries {
     "q29_token_counts" -> tokenCounts,
     "q30_quality_score" -> quality,
     "q31_langid" -> langId,
-    "q32_fingerprint" -> fingerprint)
+    "q32_fingerprint" -> fingerprint,
+    "q331_cjk_tokens" -> cjkTokensQ)
 
   /** q184's oracle: the same two GD steps unrolled as CTEs. Margins
     * are exact BIGINT sums of micro-weights; per-doc error/logloss
@@ -1872,6 +1905,40 @@ object TextQueries {
         |  ROUND(avg(n_chars), 6) AS avg_chars,
         |  ROUND(avg(len(regexp_split_to_array(text, '\s+'))), 6) AS avg_tokens
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // q331: the mixed-script corpus derivation (md5-indexed fixed CJK
+    // alphabet for odd doc_ids), the exact-integer no-space routing
+    // decision, and both tokenizations — char bigrams via the
+    // generate_series comprehension, ws via regexp split — replayed
+    // end-to-end. The UTF-8 alphabet literals are interpolated from the
+    // SAME Scala constants the Spark side uses.
+    "q331_cjk_tokens" -> {
+      val alpha = CjkAlphabet.map(c => s"'$c'").mkString("[", ",", "]")
+      s"""WITH mixed AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN
+        |      array_to_string([($alpha)[1 + CAST(${md5l("t")} % 16 AS INTEGER)]
+        |        FOR t IN string_split(text, ' ')], '')
+        |    ELSE text END AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, text,
+        |    length(regexp_replace(text,
+        |      '[^\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]', '', 'g')) AS n_cjk,
+        |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonws,
+        |    regexp_replace(text, '\\s', '', 'g') AS s
+        |  FROM mixed),
+        |tk AS (SELECT doc_id,
+        |    CASE WHEN n_nonws > 0 AND n_cjk * 2 >= n_nonws THEN
+        |      [substr(s, i, 2)
+        |       FOR i IN generate_series(1, greatest(length(s) - 1, 1))]
+        |    ELSE regexp_split_to_array(text, '\\s+') END AS toks
+        |  FROM f)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        |  ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+        |  ROUND(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+        |      AS DOUBLE) / len(toks), 6) AS mean_token_len
+        |FROM tk ORDER BY doc_id""".stripMargin
+    },
     "q29_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '\s+')) AS INTEGER) AS n_tokens,

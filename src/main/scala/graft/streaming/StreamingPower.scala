@@ -350,6 +350,38 @@ object StreamingPower {
     graft.engine.BatchStore.read(spark, storePath)
       .groupBy("r", "c").agg(sum(col("cnt")).as("cnt"))
 
+  /** One micro-batch of a streaming KEY-SKETCH store: count-min over a
+    * key COLUMN (cast to string exactly like
+    * `Sketches.joinSizeEstimate`, so stored and one-shot sketches are
+    * bit-identical) — the per-table planning sketch a pipeline
+    * maintains beside each fact table. Same committed-skip/heal
+    * contract as [[countMinStep]]; fold = [[countMinMerge]].
+    */
+  def keySketchStep(batch: DataFrame, keyCol: String, storePath: String,
+      batchId: Long, depth: Int = 4, width: Int = 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.Sketches.countMinSketch(
+        batch.select(col(keyCol).cast("string").as("k")), "k", depth, width)
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** The STORE-FED join-size readout: fold each side's committed
+    * sketch rows (exact counter sums, order-free) and run the AMS
+    * min-inner-product — join cardinality predicted from two
+    * persisted depth×width tables with NO scan of either fact table.
+    * Streamed ≡ one-shot because count-min is linear in its input:
+    * the sum of per-batch sketches IS the corpus sketch.
+    */
+  def mergedJoinSize(spark: SparkSession, pathA: String, pathB: String,
+      depth: Int = 4): DataFrame =
+    graft.operators.Sketches.joinSizeFromSketches(
+      mergedCountMin(spark, pathA), mergedCountMin(spark, pathB), depth)
+
   /** One micro-batch of the streaming COLUMN-PROFILE store: the
     * batch's (column, value, cnt) histogram (`Profile.valueHistogram`
     * — the profile's mergeable form) lands under `batch_id=<id>` with
@@ -648,7 +680,12 @@ object StreamingPower {
     */
   def mergedImagePairs(spark: SparkSession, storePath: String): DataFrame =
     graft.operators.Multimodal.dHashPairHistogram(
-      graft.engine.BatchStore.read(spark, storePath))
+      // imageHashMerge is the identity under the disjoint-batches
+      // contract, but the contract is unenforced: folding here means a
+      // doc that ever landed in two committed batch dirs can't inflate
+      // n_pairs via duplicated attach-join rows (mergedWasserstein's
+      // fold discipline, applied to the pair readout).
+      imageHashMerge(graft.engine.BatchStore.read(spark, storePath)))
 
   /** The W₁ (earth-mover's) drift readout across every committed
     * batch of a PSI-style store: fold the stored (bin, ca, cb) counts

@@ -52,6 +52,30 @@ class AnnIndexSpec extends SparkSpecBase {
       "re-ranked index round-trip diverged from the inline operator")
   }
 
+  test("index-fed SemDeDup: incremental appends + tombstones feed the same dedup as inline routing") {
+    val dir = Files.createTempDirectory("graft_annsd").toString + "/idx"
+    val half0 = emb.filter(col("vec_id") % 2 === 0)
+    val half1 = emb.filter(col("vec_id") % 2 =!= 0)
+    // codebook derives from the BUILD corpus (half0); the appended half
+    // routes through the persisted codebooks — inline equivalent is the
+    // full corpus assigned to that same codebook
+    AnnIndex.build(half0, dir, dim = 64)
+    AnnIndex.appendBatch(half1, dir, dim = 64, batchId = 1L)
+    val fromIndex = Similarity.semanticDedupFromIndex(spark, dir, emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val inline = Similarity.semanticDedupWithCodebook(emb, 0.4,
+        Similarity.seededCodebook(half0, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(fromIndex.nonEmpty && fromIndex === inline,
+      "index-fed dedup diverged from inline routing on the same codebook")
+    // tombstoned ids drop out of the assignment feed (the live mask)
+    val victim = fromIndex.head._1
+    AnnIndex.delete(emb.filter(col("vec_id") === victim).select("vec_id"), dir)
+    val masked = AnnIndex.listAssignments(spark, dir)
+      .filter(col("neighbor_id") === victim).count()
+    assert(masked === 0L, "tombstoned id still visible in listAssignments")
+  }
+
   test("retried batch append is a no-op once committed — no duplicate codes corrupt ADC sums") {
     val dir = Files.createTempDirectory("graft_annretry").toString + "/idx"
     AnnIndex.build(emb, dir, dim = 64)

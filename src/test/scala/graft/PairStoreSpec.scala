@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.{BatchStore, Tables}
+import graft.operators.{Dedup, PairStore, Similarity}
+
+/** The persisted near-dup pair store: incremental mining must equal
+  * the one-shot operators bit-for-bit (that equivalence is what lets
+  * the store-fed audits q142/q180/q325/q329 keep their one-shot DuckDB
+  * oracles), retries of committed batches must be no-ops, a crash
+  * between the pair and state commits must re-mine instead of losing
+  * the batch, and compaction must be invisible to readers.
+  */
+class PairStoreSpec extends SparkSpecBase {
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_pairstore").toString + "/store"
+
+  private def docs: DataFrame = Tables.documents(spark, sf("sf0.001"))
+  private def emb: DataFrame = Tables.embeddings(spark, sf("sf0.001"))
+
+  private def buildText(path: String, nBatches: Int = 3): Unit =
+    (0L until nBatches.toLong).foreach { b =>
+      PairStore.appendDocs(docs.filter(col("doc_id") % nBatches === b),
+        "doc_id", "text", path, b)
+    }
+
+  private def textPairsOf(path: String): Set[(Long, Long, Double)] =
+    PairStore.pairs(spark, path).filter(col("signal") === "ngram")
+      .select("doc_a", "doc_b", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def oneShotText: Set[(Long, Long, Double)] =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        gramHash = Some(graft.functions.XxHash64Family))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental text mining equals one-shot ngramJaccardPairs") {
+    val path = tmp()
+    buildText(path)
+    val expected = oneShotText
+    assert(expected.nonEmpty, "fixture must mine at least one pair")
+    assert(textPairsOf(path) === expected)
+  }
+
+  test("incremental embedding mining equals one-shot lshNeighborPairs") {
+    val path = tmp()
+    (0L to 2L).foreach { b =>
+      PairStore.appendEmbeddings(emb.filter(col("vec_id") % 3 === b),
+        emb, path, b, threshold = 0.4)
+    }
+    val expected = Similarity.lshNeighborPairs(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture must mine at least one pair")
+    val got = PairStore.pairs(spark, path).filter(col("signal") === "emb")
+      .select("doc_a", "doc_b", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
+
+  test("a retried committed batch is a no-op") {
+    val path = tmp()
+    buildText(path)
+    val before = textPairsOf(path)
+    // re-deliver batch 1 (same rows — the streaming retry contract)
+    PairStore.appendDocs(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", path, 1L)
+    assert(textPairsOf(path) === before)
+  }
+
+  test("crash between pair and state commits re-mines on retry") {
+    val path = tmp()
+    buildText(path, nBatches = 2)
+    // simulate a crash during batch 1: pairs committed, state dirs not
+    // (the state write is the retry gate, committed LAST)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("grams", "sizes").foreach { sub =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub/batch_id=1"), true)
+    }
+    // retry must re-mine batch 1 (overwriting its pair dir) and land
+    // the state — NOT skip on the already-committed pair dir
+    PairStore.appendDocs(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", path, 1L)
+    assert(textPairsOf(path) === oneShotText)
+    assert(BatchStore.committedBatches(spark, s"$path/grams") === Seq(0L, 1L))
+  }
+
+  test("compaction folds to one generation and is invisible to readers") {
+    val path = tmp()
+    buildText(path)
+    val before = textPairsOf(path)
+    PairStore.compact(spark, path)
+    assert(BatchStore.committedBatches(spark, s"$path/text_pairs") === Seq(2L))
+    assert(BatchStore.committedBatches(spark, s"$path/grams") === Seq(2L))
+    assert(textPairsOf(path) === before)
+    // a post-compaction increment keeps mining against the folded state:
+    // appending an empty batch is a no-op, a fresh higher id works
+    PairStore.appendDocs(docs.filter(col("doc_id") < 0), "doc_id", "text",
+      path, 3L)
+    assert(textPairsOf(path) === before)
+  }
+
+  test("reader on an empty or half-built store yields typed empties") {
+    val path = tmp()
+    val empty = PairStore.pairs(spark, path)
+    assert(empty.columns.toSeq === Seq("doc_a", "doc_b", "score", "signal"))
+    assert(empty.count() === 0L)
+    // docs-only store: emb signal contributes zero rows, text reads
+    buildText(path, nBatches = 2)
+    val half = PairStore.pairs(spark, path)
+    assert(half.filter(col("signal") === "emb").count() === 0L)
+    assert(half.filter(col("signal") === "ngram").count() > 0L)
+  }
+}

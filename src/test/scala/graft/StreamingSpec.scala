@@ -233,6 +233,40 @@ class StreamingSpec extends SparkSpecBase {
     exact.foreach { case (t, n) => assert(est(t) >= n, s"token $t undercounted") }
   }
 
+  test("key-sketch stores: store-fed join-size readout equals the one-shot estimate") {
+    import spark.implicits._
+    val pa = Files.createTempDirectory("graft_jss_a").toString + "/s"
+    val pb = Files.createTempDirectory("graft_jss_b").toString + "/s"
+    val a = Seq(1L, 1L, 2L, 3L, 3L, 3L, 7L).toDF("k1")
+    val b = Seq(1L, 3L, 3L, 4L).toDF("k2")
+    // two incremental batches per side (disjoint by parity)
+    (0L to 1L).foreach { i =>
+      StreamingPower.keySketchStep(a.filter(pmod(col("k1"), lit(2)) === i),
+        "k1", pa, i)
+      StreamingPower.keySketchStep(b.filter(pmod(col("k2"), lit(2)) === i),
+        "k2", pb, i)
+    }
+    def row3(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.select("n_a", "n_b", "est_join").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val stored = row3(StreamingPower.mergedJoinSize(spark, pa, pb))
+    val oneShot = row3(graft.operators.Sketches.joinSizeEstimate(
+      a, "k1", b, "k2"))
+    assert(stored === oneShot,
+      s"store-fed readout $stored != one-shot estimate $oneShot")
+    assert(stored._1 === 7L && stored._2 === 4L)
+    // est >= exact inner product (1*1 + 3*2 = 7) — the CM upper bound
+    assert(stored._3 >= 7L)
+    // a retried committed step is a no-op on the readout
+    StreamingPower.keySketchStep(a.filter(pmod(col("k1"), lit(2)) === 1L),
+      "k1", pa, 1L)
+    assert(row3(StreamingPower.mergedJoinSize(spark, pa, pb)) === stored)
+    // compaction folds each side without changing the readout
+    graft.engine.BatchStore.compact(spark, pa, StreamingPower.countMinMerge)
+    assert(row3(StreamingPower.mergedJoinSize(spark, pa, pb)) === stored)
+  }
+
   test("streaming CDC store compacts to the batch apply of the whole changelog") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

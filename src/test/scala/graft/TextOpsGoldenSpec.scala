@@ -143,6 +143,28 @@ class TextOpsGoldenSpec extends SparkSpecBase {
     }
   }
 
+  test("script-aware tokens: ws on Latin, char bigrams on CJK, exact routing threshold") {
+    import spark.implicits._
+    val cjk = (0x4E00 to 0x4E05).map(_.toChar).mkString // 6 ideographs
+    val docs = Seq(
+      (1L, "the quick brown fox"),        // Latin → ws tokens
+      (2L, cjk),                          // pure CJK → 5 bigrams
+      (3L, cjk.take(1)),                  // single ideograph → itself
+      (4L, s"${cjk.take(2)} ab"),         // 2 CJK of 4 non-ws = half → bigrams
+      (5L, s"${cjk.take(1)} abc")         // 1 of 4 → below half → ws route
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.scriptTokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) === List("the", "quick", "brown", "fox"))
+    assert(got(2L) === (0 until 5).map(i => cjk.substring(i, i + 2)).toList)
+    assert(got(3L) === List(cjk.take(1)))
+    // doc 4: whitespace stripped THEN bigrams — the bigram at the
+    // script seam spans the removed space
+    assert(got(4L) === List(cjk.substring(0, 2), cjk.substring(1, 2) + "a", "ab"))
+    assert(got(5L) === List(cjk.take(1), "abc"))
+  }
+
   test("char entropy: hand-computed nats, degenerate and uniform docs, empty/null filtered") {
     import spark.implicits._
     val docs = Seq(
