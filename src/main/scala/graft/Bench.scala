@@ -115,7 +115,8 @@ object Bench {
     // Same for the shared near-dup pair store: q142/q180/q325/q329
     // measure store-READ cost (what repeats per audit in production);
     // the three-increment mining build is the amortizable part.
-    if (selected.exists(n => Seq("q142", "q180", "q325", "q329", "q333").exists(n.startsWith)))
+    if (selected.exists(n => Seq("q57", "q59", "q74", "q120", "q130", "q142",
+        "q171", "q180", "q325", "q329", "q333").exists(p => n.startsWith(p + "_"))))
       try graft.queries.ExtensionQueries.prewarmSharedPairStore(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] pair-store prewarm failed: $e") }

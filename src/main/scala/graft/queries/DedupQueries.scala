@@ -79,11 +79,10 @@ object DedupQueries {
     * transitive closure over the identical pair set.
     */
   private val dedupClusters: Q = (s, dir) => {
-    // hashed gram keys: same pair set as the string-keyed exact form
-    // (the oracle's), narrower index shuffle — q23 keeps string keys as
-    // the byte-exact reference
-    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      gramHash = Some(graft.functions.XxHash64Family))
+    // pairs off the shared PairStore (identical to the inline hashed
+    // mining — PairStoreSpec pins the equivalence; q23 keeps inline
+    // string keys as the byte-exact reference, q334 times the mining)
+    val pairs = storedNgramPairs(s, dir)
     Dedup.connectedComponentsAuto(pairs, "doc_a", "doc_b").orderBy("doc_id")
   }
 
@@ -95,8 +94,7 @@ object DedupQueries {
     */
   private val canonicalCorpusQ: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      gramHash = Some(graft.functions.XxHash64Family))
+    val pairs = storedNgramPairs(s, dir)
     Dedup.canonicalCorpus(docs, pairs, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("cluster_size"), col("removed_dups"))
@@ -110,8 +108,7 @@ object DedupQueries {
     */
   private val qualityCanonicalQ: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      gramHash = Some(graft.functions.XxHash64Family))
+    val pairs = storedNgramPairs(s, dir)
     Dedup.canonicalCorpusBy(docs, pairs, "doc_id", "n_chars")
       .select(col("doc_id"), col("n_chars"),
         col("cluster_size"), col("removed_dups"))
@@ -165,7 +162,10 @@ object DedupQueries {
     */
   private val embeddingDedup: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val pairs = Similarity.lshNeighborPairs(emb, threshold = 0.4)
+    // the store's emb signal IS lshNeighborPairs(0.4) — q26 keeps the
+    // inline operator as the reference
+    val pairs = storedPairs(s, dir).filter(col("signal") === "emb")
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
     Dedup.canonicalCorpus(emb.select(col("vec_id"), col("label")), pairs,
       "vec_id", "id_a", "id_b")
       .select(col("vec_id"), col("label"), col("cluster_size"), col("removed_dups"))
@@ -276,8 +276,7 @@ object DedupQueries {
     */
   private val sourceDedupReportQ: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      gramHash = Some(graft.functions.XxHash64Family))
+    val pairs = storedNgramPairs(s, dir)
     val canon = Dedup.canonicalCorpus(docs, pairs, "doc_id")
     docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .join(canon.groupBy("source")
@@ -317,9 +316,7 @@ object DedupQueries {
     * bridges that merge two standing components.
     */
   private val incrementalCanonQ: Q = (s, dir) => {
-    val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id",
-      "text", gramHash = Some(graft.functions.XxHash64Family))
-      .localCheckpoint()
+    val pairs = storedNgramPairs(s, dir).localCheckpoint()
     val oldPairs = pairs.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
     val newPairs = pairs.filter(col("doc_a") % 2 =!= 0 || col("doc_b") % 2 =!= 0)
     val labels = Dedup.connectedComponentsAuto(oldPairs, "doc_a", "doc_b")
@@ -412,6 +409,14 @@ object DedupQueries {
 
   private[queries] def storedPairs(s: SparkSession, dir: String): DataFrame =
     PairStore.pairs(s, sharedPairStore(s, dir))
+
+  /** The text-signal edge set (doc_a, doc_b) off the shared store —
+    * identical to inline `ngramJaccardPairs(..., XxHash64Family)`; the
+    * read every downstream CC/canonical/audit consumer shares.
+    */
+  private def storedNgramPairs(s: SparkSession, dir: String): DataFrame =
+    storedPairs(s, dir).filter(col("signal") === "ngram")
+      .select("doc_a", "doc_b")
 
   /** q142: the FIX for the leakage q91 measures — split assignment by
     * near-dup cluster (q57's edge set and CC), so cross-split near-dup
@@ -614,7 +619,39 @@ object DedupQueries {
       .select(col("signal"), col("doc_a"), col("doc_b"), col("score"))
       .orderBy("signal", "doc_a", "doc_b")
 
+  /** q334: the pair-store BUILD itself as a timed entry (the
+    * q161_text_index_build pattern): with q57/q59/q74/q120/q130/q142/
+    * q171/q180/q325/q333 all reading the prewarmed shared store, the
+    * mining cost would otherwise vanish from the bench record — this
+    * query builds a FRESH scratch store in three doc-disjoint
+    * increments per signal and reports the per-signal edge summary.
+    * BuildTiming wraps the appends, so BENCH.json's build_s shows the
+    * amortizable share explicitly. Oracle = the one-shot mining
+    * aggregated to the same summary (scores as exact µ-units).
+    */
+  private val pairStoreBuildQ: Q = (s, dir) => {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q334_ps")
+    val path = scratch.toString + "/store"
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    (0L to 2L).foreach { b =>
+      PairStore.appendDocs(docs.filter(col("doc_id") % 3 === b),
+        "doc_id", "text", path, b)
+      PairStore.appendEmbeddings(emb.filter(col("vec_id") % 3 === b),
+        emb, path, b, threshold = 0.4)
+    }
+    val out = PairStore.pairs(s, path)
+      .groupBy("signal")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("score") * 1e6).cast("long")).as("score_sum_us"))
+      .orderBy("signal")
+      .localCheckpoint() // materialize before the scratch delete
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q334_pair_store_build" -> pairStoreBuildQ,
     "q329_pair_store" -> pairStoreQ,
     "q325_temporal_leakage" -> temporalLeakageQ,
     "q319_weighted_minhash" -> weightedMinhashQ,
@@ -806,6 +843,34 @@ object DedupQueries {
         |FROM orders WHERE o_custkey IN
         |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q334: the store-build summary — the same tjp/ejp one-shot mining
+    // reduced to per-signal counts and exact µ-unit score sums.
+    "q334_pair_store_build" ->
+      s"""WITH $lshCandCtes,
+        |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |cpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |tjp AS (SELECT doc_a, doc_b,
+        |         ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) AS score
+        |       FROM cpairs
+        |       JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |       WHERE ROUND(CAST(common AS DOUBLE)/(sa.n + sb.n - common), 6) >= 0.5),
+        |ejp AS (SELECT id_a AS doc_a, id_b AS doc_b,
+        |         ROUND(list_cosine_similarity(ea.e, eb.e), 6) AS score
+        |  FROM cand
+        |  JOIN emb ea ON ea.vec_id = id_a JOIN emb eb ON eb.vec_id = id_b
+        |  WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= 0.4),
+        |lab AS (SELECT 'ngram' AS signal, score FROM tjp
+        |        UNION ALL SELECT 'emb', score FROM ejp)
+        |SELECT signal, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CAST(round(score * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS score_sum_us
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
     // q329: the one-shot mining of BOTH signals (q325's tjp/ejp CTEs
     // with their scores kept) — the store's three-increment build must
     // reproduce it bit-for-bit, scores included.

@@ -102,6 +102,26 @@ class PairStoreSpec extends SparkSpecBase {
     assert(textPairsOf(path) === before)
   }
 
+  test("text pair stream: micro-batches mine incrementally to the one-shot pair set") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmp()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ps_ckpt").toString
+    val corpus = docs.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = PairStore.textPairStream(ms.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", path, ckpt, compactEvery = 2)
+    val (h1, h2) = corpus.partition(_._1 % 2 == 0)
+    ms.addData(h1.toSeq: _*)
+    q.processAllAvailable()
+    ms.addData(h2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(textPairsOf(path) === oneShotText)
+  }
+
   test("reader on an empty or half-built store yields typed empties") {
     val path = tmp()
     val empty = PairStore.pairs(spark, path)
