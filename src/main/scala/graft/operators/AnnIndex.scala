@@ -525,6 +525,16 @@ object AnnIndex {
     * code rows are never read — enc is (batch, list_id)-partitioned,
     * so projection prunes to the partition values plus neighbor_id).
     */
+  /** The index's persisted coarse-centroid table, exactly as
+    * `appendBatch`/`query` read it — the probe-routing artifact an
+    * index-fed operator broadcasts instead of re-deriving codebooks.
+    */
+  def coarseCentroids(spark: SparkSession, path: String): DataFrame = {
+    require(exists(spark, path),
+      s"no committed codebooks at $path — build the index first")
+    spark.read.parquet(coarsePath(path))
+  }
+
   def listAssignments(spark: SparkSession, path: String): DataFrame = {
     healEnc(spark, path)
     val all = spark.read.parquet(encPath(path))

@@ -135,4 +135,49 @@ object Decontamination {
         col("cosine"))
       .orderBy("train_id")
   }
+
+  /** [[semanticContaminated]] fed by a PERSISTED [[AnnIndex]] built
+    * over the training corpus: the corpus-side routing is READ off the
+    * index's live enc layout (`AnnIndex.listAssignments` — committed
+    * batches, tombstones masked) and the bench probes route through
+    * the index's persisted coarse centroids, so the per-audit cost is
+    * a pruned read + the probe-bounded list join — the corpus is never
+    * re-assigned. An index built with the same seeded codebook routes
+    * identically to the inline operator (same centroids round-tripped
+    * exactly through parquet doubles), so this shares q167's oracle
+    * verbatim; `vectors` is the lake's embedding table for the
+    * exact-cosine attach (the index stores codes, not raw embeddings).
+    */
+  def semanticContaminatedFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, vectors: DataFrame, bench: DataFrame, tau: Double,
+      nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.asDouble
+    import graft.functions.VectorExpressions.cosineFast
+    import org.apache.spark.sql.expressions.Window
+    val centroids = AnnIndex.coarseCentroids(spark, indexPath)
+      .localCheckpoint()
+    val corpus = AnnIndex.listAssignments(spark, indexPath)
+      .select(col("list_id"), col("neighbor_id").as("train_id"))
+      .join(vectors.select(col("vec_id").as("train_id"),
+        asDouble(col("embedding")).as("t_emb")), Seq("train_id"))
+    val probes = Similarity.nearestLists(
+      bench.select(col("vec_id").as("bench_id"),
+        asDouble(col("embedding")).as("emb")),
+      "bench_id", nprobe, centroids)
+      .select(col("list_id"), col("bench_id"), col("emb").as("b_emb"))
+      .localCheckpoint()
+    val hits = corpus.join(broadcast(probes), Seq("list_id"))
+      .withColumn("cosine",
+        round(cosineFast(spark)(col("t_emb"), col("b_emb")), 6))
+      .filter(col("cosine") >= tau)
+    val byTrain = Window.partitionBy("train_id")
+    val best = byTrain.orderBy(col("cosine").desc, col("bench_id"))
+    hits
+      .withColumn("n_bench_hits", count(lit(1)).over(byTrain))
+      .withColumn("_rn", row_number().over(best))
+      .filter(col("_rn") === 1)
+      .select(col("train_id"), col("n_bench_hits"), col("bench_id"),
+        col("cosine"))
+      .orderBy("train_id")
+  }
 }

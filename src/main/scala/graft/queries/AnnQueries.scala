@@ -684,7 +684,29 @@ object AnnQueries {
     out
   }
 
+  /** q335: INDEX-FED semantic decontamination — q167's audit with the
+    * corpus routing read off a persisted AnnIndex built over the
+    * training split (same seeded codebook ⇒ q167's oracle verbatim)
+    * and bench probes routed through the index's persisted centroids.
+    * With q330 this closes the "semantic audits don't read the
+    * persisted index" gap: both the dedup and the decontamination
+    * faces of the embedding tier now run off `enc/`.
+    */
+  private val semanticDecontamIndexQ: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val train = emb.filter(col("vec_id") % 50 =!= 0)
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q335_sdidx")
+    val idx = scratch.toString + "/idx"
+    AnnIndex.build(train, idx, dim = 64) // nlists=8 seeded-from-train
+    val out = Decontamination.semanticContaminatedFromIndex(
+      s, idx, train, bench, tau = 0.35, nprobe = 4).localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q335_semantic_decontam_index" -> semanticDecontamIndexQ,
     "q330_semdedup_index" -> semdedupIndexQ,
     "q320_jl_projection" -> jlProjectionQ,
     "q282_ann_filtered" -> annFilteredQ,
@@ -1142,6 +1164,40 @@ object AnnQueries {
       |FROM per CROSS JOIN mm CROSS JOIN gl
       |ORDER BY part_id""".stripMargin
 
+  /** q167's seeded-IVF decontamination replay — shared verbatim by
+    * q335 (the index-fed form must reproduce the inline audit).
+    */
+  private lazy val semanticDecontamOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |tr AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+        |be AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
+        |        FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+        |              FROM tr ORDER BY h, vec_id LIMIT 8)),
+        |ta AS (SELECT tr.vec_id, tr.v, ccb.list_id,
+        |         row_number() OVER (PARTITION BY tr.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(tr.v, ccb.cc), 6) DESC,
+        |             ccb.list_id) AS crank
+        |       FROM tr CROSS JOIN ccb),
+        |corpus AS (SELECT vec_id AS train_id, v, list_id FROM ta WHERE crank = 1),
+        |ba AS (SELECT be.vec_id, be.v, ccb.list_id,
+        |         row_number() OVER (PARTITION BY be.vec_id
+        |           ORDER BY ROUND(list_cosine_similarity(be.v, ccb.cc), 6) DESC,
+        |             ccb.list_id) AS crank
+        |       FROM be CROSS JOIN ccb),
+        |probes AS (SELECT vec_id AS bench_id, v, list_id FROM ba WHERE crank <= 4),
+        |hits AS (SELECT c.train_id, p.bench_id,
+        |           ROUND(list_cosine_similarity(c.v, p.v), 6) AS cosine
+        |         FROM corpus c JOIN probes p USING (list_id)
+        |         WHERE ROUND(list_cosine_similarity(c.v, p.v), 6) >= 0.35e0)
+        |SELECT train_id, n_bench_hits, bench_id, cosine FROM (
+        |  SELECT train_id, bench_id, cosine,
+        |    CAST(count(*) OVER (PARTITION BY train_id) AS BIGINT) AS n_bench_hits,
+        |    row_number() OVER (PARTITION BY train_id
+        |      ORDER BY cosine DESC, bench_id) AS rn
+        |  FROM hits)
+        |WHERE rn = 1 ORDER BY train_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // q330: index-fed SemDeDup must reproduce the inline q115 exactly
     // (same seeded codebook, same routing, same exact-cosine verify)
@@ -1401,41 +1457,16 @@ object AnnQueries {
         |    round(cnt/sum(cnt) OVER (PARTITION BY g), 6) AS share FROM c)
         |SELECT g AS list_id, rank, token, cnt, share FROM r WHERE rank <= 5
         |ORDER BY list_id, rank""".stripMargin,
+    // q335: index-fed decontamination must reproduce the inline q167
+    // exactly (same seeded-from-train codebook, same routing, same
+    // rounded-cosine threshold) — oracle shared verbatim.
+    "q335_semantic_decontam_index" -> semanticDecontamOracle,
     // q167: replays the exact seeded-IVF routing (train-side codebook
     // by md5 hash order, corpus→1 list, bench→4 lists) and thresholds
     // on the ROUNDED cosine; per-train hit count and the
     // (cosine DESC, bench_id) best-match tie-break mirror the two
     // window functions.
-    "q167_semantic_decontam" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |tr AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
-        |be AS (SELECT * FROM e WHERE vec_id % 50 = 0),
-        |ccb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id, v AS cc
-        |        FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
-        |              FROM tr ORDER BY h, vec_id LIMIT 8)),
-        |ta AS (SELECT tr.vec_id, tr.v, ccb.list_id,
-        |         row_number() OVER (PARTITION BY tr.vec_id
-        |           ORDER BY ROUND(list_cosine_similarity(tr.v, ccb.cc), 6) DESC,
-        |             ccb.list_id) AS crank
-        |       FROM tr CROSS JOIN ccb),
-        |corpus AS (SELECT vec_id AS train_id, v, list_id FROM ta WHERE crank = 1),
-        |ba AS (SELECT be.vec_id, be.v, ccb.list_id,
-        |         row_number() OVER (PARTITION BY be.vec_id
-        |           ORDER BY ROUND(list_cosine_similarity(be.v, ccb.cc), 6) DESC,
-        |             ccb.list_id) AS crank
-        |       FROM be CROSS JOIN ccb),
-        |probes AS (SELECT vec_id AS bench_id, v, list_id FROM ba WHERE crank <= 4),
-        |hits AS (SELECT c.train_id, p.bench_id,
-        |           ROUND(list_cosine_similarity(c.v, p.v), 6) AS cosine
-        |         FROM corpus c JOIN probes p USING (list_id)
-        |         WHERE ROUND(list_cosine_similarity(c.v, p.v), 6) >= 0.35e0)
-        |SELECT train_id, n_bench_hits, bench_id, cosine FROM (
-        |  SELECT train_id, bench_id, cosine,
-        |    CAST(count(*) OVER (PARTITION BY train_id) AS BIGINT) AS n_bench_hits,
-        |    row_number() OVER (PARTITION BY train_id
-        |      ORDER BY cosine DESC, bench_id) AS rn
-        |  FROM hits)
-        |WHERE rn = 1 ORDER BY train_id""".stripMargin,
+    "q167_semantic_decontam" -> semanticDecontamOracle,
     // q160: the derived rank-4 corpus and its seeded-tier ppm error
     // are replayed exactly (fixed integer loadings, q99's codebook
     // chain); the corpus fingerprint proves both engines scored the
