@@ -101,7 +101,15 @@ object PairStore {
         maxDf = Int.MaxValue, gramHash = gramHash).localCheckpoint()
       val nNew = gNew.groupBy("doc").agg(count(lit(1)).as("n"))
         .localCheckpoint()
-      val gOld = standing(spark, grams(path), batchId, gNew.limit(0))
+      val gOld0 = standing(spark, grams(path), batchId, gNew.limit(0))
+      // Bloom-prefilter the STANDING gram scan to (probably) batch
+      // grams before its shuffle: the standing index is corpus-scale
+      // (the store's fat table) while a batch touches only its own
+      // gram vocabulary — without this, every increment shuffles the
+      // whole standing index. Map-side codegen might_contain; false
+      // positives are dropped by the exact equi-join below, so the
+      // mined pairs are unchanged (BloomJoin's contract).
+      val gOld = gOld0.filter(BloomJoin.probeColumn(gNew, "g", col("g")))
       val nOld = standing(spark, sizes(path), batchId, nNew.limit(0))
       // pairs touching the batch, each exactly once: anchor ∈ new;
       // other ∈ standing (batches are doc-disjoint) or new with
