@@ -734,4 +734,33 @@ class PlanSpec extends SparkSpecBase {
       plan.contains("GreaterThanOrEqual(o_orderdate"),
       s"orderdate pushdown missing:\n$plan")
   }
+
+  test("AnnIndex.listAssignments prunes the enc scan to the routing columns") {
+    // the index-fed SemDeDup/decontamination claim: reading the coarse
+    // routing touches two small columns — the PQ code rows (m, code_id)
+    // must be pruned out of the parquet read (list_id/batch are
+    // partition values, not file columns)
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_enc")
+      .toString + "/idx"
+    graft.operators.AnnIndex.build(
+      Tables.embeddings(spark, sf("sf0.001")), dir, dim = 64)
+    val plan = planOf(graft.operators.AnnIndex.listAssignments(spark, dir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("neighbor_id"), s"missing routing col:\n$plan")
+    assert(!readSchema.contains("code_id") && !readSchema.contains("m:"),
+      s"PQ code columns not pruned from the enc scan:\n$readSchema")
+  }
+
+  test("store-fed pair reads stay scan-shaped: no mining joins in the consumer plan") {
+    // q329's whole plan is a committed-batch read + union: no shingle
+    // explode, no gram self-join, no vector attach — the mining cost
+    // lives in the store build, not the audit
+    val plan = planOf(graft.queries.ExtensionQueries
+      .queries("q329_pair_store")(spark, sf("sf0.001")))
+    assert(!plan.contains("Generate"), // explode = shingling leaked in
+      s"pair-store read re-tokenizes:\n$plan")
+    val joins = "SortMergeJoin".r.findAllIn(plan).size +
+      "ShuffledHashJoin".r.findAllIn(plan).size
+    assert(joins == 0, s"pair-store read plans $joins shuffled joins:\n$plan")
+  }
 }
