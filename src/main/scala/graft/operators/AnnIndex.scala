@@ -536,6 +536,11 @@ object AnnIndex {
   }
 
   def listAssignments(spark: SparkSession, path: String): DataFrame = {
+    // same diagnosable guard as coarseCentroids: a crashed build reads
+    // as absent (exists() demands both codebooks) — fail actionably
+    // instead of a raw PATH_NOT_FOUND from inside the enc read
+    require(exists(spark, path),
+      s"no committed codebooks at $path — build the index first")
     healEnc(spark, path)
     val all = spark.read.parquet(encPath(path))
       .filter(col("batch").isin(committedBatches(spark, path): _*))

@@ -57,10 +57,30 @@ object PairStore {
   private def textPairs(p: String) = s"$p/text_pairs"
   private def embPairs(p: String) = s"$p/emb_pairs"
 
-  private def committed(spark: SparkSession, root: String, batchId: Long): Boolean = {
-    val dir = new Path(s"$root/batch_id=$batchId")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new Path(dir, "_SUCCESS"))
+  // one owner for the per-dir _SUCCESS commit convention: BatchStore
+  private def committed(spark: SparkSession, root: String, batchId: Long): Boolean =
+    BatchStore.committedBatches(spark, root).contains(batchId)
+
+  /** Drop PAIR batch dirs newer than their signal's newest committed
+    * STATE dir. A crash between the pair and state commits leaves an
+    * ORPHAN pair generation (pairs committed, state not); the retry
+    * gate (the state dir) correctly re-mines it — but if a compaction
+    * ran in between, the orphan id would have been folded into the
+    * pair store's max generation, and the retry's overwrite of that
+    * dir would destroy every previously folded pair. Dropping orphans
+    * at every mutation entry point keeps the retry's overwrite target
+    * and any fold disjoint; the dropped pairs are exactly what the
+    * retry re-mines, so nothing is lost.
+    */
+  private def dropOrphanPairs(spark: SparkSession, pairRoot: String,
+      stateRoot: String): Unit = {
+    val stateMax = BatchStore.committedBatches(spark, stateRoot)
+      .foldLeft(-1L)(math.max)
+    val fs = new Path(pairRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BatchStore.committedBatches(spark, pairRoot)
+      .filter(_ > stateMax)
+      .foreach(b => fs.delete(new Path(s"$pairRoot/batch_id=$b"), true))
   }
 
   /** Committed generations strictly BEFORE `batchId` — the standing
@@ -94,6 +114,7 @@ object PairStore {
       val spark = batch.sparkSession
       Seq(grams(path), sizes(path), textPairs(path))
         .foreach(BatchStore.heal(spark, _))
+      dropOrphanPairs(spark, textPairs(path), grams(path))
       if (!committed(spark, grams(path), batchId)) { // committed retry = no-op
       // the exploded batch index feeds both mining join sides, the
       // size table, and its own persist — checkpoint or it shingles 4×
@@ -155,6 +176,7 @@ object PairStore {
     BuildTiming.timed {
       val spark = batch.sparkSession
       Seq(sig(path), embPairs(path)).foreach(BatchStore.heal(spark, _))
+      dropOrphanPairs(spark, embPairs(path), sig(path))
       if (!committed(spark, sig(path), batchId)) { // committed retry = no-op
       val sNew = Similarity.lshSignatureRows(batch, bits, tables, seed)
         .localCheckpoint() // both mining join sides + its own persist
@@ -208,19 +230,46 @@ object PairStore {
       .unionByName(readSignal(embPairs(path), "emb"))
   }
 
-  /** Fold every sub-store's committed generations into one (the
-    * `BatchStore.compact` staged-swap contract). Rows are disjoint
-    * across batches by construction, so the merge is the identity.
+  /** Fold the TEXT signal's sub-stores (grams/sizes/text_pairs) into
+    * one generation each — what the text stream's own foreachBatch may
+    * call. Orphan pair dirs are dropped FIRST so a crash-window orphan
+    * can never be folded into the generation a retry will overwrite.
     */
-  def compact(spark: SparkSession, path: String): Unit =
+  def compactText(spark: SparkSession, path: String): Unit =
     BuildTiming.timed {
-      Seq(grams(path), sizes(path), sig(path), textPairs(path), embPairs(path))
+      dropOrphanPairs(spark, textPairs(path), grams(path))
+      Seq(grams(path), sizes(path), textPairs(path))
         .foreach(BatchStore.compact(spark, _))
     }
 
+  /** Fold the EMBEDDING signal's sub-stores (sig/emb_pairs) — the
+    * embedding stream's own compaction hook.
+    */
+  def compactEmbeddings(spark: SparkSession, path: String): Unit =
+    BuildTiming.timed {
+      dropOrphanPairs(spark, embPairs(path), sig(path))
+      Seq(sig(path), embPairs(path)).foreach(BatchStore.compact(spark, _))
+    }
+
+  /** Fold every sub-store (the `BatchStore.compact` staged-swap
+    * contract; identity merge — rows are disjoint across batches by
+    * construction). Single-writer discipline applies PER SIGNAL: call
+    * this only when NO stream is writing either signal; a live text
+    * stream may call [[compactText]] and a live embedding stream
+    * [[compactEmbeddings]] — each folds only the stores its own
+    * foreachBatch writes, never the sibling stream's.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    compactText(spark, path)
+    compactEmbeddings(spark, path)
+  }
+
   /** The doc-side store as a streaming query over a document stream
     * (the embedding side runs the same way off an embedding stream
-    * with [[appendEmbeddings]] in its own foreachBatch).
+    * with [[appendEmbeddings]] in its own foreachBatch). Compaction
+    * folds ONLY this stream's stores ([[compactText]]) so a sibling
+    * embedding stream's committed batches are never swapped out from
+    * under it.
     */
   def textPairStream(rows: DataFrame, idCol: String, textCol: String,
       storePath: String, checkpoint: String,
@@ -232,7 +281,7 @@ object PairStore {
         if (compactEvery > 0 && BatchStore
             .committedBatches(batch.sparkSession, grams(storePath))
             .size >= compactEvery)
-          compact(batch.sparkSession, storePath)
+          compactText(batch.sparkSession, storePath)
       }
       .start()
 }

@@ -71,14 +71,21 @@ object TextAnalysis {
     * is unchanged because the testdata corpus is space-delimited).
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = scriptTokens(col(textCol))
-    docs.select(
-      col(idCol),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_distinct"),
-      round(size(array_distinct(t)).cast("double") / size(t), 6).as("ttr"),
-      round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t), 6)
-        .as("mean_token_len"))
+    // project the token array ONCE: scriptTokens is no longer a cheap
+    // split (three regexp passes + the bigram chain), six inline uses
+    // would re-tokenize per use — the interpreted aggregate() HOF slot
+    // is outside codegen subexpression elimination. CollapseProject
+    // keeps the two selects apart (the alias is referenced repeatedly
+    // and is non-cheap), so the array materializes once per row.
+    val t = col("_t")
+    docs.select(col(idCol), scriptTokens(col(textCol)).as("_t"))
+      .select(
+        col(idCol),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        round(size(array_distinct(t)).cast("double") / size(t), 6).as("ttr"),
+        round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t), 6)
+          .as("mean_token_len"))
   }
 
   /** Corpus stats per (lang, source): volume, char and token means. */

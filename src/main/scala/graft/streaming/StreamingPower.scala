@@ -304,15 +304,26 @@ object StreamingPower {
     * constant-size no matter how much stream has passed.
     */
   def countMinStep(batch: DataFrame, textCol: String, storePath: String,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+    sketchStep(batch.select(explode(split(col(textCol), " ")).as("token")),
+      storePath, batchId, depth = 4, width = 1024)
+
+  /** The shared count-min store step: sketch an already-projected
+    * single-column frame and land it under `batch_id=N` with the
+    * committed-skip/heal contract — ONE owner for the retry-gate
+    * sequence however many sketch stores exist ([[countMinStep]]'s
+    * token stream, [[keySketchStep]]'s join keys).
+    */
+  private def sketchStep(projected: DataFrame, storePath: String,
+      batchId: Long, depth: Int, width: Int): Unit = {
     import org.apache.hadoop.fs.Path
-    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
+    graft.engine.BatchStore.heal(projected.sparkSession, storePath)
     val root = new Path(storePath)
-    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = root.getFileSystem(projected.sparkSession.sparkContext.hadoopConfiguration)
     val batchDir = new Path(root, s"batch_id=$batchId")
     if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
     graft.operators.Sketches
-      .countMinSketch(batch.select(explode(split(col(textCol), " ")).as("token")), "token")
+      .countMinSketch(projected, projected.columns.head, depth, width)
       .write.mode("overwrite").parquet(batchDir.toString)
   }
 
@@ -358,17 +369,9 @@ object StreamingPower {
     * contract as [[countMinStep]]; fold = [[countMinMerge]].
     */
   def keySketchStep(batch: DataFrame, keyCol: String, storePath: String,
-      batchId: Long, depth: Int = 4, width: Int = 1024): Unit = {
-    import org.apache.hadoop.fs.Path
-    graft.engine.BatchStore.heal(batch.sparkSession, storePath)
-    val root = new Path(storePath)
-    val fs = root.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
-    val batchDir = new Path(root, s"batch_id=$batchId")
-    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
-    graft.operators.Sketches.countMinSketch(
-        batch.select(col(keyCol).cast("string").as("k")), "k", depth, width)
-      .write.mode("overwrite").parquet(batchDir.toString)
-  }
+      batchId: Long, depth: Int = 4, width: Int = 1024): Unit =
+    sketchStep(batch.select(col(keyCol).cast("string").as("k")),
+      storePath, batchId, depth, width)
 
   /** The STORE-FED join-size readout: fold each side's committed
     * sketch rows (exact counter sums, order-free) and run the AMS

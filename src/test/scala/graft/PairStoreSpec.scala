@@ -87,6 +87,27 @@ class PairStoreSpec extends SparkSpecBase {
     assert(BatchStore.committedBatches(spark, s"$path/grams") === Seq(0L, 1L))
   }
 
+  test("crash-window orphan + compaction + retry preserves every pair") {
+    // the aliasing trap: pairs/batch_id=1 committed, state not (crash
+    // between the two commits), then a maintenance compaction folds
+    // the pair store — without the orphan drop the fold would absorb
+    // batch 0's pairs into the batch_id=1 dir that the retry then
+    // OVERWRITES with only batch 1's pairs, silently destroying them
+    val path = tmp()
+    buildText(path, nBatches = 2)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("grams", "sizes").foreach { sub =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub/batch_id=1"), true)
+    }
+    PairStore.compactText(spark, path) // stream-down maintenance
+    // the orphan pair generation must be gone (not folded)
+    assert(!BatchStore.committedBatches(spark, s"$path/text_pairs").contains(1L))
+    PairStore.appendDocs(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", path, 1L) // streaming retry
+    assert(textPairsOf(path) === oneShotText)
+  }
+
   test("compaction folds to one generation and is invisible to readers") {
     val path = tmp()
     buildText(path)
