@@ -99,6 +99,17 @@ object ScaleProbe {
       if (only.forall(_.contains("text_index_query")))
         TextIndex.appendBatch(docs, "doc_id", "text", textPath,
           batchId = 0L, withPositions = false)
+      // round-13: the q332 key-sketch stores, built untimed for the
+      // readout probe (user_id repeats per replica block, event_id is
+      // unique — a realistic skewed⋈unique join-size question)
+      val jssA = storeTmp.resolve("jss_a").toString
+      val jssB = storeTmp.resolve("jss_b").toString
+      if (only.forall(_.contains("join_size_readout"))) {
+        graft.streaming.StreamingPower.keySketchStep(
+          ev.select("user_id"), "user_id", jssA, 0L, width = 65536)
+        graft.streaming.StreamingPower.keySketchStep(
+          ev.select("event_id"), "event_id", jssB, 0L, width = 65536)
+      }
       val textQueries = docs0.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("query_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
@@ -288,7 +299,18 @@ object ScaleProbe {
         // expected curve is scan-shaped (~linear); the query-side
         // payoff is the terms x topM work bound
         "bm25_prune" -> (() => TextAnalysis.impactPrunedPostings(
-          docs, "doc_id", "text", topM = 512)))
+          docs, "doc_id", "text", topM = 512)),
+        // round-13: the q332 planning primitive split in two. The
+        // sketch BUILD is one scan + a depth×width hash aggregate
+        // (map-side partial collapse — expected ~linear in rows); the
+        // store-fed READOUT touches only 2×depth×width persisted rows
+        // (expected FLAT at any corpus size — the reason a planner can
+        // afford it per join decision)
+        "key_sketch_build" -> (() => Sketches.countMinSketch(
+          ev.select(col("user_id").cast("string").as("k")), "k",
+          width = 65536)),
+        "join_size_readout" -> (() => graft.streaming.StreamingPower
+          .mergedJoinSize(spark, jssA, jssB)))
 
       for ((name, f) <- ops if only.forall(_.contains(name))) {
         val dt = time(f())
