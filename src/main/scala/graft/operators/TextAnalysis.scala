@@ -25,7 +25,13 @@ object TextAnalysis {
     val noSpace = length(regexp_replace(text,
       "[^\\u3040-\\u30FF\\u4E00-\\u9FFF]", ""))
     val nonWs = length(regexp_replace(text, "\\s", ""))
-    nonWs > 0 && noSpace.cast("long") * 2 >= nonWs.cast("long")
+    // the rlike guard short-circuits the two regexp_replace passes on
+    // CJK-free text (codegen And evaluates lazily): any doc the
+    // arithmetic rule accepts has >= 1 CJK char, so the guard is an
+    // exact no-op on the decision — pure-Latin corpora pay one
+    // char-class scan, not two full replaces
+    text.rlike("[\\u3040-\\u30FF\\u4E00-\\u9FFF]") &&
+      (nonWs > 0 && noSpace.cast("long") * 2 >= nonWs.cast("long"))
   }
 
   /** Script-aware tokenization: whitespace tokens for space-delimited
