@@ -57,6 +57,28 @@ object Verify {
     val par = sys.env.get("SPARK_GRAFT_VERIFY_PAR").map(_.toInt).getOrElse(4)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Prewarm the session-shared stores (text index, near-dup pair
+    // store) BEFORE the waves, exactly like Bench: inside a wave, the
+    // first store-fed consumer pays the whole build while its
+    // wave-mates idle at the barrier (computeIfAbsent blocks them) —
+    // up front, the build runs once with every core to itself. The
+    // fresh-build queries (q161/q188/q332/q334) keep their scratch
+    // builds: measuring build cost is their contract.
+    if (selected.exists { case (n, _) =>
+        n.startsWith("q140") || n.startsWith("q144") })
+      try graft.queries.ExtensionQueries.prewarmSharedTextIndex(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] index prewarm failed: $e") }
+    if (selected.exists { case (n, _) =>
+        Seq("q57", "q59", "q74", "q120", "q130", "q142",
+          "q171", "q180", "q325", "q329", "q333")
+          .exists(p => n.startsWith(p + "_")) })
+      try graft.queries.ExtensionQueries.prewarmSharedPairStore(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] pair-store prewarm failed: $e") }
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, par))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)

@@ -61,26 +61,41 @@ object PairStore {
   private def committed(spark: SparkSession, root: String, batchId: Long): Boolean =
     BatchStore.committedBatches(spark, root).contains(batchId)
 
-  /** Drop PAIR batch dirs newer than their signal's newest committed
-    * STATE dir. A crash between the pair and state commits leaves an
-    * ORPHAN pair generation (pairs committed, state not); the retry
-    * gate (the state dir) correctly re-mines it — but if a compaction
-    * ran in between, the orphan id would have been folded into the
-    * pair store's max generation, and the retry's overwrite of that
-    * dir would destroy every previously folded pair. Dropping orphans
+  /** Drop batch dirs in the DEPENDENT stores (pairs, intermediate
+    * state like sizes) newer than the GATE store's newest committed
+    * dir. A crash inside a step's commit sequence (pairs → sizes →
+    * grams; the gate lands LAST) leaves ORPHAN generations in the
+    * earlier stores; the retry gate correctly re-mines them — but if a
+    * compaction ran in between, an orphan id would have been folded
+    * into that store's max generation, and the retry's overwrite of
+    * that dir would destroy every previously folded row (pairs lost
+    * outright; a sizes loss additionally empties the retry's standing
+    * side so its new×standing pairs silently vanish). Dropping orphans
     * at every mutation entry point keeps the retry's overwrite target
-    * and any fold disjoint; the dropped pairs are exactly what the
-    * retry re-mines, so nothing is lost.
+    * and any fold disjoint; the dropped rows are exactly what the
+    * retry re-computes, so nothing is lost.
+    *
+    * HEALS every root first: a crash mid-swap of the GATE store's own
+    * compaction (root renamed to backup, second rename pending) would
+    * otherwise read as zero committed gate batches and the drop would
+    * delete every committed dependent dir — permanent loss, since the
+    * gate's heal then restores the state and those docs are never
+    * re-mined. Heal-before-drop is the same order [[appendDocs]]
+    * always had; this puts it inside the drop so the compaction entry
+    * points inherit it too.
     */
-  private def dropOrphanPairs(spark: SparkSession, pairRoot: String,
-      stateRoot: String): Unit = {
-    val stateMax = BatchStore.committedBatches(spark, stateRoot)
+  private def dropOrphans(spark: SparkSession, gateRoot: String,
+      dependentRoots: Seq[String]): Unit = {
+    (gateRoot +: dependentRoots).foreach(BatchStore.heal(spark, _))
+    val gateMax = BatchStore.committedBatches(spark, gateRoot)
       .foldLeft(-1L)(math.max)
-    val fs = new Path(pairRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    BatchStore.committedBatches(spark, pairRoot)
-      .filter(_ > stateMax)
-      .foreach(b => fs.delete(new Path(s"$pairRoot/batch_id=$b"), true))
+    dependentRoots.foreach { root =>
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      BatchStore.committedBatches(spark, root)
+        .filter(_ > gateMax)
+        .foreach(b => fs.delete(new Path(s"$root/batch_id=$b"), true))
+    }
   }
 
   /** Committed generations strictly BEFORE `batchId` — the standing
@@ -112,9 +127,7 @@ object PairStore {
       gramHash: Option[HashFamily] = Some(graft.functions.XxHash64Family)): Unit =
     BuildTiming.timed {
       val spark = batch.sparkSession
-      Seq(grams(path), sizes(path), textPairs(path))
-        .foreach(BatchStore.heal(spark, _))
-      dropOrphanPairs(spark, textPairs(path), grams(path))
+      dropOrphans(spark, grams(path), Seq(textPairs(path), sizes(path)))
       if (!committed(spark, grams(path), batchId)) { // committed retry = no-op
       // the exploded batch index feeds both mining join sides, the
       // size table, and its own persist — checkpoint or it shingles 4×
@@ -175,8 +188,7 @@ object PairStore {
       tables: Int = 8, seed: Long = 42L): Unit =
     BuildTiming.timed {
       val spark = batch.sparkSession
-      Seq(sig(path), embPairs(path)).foreach(BatchStore.heal(spark, _))
-      dropOrphanPairs(spark, embPairs(path), sig(path))
+      dropOrphans(spark, sig(path), Seq(embPairs(path)))
       if (!committed(spark, sig(path), batchId)) { // committed retry = no-op
       val sNew = Similarity.lshSignatureRows(batch, bits, tables, seed)
         .localCheckpoint() // both mining join sides + its own persist
@@ -232,12 +244,13 @@ object PairStore {
 
   /** Fold the TEXT signal's sub-stores (grams/sizes/text_pairs) into
     * one generation each — what the text stream's own foreachBatch may
-    * call. Orphan pair dirs are dropped FIRST so a crash-window orphan
-    * can never be folded into the generation a retry will overwrite.
+    * call. Orphan pair/sizes dirs are dropped FIRST (after healing all
+    * three roots) so a crash-window orphan can never be folded into
+    * the generation a retry will overwrite.
     */
   def compactText(spark: SparkSession, path: String): Unit =
     BuildTiming.timed {
-      dropOrphanPairs(spark, textPairs(path), grams(path))
+      dropOrphans(spark, grams(path), Seq(textPairs(path), sizes(path)))
       Seq(grams(path), sizes(path), textPairs(path))
         .foreach(BatchStore.compact(spark, _))
     }
@@ -247,7 +260,7 @@ object PairStore {
     */
   def compactEmbeddings(spark: SparkSession, path: String): Unit =
     BuildTiming.timed {
-      dropOrphanPairs(spark, embPairs(path), sig(path))
+      dropOrphans(spark, sig(path), Seq(embPairs(path)))
       Seq(sig(path), embPairs(path)).foreach(BatchStore.compact(spark, _))
     }
 

@@ -69,18 +69,18 @@ class PairStoreSpec extends SparkSpecBase {
     assert(textPairsOf(path) === before)
   }
 
-  test("crash between pair and state commits re-mines on retry") {
+  test("crash between sizes and grams commits re-mines on retry") {
     val path = tmp()
     buildText(path, nBatches = 2)
-    // simulate a crash during batch 1: pairs committed, state dirs not
-    // (the state write is the retry gate, committed LAST)
+    // simulate the NARROWEST crash window in batch 1's commit sequence
+    // (pairs → sizes → grams): pairs AND sizes committed, only the
+    // grams gate missing — the retry must treat the committed sizes
+    // dir as an orphan (drop + recompute), not as standing state
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("grams", "sizes").foreach { sub =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub/batch_id=1"), true)
-    }
-    // retry must re-mine batch 1 (overwriting its pair dir) and land
-    // the state — NOT skip on the already-committed pair dir
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/grams/batch_id=1"), true)
+    // retry must re-mine batch 1 (overwriting its pair and sizes dirs)
+    // and land the state — NOT skip on the already-committed dirs
     PairStore.appendDocs(docs.filter(col("doc_id") % 2 === 1),
       "doc_id", "text", path, 1L)
     assert(textPairsOf(path) === oneShotText)
@@ -88,24 +88,53 @@ class PairStoreSpec extends SparkSpecBase {
   }
 
   test("crash-window orphan + compaction + retry preserves every pair") {
-    // the aliasing trap: pairs/batch_id=1 committed, state not (crash
-    // between the two commits), then a maintenance compaction folds
-    // the pair store — without the orphan drop the fold would absorb
-    // batch 0's pairs into the batch_id=1 dir that the retry then
-    // OVERWRITES with only batch 1's pairs, silently destroying them
+    // the aliasing trap, in the narrowest window (only the grams gate
+    // missing): pairs/batch_id=1 AND sizes/batch_id=1 committed, then
+    // a maintenance compaction folds the stores — without the orphan
+    // drop the fold would absorb batch 0's pairs/sizes into the
+    // batch_id=1 dirs the retry then OVERWRITES with only batch 1's
+    // rows: batch 0's pairs destroyed outright, and batch 0's sizes
+    // loss silently empties the retry's standing side so its
+    // new×standing pairs vanish from the re-mined batch
     val path = tmp()
     buildText(path, nBatches = 2)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("grams", "sizes").foreach { sub =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub/batch_id=1"), true)
-    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/grams/batch_id=1"), true)
     PairStore.compactText(spark, path) // stream-down maintenance
-    // the orphan pair generation must be gone (not folded)
+    // the orphan pair AND sizes generations must be gone (not folded)
     assert(!BatchStore.committedBatches(spark, s"$path/text_pairs").contains(1L))
+    assert(!BatchStore.committedBatches(spark, s"$path/sizes").contains(1L))
     PairStore.appendDocs(docs.filter(col("doc_id") % 2 === 1),
       "doc_id", "text", path, 1L) // streaming retry
     assert(textPairsOf(path) === oneShotText)
+  }
+
+  test("compaction killed mid-swap of the grams store heals before the orphan drop") {
+    // the state store's OWN compaction crashing between its two swap
+    // renames leaves the grams root absent (backup / committed staging
+    // pending) — a retry of compactText must heal the gate root BEFORE
+    // computing orphans, or it reads zero committed grams generations
+    // and deletes every committed pair/sizes dir as an orphan:
+    // permanent pair loss, since those docs stay standing in the
+    // healed grams store and are never re-mined
+    val path = tmp()
+    buildText(path, nBatches = 3)
+    val expected = oneShotText
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the kill between rename(store → backup) and
+    // rename(staging → store): the gate root is missing and only the
+    // backup holds the committed generations (the staging-committed
+    // variant is equivalent for the drop — both windows read zero
+    // committed gate batches until heal runs)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/grams"),
+      new org.apache.hadoop.fs.Path(s"$path/grams._old")))
+    PairStore.compactText(spark, path) // maintenance retry
+    assert(BatchStore.committedBatches(spark, s"$path/grams").nonEmpty,
+      "heal must restore the gate store")
+    assert(textPairsOf(path) === expected,
+      "no committed pair may be dropped as a false orphan")
   }
 
   test("compaction folds to one generation and is invisible to readers") {

@@ -9,6 +9,14 @@ compares: row count, column names (sorted), and values (rows sorted by
 all columns; exact for non-floats, both exact-hash and 1e-9-tolerance
 reported for floats). This is a developer tool only — the engine itself
 is pure Scala/Spark.
+
+Besides the stdout report, writes <verifyOutDir>/correctness.json in
+the driver's CORRECTNESS shape ({"rows_match","schema_match",
+"hash_match","spark_rows","oracle_rows","err"} per query) so a
+populated per-query artifact exists from the repo side regardless of
+what the driver records (its r12/r13 artifacts were empty). Skipped
+under --only/SPARK_GRAFT_ONLY — a subset run must never overwrite the
+full-suite artifact.
 """
 import json, sys, glob, os
 import duckdb
@@ -32,20 +40,29 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 if only is not None:
     oracle = {k: v for k, v in oracle.items() if k in only}
 fail = 0
+report = {}
 for name in sorted(oracle):
     sql = oracle[name]
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None}
+    report[name] = rec
     try:
         exp = con.sql(sql).df()
     except Exception as e:
+        rec["err"] = f"oracle error: {e}"
         print(f"FAIL {name}: oracle error: {e}")
         fail += 1
         continue
+    rec["oracle_rows"] = len(exp)
     try:
         got = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
     except Exception as e:
+        rec["err"] = f"spark output missing: {e}"
         print(f"FAIL {name}: spark output missing: {e}")
         fail += 1
         continue
+    rec["spark_rows"] = len(got)
+    rec["rows_match"] = len(exp) == len(got)
     problems = []
     if sorted(exp.columns) != sorted(got.columns):
         problems.append(f"cols exp={sorted(exp.columns)} got={sorted(got.columns)}")
@@ -85,6 +102,15 @@ for name in sorted(oracle):
             dd = {c: (dt_e[c], dt_g[c]) for c in cols if dt_e[c] != dt_g[c]}
             problems.append(f"dtypes differ: {dd}")
     hard = [p for p in problems if "[WARN]" not in p]
+    # schema = columns + dtypes (the driver compares schemas); hash =
+    # EXACT values — a tolerance-only float match is a driver-side hash
+    # mismatch (it hashes double BITS), so WARN rows record hash_match
+    # false even though diffcheck's exit code tolerates them
+    rec["schema_match"] = sorted(exp.columns) == sorted(got.columns) and \
+        not any(p.startswith("dtypes differ") for p in hard)
+    rec["hash_match"] = not problems and rec["rows_match"] and rec["schema_match"]
+    if problems:
+        rec["err"] = "; ".join(problems)
     if hard:
         fail += 1
         print(f"FAIL {name}: " + "; ".join(problems))
@@ -92,5 +118,9 @@ for name in sorted(oracle):
         print(f"WARN {name}: " + "; ".join(problems))
     else:
         print(f"OK   {name} ({len(exp)} rows)")
+if only is None:
+    with open(f"{outdir}/correctness.json", "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(f"wrote {outdir}/correctness.json ({len(report)} queries)")
 print(f"\n{len(oracle) - fail}/{len(oracle)} queries match")
 sys.exit(1 if fail else 0)
