@@ -120,6 +120,13 @@ object Bench {
       try graft.queries.ExtensionQueries.prewarmSharedPairStore(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] pair-store prewarm failed: $e") }
+    // And the epoch store for the non-decomposable signals: q91/q92
+    // measure audit-read cost; the once-per-corpus-generation mining
+    // is the amortizable part.
+    if (selected.exists(n => n.startsWith("q91_") || n.startsWith("q92_")))
+      try graft.queries.ExtensionQueries.prewarmSharedEpochStore(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] epoch-store prewarm failed: $e") }
     releaseCheckpoints()
 
     shuffleAcc.set(0)

@@ -76,6 +76,11 @@ object Verify {
       try graft.queries.ExtensionQueries.prewarmSharedPairStore(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] pair-store prewarm failed: $e") }
+    if (selected.exists { case (n, _) =>
+        n.startsWith("q91_") || n.startsWith("q92_") })
+      try graft.queries.ExtensionQueries.prewarmSharedEpochStore(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] epoch-store prewarm failed: $e") }
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
 

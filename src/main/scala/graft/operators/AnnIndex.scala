@@ -53,6 +53,7 @@ object AnnIndex {
   private def subPath(path: String) = s"$path/sub"
   private def encPath(path: String) = s"$path/enc"
   private def deadPath(path: String) = s"$path/dead"
+  private def metaPath(path: String) = s"$path/train_meta"
 
   /** Derive seeded codebooks from the corpus, encode it, and publish
     * the three index tables. Re-running on an existing index is a full
@@ -108,7 +109,7 @@ object AnnIndex {
     // exists() is still true over an emptied enc — a retry would
     // APPEND to the old codebooks and silently drop the pre-crash
     // corpus from every future query.
-    Seq(coarsePath(path), subPath(path),
+    Seq(coarsePath(path), subPath(path), metaPath(path),
       encPath(path) + "._compacting", encPath(path) + "._old", encPath(path),
       // a rebuild starts a fresh corpus generation — tombstones refer
       // to the PREVIOUS generation's membership and must not suppress
@@ -119,8 +120,58 @@ object AnnIndex {
     val subC = sub.localCheckpoint()
     centsC.coalesce(1).write.mode(SaveMode.Overwrite).parquet(coarsePath(path))
     subC.coalesce(1).write.mode(SaveMode.Overwrite).parquet(subPath(path))
+    // training-corpus size, for the appended-fraction rebuild trigger
+    // ([[needsRebuild]]); written after the codebooks, before enc — a
+    // crash in between leaves it absent, which appendedFraction reads
+    // as "unknown → rebuild", the conservative maintenance answer
+    import embeddings.sparkSession.implicits._
+    Seq(embeddings.count()).toDF("n_train")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath(path))
     writeEnc(embeddings, centsC, subC, path, dim, numSub, batchId)
   }
+
+  /** How much corpus has been quantize-appended since the codebooks
+    * last trained, as a fraction of the training corpus: (live ids −
+    * n_train) / n_train, floored at 0 (deletes can shrink live below
+    * the training count — that is staleness of a different kind and
+    * not measured here). Missing or unreadable training metadata
+    * (a pre-metadata index, a crash between the codebook and metadata
+    * writes) reads as +∞ — "age unknown, rebuild" is the conservative
+    * answer for a maintenance decision. The live count scans enc ids
+    * only (no vectors) — a maintenance-cadence cost, not a query cost.
+    */
+  def appendedFraction(spark: SparkSession, path: String): Double = {
+    val fs = fsOf(spark, new Path(path))
+    if (!fs.exists(new Path(metaPath(path), "_SUCCESS")))
+      return Double.PositiveInfinity
+    val nTrain = spark.read.parquet(metaPath(path)).head().getLong(0)
+    if (nTrain <= 0L) return Double.PositiveInfinity
+    healEnc(spark, path)
+    val batches = committedBatches(spark, path)
+    if (batches.isEmpty) return 0.0
+    val live = spark.read.parquet(encPath(path))
+      .filter(col("batch").isin(batches: _*))
+      .select("neighbor_id").distinct()
+    val deadB = committedDeadBatches(spark, path)
+    val nLive =
+      (if (deadB.isEmpty) live
+       else live.join(deadIds(spark, path, deadB)
+           .withColumnRenamed("vec_id", "neighbor_id"),
+         Seq("neighbor_id"), "left_anti"))
+        .count()
+    math.max(0.0, (nLive - nTrain).toDouble / nTrain)
+  }
+
+  /** The rebuild trigger the recall-decay curve justifies
+    * (`RecallDecayProbe`, SCALING.md): recall loss under appends
+    * tracks the appended FRACTION of the corpus, not the batch count,
+    * so the index should retrain (`build`/`buildLearned`) once the
+    * mass quantized against stale codebooks rivals the mass they were
+    * trained on. Default 1.0 = "appended as much as was trained".
+    */
+  def needsRebuild(spark: SparkSession, path: String,
+      maxAppendedFraction: Double = 1.0): Boolean =
+    appendedFraction(spark, path) >= maxAppendedFraction
 
   /** Encode a new batch with the index's PERSISTED codebooks and
     * publish it under its own `batch=<id>` directory (idempotent per
@@ -245,9 +296,23 @@ object AnnIndex {
     * the same foreachBatch because the stream IS the single writer,
     * and a kill mid-compaction heals on the next touch. 0 = never.
     */
+  /** `rebuildAt` wires the [[needsRebuild]] trigger into the stream's
+    * own maintenance (the RecallDecayProbe curve justifies the
+    * threshold): after each append, if the mass quantized against the
+    * standing codebooks reaches `rebuildAt` × the trained mass, the
+    * index RETRAINS from `rebuildCorpus(batch)` — the caller's full
+    * raw-vector table including this batch (codes can't retrain
+    * codebooks; a real deployment always keeps the raw tier). The
+    * rebuild reuses the engine batch id, so a retried micro-batch
+    * finds its dir committed (no-op append) and a fresh
+    * `appendedFraction` of 0 (no re-trigger) — exactly-once under
+    * foreachBatch retries, like every mutation here. 0 = never
+    * (append-only maintenance, the previous behavior).
+    */
   def indexStream(vectors: DataFrame, path: String, checkpoint: String,
       dim: Int, nlists: Int = 8, numSub: Int = 8, numCodes: Int = 16,
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, rebuildAt: Double = 0.0,
+      rebuildCorpus: DataFrame => DataFrame = null)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
@@ -255,7 +320,16 @@ object AnnIndex {
         val spark = batch.sparkSession
         if (!exists(spark, path))
           build(batch, path, dim, nlists, numSub, numCodes, batchId = id)
-        else appendBatch(batch, path, dim, numSub, batchId = id)
+        else {
+          appendBatch(batch, path, dim, numSub, batchId = id)
+          // threshold check AFTER the append: the index never ends a
+          // micro-batch above `rebuildAt` — the appended batch is
+          // re-encoded by the rebuild, the price of the invariant
+          if (rebuildAt > 0 && rebuildCorpus != null &&
+              needsRebuild(spark, path, rebuildAt))
+            build(rebuildCorpus(batch), path, dim, nlists, numSub,
+              numCodes, batchId = id)
+        }
         if (compactEvery > 0 &&
             committedBatches(spark, path).size >= compactEvery)
           compact(spark, path)

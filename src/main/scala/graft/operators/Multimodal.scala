@@ -404,6 +404,254 @@ object Multimodal {
       }
   }
 
+  /** Per-clip acoustic fingerprint row: 64 energy-shape bits split
+    * into two 32-bit words (the q286/PHashRow packing discipline —
+    * 32-bit halves keep every engine's integer arithmetic exact), so
+    * near-duplicate AUDIO reduces to integer Hamming distance and the
+    * SAME banded pair machinery as images ([[dHashPairHistogram]]
+    * takes any (doc_id, w0, w1) frame).
+    */
+  case class AudioFpRow(doc_id: Long, n_samples: Int, w0: Long, w1: Long,
+      real_decode: Boolean)
+
+  /** REAL acoustic fingerprint: parse the RIFF/WAVE container (the
+    * [[decodeWav]] walk — PCM 16-bit), split the clip's sample frames
+    * into 33 contiguous windows (window of frame i = ⌊i·33/n⌋), and
+    * take the 32 energy-gradient bits E₍ⱼ₊₁₎ > Eⱼ as `w0` and the 32
+    * DC-gradient bits A₍ⱼ₊₁₎ > Aⱼ as `w1` — the Haitsma–Kalker
+    * band-energy-difference idea collapsed to one spectral-free
+    * band, every accumulator an exact integer (|s| ≤ 32768, so
+    * Σs² fits a long at any realistic clip length). Same gradient
+    * robustness story as dHash: global gain shifts both sides of
+    * each comparison. Multi-channel clips fingerprint the
+    * interleaved stream (channel frames land in the same window).
+    * Undecodable payloads yield the length-seeded stub words with
+    * `real_decode = false`, keeping the pipeline total.
+    */
+  private[graft] def audioFp(docId: Long, p: Array[Byte]): AudioFpRow =
+    try {
+      def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+      def le32(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+        ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+      def tag(o: Int) = new String(p, o, 4, "US-ASCII")
+      if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        AudioFpRow(docId, 0, p.length & 0xffffffffL, 0L, real_decode = false)
+      else {
+        var off = 12
+        var channels = 0; var bits = 0
+        var dataOff = -1; var dataLen = 0
+        while (off + 8 <= p.length) {
+          val t = tag(off); val len = le32(off + 4)
+          if (t == "fmt ") { channels = le16(off + 10); bits = le16(off + 22) }
+          else if (t == "data") { dataOff = off + 8; dataLen = len }
+          off += 8 + len + (len & 1) // RIFF chunks pad to even offsets
+        }
+        val n = if (channels > 0) dataLen / (2 * channels) else 0
+        if (dataOff < 0 || bits != 16 || channels <= 0 || n <= 0 ||
+            dataOff + dataLen > p.length)
+          AudioFpRow(docId, 0, p.length & 0xffffffffL, 0L, real_decode = false)
+        else {
+          val e = Array.ofDim[Long](33)
+          val a = Array.ofDim[Long](33)
+          var i = 0
+          while (i < n) {
+            val j = (i.toLong * 33L / n).toInt
+            var c = 0
+            while (c < channels) {
+              val v = le16(dataOff + 2 * (i * channels + c)).toShort.toInt
+              e(j) += v.toLong * v
+              a(j) += v
+              c += 1
+            }
+            i += 1
+          }
+          var w0 = 0L; var w1 = 0L
+          var j = 0
+          while (j < 32) {
+            if (e(j + 1) > e(j)) w0 |= 1L << j
+            if (a(j + 1) > a(j)) w1 |= 1L << j
+            j += 1
+          }
+          AudioFpRow(docId, n, w0, w1, real_decode = true)
+        }
+      }
+    } catch { case _: Exception =>
+      AudioFpRow(docId, 0, p.length & 0xffffffffL, 0L, real_decode = false) }
+
+  /** Partition-wise batch fingerprinting of audio payloads. */
+  def audioFingerprint(payloads: DataFrame): Dataset[AudioFpRow] = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { batch =>
+        batch.map { case (id, bytes) => audioFp(id, bytes) }
+      }
+  }
+
+  /** Deterministic REAL audio fixture for fingerprinting — the
+    * acoustic twin of [[withPatternedImagePayload]]: a true 16-bit
+    * PCM mono 8 kHz WAV whose waveform is the closed form
+    * `s(i) = ((A·37 + i·131) % 4001) − 2000` over
+    * `n = 64 + (A·3) % 192` frames, `A = (doc_id % 16)·31 +
+    * doc_id % 7` — docs sharing `A` render IDENTICAL clips (Hamming-0
+    * fingerprint pairs), distinct `A`s render independent waveforms,
+    * so the downstream banded pair histogram is oracle-predictable.
+    * Synthesis fans out over an ids-only repartition (the q290
+    * lesson: a single-file scan would serialize the codec CPU).
+    */
+  def withPatternedAudioPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    import ids.sparkSession.implicits._
+    ids.as[Long].mapPartitions { batch =>
+      batch.map { id =>
+        val a = (id % 16) * 31 + id % 7
+        val n = (64 + (a * 3) % 192).toInt
+        val dataLen = n * 2
+        val bos = new java.io.ByteArrayOutputStream(44 + dataLen)
+        def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+        def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+        def wtag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+        wtag("RIFF"); w32(36 + dataLen); wtag("WAVE")
+        wtag("fmt "); w32(16); w16(1); w16(1); w32(8000)
+        w32(8000 * 2); w16(2); w16(16)
+        wtag("data"); w32(dataLen)
+        var i = 0
+        while (i < n) {
+          val s = ((a * 37L + i.toLong * 131L) % 4001L).toInt - 2000
+          w16(s & 0xffff)
+          i += 1
+        }
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Per-video temporal fingerprint row — the third modality of the
+    * 2×32-bit-word signature family (images [[PHashRow]], audio
+    * [[AudioFpRow]]): near-duplicate VIDEO reduces to integer Hamming
+    * distance through the same banded machinery
+    * ([[dHashPairHistogram]] takes any (doc_id, w0, w1) frame).
+    */
+  case class VideoFpRow(doc_id: Long, n_frames: Int, w0: Long, w1: Long,
+      real_decode: Boolean)
+
+  /** REAL temporal video fingerprint: walk the container's frame
+    * sequence (the [[sampleVideoFrames]] reader machinery), sample 33
+    * evenly-spaced positions (position j = frame ⌊j·nf/33⌋, each
+    * distinct frame decoded ONCE), take each position's true average
+    * luminance L = ⌊Σ gray / (w·h)⌋ over the fully decoded raster,
+    * and emit `w0` = the 32 temporal luminance-gradient bits
+    * L₍ⱼ₊₁₎ > Lⱼ (the classic temporal-signature idea — gradients
+    * survive global gain shifts) and `w1` = the 32 coarse
+    * luminance-level bits (L ⁄ 32) mod 2 (an 8-level quantization
+    * complementing the gradients where a clip is temporally flat).
+    * All integer arithmetic; undecodable payloads yield the
+    * length-seeded stub with `real_decode = false`.
+    */
+  def videoFingerprint(payloads: DataFrame): Dataset[VideoFpRow] = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])].mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
+        batch.map { case (id, bytes) =>
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext)
+              VideoFpRow(id, 0, bytes.length & 0xffffffffL, 0L,
+                real_decode = false)
+            else {
+              val reader = readers.next()
+              reader.setInput(iis, false, true)
+              val nf = reader.getNumImages(true)
+              if (nf <= 0)
+                VideoFpRow(id, 0, bytes.length & 0xffffffffL, 0L,
+                  real_decode = false)
+              else {
+                val lumCache = scala.collection.mutable.Map.empty[Int, Long]
+                def lum(fidx: Int): Long = lumCache.getOrElseUpdate(fidx, {
+                  val img = reader.read(fidx)
+                  val w = img.getWidth; val h = img.getHeight
+                  var sum = 0L; var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+                    y += 1
+                  }
+                  if (w * h == 0) 0L else sum / (w.toLong * h)
+                })
+                val ls = Array.tabulate(33)(j => lum((j * nf) / 33))
+                reader.dispose()
+                var w0 = 0L; var w1 = 0L
+                var j = 0
+                while (j < 32) {
+                  if (ls(j + 1) > ls(j)) w0 |= 1L << j
+                  if ((ls(j) / 32) % 2 == 1) w1 |= 1L << j
+                  j += 1
+                }
+                VideoFpRow(id, nf, w0, w1, real_decode = true)
+              }
+            }
+          } catch { case _: Exception =>
+            VideoFpRow(id, 0, bytes.length & 0xffffffffL, 0L,
+              real_decode = false) }
+        }
+      }
+  }
+
+  /** Deterministic REAL video fixture for fingerprinting — the
+    * temporal twin of [[withPatternedImagePayload]]: a true animated
+    * GIF (exact 256-gray indexed palette, lossless round-trip) of
+    * `nf = 2 + A % 5` constant-gray frames, frame f's gray
+    * `(A·31 + f·17) % 256`, dims `(8 + A % 16) × (8 + 5A % 16)`,
+    * `A = (doc_id % 16)·31 + doc_id % 7` — docs sharing `A` render
+    * IDENTICAL clips, so the banded pair histogram is
+    * oracle-predictable. Synthesis fans out over an ids-only
+    * repartition (the q290 lesson).
+    */
+  def withPatternedVideoPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ids = docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    import ids.sparkSession.implicits._
+    ids.as[Long].mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      batch.map { id =>
+        val a = (id % 16) * 31 + id % 7
+        val nf = (2 + a % 5).toInt
+        val w = (8 + a % 16).toInt
+        val h = (8 + (a * 5) % 16).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val g = ((a * 31L + f.toLong * 17L) % 256L).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** One sampled frame of a media payload. */
   case class FrameMeta(doc_id: Long, frame_idx: Int, frame_offset: Int, frame_hash: Int)
 

@@ -299,21 +299,36 @@ object TextIndex {
     // map-side (countDistinct planned an Expand + a second shuffle
     // carrying one row per posting OCCURRENCE — 31 MB at sf0.1, the
     // suite's largest after the q182 fix), idempotent under duplicate
-    // positions, and ONE long per group crosses the wire. Valid while
-    // phrases stay under 64 tokens — enforced on the query-sized side
-    // (shiftleft wraps silently past 64, so the guard is load-bearing).
-    // max over zero rows is NULL — an empty query set must return an
-    // empty result, not NPE at query-construction time
+    // positions, and ONE long per group crosses the wire. A single
+    // long covers 64 phrase tokens (shiftleft wraps silently past 64,
+    // so the split below is load-bearing); longer phrases chunk into
+    // per-64-token WORDS — one extra narrow aggregation over the
+    // already-reduced (query, doc, base, word) masks, paid only when
+    // a long phrase is actually present. max over zero rows is NULL —
+    // an empty query set must return an empty result, not NPE at
+    // query-construction time
     val maxLenRow = plen.agg(max(col("plen"))).head()
     val maxLen = if (maxLenRow.isNullAt(0)) 0L else maxLenRow.getLong(0)
-    require(maxLen <= 64, s"phrase longer than 64 tokens unsupported ($maxLen)")
-    live
+    val hits = live
       .select(col("doc"), col("token"), explode(col("positions")).as("pos"))
       .join(broadcast(qt), Seq("token"))
-      .groupBy(col("query_id"), col("doc"),
-        (col("pos") - col("tok_idx")).as("base"))
-      .agg(expr("bit_or(shiftleft(1L, tok_idx))").as("_mask"))
-      .withColumn("cov", expr("bit_count(_mask)").cast("long"))
+    val covered =
+      if (maxLen <= 64)
+        hits.groupBy(col("query_id"), col("doc"),
+            (col("pos") - col("tok_idx")).as("base"))
+          .agg(expr("bit_or(shiftleft(1L, tok_idx))").as("_mask"))
+          .withColumn("cov", expr("bit_count(_mask)").cast("long"))
+      else
+        // chunked: tok_idx div 64 picks the word, pmod bounds the
+        // shift to [0, 64); total coverage = Σ per-word popcounts
+        // (each distinct tok_idx sets exactly one bit in one word)
+        hits.groupBy(col("query_id"), col("doc"),
+            (col("pos") - col("tok_idx")).as("base"),
+            expr("tok_idx div 64").as("_w"))
+          .agg(expr("bit_or(shiftleft(1L, pmod(tok_idx, 64)))").as("_mask"))
+          .groupBy("query_id", "doc", "base")
+          .agg(sum(expr("bit_count(_mask)")).cast("long").as("cov"))
+    covered
       .join(broadcast(plen), Seq("query_id"))
       .filter(col("cov") === col("plen"))
       .groupBy("query_id", "doc")

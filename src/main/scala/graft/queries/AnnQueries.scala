@@ -778,7 +778,7 @@ object AnnQueries {
          |        - CAST(300000 AS BIGINT) * c$i.mx DESC, c$i.a_id) AS rk
          |  FROM c$i JOIN r ON r.query_id = c$i.query_id
          |    AND r.neighbor_id = c$i.a_id) WHERE rk = 1),
-         |sel$i AS (SELECT * FROM sel$p
+         |sel$i AS MATERIALIZED (SELECT * FROM sel$p
          |  UNION ALL SELECT query_id, neighbor_id FROM s$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
@@ -788,22 +788,22 @@ object AnnQueries {
        |s AS (SELECT query_id, neighbor_id,
        |        ROUND(list_cosine_similarity(qe, ce), 6) AS cos
        |      FROM q, c WHERE neighbor_id <> query_id),
-       |r AS (SELECT * FROM (
+       |r AS MATERIALIZED (SELECT * FROM (
        |    SELECT query_id, neighbor_id, cos,
        |      CAST(round(cos * 1000000e0) AS BIGINT) AS rel_ppm,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY cos DESC, neighbor_id) AS rank
        |    FROM s) WHERE rank <= 20),
-       |mem AS (SELECT r.query_id, r.neighbor_id, c.ce
+       |mem AS MATERIALIZED (SELECT r.query_id, r.neighbor_id, c.ce
        |        FROM r JOIN c USING (neighbor_id)),
-       |ps AS (SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+       |ps AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
        |        CAST(round(ROUND(list_cosine_similarity(a.ce, b.ce), 6)
        |          * 1000000e0) AS BIGINT) AS sim_ppm
        |      FROM mem a JOIN mem b ON a.query_id = b.query_id
        |        AND a.neighbor_id <> b.neighbor_id),
        |s1 AS (SELECT query_id, neighbor_id, CAST(1 AS INTEGER) AS sel_rank,
        |        CAST(700000 AS BIGINT) * rel_ppm AS score FROM r WHERE rank = 1),
-       |sel1 AS (SELECT query_id, neighbor_id FROM s1),
+       |sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1),
        |$steps
        |SELECT u.query_id, u.sel_rank, u.neighbor_id, r.cos AS cosine,
        |  u.score AS mmr_score_e12
@@ -871,9 +871,14 @@ object AnnQueries {
     * directed within-list kNN edge set `g(node, nbr)`.
     */
   private lazy val knnGraphCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    // e/asg/g are each referenced several times downstream (asg by the
+    // self-joined edge set and every consumer, g by all 5 unrolled
+    // pagerank rounds) — default inlining re-derives the N×√N routing
+    // cross-join per reference (q198's replay measured 50 s at sf0.01
+    // before the hints); MATERIALIZED pins the graph to build once
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings),
-      |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id,
+      |cb AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id,
       |         v AS c
       |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
       |             FROM e ORDER BY h, vec_id
@@ -883,8 +888,8 @@ object AnnQueries {
       |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC,
       |             cb.list_id) AS crank
       |       FROM e CROSS JOIN cb),
-      |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
-      |g AS (SELECT node, nbr FROM (
+      |asg AS MATERIALIZED (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
+      |g AS MATERIALIZED (SELECT node, nbr FROM (
       |   SELECT a.vec_id AS node, b.vec_id AS nbr,
       |     row_number() OVER (PARTITION BY a.vec_id
       |       ORDER BY CAST(round(ROUND(list_cosine_similarity(a.v, b.v), 6)
@@ -896,11 +901,11 @@ object AnnQueries {
   private val pagerankOracle: String = {
     val prefix =
       s"""WITH $knnGraphCtes,
-        |deg AS (SELECT a.vec_id, CAST(coalesce(d.outdeg, 0) AS BIGINT) AS outdeg
+        |deg AS MATERIALIZED (SELECT a.vec_id, CAST(coalesce(d.outdeg, 0) AS BIGINT) AS outdeg
         |        FROM asg a LEFT JOIN (SELECT node, count(*) AS outdeg
         |                              FROM g GROUP BY 1) d
         |          ON d.node = a.vec_id),
-        |nn AS (SELECT count(*) AS n FROM e),
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM e),
         |r0 AS (SELECT vec_id, 1000000000000 // (SELECT n FROM nn) AS r
         |       FROM asg)""".stripMargin
     val rounds = (1 to 5).map { i =>
@@ -929,23 +934,28 @@ object AnnQueries {
     * oversampled candidate set — the k-means‖ reduction step).
     */
   private def greedyCoresetSql(src: String, k: Int): String = {
+    // every round references ch(r-1) THREE times (cross join, NOT IN,
+    // the union extending it) — the repo-invariant MATERIALIZED case:
+    // left to DuckDB's default inlining the chain re-expands ~3^k
+    // (q201's replay measured 429 s at sf0.01 before the hint, ~1 s
+    // after; identical rows — the hint only pins execution)
     val rounds = (2 to k).map { r =>
-      s"""c$r AS (SELECT s.vec_id, s.v,
+      s"""c$r AS MATERIALIZED (SELECT s.vec_id, s.v,
         |    MIN(1000000 - CAST(round(ROUND(list_cosine_similarity(s.v, ch.v), 6)
         |      * 1000000e0) AS BIGINT)) AS d_ppm
         |  FROM $src s CROSS JOIN ch${r - 1} ch
         |  WHERE s.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
         |  GROUP BY s.vec_id, s.v
         |  ORDER BY d_ppm DESC, s.vec_id LIMIT 1),
-        |ch$r AS (SELECT vec_id, v FROM ch${r - 1}
+        |ch$r AS MATERIALIZED (SELECT vec_id, v FROM ch${r - 1}
         |         UNION ALL SELECT vec_id, v FROM c$r)""".stripMargin
     }.mkString(",\n")
     val sel = (2 to k).map(r =>
       s"UNION ALL SELECT $r AS sel_rank, vec_id, d_ppm FROM c$r").mkString("\n")
-    s"""c1 AS (SELECT vec_id, v, CAST(NULL AS BIGINT) AS d_ppm
+    s"""c1 AS MATERIALIZED (SELECT vec_id, v, CAST(NULL AS BIGINT) AS d_ppm
       |       FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
       |             FROM $src ORDER BY h, vec_id LIMIT 1)),
-      |ch1 AS (SELECT vec_id, v FROM c1),
+      |ch1 AS MATERIALIZED (SELECT vec_id, v FROM c1),
       |$rounds
       |SELECT * FROM (
       |SELECT 1 AS sel_rank, vec_id, d_ppm FROM c1
@@ -954,7 +964,7 @@ object AnnQueries {
 
   /** q201's oracle: the greedy loop unrolled over the full corpus. */
   private val coresetOracle: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings),
       |${greedyCoresetSql("e", 8)}""".stripMargin
 
@@ -974,7 +984,7 @@ object AnnQueries {
         |    WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)
         |    GROUP BY e.vec_id, e.v
         |    ORDER BY dmin DESC, e.vec_id LIMIT 8))""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
       |           FROM embeddings),
       |s0 AS MATERIALIZED (SELECT vec_id, v FROM (
       |    SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
@@ -1256,6 +1266,10 @@ object AnnQueries {
     // >= minPts, recursive closure over core-core edges + core self
     // loops, min-reachable label; noise -1.
     "q202_density_clusters" ->
+      // asg feeds BOTH sides of the eps self-join plus the final
+      // readout, p feeds deg and the core-edge join — MATERIALIZED or
+      // DuckDB re-derives the N×√N routing cross-join per reference
+      // (the q201 lesson; 40 s -> ~1 s at sf0.01)
       s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
         |cb AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS list_id,
@@ -1268,13 +1282,13 @@ object AnnQueries {
         |           ORDER BY ROUND(list_cosine_similarity(e.v, cb.c), 6) DESC,
         |             cb.list_id) AS crank
         |       FROM e CROSS JOIN cb),
-        |asg AS (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
-        |p AS (SELECT a.vec_id AS node, b.vec_id AS nbr
+        |asg AS MATERIALIZED (SELECT vec_id, v, list_id FROM ca WHERE crank = 1),
+        |p AS MATERIALIZED (SELECT a.vec_id AS node, b.vec_id AS nbr
         |      FROM asg a JOIN asg b
         |        ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
         |      WHERE CAST(round(ROUND(list_cosine_similarity(a.v, b.v), 6)
         |        * 1000000e0) AS BIGINT) >= 300000),
-        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS n_eps
+        |deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS n_eps
         |        FROM p GROUP BY 1),
         |core AS (SELECT node FROM deg WHERE n_eps >= 3),
         |ce AS (SELECT p.node AS u, p.nbr AS v FROM p

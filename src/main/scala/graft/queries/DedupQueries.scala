@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{IdempotentSink, Tables}
+import graft.engine.{EpochStore, IdempotentSink, Tables}
 import graft.functions.Md5Family
 import graft.operators._
 import graft.queries.QueryHelpers._
@@ -195,7 +195,12 @@ object DedupQueries {
     */
   private val splitLeakage: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", hashes = Md5Family)
+    // the MinHash pair set is NOT store-decomposable (corpus-dependent
+    // hot-bucket caps), so it comes off the per-corpus-generation
+    // EPOCH store — mined once by the unchanged q21 operator, read by
+    // every audit of this generation; the one-shot oracle is unchanged
+    // because the store holds exactly the inline mining's output
+    val pairs = storedMinhashPairs(s, dir)
     val splits = docs.select(col("doc_id"),
       when(Md5Family.hash(col("doc_id").cast("string")) % 100 < 50, lit("train"))
         .otherwise(lit("test")).as("split"))
@@ -218,8 +223,10 @@ object DedupQueries {
     */
   private val sourceOverlap: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val grams = Dedup.shingleIndex(docs, "doc_id", "text", k = 3, maxDf = 50,
-      gramHash = Some(Md5Family))
+    // DF-capped index = corpus-dependent hot list = epoch-store signal
+    // (same non-decomposability argument as q91's pairs); q62 keeps
+    // the inline operator as the capped-mining reference
+    val grams = storedCappedGrams(s, dir)
     val gs = grams
       .join(docs.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
       .select("source", "g").distinct().localCheckpoint()
@@ -406,6 +413,49 @@ object DedupQueries {
   def prewarmSharedPairStore(s: SparkSession, dir: String): Unit = {
     sharedPairStore(s, dir); ()
   }
+
+  /** The session-shared EPOCH store per sf dir — the rebuild-per-
+    * corpus-generation tier for the pair signals that are NOT
+    * incrementally decomposable and so can never join the PairStore:
+    * the q21 MinHash-LSH pair set (corpus-dependent hot-bucket cap)
+    * and the q62 DF-capped hashed shingle index (corpus-dependent hot
+    * list). Each is mined ONCE per corpus generation by the unchanged
+    * inline operator and published as a committed `epoch=N` dir
+    * (`EpochStore`); the audits that need them (q91 split leakage,
+    * q92 source overlap) read the committed artifact. Store read ≡
+    * inline mining bit-for-bit (EpochStoreSpec pins it), so the
+    * one-shot DuckDB oracles are unchanged. Build time is
+    * BuildTiming-accounted; Bench/Verify prewarm it outside timed
+    * windows.
+    */
+  private val sharedEpochStoreByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sharedEpochStore(s: SparkSession, dir: String): String =
+    sharedEpochStoreByDir.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_epoch_store").toString + "/store"
+      val docs = Tables.documents(s, dir)
+      EpochStore.rebuild(s, s"$path/minhash_pairs", 0L,
+        Dedup.minhashLshPairs(docs, "doc_id", "text", hashes = Md5Family))
+      EpochStore.rebuild(s, s"$path/capped_grams", 0L,
+        Dedup.shingleIndex(docs, "doc_id", "text", k = 3, maxDf = 50,
+          gramHash = Some(Md5Family)))
+      path
+    })
+
+  /** Pre-build the shared epoch store outside any timed window. */
+  def prewarmSharedEpochStore(s: SparkSession, dir: String): Unit = {
+    sharedEpochStore(s, dir); ()
+  }
+
+  /** q21's MinHash-LSH pair set off the committed epoch. */
+  private def storedMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    EpochStore.read(s, s"${sharedEpochStore(s, dir)}/minhash_pairs")
+
+  /** q62's DF-capped hashed shingle index off the committed epoch. */
+  private def storedCappedGrams(s: SparkSession, dir: String): DataFrame =
+    EpochStore.read(s, s"${sharedEpochStore(s, dir)}/capped_grams")
 
   private[queries] def storedPairs(s: SparkSession, dir: String): DataFrame =
     PairStore.pairs(s, sharedPairStore(s, dir))
@@ -650,7 +700,47 @@ object DedupQueries {
     out
   }
 
+  /** q337: the EPOCH-STORE build itself as a timed entry (q334's
+    * pattern applied to the non-decomposable signals): with q91/q92
+    * reading the prewarmed shared epoch store, the once-per-corpus-
+    * generation mining cost would otherwise vanish from the bench
+    * record — this query rebuilds a FRESH scratch epoch (both
+    * signals: q21's capped MinHash pairs, q62's DF-capped gram index)
+    * and reports each signal's row count plus a bit_xor content
+    * fingerprint (md5 of the canonical row rendering — xor, not sum:
+    * the ANSI-overflow-safe set hash for distinct rows).
+    * `EpochStore.rebuild` is BuildTiming-wrapped, so BENCH.json's
+    * build_s isolates the amortizable epoch cost explicitly. Oracle =
+    * the same two one-shot mining chains reduced to the same summary.
+    */
+  private val epochStoreBuildQ: Q = (s, dir) => {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q337_es")
+    val path = scratch.toString + "/store"
+    val docs = Tables.documents(s, dir)
+    EpochStore.rebuild(s, s"$path/minhash_pairs", 0L,
+      Dedup.minhashLshPairs(docs, "doc_id", "text", hashes = Md5Family))
+    EpochStore.rebuild(s, s"$path/capped_grams", 0L,
+      Dedup.shingleIndex(docs, "doc_id", "text", k = 3, maxDf = 50,
+        gramHash = Some(Md5Family)))
+    val mh = EpochStore.read(s, s"$path/minhash_pairs")
+      .select(Md5Family.hash(concat_ws("_", col("doc_a"), col("doc_b"),
+        round(col("est_jaccard") * 1e6).cast("long"))).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("fp"))
+      .select(lit("minhash_pairs").as("signal"), col("n_rows"), col("fp"))
+    val cg = EpochStore.read(s, s"$path/capped_grams")
+      .select(Md5Family.hash(concat_ws("_", col("doc"), col("g"))).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("fp"))
+      .select(lit("capped_grams").as("signal"), col("n_rows"), col("fp"))
+    val out = mh.union(cg).orderBy("signal")
+      .localCheckpoint() // materialize before the scratch delete
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "q337_epoch_store_build" -> epochStoreBuildQ,
     "q334_pair_store_build" -> pairStoreBuildQ,
     "q329_pair_store" -> pairStoreQ,
     "q325_temporal_leakage" -> temporalLeakageQ,
@@ -1269,6 +1359,51 @@ object DedupQueries {
         |        / count(*), 6) AS leakage_ratio
         |FROM pairs JOIN sp sa ON sa.doc_id = doc_a
         |  JOIN sp sb ON sb.doc_id = doc_b""".stripMargin,
+    // q337: both one-shot mining chains (q21's banded MinHash pairs,
+    // q62's DF-capped hashed gram index) reduced to the store-read
+    // summary — row count + bit_xor md5 content fingerprint per
+    // signal. Hash-equality certifies the fresh epoch rebuild holds
+    // exactly the inline mining's rows. Multi-referenced CTEs
+    // MATERIALIZED per the repo invariant.
+    "q337_epoch_store_build" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id, CASE WHEN len(t) >= 3
+        |  THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t)-2)]
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM toks),
+        |gstrs AS (SELECT doc_id, unnest(grams) AS gstr FROM sh),
+        |g0 AS MATERIALIZED (SELECT DISTINCT doc_id, ${md5l("gstr")} AS g FROM gstrs),
+        |hot AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 50),
+        |gi AS (SELECT doc_id, g FROM g0 WHERE g NOT IN (SELECT g FROM hot)),
+        |gmh AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |h AS (SELECT doc_id, ${md5l("g")} % 1125899906842624 AS h1,
+        |    ${md5l("concat('2_', g)")} % 1125899906842624 AS h2 FROM gmh),
+        |mh AS MATERIALIZED (SELECT doc_id, p, min((h1 + p * h2) % 1125899906842624) AS mh
+        |  FROM h, generate_series(0, 15) AS gs(p) GROUP BY doc_id, p),
+        |bands AS (SELECT doc_id, CAST(p // 2 AS INTEGER) AS band,
+        |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p) AS band_str
+        |  FROM mh GROUP BY doc_id, p // 2),
+        |bh AS (SELECT doc_id, band,
+        |    ${md5l("concat(band_str, '_', band)")} AS band_hash FROM bands),
+        |capped AS MATERIALIZED (SELECT * FROM bh
+        |  QUALIFY count(*) OVER (PARTITION BY band, band_hash) <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |est AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+        |  FROM mh a JOIN mh b ON a.p = b.p
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY 1, 2),
+        |mhp AS (SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5)
+        |SELECT * FROM (
+        |  SELECT 'capped_grams' AS signal, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(bit_xor(${md5l("concat(CAST(doc_id AS VARCHAR), '_', CAST(g AS VARCHAR))")}) AS BIGINT) AS fp
+        |  FROM gi
+        |  UNION ALL
+        |  SELECT 'minhash_pairs', CAST(count(*) AS BIGINT),
+        |    CAST(bit_xor(${md5l("concat(CAST(doc_a AS VARCHAR), '_', CAST(doc_b AS VARCHAR), '_', CAST(CAST(round(est_jaccard * 1000000e0) AS BIGINT) AS VARCHAR))")}) AS BIGINT)
+        |  FROM mhp
+        |) ORDER BY signal""".stripMargin,
     "q92_source_overlap" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3

@@ -1193,6 +1193,66 @@ object EventStoreQueries {
     out
   }
 
+  /** q336: the PERSISTED audio-fingerprint tier — the acoustic twin
+    * of q326: each clip's RIFF/PCM parse is paid ONCE, at ingest
+    * (`StreamingPower.audioFpStep`), only the two 32-bit
+    * energy-gradient words land in the batch store (three doc-disjoint
+    * appends), compacted, then the banded Hamming pair readout runs
+    * off the STORE — streamed ≡ one-shot, the q290 pair machinery
+    * verbatim over audio words. The patterned WAV fixture
+    * (`Multimodal.withPatternedAudioPayload`) keeps every window
+    * energy closed-form, so DuckDB rebuilds the fingerprints bit by
+    * bit and replays the histogram. At 100 TB this is the shape an
+    * audio corpus wants: clips decode once on arrival, near-dup
+    * queries touch only the 2-word fingerprint table.
+    */
+  private val audioFpStoreQ: Q = (s, dir) => {
+    val payloads = Multimodal
+      .withPatternedAudioPayload(Tables.documents(s, dir))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q336_afp")
+    val store = scratch.toString + "/audiofp"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.audioFpStep(
+        payloads.filter(col("doc_id") % 3 === b), store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.audioFpMerge)
+    val out = graft.streaming.StreamingPower.mergedAudioPairs(s, store)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
+  /** q339: the PERSISTED video-fingerprint tier — the temporal third
+    * of the modality triple (q326 images, q336 audio): each clip's
+    * frame sequence decodes ONCE at ingest
+    * (`StreamingPower.videoFpStep` — every sampled frame's full
+    * raster), only the two 32-bit temporal-signature words land in
+    * the batch store (three doc-disjoint appends), compacted, then
+    * the banded Hamming pair readout runs off the STORE — streamed ≡
+    * one-shot, the q290 pair machinery verbatim over temporal words.
+    * The patterned GIF fixture keeps every sampled luminance
+    * closed-form (constant-gray frames through the exact indexed
+    * palette), so DuckDB rebuilds the fingerprints bit by bit and
+    * replays the histogram.
+    */
+  private val videoFpStoreQ: Q = (s, dir) => {
+    val payloads = Multimodal
+      .withPatternedVideoPayload(Tables.documents(s, dir))
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q339_vfp")
+    val store = scratch.toString + "/videofp"
+    (0L until 3L).foreach { b =>
+      graft.streaming.StreamingPower.videoFpStep(
+        payloads.filter(col("doc_id") % 3 === b), store, batchId = b)
+    }
+    graft.engine.BatchStore.compact(s, store,
+      graft.streaming.StreamingPower.videoFpMerge)
+    val out = graft.streaming.StreamingPower.mergedVideoPairs(s, store)
+      .localCheckpoint()
+    deleteRecursively(s, scratch.toString)
+    out
+  }
+
   /** q285: LIVE HTTP ingest end-to-end — the reference's actual
     * transport (`bronze_ingest.py:30-39`: GET with `start`/`sort`/
     * `offset` params, an Energinet `{"total", "records"}` envelope)
@@ -1561,6 +1621,8 @@ object EventStoreQueries {
     "q285_feed_http" -> feedHttpQ,
     "q290_image_phash" -> imagePhashQ,
     "q326_image_hash_store" -> imageHashStoreQ,
+    "q336_audio_fp_store" -> audioFpStoreQ,
+    "q339_video_fp_store" -> videoFpStoreQ,
     "q292_feed_http_bronze" -> feedHttpBronzeQ,
     "q301_feed_http_stream" -> feedHttpStreamQ,
     "q162_image_decode" -> imageDecodeQ,
@@ -1915,7 +1977,107 @@ object EventStoreQueries {
       |SELECT hamming, count(*) AS n_pairs
       |FROM p WHERE hamming <= 6 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q336 oracle: the patterned WAV waveform is closed-form
+    * (`s(i) = ((A·37 + i·131) % 4001) − 2000` over
+    * `n = 64 + 3A % 192` frames, `A = (doc_id % 16)·31 + doc_id % 7`),
+    * so DuckDB rebuilds each clip's 33 window energies and DC sums
+    * exactly (window of frame i = ⌊i·33/n⌋, both engines truncating
+    * positive ints), packs the 32 gradient bits per word
+    * (Σ bit·2^j — the q290 packing), and replays the band / hot-cap /
+    * candidate / Hamming-histogram chain verbatim; the Spark side must
+    * reach the same words THROUGH the real WAV synth + RIFF parse and
+    * the persisted store fold.
+    */
+  private lazy val oracleSqlQ336: String =
+    """WITH d AS (SELECT doc_id,
+      |    (doc_id % 16) * 31 + doc_id % 7 AS a FROM documents),
+      |p AS (SELECT doc_id, a, 64 + (a * 3) % 192 AS n FROM d),
+      |s AS (SELECT doc_id, n, gs.i,
+      |    ((a * 37 + gs.i * 131) % 4001) - 2000 AS v
+      |  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) gs),
+      |w AS (SELECT doc_id, (i * 33) // n AS j,
+      |    CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS e,
+      |    CAST(SUM(CAST(v AS BIGINT)) AS BIGINT) AS aa
+      |  FROM s GROUP BY 1, 2),
+      |b AS (SELECT doc_id, j,
+      |    CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY j) > e
+      |      THEN 1 ELSE 0 END AS be,
+      |    CASE WHEN lead(aa) OVER (PARTITION BY doc_id ORDER BY j) > aa
+      |      THEN 1 ELSE 0 END AS ba
+      |  FROM w),
+      |h AS MATERIALIZED (SELECT doc_id,
+      |    CAST(SUM(be * (1::BIGINT << j)) AS BIGINT) AS w0,
+      |    CAST(SUM(ba * (1::BIGINT << j)) AS BIGINT) AS w1
+      |  FROM b WHERE j < 32 GROUP BY 1),
+      |banded AS MATERIALIZED (SELECT doc_id, gs.k,
+      |    CASE gs.k WHEN 0 THEN w0 & 65535 WHEN 1 THEN (w0 >> 16) & 65535
+      |              WHEN 2 THEN w1 & 65535 ELSE (w1 >> 16) & 65535
+      |    END AS band
+      |  FROM h, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) gs),
+      |bands AS MATERIALIZED (SELECT bd.* FROM banded bd
+      |  LEFT JOIN (SELECT k, band FROM banded
+      |             GROUP BY 1, 2 HAVING count(*) > 64) hot
+      |    ON hot.k = bd.k AND hot.band = bd.band
+      |  WHERE hot.k IS NULL),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id),
+      |pr AS (SELECT CAST(bit_count(xor(ha.w0, hb.w0))
+      |      + bit_count(xor(ha.w1, hb.w1)) AS INTEGER) AS hamming
+      |  FROM cand JOIN h ha ON ha.doc_id = cand.id_a
+      |            JOIN h hb ON hb.doc_id = cand.id_b)
+      |SELECT hamming, count(*) AS n_pairs
+      |FROM pr WHERE hamming <= 6 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q339 oracle: the patterned GIF's sampled luminances are
+    * closed-form (constant-gray frames, exact indexed palette —
+    * average luminance = the planted gray; sample position j reads
+    * frame ⌊j·nf/33⌋, both engines truncating positive ints), so
+    * DuckDB rebuilds the temporal gradient word and the 8-level
+    * quantization word exactly and replays the q336/q290 band /
+    * hot-cap / candidate / Hamming-histogram chain verbatim; the
+    * Spark side must reach the same words THROUGH the real GIF
+    * synthesis + frame-sequence decode and the persisted store fold.
+    */
+  private lazy val oracleSqlQ339: String =
+    """WITH d AS (SELECT doc_id,
+      |    (doc_id % 16) * 31 + doc_id % 7 AS a FROM documents),
+      |p AS (SELECT doc_id, a, 2 + a % 5 AS nf FROM d),
+      |s AS (SELECT doc_id, gs.j,
+      |    (a * 31 + ((gs.j * nf) // 33) * 17) % 256 AS lum
+      |  FROM p, LATERAL (SELECT unnest(generate_series(0, 32)) AS j) gs),
+      |b AS (SELECT doc_id, j,
+      |    CASE WHEN lead(lum) OVER (PARTITION BY doc_id ORDER BY j) > lum
+      |      THEN 1 ELSE 0 END AS bg,
+      |    (lum // 32) % 2 AS bl
+      |  FROM s),
+      |h AS MATERIALIZED (SELECT doc_id,
+      |    CAST(SUM(bg * (1::BIGINT << j)) AS BIGINT) AS w0,
+      |    CAST(SUM(bl * (1::BIGINT << j)) AS BIGINT) AS w1
+      |  FROM b WHERE j < 32 GROUP BY 1),
+      |banded AS MATERIALIZED (SELECT doc_id, gs.k,
+      |    CASE gs.k WHEN 0 THEN w0 & 65535 WHEN 1 THEN (w0 >> 16) & 65535
+      |              WHEN 2 THEN w1 & 65535 ELSE (w1 >> 16) & 65535
+      |    END AS band
+      |  FROM h, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) gs),
+      |bands AS MATERIALIZED (SELECT bd.* FROM banded bd
+      |  LEFT JOIN (SELECT k, band FROM banded
+      |             GROUP BY 1, 2 HAVING count(*) > 64) hot
+      |    ON hot.k = bd.k AND hot.band = bd.band
+      |  WHERE hot.k IS NULL),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id),
+      |pr AS (SELECT CAST(bit_count(xor(ha.w0, hb.w0))
+      |      + bit_count(xor(ha.w1, hb.w1)) AS INTEGER) AS hamming
+      |  FROM cand JOIN h ha ON ha.doc_id = cand.id_a
+      |            JOIN h hb ON hb.doc_id = cand.id_b)
+      |SELECT hamming, count(*) AS n_pairs
+      |FROM pr WHERE hamming <= 6 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q336_audio_fp_store" -> oracleSqlQ336,
+    "q339_video_fp_store" -> oracleSqlQ339,
     "q234_ewma_store" -> ewmaOracle,
     // q247: mergeable daily counts fold exactly -> streamed must
     // equal the one-shot q245 trend verbatim.

@@ -45,4 +45,12 @@ object ExtensionQueries {
     */
   def prewarmSharedPairStore(spark: SparkSession, dir: String): Unit =
     DedupQueries.prewarmSharedPairStore(spark, dir)
+
+  /** Forwarder kept for Bench: pre-builds the shared EPOCH store (the
+    * non-decomposable signals — q21's capped MinHash pairs, q62's
+    * DF-capped gram index) so q91/q92 time pure store-read cost, not
+    * the once-per-corpus-generation mining.
+    */
+  def prewarmSharedEpochStore(spark: SparkSession, dir: String): Unit =
+    DedupQueries.prewarmSharedEpochStore(spark, dir)
 }

@@ -904,18 +904,21 @@ object TextQueries {
   // Per-doc signal oracles, shared verbatim by their own entries and
   // the q177 per-source composition.
   private lazy val trigramLmOracle: String =
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      // toks feeds four counts, bc joins twice, tgs twice — all flat
+      // but each inlined reference re-tokenizes the corpus; the
+      // MATERIALIZED hints pin one tokenize (24 s -> ~8 s at sf0.01)
+      """WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |n AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tokens FROM toks),
-        |uc AS (SELECT w, count(*) AS uf FROM
+        |uc AS MATERIALIZED (SELECT w, count(*) AS uf FROM
         |  (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
-        |bc AS (SELECT bigram, count(*) AS bf FROM
+        |bc AS MATERIALIZED (SELECT bigram, count(*) AS bf FROM
         |  (SELECT array_to_string(t[i:i+1], ' ') AS bigram FROM toks,
         |     LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) gs)
         |  GROUP BY 1),
-        |tgs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |tgs AS MATERIALIZED (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
         |  FROM toks,
         |  LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) gs),
-        |tc AS (SELECT w1, w2, w3, count(*) AS tf FROM tgs GROUP BY 1, 2, 3),
+        |tc AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS tf FROM tgs GROUP BY 1, 2, 3),
         |sc AS (SELECT g.doc_id,
         |    CAST(floor(ln(0.6e0 * tf / bp.bf + 0.3e0 * bs.bf / u2.uf
         |        + 0.1e0 * u3.uf / n_tokens) * 1000000000e0 + 0.5e0)
@@ -1067,11 +1070,11 @@ object TextQueries {
          |    CAST(count(*) AS BIGINT) AS cnt
          |  FROM t$i, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j) gs
          |  WHERE len(t) >= 2 GROUP BY 1),
-         |m$i AS (SELECT pair, cnt,
+         |m$i AS MATERIALIZED (SELECT pair, cnt,
          |    ' ' || replace(pair, ' ', '  ') || ' ' AS pat,
          |    ' ' || replace(pair, ' ', '_') || ' ' AS rep
          |  FROM pc$i ORDER BY cnt DESC, pair LIMIT 1),
-         |c$i AS (SELECT doc_id,
+         |c$i AS MATERIALIZED (SELECT doc_id,
          |    replace(trim(replace(' ' || replace(_t, ' ', '  ') || ' ',
          |      (SELECT pat FROM m$i), (SELECT rep FROM m$i))), '  ', ' ')
          |      AS _t
@@ -1079,7 +1082,11 @@ object TextQueries {
          |n$i AS (SELECT CAST(SUM(len(string_split(_t, ' '))) AS BIGINT)
          |    AS n_after FROM c$i)""".stripMargin
     }.mkString(",\n")
-    s"""c0 AS (SELECT doc_id, text AS _t FROM documents),
+    // each c(i-1) feeds BOTH t_i and the rewrite c_i, and each m_i is
+    // read twice by c_i plus the readout — MATERIALIZED, or inlining
+    // re-derives the whole corpus rewrite chain 2^rounds times (the
+    // q201/q231 lesson; 27 s -> ~2 s at sf0.01, rows identical)
+    s"""c0 AS MATERIALIZED (SELECT doc_id, text AS _t FROM documents),
        |$steps""".stripMargin
   }
 

@@ -690,6 +690,115 @@ object StreamingPower {
       // fold discipline, applied to the pair readout).
       imageHashMerge(graft.engine.BatchStore.read(spark, storePath)))
 
+  /** One micro-batch of the streaming AUDIO-FINGERPRINT store — the
+    * acoustic twin of [[imageHashStep]]: the batch's clips parse ONCE
+    * (the expensive container/PCM pass) and only the (doc_id, w0, w1)
+    * fingerprint words land under `batch_id=N` with the
+    * committed-skip guard — 3 longs per clip however long the audio.
+    * Batches must partition the corpus by doc (the profile-store
+    * contract); a retried committed batch is a no-op.
+    */
+  def audioFpStep(payloads: DataFrame, storePath: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(payloads.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(
+      payloads.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.Multimodal.audioFingerprint(payloads).toDF()
+      .select(col("doc_id"), col("w0"), col("w1"))
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** Audio-fingerprint MERGE as a compaction hook: each clip lives in
+    * exactly one batch, so min() per word is the identity fold —
+    * deterministic however generations interleave.
+    */
+  val audioFpMerge: DataFrame => DataFrame =
+    _.groupBy(col("doc_id")).agg(min(col("w0")).as("w0"),
+      min(col("w1")).as("w1"))
+
+  /** The audio-fingerprint loop as a streaming query over a payload
+    * stream.
+    */
+  def audioFpStream(rows: DataFrame, storePath: String,
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        audioFpStep(batch, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            audioFpMerge)
+      }
+      .start()
+
+  /** The near-dup readout across every committed batch of the audio
+    * store: the banded Hamming pair histogram off the stored words —
+    * the image readout's machinery verbatim (`dHashPairHistogram`
+    * takes any (doc_id, w0, w1) frame), with the same fold-before-
+    * read discipline.
+    */
+  def mergedAudioPairs(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Multimodal.dHashPairHistogram(
+      audioFpMerge(graft.engine.BatchStore.read(spark, storePath)))
+
+  /** One micro-batch of the streaming VIDEO-FINGERPRINT store — the
+    * temporal twin of [[imageHashStep]]/[[audioFpStep]]: the batch's
+    * clips decode ONCE (every sampled frame's full raster) and only
+    * the (doc_id, w0, w1) temporal-signature words land under
+    * `batch_id=N` with the committed-skip guard — 3 longs per video
+    * however long the clip. Batches must partition the corpus by doc;
+    * a retried committed batch is a no-op.
+    */
+  def videoFpStep(payloads: DataFrame, storePath: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.engine.BatchStore.heal(payloads.sparkSession, storePath)
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(
+      payloads.sparkSession.sparkContext.hadoopConfiguration)
+    val batchDir = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(new Path(batchDir, "_SUCCESS"))) return // committed retry
+    graft.operators.Multimodal.videoFingerprint(payloads).toDF()
+      .select(col("doc_id"), col("w0"), col("w1"))
+      .write.mode("overwrite").parquet(batchDir.toString)
+  }
+
+  /** Video-fingerprint MERGE as a compaction hook: one batch per clip
+    * by contract, so min() per word is the identity fold.
+    */
+  val videoFpMerge: DataFrame => DataFrame =
+    _.groupBy(col("doc_id")).agg(min(col("w0")).as("w0"),
+      min(col("w1")).as("w1"))
+
+  /** The video-fingerprint loop as a streaming query. */
+  def videoFpStream(rows: DataFrame, storePath: String,
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        videoFpStep(batch, storePath, batchId)
+        if (compactEvery > 0 && graft.engine.BatchStore
+            .committedBatches(batch.sparkSession, storePath).size >= compactEvery)
+          graft.engine.BatchStore.compact(batch.sparkSession, storePath,
+            videoFpMerge)
+      }
+      .start()
+
+  /** The near-dup readout across every committed batch of the video
+    * store — the image/audio readout's banded-Hamming machinery
+    * verbatim, same fold-before-read discipline.
+    */
+  def mergedVideoPairs(spark: SparkSession, storePath: String): DataFrame =
+    graft.operators.Multimodal.dHashPairHistogram(
+      videoFpMerge(graft.engine.BatchStore.read(spark, storePath)))
+
   /** The W₁ (earth-mover's) drift readout across every committed
     * batch of a PSI-style store: fold the stored (bin, ca, cb) counts
     * (exact sums) and run the same cross-multiplied integer readout

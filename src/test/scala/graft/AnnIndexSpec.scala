@@ -190,6 +190,44 @@ class AnnIndexSpec extends SparkSpecBase {
       s"appended (odd-id) vectors never surface in results: $neighbors")
   }
 
+  test("streaming ingest with rebuildAt retrains once the appended mass crosses the trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft_annretrain").toString
+    val dir = s"$base/idx"
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // the retrain source: the caller's raw tier — here the full table
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val q = AnnIndex.indexStream(ms.toDF().toDF("vec_id", "embedding"),
+      dir, s"$base/ckpt", dim = 64, rebuildAt = 0.9,
+      rebuildCorpus = _ => emb)
+    try {
+      ms.addData(rows.filter(_._1 % 2 == 0).toSeq) // builds (trains)
+      q.processAllAvailable()
+      ms.addData(rows.filter(_._1 % 4 == 1).toSeq) // ~0.5 appended — quiet
+      q.processAllAvailable()
+      assert(!AnnIndex.needsRebuild(spark, dir, 0.9),
+        "trigger fired below the threshold")
+      val fHalf = AnnIndex.appendedFraction(spark, dir)
+      assert(fHalf > 0.3, s"append did not register: $fHalf")
+      ms.addData(rows.filter(_._1 % 4 == 3).toSeq) // crosses 0.9 — retrains
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(AnnIndex.appendedFraction(spark, dir) === 0.0,
+      "the stream-fired rebuild must reset the index age")
+    // the retrained index IS a fresh seeded build over the full corpus
+    // (codebooks derive from the corpus, batch id is irrelevant)
+    val probes = emb.filter(col("vec_id") < 10)
+    val fresh = Files.createTempDirectory("graft_annretrain_ref").toString + "/idx"
+    AnnIndex.build(emb, fresh, dim = 64)
+    val got = AnnIndex.query(spark, dir, probes, k = 5, dim = 64).collect().map(key)
+    val ref = AnnIndex.query(spark, fresh, probes, k = 5, dim = 64).collect().map(key)
+    assert(got.nonEmpty && got.sameElements(ref),
+      "stream-retrained index diverged from a fresh full-corpus build")
+  }
+
   test("streaming ingest with compactEvery bounds generations without changing results") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -425,5 +463,45 @@ class AnnIndexSpec extends SparkSpecBase {
       assert(rows.exists(_.getLong(2) == q + 10000L),
         s"appended duplicate of $q not in its top-3: ${rows.map(_.getLong(2)).toSeq}")
     }
+  }
+
+  test("appended-fraction rebuild trigger: tracks mass not batch count, fires at the pinned threshold") {
+    // The RecallDecayProbe curve (SCALING.md) shows recall loss under
+    // quantize-without-retrain appends tracks the appended FRACTION of
+    // the corpus, independent of how many batches deliver it — so the
+    // maintenance trigger is the fraction, pinned here at its 1.0
+    // default ("appended as much as was trained").
+    val dir = Files.createTempDirectory("graft_annfrac").toString + "/idx"
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    AnnIndex.build(base, dir, dim = 64)
+    assert(AnnIndex.appendedFraction(spark, dir) === 0.0)
+    assert(!AnnIndex.needsRebuild(spark, dir))
+    // deliver ~the first half of rest in 3 batches: fraction climbs
+    // with MASS (same mass in more batches = same fraction), trigger
+    // stays quiet below 1.0
+    AnnIndex.appendBatch(rest.filter(col("vec_id") % 4 === 1), dir,
+      dim = 64, batchId = 1L)
+    val fHalf = AnnIndex.appendedFraction(spark, dir)
+    assert(fHalf > 0.3 && fHalf < 0.8, s"half-mass fraction off: $fHalf")
+    assert(!AnnIndex.needsRebuild(spark, dir),
+      "trigger must not fire below the pinned threshold")
+    // the remaining mass arrives; appended ~= trained -> trigger fires
+    // (asserted at 0.9: an odd corpus makes the even/odd split off by
+    // one, so "exactly 1.0" would flake on testdata regeneration)
+    AnnIndex.appendBatch(rest.filter(col("vec_id") % 4 === 3), dir,
+      dim = 64, batchId = 2L)
+    val fFull = AnnIndex.appendedFraction(spark, dir)
+    assert(fFull > 0.9, s"full-mass fraction off: $fFull")
+    assert(AnnIndex.needsRebuild(spark, dir, maxAppendedFraction = 0.9),
+      "trigger must fire once appended mass rivals trained mass")
+    // compaction folds generations but must NOT reset index age
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.needsRebuild(spark, dir, maxAppendedFraction = 0.9),
+      "compaction is not a retrain — the trigger must survive the fold")
+    // a retrain resets the clock
+    AnnIndex.build(emb, dir, dim = 64)
+    assert(AnnIndex.appendedFraction(spark, dir) === 0.0)
+    assert(!AnnIndex.needsRebuild(spark, dir))
   }
 }

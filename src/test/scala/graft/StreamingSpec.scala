@@ -1046,6 +1046,103 @@ class StreamingSpec extends SparkSpecBase {
       "retried batch mutated the committed image-hash store")
   }
 
+  test("streaming audio-fingerprint store: pair readout == one-shot, parse paid at ingest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_afp_store").toString + "/afp"
+    val ckpt = Files.createTempDirectory("graft_afp_ckpt").toString
+    val payloads = graft.operators.Multimodal.withPatternedAudioPayload(
+        graft.engine.Tables.documents(spark, sf("sf0.001")))
+      .as[(Long, Array[Byte])].collect().toSeq
+    // the fixture really decodes, and identical-A clips fingerprint
+    // identically (the Hamming-0 mass the histogram counts)
+    val fps = graft.operators.Multimodal.audioFingerprint(
+      payloads.toDF("doc_id", "payload")).collect()
+    assert(fps.forall(_.real_decode), "patterned WAVs must really parse")
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingPower.audioFpStream(
+      ms.toDF().toDF("doc_id", "payload"), storePath, ckpt, compactEvery = 2)
+    val (b1, b2) = payloads.partition(_._1 % 2 == 0)
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = graft.operators.Multimodal.dHashPairHistogram(
+      graft.operators.Multimodal.audioFingerprint(
+        payloads.toDF("doc_id", "payload")).toDF()).collect().toSeq
+    assert(oneShot.nonEmpty, "degenerate fixture: no near-dup audio pairs")
+    def streamed() = StreamingPower.mergedAudioPairs(spark, storePath)
+      .collect().toSeq
+    assert(streamed() == oneShot,
+      s"streamed audio pair histogram diverged:\n${streamed()}\n$oneShot")
+    // a retried (already folded) batch id is a no-op
+    StreamingPower.audioFpStep(b2.toDF("doc_id", "payload"),
+      storePath, batchId = 1L)
+    assert(streamed() == oneShot,
+      "retried batch mutated the committed audio-fingerprint store")
+    // a non-WAV payload degrades to the stub row, never throws
+    val stub = graft.operators.Multimodal.audioFingerprint(
+      Seq((99L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"))
+      .collect().head
+    assert(!stub.real_decode && stub.doc_id == 99L)
+  }
+
+  test("streaming video-fingerprint store: pair readout == one-shot, frames decoded at ingest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val storePath = Files.createTempDirectory("graft_vfp_store").toString + "/vfp"
+    val ckpt = Files.createTempDirectory("graft_vfp_ckpt").toString
+    val payloads = graft.operators.Multimodal.withPatternedVideoPayload(
+        graft.engine.Tables.documents(spark, sf("sf0.001")))
+      .as[(Long, Array[Byte])].collect().toSeq
+    // the GIFs really decode, and the sampled luminances are the
+    // planted grays: spot-check one doc's words against the closed form
+    val fps = graft.operators.Multimodal.videoFingerprint(
+      payloads.toDF("doc_id", "payload")).collect()
+    assert(fps.forall(_.real_decode), "patterned GIFs must really decode")
+    fps.find(_.doc_id == payloads.head._1).foreach { r =>
+      val a = (r.doc_id % 16) * 31 + r.doc_id % 7
+      val nf = (2 + a % 5).toInt
+      assert(r.n_frames == nf, "frame count must come from the real sequence walk")
+      val ls = Array.tabulate(33)(j => (a * 31 + ((j * nf) / 33) * 17) % 256)
+      var w0 = 0L; var w1 = 0L
+      (0 until 32).foreach { j =>
+        if (ls(j + 1) > ls(j)) w0 |= 1L << j
+        if ((ls(j) / 32) % 2 == 1) w1 |= 1L << j
+      }
+      assert(r.w0 == w0 && r.w1 == w1,
+        s"fingerprint diverged from the closed form for doc ${r.doc_id}")
+    }
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingPower.videoFpStream(
+      ms.toDF().toDF("doc_id", "payload"), storePath, ckpt, compactEvery = 2)
+    val (b1, b2) = payloads.partition(_._1 % 2 == 0)
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    ms.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = graft.operators.Multimodal.dHashPairHistogram(
+      graft.operators.Multimodal.videoFingerprint(
+        payloads.toDF("doc_id", "payload")).toDF()).collect().toSeq
+    assert(oneShot.nonEmpty, "degenerate fixture: no near-dup video pairs")
+    def streamed() = StreamingPower.mergedVideoPairs(spark, storePath)
+      .collect().toSeq
+    assert(streamed() == oneShot,
+      s"streamed video pair histogram diverged:\n${streamed()}\n$oneShot")
+    StreamingPower.videoFpStep(b2.toDF("doc_id", "payload"),
+      storePath, batchId = 1L)
+    assert(streamed() == oneShot,
+      "retried batch mutated the committed video-fingerprint store")
+    val stub = graft.operators.Multimodal.videoFingerprint(
+      Seq((99L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload"))
+      .collect().head
+    assert(!stub.real_decode && stub.doc_id == 99L)
+  }
+
   test("streaming DSIR store scores exactly like the one-shot importance fit") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

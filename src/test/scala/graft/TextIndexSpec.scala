@@ -107,6 +107,35 @@ class TextIndexSpec extends SparkSpecBase {
     assert(run() == expected)
   }
 
+  test("phrase search beyond 64 tokens: chunked coverage mask") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_tidx_long").toString + "/idx"
+    // doc 1 contains the 70-token phrase once (at base 5); doc 2 is a
+    // near-miss (one token flipped inside the phrase's SECOND 64-token
+    // word — the exact bits a wrapped shift would corrupt); doc 3 is
+    // 100 repeats of one token, so a 65-token all-same phrase matches
+    // at 36 overlapping bases (duplicate tokens across both words)
+    val longToks = (0 until 80).map(i => s"t$i")
+    val phrase = longToks.slice(5, 75) // 70 tokens -> words 0 and 1
+    val miss = longToks.updated(72, "zz") // tok_idx 67 of the phrase
+    val corpus2 = Seq(
+      (1L, longToks.mkString(" ")),
+      (2L, miss.mkString(" ")),
+      (3L, Seq.fill(100)("r").mkString(" "))
+    ).toDF("doc_id", "text")
+    TextIndex.appendBatch(corpus2, "doc_id", "text", path, batchId = 0L)
+    val qs = Seq(
+      (100L, phrase.mkString(" ")),
+      (200L, Seq.fill(65)("r").mkString(" ")),
+      (300L, "t5 t6") // short phrase rides the chunked plan unchanged
+    ).toDF("query_id", "phrase")
+    val got = TextIndex.phraseSearch(spark, path, qs, "query_id", "phrase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Seq((100L, 1L, 1L), (200L, 3L, 36L),
+      (300L, 1L, 1L), (300L, 2L, 1L))
+    assert(got == expected)
+  }
+
   test("phrase search over the real corpus matches a brute-force scan") {
     val path = buildTwoBatches("ph2")
     val qs = docs.filter(col("source") === "src0" && col("doc_id") % 50 === 0)
