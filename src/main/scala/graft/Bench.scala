@@ -108,7 +108,8 @@ object Bench {
     // window: q140/q144 measure QUERY cost over the persisted store
     // (what repeats in production); the amortizable build cost is its
     // own timed entry, q161_text_index_build.
-    if (selected.exists(n => n.startsWith("q140") || n.startsWith("q144")))
+    if (selected.exists(n => n.startsWith("q140") || n.startsWith("q144") ||
+        n.startsWith("q338")))
       try graft.queries.ExtensionQueries.prewarmSharedTextIndex(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] index prewarm failed: $e") }

@@ -65,7 +65,7 @@ object Verify {
     // fresh-build queries (q161/q188/q332/q334) keep their scratch
     // builds: measuring build cost is their contract.
     if (selected.exists { case (n, _) =>
-        n.startsWith("q140") || n.startsWith("q144") })
+        n.startsWith("q140") || n.startsWith("q144") || n.startsWith("q338") })
       try graft.queries.ExtensionQueries.prewarmSharedTextIndex(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] index prewarm failed: $e") }

@@ -421,6 +421,94 @@ private[queries] object QueryHelpers {
   // cross-engine given q139/q24 green), each (query, doc) sums at most
   // TWO double contributions — a single IEEE addition, order-free —
   // and the fused score rounds to 6dp before ranking, doc tie-break.
+  /** q338's oracle: hybrid retrieval with BOTH tiers replayed as
+    * their persisted-index chains — the sparse tier is the q139/q140
+    * BM25 chain (the stored text index answers it verbatim, q140's
+    * proof), the dense tier is the seeded IVF+PQ chain (q102/q131's
+    * proof) PARAMETERIZED to the q141 corpus/probe split: codebooks
+    * seed from the SPLIT corpus's hash order, probes route through
+    * the persisted centroids (they are NOT corpus members here, so
+    * routing/probe-distance tables derive from the probe vectors
+    * directly — exactly what `AnnIndex.query` computes), and the two
+    * top-10 rankings fuse by reciprocal rank exactly as q141 does.
+    * Multi-referenced CTEs MATERIALIZED per the repo invariant.
+    */
+  lazy val indexHybridOracle: String =
+    s"""WITH $bm25Ctes,
+       |bm AS (SELECT query_id, doc, rank FROM
+       |  (SELECT query_id, doc,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score DESC, doc) AS INTEGER) AS rank
+       |   FROM sc) WHERE rank <= 10),
+       |ev AS MATERIALIZED (SELECT em.vec_id, CAST(em.embedding AS DOUBLE[]) AS v
+       |  FROM embeddings em JOIN corpus ON em.vec_id = corpus.doc_id),
+       |pv AS MATERIALIZED (SELECT em.vec_id AS query_id,
+       |    CAST(em.embedding AS DOUBLE[]) AS v
+       |  FROM embeddings em JOIN probes ON em.vec_id = probes.query_id),
+       |ccb AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, vec_id) - 1
+       |    AS list_id, v AS cc
+       |  FROM (SELECT vec_id, v, ${md5l("CAST(vec_id AS VARCHAR)")} AS h
+       |        FROM ev ORDER BY h, vec_id LIMIT 8)),
+       |cassign AS (SELECT ev.vec_id, ccb.list_id,
+       |    row_number() OVER (PARTITION BY ev.vec_id
+       |      ORDER BY ROUND(list_cosine_similarity(ev.v, ccb.cc), 6) DESC,
+       |        ccb.list_id) AS crank
+       |  FROM ev CROSS JOIN ccb),
+       |corpus_l AS MATERIALIZED (SELECT vec_id AS neighbor_id, list_id
+       |  FROM cassign WHERE crank = 1),
+       |passign AS (SELECT pv.query_id, ccb.list_id,
+       |    row_number() OVER (PARTITION BY pv.query_id
+       |      ORDER BY ROUND(list_cosine_similarity(pv.v, ccb.cc), 6) DESC,
+       |        ccb.list_id) AS crank
+       |  FROM pv CROSS JOIN ccb),
+       |pls AS (SELECT query_id, list_id FROM passign WHERE crank <= 4),
+       |cand AS MATERIALIZED (SELECT p.query_id, c.neighbor_id
+       |  FROM pls p JOIN corpus_l c USING (list_id)),
+       |ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+       |esub AS MATERIALIZED (SELECT vec_id, m, v[m*8+1 : m*8+8] AS s FROM ev, ms),
+       |cb AS MATERIALIZED (SELECT m, code_id, s AS c FROM (
+       |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY
+       |        ${md5l("concat(CAST(vec_id AS VARCHAR), ':', CAST(m AS VARCHAR))")},
+       |        vec_id) - 1 AS code_id
+       |    FROM esub) WHERE code_id < 16),
+       |enc AS MATERIALIZED (SELECT vec_id AS neighbor_id, m, code_id FROM (
+       |    SELECT esub.vec_id, esub.m, cb.code_id,
+       |      CAST(floor(list_aggregate(
+       |          [(esub.s[i] - cb.c[i]) * (esub.s[i] - cb.c[i])
+       |           FOR i IN generate_series(1, 8)], 'sum')
+       |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+       |    FROM esub JOIN cb USING (m))
+       |  QUALIFY row_number() OVER (PARTITION BY neighbor_id, m
+       |      ORDER BY d2, code_id) = 1),
+       |psub AS (SELECT query_id, m, v[m*8+1 : m*8+8] AS s FROM pv, ms),
+       |ppt AS MATERIALIZED (SELECT psub.query_id, psub.m, cb.code_id,
+       |      CAST(floor(list_aggregate(
+       |          [(psub.s[i] - cb.c[i]) * (psub.s[i] - cb.c[i])
+       |           FOR i IN generate_series(1, 8)], 'sum')
+       |        * 1000000e0 + 0.5e0) AS BIGINT) AS d2
+       |    FROM psub JOIN cb USING (m)),
+       |adc AS (SELECT cd.query_id, cd.neighbor_id, CAST(sum(ppt.d2) AS BIGINT) AS sd
+       |    FROM cand cd
+       |    JOIN enc ON enc.neighbor_id = cd.neighbor_id
+       |    JOIN ppt ON ppt.query_id = cd.query_id AND ppt.m = enc.m
+       |           AND ppt.code_id = enc.code_id
+       |    GROUP BY 1, 2),
+       |dn AS (SELECT query_id, neighbor_id AS doc, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sd, neighbor_id) AS INTEGER) AS rank
+       |    FROM adc) WHERE rank <= 10),
+       |u AS (SELECT query_id, doc, rank FROM bm
+       |      UNION ALL SELECT query_id, doc, rank FROM dn),
+       |f AS (SELECT query_id, doc, ROUND(SUM(1e0 / (60 + rank)), 6) AS rrf
+       |      FROM u GROUP BY 1, 2)
+       |SELECT query_id, rank, doc AS doc_id, rrf FROM
+       |  (SELECT query_id, doc, rrf,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY rrf DESC, doc) AS INTEGER) AS rank
+       |   FROM f)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   lazy val hybridRrfOracle: String =
     s"""WITH $bm25Ctes,
        |bm AS (SELECT query_id, doc, rank FROM

@@ -435,6 +435,46 @@ object TextQueries {
   }
 
 
+  /** q338: hybrid retrieval with BOTH tiers answered by PERSISTED
+    * indexes — the production RAG serving shape: the sparse tier is
+    * BM25 off the session-shared positional text index (q140's read;
+    * store ≡ inline is q140's proof), the dense tier is the seeded
+    * IVF+PQ `AnnIndex` built over the same corpus split and queried
+    * with the probe docs' vectors (partition-pruned enc scan —
+    * q131's proof), fused by reciprocal rank exactly like q141. At
+    * 100 TB neither tier rescans the corpus per query: BM25 touches
+    * the probed token buckets, ANN the probed list partitions, and
+    * only two top-10 rankings meet at the fusion. The scratch ANN
+    * build is BuildTiming-wrapped (amortizable build_s share, the
+    * q131/q334 discipline).
+    */
+  private val indexHybridQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val corpus = docs.filter(col("source") =!= "src0").select("doc_id", "text")
+    val probes = docs
+      .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    val sparse = TextIndex.query(s, sharedTextIndex(s, dir), probes,
+        "query_id", "qtext", k = 10)
+      .select("query_id", "doc_id", "rank")
+    val corpusEmb = emb.join(
+      corpus.select(col("doc_id").as("vec_id")), "vec_id")
+    val probeEmb = emb.join(
+      probes.select(col("query_id").as("vec_id")), "vec_id")
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q338_ann")
+    val idx = scratch.toString + "/ann"
+    AnnIndex.build(corpusEmb, idx, dim = 64)
+    val dense = AnnIndex.query(s, idx, probeEmb, k = 10, dim = 64)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    val out = Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+      .localCheckpoint() // materialize before the scratch delete
+    QueryHelpers.deleteRecursively(s, scratch.toString)
+    out
+  }
+
+
   /** q188: tombstone deletes on the persisted text index — build a
     * lean (BM25-only) scratch index over the q139 corpus split in two
     * batches, tombstone every `doc_id % 7 == 0`, compact (fold minus
@@ -819,6 +859,7 @@ object TextQueries {
     "q144_phrase_search" -> phraseSearchQ,
     "q143_heavy_hitters" -> heavyHittersQ,
     "q141_hybrid_rrf" -> hybridRrfQ,
+    "q338_index_hybrid" -> indexHybridQ,
     "q140_text_index" -> textIndexQ,
     "q139_bm25" -> bm25Q,
     "q307_bm25_pruned" -> bm25PrunedQ,
@@ -1732,6 +1773,7 @@ object TextQueries {
         |SELECT token, cnt, ROUND(CAST(cnt AS DOUBLE) / n.n, 6) AS share
         |FROM c, n WHERE cnt * 200 > n.n ORDER BY token""".stripMargin,
     "q141_hybrid_rrf" -> hybridRrfOracle,
+    "q338_index_hybrid" -> indexHybridOracle,
     "q140_text_index" -> bm25Oracle,
     "q139_bm25" -> bm25Oracle,
     "q307_bm25_pruned" -> bm25PrunedOracle,
