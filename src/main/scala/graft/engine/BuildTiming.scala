@@ -20,6 +20,18 @@ object BuildTiming {
   private val depth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0
   }
+  // Union accounting across threads: independent stores may build
+  // CONCURRENTLY inside one query (q332/q334/q337 overlap their two
+  // signal chains — guide-style independent-job overlap), and summing
+  // each thread's wall time would report build_s larger than the
+  // query's own wall clock. Instead the accumulator is credited with
+  // the wall time during which AT LEAST ONE build section was active —
+  // exactly the amortizable share of a serial bench window. The
+  // per-thread depth guard still stops nested maintenance on the same
+  // thread from double counting.
+  private val lock = new Object
+  private var active = 0
+  private var unionStartNs = 0L
 
   /** Run `f`, adding its wall time to the build accumulator unless
     * already inside an outer timed section on this thread.
@@ -28,11 +40,17 @@ object BuildTiming {
     if (depth.get > 0) f
     else {
       depth.set(1)
-      val t0 = System.nanoTime()
+      lock.synchronized {
+        if (active == 0) unionStartNs = System.nanoTime()
+        active += 1
+      }
       try f
       finally {
         depth.set(0)
-        acc.addAndGet(System.nanoTime() - t0)
+        lock.synchronized {
+          active -= 1
+          if (active == 0) acc.addAndGet(System.nanoTime() - unionStartNs)
+        }
       }
     }
 

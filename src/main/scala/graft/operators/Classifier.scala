@@ -258,6 +258,7 @@ object Classifier {
     require(bins >= 2 && 1000000 % bins == 0,
       s"bins must divide 1e6, got $bins")
     val width = 1000000 / bins
+    import org.apache.spark.sql.expressions.Window
     val byBin = scored.select(
         round(col(scoreCol) * lit(1e6)).cast("long").as("p_micro"),
         col(outcomeCol).cast("int").as("_pos"))
@@ -266,8 +267,11 @@ object Classifier {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("_pos")).as("n_pos"),
         sum(col("p_micro")).as("_sp"))
-    val tot = byBin.agg(sum(col("n")).as("n_items"))
-    byBin.crossJoin(broadcast(tot))
+    // N as a single-partition window over the ≤ bins aggregated rows —
+    // a crossJoin(broadcast(byBin.agg(...))) here would RE-RUN the whole
+    // upstream scored chain a second time just to count it
+    byBin
+      .withColumn("n_items", sum(col("n")).over(Window.partitionBy()))
       .withColumn("_term_nano", floor(
         abs(col("n_pos").cast("double") / col("n")
           - col("_sp").cast("double") / (col("n") * lit(1e6)))

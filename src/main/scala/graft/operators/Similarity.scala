@@ -1224,10 +1224,29 @@ object Similarity {
     val spark = vecs.sparkSession
     val scored = vecs.crossJoin(broadcast(centroids))
       .withColumn("ccos", round(cosineFast(spark)(col("emb"), col("centroid")), 6))
-    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("list_id"))
-    scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= n)
-      .drop("centroid", "ccos", "crank")
+    if (n == 1) {
+      // the n == 1 case is a per-row argmax over the broadcast
+      // centroids — corpus-scale at every IVF assignment site. A
+      // max_by partial aggregate collapses each vector's |centroids|
+      // scored rows map-side (they are colocated: the broadcast join
+      // never moves the vector), so the exchange carries ONE row per
+      // vector instead of one per centroid and the per-partition
+      // row_number sort of the windowed form disappears. Ordering key
+      // (ccos, -list_id) is total (list_id unique), so the picked row
+      // is exactly the window's (ccos DESC, list_id ASC) rank-1 row.
+      val others = vecs.columns.filterNot(_ == idCol).toSeq
+      scored.groupBy(idCol)
+        .agg(max_by(struct((col("list_id") +: others.map(col)): _*),
+          struct(col("ccos"), -col("list_id"))).as("_best"))
+        .select(vecs.columns.toSeq.map(c =>
+          if (c == idCol) col(idCol) else col(s"_best.$c").as(c))
+          :+ col("_best.list_id").as("list_id"): _*)
+    } else {
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("list_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("centroid", "ccos", "crank")
+    }
   }
 
   private def ivfTopKWithCodebook(embeddings: DataFrame, probes: DataFrame,

@@ -442,9 +442,15 @@ object Sketches {
       countMinSketch(ka, "k", depth, width, hashes),
       countMinSketch(kb, "k", depth, width, hashes), depth)
     // exact Σ f_A·f_B: key-granular aggregates + a key-sized join —
-    // the verification side; production reads the sketches only
-    val exact = ka.groupBy("k").agg(count(lit(1)).as("fa"))
-      .join(kb.groupBy("k").agg(count(lit(1)).as("fb")), Seq("k"))
+    // the verification side; production reads the sketches only.
+    // Grouped/joined on the NATIVE key (the string cast exists only
+    // for the sketch side's hash contract): a long shuffles 8 fixed
+    // bytes where its decimal string shuffles up to 20 — same groups,
+    // same matches, same exact_join.
+    val exact = a.select(col(aKey).as("jk")).groupBy("jk")
+      .agg(count(lit(1)).as("fa"))
+      .join(b.select(col(bKey).as("jk")).groupBy("jk")
+        .agg(count(lit(1)).as("fb")), Seq("jk"))
       .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
     base.crossJoin(broadcast(exact))
       .select(col("n_a"), col("n_b"), col("est_join"), col("exact_join"),

@@ -684,12 +684,21 @@ object DedupQueries {
     val path = scratch.toString + "/store"
     val docs = Tables.documents(s, dir)
     val emb = Tables.embeddings(s, dir)
-    (0L to 2L).foreach { b =>
-      PairStore.appendDocs(docs.filter(col("doc_id") % 3 === b),
-        "doc_id", "text", path, b)
-      PairStore.appendEmbeddings(emb.filter(col("vec_id") % 3 === b),
-        emb, path, b, threshold = 0.4)
-    }
+    // the two signals write DISJOINT store roots (grams/sizes/
+    // text_pairs vs sig/emb_pairs) and the store's single-writer
+    // discipline is PER SIGNAL — so the text and embedding chains mine
+    // concurrently (batch order stays sequential within each chain),
+    // the same overlap a production text stream + embedding stream
+    // would give. Wall time ≈ max(chain) instead of sum.
+    inParallel(
+      () => (0L to 2L).foreach { b =>
+        PairStore.appendDocs(docs.filter(col("doc_id") % 3 === b),
+          "doc_id", "text", path, b)
+      },
+      () => (0L to 2L).foreach { b =>
+        PairStore.appendEmbeddings(emb.filter(col("vec_id") % 3 === b),
+          emb, path, b, threshold = 0.4)
+      })
     val out = PairStore.pairs(s, path)
       .groupBy("signal")
       .agg(count(lit(1)).as("n_pairs"),
@@ -717,11 +726,14 @@ object DedupQueries {
     val scratch = java.nio.file.Files.createTempDirectory("graft_q337_es")
     val path = scratch.toString + "/store"
     val docs = Tables.documents(s, dir)
-    EpochStore.rebuild(s, s"$path/minhash_pairs", 0L,
-      Dedup.minhashLshPairs(docs, "doc_id", "text", hashes = Md5Family))
-    EpochStore.rebuild(s, s"$path/capped_grams", 0L,
-      Dedup.shingleIndex(docs, "doc_id", "text", k = 3, maxDf = 50,
-        gramHash = Some(Md5Family)))
+    // the two signals publish to DISJOINT epoch roots with no ordering
+    // contract between them — rebuild concurrently (wall ≈ max, not sum)
+    inParallel(
+      () => EpochStore.rebuild(s, s"$path/minhash_pairs", 0L,
+        Dedup.minhashLshPairs(docs, "doc_id", "text", hashes = Md5Family)),
+      () => EpochStore.rebuild(s, s"$path/capped_grams", 0L,
+        Dedup.shingleIndex(docs, "doc_id", "text", k = 3, maxDf = 50,
+          gramHash = Some(Md5Family))))
     val mh = EpochStore.read(s, s"$path/minhash_pairs")
       .select(Md5Family.hash(concat_ws("_", col("doc_a"), col("doc_b"),
         round(col("est_jaccard") * 1e6).cast("long"))).as("h"))

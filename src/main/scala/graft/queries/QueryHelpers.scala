@@ -20,6 +20,29 @@ private[queries] object QueryHelpers {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** Run independent store-build chains CONCURRENTLY and wait for all
+    * (the guide's overlap-independent-jobs rule): Spark happily runs
+    * several jobs at once inside one application, and two chains that
+    * write DISJOINT store roots (e.g. a pair store's text vs embedding
+    * signal, or two fact tables' key sketches) have no ordering
+    * contract between them — only within each chain. Each chain runs
+    * on its own thread so the next chain's jobs back-fill cores the
+    * current chain's tail leaves idle; failures rethrow after all
+    * chains settle. BuildTiming's union accounting keeps build_s a
+    * wall-clock share (never the sum of overlapped threads).
+    */
+  def inParallel(chains: (() => Unit)*): Unit = {
+    val ts = chains.map { c =>
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() => try c() catch { case e: Throwable => err.set(e) })
+      t.setDaemon(true)
+      t.start()
+      (t, err)
+    }
+    ts.foreach(_._1.join())
+    ts.foreach { case (_, err) => if (err.get != null) throw err.get }
+  }
+
 
   /** DuckDB rendering of `Md5Family.hash` — must stay in lockstep with
     * graft.functions.Md5Family (top 15 hex chars of md5 as a bigint).

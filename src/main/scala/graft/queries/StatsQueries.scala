@@ -225,21 +225,33 @@ object StatsQueries {
     val pb = scratch.resolve("ord").toString
     val li = Tables.lineitem(s, dir)
     val ord = Tables.orders(s, dir)
-    graft.engine.BuildTiming.timed {
-      (0L to 1L).foreach { b =>
-        graft.streaming.StreamingPower.keySketchStep(
-          li.filter(pmod(col("l_orderkey"), lit(2)) === b),
-          "l_orderkey", pa, b, width = 65536)
-        graft.streaming.StreamingPower.keySketchStep(
-          ord.filter(pmod(col("o_orderkey"), lit(2)) === b),
-          "o_orderkey", pb, b, width = 65536)
-      }
-    }
+    // the two fact tables' sketch stores are DISJOINT roots with no
+    // ordering contract between them — maintain concurrently (batch
+    // order stays sequential within each store); BuildTiming's union
+    // accounting keeps build_s a wall-clock share
+    inParallel(
+      () => graft.engine.BuildTiming.timed {
+        (0L to 1L).foreach { b =>
+          graft.streaming.StreamingPower.keySketchStep(
+            li.filter(pmod(col("l_orderkey"), lit(2)) === b),
+            "l_orderkey", pa, b, width = 65536)
+        }
+      },
+      () => graft.engine.BuildTiming.timed {
+        (0L to 1L).foreach { b =>
+          graft.streaming.StreamingPower.keySketchStep(
+            ord.filter(pmod(col("o_orderkey"), lit(2)) === b),
+            "o_orderkey", pb, b, width = 65536)
+        }
+      })
     val base = graft.streaming.StreamingPower.mergedJoinSize(s, pa, pb)
-    val ka = li.select(col("l_orderkey").cast("string").as("k"))
-    val kb = ord.select(col("o_orderkey").cast("string").as("k"))
-    val exact = ka.groupBy("k").agg(count(lit(1)).as("fa"))
-      .join(kb.groupBy("k").agg(count(lit(1)).as("fb")), Seq("k"))
+    // exact side on the NATIVE long key (the string cast is the sketch
+    // side's hash contract, not the join's): same groups, same matches,
+    // 8-byte shuffle rows instead of decimal strings
+    val exact = li.select(col("l_orderkey").as("jk")).groupBy("jk")
+      .agg(count(lit(1)).as("fa"))
+      .join(ord.select(col("o_orderkey").as("jk")).groupBy("jk")
+        .agg(count(lit(1)).as("fb")), Seq("jk"))
       .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
     val out = base.crossJoin(broadcast(exact))
       .select(col("n_a"), col("n_b"), col("est_join"), col("exact_join"),
