@@ -7,11 +7,12 @@ import org.apache.spark.sql.SparkSession
   * its call site, so a multi-action query's cost decomposes into its
   * eager pieces (collects, checkpoints, store writes, final noop).
   *
-  * Usage: runMain graft.JobProfile <sfDir> <queryName>
+  * Usage: runMain graft.JobProfile <sfDir> <q1,q2,...>
   */
 object JobProfile {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, name) = args.take(2)
+    val Array(sfDir, namesArg) = args.take(2)
+    val names = namesArg.split(",").map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,18 +44,21 @@ object JobProfile {
       graft.engine.Tables.documents, graft.engine.Tables.embeddings,
       graft.engine.Tables.events).foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
-    Thread.sleep(300)
-    rows.clear()
-    val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    val total = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500) // listener bus drain
-    println(f"== $name total $total%.2f s; jobs:")
-    rows.toArray(Array.empty[(Int, Double, String)]).sortBy(_._1).foreach {
-      case (id, dt, site) => println(f"  job $id%3d  $dt%7.3f s  $site")
+    names.foreach { name =>
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      Thread.sleep(300)
+      rows.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val total = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus drain
+      val js = rows.toArray(Array.empty[(Int, Double, String)]).sortBy(_._1)
+      println(f"== $name total $total%.2f s; ${js.length} jobs summing ${js.map(_._2).sum}%.2f s")
+      js.sortBy(-_._2).take(12).foreach {
+        case (id, dt, site) => println(f"  job $id%3d  $dt%7.3f s  $site")
+      }
     }
     spark.stop()
   }

@@ -365,21 +365,35 @@ object AnnQueries {
     val emb = Tables.embeddings(s, dir)
     val probes = emb.filter(col("vec_id") < 50)
     val k = 5
-    val exact = Similarity.bruteForceTopK(emb, probes, k)
-      .select("query_id", "neighbor_id").localCheckpoint()
+    // four independent chains each run eager construction work (brute
+    // force checkpoint; seeded codebook + corpus encode; two Lloyd
+    // trainings with their own encodes) — overlap them instead of
+    // serializing ~60 small jobs end to end (independent-job rule)
+    val exactRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val seededRef = new java.util.concurrent.atomic
+      .AtomicReference[(Array[Array[Double]], DataFrame, DataFrame)]()
+    val pqLRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val ivLRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    inParallel(
+      () => exactRef.set(Similarity.bruteForceTopK(emb, probes, k)
+        .select("query_id", "neighbor_id").localCheckpoint()),
+      // the two SEEDED tiers share one codebook + corpus encode
+      // (bit-identical to the self-building entry points); the learned
+      // tiers train their own codebooks so their encodes are theirs alone
+      () => seededRef.set(Similarity.seededAnnArtifacts(emb, probes, dim = 64)),
+      () => pqLRef.set(Similarity.pqTopKLearned(emb, probes, k, dim = 64)),
+      () => ivLRef.set(Similarity.ivfPqTopKLearned(emb, probes, k, dim = 64)))
+    val exact = exactRef.get
     def hits(df: DataFrame, as: String): DataFrame =
       df.select("query_id", "neighbor_id")
         .join(exact, Seq("query_id", "neighbor_id"))
         .agg(count(lit(1)).as(as))
-    // the two SEEDED tiers share one codebook + corpus encode
-    // (bit-identical to the self-building entry points); the learned
-    // tiers train their own codebooks so their encodes are theirs alone
-    val (coarse, enc, pt) = Similarity.seededAnnArtifacts(emb, probes, dim = 64)
+    val (coarse, enc, pt) = seededRef.get
     val pqS = hits(Similarity.pqTopKWith(enc, pt, k), "seeded_hits")
-    val pqL = hits(Similarity.pqTopKLearned(emb, probes, k, dim = 64), "pq_learned")
+    val pqL = hits(pqLRef.get, "pq_learned")
     val ivS = hits(Similarity.ivfPqTopKWith(emb, probes, k, nprobe = 4,
       coarse, enc, pt), "ivf_seeded")
-    val ivL = hits(Similarity.ivfPqTopKLearned(emb, probes, k, dim = 64), "ivf_learned")
+    val ivL = hits(ivLRef.get, "ivf_learned")
     exact.agg(count(lit(1)).as("total"))
       .crossJoin(broadcast(pqS)).crossJoin(broadcast(pqL))
       .crossJoin(broadcast(ivS)).crossJoin(broadcast(ivL))
@@ -580,10 +594,16 @@ object AnnQueries {
     val k = 3
     val scratch = java.nio.file.Files.createTempDirectory("graft_q282_filt")
     val idx = scratch.toString + "/idx"
-    AnnIndex.build(emb, idx, dim = 64)
-    val exact = Similarity.bruteForceTopK(
-        emb.filter(col("label") < 5), probes, k)
-      .select("query_id", "neighbor_id").localCheckpoint()
+    // the index build and the exact ground-truth pass share no state —
+    // overlap them (independent-job rule) instead of serializing the
+    // build's many small store jobs ahead of the brute-force scan
+    val exactRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    inParallel(
+      () => AnnIndex.build(emb, idx, dim = 64),
+      () => exactRef.set(Similarity.bruteForceTopK(
+          emb.filter(col("label") < 5), probes, k)
+        .select("query_id", "neighbor_id").localCheckpoint()))
+    val exact = exactRef.get
     val both =
       AnnIndex.queryFiltered(s, idx, probes, eligible, k, dim = 64)
         .select(col("query_id"), col("neighbor_id"),
