@@ -129,6 +129,76 @@ object Dedup {
       .localCheckpoint()
   }
 
+  /** (doc, hs1[, hs2]) per-doc HASHED shingle arrays, checkpointed —
+    * the shared base for audits that need BOTH the minhash signature
+    * and the exact shingle sets (calibration/containment/detection):
+    * without it each such query tokenizes and md5-hashes every gram a
+    * second time just to rebuild the exact sets it already hashed for
+    * the signature.
+    */
+  private def hashedShingleArrays(docs: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, hashes: HashFamily): DataFrame = {
+    val sh = shingles(col(textCol), shingleK)
+    (if (hashes.needsSecondHash)
+      docs.select(col(idCol).as("doc"),
+        transform(sh, g => hashes.hash(g)).as("hs1"),
+        transform(sh, g => hashes.hash2(g)).as("hs2"))
+    else
+      docs.select(col(idCol).as("doc"),
+        transform(sh, g => hashes.hash(g)).as("hs1")))
+      .localCheckpoint()
+  }
+
+  /** The exact distinct hashed-shingle rows (_d, _gh) off a
+    * [[hashedShingleArrays]] frame — set-identical to hashing the
+    * distinct raw grams directly (hash-after-distinct vs
+    * distinct-after-hash yield the same distinct hash set).
+    */
+  private def distinctShingleRows(hg: DataFrame): DataFrame =
+    hg.select(col("doc").as("_d"),
+        explode(array_distinct(col("hs1"))).as("_gh"))
+      .distinct().localCheckpoint()
+
+  /** [[minhashLshPairs]] over a prebuilt [[hashedShingleArrays]] frame
+    * — identical pairs/scores; the gram arrays hash once for callers
+    * that also need the exact sets.
+    */
+  private def minhashLshPairsFrom(hg: DataFrame, numPerm: Int, bands: Int,
+      threshold: Double, maxBucket: Int, hashes: HashFamily): DataFrame = {
+    val sig =
+      (if (hashes.needsSecondHash)
+        hg.select(col("doc"),
+          minhashFromHashes(col("hs1"), col("hs2"), numPerm, hashes).as("sig"))
+      else
+        hg.select(col("doc"),
+          minhashFromHashes1(col("hs1"), numPerm, hashes).as("sig")))
+        .localCheckpoint()
+    lshPairsFromSignatures(sig, numPerm, bands, threshold, maxBucket, hashes)
+  }
+
+  /** Banding + hot-bucket cap + candidate self-join + scoring over a
+    * checkpointed signature frame — the shared tail of
+    * [[minhashLshPairs]] and [[minhashLshPairsFrom]].
+    */
+  private def lshPairsFromSignatures(sig: DataFrame, numPerm: Int,
+      bands: Int, threshold: Double, maxBucket: Int,
+      hashes: HashFamily): DataFrame = {
+    val rows = numPerm / bands
+    require(bands * rows == numPerm, "bands must divide numPerm")
+    val banded = bandKeys(sig, bands, rows, hashes)
+    val hotBuckets = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
+      .select("band", "band_hash")
+    val capped = banded.join(broadcast(hotBuckets), Seq("band", "band_hash"), "left_anti")
+    val a = capped.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
+    val b = capped.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    scorePairs(cand, sig, sig, "doc_a", "doc_b", numPerm, threshold)
+  }
+
   /** (doc, band, band_hash) LSH band keys from a signature frame. */
   private def bandKeys(sig: DataFrame, bands: Int, rows: Int,
       hashes: HashFamily): DataFrame =
@@ -298,39 +368,25 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // Design notes for the shared LSH tail (lshPairsFromSignatures):
+  // - hot-bucket cap as a broadcast anti-join (same pattern as the
+  //   n-gram maxDf cap): the > maxBucket buckets are few by
+  //   construction, so dropping their rows is map-side — unlike a
+  //   count-over-window cap, which would shuffle the banded rows once
+  //   per join side just to count them;
+  // - the candidate join carries ONLY (band, band_hash, doc): shuffling
+  //   the numPerm-long signature with every candidate row would multiply
+  //   the exchange and pair-dedup volume by the signature width. The
+  //   signatures are re-attached AFTER dedup from the checkpointed sig
+  //   frame, so each surviving pair reads its two signatures once;
+  // - candidate pairs dedupe BEFORE scoring: a pair colliding in k
+  //   bands would otherwise be scored k times and deduped after.
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 1000,
       hashes: HashFamily = XxHash64Family): DataFrame = {
-    val rows = numPerm / bands
-    require(bands * rows == numPerm, "bands must divide numPerm")
     val sig = minhashSignatures(docs, idCol, textCol, shingleK, numPerm, hashes)
-    val banded = bandKeys(sig, bands, rows, hashes)
-
-    // hot-bucket cap as a broadcast anti-join (same pattern as the
-    // n-gram maxDf cap): the > maxBucket buckets are few by
-    // construction, so dropping their rows is map-side — unlike a
-    // count-over-window cap, which would shuffle the banded rows once
-    // per join side just to count them
-    val hotBuckets = banded.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxBucket)
-      .select("band", "band_hash")
-    val capped = banded.join(broadcast(hotBuckets), Seq("band", "band_hash"), "left_anti")
-
-    // The candidate join carries ONLY (band, band_hash, doc): shuffling
-    // the numPerm-long signature with every candidate row would multiply
-    // the exchange and pair-dedup volume by the signature width. The
-    // signatures are re-attached AFTER dedup from the checkpointed sig
-    // frame, so each surviving pair reads its two signatures once.
-    val a = capped.select(col("band"), col("band_hash"), col("doc").as("doc_a"))
-    val b = capped.select(col("band"), col("band_hash"), col("doc").as("doc_b"))
-    // dedupe candidate pairs BEFORE scoring: a pair colliding in k
-    // bands would otherwise be scored k times and deduped after
-    val cand = a.join(b, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-    scorePairs(cand, sig, sig, "doc_a", "doc_b", numPerm, threshold)
+    lshPairsFromSignatures(sig, numPerm, bands, threshold, maxBucket, hashes)
   }
 
   /** MinHash estimation-error calibration: for every LSH candidate
@@ -356,12 +412,12 @@ object Dedup {
       maxBucket: Int = 1000,
       hashes: HashFamily = XxHash64Family): DataFrame = {
     require(1000000 % numPerm == 0, "numPerm must divide 1e6 for exact est_ppm")
-    val pairs = minhashLshPairs(docs, idCol, textCol, shingleK, numPerm,
+    // one hashed-shingle pass feeds BOTH the signature chain and the
+    // exact-set rows (grams previously tokenized + md5-hashed twice)
+    val hg = hashedShingleArrays(docs, idCol, textCol, shingleK, hashes)
+    val pairs = minhashLshPairsFrom(hg, numPerm,
       bands, threshold = 0.0, maxBucket, hashes).localCheckpoint()
-    val sh = docs.select(col(idCol).as("_d"),
-        explode(array_distinct(shingles(col(textCol), shingleK))).as("_g"))
-      .select(col("_d"), hashes.hash(col("_g")).as("_gh"))
-      .distinct().localCheckpoint()
+    val sh = distinctShingleRows(hg)
     val sizes = sh.groupBy(col("_d")).agg(count(lit(1)).as("_n"))
     val inter = pairs.select("doc_a", "doc_b")
       .join(sh.select(col("_d").as("doc_a"), col("_gh")), Seq("doc_a"))
@@ -410,13 +466,13 @@ object Dedup {
       shingleK: Int = 3, numPerm: Int = 16, bands: Int = 8,
       thresholdPpm: Long = 800000L, maxBucket: Int = 1000,
       hashes: HashFamily = XxHash64Family): DataFrame = {
-    val pairs = minhashLshPairs(docs, idCol, textCol, shingleK, numPerm,
+    // one hashed-shingle pass feeds BOTH the signature chain and the
+    // exact-set rows (grams previously tokenized + md5-hashed twice)
+    val hg = hashedShingleArrays(docs, idCol, textCol, shingleK, hashes)
+    val pairs = minhashLshPairsFrom(hg, numPerm,
         bands, threshold = 0.0, maxBucket, hashes)
       .select("doc_a", "doc_b").localCheckpoint()
-    val sh = docs.select(col(idCol).as("_d"),
-        explode(array_distinct(shingles(col(textCol), shingleK))).as("_g"))
-      .select(col("_d"), hashes.hash(col("_g")).as("_gh"))
-      .distinct().localCheckpoint()
+    val sh = distinctShingleRows(hg)
     val sizes = sh.groupBy(col("_d")).agg(count(lit(1)).as("_n"))
     val inter = pairs
       .join(sh.select(col("_d").as("doc_a"), col("_gh")), Seq("doc_a"))
@@ -461,13 +517,13 @@ object Dedup {
       hashes: HashFamily = XxHash64Family): DataFrame = {
     val numPerm = 16
     val bands = 8 // rows = 2: the repeated-squaring chain below
-    val pairs = minhashLshPairs(docs, idCol, textCol, shingleK, numPerm,
+    // one hashed-shingle pass feeds BOTH the signature chain and the
+    // exact-set rows (grams previously tokenized + md5-hashed twice)
+    val hg = hashedShingleArrays(docs, idCol, textCol, shingleK, hashes)
+    val pairs = minhashLshPairsFrom(hg, numPerm,
         bands, threshold = 0.0, maxBucket, hashes)
       .select("doc_a", "doc_b").localCheckpoint()
-    val sh = docs.select(col(idCol).as("_d"),
-        explode(array_distinct(shingles(col(textCol), shingleK))).as("_g"))
-      .select(col("_d"), hashes.hash(col("_g")).as("_gh"))
-      .distinct().localCheckpoint()
+    val sh = distinctShingleRows(hg)
     val sizes = sh.groupBy(col("_d")).agg(count(lit(1)).as("_n"))
     val inter = pairs
       .join(sh.select(col("_d").as("doc_a"), col("_gh")), Seq("doc_a"))
