@@ -100,7 +100,11 @@ object Bench {
     // count() touches the scan path without caching any data.
     try Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
       graft.engine.Tables.documents, graft.engine.Tables.embeddings,
-      graft.engine.Tables.events).foreach(_(spark, sfDir).count())
+      graft.engine.Tables.events, graft.engine.Tables.lineitem,
+      graft.engine.Tables.orders, graft.engine.Tables.customer,
+      graft.engine.Tables.supplier, graft.engine.Tables.part,
+      graft.engine.Tables.nation, graft.engine.Tables.region)
+      .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
     releaseCheckpoints()
 

@@ -848,24 +848,32 @@ object TextAnalysis {
       k: Int = 10, fbDocs: Int = 5, fbTerms: Int = 8,
       maxExpansionDfPct: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qt = queries
-      .select(col(queryIdCol).as("query_id"),
-        explode(split(col(queryTextCol), " ")).as("token"))
-      .distinct()
-      .localCheckpoint() // feeds pass 1, the NOT-IN filter, and pass 2
     // corpus statistics built ONCE; tf/dl checkpoint because pass 1,
     // term mining, and pass 2 all read them (3 tokenize passes
-    // otherwise)
+    // otherwise). qt / tf / dl are independent passes — their
+    // checkpoints overlap (independent-job rule)
+    val qtRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val tfRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val dlRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.engine.Par.inParallel(
+      () => qtRef.set(queries
+        .select(col(queryIdCol).as("query_id"),
+          explode(split(col(queryTextCol), " ")).as("token"))
+        .distinct()
+        .localCheckpoint()), // feeds pass 1, the NOT-IN filter, and pass 2
+      () => tfRef.set(docs
+        .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
+        .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()),
+      () => dlRef.set(docs.select(col(idCol).as("doc"),
+        size(split(col(textCol), " ")).as("dl"))
+        .localCheckpoint()))
+    val qt = qtRef.get
+    val tf = tfRef.get
+    val dl = dlRef.get
     val stats = docs.agg(
       count(lit(1)).cast("double").as("_n_docs"),
       avg(size(wsTokens(col(textCol)))).as("_avgdl"))
-    val tf = docs
-      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
-      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val dl = docs.select(col(idCol).as("doc"),
-      size(split(col(textCol), " ")).as("dl"))
-      .localCheckpoint()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .localCheckpoint() // both scoring passes read it
     val fb = bm25ScoreTermsDf(tf, df, dl, stats, qt, idCol, fbDocs, k1, b)
@@ -928,15 +936,24 @@ object TextAnalysis {
   def bm25TopKPruned(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, topM: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("_n_docs"),
-      avg(size(wsTokens(col(textCol)))).as("_avgdl")).localCheckpoint()
-    val tf = docs
-      .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
-      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds the prune window AND both scorings
-    val dl = docs.select(col(idCol).as("doc"),
-      size(split(col(textCol), " ")).as("dl")).localCheckpoint()
+    // stats / tf / dl are three independent passes over docs — their
+    // checkpoints overlap (independent-job rule) instead of serializing
+    val statsRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val tfRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val dlRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.engine.Par.inParallel(
+      () => statsRef.set(docs.agg(
+        count(lit(1)).cast("double").as("_n_docs"),
+        avg(size(wsTokens(col(textCol)))).as("_avgdl")).localCheckpoint()),
+      () => tfRef.set(docs
+        .select(col(idCol).as("doc"), explode(split(col(textCol), " ")).as("token"))
+        .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()), // feeds the prune window AND both scorings
+      () => dlRef.set(docs.select(col(idCol).as("doc"),
+        size(split(col(textCol), " ")).as("dl")).localCheckpoint()))
+    val stats = statsRef.get
+    val tf = tfRef.get
+    val dl = dlRef.get
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val qterms = queries
       .select(col(queryIdCol).as("query_id"),
@@ -965,8 +982,17 @@ object TextAnalysis {
         .select("query_id", "doc")
     }
     val prunedPostings = impactPrune(tf, dl, stats, topM, k1, b)
-    val full = topk(tf).localCheckpoint() // feeds count + overlap join
-    val pruned = topk(prunedPostings).localCheckpoint()
+    // the exact and pruned rankings read only the checkpointed
+    // tf/dl/stats/qdf — no dependency between them, so their two
+    // scoring checkpoints overlap (independent-job rule) instead of
+    // serializing the query's two dominant jobs
+    val fullRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val prunedRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.engine.Par.inParallel(
+      () => fullRef.set(topk(tf).localCheckpoint()), // feeds count + overlap join
+      () => prunedRef.set(topk(prunedPostings).localCheckpoint()))
+    val full = fullRef.get
+    val pruned = prunedRef.get
     val nFull = full.groupBy("query_id").agg(count(lit(1)).as("n_full"))
     val nPruned = pruned.groupBy("query_id").agg(count(lit(1)).as("n_pruned"))
     val overlap = full.join(pruned, Seq("query_id", "doc"))

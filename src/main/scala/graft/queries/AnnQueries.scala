@@ -322,12 +322,20 @@ object AnnQueries {
     val emb = Tables.embeddings(s, dir)
     val probes = emb.filter(col("vec_id") < 10)
     val k = 3
-    val exact = Similarity.bruteForceTopK(emb, probes, k)
-      .select("query_id", "neighbor_id").localCheckpoint()
-    // both tiers share one seeded codebook + corpus encode (identical
-    // results to the self-building entry points, one encode instead of
-    // two — the dominant avoidable cost in multi-tier recall reports)
-    val (coarse, enc, pt) = Similarity.seededAnnArtifacts(emb, probes, dim = 64)
+    // the exact ground-truth pass and the seeded artifact build share
+    // no state — overlap them (independent-job rule, the q159 pattern)
+    val exactRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val seededRef = new java.util.concurrent.atomic
+      .AtomicReference[(Array[Array[Double]], DataFrame, DataFrame)]()
+    inParallel(
+      () => exactRef.set(Similarity.bruteForceTopK(emb, probes, k)
+        .select("query_id", "neighbor_id").localCheckpoint()),
+      // both tiers share one seeded codebook + corpus encode (identical
+      // results to the self-building entry points, one encode instead of
+      // two — the dominant avoidable cost in multi-tier recall reports)
+      () => seededRef.set(Similarity.seededAnnArtifacts(emb, probes, dim = 64)))
+    val exact = exactRef.get
+    val (coarse, enc, pt) = seededRef.get
     val approx =
       Similarity.ivfPqTopKWith(emb, probes, k, nprobe = 4, coarse, enc, pt)
         .select(col("query_id"), col("neighbor_id"),

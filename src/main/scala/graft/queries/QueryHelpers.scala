@@ -31,17 +31,8 @@ private[queries] object QueryHelpers {
     * chains settle. BuildTiming's union accounting keeps build_s a
     * wall-clock share (never the sum of overlapped threads).
     */
-  def inParallel(chains: (() => Unit)*): Unit = {
-    val ts = chains.map { c =>
-      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-      val t = new Thread(() => try c() catch { case e: Throwable => err.set(e) })
-      t.setDaemon(true)
-      t.start()
-      (t, err)
-    }
-    ts.foreach(_._1.join())
-    ts.foreach { case (_, err) => if (err.get != null) throw err.get }
-  }
+  def inParallel(chains: (() => Unit)*): Unit =
+    graft.engine.Par.inParallel(chains: _*)
 
 
   /** DuckDB rendering of `Md5Family.hash` — must stay in lockstep with
