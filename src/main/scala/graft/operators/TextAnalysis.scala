@@ -333,18 +333,28 @@ object TextAnalysis {
         element_at(split(col("trigram"), " "), 3).as("w3"))
     // count tables are vocabulary-sized and feed joins against the
     // frame they derive from — materialize once (the self-join-fed
-    // rule), so scoring re-reads counts, not the corpus
-    val uni = docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("uf"))
-      .localCheckpoint()
+    // rule), so scoring re-reads counts, not the corpus. The three
+    // count passes are independent corpus scans — their checkpoints
+    // overlap (independent-job rule) instead of serializing the
+    // query's three dominant jobs.
+    val uniRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val bgRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val triRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.engine.Par.inParallel(
+      () => uniRef.set(docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("uf"))
+        .localCheckpoint()),
+      () => bgRef.set(docs
+        .select(explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
+        .filter(size(split(col("bigram"), " ")) === 2)
+        .groupBy("bigram").agg(count(lit(1)).as("bf"))
+        .localCheckpoint()),
+      () => triRef.set(tg.groupBy("trigram").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()))
+    val uni = uniRef.get
+    val bg = bgRef.get
+    val tri = triRef.get
     val nTokens = uni.agg(sum(col("uf")).as("n_tokens"))
-    val bg = docs
-      .select(explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
-      .filter(size(split(col("bigram"), " ")) === 2)
-      .groupBy("bigram").agg(count(lit(1)).as("bf"))
-      .localCheckpoint()
-    val tri = tg.groupBy("trigram").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
     // λ3·tf/c(w1w2) + λ2·c(w2w3)/c(w2) + λ1·c(w3)/N — one fixed
     // left-associated expression order on both engines
     val p = (lit(0.6) * col("tf") / col("bfp")) +
