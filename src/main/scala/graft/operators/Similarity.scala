@@ -1219,7 +1219,7 @@ object Similarity {
     * floats for every comparison — sub-noise differences would swap
     * assignments.
     */
-  private[operators] def nearestLists(vecs: DataFrame, idCol: String, n: Int,
+  private[graft] def nearestLists(vecs: DataFrame, idCol: String, n: Int,
       centroids: DataFrame): DataFrame = {
     val spark = vecs.sparkSession
     val scored = vecs.crossJoin(broadcast(centroids))
