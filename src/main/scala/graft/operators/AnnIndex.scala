@@ -65,10 +65,20 @@ object AnnIndex {
       numSub: Int = 8, numCodes: Int = 16,
       batchId: Long = 0L): Unit = graft.engine.BuildTiming.timed {
     val spark = embeddings.sparkSession
-    val cents = Similarity.centroidsDf(spark,
-      Similarity.seededCodebook(embeddings, nlists))
-    val sub = Similarity.seededSubCodebook(embeddings, dim, numSub, numCodes)
-    publish(embeddings, cents, sub, path, dim, numSub, batchId)
+    // the input feeds FIVE passes (both codebook derivations, the
+    // train count, the PQ encode and the list assignment) — an input
+    // that is itself a join/filter chain would recompute per pass
+    val emb = embeddings.localCheckpoint()
+    // the two codebook derivations are independent reads of the
+    // checkpointed input — overlap them (guide's independent-job rule)
+    val centsRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val subRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.engine.Par.inParallel(
+      () => centsRef.set(Similarity.centroidsDf(spark,
+        Similarity.seededCodebook(emb, nlists))),
+      () => subRef.set(
+        Similarity.seededSubCodebook(emb, dim, numSub, numCodes)))
+    publish(emb, centsRef.get, subRef.get, path, dim, numSub, batchId)
   }
 
   /** [[build]] with BOTH codebook tiers LEARNED — Lloyd-refined coarse
@@ -83,12 +93,17 @@ object AnnIndex {
       sampleN: Int = 512,
       batchId: Long = 0L): Unit = graft.engine.BuildTiming.timed {
     val spark = embeddings.sparkSession
-    val cents = Similarity.centroidsDf(spark,
-      Similarity.kmeansCodebook(embeddings, nlists, iters, sampleN))
-    val sub = Similarity.pqCodebooksDf(spark,
-      Similarity.pqLearnedCodebooks(embeddings, dim, numSub, numCodes, iters,
-        sampleN))
-    publish(embeddings, cents, sub, path, dim, numSub, batchId)
+    // same five-pass reuse + independent-training overlap as [[build]]
+    val emb = embeddings.localCheckpoint()
+    val centsRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val subRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.engine.Par.inParallel(
+      () => centsRef.set(Similarity.centroidsDf(spark,
+        Similarity.kmeansCodebook(emb, nlists, iters, sampleN))),
+      () => subRef.set(Similarity.pqCodebooksDf(spark,
+        Similarity.pqLearnedCodebooks(emb, dim, numSub, numCodes, iters,
+          sampleN))))
+    publish(emb, centsRef.get, subRef.get, path, dim, numSub, batchId)
   }
 
   /** Shared publish step: drop anything encoded against the OLD
@@ -116,18 +131,36 @@ object AnnIndex {
       // re-indexed ids
       deadPath(path))
       .foreach(d => fs.delete(new Path(d), true))
-    val centsC = cents.localCheckpoint()
-    val subC = sub.localCheckpoint()
-    centsC.coalesce(1).write.mode(SaveMode.Overwrite).parquet(coarsePath(path))
-    subC.coalesce(1).write.mode(SaveMode.Overwrite).parquet(subPath(path))
-    // training-corpus size, for the appended-fraction rebuild trigger
-    // ([[needsRebuild]]); written after the codebooks, before enc — a
-    // crash in between leaves it absent, which appendedFraction reads
-    // as "unknown → rebuild", the conservative maintenance answer
-    import embeddings.sparkSession.implicits._
-    Seq(embeddings.count()).toDF("n_train")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath(path))
-    writeEnc(embeddings, centsC, subC, path, dim, numSub, batchId)
+    // The three artifact publishes (coarse codebook, sub codebook,
+    // train_meta) are independent single-row/tiny writes to disjoint
+    // dirs — overlap them. Crash discipline is unchanged by the
+    // reordering this allows: exists() demands _SUCCESS on BOTH
+    // codebooks, so ANY partial subset of the three reads as "no
+    // committed index" (retry rebuilds, and a rebuild deletes
+    // train_meta first); enc still lands strictly LAST, so codes can
+    // never exist without the codebooks that decode them.
+    val centsRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val subRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.engine.Par.inParallel(
+      () => {
+        val c = cents.localCheckpoint()
+        c.coalesce(1).write.mode(SaveMode.Overwrite).parquet(coarsePath(path))
+        centsRef.set(c)
+      },
+      () => {
+        val s = sub.localCheckpoint()
+        s.coalesce(1).write.mode(SaveMode.Overwrite).parquet(subPath(path))
+        subRef.set(s)
+      },
+      () => {
+        // training-corpus size, for the appended-fraction rebuild
+        // trigger ([[needsRebuild]]); absent (crash before commit)
+        // reads as "unknown → rebuild", the conservative answer
+        import embeddings.sparkSession.implicits._
+        Seq(embeddings.count()).toDF("n_train")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath(path))
+      })
+    writeEnc(embeddings, centsRef.get, subRef.get, path, dim, numSub, batchId)
   }
 
   /** How much corpus has been quantize-appended since the codebooks
@@ -528,10 +561,10 @@ object AnnIndex {
     if (fs.exists(new Path(batchDir, "_SUCCESS")))
       return // committed retry: no-op
     val enc = Similarity.pqEncodeWithCodebook(vectors, dim, numSub, sub)
-    val lists = Similarity.nearestLists(
+    val lists = Similarity.nearestListIds(
       vectors.select(col("vec_id").as("neighbor_id"),
         asDouble(col("embedding")).as("emb")),
-      "neighbor_id", 1, cents)
+      "neighbor_id", cents)
       .select("list_id", "neighbor_id")
     // codes ⋈ list assignment: both O(N) — shuffle equi-join, same
     // contract as the inline IVF+PQ path

@@ -288,9 +288,9 @@ object Similarity {
       textCol: String, k: Int, nlists: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     val centroids = centroidsDf(spark, seededCodebook(embeddings, nlists))
-    val assign = nearestLists(
+    val assign = nearestListIds(
       embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb")),
-      "vec_id", 1, centroids)
+      "vec_id", centroids)
       .select(col("vec_id").as(idCol), col("list_id"))
     val labeled = docs.select(col(idCol), col(textCol)).join(assign, Seq(idCol))
     TextAnalysis.topTermsByGroup(labeled, "list_id", textCol, k)
@@ -1249,6 +1249,24 @@ object Similarity {
     }
   }
 
+  /** [[nearestLists]] (n = 1) for callers that need ONLY (id, list_id):
+    * the max_by buffer carries a bare int instead of the full row
+    * struct, so the assignment exchange moves ~12 bytes per vector —
+    * the general form drags the embedding itself through the aggregate
+    * buffer (Spark cannot prune inside max_by's struct), |dim| doubles
+    * per row that the corpus-scale enc/list-routing sites never read.
+    * Tie-break identical to [[nearestLists]]: (ccos DESC, list_id ASC).
+    */
+  private[graft] def nearestListIds(vecs: DataFrame, idCol: String,
+      centroids: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("ccos", round(cosineFast(spark)(col("emb"), col("centroid")), 6))
+      .groupBy(idCol)
+      .agg(max_by(col("list_id"), struct(col("ccos"), -col("list_id")))
+        .as("list_id"))
+  }
+
   private def ivfTopKWithCodebook(embeddings: DataFrame, probes: DataFrame,
       k: Int, nprobe: Int, codebook: Array[Array[Double]]): DataFrame = {
     val spark = embeddings.sparkSession
@@ -1606,9 +1624,9 @@ object Similarity {
       probeTable: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     val cents = centroidsDf(spark, coarse)
-    val corpusLists = nearestLists(
+    val corpusLists = nearestListIds(
       embeddings.select(col("vec_id").as("neighbor_id"),
-        asDouble(col("embedding")).as("emb")), "neighbor_id", 1, cents)
+        asDouble(col("embedding")).as("emb")), "neighbor_id", cents)
       .select("list_id", "neighbor_id")
     val probeLists = nearestLists(
       probes.select(col("vec_id").as("query_id"),

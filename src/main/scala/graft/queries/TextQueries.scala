@@ -456,19 +456,28 @@ object TextQueries {
       .filter(col("source") === "src0" && col("doc_id") % 50 === 0)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
-    val sparse = TextIndex.query(s, sharedTextIndex(s, dir), probes,
-        "query_id", "qtext", k = 10)
-      .select("query_id", "doc_id", "rank")
     val corpusEmb = emb.join(
       corpus.select(col("doc_id").as("vec_id")), "vec_id")
     val probeEmb = emb.join(
       probes.select(col("query_id").as("vec_id")), "vec_id")
     val scratch = java.nio.file.Files.createTempDirectory("graft_q338_ann")
     val idx = scratch.toString + "/ann"
-    AnnIndex.build(corpusEmb, idx, dim = 64)
+    // The sparse tier (BM25 off the prewarmed shared index) and the
+    // scratch ANN build touch disjoint stores and share nothing until
+    // the RRF fusion — overlap them (the q282 build-∥-ground-truth
+    // pattern); the sparse ranking materializes on its own thread
+    // while the build's store jobs run.
+    val sparseRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.engine.Par.inParallel(
+      () => sparseRef.set(
+        TextIndex.query(s, sharedTextIndex(s, dir), probes,
+            "query_id", "qtext", k = 10)
+          .select("query_id", "doc_id", "rank")
+          .localCheckpoint()),
+      () => AnnIndex.build(corpusEmb, idx, dim = 64))
     val dense = AnnIndex.query(s, idx, probeEmb, k = 10, dim = 64)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    val out = Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+    val out = Retrieval.rrfFuse(Seq(sparseRef.get, dense), k = 10)
       .localCheckpoint() // materialize before the scratch delete
     QueryHelpers.deleteRecursively(s, scratch.toString)
     out

@@ -18,10 +18,21 @@ what the driver records (its r12/r13 artifacts were empty). Skipped
 under --only/SPARK_GRAFT_ONLY — a subset run must never overwrite the
 full-suite artifact.
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import pandas as pd
 import numpy as np
+
+# Exponential-replay guard (the q201 lesson, round 14): a DuckDB CTE
+# chain that violates the AS MATERIALIZED invariant re-expands ~3^k per
+# unrolled round and blows the driver's oracle budget (q201 alone was
+# 429 s of an 842 s replay at sf0.01; normal queries run ~0.1 s). Any
+# single oracle query slower than this many seconds is a HARD failure
+# here so the regression is caught before the driver runs. The limit
+# sits ~6x above the slowest honest oracle (q263_holt 9.9 s) and ~7x
+# below the q201 failure class, so host contention (2-3x) cannot trip
+# it. Override via SPARK_GRAFT_ORACLE_TIME_LIMIT for slower hosts.
+ORACLE_TIME_LIMIT = float(os.environ.get("SPARK_GRAFT_ORACLE_TIME_LIMIT", "60"))
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 # --only a,b,c (or SPARK_GRAFT_ONLY): check just that subset — for
@@ -41,16 +52,28 @@ if only is not None:
     oracle = {k: v for k, v in oracle.items() if k in only}
 fail = 0
 report = {}
+oracle_secs = {}
 for name in sorted(oracle):
     sql = oracle[name]
     rec = {"rows_match": False, "schema_match": False, "hash_match": False,
            "spark_rows": None, "oracle_rows": None, "err": None}
     report[name] = rec
     try:
+        t0 = time.monotonic()
         exp = con.sql(sql).df()
+        oracle_secs[name] = time.monotonic() - t0
     except Exception as e:
         rec["err"] = f"oracle error: {e}"
         print(f"FAIL {name}: oracle error: {e}")
+        fail += 1
+        continue
+    rec["oracle_s"] = round(oracle_secs[name], 3)
+    if oracle_secs[name] > ORACLE_TIME_LIMIT:
+        rec["err"] = (f"oracle replay took {oracle_secs[name]:.1f}s "
+                      f"(limit {ORACLE_TIME_LIMIT:.0f}s) — likely an "
+                      f"un-MATERIALIZED multiply-referenced CTE chain "
+                      f"re-expanding exponentially (CLAUDE.md invariant)")
+        print(f"FAIL {name}: {rec['err']}")
         fail += 1
         continue
     rec["oracle_rows"] = len(exp)
@@ -118,6 +141,11 @@ for name in sorted(oracle):
         print(f"WARN {name}: " + "; ".join(problems))
     else:
         print(f"OK   {name} ({len(exp)} rows)")
+if oracle_secs:
+    slow = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:5]
+    print("slowest oracle replays: " +
+          ", ".join(f"{k}={v:.2f}s" for k, v in slow) +
+          f" (total {sum(oracle_secs.values()):.1f}s)")
 if only is None:
     with open(f"{outdir}/correctness.json", "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
