@@ -68,16 +68,30 @@ object BatchStore {
       merge: DataFrame => DataFrame = identity,
       subPartitionCols: Seq[String] = Nil,
       force: Boolean = false): Unit = {
+    compactWithSignal(spark, path, merge, subPartitionCols, force); ()
+  }
+
+  /** [[compact]] returning TRUE iff the folded generation was
+    * COMMITTED (the swap's renames completed): callers whose merge
+    * hook has side conditions (TextIndex draining the tombstones its
+    * fold applied) branch on the signal instead of re-scanning the
+    * store to verify — a no-op or race-aborted fold returns false and
+    * the caller must leave its pending state (tombstones) in place.
+    */
+  private[graft] def compactWithSignal(spark: SparkSession, path: String,
+      merge: DataFrame => DataFrame = identity,
+      subPartitionCols: Seq[String] = Nil,
+      force: Boolean = false): Boolean = {
     heal(spark, path)
     val p = new Path(path)
     val fs = fsOf(spark, p)
-    if (!fs.exists(p)) return
+    if (!fs.exists(p)) return false
     val batches = committedBatches(spark, path)
     // `force` folds even a lone generation — callers whose merge hook
     // must rewrite rows regardless of batch count (e.g. TextIndex
     // applying tombstone deletes) opt in; the plain fold is a no-op on
     // a single batch by definition
-    if (batches.isEmpty || (batches.size <= 1 && !force)) return
+    if (batches.isEmpty || (batches.size <= 1 && !force)) return false
     val genId = batches.max
     val staging = new Path(path + "._compacting")
     val backup = new Path(path + "._old")
@@ -107,11 +121,12 @@ object BatchStore {
     // after this check makes a rename throw, which heal rolls back.
     if (!fs.exists(new Path(staging, "_SUCCESS"))) {
       fs.delete(staging, true)
-      return
+      return false
     }
     renameOrThrow(fs, p, backup)
     renameOrThrow(fs, staging, p)
     fs.delete(backup, true)
+    true
   }
 
   /** Recover around an interrupted [[compact]] swap: store missing

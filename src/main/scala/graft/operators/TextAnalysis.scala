@@ -865,6 +865,7 @@ object TextAnalysis {
     val qtRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
     val tfRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
     val dlRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val statsRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
     graft.engine.Par.inParallel(
       () => qtRef.set(queries
         .select(col(queryIdCol).as("query_id"),
@@ -877,13 +878,16 @@ object TextAnalysis {
         .localCheckpoint()),
       () => dlRef.set(docs.select(col(idCol).as("doc"),
         size(split(col(textCol), " ")).as("dl"))
-        .localCheckpoint()))
+        .localCheckpoint()),
+      // checkpointed like bm25TopKPruned's: left lazy it re-tokenizes
+      // the corpus inside BOTH passes' broadcast subtrees
+      () => statsRef.set(docs.agg(
+        count(lit(1)).cast("double").as("_n_docs"),
+        avg(size(wsTokens(col(textCol)))).as("_avgdl")).localCheckpoint()))
     val qt = qtRef.get
     val tf = tfRef.get
     val dl = dlRef.get
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("_n_docs"),
-      avg(size(wsTokens(col(textCol)))).as("_avgdl"))
+    val stats = statsRef.get
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .localCheckpoint() // both scoring passes read it
     val fb = bm25ScoreTermsDf(tf, df, dl, stats, qt, idCol, fbDocs, k1, b)
@@ -901,7 +905,9 @@ object TextAnalysis {
     // single-pass text query. Capping df at maxExpansionDfPct% keeps
     // the informative mid-df terms (standard RM3 practice) and bounds
     // pass-2 postings at the cap.
-    val nd = docs.agg(count(lit(1)).as("_nd"))
+    // corpus doc count off the stats checkpoint (exact: _n_docs is a
+    // count cast to double, < 2^53) — not another corpus scan
+    val nd = stats.select(col("_n_docs").cast("long").as("_nd"))
     val expansion = weights
       .join(df.select(col("token"), col("df").as("_df")), Seq("token"))
       .crossJoin(broadcast(nd))

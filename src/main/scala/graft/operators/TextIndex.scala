@@ -355,18 +355,23 @@ object TextIndex {
   def compact(spark: SparkSession,
       path: String): Unit = graft.engine.BuildTiming.timed {
     val deadB = committedDeadBatches(spark, path) // snapshot at entry
-    val mask: DataFrame => DataFrame =
-      if (deadB.isEmpty) identity
-      else df => df.join(
-        deadDocs(spark, path, deadB).localCheckpoint(), Seq("doc"),
-        "left_anti")
-    BatchStore.compact(spark, postingsPath(path), merge = mask,
-      subPartitionCols = Seq("tok_bucket"), force = deadB.nonEmpty)
-    if (deadB.isEmpty)
-      BatchStore.compact(spark, statsPath(path),
-        merge = df => df.agg(sum("n_docs").as("n_docs"),
-          sum("sum_dl").as("sum_dl")))
-    else {
+    if (deadB.isEmpty) {
+      // postings and stats are sibling sub-stores with independent
+      // commit gates (readers intersect their committed ids), so the
+      // two folds are independent chains — overlap them
+      graft.engine.Par.inParallel(
+        () => BatchStore.compact(spark, postingsPath(path),
+          subPartitionCols = Seq("tok_bucket")),
+        () => BatchStore.compact(spark, statsPath(path),
+          merge = df => df.agg(sum("n_docs").as("n_docs"),
+            sum("sum_dl").as("sum_dl"))))
+    } else {
+      // ONE checkpointed tombstone set feeds the fold's mask and the
+      // drain decision (previously three separate checkpoint jobs)
+      val dead = deadDocs(spark, path, deadB).localCheckpoint()
+      val folded = BatchStore.compactWithSignal(spark, postingsPath(path),
+        merge = df => df.join(dead, Seq("doc"), "left_anti"),
+        subPartitionCols = Seq("tok_bucket"), force = true)
       // deletes shrank the corpus: recompute (n_docs, sum_dl) exactly
       // from the committed postings instead of summing stale rows
       val committed = BatchStore.committedBatches(spark, postingsPath(path))
@@ -377,14 +382,14 @@ object TextIndex {
         .localCheckpoint()
       BatchStore.compact(spark, statsPath(path), merge = _ => statsDf,
         force = true)
-      // drain gate: a tombstone may only drop once its docs are gone
-      val folded = spark.read.parquet(postingsPath(path))
-        .filter(col("batch_id")
-          .isin(BatchStore.committedBatches(spark, postingsPath(path)): _*))
-      val survivors = folded.join(
-        deadDocs(spark, path, deadB).localCheckpoint(), Seq("doc"),
-        "left_semi").limit(1).count()
-      if (survivors == 0L) {
+      // drain gate: a tombstone may only drop once its docs are gone.
+      // The fold's COMMIT signal is the proof: a committed fold's
+      // generation is exactly anti-join(previous committed postings,
+      // dead), so the dead docs cannot be present — the verification
+      // rescan of the whole store is redundant. A skipped or
+      // race-aborted fold returns false and the tombstones stay live
+      // for the next compaction, exactly as before.
+      if (folded) {
         val dp = new Path(deadPath(path))
         val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         deadB.foreach(b => fs.delete(new Path(dp, s"batch=$b"), true))

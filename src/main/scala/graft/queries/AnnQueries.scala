@@ -443,12 +443,24 @@ object AnnQueries {
         col("dim").cast("string"), lit(":"),
         col("q").cast("string"))).as("h"))
       .agg(expr("bit_xor(h)").as("corpus_fp"))
-    val se = Similarity.pqQuantErrorSeeded(corr, dim = 64)
-      .select(col("err_ppm").as("seeded_err_ppm"))
-    val le = Similarity.pqQuantErrorLearned(corr, dim = 64)
-      .select(col("err_ppm").as("learned_err"))
-    val oe = Similarity.pqQuantErrorOpq(corr, dim = 64)
-      .select(col("err_ppm").as("opq_err"))
+    // the three tier CONSTRUCTIONS each do eager work off the corr
+    // checkpoint (seeded sub-codebook checkpoint; Lloyd sample
+    // collect; PCA covariance + rotated-corpus checkpoint + Lloyd
+    // sample) and are mutually independent — overlap them; the final
+    // plan's four error-scan broadcasts already overlap at action time
+    val seRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val leRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val oeRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.engine.Par.inParallel(
+      () => seRef.set(Similarity.pqQuantErrorSeeded(corr, dim = 64)
+        .select(col("err_ppm").as("seeded_err_ppm"))),
+      () => leRef.set(Similarity.pqQuantErrorLearned(corr, dim = 64)
+        .select(col("err_ppm").as("learned_err"))),
+      () => oeRef.set(Similarity.pqQuantErrorOpq(corr, dim = 64)
+        .select(col("err_ppm").as("opq_err"))))
+    val se = seRef.get
+    val le = leRef.get
+    val oe = oeRef.get
     corr.agg(count(lit(1)).as("n_vecs"))
       .crossJoin(broadcast(fp)).crossJoin(broadcast(se))
       .crossJoin(broadcast(le)).crossJoin(broadcast(oe))
