@@ -58,11 +58,14 @@ object Fuzzy {
     // Positional-multiset q-gram elements for every doc with >= 1 gram.
     // occ = occurrence index of the gram within the doc (by position),
     // so element-set intersection == gram-multiset intersection.
+    // The element/prefix construction carries IDS ONLY — the string
+    // payload used to ride every gram row through two window shuffles
+    // and the frequency join (L x the corpus's string bytes on the
+    // wire); it re-attaches to the d·q+1 surviving prefix rows below.
     val elements = base.filter(col("_len") >= q)
-      .select(col("_fid"), col("_fs"), col("_len"),
-        explode(sequence(lit(1), col("_len") - (q - 1))).as("_p"))
-      .select(col("_fid"), col("_fs"), col("_len"), col("_p"),
-        expr(s"substring(_fs, _p, $q)").as("_g"))
+      .select(col("_fid"), col("_len"),
+        posexplode(expr(s"transform(sequence(1, _len - ${q - 1}), " +
+          s"p -> substring(_fs, p, $q))")).as(Seq("_p", "_g")))
       .withColumn("_occ", row_number().over(
         Window.partitionBy("_fid", "_g").orderBy("_p")))
     // Global element frequency defines the total order; rarest-first
@@ -73,6 +76,7 @@ object Fuzzy {
       .withColumn("_rk", row_number().over(
         Window.partitionBy("_fid").orderBy(col("_df"), col("_g"), col("_occ"))))
       .filter(col("_rk") <= pfx)
+      .join(base.select(col("_fid"), col("_fs")), Seq("_fid"))
       .select(col("_fid"), col("_fs"), col("_len"), col("_g"), col("_occ"))
       .localCheckpoint() // feeds both sides of the candidate self-join
     // The candidate join's INPUT is small (d·q+1 rows per doc) but its
@@ -81,12 +85,39 @@ object Fuzzy {
     // stage onto one partition. Pin the join's parallelism instead,
     // and verify with the banded threshold levenshtein (O(d·len),
     // early-exit, -1 past the bound) rather than the full O(len²) DP.
+    //
+    // Skew: low-entropy keys concentrate the prefix elements in few
+    // (_g, _occ) buckets (Zipf), and a within-bucket self-join does
+    // C(n_b, 2) work on whatever single task the hot bucket hashes to
+    // — the stage walls on one straggler while the rest of the cluster
+    // idles (guide's max/median pathology). SALT the join: the right
+    // side takes a deterministic salt (xxhash of the doc id — never
+    // rand(), which re-draws under task retry), the left side fans out
+    // over all k salt values, so a hot bucket's pair block splits into
+    // k tasks. Each unordered pair still surfaces exactly twice
+    // ((x,y) at t = salt(y), (y,x) at t = salt(x)) and the id_a < id_b
+    // filter keeps one, exactly as unsalted. k derives from the
+    // MEASURED hottest bucket (pairs-per-task target 256k — the salt
+    // replicates the exploded side's string payload k-fold, so k is
+    // the smallest split that un-straggles the hot bucket, not the
+    // core count), so unskewed inputs pay k = 1 (no replication) and
+    // the factor tracks the data.
     val shuffleN = df.sparkSession.sparkContext.defaultParallelism
-    val pfxKeyed = prefix.repartition(shuffleN, col("_g"), col("_occ"))
-    val pairsLong = pfxKeyed.select(col("_fid").as("id_a"), col("_fs").as("_stra"),
-        col("_len").as("_la"), col("_g"), col("_occ"))
-      .join(pfxKeyed.select(col("_fid").as("id_b"), col("_fs").as("_strb"),
-        col("_len").as("_lb"), col("_g"), col("_occ")), Seq("_g", "_occ"))
+    val maxBucketRow = prefix.groupBy("_g", "_occ")
+      .agg(count(lit(1)).as("_n")).agg(max(col("_n"))).head()
+    val maxBucket = if (maxBucketRow.isNullAt(0)) 0L else maxBucketRow.getLong(0)
+    val salts = math.max(1L, math.min(shuffleN.toLong,
+      maxBucket * maxBucket / (1L << 18))).toInt
+    val left = prefix
+      .withColumn("_t", explode(sequence(lit(0), lit(salts - 1))))
+      .repartition(shuffleN, col("_g"), col("_occ"), col("_t"))
+    val right = prefix
+      .withColumn("_t", pmod(xxhash64(col("_fid")), lit(salts.toLong)).cast("int"))
+    val pairsLong = left.select(col("_fid").as("id_a"), col("_fs").as("_stra"),
+        col("_len").as("_la"), col("_g"), col("_occ"), col("_t"))
+      .join(right.select(col("_fid").as("id_b"), col("_fs").as("_strb"),
+        col("_len").as("_lb"), col("_g"), col("_occ"), col("_t")),
+        Seq("_g", "_occ", "_t"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("_la") - col("_lb")) <= maxDist)
       .withColumn("dist", levenshtein(col("_stra"), col("_strb"), maxDist))
