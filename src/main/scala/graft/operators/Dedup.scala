@@ -159,6 +159,26 @@ object Dedup {
         explode(array_distinct(col("hs1"))).as("_gh"))
       .distinct().localCheckpoint()
 
+  /** The LSH candidate-pair chain and the exact distinct-shingle chain
+    * off ONE [[hashedShingleArrays]] frame, their checkpoints
+    * OVERLAPPED (independent reads of the checkpointed hg — the
+    * independent-job rule): every sketch-vs-exact audit
+    * (calibration/containment/detection) runs both. `trim` projects
+    * the pair frame before its checkpoint (callers that only need the
+    * pair ids drop the score column there).
+    */
+  private def pairsAndShingleRows(hg: DataFrame, numPerm: Int, bands: Int,
+      maxBucket: Int, hashes: HashFamily,
+      trim: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val pRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    val sRef = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+    graft.engine.Par.inParallel(
+      () => pRef.set(trim(minhashLshPairsFrom(hg, numPerm, bands,
+        threshold = 0.0, maxBucket, hashes)).localCheckpoint()),
+      () => sRef.set(distinctShingleRows(hg)))
+    (pRef.get, sRef.get)
+  }
+
   /** [[minhashLshPairs]] over a prebuilt [[hashedShingleArrays]] frame
     * — identical pairs/scores; the gram arrays hash once for callers
     * that also need the exact sets.
@@ -415,9 +435,8 @@ object Dedup {
     // one hashed-shingle pass feeds BOTH the signature chain and the
     // exact-set rows (grams previously tokenized + md5-hashed twice)
     val hg = hashedShingleArrays(docs, idCol, textCol, shingleK, hashes)
-    val pairs = minhashLshPairsFrom(hg, numPerm,
-      bands, threshold = 0.0, maxBucket, hashes).localCheckpoint()
-    val sh = distinctShingleRows(hg)
+    val (pairs, sh) = pairsAndShingleRows(hg, numPerm, bands, maxBucket,
+      hashes, identity)
     val sizes = sh.groupBy(col("_d")).agg(count(lit(1)).as("_n"))
     val inter = pairs.select("doc_a", "doc_b")
       .join(sh.select(col("_d").as("doc_a"), col("_gh")), Seq("doc_a"))
@@ -469,10 +488,8 @@ object Dedup {
     // one hashed-shingle pass feeds BOTH the signature chain and the
     // exact-set rows (grams previously tokenized + md5-hashed twice)
     val hg = hashedShingleArrays(docs, idCol, textCol, shingleK, hashes)
-    val pairs = minhashLshPairsFrom(hg, numPerm,
-        bands, threshold = 0.0, maxBucket, hashes)
-      .select("doc_a", "doc_b").localCheckpoint()
-    val sh = distinctShingleRows(hg)
+    val (pairs, sh) = pairsAndShingleRows(hg, numPerm, bands, maxBucket,
+      hashes, _.select("doc_a", "doc_b"))
     val sizes = sh.groupBy(col("_d")).agg(count(lit(1)).as("_n"))
     val inter = pairs
       .join(sh.select(col("_d").as("doc_a"), col("_gh")), Seq("doc_a"))
@@ -520,10 +537,8 @@ object Dedup {
     // one hashed-shingle pass feeds BOTH the signature chain and the
     // exact-set rows (grams previously tokenized + md5-hashed twice)
     val hg = hashedShingleArrays(docs, idCol, textCol, shingleK, hashes)
-    val pairs = minhashLshPairsFrom(hg, numPerm,
-        bands, threshold = 0.0, maxBucket, hashes)
-      .select("doc_a", "doc_b").localCheckpoint()
-    val sh = distinctShingleRows(hg)
+    val (pairs, sh) = pairsAndShingleRows(hg, numPerm, bands, maxBucket,
+      hashes, _.select("doc_a", "doc_b"))
     val sizes = sh.groupBy(col("_d")).agg(count(lit(1)).as("_n"))
     val inter = pairs
       .join(sh.select(col("_d").as("doc_a"), col("_gh")), Seq("doc_a"))

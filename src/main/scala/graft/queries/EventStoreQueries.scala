@@ -1177,13 +1177,17 @@ object EventStoreQueries {
     * arrival, near-dup queries touch only the 2-word hash table.
     */
   private val imageHashStoreQ: Q = (s, dir) => {
-    val payloads = Multimodal
-      .withPatternedImagePayload(Tables.documents(s, dir))
+    // batch-split BEFORE the payload synthesis: the encode is an
+    // opaque mapPartitions, so a filter placed after it cannot push
+    // below — each batch would encode the WHOLE corpus and keep a
+    // third (3x the codec CPU for the same rows)
+    val docs = Tables.documents(s, dir)
     val scratch = java.nio.file.Files.createTempDirectory("graft_q326_ih")
     val store = scratch.toString + "/imagehash"
     (0L until 3L).foreach { b =>
       graft.streaming.StreamingPower.imageHashStep(
-        payloads.filter(col("doc_id") % 3 === b), store, batchId = b)
+        Multimodal.withPatternedImagePayload(
+          docs.filter(col("doc_id") % 3 === b)), store, batchId = b)
     }
     graft.engine.BatchStore.compact(s, store,
       graft.streaming.StreamingPower.imageHashMerge)
@@ -1207,13 +1211,15 @@ object EventStoreQueries {
     * queries touch only the 2-word fingerprint table.
     */
   private val audioFpStoreQ: Q = (s, dir) => {
-    val payloads = Multimodal
-      .withPatternedAudioPayload(Tables.documents(s, dir))
+    // batch-split BEFORE the payload synthesis (see q326): a filter
+    // after the opaque encode re-synthesizes the whole corpus per batch
+    val docs = Tables.documents(s, dir)
     val scratch = java.nio.file.Files.createTempDirectory("graft_q336_afp")
     val store = scratch.toString + "/audiofp"
     (0L until 3L).foreach { b =>
       graft.streaming.StreamingPower.audioFpStep(
-        payloads.filter(col("doc_id") % 3 === b), store, batchId = b)
+        Multimodal.withPatternedAudioPayload(
+          docs.filter(col("doc_id") % 3 === b)), store, batchId = b)
     }
     graft.engine.BatchStore.compact(s, store,
       graft.streaming.StreamingPower.audioFpMerge)
@@ -1237,13 +1243,15 @@ object EventStoreQueries {
     * replays the histogram.
     */
   private val videoFpStoreQ: Q = (s, dir) => {
-    val payloads = Multimodal
-      .withPatternedVideoPayload(Tables.documents(s, dir))
+    // batch-split BEFORE the payload synthesis (see q326): a filter
+    // after the opaque encode re-synthesizes the whole corpus per batch
+    val docs = Tables.documents(s, dir)
     val scratch = java.nio.file.Files.createTempDirectory("graft_q339_vfp")
     val store = scratch.toString + "/videofp"
     (0L until 3L).foreach { b =>
       graft.streaming.StreamingPower.videoFpStep(
-        payloads.filter(col("doc_id") % 3 === b), store, batchId = b)
+        Multimodal.withPatternedVideoPayload(
+          docs.filter(col("doc_id") % 3 === b)), store, batchId = b)
     }
     graft.engine.BatchStore.compact(s, store,
       graft.streaming.StreamingPower.videoFpMerge)

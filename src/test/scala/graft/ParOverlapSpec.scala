@@ -76,5 +76,12 @@ class ParOverlapSpec extends SparkSpecBase {
     // the duplicated-centroid tie must resolve to the SMALLER list id
     assert(!assigned.values.exists(_ == 3),
       "centroid 3 duplicates centroid 2 — ties must pick list 2")
+    // the lean (id, list_id)-only variant (round-15: the enc/routing
+    // sites that never read the vector back) must pick the SAME rows,
+    // including the duplicated-centroid tie-break
+    val lean = graft.operators.Similarity
+      .nearestListIds(corpus, "vec_id", cb)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lean == windowed)
   }
 }
