@@ -104,8 +104,17 @@ object BatchStore {
       .withColumn("batch_id", lit(genId))
     // stores with a pruning sub-layout under each generation (e.g.
     // TextIndex's tok_bucket) keep it through the fold, so partition
-    // pruning survives compaction
-    folded.write.mode(SaveMode.Overwrite)
+    // pruning survives compaction — and are CLUSTERED by it before the
+    // partitioned write (the appendBatch discipline): a merge hook
+    // that shuffles (TextIndex's tombstone anti-join) otherwise leaves
+    // every reduce task holding rows of every sub-partition value, and
+    // the write fans out tasks x values small files per fold — the
+    // small-file problem compaction exists to fix, reintroduced by
+    // the fold itself.
+    val clustered =
+      if (subPartitionCols.isEmpty) folded
+      else folded.repartition(subPartitionCols.map(col): _*)
+    clustered.write.mode(SaveMode.Overwrite)
       .partitionBy("batch_id" +: subPartitionCols: _*)
       .parquet(staging.toString)
     // the steps gate retries on the BATCH DIR's _SUCCESS (they write

@@ -420,7 +420,11 @@ object AnnIndex {
         deadIds(spark, path, deadBatches)
           .withColumnRenamed("vec_id", "neighbor_id").localCheckpoint(),
         Seq("neighbor_id"), "left_anti")
-    folded
+    // cluster by list_id before the partitioned write (the BatchStore
+    // fold discipline): the tombstone anti-join shuffles, after which
+    // every task holds rows of every list — an unclustered write fans
+    // out tasks x nlists small files per fold
+    folded.repartition(col("list_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("batch", "list_id")
       .parquet(staging.toString)
     // reader gate: batch-level _SUCCESS (parquet only marks the root)
